@@ -1,13 +1,464 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.ops._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Registry of every implemented operator (SURVEY §2 inventory + the
+  * training-data-pipeline extensions). Each `queries` entry has a
+  * matching DuckDB oracle in `oracleSql` unless the operator is
+  * estimator-based (HLL/LSH internals differ per engine) — those are
+  * covered by ScalaTest specs instead.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The reference's core pipeline: TTL-strip every cell, keep values +
+    * writetimes (SURVEY §2.2 P1). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    TtlOps.ttlStrip(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- TTL / cell model (SURVEY §2.1-2.2, §2.5) ---
+    "p1_ttl_strip" -> (TtlOps.ttlStrip _),
+    "s7_visible_at" -> (TtlOps.visibleAt _),
+    "p2_cell_kind_dispatch" -> (TtlOps.cellKindDispatch _),
+    "p1_ttl_strip_complex" -> (TtlOps.ttlStripComplex _),
+    "w_tombstone_pairing" -> (TtlOps.tombstonePairing _),
+    "s8_sorted_sink" -> (TtlOps.sortedSink _),
+    // --- scans + engine aggregates (SURVEY §2.1, §2.4) ---
+    "q6_filter_pushdown" -> (ScanAggOps.q6FilterPushdown _),
+    "s4_token_range_scan" -> (ScanAggOps.tokenRangeScan _),
+    "s5_key_counts" -> (ScanAggOps.keyCounts _),
+    "s2_file_identity" -> (ScanAggOps.fileIdentity _),
+    "a2_hll_keycount" -> (ScanAggOps.hllKeyCount _),
+    "a3_compaction_gain" -> (ScanAggOps.compactionGain _),
+    "a4_sampled_keycount" -> (ScanAggOps.sampledKeyCount _),
+    "a5_stats_summary" -> (ScanAggOps.statsSummary _),
+    "a6_scan_metrics" -> (ScanAggOps.scanMetrics _),
+    // --- general analytics layer (SURVEY §7.2 step 5) ---
+    "q1_agg" -> (AnalyticsOps.q1Agg _),
+    "q3_shipping" -> (AnalyticsOps.q3Shipping _),
+    "q5_multi_join" -> (AnalyticsOps.q5MultiJoin _),
+    "j_broadcast_lookup" -> (AnalyticsOps.broadcastLookup _),
+    "j_semi" -> (AnalyticsOps.semiJoin _),
+    "j_anti" -> (AnalyticsOps.antiJoin _),
+    "j_asof" -> (AnalyticsOps.asofJoin _),
+    "g_rollup" -> (AnalyticsOps.rollupAgg _),
+    "g_cube" -> (AnalyticsOps.cubeAgg _),
+    "w_rank_topk" -> (AnalyticsOps.rankTopK _),
+    "w_running_sum" -> (AnalyticsOps.runningSum _),
+    "w_lead_lag" -> (AnalyticsOps.leadLagGaps _),
+    "w_sessionize" -> (AnalyticsOps.sessionize _),
+    "set_ops" -> (AnalyticsOps.setOps _),
+    "o_topk" -> (AnalyticsOps.topK _),
+    // --- scalar function surface (SURVEY §2.8) ---
+    "f_datetime" -> (ScalarOps.datetimeFns _),
+    "f_string" -> (ScalarOps.stringFns _),
+    "f_math" -> (ScalarOps.mathFns _),
+    // --- text analysis ---
+    "t_token_count" -> (TextOps.tokenCount _),
+    "t_quality" -> (TextOps.qualityScore _),
+    "t_langid" -> (TextOps.langId _),
+    "t_fingerprint" -> (TextOps.fingerprint _),
+    // --- dedup ---
+    "d_exact_dedup" -> (DedupOps.exactDedup _),
+    "d_minhash_lsh" -> (DedupOps.minhashLsh _),
+    "d_simhash" -> (DedupOps.simhash _),
+    "d_ngram_jaccard" -> (DedupOps.ngramJaccard _),
+    // --- similarity search ---
+    "sim_cosine_topk" -> (SimilarityOps.cosineTopK _),
+    "sim_embed_neardup" -> (SimilarityOps.embeddingNearDup _),
+    "sim_ann_lsh" -> (SimilarityOps.annLsh _),
+    // --- multimodal plumbing ---
+    "m_media_decode" -> (MultimodalOps.mediaDecode _),
+    "m_frame_sample" -> (MultimodalOps.frameSample _)
+  )
+
+  // DuckDB dialect notes baked into every oracle:
+  //  - sum(INTEGER/BIGINT) → HUGEINT, so CAST(... AS BIGINT) wherever
+  //    Spark emits LongType;
+  //  - len()/row_number() → BIGINT vs Spark's INT → CAST AS INTEGER;
+  //  - regexp_replace needs the 'g' flag (Spark replaces globally);
+  //  - dayofweek() is 0=Sunday vs Spark 1=Sunday → +1;
+  //  - doubles that feed outputs are rounded identically on both sides.
+  def oracleSql: Map[String, String] = Map(
+    "p1_ttl_strip" ->
+      """SELECT event_id, user_id, event_type, value,
+        | epoch_us(ts) AS writetime_us, CAST(NULL AS INTEGER) AS ttl_after
+        |FROM events""".stripMargin,
+    "s7_visible_at" ->
+      """SELECT event_id, user_id, value, epoch_us(ts) AS writetime_us,
+        | CASE WHEN event_id % 3 = 0
+        |      THEN CAST(((event_id % 7) + 1) * 86400 AS INTEGER)
+        |      ELSE NULL END AS ttl_s
+        |FROM events
+        |WHERE (event_id % 3 <> 0)
+        |   OR (epoch_us(ts) + ((event_id % 7) + 1) * 86400 * 1000000
+        |       > 1705276800000000)""".stripMargin,
+    "p2_cell_kind_dispatch" ->
+      """SELECT event_id,
+        | CASE WHEN event_id % 3 = 0 THEN 'EXPIRING'
+        |      WHEN event_type = 'error' THEN 'TOMBSTONE'
+        |      ELSE 'PLAIN' END AS kind,
+        | value, epoch_us(ts) AS writetime_us, CAST(NULL AS INTEGER) AS ttl_s
+        |FROM events""".stripMargin,
+    "p1_ttl_strip_complex" ->
+      """SELECT event_id, 'k' AS cell_path,
+        | json_extract_string(props, '$.k') AS value,
+        | epoch_us(ts) AS writetime_us, CAST(NULL AS INTEGER) AS ttl_s
+        |FROM events""".stripMargin,
+    "w_tombstone_pairing" ->
+      """WITH m AS (
+        | SELECT user_id, ts, event_id,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        |  lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS close_us,
+        |  lead(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS close_event_id
+        | FROM events WHERE event_type = 'error')
+        |SELECT user_id, epoch_us(ts) AS open_us, event_id AS open_event_id,
+        | close_us, close_event_id
+        |FROM m WHERE rn % 2 = 1""".stripMargin,
+    "s8_sorted_sink" ->
+      """SELECT event_id, user_id, event_type, value,
+        | epoch_us(ts) AS writetime_us, CAST(NULL AS INTEGER) AS ttl_after
+        |FROM events""".stripMargin,
+    "q6_filter_pushdown" ->
+      """SELECT
+        | CAST(round(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+        |   * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(28,4))), 4)
+        |   AS DOUBLE) AS revenue,
+        | count(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '2024-03-01'
+        |  AND l_shipdate < TIMESTAMP '2024-09-01'
+        |  AND l_discount BETWEEN 0.03 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "s4_token_range_scan" ->
+      """WITH t AS (
+        | SELECT l_orderkey,
+        |  (l_orderkey * 2654435761) % 4294967296 - 2147483648 AS token
+        | FROM lineitem)
+        |SELECT count(*) AS n_rows, count(DISTINCT l_orderkey) AS n_keys,
+        | min(token) AS min_token, max(token) AS max_token
+        |FROM t WHERE token > 1000000000 OR token <= -1500000000""".stripMargin,
+    "s5_key_counts" ->
+      """SELECT 'orders' AS tbl, count(DISTINCT o_orderkey) AS n_keys FROM orders
+        |UNION ALL
+        |SELECT 'customer', count(DISTINCT c_custkey) FROM customer
+        |UNION ALL
+        |SELECT 'part', count(DISTINCT p_partkey) FROM part""".stripMargin,
+    "s2_file_identity" ->
+      "SELECT 'events' AS tbl, count(*) AS n_rows FROM events",
+    "a3_compaction_gain" ->
+      """WITH per AS (
+        | SELECT o_custkey % 4 AS bucket, count(DISTINCT o_custkey) AS d
+        | FROM orders GROUP BY 1),
+        |m AS (SELECT count(DISTINCT o_custkey) AS merged_keys FROM orders)
+        |SELECT merged_keys,
+        | CAST((SELECT sum(d) FROM per) AS BIGINT) AS summed_keys,
+        | round(CAST(merged_keys AS DOUBLE) / (SELECT sum(d) FROM per), 6) AS gain
+        |FROM m""".stripMargin,
+    "a4_sampled_keycount" ->
+      """SELECT count(*) AS n_sampled,
+        | CAST(count(*) * 2 AS BIGINT) AS est_rows
+        |FROM orders
+        |WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)
+        |  IN ('0','1','2','3','4','5','6','7')""".stripMargin,
+    "a5_stats_summary" ->
+      """SELECT min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship,
+        | count(*) AS n_rows,
+        | round(avg(l_quantity), 4) AS avg_qty,
+        | round(quantile_cont(l_quantity, 0.5), 4) AS median_qty
+        |FROM lineitem""".stripMargin,
+    "a6_scan_metrics" ->
+      """SELECT
+        | round(avg(CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END), 6)
+        |   AS return_ratio,
+        | round(avg(CASE WHEN l_discount > 0.05 THEN 1.0 ELSE 0.0 END), 6)
+        |   AS disc_ratio,
+        | count(*) AS n_rows
+        |FROM lineitem""".stripMargin,
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
+        | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base_price,
+        | CAST(round(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+        |   * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |   AS DECIMAL(28,6))), 6) AS DOUBLE) AS sum_disc_price,
+        | count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2024-09-01'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_shipping" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        | CAST(round(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+        |   * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |   AS DECIMAL(28,6))), 6) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '2024-06-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+    "q5_multi_join" ->
+      """SELECT n_name,
+        | CAST(round(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+        |   * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |   AS DECIMAL(28,6))), 6) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY n_name""".stripMargin,
+    "j_broadcast_lookup" ->
+      """SELECT p_brand, count(*) AS n_items,
+        | CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand""".stripMargin,
+    "j_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "j_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "j_asof" ->
+      """SELECT p.user_id, p.event_id AS purchase_event_id,
+        | epoch_us(p.ts) AS purchase_us,
+        | (SELECT epoch_us(max(s.ts)) FROM events s
+        |  WHERE s.user_id = p.user_id AND s.event_type = 'signup'
+        |    AND s.ts <= p.ts) AS signup_us
+        |FROM events p WHERE p.event_type = 'purchase'""".stripMargin,
+    "g_rollup" ->
+      """SELECT r_name, n_name, count(*) AS n_cust,
+        | CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)""".stripMargin,
+    "g_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+        | CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
+    "w_rank_topk" ->
+      """WITH r AS (
+        | SELECT o_custkey, o_orderkey, o_totalprice,
+        |  CAST(row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rk
+        | FROM orders)
+        |SELECT o_custkey, o_orderkey, o_totalprice, rk FROM r WHERE rk <= 3""".stripMargin,
+    "w_running_sum" ->
+      """SELECT user_id, event_id,
+        | CAST(round(sum(CAST(value AS DECIMAL(18,2))) OVER (
+        |   PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS running_value
+        |FROM events""".stripMargin,
+    "w_lead_lag" ->
+      """WITH g AS (
+        | SELECT user_id, event_id, ts,
+        |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        | FROM events)
+        |SELECT user_id, event_id,
+        | CAST((epoch_us(ts) - epoch_us(prev_ts)) // 1000000 AS BIGINT) AS gap_s
+        |FROM g""".stripMargin,
+    "w_sessionize" ->
+      """WITH g AS (
+        | SELECT user_id, ts, event_id,
+        |  lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        | FROM events),
+        |s AS (
+        | SELECT user_id, ts, event_id,
+        |  CASE WHEN prev_us IS NULL
+        |        OR epoch_us(ts) - prev_us > 3600000000 THEN 1 ELSE 0 END AS ns
+        | FROM g),
+        |t AS (
+        | SELECT user_id, ts,
+        |  CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        | FROM s)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        | min(epoch_us(ts)) AS session_start_us,
+        | max(epoch_us(ts)) AS session_end_us
+        |FROM t GROUP BY user_id, session_id""".stripMargin,
+    "set_ops" ->
+      """SELECT k, 'both' AS tag FROM
+        | (SELECT c_custkey AS k FROM customer
+        |  INTERSECT SELECT o_custkey FROM orders)
+        |UNION ALL
+        |SELECT k, 'customer_only' AS tag FROM
+        | (SELECT c_custkey AS k FROM customer
+        |  EXCEPT SELECT o_custkey FROM orders)""".stripMargin,
+    "o_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin,
+    "f_datetime" ->
+      """SELECT o_orderkey,
+        | CAST(year(o_orderdate) AS INTEGER) AS y,
+        | CAST(month(o_orderdate) AS INTEGER) AS m,
+        | CAST(day(o_orderdate) AS INTEGER) AS d,
+        | CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+        | date_trunc('month', o_orderdate) AS month_start,
+        | CAST(datediff('day', DATE '2024-01-01', CAST(o_orderdate AS DATE))
+        |   AS INTEGER) AS days_since,
+        | epoch_us(o_orderdate) AS epoch_us
+        |FROM orders""".stripMargin,
+    "f_string" ->
+      """SELECT p_partkey,
+        | lower(p_name) AS lo, upper(p_brand) AS up,
+        | substr(p_name, 1, 5) AS pre5,
+        | CAST(length(p_name) AS INTEGER) AS len,
+        | concat_ws('#', p_brand, p_type) AS joined,
+        | regexp_replace(p_name, '[aeiou]', '', 'g') AS novowel,
+        | trim(lpad(p_brand, 12, '_')) AS padded,
+        | contains(p_name, 'a') AS has_a
+        |FROM part""".stripMargin,
+    "f_math" ->
+      """SELECT l_orderkey, l_linenumber,
+        | abs(l_discount - 0.05) AS absdiff,
+        | CAST(ceil(l_quantity) AS BIGINT) AS ceil_q,
+        | CAST(floor(l_quantity) AS BIGINT) AS floor_q,
+        | round(sqrt(l_quantity), 6) AS sqrt_q,
+        | round(ln(l_quantity + 1), 6) AS ln_q,
+        | l_quantity * l_quantity AS sq,
+        | CAST(sign(l_discount - 0.05) AS DOUBLE) AS sgn,
+        | CAST(l_orderkey % 7 AS BIGINT) AS mod7,
+        | greatest(l_tax, l_discount) AS gmax
+        |FROM lineitem WHERE l_orderkey % 100 = 0""".stripMargin,
+    "t_token_count" ->
+      """SELECT doc_id,
+        | CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS ws_tokens,
+        | CAST(len(regexp_extract_all(text,
+        |   '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS pre_tokens
+        |FROM documents""".stripMargin,
+    "t_quality" ->
+      """WITH t AS (
+        | SELECT doc_id, text,
+        |  string_split_regex(trim(text), '\s+') AS toks,
+        |  CAST(length(text) AS DOUBLE) AS len,
+        |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) AS punct
+        | FROM documents),
+        |s AS (
+        | SELECT doc_id, text, len, punct,
+        |  CAST(len(toks) AS DOUBLE) AS ntok,
+        |  CAST(len(list_filter(toks, x -> lower(x) IN
+        |   ('the','a','and','of','to','in','is','it','on','for'))) AS DOUBLE) AS stop,
+        |  CAST(len(toks) AS INTEGER) AS n_tokens
+        | FROM t)
+        |SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars, n_tokens,
+        | round(punct / len, 6) AS punct_ratio,
+        | round(stop / ntok, 6) AS stopword_ratio,
+        | round(0.3 * least(1.0, len / 500.0)
+        |   + 0.4 * (1.0 - punct / len)
+        |   + 0.3 * least(1.0, 4.0 * stop / ntok), 6) AS quality_score
+        |FROM s""".stripMargin,
+    "t_langid" ->
+      """WITH t AS (
+        | SELECT doc_id, lang,
+        |  list_transform(string_split_regex(trim(text), '\s+'),
+        |    x -> lower(x)) AS toks
+        | FROM documents),
+        |s AS (
+        | SELECT doc_id, lang,
+        |  CAST(len(list_filter(toks, x -> x IN
+        |    ('the','and','of','to','in','is'))) AS INTEGER) AS en_hits,
+        |  CAST(len(list_filter(toks, x -> x IN
+        |    ('der','die','und','das','ist','ein'))) AS INTEGER) AS de_hits,
+        |  CAST(len(list_filter(toks, x -> x IN
+        |    ('le','la','et','les','des','est'))) AS INTEGER) AS fr_hits,
+        |  CAST(len(list_filter(toks, x -> x IN
+        |    ('el','la','los','que','es','una'))) AS INTEGER) AS es_hits,
+        |  CAST(len(list_filter(toks, x -> x IN
+        |    ('de','shi','le','bu','wo','zai'))) AS INTEGER) AS zh_hits
+        | FROM t)
+        |SELECT doc_id, lang, en_hits, de_hits, fr_hits, es_hits, zh_hits,
+        | CASE WHEN greatest(en_hits, de_hits, fr_hits, es_hits, zh_hits) = 0
+        |       THEN 'und'
+        |      WHEN en_hits = greatest(en_hits, de_hits, fr_hits, es_hits, zh_hits)
+        |       THEN 'en'
+        |      WHEN de_hits = greatest(en_hits, de_hits, fr_hits, es_hits, zh_hits)
+        |       THEN 'de'
+        |      WHEN fr_hits = greatest(en_hits, de_hits, fr_hits, es_hits, zh_hits)
+        |       THEN 'fr'
+        |      WHEN es_hits = greatest(en_hits, de_hits, fr_hits, es_hits, zh_hits)
+        |       THEN 'es'
+        |      ELSE 'zh' END AS pred_lang
+        |FROM s""".stripMargin,
+    "t_fingerprint" ->
+      """SELECT doc_id,
+        | md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+        |   AS fingerprint
+        |FROM documents""".stripMargin,
+    "d_exact_dedup" ->
+      """SELECT md5(text) AS h, min(doc_id) AS keep_doc_id,
+        | count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+    "d_ngram_jaccard" ->
+      """WITH docs AS (
+        | SELECT doc_id, source,
+        |  string_split_regex(trim(text), '\s+') AS t
+        | FROM documents),
+        |sh AS (
+        | SELECT doc_id, source,
+        |  list_distinct(list_transform(range(len(t) - 2),
+        |    i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS s
+        | FROM docs),
+        |sized AS (SELECT doc_id, source, s, len(s) AS n_sh FROM sh),
+        |inv AS (SELECT doc_id, source, n_sh, unnest(s) AS shingle FROM sized),
+        |pairs AS (
+        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  a.n_sh AS na, b.n_sh AS nb, count(*) AS inter
+        | FROM inv a JOIN inv b
+        |   ON a.source = b.source AND a.shingle = b.shingle
+        |  AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2, 3, 4)
+        |SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter,
+        | round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard
+        |FROM pairs
+        |WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) >= 0.8""".stripMargin,
+    "sim_cosine_topk" ->
+      """WITH v AS (
+        | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+        |q AS (SELECT * FROM n WHERE vec_id < 8),
+        |pairs AS (
+        | SELECT q.vec_id AS q_vec_id, c.vec_id AS neighbor_vec_id,
+        |  list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS cos
+        | FROM q JOIN n c ON c.vec_id <> q.vec_id),
+        |r AS (
+        | SELECT *, CAST(row_number() OVER (PARTITION BY q_vec_id
+        |   ORDER BY cos DESC, neighbor_vec_id) AS INTEGER) AS rk
+        | FROM pairs)
+        |SELECT q_vec_id, neighbor_vec_id, round(cos, 6) AS cos_sim, rk
+        |FROM r WHERE rk <= 5""".stripMargin,
+    "sim_embed_neardup" ->
+      """WITH v AS (
+        | SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+        | FROM embeddings WHERE vec_id % 10 = 0),
+        |n AS (SELECT vec_id, label, e,
+        |  sqrt(list_dot_product(e, e)) AS nrm FROM v)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+        | round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) AS cos_sim
+        |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) > 0.55""".stripMargin,
+    "m_media_decode" ->
+      """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+        | CAST(strlen(text) % 64 + 16 AS INTEGER) AS width,
+        | CAST(strlen(text) % 48 + 16 AS INTEGER) AS height,
+        | CAST(strlen(text) % 8 + 1 AS INTEGER) AS n_frames,
+        | CASE WHEN strlen(text) % 2 = 0 THEN 'fake-rgb8'
+        |      ELSE 'fake-yuv420' END AS format
+        |FROM documents""".stripMargin,
+    "m_frame_sample" ->
+      """WITH m AS (
+        | SELECT doc_id, CAST(strlen(text) % 8 + 1 AS INTEGER) AS n_frames
+        | FROM documents)
+        |SELECT doc_id, CAST(unnest(range(n_frames)) AS INTEGER) AS frame_idx,
+        | n_frames
+        |FROM m""".stripMargin
+  )
 }

@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Uniform access to the driver-generated parquet corpus (TESTDATA.md).
+  *
+  * Reference analogue: SSTable file discovery + open
+  * (`impl/src/main/java/com/instaclustr/cassandra/ttl/cli/TTLRemoverCLI.java:147-163`,
+  * SURVEY §2.1 S1/S3). In Spark a directory read IS the parallel scan:
+  * one task per parquet row-group split, vectorized reader, footer
+  * min/max pruning — everything the reference's NoTTLReader hand-rolls.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** events.ts is nanosecond-precision; Spark's parquet reader rejects
+    * INT64(TIMESTAMP_NANOS) unless it is read as a raw long. We keep it
+    * as epoch-nanos (full precision, orderable, arithmetic-friendly) and
+    * derive epoch-micros columns where outputs need them. Set here (not
+    * only in our mains) so the driver's own SparkSession works too.
+    */
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/$name.parquet")
+  }
+}

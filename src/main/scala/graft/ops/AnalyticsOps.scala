@@ -1,0 +1,240 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** General analytics layer (SURVEY §7.2 step 5). The reference has no
+  * joins/windows/set-ops (§2.3/2.5/2.7) — an *engine* needs them, so they
+  * are provided as first-class, oracle-checked operators built purely
+  * from Catalyst-optimizable primitives.
+  *
+  * Scale notes baked into each operator:
+  *  - dimension joins are explicitly broadcast (no shuffle of the fact);
+  *  - aggregations are partial (map-side combine) by construction;
+  *  - double-typed measures are cast to decimal before SUM so results
+  *    are order-independent → deterministic under any partitioning.
+  */
+object AnalyticsOps {
+
+  private def dec(c: String) = col(c).cast("decimal(18,2)")
+
+  /** Decimal-exact sum surfaced as a double: the sum is computed in
+    * exact decimal (order-independent under any partitioning), rounded,
+    * then cast — both engines produce the identical float64. Decimals
+    * are NOT left in outputs because pandas/duckdb render them
+    * differently (Decimal('1.00') vs 1.0) and hash-compare would
+    * false-negative. */
+  private def decSum(c: Column, scale: Int = 2): Column =
+    round(sum(c), scale).cast("double")
+
+  /** TPC-H Q1 shape: scan → filter → hash agg. The canonical
+    * partial+final aggregation; no join, one shuffle on the group keys.
+    */
+  def q1Agg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate") <= lit("2024-09-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        decSum(dec("l_quantity")).as("sum_qty"),
+        decSum(dec("l_extendedprice")).as("sum_base_price"),
+        decSum((dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
+          .cast("decimal(28,6)"), 6).as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+
+  /** TPC-H Q3 shape: selective dimension side, two joins, agg, top-k.
+    * customer is broadcast (small); orders⋈lineitem shuffles on the join
+    * key once; AQE handles skew at scale.
+    */
+  def q3Shipping(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.load(spark, sfDir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.load(spark, sfDir, "orders")
+      .filter(col("o_orderdate") < lit("2024-06-01").cast("timestamp"))
+    val li = Tables.load(spark, sfDir, "lineitem")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(decSum((dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
+        .cast("decimal(28,6)"), 6).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5 shape: star join across 5 tables. All dimensions
+    * (region/nation/customer/supplier) broadcast; the single fact
+    * shuffle is the orders⋈lineitem equi-join.
+    */
+  def q5MultiJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val region = Tables.load(spark, sfDir, "region")
+    val nation = Tables.load(spark, sfDir, "nation")
+    val cust = Tables.load(spark, sfDir, "customer")
+    val ord = Tables.load(spark, sfDir, "orders")
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val sup = Tables.load(spark, sfDir, "supplier")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .join(broadcast(nation), sup("s_nationkey") === nation("n_nationkey"))
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(decSum((dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
+        .cast("decimal(28,6)"), 6).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Broadcast hash-join lookup: fact×small-dim with no shuffle at all
+    * on the fact side — the plan to demand at 100 TB for dim joins. */
+  def broadcastLookup(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val part = Tables.load(spark, sfDir, "part")
+    li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        decSum(dec("l_quantity")).as("sum_qty"))
+  }
+
+  /** Left-semi join: customers that have at least one order. */
+  def semiJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.load(spark, sfDir, "customer")
+    val ord = Tables.load(spark, sfDir, "orders")
+    cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+  }
+
+  /** Left-anti join: customers with no orders. */
+  def antiJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.load(spark, sfDir, "customer")
+    val ord = Tables.load(spark, sfDir, "orders")
+    cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+  }
+
+  /** As-of join: each 'purchase' event matched to the user's most recent
+    * prior-or-simultaneous 'signup' event. Composed from built-ins: a
+    * per-key sort + last() over an ordered union window — no custom
+    * physical operator needed, one shuffle on user_id.
+    */
+  def asofJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("side", lit(1))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        lit(null).cast("double").as("value"))
+      .withColumn("side", lit(0))
+    // union both sides, carry the latest signup ts forward in event-time
+    // order; signups sort before purchases at equal ts (side asc).
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    purchases.unionByName(signups)
+      .withColumn("signup_ts",
+        last(when(col("side") === 0, col("ts")), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(
+        col("user_id"),
+        col("event_id").as("purchase_event_id"),
+        expr("ts div 1000").as("purchase_us"),
+        expr("signup_ts div 1000").as("signup_us"))
+  }
+
+  /** Grouping sets: ROLLUP over region→nation with decimal-safe sums. */
+  def rollupAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.load(spark, sfDir, "customer")
+    val nation = Tables.load(spark, sfDir, "nation")
+    val region = Tables.load(spark, sfDir, "region")
+    cust
+      .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(
+        count(lit(1)).as("n_cust"),
+        decSum(dec("c_acctbal")).as("sum_bal"))
+  }
+
+  /** CUBE over two independent dimensions of orders. */
+  def cubeAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        decSum(dec("o_totalprice")).as("sum_price"))
+
+  /** Ranking window: top-3 orders per customer, deterministic tiebreak. */
+  def rankTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.load(spark, sfDir, "orders")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        col("rk"))
+  }
+
+  /** Running (cumulative) sum per user over event time. */
+  def runningSum(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.load(spark, sfDir, "events")
+      .withColumn("running_value",
+        round(sum(col("value").cast("decimal(18,2)")).over(w), 2)
+          .cast("double"))
+      .select(col("user_id"), col("event_id"), col("running_value"))
+  }
+
+  /** lead/lag: inter-event gap in seconds per user. Micros truncation
+    * happens per-row BEFORE the lag so it matches the oracle's
+    * `epoch_us(ts) - epoch_us(prev_ts)` exactly. */
+  def leadLagGaps(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.load(spark, sfDir, "events")
+      .withColumn("prev_us", lag(expr("ts div 1000"), 1).over(w))
+      .withColumn("gap_s", expr("(ts div 1000 - prev_us) div 1000000"))
+      .select(col("user_id"), col("event_id"), col("gap_s"))
+  }
+
+  /** Sessionization: new session when gap > 1h; session id = cumulative
+    * count of session-starts. Two stacked windows, one shuffle. */
+  def sessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.load(spark, sfDir, "events")
+      .withColumn("us", expr("ts div 1000"))
+      .withColumn("prev_us", lag(col("us"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_us").isNull ||
+          col("us") - col("prev_us") > 3600L * 1000000L, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(run))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("us")).as("session_start_us"),
+        max(col("us")).as("session_end_us"))
+  }
+
+  /** Set operations in one result: INTERSECT / EXCEPT over key sets
+    * (§2.7 — the reference's multi-file concat is UNION ALL; the rest
+    * come free with Spark). */
+  def setOps(spark: SparkSession, sfDir: String): DataFrame = {
+    val custKeys = Tables.load(spark, sfDir, "customer")
+      .select(col("c_custkey").as("k"))
+    val orderCust = Tables.load(spark, sfDir, "orders")
+      .select(col("o_custkey").as("k"))
+    val both = custKeys.intersect(orderCust).withColumn("tag", lit("both"))
+    val only = custKeys.except(orderCust).withColumn("tag", lit("customer_only"))
+    both.unionByName(only)
+  }
+
+  /** Global top-k with deterministic total order (O-series; the
+    * reference's partition-ordered write is `sortWithinPartitions`).
+    * TakeOrderedAndProject — no full sort at scale. */
+  def topK(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(25)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+}

@@ -1,0 +1,147 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact
+  * (hash-groupBy), MinHash+LSH banding, SimHash, and exact n-gram
+  * Jaccard on candidate pairs.
+  *
+  * Scale design: every variant reduces to groupBy/join on a *derived
+  * small key* (content hash, band hash, shingle) so the only shuffles
+  * are on well-distributed hash keys; nothing is ever collected to the
+  * driver and no O(n²) step exists outside per-bucket candidate pairs.
+  */
+object DedupOps {
+
+  private def toks(c: Column): Column = split(trim(c), "\\s+")
+
+  /** Word 3-gram shingles (distinct) of a text column. */
+  private def shingles(c: Column): Column = {
+    val t = toks(c)
+    array_distinct(
+      transform(
+        sequence(lit(0), size(t) - 3),
+        i => concat_ws(" ",
+          element_at(t, i + 1), element_at(t, i + 2), element_at(t, i + 3))))
+  }
+
+  /** Exact dedup via content hash: one shuffle on md5(text); keeps the
+    * lowest doc_id per group (deterministic winner).
+    */
+  def exactDedup(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "documents")
+      .groupBy(md5(col("text")).as("h"))
+      .agg(
+        min(col("doc_id")).as("keep_doc_id"),
+        count(lit(1)).as("n_copies"))
+
+  /** Deterministic 32-bit token hash shared with the SQL oracle:
+    * first 8 hex chars of md5, parsed as a long in [0, 2^32). */
+  private def h32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  private val MersennePrime = 2305843009213693951L // 2^61 - 1
+  private def perm(i: Int, h: Column): Column =
+    ((h * lit(1000003L * (i + 1) % MersennePrime) + lit(777767777L * (i + 1)))
+      % lit(MersennePrime))
+
+  val NumPerms = 16
+  val NumBands = 4 // 4 rows per band → Jaccard ~0.6+ lands in a bucket
+
+  /** MinHash signatures: explode shingles once, one groupBy(doc) with
+    * NumPerms min() aggregates — a single shuffle, fully codegen'd.
+    * Returns (doc_id, source, n_shingles, mh0..mh15).
+    */
+  def minhashSignatures(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"), shingles(col("text")).as("sh"))
+    val exploded = docs
+      .select(col("doc_id"), col("source"),
+        explode(col("sh")).as("shingle"))
+      .withColumn("h", h32(col("shingle")))
+    val aggs = (0 until NumPerms).map(i =>
+      min(perm(i, col("h"))).as(s"mh$i")) :+
+      countDistinct(col("shingle")).as("n_shingles")
+    exploded.groupBy(col("doc_id"), col("source"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** MinHash-LSH near-dup candidate pairs: band the signature, bucket-
+    * join on (band_id, band_hash), emit candidate pairs a<b. The
+    * banding join replaces the O(n²) all-pairs comparison — the scale
+    * path for near-dedup at 100 TB.
+    */
+  def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val sig = minhashSignatures(spark, sfDir)
+    val rowsPerBand = NumPerms / NumBands
+    val bandCols = (0 until NumBands).map { b =>
+      val cols = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
+      struct(lit(b).as("band_id"), md5(concat_ws("_", cols: _*)).as("band_hash"))
+    }
+    val banded = sig
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_id"), col("band.band_hash"))
+    val a = banded.alias("a")
+    val b = banded.alias("b")
+    a.join(b,
+        col("a.band_id") === col("b.band_id") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** SimHash: 32-bit per-token hashes vote per bit position, weighted
+    * by token frequency; sign of each bit-sum forms the fingerprint.
+    * Implemented as explode → groupBy(doc, bit) free via bit arithmetic
+    * in a single aggregate over 32 conditional sums.
+    */
+  def simhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+      .withColumn("h", h32(col("tok")))
+    val bitSums: Seq[Column] = (0 until 32).map { bit =>
+      sum(when(shiftright(col("h"), bit).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"b$bit")
+    }
+    val summed = docs.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+    val fp = (0 until 32)
+      .map(bit => when(col(s"b$bit") > 0, lit(1L << bit)).otherwise(0L))
+      .reduce(_ + _)
+    summed.select(col("doc_id"), fp.as("simhash"))
+  }
+
+  /** Exact n-gram Jaccard on candidate pairs: docs sharing a shingle
+    * within the same source are candidates (inverted-index join on the
+    * shingle — never all-pairs); intersection size from the join,
+    * |A∪B| = |A|+|B|−|A∩B|. Emits pairs with Jaccard ≥ 0.8.
+    */
+  def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"), shingles(col("text")).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+    val inv = docs
+      .select(col("doc_id"), col("source"), col("n_sh"),
+        explode(col("sh")).as("shingle"))
+    val a = inv.alias("a")
+    val b = inv.alias("b")
+    a.join(b,
+        col("a.source") === col("b.source") &&
+          col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn(
+        "jaccard",
+        round(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double"), 6))
+      .filter(col("jaccard") >= 0.8)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
+  }
+}

@@ -1,0 +1,65 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media as opaque `binary` columns with
+  * typed metadata, processed partition-wise in batches.
+  *
+  * The decode step is a STUB — image/audio codecs are not in this
+  * container — but everything Spark-side is real: the binary column,
+  * the schema of the decoded metadata, the `mapPartitions` batch shape
+  * (the Scala analogue of `mapInPandas` batches), and the partitioning.
+  * The fake decode is deterministic arithmetic on the payload length so
+  * it is oracle-checkable.
+  */
+object MultimodalOps {
+
+  /** Decoded-media metadata record (what a real codec would emit). */
+  final case class MediaMeta(
+      doc_id: Long,
+      n_bytes: Long,
+      width: Int,
+      height: Int,
+      n_frames: Int,
+      format: String)
+
+  /** Deterministic fake decode of a media payload. A real pipeline
+    * swaps only this function for a codec call; schema, batching and
+    * partitioning are unchanged. */
+  def fakeDecode(docId: Long, payload: Array[Byte]): MediaMeta = {
+    val n = payload.length.toLong
+    MediaMeta(
+      doc_id = docId,
+      n_bytes = n,
+      width = (n % 64).toInt + 16,
+      height = (n % 48).toInt + 16,
+      n_frames = (n % 8).toInt + 1,
+      format = if (n % 2 == 0) "fake-rgb8" else "fake-yuv420")
+  }
+
+  /** Binary ingest → partition-wise batched decode → typed metadata.
+    * `mapPartitions` processes each partition as one batch (no per-row
+    * driver round-trips); output is a typed Dataset with a stable
+    * schema, ready to join back to the document corpus.
+    */
+  def mediaDecode(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+    media
+      .mapPartitions(batch => batch.map { case (id, bytes) => fakeDecode(id, bytes) })
+      .toDF()
+  }
+
+  /** Frame-sampling shape: every decoded asset contributes n_frames
+    * rows (posexplode of a synthesized frame index), the schema a video
+    * pipeline feeds to a feature extractor. */
+  def frameSample(spark: SparkSession, sfDir: String): DataFrame =
+    mediaDecode(spark, sfDir)
+      .select(col("doc_id"), col("n_frames"),
+        posexplode(sequence(lit(0), col("n_frames") - 1)))
+      .select(col("doc_id"), col("col").as("frame_idx"), col("n_frames"))
+}

@@ -1,0 +1,55 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scalar function surface (SURVEY §2.8): the reference's scalar needs
+  * are tiny (now(), epoch math, murmur token); an engine needs the full
+  * date/string/math library. These queries pin the cross-dialect
+  * semantics against the DuckDB oracle.
+  */
+object ScalarOps {
+
+  def datetimeFns(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "orders")
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("d"),
+        dayofweek(col("o_orderdate")).as("dow"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        datediff(col("o_orderdate").cast("date"), lit("2024-01-01").cast("date"))
+          .as("days_since"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("epoch_us"))
+
+  def stringFns(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "part")
+      .select(
+        col("p_partkey"),
+        lower(col("p_name")).as("lo"),
+        upper(col("p_brand")).as("up"),
+        substring(col("p_name"), 1, 5).as("pre5"),
+        length(col("p_name")).as("len"),
+        concat_ws("#", col("p_brand"), col("p_type")).as("joined"),
+        regexp_replace(col("p_name"), "[aeiou]", "").as("novowel"),
+        trim(lpad(col("p_brand"), 12, "_")).as("padded"),
+        col("p_name").contains("a").as("has_a"))
+
+  def mathFns(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "lineitem")
+      .filter(col("l_orderkey") % 100 === 0)
+      .select(
+        col("l_orderkey"),
+        col("l_linenumber"),
+        abs(col("l_discount") - 0.05).as("absdiff"),
+        ceil(col("l_quantity")).as("ceil_q"),
+        floor(col("l_quantity")).as("floor_q"),
+        round(sqrt(col("l_quantity")), 6).as("sqrt_q"),
+        round(log(col("l_quantity") + 1), 6).as("ln_q"),
+        (col("l_quantity") * col("l_quantity")).as("sq"),
+        signum(col("l_discount") - 0.05).as("sgn"),
+        pmod(col("l_orderkey"), lit(7)).as("mod7"),
+        greatest(col("l_tax"), col("l_discount")).as("gmax"))
+}

@@ -1,0 +1,148 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scan-side operators (SURVEY §2.1 S1-S11) and engine-internal
+  * aggregates (§2.4 A1-A6), re-expressed as declarative Spark plans so
+  * Catalyst's pushdown/pruning replaces the reference's hand-rolled
+  * index/bloom machinery (§4.1: every one of its plan decisions is a
+  * built-in Catalyst rewrite here).
+  */
+object ScanAggOps {
+
+  /** S3+P3/P6 — selective scan with full predicate pushdown (TPC-H Q6
+    * shape). `.explain` must show PushedFilters on shipdate/discount/
+    * quantity and a 3-column ReadSchema: at 100 TB this is the
+    * difference between reading ~3% and reading everything.
+    */
+  def q6FilterPushdown(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "lineitem")
+      .filter(
+        col("l_shipdate") >= lit("2024-03-01").cast("timestamp") &&
+          col("l_shipdate") < lit("2024-09-01").cast("timestamp") &&
+          col("l_discount").between(0.03, 0.07) &&
+          col("l_quantity") < 24)
+      .agg(
+        round(sum((col("l_extendedprice").cast("decimal(18,2)") *
+          col("l_discount").cast("decimal(18,2)")).cast("decimal(28,4)")), 4)
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_rows"))
+
+  /** S4 — token-range scan with wrap-around
+    * (`NoTTLScanner.addRange`, `NoTTLScanner.java:66-101`): a Cassandra
+    * wrap-around token range (hi, lo] becomes OR of two range predicates,
+    * which Catalyst pushes into parquet row-group pruning. The token is a
+    * deterministic Knuth multiplicative hash so the oracle can reproduce
+    * it (Spark's murmur3 `hash()` is not portable to SQL).
+    */
+  def tokenRangeScan(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "lineitem")
+      .withColumn(
+        "token",
+        (col("l_orderkey") * 2654435761L) % 4294967296L - 2147483648L)
+      .filter(col("token") > 1000000000L || col("token") <= -1500000000L)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("l_orderkey")).as("n_keys"),
+        min(col("token")).as("min_token"),
+        max(col("token")).as("max_token"))
+
+  /** S5/A1 — index-paced exact key count (`countKeys`,
+    * `Cassandra3TTLRemover.java:149-165`): a column-pruned distinct count
+    * per table; parquet reads only the key column.
+    */
+  def keyCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    def one(tbl: String, key: String) =
+      Tables.load(spark, sfDir, tbl)
+        .agg(countDistinct(col(key)).as("n_keys"))
+        .withColumn("tbl", lit(tbl))
+        .select(col("tbl"), col("n_keys"))
+    one("orders", "o_orderkey")
+      .unionByName(one("customer", "c_custkey"))
+      .unionByName(one("part", "p_partkey"))
+  }
+
+  /** S2 — filename → table identity (`Descriptor.fromFilename`,
+    * `Cassandra3TTLRemover.java:45`) via the file-source `_metadata`
+    * column instead of parsing paths by hand.
+    */
+  def fileIdentity(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "events")
+      .select(regexp_extract(col("_metadata.file_name"),
+        "^(.+)\\.parquet$", 1).as("file_stem"))
+      .groupBy(col("file_stem"))
+      .agg(count(lit(1)).as("n_rows"))
+      .select(lit("events").as("tbl"), col("n_rows"))
+
+  /** A2 — HLL++ distinct estimate (`NoTTLReader.getApproximateKeyCount`,
+    * `NoTTLReader.java:152-216`). Spark's approx_count_distinct IS
+    * HyperLogLog++ with partial+final merge — the cross-file sketch
+    * merge the reference hand-rolls. No SQL oracle (estimator internals
+    * differ per engine); the spec asserts the rsd bound instead.
+    */
+  def hllKeyCount(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "lineitem")
+      .agg(
+        approx_count_distinct(col("l_orderkey"), 0.02).as("est_keys"),
+        countDistinct(col("l_orderkey")).as("exact_keys"))
+      .withColumn(
+        "rel_err",
+        round(abs(col("est_keys") - col("exact_keys")) /
+          col("exact_keys").cast("double"), 6))
+
+  /** A3 — compaction-gain ratio (`NoTTLReader.estimateCompactionGain`,
+    * `NoTTLReader.java:221-250`): merged distinct ÷ sum of per-"file"
+    * distincts. Files are modeled as deterministic key buckets.
+    */
+  def compactionGain(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.load(spark, sfDir, "orders")
+    val per = orders
+      .groupBy((col("o_custkey") % 4).as("bucket"))
+      .agg(countDistinct(col("o_custkey")).as("d"))
+      .agg(sum(col("d")).as("summed_keys"))
+    val merged = orders.agg(countDistinct(col("o_custkey")).as("merged_keys"))
+    merged.crossJoin(per)
+      .withColumn(
+        "gain",
+        round(col("merged_keys").cast("double") / col("summed_keys"), 6))
+  }
+
+  /** A4 — sampled key-count estimate (`estimatedKeysForRanges`,
+    * `NoTTLReader.java:1289-1299`). The "sample" is deterministic —
+    * rows whose md5(key) starts with 0-7 (exactly reproducible in SQL,
+    * unlike Bernoulli sampling) — scaled back up by the sampling rate.
+    */
+  def sampledKeyCount(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "orders")
+      .filter(substring(md5(col("o_orderkey").cast("string")), 1, 1)
+        .isin("0", "1", "2", "3", "4", "5", "6", "7"))
+      .agg(count(lit(1)).as("n_sampled"))
+      .withColumn("est_rows", (col("n_sampled") * 2).cast("long"))
+
+  /** A5 — per-file stats surface (`NoTTLReader.java:1912-1945`):
+    * min/max timestamp, row count, mean and median of a measure.
+    */
+  def statsSummary(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "lineitem")
+      .agg(
+        min(col("l_shipdate")).as("min_ship"),
+        max(col("l_shipdate")).as("max_ship"),
+        count(lit(1)).as("n_rows"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"))
+
+  /** A6 — running true/false-positive style counters
+    * (`NoTTLReader.java:1887-1905`) as conditional aggregates; at scale
+    * these are `observe()` metrics riding an existing scan for free.
+    */
+  def scanMetrics(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "lineitem")
+      .agg(
+        round(avg(when(col("l_returnflag") === "R", 1.0).otherwise(0.0)), 6)
+          .as("return_ratio"),
+        round(avg(when(col("l_discount") > 0.05, 1.0).otherwise(0.0)), 6)
+          .as("disc_ratio"),
+        count(lit(1)).as("n_rows"))
+}

@@ -1,0 +1,108 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the embeddings table (`Array[Float]`, dim 64).
+  *
+  * Baseline: brute-force cosine top-k — broadcast the (small) query set
+  * against a single scan of the corpus; no shuffle of the corpus, one
+  * shuffle of k×|Q| candidate rows for ranking.
+  * Scale path: random-hyperplane LSH bucketing — corpus hashed once to
+  * sign-pattern buckets, queries probe only their bucket; candidate set
+  * shrinks ~2^bits-fold, turning an O(n·|Q|) scan into a bucket join.
+  *
+  * All math uses `zip_with`/`aggregate` higher-order functions on
+  * `array<double>` — sequential left-fold, so results are deterministic
+  * and reproducible by an ordered SQL dot product.
+  */
+object SimilarityOps {
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+
+  private def withNorm(df: DataFrame): DataFrame =
+    df.select(
+      col("vec_id"),
+      col("label"),
+      col("embedding").cast("array<double>").as("e"))
+      .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+
+  /** Brute-force cosine top-5 neighbors for query vectors vec_id<8. */
+  def cosineTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = withNorm(Tables.load(spark, sfDir, "embeddings"))
+    val q = v.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_vec_id"), col("e").as("qe"),
+        col("nrm").as("qnrm"))
+    val pairs = v.join(broadcast(q), col("vec_id") =!= col("q_vec_id"))
+      .withColumn("cos", dot(col("qe"), col("e")) / (col("qnrm") * col("nrm")))
+    val w = Window.partitionBy("q_vec_id")
+      .orderBy(col("cos").desc, col("vec_id"))
+    pairs
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("q_vec_id"), col("vec_id").as("neighbor_vec_id"),
+        round(col("cos"), 6).as("cos_sim"), col("rk"))
+  }
+
+  /** Embedding near-duplicate pairs: label-bucketed (cluster prior cuts
+    * candidates 10×), subsampled corpus (vec_id % 10 == 0), pairs with
+    * cosine above 0.55. At scale the bucket key would be an LSH sign
+    * pattern instead of the label.
+    */
+  def embeddingNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = withNorm(Tables.load(spark, sfDir, "embeddings"))
+      .filter(col("vec_id") % 10 === 0)
+    val a = v.alias("a")
+    val b = v.alias("b")
+    a.join(b,
+        col("a.label") === col("b.label") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos",
+        dot(col("a.e"), col("b.e")) / (col("a.nrm") * col("b.nrm")))
+      .filter(col("cos") > 0.55)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("a.label").as("label"), round(col("cos"), 6).as("cos_sim"))
+  }
+
+  /** Deterministic pseudo-random hyperplanes (fixed seed) for LSH.
+    * dim × nBits doubles in [-1, 1). */
+  def hyperplanes(dim: Int, nBits: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(nBits)(Array.fill(dim)(rnd.nextDouble() * 2 - 1))
+  }
+
+  /** Sign-pattern LSH bucket id for an embedding column. */
+  private def lshBucket(e: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      val planeArr = array(p.map(lit(_)): _*)
+      when(dot(e, planeArr) >= 0, lit(1L << i)).otherwise(0L)
+    }.reduce(_ + _)
+
+  /** IVF/LSH-bucketed ANN: corpus and queries hashed to 8-bit sign
+    * buckets; each query compares only within its bucket (plus ranking).
+    * Returns per-query top-3 within-bucket neighbors. Recall vs the
+    * brute-force baseline is asserted in the spec, not here.
+    */
+  def annLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val planes = hyperplanes(64, 8)
+    val v = withNorm(Tables.load(spark, sfDir, "embeddings"))
+      .withColumn("bucket", lshBucket(col("e"), planes))
+    val q = v.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_vec_id"), col("e").as("qe"),
+        col("nrm").as("qnrm"), col("bucket"))
+    val pairs = v.join(broadcast(q), Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_vec_id"))
+      .withColumn("cos", dot(col("qe"), col("e")) / (col("qnrm") * col("nrm")))
+    val w = Window.partitionBy("q_vec_id")
+      .orderBy(col("cos").desc, col("vec_id"))
+    pairs
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("q_vec_id"), col("bucket"),
+        col("vec_id").as("neighbor_vec_id"),
+        round(col("cos"), 6).as("cos_sim"), col("rk"))
+  }
+}

@@ -1,0 +1,103 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: token counting,
+  * quality scoring, language-ID, fingerprinting. All pure Catalyst
+  * expressions (split / higher-order functions / regex) — no UDFs — so
+  * they stay in whole-stage codegen and scale linearly with one scan
+  * and zero shuffles (all are per-row projections).
+  */
+object TextOps {
+
+  /** Whitespace tokens of the trimmed text. */
+  private def toks(c: Column): Column = split(trim(c), "\\s+")
+
+  val stopwordsEn: Seq[String] =
+    Seq("the", "a", "and", "of", "to", "in", "is", "it", "on", "for")
+
+  /** Token counting: whitespace tokens + a BPE-ish pre-tokenizer count
+    * (letter runs / digit runs / single punctuation, the GPT-2-style
+    * pre-split shape).
+    */
+  def tokenCount(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "documents")
+      .select(
+        col("doc_id"),
+        size(toks(col("text"))).as("ws_tokens"),
+        size(regexp_extract_all(col("text"),
+          lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).as("pre_tokens"))
+
+  /** Quality scoring: length, punctuation density, stopword ratio, and
+    * a blended score — the usual cheap pre-filter signals.
+    */
+  def qualityScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = toks(col("text"))
+    val nTok = size(t).cast("double")
+    val stopHits =
+      size(filter(t, x => lower(x).isin(stopwordsEn: _*))).cast("double")
+    val punct =
+      size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0)))
+        .cast("double")
+    val len = length(col("text")).cast("double")
+    Tables.load(spark, sfDir, "documents")
+      .select(
+        col("doc_id"),
+        length(col("text")).as("n_chars"),
+        size(t).as("n_tokens"),
+        round(punct / len, 6).as("punct_ratio"),
+        round(stopHits / nTok, 6).as("stopword_ratio"),
+        round(
+          lit(0.3) * least(lit(1.0), len / lit(500.0)) +
+            lit(0.4) * (lit(1.0) - punct / len) +
+            lit(0.3) * least(lit(1.0), lit(4.0) * stopHits / nTok),
+          6).as("quality_score"))
+  }
+
+  private val langStops: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "ein"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est"),
+    "es" -> Seq("el", "la", "los", "que", "es", "una"),
+    "zh" -> Seq("de", "shi", "le", "bu", "wo", "zai"))
+
+  /** Language-ID: stopword-hit voting per language over lowercased
+    * tokens; argmax with a fixed tie-break order (en>de>fr>es>zh),
+    * 'und' (undetermined) when nothing hits.
+    */
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = transform(toks(col("text")), x => lower(x))
+    val hit: Map[String, Column] = langStops.map { case (lang, words) =>
+      lang -> size(filter(t, x => x.isin(words: _*)))
+    }.toMap
+    val best = greatest(langStops.map { case (l, _) => hit(l) }: _*)
+    val pred = when(best === 0, "und")
+      .when(hit("en") === best, "en")
+      .when(hit("de") === best, "de")
+      .when(hit("fr") === best, "fr")
+      .when(hit("es") === best, "es")
+      .otherwise("zh")
+    Tables.load(spark, sfDir, "documents")
+      .select(
+        col("doc_id"),
+        col("lang"),
+        hit("en").as("en_hits"),
+        hit("de").as("de_hits"),
+        hit("fr").as("fr_hits"),
+        hit("es").as("es_hits"),
+        hit("zh").as("zh_hits"),
+        pred.as("pred_lang"))
+  }
+
+  /** Document fingerprint: md5 over punctuation/case-normalized text —
+    * the cheap canonical-form dedup key.
+    */
+  def fingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "documents")
+      .select(
+        col("doc_id"),
+        md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")))
+          .as("fingerprint"))
+}

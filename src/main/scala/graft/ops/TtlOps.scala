@@ -1,0 +1,153 @@
+package graft.ops
+
+import graft.Tables
+import graft.model.CellModel
+import graft.model.CellModel.NowMicros
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{MapType, StringType}
+
+/** The reference's core capability re-expressed Spark-first: TTL/liveness
+  * rewriting over cell-modeled data (SURVEY §2.2 P1/P2, §2.1 S7).
+  *
+  * All transforms are declarative struct/map rewrites — no UDFs — so
+  * Catalyst keeps them inside whole-stage codegen and pushes any
+  * upstream filters/pruning into the parquet scan.
+  */
+object TtlOps {
+
+  /** P1 — TTL-strip row projection (`Cassandra3TTLRemover.java:167-196`).
+    * Every cell is rewritten to (same value, same writetime, NO_TTL);
+    * row identity, ordering and values are preserved byte-for-byte.
+    */
+  def ttlStrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = CellModel.cellify(Tables.load(spark, sfDir, "events"))
+    cells
+      .withColumn("cell", CellModel.stripCell(col("cell")))
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("event_type"),
+        col("cell.value").as("value"),
+        col("cell.writetime_us").as("writetime_us"),
+        col("cell.ttl_s").as("ttl_after"))
+  }
+
+  /** S7/P5 — read-side liveness filter: which rows are visible at the
+    * pinned "now" BEFORE the strip (expired cells are invisible, like a
+    * live Cassandra read; `NoTTLColumnSerializer.java:33-40`).
+    * After `ttlStrip`, every row is visible forever — the tool's purpose.
+    */
+  def visibleAt(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = CellModel.cellify(Tables.load(spark, sfDir, "events"))
+    cells
+      .filter(CellModel.isLive(col("cell"), NowMicros))
+      .select(col("event_id"), col("user_id"), col("value"),
+        col("writetime_us"), col("ttl_s"))
+  }
+
+  /** P2 — cell-kind dispatch (`Cassandra2TTLRemover.serializeAtom`,
+    * `Cassandra2TTLRemover.java:131-143`): EXPIRING cells are stripped to
+    * plain cells, COUNTER and TOMBSTONE cells pass through untouched.
+    * Kind is modeled deterministically from event_type.
+    */
+  def cellKindDispatch(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = CellModel.cellify(Tables.load(spark, sfDir, "events"))
+      .withColumn(
+        "kind",
+        when(col("ttl_s").isNotNull, "EXPIRING")
+          .when(col("event_type") === "error", "TOMBSTONE")
+          .otherwise("PLAIN"))
+    cells
+      .withColumn(
+        "out_cell",
+        when(col("kind") === "EXPIRING", CellModel.stripCell(col("cell")))
+          .otherwise(col("cell")))
+      .select(
+        col("event_id"),
+        col("kind"),
+        col("out_cell.value").as("value"),
+        col("out_cell.writetime_us").as("writetime_us"),
+        col("out_cell.ttl_s").as("ttl_s"))
+  }
+
+  /** P1 on complex (collection) cells: the events `props` JSON column is
+    * parsed to map<string,string>, each entry wrapped as a cell keyed by
+    * its CellPath, TTL-stripped via `transform_values`, then exploded for
+    * comparison. Mirrors `cdef.isComplex()` / `cell.path()` handling at
+    * `Cassandra3TTLRemover.java:180-186`.
+    */
+  def ttlStripComplex(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = CellModel.cellify(Tables.load(spark, sfDir, "events"))
+    val asMap = ev.withColumn(
+      "props_map",
+      from_json(col("props"), MapType(StringType, StringType)))
+    val cellMap = asMap.withColumn(
+      "prop_cells",
+      transform_values(
+        col("props_map"),
+        (_, v) =>
+          struct(
+            v.as("value"),
+            col("writetime_us").as("writetime_us"),
+            col("ttl_s").as("ttl_s"))))
+    val stripped = cellMap.withColumn(
+      "prop_cells",
+      transform_values(
+        col("prop_cells"),
+        (_, c) =>
+          struct(
+            c.getField("value").as("value"),
+            c.getField("writetime_us").as("writetime_us"),
+            lit(null).cast("int").as("ttl_s"))))
+    stripped
+      .select(col("event_id"), explode(col("prop_cells")))
+      .select(
+        col("event_id"),
+        col("key").as("cell_path"),
+        col("value.value").as("value"),
+        col("value.writetime_us").as("writetime_us"),
+        col("value.ttl_s").as("ttl_s"))
+  }
+
+  /** §2.5 — range-tombstone open/close pairing. The reference walks a
+    * partition stream holding the open bound until the matching close
+    * marker arrives (`Cassandra3TTLRemover.java:124-136`). Spark-first:
+    * markers are ordered per partition key and paired with `lead()` over
+    * a window — no driver-side state, scales per-key.
+    *
+    * Markers are modeled deterministically: each user's 'error' events
+    * alternate open/close in ts order.
+    */
+  def tombstonePairing(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev
+      .filter(col("event_type") === "error")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("close_us", lead(expr("ts div 1000"), 1).over(w))
+      .withColumn("close_event_id", lead(col("event_id"), 1).over(w))
+      .filter(col("rn") % 2 === 1)
+      .select(
+        col("user_id"),
+        expr("ts div 1000").as("open_us"),
+        col("event_id").as("open_event_id"),
+        col("close_us"),
+        col("close_event_id"))
+  }
+
+  /** S8/O1 — partition-ordered sink shape: rows clustered by partition
+    * key and sorted by clustering key within partitions, exactly what the
+    * sorted SSTable writer consumes (`Cassandra3TTLRemover.java:93-143`).
+    * The repartition+sortWithinPartitions pair is the scalable analogue
+    * (shuffle once, sort locally, no global sort).
+    */
+  def sortedSink(spark: SparkSession, sfDir: String): DataFrame = {
+    val stripped = ttlStrip(spark, sfDir)
+    stripped
+      .repartition(col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("writetime_us"),
+        col("event_id"))
+  }
+}
