@@ -25,4 +25,18 @@ object Tables {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$sfDir/$name.parquet")
   }
+
+  /** Load with a parallelism floor for CPU-heavy per-row transforms
+    * (shingling, embedding math). The local test corpus is one small
+    * parquet file per table → one input split → one task, serializing
+    * work that is embarrassingly parallel; at production scale the
+    * table has thousands of splits and the repartition collapses to a
+    * cheap round-robin of already-parallel data. Only round-robin when
+    * the scan would otherwise under-use the cluster.
+    */
+  def loadBalanced(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = load(spark, sfDir, name)
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target / 2) df.repartition(target) else df
+  }
 }

@@ -18,14 +18,24 @@ object DedupOps {
 
   private def toks(c: Column): Column = split(trim(c), "\\s+")
 
-  /** Word 3-gram shingles (distinct) of a text column. */
+  /** Word 3-gram shingles (distinct) of a text column.
+    *
+    * Built with `zip_with` over three `slice`s of the token array, NOT
+    * `transform(sequence(...), i => element_at(toks, i))`: higher-order
+    * lambdas are interpreted (no codegen, no common-subexpression
+    * elimination), so an `element_at(split(...), i)` body re-splits the
+    * whole text once per element — O(tokens²) per document. zip_with
+    * binds its array inputs once, keeping shingling linear.
+    */
   private def shingles(c: Column): Column = {
     val t = toks(c)
+    val n = greatest(size(t) - 2, lit(0))
     array_distinct(
-      transform(
-        sequence(lit(0), size(t) - 3),
-        i => concat_ws(" ",
-          element_at(t, i + 1), element_at(t, i + 2), element_at(t, i + 3))))
+      zip_with(
+        slice(t, lit(1), n),
+        zip_with(slice(t, lit(2), n), slice(t, lit(3), n),
+          (b, cc) => concat(b, lit(" "), cc)),
+        (a, bc) => concat(a, lit(" "), bc)))
   }
 
   /** Exact dedup via content hash: one shuffle on md5(text); keeps the
@@ -56,16 +66,18 @@ object DedupOps {
     * Returns (doc_id, source, n_shingles, mh0..mh15).
     */
   def minhashSignatures(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.load(spark, sfDir, "documents")
+    val docs = Tables.loadBalanced(spark, sfDir, "documents")
       .select(col("doc_id"), col("source"), shingles(col("text")).as("sh"))
+    // n_shingles comes from size(sh) BEFORE the explode (sh is already
+    // distinct) — a countDistinct after explode would force an Expand +
+    // distinct-aggregate alongside the 16 min()s for nothing.
     val exploded = docs
-      .select(col("doc_id"), col("source"),
+      .select(col("doc_id"), col("source"), size(col("sh")).as("n_shingles"),
         explode(col("sh")).as("shingle"))
       .withColumn("h", h32(col("shingle")))
     val aggs = (0 until NumPerms).map(i =>
-      min(perm(i, col("h"))).as(s"mh$i")) :+
-      countDistinct(col("shingle")).as("n_shingles")
-    exploded.groupBy(col("doc_id"), col("source"))
+      min(perm(i, col("h"))).as(s"mh$i"))
+    exploded.groupBy(col("doc_id"), col("source"), col("n_shingles"))
       .agg(aggs.head, aggs.tail: _*)
   }
 
@@ -100,7 +112,7 @@ object DedupOps {
     * in a single aggregate over 32 conditional sums.
     */
   def simhash(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.load(spark, sfDir, "documents")
+    val docs = Tables.loadBalanced(spark, sfDir, "documents")
       .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
       .withColumn("h", h32(col("tok")))
     val bitSums: Seq[Column] = (0 until 32).map { bit =>
@@ -121,7 +133,7 @@ object DedupOps {
     * |A∪B| = |A|+|B|−|A∩B|. Emits pairs with Jaccard ≥ 0.8.
     */
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.load(spark, sfDir, "documents")
+    val docs = Tables.loadBalanced(spark, sfDir, "documents")
       .select(col("doc_id"), col("source"), shingles(col("text")).as("sh"))
       .withColumn("n_sh", size(col("sh")))
     val inv = docs

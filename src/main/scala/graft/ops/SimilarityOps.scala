@@ -24,7 +24,7 @@ object SimilarityOps {
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
 
   private def withNorm(df: DataFrame): DataFrame =
-    df.select(
+    df.select(  // (callers pass loadBalanced tables; see Tables.loadBalanced)
       col("vec_id"),
       col("label"),
       col("embedding").cast("array<double>").as("e"))

@@ -1,0 +1,57 @@
+package graft
+
+import graft.ops.{AnalyticsOps, ScanAggOps, TtlOps}
+
+/** Plan-shape assertions: the properties that make these operators
+  * survive a 100 TB / 1000-executor scale-up, pinned as tests so a
+  * refactor cannot silently regress them (SURVEY §4.1 — every hand-
+  * rolled optimization in the reference must be a Catalyst rewrite
+  * here, and these prove the rewrite actually fires).
+  */
+class PlanSpec extends SparkSpec {
+
+  test("q6: filters are pushed into the parquet scan and columns pruned") {
+    val p = plan(ScanAggOps.q6FilterPushdown(spark, sfDir))
+    assert(p.contains("PushedFilters:") &&
+      p.contains("l_shipdate"), s"no pushed filters in:\n$p")
+    // projection needs only 4 columns; the scan must not read all 11
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_returnflag"),
+      s"scan reads unneeded columns: $readSchema")
+  }
+
+  test("dimension joins broadcast (no shuffle of the fact side)") {
+    val p = plan(AnalyticsOps.broadcastLookup(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+    val p5 = plan(AnalyticsOps.q5MultiJoin(spark, sfDir))
+    assert(p5.contains("BroadcastHashJoin"))
+  }
+
+  test("q1 aggregation is partial+final (map-side combine)") {
+    val p = plan(AnalyticsOps.q1Agg(spark, sfDir))
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"expected two-phase hash aggregate:\n$p")
+  }
+
+  test("global top-k compiles to TakeOrderedAndProject, not a full sort") {
+    val p = plan(AnalyticsOps.topK(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"), s"full sort for top-k:\n$p")
+  }
+
+  test("ttlStrip stays inside whole-stage codegen (no UDF barriers)") {
+    val p = plan(TtlOps.ttlStrip(spark, sfDir))
+    // executedPlan.toString renders a codegen'd operator with a "*(n)"
+    // stage prefix (treeString), not the literal word "WholeStageCodegen"
+    assert(p.contains("*(") || p.contains("WholeStageCodegen"),
+      s"no codegen span:\n$p")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      s"UDF in the hot path:\n$p")
+  }
+
+  test("key counting reads only the key column") {
+    val p = plan(ScanAggOps.keyCounts(spark, sfDir))
+    val schemas = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!schemas.contains("o_totalprice") && !schemas.contains("c_name"),
+      s"key count scans extra columns: $schemas")
+  }
+}

@@ -1,0 +1,85 @@
+package graft
+
+import graft.model.CellModel
+import graft.ops.TtlOps
+import org.apache.spark.sql.functions._
+
+/** Round-trip invariants translated from the reference's integration
+  * tests (SURVEY §5; `Cassandra3TTLRemoverTest.java:70-192`): expired
+  * rows are invisible before the strip, everything is visible after,
+  * and nothing else changes (values, writetimes, row count, order).
+  */
+class TtlOpsSpec extends SparkSpec {
+
+  test("ttlStrip preserves row count and drops every TTL") {
+    val ev = Tables.load(spark, sfDir, "events")
+    val stripped = TtlOps.ttlStrip(spark, sfDir)
+    assert(stripped.count() === ev.count())
+    assert(stripped.filter(col("ttl_after").isNotNull).count() === 0)
+  }
+
+  test("ttlStrip preserves values and writetimes byte-for-byte") {
+    val cells = CellModel.cellify(Tables.load(spark, sfDir, "events"))
+      .select(col("event_id"), col("value"), col("writetime_us"))
+    val stripped = TtlOps.ttlStrip(spark, sfDir)
+      .select(col("event_id"), col("value"), col("writetime_us"))
+    // anti-joins in both directions => exact multiset equality on keys
+    assert(cells.exceptAll(stripped).count() === 0)
+    assert(stripped.exceptAll(cells).count() === 0)
+  }
+
+  test("expired rows are invisible before the strip, visible after (the reference's 0-then-3 assertion)") {
+    val cells = CellModel.cellify(Tables.load(spark, sfDir, "events"))
+    val expired = cells.filter(
+      col("ttl_s").isNotNull && col("expire_us") <= CellModel.NowMicros)
+    val visible = TtlOps.visibleAt(spark, sfDir)
+    // before: no expired row is visible
+    assert(visible.join(expired, Seq("event_id"), "left_semi").count() === 0)
+    // after: every row (incl. previously expired) survives the strip
+    val stripped = TtlOps.ttlStrip(spark, sfDir)
+    assert(
+      stripped.join(expired, Seq("event_id"), "left_semi").count() ===
+        expired.count())
+    assert(expired.count() > 0, "test data must contain expired rows")
+  }
+
+  test("cellKindDispatch strips EXPIRING only; PLAIN/TOMBSTONE pass through") {
+    val out = TtlOps.cellKindDispatch(spark, sfDir)
+    assert(out.filter(col("kind") === "EXPIRING" && col("ttl_s").isNotNull)
+      .count() === 0)
+    val cells = CellModel.cellify(Tables.load(spark, sfDir, "events"))
+      .select(col("event_id"), col("ttl_s"))
+    val passthrough = out.filter(col("kind") =!= "EXPIRING")
+      .select(col("event_id"), col("ttl_s"))
+    assert(passthrough.exceptAll(
+      cells.join(passthrough.select("event_id"), "event_id")
+        .select(col("event_id"), col("ttl_s"))).count() === 0)
+  }
+
+  test("tombstonePairing: opens precede closes, one pair per two markers") {
+    val pairs = TtlOps.tombstonePairing(spark, sfDir)
+    assert(pairs.filter(col("close_us") < col("open_us")).count() === 0)
+    val errCounts = Tables.load(spark, sfDir, "events")
+      .filter(col("event_type") === "error")
+      .groupBy("user_id").count()
+    val expected = errCounts.agg(
+      sum(ceil(col("count") / 2.0)).cast("long")).head().getLong(0)
+    assert(pairs.count() === expected)
+  }
+
+  test("sortedSink: partition-local order by (user_id, writetime_us, event_id)") {
+    import org.apache.spark.sql.Row
+    val ds = TtlOps.sortedSink(spark, sfDir)
+      .select("user_id", "writetime_us", "event_id")
+    val violations = ds.rdd.mapPartitions { it =>
+      var prev: Option[(Long, Long, Long)] = None
+      var bad = 0L
+      it.foreach { case Row(u: Long, w: Long, e: Long) =>
+        prev.foreach { p => if (Ordering[(Long, Long, Long)].gt(p, (u, w, e))) bad += 1 }
+        prev = Some((u, w, e))
+      }
+      Iterator.single(bad)
+    }.sum()
+    assert(violations === 0.0)
+  }
+}
