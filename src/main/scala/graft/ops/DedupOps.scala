@@ -81,10 +81,16 @@ object DedupOps {
       .agg(aggs.head, aggs.tail: _*)
   }
 
-  /** MinHash-LSH near-dup candidate pairs: band the signature, bucket-
-    * join on (band_id, band_hash), emit candidate pairs a<b. The
-    * banding join replaces the O(n²) all-pairs comparison — the scale
+  /** MinHash-LSH near-dup candidate pairs: band the signature, bucket on
+    * (band_id, band_hash), emit candidate pairs a<b within each bucket.
+    * The banding replaces the O(n²) all-pairs comparison — the scale
     * path for near-dedup at 100 TB.
+    *
+    * Buckets are formed by groupBy + collect_list instead of a self-join:
+    * a self-join evaluates the whole shingle→minhash pipeline twice (the
+    * plan has no common-subexpression sharing across join sides), and at
+    * 100 TB recomputing signatures is the dominant cost. One shuffle on
+    * the band hash, pairs generated inside each (tiny) bucket.
     */
   def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
     val sig = minhashSignatures(spark, sfDir)
@@ -96,15 +102,21 @@ object DedupOps {
     val banded = sig
       .select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
       .select(col("doc_id"), col("band.band_id"), col("band.band_hash"))
-    val a = banded.alias("a")
-    val b = banded.alias("b")
-    a.join(b,
-        col("a.band_id") === col("b.band_id") &&
-          col("a.band_hash") === col("b.band_hash") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val buckets = banded
+      .groupBy(col("band_id"), col("band_hash"))
+      .agg(array_sort(collect_list(col("doc_id"))).as("docs"))
+      .filter(size(col("docs")) > 1)
+    buckets
+      .select(explode(pairsOf(col("docs"))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
   }
+
+  /** All ordered pairs (a<b) of a sorted array, as structs (doc_a, doc_b). */
+  private def pairsOf(docs: Column): Column =
+    flatten(transform(docs, (x, i) =>
+      transform(slice(docs, i + 2, size(docs)),
+        y => struct(x.as("doc_a"), y.as("doc_b")))))
 
   /** SimHash: 32-bit per-token hashes vote per bit position, weighted
     * by token frequency; sign of each bit-sum forms the fingerprint.
@@ -139,15 +151,29 @@ object DedupOps {
     val inv = docs
       .select(col("doc_id"), col("source"), col("n_sh"),
         explode(col("sh")).as("shingle"))
-    val a = inv.alias("a")
-    val b = inv.alias("b")
-    a.join(b,
-        col("a.source") === col("b.source") &&
-          col("a.shingle") === col("b.shingle") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .groupBy(
-        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
+    // Posting list per (source, shingle) via one groupBy shuffle, then
+    // pairs generated inside each posting — a self-join on the shingle
+    // would evaluate the shingling pipeline twice and shuffle both
+    // copies. Postings are sorted so (doc_a < doc_b) by construction;
+    // each shared shingle contributes one pair row, and the pair count
+    // is exactly |A∩B|.
+    val postings = inv
+      .groupBy(col("source"), col("shingle"))
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("n_sh"))))
+        .as("ds"))
+      .filter(size(col("ds")) > 1)
+    val pairs = postings.select(
+      explode(
+        flatten(transform(col("ds"), (x, i) =>
+          transform(slice(col("ds"), i + 2, size(col("ds"))), y =>
+            struct(
+              x.getField("doc_id").as("doc_a"),
+              y.getField("doc_id").as("doc_b"),
+              x.getField("n_sh").as("na"),
+              y.getField("n_sh").as("nb")))))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"), col("p.na"), col("p.nb"))
+    pairs
+      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
       .agg(count(lit(1)).as("inter"))
       .withColumn(
         "jaccard",
