@@ -1,6 +1,7 @@
 package graft
 
 import graft.ops._
+import graft.streaming.StreamingOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -74,7 +75,10 @@ object SparkEntry {
     "sim_ann_lsh" -> (SimilarityOps.annLsh _),
     // --- multimodal plumbing ---
     "m_media_decode" -> (MultimodalOps.mediaDecode _),
-    "m_frame_sample" -> (MultimodalOps.frameSample _)
+    "m_frame_sample" -> (MultimodalOps.frameSample _),
+    // --- structured streaming (SURVEY §7.2 step 7) ---
+    "st_window_agg" -> (StreamingOps.windowAgg _),
+    "st_sessionize" -> (StreamingOps.sessionize _)
   )
 
   // DuckDB dialect notes baked into every oracle:
@@ -459,6 +463,30 @@ object SparkEntry {
         | FROM documents)
         |SELECT doc_id, CAST(unnest(range(n_frames)) AS INTEGER) AS frame_idx,
         | n_frames
-        |FROM m""".stripMargin
+        |FROM m""".stripMargin,
+    "st_window_agg" ->
+      """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
+        | event_type, count(*) AS n_events,
+        | CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "st_sessionize" ->
+      """WITH g AS (
+        | SELECT user_id, ts, event_id,
+        |  lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        | FROM events),
+        |s AS (
+        | SELECT user_id, ts, event_id,
+        |  CASE WHEN prev_us IS NULL
+        |        OR epoch_us(ts) - prev_us > 3600000000 THEN 1 ELSE 0 END AS ns
+        | FROM g),
+        |t AS (
+        | SELECT user_id, ts,
+        |  CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        | FROM s)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        | min(epoch_us(ts)) AS session_start_us,
+        | max(epoch_us(ts)) AS session_end_us
+        |FROM t GROUP BY user_id, session_id""".stripMargin
   )
 }

@@ -1,0 +1,129 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicLong
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Structured Streaming operators over the events table, run as a
+  * file stream (`readStream.parquet`) with `Trigger.AvailableNow` so a
+  * batch driver can invoke them and get a complete, deterministic
+  * result: AvailableNow processes everything currently in the
+  * directory and terminates, which is also the production pattern for
+  * incremental backfill jobs.
+  *
+  * The reference is batch-only (SURVEY §2.10) — this layer is part of
+  * the general-engine extension (§7.2 step 7): the same event-time
+  * semantics (watermark + tumbling window, keyed session state via
+  * `flatMapGroupsWithState`) keep working when the input directory is
+  * an unbounded landing zone instead of a static snapshot.
+  *
+  * Results land in a memory sink for the driver contract (each op must
+  * return a DataFrame); a production deployment would point the same
+  * `writeStream` at parquet/Kafka — only the sink line changes.
+  */
+object StreamingOps {
+
+  private val runId = new AtomicLong(0)
+
+  /** One streaming micro-batch run to completion; returns the memory
+    * sink contents. Checkpoints go to a fresh temp dir per run (the
+    * contract re-invokes ops in one session; AvailableNow + a reused
+    * checkpoint would see "no new files" and emit nothing).
+    */
+  private def runToMemory(
+      spark: SparkSession,
+      build: DataFrame => DataFrame,
+      sfDir: String,
+      mode: OutputMode): DataFrame = {
+    val name = s"graft_stream_${runId.incrementAndGet()}"
+    val ckpt = Files.createTempDirectory("graft-ckpt-").toString
+    // schema from a one-off batch read: streaming sources require an
+    // explicit schema (no inference race on a live directory)
+    val schema = Tables.load(spark, sfDir, "events").schema
+    val src = spark.readStream
+      .schema(schema)
+      // glob (not a bare file path): FileStreamSource anchors partition
+      // discovery at the glob's parent directory; a single-file path
+      // would become its own basePath and fail "must be a directory"
+      .parquet(s"$sfDir/events.parquet*")
+    val q = build(src).writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** Watermarked tumbling-window aggregation: events bucketed into 1 h
+    * event-time windows per event_type; 1 h watermark bounds state at
+    * scale (late events beyond it are dropped). Complete output mode so
+    * the trailing (not-yet-finalized) windows are emitted too — with
+    * AvailableNow the stream ends before the watermark passes them, and
+    * a batch-comparable result needs every window.
+    */
+  def windowAgg(spark: SparkSession, sfDir: String): DataFrame =
+    runToMemory(spark, src => {
+      // nanos → micros via integer div: float division loses precision
+      // above 2^53 and epoch-nanos are ~1.7e18
+      val evt = src.withColumn("ets", timestamp_micros(expr("ts div 1000")))
+      evt
+        .withWatermark("ets", "1 hour")
+        .groupBy(window(col("ets"), "1 hour"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          round(sum(col("value").cast("decimal(18,2)")), 2)
+            .cast("double").as("sum_value"))
+        .select(
+          unix_micros(col("window.start")).as("window_start_us"),
+          col("event_type"), col("n_events"), col("sum_value"))
+    }, sfDir, OutputMode.Complete())
+
+  final case class Evt(event_id: Long, user_id: Long, ts: Long)
+  final case class Session(
+      user_id: Long, session_id: Long, n_events: Long,
+      session_start_us: Long, session_end_us: Long)
+
+  /** Keyed session windows via `flatMapGroupsWithState`: per user,
+    * events are split into sessions at >1 h event-time gaps. The state
+    * slot carries the running session count so sessions keep numbering
+    * correctly across micro-batches; within a batch the group iterator
+    * is buffered and sorted (event-time order is not guaranteed by the
+    * shuffle). State per key is one long — bounded regardless of scale.
+    */
+  def sessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    runToMemory(spark, src => {
+      src.select(col("event_id"), col("user_id"), col("ts")).as[Evt]
+        .groupByKey(_.user_id)
+        .flatMapGroupsWithState[Long, Session](
+          OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+          (userId: Long, events: Iterator[Evt], state: GroupState[Long]) =>
+            val sorted = events.toArray.sortBy(e => (e.ts, e.event_id))
+            val gapUs = 3600000000L
+            var sessionId = state.getOption.getOrElse(0L)
+            val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+            var start = -1L; var end = -1L; var n = 0L
+            def flush(): Unit = if (n > 0) {
+              out += Session(userId, sessionId, n, start, end); n = 0
+            }
+            sorted.foreach { e =>
+              val us = e.ts / 1000
+              if (n == 0 || us - end > gapUs) {
+                flush(); sessionId += 1; start = us
+              }
+              end = us; n += 1
+            }
+            flush()
+            state.update(sessionId)
+            out.iterator
+        }.toDF()
+    }, sfDir, OutputMode.Append())
+  }
+}
