@@ -20,8 +20,15 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityOps {
 
+  /** Native codegen'd dot product (graft.functions.ArrayDot) — same
+    * sequential fold as the previous `aggregate(zip_with(...))` HOF
+    * formulation (bit-identical results) without its per-row array
+    * allocation or interpreted lambda. */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+    org.apache.spark.sql.graftbridge.GraftColumns.column(
+      graft.functions.ArrayDot(
+        org.apache.spark.sql.graftbridge.GraftColumns.expression(a),
+        org.apache.spark.sql.graftbridge.GraftColumns.expression(b)))
 
   private def withNorm(df: DataFrame): DataFrame =
     df.select(  // (callers pass loadBalanced tables; see Tables.loadBalanced)
@@ -77,7 +84,7 @@ object SimilarityOps {
   /** Sign-pattern LSH bucket id for an embedding column. */
   private def lshBucket(e: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
-      val planeArr = array(p.map(lit(_)): _*)
+      val planeArr = array(p.toIndexedSeq.map(lit(_)): _*)
       when(dot(e, planeArr) >= 0, lit(1L << i)).otherwise(0L)
     }.reduce(_ + _)
 

@@ -48,6 +48,13 @@ class PlanSpec extends SparkSpec {
       s"UDF in the hot path:\n$p")
   }
 
+  test("similarity dot product is the native ArrayDot expression, codegen'd") {
+    val p = plan(graft.ops.SimilarityOps.cosineTopK(spark, sfDir))
+    assert(p.contains("array_dot"), s"ArrayDot not in plan:\n$p")
+    assert(!p.contains("aggregate(zip_with"),
+      s"interpreted HOF dot product still present:\n$p")
+  }
+
   test("key counting reads only the key column") {
     val p = plan(ScanAggOps.keyCounts(spark, sfDir))
     val schemas = p.linesIterator.filter(_.contains("ReadSchema")).mkString
