@@ -448,7 +448,7 @@ object SparkEntry {
         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
         | round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) AS cos_sim
         |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
-        |WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) > 0.55""".stripMargin,
+        |WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) > 0.25""".stripMargin,
     "m_media_decode" ->
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
         | CAST(strlen(text) % 64 + 16 AS INTEGER) AS width,

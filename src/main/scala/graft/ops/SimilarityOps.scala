@@ -14,9 +14,9 @@ import org.apache.spark.sql.functions._
   * sign-pattern buckets, queries probe only their bucket; candidate set
   * shrinks ~2^bits-fold, turning an O(n·|Q|) scan into a bucket join.
   *
-  * All math uses `zip_with`/`aggregate` higher-order functions on
-  * `array<double>` — sequential left-fold, so results are deterministic
-  * and reproducible by an ordered SQL dot product.
+  * All math runs through the native `ArrayDot` Catalyst expression
+  * (graft.functions) — a codegen'd sequential fold, so results are
+  * deterministic and reproducible by an ordered SQL dot product.
   */
 object SimilarityOps {
 
@@ -56,7 +56,7 @@ object SimilarityOps {
 
   /** Embedding near-duplicate pairs: label-bucketed (cluster prior cuts
     * candidates 10×), subsampled corpus (vec_id % 10 == 0), pairs with
-    * cosine above 0.55. At scale the bucket key would be an LSH sign
+    * cosine above 0.25. At scale the bucket key would be an LSH sign
     * pattern instead of the label.
     */
   def embeddingNearDup(spark: SparkSession, sfDir: String): DataFrame = {
@@ -69,7 +69,7 @@ object SimilarityOps {
           col("a.vec_id") < col("b.vec_id"))
       .withColumn("cos",
         dot(col("a.e"), col("b.e")) / (col("a.nrm") * col("b.nrm")))
-      .filter(col("cos") > 0.55)
+      .filter(col("cos") > 0.25)
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         col("a.label").as("label"), round(col("cos"), 6).as("cos_sim"))
   }
