@@ -35,6 +35,7 @@ object SparkEntry {
     "s5_key_counts" -> (ScanAggOps.keyCounts _),
     "s2_file_identity" -> (ScanAggOps.fileIdentity _),
     "a2_hll_keycount" -> (ScanAggOps.hllKeyCount _),
+    "a2_sketch_merge" -> (ScanAggOps.sketchMerge _),
     "a3_compaction_gain" -> (ScanAggOps.compactionGain _),
     "a4_sampled_keycount" -> (ScanAggOps.sampledKeyCount _),
     "a5_stats_summary" -> (ScanAggOps.statsSummary _),

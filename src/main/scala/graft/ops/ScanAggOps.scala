@@ -92,6 +92,31 @@ object ScanAggOps {
         round(abs(col("est_keys") - col("exact_keys")) /
           col("exact_keys").cast("double"), 6))
 
+  /** A2 (full semantics) — persisted-sketch merge: the reference
+    * deserializes one HyperLogLog sketch per SSTable and merges them
+    * into a cross-file estimate (`NoTTLReader.getApproximateKeyCount` +
+    * `mergeCardinalities`, `NoTTLReader.java:152-264`). Here each key
+    * bucket stands in for a file: one Datasketches HLL sketch per
+    * bucket (`hll_sketch_agg` — a binary, persistable sketch, exactly
+    * what the reference stores per file), then `hll_union_agg` merges
+    * the sketches and `hll_sketch_estimate` reads the merged count.
+    * At scale the per-bucket sketches are tiny (≤ a few KB) — the merge
+    * moves sketches, never keys. No SQL oracle (sketch internals are
+    * engine-specific); EstimatorSpec bounds the estimate vs the exact
+    * count.
+    */
+  def sketchMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    val perBucket = Tables.load(spark, sfDir, "orders")
+      .groupBy((col("o_orderkey") % 8).as("bucket"))
+      .agg(hll_sketch_agg(col("o_custkey"), lit(12)).as("sketch"))
+    perBucket
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        hll_sketch_estimate(hll_union_agg(col("sketch"), lit(false)))
+          .as("merged_est"))
+      .select(col("n_buckets"), col("merged_est"))
+  }
+
   /** A3 — compaction-gain ratio (`NoTTLReader.estimateCompactionGain`,
     * `NoTTLReader.java:221-250`): merged distinct ÷ sum of per-"file"
     * distincts. Files are modeled as deterministic key buckets.

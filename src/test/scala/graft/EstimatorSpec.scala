@@ -19,6 +19,16 @@ class EstimatorSpec extends SparkSpec {
     assert(relErr < 0.10, s"est=$est exact=$exact relErr=$relErr")
   }
 
+  test("A2: merged per-bucket HLL sketches estimate the global distinct count") {
+    val row = ScanAggOps.sketchMerge(spark, sfDir).head()
+    val est = row.getAs[Long]("merged_est")
+    val exact = Tables.load(spark, sfDir, "orders")
+      .select(countDistinct(col("o_custkey"))).head().getLong(0)
+    assert(row.getAs[Long]("n_buckets") === 8L)
+    assert(math.abs(est - exact).toDouble / exact < 0.05,
+      s"est=$est exact=$exact")
+  }
+
   test("A4: deterministic md5-sample estimate lands near the true count") {
     val row = ScanAggOps.sampledKeyCount(spark, sfDir).head()
     val est = row.getAs[Long]("est_rows")
