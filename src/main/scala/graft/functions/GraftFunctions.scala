@@ -1,0 +1,23 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.graftbridge.GraftColumns
+
+/** Public surface for graft's custom Catalyst expressions: Column
+  * builders for Scala callers and a session registrar for SQL callers
+  * (the engine's §2.9 extension point — registered at runtime so it
+  * works on any session, including one the host application built).
+  */
+object GraftFunctions {
+
+  /** Codegen'd dot product over two array<double> columns. */
+  def array_dot(a: Column, b: Column): Column =
+    GraftColumns.column(
+      ArrayDot(GraftColumns.expression(a), GraftColumns.expression(b)))
+
+  /** Register every graft function on a session for SQL use
+    * (`SELECT array_dot(a, b) ...`). Idempotent. */
+  def register(spark: SparkSession): Unit =
+    GraftColumns.registerFunction(spark, "array_dot",
+      exprs => ArrayDot(exprs(0), exprs(1)))
+}

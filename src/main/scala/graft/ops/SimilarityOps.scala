@@ -25,10 +25,7 @@ object SimilarityOps {
     * formulation (bit-identical results) without its per-row array
     * allocation or interpreted lambda. */
   private def dot(a: Column, b: Column): Column =
-    org.apache.spark.sql.graftbridge.GraftColumns.column(
-      graft.functions.ArrayDot(
-        org.apache.spark.sql.graftbridge.GraftColumns.expression(a),
-        org.apache.spark.sql.graftbridge.GraftColumns.expression(b)))
+    graft.functions.GraftFunctions.array_dot(a, b)
 
   private def withNorm(df: DataFrame): DataFrame =
     df.select(  // (callers pass loadBalanced tables; see Tables.loadBalanced)

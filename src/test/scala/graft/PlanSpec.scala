@@ -55,6 +55,14 @@ class PlanSpec extends SparkSpec {
       s"interpreted HOF dot product still present:\n$p")
   }
 
+  test("array_dot is SQL-callable after runtime registration") {
+    graft.functions.GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT array_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .head().getDouble(0)
+    assert(r === 11.0)
+  }
+
   test("key counting reads only the key column") {
     val p = plan(ScanAggOps.keyCounts(spark, sfDir))
     val schemas = p.linesIterator.filter(_.contains("ReadSchema")).mkString
