@@ -65,6 +65,7 @@ object SparkEntry {
     "t_quality" -> (TextOps.qualityScore _),
     "t_langid" -> (TextOps.langId _),
     "t_fingerprint" -> (TextOps.fingerprint _),
+    "t_rolling_fp" -> (TextOps.rollingFingerprint _),
     // --- dedup ---
     "d_exact_dedup" -> (DedupOps.exactDedup _),
     "d_minhash_lsh" -> (DedupOps.minhashLsh _),
@@ -397,6 +398,14 @@ object SparkEntry {
       """SELECT doc_id,
         | md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
         |   AS fingerprint
+        |FROM documents""".stripMargin,
+    "t_rolling_fp" ->
+      """SELECT doc_id,
+        | list_reduce(
+        |   list_prepend(0, list_transform(
+        |     string_split_regex(trim(text), '\s+'),
+        |     t -> CAST('0x' || substr(md5(t), 1, 8) AS BIGINT))),
+        |   (acc, x) -> (acc * 31 + x) % 1000000007) AS rolling_fp
         |FROM documents""".stripMargin,
     "d_exact_dedup" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_doc_id,

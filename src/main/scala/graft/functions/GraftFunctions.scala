@@ -15,9 +15,16 @@ object GraftFunctions {
     GraftColumns.column(
       ArrayDot(GraftColumns.expression(a), GraftColumns.expression(b)))
 
+  /** Codegen'd polynomial rolling hash over an array<long> column. */
+  def array_poly_hash(a: Column): Column =
+    GraftColumns.column(ArrayPolyHash(GraftColumns.expression(a)))
+
   /** Register every graft function on a session for SQL use
     * (`SELECT array_dot(a, b) ...`). Idempotent. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     GraftColumns.registerFunction(spark, "array_dot",
       exprs => ArrayDot(exprs(0), exprs(1)))
+    GraftColumns.registerFunction(spark, "array_poly_hash",
+      exprs => ArrayPolyHash(exprs(0)))
+  }
 }

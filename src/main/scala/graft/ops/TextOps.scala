@@ -100,4 +100,22 @@ object TextOps {
         col("doc_id"),
         md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")))
           .as("fingerprint"))
+
+  /** Deterministic 32-bit token hash (shared shape with DedupOps.h32 and
+    * the SQL oracle: first 8 hex chars of md5 as a long). */
+  private def h32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** Order-sensitive rolling fingerprint: per-token 32-bit hashes folded
+    * through the native `ArrayPolyHash` expression
+    * (h = (h*31 + tok_hash) mod 1e9+7). Unlike the md5 canonical-form
+    * key, token transpositions change this fingerprint — the classic
+    * polynomial rolling hash, run per-row with zero shuffles.
+    */
+  def rollingFingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "documents")
+      .select(
+        col("doc_id"),
+        graft.functions.GraftFunctions.array_poly_hash(
+          transform(toks(col("text")), t => h32(t))).as("rolling_fp"))
 }
