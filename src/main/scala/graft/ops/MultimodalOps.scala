@@ -49,8 +49,12 @@ object MultimodalOps {
     val media = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
       .as[(Long, Array[Byte])]
+    // explicit record batches inside each partition (the shape a
+    // vectorized decode — mapInPandas / Arrow — consumes): the codec
+    // swap point receives a Seq of payloads, not one row at a time
     media
-      .mapPartitions(batch => batch.map { case (id, bytes) => fakeDecode(id, bytes) })
+      .mapPartitions(_.grouped(64).flatMap(batch =>
+        batch.map { case (id, bytes) => fakeDecode(id, bytes) }))
       .toDF()
   }
 

@@ -1,0 +1,39 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.ops.TtlOps
+import org.apache.spark.sql.functions._
+
+/** S8/S9 round-trip against real files: the sorted, partition-grouped
+  * sink layout (`out/<ks>/<table>/` ↔ `.write.partitionBy`) must
+  * produce a directory per partition value, preserve every row, and
+  * keep partition-local order readable back. Non-destructive: writes
+  * go to a fresh temp dir (the reference keeps originals).
+  */
+class SinkSpec extends SparkSpec {
+
+  test("partitioned sorted write round-trips rows and layout") {
+    val out = Files.createTempDirectory("graft-sink-").toString
+    val stripped = TtlOps.ttlStrip(spark, sfDir)
+
+    stripped
+      .repartition(col("event_type"))
+      .sortWithinPartitions(col("user_id"), col("writetime_us"))
+      .write.partitionBy("event_type").mode("overwrite").parquet(out)
+
+    // one directory per partition value (the out/<ks>/<cf>/ layout)
+    val dirs = new java.io.File(out).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    val expected = stripped.select("event_type").distinct()
+      .collect().map(r => s"event_type=${r.getString(0)}").toSet
+    assert(dirs == expected, s"layout $dirs != $expected")
+
+    // all rows survive, byte-identical (partition column round-trips)
+    val back = spark.read.parquet(out)
+    assert(back.count() == stripped.count())
+    val cols = stripped.columns.sorted.map(col _)
+    assert(stripped.select(cols: _*)
+      .exceptAll(back.select(cols: _*)).isEmpty)
+  }
+}
