@@ -13,6 +13,13 @@ import org.apache.spark.sql.functions._
   * small key* (content hash, band hash, shingle) so the only shuffles
   * are on well-distributed hash keys; nothing is ever collected to the
   * driver and no O(n²) step exists outside per-bucket candidate pairs.
+  *
+  * Pipeline composition at scale: run `exactDedup` FIRST, then near-dup
+  * (`minhashLsh`/`ngramJaccard`) over the surviving unique documents.
+  * Bucket/posting pair generation is quadratic in bucket size, and the
+  * one unbounded bucket source is byte-identical duplicates — which
+  * exact dedup removes for one cheap shuffle, keeping every LSH bucket
+  * at true near-dup-cluster size.
   */
 object DedupOps {
 
