@@ -75,6 +75,21 @@ object SparkEntry {
     "sim_cosine_topk" -> (SimilarityOps.cosineTopK _),
     "sim_embed_neardup" -> (SimilarityOps.embeddingNearDup _),
     "sim_ann_lsh" -> (SimilarityOps.annLsh _),
+    // custom logical node + Catalyst rewrite rule (graft.plans):
+    // declared similarity join, planned as an LSH-bucketed equi-join
+    "sim_lsh_join" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions.col
+      graft.plans.GraftExtensions.enable(s)
+      val emb = graft.Tables.load(s, dir, "embeddings")
+      val a = emb.filter(col("vec_id") < 40)
+        .select(col("vec_id").as("a_id"), col("embedding").as("a_vec"))
+      val b = emb.filter(col("vec_id") >= 40)
+        .select(col("vec_id").as("b_id"), col("embedding").as("b_vec"))
+      graft.plans.SimilarityJoins.cosineJoin(a, b, "a_vec", "b_vec", 0.1)
+        .select(col("a_id"), col("b_id"),
+          org.apache.spark.sql.functions.round(col("cos_sim"), 6)
+            .as("cos_sim"))
+    }),
     // --- multimodal plumbing ---
     "m_media_decode" -> (MultimodalOps.mediaDecode _),
     "m_frame_sample" -> (MultimodalOps.frameSample _),

@@ -79,7 +79,7 @@ object SimilarityOps {
   }
 
   /** Sign-pattern LSH bucket id for an embedding column. */
-  private def lshBucket(e: Column, planes: Array[Array[Double]]): Column =
+  private[graft] def lshBucket(e: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
       val planeArr = array(p.toIndexedSeq.map(lit(_)): _*)
       when(dot(e, planeArr) >= 0, lit(1L << i)).otherwise(0L)
