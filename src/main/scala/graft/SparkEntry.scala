@@ -54,6 +54,7 @@ object SparkEntry {
     "w_running_sum" -> (AnalyticsOps.runningSum _),
     "w_lead_lag" -> (AnalyticsOps.leadLagGaps _),
     "w_sessionize" -> (AnalyticsOps.sessionize _),
+    "g_salted_skew" -> (AnalyticsOps.saltedSkewAgg _),
     "set_ops" -> (AnalyticsOps.setOps _),
     "o_topk" -> (AnalyticsOps.topK _),
     // --- scalar function surface (SURVEY §2.8) ---
@@ -266,6 +267,13 @@ object SparkEntry {
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
         | CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
+    "g_salted_skew" ->
+      """SELECT event_type,
+        | count(*) AS n_events,
+        | CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value,
+        | min(epoch_us(ts)) AS first_us,
+        | max(epoch_us(ts)) AS last_us
+        |FROM events GROUP BY event_type""".stripMargin,
     "w_rank_topk" ->
       """WITH r AS (
         | SELECT o_custkey, o_orderkey, o_totalprice,

@@ -229,6 +229,36 @@ object AnalyticsOps {
     both.unionByName(only)
   }
 
+  /** Skew-safe aggregation via salting: events.event_type has ~5
+    * values over the whole table, so a single-phase groupBy would land
+    * each hot key on one reducer (the classic straggler at 100 TB).
+    * Phase 1 groups on (salt, key) — 32-way fan-out of every hot key —
+    * phase 2 merges the partials per key. Count/sum/min/max re-combine
+    * losslessly, so the result is identical to the direct groupBy the
+    * oracle runs. (Spark's partial aggregation does this implicitly
+    * for algebraic aggs; explicit salting is the pattern for the cases
+    * it can't cover — high-cardinality maps, collect-style aggs,
+    * skewed join keys.)
+    */
+  def saltedSkewAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val salted = Tables.load(spark, sfDir, "events")
+      .withColumn("salt", pmod(col("event_id"), lit(32)))
+    val partial = salted
+      .groupBy(col("salt"), col("event_type"))
+      .agg(
+        count(lit(1)).as("pn"),
+        sum(col("value").cast("decimal(18,2)")).as("psum"),
+        min(expr("ts div 1000")).as("pmin"),
+        max(expr("ts div 1000")).as("pmax"))
+    partial
+      .groupBy(col("event_type"))
+      .agg(
+        sum(col("pn")).cast("long").as("n_events"),
+        round(sum(col("psum")), 2).cast("double").as("sum_value"),
+        min(col("pmin")).as("first_us"),
+        max(col("pmax")).as("last_us"))
+  }
+
   /** Global top-k with deterministic total order (O-series; the
     * reference's partition-ordered write is `sortWithinPartitions`).
     * TakeOrderedAndProject — no full sort at scale. */
