@@ -54,6 +54,7 @@ object SparkEntry {
     "w_running_sum" -> (AnalyticsOps.runningSum _),
     "w_lead_lag" -> (AnalyticsOps.leadLagGaps _),
     "w_sessionize" -> (AnalyticsOps.sessionize _),
+    "w_session_window" -> (AnalyticsOps.sessionWindowAgg _),
     "g_salted_skew" -> (AnalyticsOps.saltedSkewAgg _),
     "set_ops" -> (AnalyticsOps.setOps _),
     "o_topk" -> (AnalyticsOps.topK _),
@@ -311,6 +312,25 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         | FROM s)
         |SELECT user_id, session_id, count(*) AS n_events,
+        | min(epoch_us(ts)) AS session_start_us,
+        | max(epoch_us(ts)) AS session_end_us
+        |FROM t GROUP BY user_id, session_id""".stripMargin,
+    "w_session_window" ->
+      """WITH g AS (
+        | SELECT user_id, ts, event_id,
+        |  lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        | FROM events),
+        |s AS (
+        | SELECT user_id, ts, event_id,
+        |  CASE WHEN prev_us IS NULL
+        |        OR epoch_us(ts) - prev_us > 3600000000 THEN 1 ELSE 0 END AS ns
+        | FROM g),
+        |t AS (
+        | SELECT user_id, ts,
+        |  CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        | FROM s)
+        |SELECT user_id, count(*) AS n_events,
         | min(epoch_us(ts)) AS session_start_us,
         | max(epoch_us(ts)) AS session_end_us
         |FROM t GROUP BY user_id, session_id""".stripMargin,

@@ -216,6 +216,25 @@ object AnalyticsOps {
         max(col("us")).as("session_end_us"))
   }
 
+  /** Sessionization via the built-in `session_window` (the native
+    * gap-merging session operator — one shuffle, no stacked windows,
+    * and the same code runs in Structured Streaming). Equivalent to
+    * `sessionize` minus the ordinal session id: the fixture has no
+    * exactly-1h gaps, so the >= vs > boundary difference between
+    * session_window and the lag formulation cannot bite.
+    */
+  def sessionWindowAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "events")
+      .withColumn("us", expr("ts div 1000"))
+      .withColumn("ets", timestamp_micros(col("us")))
+      .groupBy(session_window(col("ets"), "1 hour"), col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("us")).as("session_start_us"),
+        max(col("us")).as("session_end_us"))
+      .select(col("user_id"), col("n_events"),
+        col("session_start_us"), col("session_end_us"))
+
   /** Set operations in one result: INTERSECT / EXCEPT over key sets
     * (§2.7 — the reference's multi-file concat is UNION ALL; the rest
     * come free with Spark). */
