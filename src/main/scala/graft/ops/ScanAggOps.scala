@@ -38,14 +38,20 @@ object ScanAggOps {
     * it (Spark's murmur3 `hash()` is not portable to SQL).
     */
   def tokenRangeScan(spark: SparkSession, sfDir: String): DataFrame =
+    // two-level aggregation instead of mixing countDistinct with plain
+    // aggs (which forces an Expand duplicating every input row): per-key
+    // partials shuffle only unique keys; token is a function of the key,
+    // so per-key-then-global min/max is identical
     Tables.load(spark, sfDir, "lineitem")
       .withColumn(
         "token",
         (col("l_orderkey") * 2654435761L) % 4294967296L - 2147483648L)
       .filter(col("token") > 1000000000L || col("token") <= -1500000000L)
+      .groupBy(col("l_orderkey"), col("token"))
+      .agg(count(lit(1)).as("c"))
       .agg(
-        count(lit(1)).as("n_rows"),
-        countDistinct(col("l_orderkey")).as("n_keys"),
+        sum(col("c")).cast("long").as("n_rows"),
+        count(lit(1)).as("n_keys"),
         min(col("token")).as("min_token"),
         max(col("token")).as("max_token"))
 
@@ -83,10 +89,17 @@ object ScanAggOps {
     * differ per engine); the spec asserts the rsd bound instead.
     */
   def hllKeyCount(spark: SparkSession, sfDir: String): DataFrame =
+    // dedup first, then count + estimate over the unique keys: mixing a
+    // distinct and a non-distinct aggregate in one agg forces an Expand
+    // (input duplicated per aggregate) — ~5× slower at sf0.1. HLL is
+    // multiset-insensitive, so the estimate over deduped keys is the
+    // same estimate; the dedup shuffle carries only unique keys (map-
+    // side partial aggregation), which is also the 100 TB-shaped plan.
     Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey")).distinct()
       .agg(
         approx_count_distinct(col("l_orderkey"), 0.02).as("est_keys"),
-        countDistinct(col("l_orderkey")).as("exact_keys"))
+        count(lit(1)).as("exact_keys"))
       .withColumn(
         "rel_err",
         round(abs(col("est_keys") - col("exact_keys")) /
