@@ -176,7 +176,7 @@ object SparkEntry {
       "SELECT 'events' AS tbl, count(*) AS n_rows FROM events",
     "a3_compaction_gain" ->
       """WITH per AS (
-        | SELECT o_custkey % 4 AS bucket, count(DISTINCT o_custkey) AS d
+        | SELECT o_orderkey % 4 AS bucket, count(DISTINCT o_custkey) AS d
         | FROM orders GROUP BY 1),
         |m AS (SELECT count(DISTINCT o_custkey) AS merged_keys FROM orders)
         |SELECT merged_keys,

@@ -136,10 +136,14 @@ object ScanAggOps {
     */
   def compactionGain(spark: SparkSession, sfDir: String): DataFrame = {
     val orders = Tables.load(spark, sfDir, "orders")
+    // "files" are order buckets, so the same customer appears in many
+    // files — overlapping key sets, which is the whole point of the
+    // gain metric (merged < summed ⇒ compaction dedups). Bucketing by
+    // the counted key itself would partition it and pin gain at 1.0.
     val per = orders
-      .groupBy((col("o_custkey") % 4).as("bucket"))
+      .groupBy((col("o_orderkey") % 4).as("bucket"))
       .agg(countDistinct(col("o_custkey")).as("d"))
-      .agg(sum(col("d")).as("summed_keys"))
+      .agg(sum(col("d")).cast("long").as("summed_keys"))
     val merged = orders.agg(countDistinct(col("o_custkey")).as("merged_keys"))
     merged.crossJoin(per)
       .withColumn(
