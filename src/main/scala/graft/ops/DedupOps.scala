@@ -55,10 +55,15 @@ object DedupOps {
         min(col("doc_id")).as("keep_doc_id"),
         count(lit(1)).as("n_copies"))
 
-  /** Deterministic 32-bit token hash shared with the SQL oracle:
-    * first 8 hex chars of md5, parsed as a long in [0, 2^32). */
+  /** Deterministic 31-bit token hash for the sketch operators (minhash,
+    * simhash — no SQL oracle, so no md5 compatibility constraint):
+    * native xxhash64 folded positive. Bounded below 2^31 so the
+    * permutation arithmetic (h * 1000003 * 16 + offset) stays far from
+    * long overflow. ~an order of magnitude cheaper than the
+    * md5-hex-parse variant TextOps keeps for its oracle-matched
+    * fingerprint. */
   private def h32(c: Column): Column =
-    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+    pmod(xxhash64(c), lit(2147483647L))
 
   private val MersennePrime = 2305843009213693951L // 2^61 - 1
   private def perm(i: Int, h: Column): Column =
