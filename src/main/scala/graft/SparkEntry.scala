@@ -42,6 +42,7 @@ object SparkEntry {
     "a6_scan_metrics" -> (ScanAggOps.scanMetrics _),
     // --- general analytics layer (SURVEY §7.2 step 5) ---
     "q1_agg" -> (AnalyticsOps.q1Agg _),
+    "sql_q1" -> (AnalyticsOps.sqlSurface _),
     "q3_shipping" -> (AnalyticsOps.q3Shipping _),
     "q5_multi_join" -> (AnalyticsOps.q5MultiJoin _),
     "j_broadcast_lookup" -> (AnalyticsOps.broadcastLookup _),
@@ -210,6 +211,13 @@ object SparkEntry {
         | CAST(round(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
         |   * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
         |   AS DECIMAL(28,6))), 6) AS DOUBLE) AS sum_disc_price,
+        | count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2024-09-01'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "sql_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
         | count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '2024-09-01'

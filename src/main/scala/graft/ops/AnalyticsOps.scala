@@ -20,6 +20,23 @@ object AnalyticsOps {
 
   private def dec(c: String) = col(c).cast("decimal(18,2)")
 
+  /** The engine's SQL text surface: tables registered as temp views,
+    * query expressed in Spark SQL — same Catalyst plan as the
+    * DataFrame formulation (`q1Agg`), proving both front ends hit the
+    * identical optimizer path.
+    */
+  def sqlSurface(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.load(spark, sfDir, "lineitem").createOrReplaceTempView("lineitem_v")
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE)
+        |   AS sum_qty,
+        | count(*) AS count_order
+        |FROM lineitem_v
+        |WHERE l_shipdate <= TIMESTAMP '2024-09-01'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin)
+  }
+
   /** Decimal-exact sum surfaced as a double: the sum is computed in
     * exact decimal (order-independent under any partitioning), rounded,
     * then cast — both engines produce the identical float64. Decimals

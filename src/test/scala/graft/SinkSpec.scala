@@ -36,4 +36,21 @@ class SinkSpec extends SparkSpec {
     assert(stripped.select(cols: _*)
       .exceptAll(back.select(cols: _*)).isEmpty)
   }
+
+  test("json and csv source formats round-trip the cell model") {
+    val df = TtlOps.ttlStrip(spark, sfDir)
+    val schema = df.schema
+    val cols = df.columns.sorted.map(col _)
+
+    val jsonOut = Files.createTempDirectory("graft-json-").toString
+    df.write.mode("overwrite").json(jsonOut)
+    val fromJson = spark.read.schema(schema).json(jsonOut)
+    assert(df.select(cols: _*).exceptAll(fromJson.select(cols: _*)).isEmpty)
+
+    val csvOut = Files.createTempDirectory("graft-csv-").toString
+    df.write.mode("overwrite").option("header", "true").csv(csvOut)
+    val fromCsv = spark.read.schema(schema)
+      .option("header", "true").csv(csvOut)
+    assert(df.select(cols: _*).exceptAll(fromCsv.select(cols: _*)).isEmpty)
+  }
 }
