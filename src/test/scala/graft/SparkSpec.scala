@@ -15,6 +15,8 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     .appName("graft-spec")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("graft-wh-").toString)
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
