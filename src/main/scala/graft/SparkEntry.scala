@@ -78,6 +78,7 @@ object SparkEntry {
     "sim_cosine_topk" -> (SimilarityOps.cosineTopK _),
     "sim_embed_neardup" -> (SimilarityOps.embeddingNearDup _),
     "sim_ann_lsh" -> (SimilarityOps.annLsh _),
+    "sim_ann_ivf" -> (SimilarityOps.annIvf _),
     // custom logical node + Catalyst rewrite rule (graft.plans):
     // declared similarity join, planned as an LSH-bucketed equi-join
     "sim_lsh_join" -> ((s: SparkSession, dir: String) => {

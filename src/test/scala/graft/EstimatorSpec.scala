@@ -66,4 +66,17 @@ class EstimatorSpec extends SparkSpec {
       .filter(col("cos_sim") > col("best") + 1e-9)
     assert(joined.count() === 0)
   }
+
+  test("IVF-ANN: nonempty, sane cosines, never beats brute-force best") {
+    val ann = SimilarityOps.annIvf(spark, sfDir)
+    assert(ann.count() > 0)
+    assert(ann.filter(col("cos_sim") > 1.000001 || col("cos_sim") < -1.000001)
+      .count() === 0)
+    val brute = SimilarityOps.cosineTopK(spark, sfDir)
+      .groupBy("q_vec_id").agg(max("cos_sim").as("best"))
+    assert(ann.filter(col("rk") === 1)
+      .join(brute, "q_vec_id")
+      .filter(col("cos_sim") > col("best") + 1e-9)
+      .count() === 0)
+  }
 }
