@@ -37,6 +37,37 @@ class SinkSpec extends SparkSpec {
       .exceptAll(back.select(cols: _*)).isEmpty)
   }
 
+  test("scan counters ride an existing action via observe() (A6 at scale)") {
+    import org.apache.spark.sql.Observation
+    val obs = Observation("scan_metrics")
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .observe(obs,
+        count(lit(1)).as("rows_scanned"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+          .as("returned_rows"))
+    // the metrics are a free rider on whatever action runs anyway
+    val total = li.count()
+    val row = obs.get
+    assert(row("rows_scanned") == total)
+    val expectedReturns = Tables.load(spark, sfDir, "lineitem")
+      .filter(col("l_returnflag") === "R").count()
+    assert(row("returned_rows") == expectedReturns)
+  }
+
+  test("output file sizing via maxRecordsPerFile (writer-sizing analogue)") {
+    val out = Files.createTempDirectory("graft-sized-").toString
+    TtlOps.ttlStrip(spark, sfDir)
+      .coalesce(1)
+      .write.option("maxRecordsPerFile", 100)
+      .mode("overwrite").parquet(out)
+    val files = new java.io.File(out).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    // 1000 rows / 100 per file: the single task splits its output —
+    // the declarative replacement for the reference's key-count
+    // pre-scan writer sizing
+    assert(files >= 10, s"expected >=10 files, got $files")
+  }
+
   test("json and csv source formats round-trip the cell model") {
     val df = TtlOps.ttlStrip(spark, sfDir)
     val schema = df.schema
