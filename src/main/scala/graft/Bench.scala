@@ -32,23 +32,29 @@ object Bench {
     // cost; the first pass often carries one-off JIT/codegen compilation
     // and (on a shared host) scheduler noise that isn't the query's.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      var failed = false
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
+          failed = true
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
         (System.nanoTime() - t0) / 1e9
       }
-      val dt = times.min
+      // A failed query records -1 and is excluded from the total: its
+      // fast-fail wall time would otherwise read as a fast query.
+      val dt = if (failed) -1.0 else times.min
       System.err.println(f"[bench] $name%-24s $dt%8.2fs  (runs: ${
         times.map(t => f"$t%.2f").mkString(", ")})")
       name -> dt
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failedNames = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":${
+      failedNames.mkString("[", ",", "]")},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

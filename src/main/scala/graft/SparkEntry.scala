@@ -71,9 +71,15 @@ object SparkEntry {
     "t_rolling_fp" -> (TextOps.rollingFingerprint _),
     // --- dedup ---
     "d_exact_dedup" -> (DedupOps.exactDedup _),
-    "d_minhash_lsh" -> (DedupOps.minhashLsh _),
-    "d_simhash" -> (DedupOps.simhash _),
-    "d_ngram_jaccard" -> (DedupOps.ngramJaccard _),
+    // registered sketch queries run in Md5 token-hash mode so the DuckDB
+    // oracle can reproduce them bit-for-bit; XxHash is the documented
+    // production default (same operator, cheaper hash)
+    "d_minhash_lsh" -> ((s: SparkSession, d: String) =>
+      DedupOps.minhashLsh(s, d, DedupOps.Md5)),
+    "d_simhash" -> ((s: SparkSession, d: String) =>
+      DedupOps.simhash(s, d, DedupOps.Md5)),
+    "d_ngram_jaccard" -> ((s: SparkSession, d: String) =>
+      DedupOps.ngramJaccard(s, d)),
     // --- similarity search ---
     "sim_cosine_topk" -> (SimilarityOps.cosineTopK _),
     "sim_embed_neardup" -> (SimilarityOps.embeddingNearDup _),
@@ -101,6 +107,166 @@ object SparkEntry {
     "st_window_agg" -> (StreamingOps.windowAgg _),
     "st_sessionize" -> (StreamingOps.sessionize _)
   )
+
+  // ---- oracle-SQL generators for the estimator/LSH operators ----
+  // The LSH hyperplanes / IVF centroids are deterministic fixed-seed
+  // constants (SimilarityOps.hyperplanes/centroids), so the DuckDB
+  // oracle inlines them as DOUBLE[] literals and reproduces the exact
+  // bucket/cell assignment and cosine math. Double.toString emits the
+  // shortest round-tripping decimal, so the parsed literal is the same
+  // IEEE-754 value on both engines.
+
+  private def sqlVec(xs: Array[Double]): String = xs.mkString("[", ", ", "]")
+
+  /** Sign-pattern bucket id — the SQL twin of SimilarityOps.lshBucket. */
+  private def bucketSql(e: String, planes: Array[Array[Double]]): String =
+    planes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN list_dot_product($e, ${sqlVec(p)}) >= 0" +
+        s" THEN ${1L << i} ELSE 0 END)"
+    }.mkString("CAST(", " + ", " AS BIGINT)")
+
+  /** md5-derived 32-bit token hash — the SQL twin of DedupOps.Md5
+    * (shape proven by the green t_rolling_fp oracle). */
+  private def md5HashSql(tok: String): String =
+    s"CAST('0x' || substr(md5($tok), 1, 8) AS BIGINT)"
+
+  private lazy val simhashSql: String = {
+    val bitSums = (0 until 32).map(b =>
+      s"sum(CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS b$b")
+      .mkString(",\n  ")
+    val fp = (0 until 32).map(b =>
+      s"(CASE WHEN b$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH t AS (
+       | SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+       | FROM documents),
+       |h AS (SELECT doc_id, ${md5HashSql("tok")} AS h FROM t),
+       |b AS (SELECT doc_id,
+       |  $bitSums
+       | FROM h GROUP BY doc_id)
+       |SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM b""".stripMargin
+  }
+
+  private lazy val minhashLshSql: String = {
+    // constants mirror DedupOps.perm: (h*A_i + B_i) % (2^61-1); h < 2^32
+    // and A_i <= 1.6e7 keep h*A_i + B_i < 2^57, overflow-free in BIGINT
+    val M = 2305843009213693951L
+    val mhs = (0 until DedupOps.NumPerms).map(i =>
+      s"min((h * ${1000003L * (i + 1)} + ${777767777L * (i + 1)}) % $M) AS mh$i")
+      .mkString(",\n  ")
+    val rowsPerBand = DedupOps.NumPerms / DedupOps.NumBands
+    val bands = (0 until DedupOps.NumBands).map { b =>
+      val cols = (0 until rowsPerBand)
+        .map(r => s"CAST(mh${b * rowsPerBand + r} AS VARCHAR)")
+        .mkString(" || '_' || ")
+      s" SELECT doc_id, $b AS band_id, md5($cols) AS band_hash FROM sig"
+    }.mkString("\n UNION ALL\n")
+    s"""WITH docs AS (
+       | SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+       | FROM documents),
+       |sh AS (
+       | SELECT doc_id, list_distinct(list_transform(range(len(t) - 2),
+       |   i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS s
+       | FROM docs),
+       |inv AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+       |h AS (SELECT doc_id, ${md5HashSql("shingle")} AS h FROM inv),
+       |sig AS (SELECT doc_id,
+       |  $mhs
+       | FROM h GROUP BY doc_id),
+       |bands AS (
+       |$bands)
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |FROM bands a JOIN bands b
+       |  ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+       | AND a.doc_id < b.doc_id""".stripMargin
+  }
+
+  private lazy val annLshSql: String = {
+    val planes = SimilarityOps.hyperplanes(64, 8)
+    s"""WITH v AS (
+       | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm,
+       | ${bucketSql("e", planes)} AS bucket FROM v),
+       |q AS (SELECT vec_id AS q_vec_id, e AS qe, nrm AS qnrm, bucket
+       | FROM n WHERE vec_id < 8),
+       |pairs AS (
+       | SELECT q.q_vec_id, n.bucket, n.vec_id AS neighbor_vec_id,
+       |  list_dot_product(q.qe, n.e) / (q.qnrm * n.nrm) AS cos
+       | FROM q JOIN n ON q.bucket = n.bucket AND n.vec_id <> q.q_vec_id),
+       |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_vec_id
+       |  ORDER BY cos DESC, neighbor_vec_id) AS INTEGER) AS rk FROM pairs)
+       |SELECT q_vec_id, bucket, neighbor_vec_id, round(cos, 6) AS cos_sim, rk
+       |FROM r WHERE rk <= 3""".stripMargin
+  }
+
+  private lazy val annIvfSql: String = {
+    val cs = SimilarityOps.centroids(64, 16)
+    val values = cs.zipWithIndex
+      .map { case (c, i) => s"($i, ${sqlVec(c)})" }
+      .mkString(",\n  ")
+    // tie-break matches Spark's greatest(struct(score, cell)):
+    // lexicographic max = highest score, then highest cell
+    s"""WITH cents AS (SELECT * FROM (VALUES
+       |  $values) AS t(cell, c)),
+       |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |scored AS (
+       | SELECT v.vec_id, v.e, c.cell, list_dot_product(v.e, c.c) AS score
+       | FROM v CROSS JOIN cents c),
+       |best AS (
+       | SELECT vec_id, e, cell FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY score DESC, cell DESC) AS rn FROM scored)
+       | WHERE rn = 1),
+       |n AS (SELECT vec_id, cell, e, sqrt(list_dot_product(e, e)) AS nrm
+       | FROM best),
+       |q AS (SELECT vec_id AS q_vec_id, e AS qe, nrm AS qnrm, cell
+       | FROM n WHERE vec_id < 8),
+       |pairs AS (
+       | SELECT q.q_vec_id, n.cell, n.vec_id AS neighbor_vec_id,
+       |  list_dot_product(q.qe, n.e) / (q.qnrm * n.nrm) AS cos
+       | FROM q JOIN n ON q.cell = n.cell AND n.vec_id <> q.q_vec_id),
+       |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_vec_id
+       |  ORDER BY cos DESC, neighbor_vec_id) AS INTEGER) AS rk FROM pairs)
+       |SELECT q_vec_id, cell, neighbor_vec_id, round(cos, 6) AS cos_sim, rk
+       |FROM r WHERE rk <= 3""".stripMargin
+  }
+
+  private lazy val lshJoinSql: String = {
+    val planes = SimilarityOps.hyperplanes(64, 8)
+    s"""WITH v AS (
+       | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm,
+       | ${bucketSql("e", planes)} AS bucket FROM v),
+       |a AS (SELECT vec_id AS a_id, e, nrm, bucket FROM n WHERE vec_id < 40),
+       |b AS (SELECT vec_id AS b_id, e, nrm, bucket FROM n WHERE vec_id >= 40)
+       |SELECT a.a_id, b.b_id,
+       | round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) AS cos_sim
+       |FROM a JOIN b ON a.bucket = b.bucket
+       |WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) > 0.1""".stripMargin
+  }
+
+  private lazy val nearDupSql: String = {
+    val planes = SimilarityOps.hyperplanes(64,
+      SimilarityOps.NearDupBands * SimilarityOps.NearDupRowsPerBand,
+      SimilarityOps.NearDupSeed)
+    val r = SimilarityOps.NearDupRowsPerBand
+    val bandBuckets = (0 until SimilarityOps.NearDupBands).map { bnd =>
+      s" ${bucketSql("e", planes.slice(bnd * r, (bnd + 1) * r))} AS b$bnd"
+    }.mkString(",\n")
+    val anyBand = (0 until SimilarityOps.NearDupBands)
+      .map(bnd => s"a.b$bnd = b.b$bnd").mkString(" OR ")
+    s"""WITH v AS (
+       | SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+       | FROM embeddings WHERE vec_id % 10 = 0),
+       |n AS (SELECT vec_id, label, e, sqrt(list_dot_product(e, e)) AS nrm,
+       |$bandBuckets
+       | FROM v)
+       |SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+       | round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) AS cos_sim
+       |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+       | AND ($anyBand)
+       |WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) > 0.25""".stripMargin
+  }
 
   // DuckDB dialect notes baked into every oracle:
   //  - sum(INTEGER/BIGINT) → HUGEINT, so CAST(... AS BIGINT) wherever
@@ -176,6 +342,19 @@ object SparkEntry {
         |SELECT 'part', count(DISTINCT p_partkey) FROM part""".stripMargin,
     "s2_file_identity" ->
       "SELECT 'events' AS tbl, count(*) AS n_rows FROM events",
+    // a2_*: the sketch estimate itself is engine-specific, so the
+    // registered output is the exact count plus a deterministic
+    // within-bounds boolean; the oracle asserts the same exact count
+    // and expects the bounds check to hold (TRUE)
+    "a2_hll_keycount" ->
+      """SELECT count(DISTINCT l_orderkey) AS exact_keys,
+        | TRUE AS est_in_bounds
+        |FROM lineitem""".stripMargin,
+    "a2_sketch_merge" ->
+      """SELECT count(DISTINCT o_orderkey % 8) AS n_buckets,
+        | count(DISTINCT o_custkey) AS exact_keys,
+        | TRUE AS est_in_bounds
+        |FROM orders""".stripMargin,
     "a3_compaction_gain" ->
       """WITH per AS (
         | SELECT o_orderkey % 4 AS bucket, count(DISTINCT o_custkey) AS d
@@ -463,6 +642,11 @@ object SparkEntry {
       """SELECT md5(text) AS h, min(doc_id) AS keep_doc_id,
         | count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
+    "d_simhash" -> simhashSql,
+    "d_minhash_lsh" -> minhashLshSql,
+    "sim_ann_lsh" -> annLshSql,
+    "sim_ann_ivf" -> annIvfSql,
+    "sim_lsh_join" -> lshJoinSql,
     "d_ngram_jaccard" ->
       """WITH docs AS (
         | SELECT doc_id, source,
@@ -501,16 +685,7 @@ object SparkEntry {
         | FROM pairs)
         |SELECT q_vec_id, neighbor_vec_id, round(cos, 6) AS cos_sim, rk
         |FROM r WHERE rk <= 5""".stripMargin,
-    "sim_embed_neardup" ->
-      """WITH v AS (
-        | SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
-        | FROM embeddings WHERE vec_id % 10 = 0),
-        |n AS (SELECT vec_id, label, e,
-        |  sqrt(list_dot_product(e, e)) AS nrm FROM v)
-        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
-        | round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) AS cos_sim
-        |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
-        |WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) > 0.25""".stripMargin,
+    "sim_embed_neardup" -> nearDupSql,
     "m_media_decode" ->
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
         | CAST(strlen(text) % 64 + 16 AS INTEGER) AS width,

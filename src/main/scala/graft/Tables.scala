@@ -23,6 +23,10 @@ object Tables {
     */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Pin the session timezone too: timestamp-literal filters (q1/q3/q6)
+    // and the datetime scalar surface must agree with the UTC-pinned
+    // DuckDB oracle even when the host session defaults elsewhere.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
@@ -37,6 +41,11 @@ object Tables {
   def loadBalanced(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = load(spark, sfDir, name)
     val target = spark.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target / 2) df.repartition(target) else df
+    // File count from the relation's file index — NOT df.rdd
+    // .getNumPartitions, which builds the whole RDD lineage eagerly on
+    // every call. The file count is a conservative lower bound on scan
+    // splits (large files split further), which errs toward skipping
+    // the repartition — correct: at scale there are plenty of splits.
+    if (df.inputFiles.length < target / 2) df.repartition(target) else df
   }
 }

@@ -55,15 +55,25 @@ object DedupOps {
         min(col("doc_id")).as("keep_doc_id"),
         count(lit(1)).as("n_copies"))
 
-  /** Deterministic 31-bit token hash for the sketch operators (minhash,
-    * simhash — no SQL oracle, so no md5 compatibility constraint):
-    * native xxhash64 folded positive. Bounded below 2^31 so the
-    * permutation arithmetic (h * 1000003 * 16 + offset) stays far from
-    * long overflow. ~an order of magnitude cheaper than the
-    * md5-hex-parse variant TextOps keeps for its oracle-matched
-    * fingerprint. */
-  private def h32(c: Column): Column =
-    pmod(xxhash64(c), lit(2147483647L))
+  /** Token-hash modes for the sketch operators (minhash, simhash).
+    *
+    * `XxHash` is the production default: native xxhash64 folded
+    * positive, ~an order of magnitude cheaper than parsing md5 hex.
+    * `Md5` is the oracle mode the registered queries use: first 8 hex
+    * chars of md5 as a long — exactly reproducible in the DuckDB
+    * oracle (`CAST('0x' || substr(md5(t),1,8) AS BIGINT)`), the shape
+    * TextOps.h32 proved. Both are bounded below 2^32 so the
+    * permutation arithmetic (h * 1000003 * 16 + offset < 2^57) stays
+    * far from long overflow.
+    */
+  sealed trait TokenHash { def apply(c: Column): Column }
+  case object XxHash extends TokenHash {
+    def apply(c: Column): Column = pmod(xxhash64(c), lit(2147483647L))
+  }
+  case object Md5 extends TokenHash {
+    def apply(c: Column): Column =
+      conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+  }
 
   private val MersennePrime = 2305843009213693951L // 2^61 - 1
   private def perm(i: Int, h: Column): Column =
@@ -73,11 +83,22 @@ object DedupOps {
   val NumPerms = 16
   val NumBands = 4 // 4 rows per band → Jaccard ~0.6+ lands in a bucket
 
+  /** Hard cap on LSH band-bucket size: pair generation is O(size²) per
+    * bucket, so one pathological megacluster (e.g. boilerplate pages)
+    * must not dominate a task. Oversized buckets are dropped and counted
+    * via an `observe` metric (`d_minhash_lsh_buckets.dropped_buckets`).
+    * 64² = 4096 pairs per bucket worst case — bounded task size at any
+    * corpus scale. Byte-identical clusters are removed up front by the
+    * documented exactDedup-first composition; what this cap drops is
+    * the rarer near-dup megacluster. */
+  val MaxBucketSize = 64
+
   /** MinHash signatures: explode shingles once, one groupBy(doc) with
     * NumPerms min() aggregates — a single shuffle, fully codegen'd.
     * Returns (doc_id, source, n_shingles, mh0..mh15).
     */
-  def minhashSignatures(spark: SparkSession, sfDir: String): DataFrame = {
+  def minhashSignatures(spark: SparkSession, sfDir: String,
+      hash: TokenHash = XxHash): DataFrame = {
     val docs = Tables.loadBalanced(spark, sfDir, "documents")
       .select(col("doc_id"), col("source"), shingles(col("text")).as("sh"))
     // n_shingles comes from size(sh) BEFORE the explode (sh is already
@@ -86,7 +107,7 @@ object DedupOps {
     val exploded = docs
       .select(col("doc_id"), col("source"), size(col("sh")).as("n_shingles"),
         explode(col("sh")).as("shingle"))
-      .withColumn("h", h32(col("shingle")))
+      .withColumn("h", hash(col("shingle")))
     val aggs = (0 until NumPerms).map(i =>
       min(perm(i, col("h"))).as(s"mh$i"))
     exploded.groupBy(col("doc_id"), col("source"), col("n_shingles"))
@@ -104,8 +125,10 @@ object DedupOps {
     * 100 TB recomputing signatures is the dominant cost. One shuffle on
     * the band hash, pairs generated inside each (tiny) bucket.
     */
-  def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
-    val sig = minhashSignatures(spark, sfDir)
+  def minhashLsh(spark: SparkSession, sfDir: String,
+      hash: TokenHash = XxHash,
+      maxBucket: Int = MaxBucketSize): DataFrame = {
+    val sig = minhashSignatures(spark, sfDir, hash)
     val rowsPerBand = NumPerms / NumBands
     val bandCols = (0 until NumBands).map { b =>
       val cols = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
@@ -117,7 +140,13 @@ object DedupOps {
     val buckets = banded
       .groupBy(col("band_id"), col("band_hash"))
       .agg(array_sort(collect_list(col("doc_id"))).as("docs"))
-      .filter(size(col("docs")) > 1)
+      // Metric name carries the cap: observe() requires a unique name
+      // per distinct result semantics within a session, and two calls
+      // with different caps ARE different metrics.
+      .observe(s"d_minhash_lsh_buckets_cap$maxBucket",
+        sum(when(size(col("docs")) > maxBucket, 1).otherwise(0))
+          .as("dropped_buckets"))
+      .filter(size(col("docs")) > 1 && size(col("docs")) <= maxBucket)
     buckets
       .select(explode(pairsOf(col("docs"))).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"))
@@ -135,10 +164,11 @@ object DedupOps {
     * Implemented as explode → groupBy(doc, bit) free via bit arithmetic
     * in a single aggregate over 32 conditional sums.
     */
-  def simhash(spark: SparkSession, sfDir: String): DataFrame = {
+  def simhash(spark: SparkSession, sfDir: String,
+      hash: TokenHash = XxHash): DataFrame = {
     val docs = Tables.loadBalanced(spark, sfDir, "documents")
       .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
-      .withColumn("h", h32(col("tok")))
+      .withColumn("h", hash(col("tok")))
     val bitSums: Seq[Column] = (0 until 32).map { bit =>
       sum(when(shiftright(col("h"), bit).bitwiseAND(1) === 1, 1)
         .otherwise(-1)).as(s"b$bit")
@@ -151,12 +181,24 @@ object DedupOps {
     summed.select(col("doc_id"), fp.as("simhash"))
   }
 
+  /** Document-frequency cap for ngramJaccard posting lists — see the
+    * stop-shingle comment at the filter site. 100 is far above any
+    * fixture posting (no result change at test SFs) and bounds pair
+    * fan-out at 100²/2 per shingle at any corpus size.
+    *
+    * NOTE: capped postings make the reported intersection count a lower
+    * bound for pairs that share a dropped stop-shingle; at Jaccard≥0.8
+    * the signal lives in the rare shingles, so the pair set is stable.
+    */
+  val MaxPostingSize = 100
+
   /** Exact n-gram Jaccard on candidate pairs: docs sharing a shingle
     * within the same source are candidates (inverted-index join on the
     * shingle — never all-pairs); intersection size from the join,
     * |A∪B| = |A|+|B|−|A∩B|. Emits pairs with Jaccard ≥ 0.8.
     */
-  def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+  def ngramJaccard(spark: SparkSession, sfDir: String,
+      maxPosting: Int = MaxPostingSize): DataFrame = {
     val docs = Tables.loadBalanced(spark, sfDir, "documents")
       .select(col("doc_id"), col("source"), shingles(col("text")).as("sh"))
       .withColumn("n_sh", size(col("sh")))
@@ -173,7 +215,16 @@ object DedupOps {
       .groupBy(col("source"), col("shingle"))
       .agg(array_sort(collect_list(struct(col("doc_id"), col("n_sh"))))
         .as("ds"))
-      .filter(size(col("ds")) > 1)
+      // Stop-shingle cap: a corpus-common shingle ("in the of") has
+      // document frequency O(corpus) and would emit O(df²) pairs from a
+      // single posting. Shingles with df > MaxPostingSize carry ~zero
+      // signal for Jaccard≥0.8 (such pairs share many rare shingles
+      // too) and are dropped — standard stop-shingle practice. Drops
+      // are surfaced via the observe metric below.
+      .observe(s"d_ngram_jaccard_postings_cap$maxPosting",
+        sum(when(size(col("ds")) > maxPosting, 1).otherwise(0))
+          .as("dropped_postings"))
+      .filter(size(col("ds")) > 1 && size(col("ds")) <= maxPosting)
     val pairs = postings.select(
       explode(
         flatten(transform(col("ds"), (x, i) =>

@@ -72,15 +72,17 @@ object ScanAggOps {
 
   /** S2 — filename → table identity (`Descriptor.fromFilename`,
     * `Cassandra3TTLRemover.java:45`) via the file-source `_metadata`
-    * column instead of parsing paths by hand.
+    * column instead of parsing paths by hand. The table name is taken
+    * from the `<table>.parquet` path segment (not the leaf file stem),
+    * so a multi-part table (directory of part files) still folds to one
+    * row per table — the leaf stems would be `part-*` names.
     */
   def fileIdentity(spark: SparkSession, sfDir: String): DataFrame =
     Tables.load(spark, sfDir, "events")
-      .select(regexp_extract(col("_metadata.file_name"),
-        "^(.+)\\.parquet$", 1).as("file_stem"))
-      .groupBy(col("file_stem"))
+      .select(regexp_extract(col("_metadata.file_path"),
+        "/([^/]+)\\.parquet", 1).as("tbl"))
+      .groupBy(col("tbl"))
       .agg(count(lit(1)).as("n_rows"))
-      .select(lit("events").as("tbl"), col("n_rows"))
 
   /** A2 — HLL++ distinct estimate (`NoTTLReader.getApproximateKeyCount`,
     * `NoTTLReader.java:152-216`). Spark's approx_count_distinct IS
@@ -95,15 +97,20 @@ object ScanAggOps {
     // multiset-insensitive, so the estimate over deduped keys is the
     // same estimate; the dedup shuffle carries only unique keys (map-
     // side partial aggregation), which is also the 100 TB-shaped plan.
+    //
+    // Oracle contract: the estimate itself is engine-specific, so the
+    // registered output is the exact count plus a deterministic
+    // within-rsd-bounds boolean the SQL oracle can assert as TRUE
+    // (rsd 0.02 → a 10% bound is conservative at every SF).
     Tables.load(spark, sfDir, "lineitem")
       .select(col("l_orderkey")).distinct()
       .agg(
         approx_count_distinct(col("l_orderkey"), 0.02).as("est_keys"),
         count(lit(1)).as("exact_keys"))
-      .withColumn(
-        "rel_err",
-        round(abs(col("est_keys") - col("exact_keys")) /
-          col("exact_keys").cast("double"), 6))
+      .select(
+        col("exact_keys"),
+        (abs(col("est_keys") - col("exact_keys")) <=
+          col("exact_keys").cast("double") * 0.1).as("est_in_bounds"))
 
   /** A2 (full semantics) — persisted-sketch merge: the reference
     * deserializes one HyperLogLog sketch per SSTable and merges them
@@ -119,15 +126,25 @@ object ScanAggOps {
     * count.
     */
   def sketchMerge(spark: SparkSession, sfDir: String): DataFrame = {
-    val perBucket = Tables.load(spark, sfDir, "orders")
+    val orders = Tables.load(spark, sfDir, "orders")
+    val perBucket = orders
       .groupBy((col("o_orderkey") % 8).as("bucket"))
       .agg(hll_sketch_agg(col("o_custkey"), lit(12)).as("sketch"))
-    perBucket
+    val merged = perBucket
       .agg(
         count(lit(1)).as("n_buckets"),
         hll_sketch_estimate(hll_union_agg(col("sketch"), lit(false)))
           .as("merged_est"))
-      .select(col("n_buckets"), col("merged_est"))
+    // Oracle contract (as hllKeyCount): sketch bytes are engine-specific,
+    // so emit the bucket count, the exact merged-key count, and a
+    // deterministic bounds boolean (lgK=12 → rsd ~1.6%; 10% bound).
+    val exact = orders.agg(countDistinct(col("o_custkey")).as("exact_keys"))
+    merged.crossJoin(exact)
+      .select(
+        col("n_buckets"),
+        col("exact_keys"),
+        (abs(col("merged_est") - col("exact_keys")) <=
+          col("exact_keys").cast("double") * 0.1).as("est_in_bounds"))
   }
 
   /** A3 — compaction-gain ratio (`NoTTLReader.estimateCompactionGain`,
