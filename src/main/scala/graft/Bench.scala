@@ -28,31 +28,39 @@ object Bench {
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
-    // Min of two passes per query: the per-query floor is the real plan
-    // cost; the first pass often carries one-off JIT/codegen compilation
-    // and (on a shared host) scheduler noise that isn't the query's.
+    // Min of N passes per query (SPARK_GRAFT_BENCH_RUNS, default 2): the
+    // per-query floor is the real plan cost; the first pass often carries
+    // one-off JIT/codegen compilation and (on a shared host) scheduler
+    // noise that isn't the query's. Success is tracked PER RUN so a
+    // transient first-run failure doesn't discard a valid second-run
+    // timing; a query is failed only when every run fails.
+    val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      var failed = false
-      val times = (1 to 2).map { _ =>
+      val times = (1 to nRuns).flatMap { _ =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          failed = true
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          None
         }
-        (System.nanoTime() - t0) / 1e9
       }
-      // A failed query records -1 and is excluded from the total: its
-      // fast-fail wall time would otherwise read as a fast query.
-      val dt = if (failed) -1.0 else times.min
-      System.err.println(f"[bench] $name%-24s $dt%8.2fs  (runs: ${
+      // A failed query (all runs failed) records null in the queries map
+      // and is excluded from the total: its fast-fail wall time would
+      // otherwise read as a fast query, and a -1 sentinel could be
+      // misread downstream as a (negative) duration.
+      val dt = times.reduceOption(_ min _)
+      System.err.println(f"[bench] $name%-24s ${dt.getOrElse(-1.0)}%8.2fs  (${
+        times.size}/$nRuns runs ok: ${
         times.map(t => f"$t%.2f").mkString(", ")})")
       name -> dt
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results
+      .map { case (k, v) => "\"" + k + "\":" + v.map(_.toString).getOrElse("null") }
       .mkString("{", ",", "}")
-    val failedNames = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val failedNames = results.collect { case (k, None) => "\"" + k + "\"" }
+    val total = results.flatMap(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":${
       failedNames.mkString("[", ",", "]")},"sf":"$sfDir"}""")
     spark.stop()

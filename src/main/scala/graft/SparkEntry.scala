@@ -29,6 +29,7 @@ object SparkEntry {
     "p1_ttl_strip_complex" -> (TtlOps.ttlStripComplex _),
     "w_tombstone_pairing" -> (TtlOps.tombstonePairing _),
     "s8_sorted_sink" -> (TtlOps.sortedSink _),
+    "s9_partitioned_layout" -> (TtlOps.partitionedLayout _),
     // --- scans + engine aggregates (SURVEY §2.1, §2.4) ---
     "q6_filter_pushdown" -> (ScanAggOps.q6FilterPushdown _),
     "s4_token_range_scan" -> (ScanAggOps.tokenRangeScan _),
@@ -174,9 +175,14 @@ object SparkEntry {
        |  $mhs
        | FROM h GROUP BY doc_id),
        |bands AS (
-       |$bands)
+       |$bands),
+       |ok AS (
+       | SELECT band_id, band_hash FROM bands GROUP BY band_id, band_hash
+       | HAVING count(*) BETWEEN 2 AND ${DedupOps.MaxBucketSize})
        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |FROM bands a JOIN bands b
+       |FROM bands a
+       |JOIN ok USING (band_id, band_hash)
+       |JOIN bands b
        |  ON a.band_id = b.band_id AND a.band_hash = b.band_hash
        | AND a.doc_id < b.doc_id""".stripMargin
   }
@@ -291,10 +297,14 @@ object SparkEntry {
         |       > 1705276800000000)""".stripMargin,
     "p2_cell_kind_dispatch" ->
       """SELECT event_id,
-        | CASE WHEN event_id % 3 = 0 THEN 'EXPIRING'
+        | CASE WHEN event_type = 'click' THEN 'COUNTER'
+        |      WHEN event_id % 3 = 0 THEN 'EXPIRING'
         |      WHEN event_type = 'error' THEN 'TOMBSTONE'
         |      ELSE 'PLAIN' END AS kind,
-        | value, epoch_us(ts) AS writetime_us, CAST(NULL AS INTEGER) AS ttl_s
+        | value, epoch_us(ts) AS writetime_us,
+        | CASE WHEN event_type = 'click' AND event_id % 3 = 0
+        |      THEN CAST(((event_id % 7) + 1) * 86400 AS INTEGER)
+        |      ELSE NULL END AS ttl_s
         |FROM events""".stripMargin,
     "p1_ttl_strip_complex" ->
       """SELECT event_id, 'k' AS cell_path,
@@ -314,6 +324,10 @@ object SparkEntry {
     "s8_sorted_sink" ->
       """SELECT event_id, user_id, event_type, value,
         | epoch_us(ts) AS writetime_us, CAST(NULL AS INTEGER) AS ttl_after
+        |FROM events""".stripMargin,
+    "s9_partitioned_layout" ->
+      """SELECT 'graft' AS keyspace, 'events' AS tbl,
+        | count(*) AS n_rows, TRUE AS path_ok
         |FROM events""".stripMargin,
     "q6_filter_pushdown" ->
       """SELECT
@@ -648,7 +662,7 @@ object SparkEntry {
     "sim_ann_ivf" -> annIvfSql,
     "sim_lsh_join" -> lshJoinSql,
     "d_ngram_jaccard" ->
-      """WITH docs AS (
+      ("""WITH docs AS (
         | SELECT doc_id, source,
         |  string_split_regex(trim(text), '\s+') AS t
         | FROM documents),
@@ -659,17 +673,23 @@ object SparkEntry {
         | FROM docs),
         |sized AS (SELECT doc_id, source, s, len(s) AS n_sh FROM sh),
         |inv AS (SELECT doc_id, source, n_sh, unnest(s) AS shingle FROM sized),
+        |ok AS (
+        | SELECT source, shingle FROM inv GROUP BY source, shingle
+        | HAVING count(*) BETWEEN 2 AND """.stripMargin +
+      s"""${DedupOps.MaxPostingSize}),
         |pairs AS (
         | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  a.n_sh AS na, b.n_sh AS nb, count(*) AS inter
-        | FROM inv a JOIN inv b
+        | FROM inv a
+        | JOIN ok USING (source, shingle)
+        | JOIN inv b
         |   ON a.source = b.source AND a.shingle = b.shingle
         |  AND a.doc_id < b.doc_id
         | GROUP BY 1, 2, 3, 4)
         |SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter,
         | round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard
         |FROM pairs
-        |WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) >= 0.8""".stripMargin,
+        |WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) >= 0.8""".stripMargin),
     "sim_cosine_topk" ->
       """WITH v AS (
         | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

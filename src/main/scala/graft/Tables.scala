@@ -20,6 +20,14 @@ object Tables {
     * as epoch-nanos (full precision, orderable, arithmetic-friendly) and
     * derive epoch-micros columns where outputs need them. Set here (not
     * only in our mains) so the driver's own SparkSession works too.
+    *
+    * CONTRACT NOTE: load() mutates two session confs on the caller's
+    * SparkSession — `nanosAsLong` and `session.timeZone=UTC`. This is
+    * deliberate (the driver harness builds its own session and never
+    * touches our mains, so the only place we can pin them is here), but
+    * it means a host application embedding this library shares those
+    * settings session-wide. Embedders who need another timezone should
+    * run graft ops in a dedicated session (`spark.newSession()`).
     */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

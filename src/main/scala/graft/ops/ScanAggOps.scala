@@ -72,17 +72,26 @@ object ScanAggOps {
 
   /** S2 — filename → table identity (`Descriptor.fromFilename`,
     * `Cassandra3TTLRemover.java:45`) via the file-source `_metadata`
-    * column instead of parsing paths by hand. The table name is taken
-    * from the `<table>.parquet` path segment (not the leaf file stem),
-    * so a multi-part table (directory of part files) still folds to one
-    * row per table — the leaf stems would be `part-*` names.
+    * column instead of parsing paths by hand. The table name comes from
+    * the last two path components: a multi-part table is a
+    * `<table>.parquet/` directory of `part-*.parquet` files (use the
+    * parent), a single-file table is a bare `<table>.parquet` leaf.
+    * Anchoring at the path tail — rather than the first `.parquet`
+    * segment — keeps an ancestor scratch directory that happens to end
+    * in `.parquet` from swallowing every row's identity.
     */
-  def fileIdentity(spark: SparkSession, sfDir: String): DataFrame =
+  def fileIdentity(spark: SparkSession, sfDir: String): DataFrame = {
+    val parts = split(col("_metadata.file_path"), "/")
+    val leaf = element_at(parts, -1)
+    val parent = element_at(parts, -2)
     Tables.load(spark, sfDir, "events")
-      .select(regexp_extract(col("_metadata.file_path"),
-        "/([^/]+)\\.parquet", 1).as("tbl"))
+      .select(
+        regexp_replace(
+          when(parent.endsWith(".parquet"), parent).otherwise(leaf),
+          "\\.parquet$", "").as("tbl"))
       .groupBy(col("tbl"))
       .agg(count(lit(1)).as("n_rows"))
+  }
 
   /** A2 — HLL++ distinct estimate (`NoTTLReader.getApproximateKeyCount`,
     * `NoTTLReader.java:152-216`). Spark's approx_count_distinct IS

@@ -61,7 +61,18 @@ object SimilarityOps {
     * can no longer turn the self-join quadratic.
     * The default seed is chosen so the operator demonstrates full
     * recall on the test fixture; recall at any seed follows the same
-    * banded-LSH curve. */
+    * banded-LSH curve.
+    *
+    * RECALL NOTE vs the pre-banding (label-join) semantics: the old
+    * implementation compared every same-label pair, so it was
+    * exhaustive within a label; banding makes candidate generation
+    * probabilistic — a same-label pair at cosine s is found with
+    * probability 1-(1-s^r)^b (r=2,b=4: ~0.78 at s=0.5, ~0.996 at
+    * s=0.8). Pairs above the 0.25 output threshold but at moderate
+    * similarity can be missed at an unlucky seed. That trade is what
+    * removes the unbounded-label-megacluster quadratic; EstimatorSpec
+    * asserts recall against the brute-force same-label baseline on the
+    * fixture, which documents the achieved rate. */
   val NearDupBands = 4
   val NearDupRowsPerBand = 2
   val NearDupSeed = 1L

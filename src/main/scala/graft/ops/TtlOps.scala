@@ -48,15 +48,20 @@ object TtlOps {
   }
 
   /** P2 — cell-kind dispatch (`Cassandra2TTLRemover.serializeAtom`,
-    * `Cassandra2TTLRemover.java:131-143`): EXPIRING cells are stripped to
-    * plain cells, COUNTER and TOMBSTONE cells pass through untouched.
-    * Kind is modeled deterministically from event_type.
+    * `Cassandra2TTLRemover.java:131-143`; read-side masks at
+    * `NoTTLColumnSerializer.java:26-50`): EXPIRING cells are stripped to
+    * plain cells; COUNTER (and counter-update) and TOMBSTONE cells pass
+    * through untouched — including any liveness metadata they carry,
+    * exactly as the serializer copies their bodies verbatim. Kind is
+    * modeled deterministically from event_type, with COUNTER checked
+    * first, mirroring the serializer's mask-dispatch order.
     */
   def cellKindDispatch(spark: SparkSession, sfDir: String): DataFrame = {
     val cells = CellModel.cellify(Tables.load(spark, sfDir, "events"))
       .withColumn(
         "kind",
-        when(col("ttl_s").isNotNull, "EXPIRING")
+        when(col("event_type") === "click", "COUNTER")
+          .when(col("ttl_s").isNotNull, "EXPIRING")
           .when(col("event_type") === "error", "TOMBSTONE")
           .otherwise("PLAIN"))
     cells
@@ -149,5 +154,36 @@ object TtlOps {
       .repartition(col("user_id"))
       .sortWithinPartitions(col("user_id"), col("writetime_us"),
         col("event_id"))
+  }
+
+  /** S9 — output layout `out/<ks>/<table>/` round-trip
+    * (`Cassandra3TTLRemover.java:49-55`: resolve + mkdir the
+    * keyspace/table destination dirs). Spark-first the layout IS the
+    * write: `partitionBy(keyspace, table)` creates one directory per
+    * (ks, table) and routes each row's file there. The query writes the
+    * stripped events under the layout (to a fresh temp dir — the
+    * reference keeps originals, S8's non-destructive contract), reads
+    * the files back, and proves the layout from the actual on-disk
+    * paths (`_metadata.file_path`), not just the inferred partition
+    * columns: every file must sit under `keyspace=graft/table_name=
+    * events/`, every row must survive.
+    */
+  def partitionedLayout(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft-s9-").toString
+    ttlStrip(spark, sfDir)
+      .withColumn("keyspace", lit("graft"))
+      .withColumn("table_name", lit("events"))
+      .repartition(col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("writetime_us"),
+        col("event_id"))
+      .write.partitionBy("keyspace", "table_name")
+      .mode("overwrite").parquet(out)
+    spark.read.parquet(out)
+      .groupBy(col("keyspace"), col("table_name").as("tbl"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        bool_and(col("_metadata.file_path")
+          .rlike("/keyspace=graft/table_name=events/[^/]+$"))
+          .as("path_ok"))
   }
 }

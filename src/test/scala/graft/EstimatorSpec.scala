@@ -93,6 +93,35 @@ class EstimatorSpec extends SparkSpec {
     assert(capped.exceptAll(lsh).count() === 0) // capped ⊆ uncapped
   }
 
+  test("embedding near-dup: banded-LSH recall vs the brute-force same-label baseline") {
+    // The banded bucket key makes candidate generation probabilistic
+    // (recall 1-(1-s^2)^4 per pair) where the old label-join was
+    // exhaustive within a label. This pins the achieved recall on the
+    // fixture: at the documented seed every brute-force pair above the
+    // 0.25 output threshold is recovered (full recall).
+    val lsh = SimilarityOps.embeddingNearDup(spark, sfDir)
+      .select(col("vec_a"), col("vec_b"))
+    val v = Tables.load(spark, sfDir, "embeddings")
+      .filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("e"))
+      .withColumn("nrm", sqrt(graft.functions.GraftFunctions
+        .array_dot(col("e"), col("e"))))
+    val a = v.select(col("vec_id").as("vec_a"), col("label"),
+      col("e").as("ea"), col("nrm").as("na"))
+    val b = v.select(col("vec_id").as("vec_b"), col("label"),
+      col("e").as("eb"), col("nrm").as("nb"))
+    val brute = a.join(b, Seq("label"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos", graft.functions.GraftFunctions
+        .array_dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .filter(col("cos") > 0.25)
+      .select(col("vec_a"), col("vec_b"))
+    val missed = brute.exceptAll(lsh).count()
+    assert(missed === 0,
+      s"$missed same-label pairs above threshold missed by banded LSH")
+  }
+
   test("LSH-ANN results are a subset of brute-force candidates with sane cosines") {
     val ann = SimilarityOps.annLsh(spark, sfDir)
     assert(ann.filter(col("cos_sim") > 1.000001 || col("cos_sim") < -1.000001)

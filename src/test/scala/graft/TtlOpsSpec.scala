@@ -43,7 +43,7 @@ class TtlOpsSpec extends SparkSpec {
     assert(expired.count() > 0, "test data must contain expired rows")
   }
 
-  test("cellKindDispatch strips EXPIRING only; PLAIN/TOMBSTONE pass through") {
+  test("cellKindDispatch strips EXPIRING only; COUNTER/PLAIN/TOMBSTONE pass through") {
     val out = TtlOps.cellKindDispatch(spark, sfDir)
     assert(out.filter(col("kind") === "EXPIRING" && col("ttl_s").isNotNull)
       .count() === 0)
@@ -54,6 +54,13 @@ class TtlOpsSpec extends SparkSpec {
     assert(passthrough.exceptAll(
       cells.join(passthrough.select("event_id"), "event_id")
         .select(col("event_id"), col("ttl_s"))).count() === 0)
+    // counter cells exist and pass through verbatim even when they carry
+    // liveness metadata (NoTTLColumnSerializer.java:26-50: counter body
+    // copied untouched) — COUNTER outranks EXPIRING in the dispatch
+    val counters = out.filter(col("kind") === "COUNTER")
+    assert(counters.count() > 0)
+    assert(counters.filter(col("ttl_s").isNotNull).count() > 0,
+      "some counter cells must retain their (untouched) TTL metadata")
   }
 
   test("tombstonePairing: opens precede closes, one pair per two markers") {
