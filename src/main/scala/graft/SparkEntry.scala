@@ -27,9 +27,11 @@ object SparkEntry {
     "s7_visible_at" -> (TtlOps.visibleAt _),
     "p2_cell_kind_dispatch" -> (TtlOps.cellKindDispatch _),
     "p1_ttl_strip_complex" -> (TtlOps.ttlStripComplex _),
+    "p1_generic_strip" -> (TtlOps.genericStrip _),
     "w_tombstone_pairing" -> (TtlOps.tombstonePairing _),
     "s8_sorted_sink" -> (TtlOps.sortedSink _),
     "s9_partitioned_layout" -> (TtlOps.partitionedLayout _),
+    "p1_deletion_preserve" -> (TtlOps.deletionPreserve _),
     // --- scans + engine aggregates (SURVEY §2.1, §2.4) ---
     "q6_filter_pushdown" -> (ScanAggOps.q6FilterPushdown _),
     "s4_token_range_scan" -> (ScanAggOps.tokenRangeScan _),
@@ -106,6 +108,7 @@ object SparkEntry {
     "m_frame_sample" -> (MultimodalOps.frameSample _),
     // --- structured streaming (SURVEY §7.2 step 7) ---
     "st_window_agg" -> (StreamingOps.windowAgg _),
+    "st_window_append" -> (StreamingOps.windowAggAppend _),
     "st_sessionize" -> (StreamingOps.sessionize _)
   )
 
@@ -311,6 +314,21 @@ object SparkEntry {
         | json_extract_string(props, '$.k') AS value,
         | epoch_us(ts) AS writetime_us, CAST(NULL AS INTEGER) AS ttl_s
         |FROM events""".stripMargin,
+    // generic strip: every synthesized cell (simple/map/array) comes
+    // back value+writetime intact with a NULL ttl, for a table whose
+    // columns the strip code never names
+    "p1_generic_strip" ->
+      """SELECT o_orderkey,
+        | o_totalprice AS price_value,
+        | epoch_us(o_orderdate) AS price_writetime_us,
+        | CAST(NULL AS INTEGER) AS price_ttl_s,
+        | o_orderstatus AS status_value,
+        | o_orderpriority AS priority_value,
+        | CAST(NULL AS INTEGER) AS status_ttl_s,
+        | CAST(o_custkey AS VARCHAR) AS tag0_value,
+        | o_orderstatus AS tag1_value,
+        | CAST(NULL AS INTEGER) AS tag0_ttl_s
+        |FROM orders""".stripMargin,
     "w_tombstone_pairing" ->
       """WITH m AS (
         | SELECT user_id, ts, event_id,
@@ -329,6 +347,18 @@ object SparkEntry {
       """SELECT 'graft' AS keyspace, 'events' AS tbl,
         | count(*) AS n_rows, TRUE AS path_ok
         |FROM events""".stripMargin,
+    "p1_deletion_preserve" ->
+      """SELECT user_id, event_id, 'ROW' AS kind, value,
+        | epoch_us(ts) AS writetime_us, CAST(NULL AS BIGINT) AS deletion_us
+        |FROM events WHERE user_id % 10 <> 7 AND event_type <> 'error'
+        |UNION ALL
+        |SELECT user_id, event_id, 'ROW_DELETION', CAST(NULL AS DOUBLE),
+        | epoch_us(ts), epoch_us(ts)
+        |FROM events WHERE user_id % 10 <> 7 AND event_type = 'error'
+        |UNION ALL
+        |SELECT user_id, CAST(NULL AS BIGINT), 'PARTITION_DELETION',
+        | CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT), max(epoch_us(ts))
+        |FROM events WHERE user_id % 10 = 7 GROUP BY user_id""".stripMargin,
     "q6_filter_pushdown" ->
       """SELECT
         | CAST(round(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
@@ -726,6 +756,16 @@ object SparkEntry {
         | event_type, count(*) AS n_events,
         | CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // append mode emits exactly the windows the end-of-stream watermark
+    // (max event time − 1 h) has closed: window_end <= watermark
+    "st_window_append" ->
+      """WITH m AS (SELECT max(epoch_us(ts)) AS mx FROM events)
+        |SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
+        | event_type, count(*) AS n_events,
+        | CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2
+        |HAVING window_start_us + 3600000000 <= (SELECT mx FROM m) - 3600000000""".stripMargin,
     "st_sessionize" ->
       """WITH g AS (
         | SELECT user_id, ts, event_id,

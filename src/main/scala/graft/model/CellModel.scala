@@ -2,6 +2,7 @@ package graft.model
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
 
 /** Cassandra-style cell/liveness modeling on DataFrames.
   *
@@ -40,6 +41,9 @@ object CellModel {
   val eventsMeta: TableMeta =
     TableMeta("graft", "events", Seq("user_id"), Seq("ts", "event_id"))
 
+  val ordersMeta: TableMeta =
+    TableMeta("graft", "orders", Seq("o_orderkey"), Seq.empty)
+
   /** Deterministic TTL seconds for an event row; null = NO_TTL. */
   def ttlSeconds(eventId: Column): Column =
     when(eventId % 3 === 0, ((eventId % 7) + 1).cast("int") * 86400)
@@ -73,11 +77,87 @@ object CellModel {
   /** P1: the core TTL-strip projection — keep value + writetime, drop
     * ttl/expiration (`Cassandra3TTLRemover.serializeRow`,
     * `Cassandra3TTLRemover.java:167-196`). Pure struct rewrite; stays
-    * inside whole-stage codegen (no UDF). */
+    * inside whole-stage codegen (no UDF). Works on any cell-struct
+    * Column, including `transform`/`transform_values` lambda variables,
+    * so one definition serves simple, map and array cells. */
   def stripCell(cell: Column): Column =
     struct(
       cell.getField("value").as("value"),
       cell.getField("writetime_us").as("writetime_us"),
       lit(null).cast("int").as("ttl_s"),
       lit(null).cast("long").as("expire_us"))
+
+  /** The canonical cell field names. A column "is a cell" iff its
+    * struct carries exactly these fields — the value type is free,
+    * matching the reference's type-generic ByteBuffer copy
+    * (`Cassandra3TTLRemover.java:185,189`: values are never inspected).
+    */
+  val CellFieldNames: Set[String] =
+    Set("value", "writetime_us", "ttl_s", "expire_us")
+
+  /** Structural cell-type test, the schema-driven stand-in for the
+    * reference's runtime CQL parse deciding which columns carry
+    * liveness (`Cassandra3TTLRemover.java:63-75`). */
+  def isCellStruct(dt: DataType): Boolean = dt match {
+    case s: StructType => s.fieldNames.toSet == CellFieldNames
+    case _ => false
+  }
+
+  /** Wrap a scalar column into a cell struct with deterministic
+    * liveness: writetime from `writetimeUs`, TTL synthesized from
+    * `ttlKey` via [[ttlSeconds]] (null = NO_TTL). The generic
+    * cellifier for any table — [[cellify]] is its events-shaped
+    * instance. */
+  def mkCell(value: Column, writetimeUs: Column, ttlKey: Column): Column = {
+    val ttl = ttlSeconds(ttlKey)
+    struct(
+      value.as("value"),
+      writetimeUs.as("writetime_us"),
+      ttl.as("ttl_s"),
+      (writetimeUs + ttl.cast("long") * 1000000L).as("expire_us"))
+  }
+
+  /** Schema-generic TTL strip: rewrite EVERY cell-typed column of an
+    * arbitrary DataFrame — simple `struct<cell>`, `map<k, cell>`
+    * (map-key CellPath) and `array<cell>` (list-index / set-element
+    * CellPath) — to its NO_TTL form, leaving key and non-cell columns
+    * untouched. This is the reference's CQL-generic core
+    * (`Cassandra3TTLRemover.java:63-75` parses any CREATE TABLE at run
+    * time; `:167-196` rewrites whatever columns it declared, with
+    * `:180-186` dispatching on `cdef.isComplex()`/`cell.path()`)
+    * re-expressed as a StructType walk: the DataFrame's own schema IS
+    * the parsed DDL. Column order, names and row count are preserved;
+    * everything stays a declarative projection (codegen-friendly
+    * `transform`/`transform_values`, no UDF), so Catalyst still prunes
+    * and pushes filters below the strip.
+    *
+    * `meta` contributes validation: its partition/clustering keys must
+    * exist in the schema and must not themselves be cell-typed (the
+    * reference's primary keys never carry liveness — only regular
+    * cells do).
+    */
+  def stripAll(df: DataFrame, meta: TableMeta): DataFrame = {
+    val fieldsByName = df.schema.fields.map(f => f.name -> f).toMap
+    (meta.partitionKeys ++ meta.clusteringKeys).foreach { k =>
+      val f = fieldsByName.getOrElse(
+        k,
+        throw new IllegalArgumentException(
+          s"key column '$k' of ${meta.keyspace}.${meta.table} missing " +
+            s"from schema ${df.schema.simpleString}"))
+      require(!isCellStruct(f.dataType),
+        s"key column '$k' must not be cell-typed")
+    }
+    val cols = df.schema.fields.map { f =>
+      f.dataType match {
+        case dt if isCellStruct(dt) =>
+          stripCell(col(f.name)).as(f.name)
+        case MapType(_, v, _) if isCellStruct(v) =>
+          transform_values(col(f.name), (_, c) => stripCell(c)).as(f.name)
+        case ArrayType(v, _) if isCellStruct(v) =>
+          transform(col(f.name), c => stripCell(c)).as(f.name)
+        case _ => col(f.name)
+      }
+    }
+    df.select(cols.toIndexedSeq: _*)
+  }
 }

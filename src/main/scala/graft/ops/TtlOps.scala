@@ -20,11 +20,12 @@ object TtlOps {
   /** P1 — TTL-strip row projection (`Cassandra3TTLRemover.java:167-196`).
     * Every cell is rewritten to (same value, same writetime, NO_TTL);
     * row identity, ordering and values are preserved byte-for-byte.
+    * Runs through the schema-generic [[CellModel.stripAll]] — the
+    * events table is just one instance of the generic strip.
     */
   def ttlStrip(spark: SparkSession, sfDir: String): DataFrame = {
     val cells = CellModel.cellify(Tables.load(spark, sfDir, "events"))
-    cells
-      .withColumn("cell", CellModel.stripCell(col("cell")))
+    CellModel.stripAll(cells, CellModel.eventsMeta)
       .select(
         col("event_id"),
         col("user_id"),
@@ -116,6 +117,47 @@ object TtlOps {
         col("value.ttl_s").as("ttl_s"))
   }
 
+  /** P1 generic — the schema-generic strip over a SECOND table
+    * (orders), proving no operator code is tied to the events columns:
+    * the table is cellified into one simple cell (`price`), one
+    * map-of-cells (`attrs` — map-key CellPath), and one array-of-cells
+    * (`tags` — list-index CellPath; a set would be the same array with
+    * element-valued cells), then [[CellModel.stripAll]] rewrites all
+    * three purely from the schema. The reference achieves the same
+    * genericity by parsing the user's CREATE TABLE at run time
+    * (`Cassandra3TTLRemover.java:63-75,167-196`); here the DataFrame
+    * schema is that DDL. Output is flattened back to scalars so the
+    * SQL oracle can reproduce it.
+    */
+  def genericStrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.load(spark, sfDir, "orders")
+    val wt = unix_micros(col("o_orderdate").cast("timestamp"))
+    val key = col("o_orderkey")
+    val cellified = o.select(
+      key,
+      CellModel.mkCell(col("o_totalprice"), wt, key).as("price"),
+      map(
+        lit("status"), CellModel.mkCell(col("o_orderstatus"), wt, key + 1),
+        lit("priority"),
+        CellModel.mkCell(col("o_orderpriority"), wt, key + 2)).as("attrs"),
+      array(
+        CellModel.mkCell(col("o_custkey").cast("string"), wt, key + 3),
+        CellModel.mkCell(col("o_orderstatus"), wt, key + 4)).as("tags"))
+    val stripped = CellModel.stripAll(cellified, CellModel.ordersMeta)
+    stripped.select(
+      col("o_orderkey"),
+      col("price.value").as("price_value"),
+      col("price.writetime_us").as("price_writetime_us"),
+      col("price.ttl_s").as("price_ttl_s"),
+      element_at(col("attrs"), "status").getField("value").as("status_value"),
+      element_at(col("attrs"), "priority").getField("value")
+        .as("priority_value"),
+      element_at(col("attrs"), "status").getField("ttl_s").as("status_ttl_s"),
+      element_at(col("tags"), 1).getField("value").as("tag0_value"),
+      element_at(col("tags"), 2).getField("value").as("tag1_value"),
+      element_at(col("tags"), 1).getField("ttl_s").as("tag0_ttl_s"))
+  }
+
   /** §2.5 — range-tombstone open/close pairing. The reference walks a
     * partition stream holding the open bound until the matching close
     * marker arrives (`Cassandra3TTLRemover.java:124-136`). Spark-first:
@@ -154,6 +196,66 @@ object TtlOps {
       .repartition(col("user_id"))
       .sortWithinPartitions(col("user_id"), col("writetime_us"),
         col("event_id"))
+  }
+
+  /** Deletion semantics end-to-end (SURVEY §1.1 rows 6-8, §7.4 item 3):
+    * row deletions and partition deletions are first-class ROWS with a
+    * `kind` discriminator that survive strip → sort → sink — never
+    * modeled as grouped state a transform could silently drop.
+    *
+    * Reference behavior being preserved:
+    *  - row deletions re-attach verbatim after the strip
+    *    (`Cassandra3TTLRemover.java:193` `addRowDeletion`);
+    *  - partitions containing ONLY deletion info still appear in the
+    *    output (`Cassandra3TTLRemover.java:107-111` "keep partitions
+    *    with no rows") — the classic failure mode is a groupBy/
+    *    flatMapGroups that emits nothing for keyless groups.
+    *
+    * Deterministic modeling on events: partitions (users) with
+    * `user_id % 10 = 7` carry a partition-level deletion stamped with
+    * the partition's max writetime (it supersedes every row, so their
+    * rows drop and ONE marker row survives — the zero-row partition);
+    * 'error' events are row deletions (value nulled, deletion time =
+    * writetime, liveness untouched by the strip); all other rows are
+    * live and TTL-stripped via the schema-generic [[CellModel.stripAll]].
+    * The union then takes the S8 sorted-sink shape: one shuffle on the
+    * partition key, partition-local sort — deletion markers ride the
+    * same layout as data rows at any scale.
+    */
+  def deletionPreserve(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = CellModel.cellify(Tables.load(spark, sfDir, "events"))
+    val partitionDeleted = col("user_id") % 10 === 7
+    val live = CellModel
+      .stripAll(cells.filter(!partitionDeleted && col("event_type") =!= "error"),
+        CellModel.eventsMeta)
+      .select(
+        col("user_id"), col("event_id"), lit("ROW").as("kind"),
+        col("cell.value").as("value"),
+        col("cell.writetime_us").as("writetime_us"),
+        lit(null).cast("long").as("deletion_us"))
+    val rowDeletions = cells
+      .filter(!partitionDeleted && col("event_type") === "error")
+      .select(
+        col("user_id"), col("event_id"), lit("ROW_DELETION").as("kind"),
+        lit(null).cast("double").as("value"),
+        col("writetime_us"),
+        col("writetime_us").as("deletion_us"))
+    val partitionDeletions = cells
+      .filter(partitionDeleted)
+      .groupBy(col("user_id"))
+      .agg(max(col("writetime_us")).as("deletion_us"))
+      .select(
+        col("user_id"), lit(null).cast("long").as("event_id"),
+        lit("PARTITION_DELETION").as("kind"),
+        lit(null).cast("double").as("value"),
+        lit(null).cast("long").as("writetime_us"),
+        col("deletion_us"))
+    live
+      .unionByName(rowDeletions)
+      .unionByName(partitionDeletions)
+      .repartition(col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("kind"),
+        col("writetime_us"), col("event_id"))
   }
 
   /** S9 — output layout `out/<ks>/<table>/` round-trip

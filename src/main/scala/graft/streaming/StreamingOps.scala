@@ -61,29 +61,48 @@ object StreamingOps {
     spark.table(name)
   }
 
-  /** Watermarked tumbling-window aggregation: events bucketed into 1 h
-    * event-time windows per event_type; 1 h watermark bounds state at
-    * scale (late events beyond it are dropped). Complete output mode so
+  /** The shared windowed-aggregation plan: 1 h event-time tumbling
+    * windows per event_type behind a 1 h watermark. */
+  private def windowAggPlan(src: DataFrame): DataFrame = {
+    // nanos → micros via integer div: float division loses precision
+    // above 2^53 and epoch-nanos are ~1.7e18
+    val evt = src.withColumn("ets", timestamp_micros(expr("ts div 1000")))
+    evt
+      .withWatermark("ets", "1 hour")
+      .groupBy(window(col("ets"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(18,2)")), 2)
+          .cast("double").as("sum_value"))
+      .select(
+        unix_micros(col("window.start")).as("window_start_us"),
+        col("event_type"), col("n_events"), col("sum_value"))
+  }
+
+  /** Watermarked tumbling-window aggregation, Complete output mode so
     * the trailing (not-yet-finalized) windows are emitted too — with
     * AvailableNow the stream ends before the watermark passes them, and
-    * a batch-comparable result needs every window.
+    * a batch-comparable result needs every window. Complete mode keeps
+    * ALL window state for the life of the query: correct and bounded
+    * under AvailableNow backfills (the registered shape), unbounded on
+    * a true endless stream — [[windowAggAppend]] is the production
+    * variant for that.
     */
   def windowAgg(spark: SparkSession, sfDir: String): DataFrame =
-    runToMemory(spark, src => {
-      // nanos → micros via integer div: float division loses precision
-      // above 2^53 and epoch-nanos are ~1.7e18
-      val evt = src.withColumn("ets", timestamp_micros(expr("ts div 1000")))
-      evt
-        .withWatermark("ets", "1 hour")
-        .groupBy(window(col("ets"), "1 hour"), col("event_type"))
-        .agg(
-          count(lit(1)).as("n_events"),
-          round(sum(col("value").cast("decimal(18,2)")), 2)
-            .cast("double").as("sum_value"))
-        .select(
-          unix_micros(col("window.start")).as("window_start_us"),
-          col("event_type"), col("n_events"), col("sum_value"))
-    }, sfDir, OutputMode.Complete())
+    runToMemory(spark, windowAggPlan, sfDir, OutputMode.Complete())
+
+  /** Append-mode variant: emits each window exactly once, when the
+    * watermark passes it, and EVICTS its state — per-key state is
+    * bounded by (windows in flight × keys), not by stream lifetime,
+    * which makes this the shape to point at an unbounded landing zone.
+    * Under AvailableNow the final no-data batch finalizes every window
+    * the end-of-stream watermark (max event time − 1 h) has closed;
+    * trailing windows at/above it stay in state (checkpointed for the
+    * next incremental run) and are not emitted — deterministic here,
+    * so the oracle can reproduce the emitted set exactly.
+    */
+  def windowAggAppend(spark: SparkSession, sfDir: String): DataFrame =
+    runToMemory(spark, windowAggPlan, sfDir, OutputMode.Append())
 
   final case class Evt(event_id: Long, user_id: Long, ts: Long)
   final case class Session(
@@ -105,6 +124,15 @@ object StreamingOps {
         .flatMapGroupsWithState[Long, Session](
           OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
           (userId: Long, events: Iterator[Evt], state: GroupState[Long]) =>
+            // MEMORY BOUND: this buffers ONE user's events from ONE
+            // micro-batch (16 bytes/row + boxing) — bounded by
+            // maxFilesPerTrigger × rows-per-file ÷ keys, NOT by stream
+            // or key lifetime. The sort is required for correctness
+            // (the shuffle does not deliver event-time order) and a
+            // chunked fold cannot replace it: session splitting needs
+            // the batch's full per-user timeline. A hot key in a huge
+            // micro-batch is mitigated operationally by lowering
+            // maxFilesPerTrigger; cross-batch state stays one long.
             val sorted = events.toArray.sortBy(e => (e.ts, e.event_id))
             val gapUs = 3600000000L
             var sessionId = state.getOption.getOrElse(0L)

@@ -1,7 +1,10 @@
 package graft
 
 import graft.model.CellModel
+import graft.model.CellModel.TableMeta
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, MapType}
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 
@@ -70,6 +73,120 @@ class PropertySpec extends SparkSpec {
         .filter(CellModel.isLive(col("cell"), CellModel.NowMicros))
         .join(expired.select("event_id"), Seq("event_id"), "left_semi")
       assert(visibleAfter.count() === expiredCount)
+    }
+  }
+
+  // ---- schema-generic strip over ScalaCheck-GENERATED SCHEMAS ----
+  // The reference accepts any CREATE TABLE at run time
+  // (Cassandra3TTLRemover.java:63-75); stripAll's analogue is accepting
+  // any StructType. These cases generate arbitrary column sets (scalar
+  // long/string, simple cell, map-of-cells, array-of-cells, in random
+  // arrangement) and assert the strip's invariants hold for every one.
+
+  private val shapePool =
+    Vector("scalar_long", "scalar_str", "cell_double", "cell_str",
+      "map_cells", "array_cells")
+
+  private def genShapes: Gen[List[(String, String)]] = for {
+    n <- Gen.chooseNum(2, 6)
+    kinds <- Gen.listOfN(n, Gen.oneOf(shapePool))
+  } yield kinds.zipWithIndex.map { case (k, i) => (s"c$i", k) }
+
+  private def buildColumn(name: String, kind: String, k: Int): Column = {
+    val wt = lit(CellModel.NowMicros) + col("id") * 1000L
+    def cellD(off: Int) =
+      CellModel.mkCell(col("id") * 1.5 + off, wt, col("id") + off)
+    def cellS(off: Int) =
+      CellModel.mkCell(concat(lit(s"x$off-"), col("id") % 7), wt,
+        col("id") + off)
+    (kind match {
+      case "scalar_long" => col("id") * (k + 3)
+      case "scalar_str" => concat(lit(s"v$k-"), col("id") % 13)
+      case "cell_double" => cellD(k)
+      case "cell_str" => cellS(k)
+      case "map_cells" =>
+        map(lit("a"), cellS(k), lit("b"), cellS(k + 1))
+      case "array_cells" => array(cellD(k), cellD(k + 1))
+    }).as(name)
+  }
+
+  /** Projection keeping only (value, writetime) of every cell — the
+    * parts the strip must preserve. Maps become sorted entry arrays
+    * (set ops/equality don't support MapType). */
+  private def valueView(df: DataFrame): DataFrame = {
+    def keep(c: Column) =
+      struct(c.getField("value"), c.getField("writetime_us"))
+    val cols = df.schema.fields.map { f =>
+      f.dataType match {
+        case dt if CellModel.isCellStruct(dt) => keep(col(f.name)).as(f.name)
+        case MapType(_, v, _) if CellModel.isCellStruct(v) =>
+          map_entries(transform_values(col(f.name), (_, c) => keep(c)))
+            .as(f.name)
+        case ArrayType(v, _) if CellModel.isCellStruct(v) =>
+          transform(col(f.name), keep _).as(f.name)
+        case _ => col(f.name)
+      }
+    }
+    df.select(cols.toIndexedSeq: _*)
+  }
+
+  /** Per-column predicate: some cell in the row still carries a TTL. */
+  private def anyTtl(df: DataFrame): Option[Column] =
+    df.schema.fields.flatMap { f =>
+      f.dataType match {
+        case dt if CellModel.isCellStruct(dt) =>
+          Some(col(f.name).getField("ttl_s").isNotNull)
+        case MapType(_, v, _) if CellModel.isCellStruct(v) =>
+          Some(exists(map_values(col(f.name)),
+            c => c.getField("ttl_s").isNotNull))
+        case ArrayType(v, _) if CellModel.isCellStruct(v) =>
+          Some(exists(col(f.name), c => c.getField("ttl_s").isNotNull))
+        case _ => None
+      }
+    }.reduceOption(_ || _)
+
+  for (seed <- Seq(7L, 99L, 20260812L)) {
+    test(s"stripAll invariants hold on a generated schema (seed=$seed)") {
+      val shapes0 = genShapes
+        .apply(Gen.Parameters.default, Seed(seed))
+        .getOrElse(sys.error("gen failed"))
+      // guarantee at least one cell-typed column so the strip has work
+      val shapes =
+        if (shapes0.exists(s => !s._2.startsWith("scalar_"))) shapes0
+        else shapes0 :+ (s"c${shapes0.size}", "cell_double")
+      val df = spark.range(300).toDF("id").select(
+        col("id") +: shapes.zipWithIndex.map { case ((n, k), i) =>
+          buildColumn(n, k, i)
+        }: _*)
+      val stripped =
+        CellModel.stripAll(df, TableMeta("graft", "gen", Seq("id"), Nil))
+
+      // schema shape preserved (names, order, types)
+      assert(stripped.schema.map(f => (f.name, f.dataType.simpleString)) ===
+        df.schema.map(f => (f.name, f.dataType.simpleString)))
+      // row count preserved
+      assert(stripped.count() === df.count())
+      // the input actually had TTLs to strip...
+      assert(df.filter(anyTtl(df).get).count() > 0)
+      // ...and none survive, in any cell of any shape
+      assert(stripped.filter(anyTtl(stripped).get).count() === 0)
+      // values + writetimes byte-identical across the whole schema
+      val before = valueView(df)
+      val after = valueView(stripped)
+      assert(before.exceptAll(after).count() === 0)
+      assert(after.exceptAll(before).count() === 0)
+    }
+  }
+
+  test("stripAll rejects missing or cell-typed key columns") {
+    val df = spark.range(10).toDF("id")
+      .withColumn("c", CellModel.mkCell(col("id") * 2.0,
+        lit(CellModel.NowMicros), col("id")))
+    intercept[IllegalArgumentException] {
+      CellModel.stripAll(df, TableMeta("graft", "bad", Seq("nope"), Nil))
+    }
+    intercept[IllegalArgumentException] {
+      CellModel.stripAll(df, TableMeta("graft", "bad", Seq("c"), Nil))
     }
   }
 }

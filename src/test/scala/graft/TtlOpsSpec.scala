@@ -74,6 +74,34 @@ class TtlOpsSpec extends SparkSpec {
     assert(pairs.count() === expected)
   }
 
+  test("deletionPreserve: every input partition survives, incl. deletion-only ones") {
+    val ev = Tables.load(spark, sfDir, "events")
+    val out = TtlOps.deletionPreserve(spark, sfDir)
+    // the §7.4-item-3 invariant: no grouped transform may drop a
+    // partition — every input user_id appears in the output
+    val inUsers = ev.select("user_id").distinct()
+    val outUsers = out.select("user_id").distinct()
+    assert(inUsers.exceptAll(outUsers).count() === 0)
+    assert(outUsers.exceptAll(inUsers).count() === 0)
+    // deletion-only partitions exist, carry exactly one marker row and
+    // zero data rows (partition deletion supersedes all rows)
+    val deleted = out.filter(col("user_id") % 10 === 7)
+    assert(deleted.filter(col("kind") === "PARTITION_DELETION").count() > 0)
+    assert(deleted.filter(col("kind") =!= "PARTITION_DELETION").count() === 0)
+    assert(deleted.groupBy("user_id").count()
+      .filter(col("count") =!= 1).count() === 0)
+    // row deletions survive verbatim (value nulled, liveness untouched)
+    val rowDel = out.filter(col("kind") === "ROW_DELETION")
+    assert(rowDel.count() ===
+      ev.filter(col("user_id") % 10 =!= 7 && col("event_type") === "error")
+        .count())
+    assert(rowDel.filter(col("deletion_us") =!= col("writetime_us"))
+      .count() === 0)
+    // live rows are stripped: no TTL info in the output schema's kind=ROW
+    assert(out.filter(col("kind") === "ROW" && col("deletion_us").isNotNull)
+      .count() === 0)
+  }
+
   test("sortedSink: partition-local order by (user_id, writetime_us, event_id)") {
     import org.apache.spark.sql.Row
     val ds = TtlOps.sortedSink(spark, sfDir)
