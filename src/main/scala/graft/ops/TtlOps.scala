@@ -225,21 +225,24 @@ object TtlOps {
   def deletionPreserve(spark: SparkSession, sfDir: String): DataFrame = {
     val cells = CellModel.cellify(Tables.load(spark, sfDir, "events"))
     val partitionDeleted = col("user_id") % 10 === 7
-    val live = CellModel
-      .stripAll(cells.filter(!partitionDeleted && col("event_type") =!= "error"),
-        CellModel.eventsMeta)
+    val isRowDeletion = col("event_type") === "error"
+    // Live rows and row deletions come off ONE scan: disjoint row
+    // classes with the same output schema are a conditional projection,
+    // not a union of two scans — Spark does not share FileScans across
+    // union branches, so a two-branch formulation reads the fact table
+    // twice at 100 TB. The strip runs first (schema-generic); the
+    // deletion projection only consumes fields the strip preserves
+    // (value, writetime), so deletion liveness is untouched by it.
+    val rows = CellModel
+      .stripAll(cells.filter(!partitionDeleted), CellModel.eventsMeta)
       .select(
-        col("user_id"), col("event_id"), lit("ROW").as("kind"),
-        col("cell.value").as("value"),
+        col("user_id"), col("event_id"),
+        when(isRowDeletion, "ROW_DELETION").otherwise("ROW").as("kind"),
+        when(isRowDeletion, lit(null).cast("double"))
+          .otherwise(col("cell.value")).as("value"),
         col("cell.writetime_us").as("writetime_us"),
-        lit(null).cast("long").as("deletion_us"))
-    val rowDeletions = cells
-      .filter(!partitionDeleted && col("event_type") === "error")
-      .select(
-        col("user_id"), col("event_id"), lit("ROW_DELETION").as("kind"),
-        lit(null).cast("double").as("value"),
-        col("writetime_us"),
-        col("writetime_us").as("deletion_us"))
+        when(isRowDeletion, col("cell.writetime_us"))
+          .otherwise(lit(null).cast("long")).as("deletion_us"))
     val partitionDeletions = cells
       .filter(partitionDeleted)
       .groupBy(col("user_id"))
@@ -250,8 +253,7 @@ object TtlOps {
         lit(null).cast("double").as("value"),
         lit(null).cast("long").as("writetime_us"),
         col("deletion_us"))
-    live
-      .unionByName(rowDeletions)
+    rows
       .unionByName(partitionDeletions)
       .repartition(col("user_id"))
       .sortWithinPartitions(col("user_id"), col("kind"),

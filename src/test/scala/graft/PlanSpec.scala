@@ -48,6 +48,22 @@ class PlanSpec extends SparkSpec {
       s"UDF in the hot path:\n$p")
   }
 
+  test("filters above the schema-generic strip still reach the parquet scan") {
+    // stripAll is a select, not an opaque function — Catalyst must push
+    // a key-column predicate written ABOVE the strip down through it
+    // into PushedFilters. At 100 TB this is the difference between a
+    // pruned scan and reading the world before stripping it.
+    import org.apache.spark.sql.functions.col
+    val cells = graft.model.CellModel.cellify(
+      Tables.load(spark, sfDir, "events"))
+    val p = plan(
+      graft.model.CellModel.stripAll(cells, graft.model.CellModel.eventsMeta)
+        .filter(col("user_id") === 42L))
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("user_id"),
+      s"key filter not pushed below stripAll: $pushed\n$p")
+  }
+
   test("similarity dot product is the native ArrayDot expression, codegen'd") {
     val p = plan(graft.ops.SimilarityOps.cosineTopK(spark, sfDir))
     assert(p.contains("array_dot"), s"ArrayDot not in plan:\n$p")
