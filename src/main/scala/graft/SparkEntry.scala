@@ -106,6 +106,8 @@ object SparkEntry {
     // --- multimodal plumbing ---
     "m_media_decode" -> (MultimodalOps.mediaDecode _),
     "m_frame_sample" -> (MultimodalOps.frameSample _),
+    "m_resize" -> (MultimodalOps.resize _),
+    "m_feature_extract" -> (MultimodalOps.featureExtract _),
     // --- structured streaming (SURVEY §7.2 step 7) ---
     "st_window_agg" -> (StreamingOps.windowAgg _),
     "st_window_append" -> (StreamingOps.windowAggAppend _),
@@ -751,6 +753,32 @@ object SparkEntry {
         |SELECT doc_id, CAST(unnest(range(n_frames)) AS INTEGER) AS frame_idx,
         | n_frames
         |FROM m""".stripMargin,
+    "m_resize" ->
+      """WITH m AS (
+        | SELECT doc_id,
+        |  CAST(strlen(text) % 64 + 16 AS INTEGER) AS width,
+        |  CAST(strlen(text) % 48 + 16 AS INTEGER) AS height
+        | FROM documents)
+        |SELECT doc_id, width, height,
+        | CAST(width * 32 // greatest(width, height) AS BIGINT) AS out_w,
+        | CAST(height * 32 // greatest(width, height) AS BIGINT) AS out_h,
+        | CAST((width * 32 // greatest(width, height))
+        |   * (height * 32 // greatest(width, height)) * 3 AS BIGINT)
+        |   AS out_bytes
+        |FROM m""".stripMargin,
+    "m_feature_extract" ->
+      """WITH m AS (
+        | SELECT doc_id, CAST(strlen(text) % 8 + 1 AS INTEGER) AS n_frames
+        | FROM documents),
+        |f AS (
+        | SELECT doc_id, CAST(unnest(range(n_frames)) AS INTEGER) AS frame_idx
+        | FROM m)
+        |SELECT doc_id, frame_idx,
+        | CAST(((doc_id * 31 + frame_idx) * 17 + 0) % 1000 AS DOUBLE) / 1000.0 AS f0,
+        | CAST(((doc_id * 31 + frame_idx) * 17 + 1) % 1000 AS DOUBLE) / 1000.0 AS f1,
+        | CAST(((doc_id * 31 + frame_idx) * 17 + 2) % 1000 AS DOUBLE) / 1000.0 AS f2,
+        | CAST(((doc_id * 31 + frame_idx) * 17 + 3) % 1000 AS DOUBLE) / 1000.0 AS f3
+        |FROM f""".stripMargin,
     "st_window_agg" ->
       """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
         | event_type, count(*) AS n_events,

@@ -66,4 +66,40 @@ object MultimodalOps {
       .select(col("doc_id"), col("n_frames"),
         posexplode(sequence(lit(0), col("n_frames") - 1)))
       .select(col("doc_id"), col("col").as("frame_idx"), col("n_frames"))
+
+  /** Resize planning: fit each decoded asset into a 32×32 box
+    * preserving aspect ratio. Pure integer arithmetic (`DIV`) so the
+    * result is bit-identical on any engine — no float rounding. This
+    * is the metadata half of a resize; the pixel half is the same
+    * batched codec boundary as [[mediaDecode]] (swap `fakeDecode` for
+    * decode+scale), which is why no second stub is needed. Output
+    * bytes assume 3 bytes/px (the fake-rgb8 shape).
+    */
+  def resize(spark: SparkSession, sfDir: String): DataFrame =
+    mediaDecode(spark, sfDir)
+      .select(
+        col("doc_id"), col("width"), col("height"),
+        expr("CAST(width AS BIGINT) * 32 DIV greatest(width, height)")
+          .as("out_w"),
+        expr("CAST(height AS BIGINT) * 32 DIV greatest(width, height)")
+          .as("out_h"))
+      .withColumn("out_bytes", col("out_w") * col("out_h") * 3)
+
+  /** Per-frame feature extraction shape: each sampled frame yields a
+    * fixed-width feature vector (flattened to scalar columns f0..f3 —
+    * the schema an ANN index ingests; see SimilarityOps for the
+    * consumer side). Features are deterministic arithmetic on
+    * (doc_id, frame_idx) — a real extractor swaps the projection for a
+    * model call at the same batch boundary as the decode. Stays a pure
+    * codegen projection: zero shuffles on top of frameSample.
+    */
+  def featureExtract(spark: SparkSession, sfDir: String): DataFrame = {
+    def feat(j: Int) =
+      (((col("doc_id") * 31 + col("frame_idx")) * 17 + j) % 1000)
+        .cast("double") / 1000.0
+    frameSample(spark, sfDir)
+      .select(col("doc_id"), col("frame_idx"),
+        feat(0).as("f0"), feat(1).as("f1"), feat(2).as("f2"),
+        feat(3).as("f3"))
+  }
 }
