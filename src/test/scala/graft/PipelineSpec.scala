@@ -46,4 +46,28 @@ class PipelineSpec extends SparkSpec {
       Pipeline.removeTtlFromDir(spark, sfDir, out, CellModel.eventsMeta)
     }
   }
+
+  test("RemoverCli.parse validates flags like the reference CLI") {
+    // happy path with defaults
+    val ok = RemoverCli.parse(Array(
+      "--in", "/a", "--out", "/b", "--table", "events"))
+    assert(ok === Right(RemoverCli.CliArgs("/a", "/b", "events")))
+    // overrides
+    val full = RemoverCli.parse(Array(
+      "--in", "/a", "--out", "/b", "--table", "events",
+      "--keyspace", "ks1", "--cpus", "4"))
+    assert(full === Right(RemoverCli.CliArgs("/a", "/b", "events", "ks1", 4)))
+    // the reference's validation rules, carried over
+    assert(RemoverCli.parse(Array("--out", "/b", "--table", "t")).isLeft)
+    assert(RemoverCli.parse(Array("--in", "/a", "--table", "t")).isLeft)
+    assert(RemoverCli.parse(Array("--in", "/a", "--out", "/b")).isLeft)
+    assert(RemoverCli.parse(Array(
+      "--in", "/a", "--out", "/a", "--table", "t")).isLeft) // in == out
+    assert(RemoverCli.parse(Array(
+      "--in", "/a", "--out", "/b", "--table", "t", "--bogus", "x")).isLeft)
+    assert(RemoverCli.parse(Array(
+      "--in", "/a", "--in", "/c", "--out", "/b", "--table", "t")).isLeft)
+    assert(RemoverCli.parse(Array(
+      "--in", "/a", "--out", "/b", "--table", "t", "--cpus", "zero")).isLeft)
+  }
 }

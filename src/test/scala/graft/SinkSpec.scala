@@ -68,6 +68,26 @@ class SinkSpec extends SparkSpec {
     assert(files >= 10, s"expected >=10 files, got $files")
   }
 
+  test("S10: corrupt files in a batch are skipped, valid rows survive") {
+    // the reference's openAll tolerates corrupt SSTables
+    // (NoTTLReader.java:418-471); Spark's per-file analogue is
+    // spark.sql.files.ignoreCorruptFiles — demonstrated against a real
+    // garbage file, not just cited
+    val dir = Files.createTempDirectory("graft-s10-").toString
+    val region = Tables.load(spark, sfDir, "region")
+    region.write.mode("overwrite").parquet(dir)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/part-zzz-corrupt.snappy.parquet"),
+      "this is not a parquet file".getBytes)
+    val prev = spark.conf.get("spark.sql.files.ignoreCorruptFiles", "false")
+    spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+    try {
+      // explicit schema: inference would read the corrupt footer first
+      val n = spark.read.schema(region.schema).parquet(dir).count()
+      assert(n === region.count())
+    } finally spark.conf.set("spark.sql.files.ignoreCorruptFiles", prev)
+  }
+
   test("json and csv source formats round-trip the cell model") {
     val df = TtlOps.ttlStrip(spark, sfDir)
     val schema = df.schema
