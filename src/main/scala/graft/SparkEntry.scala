@@ -785,15 +785,21 @@ object SparkEntry {
         | CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
     // append mode emits exactly the windows the end-of-stream watermark
-    // (max event time − 1 h) has closed: window_end <= watermark
+    // has closed: window_end <= watermark, where the watermark is
+    // floor_ms(max event time) − 1 h — Spark tracks event-time stats in
+    // MILLISECONDS, so the microsecond remainder of the max timestamp
+    // never advances the watermark (StreamingSpec pins both the
+    // <=-at-equality boundary and the ms floor)
     "st_window_append" ->
-      """WITH m AS (SELECT max(epoch_us(ts)) AS mx FROM events)
+      """WITH m AS (
+        | SELECT (max(epoch_us(ts)) // 1000) * 1000 AS mx_ms_us FROM events)
         |SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
         | event_type, count(*) AS n_events,
         | CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
         |FROM events
         |GROUP BY 1, 2
-        |HAVING window_start_us + 3600000000 <= (SELECT mx FROM m) - 3600000000""".stripMargin,
+        |HAVING window_start_us + 3600000000
+        |  <= (SELECT mx_ms_us FROM m) - 3600000000""".stripMargin,
     "st_sessionize" ->
       """WITH g AS (
         | SELECT user_id, ts, event_id,

@@ -38,9 +38,11 @@ class StreamingSpec extends SparkSpec {
     val appended = StreamingOps.windowAggAppend(spark, sfDir)
     val ev = Tables.load(spark, sfDir, "events")
       .withColumn("us", expr("ts div 1000"))
-    // end-of-stream watermark = max event time − 1 h delay; a window is
+    // end-of-stream watermark = floor_ms(max event time) − 1 h delay
+    // (Spark tracks event-time stats in milliseconds); a window is
     // finalized (emitted + state evicted) iff window_end <= watermark
-    val watermarkUs = ev.agg(max("us")).head().getLong(0) - 3600000000L
+    val maxUs = ev.agg(max("us")).head().getLong(0)
+    val watermarkUs = (maxUs / 1000L) * 1000L - 3600000000L
     val closed = ev
       .groupBy((expr("us div 3600000000") * 3600000000L)
         .as("window_start_us"), col("event_type"))
@@ -53,6 +55,34 @@ class StreamingSpec extends SparkSpec {
     // and it must emit strictly fewer windows than Complete mode does
     // (the trailing, still-open windows stay in state)
     assert(appended.count() < StreamingOps.windowAgg(spark, sfDir).count())
+  }
+
+  test("append-mode emission boundary: window_end == watermark IS emitted (ms floor)") {
+    // Pins the exact eviction predicate the oracle encodes: a window
+    // whose end equals the end-of-stream watermark is finalized
+    // (<=, not <). Spark tracks event-time stats in milliseconds
+    // (the oracle floors to ms to match); for ms-aligned window ends
+    // the floor provably never flips the decision — the crafted
+    // 999 microseconds on the max event time exercise exactly that
+    // equivalence. Max event time sits one delay past window A's end.
+    import org.apache.spark.sql.functions._
+    val hourUs = 3600000000L
+    val baseUs = 1700000000L / 3600 * 3600 * 1000000L // hour-aligned
+    import spark.implicits._
+    val rows = Seq(
+      (1L, 1L, "view", 1.0, (baseUs + 10) * 1000L, "{}"), // window A
+      (2L, 1L, "view", 2.0, (baseUs + hourUs + 5) * 1000L, "{}"), // window B
+      // max: exactly A_end + 1h, plus 999us the ms-floor must drop
+      (3L, 1L, "view", 3.0, (baseUs + 2 * hourUs + 999) * 1000L, "{}"))
+      .toDF("event_id", "user_id", "event_type", "value", "ts", "props")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-boundary-").toString
+    rows.coalesce(1).write.parquet(s"$dir/events.parquet")
+    val emitted = StreamingOps.windowAggAppend(spark, dir)
+    val starts = emitted.select("window_start_us")
+      .collect().map(_.getLong(0)).toSet
+    assert(starts === Set(baseUs),
+      s"expected exactly window A ($baseUs) emitted, got $starts")
   }
 
   test("flatMapGroupsWithState sessionize equals batch window sessionize") {
