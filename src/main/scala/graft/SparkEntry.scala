@@ -41,6 +41,7 @@ object SparkEntry {
     "a2_sketch_merge" -> (ScanAggOps.sketchMerge _),
     "a3_compaction_gain" -> (ScanAggOps.compactionGain _),
     "a4_sampled_keycount" -> (ScanAggOps.sampledKeyCount _),
+    "a4_stratified_sample" -> (ScanAggOps.stratifiedSample _),
     "a5_stats_summary" -> (ScanAggOps.statsSummary _),
     "a6_scan_metrics" -> (ScanAggOps.scanMetrics _),
     // --- general analytics layer (SURVEY §7.2 step 5) ---
@@ -72,6 +73,7 @@ object SparkEntry {
     "t_langid" -> (TextOps.langId _),
     "t_fingerprint" -> (TextOps.fingerprint _),
     "t_rolling_fp" -> (TextOps.rollingFingerprint _),
+    "t_tfidf" -> (TextOps.tfidfTopTerms _),
     // --- dedup ---
     "d_exact_dedup" -> (DedupOps.exactDedup _),
     // registered sketch queries run in Md5 token-hash mode so the DuckDB
@@ -416,6 +418,18 @@ object SparkEntry {
         |FROM orders
         |WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)
         |  IN ('0','1','2','3','4','5','6','7')""".stripMargin,
+    "a4_stratified_sample" ->
+      """WITH s AS (
+        | SELECT lang,
+        |  CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+        |        AS INTEGER)
+        |       < (CASE WHEN lang = 'en' THEN 8 ELSE 4 END)
+        |       THEN 1 ELSE 0 END AS in_sample
+        | FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        | CAST(sum(in_sample) AS BIGINT) AS n_sampled,
+        | round(CAST(sum(in_sample) AS DOUBLE) / count(*), 6) AS sample_ratio
+        |FROM s GROUP BY lang""".stripMargin,
     "a5_stats_summary" ->
       """SELECT min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship,
         | count(*) AS n_rows,
@@ -684,6 +698,24 @@ object SparkEntry {
         |     t -> CAST('0x' || substr(md5(t), 1, 8) AS BIGINT))),
         |   (acc, x) -> (acc * 31 + x) % 1000000007) AS rolling_fp
         |FROM documents""".stripMargin,
+    "t_tfidf" ->
+      """WITH t AS (
+        | SELECT doc_id,
+        |  unnest(list_transform(string_split_regex(trim(text), '\s+'),
+        |    x -> lower(x))) AS term
+        | FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM t GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |s AS (
+        | SELECT tf.doc_id, tf.term,
+        |  round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS score
+        | FROM tf JOIN df USING (term), n),
+        |r AS (
+        | SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+        |   ORDER BY score DESC, term) AS INTEGER) AS rk
+        | FROM s)
+        |SELECT doc_id, term, score, rk FROM r WHERE rk <= 3""".stripMargin,
     "d_exact_dedup" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_doc_id,
         | count(*) AS n_copies

@@ -189,6 +189,31 @@ object ScanAggOps {
       .agg(count(lit(1)).as("n_sampled"))
       .withColumn("est_rows", (col("n_sampled") * 2).cast("long"))
 
+  /** A4 extension — stratified deterministic sampling: per-stratum
+    * rates (here: keep 8/16 of English documents, 4/16 of every other
+    * language — the downsample-the-majority-language move every
+    * training-data mix makes). The sample key is the md5 hex bucket of
+    * the document id — deterministic, reproducible in SQL, and
+    * independent of partitioning — so the same doc is always in or out
+    * regardless of cluster layout. One scan, one map-side-combined
+    * groupBy; rates are a projection, so at 100 TB this costs exactly
+    * one pass.
+    */
+  def stratifiedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 1),
+      16, 10).cast("int")
+    val rate = when(col("lang") === "en", 8).otherwise(4)
+    docs
+      .withColumn("in_sample", (bucket < rate).cast("int"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("in_sample")).cast("long").as("n_sampled"))
+      .withColumn("sample_ratio",
+        round(col("n_sampled").cast("double") / col("n_docs"), 6))
+  }
+
   /** A5 — per-file stats surface (`NoTTLReader.java:1912-1945`):
     * min/max timestamp, row count, mean and median of a measure.
     */

@@ -118,4 +118,37 @@ object TextOps {
         col("doc_id"),
         graft.functions.GraftFunctions.array_poly_hash(
           transform(toks(col("text")), t => h32(t))).as("rolling_fp"))
+
+  /** TF-IDF top-3 terms per document — the classic relevance signal a
+    * corpus pipeline derives before keyword filtering or topic
+    * bucketing. Shape at scale: one explode scan feeding two hash
+    * aggregations — (doc, term) term frequencies and per-term document
+    * frequencies — joined back on the term key; both shuffles carry
+    * post-aggregation rows (vocab-sized / doc×distinct-term-sized),
+    * never raw token instances twice. The corpus size joins in as a
+    * broadcast 1-row aggregate (no driver-side count). Ranking uses
+    * the ROUNDED score so cross-engine `ln` ULP differences cannot
+    * reorder near-ties; ties break on the term itself.
+    */
+  def tfidfTopTerms(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = Tables.loadBalanced(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        explode(transform(toks(col("text")), t => lower(t))).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = terms.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val n = Tables.load(spark, sfDir, "documents")
+      .agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, "term").crossJoin(broadcast(n))
+      .withColumn("score",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term"))
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("term"), col("score"), col("rk"))
+  }
 }
