@@ -85,6 +85,7 @@ object SparkEntry {
       DedupOps.simhash(s, d, DedupOps.Md5)),
     "d_ngram_jaccard" -> ((s: SparkSession, d: String) =>
       DedupOps.ngramJaccard(s, d)),
+    "d_decontaminate" -> (DedupOps.decontaminate _),
     // --- similarity search ---
     "sim_cosine_topk" -> (SimilarityOps.cosineTopK _),
     "sim_embed_neardup" -> (SimilarityOps.embeddingNearDup _),
@@ -721,6 +722,20 @@ object SparkEntry {
         | count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
     "d_simhash" -> simhashSql,
+    "d_decontaminate" ->
+      """WITH docs AS (
+        | SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        | FROM documents),
+        |sh AS (
+        | SELECT doc_id, list_distinct(list_transform(range(len(t) - 4),
+        |   i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
+        |        t[i+4] || ' ' || t[i+5])) AS s
+        | FROM docs),
+        |block AS (SELECT DISTINCT unnest(s) AS shingle FROM sh WHERE doc_id < 5),
+        |corpus AS (SELECT doc_id, unnest(s) AS shingle FROM sh WHERE doc_id >= 5)
+        |SELECT c.doc_id, count(*) AS n_shared_shingles
+        |FROM corpus c JOIN block USING (shingle)
+        |GROUP BY c.doc_id""".stripMargin,
     "d_minhash_lsh" -> minhashLshSql,
     "sim_ann_lsh" -> annLshSql,
     "sim_ann_ivf" -> annIvfSql,

@@ -55,6 +55,42 @@ object DedupOps {
         min(col("doc_id")).as("keep_doc_id"),
         count(lit(1)).as("n_copies"))
 
+  /** Word 5-gram shingles (distinct) — longer than the near-dup
+    * 3-grams because decontamination wants high-precision matches
+    * (a shared 5-gram is strong evidence of copied text, not shared
+    * phrasing). Same linear zip_with construction as [[shingles]]. */
+  private def shingles5(c: Column): Column = {
+    val t = toks(c)
+    val n = greatest(size(t) - 4, lit(0))
+    def s(i: Int) = slice(t, lit(i), n)
+    array_distinct(
+      (2 to 5).foldLeft(s(1))((acc, i) =>
+        zip_with(acc, s(i), (a, b) => concat(a, lit(" "), b))))
+  }
+
+  /** Benchmark decontamination: find corpus documents sharing any word
+    * 5-gram with a blocklist (here: doc_id < 5 standing in for an
+    * eval/benchmark set) — the overlap check every training corpus
+    * runs before release. Scale shape: the blocklist is benchmark-
+    * suite-sized (tiny next to the corpus), so its distinct shingles
+    * BROADCAST; the corpus streams through once and only matching
+    * (doc, shingle) pairs reach the final doc-keyed groupBy. No
+    * corpus-sized shuffle, no self-join — O(corpus) scan + broadcast
+    * probe at any corpus size.
+    */
+  def decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.loadBalanced(spark, sfDir, "documents")
+      .select(col("doc_id"), shingles5(col("text")).as("sh"))
+    val blocklist = docs.filter(col("doc_id") < 5)
+      .select(explode(col("sh")).as("shingle")).distinct()
+    val corpus = docs.filter(col("doc_id") >= 5)
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+    corpus
+      .join(broadcast(blocklist), "shingle")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_shingles"))
+  }
+
   /** Token-hash modes for the sketch operators (minhash, simhash).
     *
     * `XxHash` is the production default: native xxhash64 folded

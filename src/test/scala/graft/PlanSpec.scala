@@ -79,6 +79,13 @@ class PlanSpec extends SparkSpec {
     assert(r === 11.0)
   }
 
+  test("decontamination probes a broadcast blocklist, never shuffles the corpus for the join") {
+    val p = plan(graft.ops.DedupOps.decontaminate(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast probe:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("Cartesian"),
+      s"corpus-sized join in decontamination plan:\n$p")
+  }
+
   test("key counting reads only the key column") {
     val p = plan(ScanAggOps.keyCounts(spark, sfDir))
     val schemas = p.linesIterator.filter(_.contains("ReadSchema")).mkString
