@@ -88,7 +88,8 @@ object SparkEntry {
     "d_decontaminate" -> (DedupOps.decontaminate _),
     // --- similarity search ---
     "sim_cosine_topk" -> (SimilarityOps.cosineTopK _),
-    "sim_embed_neardup" -> (SimilarityOps.embeddingNearDup _),
+    "sim_embed_neardup" -> ((s: SparkSession, d: String) =>
+      SimilarityOps.embeddingNearDup(s, d)),
     "sim_ann_lsh" -> (SimilarityOps.annLsh _),
     "sim_ann_ivf" -> (SimilarityOps.annIvf _),
     // custom logical node + Catalyst rewrite rule (graft.plans):
@@ -260,25 +261,38 @@ object SparkEntry {
   }
 
   private lazy val nearDupSql: String = {
+    // mirrors the Spark side EXACTLY, including the
+    // NearDupMaxBucket cap: per-band bucket membership, buckets kept
+    // only when their (band, bucket, label) population is between 2
+    // and the cap — same construction as minhashLshSql's `ok` CTE, so
+    // an SF where the cap bites diverges NEITHER side.
     val planes = SimilarityOps.hyperplanes(64,
       SimilarityOps.NearDupBands * SimilarityOps.NearDupRowsPerBand,
       SimilarityOps.NearDupSeed)
     val r = SimilarityOps.NearDupRowsPerBand
-    val bandBuckets = (0 until SimilarityOps.NearDupBands).map { bnd =>
-      s" ${bucketSql("e", planes.slice(bnd * r, (bnd + 1) * r))} AS b$bnd"
-    }.mkString(",\n")
-    val anyBand = (0 until SimilarityOps.NearDupBands)
-      .map(bnd => s"a.b$bnd = b.b$bnd").mkString(" OR ")
+    val bandRows = (0 until SimilarityOps.NearDupBands).map { bnd =>
+      s" SELECT vec_id, label, e, nrm, $bnd AS band_id," +
+        s" ${bucketSql("e", planes.slice(bnd * r, (bnd + 1) * r))} AS bucket" +
+        " FROM n"
+    }.mkString("\n UNION ALL\n")
     s"""WITH v AS (
        | SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
        | FROM embeddings WHERE vec_id % 10 = 0),
-       |n AS (SELECT vec_id, label, e, sqrt(list_dot_product(e, e)) AS nrm,
-       |$bandBuckets
-       | FROM v)
+       |n AS (SELECT vec_id, label, e, sqrt(list_dot_product(e, e)) AS nrm
+       | FROM v),
+       |bands AS (
+       |$bandRows),
+       |ok AS (
+       | SELECT band_id, bucket, label FROM bands
+       | GROUP BY band_id, bucket, label
+       | HAVING count(*) BETWEEN 2 AND ${SimilarityOps.NearDupMaxBucket})
        |SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
        | round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) AS cos_sim
-       |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
-       | AND ($anyBand)
+       |FROM bands a
+       |JOIN ok USING (band_id, bucket, label)
+       |JOIN bands b
+       |  ON a.band_id = b.band_id AND a.bucket = b.bucket
+       | AND a.label = b.label AND a.vec_id < b.vec_id
        |WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) > 0.25""".stripMargin
   }
 

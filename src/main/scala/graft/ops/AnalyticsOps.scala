@@ -11,7 +11,12 @@ import org.apache.spark.sql.functions._
   * from Catalyst-optimizable primitives.
   *
   * Scale notes baked into each operator:
-  *  - dimension joins are explicitly broadcast (no shuffle of the fact);
+  *  - dimension joins broadcast (no shuffle of the fact), but explicit
+  *    broadcast() hints are reserved for FIXED-cardinality dims
+  *    (region: 5 rows, nation: 25 rows at every scale factor);
+  *    SF-scaling dims (customer/supplier/part) are left to the size
+  *    threshold + AQE so the engine can fall back to a shuffle join at
+  *    the scale where a forced broadcast would OOM;
   *  - aggregations are partial (map-side combine) by construction;
   *  - double-typed measures are cast to decimal before SUM so results
   *    are order-independent → deterministic under any partitioning.
@@ -61,8 +66,13 @@ object AnalyticsOps {
         count(lit(1)).as("count_order"))
 
   /** TPC-H Q3 shape: selective dimension side, two joins, agg, top-k.
-    * customer is broadcast (small); orders⋈lineitem shuffles on the join
-    * key once; AQE handles skew at scale.
+    * orders⋈lineitem shuffles on the join key once; AQE handles skew at
+    * scale. customer is NOT hint-broadcast: it grows with scale factor,
+    * so the engine (size threshold statically, AQE at runtime) must own
+    * the broadcast-vs-shuffle decision — a hint would force an
+    * executor-OOM broadcast at the SF where customer is 100s of GB.
+    * PlanSpec pins that the broadcast still fires at fixture scale
+    * without the hint.
     */
   def q3Shipping(spark: SparkSession, sfDir: String): DataFrame = {
     val cust = Tables.load(spark, sfDir, "customer")
@@ -71,7 +81,7 @@ object AnalyticsOps {
       .filter(col("o_orderdate") < lit("2024-06-01").cast("timestamp"))
     val li = Tables.load(spark, sfDir, "lineitem")
     li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(decSum((dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
         .cast("decimal(28,6)"), 6).as("revenue"))
@@ -79,9 +89,17 @@ object AnalyticsOps {
       .limit(10)
   }
 
-  /** TPC-H Q5 shape: star join across 5 tables. All dimensions
-    * (region/nation/customer/supplier) broadcast; the single fact
-    * shuffle is the orders⋈lineitem equi-join.
+  /** TPC-H Q5 shape: star join across 5 tables; the single fact
+    * shuffle is the orders⋈lineitem equi-join. Hint policy: ONLY the
+    * fixed-cardinality dims carry an explicit broadcast() —
+    * region/nation are 5/25 rows at EVERY scale factor, so the hint is
+    * always safe and spares the optimizer a stats round-trip.
+    * customer/supplier GROW with SF (100s of GB where lineitem is
+    * 100 TB), so their join strategy is left to the size threshold +
+    * AQE: at fixture scale they still broadcast (PlanSpec pins it), at
+    * the SF where broadcasting would OOM the executors the engine
+    * falls back to a shuffle join on its own — the escape hatch a
+    * forced hint removes.
     */
   def q5MultiJoin(spark: SparkSession, sfDir: String): DataFrame = {
     val region = Tables.load(spark, sfDir, "region")
@@ -91,8 +109,8 @@ object AnalyticsOps {
     val li = Tables.load(spark, sfDir, "lineitem")
     val sup = Tables.load(spark, sfDir, "supplier")
     li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-      .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
-      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .join(sup, li("l_suppkey") === sup("s_suppkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
       .join(broadcast(nation), sup("s_nationkey") === nation("n_nationkey"))
       .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
       .groupBy(col("n_name"))
@@ -101,12 +119,17 @@ object AnalyticsOps {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
-  /** Broadcast hash-join lookup: fact×small-dim with no shuffle at all
-    * on the fact side — the plan to demand at 100 TB for dim joins. */
+  /** Broadcast hash-join lookup: fact×dim with no shuffle at all on
+    * the fact side — the plan to demand at 100 TB for dim joins. The
+    * broadcast is THRESHOLD-driven, not hinted: part scales with SF,
+    * so the engine must keep the right to fall back to a shuffle join
+    * once part outgrows executor memory; PlanSpec asserts the
+    * broadcast actually fires at fixture scale with no hint in the
+    * logical plan. */
   def broadcastLookup(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.load(spark, sfDir, "lineitem")
     val part = Tables.load(spark, sfDir, "part")
-    li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+    li.join(part, li("l_partkey") === part("p_partkey"))
       .groupBy(col("p_brand"))
       .agg(
         count(lit(1)).as("n_items"),

@@ -77,13 +77,35 @@ object SimilarityOps {
   val NearDupRowsPerBand = 2
   val NearDupSeed = 1L
 
+  /** Hard cap on near-dup bucket size, same rationale as
+    * `DedupOps.MaxBucketSize`: pair generation is O(size²) per
+    * (band, bucket, label) group, so one degenerate bucket (e.g. a
+    * label megacluster that all hashes to one sign pattern) must not
+    * become a single O(n²) task at 100 TB. Oversized buckets are
+    * dropped and counted via the
+    * `sim_embed_neardup_buckets_cap<N>.dropped_buckets` observe metric
+    * so the miss is visible, never silent. */
+  val NearDupMaxBucket = 64
+
   /** Embedding near-duplicate pairs: each vector lands in `Bands` LSH
     * band buckets (explode — linear blowup, not quadratic); candidates
-    * are same-(band, bucket) pairs, with the cluster label kept as a
-    * secondary filter; subsampled corpus (vec_id % 10 == 0), pairs
-    * with cosine above 0.25, deduplicated across bands.
+    * are same-(band, bucket, label) pairs; subsampled corpus
+    * (vec_id % 10 == 0), pairs with cosine above 0.25, deduplicated
+    * across bands.
+    *
+    * Buckets are formed by groupBy + collect_list instead of a
+    * self-join — the exact `DedupOps.minhashLsh` shape: a self-join of
+    * the derived pipeline evaluates the hash/norm projection twice
+    * (Catalyst shares no common subexpressions across join sides) and
+    * shuffles both copies; here the hashes are computed ONCE, one
+    * shuffle on (band_id, bucket, label), and pairs are generated
+    * inside each size-capped bucket, so the worst task is
+    * `NearDupMaxBucket`²/2 pairs at any corpus size. Each collected
+    * element carries its embedding (64 doubles ≈ 512 B), so a full
+    * bucket is ≤ 64 × ~0.5 KB ≈ 32 KB — far under task memory.
     */
-  def embeddingNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+  def embeddingNearDup(spark: SparkSession, sfDir: String,
+      maxBucket: Int = NearDupMaxBucket): DataFrame = {
     val planes =
       hyperplanes(64, NearDupBands * NearDupRowsPerBand, NearDupSeed)
     val v = withNorm(Tables.load(spark, sfDir, "embeddings"))
@@ -99,18 +121,29 @@ object SimilarityOps {
         explode(array(bandCols: _*)).as("band"))
       .select(col("vec_id"), col("label"), col("e"), col("nrm"),
         col("band.band_id").as("band_id"), col("band.bucket").as("bucket"))
-    val a = banded.alias("a")
-    val b = banded.alias("b")
-    a.join(b,
-        col("a.band_id") === col("b.band_id") &&
-          col("a.bucket") === col("b.bucket") &&
-          col("a.label") === col("b.label") &&
-          col("a.vec_id") < col("b.vec_id"))
+    // array_sort on struct(vec_id, ...) orders by the leading unique
+    // vec_id, so slice-based pair generation yields a < b pairs only.
+    val buckets = banded
+      .groupBy(col("band_id"), col("bucket"), col("label"))
+      .agg(array_sort(collect_list(
+        struct(col("vec_id"), col("e"), col("nrm")))).as("vs"))
+      // metric name carries the cap (unique per result semantics,
+      // same convention as DedupOps)
+      .observe(s"sim_embed_neardup_buckets_cap$maxBucket",
+        sum(when(size(col("vs")) > maxBucket, 1).otherwise(0))
+          .as("dropped_buckets"))
+      .filter(size(col("vs")) > 1 && size(col("vs")) <= maxBucket)
+    val pairs = buckets.select(
+      col("label"),
+      explode(flatten(transform(col("vs"), (x, i) =>
+        transform(slice(col("vs"), i + 2, size(col("vs"))),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+    pairs
       .withColumn("cos",
-        dot(col("a.e"), col("b.e")) / (col("a.nrm") * col("b.nrm")))
+        dot(col("p.a.e"), col("p.b.e")) / (col("p.a.nrm") * col("p.b.nrm")))
       .filter(col("cos") > 0.25)
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        col("a.label").as("label"), round(col("cos"), 6).as("cos_sim"))
+      .select(col("p.a.vec_id").as("vec_a"), col("p.b.vec_id").as("vec_b"),
+        col("label"), round(col("cos"), 6).as("cos_sim"))
       .distinct()
   }
 

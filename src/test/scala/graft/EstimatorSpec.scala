@@ -122,6 +122,50 @@ class EstimatorSpec extends SparkSpec {
       s"$missed same-label pairs above threshold missed by banded LSH")
   }
 
+  test("near-dup buckets are size-capped with a drop metric") {
+    // default cap must not bite at fixture scale: zero drops reported,
+    // result identical to effectively-uncapped
+    val full = SimilarityOps.embeddingNearDup(spark, sfDir)
+    full.collect()
+    val drops = full.queryExecution.observedMetrics(
+      s"sim_embed_neardup_buckets_cap${SimilarityOps.NearDupMaxBucket}")
+    assert(drops.getAs[Long]("dropped_buckets") === 0L)
+    val unc = SimilarityOps.embeddingNearDup(spark, sfDir,
+      maxBucket = Int.MaxValue)
+    assert(full.exceptAll(unc).count() === 0 &&
+      unc.exceptAll(full).count() === 0)
+  }
+
+  test("near-dup bucket cap bites and reports on a degenerate megacluster") {
+    // 10 identical vectors, one label: every band puts all of them in
+    // ONE bucket — the exact pathological shape the cap exists for.
+    // A second, 2-vector cluster survives the tight cap so the capped
+    // result stays non-empty: a fully-empty result would let AQE's
+    // empty-relation propagation replace the subtree ABOVE the
+    // materialized stage — dropping the CollectMetrics node and its
+    // metric with it (the runtime twin of the cap=1 constant-folding
+    // note in the minhash cap test).
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-neardup-").toString
+    val mega = Array.fill(64)(0.5f).toSeq
+    val small = Array.fill(64)(-0.5f).toSeq
+    ((0 until 10).map(i => (i * 10L, "mega", mega)) ++
+      Seq((100L, "pair", small), (110L, "pair", small)))
+      .toDF("vec_id", "label", "embedding")
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    // at the default cap both buckets pass: 45 megacluster pairs + 1
+    assert(SimilarityOps.embeddingNearDup(spark, dir).count() === 46)
+    // cap=2 drops the size-10 bucket in every band and reports it;
+    // the 2-vector cluster's single pair is all that survives
+    val capped = SimilarityOps.embeddingNearDup(spark, dir, maxBucket = 2)
+    val cappedRows = capped.collect()
+    val cappedDrops = capped.queryExecution
+      .observedMetrics("sim_embed_neardup_buckets_cap2")
+    assert(cappedDrops.getAs[Long]("dropped_buckets") > 0L)
+    assert(cappedRows.map(_.getAs[Long]("vec_a")).toSet === Set(100L))
+  }
+
   test("LSH-ANN results are a subset of brute-force candidates with sane cosines") {
     val ann = SimilarityOps.annLsh(spark, sfDir)
     assert(ann.filter(col("cos_sim") > 1.000001 || col("cos_sim") < -1.000001)

@@ -27,6 +27,30 @@ class PlanSpec extends SparkSpec {
     assert(p5.contains("BroadcastHashJoin"))
   }
 
+  test("SF-scaling dims broadcast via size threshold, not forced hints") {
+    // customer/supplier/part grow with scale factor: a broadcast()
+    // hint would FORCE the broadcast at any size (executor OOM at the
+    // SF where they reach 100s of GB, with no AQE escape hatch). The
+    // contract is therefore: no hint in the logical plan, yet the
+    // engine still picks BroadcastHashJoin at fixture scale from
+    // size stats — proving small-scale speed comes from the
+    // optimizer, not from a scale-unsafe hand override.
+    // expected hint count per query: only the fixed-cardinality
+    // region/nation dims may carry one (q5 hints exactly those two;
+    // q3 and the part lookup join scaling dims only → zero hints)
+    for ((df, expectedHints) <- Seq(
+        (AnalyticsOps.q3Shipping(spark, sfDir), 0),
+        (AnalyticsOps.q5MultiJoin(spark, sfDir), 2),
+        (AnalyticsOps.broadcastLookup(spark, sfDir), 0))) {
+      val nHints = "ResolvedHint \\(strategy=broadcast\\)".r
+        .findAllIn(df.queryExecution.logical.toString()).size
+      assert(nHints === expectedHints,
+        s"expected $expectedHints broadcast hints, found $nHints")
+      assert(plan(df).contains("BroadcastHashJoin"),
+        s"threshold-driven broadcast did not fire:\n${plan(df)}")
+    }
+  }
+
   test("q1 aggregation is partial+final (map-side combine)") {
     val p = plan(AnalyticsOps.q1Agg(spark, sfDir))
     assert("HashAggregate".r.findAllIn(p).size >= 2,
