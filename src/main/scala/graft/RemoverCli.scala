@@ -1,6 +1,7 @@
 package graft
 
 import graft.model.CellModel
+import graft.model.CellModel.TableMeta
 import org.apache.spark.sql.SparkSession
 
 /** Command-line shell over [[Pipeline]] — the analogue of the
@@ -9,19 +10,46 @@ import org.apache.spark.sql.SparkSession
   * run the removal, report. The reference's validation rules carry
   * over where they still mean something (`TTLRemoverCLI.java:
   * 165-197`): input and output are required, output must differ from
-  * input (non-destructive), exactly one table per run. Schema/DDL
-  * flags have no analogue — the parquet schema IS the DDL
-  * (SURVEY §1.3).
+  * input (non-destructive), exactly one table per run.
+  *
+  * ANY table is accepted, not just the events-shaped corpus: the
+  * reference takes a CQL `CREATE TABLE` (`--cql`,
+  * `TTLRemoverCLI.java:166-170`) and parses it into a table metadata
+  * object; here the parquet footer already carries the column types,
+  * so the caller declares only what a schema alone cannot express —
+  * which columns are keys and which carry liveness:
+  *
+  *   --pk a[,b...]       partition key columns
+  *   --ck a[,b...]       clustering key columns (optional)
+  *   --cells a[,b...]    regular columns that carry TTL liveness
+  *   --writetime c       column providing writetime (timestamp/date,
+  *                       or integral epoch-micros)
+  *   --ttl-key c         column keying the corpus's deterministic TTL
+  *                       synthesis (default: first --pk column)
+  *
+  * `--table events` with no cell spec keeps the shipped events model
+  * (backward-compatible convenience).
   *
   * Usage:
   *   graft.RemoverCli --in <dir> --out <dir> --table <name>
   *     [--keyspace <ks>] [--cpus <n>]
+  *     [--pk <cols> --ck <cols> --cells <cols> --writetime <col>
+  *      --ttl-key <col>]
   */
 object RemoverCli {
 
   final case class CliArgs(
       in: String, out: String, table: String,
-      keyspace: String = "graft", cpus: Int = 8)
+      keyspace: String = "graft", cpus: Int = 8,
+      pk: Seq[String] = Seq.empty, ck: Seq[String] = Seq.empty,
+      cells: Seq[String] = Seq.empty,
+      writetime: Option[String] = None, ttlKey: Option[String] = None)
+
+  private val Flags = Set("in", "out", "table", "keyspace", "cpus",
+    "pk", "ck", "cells", "writetime", "ttl-key")
+
+  private def csv(v: String): Seq[String] =
+    v.split(',').map(_.trim).filter(_.nonEmpty).toSeq
 
   /** Pure, testable flag parsing + validation. Left = error message. */
   def parse(argv: Array[String]): Either[String, CliArgs] = {
@@ -30,8 +58,7 @@ object RemoverCli {
       case Nil => Right(acc)
       case flag :: value :: tail if flag.startsWith("--") =>
         val key = flag.drop(2)
-        if (!Set("in", "out", "table", "keyspace", "cpus").contains(key))
-          Left(s"unknown flag --$key")
+        if (!Flags.contains(key)) Left(s"unknown flag --$key")
         else if (acc.contains(key)) Left(s"duplicate flag --$key")
         else loop(tail, acc + (key -> value))
       case other :: _ => Left(s"unexpected argument '$other'")
@@ -50,34 +77,61 @@ object RemoverCli {
             cpus.toIntOption.filter(_ > 0) match {
               case None => Left(s"--cpus must be a positive int, got '$cpus'")
               case Some(c) =>
-                Right(CliArgs(i, o, t, m.getOrElse("keyspace", "graft"), c))
+                val args = CliArgs(i, o, t,
+                  m.getOrElse("keyspace", "graft"), c,
+                  pk = m.get("pk").map(csv).getOrElse(Seq.empty),
+                  ck = m.get("ck").map(csv).getOrElse(Seq.empty),
+                  cells = m.get("cells").map(csv).getOrElse(Seq.empty),
+                  writetime = m.get("writetime"),
+                  ttlKey = m.get("ttl-key"))
+                validateCellSpec(args)
             }
           }
       }
     }
   }
 
+  /** A non-events table needs its cell model declared — the same rule
+    * as the reference CLI, where `--cql` is how an arbitrary table's
+    * schema reaches the engine (`TTLRemoverCLI.java:166-170`). */
+  private def validateCellSpec(a: CliArgs): Either[String, CliArgs] =
+    if (a.cells.isEmpty && a.table == "events") Right(a) // shipped model
+    else if (a.cells.isEmpty)
+      Left(s"table '${a.table}' has no shipped cell model: declare one " +
+        "with --pk/--cells/--writetime (the analogue of the reference " +
+        "CLI's --cql schema)")
+    else if (a.pk.isEmpty) Left("--cells requires --pk <key columns>")
+    else if (a.writetime.isEmpty) Left("--cells requires --writetime <col>")
+    else if (a.cells.exists(c => a.pk.contains(c) || a.ck.contains(c)))
+      Left("key columns must not be cell columns (keys never carry liveness)")
+    else Right(a)
+
+  /** The CLI's whole execution path on a caller-supplied session —
+    * what `main` runs after building one, and what tests drive
+    * end-to-end without forking a JVM. Returns the written row count.
+    */
+  def run(spark: SparkSession, args: CliArgs): Long =
+    if (args.cells.isEmpty) {
+      val meta = CellModel.eventsMeta.copy(keyspace = args.keyspace)
+      Pipeline.removeTtlFromDir(spark, args.in, args.out, meta)
+    } else {
+      val meta = TableMeta(args.keyspace, args.table, args.pk, args.ck)
+      val raw = Tables.load(spark, args.in, args.table)
+      val cellified = CellModel.cellifySpec(raw, args.cells,
+        args.writetime.get, args.ttlKey.getOrElse(args.pk.head))
+      Pipeline.removeTtl(cellified, meta, args.out)
+    }
+
   def main(argv: Array[String]): Unit = parse(argv) match {
     case Left(err) =>
       System.err.println(s"error: $err")
       System.err.println(
         "usage: graft.RemoverCli --in <dir> --out <dir> --table <name>" +
-          " [--keyspace <ks>] [--cpus <n>]")
+          " [--keyspace <ks>] [--cpus <n>]" +
+          " [--pk <cols> --ck <cols> --cells <cols> --writetime <col>" +
+          " --ttl-key <col>]")
       sys.exit(2)
     case Right(args) =>
-      // The CLI convenience path covers the events-modeled corpus; an
-      // arbitrary table needs its cell model declared by the caller —
-      // the library form `Pipeline.removeTtl(df, TableMeta(...), out)`
-      // is the analogue of handing the reference CLI a CQL schema
-      // (--cql, `TTLRemoverCLI.java:166-170`): the engine is generic,
-      // the entry point needs to be told which columns are cells.
-      if (args.table != "events") {
-        System.err.println(
-          s"error: no cell model shipped for table '${args.table}'; " +
-            "use Pipeline.removeTtl(df, TableMeta(...), out) with a " +
-            "cell-modeled DataFrame")
-        sys.exit(2)
-      }
       val spark = SparkSession.builder()
         .master(s"local[${args.cpus}]")
         .config("spark.sql.shuffle.partitions", args.cpus)
@@ -86,10 +140,9 @@ object RemoverCli {
         .getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
       try {
-        val meta = CellModel.eventsMeta.copy(keyspace = args.keyspace)
-        val rows = Pipeline.removeTtlFromDir(spark, args.in, args.out, meta)
+        val rows = run(spark, args)
         println(s"wrote $rows rows to ${args.out}/" +
-          s"keyspace=${meta.keyspace}/table_name=${meta.table}/")
+          s"keyspace=${args.keyspace}/table_name=${args.table}/")
       } finally spark.stop()
   }
 }

@@ -117,6 +117,56 @@ object CellModel {
       (writetimeUs + ttl.cast("long") * 1000000L).as("expire_us"))
   }
 
+  /** Epoch-micros writetime from an arbitrary source column: timestamp
+    * flavors convert exactly, integral columns are taken as epoch
+    * micros as-is. The CLI's writetime resolution rule — documented on
+    * the `--writetime` flag. */
+  def writetimeMicros(df: DataFrame, colName: String): Column = {
+    import org.apache.spark.sql.types._
+    df.schema.find(_.name == colName).map(_.dataType) match {
+      case Some(TimestampType) | Some(TimestampNTZType) | Some(DateType) =>
+        unix_micros(col(colName).cast("timestamp"))
+      case Some(LongType) | Some(IntegerType) => col(colName).cast("long")
+      case Some(dt) => throw new IllegalArgumentException(
+        s"--writetime column '$colName' must be a timestamp/date or " +
+          s"integral epoch-micros column, got ${dt.simpleString}")
+      case None => throw new IllegalArgumentException(
+        s"--writetime column '$colName' missing from schema " +
+          df.schema.simpleString)
+    }
+  }
+
+  /** Declared cell model for an ARBITRARY table: wrap each named
+    * column into a cell struct (writetime from `writetime`, synthetic
+    * deterministic TTL keyed by `ttlKey` — the corpus-wide TTL
+    * convention), leaving every other column untouched. This is the
+    * CLI's `--cells`/`--writetime`/`--ttl-key` surface, the Spark
+    * analogue of handing the reference CLI a CREATE TABLE to parse
+    * (`TTLRemoverCLI.java:166-170` → `Cassandra3TTLRemover.java:63-75`):
+    * the caller declares which columns carry liveness, the engine does
+    * the rest schema-generically. Columns that are ALREADY cell-typed
+    * (e.g. re-processing a previous graft write) need no wrapping —
+    * [[stripAll]] picks them up structurally.
+    */
+  def cellifySpec(df: DataFrame, cells: Seq[String], writetime: String,
+      ttlKey: String): DataFrame = {
+    val names = df.schema.fieldNames.toSet
+    (cells :+ ttlKey).foreach { c =>
+      require(names.contains(c),
+        s"cell-model column '$c' missing from schema ${df.schema.simpleString}")
+    }
+    cells.foreach { c =>
+      require(!isCellStruct(df.schema(c).dataType),
+        s"--cells column '$c' is already cell-typed; stripAll handles it")
+    }
+    val wt = writetimeMicros(df, writetime)
+    val tk = col(ttlKey).cast("long")
+    val cols = df.schema.fieldNames.map { n =>
+      if (cells.contains(n)) mkCell(col(n), wt, tk).as(n) else col(n)
+    }
+    df.select(cols.toIndexedSeq: _*)
+  }
+
   /** Schema-generic TTL strip: rewrite EVERY cell-typed column of an
     * arbitrary DataFrame — simple `struct<cell>`, `map<k, cell>`
     * (map-key CellPath) and `array<cell>` (list-index / set-element
