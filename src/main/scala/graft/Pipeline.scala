@@ -2,7 +2,7 @@ package graft
 
 import graft.model.CellModel
 import graft.model.CellModel.TableMeta
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The reference's whole `executeRemoval` lifecycle as ONE library
@@ -26,23 +26,32 @@ import org.apache.spark.sql.functions._
 object Pipeline {
 
   /** Strip + sort + partitioned write for a DataFrame already carrying
-    * cell-modeled columns. Returns the written row count. */
+    * cell-modeled columns. Returns the written row count, collected
+    * WRITE-SIDE via `observe()`: the metric piggybacks on the rows as
+    * they flow into the writer, so the job never re-reads its own
+    * output for the smoke number (at 100 TB a read-back would double
+    * the job's IO). The reference likewise sizes and checks its writer
+    * from the forward pass, never from the written SSTables
+    * (`Cassandra3TTLRemover.java:91,149-165`). */
   def removeTtl(df: DataFrame, meta: TableMeta, outDir: String,
       saveMode: String = "errorifexists"): Long = {
     val keys = (meta.partitionKeys ++ meta.clusteringKeys).map(col)
     val stripped = CellModel.stripAll(df, meta)
+    val written = Observation()
     stripped
       .withColumn("keyspace", lit(meta.keyspace))
       .withColumn("table_name", lit(meta.table))
       .repartition(meta.partitionKeys.map(col): _*)
       .sortWithinPartitions(keys: _*)
+      // observed ABOVE the sort: CollectMetrics is a per-partition
+      // pass-through, so the sorted-within-partitions write order and
+      // the partitionBy layout are unaffected
+      .observe(written, count(lit(1)).as("rows"))
       .write
       .partitionBy("keyspace", "table_name")
       .mode(saveMode)
       .parquet(outDir)
-    // count from the written files — the pipeline's own smoke check,
-    // mirroring the reference's post-load row assertion (SURVEY §5)
-    df.sparkSession.read.parquet(outDir).count()
+    written.get("rows").asInstanceOf[Long]
   }
 
   /** Directory-level entry: load `<inDir>/<table>.parquet`, remove TTLs,

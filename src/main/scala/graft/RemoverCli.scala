@@ -93,13 +93,24 @@ object RemoverCli {
 
   /** A non-events table needs its cell model declared — the same rule
     * as the reference CLI, where `--cql` is how an arbitrary table's
-    * schema reaches the engine (`TTLRemoverCLI.java:166-170`). */
+    * schema reaches the engine (`TTLRemoverCLI.java:166-170`). A
+    * PARTIAL model (key/writetime flags without --cells) is an error,
+    * never silently dropped: the user clearly meant to declare one. */
   private def validateCellSpec(a: CliArgs): Either[String, CliArgs] =
-    if (a.cells.isEmpty && a.table == "events") Right(a) // shipped model
-    else if (a.cells.isEmpty)
-      Left(s"table '${a.table}' has no shipped cell model: declare one " +
-        "with --pk/--cells/--writetime (the analogue of the reference " +
-        "CLI's --cql schema)")
+    if (a.cells.isEmpty) {
+      val stray = Seq("pk" -> a.pk.nonEmpty, "ck" -> a.ck.nonEmpty,
+        "writetime" -> a.writetime.nonEmpty, "ttl-key" -> a.ttlKey.nonEmpty)
+        .collect { case (f, true) => s"--$f" }
+      if (stray.nonEmpty)
+        Left(s"${stray.mkString("/")} without --cells <cols>: a cell " +
+          "model needs its liveness columns (a partial spec would " +
+          "otherwise be silently ignored)")
+      else if (a.table == "events") Right(a) // shipped model
+      else
+        Left(s"table '${a.table}' has no shipped cell model: declare one " +
+          "with --pk/--cells/--writetime (the analogue of the reference " +
+          "CLI's --cql schema)")
+    }
     else if (a.pk.isEmpty) Left("--cells requires --pk <key columns>")
     else if (a.writetime.isEmpty) Left("--cells requires --writetime <col>")
     else if (a.cells.exists(c => a.pk.contains(c) || a.ck.contains(c)))

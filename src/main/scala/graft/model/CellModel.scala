@@ -117,19 +117,32 @@ object CellModel {
       (writetimeUs + ttl.cast("long") * 1000000L).as("expire_us"))
   }
 
+  /** Case-insensitive schema field lookup, matching Spark's default
+    * (caseSensitive=false) column resolution so a declared name that
+    * resolves in a query never misses here on case alone. */
+  private def fieldOf(df: DataFrame, colName: String) =
+    df.schema.find(_.name.equalsIgnoreCase(colName))
+
   /** Epoch-micros writetime from an arbitrary source column: timestamp
-    * flavors convert exactly, integral columns are taken as epoch
-    * micros as-is. The CLI's writetime resolution rule — documented on
-    * the `--writetime` flag. */
+    * flavors convert exactly; a LONG column is taken as epoch micros
+    * as-is. An INT column is rejected: Int.MaxValue micros is ~36 min
+    * after 1970, so a 32-bit "writetime" is almost certainly
+    * epoch-seconds or an id being misread — the caller must cast
+    * explicitly to state the unit. The CLI's writetime resolution
+    * rule — documented on the `--writetime` flag. */
   def writetimeMicros(df: DataFrame, colName: String): Column = {
     import org.apache.spark.sql.types._
-    df.schema.find(_.name == colName).map(_.dataType) match {
+    fieldOf(df, colName).map(_.dataType) match {
       case Some(TimestampType) | Some(TimestampNTZType) | Some(DateType) =>
         unix_micros(col(colName).cast("timestamp"))
-      case Some(LongType) | Some(IntegerType) => col(colName).cast("long")
+      case Some(LongType) => col(colName).cast("long")
+      case Some(IntegerType) => throw new IllegalArgumentException(
+        s"--writetime column '$colName' is a 32-bit INT: epoch-MICROS " +
+          "cannot fit in 32 bits, so this is probably epoch-seconds or " +
+          "an id. Cast it to a timestamp or a long of epoch micros first.")
       case Some(dt) => throw new IllegalArgumentException(
         s"--writetime column '$colName' must be a timestamp/date or " +
-          s"integral epoch-micros column, got ${dt.simpleString}")
+          s"long epoch-micros column, got ${dt.simpleString}")
       case None => throw new IllegalArgumentException(
         s"--writetime column '$colName' missing from schema " +
           df.schema.simpleString)
@@ -147,22 +160,54 @@ object CellModel {
     * the rest schema-generically. Columns that are ALREADY cell-typed
     * (e.g. re-processing a previous graft write) need no wrapping —
     * [[stripAll]] picks them up structurally.
+    *
+    * A declared map/array column is cellified PER ELEMENT — each map
+    * value / array element becomes its own cell struct, the reference's
+    * CellPath model where every element of a non-frozen collection
+    * carries independent liveness (`Cassandra3TTLRemover.java:180-186`
+    * dispatches on `cdef.isComplex()`/`cell.path()`). [[stripAll]] then
+    * strips those per-element cells through its `map<k, cell>` /
+    * `array<cell>` branches.
     */
   def cellifySpec(df: DataFrame, cells: Seq[String], writetime: String,
       ttlKey: String): DataFrame = {
+    import org.apache.spark.sql.types._
     val names = df.schema.fieldNames.toSet
     (cells :+ ttlKey).foreach { c =>
       require(names.contains(c),
         s"cell-model column '$c' missing from schema ${df.schema.simpleString}")
     }
+    // the TTL synthesis keys on an integral column; anything else would
+    // cast to all-null TTLs and turn the strip into a silent no-op
+    fieldOf(df, ttlKey).map(_.dataType).foreach {
+      case LongType | IntegerType | ShortType | ByteType => ()
+      case dt => throw new IllegalArgumentException(
+        s"--ttl-key column '$ttlKey' must be an integral column (the " +
+          s"deterministic TTL synthesis keys on it), got ${dt.simpleString}")
+    }
+    def alreadyCell(dt: DataType): Boolean = dt match {
+      case MapType(_, v, _) => isCellStruct(v)
+      case ArrayType(v, _) => isCellStruct(v)
+      case other => isCellStruct(other)
+    }
     cells.foreach { c =>
-      require(!isCellStruct(df.schema(c).dataType),
+      require(!alreadyCell(df.schema(c).dataType),
         s"--cells column '$c' is already cell-typed; stripAll handles it")
     }
     val wt = writetimeMicros(df, writetime)
     val tk = col(ttlKey).cast("long")
-    val cols = df.schema.fieldNames.map { n =>
-      if (cells.contains(n)) mkCell(col(n), wt, tk).as(n) else col(n)
+    val cols = df.schema.fields.map { f =>
+      if (!cells.contains(f.name)) col(f.name)
+      else f.dataType match {
+        case MapType(_, _, _) =>
+          transform_values(col(f.name), (_, v) => mkCell(v, wt, tk)).as(f.name)
+        case ArrayType(_, _) =>
+          // per-element TTL key offset by position: distinct elements of
+          // one collection get independent liveness, like distinct
+          // CellPaths in one complex column
+          transform(col(f.name), (v, i) => mkCell(v, wt, tk + i)).as(f.name)
+        case _ => mkCell(col(f.name), wt, tk).as(f.name)
+      }
     }
     df.select(cols.toIndexedSeq: _*)
   }

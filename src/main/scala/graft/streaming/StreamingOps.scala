@@ -104,6 +104,31 @@ object StreamingOps {
   def windowAggAppend(spark: SparkSession, sfDir: String): DataFrame =
     runToMemory(spark, windowAggPlan, sfDir, OutputMode.Append())
 
+  /** The production shape of [[windowAggAppend]]: a caller-owned input
+    * directory (the unbounded landing zone), a parquet FILE sink and a
+    * REUSED checkpoint. Each invocation processes exactly the files
+    * that arrived since the last run (the file source's seen-set lives
+    * in the checkpoint), emits exactly the windows the advancing
+    * watermark newly closed, and carries still-open windows forward in
+    * state — the engine's incremental-correctness contract that
+    * [[windowAggAppend]]'s one-shot driver shim cannot exercise.
+    * StreamingSpec pins it: two runs over a growing directory emit
+    * disjoint window sets whose union equals the one-shot result.
+    */
+  def windowAggAppendTo(spark: SparkSession, inDir: String, outDir: String,
+      checkpointDir: String): Unit = {
+    val schema = spark.read.parquet(inDir).schema
+    val q = windowAggPlan(spark.readStream.schema(schema).parquet(inDir))
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   final case class Evt(event_id: Long, user_id: Long, ts: Long)
   final case class Session(
       user_id: Long, session_id: Long, n_events: Long,

@@ -47,6 +47,40 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("removeTtl's row count is write-side: no re-read of the output") {
+    // the count must come from observe() on the rows flowing INTO the
+    // writer — a read-back of outDir would double the job's read IO at
+    // 100 TB. Pin it: record every executed plan during the call and
+    // assert none of them contains a file scan over the output path.
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    import scala.jdk.CollectionConverters._
+    val plans =
+      java.util.Collections.synchronizedList(new java.util.ArrayList[String]())
+    val listener = new QueryExecutionListener {
+      override def onSuccess(f: String, qe: QueryExecution, ns: Long): Unit =
+        plans.add(qe.executedPlan.toString)
+      override def onFailure(f: String, qe: QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val out = Files.createTempDirectory("graft-obs-").toString + "/out"
+      val written = Pipeline.removeTtlFromDir(
+        spark, sfDir, out, CellModel.eventsMeta)
+      assert(written === Tables.load(spark, sfDir, "events").count())
+      org.apache.spark.graftbridge.ListenerFlush
+        .waitUntilEmpty(spark.sparkContext)
+      assert(plans.asScala.nonEmpty, "listener saw no query executions")
+      // the write command itself names outDir as its DESTINATION; a
+      // re-read would show up as a FileScan line over outDir
+      val rereads = plans.asScala.flatMap(_.linesIterator)
+        .filter(l => l.contains("FileScan") && l.contains(out))
+      assert(rereads.isEmpty,
+        s"pipeline re-read its own output:\n${rereads.mkString("\n")}")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("CLI path strips an arbitrary table (orders) end-to-end") {
     // parity with the reference CLI's --cql: the user declares keys +
     // cell columns on the command line and ANY table goes through the
@@ -88,8 +122,86 @@ class PipelineSpec extends SparkSpec {
       .exceptAll(orders.select("o_custkey", "o_orderpriority")).count() === 0)
   }
 
+  test("CLI per-element cellification of collection columns") {
+    // the reference's CellPath semantics: every element of a non-frozen
+    // map/list carries its own liveness (`Cassandra3TTLRemover.java:
+    // 180-186`). A declared map/array column must therefore cellify PER
+    // ELEMENT, and the strip must clear each element's TTL.
+    val base = Files.createTempDirectory("graft-coll-").toString
+    val inDir = s"$base/in"
+    val out = s"$base/out"
+    val src = Tables.load(spark, sfDir, "orders").limit(200)
+      .select(col("o_orderkey"), col("o_orderdate"),
+        map(lit("status"), col("o_orderstatus"),
+          lit("prio"), col("o_orderpriority")).as("attrs"),
+        array(col("o_orderstatus"), col("o_orderpriority")).as("notes"))
+    src.write.parquet(s"$inDir/inv.parquet")
+
+    // pre-strip: TTLs really exist per element, and differ WITHIN one
+    // collection (the ttl key is offset by element position)
+    val cellified = CellModel.cellifySpec(
+      spark.read.parquet(s"$inDir/inv.parquet"),
+      Seq("attrs", "notes"), "o_orderdate", "o_orderkey")
+    val perElem = cellified.select(
+      col("notes")(0).getField("ttl_s").as("t0"),
+      col("notes")(1).getField("ttl_s").as("t1"))
+    assert(perElem.filter(col("t0").isNotNull).count() > 0)
+    assert(perElem.filter(
+      col("t0").isNotNull =!= col("t1").isNotNull).count() > 0,
+      "elements of one collection should carry independent liveness")
+
+    val args = RemoverCli.parse(Array(
+      "--in", inDir, "--out", out, "--table", "inv",
+      "--pk", "o_orderkey", "--cells", "attrs,notes",
+      "--writetime", "o_orderdate"))
+      .fold(e => fail(s"parse failed: $e"), identity)
+    assert(RemoverCli.run(spark, args) === 200)
+
+    val back = spark.read.parquet(out)
+    // no element-level TTL survives, in either collection kind
+    assert(back.filter(exists(map_values(col("attrs")),
+      c => c.getField("ttl_s").isNotNull)).count() === 0)
+    assert(back.filter(exists(col("notes"),
+      c => c.getField("ttl_s").isNotNull)).count() === 0)
+    // element values and writetimes survive in order
+    val wt = unix_micros(col("o_orderdate").cast("timestamp"))
+    val before = src.select(col("o_orderkey"),
+      col("notes")(0).as("v0"), col("notes")(1).as("v1"), wt.as("w"))
+    val after = back.select(col("o_orderkey"),
+      col("notes")(0).getField("value").as("v0"),
+      col("notes")(1).getField("value").as("v1"),
+      col("notes")(0).getField("writetime_us").as("w"))
+    assert(before.exceptAll(after).count() === 0)
+    assert(after.exceptAll(before).count() === 0)
+  }
+
+  test("cell-model type validation: ttl-key and writetime column types") {
+    val orders = Tables.load(spark, sfDir, "orders")
+    // non-integral ttl key would synthesize all-null TTLs — a silent
+    // no-op strip; must fail loudly instead
+    val e1 = intercept[IllegalArgumentException] {
+      CellModel.cellifySpec(
+        orders, Seq("o_totalprice"), "o_orderdate", "o_orderstatus")
+    }
+    assert(e1.getMessage.contains("integral"))
+    // a 32-bit writetime cannot be epoch-micros
+    val e2 = intercept[IllegalArgumentException] {
+      CellModel.writetimeMicros(
+        orders.withColumn("w32", lit(1).cast("int")), "w32")
+    }
+    assert(e2.getMessage.contains("INT"))
+    // case-insensitive resolution, matching Spark's resolver
+    assert(CellModel.writetimeMicros(orders, "O_ORDERDATE") != null)
+  }
+
   test("CLI cell-spec validation") {
     def p(a: String*) = RemoverCli.parse(a.toArray)
+    // cell-model flags without --cells are an error, not silently
+    // dropped (even for the shipped events model)
+    assert(p("--in", "/a", "--out", "/b", "--table", "events",
+      "--pk", "user_id").isLeft)
+    assert(p("--in", "/a", "--out", "/b", "--table", "events",
+      "--writetime", "ts").isLeft)
     // a non-events table without a declared cell model is rejected at
     // parse time (the engine is generic; the CLI must be told which
     // columns carry liveness — reference: --cql is mandatory)

@@ -20,11 +20,24 @@ class PlanSpec extends SparkSpec {
       s"scan reads unneeded columns: $readSchema")
   }
 
+  /** A plan line that is a BroadcastHashJoin ON the given key — join
+    * nodes print their keys on the node line, so this pins WHICH join
+    * broadcast, not merely that some join somewhere did. */
+  private def broadcastJoinOn(p: String, key: String): Boolean =
+    p.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains(key))
+
   test("dimension joins broadcast (no shuffle of the fact side)") {
     val p = plan(AnalyticsOps.broadcastLookup(spark, sfDir))
-    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+    assert(broadcastJoinOn(p, "p_partkey"),
+      s"part lookup join is not a BroadcastHashJoin on p_partkey:\n$p")
     val p5 = plan(AnalyticsOps.q5MultiJoin(spark, sfDir))
-    assert(p5.contains("BroadcastHashJoin"))
+    // all four dimension joins must broadcast individually — a single
+    // contains() would be satisfied by the hinted nation/region joins
+    // alone while customer/supplier silently fell back to SortMergeJoin
+    for (k <- Seq("s_suppkey", "c_custkey", "n_nationkey", "r_regionkey"))
+      assert(broadcastJoinOn(p5, k),
+        s"q5 join on $k is not a BroadcastHashJoin:\n$p5")
   }
 
   test("SF-scaling dims broadcast via size threshold, not forced hints") {
@@ -46,9 +59,18 @@ class PlanSpec extends SparkSpec {
         .findAllIn(df.queryExecution.logical.toString()).size
       assert(nHints === expectedHints,
         s"expected $expectedHints broadcast hints, found $nHints")
-      assert(plan(df).contains("BroadcastHashJoin"),
-        s"threshold-driven broadcast did not fire:\n${plan(df)}")
     }
+    // and the scaling dims still broadcast — pinned per join key so a
+    // silent SortMergeJoin fallback on customer/supplier would fail even
+    // though the hinted nation/region joins keep a BroadcastHashJoin in
+    // the plan (the q5 assertion a bare contains() cannot make)
+    assert(broadcastJoinOn(
+      plan(AnalyticsOps.q3Shipping(spark, sfDir)), "c_custkey"))
+    assert(broadcastJoinOn(
+      plan(AnalyticsOps.broadcastLookup(spark, sfDir)), "p_partkey"))
+    val p5 = plan(AnalyticsOps.q5MultiJoin(spark, sfDir))
+    assert(broadcastJoinOn(p5, "c_custkey") && broadcastJoinOn(p5, "s_suppkey"),
+      s"threshold-driven broadcast did not fire on a scaling dim:\n$p5")
   }
 
   test("q1 aggregation is partial+final (map-side combine)") {

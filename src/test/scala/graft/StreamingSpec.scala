@@ -85,6 +85,47 @@ class StreamingSpec extends SparkSpec {
       s"expected exactly window A ($baseUs) emitted, got $starts")
   }
 
+  test("checkpoint reuse on a file sink: run 2 emits only newly-closed windows") {
+    // The incremental-correctness contract (reference has no analogue —
+    // its batch runs to completion): two AvailableNow runs over a
+    // GROWING directory with a reused checkpoint and a parquet sink.
+    // Run 1 emits the windows its watermark closed; run 2 reads ONLY
+    // the new files (seen-set in the checkpoint), emits ONLY the newly
+    // closed windows (open-window state carried across runs), and the
+    // union equals a one-shot run over the full directory.
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-incr-").toString
+    val in = s"$base/in"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    val ev = Tables.load(spark, sfDir, "events")
+    val (mn, mx) = ev.agg(min("ts"), max("ts")).as[(Long, Long)](
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong)).head()
+    val cut = mn + (mx - mn) / 2
+    ev.filter(col("ts") < cut).write.parquet(in)
+
+    StreamingOps.windowAggAppendTo(spark, in, out, ckpt)
+    val run1 = spark.read.parquet(out).collect().toSet
+    assert(run1.nonEmpty, "run 1 emitted nothing")
+
+    ev.filter(col("ts") >= cut).write.mode("append").parquet(in)
+    StreamingOps.windowAggAppendTo(spark, in, out, ckpt)
+    val combined = spark.read.parquet(out)
+    val run2 = combined.collect().toSet -- run1
+    assert(run2.nonEmpty, "run 2 emitted nothing new")
+
+    // no window emitted twice across runs
+    assert(combined.count() ===
+      combined.select("window_start_us", "event_type").distinct().count(),
+      "a window was re-emitted on the second run")
+
+    // union of incremental runs == one-shot over the full directory
+    val oneShot = s"$base/oneshot"
+    StreamingOps.windowAggAppendTo(spark, in, oneShot, s"$base/ckpt2")
+    assertSameRows(combined, spark.read.parquet(oneShot))
+  }
+
   test("flatMapGroupsWithState sessionize equals batch window sessionize") {
     val streamed = StreamingOps.sessionize(spark, sfDir)
     val batch = AnalyticsOps.sessionize(spark, sfDir)

@@ -1,0 +1,13 @@
+package org.apache.spark.graftbridge
+
+import org.apache.spark.SparkContext
+
+/** Test-only bridge: QueryExecutionListener events ride the shared
+  * (asynchronous) Spark listener bus, so a spec that asserts on what a
+  * listener saw must drain the bus first. `listenerBus` is
+  * private[spark]; this object lives under org.apache.spark purely to
+  * expose the drain to tests.
+  */
+object ListenerFlush {
+  def waitUntilEmpty(sc: SparkContext): Unit = sc.listenerBus.waitUntilEmpty()
+}
