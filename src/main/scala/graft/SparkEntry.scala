@@ -61,6 +61,7 @@ object SparkEntry {
     "w_sessionize" -> (AnalyticsOps.sessionize _),
     "w_session_window" -> (AnalyticsOps.sessionWindowAgg _),
     "g_salted_skew" -> (AnalyticsOps.saltedSkewAgg _),
+    "j_skew" -> (AnalyticsOps.skewJoin _),
     "set_ops" -> (AnalyticsOps.setOps _),
     "o_topk" -> (AnalyticsOps.topK _),
     // --- scalar function surface (SURVEY §2.8) ---
@@ -92,6 +93,7 @@ object SparkEntry {
       SimilarityOps.embeddingNearDup(s, d)),
     "sim_ann_lsh" -> (SimilarityOps.annLsh _),
     "sim_ann_ivf" -> (SimilarityOps.annIvf _),
+    "sim_ann_recall" -> (SimilarityOps.annRecall _),
     // custom logical node + Catalyst rewrite rule (graft.plans):
     // declared similarity join, planned as an LSH-bucketed equi-join
     "sim_lsh_join" -> ((s: SparkSession, dir: String) => {
@@ -244,6 +246,39 @@ object SparkEntry {
        |  ORDER BY cos DESC, neighbor_vec_id) AS INTEGER) AS rk FROM pairs)
        |SELECT q_vec_id, cell, neighbor_vec_id, round(cos, 6) AS cos_sim, rk
        |FROM r WHERE rk <= 3""".stripMargin
+  }
+
+  private lazy val annRecallSql: String = {
+    val planes = SimilarityOps.hyperplanes(64, 8)
+    s"""WITH v AS (
+       | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm,
+       | ${bucketSql("e", planes)} AS bucket FROM v),
+       |q AS (SELECT vec_id AS q_vec_id, e AS qe, nrm AS qnrm, bucket
+       | FROM n WHERE vec_id < 8),
+       |bpairs AS (
+       | SELECT q.q_vec_id, c.vec_id AS neighbor_vec_id,
+       |  list_dot_product(q.qe, c.e) / (q.qnrm * c.nrm) AS cos
+       | FROM q JOIN n c ON c.vec_id <> q.q_vec_id),
+       |brute AS (SELECT q_vec_id, neighbor_vec_id FROM (
+       | SELECT *, row_number() OVER (PARTITION BY q_vec_id
+       |   ORDER BY cos DESC, neighbor_vec_id) AS rk FROM bpairs)
+       | WHERE rk <= 3),
+       |apairs AS (
+       | SELECT q.q_vec_id, c.vec_id AS neighbor_vec_id,
+       |  list_dot_product(q.qe, c.e) / (q.qnrm * c.nrm) AS cos
+       | FROM q JOIN n c ON q.bucket = c.bucket AND c.vec_id <> q.q_vec_id),
+       |ann AS (SELECT q_vec_id, neighbor_vec_id FROM (
+       | SELECT *, row_number() OVER (PARTITION BY q_vec_id
+       |   ORDER BY cos DESC, neighbor_vec_id) AS rk FROM apairs)
+       | WHERE rk <= 3),
+       |h AS (SELECT b.q_vec_id, count(*) AS hits
+       | FROM brute b JOIN ann a USING (q_vec_id, neighbor_vec_id)
+       | GROUP BY 1),
+       |t AS (SELECT q_vec_id, count(*) AS n_true FROM brute GROUP BY 1)
+       |SELECT t.q_vec_id, CAST(coalesce(h.hits, 0) AS BIGINT) AS n_hits,
+       | round(CAST(coalesce(h.hits, 0) AS DOUBLE) / t.n_true, 6) AS recall
+       |FROM t LEFT JOIN h USING (q_vec_id)""".stripMargin
   }
 
   private lazy val lshJoinSql: String = {
@@ -538,6 +573,19 @@ object SparkEntry {
         | min(epoch_us(ts)) AS first_us,
         | max(epoch_us(ts)) AS last_us
         |FROM events GROUP BY event_type""".stripMargin,
+    "j_skew" ->
+      """WITH e AS (
+        | SELECT event_id, value,
+        |  CAST(CASE WHEN user_id % 10 < 7 THEN 0 ELSE user_id END
+        |    AS BIGINT) AS skew_key
+        | FROM events),
+        |g AS (
+        | SELECT skew_key, count(*) AS n_key_events,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+        |    AS sum_key_value
+        | FROM e GROUP BY skew_key)
+        |SELECT e.event_id, e.skew_key, g.n_key_events, g.sum_key_value
+        |FROM e JOIN g USING (skew_key)""".stripMargin,
     "w_rank_topk" ->
       """WITH r AS (
         | SELECT o_custkey, o_orderkey, o_totalprice,
@@ -753,6 +801,7 @@ object SparkEntry {
     "d_minhash_lsh" -> minhashLshSql,
     "sim_ann_lsh" -> annLshSql,
     "sim_ann_ivf" -> annIvfSql,
+    "sim_ann_recall" -> annRecallSql,
     "sim_lsh_join" -> lshJoinSql,
     "d_ngram_jaccard" ->
       ("""WITH docs AS (

@@ -318,6 +318,67 @@ object AnalyticsOps {
         max(col("pmax")).as("last_us"))
   }
 
+  /** Skew-safe JOIN via AQE skew-join — the join-side counterpart of
+    * [[saltedSkewAgg]]. A deliberately hot key (70% of events collapse
+    * to skew_key 0) is joined back to its per-key aggregate: a plain
+    * shuffled join would put the hot key's entire fact side on ONE
+    * reducer — the straggler that dominates wall-clock at 100 TB. AQE's
+    * OptimizeSkewedJoin splits the oversized partition into
+    * advisory-sized chunks at runtime and replicates the matching build
+    * rows, so the hot key fans out across tasks with an identical
+    * result (PlanSpec asserts the final adaptive plan really carries
+    * `skew=true`).
+    *
+    * Runs in a child session (`newSession`) so the demo's tuned
+    * thresholds never leak into the caller: broadcast is disabled to
+    * force the shuffled join AQE rewrites (at real scale the per-key
+    * aggregate of a high-cardinality key is not broadcastable anyway),
+    * and the skew thresholds are scaled to fixture data volume — the
+    * DETECTOR is size-relative either way (hot partition vs median),
+    * which is what makes the plan scale-correct, not the constants.
+    */
+  def skewJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions",
+      spark.conf.get("spark.sql.shuffle.partitions"))
+    s.conf.set("spark.sql.adaptive.enabled", "true")
+    s.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+    s.conf.set(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1KB")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "512b")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    // loadBalanced: AQE splits a skewed reducer partition at MAPPER
+    // granularity, and the one-file fixture gives a single map task —
+    // unsplittable no matter how skewed. A real table has thousands of
+    // splits; the round-robin restores that shape locally.
+    val e = Tables.loadBalanced(s, sfDir, "events").select(
+      col("event_id"), col("value"),
+      when(col("user_id") % 10 < 7, lit(0L))
+        .otherwise(col("user_id")).as("skew_key"))
+    // the aggregate carries a key-derived bucket column, so each key
+    // still yields exactly one row BUT the agg's output partitioning
+    // (skew_key, bucket) no longer satisfies the join's (skew_key) —
+    // the build side reaches the join through its OWN shuffle stage.
+    // That stage is what OptimizeSkewedJoin replicates when it splits
+    // the hot fact partition; an agg directly under the join leaves
+    // the runtime nothing to re-read. (At real scale the build side of
+    // a skewed join arrives from a foreign shuffle anyway — this pins
+    // the same shape at fixture scale.)
+    val perKey = e
+      .withColumn("bucket", pmod(col("skew_key"), lit(16)))
+      .groupBy(col("skew_key"), col("bucket")).agg(
+        count(lit(1)).as("n_key_events"),
+        round(sum(col("value").cast("decimal(18,2)")), 2)
+          .cast("double").as("sum_key_value"))
+      .drop("bucket")
+    e.join(perKey, Seq("skew_key"))
+      .select(col("event_id"), col("skew_key"),
+        col("n_key_events"), col("sum_key_value"))
+  }
+
   /** Global top-k with deterministic total order (O-series; the
     * reference's partition-ordered write is `sortWithinPartitions`).
     * TakeOrderedAndProject — no full sort at scale. */

@@ -206,6 +206,29 @@ object SimilarityOps {
         round(col("cos"), 6).as("cos_sim"), col("rk"))
   }
 
+  /** Recall@3 of the LSH-bucketed ANN against the brute-force
+    * neighbors, per query — search QUALITY tracked by the same
+    * oracle harness as correctness (an ANN that silently degrades
+    * shows up as a changed recall row, not just a slow feeling). The
+    * brute-force side is inherent to measuring recall; at scale this
+    * stays cheap because the query set is a small audit sample
+    * (vec_id < 8) probed against one corpus scan — the same
+    * broadcast-probe shape as [[cosineTopK]] itself.
+    */
+  def annRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val brute = cosineTopK(spark, sfDir).filter(col("rk") <= 3)
+      .select(col("q_vec_id"), col("neighbor_vec_id"))
+    val ann = annLsh(spark, sfDir)
+      .select(col("q_vec_id"), col("neighbor_vec_id"))
+    val hits = brute.join(ann, Seq("q_vec_id", "neighbor_vec_id"), "left_semi")
+      .groupBy(col("q_vec_id")).agg(count(lit(1)).as("hits"))
+    brute.groupBy(col("q_vec_id")).agg(count(lit(1)).as("n_true"))
+      .join(hits, Seq("q_vec_id"), "left")
+      .select(col("q_vec_id"),
+        coalesce(col("hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("hits"), lit(0L)) / col("n_true"), 6).as("recall"))
+  }
+
   /** LSH-bucketed ANN: corpus and queries hashed to 8-bit sign
     * buckets; each query compares only within its bucket (plus ranking).
     * Returns per-query top-3 within-bucket neighbors. Recall vs the

@@ -23,8 +23,17 @@ object TtlOps {
     * Runs through the schema-generic [[CellModel.stripAll]] — the
     * events table is just one instance of the generic strip.
     */
-  def ttlStrip(spark: SparkSession, sfDir: String): DataFrame = {
-    val cells = CellModel.cellify(Tables.load(spark, sfDir, "events"))
+  def ttlStrip(spark: SparkSession, sfDir: String): DataFrame =
+    ttlStripOf(Tables.load(spark, sfDir, "events"))
+
+  /** [[ttlStrip]]'s body on an already-resolved events DataFrame — the
+    * same query runs against a parquet path or a catalog table
+    * (`spark.table`), the metastore analogue of C2 loading schema from
+    * the data directory's system tables
+    * (`Cassandra2TTLRemover.java:48`). CatalogSpec pins the
+    * equivalence. */
+  def ttlStripOf(events: DataFrame): DataFrame = {
+    val cells = CellModel.cellify(events)
     CellModel.stripAll(cells, CellModel.eventsMeta)
       .select(
         col("event_id"),

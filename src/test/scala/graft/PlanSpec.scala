@@ -73,6 +73,21 @@ class PlanSpec extends SparkSpec {
       s"threshold-driven broadcast did not fire on a scaling dim:\n$p5")
   }
 
+  test("AQE splits the hot-key join partition (skew=true in final plan)") {
+    // j_skew collapses 70% of events onto one join key; the adaptive
+    // runtime must detect the oversized shuffle partition and split it
+    // (replicating build rows) instead of leaving one straggler task —
+    // the plan property that bounds worst-task size at 100 TB. AQE
+    // finalizes the plan only on execution, so run it first.
+    val df = AnalyticsOps.skewJoin(spark, sfDir)
+    // collect() (not count()) so THIS DataFrame's adaptive plan is the
+    // one that executes and finalizes
+    assert(df.collect().nonEmpty)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("skew=true"),
+      s"no skew-handled join in the final adaptive plan:\n$p")
+  }
+
   test("q1 aggregation is partial+final (map-side combine)") {
     val p = plan(AnalyticsOps.q1Agg(spark, sfDir))
     assert("HashAggregate".r.findAllIn(p).size >= 2,
