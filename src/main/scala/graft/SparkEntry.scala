@@ -61,7 +61,8 @@ object SparkEntry {
     "w_sessionize" -> (AnalyticsOps.sessionize _),
     "w_session_window" -> (AnalyticsOps.sessionWindowAgg _),
     "g_salted_skew" -> (AnalyticsOps.saltedSkewAgg _),
-    "j_skew" -> (AnalyticsOps.skewJoin _),
+    "j_skew" -> ((s: SparkSession, d: String) =>
+      AnalyticsOps.skewJoin(s, d)),
     "set_ops" -> (AnalyticsOps.setOps _),
     "o_topk" -> (AnalyticsOps.topK _),
     // --- scalar function surface (SURVEY §2.8) ---

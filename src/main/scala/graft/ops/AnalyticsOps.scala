@@ -332,12 +332,17 @@ object AnalyticsOps {
     * Runs in a child session (`newSession`) so the demo's tuned
     * thresholds never leak into the caller: broadcast is disabled to
     * force the shuffled join AQE rewrites (at real scale the per-key
-    * aggregate of a high-cardinality key is not broadcastable anyway),
-    * and the skew thresholds are scaled to fixture data volume — the
-    * DETECTOR is size-relative either way (hot partition vs median),
-    * which is what makes the plan scale-correct, not the constants.
+    * aggregate of a high-cardinality key is not broadcastable anyway).
+    * `skewThreshold`/`advisorySize` default to fixture-scale values so
+    * the optimization is observable on the test corpus; a production
+    * deployment passes cluster-scale values (Spark's own defaults are
+    * 256 MB / 64 MB) — the DETECTOR is size-relative either way (hot
+    * partition vs median×factor), which is what makes the plan
+    * scale-correct, not the constants.
     */
-  def skewJoin(spark: SparkSession, sfDir: String): DataFrame = {
+  def skewJoin(spark: SparkSession, sfDir: String,
+      skewThreshold: String = "1KB", advisorySize: String = "512b")
+      : DataFrame = {
     val s = spark.newSession()
     s.conf.set("spark.sql.shuffle.partitions",
       spark.conf.get("spark.sql.shuffle.partitions"))
@@ -346,8 +351,10 @@ object AnalyticsOps {
     s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
     s.conf.set(
-      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1KB")
-    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "512b")
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      skewThreshold)
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      advisorySize)
     s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     // loadBalanced: AQE splits a skewed reducer partition at MAPPER
