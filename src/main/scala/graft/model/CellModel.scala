@@ -172,14 +172,16 @@ object CellModel {
   def cellifySpec(df: DataFrame, cells: Seq[String], writetime: String,
       ttlKey: String): DataFrame = {
     import org.apache.spark.sql.types._
-    val names = df.schema.fieldNames.toSet
-    (cells :+ ttlKey).foreach { c =>
-      require(names.contains(c),
-        s"cell-model column '$c' missing from schema ${df.schema.simpleString}")
-    }
+    // resolve every declared name case-insensitively (the fieldOf
+    // contract: a name that resolves in a query never misses here)
+    def resolve(flag: String)(c: String): String =
+      fieldOf(df, c).map(_.name).getOrElse(throw new IllegalArgumentException(
+        s"$flag column '$c' missing from schema ${df.schema.simpleString}"))
+    val cellNames = cells.map(resolve("--cells")).toSet
+    val ttlKeyName = resolve("--ttl-key")(ttlKey)
     // the TTL synthesis keys on an integral column; anything else would
     // cast to all-null TTLs and turn the strip into a silent no-op
-    fieldOf(df, ttlKey).map(_.dataType).foreach {
+    df.schema(ttlKeyName).dataType match {
       case LongType | IntegerType | ShortType | ByteType => ()
       case dt => throw new IllegalArgumentException(
         s"--ttl-key column '$ttlKey' must be an integral column (the " +
@@ -190,21 +192,23 @@ object CellModel {
       case ArrayType(v, _) => isCellStruct(v)
       case other => isCellStruct(other)
     }
-    cells.foreach { c =>
+    cellNames.foreach { c =>
       require(!alreadyCell(df.schema(c).dataType),
         s"--cells column '$c' is already cell-typed; stripAll handles it")
     }
     val wt = writetimeMicros(df, writetime)
-    val tk = col(ttlKey).cast("long")
+    val tk = col(ttlKeyName).cast("long")
     val cols = df.schema.fields.map { f =>
-      if (!cells.contains(f.name)) col(f.name)
+      if (!cellNames.contains(f.name)) col(f.name)
       else f.dataType match {
+        // per-element TTL key offset by element identity (array index /
+        // map-key length): distinct elements of one collection get
+        // independent liveness, like distinct CellPaths in one complex
+        // column — deterministic and reproducible by the SQL oracle
         case MapType(_, _, _) =>
-          transform_values(col(f.name), (_, v) => mkCell(v, wt, tk)).as(f.name)
+          transform_values(col(f.name),
+            (k, v) => mkCell(v, wt, tk + length(k.cast("string")))).as(f.name)
         case ArrayType(_, _) =>
-          // per-element TTL key offset by position: distinct elements of
-          // one collection get independent liveness, like distinct
-          // CellPaths in one complex column
           transform(col(f.name), (v, i) => mkCell(v, wt, tk + i)).as(f.name)
         case _ => mkCell(col(f.name), wt, tk).as(f.name)
       }

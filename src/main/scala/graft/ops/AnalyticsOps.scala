@@ -340,21 +340,33 @@ object AnalyticsOps {
     * partition vs median×factor), which is what makes the plan
     * scale-correct, not the constants.
     */
+  /** One tuned child session per (parent, thresholds): every
+    * `newSession` whose query executes registers an execution-listener
+    * bus on the application-wide listener bus and never unregisters it,
+    * so a per-call session would leak a listener per invocation into
+    * the long-lived harness driver. */
+  private val skewSessions = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String), SparkSession]()
+
   def skewJoin(spark: SparkSession, sfDir: String,
       skewThreshold: String = "1KB", advisorySize: String = "512b")
       : DataFrame = {
-    val s = spark.newSession()
-    s.conf.set("spark.sql.shuffle.partitions",
-      spark.conf.get("spark.sql.shuffle.partitions"))
-    s.conf.set("spark.sql.adaptive.enabled", "true")
-    s.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
-    s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
-    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
-    s.conf.set(
-      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
-      skewThreshold)
-    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
-      advisorySize)
+    val s = skewSessions.computeIfAbsent(
+      (spark, skewThreshold, advisorySize), _ => {
+        val c = spark.newSession()
+        c.conf.set("spark.sql.shuffle.partitions",
+          spark.conf.get("spark.sql.shuffle.partitions"))
+        c.conf.set("spark.sql.adaptive.enabled", "true")
+        c.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+        c.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        c.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+        c.conf.set(
+          "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+          skewThreshold)
+        c.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+          advisorySize)
+        c
+      })
     s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     // loadBalanced: AQE splits a skewed reducer partition at MAPPER

@@ -220,13 +220,17 @@ object SimilarityOps {
       .select(col("q_vec_id"), col("neighbor_vec_id"))
     val ann = annLsh(spark, sfDir)
       .select(col("q_vec_id"), col("neighbor_vec_id"))
-    val hits = brute.join(ann, Seq("q_vec_id", "neighbor_vec_id"), "left_semi")
-      .groupBy(col("q_vec_id")).agg(count(lit(1)).as("hits"))
-    brute.groupBy(col("q_vec_id")).agg(count(lit(1)).as("n_true"))
-      .join(hits, Seq("q_vec_id"), "left")
+      .withColumn("hit", lit(1L))
+    // ONE reference to the brute pipeline: Catalyst shares no subtrees
+    // across DAG branches, so a second branch (e.g. a separate n_true
+    // agg) would run the whole brute-force scan + ranking twice
+    brute.join(ann, Seq("q_vec_id", "neighbor_vec_id"), "left")
+      .groupBy(col("q_vec_id"))
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("hit"), lit(0L))).as("hits"))
       .select(col("q_vec_id"),
-        coalesce(col("hits"), lit(0L)).as("n_hits"),
-        round(coalesce(col("hits"), lit(0L)) / col("n_true"), 6).as("recall"))
+        col("hits").cast("long").as("n_hits"),
+        round(col("hits") / col("n_true"), 6).as("recall"))
   }
 
   /** LSH-bucketed ANN: corpus and queries hashed to 8-bit sign

@@ -69,7 +69,7 @@ class PipelineSpec extends SparkSpec {
       val written = Pipeline.removeTtlFromDir(
         spark, sfDir, out, CellModel.eventsMeta)
       assert(written === Tables.load(spark, sfDir, "events").count())
-      org.apache.spark.graftbridge.ListenerFlush
+      org.apache.spark.sql.graftbridge.ListenerFlush
         .waitUntilEmpty(spark.sparkContext)
       assert(plans.asScala.nonEmpty, "listener saw no query executions")
       // the write command itself names outDir as its DESTINATION; a
@@ -149,6 +149,13 @@ class PipelineSpec extends SparkSpec {
     assert(perElem.filter(
       col("t0").isNotNull =!= col("t1").isNotNull).count() > 0,
       "elements of one collection should carry independent liveness")
+    // ...and map values too (key-derived offset, not one TTL per map)
+    val mapElem = cellified.select(
+      element_at(col("attrs"), "status").getField("ttl_s").as("ms"),
+      element_at(col("attrs"), "prio").getField("ttl_s").as("mp"))
+    assert(mapElem.filter(
+      col("ms").isNotNull =!= col("mp").isNotNull).count() > 0,
+      "map values of one row should carry independent liveness")
 
     val args = RemoverCli.parse(Array(
       "--in", inDir, "--out", out, "--table", "inv",
