@@ -215,10 +215,18 @@ object SimilarityOps {
     * (vec_id < 8) probed against one corpus scan — the same
     * broadcast-probe shape as [[cosineTopK]] itself.
     */
-  def annRecall(spark: SparkSession, sfDir: String): DataFrame = {
+  def annRecall(spark: SparkSession, sfDir: String): DataFrame =
+    annRecallOf(spark, sfDir, annLsh)
+
+  /** Recall@3 of the IVF variant, same harness. */
+  def annRecallIvf(spark: SparkSession, sfDir: String): DataFrame =
+    annRecallOf(spark, sfDir, annIvf)
+
+  private def annRecallOf(spark: SparkSession, sfDir: String,
+      annIndex: (SparkSession, String) => DataFrame): DataFrame = {
     val brute = cosineTopK(spark, sfDir).filter(col("rk") <= 3)
       .select(col("q_vec_id"), col("neighbor_vec_id"))
-    val ann = annLsh(spark, sfDir)
+    val ann = annIndex(spark, sfDir)
       .select(col("q_vec_id"), col("neighbor_vec_id"))
       .withColumn("hit", lit(1L))
     // ONE reference to the brute pipeline: Catalyst shares no subtrees
