@@ -113,7 +113,10 @@ object RemoverCli {
     }
     else if (a.pk.isEmpty) Left("--cells requires --pk <key columns>")
     else if (a.writetime.isEmpty) Left("--cells requires --writetime <col>")
-    else if (a.cells.exists(c => a.pk.contains(c) || a.ck.contains(c)))
+    // case-insensitive, matching cellifySpec's column resolution — a
+    // case-differing duplicate must not slip past parse-time validation
+    else if (a.cells.exists(c =>
+      (a.pk ++ a.ck).exists(_.equalsIgnoreCase(c))))
       Left("key columns must not be cell columns (keys never carry liveness)")
     else Right(a)
 

@@ -250,13 +250,13 @@ object SparkEntry {
        |FROM r WHERE rk <= 3""".stripMargin
   }
 
-  private lazy val annRecallSql: String = {
-    val planes = SimilarityOps.hyperplanes(64, 8)
-    s"""WITH v AS (
-       | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-       |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm,
-       | ${bucketSql("e", planes)} AS bucket FROM v),
-       |q AS (SELECT vec_id AS q_vec_id, e AS qe, nrm AS qnrm, bucket
+  /** Shared recall@3 oracle scaffold: `nCtes` must define a CTE `n`
+    * with columns (vec_id, e, nrm, `key`); the brute side ranks over
+    * ALL of n, the ann side only within equal `key` — one definition
+    * of the recall math for every index variant. */
+  private def recallSql(nCtes: String, key: String): String =
+    s"""WITH $nCtes,
+       |q AS (SELECT vec_id AS q_vec_id, e AS qe, nrm AS qnrm, $key
        | FROM n WHERE vec_id < 8),
        |bpairs AS (
        | SELECT q.q_vec_id, c.vec_id AS neighbor_vec_id,
@@ -269,7 +269,7 @@ object SparkEntry {
        |apairs AS (
        | SELECT q.q_vec_id, c.vec_id AS neighbor_vec_id,
        |  list_dot_product(q.qe, c.e) / (q.qnrm * c.nrm) AS cos
-       | FROM q JOIN n c ON q.bucket = c.bucket AND c.vec_id <> q.q_vec_id),
+       | FROM q JOIN n c ON q.$key = c.$key AND c.vec_id <> q.q_vec_id),
        |ann AS (SELECT q_vec_id, neighbor_vec_id FROM (
        | SELECT *, row_number() OVER (PARTITION BY q_vec_id
        |   ORDER BY cos DESC, neighbor_vec_id) AS rk FROM apairs)
@@ -281,6 +281,15 @@ object SparkEntry {
        |SELECT t.q_vec_id, CAST(coalesce(h.hits, 0) AS BIGINT) AS n_hits,
        | round(CAST(coalesce(h.hits, 0) AS DOUBLE) / t.n_true, 6) AS recall
        |FROM t LEFT JOIN h USING (q_vec_id)""".stripMargin
+
+  private lazy val annRecallSql: String = {
+    val planes = SimilarityOps.hyperplanes(64, 8)
+    recallSql(
+      s"""v AS (
+         | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm,
+         | ${bucketSql("e", planes)} AS bucket FROM v)""".stripMargin,
+      "bucket")
   }
 
   private lazy val annRecallIvfSql: String = {
@@ -288,44 +297,21 @@ object SparkEntry {
     val values = cs.zipWithIndex
       .map { case (c, i) => s"($i, ${sqlVec(c)})" }
       .mkString(",\n  ")
-    s"""WITH cents AS (SELECT * FROM (VALUES
-       |  $values) AS t(cell, c)),
-       |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-       |scored AS (
-       | SELECT v.vec_id, v.e, c.cell, list_dot_product(v.e, c.c) AS score
-       | FROM v CROSS JOIN cents c),
-       |best AS (
-       | SELECT vec_id, e, cell FROM (
-       |  SELECT *, row_number() OVER (PARTITION BY vec_id
-       |    ORDER BY score DESC, cell DESC) AS rn FROM scored)
-       | WHERE rn = 1),
-       |n AS (SELECT vec_id, cell, e, sqrt(list_dot_product(e, e)) AS nrm
-       | FROM best),
-       |q AS (SELECT vec_id AS q_vec_id, e AS qe, nrm AS qnrm, cell
-       | FROM n WHERE vec_id < 8),
-       |bpairs AS (
-       | SELECT q.q_vec_id, c.vec_id AS neighbor_vec_id,
-       |  list_dot_product(q.qe, c.e) / (q.qnrm * c.nrm) AS cos
-       | FROM q JOIN n c ON c.vec_id <> q.q_vec_id),
-       |brute AS (SELECT q_vec_id, neighbor_vec_id FROM (
-       | SELECT *, row_number() OVER (PARTITION BY q_vec_id
-       |   ORDER BY cos DESC, neighbor_vec_id) AS rk FROM bpairs)
-       | WHERE rk <= 3),
-       |apairs AS (
-       | SELECT q.q_vec_id, c.vec_id AS neighbor_vec_id,
-       |  list_dot_product(q.qe, c.e) / (q.qnrm * c.nrm) AS cos
-       | FROM q JOIN n c ON q.cell = c.cell AND c.vec_id <> q.q_vec_id),
-       |ann AS (SELECT q_vec_id, neighbor_vec_id FROM (
-       | SELECT *, row_number() OVER (PARTITION BY q_vec_id
-       |   ORDER BY cos DESC, neighbor_vec_id) AS rk FROM apairs)
-       | WHERE rk <= 3),
-       |h AS (SELECT b.q_vec_id, count(*) AS hits
-       | FROM brute b JOIN ann a USING (q_vec_id, neighbor_vec_id)
-       | GROUP BY 1),
-       |t AS (SELECT q_vec_id, count(*) AS n_true FROM brute GROUP BY 1)
-       |SELECT t.q_vec_id, CAST(coalesce(h.hits, 0) AS BIGINT) AS n_hits,
-       | round(CAST(coalesce(h.hits, 0) AS DOUBLE) / t.n_true, 6) AS recall
-       |FROM t LEFT JOIN h USING (q_vec_id)""".stripMargin
+    recallSql(
+      s"""cents AS (SELECT * FROM (VALUES
+         |  $values) AS t(cell, c)),
+         |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |scored AS (
+         | SELECT v.vec_id, v.e, c.cell, list_dot_product(v.e, c.c) AS score
+         | FROM v CROSS JOIN cents c),
+         |best AS (
+         | SELECT vec_id, e, cell FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY score DESC, cell DESC) AS rn FROM scored)
+         | WHERE rn = 1),
+         |n AS (SELECT vec_id, cell, e, sqrt(list_dot_product(e, e)) AS nrm
+         | FROM best)""".stripMargin,
+      "cell")
   }
 
   private lazy val lshJoinSql: String = {

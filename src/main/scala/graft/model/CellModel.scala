@@ -236,10 +236,9 @@ object CellModel {
     * cells do).
     */
   def stripAll(df: DataFrame, meta: TableMeta): DataFrame = {
-    val fieldsByName = df.schema.fields.map(f => f.name -> f).toMap
     (meta.partitionKeys ++ meta.clusteringKeys).foreach { k =>
-      val f = fieldsByName.getOrElse(
-        k,
+      // case-insensitive like Spark's own resolver (fieldOf contract)
+      val f = fieldOf(df, k).getOrElse(
         throw new IllegalArgumentException(
           s"key column '$k' of ${meta.keyspace}.${meta.table} missing " +
             s"from schema ${df.schema.simpleString}"))

@@ -344,15 +344,22 @@ object AnalyticsOps {
     * `newSession` whose query executes registers an execution-listener
     * bus on the application-wide listener bus and never unregisters it,
     * so a per-call session would leak a listener per invocation into
-    * the long-lived harness driver. */
-  private val skewSessions = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String, String), SparkSession]()
+    * the long-lived harness driver. WEAKLY keyed by the parent session
+    * so a stopped/discarded parent doesn't pin its children for the
+    * JVM lifetime (a child session references the SparkContext and
+    * SharedState, never the parent session object, so the weak key can
+    * actually clear). */
+  private val skewSessions = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[(String, String), SparkSession]]())
 
   def skewJoin(spark: SparkSession, sfDir: String,
       skewThreshold: String = "1KB", advisorySize: String = "512b")
       : DataFrame = {
-    val s = skewSessions.computeIfAbsent(
-      (spark, skewThreshold, advisorySize), _ => {
+    val perParent = skewSessions.computeIfAbsent(spark,
+      _ => scala.collection.mutable.Map.empty)
+    val s = perParent.synchronized {
+      perParent.getOrElseUpdate((skewThreshold, advisorySize), {
         val c = spark.newSession()
         c.conf.set("spark.sql.shuffle.partitions",
           spark.conf.get("spark.sql.shuffle.partitions"))
@@ -367,6 +374,7 @@ object AnalyticsOps {
           advisorySize)
         c
       })
+    }
     s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     // loadBalanced: AQE splits a skewed reducer partition at MAPPER

@@ -117,6 +117,13 @@ object StreamingOps {
     */
   def windowAggAppendTo(spark: SparkSession, inDir: String, outDir: String,
       checkpointDir: String): Unit = {
+    // same session pinning Tables.load applies: corpus-shaped events
+    // carry INT64(TIMESTAMP_NANOS) parquet timestamps (rejected unless
+    // read as long) and the window/watermark boundaries assume UTC —
+    // without this the op only works if some earlier Tables.load call
+    // happened to mutate the same session
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val schema = spark.read.parquet(inDir).schema
     val q = windowAggPlan(spark.readStream.schema(schema).parquet(inDir))
       .writeStream

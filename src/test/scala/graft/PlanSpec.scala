@@ -51,26 +51,26 @@ class PlanSpec extends SparkSpec {
     // expected hint count per query: only the fixed-cardinality
     // region/nation dims may carry one (q5 hints exactly those two;
     // q3 and the part lookup join scaling dims only → zero hints)
-    for ((df, expectedHints) <- Seq(
-        (AnalyticsOps.q3Shipping(spark, sfDir), 0),
-        (AnalyticsOps.q5MultiJoin(spark, sfDir), 2),
-        (AnalyticsOps.broadcastLookup(spark, sfDir), 0))) {
+    // scaling-dim broadcasts pinned per join key so a silent
+    // SortMergeJoin fallback on customer/supplier would fail even
+    // though the hinted nation/region joins keep a BroadcastHashJoin in
+    // the plan (an assertion a bare contains() cannot make); one
+    // planning per query — these are multi-join plans and the suite's
+    // wall-clock is tracked
+    for ((df, expectedHints, keys) <- Seq(
+        (AnalyticsOps.q3Shipping(spark, sfDir), 0, Seq("c_custkey")),
+        (AnalyticsOps.q5MultiJoin(spark, sfDir), 2,
+          Seq("c_custkey", "s_suppkey")),
+        (AnalyticsOps.broadcastLookup(spark, sfDir), 0, Seq("p_partkey")))) {
       val nHints = "ResolvedHint \\(strategy=broadcast\\)".r
         .findAllIn(df.queryExecution.logical.toString()).size
       assert(nHints === expectedHints,
         s"expected $expectedHints broadcast hints, found $nHints")
+      val p = plan(df)
+      for (k <- keys)
+        assert(broadcastJoinOn(p, k),
+          s"threshold-driven broadcast did not fire on $k:\n$p")
     }
-    // and the scaling dims still broadcast — pinned per join key so a
-    // silent SortMergeJoin fallback on customer/supplier would fail even
-    // though the hinted nation/region joins keep a BroadcastHashJoin in
-    // the plan (the q5 assertion a bare contains() cannot make)
-    assert(broadcastJoinOn(
-      plan(AnalyticsOps.q3Shipping(spark, sfDir)), "c_custkey"))
-    assert(broadcastJoinOn(
-      plan(AnalyticsOps.broadcastLookup(spark, sfDir)), "p_partkey"))
-    val p5 = plan(AnalyticsOps.q5MultiJoin(spark, sfDir))
-    assert(broadcastJoinOn(p5, "c_custkey") && broadcastJoinOn(p5, "s_suppkey"),
-      s"threshold-driven broadcast did not fire on a scaling dim:\n$p5")
   }
 
   test("AQE splits the hot-key join partition (skew=true in final plan)") {
