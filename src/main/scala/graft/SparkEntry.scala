@@ -88,6 +88,8 @@ object SparkEntry {
     "d_ngram_jaccard" -> ((s: SparkSession, d: String) =>
       DedupOps.ngramJaccard(s, d)),
     "d_decontaminate" -> (DedupOps.decontaminate _),
+    "d_dedup_components" -> ((s: SparkSession, d: String) =>
+      DedupOps.dedupComponents(s, d, DedupOps.Md5)),
     // --- similarity search ---
     "sim_cosine_topk" -> (SimilarityOps.cosineTopK _),
     "sim_embed_neardup" -> ((s: SparkSession, d: String) =>
@@ -281,6 +283,26 @@ object SparkEntry {
        |SELECT t.q_vec_id, CAST(coalesce(h.hits, 0) AS BIGINT) AS n_hits,
        | round(CAST(coalesce(h.hits, 0) AS DOUBLE) / t.n_true, 6) AS recall
        |FROM t LEFT JOIN h USING (q_vec_id)""".stripMargin
+
+  /** Components of the LSH pair graph via transitive closure — the
+    * recursive-CTE twin of DedupOps.dedupComponents' label
+    * propagation: both assign every doc the min doc_id reachable in
+    * its near-dup cluster (UNION dedup bounds the recursion). */
+  private lazy val dedupComponentsSql: String =
+    s"""WITH RECURSIVE pairs AS (SELECT * FROM (
+       |$minhashLshSql
+       |) mp),
+       |sym AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |        UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(src, dst) AS (
+       | SELECT src, dst FROM sym
+       | UNION
+       | SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+       |m AS (SELECT src AS doc_id, min(dst) AS mn FROM reach GROUP BY src)
+       |SELECT d.doc_id,
+       | CAST(coalesce(least(m.mn, d.doc_id), d.doc_id) AS BIGINT)
+       |   AS component
+       |FROM documents d LEFT JOIN m USING (doc_id)""".stripMargin
 
   private lazy val annRecallSql: String = {
     val planes = SimilarityOps.hyperplanes(64, 8)
@@ -832,6 +854,7 @@ object SparkEntry {
         |FROM corpus c JOIN block USING (shingle)
         |GROUP BY c.doc_id""".stripMargin,
     "d_minhash_lsh" -> minhashLshSql,
+    "d_dedup_components" -> dedupComponentsSql,
     "sim_ann_lsh" -> annLshSql,
     "sim_ann_ivf" -> annIvfSql,
     "sim_ann_recall" -> annRecallSql,

@@ -195,6 +195,63 @@ object DedupOps {
       transform(slice(docs, i + 2, size(docs)),
         y => struct(x.as("doc_a"), y.as("doc_b")))))
 
+  /** Connected components over the [[minhashLsh]] candidate-pair graph:
+    * the step a real dedup pipeline needs between "candidate pairs" and
+    * "keep one copy per cluster" — every document gets a component id
+    * (the min doc_id of its near-dup cluster; singletons label
+    * themselves), so `groupBy(component).agg(min(doc_id))` IS the keep
+    * list. Iterative min-label propagation, the idiomatic DataFrame
+    * formulation: each round every node takes the min of its own and
+    * its neighbors' labels, converging in O(graph diameter) rounds.
+    * Near-dup graphs are shallow by construction here — components are
+    * unions of size-capped LSH buckets, so the diameter stays small and
+    * the loop exits on a convergence check (no fixed iteration guess);
+    * for adversarially deep graphs the documented alternative is the
+    * large-star/small-star formulation (same join primitives, fewer
+    * rounds). Per-round state is persisted and the previous round
+    * unpersisted once the next is materialized; the final result's
+    * cached blocks are reclaimed by Spark's ContextCleaner when the
+    * result goes out of scope.
+    */
+  def dedupComponents(spark: SparkSession, sfDir: String,
+      hash: TokenHash = XxHash, maxIters: Int = 20): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val edges = minhashLsh(spark, sfDir, hash)
+    val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("doc_id").as("component"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val prop = sym.join(labels, sym("src") === labels("doc_id"))
+        .groupBy(col("dst")).agg(min(col("component")).as("prop"))
+      val next = labels.join(prop, labels("doc_id") === prop("dst"), "left")
+        .select(labels("doc_id"),
+          least(labels("component"), coalesce(col("prop"),
+            labels("component"))).as("component"),
+          (col("prop").isNotNull &&
+            col("prop") < labels("component")).as("ch"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      changed = next.filter(col("ch")).count() // materializes `next`
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    // lineage-truncate the (already materialized) result: the embedded
+    // minhashLsh subtree carries an observe() metric node, and Spark
+    // rejects a plan composing two instances of the same metric name —
+    // without the truncation, joining this result back to minhashLsh
+    // pairs (the natural "pick the keeper per cluster" follow-up) would
+    // throw DUPLICATED_METRICS_NAME
+    val result = labels.drop("ch").localCheckpoint()
+    labels.unpersist()
+    sym.unpersist()
+    result
+  }
+
   /** SimHash: 32-bit per-token hashes vote per bit position, weighted
     * by token frequency; sign of each bit-sum forms the fingerprint.
     * Implemented as explode → groupBy(doc, bit) free via bit arithmetic

@@ -62,6 +62,31 @@ class EstimatorSpec extends SparkSpec {
     assert(xx.count() > 0 && md.count() > 0)
   }
 
+  test("dedup components: pairs co-labeled, labels are component minima, converged") {
+    import graft.ops.DedupOps
+    val comp = DedupOps.dedupComponents(spark, sfDir, DedupOps.Md5)
+    val pairs = DedupOps.minhashLsh(spark, sfDir, DedupOps.Md5)
+    // every document is labeled exactly once
+    val docs = Tables.load(spark, sfDir, "documents")
+    assert(comp.count() === docs.count())
+    assert(comp.select("doc_id").distinct().count() === docs.count())
+    // a label never exceeds its doc (component id = min member)
+    assert(comp.filter(col("component") > col("doc_id")).count() === 0)
+    // every candidate pair ended up in ONE component (propagation
+    // really converged — a too-early exit would split some pair)
+    val ca = comp.select(col("doc_id").as("doc_a"),
+      col("component").as("comp_a"))
+    val cb = comp.select(col("doc_id").as("doc_b"),
+      col("component").as("comp_b"))
+    assert(pairs.join(ca, "doc_a").join(cb, "doc_b")
+      .filter(col("comp_a") =!= col("comp_b")).count() === 0)
+    // every component's label is a member of the component
+    val labelIsMember = comp.select(col("component")).distinct()
+      .join(comp.select(col("doc_id")),
+        col("component") === col("doc_id"), "left_anti")
+    assert(labelIsMember.count() === 0)
+  }
+
   test("LSH band buckets and ngram postings are size-capped with drop metrics") {
     // Default caps must not bite at fixture scale (0 drops reported via
     // the observe metric, identical results to effectively-uncapped)...
