@@ -208,21 +208,33 @@ object DedupOps {
     * the loop exits on a convergence check (no fixed iteration guess);
     * for adversarially deep graphs the documented alternative is the
     * large-star/small-star formulation (same join primitives, fewer
-    * rounds). Per-round state is persisted and the previous round
-    * unpersisted once the next is materialized; the final result's
-    * cached blocks are reclaimed by Spark's ContextCleaner when the
-    * result goes out of scope.
+    * rounds). Every round `localCheckpoint`s its label table, so the
+    * per-round plan stays constant-size (labels is referenced twice per
+    * round — without truncation the logical plan would double every
+    * iteration and drown the driver in analysis work long before the
+    * executors mattered); checkpoint blocks of dropped rounds are
+    * reclaimed by Spark's ContextCleaner as their references go out of
+    * scope. A graph that fails to converge within `maxIters` throws —
+    * silently returning half-propagated labels would violate the
+    * contract (and diverge from the exact-closure oracle).
     */
   def dedupComponents(spark: SparkSession, sfDir: String,
       hash: TokenHash = XxHash, maxIters: Int = 20): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val edges = minhashLsh(spark, sfDir, hash)
-    val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // ONE reference to the derived pair pipeline: a union of two
+    // selects over `edges` would embed the whole shingle→minhash plan
+    // twice (no cross-branch subtree sharing — the same anti-pattern
+    // the bucketing above exists to avoid); explode duplicates rows,
+    // not plans
+    val sym = edges.select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"), col("doc_id").as("component"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIters) {
@@ -230,26 +242,24 @@ object DedupOps {
         .groupBy(col("dst")).agg(min(col("component")).as("prop"))
       val next = labels.join(prop, labels("doc_id") === prop("dst"), "left")
         .select(labels("doc_id"),
-          least(labels("component"), coalesce(col("prop"),
-            labels("component"))).as("component"),
+          // least() skips nulls, so unmatched docs keep their label
+          least(labels("component"), col("prop")).as("component"),
           (col("prop").isNotNull &&
             col("prop") < labels("component")).as("ch"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      changed = next.filter(col("ch")).count() // materializes `next`
-      labels.unpersist()
+        .localCheckpoint() // eager: materializes the round, plan resets
+      changed = next.filter(col("ch")).count()
       labels = next
       iter += 1
     }
-    // lineage-truncate the (already materialized) result: the embedded
-    // minhashLsh subtree carries an observe() metric node, and Spark
-    // rejects a plan composing two instances of the same metric name —
-    // without the truncation, joining this result back to minhashLsh
-    // pairs (the natural "pick the keeper per cluster" follow-up) would
-    // throw DUPLICATED_METRICS_NAME
-    val result = labels.drop("ch").localCheckpoint()
-    labels.unpersist()
     sym.unpersist()
-    result
+    if (changed > 0) throw new IllegalStateException(
+      s"dedupComponents did not converge in $maxIters rounds (component " +
+        "diameter exceeds the cap); raise maxIters or switch to a " +
+        "star-contraction formulation for this graph")
+    // a checkpointed result is also lineage-free, so it composes with
+    // other minhash-derived frames without tripping Spark's
+    // DUPLICATED_METRICS_NAME check on the observe() node
+    labels.drop("ch")
   }
 
   /** SimHash: 32-bit per-token hashes vote per bit position, weighted

@@ -63,7 +63,6 @@ class EstimatorSpec extends SparkSpec {
   }
 
   test("dedup components: pairs co-labeled, labels are component minima, converged") {
-    import graft.ops.DedupOps
     val comp = DedupOps.dedupComponents(spark, sfDir, DedupOps.Md5)
     val pairs = DedupOps.minhashLsh(spark, sfDir, DedupOps.Md5)
     // every document is labeled exactly once
