@@ -43,6 +43,7 @@ object SparkEntry {
     "a4_sampled_keycount" -> (ScanAggOps.sampledKeyCount _),
     "a4_stratified_sample" -> (ScanAggOps.stratifiedSample _),
     "a5_stats_summary" -> (ScanAggOps.statsSummary _),
+    "a5_approx_percentile" -> (ScanAggOps.approxPercentile _),
     "a6_scan_metrics" -> (ScanAggOps.scanMetrics _),
     // --- general analytics layer (SURVEY §7.2 step 5) ---
     "q1_agg" -> (AnalyticsOps.q1Agg _),
@@ -53,8 +54,11 @@ object SparkEntry {
     "j_semi" -> (AnalyticsOps.semiJoin _),
     "j_anti" -> (AnalyticsOps.antiJoin _),
     "j_asof" -> (AnalyticsOps.asofJoin _),
+    "j_range" -> (AnalyticsOps.rangeJoin _),
     "g_rollup" -> (AnalyticsOps.rollupAgg _),
     "g_cube" -> (AnalyticsOps.cubeAgg _),
+    "g_pivot" -> (AnalyticsOps.pivotAgg _),
+    "g_grouping_sets" -> (AnalyticsOps.groupingSetsAgg _),
     "w_rank_topk" -> (AnalyticsOps.rankTopK _),
     "w_running_sum" -> (AnalyticsOps.runningSum _),
     "w_lead_lag" -> (AnalyticsOps.leadLagGaps _),
@@ -69,6 +73,7 @@ object SparkEntry {
     "f_datetime" -> (ScalarOps.datetimeFns _),
     "f_string" -> (ScalarOps.stringFns _),
     "f_math" -> (ScalarOps.mathFns _),
+    "f_json" -> (ScalarOps.jsonFns _),
     // --- text analysis ---
     "t_token_count" -> (TextOps.tokenCount _),
     "t_quality" -> (TextOps.qualityScore _),
@@ -76,6 +81,8 @@ object SparkEntry {
     "t_fingerprint" -> (TextOps.fingerprint _),
     "t_rolling_fp" -> (TextOps.rollingFingerprint _),
     "t_tfidf" -> (TextOps.tfidfTopTerms _),
+    "t_word_repetition" -> (TextOps.wordRepetition _),
+    "t_boilerplate" -> (TextOps.boilerplateBigrams _),
     // --- dedup ---
     "d_exact_dedup" -> (DedupOps.exactDedup _),
     // registered sketch queries run in Md5 token-hash mode so the DuckDB
@@ -121,7 +128,8 @@ object SparkEntry {
     // --- structured streaming (SURVEY §7.2 step 7) ---
     "st_window_agg" -> (StreamingOps.windowAgg _),
     "st_window_append" -> (StreamingOps.windowAggAppend _),
-    "st_sessionize" -> (StreamingOps.sessionize _)
+    "st_sessionize" -> (StreamingOps.sessionize _),
+    "st_dedup" -> (StreamingOps.dedupKeys _)
   )
 
   // ---- oracle-SQL generators for the estimator/LSH operators ----
@@ -541,6 +549,13 @@ object SparkEntry {
         | round(avg(l_quantity), 4) AS avg_qty,
         | round(quantile_cont(l_quantity, 0.5), 4) AS median_qty
         |FROM lineitem""".stripMargin,
+    "a5_approx_percentile" ->
+      """SELECT
+        | round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_p50,
+        | round(quantile_cont(l_extendedprice, 0.9), 4) AS exact_p90,
+        | TRUE AS p50_in_bounds,
+        | TRUE AS p90_in_bounds
+        |FROM lineitem""".stripMargin,
     "a6_scan_metrics" ->
       """SELECT
         | round(avg(CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END), 6)
@@ -621,6 +636,27 @@ object SparkEntry {
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
         | CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
+    "g_pivot" ->
+      """SELECT o_orderpriority,
+        | count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+        | count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+        | count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+        |FROM orders GROUP BY 1""".stripMargin,
+    "g_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+        | CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |  (l_returnflag), ())""".stripMargin,
+    "j_range" ->
+      """WITH p AS (
+        | SELECT event_id AS p_id, epoch_ns(ts) AS p_ns
+        | FROM events WHERE event_type = 'purchase'),
+        |e AS (SELECT epoch_ns(ts) AS e_ns FROM events)
+        |SELECT p.p_id AS event_id, count(*) AS n_prior
+        |FROM p JOIN e
+        | ON e.e_ns >= p.p_ns - 7200000000000 AND e.e_ns < p.p_ns
+        |GROUP BY 1""".stripMargin,
     "g_salted_skew" ->
       """SELECT event_type,
         | count(*) AS n_events,
@@ -744,6 +780,12 @@ object SparkEntry {
         | CAST(l_orderkey % 7 AS BIGINT) AS mod7,
         | greatest(l_tax, l_discount) AS gmax
         |FROM lineitem WHERE l_orderkey % 100 = 0""".stripMargin,
+    "f_json" ->
+      """SELECT event_id,
+        | CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+        | CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_mod,
+        | json_extract_string(props, '$.absent') AS absent_attr
+        |FROM events""".stripMargin,
     "t_token_count" ->
       """SELECT doc_id,
         | CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS ws_tokens,
@@ -834,6 +876,40 @@ object SparkEntry {
         |   ORDER BY score DESC, term) AS INTEGER) AS rk
         | FROM s)
         |SELECT doc_id, term, score, rk FROM r WHERE rk <= 3""".stripMargin,
+    "t_word_repetition" ->
+      """WITH t AS (
+        | SELECT doc_id,
+        |  list_transform(string_split_regex(trim(text), '\s+'),
+        |    x -> lower(x)) AS toks
+        | FROM documents)
+        |SELECT doc_id,
+        | CAST(len(toks) AS INTEGER) AS n_tokens,
+        | CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct,
+        | round(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6)
+        |   AS dup_ratio
+        |FROM t""".stripMargin,
+    "t_boilerplate" ->
+      """WITH t AS (
+        | SELECT doc_id,
+        |  list_transform(string_split_regex(trim(text), '\s+'),
+        |    x -> lower(x)) AS toks
+        | FROM documents),
+        |tk AS (
+        | SELECT doc_id, unnest(toks) AS tok,
+        |  generate_subscripts(toks, 1) AS ord
+        | FROM t),
+        |b AS (
+        | SELECT DISTINCT doc_id,
+        |  tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY ord)
+        |    AS bigram
+        | FROM tk),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |f AS (
+        | SELECT bigram, count(*) AS doc_freq FROM b
+        | WHERE bigram IS NOT NULL GROUP BY 1)
+        |SELECT bigram, doc_freq,
+        | round(CAST(doc_freq AS DOUBLE) / n_docs, 6) AS doc_pct
+        |FROM f, n WHERE doc_freq >= 0.05 * n_docs""".stripMargin,
     "d_exact_dedup" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_doc_id,
         | count(*) AS n_copies
@@ -985,6 +1061,10 @@ object SparkEntry {
         |SELECT user_id, session_id, count(*) AS n_events,
         | min(epoch_us(ts)) AS session_start_us,
         | max(epoch_us(ts)) AS session_end_us
-        |FROM t GROUP BY user_id, session_id""".stripMargin
+        |FROM t GROUP BY user_id, session_id""".stripMargin,
+    // the streaming dropDuplicates emits each first-seen key exactly
+    // once, so the complete emitted set is the batch DISTINCT
+    "st_dedup" ->
+      "SELECT DISTINCT user_id, event_type FROM events"
   )
 }

@@ -406,6 +406,81 @@ object AnalyticsOps {
         col("n_key_events"), col("sum_key_value"))
   }
 
+  /** Pivot with EXPLICIT pivot values — the one-shuffle shape. Without
+    * the value list, `pivot` runs a distinct-scan job over the pivot
+    * column before the real aggregation (a full extra pass at 100 TB);
+    * with it, the whole query is a single partial+final hash
+    * aggregation producing one row per group key. Order-status values
+    * are a fixed enum (F/O/P) at every scale factor, so inlining them
+    * is always safe — same policy as the fixed-cardinality broadcast
+    * dims. Empty cells are coalesced to 0 to match the oracle's
+    * `count(*) FILTER` (which never returns NULL).
+    */
+  def pivotAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(
+        col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("n_f"),
+        coalesce(col("O"), lit(0L)).as("n_o"),
+        coalesce(col("P"), lit(0L)).as("n_p"))
+
+  /** GROUPING SETS via the native `Dataset.groupingSets` API (the
+    * general form of rollup/cube): per-(flag,status), per-flag, and
+    * grand-total aggregates in ONE shuffle — Catalyst expands the sets
+    * with a single Expand node feeding one hash aggregation, so the
+    * fact is scanned once however many sets are requested. Replaces
+    * the three-scans-plus-union a user would otherwise write.
+    */
+  def groupingSetsAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    li.groupingSets(
+        Seq(
+          Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")),
+          Seq.empty[Column]),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        decSum(dec("l_quantity")).as("sum_qty"))
+  }
+
+  /** Time-range join, rewritten as a bin-bucketed EQUI-join: for each
+    * 'purchase' event, count all events in the preceding 2 hours. The
+    * naive formulation (`e.ts BETWEEN p.ts - 2h AND p.ts`) has no
+    * equality predicate, so Spark plans a broadcast-nested-loop /
+    * cartesian — O(n·m) pair evaluations, the canonical 100 TB
+    * scale-killer. Bucketing both sides into interval-width time bins
+    * restores an equi-key: a 2 h window spans at most 2 bins, so each
+    * probe explodes to exactly 2 bin rows, each build row maps to 1
+    * bin, the join shuffles on the bin key like any hash join, and the
+    * residual range predicate filters within matching bins. Work per
+    * pair-candidate is bounded by events-per-2-bins — tune the bin
+    * width with the window if density grows. PlanSpec pins that no
+    * nested-loop/cartesian survives in the physical plan.
+    */
+  def rangeJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val winNs = 2L * 3600L * 1000000000L // 2 h in epoch-nanos
+    val ev = Tables.load(spark, sfDir, "events")
+    val probes = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("ts").as("p_ts"))
+      // [p_ts - win, p_ts) spans bins floor(p_ts/win)-1 and floor(p_ts/win)
+      .withColumn("bin",
+        explode(array(
+          expr(s"p_ts div ${winNs}L - 1"), expr(s"p_ts div ${winNs}L"))))
+    val build = ev
+      .select(col("event_id").as("e_id"), col("ts").as("e_ts"))
+      .withColumn("bin", expr(s"e_ts div ${winNs}L"))
+    probes.join(build,
+        probes("bin") === build("bin") &&
+          col("e_ts") >= col("p_ts") - winNs && col("e_ts") < col("p_ts"))
+      .groupBy(col("p_id"))
+      .agg(count(lit(1)).as("n_prior"))
+      .select(col("p_id").as("event_id"), col("n_prior"))
+  }
+
   /** Global top-k with deterministic total order (O-series; the
     * reference's partition-ordered write is `sortWithinPartitions`).
     * TakeOrderedAndProject — no full sort at scale. */

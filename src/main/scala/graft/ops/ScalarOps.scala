@@ -37,6 +37,23 @@ object ScalarOps {
         trim(lpad(col("p_brand"), 12, "_")).as("padded"),
         col("p_name").contains("a").as("has_a"))
 
+  /** Semi-structured JSON extraction over the events.props payload —
+    * `get_json_object` is a codegen'd Catalyst expression, so pulling
+    * typed fields out of a JSON column stays a zero-shuffle projection
+    * (the common "properties bag" pattern in event pipelines). An
+    * absent path yields NULL, pinned against the oracle so missing-key
+    * semantics match across engines.
+    */
+  def jsonFns(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = get_json_object(col("props"), "$.k").cast("int")
+    Tables.load(spark, sfDir, "events")
+      .select(
+        col("event_id"),
+        k.as("k"),
+        (k % 10).as("k_mod"),
+        get_json_object(col("props"), "$.absent").as("absent_attr"))
+  }
+
   def mathFns(spark: SparkSession, sfDir: String): DataFrame =
     Tables.load(spark, sfDir, "lineitem")
       .filter(col("l_orderkey") % 100 === 0)

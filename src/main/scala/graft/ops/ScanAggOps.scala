@@ -226,6 +226,33 @@ object ScanAggOps {
         round(avg(col("l_quantity")), 4).as("avg_qty"),
         round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"))
 
+  /** A5 extension — approximate percentiles via the mergeable GK
+    * quantile sketch (`approx_percentile`). Exact `percentile` needs
+    * every value of the column gathered per group — at 100 TB that is
+    * a full-column sort; the sketch is partial+final like any
+    * algebraic aggregate, with rank error ≤ n/accuracy. Checked with
+    * the same deterministic-bounds contract as the HLL estimators
+    * (a2): the sketch's p50/p90 must land inside the exact
+    * [p45,p55]/[p85,p95] neighborhoods, a boolean both engines agree
+    * on — the estimates themselves are engine-specific and never
+    * compared raw.
+    */
+  def approxPercentile(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "lineitem")
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("exact_p50"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("exact_p90"),
+        expr("approx_percentile(l_extendedprice, 0.5, 1000)")
+          .between(
+            expr("percentile(l_extendedprice, 0.45)"),
+            expr("percentile(l_extendedprice, 0.55)"))
+          .as("p50_in_bounds"),
+        expr("approx_percentile(l_extendedprice, 0.9, 1000)")
+          .between(
+            expr("percentile(l_extendedprice, 0.85)"),
+            expr("percentile(l_extendedprice, 0.95)"))
+          .as("p90_in_bounds"))
+
   /** A6 — running true/false-positive style counters
     * (`NoTTLReader.java:1887-1905`) as conditional aggregates; at scale
     * these are `observe()` metrics riding an existing scan for free.

@@ -119,6 +119,71 @@ object TextOps {
         graft.functions.GraftFunctions.array_poly_hash(
           transform(toks(col("text")), t => h32(t))).as("rolling_fp"))
 
+  /** Within-document token repetition (the Gopher-style repetition
+    * quality signal): total tokens, distinct tokens, and the duplicate
+    * fraction. Entirely array expressions over the already-split token
+    * list — a per-row projection with zero shuffles and no explode, so
+    * the cost is one scan at any corpus size (contrast with the naive
+    * explode→groupBy formulation, which shuffles every token instance).
+    */
+  def wordRepetition(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "documents")
+      // materialize counts as named columns: a multiply-referenced
+      // alias of a non-cheap expression is NOT re-inlined by
+      // CollapseProject, so the split/distinct run once per row (see
+      // DedupOps's shingle note for the same CSE pitfall)
+      .select(
+        col("doc_id"),
+        size(toks(col("text"))).as("n_tokens"),
+        size(array_distinct(transform(toks(col("text")), x => lower(x))))
+          .as("n_distinct"))
+      .select(
+        col("doc_id"), col("n_tokens"), col("n_distinct"),
+        round(lit(1.0) -
+          col("n_distinct").cast("double") / col("n_tokens").cast("double"),
+          6).as("dup_ratio"))
+
+  /** Corpus-level boilerplate detection: bigrams occurring in ≥ 5% of
+    * ALL documents (the CCNet/C4 frequent-line filter re-expressed for
+    * token-stream text). Per-document bigram sets are built as array
+    * expressions and DEDUPLICATED BEFORE the explode, so the shuffle
+    * carries at most distinct-bigrams-per-doc rows, never raw bigram
+    * instances; document frequency is then one hash aggregation, and
+    * the corpus size joins in as a broadcast 1-row aggregate (no
+    * driver-side count). The threshold is RELATIVE to corpus size, so
+    * the operator's meaning is scale-invariant.
+    */
+  def boilerplateBigrams(spark: SparkSession, sfDir: String): DataFrame = {
+    // materialize the token array FIRST: referencing the transform
+    // expression inside the per-index lambda below would re-run the
+    // whole split+lower for every bigram index — O(len²) regex work
+    // per document. As a named column it's a bound attribute, split
+    // once per row, and CollapseProject keeps it that way (multiply-
+    // referenced non-cheap aliases are not re-inlined).
+    val t = col("toks")
+    // n-1 bigrams "tok[i] tok[i+1]"; guarded so a 0/1-token document
+    // yields an empty array (sequence(0,-1) would count DOWN)
+    val bigrams = when(size(t) >= 2,
+      transform(sequence(lit(0), size(t) - 2),
+        i => concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2))))
+      .otherwise(array().cast("array<string>"))
+    val perDoc = Tables.loadBalanced(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        transform(toks(col("text")), x => lower(x)).as("toks"))
+      .select(col("doc_id"), explode(array_distinct(bigrams)).as("bigram"))
+    val n = Tables.load(spark, sfDir, "documents")
+      .agg(count(lit(1)).as("n_docs"))
+    perDoc
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("doc_freq"))
+      .crossJoin(broadcast(n))
+      .filter(col("doc_freq") >= lit(0.05) * col("n_docs"))
+      .select(
+        col("bigram"), col("doc_freq"),
+        round(col("doc_freq").cast("double") / col("n_docs"), 6)
+          .as("doc_pct"))
+  }
+
   /** TF-IDF top-3 terms per document — the classic relevance signal a
     * corpus pipeline derives before keyword filtering or topic
     * bucketing. Shape at scale: one explode scan feeding two hash

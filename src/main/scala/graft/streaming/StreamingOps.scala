@@ -136,6 +136,23 @@ object StreamingOps {
     q.awaitTermination()
   }
 
+  /** Streaming deduplication: first-seen (user_id, event_type) pairs
+    * across the whole stream via `dropDuplicates` — the streaming twin
+    * of the batch exact-dedup operator. State is one entry per DISTINCT
+    * key, here bounded by the key domain (users × a fixed event-type
+    * enum), not by stream length — the shape to use for "has this key
+    * ever been seen" dedup. For unbounded key domains (e.g. dedup on
+    * event_id), production swaps in `dropDuplicatesWithinWatermark` so
+    * state evicts once the watermark passes a key's event time; the
+    * registered query keeps the exact variant because its emitted set
+    * (the distinct keys) is deterministic and oracle-checkable.
+    */
+  def dedupKeys(spark: SparkSession, sfDir: String): DataFrame =
+    runToMemory(spark, src =>
+      src.select(col("user_id"), col("event_type"))
+        .dropDuplicates("user_id", "event_type"),
+      sfDir, OutputMode.Append())
+
   final case class Evt(event_id: Long, user_id: Long, ts: Long)
   final case class Session(
       user_id: Long, session_id: Long, n_events: Long,

@@ -147,6 +147,28 @@ class PlanSpec extends SparkSpec {
       s"corpus-sized join in decontamination plan:\n$p")
   }
 
+  test("range join plans as a bin-bucketed hash join, never a nested loop") {
+    // the naive time-interval join has no equality predicate and plans
+    // as BroadcastNestedLoopJoin/CartesianProduct — O(n·m) pair
+    // evaluations. The bin rewrite must give Catalyst a real equi-key:
+    // any hash/sort-merge join on it is fine, a nested loop is the
+    // 100 TB failure mode this operator exists to avoid.
+    val p = plan(AnalyticsOps.rangeJoin(spark, sfDir))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("Cartesian"),
+      s"range join degraded to a nested loop:\n$p")
+    assert(p.contains("Join"), s"no join in range-join plan:\n$p")
+  }
+
+  test("word repetition is a pure projection: no exchange in the plan") {
+    // the Gopher repetition signal is computed as array expressions over
+    // the split token list — one scan, zero shuffles. An Exchange here
+    // means someone rewrote it via explode→groupBy, which shuffles every
+    // token instance of a 100 TB corpus.
+    val p = plan(graft.ops.TextOps.wordRepetition(spark, sfDir))
+    assert(!p.contains("Exchange"),
+      s"repetition metric should not shuffle:\n$p")
+  }
+
   test("key counting reads only the key column") {
     val p = plan(ScanAggOps.keyCounts(spark, sfDir))
     val schemas = p.linesIterator.filter(_.contains("ReadSchema")).mkString
