@@ -55,6 +55,22 @@ object SparkEntry {
     "j_anti" -> (AnalyticsOps.antiJoin _),
     "j_asof" -> (AnalyticsOps.asofJoin _),
     "j_range" -> (AnalyticsOps.rangeJoin _),
+    // custom logical node + Catalyst rewrite (graft.plans): the SAME
+    // interval-join semantics as j_range, but DECLARED — the rule
+    // plans the binned equi-join, the user never sees the bins
+    "j_range_declared" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions.{col, count, lit}
+      graft.plans.GraftExtensions.enable(s)
+      val ev = graft.Tables.load(s, dir, "events")
+      val probes = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("ts").as("p_ts"))
+      val build = ev.select(col("ts").as("e_ts"))
+      graft.plans.IntervalJoins
+        .intervalJoin(probes, build, "p_ts", "e_ts", -7200000000000L, 0L)
+        .groupBy(col("p_id"))
+        .agg(count(lit(1)).as("n_prior"))
+        .select(col("p_id").as("event_id"), col("n_prior"))
+    }),
     "g_rollup" -> (AnalyticsOps.rollupAgg _),
     "g_cube" -> (AnalyticsOps.cubeAgg _),
     "g_pivot" -> (AnalyticsOps.pivotAgg _),
@@ -83,6 +99,7 @@ object SparkEntry {
     "t_tfidf" -> (TextOps.tfidfTopTerms _),
     "t_word_repetition" -> (TextOps.wordRepetition _),
     "t_boilerplate" -> (TextOps.boilerplateBigrams _),
+    "t_unigram_logprob" -> (TextOps.unigramLogprob _),
     // --- dedup ---
     "d_exact_dedup" -> (DedupOps.exactDedup _),
     // registered sketch queries run in Md5 token-hash mode so the DuckDB
@@ -129,7 +146,8 @@ object SparkEntry {
     "st_window_agg" -> (StreamingOps.windowAgg _),
     "st_window_append" -> (StreamingOps.windowAggAppend _),
     "st_sessionize" -> (StreamingOps.sessionize _),
-    "st_dedup" -> (StreamingOps.dedupKeys _)
+    "st_dedup" -> (StreamingOps.dedupKeys _),
+    "st_static_join" -> (StreamingOps.staticJoin _)
   )
 
   // ---- oracle-SQL generators for the estimator/LSH operators ----
@@ -657,6 +675,17 @@ object SparkEntry {
         |FROM p JOIN e
         | ON e.e_ns >= p.p_ns - 7200000000000 AND e.e_ns < p.p_ns
         |GROUP BY 1""".stripMargin,
+    // the declared interval join must produce exactly the hand-built
+    // j_range result — one oracle text, two planning paths
+    "j_range_declared" ->
+      """WITH p AS (
+        | SELECT event_id AS p_id, epoch_ns(ts) AS p_ns
+        | FROM events WHERE event_type = 'purchase'),
+        |e AS (SELECT epoch_ns(ts) AS e_ns FROM events)
+        |SELECT p.p_id AS event_id, count(*) AS n_prior
+        |FROM p JOIN e
+        | ON e.e_ns >= p.p_ns - 7200000000000 AND e.e_ns < p.p_ns
+        |GROUP BY 1""".stripMargin,
     "g_salted_skew" ->
       """SELECT event_type,
         | count(*) AS n_events,
@@ -910,6 +939,22 @@ object SparkEntry {
         |SELECT bigram, doc_freq,
         | round(CAST(doc_freq AS DOUBLE) / n_docs, 6) AS doc_pct
         |FROM f, n WHERE doc_freq >= 0.05 * n_docs""".stripMargin,
+    "t_unigram_logprob" ->
+      """WITH t AS (
+        | SELECT doc_id,
+        |  unnest(list_transform(string_split_regex(trim(text), '\s+'),
+        |    x -> lower(x))) AS term
+        | FROM documents),
+        |v AS (SELECT term, count(*) AS tf FROM t GROUP BY 1),
+        |n AS (SELECT count(*) AS n_total FROM t),
+        |s AS (
+        | SELECT t.doc_id,
+        |  CAST(round(-ln(CAST(tf AS DOUBLE) / n_total), 8)
+        |    AS DECIMAL(20,8)) AS nlp
+        | FROM t JOIN v USING (term), n)
+        |SELECT doc_id, count(*) AS n_tokens,
+        | round(CAST(sum(nlp) AS DOUBLE) / count(*), 6) AS avg_neg_logprob
+        |FROM s GROUP BY 1""".stripMargin,
     "d_exact_dedup" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_doc_id,
         | count(*) AS n_copies
@@ -1065,6 +1110,14 @@ object SparkEntry {
     // the streaming dropDuplicates emits each first-seen key exactly
     // once, so the complete emitted set is the batch DISTINCT
     "st_dedup" ->
-      "SELECT DISTINCT user_id, event_type FROM events"
+      "SELECT DISTINCT user_id, event_type FROM events",
+    // stateless stream-static join: every event is enriched, so the
+    // emitted set is exactly the batch join
+    "st_static_join" ->
+      """WITH c AS (
+        | SELECT user_id, count(*) AS user_event_count
+        | FROM events GROUP BY 1)
+        |SELECT e.event_id, e.user_id, c.user_event_count
+        |FROM events e JOIN c USING (user_id)""".stripMargin
   )
 }

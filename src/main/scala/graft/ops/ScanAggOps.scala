@@ -238,19 +238,26 @@ object ScanAggOps {
     * compared raw.
     */
   def approxPercentile(spark: SparkSession, sfDir: String): DataFrame =
+    // ONE array-argument call per sketch: each scalar percentile(p) is
+    // its own aggregation buffer over the full column, and `between`
+    // duplicates its input expression — the scalar formulation plants
+    // ~10 value-collecting buffers in one agg. The array form keeps
+    // exactly two (one exact, one sketch); quantile extraction is then
+    // a cheap projection over the 6-element result
     Tables.load(spark, sfDir, "lineitem")
       .agg(
-        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("exact_p50"),
-        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("exact_p90"),
-        expr("approx_percentile(l_extendedprice, 0.5, 1000)")
-          .between(
-            expr("percentile(l_extendedprice, 0.45)"),
-            expr("percentile(l_extendedprice, 0.55)"))
+        expr("percentile(l_extendedprice," +
+          " array(0.45D, 0.5D, 0.55D, 0.85D, 0.9D, 0.95D))").as("ex"),
+        expr("approx_percentile(l_extendedprice, array(0.5D, 0.9D), 1000)")
+          .as("ap"))
+      .select(
+        round(element_at(col("ex"), 2), 4).as("exact_p50"),
+        round(element_at(col("ex"), 5), 4).as("exact_p90"),
+        element_at(col("ap"), 1)
+          .between(element_at(col("ex"), 1), element_at(col("ex"), 3))
           .as("p50_in_bounds"),
-        expr("approx_percentile(l_extendedprice, 0.9, 1000)")
-          .between(
-            expr("percentile(l_extendedprice, 0.85)"),
-            expr("percentile(l_extendedprice, 0.95)"))
+        element_at(col("ap"), 2)
+          .between(element_at(col("ex"), 4), element_at(col("ex"), 6))
           .as("p90_in_bounds"))
 
   /** A6 — running true/false-positive style counters

@@ -184,6 +184,39 @@ object TextOps {
           .as("doc_pct"))
   }
 
+  /** Unigram language-model quality score (the KenLM-filter shape at
+    * unigram order): train token frequencies over the corpus, then
+    * score every document by its mean negative log-probability — low =
+    * generic/repetitive text, high = rare-token text. Two inherent
+    * passes: the vocab aggregation (shuffle carries one row per token
+    * TYPE) and the scoring pass, where the corpus probes the vocab via
+    * a threshold-driven join (vocab grows sublinearly — Heaps' law —
+    * so at fixture scale it broadcasts; at the scale where it can't,
+    * the engine falls back to a shuffle join on its own, same policy
+    * as the SF-scaling dimension joins). Per-token logprobs are
+    * rounded then summed as DECIMAL, so the per-doc mean is
+    * order-independent under any partitioning — `avg(double)` would
+    * hash-drift run to run.
+    */
+  def unigramLogprob(spark: SparkSession, sfDir: String): DataFrame = {
+    val terms = Tables.loadBalanced(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        explode(transform(toks(col("text")), t => lower(t))).as("term"))
+    val vocab = terms.groupBy(col("term")).agg(count(lit(1)).as("tf"))
+    val total = terms.agg(count(lit(1)).as("n_total"))
+    terms
+      .join(vocab, "term")
+      .crossJoin(broadcast(total))
+      .withColumn("nlp",
+        round(-log(col("tf").cast("double") / col("n_total")), 8)
+          .cast("decimal(20,8)"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        round(sum(col("nlp")).cast("double") / count(lit(1)), 6)
+          .as("avg_neg_logprob"))
+  }
+
   /** TF-IDF top-3 terms per document — the classic relevance signal a
     * corpus pipeline derives before keyword filtering or topic
     * bucketing. Shape at scale: one explode scan feeding two hash

@@ -1,0 +1,106 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, NamedExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.GraftColumns
+
+/** Declared time-interval join, planned as a bin-bucketed equi-join —
+  * the second whole-operator extension after [[CosineSimilarityJoin]].
+  *
+  * The user declares WHAT: all pairs (a, b) with
+  * `b.tsCol ∈ [a.tsCol + lowerOffset, a.tsCol + upperOffset)` (epoch
+  * longs, any unit as long as both sides and the offsets agree). The
+  * rule decides HOW: an inequality-only join has no equi-key, so
+  * Catalyst would plan a broadcast-nested-loop / cartesian — O(n·m)
+  * pair evaluations. [[RewriteIntervalJoin]] buckets both sides into
+  * interval-width time bins (the probe's window spans at most 2 bins,
+  * so it explodes to exactly those; each build row maps to 1), joins
+  * on the bin key like any hash join, and applies the original range
+  * predicate as a residual filter. Same rewrite as the hand-built
+  * `AnalyticsOps.rangeJoin`, packaged as engine machinery: node +
+  * Rule, registrable via `SparkSessionExtensions` (builder time) or
+  * `GraftExtensions.enable` (runtime).
+  *
+  * The join key is the bin START (`x - pmod(x, w)`), not a bin index:
+  * epoch-nanos exceed 2^53, so an index computed through double
+  * division could round to the neighboring bin, and `div` truncates
+  * toward zero (misaligning pre-epoch negative timestamps) — the bin
+  * start needs only subtraction and a non-negative pmod, both exact
+  * in long arithmetic at any magnitude or sign.
+  */
+case class IntervalJoin(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftTsCol: String,
+    rightTsCol: String,
+    lowerOffset: Long,
+    upperOffset: Long,
+    output: Seq[Attribute])
+  extends BinaryNode {
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): IntervalJoin =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Expands [[IntervalJoin]] into the binned equi-join. Output
+  * attributes keep the node's exprIds so references above the node
+  * stay valid.
+  */
+case class RewriteIntervalJoin(spark: SparkSession)
+    extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case j: IntervalJoin =>
+      val w = j.upperOffset - j.lowerOffset
+      def binStart(c: Column): Column = c - pmod(c, lit(w))
+      val a = GraftColumns.ofRows(spark, j.left)
+      val b = GraftColumns.ofRows(spark, j.right)
+      val lTs = col(j.leftTsCol).cast("long")
+      val rTs = col(j.rightTsCol).cast("long")
+      // the window's first bin and its successor always cover a
+      // width-w window
+      val s0 = binStart(lTs + j.lowerOffset)
+      val aB = a.withColumn("__bin", explode(array(s0, s0 + w)))
+      val bB = b.withColumn("__bin", binStart(rTs))
+      val joined = aB.join(bB, Seq("__bin"))
+        .filter(rTs >= lTs + j.lowerOffset && rTs < lTs + j.upperOffset)
+      val expanded = GraftColumns.analyzedPlan(joined)
+      val byName = expanded.output.map(attr => attr.name -> attr).toMap
+      val outExprs: Seq[NamedExpression] = j.output.map { attr =>
+        val src = byName.getOrElse(attr.name,
+          throw new IllegalStateException(s"missing column ${attr.name}"))
+        Alias(src, attr.name)(exprId = attr.exprId)
+      }
+      Project(outExprs, expanded)
+  }
+}
+
+/** User-facing API for the declared interval join. */
+object IntervalJoins {
+
+  /** All pairs (a, b) with
+    * `b(tsB) ∈ [a(tsA) + lowerOffset, a(tsA) + upperOffset)`. Column
+    * names of the two sides must be disjoint. Requires the rule to be
+    * registered (`GraftExtensions`).
+    */
+  def intervalJoin(
+      a: DataFrame, b: DataFrame,
+      tsA: String, tsB: String,
+      lowerOffset: Long, upperOffset: Long): DataFrame = {
+    require(upperOffset > lowerOffset,
+      s"empty interval: [$lowerOffset, $upperOffset)")
+    val spark = a.sparkSession
+    val lp = GraftColumns.analyzedPlan(a)
+    val rp = GraftColumns.analyzedPlan(b)
+    val overlap = lp.output.map(_.name).toSet
+      .intersect(rp.output.map(_.name).toSet)
+    require(overlap.isEmpty, s"column names must be disjoint: $overlap")
+    GraftColumns.ofRows(spark,
+      IntervalJoin(lp, rp, tsA, tsB, lowerOffset, upperOffset,
+        lp.output ++ rp.output))
+  }
+}

@@ -92,8 +92,10 @@ case class RewriteCosineSimilarityJoin(spark: SparkSession)
 
 /** Registration surface for graft's planner extensions. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(spark => RewriteCosineSimilarityJoin(spark))
+    e.injectOptimizerRule(spark => RewriteIntervalJoin(spark))
+  }
 }
 
 object GraftExtensions {
@@ -101,9 +103,11 @@ object GraftExtensions {
     * hosts that build the SparkSession themselves. */
   def enable(spark: SparkSession): Unit = {
     val existing = spark.experimental.extraOptimizations
-    if (!existing.exists(_.isInstanceOf[RewriteCosineSimilarityJoin]))
-      spark.experimental.extraOptimizations =
-        existing :+ RewriteCosineSimilarityJoin(spark)
+    val missing = Seq(
+      RewriteCosineSimilarityJoin(spark), RewriteIntervalJoin(spark))
+      .filterNot(r => existing.exists(_.getClass == r.getClass))
+    if (missing.nonEmpty)
+      spark.experimental.extraOptimizations = existing ++ missing
   }
 }
 

@@ -153,6 +153,27 @@ object StreamingOps {
         .dropDuplicates("user_id", "event_type"),
       sfDir, OutputMode.Append())
 
+  /** Stream-static enrichment join: each streamed event is joined to a
+    * BATCH-computed per-user aggregate — the standard pattern for
+    * enriching a live stream against a slowly-changing dimension or
+    * feature table. Stateless on the stream side (no watermark, no
+    * state store): every micro-batch re-plans the static subquery, so
+    * the dimension can be swapped between batches without restarting
+    * the query. The static side here is itself an aggregate (one row
+    * per user), joined threshold-driven — broadcast at fixture scale,
+    * shuffle join once the dimension outgrows executor memory.
+    */
+  def staticJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val perUser = Tables.load(spark, sfDir, "events")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("user_event_count"))
+    runToMemory(spark, src =>
+      src.select(col("event_id"), col("user_id"))
+        .join(perUser, "user_id")
+        .select(col("event_id"), col("user_id"), col("user_event_count")),
+      sfDir, OutputMode.Append())
+  }
+
   final case class Evt(event_id: Long, user_id: Long, ts: Long)
   final case class Session(
       user_id: Long, session_id: Long, n_events: Long,

@@ -1,0 +1,60 @@
+package graft
+
+import graft.plans.{GraftExtensions, IntervalJoins}
+import org.apache.spark.sql.functions._
+
+/** The custom IntervalJoin node + rewrite rule: declared WHAT (pairs
+  * within a time window), planned HOW (bin-bucketed equi-join — never
+  * a nested loop). Unlike the LSH similarity join, this rewrite is
+  * EXACT: the binned plan must reproduce the naive inequality join
+  * bit-for-bit, so the spec checks full set equality against the
+  * cross-join formulation at fixture scale.
+  */
+class IntervalJoinSpec extends SparkSpec {
+
+  private val winNs = 2L * 3600L * 1000000000L
+
+  private def sides = {
+    val ev = Tables.load(spark, sfDir, "events")
+    val probes = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("ts").as("p_ts"))
+    val build = ev.select(col("event_id").as("e_id"), col("ts").as("e_ts"))
+    (probes, build)
+  }
+
+  test("intervalJoin rewrites to a binned equi-join, no nested loop") {
+    GraftExtensions.enable(spark)
+    val (probes, build) = sides
+    val joined = IntervalJoins.intervalJoin(
+      probes, build, "p_ts", "e_ts", -winNs, 0L)
+    val p = joined.queryExecution.executedPlan.toString()
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"interval join planned as all-pairs:\n$p")
+  }
+
+  test("intervalJoin equals the naive inequality join exactly") {
+    GraftExtensions.enable(spark)
+    val (probes, build) = sides
+    val got = IntervalJoins.intervalJoin(
+        probes, build, "p_ts", "e_ts", -winNs, 0L)
+      .select(col("p_id"), col("e_id"))
+    val naive = probes.crossJoin(build)
+      .filter(col("e_ts") >= col("p_ts") - winNs &&
+        col("e_ts") < col("p_ts"))
+      .select(col("p_id"), col("e_id"))
+    assert(got.count() > 0, "empty result — window too narrow for fixture")
+    assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty)
+  }
+
+  test("intervalJoin validates inputs") {
+    val (probes, build) = sides
+    intercept[IllegalArgumentException] {
+      IntervalJoins.intervalJoin(probes, build, "p_ts", "e_ts", 0L, 0L)
+    }
+    intercept[IllegalArgumentException] {
+      // overlapping column names must be rejected
+      IntervalJoins.intervalJoin(probes, probes, "p_ts", "p_ts", -1L, 0L)
+    }
+  }
+}
