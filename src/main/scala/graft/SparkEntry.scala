@@ -573,7 +573,7 @@ object SparkEntry {
         | round(quantile_cont(l_extendedprice, 0.9), 4) AS exact_p90,
         | TRUE AS p50_in_bounds,
         | TRUE AS p90_in_bounds
-        |FROM lineitem""".stripMargin,
+        |FROM lineitem WHERE l_orderkey % 10 = 0""".stripMargin,
     "a6_scan_metrics" ->
       """SELECT
         | round(avg(CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END), 6)

@@ -243,8 +243,13 @@ object ScanAggOps {
     // duplicates its input expression — the scalar formulation plants
     // ~10 value-collecting buffers in one agg. The array form keeps
     // exactly two (one exact, one sketch); quantile extraction is then
-    // a cheap projection over the 6-element result
+    // a cheap projection over the 6-element result.
+    // The deterministic orderkey slice keeps the EXACT side (which
+    // must buffer every distinct value — the very cost that makes it
+    // the 100 TB anti-pattern) tractable as fixture ground truth; the
+    // sketch sees the same slice, so the bounds contract is unchanged
     Tables.load(spark, sfDir, "lineitem")
+      .filter(pmod(col("l_orderkey"), lit(10)) === 0)
       .agg(
         expr("percentile(l_extendedprice," +
           " array(0.45D, 0.5D, 0.55D, 0.85D, 0.9D, 0.95D))").as("ex"),
