@@ -76,6 +76,7 @@ object SparkEntry {
     "g_pivot" -> (AnalyticsOps.pivotAgg _),
     "g_grouping_sets" -> (AnalyticsOps.groupingSetsAgg _),
     "w_rank_topk" -> (AnalyticsOps.rankTopK _),
+    "w_distribution" -> (AnalyticsOps.distributionRanks _),
     "w_running_sum" -> (AnalyticsOps.runningSum _),
     "w_lead_lag" -> (AnalyticsOps.leadLagGaps _),
     "w_sessionize" -> (AnalyticsOps.sessionize _),
@@ -713,6 +714,14 @@ object SparkEntry {
         |    ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rk
         | FROM orders)
         |SELECT o_custkey, o_orderkey, o_totalprice, rk FROM r WHERE rk <= 3""".stripMargin,
+    "w_distribution" ->
+      """SELECT o_orderkey, o_orderpriority,
+        | CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        | round(cume_dist() OVER w, 6) AS cdist,
+        | round(percent_rank() OVER w, 6) AS prank
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |  ORDER BY o_totalprice, o_orderkey)""".stripMargin,
     "w_running_sum" ->
       """SELECT user_id, event_id,
         | CAST(round(sum(CAST(value AS DECIMAL(18,2))) OVER (

@@ -214,6 +214,24 @@ object AnalyticsOps {
         col("rk"))
   }
 
+  /** Distribution windows: quartile bucket (`ntile`), cumulative
+    * distribution and percent rank of each order's price within its
+    * priority class — the ranking surface beyond row_number. One
+    * shuffle on the partition key like every window; the orderBy
+    * includes the key for a total order, so every function is
+    * deterministic under any partitioning.
+    */
+  def distributionRanks(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.load(spark, sfDir, "orders")
+      .select(
+        col("o_orderkey"), col("o_orderpriority"),
+        ntile(4).over(w).as("quartile"),
+        round(cume_dist().over(w), 6).as("cdist"),
+        round(percent_rank().over(w), 6).as("prank"))
+  }
+
   /** Running (cumulative) sum per user over event time. */
   def runningSum(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))

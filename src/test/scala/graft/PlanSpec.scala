@@ -169,6 +169,23 @@ class PlanSpec extends SparkSpec {
       s"repetition metric should not shuffle:\n$p")
   }
 
+  test("pivot and grouping sets stay single-scan, single-aggregation") {
+    // pivot with EXPLICIT values must not run a value-discovery pass
+    // (without values, pivot launches an eager distinct job over the
+    // pivot column before this plan even exists); grouping sets must
+    // expand through one Expand node into one partial+final agg — one
+    // fact scan however many sets are requested
+    def scans(p: String): Int =
+      p.linesIterator.count(_.contains("FileScan"))
+    val pv = plan(AnalyticsOps.pivotAgg(spark, sfDir))
+    assert(scans(pv) === 1, s"pivot scans the fact more than once:\n$pv")
+    val gs = plan(AnalyticsOps.groupingSetsAgg(spark, sfDir))
+    assert(scans(gs) === 1, s"grouping sets re-scan the fact:\n$gs")
+    assert(gs.contains("Expand"), s"no Expand in grouping-sets plan:\n$gs")
+    assert("HashAggregate".r.findAllIn(gs).size >= 2,
+      s"grouping sets not partial+final:\n$gs")
+  }
+
   test("key counting reads only the key column") {
     val p = plan(ScanAggOps.keyCounts(spark, sfDir))
     val schemas = p.linesIterator.filter(_.contains("ReadSchema")).mkString
