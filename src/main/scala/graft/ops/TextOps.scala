@@ -203,7 +203,13 @@ object TextOps {
       .select(col("doc_id"),
         explode(transform(toks(col("text")), t => lower(t))).as("term"))
     val vocab = terms.groupBy(col("term")).agg(count(lit(1)).as("tf"))
-    val total = terms.agg(count(lit(1)).as("n_total"))
+    // corpus size as sum(tokens-per-doc) over the base table: Catalyst
+    // shares no subtrees across DAG branches, so deriving it from
+    // `terms` would re-run the whole explode+shuffle a third time —
+    // this branch is a plain projection aggregate (no explode, no
+    // shuffle beyond the 1-row combine)
+    val total = Tables.load(spark, sfDir, "documents")
+      .agg(sum(size(toks(col("text")))).cast("long").as("n_total"))
     terms
       .join(vocab, "term")
       .crossJoin(broadcast(total))
