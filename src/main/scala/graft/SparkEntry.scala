@@ -91,6 +91,7 @@ object SparkEntry {
     "f_string" -> (ScalarOps.stringFns _),
     "f_math" -> (ScalarOps.mathFns _),
     "f_json" -> (ScalarOps.jsonFns _),
+    "f_array" -> (ScalarOps.arrayFns _),
     // --- text analysis ---
     "t_token_count" -> (TextOps.tokenCount _),
     "t_quality" -> (TextOps.qualityScore _),
@@ -824,6 +825,22 @@ object SparkEntry {
         | CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_mod,
         | json_extract_string(props, '$.absent') AS absent_attr
         |FROM events""".stripMargin,
+    // list_position returns NULL for a missing element where Spark's
+    // array_position returns 0 — coalesce pins Spark's convention
+    "f_array" ->
+      """WITH t AS (
+        | SELECT l_orderkey, l_linenumber,
+        |  [CAST(l_linenumber AS BIGINT), CAST(l_quantity AS BIGINT),
+        |   CAST(round(l_discount * 100) AS BIGINT),
+        |   CAST(round(l_tax * 100) AS BIGINT)] AS arr
+        | FROM lineitem WHERE l_orderkey % 100 = 0)
+        |SELECT l_orderkey, l_linenumber,
+        | array_to_string(list_sort(arr), ',') AS sorted_str,
+        | CAST(list_max(arr) AS BIGINT) AS amax,
+        | list_contains(arr, 7) AS has7,
+        | CAST(coalesce(list_position(arr, 7), 0) AS BIGINT) AS pos7,
+        | array_to_string(list_sort(arr)[1:2], ',') AS low2
+        |FROM t""".stripMargin,
     "t_token_count" ->
       """SELECT doc_id,
         | CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS ws_tokens,

@@ -54,6 +54,33 @@ object ScalarOps {
         get_json_object(col("props"), "$.absent").as("absent_attr"))
   }
 
+  /** Array/collection function surface over a row-local long array
+    * (sort, max, membership, position, slice). Outputs are scalars —
+    * joined strings for the ordered views — because array-typed
+    * columns render differently across engines in the hash compare.
+    * Note `array_position`'s missing-element convention differs: Spark
+    * returns 0, DuckDB NULL — the oracle coalesces to 0 to pin Spark's
+    * convention. All inputs are integral-valued (quantity) or
+    * pre-rounded (percentages), so double→long casts agree across
+    * engines' truncate-vs-round conventions.
+    */
+  def arrayFns(spark: SparkSession, sfDir: String): DataFrame = {
+    val arr = array(
+      col("l_linenumber").cast("long"),
+      col("l_quantity").cast("long"),
+      round(col("l_discount") * 100).cast("long"),
+      round(col("l_tax") * 100).cast("long"))
+    Tables.load(spark, sfDir, "lineitem")
+      .filter(col("l_orderkey") % 100 === 0)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        array_join(sort_array(arr), ",").as("sorted_str"),
+        array_max(arr).as("amax"),
+        array_contains(arr, lit(7L)).as("has7"),
+        array_position(arr, lit(7L)).cast("long").as("pos7"),
+        array_join(slice(sort_array(arr), 1, 2), ",").as("low2"))
+  }
+
   def mathFns(spark: SparkSession, sfDir: String): DataFrame =
     Tables.load(spark, sfDir, "lineitem")
       .filter(col("l_orderkey") % 100 === 0)
