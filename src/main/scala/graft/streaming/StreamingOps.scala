@@ -29,16 +29,42 @@ object StreamingOps {
 
   private val runId = new AtomicLong(0)
 
+  /** One tuned child session per parent for the registered streaming
+    * queries: stateful operators create a state-store instance per
+    * SHUFFLE partition per micro-batch, so state partitioning should
+    * track state volume (windows × keys — small for every registered
+    * query), not the session's scan parallelism — 32 near-empty state
+    * partitions pay 4× the per-partition commit overhead of 8 with
+    * identical results (all outputs are partitioning-independent by
+    * construction). Cached and WEAKLY keyed like the skew-join demo
+    * session: a `newSession` per call would leak an execution-listener
+    * registration per invocation into a long-lived host driver.
+    * `windowAggAppendTo` (the production file-sink entry point) is NOT
+    * routed through this — the caller owns sizing there.
+    */
+  private val streamSessions = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, SparkSession]())
+
+  private def streamingSession(parent: SparkSession): SparkSession =
+    streamSessions.computeIfAbsent(parent, p => {
+      val s = p.newSession()
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.conf.set("spark.sql.session.timeZone", "UTC")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s
+    })
+
   /** One streaming micro-batch run to completion; returns the memory
     * sink contents. Checkpoints go to a fresh temp dir per run (the
     * contract re-invokes ops in one session; AvailableNow + a reused
     * checkpoint would see "no new files" and emit nothing).
     */
   private def runToMemory(
-      spark: SparkSession,
+      parent: SparkSession,
       build: DataFrame => DataFrame,
       sfDir: String,
       mode: OutputMode): DataFrame = {
+    val spark = streamingSession(parent)
     val name = s"graft_stream_${runId.incrementAndGet()}"
     val ckpt = Files.createTempDirectory("graft-ckpt-").toString
     // schema from a one-off batch read: streaming sources require an
@@ -163,16 +189,18 @@ object StreamingOps {
     * per user), joined threshold-driven — broadcast at fixture scale,
     * shuffle join once the dimension outgrows executor memory.
     */
-  def staticJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    val perUser = Tables.load(spark, sfDir, "events")
-      .groupBy(col("user_id"))
-      .agg(count(lit(1)).as("user_event_count"))
-    runToMemory(spark, src =>
+  def staticJoin(spark: SparkSession, sfDir: String): DataFrame =
+    runToMemory(spark, src => {
+      // static side built on the STREAM's session (runToMemory runs the
+      // query in the tuned child session; mixing sessions in one plan
+      // is undefined behavior)
+      val perUser = Tables.load(src.sparkSession, sfDir, "events")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("user_event_count"))
       src.select(col("event_id"), col("user_id"))
         .join(perUser, "user_id")
-        .select(col("event_id"), col("user_id"), col("user_event_count")),
-      sfDir, OutputMode.Append())
-  }
+        .select(col("event_id"), col("user_id"), col("user_event_count"))
+    }, sfDir, OutputMode.Append())
 
   final case class Evt(event_id: Long, user_id: Long, ts: Long)
   final case class Session(
