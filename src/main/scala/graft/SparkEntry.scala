@@ -102,6 +102,7 @@ object SparkEntry {
     "t_word_repetition" -> (TextOps.wordRepetition _),
     "t_boilerplate" -> (TextOps.boilerplateBigrams _),
     "t_unigram_logprob" -> (TextOps.unigramLogprob _),
+    "t_entropy" -> (TextOps.tokenEntropy _),
     // --- dedup ---
     "d_exact_dedup" -> (DedupOps.exactDedup _),
     // registered sketch queries run in Md5 token-hash mode so the DuckDB
@@ -965,6 +966,21 @@ object SparkEntry {
         |SELECT bigram, doc_freq,
         | round(CAST(doc_freq AS DOUBLE) / n_docs, 6) AS doc_pct
         |FROM f, n WHERE doc_freq >= 0.05 * n_docs""".stripMargin,
+    "t_entropy" ->
+      """WITH t AS (
+        | SELECT doc_id,
+        |  unnest(list_transform(string_split_regex(trim(text), '\s+'),
+        |    x -> lower(x))) AS term
+        | FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+        |s AS (
+        | SELECT doc_id, sum(tf) AS n_tokens,
+        |  sum(CAST(round(CAST(tf AS DOUBLE) * ln(tf), 8)
+        |    AS DECIMAL(20,8))) AS s
+        | FROM tf GROUP BY 1)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        | round(ln(n_tokens) - CAST(s AS DOUBLE) / n_tokens, 6) AS entropy
+        |FROM s""".stripMargin,
     "t_unigram_logprob" ->
       """WITH t AS (
         | SELECT doc_id,

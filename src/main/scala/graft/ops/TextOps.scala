@@ -184,6 +184,31 @@ object TextOps {
           .as("doc_pct"))
   }
 
+  /** Token-entropy quality signal: Shannon entropy of each document's
+    * token distribution (low = templated/repetitive text). Uses the
+    * single-pass identity `H = ln(n) − Σ tf·ln(tf) / n`, so one
+    * explode feeds one (doc,term) count and one per-doc aggregate — no
+    * per-term probability join. Per-term contributions are rounded
+    * then decimal-summed (order-independent under any partitioning),
+    * same discipline as the unigram scorer.
+    */
+  def tokenEntropy(spark: SparkSession, sfDir: String): DataFrame = {
+    val tf = Tables.loadBalanced(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        explode(transform(toks(col("text")), t => lower(t))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    tf.groupBy(col("doc_id"))
+      .agg(
+        sum(col("tf")).cast("long").as("n_tokens"),
+        sum(round(col("tf").cast("double") * log(col("tf").cast("double")), 8)
+          .cast("decimal(20,8)")).as("s"))
+      .select(
+        col("doc_id"), col("n_tokens"),
+        round(log(col("n_tokens").cast("double")) -
+          col("s").cast("double") / col("n_tokens"), 6).as("entropy"))
+  }
+
   /** Unigram language-model quality score (the KenLM-filter shape at
     * unigram order): train token frequencies over the corpus, then
     * score every document by its mean negative log-probability — low =

@@ -1,0 +1,44 @@
+package graft
+
+import graft.ops.TextOps
+import org.apache.spark.sql.functions._
+
+/** Analytic invariants of the text quality signals — bounds that hold
+  * for ANY corpus, pinned at a layer the value-matching oracle can't
+  * cover (the oracle proves engine agreement on one fixture; these
+  * prove the math is the math).
+  */
+class TextSpec extends SparkSpec {
+
+  test("entropy is within [0, ln(n_tokens)] and repetition within [0, 1)") {
+    // epsilon budget: per-term contributions are rounded at 1e-8
+    // (determinism discipline) and the result at 1e-6, so the bound
+    // can be undershot by ~1e-6 — not an analytic violation
+    val ent = TextOps.tokenEntropy(spark, sfDir)
+    assert(ent.filter(col("entropy") < -1e-4 ||
+      col("entropy") > log(col("n_tokens").cast("double")) + 1e-4)
+      .isEmpty, "entropy outside [0, ln(n)]")
+    val rep = TextOps.wordRepetition(spark, sfDir)
+    assert(rep.filter(col("dup_ratio") < 0 || col("dup_ratio") >= 1)
+      .isEmpty, "dup_ratio outside [0, 1)")
+    // consistency: dup_ratio == 0 iff all tokens distinct
+    assert(rep.filter((col("n_distinct") === col("n_tokens")) =!=
+      (col("dup_ratio") === 0.0)).isEmpty)
+  }
+
+  test("unigram logprob: uniform lower bound and boilerplate threshold") {
+    // mean −log p is minimized by the most frequent token: every doc's
+    // score is ≥ −ln(max_tf/total) over the corpus... the cheap
+    // checkable bound is positivity (p ≤ max_tf/total < 1 on any
+    // multi-type corpus) and finiteness (every scored token was in
+    // the training vocab by construction)
+    val lp = TextOps.unigramLogprob(spark, sfDir)
+    assert(lp.filter(col("avg_neg_logprob") <= 0 ||
+      isnan(col("avg_neg_logprob"))).isEmpty,
+      "nonpositive or NaN logprob score")
+    // boilerplate: every reported bigram clears the relative threshold
+    val bp = TextOps.boilerplateBigrams(spark, sfDir)
+    assert(bp.filter(col("doc_pct") < 0.05 - 1e-9).isEmpty,
+      "bigram below the 5% corpus threshold")
+  }
+}
