@@ -47,6 +47,30 @@ class IntervalJoinSpec extends SparkSpec {
     assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty)
   }
 
+  test("intervalJoin equals naive join on generated data, negative ts included") {
+    // the bin-start key claims floor semantics at any sign — generated
+    // timestamps straddle zero and the window shapes cover
+    // strictly-past, strictly-future, zero-crossing, and tiny widths
+    GraftExtensions.enable(spark)
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val a = (1 to 150).map(i => (i.toLong, rnd.between(-100000L, 100000L)))
+      .toDF("a_id", "a_ts")
+    val b = (1 to 150).map(i => (i.toLong, rnd.between(-100000L, 100000L)))
+      .toDF("b_id", "b_ts")
+    for ((lo, hi) <- Seq((-50000L, 0L), (0L, 30000L), (-25000L, 25000L),
+        (-13L, 19L))) {
+      val got = IntervalJoins.intervalJoin(a, b, "a_ts", "b_ts", lo, hi)
+        .select(col("a_id"), col("b_id"))
+      val naive = a.crossJoin(b)
+        .filter(col("b_ts") >= col("a_ts") + lo &&
+          col("b_ts") < col("a_ts") + hi)
+        .select(col("a_id"), col("b_id"))
+      assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty,
+        s"mismatch for window [$lo, $hi)")
+    }
+  }
+
   test("intervalJoin validates inputs") {
     val (probes, build) = sides
     intercept[IllegalArgumentException] {
