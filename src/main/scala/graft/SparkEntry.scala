@@ -34,6 +34,7 @@ object SparkEntry {
     "p1_deletion_preserve" -> (TtlOps.deletionPreserve _),
     // --- scans + engine aggregates (SURVEY §2.1, §2.4) ---
     "q6_filter_pushdown" -> (ScanAggOps.q6FilterPushdown _),
+    "q19_disjunct" -> (AnalyticsOps.q19Disjunct _),
     "s4_token_range_scan" -> (ScanAggOps.tokenRangeScan _),
     "s5_key_counts" -> (ScanAggOps.keyCounts _),
     "s2_file_identity" -> (ScanAggOps.fileIdentity _),
@@ -657,6 +658,17 @@ object SparkEntry {
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
         | CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
+    "q19_disjunct" ->
+      """SELECT count(*) AS n_items,
+        | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |   (1 - CAST(l_discount AS DECIMAL(18,2)))), 6) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |        AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |        AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+        |        AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
     "g_pivot" ->
       """SELECT o_orderpriority,
         | count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,

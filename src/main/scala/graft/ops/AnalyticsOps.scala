@@ -499,6 +499,31 @@ object AnalyticsOps {
       .select(col("p_id").as("event_id"), col("n_prior"))
   }
 
+  /** TPC-H Q19 shape: a DISJUNCTION of cross-table conjunctions over
+    * a fact⋈dim join. The scale property is CNF extraction: Catalyst
+    * distributes the OR so the part-only disjuncts (brand ∧ size) and
+    * the lineitem-only disjuncts (quantity ranges) each reach their
+    * own scan as a pushed OR-predicate — both sides prune BEFORE the
+    * join instead of evaluating the mixed predicate on the full join
+    * output (PlanSpec pins the pushed filters on both scans).
+    */
+  def q19Disjunct(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val part = Tables.load(spark, sfDir, "part")
+    def arm(brand: String, sizeHi: Int, qLo: Int, qHi: Int): Column =
+      part("p_brand") === brand &&
+        part("p_size").between(1, sizeHi) &&
+        li("l_quantity").between(qLo, qHi)
+    li.join(part, li("l_partkey") === part("p_partkey") &&
+        (arm("Brand#12", 5, 1, 11) ||
+          arm("Brand#23", 10, 10, 20) ||
+          arm("Brand#34", 15, 20, 30)))
+      .agg(
+        count(lit(1)).as("n_items"),
+        decSum((dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
+          .cast("decimal(28,6)"), 6).as("revenue"))
+  }
+
   /** Global top-k with deterministic total order (O-series; the
     * reference's partition-ordered write is `sortWithinPartitions`).
     * TakeOrderedAndProject — no full sort at scale. */

@@ -169,6 +169,24 @@ class PlanSpec extends SparkSpec {
       s"repetition metric should not shuffle:\n$p")
   }
 
+  test("q19: OR-of-ANDs predicate reaches BOTH scans via CNF extraction") {
+    // the disjunction mixes part and lineitem columns; the optimizer
+    // must distribute it so each side's own disjuncts prune that scan
+    // BEFORE the join — without this, a 100 TB lineitem reaches the
+    // join unfiltered and the predicate runs on the join output
+    val p = plan(AnalyticsOps.q19Disjunct(spark, sfDir))
+    val liScan = p.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains("lineitem"))
+      .mkString
+    val partScan = p.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains("part.parquet"))
+      .mkString
+    assert(liScan.contains("l_quantity"),
+      s"quantity disjuncts not pushed to lineitem scan: $liScan")
+    assert(partScan.contains("p_brand"),
+      s"brand disjuncts not pushed to part scan: $partScan")
+  }
+
   test("pivot and grouping sets stay single-scan, single-aggregation") {
     // pivot with EXPLICIT values must not run a value-discovery pass
     // (without values, pivot launches an eager distinct job over the
