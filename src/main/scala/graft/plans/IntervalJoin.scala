@@ -26,10 +26,16 @@ import org.apache.spark.sql.graftbridge.GraftColumns
   *
   * The join key is the bin START (`x - pmod(x, w)`), not a bin index:
   * epoch-nanos exceed 2^53, so an index computed through double
-  * division could round to the neighboring bin, and `div` truncates
-  * toward zero (misaligning pre-epoch negative timestamps) — the bin
-  * start needs only subtraction and a non-negative pmod, both exact
-  * in long arithmetic at any magnitude or sign.
+  * division (Column `/` is double division) could round to the
+  * neighboring bin — the bin start needs only subtraction and a
+  * non-negative pmod, both exact in long arithmetic at any magnitude
+  * or sign. (Truncating integral `div`, as the hand-built
+  * `AnalyticsOps.rangeJoin` uses, is ALSO pair-complete at all signs —
+  * `trunc(e/w) ∈ {trunc(p/w)-1, trunc(p/w)}` holds for `e ∈ [p-w, p)`
+  * under truncation too, with the residual filter discarding the extra
+  * candidates — the bin-start form is simply exact by construction
+  * rather than by a case analysis, and IntervalJoinSpec pins the
+  * negative-timestamp behavior.)
   */
 case class IntervalJoin(
     left: LogicalPlan,
@@ -96,6 +102,17 @@ object IntervalJoins {
     val spark = a.sparkSession
     val lp = GraftColumns.analyzedPlan(a)
     val rp = GraftColumns.analyzedPlan(b)
+    // the rewrite resolves output attributes by NAME over the expanded
+    // plan: a user column named like the synthetic bin key would be
+    // silently replaced, and within-side duplicates would all rebind
+    // to one source — reject both up front
+    for ((side, names) <- Seq("left" -> lp.output.map(_.name),
+        "right" -> rp.output.map(_.name))) {
+      require(!names.contains("__bin"),
+        s"$side side: column name __bin is reserved by intervalJoin")
+      val dups = names.groupBy(identity).collect { case (n, v) if v.size > 1 => n }
+      require(dups.isEmpty, s"$side side has duplicate column names: $dups")
+    }
     val overlap = lp.output.map(_.name).toSet
       .intersect(rp.output.map(_.name).toSet)
     require(overlap.isEmpty, s"column names must be disjoint: $overlap")

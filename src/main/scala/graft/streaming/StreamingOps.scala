@@ -48,6 +48,13 @@ object StreamingOps {
   private def streamingSession(parent: SparkSession): SparkSession =
     streamSessions.computeIfAbsent(parent, p => {
       val s = p.newSession()
+      // inherit the parent's runtime confs first (newSession starts
+      // from builder-time state, silently dropping a host's later
+      // conf.set calls), THEN apply the streaming-specific pins.
+      // Static/immutable entries in getAll can't be re-set — skip them.
+      p.conf.getAll.foreach { case (k, v) =>
+        try s.conf.set(k, v) catch { case _: Exception => () }
+      }
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       s.conf.set("spark.sql.session.timeZone", "UTC")
       s.conf.set("spark.sql.shuffle.partitions", "8")
@@ -84,7 +91,14 @@ object StreamingOps {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(name)
+    // hand the result back as a PARENT-session DataFrame: callers
+    // compose it with frames of the session they passed in, and mixing
+    // sessions in one plan is undefined. The memory sink is
+    // driver-resident by definition (and post-aggregation small — see
+    // the object doc), so the collect adds nothing the sink didn't
+    // already pay.
+    val result = spark.table(name)
+    parent.createDataFrame(result.collectAsList(), result.schema)
   }
 
   /** The shared windowed-aggregation plan: 1 h event-time tumbling

@@ -174,6 +174,11 @@ class PlanSpec extends SparkSpec {
     // must distribute it so each side's own disjuncts prune that scan
     // BEFORE the join — without this, a 100 TB lineitem reaches the
     // join unfiltered and the predicate runs on the join output
+    // assert on the PushedFilters section ONLY: the full scan line
+    // always names these columns in its column list / ReadSchema, so a
+    // whole-line contains() would pass even with PushedFilters: []
+    def pushed(scanLine: String): String =
+      scanLine.substring(scanLine.indexOf("PushedFilters:") max 0)
     val p = plan(AnalyticsOps.q19Disjunct(spark, sfDir))
     val liScan = p.linesIterator
       .filter(l => l.contains("FileScan") && l.contains("lineitem"))
@@ -181,10 +186,13 @@ class PlanSpec extends SparkSpec {
     val partScan = p.linesIterator
       .filter(l => l.contains("FileScan") && l.contains("part.parquet"))
       .mkString
-    assert(liScan.contains("l_quantity"),
-      s"quantity disjuncts not pushed to lineitem scan: $liScan")
-    assert(partScan.contains("p_brand"),
-      s"brand disjuncts not pushed to part scan: $partScan")
+    assert(liScan.contains("PushedFilters") && partScan.contains("PushedFilters"))
+    assert(pushed(liScan).contains("Or(") &&
+      pushed(liScan).contains("l_quantity"),
+      s"quantity disjuncts not pushed to lineitem scan: ${pushed(liScan)}")
+    assert(pushed(partScan).contains("Or(") &&
+      pushed(partScan).contains("p_brand"),
+      s"brand disjuncts not pushed to part scan: ${pushed(partScan)}")
   }
 
   test("pivot and grouping sets stay single-scan, single-aggregation") {
