@@ -37,6 +37,55 @@ class SinkSpec extends SparkSpec {
       .exceptAll(back.select(cols: _*)).isEmpty)
   }
 
+  test("partition directories prune at the file index (keyspace filter for free)") {
+    // the reference filters whole keyspaces before opening any SSTable
+    // (P4); on the partitionBy layout that's directory-level pruning —
+    // a partition-column predicate must become a PartitionFilter (file
+    // index skips the directory) and never a data filter (which would
+    // open every file and discard rows)
+    val out = Files.createTempDirectory("graft-prune-").toString
+    TtlOps.ttlStrip(spark, sfDir)
+      .write.partitionBy("event_type").mode("overwrite").parquet(out)
+    val one = spark.read.parquet(out)
+      .filter(col("event_type") === "purchase")
+    val scan = plan(one).linesIterator
+      .filter(_.contains("FileScan")).mkString
+    val pfStart = scan.indexOf("PartitionFilters:")
+    assert(pfStart >= 0, s"no PartitionFilters section: $scan")
+    val pfEnd = scan.indexOf("PushedFilters:", pfStart)
+    val pf = scan.substring(pfStart, if (pfEnd >= 0) pfEnd else scan.length)
+    assert(pf.contains("event_type"),
+      s"partition predicate did not become a PartitionFilter: $scan")
+    // and only that directory's rows are read
+    val expect = TtlOps.ttlStrip(spark, sfDir)
+      .filter(col("event_type") === "purchase").count()
+    assert(one.count() === expect)
+  }
+
+  test("schema evolution: mergeSchema unifies old and new file layouts") {
+    // live tables gain columns over time; old files must read back with
+    // NULLs in the new column and new files keep their data — the
+    // lakehouse analogue of the reference's runtime schema discovery
+    // (it parses whatever CREATE TABLE the data directory declares)
+    val dir = Files.createTempDirectory("graft-evolve-").toString
+    val v1 = Tables.load(spark, sfDir, "region")
+      .select(col("r_regionkey"), col("r_name"))
+    v1.write.parquet(s"$dir/batch=1")
+    val v2 = Tables.load(spark, sfDir, "region")
+      .select(col("r_regionkey"), col("r_name"),
+        length(col("r_name")).as("name_len"))
+    v2.write.parquet(s"$dir/batch=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet ==
+      Set("r_regionkey", "r_name", "name_len", "batch"))
+    // old files surface NULL for the evolved column, new files data
+    assert(merged.filter(col("batch") === 1)
+      .filter(col("name_len").isNotNull).isEmpty)
+    assert(merged.filter(col("batch") === 2)
+      .filter(col("name_len").isNull).isEmpty)
+    assert(merged.count() === v1.count() * 2)
+  }
+
   test("scan counters ride an existing action via observe() (A6 at scale)") {
     import org.apache.spark.sql.Observation
     val obs = Observation("scan_metrics")
