@@ -41,4 +41,33 @@ class BucketingSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     }
   }
+
+  test("bucket pruning: a point predicate on the bucket key reads one bucket") {
+    // the read-side payoff of the same layout: an equality predicate on
+    // the bucket column hashes to ONE bucket, and the scan opens only
+    // that bucket's files — the hash-layout analogue of the reference's
+    // token-index point skip. (orders_bkt persists from the join test or
+    // is created here; idempotent either way.)
+    if (!spark.catalog.tableExists("orders_bkt"))
+      Tables.load(spark, sfDir, "orders")
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable("orders_bkt")
+    val key = Tables.load(spark, sfDir, "orders")
+      .agg(min("o_orderkey")).head().getLong(0)
+    // autoBucketedScan drops the bucketed layout when no operator
+    // needs its distribution — which also forfeits bucket PRUNING;
+    // disable it so the point lookup keeps the bucketed scan
+    val prev = spark.conf
+      .get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    try {
+      spark.conf.set(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      val q = spark.table("orders_bkt").filter(col("o_orderkey") === key)
+      val p = q.queryExecution.executedPlan.toString()
+      assert(p.contains("SelectedBucketsCount: 1 out of 8"),
+        s"bucket pruning did not engage:\n$p")
+      assert(q.count() === 1)
+    } finally spark.conf.set(
+      "spark.sql.sources.bucketing.autoBucketedScan.enabled", prev)
+  }
 }
