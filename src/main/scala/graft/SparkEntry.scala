@@ -111,6 +111,12 @@ object SparkEntry {
     // production default (same operator, cheaper hash)
     "d_minhash_lsh" -> ((s: SparkSession, d: String) =>
       DedupOps.minhashLsh(s, d, DedupOps.Md5)),
+    // the PRODUCTION hash mode of the same operator (xxhash64 token
+    // hashing — no DuckDB twin, so no oracle entry: the driver records
+    // a rows-only check). Registered so the bench shows the md5-oracle
+    // tax next to the deployable cost side by side.
+    "d_minhash_lsh_prod" -> ((s: SparkSession, d: String) =>
+      DedupOps.minhashLsh(s, d, DedupOps.XxHash)),
     "d_simhash" -> ((s: SparkSession, d: String) =>
       DedupOps.simhash(s, d, DedupOps.Md5)),
     "d_ngram_jaccard" -> ((s: SparkSession, d: String) =>
