@@ -78,6 +78,7 @@ object SparkEntry {
     "g_grouping_sets" -> (AnalyticsOps.groupingSetsAgg _),
     "w_rank_topk" -> (AnalyticsOps.rankTopK _),
     "w_distribution" -> (AnalyticsOps.distributionRanks _),
+    "w_range_frame" -> (AnalyticsOps.rangeFrameWindow _),
     "w_running_sum" -> (AnalyticsOps.runningSum _),
     "w_lead_lag" -> (AnalyticsOps.leadLagGaps _),
     "w_sessionize" -> (AnalyticsOps.sessionize _),
@@ -742,6 +743,14 @@ object SparkEntry {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_orderpriority
         |  ORDER BY o_totalprice, o_orderkey)""".stripMargin,
+    "w_range_frame" ->
+      """SELECT user_id, event_id,
+        | count(*) OVER w AS n_24h,
+        | CAST(round(sum(CAST(value AS DECIMAL(18,2))) OVER w, 2) AS DOUBLE)
+        |   AS sum_24h
+        |FROM (SELECT *, epoch_us(ts) AS us FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY us
+        |  RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)""".stripMargin,
     "w_running_sum" ->
       """SELECT user_id, event_id,
         | CAST(round(sum(CAST(value AS DECIMAL(18,2))) OVER (

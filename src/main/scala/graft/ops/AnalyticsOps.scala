@@ -232,6 +232,27 @@ object AnalyticsOps {
         round(percent_rank().over(w), 6).as("prank"))
   }
 
+  /** RANGE-frame window: per user, the rolling count and sum over the
+    * PRECEDING 24 h of event time — a frame defined by VALUE distance
+    * on the ordering key, not row offsets (the feature ROWS frames
+    * cannot express: rows enter/leave the frame by timestamp gap).
+    * Same one-shuffle shape as every window; the ordering key is the
+    * epoch-micros long, so the range bound is plain integer distance
+    * and cross-engine frame membership is exact.
+    */
+  def rangeFrameWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    val dayUs = 86400000000L
+    val w = Window.partitionBy("user_id").orderBy(col("us"))
+      .rangeBetween(-dayUs, Window.currentRow)
+    Tables.load(spark, sfDir, "events")
+      .withColumn("us", expr("ts div 1000"))
+      .select(
+        col("user_id"), col("event_id"),
+        count(lit(1)).over(w).as("n_24h"),
+        round(sum(col("value").cast("decimal(18,2)")).over(w), 2)
+          .cast("double").as("sum_24h"))
+  }
+
   /** Running (cumulative) sum per user over event time. */
   def runningSum(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
