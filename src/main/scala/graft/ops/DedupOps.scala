@@ -122,7 +122,7 @@ object DedupOps {
   /** Hard cap on LSH band-bucket size: pair generation is O(size²) per
     * bucket, so one pathological megacluster (e.g. boilerplate pages)
     * must not dominate a task. Oversized buckets are dropped and counted
-    * via an `observe` metric (`d_minhash_lsh_buckets.dropped_buckets`).
+    * via an `observe` metric (`d_minhash_lsh_<hash>_buckets_cap<N>.dropped_buckets`).
     * 64² = 4096 pairs per bucket worst case — bounded task size at any
     * corpus scale. Byte-identical clusters are removed up front by the
     * documented exactDedup-first composition; what this cap drops is
@@ -176,10 +176,14 @@ object DedupOps {
     val buckets = banded
       .groupBy(col("band_id"), col("band_hash"))
       .agg(array_sort(collect_list(col("doc_id"))).as("docs"))
-      // Metric name carries the cap: observe() requires a unique name
-      // per distinct result semantics within a session, and two calls
-      // with different caps ARE different metrics.
-      .observe(s"d_minhash_lsh_buckets_cap$maxBucket",
+      // Metric name carries the cap AND the hash mode: observe()
+      // requires a unique name per distinct result semantics within a
+      // session — different caps are different metrics, and so are the
+      // md5-oracle and xxhash-production variants (a plan composing
+      // both, e.g. to diff their pair sets, would otherwise fail
+      // CheckAnalysis with duplicated metric names and any metrics
+      // consumer keyed by name would conflate their drop counts).
+      .observe(s"d_minhash_lsh_${hash.toString.toLowerCase}_buckets_cap$maxBucket",
         sum(when(size(col("docs")) > maxBucket, 1).otherwise(0))
           .as("dropped_buckets"))
       .filter(size(col("docs")) > 1 && size(col("docs")) <= maxBucket)

@@ -45,21 +45,23 @@ object StreamingOps {
   private val streamSessions = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession, SparkSession]())
 
-  private def streamingSession(parent: SparkSession): SparkSession =
-    streamSessions.computeIfAbsent(parent, p => {
-      val s = p.newSession()
-      // inherit the parent's runtime confs first (newSession starts
-      // from builder-time state, silently dropping a host's later
-      // conf.set calls), THEN apply the streaming-specific pins.
-      // Static/immutable entries in getAll can't be re-set — skip them.
-      p.conf.getAll.foreach { case (k, v) =>
-        try s.conf.set(k, v) catch { case _: Exception => () }
-      }
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      s.conf.set("spark.sql.session.timeZone", "UTC")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      s
-    })
+  private def streamingSession(parent: SparkSession): SparkSession = {
+    val s = streamSessions.computeIfAbsent(parent, p => p.newSession())
+    // re-sync the parent's runtime confs on EVERY call, not only at
+    // child creation (newSession starts from builder-time state, and a
+    // cached child would otherwise never see later conf.set calls —
+    // refreshed fs credentials, file-source tuning), THEN apply the
+    // streaming-specific pins. Static/immutable entries in getAll
+    // can't be re-set — skip them. Cost is a map copy per streaming
+    // query, noise next to the query's own checkpoint setup.
+    parent.conf.getAll.foreach { case (k, v) =>
+      try s.conf.set(k, v) catch { case _: Exception => () }
+    }
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.conf.set("spark.sql.session.timeZone", "UTC")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s
+  }
 
   /** One streaming micro-batch run to completion; returns the memory
     * sink contents. Checkpoints go to a fresh temp dir per run (the
@@ -96,9 +98,14 @@ object StreamingOps {
     // sessions in one plan is undefined. The memory sink is
     // driver-resident by definition (and post-aggregation small — see
     // the object doc), so the collect adds nothing the sink didn't
-    // already pay.
+    // already pay. Drop the per-run sink view afterwards — the child
+    // session is cached for the parent's lifetime, and leaving every
+    // run's full result registered would grow a long-lived host's heap
+    // without bound.
     val result = spark.table(name)
-    parent.createDataFrame(result.collectAsList(), result.schema)
+    val rows = result.collectAsList()
+    spark.catalog.dropTempView(name)
+    parent.createDataFrame(rows, result.schema)
   }
 
   /** The shared windowed-aggregation plan: 1 h event-time tumbling

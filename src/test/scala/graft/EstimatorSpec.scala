@@ -92,7 +92,7 @@ class EstimatorSpec extends SparkSpec {
     val lsh = DedupOps.minhashLsh(spark, sfDir)
     lsh.collect()
     val lshDrops = lsh.queryExecution.observedMetrics(
-      s"d_minhash_lsh_buckets_cap${DedupOps.MaxBucketSize}")
+      s"d_minhash_lsh_xxhash_buckets_cap${DedupOps.MaxBucketSize}")
     assert(lshDrops.getAs[Long]("dropped_buckets") === 0L)
     val unc = DedupOps.minhashLsh(spark, sfDir, maxBucket = Int.MaxValue)
     assert(lsh.exceptAll(unc).count() === 0 && unc.exceptAll(lsh).count() === 0)
@@ -111,7 +111,7 @@ class EstimatorSpec extends SparkSpec {
     // collect() (not count()) so the metrics land on THIS QueryExecution
     val cappedPairs = capped.collect()
     val cappedDrops =
-      capped.queryExecution.observedMetrics("d_minhash_lsh_buckets_cap2")
+      capped.queryExecution.observedMetrics("d_minhash_lsh_xxhash_buckets_cap2")
     assert(cappedDrops.getAs[Long]("dropped_buckets") > 0L)
     assert(cappedPairs.length < lsh.count())
     assert(capped.exceptAll(lsh).count() === 0) // capped ⊆ uncapped

@@ -21,9 +21,12 @@ class TextSpec extends SparkSpec {
     val rep = TextOps.wordRepetition(spark, sfDir)
     assert(rep.filter(col("dup_ratio") < 0 || col("dup_ratio") >= 1)
       .isEmpty, "dup_ratio outside [0, 1)")
-    // consistency: dup_ratio == 0 iff all tokens distinct
-    assert(rep.filter((col("n_distinct") === col("n_tokens")) =!=
-      (col("dup_ratio") === 0.0)).isEmpty)
+    // consistency, forward direction only: all-distinct tokens must
+    // report exactly 0. (The converse is not rounding-safe for ANY
+    // corpus: a single duplicate in a >2M-token document rounds a
+    // positive ratio to 0.0 at the 1e-6 output precision.)
+    assert(rep.filter(col("n_distinct") === col("n_tokens") &&
+      col("dup_ratio") =!= 0.0).isEmpty)
   }
 
   test("unigram logprob: uniform lower bound and boilerplate threshold") {
