@@ -1,5 +1,6 @@
 package graft
 
+
 import graft.ops.AnalyticsOps
 import graft.streaming.StreamingOps
 import org.apache.spark.sql.DataFrame
@@ -130,5 +131,46 @@ class StreamingSpec extends SparkSpec {
     val streamed = StreamingOps.sessionize(spark, sfDir)
     val batch = AnalyticsOps.sessionize(spark, sfDir)
     assertSameRows(streamed, batch)
+  }
+
+  test("S11: maxFilesPerTrigger paces ingestion into bounded micro-batches") {
+    // the reference's RateLimiter throttles the data-file reader
+    // (NoTTLReader.java:1791-1794) so a rewrite can't saturate a live
+    // node's IO; the declarative Spark analogue is source admission
+    // control — maxFilesPerTrigger bounds what each micro-batch reads,
+    // so ingestion proceeds in bounded, schedulable units instead of
+    // one unbounded gulp. Pinned: 4 input files with a 1-file trigger
+    // cap yield ≥4 data-carrying micro-batches, each reading at most
+    // one file's rows, while the total equals the directory's rows.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-pace-").toString
+    val in = s"$base/in"
+    val ev = Tables.load(spark, sfDir, "events")
+    val total = ev.count()
+    ev.repartition(4).write.parquet(in) // 4 files, one per task
+    val schema = spark.read.parquet(in).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(in)
+      .groupBy().agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("graft_paced")
+      .outputMode("complete")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val batches = q.recentProgress.filter(_.numInputRows > 0)
+    assert(batches.length >= 4,
+      s"expected ≥4 paced micro-batches, got ${batches.length}")
+    // round-robin gives ~total/4 rows per file; a 1-file trigger must
+    // never read more than one file's worth (generous 2× slack)
+    val maxBatch = batches.map(_.numInputRows).max
+    assert(maxBatch <= total / 2,
+      s"a micro-batch read $maxBatch of $total rows — pacing did not bound it")
+    assert(batches.map(_.numInputRows).sum === total, "rows lost by pacing")
+    assert(spark.table("graft_paced").head().getLong(0) === total)
+    spark.catalog.dropTempView("graft_paced")
   }
 }
