@@ -87,6 +87,8 @@ object SparkEntry {
     "j_skew" -> ((s: SparkSession, d: String) =>
       AnalyticsOps.skewJoin(s, d)),
     "set_ops" -> (AnalyticsOps.setOps _),
+    "set_ops_all" -> (AnalyticsOps.setOpsAll _),
+    "g_multi_distinct" -> (AnalyticsOps.multiDistinct _),
     "o_topk" -> (AnalyticsOps.topK _),
     // --- scalar function surface (SURVEY §2.8) ---
     "f_datetime" -> (ScalarOps.datetimeFns _),
@@ -811,6 +813,19 @@ object SparkEntry {
         |SELECT k, 'customer_only' AS tag FROM
         | (SELECT c_custkey AS k FROM customer
         |  EXCEPT SELECT o_custkey FROM orders)""".stripMargin,
+    "set_ops_all" ->
+      """SELECT k, 'intersect_all' AS tag FROM
+        | (SELECT l_orderkey AS k FROM lineitem
+        |  INTERSECT ALL SELECT o_orderkey FROM orders)
+        |UNION ALL
+        |SELECT k, 'except_all' AS tag FROM
+        | (SELECT l_orderkey AS k FROM lineitem
+        |  EXCEPT ALL SELECT o_orderkey FROM orders)""".stripMargin,
+    "g_multi_distinct" ->
+      """SELECT count(DISTINCT o_custkey) AS n_cust,
+        | count(DISTINCT o_orderpriority) AS n_prio,
+        | count(*) AS n_orders
+        |FROM orders""".stripMargin,
     "o_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin,

@@ -327,6 +327,38 @@ object AnalyticsOps {
     both.unionByName(only)
   }
 
+  /** Multiset set operations (ALL semantics): INTERSECT ALL keeps
+    * min(multiplicities), EXCEPT ALL subtracts them — the bag algebra
+    * DISTINCT set ops (`setOps`) cannot express. lineitem's order keys
+    * appear once per line item, orders' exactly once, so the
+    * intersection keeps one copy per ordered key and the difference
+    * keeps the surplus copies — both checked against DuckDB's own
+    * ALL variants. Same shuffle shape as distinct set ops (hash on
+    * the row), plus a multiplicity counter.
+    */
+  def setOpsAll(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey").as("k"))
+    val ord = Tables.load(spark, sfDir, "orders")
+      .select(col("o_orderkey").as("k"))
+    li.intersectAll(ord).withColumn("tag", lit("intersect_all"))
+      .unionByName(
+        li.exceptAll(ord).withColumn("tag", lit("except_all")))
+  }
+
+  /** Multiple DISTINCT aggregates in ONE aggregation: Catalyst rewrites
+    * them through a single Expand (one input row per distinct-clause)
+    * feeding a two-phase aggregate, so the fact is scanned once no
+    * matter how many distinct columns are requested — the same Expand
+    * machinery grouping sets use.
+    */
+  def multiDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "orders")
+      .agg(
+        countDistinct(col("o_custkey")).as("n_cust"),
+        countDistinct(col("o_orderpriority")).as("n_prio"),
+        count(lit(1)).as("n_orders"))
+
   /** Skew-safe aggregation via salting: events.event_type has ~5
     * values over the whole table, so a single-phase groupBy would land
     * each hot key on one reducer (the classic straggler at 100 TB).
