@@ -127,6 +127,8 @@ object SparkEntry {
     "d_decontaminate" -> (DedupOps.decontaminate _),
     "d_dedup_components" -> ((s: SparkSession, d: String) =>
       DedupOps.dedupComponents(s, d, DedupOps.Md5)),
+    "d_dedup_pipeline" -> ((s: SparkSession, d: String) =>
+      DedupOps.dedupPipeline(s, d, DedupOps.Md5)),
     // --- similarity search ---
     "sim_cosine_topk" -> (SimilarityOps.cosineTopK _),
     "sim_embed_neardup" -> ((s: SparkSession, d: String) =>
@@ -342,6 +344,22 @@ object SparkEntry {
        | CAST(coalesce(least(m.mn, d.doc_id), d.doc_id) AS BIGINT)
        |   AS component
        |FROM documents d LEFT JOIN m USING (doc_id)""".stripMargin
+
+  /** Survivor report of the near-dup removal pipeline: one
+    * representative (min doc_id) kept per component; singletons are
+    * their own representative. Wraps the components CTE verbatim —
+    * one definition of the clustering for both queries. */
+  private lazy val dedupPipelineSql: String =
+    s"""WITH comp AS (
+       |$dedupComponentsSql
+       |),
+       |reps AS (SELECT min(doc_id) AS keep_doc FROM comp GROUP BY component)
+       |SELECT d.source, count(*) AS n_docs,
+       | count(r.keep_doc) AS n_survivors
+       |FROM documents d
+       |JOIN comp c ON c.doc_id = d.doc_id
+       |LEFT JOIN reps r ON r.keep_doc = d.doc_id
+       |GROUP BY 1""".stripMargin
 
   private lazy val annRecallSql: String = {
     val planes = SimilarityOps.hyperplanes(64, 8)
@@ -1060,6 +1078,7 @@ object SparkEntry {
         |GROUP BY c.doc_id""".stripMargin,
     "d_minhash_lsh" -> minhashLshSql,
     "d_dedup_components" -> dedupComponentsSql,
+    "d_dedup_pipeline" -> dedupPipelineSql,
     "sim_ann_lsh" -> annLshSql,
     "sim_ann_ivf" -> annIvfSql,
     "sim_ann_recall" -> annRecallSql,

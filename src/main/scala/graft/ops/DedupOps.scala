@@ -266,6 +266,30 @@ object DedupOps {
     labels.drop("ch")
   }
 
+  /** The end-to-end near-dup REMOVAL pipeline a corpus actually runs:
+    * cluster the LSH pair graph, keep ONE representative per cluster
+    * (min doc_id — deterministic winner, singletons are their own
+    * representative), report per-source survivor counts. Composes
+    * [[dedupComponents]] (whose result is checkpointed and small —
+    * one (doc, component) row per doc) with two key-joins and a
+    * per-source aggregate; no step touches document text after the
+    * signature pass.
+    */
+  def dedupPipeline(spark: SparkSession, sfDir: String,
+      hash: TokenHash = XxHash): DataFrame = {
+    val comp = dedupComponents(spark, sfDir, hash)
+    val reps = comp.groupBy(col("component"))
+      .agg(min(col("doc_id")).as("keep_doc"))
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"))
+    docs.join(comp, "doc_id")
+      .join(reps, docs("doc_id") === reps("keep_doc"), "left")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(col("keep_doc")).as("n_survivors"))
+  }
+
   /** SimHash: 32-bit per-token hashes vote per bit position, weighted
     * by token frequency; sign of each bit-sum forms the fingerprint.
     * Implemented as explode → groupBy(doc, bit) free via bit arithmetic
