@@ -40,6 +40,7 @@ object SparkEntry {
     "s2_file_identity" -> (ScanAggOps.fileIdentity _),
     "a2_hll_keycount" -> (ScanAggOps.hllKeyCount _),
     "a2_sketch_merge" -> (ScanAggOps.sketchMerge _),
+    "a2_sketch_persist" -> (ScanAggOps.sketchPersist _),
     "a3_compaction_gain" -> (ScanAggOps.compactionGain _),
     "a4_sampled_keycount" -> (ScanAggOps.sampledKeyCount _),
     "a4_stratified_sample" -> (ScanAggOps.stratifiedSample _),
@@ -114,12 +115,13 @@ object SparkEntry {
     // production default (same operator, cheaper hash)
     "d_minhash_lsh" -> ((s: SparkSession, d: String) =>
       DedupOps.minhashLsh(s, d, DedupOps.Md5)),
-    // the PRODUCTION hash mode of the same operator (xxhash64 token
-    // hashing — no DuckDB twin, so no oracle entry: the driver records
-    // a rows-only check). Registered so the bench shows the md5-oracle
-    // tax next to the deployable cost side by side.
-    "d_minhash_lsh_prod" -> ((s: SparkSession, d: String) =>
-      DedupOps.minhashLsh(s, d, DedupOps.XxHash)),
+    // the PRODUCTION hash mode (xxhash64 token hashing) has no DuckDB
+    // twin, so it is checked through an exact recall guarantee the
+    // oracle CAN reproduce: clones must always be recovered — see
+    // DedupOps.minhashProdRecall. Runs the full xxhash pipeline
+    // end-to-end on a 2× corpus, so the bench still shows the
+    // deployable hash's cost next to the md5-oracle tax.
+    "d_minhash_prod_recall" -> (DedupOps.minhashProdRecall _),
     "d_simhash" -> ((s: SparkSession, d: String) =>
       DedupOps.simhash(s, d, DedupOps.Md5)),
     "d_ngram_jaccard" -> ((s: SparkSession, d: String) =>
@@ -162,6 +164,7 @@ object SparkEntry {
     "st_window_append" -> (StreamingOps.windowAggAppend _),
     "st_sessionize" -> (StreamingOps.sessionize _),
     "st_dedup" -> (StreamingOps.dedupKeys _),
+    "st_dedup_wm" -> (StreamingOps.dedupKeysWithinWatermark _),
     "st_static_join" -> (StreamingOps.staticJoin _)
   )
 
@@ -561,6 +564,13 @@ object SparkEntry {
         | TRUE AS est_in_bounds
         |FROM lineitem""".stripMargin,
     "a2_sketch_merge" ->
+      """SELECT count(DISTINCT o_orderkey % 8) AS n_buckets,
+        | count(DISTINCT o_custkey) AS exact_keys,
+        | TRUE AS est_in_bounds
+        |FROM orders""".stripMargin,
+    // same contract as a2_sketch_merge: the parquet round-trip must
+    // change nothing observable (the sketch bytes ARE the sketch)
+    "a2_sketch_persist" ->
       """SELECT count(DISTINCT o_orderkey % 8) AS n_buckets,
         | count(DISTINCT o_custkey) AS exact_keys,
         | TRUE AS est_in_bounds
@@ -1077,6 +1087,16 @@ object SparkEntry {
         |FROM corpus c JOIN block USING (shingle)
         |GROUP BY c.doc_id""".stripMargin,
     "d_minhash_lsh" -> minhashLshSql,
+    // the xxhash64 production mode checked WITHOUT xxhash: identical
+    // text ⇒ identical shingle set ⇒ identical signature under any
+    // hash ⇒ every (original, clone) pair is a guaranteed LSH
+    // candidate — so the emitted set is exactly one pair per document
+    // with ≥3 tokens (≥1 shingle), hash-independent by construction
+    "d_minhash_prod_recall" ->
+      s"""SELECT CAST(doc_id AS BIGINT) AS doc_a,
+         | CAST(doc_id + ${DedupOps.CloneOffset} AS BIGINT) AS doc_b
+         |FROM documents
+         |WHERE len(string_split_regex(trim(text), '\\s+')) >= 3""".stripMargin,
     "d_dedup_components" -> dedupComponentsSql,
     "d_dedup_pipeline" -> dedupPipelineSql,
     "sim_ann_lsh" -> annLshSql,
@@ -1213,6 +1233,11 @@ object SparkEntry {
     // the streaming dropDuplicates emits each first-seen key exactly
     // once, so the complete emitted set is the batch DISTINCT
     "st_dedup" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
+    // within-watermark dedup over one AvailableNow micro-batch (no
+    // file cap → one batch): every duplicate meets live state, each
+    // key emits exactly once — the batch DISTINCT, same as st_dedup
+    "st_dedup_wm" ->
       "SELECT DISTINCT user_id, event_type FROM events",
     // stateless stream-static join: every event is enriched, so the
     // emitted set is exactly the batch join

@@ -134,8 +134,17 @@ object DedupOps {
     * Returns (doc_id, source, n_shingles, mh0..mh15).
     */
   def minhashSignatures(spark: SparkSession, sfDir: String,
-      hash: TokenHash = XxHash): DataFrame = {
-    val docs = Tables.loadBalanced(spark, sfDir, "documents")
+      hash: TokenHash = XxHash): DataFrame =
+    minhashSignaturesOf(
+      Tables.loadBalanced(spark, sfDir, "documents"), hash)
+
+  /** [[minhashSignatures]] over an arbitrary (doc_id, source, text)
+    * frame — the corpus-agnostic core, so callers can signature a
+    * derived corpus (e.g. the clone-augmented recall witness) without
+    * re-stating the pipeline. */
+  def minhashSignaturesOf(corpus: DataFrame,
+      hash: TokenHash): DataFrame = {
+    val docs = corpus
       .select(col("doc_id"), col("source"), shingles(col("text")).as("sh"))
     // n_shingles comes from size(sh) BEFORE the explode (sh is already
     // distinct) — a countDistinct after explode would force an Expand +
@@ -163,8 +172,14 @@ object DedupOps {
     */
   def minhashLsh(spark: SparkSession, sfDir: String,
       hash: TokenHash = XxHash,
+      maxBucket: Int = MaxBucketSize): DataFrame =
+    minhashLshOf(
+      Tables.loadBalanced(spark, sfDir, "documents"), hash, maxBucket)
+
+  /** [[minhashLsh]] over an arbitrary (doc_id, source, text) frame. */
+  def minhashLshOf(corpus: DataFrame, hash: TokenHash,
       maxBucket: Int = MaxBucketSize): DataFrame = {
-    val sig = minhashSignatures(spark, sfDir, hash)
+    val sig = minhashSignaturesOf(corpus, hash)
     val rowsPerBand = NumPerms / NumBands
     val bandCols = (0 until NumBands).map { b =>
       val cols = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
@@ -198,6 +213,43 @@ object DedupOps {
     flatten(transform(docs, (x, i) =>
       transform(slice(docs, i + 2, size(docs)),
         y => struct(x.as("doc_a"), y.as("doc_b")))))
+
+  /** doc_id offset for the clone corpus in [[minhashProdRecall]]: far
+    * above any fixture doc_id, so `doc_b - doc_a == CloneOffset`
+    * identifies exactly the (original, clone) pairs. */
+  val CloneOffset = 1000000000L
+
+  /** Deterministic correctness witness for the PRODUCTION (xxhash64)
+    * hash mode — the one sketch path no SQL oracle can reproduce
+    * directly (DuckDB has no xxhash64). The check rides an exact
+    * recall guarantee instead of the hash: union the corpus with a
+    * cloned copy (same text, doc_id + [[CloneOffset]]). Identical text
+    * ⇒ identical shingle set ⇒ identical MinHash signature UNDER ANY
+    * HASH FUNCTION ⇒ the clone lands in the same bucket as its
+    * original in every band — so LSH must emit every (original,
+    * clone) pair with probability 1, deterministically. The query
+    * runs the full xxhash64 pipeline (hash → permutations → min-agg →
+    * banding → bucketing → pair generation) end-to-end and emits
+    * exactly those guaranteed pairs; the oracle reproduces them
+    * without xxhash: one pair per document with ≥ 3 tokens (≥ 1
+    * shingle — shorter docs have no signature). The bucket cap is
+    * lifted for this query (a capped megabucket would drop a
+    * guaranteed pair on the Spark side only, which the oracle cannot
+    * see); hash-quality properties (dispersion, cross-mode pair
+    * agreement) remain EstimatorSpec's job.
+    */
+  def minhashProdRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.loadBalanced(spark, sfDir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"),
+        col("source"), col("text"))
+    val clones = docs.select(
+      (col("doc_id") + CloneOffset).as("doc_id"),
+      col("source"), col("text"))
+    minhashLshOf(docs.unionByName(clones), XxHash,
+      maxBucket = Int.MaxValue)
+      .filter(col("doc_b") - col("doc_a") === CloneOffset)
+      .select(col("doc_a"), col("doc_b"))
+  }
 
   /** Connected components over the [[minhashLsh]] candidate-pair graph:
     * the step a real dedup pipeline needs between "candidate pairs" and
@@ -255,15 +307,111 @@ object DedupOps {
       labels = next
       iter += 1
     }
+    if (changed > 0) {
+      // deep-graph path: label propagation walks ONE hop per round, so
+      // a chain-shaped near-dup graph (serial near-copies — diameter >
+      // maxIters) never converges above. Star contraction halves the
+      // structure per round instead (O(log n) rounds for any shape);
+      // same contract (min doc_id per component), proven equivalent by
+      // ComponentsSpec against the exact closure.
+      val assign = starContraction(sym)
+      val out = Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id"))
+        .join(assign, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("component"))
+        .localCheckpoint()
+      sym.unpersist()
+      return out
+    }
     sym.unpersist()
-    if (changed > 0) throw new IllegalStateException(
-      s"dedupComponents did not converge in $maxIters rounds (component " +
-        "diameter exceeds the cap); raise maxIters or switch to a " +
-        "star-contraction formulation for this graph")
     // a checkpointed result is also lineage-free, so it composes with
     // other minhash-derived frames without tripping Spark's
     // DUPLICATED_METRICS_NAME check on the observe() node
     labels.drop("ch")
+  }
+
+  /** Connected components by alternating large-star/small-star
+    * contraction (the MapReduce-era formulation from Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14 — public
+    * algorithm, re-expressed as DataFrame joins). Input: an edge list
+    * (src, dst) in any orientation; output: one (doc_id, component)
+    * row per node APPEARING IN THE EDGES, component = min doc_id of
+    * the node's connected component.
+    *
+    * Why it scales where label propagation doesn't: each round
+    * rewires every node toward the minimum of its neighborhood
+    * (large-star for larger neighbors, small-star for smaller ones),
+    * which at least halves every component's height — convergence in
+    * O(log n) rounds REGARDLESS of graph diameter, vs propagation's
+    * O(diameter). Each round is two groupBy-min shuffles and two
+    * joins over the (shrinking) edge set; rounds are
+    * `localCheckpoint`-truncated like the propagation loop, so plans
+    * stay constant-size. At the fixpoint the edge set is exactly a
+    * star forest: every non-minimum node holds one edge to its
+    * component's minimum, which IS the assignment.
+    */
+  def starContraction(edges: DataFrame, maxRounds: Int = 50): DataFrame = {
+    // canonical undirected edge set: (u, v) with u < v
+    var e = edges.toDF("src", "dst")
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    val nodes = e.select(explode(array(col("u"), col("v"))).as("doc_id"))
+      .distinct()
+      .localCheckpoint()
+
+    // large-star: every node a connects its LARGER neighbors to
+    // m = min(N(a) ∪ {a}); m ≤ a < b keeps the output canonical
+    def largeStar(cur: DataFrame): DataFrame = {
+      val sym = cur.select(explode(array(
+          struct(col("u").as("a"), col("v").as("b")),
+          struct(col("v").as("a"), col("u").as("b")))).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+      val mins = sym.groupBy(col("a"))
+        .agg(min(col("b")).as("mn"))
+        .select(col("a"), least(col("a"), col("mn")).as("m"))
+      sym.join(mins, "a")
+        .filter(col("b") > col("a") && col("b") =!= col("m"))
+        .select(col("m").as("u"), col("b").as("v"))
+        .distinct()
+    }
+
+    // small-star: every node v connects its SMALLER neighbors (and
+    // itself) to their minimum; edges are already oriented small←big
+    // by the canonical form, so grouping by the big end sees exactly
+    // the smaller neighborhood
+    def smallStar(cur: DataFrame): DataFrame = {
+      val mins = cur.groupBy(col("v")).agg(min(col("u")).as("m"))
+      val center = mins.select(col("m").as("u"), col("v"))
+      val siblings = cur.join(mins, "v")
+        .filter(col("u") =!= col("m"))
+        .select(col("m").as("u"), col("u").as("v"))
+      center.unionByName(siblings).distinct()
+    }
+
+    var converged = false
+    var round = 0
+    var curCount = e.count()
+    while (!converged && round < maxRounds) {
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      val nextCount = next.count()
+      converged = nextCount == curCount && next.except(e).isEmpty
+      e = next
+      curCount = nextCount
+      round += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"starContraction did not converge in $maxRounds rounds — " +
+        "impossible for graphs below 2^50 nodes; this indicates a bug, " +
+        "not a data shape")
+    // fixpoint edges are (component-min, member); minima label themselves
+    e.select(col("v").as("doc_id"), col("u").as("component"))
+      .unionByName(nodes.join(e.select(col("v").as("doc_id")), Seq("doc_id"),
+        "left_anti")
+        .select(col("doc_id"), col("doc_id").as("component")))
   }
 
   /** The end-to-end near-dup REMOVAL pipeline a corpus actually runs:

@@ -156,6 +156,49 @@ object ScanAggOps {
           col("exact_keys").cast("double") * 0.1).as("est_in_bounds"))
   }
 
+  /** A2 (cross-JOB semantics) — persisted-sketch round-trip. The
+    * reference's real workflow is two RUNS, not two subtrees of one
+    * plan: it writes one cardinality sketch per SSTable at flush time
+    * and a LATER run deserializes and merges them
+    * (`NoTTLReader.getApproximateKeyCount`, `NoTTLReader.java:152-216`
+    * reading each file's Statistics.db). [[sketchMerge]] proved the
+    * in-plan merge; this proves the part that workflow actually risks
+    * — the sketch BYTES surviving a parquet round-trip: job 1 writes
+    * the per-bucket Datasketches HLL sketches (binary column) to
+    * parquet, job 2 reads them back in a fresh DataFrame and
+    * `hll_union_agg`s the reloaded bytes. At scale the persisted
+    * sketch table is KB-sized per file — re-estimating a changed
+    * corpus reads sketches, never re-scans the 100 TB of keys. Same
+    * deterministic-bounds oracle contract as [[sketchMerge]].
+    */
+  def sketchPersist(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.load(spark, sfDir, "orders")
+    val dir = graft.Scratch.dir("graft-sketch-")
+    // job 1: per-bucket sketches → parquet (the Statistics.db analogue)
+    orders
+      .groupBy((col("o_orderkey") % 8).as("bucket"))
+      .agg(hll_sketch_agg(col("o_custkey"), lit(12)).as("sketch"))
+      .write.mode("overwrite").parquet(dir.toString)
+    // job 2: fresh read of the persisted bytes → union → estimate
+    val merged = spark.read.parquet(dir.toString)
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        hll_sketch_estimate(hll_union_agg(col("sketch"), lit(false)))
+          .as("merged_est"))
+    val exact = orders.agg(countDistinct(col("o_custkey")).as("exact_keys"))
+    val out = merged.crossJoin(exact)
+      .select(
+        col("n_buckets"),
+        col("exact_keys"),
+        (abs(col("merged_est") - col("exact_keys")) <=
+          col("exact_keys").cast("double") * 0.1).as("est_in_bounds"))
+      // materialize the 1-row proof so the scratch sketch table can be
+      // deleted NOW (the returned frame must not depend on it)
+      .localCheckpoint()
+    graft.Scratch.delete(dir)
+    out
+  }
+
   /** A3 — compaction-gain ratio (`NoTTLReader.estimateCompactionGain`,
     * `NoTTLReader.java:221-250`): merged distinct ÷ sum of per-"file"
     * distincts. Files are modeled as deterministic key buckets.

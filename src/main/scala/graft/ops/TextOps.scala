@@ -224,18 +224,34 @@ object TextOps {
     * hash-drift run to run.
     */
   def unigramLogprob(spark: SparkSession, sfDir: String): DataFrame = {
-    val terms = Tables.loadBalanced(spark, sfDir, "documents")
+    // ONE corpus pass total: the explode feeds a single (doc, term)
+    // frequency aggregate, materialized via localCheckpoint — Catalyst
+    // shares no subtrees across DAG branches, so deriving the vocab,
+    // the corpus total AND the per-doc scoring from a live `terms`
+    // frame would re-run the whole explode+scan once per branch (the
+    // dominant cost at corpus scale). The checkpointed tf frame is
+    // doc×distinct-term-sized (post-aggregation — Heaps' law keeps it
+    // far below token-instance size); vocab and total then derive from
+    // IT, so no branch ever touches the corpus again.
+    val tf = Tables.loadBalanced(spark, sfDir, "documents")
       .select(col("doc_id"),
         explode(transform(toks(col("text")), t => lower(t))).as("term"))
-    val vocab = terms.groupBy(col("term")).agg(count(lit(1)).as("tf"))
-    // corpus size as sum(tokens-per-doc) over the base table: Catalyst
-    // shares no subtrees across DAG branches, so deriving it from
-    // `terms` would re-run the whole explode+shuffle a third time —
-    // this branch is a plain projection aggregate (no explode, no
-    // shuffle beyond the 1-row combine)
-    val total = Tables.load(spark, sfDir, "documents")
-      .agg(sum(size(toks(col("text")))).cast("long").as("n_total"))
-    terms
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf_d"))
+      .localCheckpoint()
+    val vocab = tf.groupBy(col("term"))
+      .agg(sum(col("tf_d")).cast("long").as("tf"))
+    val total = tf.agg(sum(col("tf_d")).cast("long").as("n_total"))
+    // per-token-instance nlp is rounded THEN multiplied by the exact
+    // integer multiplicity — decimal×integer is exact, so the sum is
+    // bit-identical to summing tf_d rounded copies (the previous
+    // per-instance formulation) under any partitioning. The
+    // multiplicity multiplies as decimal(12,0), NOT as bigint:
+    // decimal(20,8)×bigint needs precision 41 > 38, and Spark's
+    // precision-loss rule would shave the scale below 8 — silently
+    // truncating the rounded nlp digits the oracle contract depends
+    // on; 20+12+1 = 33 keeps the product exact.
+    tf
       .join(vocab, "term")
       .crossJoin(broadcast(total))
       .withColumn("nlp",
@@ -243,9 +259,9 @@ object TextOps {
           .cast("decimal(20,8)"))
       .groupBy(col("doc_id"))
       .agg(
-        count(lit(1)).as("n_tokens"),
-        round(sum(col("nlp")).cast("double") / count(lit(1)), 6)
-          .as("avg_neg_logprob"))
+        sum(col("tf_d")).cast("long").as("n_tokens"),
+        round(sum(col("nlp") * col("tf_d").cast("decimal(12,0)"))
+          .cast("double") / sum(col("tf_d")), 6).as("avg_neg_logprob"))
   }
 
   /** TF-IDF top-3 terms per document — the classic relevance signal a
@@ -261,13 +277,24 @@ object TextOps {
     */
   def tfidfTopTerms(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val terms = Tables.loadBalanced(spark, sfDir, "documents")
+    // ONE corpus explode total (same discipline as [[unigramLogprob]]):
+    // tf is materialized via localCheckpoint and df derives from IT —
+    // tf already holds one row per (doc, term), so df is a plain
+    // count per term over the (much smaller) aggregate, not a second
+    // countDistinct pass over the exploded corpus. Before this, the
+    // tf and df branches each re-ran the explode+scan — 2× the
+    // dominant cost at corpus scale.
+    val tf = Tables.loadBalanced(spark, sfDir, "documents")
       .select(col("doc_id"),
         explode(transform(toks(col("text")), t => lower(t))).as("term"))
-    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val df = terms.groupBy(col("term"))
-      .agg(countDistinct(col("doc_id")).as("df"))
+      .localCheckpoint()
+    val df = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+    // n_docs still comes from the base table (a column-pruned count
+    // scan, no explode): documents with zero tokens never reach tf,
+    // so deriving n from it would undercount the corpus
     val n = Tables.load(spark, sfDir, "documents")
       .agg(count(lit(1)).as("n_docs"))
     val scored = tf.join(df, "term").crossJoin(broadcast(n))

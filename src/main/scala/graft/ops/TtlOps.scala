@@ -282,7 +282,7 @@ object TtlOps {
     * events/`, every row must survive.
     */
   def partitionedLayout(spark: SparkSession, sfDir: String): DataFrame = {
-    val out = java.nio.file.Files.createTempDirectory("graft-s9-").toString
+    val out = graft.Scratch.dir("graft-s9-")
     ttlStrip(spark, sfDir)
       .withColumn("keyspace", lit("graft"))
       .withColumn("table_name", lit("events"))
@@ -290,13 +290,20 @@ object TtlOps {
       .sortWithinPartitions(col("user_id"), col("writetime_us"),
         col("event_id"))
       .write.partitionBy("keyspace", "table_name")
-      .mode("overwrite").parquet(out)
-    spark.read.parquet(out)
+      .mode("overwrite").parquet(out.toString)
+    // localCheckpoint materializes the (post-aggregation, 1-row) proof
+    // so the scratch layout can be deleted NOW instead of accumulating
+    // one tree per invocation on a long-lived bench/verify host; the
+    // Scratch registration still backstops an interrupted run
+    val proof = spark.read.parquet(out.toString)
       .groupBy(col("keyspace"), col("table_name").as("tbl"))
       .agg(
         count(lit(1)).as("n_rows"),
         bool_and(col("_metadata.file_path")
           .rlike("/keyspace=graft/table_name=events/[^/]+$"))
           .as("path_ok"))
+      .localCheckpoint()
+    graft.Scratch.delete(out)
+    proof
   }
 }

@@ -75,7 +75,21 @@ case class RewriteIntervalJoin(spark: SparkSession)
       val joined = aB.join(bB, Seq("__bin"))
         .filter(rTs >= lTs + j.lowerOffset && rTs < lTs + j.upperOffset)
       val expanded = GraftColumns.analyzedPlan(joined)
-      val byName = expanded.output.map(attr => attr.name -> attr).toMap
+      // Re-validate HERE, not only in the IntervalJoins API wrapper:
+      // output attributes are rebound by NAME over the expanded plan,
+      // so a node constructed directly (or by a future caller) with
+      // duplicate names — or a user column shadowing the synthetic
+      // __bin key — would silently rebind every duplicate to one
+      // source column. Misuse must fail loudly at rewrite time.
+      require(!j.output.exists(_.name == "__bin"),
+        "IntervalJoin: column name __bin is reserved by the bin rewrite")
+      val grouped = expanded.output.groupBy(_.name)
+      val dups = grouped.collect {
+        case (n, as) if n != "__bin" && as.size > 1 => n
+      }
+      require(dups.isEmpty,
+        s"IntervalJoin: ambiguous output columns after bin expansion: $dups")
+      val byName = grouped.map { case (n, as) => n -> as.head }
       val outExprs: Seq[NamedExpression] = j.output.map { attr =>
         val src = byName.getOrElse(attr.name,
           throw new IllegalStateException(s"missing column ${attr.name}"))

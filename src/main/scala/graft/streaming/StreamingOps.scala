@@ -1,6 +1,5 @@
 package graft.streaming
 
-import java.nio.file.Files
 import java.util.concurrent.atomic.AtomicLong
 
 import graft.Tables
@@ -52,10 +51,15 @@ object StreamingOps {
     // cached child would otherwise never see later conf.set calls —
     // refreshed fs credentials, file-source tuning), THEN apply the
     // streaming-specific pins. Static/immutable entries in getAll
-    // can't be re-set — skip them. Cost is a map copy per streaming
-    // query, noise next to the query's own checkpoint setup.
+    // can't be re-set — Spark signals exactly those with
+    // AnalysisException (CANNOT_MODIFY_CONFIG), the one failure this
+    // mirror may skip; anything else (a bad value, a broken conf
+    // entry) must surface, or the child session drifts from the
+    // parent with no signal. Cost is a map copy per streaming query,
+    // noise next to the query's own checkpoint setup.
     parent.conf.getAll.foreach { case (k, v) =>
-      try s.conf.set(k, v) catch { case _: Exception => () }
+      try s.conf.set(k, v)
+      catch { case _: org.apache.spark.sql.AnalysisException => () }
     }
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s.conf.set("spark.sql.session.timeZone", "UTC")
@@ -75,7 +79,8 @@ object StreamingOps {
       mode: OutputMode): DataFrame = {
     val spark = streamingSession(parent)
     val name = s"graft_stream_${runId.incrementAndGet()}"
-    val ckpt = Files.createTempDirectory("graft-ckpt-").toString
+    val ckptPath = graft.Scratch.dir("graft-ckpt-")
+    val ckpt = ckptPath.toString
     // schema from a one-off batch read: streaming sources require an
     // explicit schema (no inference race on a live directory)
     val schema = Tables.load(spark, sfDir, "events").schema
@@ -105,6 +110,10 @@ object StreamingOps {
     val result = spark.table(name)
     val rows = result.collectAsList()
     spark.catalog.dropTempView(name)
+    // the run is over and its rows are collected — the checkpoint is
+    // dead weight; delete it now (one tree per registered-query call
+    // would otherwise accumulate on a long-lived bench/verify host)
+    graft.Scratch.delete(ckptPath)
     parent.createDataFrame(rows, result.schema)
   }
 
@@ -199,6 +208,27 @@ object StreamingOps {
       src.select(col("user_id"), col("event_type"))
         .dropDuplicates("user_id", "event_type"),
       sfDir, OutputMode.Append())
+
+  /** The production dedup variant for UNBOUNDED key domains:
+    * `dropDuplicatesWithinWatermark` keeps a key's state only until
+    * the event-time watermark passes (first-seen event time + delay),
+    * so state size tracks the number of distinct keys IN FLIGHT within
+    * the watermark horizon — not the lifetime key count that bounds
+    * [[dedupKeys]]. StreamingSpec witnesses the eviction itself
+    * (state rows removed once the watermark advances past them); the
+    * registered query pins the emitted SET: under AvailableNow with no
+    * file cap the whole fixture lands in one micro-batch, every
+    * duplicate meets live state, and each key is emitted exactly once
+    * — so the oracle is the batch DISTINCT, deterministically.
+    */
+  def dedupKeysWithinWatermark(spark: SparkSession, sfDir: String): DataFrame =
+    runToMemory(spark, src => {
+      val evt = src.withColumn("ets", timestamp_micros(expr("ts div 1000")))
+      evt.withWatermark("ets", "1 hour")
+        .select(col("user_id"), col("event_type"), col("ets"))
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
+        .select(col("user_id"), col("event_type"))
+    }, sfDir, OutputMode.Append())
 
   /** Stream-static enrichment join: each streamed event is joined to a
     * BATCH-computed per-user aggregate — the standard pattern for

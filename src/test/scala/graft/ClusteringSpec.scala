@@ -70,10 +70,14 @@ class ClusteringSpec extends SparkSpec {
     // every other row group's [min,max] excludes it → skippable
     assert(cHit <= cTotal / 2,
       s"clustered layout not skippable: $cHit of $cTotal row groups contain key")
-    // scattered: round-robin makes every row group span the key range —
-    // nothing is skippable, which is what clustering exists to fix
-    assert(sHit == sTotal,
-      s"expected no skipping in round-robin layout: $sHit of $sTotal")
+    // scattered: round-robin makes (nearly) every row group span the
+    // key range — allow one straggler group to miss the global-min
+    // probe (a small tail row group under different fixture sizes or
+    // parquet row-group sizing legitimately may); the property being
+    // pinned is DOMINANCE: clustering leaves most groups skippable,
+    // round-robin leaves (almost) none
+    assert(sHit >= sTotal - 1,
+      s"expected ~no skipping in round-robin layout: $sHit of $sTotal")
     assert(cHit < sHit, "clustering did not reduce candidate row groups")
 
     // Spark consumes the same stats: the point lookup pushes the

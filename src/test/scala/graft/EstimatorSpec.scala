@@ -26,6 +26,44 @@ class EstimatorSpec extends SparkSpec {
       "merged-sketch estimate outside the declared 10% bound")
   }
 
+  test("A2: sketch bytes survive a parquet round-trip bit-exactly") {
+    // the cross-job workflow's risky part is the binary round-trip:
+    // the estimate merged from RELOADED sketch bytes must EQUAL the
+    // estimate merged from the never-persisted sketches (same bytes ⇒
+    // same sketch ⇒ same estimate, exactly — not merely within bounds)
+    def mergedEst(sk: org.apache.spark.sql.DataFrame): Any =
+      sk.agg(hll_sketch_estimate(hll_union_agg(col("sketch"), lit(false)))
+        .as("est")).head().get(0)
+    val sketches = Tables.load(spark, sfDir, "orders")
+      .groupBy((col("o_orderkey") % 8).as("bucket"))
+      .agg(hll_sketch_agg(col("o_custkey"), lit(12)).as("sketch"))
+    val direct = mergedEst(sketches)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-sketch-rt-").toString + "/sketches"
+    sketches.write.parquet(dir)
+    val roundTripped = mergedEst(spark.read.parquet(dir))
+    assert(roundTripped === direct,
+      s"parquet round-trip changed the merged estimate: " +
+        s"$roundTripped vs $direct")
+    // and the registered query (which performs exactly this round
+    // trip) holds its bounds contract
+    val row = ScanAggOps.sketchPersist(spark, sfDir).head()
+    assert(row.getAs[Long]("n_buckets") === 8L)
+    assert(row.getAs[Boolean]("est_in_bounds"),
+      "round-tripped merged estimate outside the declared 10% bound")
+  }
+
+  test("xxhash production mode recovers every guaranteed (clone) pair") {
+    val rec = DedupOps.minhashProdRecall(spark, sfDir)
+    val eligible = Tables.load(spark, sfDir, "documents")
+      .filter(size(split(trim(col("text")), "\\s+")) >= 3)
+    assert(rec.count() === eligible.count(),
+      "a guaranteed clone pair was missed by the xxhash LSH pipeline")
+    // every emitted pair is exactly (doc, doc + CloneOffset)
+    assert(rec.filter(col("doc_b") - col("doc_a") =!=
+      DedupOps.CloneOffset).count() === 0)
+  }
+
   test("A4: deterministic md5-sample estimate lands near the true count") {
     val row = ScanAggOps.sampledKeyCount(spark, sfDir).head()
     val est = row.getAs[Long]("est_rows")

@@ -159,6 +159,29 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Join"), s"no join in range-join plan:\n$p")
   }
 
+  test("tfidf and unigram LM explode the corpus exactly once") {
+    // both queries need the exploded (doc, term) stream in two
+    // aggregation branches; Catalyst shares no subtrees across
+    // branches, so a live `terms` frame would re-run the corpus
+    // explode+scan per branch. The fix materializes the (much
+    // smaller) post-aggregation tf frame via localCheckpoint and
+    // derives the second branch from IT — pinned here: the final
+    // plan contains NO Generate (the one explode ran inside the
+    // checkpoint) and at most one corpus FileScan (tfidf's n_docs
+    // count — a column-pruned scan with no explode).
+    for ((name, df) <- Seq(
+        "t_tfidf" -> graft.ops.TextOps.tfidfTopTerms(spark, sfDir),
+        "t_unigram" -> graft.ops.TextOps.unigramLogprob(spark, sfDir))) {
+      val p = plan(df)
+      assert(!p.contains("Generate"),
+        s"$name re-explodes the corpus downstream of the checkpoint:\n$p")
+      assert(p.contains("ExistingRDD"),
+        s"$name does not read the materialized tf frame:\n$p")
+      assert(p.linesIterator.count(_.contains("FileScan")) <= 1,
+        s"$name scans the corpus more than once:\n$p")
+    }
+  }
+
   test("word repetition is a pure projection: no exchange in the plan") {
     // the Gopher repetition signal is computed as array expressions over
     // the split token list — one scan, zero shuffles. An Exchange here

@@ -1,0 +1,67 @@
+package graft
+
+import graft.ops.{AnalyticsOps, DedupOps, ScanAggOps}
+
+/** Plan-SHAPE stability across scale factors: the central claim of the
+  * threshold-driven-broadcast policy is that plans adapt SAFELY as
+  * data grows — the properties that must hold (dimension broadcasts,
+  * no nested loops, pushdown) hold at every available SF, not just the
+  * one the other specs pin. Planning only (no query executes): file
+  * statistics are what drive the decisions, so building the physical
+  * plan per SF is the whole test.
+  */
+class ScaleSpec extends SparkSpec {
+
+  private val sfDirs = Seq("sf0.001", "sf0.01", "sf0.1")
+    .map(s => s"/root/testdata/$s")
+    .filter(d => new java.io.File(d).exists())
+
+  private def joinOn(p: String, node: String, key: String): Boolean =
+    p.linesIterator.exists(l => l.contains(node) && l.contains(key))
+
+  test("testdata provides multiple scale factors") {
+    assert(sfDirs.size >= 2, s"need ≥2 SFs to witness stability: $sfDirs")
+  }
+
+  test("dimension joins stay broadcast at every SF (threshold, not hint)") {
+    for (dir <- sfDirs) {
+      val p5 = plan(AnalyticsOps.q5MultiJoin(spark, dir))
+      for (k <- Seq("s_suppkey", "c_custkey", "n_nationkey", "r_regionkey"))
+        assert(joinOn(p5, "BroadcastHashJoin", k),
+          s"$dir: q5 join on $k lost its broadcast:\n$p5")
+      val p3 = plan(AnalyticsOps.q3Shipping(spark, dir))
+      assert(joinOn(p3, "BroadcastHashJoin", "c_custkey"),
+        s"$dir: q3 customer join lost its broadcast:\n$p3")
+    }
+  }
+
+  test("range join never degrades to a nested loop at any SF") {
+    for (dir <- sfDirs) {
+      val p = plan(AnalyticsOps.rangeJoin(spark, dir))
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("Cartesian"),
+        s"$dir: range join degraded to a nested loop:\n$p")
+    }
+  }
+
+  test("decontamination keeps the broadcast-probe shape at every SF") {
+    for (dir <- sfDirs) {
+      val p = plan(DedupOps.decontaminate(spark, dir))
+      assert(p.contains("BroadcastHashJoin"),
+        s"$dir: expected broadcast probe:\n$p")
+      assert(!p.contains("SortMergeJoin") && !p.contains("Cartesian"),
+        s"$dir: corpus-sized join appeared in decontamination:\n$p")
+    }
+  }
+
+  test("q6 pushdown and pruning hold at every SF") {
+    for (dir <- sfDirs) {
+      val p = plan(ScanAggOps.q6FilterPushdown(spark, dir))
+      assert(p.contains("PushedFilters:") && p.contains("l_shipdate"),
+        s"$dir: filters not pushed:\n$p")
+      val readSchema =
+        p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+      assert(!readSchema.contains("l_returnflag"),
+        s"$dir: scan reads unneeded columns: $readSchema")
+    }
+  }
+}
