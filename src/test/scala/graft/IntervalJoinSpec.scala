@@ -81,4 +81,25 @@ class IntervalJoinSpec extends SparkSpec {
       IntervalJoins.intervalJoin(probes, probes, "p_ts", "p_ts", -1L, 0L)
     }
   }
+
+  test("the rewrite rule itself rejects ambiguous names (not just the API)") {
+    // an IntervalJoin NODE constructed directly — bypassing the
+    // IntervalJoins wrapper — with colliding output names must fail
+    // loudly at rewrite time, not silently rebind every duplicate to
+    // one source column (the by-name output resolution's failure mode)
+    GraftExtensions.enable(spark)
+    import org.apache.spark.sql.graftbridge.GraftColumns
+    val (probes, build) = sides
+    val lp = GraftColumns.analyzedPlan(probes)
+    val rp = GraftColumns.analyzedPlan(
+      build.withColumnRenamed("e_id", "p_id")) // collides with the left
+    val node = graft.plans.IntervalJoin(
+      lp, rp, "p_ts", "e_ts", -winNs, 0L, lp.output ++ rp.output)
+    val ex = intercept[Exception] {
+      GraftColumns.ofRows(spark, node).collect()
+    }
+    val msg = ex.toString + Option(ex.getCause).map(_.toString).getOrElse("")
+    assert(msg.contains("ambiguous") || msg.contains("p_id"),
+      s"expected a loud ambiguity failure, got: $ex")
+  }
 }
