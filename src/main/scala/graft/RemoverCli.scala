@@ -30,9 +30,14 @@ import org.apache.spark.sql.SparkSession
   * `--table events` with no cell spec keeps the shipped events model
   * (backward-compatible convenience).
   *
+  * `--format sstabledump` accepts real-Cassandra input: --in points
+  * at `sstabledump` JSON (one per SSTable), converted through
+  * [[graft.sources.SSTableDumpBridge]] — liveness comes from the dump
+  * itself, so no cell-model flags apply.
+  *
   * Usage:
   *   graft.RemoverCli --in <dir> --out <dir> --table <name>
-  *     [--keyspace <ks>] [--cpus <n>]
+  *     [--keyspace <ks>] [--cpus <n>] [--format parquet|sstabledump]
   *     [--pk <cols> --ck <cols> --cells <cols> --writetime <col>
   *      --ttl-key <col>]
   */
@@ -43,10 +48,11 @@ object RemoverCli {
       keyspace: String = "graft", cpus: Int = 8,
       pk: Seq[String] = Seq.empty, ck: Seq[String] = Seq.empty,
       cells: Seq[String] = Seq.empty,
-      writetime: Option[String] = None, ttlKey: Option[String] = None)
+      writetime: Option[String] = None, ttlKey: Option[String] = None,
+      format: String = "parquet")
 
   private val Flags = Set("in", "out", "table", "keyspace", "cpus",
-    "pk", "ck", "cells", "writetime", "ttl-key")
+    "pk", "ck", "cells", "writetime", "ttl-key", "format")
 
   private def csv(v: String): Seq[String] =
     v.split(',').map(_.trim).filter(_.nonEmpty).toSeq
@@ -83,13 +89,35 @@ object RemoverCli {
                   ck = m.get("ck").map(csv).getOrElse(Seq.empty),
                   cells = m.get("cells").map(csv).getOrElse(Seq.empty),
                   writetime = m.get("writetime"),
-                  ttlKey = m.get("ttl-key"))
-                validateCellSpec(args)
+                  ttlKey = m.get("ttl-key"),
+                  format = m.getOrElse("format", "parquet"))
+                validateFormat(args).flatMap(a =>
+                  // the dump format brings its own liveness model, so
+                  // the cell-spec rules below don't apply to it
+                  if (a.format == "sstabledump") Right(a)
+                  else validateCellSpec(a))
             }
           }
       }
     }
   }
+
+  /** `--format sstabledump` points --in at sstabledump JSON (file or
+    * directory, one dump per SSTable): the dump carries its own
+    * liveness fields, so a cell-model spec alongside it is a
+    * contradiction, rejected rather than ignored. */
+  private def validateFormat(a: CliArgs): Either[String, CliArgs] =
+    a.format match {
+      case "parquet" => Right(a)
+      case "sstabledump" =>
+        if (a.cells.nonEmpty || a.pk.nonEmpty || a.ck.nonEmpty ||
+          a.writetime.nonEmpty || a.ttlKey.nonEmpty)
+          Left("--format sstabledump carries its own liveness model: " +
+            "--pk/--ck/--cells/--writetime/--ttl-key do not apply")
+        else Right(a)
+      case other => Left(s"unknown --format '$other' " +
+        "(expected parquet or sstabledump)")
+    }
 
   /** A non-events table needs its cell model declared — the same rule
     * as the reference CLI, where `--cql` is how an arbitrary table's
@@ -125,7 +153,10 @@ object RemoverCli {
     * end-to-end without forking a JVM. Returns the written row count.
     */
   def run(spark: SparkSession, args: CliArgs): Long =
-    if (args.cells.isEmpty) {
+    if (args.format == "sstabledump")
+      graft.sources.SSTableDumpBridge.removeTtlToDir(
+        spark, args.in, args.out, args.keyspace, args.table)
+    else if (args.cells.isEmpty) {
       val meta = CellModel.eventsMeta.copy(keyspace = args.keyspace)
       Pipeline.removeTtlFromDir(spark, args.in, args.out, meta)
     } else {
@@ -141,7 +172,7 @@ object RemoverCli {
       System.err.println(s"error: $err")
       System.err.println(
         "usage: graft.RemoverCli --in <dir> --out <dir> --table <name>" +
-          " [--keyspace <ks>] [--cpus <n>]" +
+          " [--keyspace <ks>] [--cpus <n>] [--format parquet|sstabledump]" +
           " [--pk <cols> --ck <cols> --cells <cols> --writetime <col>" +
           " --ttl-key <col>]")
       sys.exit(2)

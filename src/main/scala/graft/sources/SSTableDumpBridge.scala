@@ -120,14 +120,13 @@ object SSTableDumpBridge {
   def convert(spark: SparkSession, dumpPath: String, outDir: String): Unit =
     read(spark, dumpPath).write.mode("overwrite").parquet(outDir)
 
-  /** The reference's core pipeline over a CONVERTED directory: strip
-    * TTL metadata from every live cell (value + writetime survive,
+  /** The reference's core pipeline over bridge rows: strip TTL
+    * metadata from every live cell (value + writetime survive,
     * ttl/expiration nulled), keep tombstones verbatim — then the S8
-    * sorted-sink shape on the partition key. A user's
-    * sstabledump → convert → removeTtl chain is the library's
-    * equivalent of the reference CLI's SSTable-to-SSTable rewrite. */
-  def removeTtl(spark: SparkSession, cellParquetDir: String): DataFrame = {
-    val cells = spark.read.parquet(cellParquetDir)
+    * sorted-sink shape on the partition key. A tombstone's NULL cell
+    * must stay NULL (an unconditional struct rewrite would turn it
+    * into a struct of nulls), hence the isNotNull guard. */
+  def stripTtl(cells: DataFrame): DataFrame =
     cells
       .select(
         col("partition_key"), col("clustering"), col("row_kind"),
@@ -139,5 +138,26 @@ object SSTableDumpBridge {
       .repartition(col("partition_key"))
       .sortWithinPartitions(col("partition_key"), col("clustering"),
         col("name"))
+
+  /** [[stripTtl]] over a CONVERTED parquet directory. */
+  def removeTtl(spark: SparkSession, cellParquetDir: String): DataFrame =
+    stripTtl(spark.read.parquet(cellParquetDir))
+
+  /** Whole lifecycle from raw sstabledump JSON: read → strip →
+    * sorted, `out/<ks>/<table>/`-laid-out parquet write. Returns the
+    * written row count (write-side `observe`, same no-read-back
+    * discipline as [[graft.Pipeline.removeTtl]]) — the CLI's
+    * `--format sstabledump` entry point. */
+  def removeTtlToDir(spark: SparkSession, dumpPath: String, outDir: String,
+      keyspace: String, table: String,
+      saveMode: String = "errorifexists"): Long = {
+    val written = org.apache.spark.sql.Observation()
+    stripTtl(read(spark, dumpPath))
+      .withColumn("keyspace", lit(keyspace))
+      .withColumn("table_name", lit(table))
+      .observe(written, count(lit(1)).as("rows"))
+      .write.partitionBy("keyspace", "table_name")
+      .mode(saveMode).parquet(outDir)
+    written.get("rows").asInstanceOf[Long]
   }
 }

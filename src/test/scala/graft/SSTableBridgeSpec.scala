@@ -114,4 +114,30 @@ class SSTableBridgeSpec extends SparkSpec {
     assert(stripped.filter(col("row_kind") === "ROW_DELETION")
       .head().getAs[Long]("deletion_us") === 1609632000000000L)
   }
+
+  test("RemoverCli --format sstabledump runs the whole lifecycle over a dump") {
+    val in = writeDump()
+    val out = Files.createTempDirectory("graft-sstable-cli-").toString + "/o"
+    val parsed = RemoverCli.parse(Array(
+      "--in", in, "--out", out, "--table", "tbl",
+      "--keyspace", "realks", "--format", "sstabledump"))
+    val args = parsed.fold(e => fail(s"parse failed: $e"), identity)
+    assert(RemoverCli.run(spark, args) === 4L)
+    val back = spark.read.parquet(out)
+    assert(back.count() === 4)
+    // layout on disk + no liveness metadata left on live cells
+    assert(back.select(org.apache.spark.sql.functions
+      .col("_metadata.file_path")).collect()
+      .forall(_.getString(0).contains("/keyspace=realks/table_name=tbl/")))
+    assert(back.filter(col("row_kind") === "ROW" &&
+      (col("cell.ttl_s").isNotNull || col("cell.expire_us").isNotNull))
+      .count() === 0)
+    // a cell-model spec alongside the dump format is rejected
+    assert(RemoverCli.parse(Array(
+      "--in", in, "--out", out, "--table", "tbl",
+      "--format", "sstabledump", "--cells", "x")).isLeft)
+    assert(RemoverCli.parse(Array(
+      "--in", in, "--out", out, "--table", "tbl",
+      "--format", "avro")).isLeft)
+  }
 }
