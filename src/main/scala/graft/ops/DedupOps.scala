@@ -288,7 +288,14 @@ object DedupOps {
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = Tables.load(spark, sfDir, "documents")
+    // propagate over EDGE NODES only, never the corpus: a node with no
+    // candidate edge can never change its label, so carrying all
+    // documents through every round would shuffle a corpus-sized label
+    // table per iteration for nothing — at 10^9 docs the difference
+    // between moving the corpus each round and moving the (much
+    // smaller) near-dup subgraph. Edge-less documents join back as
+    // self-labeled singletons once, at the end.
+    var labels = sym.select(col("src").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("component"))
       .localCheckpoint()
     var changed = 1L
@@ -325,10 +332,16 @@ object DedupOps {
       return out
     }
     sym.unpersist()
-    // a checkpointed result is also lineage-free, so it composes with
+    // edge-less documents label themselves; the propagated subgraph's
+    // labels (checkpointed — lineage-free, so the result composes with
     // other minhash-derived frames without tripping Spark's
-    // DUPLICATED_METRICS_NAME check on the observe() node
-    labels.drop("ch")
+    // DUPLICATED_METRICS_NAME check on the observe() node) merge in
+    // via ONE corpus join at the end instead of riding every round
+    Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"))
+      .join(labels.drop("ch"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"))
   }
 
   /** Connected components by alternating large-star/small-star
