@@ -239,14 +239,19 @@ object DedupOps {
     * agreement) remain EstimatorSpec's job.
     */
   def minhashProdRecall(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.loadBalanced(spark, sfDir, "documents")
-      .select(col("doc_id").cast("long").as("doc_id"),
-        col("source"), col("text"))
-    val clones = docs.select(
-      (col("doc_id") + CloneOffset).as("doc_id"),
-      col("source"), col("text"))
-    minhashLshOf(docs.unionByName(clones), XxHash,
-      maxBucket = Int.MaxValue)
+    // original + clone come off ONE corpus scan: explode duplicates
+    // rows, a union of two selects would duplicate the FileScan (no
+    // scan sharing across union branches — same idiom as the sym
+    // edge expansion in dedupComponents)
+    val both = Tables.loadBalanced(spark, sfDir, "documents")
+      .select(explode(array(
+        struct(col("doc_id").cast("long").as("doc_id"),
+          col("source"), col("text")),
+        struct((col("doc_id") + CloneOffset).as("doc_id"),
+          col("source"), col("text")))).as("d"))
+      .select(col("d.doc_id").as("doc_id"),
+        col("d.source").as("source"), col("d.text").as("text"))
+    minhashLshOf(both, XxHash, maxBucket = Int.MaxValue)
       .filter(col("doc_b") - col("doc_a") === CloneOffset)
       .select(col("doc_a"), col("doc_b"))
   }
