@@ -35,8 +35,12 @@ object SimilarityOps {
       .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
 
   /** Brute-force cosine top-5 neighbors for query vectors vec_id<8. */
-  def cosineTopK(spark: SparkSession, sfDir: String): DataFrame = {
-    val v = withNorm(Tables.load(spark, sfDir, "embeddings"))
+  def cosineTopK(spark: SparkSession, sfDir: String): DataFrame =
+    cosineTopKOf(withNorm(Tables.load(spark, sfDir, "embeddings")))
+
+  /** [[cosineTopK]] over a prepared normalized frame (vec_id, e, nrm) —
+    * lets the recall harness feed every role from ONE corpus scan. */
+  private def cosineTopKOf(v: DataFrame): DataFrame = {
     val q = v.filter(col("vec_id") < 8)
       .select(col("vec_id").as("q_vec_id"), col("e").as("qe"),
         col("nrm").as("qnrm"))
@@ -186,10 +190,12 @@ object SimilarityOps {
     * shrinks ~k-fold. Per-query top-3 within-cell neighbors; subset-of-
     * brute-force is asserted in the spec.
     */
-  def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
+  def annIvf(spark: SparkSession, sfDir: String): DataFrame =
+    annIvfOf(withNorm(Tables.load(spark, sfDir, "embeddings")))
+
+  private def annIvfOf(vn: DataFrame): DataFrame = {
     val cs = centroids(64, 16)
-    val v = withNorm(Tables.load(spark, sfDir, "embeddings"))
-      .withColumn("cell", ivfCell(col("e"), cs))
+    val v = vn.withColumn("cell", ivfCell(col("e"), cs))
     val q = v.filter(col("vec_id") < 8)
       .select(col("vec_id").as("q_vec_id"), col("e").as("qe"),
         col("nrm").as("qnrm"), col("cell"))
@@ -216,17 +222,26 @@ object SimilarityOps {
     * broadcast-probe shape as [[cosineTopK]] itself.
     */
   def annRecall(spark: SparkSession, sfDir: String): DataFrame =
-    annRecallOf(spark, sfDir, annLsh)
+    annRecallOf(spark, sfDir, annLshOf)
 
   /** Recall@3 of the IVF variant, same harness. */
   def annRecallIvf(spark: SparkSession, sfDir: String): DataFrame =
-    annRecallOf(spark, sfDir, annIvf)
+    annRecallOf(spark, sfDir, annIvfOf)
 
   private def annRecallOf(spark: SparkSession, sfDir: String,
-      annIndex: (SparkSession, String) => DataFrame): DataFrame = {
-    val brute = cosineTopK(spark, sfDir).filter(col("rk") <= 3)
+      annIndex: DataFrame => DataFrame): DataFrame = {
+    // the harness needs the corpus in FOUR roles (brute query+corpus,
+    // ann query+corpus) and Catalyst shares no subtrees across
+    // branches — materialize the normalized vectors ONCE and feed
+    // every role from the checkpoint: one parquet scan + one norm
+    // computation instead of four of each (and on a real deployment
+    // the recall audit runs over a sample, so the materialized frame
+    // is sample-sized, not corpus-sized)
+    val v = withNorm(Tables.load(spark, sfDir, "embeddings"))
+      .localCheckpoint()
+    val brute = cosineTopKOf(v).filter(col("rk") <= 3)
       .select(col("q_vec_id"), col("neighbor_vec_id"))
-    val ann = annIndex(spark, sfDir)
+    val ann = annIndex(v)
       .select(col("q_vec_id"), col("neighbor_vec_id"))
       .withColumn("hit", lit(1L))
     // ONE reference to the brute pipeline: Catalyst shares no subtrees
@@ -246,10 +261,12 @@ object SimilarityOps {
     * Returns per-query top-3 within-bucket neighbors. Recall vs the
     * brute-force baseline is asserted in the spec, not here.
     */
-  def annLsh(spark: SparkSession, sfDir: String): DataFrame = {
+  def annLsh(spark: SparkSession, sfDir: String): DataFrame =
+    annLshOf(withNorm(Tables.load(spark, sfDir, "embeddings")))
+
+  private def annLshOf(vn: DataFrame): DataFrame = {
     val planes = hyperplanes(64, 8)
-    val v = withNorm(Tables.load(spark, sfDir, "embeddings"))
-      .withColumn("bucket", lshBucket(col("e"), planes))
+    val v = vn.withColumn("bucket", lshBucket(col("e"), planes))
     val q = v.filter(col("vec_id") < 8)
       .select(col("vec_id").as("q_vec_id"), col("e").as("qe"),
         col("nrm").as("qnrm"), col("bucket"))
