@@ -129,6 +129,12 @@ object SparkEntry {
     "d_decontaminate" -> (DedupOps.decontaminate _),
     "d_dedup_components" -> ((s: SparkSession, d: String) =>
       DedupOps.dedupComponents(s, d, DedupOps.Md5)),
+    // the DEEP-GRAPH path through the same contract: maxIters=0 skips
+    // propagation entirely, forcing large-star/small-star contraction
+    // over the same LSH graph — one exact-closure oracle, two
+    // clustering algorithms held to it
+    "d_components_stars" -> ((s: SparkSession, d: String) =>
+      DedupOps.dedupComponents(s, d, DedupOps.Md5, maxIters = 0)),
     "d_dedup_pipeline" -> ((s: SparkSession, d: String) =>
       DedupOps.dedupPipeline(s, d, DedupOps.Md5)),
     // --- similarity search ---
@@ -1098,6 +1104,8 @@ object SparkEntry {
          |FROM documents
          |WHERE len(string_split_regex(trim(text), '\\s+')) >= 3""".stripMargin,
     "d_dedup_components" -> dedupComponentsSql,
+    // star contraction must land on the identical exact closure
+    "d_components_stars" -> dedupComponentsSql,
     "d_dedup_pipeline" -> dedupPipelineSql,
     "sim_ann_lsh" -> annLshSql,
     "sim_ann_ivf" -> annIvfSql,
