@@ -42,6 +42,46 @@ class ComponentsSpec extends SparkSpec {
     assert(got === want.toMap)
   }
 
+  test("random graphs: star contraction equals union-find exact components") {
+    // seeded sparse random graphs (deterministic — no flaky coverage):
+    // sparse edge probability yields long chains and isolated pairs,
+    // the shapes that stress contraction; the oracle is an in-test
+    // union-find over the collected edges with min-id relabeling
+    def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(ra max rb) = ra min rb
+      }
+      // min-id labeling: the root chain always compresses toward the
+      // smaller id because union parks the larger root under the smaller
+      (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+    }
+    for (seed <- 1 to 6) {
+      val rnd = new scala.util.Random(seed)
+      val n = 40
+      val edges = for {
+        a <- 0 until n; b <- (a + 1) until n
+        if rnd.nextDouble() < 0.04
+      } yield (a.toLong, b.toLong)
+      if (edges.nonEmpty) {
+        val got = labelMap(DedupOps.starContraction(edgesDf(edges)))
+        val want = unionFind(n, edges)
+          .filter { case (node, _) => // contraction labels edge nodes only
+            edges.exists(e => e._1 == node || e._2 == node)
+          }
+        assert(got === want, s"seed $seed: components diverge")
+      }
+    }
+  }
+
   test("dedupComponents falls back to star contraction and matches propagation") {
     // maxIters=0 skips the propagation loop entirely, forcing the
     // star-contraction path over the REAL fixture LSH graph; it must
