@@ -108,6 +108,10 @@ object SparkEntry {
     "t_boilerplate" -> (TextOps.boilerplateBigrams _),
     "t_unigram_logprob" -> (TextOps.unigramLogprob _),
     "t_entropy" -> (TextOps.tokenEntropy _),
+    "t_pii_scrub" -> (TextOps.piiScrub _),
+    // --- JSONL corpus ingestion (sources.JsonlCorpus) ---
+    "src_jsonl_roundtrip" -> (sources.JsonlCorpus.roundtrip _),
+    "src_jsonl_corrupt" -> (sources.JsonlCorpus.corruptAccounting _),
     // --- dedup ---
     "d_exact_dedup" -> (DedupOps.exactDedup _),
     // registered sketch queries run in Md5 token-hash mode so the DuckDB
@@ -1073,6 +1077,55 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_tokens,
         | round(CAST(sum(nlp) AS DOUBLE) / count(*), 6) AS avg_neg_logprob
         |FROM s GROUP BY 1""".stripMargin,
+    // PII scrub: the oracle reproduces the deterministic enrichment and
+    // the scrub itself — the SAME pattern strings (interpolated from
+    // TextOps, RE2-compatible subset) with DuckDB's 'g' flag standing
+    // in for Spark's replace-all default
+    "t_pii_scrub" ->
+      s"""WITH p AS (
+        | SELECT doc_id, text ||
+        |  CASE WHEN doc_id % 3 = 0 THEN ' contact user' ||
+        |   CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
+        |  CASE WHEN doc_id % 5 = 0 THEN ' call 555-' ||
+        |   lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-0199'
+        |   ELSE '' END ||
+        |  CASE WHEN doc_id % 7 = 0 THEN ' from 10.0.' ||
+        |   CAST(doc_id % 256 AS VARCHAR) || '.7' ELSE '' END AS text
+        | FROM documents)
+        |SELECT doc_id,
+        | CAST(len(regexp_extract_all(text, '${TextOps.emailRe}'))
+        |   AS INTEGER) AS n_emails,
+        | CAST(len(regexp_extract_all(text, '${TextOps.phoneRe}'))
+        |   AS INTEGER) AS n_phones,
+        | CAST(len(regexp_extract_all(text, '${TextOps.ipv4Re}'))
+        |   AS INTEGER) AS n_ips,
+        | md5(regexp_replace(regexp_replace(regexp_replace(text,
+        |   '${TextOps.emailRe}', '<EMAIL>', 'g'),
+        |   '${TextOps.phoneRe}', '<PHONE>', 'g'),
+        |   '${TextOps.ipv4Re}', '<IP>', 'g')) AS scrubbed_md5
+        |FROM p""".stripMargin,
+    // JSONL round-trip: the oracle states what survival MUST look like
+    // — the same aggregates straight off the parquet table; any field
+    // the JSONL serialization mangled changes the md5 digest set
+    "src_jsonl_roundtrip" ->
+      """SELECT count(*) AS n_docs,
+        | CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        | count(DISTINCT lang) AS n_langs,
+        | CAST(sum(length(text)) AS BIGINT) AS total_text_len,
+        | count(DISTINCT md5(concat_ws(':', CAST(doc_id AS VARCHAR),
+        |   text, lang, source))) AS n_distinct_rows
+        |FROM documents""".stripMargin,
+    // corrupt accounting: 3 parse failures + 1 schema miss are injected
+    // by construction, so the oracle pins those as constants and checks
+    // the good side (count + char sum) off the parquet table — damaged
+    // lines must poison nothing
+    "src_jsonl_corrupt" ->
+      """SELECT count(*) + 4 AS n_lines,
+        | CAST(3 AS BIGINT) AS n_parse_fail,
+        | CAST(1 AS BIGINT) AS n_schema_miss,
+        | count(*) AS n_good,
+        | CAST(sum(n_chars) AS BIGINT) AS good_chars
+        |FROM documents""".stripMargin,
     "d_exact_dedup" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_doc_id,
         | count(*) AS n_copies

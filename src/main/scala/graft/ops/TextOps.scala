@@ -307,4 +307,65 @@ object TextOps {
       .filter(col("rk") <= 3)
       .select(col("doc_id"), col("term"), col("score"), col("rk"))
   }
+
+  // --- PII redaction -------------------------------------------------
+
+  /** PII patterns, shared by the scrubber and the counters. Written in
+    * the RE2-compatible subset (no lookaround, no backreferences) so
+    * the exact same pattern strings run under Spark's Java regex AND
+    * the DuckDB oracle's RE2 — pattern-dialect drift between engines
+    * is the classic silent-redaction bug.
+    */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phoneRe = "\\d{3}-\\d{3}-\\d{4}"
+  val ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Redact emails, phone numbers, and IPv4 addresses from a text
+    * column. Order matters and is fixed: emails first (an address can
+    * embed digit runs the narrower patterns would mangle first),
+    * phones before IPs (both are digit shapes, disjoint by the
+    * dash/dot separator). Pure codegen'd projection — one scan, zero
+    * shuffles, linear at any corpus size.
+    */
+  def scrubPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, emailRe, "<EMAIL>"),
+        phoneRe, "<PHONE>"),
+      ipv4Re, "<IP>")
+
+  /** PII scrub over the documents corpus. The synthetic fixture has no
+    * natural PII, so the query ENRICHES it deterministically first —
+    * every 3rd doc gains an email, every 5th a phone, every 7th an IP,
+    * all derived from doc_id — then scrubs and reports per-doc
+    * redaction counts plus a digest of the scrubbed text. The oracle
+    * reproduces the same enrichment in SQL, so the comparison checks
+    * detection AND replacement byte-for-byte.
+    */
+  def piiScrub(spark: SparkSession, sfDir: String): DataFrame = {
+    val enriched = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        concat(
+          col("text"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" contact user"), col("doc_id").cast("string"),
+              lit("@example.com"))).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" call 555-"),
+              lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+              lit("-0199"))).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" from 10.0."),
+              (col("doc_id") % 256).cast("string"), lit(".7")))
+            .otherwise(lit(""))).as("text"))
+    enriched.select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(emailRe), lit(0)))
+        .as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(phoneRe), lit(0)))
+        .as("n_phones"),
+      size(regexp_extract_all(col("text"), lit(ipv4Re), lit(0)))
+        .as("n_ips"),
+      md5(scrubPii(col("text"))).as("scrubbed_md5"))
+  }
 }
