@@ -112,6 +112,9 @@ object SparkEntry {
     // --- JSONL corpus ingestion (sources.JsonlCorpus) ---
     "src_jsonl_roundtrip" -> (sources.JsonlCorpus.roundtrip _),
     "src_jsonl_corrupt" -> (sources.JsonlCorpus.corruptAccounting _),
+    // --- corpus assembly (mixing / packing) ---
+    "corp_source_mix" -> (CorpusOps.sourceMixAudit _),
+    "corp_token_pack" -> (CorpusOps.tokenPackAudit _),
     // --- dedup ---
     "d_exact_dedup" -> (DedupOps.exactDedup _),
     // registered sketch queries run in Md5 token-hash mode so the DuckDB
@@ -1126,6 +1129,42 @@ object SparkEntry {
         | count(*) AS n_good,
         | CAST(sum(n_chars) AS BIGINT) AS good_chars
         |FROM documents""".stripMargin,
+    // weighted mixing: the oracle replays the identical md5 coin
+    // (DuckDB's hex-string cast = Spark's conv(...,16,10)) and the
+    // cycling rate spec, so kept-set membership is exact per document
+    "corp_source_mix" ->
+      """WITH r AS (
+        | SELECT doc_id, source, length(text) AS len,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |    AS BIGINT) / 4294967296.0 AS coin,
+        |  (CAST(substr(source, 4) AS INTEGER) % 4 + 1) / 4.0 AS rate
+        | FROM documents),
+        |k AS (
+        | SELECT source, count(*) AS n_kept,
+        |  CAST(sum(len) AS BIGINT) AS kept_chars
+        | FROM r WHERE coin < rate GROUP BY 1),
+        |i AS (SELECT source, count(*) AS n_in FROM documents GROUP BY 1)
+        |SELECT i.source, i.n_in,
+        | coalesce(k.n_kept, 0) AS n_kept,
+        | coalesce(k.kept_chars, 0) AS kept_chars
+        |FROM i LEFT JOIN k USING (source)""".stripMargin,
+    // sequence packing: same exclusive-cumsum window, same 128-token
+    // budget; pack membership compares exactly
+    "corp_token_pack" ->
+      """WITH d AS (
+        | SELECT source, doc_id,
+        |  len(string_split_regex(trim(text), '\s+')) AS n_tokens
+        | FROM documents),
+        |c AS (
+        | SELECT source, doc_id, n_tokens,
+        |  coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_excl
+        | FROM d)
+        |SELECT source,
+        | CAST(floor(cum_excl / 128.0) AS BIGINT) AS pack_id,
+        | count(*) AS n_docs,
+        | CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+        |FROM c GROUP BY 1, 2""".stripMargin,
     "d_exact_dedup" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_doc_id,
         | count(*) AS n_copies

@@ -1,0 +1,112 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-corpus assembly operators: weighted source mixing and
+  * token-budget sequence packing — the two steps between "filtered,
+  * deduplicated documents" and "batches a trainer can consume".
+  * Neither exists in the reference (it stops at rewritten SSTables);
+  * both are core to what a 100 TB text pipeline does with the engine's
+  * output, same first-class footing as the dedup/similarity suite.
+  */
+object CorpusOps {
+
+  /** Uniform-in-[0,1) deterministic per-row coin: the first 8 hex
+    * chars of md5 over the key rendered as a string, scaled. Chosen
+    * over `rand(seed)` (partitioning-dependent) and `xxhash64` (no
+    * DuckDB twin): the SAME expression runs in both engines, and the
+    * value depends only on the KEY — stable under repartitioning,
+    * shuffles, and re-runs, so a mixing decision is reproducible
+    * forever from the doc id alone. That reproducibility is the whole
+    * point: re-running the mix on a grown corpus keeps every
+    * previously-kept document kept.
+    */
+  def hashCoin(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
+      .cast("long") / lit(4294967296.0)
+
+  /** Weighted source mixing: subsample each source at its own rate so
+    * the mixed corpus matches a target composition (the "20% code,
+    * 40% web, ..." knob every training run turns). Pure per-row
+    * projection + filter — one scan, zero shuffles, no sampling
+    * state; rates are exact in expectation and the decision is
+    * per-document deterministic (see [[hashCoin]]).
+    */
+  def sourceMix(docs: DataFrame, rates: Map[String, Double],
+      keyCol: String = "doc_id"): DataFrame = {
+    // null rate for unlisted sources, NOT NaN: Spark orders NaN above
+    // every number, so `coin < NaN` would silently KEEP unknown
+    // sources; `coin < null` is null and filters out in both engines
+    val rate = rates.foldLeft(lit(null).cast("double")) {
+      case (acc, (src, r)) => when(col("source") === src, lit(r)).otherwise(acc)
+    }
+    // unknown sources drop: a mixing spec that misses a source is a
+    // curation decision, not a pass-through
+    docs.withColumn("mix_rate", rate)
+      .filter(hashCoin(col(keyCol)) < col("mix_rate"))
+  }
+
+  /** Registered mixing query: rates cycle 0.25/0.5/0.75/1.0 over the
+    * fixture's src0..src19 (a deterministic stand-in for a real
+    * composition spec), reported as per-source audit rows — input
+    * size, kept size, the configured rate. The oracle reproduces the
+    * identical coin, so kept-set membership is checked exactly, not
+    * statistically.
+    */
+  def sourceMixAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val rates = (0 until 20)
+      .map(i => s"src$i" -> ((i % 4) + 1) / 4.0).toMap
+    val docs = Tables.load(spark, sfDir, "documents")
+    val kept = sourceMix(docs, rates)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(length(col("text"))).cast("long").as("kept_chars"))
+    docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_in"))
+      .join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_in"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_chars"), lit(0L)).as("kept_chars"))
+  }
+
+  /** Token-budget sequence packing: assign documents to fixed-budget
+    * packs by cumulative token count in a deterministic order — the
+    * standard contiguous-fill formulation (a document belongs to the
+    * pack its first token lands in; a straddling document overflows
+    * its pack rather than splitting). One window + one groupBy.
+    *
+    * Scale shape: the window partitions by `source`, so packing
+    * parallelizes across sources and never builds a global order. A
+    * single source too large for one task sub-shards the same way —
+    * partition the window by (source, doc_id div shardSpan) and pack
+    * within shards; packing quality is unaffected because pack
+    * boundaries never needed to be globally optimal, only budgeted
+    * and reproducible.
+    */
+  def tokenPack(docs: DataFrame, budget: Int): DataFrame = {
+    val nTok = size(split(trim(col("text")), "\\s+"))
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select(col("source"), col("doc_id"), nTok.as("n_tokens"))
+      .withColumn("cum_excl",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("pack_id",
+        floor(col("cum_excl") / lit(budget.toDouble)).cast("long"))
+  }
+
+  /** Registered packing query: per-pack audit rows (doc count, token
+    * fill) at a 128-token budget over the fixture corpus. Every pack
+    * except a source's last must fill to at least the budget minus
+    * the largest straddle — the spec pins that invariant; the oracle
+    * pins exact pack membership.
+    */
+  def tokenPackAudit(spark: SparkSession, sfDir: String): DataFrame =
+    tokenPack(Tables.load(spark, sfDir, "documents"), budget = 128)
+      .groupBy(col("source"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("pack_tokens"))
+}

@@ -1,0 +1,48 @@
+package graft
+
+import graft.ops.CorpusOps
+import org.apache.spark.sql.functions._
+
+/** Invariants of corpus assembly that hold for ANY corpus — the oracle
+  * proves engine agreement on the fixture; these prove the semantics.
+  */
+class CorpusOpsSpec extends SparkSpec {
+
+  test("sourceMix keeps a deterministic subset and drops unlisted sources") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val rates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.0)
+    val kept = CorpusOps.sourceMix(docs, rates)
+    // rate 1.0 keeps everything (coin is strictly below 1), 0.0 nothing,
+    // unlisted sources never pass
+    val src0 = docs.filter(col("source") === "src0").count()
+    assert(kept.filter(col("source") === "src0").count() === src0)
+    assert(kept.filter(col("source") === "src2").count() === 0L)
+    assert(kept.filter(!col("source").isin("src0", "src1")).count() === 0L)
+    // decision is a pure function of doc_id: two runs agree row-for-row
+    val a = kept.select("doc_id").collect().map(_.getLong(0)).sorted
+    val b = CorpusOps.sourceMix(docs, rates)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(a.sameElements(b))
+  }
+
+  test("tokenPack packs are contiguous and fill to the budget") {
+    val budget = 128
+    val packs = CorpusOps.tokenPackAudit(spark, sfDir)
+      .collect()
+      .groupBy(_.getString(0))
+    for ((src, rows) <- packs) {
+      val byId = rows.map(r => r.getLong(1) -> r.getLong(3)).sortBy(_._1)
+      val ids = byId.map(_._1)
+      assert(ids.sameElements(ids.indices.map(_.toLong)),
+        s"$src: pack ids not contiguous from 0: ${ids.toSeq}")
+      // contiguous fill: pack p closes only once cumulative tokens
+      // cross (p+1)*budget, so every non-final prefix must have
+      // crossed its boundary
+      val cum = byId.map(_._2).scanLeft(0L)(_ + _).tail
+      cum.init.zipWithIndex.foreach { case (c, p) =>
+        assert(c >= (p + 1).toLong * budget,
+          s"$src: pack $p closed at $c tokens, below ${(p + 1) * budget}")
+      }
+    }
+  }
+}
