@@ -412,19 +412,46 @@ object DedupOps {
 
     var converged = false
     var round = 0
-    var curCount = e.count()
+    // convergence detection: an order-independent (count, xor-of-hash)
+    // fingerprint per round instead of a full `except` anti-join —
+    // the except was a second shuffle-heavy O(E) job EVERY round, the
+    // fingerprint rides one cheap aggregate over the edges the round
+    // materialized anyway. A fingerprint collision could exit the
+    // loop on unequal sets, so equality here is treated as a HINT:
+    // the star-forest assertion below re-establishes soundness (a
+    // star forest is necessarily a fixpoint of large/small-star, and
+    // every round preserves connectivity, so ANY star forest the loop
+    // lands on is the correct answer; a collision that exits on a
+    // non-forest throws loudly there).
+    def fingerprint(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        bit_xor(xxhash64(col("u"), col("v")))).collect()(0)
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var cur = fingerprint(e)
     while (!converged && round < maxRounds) {
       val next = smallStar(largeStar(e)).localCheckpoint()
-      val nextCount = next.count()
-      converged = nextCount == curCount && next.except(e).isEmpty
+      val nxt = fingerprint(next)
+      converged = nxt == cur
       e = next
-      curCount = nextCount
+      cur = nxt
       round += 1
     }
     if (!converged) throw new IllegalStateException(
       s"starContraction did not converge in $maxRounds rounds — " +
         "impossible for graphs below 2^50 nodes; this indicates a bug, " +
         "not a data shape")
+    // structural guarantee (runs ONCE, not per round): the final edge
+    // set must be a star forest — every member node has exactly one
+    // edge (v unique) and no center is itself a member (u ∩ v = ∅)
+    if (!e.groupBy(col("v")).agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1).isEmpty ||
+      !e.select(col("u")).distinct()
+        .join(e.select(col("v").as("u")), Seq("u"), "left_semi")
+        .isEmpty)
+      throw new IllegalStateException(
+        "starContraction exited on a non-star-forest edge set " +
+          "(fingerprint collision) — rerun with a different maxRounds")
     // fixpoint edges are (component-min, member); minima label themselves
     e.select(col("v").as("doc_id"), col("u").as("component"))
       .unionByName(nodes.join(e.select(col("v").as("doc_id")), Seq("doc_id"),
