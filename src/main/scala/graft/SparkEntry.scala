@@ -115,6 +115,7 @@ object SparkEntry {
     // --- corpus assembly (mixing / packing) ---
     "corp_source_mix" -> (CorpusOps.sourceMixAudit _),
     "corp_token_pack" -> (CorpusOps.tokenPackAudit _),
+    "corp_funnel" -> (CorpusOps.assemblyFunnel _),
     // --- dedup ---
     "d_exact_dedup" -> (DedupOps.exactDedup _),
     // registered sketch queries run in Md5 token-hash mode so the DuckDB
@@ -1148,6 +1149,46 @@ object SparkEntry {
         | coalesce(k.n_kept, 0) AS n_kept,
         | coalesce(k.kept_chars, 0) AS kept_chars
         |FROM i LEFT JOIN k USING (source)""".stripMargin,
+    // the full assembly funnel: quality gate (same blended score as
+    // t_quality), mix coin, and packing cumsum staged over one pass;
+    // stage counts and pack mass compare exactly per source
+    "corp_funnel" ->
+      """WITH d AS (
+        | SELECT source, doc_id,
+        |  len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+        |  round(0.3 * least(1.0, CAST(length(text) AS DOUBLE) / 500.0)
+        |   + 0.4 * (1.0 - CAST(len(regexp_extract_all(text,
+        |      '[^A-Za-z0-9\s]')) AS DOUBLE) / length(text))
+        |   + 0.3 * least(1.0, 4.0 *
+        |      CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |       x -> lower(x) IN ('the','a','and','of','to','in','is','it',
+        |        'on','for'))) AS DOUBLE)
+        |      / len(string_split_regex(trim(text), '\s+'))), 6) AS q,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |    AS BIGINT) / 4294967296.0 AS coin,
+        |  (CAST(substr(source, 4) AS INTEGER) % 4 + 1) / 4.0 AS rate
+        | FROM documents),
+        |s AS (
+        | SELECT source, doc_id, n_tokens, (q >= 0.6) AS pass_q,
+        |  (q >= 0.6 AND coin < rate) AS pass_mix
+        | FROM d),
+        |c AS (
+        | SELECT source, n_tokens, pass_q, pass_mix,
+        |  coalesce(sum(CASE WHEN pass_mix THEN n_tokens ELSE 0 END)
+        |   OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_excl
+        | FROM s)
+        |SELECT source, count(*) AS n_raw,
+        | CAST(sum(CASE WHEN pass_q THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_quality,
+        | CAST(sum(CASE WHEN pass_mix THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_mixed,
+        | coalesce(max(CASE WHEN pass_mix
+        |   THEN CAST(floor(cum_excl / 128.0) AS BIGINT) END) + 1, 0)
+        |   AS n_packs,
+        | CAST(sum(CASE WHEN pass_mix THEN n_tokens ELSE 0 END) AS BIGINT)
+        |   AS packed_tokens
+        |FROM c GROUP BY 1""".stripMargin,
     // sequence packing: same exclusive-cumsum window, same 128-token
     // budget; pack membership compares exactly
     "corp_token_pack" ->

@@ -109,4 +109,54 @@ object CorpusOps {
       .groupBy(col("source"), col("pack_id"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).cast("long").as("pack_tokens"))
+
+  /** The whole assembly funnel — quality filter → weighted mix →
+    * token packing — as ONE staged plan: per-row stage flags instead
+    * of per-stage sub-frames, so the corpus is scanned ONCE, shuffled
+    * once for the packing window and once for the audit groupBy.
+    * The naive composition (filter frame, mix frame, pack frame, then
+    * join four per-source aggregates) re-scans the corpus per branch —
+    * Catalyst shares no subtrees across aggregation branches, and at
+    * 100 TB the extra scans ARE the cost (same lesson as
+    * [[TextOps.tfidfTopTerms]]'s df-from-tf rewrite).
+    *
+    * Packing rides the same window trick: the exclusive cumsum sums
+    * `n_tokens` only over rows that survived mix (zero otherwise), so
+    * surviving rows see exactly the cumsum they'd see in a dedicated
+    * pass over the filtered corpus, and dropped rows get no pack.
+    * Output: one funnel row per source — raw / post-quality /
+    * post-mix doc counts, pack count, packed token mass.
+    */
+  def assemblyFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val rates = (0 until 20)
+      .map(i => s"src$i" -> ((i % 4) + 1) / 4.0).toMap
+    val rate = rates.foldLeft(lit(null).cast("double")) {
+      case (acc, (src, r)) => when(col("source") === src, lit(r)).otherwise(acc)
+    }
+    val budget = 128
+    val staged = Tables.load(spark, sfDir, "documents")
+      .select(col("source"), col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).as("n_tokens"),
+        (TextOps.qualityScoreCol(col("text")) >= 0.6).as("pass_q"))
+      .withColumn("pass_mix",
+        col("pass_q") && (hashCoin(col("doc_id")) < rate))
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    staged
+      .withColumn("cum_excl", coalesce(
+        sum(when(col("pass_mix"), col("n_tokens")).otherwise(0L)).over(w),
+        lit(0L)))
+      .withColumn("pack_id", when(col("pass_mix"),
+        floor(col("cum_excl") / lit(budget.toDouble)).cast("long")))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_raw"),
+        sum(when(col("pass_q"), 1L).otherwise(0L)).as("n_quality"),
+        sum(when(col("pass_mix"), 1L).otherwise(0L)).as("n_mixed"),
+        // packs are contiguous from 0, so max+1 counts them without a
+        // distinct rewrite
+        coalesce(max(col("pack_id")) + 1L, lit(0L)).as("n_packs"),
+        sum(when(col("pass_mix"), col("n_tokens")).otherwise(0L))
+          .cast("long").as("packed_tokens"))
+  }
 }

@@ -30,6 +30,27 @@ object TextOps {
         size(regexp_extract_all(col("text"),
           lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).as("pre_tokens"))
 
+  /** The blended quality score over a `text` column, exposed as a
+    * reusable expression so composed pipelines (the corpus-assembly
+    * funnel) score inline on their own scan instead of joining a
+    * second pass of the table.
+    */
+  def qualityScoreCol(text: Column): Column = {
+    val t = toks(text)
+    val nTok = size(t).cast("double")
+    val stopHits =
+      size(filter(t, x => lower(x).isin(stopwordsEn: _*))).cast("double")
+    val punct =
+      size(regexp_extract_all(text, lit("[^A-Za-z0-9\\s]"), lit(0)))
+        .cast("double")
+    val len = length(text).cast("double")
+    round(
+      lit(0.3) * least(lit(1.0), len / lit(500.0)) +
+        lit(0.4) * (lit(1.0) - punct / len) +
+        lit(0.3) * least(lit(1.0), lit(4.0) * stopHits / nTok),
+      6)
+  }
+
   /** Quality scoring: length, punctuation density, stopword ratio, and
     * a blended score — the usual cheap pre-filter signals.
     */
@@ -49,11 +70,7 @@ object TextOps {
         size(t).as("n_tokens"),
         round(punct / len, 6).as("punct_ratio"),
         round(stopHits / nTok, 6).as("stopword_ratio"),
-        round(
-          lit(0.3) * least(lit(1.0), len / lit(500.0)) +
-            lit(0.4) * (lit(1.0) - punct / len) +
-            lit(0.3) * least(lit(1.0), lit(4.0) * stopHits / nTok),
-          6).as("quality_score"))
+        qualityScoreCol(col("text")).as("quality_score"))
   }
 
   private val langStops: Seq[(String, Seq[String])] = Seq(

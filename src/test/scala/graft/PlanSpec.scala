@@ -182,6 +182,15 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("assembly funnel is staged over ONE corpus scan") {
+    // quality gate, mix coin, and packing cumsum ride per-row stage
+    // flags on a single pass; the naive per-stage sub-frame
+    // composition would scan the corpus once per aggregation branch
+    val p = plan(graft.ops.CorpusOps.assemblyFunnel(spark, sfDir))
+    assert(p.linesIterator.count(_.contains("FileScan")) === 1,
+      s"funnel scans the corpus more than once:\n$p")
+  }
+
   test("word repetition is a pure projection: no exchange in the plan") {
     // the Gopher repetition signal is computed as array expressions over
     // the split token list — one scan, zero shuffles. An Exchange here
