@@ -118,6 +118,7 @@ object SparkEntry {
     "corp_funnel" -> (CorpusOps.assemblyFunnel _),
     // --- dedup ---
     "d_exact_dedup" -> (DedupOps.exactDedup _),
+    "d_incremental" -> (DedupOps.incrementalDedup _),
     // registered sketch queries run in Md5 token-hash mode so the DuckDB
     // oracle can reproduce them bit-for-bit; XxHash is the documented
     // production default (same operator, cheaper hash)
@@ -1210,6 +1211,33 @@ object SparkEntry {
       """SELECT md5(text) AS h, min(doc_id) AS keep_doc_id,
         | count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
+    // incremental dedup: the oracle rebuilds the same derived batch
+    // and classifies per document — membership in the history hash
+    // set, then first-copy-wins within the batch
+    "d_incremental" ->
+      """WITH batch AS (
+        | SELECT doc_id + 1000000 AS doc_id, text
+        | FROM documents WHERE doc_id % 3 = 0
+        | UNION ALL
+        | SELECT doc_id + 1000000, text || ' unseen'
+        | FROM documents WHERE doc_id % 3 = 1
+        | UNION ALL
+        | SELECT doc_id + 2000000, text || ' twin'
+        | FROM documents WHERE doc_id % 5 = 2
+        | UNION ALL
+        | SELECT doc_id + 3000000, text || ' twin'
+        | FROM documents WHERE doc_id % 5 = 2),
+        |h AS (SELECT DISTINCT md5(text) AS hsh FROM documents),
+        |m AS (
+        | SELECT doc_id, md5(text) AS hsh,
+        |  min(doc_id) OVER (PARTITION BY md5(text)) AS first_id,
+        |  md5(text) IN (SELECT hsh FROM h) AS in_hist
+        | FROM batch)
+        |SELECT doc_id,
+        | CASE WHEN in_hist THEN 'dup_of_history'
+        |      WHEN doc_id > first_id THEN 'dup_in_batch'
+        |      ELSE 'new' END AS verdict
+        |FROM m""".stripMargin,
     "d_simhash" -> simhashSql,
     "d_decontaminate" ->
       """WITH docs AS (
