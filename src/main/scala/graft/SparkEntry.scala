@@ -180,7 +180,8 @@ object SparkEntry {
     "st_sessionize" -> (StreamingOps.sessionize _),
     "st_dedup" -> (StreamingOps.dedupKeys _),
     "st_dedup_wm" -> (StreamingOps.dedupKeysWithinWatermark _),
-    "st_static_join" -> (StreamingOps.staticJoin _)
+    "st_static_join" -> (StreamingOps.staticJoin _),
+    "st_jsonl_ingest" -> (StreamingOps.jsonlIngest _)
   )
 
   // ---- oracle-SQL generators for the estimator/LSH operators ----
@@ -1408,6 +1409,16 @@ object SparkEntry {
     // key emits exactly once — the batch DISTINCT, same as st_dedup
     "st_dedup_wm" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+    // streaming JSONL ingest: one global Complete-mode aggregate over
+    // the whole AvailableNow backlog = the batch accounting, same
+    // constants-plus-good-side oracle as src_jsonl_corrupt
+    "st_jsonl_ingest" ->
+      """SELECT count(*) + 4 AS n_lines,
+        | CAST(3 AS BIGINT) AS n_parse_fail,
+        | CAST(1 AS BIGINT) AS n_schema_miss,
+        | count(*) AS n_good,
+        | CAST(sum(n_chars) AS BIGINT) AS good_chars
+        |FROM documents""".stripMargin,
     // stateless stream-static join: every event is enriched, so the
     // emitted set is exactly the batch join
     "st_static_join" ->

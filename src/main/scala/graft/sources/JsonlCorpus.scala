@@ -85,27 +85,41 @@ object JsonlCorpus {
     "{\"doc_id\":",
     "{\"unknown_field\": 1}")
 
-  /** Corrupt-line accounting over a JSONL dir containing the serialized
-    * documents table plus [[corruptLines]]: total lines, parse
-    * failures, schema misses, good rows, and the good-side char sum
-    * (proves damaged lines poison nothing).
+  /** Serialize the documents table plus [[corruptLines]] into a
+    * scratch JSONL dir — the damage fixture shared by the batch
+    * accounting query and the streaming-ingest variant. Caller owns
+    * the returned dir's deletion.
     */
-  def corruptAccounting(spark: SparkSession, sfDir: String): DataFrame = {
+  def writeDamagedFixture(spark: SparkSession,
+      sfDir: String): java.nio.file.Path = {
     import spark.implicits._
     val out = Scratch.dir("graft-jsonl-c-")
     Tables.load(spark, sfDir, "documents")
       .write.mode("overwrite").json(out.toString)
     corruptLines.toDF("value")
       .coalesce(1).write.mode("append").text(out.toString)
-    val back = read(spark, out.toString)
-    val agg = back.agg(
-      count(lit(1)).as("n_lines"),
-      count(col("_corrupt_record")).as("n_parse_fail"),
-      sum(when(col("_corrupt_record").isNull && col("doc_id").isNull, 1L)
-        .otherwise(0L)).as("n_schema_miss"),
-      count(col("doc_id")).as("n_good"),
-      sum(when(col("_corrupt_record").isNull, col("n_chars")))
-        .as("good_chars"))
+    out
+  }
+
+  /** The accounting aggregate columns, shared verbatim by the batch
+    * and streaming forms so both compare against the same oracle:
+    * total lines, parse failures, schema misses, good rows, and the
+    * good-side char sum (proves damaged lines poison nothing).
+    */
+  val accountingCols: Seq[org.apache.spark.sql.Column] = Seq(
+    count(lit(1)).as("n_lines"),
+    count(col("_corrupt_record")).as("n_parse_fail"),
+    sum(when(col("_corrupt_record").isNull && col("doc_id").isNull, 1L)
+      .otherwise(0L)).as("n_schema_miss"),
+    count(col("doc_id")).as("n_good"),
+    sum(when(col("_corrupt_record").isNull, col("n_chars")))
+      .as("good_chars"))
+
+  /** Corrupt-line accounting over the damage fixture (batch form). */
+  def corruptAccounting(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = writeDamagedFixture(spark, sfDir)
+    val agg = read(spark, out.toString)
+      .agg(accountingCols.head, accountingCols.tail: _*)
       .localCheckpoint()
     Scratch.delete(out)
     agg

@@ -76,20 +76,29 @@ object StreamingOps {
       parent: SparkSession,
       build: DataFrame => DataFrame,
       sfDir: String,
+      mode: OutputMode): DataFrame =
+    runSourceToMemory(parent, spark => {
+      // schema from a one-off batch read: streaming sources require an
+      // explicit schema (no inference race on a live directory)
+      val schema = Tables.load(spark, sfDir, "events").schema
+      spark.readStream
+        .schema(schema)
+        // glob (not a bare file path): FileStreamSource anchors partition
+        // discovery at the glob's parent directory; a single-file path
+        // would become its own basePath and fail "must be a directory"
+        .parquet(s"$sfDir/events.parquet*")
+    }, build, mode)
+
+  private def runSourceToMemory(
+      parent: SparkSession,
+      mkSource: SparkSession => DataFrame,
+      build: DataFrame => DataFrame,
       mode: OutputMode): DataFrame = {
     val spark = streamingSession(parent)
     val name = s"graft_stream_${runId.incrementAndGet()}"
     val ckptPath = graft.Scratch.dir("graft-ckpt-")
     val ckpt = ckptPath.toString
-    // schema from a one-off batch read: streaming sources require an
-    // explicit schema (no inference race on a live directory)
-    val schema = Tables.load(spark, sfDir, "events").schema
-    val src = spark.readStream
-      .schema(schema)
-      // glob (not a bare file path): FileStreamSource anchors partition
-      // discovery at the glob's parent directory; a single-file path
-      // would become its own basePath and fail "must be a directory"
-      .parquet(s"$sfDir/events.parquet*")
+    val src = mkSource(spark)
     val q = build(src).writeStream
       .format("memory")
       .queryName(name)
@@ -252,6 +261,36 @@ object StreamingOps {
         .join(perUser, "user_id")
         .select(col("event_id"), col("user_id"), col("user_event_count"))
     }, sfDir, OutputMode.Append())
+
+  /** Streaming JSONL ingestion with corrupt-line accounting — the
+    * continuous form of [[graft.sources.JsonlCorpus.corruptAccounting]]:
+    * a corpus drop-directory is tailed as a file stream (declared
+    * schema, PERMISSIVE, damaged lines routed to `_corrupt_record`),
+    * and the three-way accounting (parse-fail / schema-miss / good)
+    * runs as a global streaming aggregate in Complete mode — the live
+    * ingest-health dashboard a 100 TB drop feed needs. State is five
+    * counters total (one global group), so the aggregation costs
+    * nothing at any volume; the source parallelizes per file and,
+    * with maxFilesPerTrigger, paces arbitrarily large backlogs.
+    * AvailableNow over the fixed fixture makes the final Complete
+    * emission equal the batch accounting — same oracle, exactly.
+    */
+  def jsonlIngest(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.JsonlCorpus
+    val dir = JsonlCorpus.writeDamagedFixture(spark, sfDir)
+    val out = runSourceToMemory(spark,
+      s => s.readStream
+        .schema(JsonlCorpus.docSchema
+          .add("_corrupt_record", org.apache.spark.sql.types.StringType))
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(s"$dir/*"),
+      src => src.agg(JsonlCorpus.accountingCols.head,
+        JsonlCorpus.accountingCols.tail: _*),
+      OutputMode.Complete())
+    graft.Scratch.delete(dir)
+    out
+  }
 
   final case class Evt(event_id: Long, user_id: Long, ts: Long)
   final case class Session(

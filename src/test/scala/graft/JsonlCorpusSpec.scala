@@ -39,6 +39,14 @@ class JsonlCorpusSpec extends SparkSpec {
     assert(nDistinct === want)
   }
 
+  test("streaming ingest accounting equals the batch accounting") {
+    val st = graft.streaming.StreamingOps.jsonlIngest(spark, sfDir)
+    val b = JsonlCorpus.corruptAccounting(spark, sfDir)
+    assert(st.schema === b.schema)
+    assert(st.collect()(0) === b.collect()(0),
+      "Complete-mode final emission must equal the batch aggregate")
+  }
+
   test("scrubPii leaves no live pattern and preserves PII-free text") {
     import spark.implicits._
     val cases = Seq(
