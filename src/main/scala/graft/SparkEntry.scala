@@ -116,6 +116,8 @@ object SparkEntry {
     "corp_source_mix" -> (CorpusOps.sourceMixAudit _),
     "corp_token_pack" -> (CorpusOps.tokenPackAudit _),
     "corp_funnel" -> (CorpusOps.assemblyFunnel _),
+    "corp_shard_write" -> ((s: SparkSession, d: String) =>
+      CorpusOps.shardWrite(s, d)),
     // --- dedup ---
     "d_exact_dedup" -> (DedupOps.exactDedup _),
     "d_incremental" -> (DedupOps.incrementalDedup _),
@@ -1191,6 +1193,20 @@ object SparkEntry {
         | CAST(sum(CASE WHEN pass_mix THEN n_tokens ELSE 0 END) AS BIGINT)
         |   AS packed_tokens
         |FROM c GROUP BY 1""".stripMargin,
+    // shard write: the oracle recomputes shard assignment from the
+    // same coin and derives the file count from the record cap —
+    // n_files = ceil(n_docs / 25) holds because each shard is written
+    // by exactly one task (repartition on the shard key) with
+    // maxRecordsPerFile rolling at the cap
+    "corp_shard_write" ->
+      """WITH s AS (
+        | SELECT CAST(floor(
+        |   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |     AS BIGINT) / 4294967296.0 * 8) AS BIGINT) AS shard
+        | FROM documents)
+        |SELECT shard, count(*) AS n_docs,
+        | CAST(ceil(count(*) / 25.0) AS BIGINT) AS n_files
+        |FROM s GROUP BY 1""".stripMargin,
     // sequence packing: same exclusive-cumsum window, same 128-token
     // budget; pack membership compares exactly
     "corp_token_pack" ->

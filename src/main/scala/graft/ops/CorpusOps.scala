@@ -110,6 +110,42 @@ object CorpusOps {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).cast("long").as("pack_tokens"))
 
+  /** Shard-partitioned corpus write with BOUNDED file sizes — the
+    * sink end of assembly. Shard comes from the same key-derived
+    * [[hashCoin]] (uniform, reproducible: a doc's shard never changes
+    * across runs); `repartition(n, shard)` lands each shard in one
+    * task, `partitionBy` lays out `shard=K/` dirs, and
+    * `maxRecordsPerFile` rolls files at the cap — so every output
+    * file is individually sized for downstream loaders regardless of
+    * corpus size, and a shard's file count is exactly
+    * ceil(rows / cap). Returns the manifest (docs + files per shard)
+    * from one read-back of the written layout, checkpointed so the
+    * scratch dir can be deleted eagerly; a production run keeps the
+    * layout and the manifest is the cheap audit of it.
+    */
+  def shardWrite(spark: SparkSession, sfDir: String,
+      nShards: Int = 8, maxRecordsPerFile: Int = 25): DataFrame = {
+    val out = graft.Scratch.dir("graft-shards-")
+    Tables.load(spark, sfDir, "documents")
+      .withColumn("shard",
+        floor(hashCoin(col("doc_id")) * nShards).cast("long"))
+      .repartition(nShards, col("shard"))
+      .write
+      .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
+      .partitionBy("shard")
+      .mode("overwrite")
+      .parquet(out.toString)
+    val manifest = spark.read.parquet(out.toString)
+      .select(col("shard").cast("long").as("shard"),
+        col("_metadata.file_path").as("fp"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("fp")).as("n_files"))
+      .localCheckpoint()
+    graft.Scratch.delete(out)
+    manifest
+  }
+
   /** The whole assembly funnel — quality filter → weighted mix →
     * token packing — as ONE staged plan: per-row stage flags instead
     * of per-stage sub-frames, so the corpus is scanned ONCE, shuffled

@@ -25,6 +25,19 @@ class CorpusOpsSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("shardWrite bounds every output file and loses no rows") {
+    val cap = 7
+    val m = CorpusOps.shardWrite(spark, sfDir, nShards = 4,
+      maxRecordsPerFile = cap).collect()
+    val total = Tables.load(spark, sfDir, "documents").count()
+    assert(m.map(_.getLong(1)).sum === total, "manifest loses rows")
+    for (r <- m) {
+      val (docs, files) = (r.getLong(1), r.getLong(2))
+      assert(files === (docs + cap - 1) / cap,
+        s"shard ${r.getLong(0)}: $files files for $docs docs at cap $cap")
+    }
+  }
+
   test("tokenPack packs are contiguous and fill to the budget") {
     val budget = 128
     val packs = CorpusOps.tokenPackAudit(spark, sfDir)
