@@ -118,6 +118,7 @@ object SparkEntry {
     "corp_funnel" -> (CorpusOps.assemblyFunnel _),
     "corp_shard_write" -> ((s: SparkSession, d: String) =>
       CorpusOps.shardWrite(s, d)),
+    "corp_dataset_card" -> (CorpusOps.datasetCard _),
     // --- dedup ---
     "d_exact_dedup" -> (DedupOps.exactDedup _),
     "d_incremental" -> (DedupOps.incrementalDedup _),
@@ -1193,6 +1194,31 @@ object SparkEntry {
         | CAST(sum(CASE WHEN pass_mix THEN n_tokens ELSE 0 END) AS BIGINT)
         |   AS packed_tokens
         |FROM c GROUP BY 1""".stripMargin,
+    // dataset card: decimal-summed mean (order-independent) and exact
+    // interpolated median (percentile ≙ quantile_cont at round-4, the
+    // a5 pattern); volume sums cast off DuckDB's HUGEINT
+    "corp_dataset_card" ->
+      """WITH d AS (
+        | SELECT source, lang,
+        |  len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+        |  length(text) AS n_chars,
+        |  round(0.3 * least(1.0, CAST(length(text) AS DOUBLE) / 500.0)
+        |   + 0.4 * (1.0 - CAST(len(regexp_extract_all(text,
+        |      '[^A-Za-z0-9\s]')) AS DOUBLE) / length(text))
+        |   + 0.3 * least(1.0, 4.0 *
+        |      CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |       x -> lower(x) IN ('the','a','and','of','to','in','is','it',
+        |        'on','for'))) AS DOUBLE)
+        |      / len(string_split_regex(trim(text), '\s+'))), 6) AS q
+        | FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        | CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        | CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        | round(CAST(sum(CAST(q AS DECIMAL(18,6))) AS DOUBLE)
+        |   / count(*), 6) AS mean_quality,
+        | round(quantile_cont(q, 0.5), 4) AS p50_quality,
+        | count(DISTINCT lang) AS n_langs
+        |FROM d GROUP BY 1""".stripMargin,
     // shard write: the oracle recomputes shard assignment from the
     // same coin and derives the file count from the record cap —
     // n_files = ceil(n_docs / 25) holds because each shard is written

@@ -110,6 +110,32 @@ object CorpusOps {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).cast("long").as("pack_tokens"))
 
+  /** Per-source dataset card — the "datasheet" every corpus release
+    * ships: volume (docs / tokens / chars), quality distribution
+    * (decimal-summed order-independent mean + exact interpolated
+    * median, the same cross-engine-stable form as
+    * `a5_approx_percentile`), and language breadth. One scan, one
+    * groupBy; at 100 TB the exact median is the only non-mergeable
+    * aggregate and its per-group buffer is bounded by docs-per-source
+    * — swap in `percentile_approx` when a single source outgrows
+    * executor memory (same column, sketch-mergeable, documented knob).
+    */
+  def datasetCard(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "documents")
+      .select(col("source"), col("lang"),
+        size(split(trim(col("text")), "\\s+")).as("n_tokens"),
+        length(col("text")).as("n_chars"),
+        TextOps.qualityScoreCol(col("text")).as("q"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("total_tokens"),
+        sum(col("n_chars")).cast("long").as("total_chars"),
+        round(sum(col("q").cast("decimal(18,6)")).cast("double")
+          / count(lit(1)), 6).as("mean_quality"),
+        round(expr("percentile(q, 0.5)"), 4).as("p50_quality"),
+        countDistinct(col("lang")).as("n_langs"))
+
   /** Shard-partitioned corpus write with BOUNDED file sizes — the
     * sink end of assembly. Shard comes from the same key-derived
     * [[hashCoin]] (uniform, reproducible: a doc's shard never changes

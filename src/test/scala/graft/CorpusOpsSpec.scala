@@ -38,6 +38,22 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("datasetCard accounts every doc once and bounds quality stats") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val card = CorpusOps.datasetCard(spark, sfDir).collect()
+    // one row per source; doc counts partition the corpus exactly
+    assert(card.map(_.getString(0)).distinct.length === card.length)
+    assert(card.map(_.getLong(1)).sum === docs.count())
+    val langs = docs.select("lang").distinct().count()
+    for (r <- card) {
+      val (mean, p50) = (r.getDouble(4), r.getDouble(5))
+      assert(mean >= 0.0 && mean <= 1.0, s"${r.getString(0)}: mean $mean")
+      assert(p50 >= 0.0 && p50 <= 1.0, s"${r.getString(0)}: p50 $p50")
+      assert(r.getLong(2) > 0 && r.getLong(3) > 0, "empty volume")
+      assert(r.getLong(6) >= 1 && r.getLong(6) <= langs)
+    }
+  }
+
   test("tokenPack packs are contiguous and fill to the budget") {
     val budget = 128
     val packs = CorpusOps.tokenPackAudit(spark, sfDir)
