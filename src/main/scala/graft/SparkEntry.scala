@@ -109,6 +109,8 @@ object SparkEntry {
     "t_unigram_logprob" -> (TextOps.unigramLogprob _),
     "t_entropy" -> (TextOps.tokenEntropy _),
     "t_pii_scrub" -> (TextOps.piiScrub _),
+    "t_top_ngrams" -> ((s: SparkSession, d: String) =>
+      TextOps.topNgrams(s, d)),
     // --- JSONL corpus ingestion (sources.JsonlCorpus) ---
     "src_jsonl_roundtrip" -> (sources.JsonlCorpus.roundtrip _),
     "src_jsonl_corrupt" -> (sources.JsonlCorpus.corruptAccounting _),
@@ -119,6 +121,9 @@ object SparkEntry {
     "corp_shard_write" -> ((s: SparkSession, d: String) =>
       CorpusOps.shardWrite(s, d)),
     "corp_dataset_card" -> (CorpusOps.datasetCard _),
+    "corp_global_shuffle" -> (CorpusOps.globalShuffle _),
+    "corp_adaptive_quality" -> ((s: SparkSession, d: String) =>
+      CorpusOps.adaptiveQualityGate(s, d)),
     // --- dedup ---
     "d_exact_dedup" -> (DedupOps.exactDedup _),
     "d_incremental" -> (DedupOps.incrementalDedup _),
@@ -136,6 +141,8 @@ object SparkEntry {
     "d_minhash_prod_recall" -> (DedupOps.minhashProdRecall _),
     "d_simhash" -> ((s: SparkSession, d: String) =>
       DedupOps.simhash(s, d, DedupOps.Md5)),
+    "d_cross_source_dups" -> ((s: SparkSession, d: String) =>
+      DedupOps.crossSourceDups(s, d, DedupOps.Md5)),
     "d_ngram_jaccard" -> ((s: SparkSession, d: String) =>
       DedupOps.ngramJaccard(s, d)),
     "d_decontaminate" -> (DedupOps.decontaminate _),
@@ -1113,6 +1120,18 @@ object SparkEntry {
         |   '${TextOps.phoneRe}', '<PHONE>', 'g'),
         |   '${TextOps.ipv4Re}', '<IP>', 'g')) AS scrubbed_md5
         |FROM p""".stripMargin,
+    // top-k bigrams by total occurrence; tie-break on the bigram text
+    // makes the LIMIT cut deterministic in both engines
+    "t_top_ngrams" ->
+      """WITH t AS (
+        | SELECT list_transform(string_split_regex(trim(text), '\s+'),
+        |   x -> lower(x)) AS l
+        | FROM documents),
+        |u AS (SELECT l, unnest(generate_series(1, len(l)-1)) AS i
+        |      FROM t WHERE len(l) >= 2),
+        |b AS (SELECT l[i] || ' ' || l[i+1] AS ngram FROM u)
+        |SELECT ngram, count(*) AS n FROM b
+        |GROUP BY 1 ORDER BY n DESC, ngram LIMIT 25""".stripMargin,
     // JSONL round-trip: the oracle states what survival MUST look like
     // — the same aggregates straight off the parquet table; any field
     // the JSONL serialization mangled changes the md5 digest set
@@ -1219,6 +1238,42 @@ object SparkEntry {
         | round(quantile_cont(q, 0.5), 4) AS p50_quality,
         | count(DISTINCT lang) AS n_langs
         |FROM d GROUP BY 1""".stripMargin,
+    // global shuffle: the permutation is a pure function of doc_id
+    // (md5), so the oracle recomputes the identical (shard, pos)
+    "corp_global_shuffle" ->
+      """WITH h AS (
+        | SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h
+        | FROM documents)
+        |SELECT substr(h, 1, 1) AS shard,
+        | CAST(row_number() OVER (PARTITION BY substr(h, 1, 1)
+        |   ORDER BY h, doc_id) AS INTEGER) AS pos,
+        | doc_id
+        |FROM h""".stripMargin,
+    // adaptive gate: per-source exact p25 threshold (quantile_cont ≙
+    // Spark percentile at round-4, the a5-established equality), then
+    // the same >= filter — boundary docs resolve identically because
+    // both engines compare the same round-6 q to the same round-4 thr
+    "corp_adaptive_quality" ->
+      """WITH d AS (
+        | SELECT doc_id, source,
+        |  round(0.3 * least(1.0, CAST(length(text) AS DOUBLE) / 500.0)
+        |   + 0.4 * (1.0 - CAST(len(regexp_extract_all(text,
+        |      '[^A-Za-z0-9\s]')) AS DOUBLE) / length(text))
+        |   + 0.3 * least(1.0, 4.0 *
+        |      CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |       x -> lower(x) IN ('the','a','and','of','to','in','is','it',
+        |        'on','for'))) AS DOUBLE)
+        |      / len(string_split_regex(trim(text), '\s+'))), 6) AS q
+        | FROM documents),
+        |thr AS (
+        | SELECT source, round(quantile_cont(q, 0.25), 4) AS q_thr,
+        |  count(*) AS n_total
+        | FROM d GROUP BY 1)
+        |SELECT d.source, t.q_thr, t.n_total, count(*) AS n_kept,
+        | round(CAST(sum(CAST(d.q AS DECIMAL(18,6))) AS DOUBLE)
+        |   / count(*), 6) AS kept_mean_q
+        |FROM d JOIN thr t USING (source) WHERE d.q >= t.q_thr
+        |GROUP BY 1, 2, 3""".stripMargin,
     // shard write: the oracle recomputes shard assignment from the
     // same coin and derives the file count from the record cap —
     // n_files = ceil(n_docs / 25) holds because each shard is written
@@ -1282,6 +1337,16 @@ object SparkEntry {
         |      ELSE 'new' END AS verdict
         |FROM m""".stripMargin,
     "d_simhash" -> simhashSql,
+    // cross-source leakage: the md5-mode LSH pair set (the oracle-
+    // comparable hash) rolled up by unordered source pair
+    "d_cross_source_dups" ->
+      s"""SELECT least(da.source, db.source) AS source_a,
+         | greatest(da.source, db.source) AS source_b,
+         | count(*) AS n_pairs
+         |FROM ($minhashLshSql) p
+         |JOIN documents da ON p.doc_a = da.doc_id
+         |JOIN documents db ON p.doc_b = db.doc_id
+         |GROUP BY 1, 2""".stripMargin,
     "d_decontaminate" ->
       """WITH docs AS (
         | SELECT doc_id, string_split_regex(trim(text), '\s+') AS t

@@ -136,6 +136,60 @@ object CorpusOps {
         round(expr("percentile(q, 0.5)"), 4).as("p50_quality"),
         countDistinct(col("lang")).as("n_langs"))
 
+  /** Deterministic global training-order shuffle. Training wants
+    * documents in a reproducible pseudo-random order with no source
+    * or time locality; at 100 TB a single global `row_number` window
+    * would serialize the corpus through one task, so the order is
+    * defined hierarchically: shard = first hex digit of the key hash
+    * (16 ways here; hundreds in production), position = rank within
+    * the shard by (full hash, doc_id). The global order is the
+    * lexicographic (shard, pos) — readers stream shards in sequence.
+    * Each shard's window is hash-partitioned (scale-safe), the
+    * permutation is a pure function of doc_id (stable across reruns
+    * and repartitioning, same property as [[hashCoin]]), and the sort
+    * within a shard is Spark's range-partitioned sort.
+    */
+  def globalShuffle(spark: SparkSession, sfDir: String): DataFrame = {
+    val h = md5(col("doc_id").cast("string"))
+    Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), substring(h, 1, 1).as("shard"), h.as("h"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))))
+      .select(col("shard"), col("pos"), col("doc_id"))
+  }
+
+  /** Per-source adaptive quality gate: keep each source's top (1−p)
+    * quality quantile instead of one global threshold — a fixed bar
+    * either guts low-register sources or admits junk from clean ones.
+    * Two passes, both scale-flat: (1) per-source exact percentile
+    * (one groupBy over ~tens of sources; swap `percentile_approx`
+    * if a source outgrows its buffer — documented knob, same column),
+    * (2) broadcast the tiny threshold table back and filter. Reports
+    * the audit row a curation run logs: threshold, kept/total, kept
+    * mean quality (decimal-summed, order-independent).
+    */
+  def adaptiveQualityGate(spark: SparkSession, sfDir: String,
+      p: Double = 0.25): DataFrame = {
+    val scored = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"),
+        TextOps.qualityScoreCol(col("text")).as("q"))
+    // round-4 threshold: exact-percentile ≙ DuckDB quantile_cont is
+    // established at this precision (a5_approx_percentile), so the
+    // >= comparison below is engine-stable even for boundary docs
+    val thr = scored.groupBy(col("source"))
+      .agg(round(expr(s"percentile(q, $p)"), 4).as("q_thr"),
+        count(lit(1)).as("n_total"))
+    scored.join(broadcast(thr), "source")
+      .filter(col("q") >= col("q_thr"))
+      .groupBy(col("source"))
+      .agg(
+        first(col("q_thr")).as("q_thr"),
+        first(col("n_total")).as("n_total"),
+        count(lit(1)).as("n_kept"),
+        round(sum(col("q").cast("decimal(18,6)")).cast("double")
+          / count(lit(1)), 6).as("kept_mean_q"))
+  }
+
   /** Shard-partitioned corpus write with BOUNDED file sizes — the
     * sink end of assembly. Shard comes from the same key-derived
     * [[hashCoin]] (uniform, reproducible: a doc's shard never changes

@@ -540,6 +540,36 @@ object DedupOps {
         count(col("keep_doc")).as("n_survivors"))
   }
 
+  /** Cross-source near-dup leakage matrix: how much near-duplicate
+    * content each pair of sources shares — the audit that catches a
+    * "web" crawl silently re-ingesting a "books" source (or a train
+    * source overlapping an eval source) BEFORE mixing. Counts the LSH
+    * candidate pairs whose endpoints live in different sources,
+    * keyed by the unordered source pair; `same-source` pairs roll up
+    * on the diagonal. Scale shape: the pair set is the already-banded
+    * LSH output (never all-pairs); source labels attach via two
+    * equi-joins against a two-column pruned projection of the corpus
+    * — each an equi-join on doc_id between two narrow frames; AQE
+    * broadcasts whichever side fits and falls back to a sort-merge
+    * join on doc_id when neither does. The final matrix is at most
+    * |sources|² rows.
+    */
+  def crossSourceDups(spark: SparkSession, sfDir: String,
+      hash: TokenHash = XxHash): DataFrame = {
+    val pairs = minhashLsh(spark, sfDir, hash)
+    val src = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("src_a")),
+        "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("src_b")),
+        "doc_b")
+      .groupBy(
+        least(col("src_a"), col("src_b")).as("source_a"),
+        greatest(col("src_a"), col("src_b")).as("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** SimHash: 32-bit per-token hashes vote per bit position, weighted
     * by token frequency; sign of each bit-sum forms the fingerprint.
     * Implemented as explode → groupBy(doc, bit) free via bit arithmetic

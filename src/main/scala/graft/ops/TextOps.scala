@@ -201,6 +201,31 @@ object TextOps {
           .as("doc_pct"))
   }
 
+  /** Corpus-wide top-k bigrams by TOTAL occurrence count — the "most
+    * common n-grams" audit of a release (distinct from
+    * [[boilerplateBigrams]], which thresholds on document frequency).
+    * One explode → one count shuffle → `TakeOrderedAndProject` for
+    * the top-k (per-partition heaps, only k rows reach the driver —
+    * never a global sort of the n-gram vocabulary). Tie-break on the
+    * bigram text keeps the cut deterministic across engines and
+    * partitionings.
+    */
+  def topNgrams(spark: SparkSession, sfDir: String,
+      k: Int = 25): DataFrame = {
+    val t = col("toks")
+    val bigrams = when(size(t) >= 2,
+      zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+        (a, b) => concat(a, lit(" "), b)))
+      .otherwise(array().cast("array<string>"))
+    Tables.loadBalanced(spark, sfDir, "documents")
+      .select(transform(toks(col("text")), x => lower(x)).as("toks"))
+      .select(explode(bigrams).as("ngram"))
+      .groupBy(col("ngram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("ngram"))
+      .limit(k)
+  }
+
   /** Token-entropy quality signal: Shannon entropy of each document's
     * token distribution (low = templated/repetitive text). Uses the
     * single-pass identity `H = ln(n) − Σ tf·ln(tf) / n`, so one

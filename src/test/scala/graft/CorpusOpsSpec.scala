@@ -54,6 +54,44 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("globalShuffle is a bijection with contiguous per-shard positions") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val out = CorpusOps.globalShuffle(spark, sfDir).collect()
+    // every doc appears exactly once
+    assert(out.map(_.getLong(2)).distinct.length === docs.count())
+    // positions within each shard are exactly 1..n (no gap, no dup)
+    for ((shard, rows) <- out.groupBy(_.getString(0))) {
+      val ps = rows.map(_.getInt(1)).sorted
+      assert(ps.sameElements(1 to rows.length),
+        s"shard $shard positions not contiguous")
+    }
+    // pure function of doc_id: a rerun lands every doc at the same slot
+    val again = CorpusOps.globalShuffle(spark, sfDir).collect()
+      .map(r => r.getLong(2) -> (r.getString(0), r.getInt(1))).toMap
+    for (r <- out)
+      assert(again(r.getLong(2)) === (r.getString(0), r.getInt(1)))
+  }
+
+  test("adaptiveQualityGate keeps the top quantile of every source") {
+    val out = CorpusOps.adaptiveQualityGate(spark, sfDir, p = 0.25).collect()
+    val sources = Tables.load(spark, sfDir, "documents")
+      .select("source").distinct().count()
+    assert(out.length === sources, "a source vanished from the audit")
+    for (r <- out) {
+      val (thr, total, kept, meanQ) =
+        (r.getDouble(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      // p=0.25 keeps ~75%: the exact-percentile floor is ceil(0.75 n),
+      // minus a small allowance for docs inside the threshold's
+      // round-4 window (rounding the cut up can exclude boundary docs
+      // whose q sits within 5e-5 below it)
+      assert(kept >= (3 * total + 3) / 4 - 2,
+        s"${r.getString(0)}: kept $kept of $total at p25")
+      assert(kept <= total)
+      // survivors can't average below the bar they cleared
+      assert(meanQ >= thr, s"${r.getString(0)}: mean $meanQ < thr $thr")
+    }
+  }
+
   test("tokenPack packs are contiguous and fill to the budget") {
     val budget = 128
     val packs = CorpusOps.tokenPackAudit(spark, sfDir)

@@ -89,6 +89,18 @@ class EstimatorSpec extends SparkSpec {
       s"$missed high-similarity pairs missed by LSH banding")
   }
 
+  test("cross-source matrix conserves the LSH pair set") {
+    val m = DedupOps.crossSourceDups(spark, sfDir).collect()
+    // unordered-pair key: canonical orientation, no double counting
+    for (r <- m) assert(r.getString(0) <= r.getString(1))
+    assert(m.map(t => (t.getString(0), t.getString(1)))
+      .distinct.length === m.length)
+    // every candidate pair lands in exactly one matrix cell
+    val total = DedupOps.minhashLsh(spark, sfDir).count()
+    assert(m.map(_.getLong(2)).sum === total,
+      "matrix total != LSH pair count")
+  }
+
   test("minhash-LSH md5 oracle mode finds the same candidate pairs as xxhash mode") {
     // Both hashes are uniform over tokens: the banded signatures differ
     // but the fixture's near-dup clusters must be recovered either way.

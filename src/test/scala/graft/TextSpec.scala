@@ -10,6 +10,31 @@ import org.apache.spark.sql.functions._
   */
 class TextSpec extends SparkSpec {
 
+  test("topNgrams is a descending deterministic top-k of true counts") {
+    val k = 10
+    val out = TextOps.topNgrams(spark, sfDir, k).collect()
+    assert(out.length === k)
+    val counts = out.map(_.getLong(1))
+    assert(counts.sameElements(counts.sortBy(-_)), "not descending")
+    // (n desc, ngram asc) total order: ties must be ngram-sorted
+    out.sliding(2).foreach { case Array(a, b) =>
+      if (a.getLong(1) == b.getLong(1))
+        assert(a.getString(0) < b.getString(0), "tie-break violated")
+    }
+    // spot-check the head count against a direct recount
+    val (top, n) = (out.head.getString(0), out.head.getLong(1))
+    val Array(w1, w2) = top.split(" ")
+    val recount = Tables.load(spark, sfDir, "documents")
+      .select(transform(split(trim(col("text")), "\\s+"),
+        x => lower(x)).as("t"))
+      .select(explode(expr(
+        "zip_with(slice(t, 1, size(t)-1), slice(t, 2, size(t)-1), " +
+          "(a, b) -> struct(a, b))")).as("bg"))
+      .filter(col("bg.a") === w1 && col("bg.b") === w2)
+      .count()
+    assert(recount === n, s"'$top': top-k says $n, recount $recount")
+  }
+
   test("entropy is within [0, ln(n_tokens)] and repetition within [0, 1)") {
     // epsilon budget: per-term contributions are rounded at 1e-8
     // (determinism discipline) and the result at 1e-6, so the bound
