@@ -201,6 +201,33 @@ class PlanSpec extends SparkSpec {
       s"repetition metric should not shuffle:\n$p")
   }
 
+  test("global shuffle windows per shard — no single-partition exchange") {
+    val p = plan(graft.ops.CorpusOps.globalShuffle(spark, sfDir))
+    // the window must be keyed on the shard (hash-partitioned); a
+    // global row_number would plan Exchange SinglePartition and
+    // serialize the corpus through one task
+    assert(!p.contains("SinglePartition"),
+      s"global window serializes through one task:\n$p")
+    assert(p.contains("Window") && p.contains("hashpartitioning"),
+      s"expected shard-partitioned window:\n$p")
+  }
+
+  test("adaptive quality gate broadcasts the threshold table") {
+    val p = plan(graft.ops.CorpusOps.adaptiveQualityGate(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"threshold join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("Cartesian"),
+      s"corpus-sized shuffle for a |sources|-row table:\n$p")
+  }
+
+  test("top n-grams is partial-agg count + TakeOrderedAndProject") {
+    val p = plan(graft.ops.TextOps.topNgrams(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"full sort of the n-gram vocabulary:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"no map-side combine on the count:\n$p")
+  }
+
   test("q19: OR-of-ANDs predicate reaches BOTH scans via CNF extraction") {
     // the disjunction mixes part and lineitem columns; the optimizer
     // must distribute it so each side's own disjuncts prune that scan
