@@ -64,4 +64,22 @@ class ScaleSpec extends SparkSpec {
         s"$dir: scan reads unneeded columns: $readSchema")
     }
   }
+
+  test("global shuffle never plans a single-partition window at any SF") {
+    for (dir <- sfDirs) {
+      val p = plan(graft.ops.CorpusOps.globalShuffle(spark, dir))
+      assert(!p.contains("SinglePartition"),
+        s"$dir: global window serializes through one task:\n$p")
+    }
+  }
+
+  test("adaptive gate keeps the broadcast-threshold shape at every SF") {
+    for (dir <- sfDirs) {
+      val p = plan(graft.ops.CorpusOps.adaptiveQualityGate(spark, dir))
+      assert(p.contains("BroadcastHashJoin"),
+        s"$dir: threshold join not broadcast:\n$p")
+      assert(!p.contains("SortMergeJoin") && !p.contains("Cartesian"),
+        s"$dir: corpus-sized join for the threshold table:\n$p")
+    }
+  }
 }
