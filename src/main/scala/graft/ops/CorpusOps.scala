@@ -80,18 +80,26 @@ object CorpusOps {
     *
     * Scale shape: the window partitions by `source`, so packing
     * parallelizes across sources and never builds a global order. A
-    * single source too large for one task sub-shards the same way —
-    * partition the window by (source, doc_id div shardSpan) and pack
-    * within shards; packing quality is unaffected because pack
-    * boundaries never needed to be globally optimal, only budgeted
-    * and reproducible.
+    * single source too large for one task sub-shards via `spanSize`:
+    * the window partitions by (source, doc_id div spanSize) and packs
+    * within each contiguous doc_id span — pack ids are then local to
+    * a span (`sub_id` disambiguates). Packing quality is unaffected
+    * because pack boundaries never needed to be globally optimal,
+    * only budgeted and reproducible; the cost is at most one
+    * under-filled pack per span.
     */
-  def tokenPack(docs: DataFrame, budget: Int): DataFrame = {
+  def tokenPack(docs: DataFrame, budget: Int,
+      spanSize: Option[Long] = None): DataFrame = {
     val nTok = size(split(trim(col("text")), "\\s+"))
-    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    val sub = spanSize
+      .map(s => floor(col("doc_id") / lit(s)).cast("long"))
+      .getOrElse(lit(0L))
+    val w = Window.partitionBy(col("source"), col("sub_id"))
+      .orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     docs
       .select(col("source"), col("doc_id"), nTok.as("n_tokens"))
+      .withColumn("sub_id", sub)
       .withColumn("cum_excl",
         coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .withColumn("pack_id",

@@ -92,6 +92,37 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("tokenPack sub-shards a large source by doc_id span") {
+    val span = 100L
+    val docs = Tables.load(spark, sfDir, "documents")
+    val packed = CorpusOps.tokenPack(docs, budget = 128,
+      spanSize = Some(span))
+    val rows = packed.collect()
+    // sub_id is the contiguous doc_id span, and the window is keyed
+    // on it: the plan must partition by (source, sub_id), not source
+    // alone — that's what unlocks parallelism inside one giant source
+    for (r <- rows)
+      assert(r.getLong(3) === r.getLong(1) / span,
+        s"doc ${r.getLong(1)}: sub ${r.getLong(3)}")
+    val p = plan(packed)
+    assert(p.linesIterator.exists(l =>
+      l.contains("hashpartitioning") && l.contains("sub_id")),
+      s"window not partitioned by the sub-shard:\n$p")
+    // within each (source, span): same contiguous-fill law as the
+    // unsharded path — every non-final pack crossed its boundary
+    for ((_, g) <- rows.groupBy(r => (r.getString(0), r.getLong(3)))) {
+      val byId = g.sortBy(_.getLong(1))
+      val cum = byId.map(_.getInt(2).toLong).scanLeft(0L)(_ + _).tail
+      byId.map(_.getLong(5)).zip(cum).init.zipWithIndex.foreach {
+        case ((pk, c), i) =>
+          val nextPk = byId(i + 1).getLong(5)
+          if (nextPk != pk)
+            assert(c >= (pk + 1) * 128,
+              s"pack $pk closed at $c tokens, below ${(pk + 1) * 128}")
+      }
+    }
+  }
+
   test("tokenPack packs are contiguous and fill to the budget") {
     val budget = 128
     val packs = CorpusOps.tokenPackAudit(spark, sfDir)
