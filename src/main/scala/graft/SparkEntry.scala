@@ -122,6 +122,7 @@ object SparkEntry {
       CorpusOps.shardWrite(s, d)),
     "corp_dataset_card" -> (CorpusOps.datasetCard _),
     "corp_global_shuffle" -> (CorpusOps.globalShuffle _),
+    "corp_split" -> (CorpusOps.evalSplit _),
     "corp_adaptive_quality" -> ((s: SparkSession, d: String) =>
       CorpusOps.adaptiveQualityGate(s, d)),
     // --- dedup ---
@@ -1249,6 +1250,20 @@ object SparkEntry {
         |   ORDER BY h, doc_id) AS INTEGER) AS pos,
         | doc_id
         |FROM h""".stripMargin,
+    // train/val/test split: the salted coin replays bit-for-bit in
+    // DuckDB; the id-sum checksum pins exact membership per cell
+    "corp_split" ->
+      """WITH r AS (
+        | SELECT doc_id, source,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'),
+        |    1, 8)) AS BIGINT) / 4294967296.0 AS coin
+        | FROM documents)
+        |SELECT source,
+        | CASE WHEN coin < 0.8 THEN 'train'
+        |      WHEN coin < 0.9 THEN 'val' ELSE 'test' END AS split,
+        | count(*) AS n_docs,
+        | CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM r GROUP BY 1, 2""".stripMargin,
     // adaptive gate: per-source exact p25 threshold (quantile_cont ≙
     // Spark percentile at round-4, the a5-established equality), then
     // the same >= filter — boundary docs resolve identically because

@@ -118,6 +118,32 @@ object CorpusOps {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).cast("long").as("pack_tokens"))
 
+  /** Deterministic train/val/test split. The assignment coin is the
+    * key-derived [[hashCoin]] over a SALTED key (`doc_id || ":split"`)
+    * — salting decorrelates the split from every other coin-driven
+    * decision (an unsalted coin would send exactly the docs kept by a
+    * 0.8-rate source mix into an 0.8 train split: nested thresholds
+    * on the SAME uniform variate are perfectly correlated, and val/
+    * test would go empty after mixing). Pure per-row projection, zero
+    * shuffles before the audit groupBy; membership is reproducible
+    * forever from the doc id, so a grown corpus never reassigns an
+    * existing document across splits (the property that keeps eval
+    * sets uncontaminated release over release). The audit reports
+    * per-(source, split) counts plus an order-independent id-sum
+    * checksum, so the oracle comparison pins exact membership, not
+    * just marginals.
+    */
+  def evalSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val coin = hashCoin(concat(col("doc_id").cast("string"), lit(":split")))
+    val assignment = when(coin < 0.8, "train")
+      .when(coin < 0.9, "val").otherwise("test")
+    Tables.load(spark, sfDir, "documents")
+      .select(col("source"), col("doc_id"), assignment.as("split"))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).cast("long").as("id_sum"))
+  }
+
   /** Per-source dataset card — the "datasheet" every corpus release
     * ships: volume (docs / tokens / chars), quality distribution
     * (decimal-summed order-independent mean + exact interpolated

@@ -54,6 +54,37 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("evalSplit partitions the corpus and decorrelates from the mix coin") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val out = CorpusOps.evalSplit(spark, sfDir).collect()
+    // the three splits partition every source exactly
+    assert(out.map(_.getLong(2)).sum === docs.count())
+    assert(out.map(_.getString(1)).distinct.toSet.subsetOf(
+      Set("train", "val", "test")))
+    // global fractions near 80/10/10 (coin is uniform; fixture-exact
+    // values are pinned by the oracle, this pins the semantics)
+    val bySplit = out.groupBy(_.getString(1))
+      .view.mapValues(_.map(_.getLong(2)).sum).toMap
+    val n = docs.count().toDouble
+    assert(math.abs(bySplit("train") / n - 0.8) < 0.1)
+    // decorrelation: the docs an 0.8-rate mix keeps must NOT all be
+    // train — an unsalted coin would nest the thresholds perfectly
+    // and empty val/test after mixing
+    val kept = CorpusOps.sourceMix(docs,
+      docs.select("source").distinct().collect()
+        .map(_.getString(0) -> 0.8).toMap)
+    val coin = CorpusOps.hashCoin(
+      concat(col("doc_id").cast("string"), lit(":split")))
+    val keptSplits = kept
+      .select(when(coin < 0.8, "train").when(coin < 0.9, "val")
+        .otherwise("test").as("split"))
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(keptSplits.getOrElse("val", 0L) > 0 &&
+      keptSplits.getOrElse("test", 0L) > 0,
+      s"mix-then-split starved an eval split: $keptSplits")
+  }
+
   test("globalShuffle is a bijection with contiguous per-shard positions") {
     val docs = Tables.load(spark, sfDir, "documents")
     val out = CorpusOps.globalShuffle(spark, sfDir).collect()
