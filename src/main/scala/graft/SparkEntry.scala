@@ -123,6 +123,7 @@ object SparkEntry {
     "corp_dataset_card" -> (CorpusOps.datasetCard _),
     "corp_global_shuffle" -> (CorpusOps.globalShuffle _),
     "corp_split" -> (CorpusOps.evalSplit _),
+    "corp_upsample" -> (CorpusOps.upsampleAudit _),
     "corp_adaptive_quality" -> ((s: SparkSession, d: String) =>
       CorpusOps.adaptiveQualityGate(s, d)),
     // --- dedup ---
@@ -1250,6 +1251,34 @@ object SparkEntry {
         |   ORDER BY h, doc_id) AS INTEGER) AS pos,
         | doc_id
         |FROM h""".stripMargin,
+    // upsampling: floor(epochs) copies + one coin-gated extra; the
+    // oracle replays the ':up'-salted coin and regenerates the same
+    // replica sequence, with a (doc_id, replica) membership checksum
+    "corp_upsample" ->
+      """WITH r AS (
+        | SELECT doc_id, source,
+        |  (CAST(substr(source, 4) AS INTEGER) % 4) AS cyc,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':up'),
+        |    1, 8)) AS BIGINT) / 4294967296.0 AS coin
+        | FROM documents),
+        |e AS (
+        | SELECT doc_id, source,
+        |  ([0.5, 1.0, 1.5, 2.5][cyc + 1]) AS epochs, coin
+        | FROM r),
+        |n AS (
+        | SELECT doc_id, source,
+        |  CAST(floor(epochs)
+        |    + CASE WHEN coin < epochs - floor(epochs) THEN 1 ELSE 0 END
+        |    AS INTEGER) AS n_copies
+        | FROM e),
+        |x AS (
+        | SELECT doc_id, source, unnest(generate_series(0, n_copies - 1))
+        |   AS replica
+        | FROM n WHERE n_copies > 0)
+        |SELECT source, count(*) AS n_rows,
+        | count(DISTINCT doc_id) AS n_docs,
+        | CAST(sum(doc_id * 7 + replica) AS BIGINT) AS rep_sum
+        |FROM x GROUP BY 1""".stripMargin,
     // train/val/test split: the salted coin replays bit-for-bit in
     // DuckDB; the id-sum checksum pins exact membership per cell
     "corp_split" ->

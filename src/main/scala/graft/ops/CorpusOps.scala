@@ -118,6 +118,55 @@ object CorpusOps {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).cast("long").as("pack_tokens"))
 
+  /** Fractional-epoch source upsampling — the other half of the
+    * mixing knob: [[sourceMix]] DOWN-samples a source below rate 1.0;
+    * training runs also need to repeat scarce high-quality sources
+    * (e.g. "wiki at 2.5 epochs"). Every document gets floor(epochs)
+    * full copies plus one more iff its salted coin clears the
+    * fractional part — deterministic bag semantics (a rerun or a
+    * grown corpus replicates every existing doc identically; the
+    * ":up" salt decorrelates from mix and split coins). The explode
+    * is a per-row projection — zero shuffles before the audit
+    * groupBy, and the replica column keeps downstream global-shuffle
+    * keys unique ((doc_id, replica) feeds the shard hash so copies
+    * of a doc land in DIFFERENT shards — repeats spread across the
+    * training order instead of clumping).
+    */
+  def upsample(docs: DataFrame, epochs: Map[String, Double]): DataFrame = {
+    // per-source epoch spec as a column (null for unlisted → dropped,
+    // same curation rule as sourceMix)
+    val e = epochs.foldLeft(lit(null).cast("double")) {
+      case (acc, (src, v)) => when(col("source") === src, lit(v)).otherwise(acc)
+    }
+    val coin = hashCoin(concat(col("doc_id").cast("string"), lit(":up")))
+    val nCopies = (floor(col("epochs")) +
+      when(coin < col("epochs") - floor(col("epochs")), 1).otherwise(0))
+      .cast("int")
+    docs
+      .withColumn("epochs", e)
+      .filter(col("epochs").isNotNull)
+      .withColumn("n_copies", nCopies)
+      .filter(col("n_copies") > 0)
+      .select(col("source"), col("doc_id"),
+        explode(sequence(lit(0), col("n_copies") - 1)).as("replica"))
+  }
+
+  /** Registered upsampling audit: epochs cycle 0.5/1.0/1.5/2.5 over
+    * the fixture's sources; emits per-source replicated volume plus
+    * an order-independent membership checksum over (doc_id, replica).
+    */
+  def upsampleAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val epochs = (0 until 20)
+      .map(i => s"src$i" -> Seq(0.5, 1.0, 1.5, 2.5)(i % 4)).toMap
+    upsample(Tables.load(spark, sfDir, "documents"), epochs)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        sum(col("doc_id") * lit(7L) + col("replica")).cast("long")
+          .as("rep_sum"))
+  }
+
   /** Deterministic train/val/test split. The assignment coin is the
     * key-derived [[hashCoin]] over a SALTED key (`doc_id || ":split"`)
     * — salting decorrelates the split from every other coin-driven

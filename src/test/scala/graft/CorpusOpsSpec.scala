@@ -54,6 +54,40 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("upsample replicates by floor(epochs) plus a coin-gated extra") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val epochs = Map("src0" -> 2.0, "src1" -> 0.5, "src2" -> 1.5)
+    val up = CorpusOps.upsample(docs, epochs)
+    val perDoc = up.groupBy("source", "doc_id")
+      .count().collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // integer epochs: exactly that many copies, no coin involved
+    val src0 = docs.filter(col("source") === "src0").count()
+    assert(perDoc.count(_._1._1 == "src0") === src0)
+    assert(perDoc.filter(_._1._1 == "src0").values.forall(_ == 2L))
+    // fractional: every doc has floor or floor+1 copies, and the
+    // fractional tail is strictly between none and all
+    val c2 = perDoc.filter(_._1._1 == "src2").values
+    assert(c2.forall(n => n == 1L || n == 2L))
+    assert(c2.exists(_ == 2L) && c2.exists(_ == 1L))
+    // replicas are dense 0..n-1 per doc (downstream keys stay unique)
+    val reps = up.filter(col("source") === "src2")
+      .groupBy("doc_id").agg(
+        org.apache.spark.sql.functions.sort_array(
+          org.apache.spark.sql.functions.collect_list("replica")).as("r"))
+      .collect()
+    for (r <- reps) {
+      val s = r.getSeq[Int](1)
+      assert(s === (0 until s.length), s"replicas not dense: $s")
+    }
+    // unlisted sources are dropped; rerun is identical
+    assert(perDoc.keys.map(_._1).toSet === Set("src0", "src1", "src2"))
+    val again = CorpusOps.upsample(docs, epochs).groupBy("source", "doc_id")
+      .count().collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(again === perDoc)
+  }
+
   test("evalSplit partitions the corpus and decorrelates from the mix coin") {
     val docs = Tables.load(spark, sfDir, "documents")
     val out = CorpusOps.evalSplit(spark, sfDir).collect()
