@@ -193,7 +193,8 @@ object SparkEntry {
     "st_dedup" -> (StreamingOps.dedupKeys _),
     "st_dedup_wm" -> (StreamingOps.dedupKeysWithinWatermark _),
     "st_static_join" -> (StreamingOps.staticJoin _),
-    "st_jsonl_ingest" -> (StreamingOps.jsonlIngest _)
+    "st_jsonl_ingest" -> (StreamingOps.jsonlIngest _),
+    "st_corpus_gate" -> (StreamingOps.corpusGate _)
   )
 
   // ---- oracle-SQL generators for the estimator/LSH operators ----
@@ -1570,6 +1571,44 @@ object SparkEntry {
         | count(*) AS n_good,
         | CAST(sum(n_chars) AS BIGINT) AS good_chars
         |FROM documents""".stripMargin,
+    // streaming corpus gate: Complete-mode AvailableNow over the clean
+    // JSONL fixture = the batch curation pass — enrichment, round-6
+    // quality, and the shared RE2-compatible scrub all replayed in SQL
+    "st_corpus_gate" ->
+      s"""WITH p AS (
+         | SELECT source, text ||
+         |  CASE WHEN doc_id % 3 = 0 THEN ' contact user' ||
+         |   CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
+         |  CASE WHEN doc_id % 5 = 0 THEN ' call 555-' ||
+         |   lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-0199'
+         |   ELSE '' END ||
+         |  CASE WHEN doc_id % 7 = 0 THEN ' from 10.0.' ||
+         |   CAST(doc_id % 256 AS VARCHAR) || '.7' ELSE '' END AS text
+         | FROM documents),
+         |g AS (
+         | SELECT source,
+         |  round(0.3 * least(1.0, CAST(length(text) AS DOUBLE) / 500.0)
+         |   + 0.4 * (1.0 - CAST(len(regexp_extract_all(text,
+         |      '[^A-Za-z0-9\\s]')) AS DOUBLE) / length(text))
+         |   + 0.3 * least(1.0, 4.0 *
+         |      CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+         |       x -> lower(x) IN ('the','a','and','of','to','in','is','it',
+         |        'on','for'))) AS DOUBLE)
+         |      / len(string_split_regex(trim(text), '\\s+'))), 6) AS q,
+         |  len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+         |  (regexp_replace(regexp_replace(regexp_replace(text,
+         |   '${graft.ops.TextOps.emailRe}', '<EMAIL>', 'g'),
+         |   '${graft.ops.TextOps.phoneRe}', '<PHONE>', 'g'),
+         |   '${graft.ops.TextOps.ipv4Re}', '<IP>', 'g') <> text) AS pii
+         | FROM p)
+         |SELECT source, count(*) AS n_in,
+         | CAST(sum(CASE WHEN q >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS n_kept,
+         | CAST(sum(CASE WHEN q >= 0.5 THEN n_tokens ELSE 0 END) AS BIGINT)
+         |   AS kept_tokens,
+         | CAST(sum(CASE WHEN pii THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS n_pii_docs
+         |FROM g GROUP BY 1""".stripMargin,
     // stateless stream-static join: every event is enriched, so the
     // emitted set is exactly the batch join
     "st_static_join" ->

@@ -384,22 +384,31 @@ object TextOps {
     * reproduces the same enrichment in SQL, so the comparison checks
     * detection AND replacement byte-for-byte.
     */
+  /** The deterministic PII enrichment shared by [[piiScrub]] and the
+    * streaming gate: every 3rd doc gains an email, every 5th a phone,
+    * every 7th an IP, all derived from doc_id (the fixture has no
+    * natural PII, so detection/redaction needs planted positives the
+    * oracle can replant identically).
+    */
+  def enrichPii(docId: Column, text: Column): Column =
+    concat(
+      text,
+      when(docId % 3 === 0,
+        concat(lit(" contact user"), docId.cast("string"),
+          lit("@example.com"))).otherwise(lit("")),
+      when(docId % 5 === 0,
+        concat(lit(" call 555-"),
+          lpad((docId % 1000).cast("string"), 3, "0"),
+          lit("-0199"))).otherwise(lit("")),
+      when(docId % 7 === 0,
+        concat(lit(" from 10.0."),
+          (docId % 256).cast("string"), lit(".7")))
+        .otherwise(lit("")))
+
   def piiScrub(spark: SparkSession, sfDir: String): DataFrame = {
     val enriched = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"),
-        concat(
-          col("text"),
-          when(col("doc_id") % 3 === 0,
-            concat(lit(" contact user"), col("doc_id").cast("string"),
-              lit("@example.com"))).otherwise(lit("")),
-          when(col("doc_id") % 5 === 0,
-            concat(lit(" call 555-"),
-              lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
-              lit("-0199"))).otherwise(lit("")),
-          when(col("doc_id") % 7 === 0,
-            concat(lit(" from 10.0."),
-              (col("doc_id") % 256).cast("string"), lit(".7")))
-            .otherwise(lit(""))).as("text"))
+        enrichPii(col("doc_id"), col("text")).as("text"))
     enriched.select(
       col("doc_id"),
       size(regexp_extract_all(col("text"), lit(emailRe), lit(0)))

@@ -93,11 +93,21 @@ object JsonlCorpus {
   def writeDamagedFixture(spark: SparkSession,
       sfDir: String): java.nio.file.Path = {
     import spark.implicits._
+    val out = writeCleanFixture(spark, sfDir)
+    corruptLines.toDF("value")
+      .coalesce(1).write.mode("append").text(out.toString)
+    out
+  }
+
+  /** Serialize the documents table to a scratch JSONL dir, undamaged —
+    * the landing-zone stand-in for streaming ingestion of a clean
+    * vendor drop. Caller owns the returned dir's deletion.
+    */
+  def writeCleanFixture(spark: SparkSession,
+      sfDir: String): java.nio.file.Path = {
     val out = Scratch.dir("graft-jsonl-c-")
     Tables.load(spark, sfDir, "documents")
       .write.mode("overwrite").json(out.toString)
-    corruptLines.toDF("value")
-      .coalesce(1).write.mode("append").text(out.toString)
     out
   }
 

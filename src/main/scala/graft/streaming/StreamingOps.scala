@@ -3,6 +3,7 @@ package graft.streaming
 import java.util.concurrent.atomic.AtomicLong
 
 import graft.Tables
+import graft.ops.TextOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
@@ -287,6 +288,40 @@ object StreamingOps {
         .json(s"$dir/*"),
       src => src.agg(JsonlCorpus.accountingCols.head,
         JsonlCorpus.accountingCols.tail: _*),
+      OutputMode.Complete())
+    graft.Scratch.delete(dir)
+    out
+  }
+
+  /** Streaming corpus gate: JSONL landing zone → PII enrichment (the
+    * planted positives the oracle replants) → quality score → scrub,
+    * aggregated per source — the curation front door run AS the data
+    * arrives rather than as a batch afterpass. The point being
+    * witnessed: the batch corpus operators ([[graft.ops.TextOps]]
+    * quality/scrub columns) are pure projections, so they drop into a
+    * `readStream` plan UNCHANGED — one definition, both execution
+    * modes, same oracle. Complete-mode AvailableNow over the fixed
+    * fixture makes the final emission equal the batch accounting.
+    * State at scale = |sources| aggregate rows, invariant to stream
+    * length.
+    */
+  def corpusGate(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.JsonlCorpus
+    val dir = JsonlCorpus.writeCleanFixture(spark, sfDir)
+    val out = runSourceToMemory(spark,
+      s => s.readStream.schema(JsonlCorpus.docSchema).json(s"$dir/*"),
+      src => {
+        val enriched = TextOps.enrichPii(col("doc_id"), col("text"))
+        val q = TextOps.qualityScoreCol(enriched)
+        val toks = size(split(trim(enriched), "\\s+"))
+        val scrubbed = TextOps.scrubPii(enriched)
+        src.groupBy(col("source")).agg(
+          count(lit(1)).as("n_in"),
+          sum(when(q >= 0.5, 1).otherwise(0)).as("n_kept"),
+          sum(when(q >= 0.5, toks).otherwise(0)).cast("long")
+            .as("kept_tokens"),
+          sum(when(scrubbed =!= enriched, 1).otherwise(0)).as("n_pii_docs"))
+      },
       OutputMode.Complete())
     graft.Scratch.delete(dir)
     out

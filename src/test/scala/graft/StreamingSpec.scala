@@ -34,6 +34,30 @@ class StreamingSpec extends SparkSpec {
     assertSameRows(streamed, batch)
   }
 
+  test("streaming corpus gate equals the batch curation pass") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.TextOps
+    val streamed = StreamingOps.corpusGate(spark, sfDir)
+    // the SAME projection columns over the batch table — one operator
+    // definition, two execution modes
+    val enriched = TextOps.enrichPii(col("doc_id"), col("text"))
+    val q = TextOps.qualityScoreCol(enriched)
+    val toks = size(split(trim(enriched), "\\s+"))
+    val scrubbed = TextOps.scrubPii(enriched)
+    val batch = Tables.load(spark, sfDir, "documents")
+      .groupBy(col("source")).agg(
+        count(lit(1)).as("n_in"),
+        sum(when(q >= 0.5, 1).otherwise(0)).as("n_kept"),
+        sum(when(q >= 0.5, toks).otherwise(0)).cast("long")
+          .as("kept_tokens"),
+        sum(when(scrubbed =!= enriched, 1).otherwise(0)).as("n_pii_docs"))
+    assertSameRows(streamed, batch)
+    // the gate actually gates, and the planted PII is actually found
+    val r = streamed.collect()
+    assert(r.exists(x => x.getLong(2) < x.getLong(1)), "no doc filtered")
+    assert(r.map(_.getLong(4)).sum > 0, "planted PII never detected")
+  }
+
   test("append-mode window agg emits exactly the watermark-closed windows") {
     import org.apache.spark.sql.functions._
     val appended = StreamingOps.windowAggAppend(spark, sfDir)
