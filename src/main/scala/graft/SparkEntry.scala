@@ -124,6 +124,7 @@ object SparkEntry {
     "corp_global_shuffle" -> (CorpusOps.globalShuffle _),
     "corp_split" -> (CorpusOps.evalSplit _),
     "corp_upsample" -> (CorpusOps.upsampleAudit _),
+    "corp_version_diff" -> (CorpusOps.versionDiffAudit _),
     "corp_adaptive_quality" -> ((s: SparkSession, d: String) =>
       CorpusOps.adaptiveQualityGate(s, d)),
     // --- dedup ---
@@ -1252,6 +1253,30 @@ object SparkEntry {
         |   ORDER BY h, doc_id) AS INTEGER) AS pos,
         | doc_id
         |FROM h""".stripMargin,
+    // version diff: the oracle regenerates the same derived v2 and
+    // classifies through the same full-outer hash comparison
+    "corp_version_diff" ->
+      """WITH v2 AS (
+        | SELECT doc_id, source,
+        |  CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+        | FROM documents WHERE doc_id % 7 <> 0
+        | UNION ALL
+        | SELECT doc_id + 1000000000, source, text
+        | FROM documents WHERE doc_id % 3 = 0),
+        |a AS (SELECT doc_id, source AS src1, md5(text) AS h1
+        |      FROM documents),
+        |b AS (SELECT doc_id, source AS src2, md5(text) AS h2 FROM v2)
+        |SELECT coalesce(src1, src2) AS source,
+        | CAST(sum(CASE WHEN h1 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_added,
+        | CAST(sum(CASE WHEN h2 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_removed,
+        | CAST(sum(CASE WHEN h1 IS NOT NULL AND h2 IS NOT NULL
+        |   AND h1 <> h2 THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+        | CAST(sum(CASE WHEN h1 = h2 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_unchanged
+        |FROM a FULL OUTER JOIN b USING (doc_id)
+        |GROUP BY 1""".stripMargin,
     // upsampling: floor(epochs) copies + one coin-gated extra; the
     // oracle replays the ':up'-salted coin and regenerates the same
     // replica sequence, with a (doc_id, replica) membership checksum

@@ -118,6 +118,59 @@ object CorpusOps {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).cast("long").as("pack_tokens"))
 
+  /** Corpus version diff — the release audit: what changed between
+    * corpus v1 and v2, per source. Each side reduces to a narrow
+    * (doc_id, source, content-hash) projection, then ONE full-outer
+    * equi-join on doc_id classifies every document as added / removed
+    * / changed / unchanged and collapses to |sources| audit rows.
+    * Scale shape: two column-pruned scans + one hash-partitioned
+    * join on a unique well-distributed key — no text ever shuffles
+    * (hashes travel, 32 bytes/doc); in production both versions'
+    * hash indexes are the same precomputed narrow tables incremental
+    * dedup probes, bucketed on doc_id, making the nightly diff
+    * shuffle-free.
+    */
+  def versionDiff(v1: DataFrame, v2: DataFrame): DataFrame = {
+    val a = v1.select(col("doc_id"), col("source").as("src1"),
+      md5(col("text")).as("h1"))
+    val b = v2.select(col("doc_id"), col("source").as("src2"),
+      md5(col("text")).as("h2"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select(
+        coalesce(col("src1"), col("src2")).as("source"),
+        col("h1"), col("h2"))
+      .groupBy(col("source"))
+      .agg(
+        sum(when(col("h1").isNull, 1).otherwise(0)).as("n_added"),
+        sum(when(col("h2").isNull, 1).otherwise(0)).as("n_removed"),
+        sum(when(col("h1").isNotNull && col("h2").isNotNull &&
+          col("h1") =!= col("h2"), 1).otherwise(0)).as("n_changed"),
+        sum(when(col("h1") === col("h2"), 1).otherwise(0))
+          .as("n_unchanged"))
+  }
+
+  /** Registered diff: v2 derives deterministically from the fixture in
+    * ONE scan (the explode pattern — a union of filtered selects would
+    * duplicate the FileScan): docs with doc_id%7==0 are dropped, %5==0
+    * survivors get edited text, and %3==0 docs also re-enter as new
+    * documents under offset ids. All four verdict classes populated.
+    */
+  def versionDiffAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val kept = when(col("doc_id") % 7 =!= 0,
+      struct(col("doc_id").as("doc_id"), col("source").as("source"),
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text")))
+    val added = when(col("doc_id") % 3 === 0,
+      struct((col("doc_id") + lit(1000000000L)).as("doc_id"),
+        col("source").as("source"), col("text").as("text")))
+    val v2 = docs
+      .select(explode(array(kept, added)).as("r"))
+      .filter(col("r").isNotNull)
+      .select(col("r.doc_id"), col("r.source"), col("r.text"))
+    versionDiff(docs, v2)
+  }
+
   /** Fractional-epoch source upsampling — the other half of the
     * mixing knob: [[sourceMix]] DOWN-samples a source below rate 1.0;
     * training runs also need to repeat scarce high-quality sources

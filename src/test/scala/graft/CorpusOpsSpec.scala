@@ -54,6 +54,30 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("versionDiff accounts both versions exactly, and is zero on self") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val m = CorpusOps.versionDiffAudit(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // conservation: removed+changed+unchanged = |v1|,
+    //               added+changed+unchanged  = |v2|, per source
+    val v1 = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((src, (add, rem, chg, same)) <- m) {
+      assert(rem + chg + same === v1(src), s"$src: v1 not conserved")
+      val expAdd = docs.filter(col("source") === src &&
+        col("doc_id") % 3 === 0).count()
+      assert(add === expAdd, s"$src: added $add != clones $expAdd")
+    }
+    // diffing a corpus against itself is all-unchanged
+    val self = CorpusOps.versionDiff(docs, docs).collect()
+    for (r <- self) {
+      assert(r.getLong(1) === 0 && r.getLong(2) === 0 && r.getLong(3) === 0,
+        s"${r.getString(0)}: self-diff not clean")
+    }
+    assert(self.map(_.getLong(4)).sum === docs.count())
+  }
+
   test("upsample replicates by floor(epochs) plus a coin-gated extra") {
     val docs = Tables.load(spark, sfDir, "documents")
     val epochs = Map("src0" -> 2.0, "src1" -> 0.5, "src2" -> 1.5)
