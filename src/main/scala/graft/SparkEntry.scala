@@ -121,7 +121,8 @@ object SparkEntry {
     "corp_shard_write" -> ((s: SparkSession, d: String) =>
       CorpusOps.shardWrite(s, d)),
     "corp_dataset_card" -> (CorpusOps.datasetCard _),
-    "corp_global_shuffle" -> (CorpusOps.globalShuffle _),
+    "corp_global_shuffle" -> ((s: SparkSession, d: String) =>
+      CorpusOps.globalShuffle(s, d)),
     "corp_split" -> (CorpusOps.evalSplit _),
     "corp_upsample" -> (CorpusOps.upsampleAudit _),
     "corp_version_diff" -> (CorpusOps.versionDiffAudit _),

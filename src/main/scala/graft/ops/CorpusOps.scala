@@ -283,12 +283,17 @@ object CorpusOps {
     * Each shard's window is hash-partitioned (scale-safe), the
     * permutation is a pure function of doc_id (stable across reruns
     * and repartitioning, same property as [[hashCoin]]), and the sort
-    * within a shard is Spark's range-partitioned sort.
+    * within a shard is Spark's range-partitioned sort. `hexDigits`
+    * sizes the shard count (16^d): pick d so a shard's rows fit one
+    * task comfortably — d=2 (256 shards) or d=3 (4096) at 100 TB.
     */
-  def globalShuffle(spark: SparkSession, sfDir: String): DataFrame = {
+  def globalShuffle(spark: SparkSession, sfDir: String,
+      hexDigits: Int = 1): DataFrame = {
+    require(hexDigits >= 1 && hexDigits <= 8,
+      s"hexDigits must be in [1, 8], got $hexDigits")
     val h = md5(col("doc_id").cast("string"))
     Tables.load(spark, sfDir, "documents")
-      .select(col("doc_id"), substring(h, 1, 1).as("shard"), h.as("h"))
+      .select(col("doc_id"), substring(h, 1, hexDigits).as("shard"), h.as("h"))
       .withColumn("pos", row_number().over(
         Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))))
       .select(col("shard"), col("pos"), col("doc_id"))

@@ -159,6 +159,16 @@ class CorpusOpsSpec extends SparkSpec {
       .map(r => r.getLong(2) -> (r.getString(0), r.getInt(1))).toMap
     for (r <- out)
       assert(again(r.getLong(2)) === (r.getString(0), r.getInt(1)))
+    // wider sharding (the production knob): still a bijection, shards
+    // widen to 2 hex chars, and 1-digit shards are prefixes of 2-digit
+    val wide = CorpusOps.globalShuffle(spark, sfDir, hexDigits = 2)
+      .collect()
+    assert(wide.map(_.getLong(2)).distinct.length === out.length)
+    val narrowShard = out.map(r => r.getLong(2) -> r.getString(0)).toMap
+    for (r <- wide) {
+      assert(r.getString(0).length === 2)
+      assert(r.getString(0).startsWith(narrowShard(r.getLong(2))))
+    }
   }
 
   test("adaptiveQualityGate keeps the top quantile of every source") {
