@@ -166,6 +166,7 @@ object SparkEntry {
       SimilarityOps.embeddingNearDup(s, d)),
     "sim_ann_lsh" -> (SimilarityOps.annLsh _),
     "sim_ann_ivf" -> (SimilarityOps.annIvf _),
+    "sim_ann_ivfpq" -> (SimilarityOps.annIvfPq _),
     "sim_ann_recall" -> (SimilarityOps.annRecall _),
     "sim_ann_recall_ivf" -> (SimilarityOps.annRecallIvf _),
     // custom logical node + Catalyst rewrite rule (graft.plans):
@@ -324,6 +325,74 @@ object SparkEntry {
        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_vec_id
        |  ORDER BY cos DESC, neighbor_vec_id) AS INTEGER) AS rk FROM pairs)
        |SELECT q_vec_id, cell, neighbor_vec_id, round(cos, 6) AS cos_sim, rk
+       |FROM r WHERE rk <= 3""".stripMargin
+  }
+
+  private lazy val annIvfPqSql: String = {
+    val cs = SimilarityOps.centroids(64, 16)
+    val books = SimilarityOps.pqCodebooks()
+    val len = 64 / books.length
+    val centVals = cs.zipWithIndex
+      .map { case (c, i) => s"($i, ${sqlVec(c)})" }.mkString(",\n  ")
+    // codebook rows carry the same Scala-computed half-norm constant
+    // the Spark expression inlines, so the argmax scores are built
+    // from identical literals
+    val cbVals = books.zipWithIndex.flatMap { case (book, s) =>
+      book.zipWithIndex.map { case (c, j) =>
+        s"($s, $j, ${sqlVec(c)}, ${c.map(x => x * x).sum / 2})"
+      }
+    }.mkString(",\n  ")
+    def sub(e: String, s: Int) = s"$e[${s * len + 1}:${(s + 1) * len}]"
+    val subCase = books.indices.map(s =>
+      s"WHEN ${s} THEN ${sub("b.e", s)}").mkString(" ")
+    val codeCols = books.indices.map(s =>
+      s"max(CASE WHEN s = $s THEN code END) AS c$s").mkString(",\n  ")
+    val adcJoins = books.indices.map(s =>
+      s"JOIN cb b$s ON b$s.s = $s AND b$s.code = p.c$s").mkString("\n ")
+    val adcSum = books.indices.map(s =>
+      s"list_dot_product(${sub("p.e", s)}, b$s.c)").mkString(" + ")
+    s"""WITH cents AS (SELECT * FROM (VALUES
+       |  $centVals) AS t(cell, c)),
+       |cb AS (SELECT * FROM (VALUES
+       |  $cbVals) AS t(s, code, c, hn)),
+       |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |cellscored AS (
+       | SELECT v.vec_id, v.e, c.cell, list_dot_product(v.e, c.c) AS score
+       | FROM v CROSS JOIN cents c),
+       |best AS (
+       | SELECT vec_id, e, cell FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY score DESC, cell DESC) AS rn FROM cellscored)
+       | WHERE rn = 1),
+       |codescored AS (
+       | SELECT b.vec_id, cb.s, cb.code,
+       |  list_dot_product(CASE cb.s $subCase END, cb.c) - cb.hn AS score
+       | FROM best b CROSS JOIN cb),
+       |bestcode AS (
+       | SELECT vec_id, s, code FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id, s
+       |    ORDER BY score DESC, code DESC) AS rn FROM codescored)
+       | WHERE rn = 1),
+       |codes AS (SELECT vec_id,
+       |  $codeCols
+       | FROM bestcode GROUP BY vec_id),
+       |corpus AS (
+       | SELECT b.vec_id, b.cell, codes.* EXCLUDE (vec_id)
+       | FROM best b JOIN codes USING (vec_id)),
+       |q AS (SELECT vec_id AS q_vec_id, cell, e FROM best WHERE vec_id < 8),
+       |p AS (
+       | SELECT q.q_vec_id, c.cell, c.vec_id AS neighbor_vec_id, q.e,
+       |  c.c0, c.c1, c.c2, c.c3
+       | FROM q JOIN corpus c ON q.cell = c.cell
+       |  AND c.vec_id <> q.q_vec_id),
+       |adc AS (
+       | SELECT p.q_vec_id, p.cell, p.neighbor_vec_id,
+       |  $adcSum AS score
+       | FROM p
+       | $adcJoins),
+       |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_vec_id
+       |  ORDER BY score DESC, neighbor_vec_id) AS INTEGER) AS rk FROM adc)
+       |SELECT q_vec_id, cell, neighbor_vec_id, round(score, 6) AS adc_dot, rk
        |FROM r WHERE rk <= 3""".stripMargin
   }
 
@@ -1449,6 +1518,7 @@ object SparkEntry {
     "d_dedup_pipeline" -> dedupPipelineSql,
     "sim_ann_lsh" -> annLshSql,
     "sim_ann_ivf" -> annIvfSql,
+    "sim_ann_ivfpq" -> annIvfPqSql,
     "sim_ann_recall" -> annRecallSql,
     "sim_ann_recall_ivf" -> annRecallIvfSql,
     "sim_lsh_join" -> lshJoinSql,

@@ -212,6 +212,83 @@ object SimilarityOps {
         round(col("cos"), 6).as("cos_sim"), col("rk"))
   }
 
+  /** PQ codebooks: M subspaces over dim/M-dim subvectors, K centroids
+    * each (deterministic seed, distinct from the LSH hyperplane and
+    * IVF centroid seeds). In production these come from k-means over
+    * a sample; fixed pseudo-random codebooks keep the fixture
+    * deterministic while exercising the identical index machinery.
+    */
+  def pqCodebooks(dim: Int = 64, m: Int = 4, k: Int = 8,
+      seed: Long = 11L): Array[Array[Array[Double]]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(m)(Array.fill(k)(Array.fill(dim / m)(rnd.nextDouble() * 2 - 1)))
+  }
+
+  private def subVec(e: Column, s: Int, len: Int): Column =
+    slice(e, s * len + 1, len)
+
+  /** Per-subspace PQ code: argmin-L2 centroid via the equivalent
+    * argmax of (dot − ||c||²/2) — ties break to the highest code
+    * (greatest-of-structs), mirrored exactly in the oracle SQL. */
+  private def pqCodeCol(e: Column, book: Array[Array[Double]],
+      s: Int, len: Int): Column = {
+    val scored = book.zipWithIndex.map { case (c, j) =>
+      val cArr = array(c.toIndexedSeq.map(lit(_)): _*)
+      val halfNorm = c.map(x => x * x).sum / 2
+      struct((dot(subVec(e, s, len), cArr) - lit(halfNorm)).as("score"),
+        lit(j).as("code"))
+    }
+    greatest(scored.toIndexedSeq: _*).getField("code")
+  }
+
+  /** IVF-PQ ANN — the production composition (FAISS-style): the
+    * coarse quantizer prunes the search to one cell (IVF) and product
+    * quantization compresses every corpus vector to M small codes, so
+    * candidate scoring never touches raw corpus vectors. Queries stay
+    * uncompressed (asymmetric distance computation): each query
+    * precomputes its M×K table of subvector·centroid dots ONCE, and a
+    * candidate's approximate dot is M array lookups summed — at 100 TB
+    * the corpus index is codes + cell ids (a few bytes/vector instead
+    * of 4·dim), the ADC tables are per-query constants broadcast with
+    * the query set, and the scan is the same cell-pruned equi-join as
+    * IVF. Returns top-3 by approximate dot; recall vs the exact
+    * brute-force neighbors is the quality metric (EstimatorSpec).
+    */
+  def annIvfPq(spark: SparkSession, sfDir: String): DataFrame =
+    annIvfPqOf(withNorm(Tables.load(spark, sfDir, "embeddings")))
+
+  private def annIvfPqOf(vn: DataFrame): DataFrame = {
+    val cs = centroids(64, 16)
+    val books = pqCodebooks()
+    val len = 64 / books.length
+    val v = vn.withColumn("cell", ivfCell(col("e"), cs))
+    // compressed corpus index: cell + M codes per vector
+    val coded = v.select(
+      col("vec_id") +: col("cell") +:
+        books.indices.map(s =>
+          pqCodeCol(col("e"), books(s), s, len).as(s"c$s")): _*)
+    // queries: own cell + per-subspace ADC lookup tables
+    val q = v.filter(col("vec_id") < 8).select(
+      col("vec_id").as("q_vec_id") +: col("cell") +:
+        books.indices.map { s =>
+          array(books(s).toIndexedSeq.map(c =>
+            dot(subVec(col("e"), s, len),
+              array(c.toIndexedSeq.map(lit(_)): _*))): _*).as(s"adc$s")
+        }: _*)
+    val pairs = coded.join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_vec_id"))
+      .withColumn("score", books.indices.map(s =>
+        element_at(col(s"adc$s"), col(s"c$s") + 1)).reduce(_ + _))
+    val w = Window.partitionBy("q_vec_id")
+      .orderBy(col("score").desc, col("vec_id"))
+    pairs
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("q_vec_id"), col("cell"),
+        col("vec_id").as("neighbor_vec_id"),
+        round(col("score"), 6).as("adc_dot"), col("rk"))
+  }
+
   /** Recall@3 of the LSH-bucketed ANN against the brute-force
     * neighbors, per query — search QUALITY tracked by the same
     * oracle harness as correctness (an ANN that silently degrades

@@ -89,6 +89,43 @@ class EstimatorSpec extends SparkSpec {
       s"$missed high-similarity pairs missed by LSH banding")
   }
 
+  test("IVF-PQ: ADC score is exactly the query·reconstruction dot") {
+    val books = SimilarityOps.pqCodebooks()
+    val len = 64 / books.length
+    val emb = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    // recompute each vector's codes the definitional way (true argmin
+    // L2 per subspace) and check ADC output rows against the identity
+    // adc = dot(query, concat(chosen centroids))
+    def codesOf(v: Array[Double]): Array[Int] =
+      books.indices.map { s =>
+        val sub = v.slice(s * len, (s + 1) * len)
+        books(s).indices.minBy { j =>
+          val c = books(s)(j)
+          // argmin L2; mirror the operator's tie-break (highest code)
+          (sub.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum, -j)
+        }
+      }.toArray
+    val out = SimilarityOps.annIvfPq(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    for (r <- out) {
+      val (qid, nid, adc) = (r.getLong(0), r.getLong(2), r.getDouble(3))
+      val recon = codesOf(emb(nid)).zipWithIndex
+        .flatMap { case (c, s) => books(s)(c) }
+      val expected = emb(qid).zip(recon).map { case (a, b) => a * b }.sum
+      assert(math.abs(adc - expected) < 1e-6,
+        s"q$qid n$nid: adc $adc != reconstruction dot $expected")
+    }
+    // ranks are 1..3 per query, scores descending within a query
+    for ((_, g) <- out.groupBy(_.getLong(0))) {
+      val byRk = g.sortBy(_.getInt(4))
+      assert(byRk.map(_.getInt(4)).sameElements(1 to byRk.length))
+      assert(byRk.map(_.getDouble(3)).sliding(2).forall(
+        p => p.length < 2 || p(0) >= p(1)))
+    }
+  }
+
   test("cross-source matrix conserves the LSH pair set") {
     val m = DedupOps.crossSourceDups(spark, sfDir).collect()
     // unordered-pair key: canonical orientation, no double counting
