@@ -23,7 +23,7 @@ import org.apache.spark.sql.functions._
 class BloomFilterSpec extends SparkSpec {
 
   test("bloom-filtered write enables point-lookup row-group skipping") {
-    val out = Files.createTempDirectory("graft-bloom-").toString + "/orders"
+    val out = graft.Scratch.dir("graft-bloom-").toString + "/orders"
     val orders = Tables.load(spark, sfDir, "orders")
     // spread keys over several files so the point key lives in only
     // some row groups — the skip has something to skip

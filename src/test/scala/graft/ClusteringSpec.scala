@@ -52,7 +52,7 @@ class ClusteringSpec extends SparkSpec {
   }
 
   test("range-clustered write makes row groups skippable by min/max stats") {
-    val base = Files.createTempDirectory("graft-cluster-").toString
+    val base = graft.Scratch.dir("graft-cluster-").toString
     val ev = Tables.load(spark, sfDir, "events")
 
     // clustered: contiguous key slices per file, sorted within

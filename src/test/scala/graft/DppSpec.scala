@@ -18,7 +18,7 @@ import org.apache.spark.sql.functions._
 class DppSpec extends SparkSpec {
 
   test("a filtered dimension prunes fact partitions at runtime") {
-    val out = Files.createTempDirectory("graft-dpp-").toString + "/events"
+    val out = graft.Scratch.dir("graft-dpp-").toString + "/events"
     Tables.load(spark, sfDir, "events")
       .write.partitionBy("event_type").parquet(out)
     val fact = spark.read.parquet(out)
@@ -30,7 +30,7 @@ class DppSpec extends SparkSpec {
     // SELECTIVE predicate shape — an equality/In/Like comparison; a
     // bare boolean attribute does not qualify
     val dimPath =
-      Files.createTempDirectory("graft-dpp-dim-").toString + "/dim"
+      graft.Scratch.dir("graft-dpp-dim-").toString + "/dim"
     Seq(
       ("purchase", "active"), ("click", "off"), ("view", "off"),
       ("signup", "off"), ("error", "off"))

@@ -38,8 +38,8 @@ class EstimatorSpec extends SparkSpec {
       .groupBy((col("o_orderkey") % 8).as("bucket"))
       .agg(hll_sketch_agg(col("o_custkey"), lit(12)).as("sketch"))
     val direct = mergedEst(sketches)
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft-sketch-rt-").toString + "/sketches"
+    val dir = graft.Scratch
+      .dir("graft-sketch-rt-").toString + "/sketches"
     sketches.write.parquet(dir)
     val roundTripped = mergedEst(spark.read.parquet(dir))
     assert(roundTripped === direct,
@@ -257,8 +257,8 @@ class EstimatorSpec extends SparkSpec {
     // metric with it (the runtime twin of the cap=1 constant-folding
     // note in the minhash cap test).
     import spark.implicits._
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft-neardup-").toString
+    val dir = graft.Scratch
+      .dir("graft-neardup-").toString
     val mega = Array.fill(64)(0.5f).toSeq
     val small = Array.fill(64)(-0.5f).toSeq
     ((0 until 10).map(i => (i * 10L, "mega", mega)) ++

@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
 class PipelineSpec extends SparkSpec {
 
   test("removeTtl: one call strips, sorts, lays out, and keeps originals") {
-    val out = Files.createTempDirectory("graft-pipe-").toString + "/out"
+    val out = graft.Scratch.dir("graft-pipe-").toString + "/out"
     val written = Pipeline.removeTtlFromDir(
       spark, sfDir, out, CellModel.eventsMeta)
     val ev = Tables.load(spark, sfDir, "events")
@@ -65,7 +65,7 @@ class PipelineSpec extends SparkSpec {
     }
     spark.listenerManager.register(listener)
     try {
-      val out = Files.createTempDirectory("graft-obs-").toString + "/out"
+      val out = graft.Scratch.dir("graft-obs-").toString + "/out"
       val written = Pipeline.removeTtlFromDir(
         spark, sfDir, out, CellModel.eventsMeta)
       assert(written === Tables.load(spark, sfDir, "events").count())
@@ -85,7 +85,7 @@ class PipelineSpec extends SparkSpec {
     // parity with the reference CLI's --cql: the user declares keys +
     // cell columns on the command line and ANY table goes through the
     // same strip→sort→layout pipeline (TTLRemoverCLI.java:166-170)
-    val out = Files.createTempDirectory("graft-cli-").toString + "/out"
+    val out = graft.Scratch.dir("graft-cli-").toString + "/out"
     val argv = Array(
       "--in", sfDir, "--out", out, "--table", "orders",
       "--keyspace", "shop", "--pk", "o_orderkey",
@@ -127,7 +127,7 @@ class PipelineSpec extends SparkSpec {
     // map/list carries its own liveness (`Cassandra3TTLRemover.java:
     // 180-186`). A declared map/array column must therefore cellify PER
     // ELEMENT, and the strip must clear each element's TTL.
-    val base = Files.createTempDirectory("graft-coll-").toString
+    val base = graft.Scratch.dir("graft-coll-").toString
     val inDir = s"$base/in"
     val out = s"$base/out"
     val src = Tables.load(spark, sfDir, "orders").limit(200)

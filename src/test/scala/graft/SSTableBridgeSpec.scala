@@ -56,7 +56,7 @@ class SSTableBridgeSpec extends SparkSpec {
       |]""".stripMargin
 
   private def writeDump(): String = {
-    val dir = Files.createTempDirectory("graft-sstable-")
+    val dir = graft.Scratch.dir("graft-sstable-")
     Files.writeString(dir.resolve("mc-1-big-Data.json"), dump)
     dir.toString
   }
@@ -91,7 +91,7 @@ class SSTableBridgeSpec extends SparkSpec {
   }
 
   test("convert → removeTtl preserves rows and strips only liveness") {
-    val out = Files.createTempDirectory("graft-sstable-out-").toString
+    val out = graft.Scratch.dir("graft-sstable-out-").toString
     SSTableDumpBridge.convert(spark, writeDump(), out)
 
     val stripped = SSTableDumpBridge.removeTtl(spark, out)
@@ -117,7 +117,7 @@ class SSTableBridgeSpec extends SparkSpec {
 
   test("RemoverCli --format sstabledump runs the whole lifecycle over a dump") {
     val in = writeDump()
-    val out = Files.createTempDirectory("graft-sstable-cli-").toString + "/o"
+    val out = graft.Scratch.dir("graft-sstable-cli-").toString + "/o"
     val parsed = RemoverCli.parse(Array(
       "--in", in, "--out", out, "--table", "tbl",
       "--keyspace", "realks", "--format", "sstabledump"))

@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
 class SinkSpec extends SparkSpec {
 
   test("partitioned sorted write round-trips rows and layout") {
-    val out = Files.createTempDirectory("graft-sink-").toString
+    val out = graft.Scratch.dir("graft-sink-").toString
     val stripped = TtlOps.ttlStrip(spark, sfDir)
 
     stripped
@@ -43,7 +43,7 @@ class SinkSpec extends SparkSpec {
     // a partition-column predicate must become a PartitionFilter (file
     // index skips the directory) and never a data filter (which would
     // open every file and discard rows)
-    val out = Files.createTempDirectory("graft-prune-").toString
+    val out = graft.Scratch.dir("graft-prune-").toString
     TtlOps.ttlStrip(spark, sfDir)
       .write.partitionBy("event_type").mode("overwrite").parquet(out)
     val one = spark.read.parquet(out)
@@ -67,7 +67,7 @@ class SinkSpec extends SparkSpec {
     // NULLs in the new column and new files keep their data — the
     // lakehouse analogue of the reference's runtime schema discovery
     // (it parses whatever CREATE TABLE the data directory declares)
-    val dir = Files.createTempDirectory("graft-evolve-").toString
+    val dir = graft.Scratch.dir("graft-evolve-").toString
     val v1 = Tables.load(spark, sfDir, "region")
       .select(col("r_regionkey"), col("r_name"))
     v1.write.parquet(s"$dir/batch=1")
@@ -104,7 +104,7 @@ class SinkSpec extends SparkSpec {
   }
 
   test("output file sizing via maxRecordsPerFile (writer-sizing analogue)") {
-    val out = Files.createTempDirectory("graft-sized-").toString
+    val out = graft.Scratch.dir("graft-sized-").toString
     TtlOps.ttlStrip(spark, sfDir)
       .coalesce(1)
       .write.option("maxRecordsPerFile", 100)
@@ -122,7 +122,7 @@ class SinkSpec extends SparkSpec {
     // (NoTTLReader.java:418-471); Spark's per-file analogue is
     // spark.sql.files.ignoreCorruptFiles — demonstrated against a real
     // garbage file, not just cited
-    val dir = Files.createTempDirectory("graft-s10-").toString
+    val dir = graft.Scratch.dir("graft-s10-").toString
     val region = Tables.load(spark, sfDir, "region")
     region.write.mode("overwrite").parquet(dir)
     java.nio.file.Files.write(
@@ -142,12 +142,12 @@ class SinkSpec extends SparkSpec {
     val schema = df.schema
     val cols = df.columns.sorted.map(col _)
 
-    val jsonOut = Files.createTempDirectory("graft-json-").toString
+    val jsonOut = graft.Scratch.dir("graft-json-").toString
     df.write.mode("overwrite").json(jsonOut)
     val fromJson = spark.read.schema(schema).json(jsonOut)
     assert(df.select(cols: _*).exceptAll(fromJson.select(cols: _*)).isEmpty)
 
-    val csvOut = Files.createTempDirectory("graft-csv-").toString
+    val csvOut = graft.Scratch.dir("graft-csv-").toString
     df.write.mode("overwrite").option("header", "true").csv(csvOut)
     val fromCsv = spark.read.schema(schema)
       .option("header", "true").csv(csvOut)

@@ -16,7 +16,7 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.warehouse.dir",
-      java.nio.file.Files.createTempDirectory("graft-wh-").toString)
+      graft.Scratch.dir("graft-wh-").toString)
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 

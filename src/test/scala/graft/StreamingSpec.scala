@@ -100,8 +100,8 @@ class StreamingSpec extends SparkSpec {
       // max: exactly A_end + 1h, plus 999us the ms-floor must drop
       (3L, 1L, "view", 3.0, (baseUs + 2 * hourUs + 999) * 1000L, "{}"))
       .toDF("event_id", "user_id", "event_type", "value", "ts", "props")
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft-boundary-").toString
+    val dir = graft.Scratch
+      .dir("graft-boundary-").toString
     rows.coalesce(1).write.parquet(s"$dir/events.parquet")
     val emitted = StreamingOps.windowAggAppend(spark, dir)
     val starts = emitted.select("window_start_us")
@@ -119,8 +119,8 @@ class StreamingSpec extends SparkSpec {
     // closed windows (open-window state carried across runs), and the
     // union equals a one-shot run over the full directory.
     import org.apache.spark.sql.functions._
-    val base = java.nio.file.Files
-      .createTempDirectory("graft-incr-").toString
+    val base = graft.Scratch
+      .dir("graft-incr-").toString
     val in = s"$base/in"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
     val ev = Tables.load(spark, sfDir, "events")
     val (mn, mx) = ev.agg(min("ts"), max("ts")).as[(Long, Long)](
@@ -176,8 +176,8 @@ class StreamingSpec extends SparkSpec {
     // metrics, not inferred from output.
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.streaming.Trigger
-    val base = java.nio.file.Files
-      .createTempDirectory("graft-wm-evict-").toString
+    val base = graft.Scratch
+      .dir("graft-wm-evict-").toString
     val in = s"$base/in"
     val t0 = 1700000000000000L // epoch micros
     import spark.implicits._
@@ -225,8 +225,8 @@ class StreamingSpec extends SparkSpec {
     // one file's rows, while the total equals the directory's rows.
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.streaming.Trigger
-    val base = java.nio.file.Files
-      .createTempDirectory("graft-pace-").toString
+    val base = graft.Scratch
+      .dir("graft-pace-").toString
     val in = s"$base/in"
     val ev = Tables.load(spark, sfDir, "events")
     val total = ev.count()
