@@ -167,6 +167,7 @@ object SparkEntry {
     "sim_ann_lsh" -> (SimilarityOps.annLsh _),
     "sim_ann_ivf" -> (SimilarityOps.annIvf _),
     "sim_ann_ivfpq" -> (SimilarityOps.annIvfPq _),
+    "sim_ann_recall_pq" -> (SimilarityOps.annRecallIvfPq _),
     "sim_ann_recall" -> (SimilarityOps.annRecall _),
     "sim_ann_recall_ivf" -> (SimilarityOps.annRecallIvf _),
     // custom logical node + Catalyst rewrite rule (graft.plans):
@@ -330,31 +331,36 @@ object SparkEntry {
 
   private lazy val annIvfPqSql: String = {
     val cs = SimilarityOps.centroids(64, 16)
-    val books = SimilarityOps.pqCodebooks()
-    val len = 64 / books.length
+    val (m, len) = (4, 16)
+    val base = SimilarityOps.PqSampleBase
     val centVals = cs.zipWithIndex
       .map { case (c, i) => s"($i, ${sqlVec(c)})" }.mkString(",\n  ")
-    // codebook rows carry the same Scala-computed half-norm constant
-    // the Spark expression inlines, so the argmax scores are built
-    // from identical literals
-    val cbVals = books.zipWithIndex.flatMap { case (book, s) =>
-      book.zipWithIndex.map { case (c, j) =>
-        s"($s, $j, ${sqlVec(c)}, ${c.map(x => x * x).sum / 2})"
-      }
-    }.mkString(",\n  ")
     def sub(e: String, s: Int) = s"$e[${s * len + 1}:${(s + 1) * len}]"
-    val subCase = books.indices.map(s =>
+    // codebooks come FROM THE DATA (subvectors of the fixed training
+    // sample), exactly as SimilarityOps.pqCodebooks reads them; both
+    // engines widen the same floats to double, so centroid values and
+    // the half-norm (a sequential 16-term dot in both) are identical
+    val cbUnions = (0 until m).map { s =>
+      val sl = sub("e", s)
+      s"SELECT $s AS s, code, $sl AS c," +
+        s" list_dot_product($sl, $sl) / 2 AS hn," +
+        s" list_dot_product($sl, $sl) AS cn FROM samp"
+    }.mkString("\n UNION ALL\n ")
+    val subCase = (0 until m).map(s =>
       s"WHEN ${s} THEN ${sub("b.e", s)}").mkString(" ")
-    val codeCols = books.indices.map(s =>
+    val codeCols = (0 until m).map(s =>
       s"max(CASE WHEN s = $s THEN code END) AS c$s").mkString(",\n  ")
-    val adcJoins = books.indices.map(s =>
+    val adcJoins = (0 until m).map(s =>
       s"JOIN cb b$s ON b$s.s = $s AND b$s.code = p.c$s").mkString("\n ")
-    val adcSum = books.indices.map(s =>
+    val adcSum = (0 until m).map(s =>
       s"list_dot_product(${sub("p.e", s)}, b$s.c)").mkString(" + ")
     s"""WITH cents AS (SELECT * FROM (VALUES
        |  $centVals) AS t(cell, c)),
-       |cb AS (SELECT * FROM (VALUES
-       |  $cbVals) AS t(s, code, c, hn)),
+       |samp AS (SELECT CAST(vec_id - $base AS INTEGER) AS code,
+       |  CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+       | WHERE vec_id >= $base AND vec_id < $base + 64),
+       |cb AS (
+       | $cbUnions),
        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
        |cellscored AS (
        | SELECT v.vec_id, v.e, c.cell, list_dot_product(v.e, c.c) AS score
@@ -387,14 +393,46 @@ object SparkEntry {
        |  AND c.vec_id <> q.q_vec_id),
        |adc AS (
        | SELECT p.q_vec_id, p.cell, p.neighbor_vec_id,
-       |  $adcSum AS score
+       |  ($adcSum)
+       |   / sqrt(b0.cn + b1.cn + b2.cn + b3.cn) AS score
        | FROM p
        | $adcJoins),
        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_vec_id
        |  ORDER BY score DESC, neighbor_vec_id) AS INTEGER) AS rk FROM adc)
-       |SELECT q_vec_id, cell, neighbor_vec_id, round(score, 6) AS adc_dot, rk
+       |SELECT q_vec_id, cell, neighbor_vec_id, round(score, 6) AS adc_cos, rk
        |FROM r WHERE rk <= 3""".stripMargin
   }
+
+  /** PQ recall oracle: the cosine-ranked scaffold does not apply (the
+    * PQ ann side ranks by ADC, not cosine), so the ann set embeds the
+    * full IVF-PQ query verbatim and only the brute side + recall math
+    * are restated. */
+  private lazy val annRecallPqSql: String =
+    s"""WITH pqann AS (
+       | SELECT q_vec_id, neighbor_vec_id FROM (
+       |$annIvfPqSql
+       | ) x),
+       |v2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+       |  FROM embeddings),
+       |n2 AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm
+       |  FROM v2),
+       |q2 AS (SELECT vec_id AS q_vec_id, e AS qe, nrm AS qnrm FROM n2
+       |  WHERE vec_id < 8),
+       |bpairs AS (
+       | SELECT q2.q_vec_id, c.vec_id AS neighbor_vec_id,
+       |  list_dot_product(q2.qe, c.e) / (q2.qnrm * c.nrm) AS cos
+       | FROM q2 JOIN n2 c ON c.vec_id <> q2.q_vec_id),
+       |brute AS (SELECT q_vec_id, neighbor_vec_id FROM (
+       | SELECT *, row_number() OVER (PARTITION BY q_vec_id
+       |   ORDER BY cos DESC, neighbor_vec_id) AS rk FROM bpairs)
+       | WHERE rk <= 3),
+       |h AS (SELECT b.q_vec_id, count(*) AS hits
+       | FROM brute b JOIN pqann a USING (q_vec_id, neighbor_vec_id)
+       | GROUP BY 1),
+       |t AS (SELECT q_vec_id, count(*) AS n_true FROM brute GROUP BY 1)
+       |SELECT t.q_vec_id, CAST(coalesce(h.hits, 0) AS BIGINT) AS n_hits,
+       | round(CAST(coalesce(h.hits, 0) AS DOUBLE) / t.n_true, 6) AS recall
+       |FROM t LEFT JOIN h USING (q_vec_id)""".stripMargin
 
   /** Shared recall@3 oracle scaffold: `nCtes` must define a CTE `n`
     * with columns (vec_id, e, nrm, `key`); the brute side ranks over
@@ -1519,6 +1557,7 @@ object SparkEntry {
     "sim_ann_lsh" -> annLshSql,
     "sim_ann_ivf" -> annIvfSql,
     "sim_ann_ivfpq" -> annIvfPqSql,
+    "sim_ann_recall_pq" -> annRecallPqSql,
     "sim_ann_recall" -> annRecallSql,
     "sim_ann_recall_ivf" -> annRecallIvfSql,
     "sim_lsh_join" -> lshJoinSql,

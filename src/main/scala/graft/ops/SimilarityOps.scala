@@ -212,16 +212,34 @@ object SimilarityOps {
         round(col("cos"), 6).as("cos_sim"), col("rk"))
   }
 
-  /** PQ codebooks: M subspaces over dim/M-dim subvectors, K centroids
-    * each (deterministic seed, distinct from the LSH hyperplane and
-    * IVF centroid seeds). In production these come from k-means over
-    * a sample; fixed pseudo-random codebooks keep the fixture
-    * deterministic while exercising the identical index machinery.
+  /** First vec_id of the PQ training sample — disjoint from the audit
+    * query set (vec_id < 8) so the index is never trained on its own
+    * queries. */
+  val PqSampleBase = 100L
+
+  /** PQ codebooks trained deterministically FROM THE CORPUS: centroid
+    * j of subspace s is the s-th subvector of sample vector
+    * [[PqSampleBase]]+j. Real deployments run k-means here; sampling
+    * actual data vectors is the deterministic stand-in that keeps the
+    * codebook ON the data manifold — a codebook at the data's own
+    * scale and shape is what makes quantization cells informative
+    * (random centroids collapse every vector onto the "least bad" few
+    * codes and ADC ranking degenerates to noise). Training is a
+    * driver-side read of K tiny rows — the same index-build step any
+    * ANN system performs before serving, NOT a per-row collect.
     */
-  def pqCodebooks(dim: Int = 64, m: Int = 4, k: Int = 8,
-      seed: Long = 11L): Array[Array[Array[Double]]] = {
-    val rnd = new scala.util.Random(seed)
-    Array.fill(m)(Array.fill(k)(Array.fill(dim / m)(rnd.nextDouble() * 2 - 1)))
+  def pqCodebooks(spark: SparkSession, sfDir: String, m: Int = 4,
+      k: Int = 64): Array[Array[Array[Double]]] = {
+    val sample = Tables.load(spark, sfDir, "embeddings")
+      .filter(col("vec_id") >= PqSampleBase &&
+        col("vec_id") < PqSampleBase + k)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray)
+    require(sample.length == k,
+      s"PQ training sample: expected $k vectors, found ${sample.length}")
+    val len = sample.head.length / m
+    Array.tabulate(m)(s => sample.map(_.slice(s * len, (s + 1) * len)))
   }
 
   private def subVec(e: Column, s: Int, len: Int): Column =
@@ -255,19 +273,34 @@ object SimilarityOps {
     * brute-force neighbors is the quality metric (EstimatorSpec).
     */
   def annIvfPq(spark: SparkSession, sfDir: String): DataFrame =
-    annIvfPqOf(withNorm(Tables.load(spark, sfDir, "embeddings")))
+    annIvfPqOf(withNorm(Tables.load(spark, sfDir, "embeddings")),
+      pqCodebooks(spark, sfDir))
 
-  private def annIvfPqOf(vn: DataFrame): DataFrame = {
+  private def annIvfPqOf(vn: DataFrame,
+      books: Array[Array[Array[Double]]]): DataFrame = {
     val cs = centroids(64, 16)
-    val books = pqCodebooks()
     val len = 64 / books.length
     val v = vn.withColumn("cell", ivfCell(col("e"), cs))
-    // compressed corpus index: cell + M codes per vector
-    val coded = v.select(
+    // compressed corpus index: cell + M codes per vector, plus the
+    // reconstruction norm — derivable from the codes alone (the
+    // reconstruction is the concatenation of chosen centroids, so its
+    // squared norm is the sum of per-subspace centroid squared norms,
+    // a lookup against per-codebook constants). Ranking by ADC/‖recon‖
+    // approximates COSINE: raw ADC dot favors candidates whose
+    // quantization landed on longer centroids, which buries true
+    // neighbors under reconstruction-norm noise.
+    val coded0 = v.select(
       col("vec_id") +: col("cell") +:
         books.indices.map(s =>
           pqCodeCol(col("e"), books(s), s, len).as(s"c$s")): _*)
-    // queries: own cell + per-subspace ADC lookup tables
+    val coded = coded0.withColumn("recon_nrm",
+      sqrt(books.indices.map { s =>
+        val normsq = array(books(s).toIndexedSeq.map(c =>
+          lit(c.map(x => x * x).sum)): _*)
+        element_at(normsq, col(s"c$s") + 1)
+      }.reduce(_ + _)))
+    // queries: own cell + per-subspace ADC lookup tables (K dots per
+    // subspace, computed once per query, broadcast with the query set)
     val q = v.filter(col("vec_id") < 8).select(
       col("vec_id").as("q_vec_id") +: col("cell") +:
         books.indices.map { s =>
@@ -278,7 +311,8 @@ object SimilarityOps {
     val pairs = coded.join(broadcast(q), Seq("cell"))
       .filter(col("vec_id") =!= col("q_vec_id"))
       .withColumn("score", books.indices.map(s =>
-        element_at(col(s"adc$s"), col(s"c$s") + 1)).reduce(_ + _))
+        element_at(col(s"adc$s"), col(s"c$s") + 1)).reduce(_ + _)
+        / col("recon_nrm"))
     val w = Window.partitionBy("q_vec_id")
       .orderBy(col("score").desc, col("vec_id"))
     pairs
@@ -286,7 +320,7 @@ object SimilarityOps {
       .filter(col("rk") <= 3)
       .select(col("q_vec_id"), col("cell"),
         col("vec_id").as("neighbor_vec_id"),
-        round(col("score"), 6).as("adc_dot"), col("rk"))
+        round(col("score"), 6).as("adc_cos"), col("rk"))
   }
 
   /** Recall@3 of the LSH-bucketed ANN against the brute-force
@@ -304,6 +338,15 @@ object SimilarityOps {
   /** Recall@3 of the IVF variant, same harness. */
   def annRecallIvf(spark: SparkSession, sfDir: String): DataFrame =
     annRecallOf(spark, sfDir, annIvfOf)
+
+  /** Recall@3 of the IVF-PQ variant, same harness — this one measures
+    * BOTH error sources at once: cell pruning (candidates outside the
+    * query's cell are invisible) and quantization (ADC reorders
+    * near-ties within the cell). */
+  def annRecallIvfPq(spark: SparkSession, sfDir: String): DataFrame = {
+    val books = pqCodebooks(spark, sfDir)
+    annRecallOf(spark, sfDir, v => annIvfPqOf(v, books))
+  }
 
   private def annRecallOf(spark: SparkSession, sfDir: String,
       annIndex: DataFrame => DataFrame): DataFrame = {

@@ -89,8 +89,8 @@ class EstimatorSpec extends SparkSpec {
       s"$missed high-similarity pairs missed by LSH banding")
   }
 
-  test("IVF-PQ: ADC score is exactly the query·reconstruction dot") {
-    val books = SimilarityOps.pqCodebooks()
+  test("IVF-PQ: ADC score is exactly the query·reconstruction cosine") {
+    val books = SimilarityOps.pqCodebooks(spark, sfDir)
     val len = 64 / books.length
     val emb = Tables.load(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>"))
@@ -113,9 +113,10 @@ class EstimatorSpec extends SparkSpec {
       val (qid, nid, adc) = (r.getLong(0), r.getLong(2), r.getDouble(3))
       val recon = codesOf(emb(nid)).zipWithIndex
         .flatMap { case (c, s) => books(s)(c) }
-      val expected = emb(qid).zip(recon).map { case (a, b) => a * b }.sum
+      val dotQR = emb(qid).zip(recon).map { case (a, b) => a * b }.sum
+      val expected = dotQR / math.sqrt(recon.map(x => x * x).sum)
       assert(math.abs(adc - expected) < 1e-6,
-        s"q$qid n$nid: adc $adc != reconstruction dot $expected")
+        s"q$qid n$nid: adc $adc != reconstruction cosine $expected")
     }
     // ranks are 1..3 per query, scores descending within a query
     for ((_, g) <- out.groupBy(_.getLong(0))) {
