@@ -126,6 +126,7 @@ object SparkEntry {
     "corp_split" -> (CorpusOps.evalSplit _),
     "corp_upsample" -> (CorpusOps.upsampleAudit _),
     "corp_version_diff" -> (CorpusOps.versionDiffAudit _),
+    "corp_chunk" -> (CorpusOps.chunkAudit _),
     "corp_adaptive_quality" -> ((s: SparkSession, d: String) =>
       CorpusOps.adaptiveQualityGate(s, d)),
     // --- dedup ---
@@ -1361,6 +1362,26 @@ object SparkEntry {
         |   ORDER BY h, doc_id) AS INTEGER) AS pos,
         | doc_id
         |FROM h""".stripMargin,
+    // chunking: the oracle regenerates every window (starts 0,48,96,…
+    // below n_tokens; slice capped at 64) and digests the same
+    // space-joined text, so window contents and boundaries compare
+    // exactly — DuckDB slice l[a:b] is inclusive, hence start+window
+    // as an exclusive bound maps to [start+1 : start+window]
+    "corp_chunk" ->
+      """WITH t AS (
+        | SELECT doc_id, source,
+        |  string_split_regex(trim(text), '\s+') AS t,
+        |  len(string_split_regex(trim(text), '\s+')) AS n_tokens
+        | FROM documents),
+        |s AS (
+        | SELECT doc_id, source, t, n_tokens,
+        |  unnest(generate_series(0, n_tokens - 1, 48)) AS start
+        | FROM t)
+        |SELECT doc_id, source,
+        | CAST(start / 48 AS BIGINT) AS chunk_id,
+        | CAST(least(64, n_tokens - start) AS INTEGER) AS n_chunk_tokens,
+        | md5(array_to_string(t[start + 1 : start + 64], ' ')) AS chunk_md5
+        |FROM s""".stripMargin,
     // version diff: the oracle regenerates the same derived v2 and
     // classifies through the same full-outer hash comparison
     "corp_version_diff" ->

@@ -118,6 +118,45 @@ object CorpusOps {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).cast("long").as("pack_tokens"))
 
+  /** Token-window document chunking — how long documents become
+    * training sequences: sliding windows of `window` tokens at
+    * `stride` steps (stride < window ⇒ overlapping context at the
+    * seams, the standard continuity trick). Pure per-row explode —
+    * zero shuffles, chunk identity (doc_id, chunk_id) deterministic,
+    * and the final short tail chunk is kept (dropping it silently
+    * loses every document's ending). Emits the chunk text digest
+    * rather than the text so the audit row stays narrow; downstream
+    * consumers call the same slice to materialize.
+    */
+  def chunk(docs: DataFrame, window: Int, stride: Int): DataFrame = {
+    require(stride >= 1 && window >= stride,
+      s"need 1 <= stride <= window, got window=$window stride=$stride")
+    val toks = split(trim(col("text")), "\\s+")
+    docs
+      .select(col("doc_id"), col("source"), toks.as("t"))
+      .withColumn("n_tokens", size(col("t")))
+      // starts 0, stride, 2·stride, … strictly below n_tokens
+      .select(col("doc_id"), col("source"), col("t"), col("n_tokens"),
+        explode(sequence(lit(0), col("n_tokens") - 1, lit(stride)))
+          .as("start"))
+      .select(
+        col("doc_id"),
+        col("source"),
+        (col("start") / stride).cast("long").as("chunk_id"),
+        least(lit(window), col("n_tokens") - col("start"))
+          .as("n_chunk_tokens"),
+        md5(concat_ws(" ",
+          slice(col("t"), col("start") + 1, lit(window)))).as("chunk_md5"))
+  }
+
+  /** Registered chunking audit: 64-token windows at stride 48 (16
+    * tokens of overlap) over the fixture corpus — every chunk row,
+    * digest-checked, so the oracle pins exact window contents and
+    * boundaries, not just counts.
+    */
+  def chunkAudit(spark: SparkSession, sfDir: String): DataFrame =
+    chunk(Tables.load(spark, sfDir, "documents"), window = 64, stride = 48)
+
   /** Corpus version diff — the release audit: what changed between
     * corpus v1 and v2, per source. Each side reduces to a narrow
     * (doc_id, source, content-hash) projection, then ONE full-outer

@@ -54,6 +54,32 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("chunk covers every token with the declared overlap, tail kept") {
+    val (w, s) = (64, 48)
+    val docs = Tables.load(spark, sfDir, "documents")
+    val chunks = CorpusOps.chunkAudit(spark, sfDir).collect()
+      .groupBy(_.getLong(0))
+    val nToks = docs.select(col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(chunks.keySet === nToks.keySet, "a document lost all chunks")
+    for ((doc, rows) <- chunks) {
+      val n = nToks(doc)
+      val byId = rows.sortBy(_.getLong(2))
+      // exactly ceil(n / stride) windows: ids 0..k-1, starts 0,s,2s,…<n
+      assert(byId.map(_.getLong(2)).sameElements(
+        0L until ((n + s - 1) / s).toLong), s"doc $doc: chunk ids")
+      // every chunk holds min(window, n - start) tokens — full
+      // coverage with w-s tokens of overlap at each seam, short tail
+      // preserved
+      for (r <- byId) {
+        val start = r.getLong(2).toInt * s
+        assert(r.getInt(3) === math.min(w, n - start),
+          s"doc $doc chunk ${r.getLong(2)}: size")
+      }
+    }
+  }
+
   test("versionDiff accounts both versions exactly, and is zero on self") {
     val docs = Tables.load(spark, sfDir, "documents")
     val m = CorpusOps.versionDiffAudit(spark, sfDir).collect()
