@@ -61,8 +61,18 @@ object Bench {
       .mkString("{", ",", "}")
     val failedNames = results.collect { case (k, None) => "\"" + k + "\"" }
     val total = results.flatMap(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":${
-      failedNames.mkString("[", ",", "]")},"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":${
+      failedNames.mkString("[", ",", "]")},"sf":"$sfDir"}"""
+    println(line)
+    // Defensive artifact copy: the harness captures stdout, but with
+    // 100+ per-query entries the one-line JSON has repeatedly survived
+    // only as a truncated tail in the recorded artifact. A file copy
+    // makes the full record recoverable regardless of capture limits.
+    try {
+      val p = java.nio.file.Paths.get("target", "bench_last.json")
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.writeString(p, line + "\n")
+    } catch { case _: java.io.IOException => () }
     spark.stop()
   }
 }

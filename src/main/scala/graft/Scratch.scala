@@ -44,10 +44,15 @@ object Scratch {
 
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
-      // deepest-first walk; best-effort (a vanished file is fine)
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => try Files.deleteIfExists(f) catch {
-          case _: java.io.IOException => ()
-        })
+      // deepest-first walk; best-effort (a vanished file is fine). The
+      // walk stream holds open directory handles — close it explicitly,
+      // or a long-lived bench/verify host leaks a descriptor per delete.
+      val s = Files.walk(p)
+      try {
+        s.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => try Files.deleteIfExists(f) catch {
+            case _: java.io.IOException => ()
+          })
+      } finally s.close()
     }
 }

@@ -143,7 +143,8 @@ object SparkEntry {
     // DedupOps.minhashProdRecall. Runs the full xxhash pipeline
     // end-to-end on a 2× corpus, so the bench still shows the
     // deployable hash's cost next to the md5-oracle tax.
-    "d_minhash_prod_recall" -> (DedupOps.minhashProdRecall _),
+    "d_minhash_prod_recall" -> ((s: SparkSession, d: String) =>
+      DedupOps.minhashProdRecall(s, d)),
     "d_simhash" -> ((s: SparkSession, d: String) =>
       DedupOps.simhash(s, d, DedupOps.Md5)),
     "d_cross_source_dups" -> ((s: SparkSession, d: String) =>

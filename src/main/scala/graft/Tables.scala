@@ -26,15 +26,22 @@ object Tables {
     * deliberate (the driver harness builds its own session and never
     * touches our mains, so the only place we can pin them is here), but
     * it means a host application embedding this library shares those
-    * settings session-wide. Embedders who need another timezone should
-    * run graft ops in a dedicated session (`spark.newSession()`).
+    * settings session-wide. Embedders who need their own settings have
+    * an escape hatch: set `spark.graft.pins=false` on the session and
+    * load() leaves both confs alone (then nanosAsLong must be handled
+    * by the embedder before reading the events table, and timestamp
+    * semantics follow the host timezone) — or run graft ops in a
+    * dedicated session (`spark.newSession()`).
     */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // Pin the session timezone too: timestamp-literal filters (q1/q3/q6)
-    // and the datetime scalar surface must agree with the UTC-pinned
-    // DuckDB oracle even when the host session defaults elsewhere.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if (spark.conf.get("spark.graft.pins", "true") != "false") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Pin the session timezone too: timestamp-literal filters
+      // (q1/q3/q6) and the datetime scalar surface must agree with the
+      // UTC-pinned DuckDB oracle even when the host session defaults
+      // elsewhere.
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
+    }
     spark.read.parquet(s"$sfDir/$name.parquet")
   }
 

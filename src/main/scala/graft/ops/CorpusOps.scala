@@ -449,8 +449,12 @@ object CorpusOps {
         count(lit(1)).as("n_raw"),
         sum(when(col("pass_q"), 1L).otherwise(0L)).as("n_quality"),
         sum(when(col("pass_mix"), 1L).otherwise(0L)).as("n_mixed"),
-        // packs are contiguous from 0, so max+1 counts them without a
-        // distinct rewrite
+        // max+1, NOT count(distinct): pack ids start at 0 and advance
+        // with the token cumsum, but a single document larger than the
+        // budget skips the ids its overflow straddles — so n_packs is
+        // the pack ID SPAN (straddle gaps included), the number a
+        // budget-sized sequential writer would allocate, not the count
+        // of non-empty packs. The oracle states the same definition.
         coalesce(max(col("pack_id")) + 1L, lit(0L)).as("n_packs"),
         sum(when(col("pass_mix"), col("n_tokens")).otherwise(0L))
           .cast("long").as("packed_tokens"))

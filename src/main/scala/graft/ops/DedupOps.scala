@@ -294,13 +294,26 @@ object DedupOps {
     * guaranteed pair on the Spark side only, which the oracle cannot
     * see); hash-quality properties (dispersion, cross-mode pair
     * agreement) remain EstimatorSpec's job.
+    *
+    * SCALE CAVEAT: because the cap is lifted, this audit must NOT run
+    * over a full 100 TB corpus — one boilerplate megabucket would
+    * become a single O(size²) task. At scale the audit runs on a
+    * deterministic sample via `sampleFraction` (hashCoin on doc_id, so
+    * the sampled set is stable across runs and re-partitioning); the
+    * clone-recall guarantee is per-document, so it holds on any
+    * subset. The fixture-sized registered query keeps the full corpus
+    * (fraction 1.0).
     */
-  def minhashProdRecall(spark: SparkSession, sfDir: String): DataFrame = {
+  def minhashProdRecall(spark: SparkSession, sfDir: String,
+      sampleFraction: Double = 1.0): DataFrame = {
     // original + clone come off ONE corpus scan: explode duplicates
     // rows, a union of two selects would duplicate the FileScan (no
     // scan sharing across union branches — same idiom as the sym
     // edge expansion in dedupComponents)
-    val both = Tables.loadBalanced(spark, sfDir, "documents")
+    val corpus0 = Tables.loadBalanced(spark, sfDir, "documents")
+    val both = (if (sampleFraction >= 1.0) corpus0
+      else corpus0.filter(
+        CorpusOps.hashCoin(col("doc_id")) < lit(sampleFraction)))
       .select(explode(array(
         struct(col("doc_id").cast("long").as("doc_id"),
           col("source"), col("text")),
