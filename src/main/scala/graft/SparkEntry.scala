@@ -114,6 +114,8 @@ object SparkEntry {
     // --- JSONL corpus ingestion (sources.JsonlCorpus) ---
     "src_jsonl_roundtrip" -> (sources.JsonlCorpus.roundtrip _),
     "src_jsonl_corrupt" -> (sources.JsonlCorpus.corruptAccounting _),
+    // --- sstabledump tree ingestion (sources.SSTableDumpBridge) ---
+    "src_sstabledump_tree" -> (sources.SSTableDumpBridge.treeAudit _),
     // --- corpus assembly (mixing / packing) ---
     "corp_source_mix" -> (CorpusOps.sourceMixAudit _),
     "corp_token_pack" -> (CorpusOps.tokenPackAudit _),
@@ -1268,6 +1270,41 @@ object SparkEntry {
         | count(*) AS n_good,
         | CAST(sum(n_chars) AS BIGINT) AS good_chars
         |FROM documents""".stripMargin,
+    // dump-tree audit: the fixture derives every partition's shape and
+    // timestamps arithmetically from doc_id (SSTableDumpBridge
+    // .writeTreeFixture), so the oracle replays the derivation straight
+    // off the parquet table — per row_kind: row counts, distinct source
+    // files (doc_id % 4), liveness/deletion sums as OFFSETS from
+    // TreeBase (doc_id seconds → micros, "src" cells at +10 s; absolute
+    // epoch-micros would overflow BIGINT sums at scale), TTLs (even
+    // doc_ids, doc_id % 100, inherited by both cells), and value mass
+    "src_sstabledump_tree" ->
+      """WITH d AS (
+        | SELECT CAST(doc_id AS BIGINT) AS doc_id, source, n_chars,
+        |  doc_id % 10 AS k, doc_id % 4 AS f,
+        |  doc_id * 1000000 AS wt,
+        |  CASE WHEN doc_id % 2 = 0 THEN doc_id % 100 END AS ttl
+        | FROM documents),
+        |r AS (
+        | SELECT 'PARTITION_DELETION' AS row_kind, f, NULL AS wt2,
+        |   NULL AS ttl2, wt AS del, NULL AS vc FROM d WHERE k = 3
+        | UNION ALL
+        | SELECT 'ROW_DELETION', f, NULL, NULL, wt, NULL FROM d WHERE k = 7
+        | UNION ALL
+        | SELECT 'PK_LIVENESS', f, wt, ttl, NULL, NULL FROM d WHERE k = 5
+        | UNION ALL
+        | SELECT 'ROW', f, wt, ttl, NULL,
+        |   length(CAST(n_chars AS VARCHAR)) FROM d WHERE k NOT IN (3,5,7)
+        | UNION ALL
+        | SELECT 'ROW', f, wt + 10000000, ttl, NULL, length(source)
+        | FROM d WHERE k NOT IN (3,5,7))
+        |SELECT row_kind, count(*) AS n_rows,
+        | count(DISTINCT f) AS n_sstables,
+        | CAST(sum(wt2) AS BIGINT) AS sum_wt_off_us,
+        | CAST(sum(ttl2) AS BIGINT) AS sum_ttl_s,
+        | CAST(sum(del) AS BIGINT) AS sum_del_off_us,
+        | CAST(sum(vc) AS BIGINT) AS sum_value_chars
+        |FROM r GROUP BY 1""".stripMargin,
     // weighted mixing: the oracle replays the identical md5 coin
     // (DuckDB's hex-string cast = Spark's conv(...,16,10)) and the
     // cycling rate spec, so kept-set membership is exact per document

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -32,19 +32,48 @@ import org.apache.spark.sql.types._
   *     absent = NO_TTL (null).
   *   - expire_us derives as writetime + ttl (the `expires_at` field is
   *     redundant with them and ignored).
+  *
+  * Deletion semantics — everything the reference preserves survives
+  * the bridge (`Cassandra3TTLRemover.java:106-134` keeps partitions
+  * with no rows and re-serializes RangeTombstones):
   *   - a row with `deletion_info` instead of `liveness_info` is a row
   *     tombstone: kind=ROW_DELETION, deletion_us from
-  *     `marked_deleted`, no cells required — preserved as a row, same
-  *     contract as [[graft.ops.TtlOps.deletionPreserve]].
+  *     `marked_deleted`, no cells — same contract as
+  *     [[graft.ops.TtlOps.deletionPreserve]].
+  *   - a PARTITION with `deletion_info` emits one PARTITION_DELETION
+  *     row (even when its `rows` array is empty — a partition-level
+  *     tombstone with no row data must not vanish, or deleted data
+  *     resurrects downstream).
+  *   - a `range_tombstone_bound` entry emits one
+  *     RANGE_TOMBSTONE_BOUND row per bound, `name` holding
+  *     "start:inclusive"-style bound identity and clustering/
+  *     deletion_us from the bound itself; downstream pairing is the
+  *     [[graft.ops.TtlOps.tombstonePairing]] shape.
+  *   - a live row with NO regular cells (primary-key-only insert,
+  *     which Cassandra emits with liveness_info and `cells` absent or
+  *     empty) emits one PK_LIVENESS row whose cell carries only the
+  *     row-level liveness — the reference's serializeRow preserves
+  *     such rows through their primary-key liveness.
+  *   - an entry of any OTHER type is carried visibly as
+  *     row_kind=UNSUPPORTED:<type> instead of being dropped: a bridge
+  *     that silently discards what it doesn't recognize loses data
+  *     without a trace.
+  *
+  * Timestamps are parsed timezone-EXPLICITLY: a bound/liveness string
+  * without a zone suffix gets "Z" appended before `to_timestamp`, so
+  * the parse is UTC-fixed no matter what the caller session's
+  * timezone is (the bridge mutates no session state).
   *
   * Values are kept as STRINGS (the JSON rendering): the reference
   * itself never interprets values (type-generic ByteBuffer copy,
   * `Cassandra3TTLRemover.java:185,189`), and the strip/liveness
   * operators only touch the liveness fields, so a lossless string
   * carry is the honest analogue. Scale shape: one JSON file per
-  * SSTable → one task per file; everything after `spark.read.json` is
-  * a projection + two explodes (partitions → rows → cells), no
-  * shuffle at all until a downstream operator asks for one.
+  * SSTable → the multiLine documents are per-file parse units, so a
+  * dump TREE parallelizes file-per-task ([[readTree]]); everything
+  * after `spark.read.json` is a projection + two explodes
+  * (partitions → entries → cells), no shuffle at all until a
+  * downstream operator asks for one.
   */
 object SSTableDumpBridge {
 
@@ -61,58 +90,150 @@ object SSTableDumpBridge {
       |  liveness_info:struct<tstamp:string,ttl:int,expires_at:string,
       |    expired:boolean>,
       |  deletion_info:struct<marked_deleted:string,local_delete_time:string>,
+      |  start:struct<type:string,clustering:array<string>,
+      |    deletion_info:struct<marked_deleted:string,local_delete_time:string>>,
+      |  end:struct<type:string,clustering:array<string>,
+      |    deletion_info:struct<marked_deleted:string,local_delete_time:string>>,
       |  cells:array<struct<name:string,value:string,tstamp:string,ttl:int,
       |    expires_at:string>>>>""".stripMargin)
 
-  private def isoToMicros(c: org.apache.spark.sql.Column) =
-    unix_micros(to_timestamp(c))
+  /** ISO-8601 → epoch micros, timezone-explicit: strings without an
+    * explicit zone get "Z" appended, so the result is identical under
+    * ANY session timezone (no session-conf mutation). */
+  private def isoToMicros(c: Column): Column =
+    unix_micros(to_timestamp(
+      when(c.rlike("(Z|[+-][0-9]{2}:?[0-9]{2})$"), c)
+        .otherwise(concat(c, lit("Z")))))
 
-  /** One cell-model row per cell (plus one per row tombstone):
-    * (partition_key, clustering, row_kind, name, cell) with `cell` the
-    * canonical `struct<value, writetime_us, ttl_s, expire_us>` every
-    * graft operator consumes, and deletion_us carried for tombstones.
+  private val cellType =
+    "struct<value:string,writetime_us:bigint,ttl_s:int,expire_us:bigint>"
+
+  /** One cell-model row per cell, plus one per deletion marker
+    * (row / partition / range-tombstone bound) and one per
+    * primary-key-only live row: (partition_key, clustering, row_kind,
+    * name, cell, deletion_us) with `cell` the canonical
+    * `struct<value, writetime_us, ttl_s, expire_us>` every graft
+    * operator consumes.
     */
-  def read(spark: SparkSession, dumpPath: String): DataFrame = {
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    val raw = spark.read.schema(dumpSchema)
-      .option("multiLine", "true").json(dumpPath)
-    val rows = raw
+  def read(spark: SparkSession, dumpPath: String): DataFrame =
+    bridgeRows(
+      spark.read.schema(dumpSchema).option("multiLine", "true")
+        .json(dumpPath))
+
+  /** [[read]] over a whole DIRECTORY TREE of dump files (the
+    * `out/<ks>/<table>/<gen>.json` layout a per-SSTable `sstabledump`
+    * sweep produces), with per-file identity: each multiLine JSON
+    * document is a per-file parse unit, so N dump files parse as up
+    * to N parallel tasks (Spark packs small files per
+    * `maxPartitionBytes`/`openCostInBytes`; at one-dump-per-SSTable
+    * scale each file is its own task) — the reference's
+    * directory-walk ingestion (`TTLRemoverCLI.java:147-163`)
+    * re-expressed as a distributed read instead of a serial loop.
+    * Adds `sstable` (the file's last two path components —
+    * `<table>/<gen>.json` in a real dump tree — the S2
+    * filename→identity rule applied to dumps; one component alone
+    * could collide across sibling directories) to every bridge row. */
+  def readTree(spark: SparkSession, root: String): DataFrame =
+    bridgeRows(
+      spark.read.schema(dumpSchema)
+        .option("multiLine", "true")
+        .option("recursiveFileLookup", "true")
+        .json(root)
+        .withColumn("_src_file",
+          regexp_extract(col("_metadata.file_path"), "([^/]+/[^/]+)$", 1)),
+      srcFile = true)
+
+  /** The partition→bridge-row expansion, as ONE expression tree over
+    * ONE scan: every input partition computes an ARRAY of output rows
+    * (partition deletion ∪ per-entry rows) which a single explode
+    * flattens. The alternative — one filtered branch per row kind,
+    * unioned — would re-scan the dump once per kind (Catalyst shares
+    * no subtrees across union branches); here rows are duplicated by
+    * explode, never the plan.
+    */
+  private def bridgeRows(raw: DataFrame, srcFile: Boolean = false): DataFrame = {
+    val nullCell = lit(null).cast(cellType)
+    val nullClust = lit(null).cast("array<string>")
+    def out(clustering: Column, rowKind: Column, name: Column,
+        cell: Column, deletionUs: Column) =
+      struct(clustering.cast("array<string>").as("clustering"),
+        rowKind.cast("string").as("row_kind"),
+        name.cast("string").as("name"), cell.cast(cellType).as("cell"),
+        deletionUs.cast("long").as("deletion_us"))
+    val emptyOut = array().cast(s"array<struct<clustering:array<string>," +
+      s"row_kind:string,name:string,cell:$cellType,deletion_us:bigint>>")
+
+    val exploded = raw.select(
+      (concat_ws(":", col("partition.key")).as("partition_key") +:
+        col("partition.deletion_info").as("pdel") +:
+        posexplode_outer(col("rows")).as(Seq("pos", "r")) +:
+        (if (srcFile) Seq(col("_src_file").as("sstable")) else Nil)): _*)
+
+    val r = col("r")
+    // partition-level deletion: exactly once per partition — on the
+    // first exploded entry, or on the null entry of an empty `rows`
+    // array (explode_outer keeps the partition; a plain explode would
+    // vanish the very tombstone the reference preserves)
+    val partDel = when(
+      col("pdel.marked_deleted").isNotNull &&
+        (col("pos").isNull || col("pos") === 0),
+      array(out(nullClust, lit("PARTITION_DELETION"), lit(null),
+        nullCell, isoToMicros(col("pdel.marked_deleted")))))
+      .otherwise(emptyOut)
+    val isRow = r.isNotNull && col("r.type") === "row"
+    val rowDel = when(isRow && col("r.deletion_info").isNotNull,
+      array(out(col("r.clustering"), lit("ROW_DELETION"), lit(null),
+        nullCell, isoToMicros(col("r.deletion_info.marked_deleted")))))
+      .otherwise(emptyOut)
+    // live row: one output per cell (cell liveness overrides the row
+    // default), or — when `cells` is absent/empty (primary-key-only
+    // insert) — one PK_LIVENESS row carrying the row-level liveness
+    val rowWt = isoToMicros(col("r.liveness_info.tstamp"))
+    val rowTtl = col("r.liveness_info.ttl")
+    def liveCell(wt: Column, ttl: Column, value: Column) =
+      struct(value.as("value"), wt.as("writetime_us"), ttl.as("ttl_s"),
+        (wt + ttl.cast("long") * 1000000L).as("expire_us"))
+    val isLive = isRow && col("r.deletion_info").isNull
+    val live = when(isLive && size(col("r.cells")) > 0,
+      transform(col("r.cells"), c =>
+        out(col("r.clustering"), lit("ROW"), c.getField("name"),
+          liveCell(coalesce(isoToMicros(c.getField("tstamp")), rowWt),
+            coalesce(c.getField("ttl"), rowTtl), c.getField("value")),
+          lit(null))))
+      .when(isLive,
+        array(out(col("r.clustering"), lit("PK_LIVENESS"), lit(null),
+          liveCell(rowWt, rowTtl, lit(null)), lit(null))))
+      .otherwise(emptyOut)
+    // range-tombstone bound: one row per bound entry; `name` carries
+    // the bound identity ("start:inclusive") so downstream pairing
+    // (TtlOps.tombstonePairing shape) can reconstruct the range
+    val isRt = r.isNotNull && col("r.type") === "range_tombstone_bound"
+    val bound = coalesce(col("r.start"), col("r.end"))
+    val boundSide = when(col("r.start").isNotNull, lit("start"))
+      .otherwise(lit("end"))
+    val rtDel = when(isRt,
+      array(out(bound.getField("clustering"), lit("RANGE_TOMBSTONE_BOUND"),
+        concat_ws(":", boundSide, bound.getField("type")),
+        nullCell,
+        isoToMicros(bound.getField("deletion_info")
+          .getField("marked_deleted")))))
+      .otherwise(emptyOut)
+    // anything else is carried visibly, never silently dropped
+    val unsupported = when(r.isNotNull && !isRow && !isRt,
+      array(out(col("r.clustering"),
+        concat(lit("UNSUPPORTED:"), coalesce(col("r.type"), lit("?"))),
+        lit(null), nullCell, lit(null))))
+      .otherwise(emptyOut)
+
+    exploded
       .select(
-        concat_ws(":", col("partition.key")).as("partition_key"),
-        explode(col("rows")).as("r"))
-      .filter(col("r.type") === "row")
-    val live = rows.filter(col("r.deletion_info").isNull)
+        (col("partition_key") +:
+          explode(concat(partDel, rowDel, live, rtDel, unsupported)).as("o") +:
+          (if (srcFile) Seq(col("sstable")) else Nil)): _*)
       .select(
-        col("partition_key"),
-        col("r.clustering").as("clustering"),
-        lit("ROW").as("row_kind"),
-        explode(col("r.cells")).as("c"),
-        isoToMicros(col("r.liveness_info.tstamp")).as("row_wt_us"),
-        col("r.liveness_info.ttl").as("row_ttl_s"))
-      .select(
-        col("partition_key"), col("clustering"), col("row_kind"),
-        col("c.name").as("name"),
-        struct(
-          col("c.value").as("value"),
-          // cell-level liveness overrides the row-level default
-          coalesce(isoToMicros(col("c.tstamp")), col("row_wt_us"))
-            .as("writetime_us"),
-          coalesce(col("c.ttl"), col("row_ttl_s")).as("ttl_s"),
-          (coalesce(isoToMicros(col("c.tstamp")), col("row_wt_us")) +
-            coalesce(col("c.ttl"), col("row_ttl_s")).cast("long") * 1000000L)
-            .as("expire_us")).as("cell"),
-        lit(null).cast("long").as("deletion_us"))
-    val tombstones = rows.filter(col("r.deletion_info").isNotNull)
-      .select(
-        col("partition_key"),
-        col("r.clustering").as("clustering"),
-        lit("ROW_DELETION").as("row_kind"),
-        lit(null).cast("string").as("name"),
-        lit(null).cast(
-          "struct<value:string,writetime_us:bigint,ttl_s:int,expire_us:bigint>")
-          .as("cell"),
-        isoToMicros(col("r.deletion_info.marked_deleted")).as("deletion_us"))
-    live.unionByName(tombstones)
+        (col("partition_key") +: col("o.clustering") +: col("o.row_kind") +:
+          col("o.name") +: col("o.cell") +: col("o.deletion_us") +:
+          (if (srcFile) Seq(col("sstable")) else Nil)): _*)
   }
 
   /** Convert a dump (file or directory of dumps) to cell-model
@@ -120,12 +241,117 @@ object SSTableDumpBridge {
   def convert(spark: SparkSession, dumpPath: String, outDir: String): Unit =
     read(spark, dumpPath).write.mode("overwrite").parquet(outDir)
 
+  /** Fixture epoch for the dump-tree audit: 2021-01-01T00:00:00Z. */
+  val TreeBase = 1609459200L
+
+  /** Number of dump files the audit fixture spreads partitions over. */
+  val TreeFiles = 4
+
+  /** Synthesize a multi-file sstabledump tree from the documents
+    * table — DISTRIBUTEDLY (each dump file is assembled by one task
+    * from one group's collect_list; the driver never touches a row).
+    * Every document becomes one partition in file `doc_id % 4`, with
+    * its shape chosen by `doc_id % 10`: 3 → partition tombstone with
+    * an EMPTY rows array, 7 → row tombstone, 5 → primary-key-only
+    * insert (no cells), else a live row with a "len" cell (row
+    * liveness, value = n_chars) and a "src" cell (own tstamp at
+    * +10 s, value = source). Even doc_ids carry a row TTL of
+    * doc_id % 100. All timestamps derive arithmetically from
+    * [[TreeBase]] + doc_id seconds, so a SQL oracle reproduces every
+    * aggregate from the parquet table alone. Caller owns the returned
+    * dir's deletion.
+    */
+  def writeTreeFixture(spark: SparkSession,
+      sfDir: String): java.nio.file.Path = {
+    def iso(sec: Column) =
+      date_format(timestamp_seconds(sec), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("source"),
+        col("n_chars"))
+    val kind = col("doc_id") % 10
+    val ts = iso(lit(TreeBase) + col("doc_id"))
+    val delInfo = struct(ts.as("marked_deleted"),
+      iso(lit(TreeBase) + col("doc_id") + 1).as("local_delete_time"))
+    val rowTtl = when(col("doc_id") % 2 === 0,
+      (col("doc_id") % 100).cast("int"))
+    val cells = array(
+      struct(lit("len").as("name"), col("n_chars").cast("string").as("value"),
+        lit(null).cast("string").as("tstamp")),
+      struct(lit("src").as("name"), col("source").as("value"),
+        iso(lit(TreeBase) + col("doc_id") + 10).as("tstamp")))
+    val rowStruct = struct(
+      lit("row").as("type"),
+      col("doc_id").as("position"),
+      array(concat(lit("c"), col("doc_id"))).as("clustering"),
+      when(kind =!= 7, struct(ts.as("tstamp"), rowTtl.as("ttl")))
+        .as("liveness_info"),
+      when(kind === 7, delInfo).as("deletion_info"),
+      when(!kind.isin(3, 5, 7), cells).as("cells"))
+    val partition = struct(
+      struct(array(col("doc_id").cast("string")).as("key"),
+        lit(0L).as("position"),
+        when(kind === 3, delInfo).as("deletion_info")).as("partition"),
+      when(kind === 3, array().cast("array<struct<type:string," +
+        "position:bigint,clustering:array<string>," +
+        "liveness_info:struct<tstamp:string,ttl:int>," +
+        "deletion_info:struct<marked_deleted:string,local_delete_time:string>," +
+        "cells:array<struct<name:string,value:string,tstamp:string>>>>"))
+        .otherwise(array(rowStruct)).as("rows"))
+    val out = graft.Scratch.dir("graft-dumptree-")
+    docs
+      .select((col("doc_id") % TreeFiles).as("file_id"), col("doc_id"),
+        to_json(partition).as("j"))
+      .groupBy(col("file_id"))
+      // deterministic in-file order via array_sort on (doc_id, json);
+      // one row per group → one dump file per group after the
+      // partitioned text write
+      .agg(concat(lit("["),
+        concat_ws(",", transform(
+          array_sort(collect_list(struct(col("doc_id"), col("j")))),
+          x => x.getField("j"))),
+        lit("]")).as("doc"))
+      .repartition(col("file_id"))
+      .write.partitionBy("file_id").mode("overwrite").text(out.toString)
+    out
+  }
+
+  /** Registered dump-tree audit: [[writeTreeFixture]] →  [[readTree]]
+    * → one summary row per row_kind (counts, distinct source files,
+    * liveness/deletion sums, value mass). Every number is pinned by a
+    * DuckDB oracle computing the same arithmetic straight off the
+    * documents parquet — the end-to-end proof that a directory-scale
+    * dump ingest loses nothing: a dropped partition tombstone, a
+    * vanished PK-only row, or a mis-parsed timestamp all shift an
+    * aggregate. Timestamps are summed as OFFSETS from [[TreeBase]]:
+    * absolute epoch-micros (~1.6e15 each) overflow a Long sum past a
+    * few thousand rows — the offset sum stays exactly as
+    * timestamp-sensitive (a mis-parse shifts it) while bounded by
+    * rows × max(doc_id)+10 seconds at any scale. */
+  def treeAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val baseUs = lit(TreeBase * 1000000L)
+    val out = writeTreeFixture(spark, sfDir)
+    val audit = readTree(spark, out.toString)
+      .groupBy(col("row_kind"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("sstable")).as("n_sstables"),
+        sum(col("cell.writetime_us") - baseUs).as("sum_wt_off_us"),
+        sum(col("cell.ttl_s").cast("long")).as("sum_ttl_s"),
+        sum(col("deletion_us") - baseUs).as("sum_del_off_us"),
+        sum(length(col("cell.value")).cast("long")).as("sum_value_chars"))
+      .localCheckpoint()
+    graft.Scratch.delete(out)
+    audit
+  }
+
   /** The reference's core pipeline over bridge rows: strip TTL
     * metadata from every live cell (value + writetime survive,
-    * ttl/expiration nulled), keep tombstones verbatim — then the S8
-    * sorted-sink shape on the partition key. A tombstone's NULL cell
-    * must stay NULL (an unconditional struct rewrite would turn it
-    * into a struct of nulls), hence the isNotNull guard. */
+    * ttl/expiration nulled — PK_LIVENESS rows keep their primary-key
+    * writetime the same way), keep all deletion markers verbatim —
+    * then the S8 sorted-sink shape on the partition key. A deletion
+    * marker's NULL cell must stay NULL (an unconditional struct
+    * rewrite would turn it into a struct of nulls), hence the
+    * isNotNull guard. */
   def stripTtl(cells: DataFrame): DataFrame =
     cells
       .select(

@@ -61,6 +61,187 @@ class SSTableBridgeSpec extends SparkSpec {
     dir.toString
   }
 
+  /** Deletion-shape fixture: a partition tombstone with NO rows, a
+    * partition with deletion_info AND live rows, a primary-key-only
+    * insert (cells absent), one with cells:[] (both shapes Cassandra
+    * emits), a range-tombstone start/end pair, and an unknown entry
+    * type. */
+  private val deletionDump =
+    """[
+      |  {
+      |    "partition" : { "key" : [ "gone" ], "position" : 0,
+      |      "deletion_info" : { "marked_deleted" : "2021-03-01T00:00:00Z",
+      |                          "local_delete_time" : "2021-03-01T00:00:01Z" } },
+      |    "rows" : [ ]
+      |  },
+      |  {
+      |    "partition" : { "key" : [ "half" ], "position" : 50,
+      |      "deletion_info" : { "marked_deleted" : "2021-03-02T00:00:00Z",
+      |                          "local_delete_time" : "2021-03-02T00:00:01Z" } },
+      |    "rows" : [
+      |      {
+      |        "type" : "row",
+      |        "position" : 55,
+      |        "clustering" : [ "k1" ],
+      |        "liveness_info" : { "tstamp" : "2021-03-03T00:00:00Z" },
+      |        "cells" : [ { "name" : "v", "value" : "1" } ]
+      |      },
+      |      {
+      |        "type" : "row",
+      |        "position" : 58,
+      |        "clustering" : [ "k2" ],
+      |        "liveness_info" : { "tstamp" : "2021-03-04T00:00:00Z", "ttl" : 120 }
+      |      },
+      |      {
+      |        "type" : "row",
+      |        "position" : 59,
+      |        "clustering" : [ "k3" ],
+      |        "liveness_info" : { "tstamp" : "2021-03-05T00:00:00Z" },
+      |        "cells" : [ ]
+      |      }
+      |    ]
+      |  },
+      |  {
+      |    "partition" : { "key" : [ "ranged" ], "position" : 100 },
+      |    "rows" : [
+      |      {
+      |        "type" : "range_tombstone_bound",
+      |        "start" : { "type" : "inclusive", "clustering" : [ "a" ],
+      |          "deletion_info" : { "marked_deleted" : "2021-04-01T00:00:00Z",
+      |                              "local_delete_time" : "2021-04-01T00:00:01Z" } }
+      |      },
+      |      {
+      |        "type" : "range_tombstone_bound",
+      |        "end" : { "type" : "exclusive", "clustering" : [ "m" ],
+      |          "deletion_info" : { "marked_deleted" : "2021-04-01T00:00:00Z",
+      |                              "local_delete_time" : "2021-04-01T00:00:01Z" } }
+      |      },
+      |      {
+      |        "type" : "future_block",
+      |        "position" : 130
+      |      }
+      |    ]
+      |  }
+      |]""".stripMargin
+
+  private def writeDeletionDump(): String = {
+    val dir = graft.Scratch.dir("graft-sstable-del-")
+    Files.writeString(dir.resolve("mc-2-big-Data.json"), deletionDump)
+    dir.toString
+  }
+
+  test("partition deletions, PK-only rows, and range tombstones survive the bridge") {
+    val df = SSTableDumpBridge.read(spark, writeDeletionDump())
+      .localCheckpoint()
+
+    // a partition tombstone with an empty rows array does NOT vanish
+    val gone = df.filter(col("partition_key") === "gone")
+    assert(gone.count() === 1)
+    val g = gone.head()
+    assert(g.getAs[String]("row_kind") === "PARTITION_DELETION")
+    assert(g.getAs[Long]("deletion_us") === 1614556800000000L)
+    // a partition with deletion AND rows emits the deletion exactly once
+    val half = df.filter(col("partition_key") === "half")
+    assert(half.filter(col("row_kind") === "PARTITION_DELETION").count() === 1)
+    // primary-key-only inserts (cells absent OR cells:[]) both keep
+    // their row via the row-level liveness
+    val pk = half.filter(col("row_kind") === "PK_LIVENESS")
+      .orderBy(col("clustering")(0)).collect()
+    assert(pk.length === 2)
+    val k2cell = pk(0).getStruct(pk(0).fieldIndex("cell"))
+    assert(k2cell.getAs[Long]("writetime_us") === 1614816000000000L)
+    assert(k2cell.getAs[Int]("ttl_s") === 120)
+    assert(k2cell.isNullAt(k2cell.fieldIndex("value")))
+    // the ordinary cell row still parses alongside
+    assert(half.filter(col("row_kind") === "ROW").count() === 1)
+
+    // range-tombstone bounds are first-class rows with bound identity
+    val rt = df.filter(col("row_kind") === "RANGE_TOMBSTONE_BOUND")
+      .orderBy(col("name")).collect()
+    assert(rt.length === 2)
+    assert(rt(0).getAs[String]("name") === "end:exclusive")
+    assert(rt(1).getAs[String]("name") === "start:inclusive")
+    assert(rt(1).getAs[Seq[String]]("clustering") === Seq("a"))
+    assert(rt.forall(_.getAs[Long]("deletion_us") === 1617235200000000L))
+    // unknown entry types are carried visibly, not dropped
+    assert(df.filter(col("row_kind") === "UNSUPPORTED:future_block")
+      .count() === 1)
+  }
+
+  test("deletion markers and PK liveness ride through the strip pipeline") {
+    val out = graft.Scratch.dir("graft-sstable-del-out-").toString
+    SSTableDumpBridge.convert(spark, writeDeletionDump(), out)
+    val stripped = SSTableDumpBridge.removeTtl(spark, out).localCheckpoint()
+    // nothing lost: 1 part-del + 1 part-del + 1 cell + 2 pk + 2 bounds + 1 unsupported
+    assert(stripped.count() === 8)
+    // markers verbatim (null cells stayed null)
+    assert(stripped.filter(col("row_kind").isin(
+      "PARTITION_DELETION", "RANGE_TOMBSTONE_BOUND"))
+      .filter(col("cell").isNotNull || col("deletion_us").isNull)
+      .count() === 0)
+    // PK liveness: writetime kept, TTL metadata stripped
+    val pk = stripped.filter(col("row_kind") === "PK_LIVENESS" &&
+      col("cell.ttl_s").isNull && col("cell.expire_us").isNull &&
+      col("cell.writetime_us").isNotNull)
+    assert(pk.count() === 2)
+  }
+
+  test("timestamp parse is timezone-explicit (no session mutation)") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.session.timeZone", "America/New_York")
+    val df = SSTableDumpBridge.read(s2, writeDump())
+    val aliceScore = df.filter(col("partition_key") === "alice" &&
+      col("name") === "score").head()
+    val cell = aliceScore.getStruct(aliceScore.fieldIndex("cell"))
+    // same epoch micros as under UTC — the Z suffix wins, and read()
+    // left the caller's timezone alone
+    assert(cell.getAs[Long]("writetime_us") === 1609459200000001L)
+    assert(s2.conf.get("spark.sql.session.timeZone") === "America/New_York")
+  }
+
+  test("dump TREE reads parallelize per file and keep per-file identity") {
+    val out = SSTableDumpBridge.writeTreeFixture(spark, sfDir)
+    try {
+      // one task per dump file when split packing is disabled: multiLine
+      // documents are non-splittable parse units, so N files can always
+      // fan out to N tasks — the witness that a directory-scale ingest
+      // never serializes through one parser
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.files.maxPartitionBytes", "1")
+      s2.conf.set("spark.sql.files.openCostInBytes", "0")
+      val df = SSTableDumpBridge.readTree(s2, out.toString)
+      assert(df.rdd.getNumPartitions === SSTableDumpBridge.TreeFiles,
+        "expected one scan task per dump file")
+
+      // per-file identity: every bridge row carries its source dump,
+      // and partitions landed in the file their doc_id % 4 dictates
+      val names = df.select(col("sstable")).distinct().collect()
+        .map(_.getString(0)).sorted
+      assert(names.length === SSTableDumpBridge.TreeFiles)
+      assert(names.forall(_.contains("file_id=")))
+      val misplaced = df
+        .withColumn("expect_file",
+          concat(lit("file_id="), col("partition_key").cast("long")
+            % SSTableDumpBridge.TreeFiles))
+        .filter(!col("sstable").startsWith(col("expect_file")))
+      assert(misplaced.count() === 0)
+
+      // every shape present; counts match the doc_id % 10 derivation
+      val docs = Tables.load(spark, sfDir, "documents")
+      val nDocs = docs.count()
+      val byKind = df.groupBy(col("row_kind")).count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val nOfKind = (k: Int) => docs
+        .filter(col("doc_id") % 10 === k).count()
+      assert(byKind("PARTITION_DELETION") === nOfKind(3))
+      assert(byKind("ROW_DELETION") === nOfKind(7))
+      assert(byKind("PK_LIVENESS") === nOfKind(5))
+      assert(byKind("ROW") ===
+        2 * (nDocs - nOfKind(3) - nOfKind(5) - nOfKind(7)))
+      assert(!byKind.keys.exists(_.startsWith("UNSUPPORTED")))
+    } finally graft.Scratch.delete(out)
+  }
+
   test("dump parses to cell-model rows with Cassandra's liveness rules") {
     val df = SSTableDumpBridge.read(spark, writeDump())
     assert(df.count() === 4) // 3 live cells + 1 row tombstone
