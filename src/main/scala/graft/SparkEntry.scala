@@ -170,10 +170,13 @@ object SparkEntry {
       SimilarityOps.embeddingNearDup(s, d)),
     "sim_ann_lsh" -> (SimilarityOps.annLsh _),
     "sim_ann_ivf" -> (SimilarityOps.annIvf _),
+    "sim_ann_ivf_mp" -> (SimilarityOps.annIvfMp _),
     "sim_ann_ivfpq" -> (SimilarityOps.annIvfPq _),
     "sim_ann_recall_pq" -> (SimilarityOps.annRecallIvfPq _),
+    "sim_ann_recall_pq_mp" -> (SimilarityOps.annRecallIvfPqMp _),
     "sim_ann_recall" -> (SimilarityOps.annRecall _),
     "sim_ann_recall_ivf" -> (SimilarityOps.annRecallIvf _),
+    "sim_ann_recall_ivf_mp" -> (SimilarityOps.annRecallIvfMp _),
     // custom logical node + Catalyst rewrite rule (graft.plans):
     // declared similarity join, planned as an LSH-bucketed equi-join
     "sim_lsh_join" -> ((s: SparkSession, dir: String) => {
@@ -301,14 +304,17 @@ object SparkEntry {
        |FROM r WHERE rk <= 3""".stripMargin
   }
 
-  private lazy val annIvfSql: String = {
+  /** Shared IVF coarse-quantizer CTE stack: cents/v/scored/best/n,
+    * plus `qcells` = each query's `nprobe` nearest cells (rn <= 1
+    * reproduces the single-probe assignment: the row_number tie-break
+    * ORDER BY score DESC, cell DESC is exactly Spark's
+    * greatest(struct(score, cell)) order). */
+  private def ivfCtesSql(nprobe: Int): String = {
     val cs = SimilarityOps.centroids(64, 16)
     val values = cs.zipWithIndex
       .map { case (c, i) => s"($i, ${sqlVec(c)})" }
       .mkString(",\n  ")
-    // tie-break matches Spark's greatest(struct(score, cell)):
-    // lexicographic max = highest score, then highest cell
-    s"""WITH cents AS (SELECT * FROM (VALUES
+    s"""cents AS (SELECT * FROM (VALUES
        |  $values) AS t(cell, c)),
        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
        |scored AS (
@@ -321,8 +327,19 @@ object SparkEntry {
        | WHERE rn = 1),
        |n AS (SELECT vec_id, cell, e, sqrt(list_dot_product(e, e)) AS nrm
        | FROM best),
-       |q AS (SELECT vec_id AS q_vec_id, e AS qe, nrm AS qnrm, cell
-       | FROM n WHERE vec_id < 8),
+       |qcells AS (
+       | SELECT vec_id, cell FROM (
+       |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY score DESC, cell DESC) AS rn
+       |  FROM scored WHERE vec_id < 8)
+       | WHERE rn <= $nprobe)""".stripMargin
+  }
+
+  private def annIvfSqlP(nprobe: Int): String =
+    s"""WITH ${ivfCtesSql(nprobe)},
+       |q AS (SELECT qc.vec_id AS q_vec_id, n.e AS qe, n.nrm AS qnrm,
+       |  qc.cell
+       | FROM qcells qc JOIN n ON n.vec_id = qc.vec_id),
        |pairs AS (
        | SELECT q.q_vec_id, n.cell, n.vec_id AS neighbor_vec_id,
        |  list_dot_product(q.qe, n.e) / (q.qnrm * n.nrm) AS cos
@@ -331,9 +348,10 @@ object SparkEntry {
        |  ORDER BY cos DESC, neighbor_vec_id) AS INTEGER) AS rk FROM pairs)
        |SELECT q_vec_id, cell, neighbor_vec_id, round(cos, 6) AS cos_sim, rk
        |FROM r WHERE rk <= 3""".stripMargin
-  }
 
-  private lazy val annIvfPqSql: String = {
+  private lazy val annIvfSql: String = annIvfSqlP(1)
+
+  private def annIvfPqSqlP(nprobe: Int): String = {
     val cs = SimilarityOps.centroids(64, 16)
     val (m, len) = (4, 16)
     val base = SimilarityOps.PqSampleBase
@@ -389,7 +407,14 @@ object SparkEntry {
        |corpus AS (
        | SELECT b.vec_id, b.cell, codes.* EXCLUDE (vec_id)
        | FROM best b JOIN codes USING (vec_id)),
-       |q AS (SELECT vec_id AS q_vec_id, cell, e FROM best WHERE vec_id < 8),
+       |qcells AS (
+       | SELECT vec_id, cell FROM (
+       |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY score DESC, cell DESC) AS rn
+       |  FROM cellscored WHERE vec_id < 8)
+       | WHERE rn <= $nprobe),
+       |q AS (SELECT qc.vec_id AS q_vec_id, qc.cell, b.e
+       | FROM qcells qc JOIN best b ON b.vec_id = qc.vec_id),
        |p AS (
        | SELECT q.q_vec_id, c.cell, c.vec_id AS neighbor_vec_id, q.e,
        |  c.c0, c.c1, c.c2, c.c3
@@ -407,14 +432,16 @@ object SparkEntry {
        |FROM r WHERE rk <= 3""".stripMargin
   }
 
+  private lazy val annIvfPqSql: String = annIvfPqSqlP(1)
+
   /** PQ recall oracle: the cosine-ranked scaffold does not apply (the
     * PQ ann side ranks by ADC, not cosine), so the ann set embeds the
     * full IVF-PQ query verbatim and only the brute side + recall math
     * are restated. */
-  private lazy val annRecallPqSql: String =
+  private def annRecallPqSqlP(nprobe: Int): String =
     s"""WITH pqann AS (
        | SELECT q_vec_id, neighbor_vec_id FROM (
-       |$annIvfPqSql
+       |${annIvfPqSqlP(nprobe)}
        | ) x),
        |v2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
        |  FROM embeddings),
@@ -432,6 +459,40 @@ object SparkEntry {
        | WHERE rk <= 3),
        |h AS (SELECT b.q_vec_id, count(*) AS hits
        | FROM brute b JOIN pqann a USING (q_vec_id, neighbor_vec_id)
+       | GROUP BY 1),
+       |t AS (SELECT q_vec_id, count(*) AS n_true FROM brute GROUP BY 1)
+       |SELECT t.q_vec_id, CAST(coalesce(h.hits, 0) AS BIGINT) AS n_hits,
+       | round(CAST(coalesce(h.hits, 0) AS DOUBLE) / t.n_true, 6) AS recall
+       |FROM t LEFT JOIN h USING (q_vec_id)""".stripMargin
+
+  private lazy val annRecallPqSql: String = annRecallPqSqlP(1)
+
+  /** IVF recall oracle at `nprobe` probes: brute side over all of n,
+    * ann side within the query's qcells probe set (a neighbor lives in
+    * exactly one home cell, so the probe join yields no duplicates). */
+  private def annRecallIvfSqlP(nprobe: Int): String =
+    s"""WITH ${ivfCtesSql(nprobe)},
+       |q AS (SELECT vec_id AS q_vec_id, e AS qe, nrm AS qnrm
+       | FROM n WHERE vec_id < 8),
+       |bpairs AS (
+       | SELECT q.q_vec_id, c.vec_id AS neighbor_vec_id,
+       |  list_dot_product(q.qe, c.e) / (q.qnrm * c.nrm) AS cos
+       | FROM q JOIN n c ON c.vec_id <> q.q_vec_id),
+       |brute AS (SELECT q_vec_id, neighbor_vec_id FROM (
+       | SELECT *, row_number() OVER (PARTITION BY q_vec_id
+       |   ORDER BY cos DESC, neighbor_vec_id) AS rk FROM bpairs)
+       | WHERE rk <= 3),
+       |apairs AS (
+       | SELECT q.q_vec_id, c.vec_id AS neighbor_vec_id,
+       |  list_dot_product(q.qe, c.e) / (q.qnrm * c.nrm) AS cos
+       | FROM q JOIN qcells qc ON qc.vec_id = q.q_vec_id
+       | JOIN n c ON c.cell = qc.cell AND c.vec_id <> q.q_vec_id),
+       |ann AS (SELECT q_vec_id, neighbor_vec_id FROM (
+       | SELECT *, row_number() OVER (PARTITION BY q_vec_id
+       |   ORDER BY cos DESC, neighbor_vec_id) AS rk FROM apairs)
+       | WHERE rk <= 3),
+       |h AS (SELECT b.q_vec_id, count(*) AS hits
+       | FROM brute b JOIN ann a USING (q_vec_id, neighbor_vec_id)
        | GROUP BY 1),
        |t AS (SELECT q_vec_id, count(*) AS n_true FROM brute GROUP BY 1)
        |SELECT t.q_vec_id, CAST(coalesce(h.hits, 0) AS BIGINT) AS n_hits,
@@ -516,27 +577,7 @@ object SparkEntry {
       "bucket")
   }
 
-  private lazy val annRecallIvfSql: String = {
-    val cs = SimilarityOps.centroids(64, 16)
-    val values = cs.zipWithIndex
-      .map { case (c, i) => s"($i, ${sqlVec(c)})" }
-      .mkString(",\n  ")
-    recallSql(
-      s"""cents AS (SELECT * FROM (VALUES
-         |  $values) AS t(cell, c)),
-         |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-         |scored AS (
-         | SELECT v.vec_id, v.e, c.cell, list_dot_product(v.e, c.c) AS score
-         | FROM v CROSS JOIN cents c),
-         |best AS (
-         | SELECT vec_id, e, cell FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY vec_id
-         |    ORDER BY score DESC, cell DESC) AS rn FROM scored)
-         | WHERE rn = 1),
-         |n AS (SELECT vec_id, cell, e, sqrt(list_dot_product(e, e)) AS nrm
-         | FROM best)""".stripMargin,
-      "cell")
-  }
+  private lazy val annRecallIvfSql: String = annRecallIvfSqlP(1)
 
   private lazy val lshJoinSql: String = {
     val planes = SimilarityOps.hyperplanes(64, 8)
@@ -1615,10 +1656,13 @@ object SparkEntry {
     "d_dedup_pipeline" -> dedupPipelineSql,
     "sim_ann_lsh" -> annLshSql,
     "sim_ann_ivf" -> annIvfSql,
+    "sim_ann_ivf_mp" -> annIvfSqlP(2),
     "sim_ann_ivfpq" -> annIvfPqSql,
     "sim_ann_recall_pq" -> annRecallPqSql,
+    "sim_ann_recall_pq_mp" -> annRecallPqSqlP(2),
     "sim_ann_recall" -> annRecallSql,
     "sim_ann_recall_ivf" -> annRecallIvfSql,
+    "sim_ann_recall_ivf_mp" -> annRecallIvfSqlP(2),
     "sim_lsh_join" -> lshJoinSql,
     "d_ngram_jaccard" ->
       ("""WITH docs AS (

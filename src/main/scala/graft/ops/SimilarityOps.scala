@@ -183,6 +183,18 @@ object SimilarityOps {
     greatest(scored.toIndexedSeq: _*).getField("cell")
   }
 
+  /** Top-`p` nearest coarse cells, descending (score, cell) — element
+    * one is exactly [[ivfCell]]'s choice (array_sort on the score/cell
+    * structs is the same lexicographic order `greatest` maximizes), so
+    * nprobe=1 reproduces the single-probe index bit-for-bit. */
+  private def ivfCells(e: Column, cs: Array[Array[Double]], p: Int): Column = {
+    val scored = array(cs.zipWithIndex.map { case (c, i) =>
+      struct(dot(e, array(c.toIndexedSeq.map(lit(_)): _*)).as("score"),
+        lit(i).as("cell"))
+    }.toIndexedSeq: _*)
+    transform(slice(reverse(array_sort(scored)), 1, p), _.getField("cell"))
+  }
+
   /** IVF ANN: corpus assigned to nearest of 16 fixed coarse centroids
     * (inverted file); each query probes only its own cell. The
     * centroid list is tiny and broadcast inside the expression; at
@@ -193,12 +205,26 @@ object SimilarityOps {
   def annIvf(spark: SparkSession, sfDir: String): DataFrame =
     annIvfOf(withNorm(Tables.load(spark, sfDir, "embeddings")))
 
-  private def annIvfOf(vn: DataFrame): DataFrame = {
+  /** Multi-probe IVF (nprobe=2): same index, each query probes its
+    * TWO nearest cells. nprobe is the IVF recall/cost dial — a true
+    * neighbor whose cell assignment disagrees with the query's (the
+    * dominant IVF failure mode, vectors near a cell boundary) is
+    * invisible at nprobe=1 and found at nprobe≥2, for exactly
+    * nprobe× the candidate volume (still cell-pruned, never the
+    * corpus). The broadcast query set grows nprobe×: still tiny. */
+  def annIvfMp(spark: SparkSession, sfDir: String): DataFrame =
+    annIvfOf(withNorm(Tables.load(spark, sfDir, "embeddings")), nprobe = 2)
+
+  private def annIvfOf(vn: DataFrame, nprobe: Int = 1): DataFrame = {
     val cs = centroids(64, 16)
     val v = vn.withColumn("cell", ivfCell(col("e"), cs))
+    // queries explode over their nprobe nearest cells; the corpus keeps
+    // its single home cell, so a neighbor can match at most one probe
+    // (no post-join dedup needed)
     val q = v.filter(col("vec_id") < 8)
       .select(col("vec_id").as("q_vec_id"), col("e").as("qe"),
-        col("nrm").as("qnrm"), col("cell"))
+        col("nrm").as("qnrm"),
+        explode(ivfCells(col("e"), cs, nprobe)).as("cell"))
     val pairs = v.join(broadcast(q), Seq("cell"))
       .filter(col("vec_id") =!= col("q_vec_id"))
       .withColumn("cos", dot(col("qe"), col("e")) / (col("qnrm") * col("nrm")))
@@ -277,7 +303,7 @@ object SimilarityOps {
       pqCodebooks(spark, sfDir))
 
   private def annIvfPqOf(vn: DataFrame,
-      books: Array[Array[Array[Double]]]): DataFrame = {
+      books: Array[Array[Array[Double]]], nprobe: Int = 1): DataFrame = {
     val cs = centroids(64, 16)
     val len = 64 / books.length
     val v = vn.withColumn("cell", ivfCell(col("e"), cs))
@@ -299,10 +325,12 @@ object SimilarityOps {
           lit(c.map(x => x * x).sum)): _*)
         element_at(normsq, col(s"c$s") + 1)
       }.reduce(_ + _)))
-    // queries: own cell + per-subspace ADC lookup tables (K dots per
-    // subspace, computed once per query, broadcast with the query set)
+    // queries: nprobe nearest cells + per-subspace ADC lookup tables
+    // (K dots per subspace, computed once per query, broadcast with
+    // the query set — the exploded probes share one table computation)
     val q = v.filter(col("vec_id") < 8).select(
-      col("vec_id").as("q_vec_id") +: col("cell") +:
+      col("vec_id").as("q_vec_id") +:
+        explode(ivfCells(col("e"), cs, nprobe)).as("cell") +:
         books.indices.map { s =>
           array(books(s).toIndexedSeq.map(c =>
             dot(subVec(col("e"), s, len),
@@ -337,7 +365,13 @@ object SimilarityOps {
 
   /** Recall@3 of the IVF variant, same harness. */
   def annRecallIvf(spark: SparkSession, sfDir: String): DataFrame =
-    annRecallOf(spark, sfDir, annIvfOf)
+    annRecallOf(spark, sfDir, annIvfOf(_))
+
+  /** Recall@3 of multi-probe IVF (nprobe=2) — the dial's proof: the
+    * EstimatorSpec asserts this dominates the nprobe=1 recall per
+    * query and strictly beats it in total on the fixture. */
+  def annRecallIvfMp(spark: SparkSession, sfDir: String): DataFrame =
+    annRecallOf(spark, sfDir, annIvfOf(_, nprobe = 2))
 
   /** Recall@3 of the IVF-PQ variant, same harness — this one measures
     * BOTH error sources at once: cell pruning (candidates outside the
@@ -346,6 +380,15 @@ object SimilarityOps {
   def annRecallIvfPq(spark: SparkSession, sfDir: String): DataFrame = {
     val books = pqCodebooks(spark, sfDir)
     annRecallOf(spark, sfDir, v => annIvfPqOf(v, books))
+  }
+
+  /** Recall@3 of multi-probe IVF-PQ (nprobe=2): widening the probe
+    * set attacks the cell-pruning error source; the quantization
+    * error source is untouched, so this bounds how much of the PQ
+    * recall gap is the coarse quantizer's fault. */
+  def annRecallIvfPqMp(spark: SparkSession, sfDir: String): DataFrame = {
+    val books = pqCodebooks(spark, sfDir)
+    annRecallOf(spark, sfDir, v => annIvfPqOf(v, books, nprobe = 2))
   }
 
   private def annRecallOf(spark: SparkSession, sfDir: String,

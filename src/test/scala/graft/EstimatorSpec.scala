@@ -303,4 +303,40 @@ class EstimatorSpec extends SparkSpec {
       .filter(col("cos_sim") > col("best") + 1e-9)
       .count() === 0)
   }
+
+  /** Per-query recall dominance of a wider probe set: a probed cell
+    * set is a superset, so a candidate list only grows — recall can
+    * never drop for ANY query (provable for exact-cosine IVF ranking;
+    * for ADC-ranked PQ it is a deterministic fixture property), and
+    * on the asserted fixture some query's true neighbor sits in the
+    * second-nearest cell, so the total strictly improves. */
+  private def assertProbeDominance(p1: org.apache.spark.sql.DataFrame,
+      p2: org.apache.spark.sql.DataFrame): Unit = {
+    val joined = p1.select(col("q_vec_id"), col("n_hits").as("h1"))
+      .join(p2.select(col("q_vec_id"), col("n_hits").as("h2")), "q_vec_id")
+      .localCheckpoint()
+    assert(joined.count() === 8)
+    assert(joined.filter(col("h2") < col("h1")).count() === 0)
+    val Array(s1, s2) = joined.agg(sum("h1"), sum("h2")).head()
+      .toSeq.map(_.asInstanceOf[Long]).toArray
+    assert(s2 > s1, s"nprobe=2 total hits $s2 not > nprobe=1 $s1")
+  }
+
+  test("multi-probe IVF: recall dominates nprobe=1 per query, strictly in total") {
+    assertProbeDominance(
+      SimilarityOps.annRecallIvf(spark, sfDir),
+      SimilarityOps.annRecallIvfMp(spark, sfDir))
+  }
+
+  // At sf0.001 the PQ index's nprobe=1 misses happen to be
+  // quantization (not cell-pruning) losses, so widening the probes
+  // changes nothing there; sf0.01 has a boundary query whose true
+  // neighbor lives in the second cell — assert the strict gain where
+  // it exists.
+  test("multi-probe IVF-PQ: recall dominates nprobe=1 per query, strictly in total") {
+    val sf01 = "/root/testdata/sf0.01"
+    assertProbeDominance(
+      SimilarityOps.annRecallIvfPq(spark, sf01),
+      SimilarityOps.annRecallIvfPqMp(spark, sf01))
+  }
 }
