@@ -171,12 +171,16 @@ object SparkEntry {
     "sim_ann_lsh" -> (SimilarityOps.annLsh _),
     "sim_ann_ivf" -> (SimilarityOps.annIvf _),
     "sim_ann_ivf_mp" -> (SimilarityOps.annIvfMp _),
+    "sim_ann_ivf_t" -> (SimilarityOps.annIvfTrained _),
     "sim_ann_ivfpq" -> (SimilarityOps.annIvfPq _),
+    "sim_ann_ivfpq_t" -> (SimilarityOps.annIvfPqTrained _),
     "sim_ann_recall_pq" -> (SimilarityOps.annRecallIvfPq _),
     "sim_ann_recall_pq_mp" -> (SimilarityOps.annRecallIvfPqMp _),
+    "sim_ann_recall_pq_t" -> (SimilarityOps.annRecallIvfPqTrained _),
     "sim_ann_recall" -> (SimilarityOps.annRecall _),
     "sim_ann_recall_ivf" -> (SimilarityOps.annRecallIvf _),
     "sim_ann_recall_ivf_mp" -> (SimilarityOps.annRecallIvfMp _),
+    "sim_ann_recall_ivf_t" -> (SimilarityOps.annRecallIvfTrained _),
     // custom logical node + Catalyst rewrite rule (graft.plans):
     // declared similarity join, planned as an LSH-bucketed equi-join
     "sim_lsh_join" -> ((s: SparkSession, dir: String) => {
@@ -304,21 +308,75 @@ object SparkEntry {
        |FROM r WHERE rk <= 3""".stripMargin
   }
 
-  /** Shared IVF coarse-quantizer CTE stack: cents/v/scored/best/n,
-    * plus `qcells` = each query's `nprobe` nearest cells (rn <= 1
-    * reproduces the single-probe assignment: the row_number tie-break
-    * ORDER BY score DESC, cell DESC is exactly Spark's
-    * greatest(struct(score, cell)) order). */
-  private def ivfCtesSql(nprobe: Int): String = {
+  /** K-means coarse-centroid training replayed in SQL, ending in a
+    * CTE `cents(cell, c)` holding the trained centroids: the same
+    * bounded sample, the same argmin-L2 assignment (`ORDER BY score
+    * DESC, cell DESC` = Spark's greatest-of-structs tie-break), and
+    * the same vec_id-ordered sequential fold mean (`list_reduce` over
+    * the `ORDER BY vec_id` list = Spark's fold over the sorted
+    * collect_list — the 0.0 seed adds exactly), so every trained
+    * centroid double is bit-identical across engines. Empty cells
+    * keep the previous centroid via the LEFT JOIN coalesce, exactly
+    * as the Spark trainer's array-overwrite does. */
+  private def kmeansCentsSql: String = {
     val cs = SimilarityOps.centroids(64, 16)
     val values = cs.zipWithIndex
       .map { case (c, i) => s"($i, ${sqlVec(c)})" }
       .mkString(",\n  ")
-    s"""cents AS (SELECT * FROM (VALUES
+    val iters = (1 to SimilarityOps.KmeansIters).map { i =>
+      s"""ksc$i AS (
+         | SELECT v.vec_id, v.e, c.cell,
+         |  list_dot_product(v.e, c.c) - list_dot_product(c.c, c.c)/2 AS score
+         | FROM ksamp v CROSS JOIN kcents${i - 1} c),
+         |kb$i AS (SELECT vec_id, e, cell FROM (
+         | SELECT *, row_number() OVER (PARTITION BY vec_id
+         |   ORDER BY score DESC, cell DESC) AS rn FROM ksc$i) WHERE rn = 1),
+         |ka$i AS (
+         | SELECT cell, i,
+         |  list_reduce(list(val ORDER BY vec_id), (a, b) -> a + b)
+         |   / count(*) AS m
+         | FROM (SELECT cell, vec_id, generate_subscripts(e, 1) AS i,
+         |    unnest(e) AS val FROM kb$i)
+         | GROUP BY cell, i),
+         |kn$i AS (SELECT cell, list(m ORDER BY i) AS c FROM ka$i
+         | GROUP BY cell),
+         |kcents$i AS (
+         | SELECT p.cell, coalesce(n.c, p.c) AS c
+         | FROM kcents${i - 1} p LEFT JOIN kn$i n USING (cell))""".stripMargin
+    }.mkString(",\n")
+    val base = SimilarityOps.KmeansTrainBase
+    s"""kcents0 AS (SELECT * FROM (VALUES
        |  $values) AS t(cell, c)),
+       |ksamp AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+       | FROM embeddings WHERE vec_id >= $base
+       |  AND vec_id < ${base + SimilarityOps.KmeansTrainCap}),
+       |$iters,
+       |cents AS (SELECT cell, c FROM kcents${SimilarityOps.KmeansIters})""".stripMargin
+  }
+
+  /** Shared IVF coarse-quantizer CTE stack: cents/v/scored/best/n,
+    * plus `qcells` = each query's `nprobe` nearest cells (rn <= 1
+    * reproduces the single-probe assignment: the row_number tie-break
+    * ORDER BY score DESC, cell DESC is exactly Spark's
+    * greatest(struct(score, cell)) order). `trained` swaps the
+    * literal random centroids for the k-means chain and the plain-dot
+    * score for the argmin-L2 form the trained index serves with. */
+  private def ivfCtesSql(nprobe: Int, trained: Boolean = false): String = {
+    val centsCte = if (trained) kmeansCentsSql else {
+      val cs = SimilarityOps.centroids(64, 16)
+      val values = cs.zipWithIndex
+        .map { case (c, i) => s"($i, ${sqlVec(c)})" }
+        .mkString(",\n  ")
+      s"""cents AS (SELECT * FROM (VALUES
+         |  $values) AS t(cell, c))""".stripMargin
+    }
+    val score = if (trained)
+      "list_dot_product(v.e, c.c) - list_dot_product(c.c, c.c)/2"
+    else "list_dot_product(v.e, c.c)"
+    s"""$centsCte,
        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
        |scored AS (
-       | SELECT v.vec_id, v.e, c.cell, list_dot_product(v.e, c.c) AS score
+       | SELECT v.vec_id, v.e, c.cell, $score AS score
        | FROM v CROSS JOIN cents c),
        |best AS (
        | SELECT vec_id, e, cell FROM (
@@ -335,8 +393,8 @@ object SparkEntry {
        | WHERE rn <= $nprobe)""".stripMargin
   }
 
-  private def annIvfSqlP(nprobe: Int): String =
-    s"""WITH ${ivfCtesSql(nprobe)},
+  private def annIvfSqlP(nprobe: Int, trained: Boolean = false): String =
+    s"""WITH ${ivfCtesSql(nprobe, trained)},
        |q AS (SELECT qc.vec_id AS q_vec_id, n.e AS qe, n.nrm AS qnrm,
        |  qc.cell
        | FROM qcells qc JOIN n ON n.vec_id = qc.vec_id),
@@ -351,7 +409,7 @@ object SparkEntry {
 
   private lazy val annIvfSql: String = annIvfSqlP(1)
 
-  private def annIvfPqSqlP(nprobe: Int): String = {
+  private def annIvfPqSqlP(nprobe: Int, trained: Boolean = false): String = {
     val cs = SimilarityOps.centroids(64, 16)
     val (m, len) = (4, 16)
     val base = SimilarityOps.PqSampleBase
@@ -368,6 +426,48 @@ object SparkEntry {
         s" list_dot_product($sl, $sl) / 2 AS hn," +
         s" list_dot_product($sl, $sl) AS cn FROM samp"
     }.mkString("\n UNION ALL\n ")
+    // trained books: per-subspace Lloyd over the SAME bounded ksamp
+    // the coarse trainer uses, initialized from the sampled-row
+    // codebooks (cb0 = the untrained cb sans norms); identical
+    // assignment tie-break and fold-mean as the coarse chain, so the
+    // trained codebook doubles match Spark's trainedPqCodebooks
+    // bit-for-bit
+    val cb0Unions = (0 until m).map { s =>
+      s"SELECT $s AS s, code, ${sub("e", s)} AS c FROM samp"
+    }.mkString("\n UNION ALL\n ")
+    val svCase = (0 until m).map(s =>
+      s"WHEN $s THEN ${sub("e", s)}").mkString(" ")
+    val pqIters = (1 to SimilarityOps.KmeansIters).map { i =>
+      s"""psc$i AS (
+         | SELECT v.vec_id, v.s, v.sv, b.code,
+         |  list_dot_product(v.sv, b.c) - list_dot_product(b.c, b.c)/2 AS score
+         | FROM psub v JOIN books${i - 1} b ON b.s = v.s),
+         |pb$i AS (SELECT vec_id, s, sv, code FROM (
+         | SELECT *, row_number() OVER (PARTITION BY vec_id, s
+         |   ORDER BY score DESC, code DESC) AS rn FROM psc$i) WHERE rn = 1),
+         |pa$i AS (
+         | SELECT s, code, i,
+         |  list_reduce(list(val ORDER BY vec_id), (a, b) -> a + b)
+         |   / count(*) AS m
+         | FROM (SELECT s, code, vec_id, generate_subscripts(sv, 1) AS i,
+         |    unnest(sv) AS val FROM pb$i)
+         | GROUP BY s, code, i),
+         |pn$i AS (SELECT s, code, list(m ORDER BY i) AS c FROM pa$i
+         | GROUP BY s, code),
+         |books$i AS (
+         | SELECT p.s, p.code, coalesce(n.c, p.c) AS c
+         | FROM books${i - 1} p
+         | LEFT JOIN pn$i n ON n.s = p.s AND n.code = p.code)""".stripMargin
+    }.mkString(",\n")
+    val trainedCb =
+      s"""books0 AS (
+         | $cb0Unions),
+         |psub AS (SELECT vec_id, t.s AS s, CASE t.s $svCase END AS sv
+         | FROM ksamp CROSS JOIN (VALUES (0), (1), (2), (3)) t(s)),
+         |$pqIters,
+         |cb AS (SELECT s, code, c, list_dot_product(c, c)/2 AS hn,
+         |  list_dot_product(c, c) AS cn
+         | FROM books${SimilarityOps.KmeansIters})""".stripMargin
     val subCase = (0 until m).map(s =>
       s"WHEN ${s} THEN ${sub("b.e", s)}").mkString(" ")
     val codeCols = (0 until m).map(s =>
@@ -376,16 +476,21 @@ object SparkEntry {
       s"JOIN cb b$s ON b$s.s = $s AND b$s.code = p.c$s").mkString("\n ")
     val adcSum = (0 until m).map(s =>
       s"list_dot_product(${sub("p.e", s)}, b$s.c)").mkString(" + ")
-    s"""WITH cents AS (SELECT * FROM (VALUES
-       |  $centVals) AS t(cell, c)),
+    val centsCte = if (trained) kmeansCentsSql
+    else
+      s"""cents AS (SELECT * FROM (VALUES
+         |  $centVals) AS t(cell, c))""".stripMargin
+    val cellScore = if (trained)
+      "list_dot_product(v.e, c.c) - list_dot_product(c.c, c.c)/2"
+    else "list_dot_product(v.e, c.c)"
+    s"""WITH $centsCte,
        |samp AS (SELECT CAST(vec_id - $base AS INTEGER) AS code,
        |  CAST(embedding AS DOUBLE[]) AS e FROM embeddings
        | WHERE vec_id >= $base AND vec_id < $base + 64),
-       |cb AS (
-       | $cbUnions),
+       |${if (trained) trainedCb else s"cb AS (\n $cbUnions)"},
        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
        |cellscored AS (
-       | SELECT v.vec_id, v.e, c.cell, list_dot_product(v.e, c.c) AS score
+       | SELECT v.vec_id, v.e, c.cell, $cellScore AS score
        | FROM v CROSS JOIN cents c),
        |best AS (
        | SELECT vec_id, e, cell FROM (
@@ -438,10 +543,11 @@ object SparkEntry {
     * PQ ann side ranks by ADC, not cosine), so the ann set embeds the
     * full IVF-PQ query verbatim and only the brute side + recall math
     * are restated. */
-  private def annRecallPqSqlP(nprobe: Int): String =
+  private def annRecallPqSqlP(nprobe: Int,
+      trained: Boolean = false): String =
     s"""WITH pqann AS (
        | SELECT q_vec_id, neighbor_vec_id FROM (
-       |${annIvfPqSqlP(nprobe)}
+       |${annIvfPqSqlP(nprobe, trained)}
        | ) x),
        |v2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
        |  FROM embeddings),
@@ -470,8 +576,9 @@ object SparkEntry {
   /** IVF recall oracle at `nprobe` probes: brute side over all of n,
     * ann side within the query's qcells probe set (a neighbor lives in
     * exactly one home cell, so the probe join yields no duplicates). */
-  private def annRecallIvfSqlP(nprobe: Int): String =
-    s"""WITH ${ivfCtesSql(nprobe)},
+  private def annRecallIvfSqlP(nprobe: Int,
+      trained: Boolean = false): String =
+    s"""WITH ${ivfCtesSql(nprobe, trained)},
        |q AS (SELECT vec_id AS q_vec_id, e AS qe, nrm AS qnrm
        | FROM n WHERE vec_id < 8),
        |bpairs AS (
@@ -1657,12 +1764,16 @@ object SparkEntry {
     "sim_ann_lsh" -> annLshSql,
     "sim_ann_ivf" -> annIvfSql,
     "sim_ann_ivf_mp" -> annIvfSqlP(2),
+    "sim_ann_ivf_t" -> annIvfSqlP(1, trained = true),
     "sim_ann_ivfpq" -> annIvfPqSql,
+    "sim_ann_ivfpq_t" -> annIvfPqSqlP(1, trained = true),
     "sim_ann_recall_pq" -> annRecallPqSql,
     "sim_ann_recall_pq_mp" -> annRecallPqSqlP(2),
+    "sim_ann_recall_pq_t" -> annRecallPqSqlP(1, trained = true),
     "sim_ann_recall" -> annRecallSql,
     "sim_ann_recall_ivf" -> annRecallIvfSql,
     "sim_ann_recall_ivf_mp" -> annRecallIvfSqlP(2),
+    "sim_ann_recall_ivf_t" -> annRecallIvfSqlP(1, trained = true),
     "sim_lsh_join" -> lshJoinSql,
     "d_ngram_jaccard" ->
       ("""WITH docs AS (

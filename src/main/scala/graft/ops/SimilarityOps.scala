@@ -172,28 +172,128 @@ object SimilarityOps {
     Array.fill(k)(Array.fill(dim)(rnd.nextDouble() * 2 - 1))
   }
 
-  /** Nearest-centroid id (argmax of dot with each centroid — a coarse
-    * quantizer; centroid norms are constant per centroid so plain dot
-    * ranks the same as cosine up to that scale). */
-  private def ivfCell(e: Column, cs: Array[Array[Double]]): Column = {
-    val scored = cs.zipWithIndex.map { case (c, i) =>
-      struct(dot(e, array(c.toIndexedSeq.map(lit(_)): _*)).as("score"),
-        lit(i).as("cell"))
-    }
-    greatest(scored.toIndexedSeq: _*).getField("cell")
-  }
+  /** Per-cell (score, cell) structs for the coarse quantizer. With
+    * `l2 = false` the score is the plain dot (the fixed-random-centroid
+    * index: centroid norms are constant per centroid so dot ranks like
+    * cosine up to that scale); with `l2 = true` it is dot − ‖c‖²/2,
+    * whose argmax is the argmin-L2 centroid — the assignment k-means
+    * training minimizes for, used consistently by the trained family. */
+  private def cellScores(e: Column, cs: Array[Array[Double]],
+      l2: Boolean): Seq[Column] =
+    cs.zipWithIndex.map { case (c, i) =>
+      val d = dot(e, array(c.toIndexedSeq.map(lit(_)): _*))
+      val score = if (l2) d - lit(c.map(x => x * x).sum / 2) else d
+      struct(score.as("score"), lit(i).as("cell"))
+    }.toIndexedSeq
+
+  /** Nearest-centroid id (ties to the highest cell, the
+    * greatest-of-structs order — mirrored by the oracle's
+    * `ORDER BY score DESC, cell DESC`). */
+  private def ivfCell(e: Column, cs: Array[Array[Double]],
+      l2: Boolean = false): Column =
+    greatest(cellScores(e, cs, l2): _*).getField("cell")
 
   /** Top-`p` nearest coarse cells, descending (score, cell) — element
     * one is exactly [[ivfCell]]'s choice (array_sort on the score/cell
     * structs is the same lexicographic order `greatest` maximizes), so
     * nprobe=1 reproduces the single-probe index bit-for-bit. */
-  private def ivfCells(e: Column, cs: Array[Array[Double]], p: Int): Column = {
-    val scored = array(cs.zipWithIndex.map { case (c, i) =>
-      struct(dot(e, array(c.toIndexedSeq.map(lit(_)): _*)).as("score"),
-        lit(i).as("cell"))
-    }.toIndexedSeq: _*)
+  private def ivfCells(e: Column, cs: Array[Array[Double]], p: Int,
+      l2: Boolean = false): Column = {
+    val scored = array(cellScores(e, cs, l2): _*)
     transform(slice(reverse(array_sort(scored)), 1, p), _.getField("cell"))
   }
+
+  /** K-means training sample: vectors with vec_id in
+    * [[KmeansTrainBase]] until base+[[KmeansTrainCap]] — disjoint from
+    * the audit query set (vec_id < 8) and BOUNDED BY CONSTRUCTION:
+    * quantizer training reads a fixed-size sample no matter the corpus
+    * size (the standard IVF/PQ practice — FAISS trains on ~10⁵-10⁶
+    * samples for billion-vector indexes), so the per-iteration jobs
+    * below are sample-sized, never corpus-sized, at 100 TB. */
+  val KmeansTrainBase = 8L
+  val KmeansTrainCap = 4096L
+
+  /** Lloyd iterations for the trained coarse quantizer / codebooks.
+    * Two rounds from the seeded-random (resp. sampled-row) init is
+    * where most of the objective drop happens; EstimatorSpec asserts
+    * the per-iteration monotone decrease that makes more rounds a
+    * strict refinement. */
+  val KmeansIters = 2
+
+  private def trainSample(spark: SparkSession, sfDir: String): DataFrame =
+    withNorm(Tables.load(spark, sfDir, "embeddings"))
+      .filter(col("vec_id") >= KmeansTrainBase &&
+        col("vec_id") < KmeansTrainBase + KmeansTrainCap)
+      .select(col("vec_id"), col("e"))
+
+  /** Elementwise mean of the vec_id-sorted member vectors of a group
+    * (collected as structs with vector field `e`): a sequential left
+    * fold in vec_id order, so the sum — and therefore every trained
+    * centroid — is bit-reproducible by the oracle's `list_reduce` over
+    * the identically-ordered list. Collecting a group into one array
+    * is safe by construction: the trainer only ever sees the bounded
+    * training sample, never the corpus. */
+  private def foldMean(vs: Column, dim: Int): Column =
+    transform(
+      aggregate(vs, array_repeat(lit(0.0d), dim),
+        (acc, x) => zip_with(acc, x.getField("e"), _ + _)),
+      _ / size(vs))
+
+  /** One Lloyd update of the coarse centroids: assign every sample
+    * vector to its argmin-L2 centroid, replace each centroid with the
+    * mean of its members; empty cells keep their previous centroid.
+    * One shuffle of the bounded sample + a k-row collect per round —
+    * this is the index-BUILD step every ANN system runs before
+    * serving, not a per-row driver loop. */
+  private def lloydStep(samp: DataFrame,
+      cs: Array[Array[Double]]): Array[Array[Double]] = {
+    val dim = cs.head.length
+    val rows = samp.withColumn("cell", ivfCell(col("e"), cs, l2 = true))
+      .groupBy("cell")
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("e")))).as("vs"))
+      .select(col("cell"), foldMean(col("vs"), dim).as("c"))
+      .collect()
+    val next = cs.clone()
+    rows.foreach(r => next(r.getInt(0)) =
+      r.getSeq[Double](1).toArray)
+    next
+  }
+
+  /** Lloyd-trained IVF coarse centroids: [[KmeansIters]] k-means
+    * rounds over the bounded [[trainSample]], initialized from the
+    * same seeded-random centroids the untrained index uses (so the
+    * trained-vs-random comparison isolates training, not init).
+    * Random centroids degenerate on skewed real manifolds — one hot
+    * cell collects a giant candidate set; training balances occupancy
+    * to the data (EstimatorSpec pins the improvement and the monotone
+    * k-means objective). */
+  def trainedCentroids(spark: SparkSession, sfDir: String, k: Int = 16,
+      iters: Int = KmeansIters): Array[Array[Double]] = {
+    val samp = trainSample(spark, sfDir).localCheckpoint()
+    var cs = centroids(64, k)
+    for (_ <- 0 until iters) cs = lloydStep(samp, cs)
+    cs
+  }
+
+  /** Mean squared L2 distance of the training sample to its assigned
+    * (argmin-L2) centroid — the k-means objective, via
+    * ‖e−c‖² = ‖e‖² − 2·(e·c − ‖c‖²/2). Lloyd guarantees this is
+    * non-increasing per round; EstimatorSpec asserts it. */
+  def kmeansObjective(spark: SparkSession, sfDir: String,
+      cs: Array[Array[Double]]): Double =
+    trainSample(spark, sfDir)
+      .withColumn("best", greatest(cellScores(col("e"), cs, l2 = true): _*)
+        .getField("score"))
+      .agg(avg(dot(col("e"), col("e")) - lit(2.0) * col("best")))
+      .head().getDouble(0)
+
+  /** Per-cell corpus member counts under centroids `cs` — the
+    * occupancy-balance diagnostic for quantizer training. */
+  def cellOccupancy(spark: SparkSession, sfDir: String,
+      cs: Array[Array[Double]], l2: Boolean): DataFrame =
+    withNorm(Tables.load(spark, sfDir, "embeddings"))
+      .withColumn("cell", ivfCell(col("e"), cs, l2))
+      .groupBy("cell").count()
 
   /** IVF ANN: corpus assigned to nearest of 16 fixed coarse centroids
     * (inverted file); each query probes only its own cell. The
@@ -215,16 +315,17 @@ object SimilarityOps {
   def annIvfMp(spark: SparkSession, sfDir: String): DataFrame =
     annIvfOf(withNorm(Tables.load(spark, sfDir, "embeddings")), nprobe = 2)
 
-  private def annIvfOf(vn: DataFrame, nprobe: Int = 1): DataFrame = {
-    val cs = centroids(64, 16)
-    val v = vn.withColumn("cell", ivfCell(col("e"), cs))
+  private def annIvfOf(vn: DataFrame, nprobe: Int = 1,
+      cs: Array[Array[Double]] = centroids(64, 16),
+      l2: Boolean = false): DataFrame = {
+    val v = vn.withColumn("cell", ivfCell(col("e"), cs, l2))
     // queries explode over their nprobe nearest cells; the corpus keeps
     // its single home cell, so a neighbor can match at most one probe
     // (no post-join dedup needed)
     val q = v.filter(col("vec_id") < 8)
       .select(col("vec_id").as("q_vec_id"), col("e").as("qe"),
         col("nrm").as("qnrm"),
-        explode(ivfCells(col("e"), cs, nprobe)).as("cell"))
+        explode(ivfCells(col("e"), cs, nprobe, l2)).as("cell"))
     val pairs = v.join(broadcast(q), Seq("cell"))
       .filter(col("vec_id") =!= col("q_vec_id"))
       .withColumn("cos", dot(col("qe"), col("e")) / (col("qnrm") * col("nrm")))
@@ -271,18 +372,61 @@ object SimilarityOps {
   private def subVec(e: Column, s: Int, len: Int): Column =
     slice(e, s * len + 1, len)
 
-  /** Per-subspace PQ code: argmin-L2 centroid via the equivalent
-    * argmax of (dot − ||c||²/2) — ties break to the highest code
-    * (greatest-of-structs), mirrored exactly in the oracle SQL. */
-  private def pqCodeCol(e: Column, book: Array[Array[Double]],
-      s: Int, len: Int): Column = {
+  /** Per-subspace PQ code of a subvector column: argmin-L2 centroid
+    * via the equivalent argmax of (dot − ||c||²/2) — ties break to the
+    * highest code (greatest-of-structs), mirrored exactly in the
+    * oracle SQL. */
+  private def svCode(sv: Column, book: Array[Array[Double]]): Column = {
     val scored = book.zipWithIndex.map { case (c, j) =>
       val cArr = array(c.toIndexedSeq.map(lit(_)): _*)
       val halfNorm = c.map(x => x * x).sum / 2
-      struct((dot(subVec(e, s, len), cArr) - lit(halfNorm)).as("score"),
+      struct((dot(sv, cArr) - lit(halfNorm)).as("score"),
         lit(j).as("code"))
     }
     greatest(scored.toIndexedSeq: _*).getField("code")
+  }
+
+  private def pqCodeCol(e: Column, book: Array[Array[Double]],
+      s: Int, len: Int): Column =
+    svCode(subVec(e, s, len), book)
+
+  /** Lloyd-trained PQ codebooks: per-subspace k-means over the
+    * bounded [[trainSample]]'s subvectors, initialized from the
+    * sampled-row codebooks [[pqCodebooks]] returns (already on the
+    * data manifold — training then balances the cells around it).
+    * All M subspaces train in ONE job per round: the sample explodes
+    * M-fold to (subspace, subvector) rows, codes assign via the
+    * matching current book, and the new centroid is the same
+    * vec_id-ordered fold-mean the coarse trainer uses — every trained
+    * code value is bit-reproducible by the oracle. Empty codes keep
+    * their previous centroid. */
+  def trainedPqCodebooks(spark: SparkSession, sfDir: String, m: Int = 4,
+      k: Int = 64, iters: Int = KmeansIters): Array[Array[Array[Double]]] = {
+    var books = pqCodebooks(spark, sfDir, m, k)
+    val len = 64 / m
+    val samp = trainSample(spark, sfDir).localCheckpoint()
+    for (_ <- 0 until iters) {
+      val sub = samp.select(col("vec_id"),
+        explode(array(books.indices.map(s =>
+          struct(lit(s).as("s"), subVec(col("e"), s, len).as("e"))): _*))
+          .as("x"))
+        .select(col("vec_id"), col("x.s").as("s"), col("x.e").as("e"))
+      val codeExpr = books.indices.tail.foldLeft(
+        when(col("s") === 0, svCode(col("e"), books(0)))) { (acc, s) =>
+        acc.when(col("s") === s, svCode(col("e"), books(s)))
+      }
+      val rows = sub.withColumn("code", codeExpr)
+        .groupBy("s", "code")
+        .agg(sort_array(collect_list(struct(col("vec_id"), col("e"))))
+          .as("vs"))
+        .select(col("s"), col("code"), foldMean(col("vs"), len).as("c"))
+        .collect()
+      val next = books.map(_.clone())
+      rows.foreach(r => next(r.getInt(0))(r.getInt(1)) =
+        r.getSeq[Double](2).toArray)
+      books = next
+    }
+    books
   }
 
   /** IVF-PQ ANN — the production composition (FAISS-style): the
@@ -303,10 +447,11 @@ object SimilarityOps {
       pqCodebooks(spark, sfDir))
 
   private def annIvfPqOf(vn: DataFrame,
-      books: Array[Array[Array[Double]]], nprobe: Int = 1): DataFrame = {
-    val cs = centroids(64, 16)
+      books: Array[Array[Array[Double]]], nprobe: Int = 1,
+      cs: Array[Array[Double]] = centroids(64, 16),
+      l2: Boolean = false): DataFrame = {
     val len = 64 / books.length
-    val v = vn.withColumn("cell", ivfCell(col("e"), cs))
+    val v = vn.withColumn("cell", ivfCell(col("e"), cs, l2))
     // compressed corpus index: cell + M codes per vector, plus the
     // reconstruction norm — derivable from the codes alone (the
     // reconstruction is the concatenation of chosen centroids, so its
@@ -330,7 +475,7 @@ object SimilarityOps {
     // the query set — the exploded probes share one table computation)
     val q = v.filter(col("vec_id") < 8).select(
       col("vec_id").as("q_vec_id") +:
-        explode(ivfCells(col("e"), cs, nprobe)).as("cell") +:
+        explode(ivfCells(col("e"), cs, nprobe, l2)).as("cell") +:
         books.indices.map { s =>
           array(books(s).toIndexedSeq.map(c =>
             dot(subVec(col("e"), s, len),
@@ -389,6 +534,43 @@ object SimilarityOps {
   def annRecallIvfPqMp(spark: SparkSession, sfDir: String): DataFrame = {
     val books = pqCodebooks(spark, sfDir)
     annRecallOf(spark, sfDir, v => annIvfPqOf(v, books, nprobe = 2))
+  }
+
+  /** IVF ANN over the Lloyd-trained coarse quantizer
+    * ([[trainedCentroids]]): assignment and probing are argmin-L2 —
+    * the metric the training minimized — instead of the untrained
+    * index's raw dot. Same serving plan as [[annIvf]]; only the
+    * (driver-side, tiny, broadcast-inside-the-expression) centroid
+    * constants and the score form differ. */
+  def annIvfTrained(spark: SparkSession, sfDir: String): DataFrame = {
+    val cs = trainedCentroids(spark, sfDir)
+    annIvfOf(withNorm(Tables.load(spark, sfDir, "embeddings")),
+      cs = cs, l2 = true)
+  }
+
+  /** Recall@3 of the trained-centroid IVF index, same harness. */
+  def annRecallIvfTrained(spark: SparkSession, sfDir: String): DataFrame = {
+    val cs = trainedCentroids(spark, sfDir)
+    annRecallOf(spark, sfDir, v => annIvfOf(v, cs = cs, l2 = true))
+  }
+
+  /** IVF-PQ over the fully trained index: Lloyd-trained coarse
+    * centroids AND Lloyd-trained per-subspace codebooks. The serving
+    * plan is identical to [[annIvfPq]] — compressed corpus, per-query
+    * ADC tables — training only moves the constants onto the data. */
+  def annIvfPqTrained(spark: SparkSession, sfDir: String): DataFrame = {
+    val cs = trainedCentroids(spark, sfDir)
+    val books = trainedPqCodebooks(spark, sfDir)
+    annIvfPqOf(withNorm(Tables.load(spark, sfDir, "embeddings")), books,
+      cs = cs, l2 = true)
+  }
+
+  /** Recall@3 of the fully trained IVF-PQ index, same harness. */
+  def annRecallIvfPqTrained(spark: SparkSession, sfDir: String): DataFrame = {
+    val cs = trainedCentroids(spark, sfDir)
+    val books = trainedPqCodebooks(spark, sfDir)
+    annRecallOf(spark, sfDir,
+      v => annIvfPqOf(v, books, cs = cs, l2 = true))
   }
 
   private def annRecallOf(spark: SparkSession, sfDir: String,

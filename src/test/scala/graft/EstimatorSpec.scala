@@ -339,4 +339,43 @@ class EstimatorSpec extends SparkSpec {
       SimilarityOps.annRecallIvfPq(spark, sf01),
       SimilarityOps.annRecallIvfPqMp(spark, sf01))
   }
+
+  test("Lloyd training: k-means objective decreases monotonically per round") {
+    val cs0 = SimilarityOps.centroids(64, 16)
+    val cs1 = SimilarityOps.trainedCentroids(spark, sfDir, iters = 1)
+    val cs2 = SimilarityOps.trainedCentroids(spark, sfDir, iters = 2)
+    val Seq(o0, o1, o2) =
+      Seq(cs0, cs1, cs2).map(SimilarityOps.kmeansObjective(spark, sfDir, _))
+    // Lloyd guarantees non-increase; on this fixture round 1 is a
+    // ~17× drop (random centroids sit far off the data manifold)
+    assert(o1 < o0 / 2, s"round 1 objective $o1 not well below init $o0")
+    assert(o2 <= o1, s"round 2 objective $o2 above round 1's $o1")
+  }
+
+  test("Lloyd training: trained cells are better balanced than random ones") {
+    def stats(cs: Array[Array[Double]]): (Long, Double) = {
+      val occ = SimilarityOps.cellOccupancy(spark, sfDir, cs, l2 = true)
+        .collect().map(_.getLong(1))
+      val mean = occ.sum.toDouble / 16 // over all k cells, empty included
+      (occ.max, math.sqrt(occ.map(c => (c - mean) * (c - mean)).sum / 16))
+    }
+    val (mx0, sd0) = stats(SimilarityOps.centroids(64, 16))
+    val (mx1, sd1) = stats(SimilarityOps.trainedCentroids(spark, sfDir))
+    // the latent 100 TB risk being trained away: one hot cell = one
+    // giant candidate set per query landing in it
+    assert(mx1 < mx0, s"max cell occupancy $mx1 not below random's $mx0")
+    assert(sd1 < sd0, s"occupancy stddev $sd1 not below random's $sd0")
+  }
+
+  test("Lloyd training: trained-index recall beats the random-centroid index") {
+    def hits(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(sum("n_hits")).head().getLong(0)
+    // same brute-force truth on both sides of each comparison; the
+    // fixture gaps are wide (4→12 IVF, 3→5 PQ at sf0.001), so these
+    // are robust strict assertions, not near-ties
+    assert(hits(SimilarityOps.annRecallIvfTrained(spark, sfDir)) >
+      hits(SimilarityOps.annRecallIvf(spark, sfDir)))
+    assert(hits(SimilarityOps.annRecallIvfPqTrained(spark, sfDir)) >
+      hits(SimilarityOps.annRecallIvfPq(spark, sfDir)))
+  }
 }
