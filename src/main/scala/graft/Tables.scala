@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, unix_micros}
+import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
 
 /** Uniform access to the driver-generated parquet corpus (TESTDATA.md).
   *
@@ -42,8 +44,29 @@ object Tables {
       // elsewhere.
       spark.conf.set("spark.sql.session.timeZone", "UTC")
     }
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    normalizeTs(spark.read.parquet(s"$sfDir/$name.parquet"))
   }
+
+  /** Normalize `events.ts` to the library-wide contract: epoch-NANOS
+    * BIGINT. The corpus has shipped `ts` under two parquet encodings —
+    * INT64(TIMESTAMP_NANOS) (which the `nanosAsLong` pin above already
+    * surfaces as a raw nanos long) and TIMESTAMP(MICROS) NTZ (which
+    * arrives as TIMESTAMP_NTZ). Converting at the read boundary keeps
+    * every downstream operator (cell model writetimes, tombstone
+    * pairing, sessionization) encoding-independent, and agrees exactly
+    * with the DuckDB oracle's `epoch_ns(ts)`: both interpret the naive
+    * micros timestamp as UTC (the session is UTC-pinned) and widen
+    * ×1000 to nanos.
+    */
+  def normalizeTs(df: DataFrame): DataFrame =
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(TimestampNTZType) | Some(TimestampType) =>
+        // NTZ → TIMESTAMP cast is wall-clock-preserving under the UTC
+        // session pin, so unix_micros is the exact naive-UTC reading.
+        df.withColumn("ts",
+          unix_micros(col("ts").cast(TimestampType)) * 1000L)
+      case _ => df
+    }
 
   /** Load with a parallelism floor for CPU-heavy per-row transforms
     * (shingling, embedding math). The local test corpus is one small

@@ -80,14 +80,18 @@ object StreamingOps {
       mode: OutputMode): DataFrame =
     runSourceToMemory(parent, spark => {
       // schema from a one-off batch read: streaming sources require an
-      // explicit schema (no inference race on a live directory)
-      val schema = Tables.load(spark, sfDir, "events").schema
-      spark.readStream
+      // explicit schema (no inference race on a live directory). The
+      // RAW file schema, not Tables.load's — load() normalizes ts to
+      // nanos BIGINT, and handing that schema to a reader over files
+      // that store TIMESTAMP would be a type mismatch. Normalize the
+      // stream AFTER the source instead, same boundary as batch.
+      val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+      Tables.normalizeTs(spark.readStream
         .schema(schema)
         // glob (not a bare file path): FileStreamSource anchors partition
         // discovery at the glob's parent directory; a single-file path
         // would become its own basePath and fail "must be a directory"
-        .parquet(s"$sfDir/events.parquet*")
+        .parquet(s"$sfDir/events.parquet*"))
     }, build, mode)
 
   private def runSourceToMemory(
@@ -191,7 +195,8 @@ object StreamingOps {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     val schema = spark.read.parquet(inDir).schema
-    val q = windowAggPlan(spark.readStream.schema(schema).parquet(inDir))
+    val q = windowAggPlan(Tables.normalizeTs(
+        spark.readStream.schema(schema).parquet(inDir)))
       .writeStream
       .format("parquet")
       .option("path", outDir)
