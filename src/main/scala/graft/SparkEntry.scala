@@ -111,6 +111,8 @@ object SparkEntry {
     "t_pii_scrub" -> (TextOps.piiScrub _),
     "t_top_ngrams" -> ((s: SparkSession, d: String) =>
       TextOps.topNgrams(s, d)),
+    "t_gopher_rules" -> (TextOps.gopherRules _),
+    "t_ppl_buckets" -> (TextOps.pplBuckets _),
     // --- JSONL corpus ingestion (sources.JsonlCorpus) ---
     "src_jsonl_roundtrip" -> (sources.JsonlCorpus.roundtrip _),
     "src_jsonl_corrupt" -> (sources.JsonlCorpus.corruptAccounting _),
@@ -154,6 +156,10 @@ object SparkEntry {
     "d_ngram_jaccard" -> ((s: SparkSession, d: String) =>
       DedupOps.ngramJaccard(s, d)),
     "d_decontaminate" -> (DedupOps.decontaminate _),
+    "d_substring_dedup" -> ((s: SparkSession, d: String) =>
+      DedupOps.substringDedup(s, d)),
+    "d_decontam_span" -> ((s: SparkSession, d: String) =>
+      DedupOps.decontamSpans(s, d)),
     "d_dedup_components" -> ((s: SparkSession, d: String) =>
       DedupOps.dedupComponents(s, d, DedupOps.Md5)),
     // the DEEP-GRAPH path through the same contract: maxIters=0 skips
@@ -168,6 +174,8 @@ object SparkEntry {
     "sim_cosine_topk" -> (SimilarityOps.cosineTopK _),
     "sim_embed_neardup" -> ((s: SparkSession, d: String) =>
       SimilarityOps.embeddingNearDup(s, d)),
+    "sim_semdedup" -> ((s: SparkSession, d: String) =>
+      SimilarityOps.semDedup(s, d)),
     "sim_ann_lsh" -> (SimilarityOps.annLsh _),
     "sim_ann_ivf" -> (SimilarityOps.annIvf _),
     "sim_ann_ivf_mp" -> (SimilarityOps.annIvfMp _),
@@ -408,6 +416,53 @@ object SparkEntry {
        |FROM r WHERE rk <= 3""".stripMargin
 
   private lazy val annIvfSql: String = annIvfSqlP(1)
+
+  /** SemDeDup oracle: the cents/v/scored/best assignment CTEs are the
+    * IVF quantizer's (plain-dot score, same DESC/DESC tie-break); the
+    * best-prior pick (max cosine among smaller-id cell-mates, ties to
+    * the lowest id) is a row_number over the within-cell pair join —
+    * the exact order Spark's array_max over (cos, −id) structs
+    * maximizes. The threshold compares the UNROUNDED cosine in both
+    * engines (same IEEE-754 value — the ArrayDot fold and DuckDB's
+    * list_dot_product are bit-identical, proven by the green ANN
+    * family). */
+  private lazy val semDedupSql: String = {
+    val cs = SimilarityOps.centroids(64, 16)
+    val values = cs.zipWithIndex
+      .map { case (c, i) => s"($i, ${sqlVec(c)})" }
+      .mkString(",\n  ")
+    val tau = SimilarityOps.SemDedupTau
+    s"""WITH cents AS (SELECT * FROM (VALUES
+       |  $values) AS t(cell, c)),
+       |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+       | FROM embeddings),
+       |scored AS (
+       | SELECT v.vec_id, v.e, c.cell,
+       |  list_dot_product(v.e, c.c) AS score
+       | FROM v CROSS JOIN cents c),
+       |best AS (
+       | SELECT vec_id, e, cell FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY score DESC, cell DESC) AS rn FROM scored)
+       | WHERE rn = 1),
+       |n AS (SELECT vec_id, cell, e,
+       |  sqrt(list_dot_product(e, e)) AS nrm FROM best),
+       |p AS (
+       | SELECT a.vec_id, a.cell, b.vec_id AS prior_id,
+       |  list_dot_product(a.e, b.e) / (a.nrm * b.nrm) AS cos
+       | FROM n a JOIN n b ON a.cell = b.cell AND b.vec_id < a.vec_id),
+       |bp AS (
+       | SELECT vec_id, prior_id, cos FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY cos DESC, prior_id) AS rn FROM p)
+       | WHERE rn = 1)
+       |SELECT n.vec_id, n.cell,
+       | CASE WHEN bp.cos >= $tau THEN 'remove' ELSE 'keep' END
+       |   AS verdict,
+       | CASE WHEN bp.cos >= $tau THEN bp.prior_id END AS dup_of,
+       | CASE WHEN bp.cos >= $tau THEN round(bp.cos, 6) END AS cos_sim
+       |FROM n LEFT JOIN bp ON n.vec_id = bp.vec_id""".stripMargin
+  }
 
   private def annIvfPqSqlP(nprobe: Int, trained: Boolean = false): String = {
     val cs = SimilarityOps.centroids(64, 16)
@@ -1341,6 +1396,63 @@ object SparkEntry {
         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
         | round(ln(n_tokens) - CAST(s AS DOUBLE) / n_tokens, 6) AS entropy
         |FROM s""".stripMargin,
+    // Gopher rules: every rule is the same array/regex expression over
+    // the same token split; bounds compare the ROUNDED values in both
+    // engines, so the keep verdict cannot ULP-flip at a boundary
+    "t_gopher_rules" ->
+      """WITH t AS (
+        | SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        | FROM documents),
+        |m AS (
+        | SELECT doc_id,
+        |  CAST(len(t) AS INTEGER) AS n_words,
+        |  round(CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE)
+        |    / CAST(len(t) AS DOUBLE), 6) AS mean_word_len,
+        |  round(CAST(len(list_filter(t,
+        |      x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+        |    / CAST(len(t) AS DOUBLE), 6) AS alpha_word_frac,
+        |  CAST(len(list_filter(t, x -> lower(x) IN
+        |    ('the','a','and','of','to','in','is','it','on','for')))
+        |    AS INTEGER) AS n_stopwords
+        | FROM t)
+        |SELECT doc_id, n_words, mean_word_len, alpha_word_frac,
+        | n_stopwords,
+        | (n_words BETWEEN 30 AND 90)
+        |  AND (mean_word_len BETWEEN 3.0 AND 6.0)
+        |  AND alpha_word_frac >= 0.9
+        |  AND n_stopwords >= 1 AS keep
+        |FROM m""".stripMargin,
+    // perplexity buckets: the scoring CTEs are t_unigram_logprob's
+    // verbatim; ntile's uneven-split rule (earlier tiles take the
+    // extra row) and the (score, doc_id) tie-break are identical in
+    // both engines, so the tercile boundary replays exactly
+    "t_ppl_buckets" ->
+      """WITH t AS (
+        | SELECT doc_id,
+        |  unnest(list_transform(string_split_regex(trim(text), '\s+'),
+        |    x -> lower(x))) AS term
+        | FROM documents),
+        |v AS (SELECT term, count(*) AS tf FROM t GROUP BY 1),
+        |n AS (SELECT count(*) AS n_total FROM t),
+        |s AS (
+        | SELECT t.doc_id,
+        |  CAST(round(-ln(CAST(tf AS DOUBLE) / n_total), 8)
+        |    AS DECIMAL(20,8)) AS nlp
+        | FROM t JOIN v USING (term), n),
+        |sc AS (
+        | SELECT doc_id, count(*) AS n_tokens,
+        |  round(CAST(sum(nlp) AS DOUBLE) / count(*), 6)
+        |    AS avg_neg_logprob
+        | FROM s GROUP BY 1),
+        |b AS (
+        | SELECT sc.doc_id, d.lang, sc.avg_neg_logprob,
+        |  CAST(ntile(3) OVER (PARTITION BY d.lang
+        |    ORDER BY sc.avg_neg_logprob, sc.doc_id) AS INTEGER)
+        |    AS tercile
+        | FROM sc JOIN documents d ON sc.doc_id = d.doc_id)
+        |SELECT doc_id, lang, avg_neg_logprob, tercile,
+        | (['head', 'middle', 'tail'])[tercile] AS bucket
+        |FROM b""".stripMargin,
     "t_unigram_logprob" ->
       """WITH t AS (
         | SELECT doc_id,
@@ -1746,6 +1858,63 @@ object SparkEntry {
         |SELECT c.doc_id, count(*) AS n_shared_shingles
         |FROM corpus c JOIN block USING (shingle)
         |GROUP BY c.doc_id""".stripMargin,
+    // substring dedup: the oracle regenerates every 8-token sliding
+    // window (same md5 of the space-joined slice as corp_chunk's
+    // digest contract) and classifies duplicated hashes identically
+    "d_substring_dedup" ->
+      """WITH t AS (
+        | SELECT doc_id, string_split_regex(trim(text), '\s+') AS t,
+        |  len(string_split_regex(trim(text), '\s+')) AS n
+        | FROM documents),
+        |w AS (
+        | SELECT doc_id, md5(array_to_string(t[st+1 : st+8], ' ')) AS wh
+        | FROM (SELECT doc_id, t,
+        |   unnest(generate_series(0, n - 8)) AS st FROM t)),
+        |d AS (SELECT wh FROM w GROUP BY wh
+        |      HAVING count(DISTINCT doc_id) >= 2),
+        |pd AS (SELECT doc_id, count(*) AS n_dup_windows
+        |       FROM w JOIN d USING (wh) GROUP BY 1),
+        |tot AS (SELECT doc_id,
+        |  CAST(greatest(n - 7, 0) AS INTEGER) AS n_windows FROM t)
+        |SELECT tot.doc_id, tot.n_windows,
+        | coalesce(pd.n_dup_windows, 0) AS n_dup_windows,
+        | round(CAST(coalesce(pd.n_dup_windows, 0) AS DOUBLE)
+        |   / CAST(tot.n_windows AS DOUBLE), 6) AS dup_ratio
+        |FROM tot LEFT JOIN pd ON tot.doc_id = pd.doc_id""".stripMargin,
+    // decontamination spans: same window digests; the eval hash set,
+    // the matched starts, and the gaps-and-islands merge (new island
+    // when a start exceeds its predecessor by more than the window
+    // width) replay identically
+    "d_decontam_span" ->
+      """WITH t AS (
+        | SELECT doc_id, string_split_regex(trim(text), '\s+') AS t,
+        |  len(string_split_regex(trim(text), '\s+')) AS n
+        | FROM documents),
+        |w AS (
+        | SELECT doc_id, st AS pos,
+        |  md5(array_to_string(t[st+1 : st+8], ' ')) AS wh
+        | FROM (SELECT doc_id, t,
+        |   unnest(generate_series(0, n - 8)) AS st FROM t)),
+        |ev AS (SELECT DISTINCT wh FROM w WHERE doc_id % 23 = 0),
+        |m AS (SELECT doc_id, pos FROM w
+        |      WHERE doc_id % 23 <> 0
+        |       AND wh IN (SELECT wh FROM ev)),
+        |f AS (
+        | SELECT doc_id, pos,
+        |  CASE WHEN pos - lag(pos) OVER
+        |    (PARTITION BY doc_id ORDER BY pos) > 8
+        |   THEN 1 ELSE 0 END AS ns
+        | FROM m),
+        |g AS (
+        | SELECT doc_id, pos, sum(ns) OVER (PARTITION BY doc_id
+        |   ORDER BY pos ROWS UNBOUNDED PRECEDING) AS grp
+        | FROM f)
+        |SELECT doc_id,
+        | CAST(min(pos) AS INTEGER) AS span_start,
+        | CAST(max(pos) + 7 AS INTEGER) AS span_end,
+        | CAST(max(pos) + 7 - min(pos) + 1 AS INTEGER) AS span_tokens,
+        | count(*) AS n_windows
+        |FROM g GROUP BY doc_id, grp""".stripMargin,
     "d_minhash_lsh" -> minhashLshSql,
     // the xxhash64 production mode checked WITHOUT xxhash: identical
     // text ⇒ identical shingle set ⇒ identical signature under any
@@ -1820,6 +1989,7 @@ object SparkEntry {
         |SELECT q_vec_id, neighbor_vec_id, round(cos, 6) AS cos_sim, rk
         |FROM r WHERE rk <= 5""".stripMargin,
     "sim_embed_neardup" -> nearDupSql,
+    "sim_semdedup" -> semDedupSql,
     "m_media_decode" ->
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
         | CAST(strlen(text) % 64 + 16 AS INTEGER) AS width,

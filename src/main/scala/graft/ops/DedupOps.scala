@@ -669,4 +669,135 @@ object DedupOps {
       .filter(col("jaccard") >= 0.8)
       .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
   }
+
+  /** Sliding-window size for substring-level dedup: 8 tokens at fixture
+    * scale (the corpus vocabulary is small, so 8-token windows collide
+    * across documents the way ~50-token windows do on natural text —
+    * Lee et al. 2021 use 50). */
+  val SubstrWindow = 8
+
+  /** md5 window hashes of every [[SubstrWindow]]-token sliding window
+    * (stride 1), as an array column over the materialized token list. */
+  private def windowHashes(t: Column, w: Int): Column =
+    when(size(t) >= w,
+      transform(sequence(lit(0), size(t) - w),
+        i => md5(concat_ws(" ", slice(t, i + 1, lit(w))))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Substring-level exact dedup audit (Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better" — the
+    * ExactSubstr pass run alongside document-level MinHash): hash every
+    * [[SubstrWindow]]-token sliding window, find windows occurring in
+    * ≥ 2 distinct documents, and report each document's duplicated-span
+    * exposure (total windows, duplicated windows, duplicated fraction).
+    * Documents with a high fraction carry boilerplate/copied passages
+    * that document-level dedup cannot see.
+    *
+    * Scale shape: one corpus scan builds the window-hash arrays as a
+    * per-row expression; the explode feeds a hash-keyed aggregation
+    * whose shuffle carries (doc_id, 32-char hash) rows only — text
+    * never shuffles. The duplicated-hash set joins back against the
+    * same window stream as a hash-keyed shuffle join (both sides
+    * linear in window count ≈ token count), then one doc-keyed
+    * aggregation; no self-join, no O(pairs) blow-up at any corpus
+    * size. The suffix-array machinery of the paper is replaced by
+    * fixed-width window hashing — the standard distributed
+    * re-expression (windows of width w detect every duplicated span
+    * ≥ w tokens).
+    */
+  def substringDedup(spark: SparkSession, sfDir: String,
+      w: Int = SubstrWindow): DataFrame =
+    substringDedupOf(Tables.loadBalanced(spark, sfDir, "documents"), w)
+
+  /** [[substringDedup]] over an arbitrary (doc_id, text) frame. */
+  def substringDedupOf(corpus: DataFrame,
+      w: Int = SubstrWindow): DataFrame = {
+    val docs = corpus
+      .select(col("doc_id"), windowHashes(toks(col("text")), w).as("whs"))
+      // two downstream consumers (per-doc totals + the exploded window
+      // stream); materialize so the split/hash pipeline runs once
+      .localCheckpoint()
+    val wins = docs.select(col("doc_id"), explode(col("whs")).as("wh"))
+    val dupSet = wins
+      .groupBy(col("wh"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("wh"))
+    val dupPerDoc = wins
+      .join(dupSet, "wh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_windows"))
+    docs
+      .select(col("doc_id"), size(col("whs")).as("n_windows"))
+      .join(dupPerDoc, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_dup_windows"))
+      .withColumn("dup_ratio",
+        round(col("n_dup_windows").cast("double") /
+          col("n_windows").cast("double"), 6))
+  }
+
+  /** Eval-set modulus for [[decontamSpans]]: doc_id % 23 == 0 stands in
+    * for the held-out benchmark suite (tiny next to the corpus). */
+  val DecontamEvalMod = 23
+
+  /** Span-level decontamination (the excision form of
+    * [[decontaminate]]): instead of dropping whole contaminated
+    * documents, locate the exact token spans a training document
+    * shares with the eval set, so the pipeline can cut the span and
+    * keep the rest — the n-gram-overlap decontamination procedure of
+    * GPT-3 appendix C / PaLM, emitting [start, end] token ranges.
+    * A matched window marks [[SubstrWindow]] tokens; matched windows
+    * whose token ranges overlap or touch coalesce into maximal spans
+    * via gaps-and-islands over the ordered start positions (a new
+    * island begins when a start exceeds the previous start by more
+    * than w — the first gap that leaves uncovered tokens between
+    * them).
+    *
+    * Scale shape: eval windows are benchmark-suite-sized → their
+    * distinct hash set BROADCASTS; the corpus streams through once and
+    * only matched (doc, window-start) rows reach the span aggregation
+    * (window function partitioned per contaminated doc — matched rows
+    * only, not the corpus). No corpus-sized shuffle at any scale.
+    */
+  def decontamSpans(spark: SparkSession, sfDir: String,
+      w: Int = SubstrWindow): DataFrame =
+    decontamSpansOf(Tables.loadBalanced(spark, sfDir, "documents"), w)
+
+  /** [[decontamSpans]] over an arbitrary (doc_id, text) frame; eval
+    * membership is doc_id % [[DecontamEvalMod]] == 0, as in the
+    * registered query. */
+  def decontamSpansOf(corpus: DataFrame,
+      w: Int = SubstrWindow): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = corpus
+      .select(col("doc_id"), windowHashes(toks(col("text")), w).as("whs"))
+    val evalSet = docs
+      .filter(col("doc_id") % DecontamEvalMod === 0)
+      .select(explode(col("whs")).as("wh"))
+      .distinct()
+    val matched = docs
+      .filter(col("doc_id") % DecontamEvalMod =!= 0)
+      .select(col("doc_id"), posexplode(col("whs")).as(Seq("pos", "wh")))
+      .join(broadcast(evalSet), "wh")
+      .select(col("doc_id"), col("pos"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    matched
+      // island boundary: this window starts more than w past the
+      // previous one, so their [pos, pos+w-1] ranges neither overlap
+      // nor touch; the running sum of boundary flags is the island id
+      .withColumn("newSpan",
+        when(col("pos") - lag(col("pos"), 1).over(byDoc) > w, 1)
+          .otherwise(0))
+      .withColumn("grp", sum(col("newSpan")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(
+        min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(w - 1)).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(
+        col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"),
+        col("n_windows"))
+  }
 }

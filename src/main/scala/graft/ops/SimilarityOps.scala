@@ -627,4 +627,75 @@ object SimilarityOps {
         col("vec_id").as("neighbor_vec_id"),
         round(col("cos"), 6).as("cos_sim"), col("rk"))
   }
+
+  /** Cosine threshold for [[semDedup]]: calibrated to the fixture
+    * embedding distribution (pairwise cosine p99 ≈ 0.29, max ≈ 0.51),
+    * where 0.35 plays the role SemDeDup's ~0.95+ plays on real
+    * encoder embeddings. */
+  val SemDedupTau = 0.35
+
+  /** Per-cell size cap for [[semDedup]] pair generation — same policy
+    * as [[NearDupMaxBucket]]: bounds the worst task at cap²/2 pairs
+    * and surfaces drops via an observe metric. */
+  val SemDedupMaxCell = 1024
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    * at web-scale through semantic deduplication"): cluster the
+    * embedding space with the IVF coarse quantizer, then within each
+    * cell mark every vector that has a LOWER-id neighbor above the
+    * cosine threshold as a semantic duplicate (keep-first within the
+    * duplicate neighborhood — the paper keeps one representative per
+    * ε-ball and discards the rest). Emits one row per vector with its
+    * cell, verdict, and — for removed vectors — the kept neighbor it
+    * duplicates (best prior: max cosine, ties to the lowest id).
+    *
+    * Scale shape: the quantizer is the [[centroids]] constant (trained
+    * variant: [[trainedCentroids]] — k grows with the corpus so cells
+    * stay near-constant-sized; FAISS practice), assignment is a
+    * per-row projection, and pair generation happens inside size-capped
+    * cells exactly as [[embeddingNearDup]] does for LSH buckets: one
+    * shuffle on the cell key, collect_list bounded by
+    * [[SemDedupMaxCell]] (overflow cells surface in the observe
+    * metric rather than detonating a task), worst task cap²/2 ADC-free
+    * exact cosines. Never an all-pairs corpus join.
+    */
+  def semDedup(spark: SparkSession, sfDir: String,
+      maxCell: Int = SemDedupMaxCell): DataFrame = {
+    val cs = centroids(64, 16)
+    val v = withNorm(Tables.load(spark, sfDir, "embeddings"))
+      .withColumn("cell", ivfCell(col("e"), cs))
+    val cells = v
+      .groupBy(col("cell"))
+      .agg(array_sort(collect_list(
+        struct(col("vec_id"), col("e"), col("nrm")))).as("vs"))
+      .observe(s"sim_semdedup_cells_cap$maxCell",
+        sum(when(size(col("vs")) > maxCell, 1).otherwise(0))
+          .as("dropped_cells"))
+      .filter(size(col("vs")) <= maxCell)
+    // per vector: the best PRIOR neighbor (lower vec_id, max cosine,
+    // ties to the lowest id) — generated per cell from the sorted
+    // list, so each vector row already knows every candidate keeper
+    val verdicts = cells.select(col("cell"),
+      explode(transform(col("vs"), (x, i) => struct(
+        x.getField("vec_id").as("vec_id"),
+        // cosines to all EARLIER (smaller-id) vectors in the cell
+        transform(slice(col("vs"), lit(1), i),
+          y => struct(
+            (graft.functions.GraftFunctions.array_dot(
+              x.getField("e"), y.getField("e")) /
+              (x.getField("nrm") * y.getField("nrm"))).as("cos"),
+            (-y.getField("vec_id")).as("neg_id"))).as("priors"))))
+        .as("p"))
+      .select(col("cell"), col("p.vec_id").as("vec_id"),
+        // max over (cos, -id) structs: highest cosine, then lowest id
+        array_max(col("p.priors")).as("best"))
+    verdicts.select(
+      col("vec_id"), col("cell"),
+      when(col("best").isNotNull && col("best.cos") >= SemDedupTau,
+        lit("remove")).otherwise(lit("keep")).as("verdict"),
+      when(col("best").isNotNull && col("best.cos") >= SemDedupTau,
+        -col("best.neg_id")).as("dup_of"),
+      when(col("best").isNotNull && col("best.cos") >= SemDedupTau,
+        round(col("best.cos"), 6)).as("cos_sim"))
+  }
 }

@@ -419,4 +419,84 @@ object TextOps {
         .as("n_ips"),
       md5(scrubPii(col("text"))).as("scrubbed_md5"))
   }
+
+  /** Gopher-style rule-based quality gate (Rae et al. 2021, "Scaling
+    * Language Models", Table A1 — the repetition/format heuristics
+    * every modern corpus pipeline applies before model-based scoring):
+    * word-count bounds, mean-word-length bounds, minimum
+    * alphabetic-word fraction, and a minimum stopword count, combined
+    * into a single keep verdict. Thresholds here are scaled to the
+    * fixture corpus (10-100 token docs); production values are the
+    * paper's (50-100k words, mean len 3-10, ≥80% alpha, ≥2 stopwords).
+    *
+    * Scale shape: a pure per-row projection over one scan — every rule
+    * is an array/regex expression on the already-split token list, so
+    * the gate runs in whole-stage codegen with zero shuffles at any
+    * corpus size (the same class as [[qualityScore]]).
+    */
+  def gopherRules(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = col("toks")
+    val nWords = size(t)
+    // sum of token lengths via a fold — integer-exact, so the mean is
+    // one exact division rounded at the end (no float accumulation)
+    val lenSum = aggregate(t, lit(0), (acc, x) => acc + length(x))
+    val meanLen = round(lenSum.cast("double") / nWords.cast("double"), 6)
+    val alphaFrac = round(
+      size(filter(t, x => x.rlike("[A-Za-z]"))).cast("double") /
+        nWords.cast("double"), 6)
+    val nStop = size(filter(t,
+      x => lower(x).isInCollection(stopwordsEn)))
+    Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), toks(col("text")).as("toks"))
+      .select(
+        col("doc_id"),
+        nWords.as("n_words"),
+        meanLen.as("mean_word_len"),
+        alphaFrac.as("alpha_word_frac"),
+        nStop.as("n_stopwords"))
+      // fixture-scaled bounds: word count in [30, 90], mean word
+      // length in [3, 6], >= 90% alphabetic words, >= 1 stopword
+      .withColumn("keep",
+        col("n_words").between(30, 90) &&
+          col("mean_word_len").between(3.0, 6.0) &&
+          col("alpha_word_frac") >= 0.9 &&
+          col("n_stopwords") >= 1)
+  }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): rank every
+    * document within its language by the unigram-LM quality score
+    * ([[unigramLogprob]] — the fixture-scale stand-in for a KenLM
+    * 5-gram perplexity) and split each language into head / middle /
+    * tail terciles. CCNet keeps "head" for pretraining and uses the
+    * buckets as curriculum labels — this emits the assignment itself.
+    *
+    * Scale shape: the scoring pass is [[unigramLogprob]] (one corpus
+    * explode, aggregation-sized shuffles); the bucketing adds one
+    * shuffle on the language key. A per-language `ntile` window sorts
+    * each language partition once — languages are a handful of
+    * near-equal groups, so no partition outweighs the others (skew
+    * would call for the hierarchical-shard trick in
+    * `CorpusOps.globalShuffle`; language cardinality does not).
+    * Ties (identical rounded scores) break on doc_id, so the tercile
+    * boundary is deterministic and the DuckDB oracle replays it
+    * exactly — ntile's uneven-split rule (earlier tiles get the extra
+    * row) is the same in both engines.
+    */
+  def pplBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = unigramLogprob(spark, sfDir)
+    val langs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("avg_neg_logprob"), col("doc_id"))
+    scored
+      .join(langs, "doc_id")
+      .withColumn("tercile", ntile(3).over(w))
+      .select(
+        col("doc_id"), col("lang"), col("avg_neg_logprob"),
+        col("tercile"),
+        element_at(
+          array(lit("head"), lit("middle"), lit("tail")),
+          col("tercile")).as("bucket"))
+  }
 }

@@ -1,0 +1,146 @@
+package graft
+
+import graft.ops.{DedupOps, SimilarityOps, TextOps}
+import org.apache.spark.sql.functions._
+
+/** Round-8 curation operators: substring-level dedup, span-level
+  * decontamination, SemDeDup, Gopher rules, perplexity buckets.
+  * Fixture frames are hand-built so expected spans/verdicts are known
+  * exactly; the registered corpus queries are additionally held to the
+  * DuckDB oracle (tools/compare.py).
+  */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 12-token base sentence; w=4 windows make span arithmetic easy
+  private val w = 4
+
+  test("substringDedup: duplicated windows counted per doc, unique text clean") {
+    // docs 1 and 2 share an 8-token prefix -> both carry 5 duplicated
+    // 4-token windows (starts 0..4 of the shared prefix); doc 3 is
+    // disjoint -> zero
+    val shared = "a b c d e f g h"
+    val corpus = Seq(
+      (1L, s"$shared x1 y1 z1 w1"),
+      (2L, s"$shared x2 y2 z2 w2"),
+      (3L, "p q r s t u v m n o")).toDF("doc_id", "text")
+    val out = DedupOps.substringDedupOf(corpus, w)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getAs[Int]("n_windows")).toSeq === Seq(9, 9, 7))
+    assert(out.map(_.getAs[Long]("n_dup_windows")).toSeq === Seq(5, 5, 0))
+    assert(out(0).getAs[Double]("dup_ratio") === 0.555556)
+    assert(out(2).getAs[Double]("dup_ratio") === 0.0)
+  }
+
+  test("substringDedup: windows duplicated only WITHIN a doc don't count") {
+    // doc 10 repeats its own 4 tokens; no cross-doc sharing
+    val corpus = Seq(
+      (10L, "a b c d a b c d"),
+      (11L, "p q r s t u v m")).toDF("doc_id", "text")
+    val out = DedupOps.substringDedupOf(corpus, w).orderBy("doc_id").collect()
+    assert(out.map(_.getAs[Long]("n_dup_windows")).toSeq === Seq(0, 0))
+  }
+
+  test("decontamSpans: overlapping matches merge, distant matches split") {
+    // doc 0 (eval: 0 % 23 == 0) donates two separated 4-token phrases;
+    // doc 24 embeds phrase1 at token 2 and phrase2 at token 14 ->
+    // two spans: [2,5] and [14,17]
+    val phrase1 = "c1 c2 c3 c4"
+    val phrase2 = "d1 d2 d3 d4"
+    val corpus = Seq(
+      (0L, s"$phrase1 e1 e2 e3 e4 $phrase2"),
+      (24L, s"x1 x2 $phrase1 y1 y2 y3 y4 y5 y6 y7 y8 $phrase2 z1 z2"))
+      .toDF("doc_id", "text")
+    val out = DedupOps.decontamSpansOf(corpus, w)
+      .orderBy("span_start").collect()
+    assert(out.length === 2)
+    assert(out(0).getAs[Long]("doc_id") === 24L)
+    assert((out(0).getAs[Int]("span_start"), out(0).getAs[Int]("span_end"))
+      === (2, 5))
+    assert((out(1).getAs[Int]("span_start"), out(1).getAs[Int]("span_end"))
+      === (14, 17))
+    assert(out.map(_.getAs[Int]("span_tokens")).toSeq === Seq(4, 4))
+  }
+
+  test("decontamSpans: a long shared run coalesces into ONE maximal span") {
+    // doc 50 copies eval doc 0's full 12 tokens at offset 3: matched
+    // window starts 3..11 are consecutive -> one span [3, 14], 9 windows
+    val evalText = "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11 c12"
+    val corpus = Seq(
+      (0L, evalText),
+      (50L, s"x1 x2 x3 $evalText y1 y2")).toDF("doc_id", "text")
+    val out = DedupOps.decontamSpansOf(corpus, w).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("doc_id") === 50L)
+    assert((r.getAs[Int]("span_start"), r.getAs[Int]("span_end")) === (3, 14))
+    assert(r.getAs[Int]("span_tokens") === 12)
+    assert(r.getAs[Long]("n_windows") === 9L)
+  }
+
+  test("semDedup: keep-first invariants over the embeddings corpus") {
+    val out = SimilarityOps.semDedup(spark, sfDir)
+    val n = Tables.load(spark, sfDir, "embeddings").count()
+    assert(out.count() === n, "one verdict row per vector")
+    // the lowest vec_id of every cell can have no smaller-id neighbor
+    val firstRemoved = out.groupBy("cell")
+      .agg(min("vec_id").as("first_id"))
+      .join(out.filter(col("verdict") === "remove"),
+        col("first_id") === col("vec_id"))
+      .count()
+    assert(firstRemoved === 0L, "cell-minimum vector marked removed")
+    // every removed vector names a SMALLER-id keeper in ITS OWN cell
+    // whose cosine clears the threshold
+    val removed = out.filter(col("verdict") === "remove")
+    val bad = removed.filter(
+      col("dup_of").isNull || col("dup_of") >= col("vec_id") ||
+        col("cos_sim") < SimilarityOps.SemDedupTau).count()
+    assert(bad === 0L)
+    val crossCell = removed.alias("r")
+      .join(out.alias("o"), col("r.dup_of") === col("o.vec_id"))
+      .filter(col("r.cell") =!= col("o.cell")).count()
+    assert(crossCell === 0L, "dup_of must live in the same cell")
+    // kept rows carry no duplicate attribution
+    assert(out.filter(col("verdict") === "keep")
+      .filter(col("dup_of").isNotNull || col("cos_sim").isNotNull)
+      .count() === 0L)
+  }
+
+  test("gopherRules: verdict is exactly the conjunction of its rules") {
+    val out = TextOps.gopherRules(spark, sfDir)
+    val mismatch = out.filter(
+      col("keep") =!= (col("n_words").between(30, 90) &&
+        col("mean_word_len").between(3.0, 6.0) &&
+        col("alpha_word_frac") >= 0.9 &&
+        col("n_stopwords") >= 1)).count()
+    assert(mismatch === 0L)
+    // the gate must discriminate on this corpus (both verdicts present)
+    val kept = out.filter(col("keep")).count()
+    assert(kept > 0L && kept < out.count(),
+      s"degenerate gate: $kept of ${out.count()} kept")
+  }
+
+  test("pplBuckets: terciles are per-language, balanced, and ordered") {
+    val out = TextOps.pplBuckets(spark, sfDir).cache()
+    try {
+      // bucket label matches tercile index everywhere
+      assert(out.filter(
+        col("bucket") =!= element_at(
+          array(lit("head"), lit("middle"), lit("tail")),
+          col("tercile"))).count() === 0L)
+      // within each language: tercile sizes differ by at most 1 (ntile
+      // contract) and score ranges do not interleave (max(head) <=
+      // min(middle) <= ... on the rounded score)
+      val sizes = out.groupBy("lang", "tercile").count()
+        .groupBy("lang").agg((max("count") - min("count")).as("spread"))
+      assert(sizes.filter(col("spread") > 1).count() === 0L)
+      val ranges = out.groupBy("lang", "tercile")
+        .agg(min("avg_neg_logprob").as("lo"), max("avg_neg_logprob").as("hi"))
+      val interleaved = ranges.alias("a").join(ranges.alias("b"),
+        col("a.lang") === col("b.lang") &&
+          col("a.tercile") < col("b.tercile") &&
+          col("a.hi") > col("b.lo")).count()
+      assert(interleaved === 0L, "tercile score ranges interleave")
+    } finally out.unpersist()
+  }
+}
