@@ -677,12 +677,23 @@ object DedupOps {
   val SubstrWindow = 8
 
   /** md5 window hashes of every [[SubstrWindow]]-token sliding window
-    * (stride 1), as an array column over the materialized token list. */
+    * (stride 1), as an array column. `t` must be a BOUND token-array
+    * column (not a live split expression): it is referenced three
+    * times here, and a non-cheap alias would re-run the split per
+    * reference (the CollapseProject pitfall documented at
+    * [[TextOps.boilerplateBigrams]]). */
   private def windowHashes(t: Column, w: Int): Column =
     when(size(t) >= w,
       transform(sequence(lit(0), size(t) - w),
         i => md5(concat_ws(" ", slice(t, i + 1, lit(w))))))
       .otherwise(array().cast("array<string>"))
+
+  /** (doc_id, whs) window-hash frame over a (doc_id, text) corpus,
+    * with the token split materialized as a bound column first. */
+  private def windowFrame(corpus: DataFrame, w: Int): DataFrame =
+    corpus
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .select(col("doc_id"), windowHashes(col("t"), w).as("whs"))
 
   /** Substring-level exact dedup audit (Lee et al. 2021,
     * "Deduplicating Training Data Makes Language Models Better" — the
@@ -712,8 +723,7 @@ object DedupOps {
   /** [[substringDedup]] over an arbitrary (doc_id, text) frame. */
   def substringDedupOf(corpus: DataFrame,
       w: Int = SubstrWindow): DataFrame = {
-    val docs = corpus
-      .select(col("doc_id"), windowHashes(toks(col("text")), w).as("whs"))
+    val docs = windowFrame(corpus, w)
       // two downstream consumers (per-doc totals + the exploded window
       // stream); materialize so the split/hash pipeline runs once
       .localCheckpoint()
@@ -769,8 +779,11 @@ object DedupOps {
   def decontamSpansOf(corpus: DataFrame,
       w: Int = SubstrWindow): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = corpus
-      .select(col("doc_id"), windowHashes(toks(col("text")), w).as("whs"))
+    val docs = windowFrame(corpus, w)
+      // two consumers (eval hash set + corpus probe); materialize so
+      // the split/md5 window pipeline runs ONCE per row, not once per
+      // branch (same discipline as substringDedupOf)
+      .localCheckpoint()
     val evalSet = docs
       .filter(col("doc_id") % DecontamEvalMod === 0)
       .select(explode(col("whs")).as("wh"))
