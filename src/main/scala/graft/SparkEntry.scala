@@ -136,6 +136,7 @@ object SparkEntry {
     // --- dedup ---
     "d_exact_dedup" -> (DedupOps.exactDedup _),
     "d_incremental" -> (DedupOps.incrementalDedup _),
+    "d_bloom_dedup" -> (DedupOps.bloomDedup _),
     // registered sketch queries run in Md5 token-hash mode so the DuckDB
     // oracle can reproduce them bit-for-bit; XxHash is the documented
     // production default (same operator, cheaper hash)
@@ -1833,6 +1834,47 @@ object SparkEntry {
         |      WHEN doc_id > first_id THEN 'dup_in_batch'
         |      ELSE 'new' END AS verdict
         |FROM m""".stripMargin,
+    // bloom-probe dedup: every bit position is md5-derived, so the
+    // oracle rebuilds the identical bloom — set bits, membership
+    // conjunction, and which non-members collide into false
+    // positives — from the same data
+    "d_bloom_dedup" ->
+      """WITH batch AS (
+        | SELECT doc_id + 1000000 AS doc_id, text
+        | FROM documents WHERE doc_id % 3 = 0
+        | UNION ALL
+        | SELECT doc_id + 1000000, text || ' unseen'
+        | FROM documents WHERE doc_id % 3 = 1
+        | UNION ALL
+        | SELECT doc_id + 2000000, text || ' twin'
+        | FROM documents WHERE doc_id % 5 = 2
+        | UNION ALL
+        | SELECT doc_id + 3000000, text || ' twin'
+        | FROM documents WHERE doc_id % 5 = 2),
+        |hist AS (SELECT DISTINCT md5(text) AS hsh FROM documents),
+        |seeds AS (SELECT unnest(generate_series(1, 4)) AS i),
+        |sb AS (
+        | SELECT DISTINCT
+        |  CAST(('0x' || substr(md5(hsh || ':' || CAST(i AS VARCHAR)),
+        |    1, 8)) AS BIGINT) % 65536 AS pos
+        | FROM hist, seeds),
+        |b AS (SELECT doc_id, md5(text) AS hsh FROM batch),
+        |bp AS (
+        | SELECT doc_id, i,
+        |  CAST(('0x' || substr(md5(hsh || ':' || CAST(i AS VARCHAR)),
+        |    1, 8)) AS BIGINT) % 65536 AS pos
+        | FROM b, seeds),
+        |hc AS (SELECT doc_id, count(DISTINCT i) AS n_set
+        |       FROM bp JOIN sb USING (pos) GROUP BY 1),
+        |v AS (
+        | SELECT b.doc_id,
+        |  b.hsh IN (SELECT hsh FROM hist) AS dup_of_history,
+        |  coalesce(hc.n_set, 0) = 4 AS bloom_flagged
+        | FROM b LEFT JOIN hc USING (doc_id))
+        |SELECT doc_id, dup_of_history, bloom_flagged,
+        | bloom_flagged AND NOT dup_of_history AS false_positive,
+        | dup_of_history AND NOT bloom_flagged AS false_negative
+        |FROM v""".stripMargin,
     "d_simhash" -> simhashSql,
     // cross-source leakage: the md5-mode LSH pair set (the oracle-
     // comparable hash) rolled up by unordered source pair

@@ -106,6 +106,31 @@ class CurationSpec extends SparkSpec {
       .count() === 0L)
   }
 
+  test("bloomDedup: no false negatives ever; false positives within the sized-for rate") {
+    val out = DedupOps.bloomDedup(spark, sfDir).cache()
+    try {
+      // the Bloom law: a member's k positions are all set by its own
+      // insertion — a true re-arrival can never probe unflagged
+      assert(out.filter(col("false_negative")).count() === 0L)
+      // flagged set = true dups + false positives, consistently labeled
+      assert(out.filter(col("dup_of_history") && !col("bloom_flagged"))
+        .count() === 0L)
+      assert(out.filter(col("false_positive") && col("dup_of_history"))
+        .count() === 0L)
+      // fp rate over the non-member batch stays under 2x the
+      // theoretical (1 - e^(-kn/m))^k bound for the fixture history
+      val nonMembers = out.filter(!col("dup_of_history")).count()
+      val fps = out.filter(col("false_positive")).count().toDouble
+      val nHist = Tables.load(spark, sfDir, "documents")
+        .select(md5(col("text"))).distinct().count()
+      val kk = DedupOps.BloomHashes.toDouble
+      val theo = math.pow(
+        1 - math.exp(-kk * nHist / DedupOps.BloomBits), kk)
+      assert(fps / nonMembers <= 2 * theo + 1e-9,
+        s"fp rate ${fps / nonMembers} above 2x theoretical $theo")
+    } finally out.unpersist()
+  }
+
   test("gopherRules: verdict is exactly the conjunction of its rules") {
     val out = TextOps.gopherRules(spark, sfDir)
     val mismatch = out.filter(
