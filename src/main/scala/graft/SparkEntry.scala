@@ -177,6 +177,8 @@ object SparkEntry {
       SimilarityOps.embeddingNearDup(s, d)),
     "sim_semdedup" -> ((s: SparkSession, d: String) =>
       SimilarityOps.semDedup(s, d)),
+    "sim_semdedup_t" -> ((s: SparkSession, d: String) =>
+      SimilarityOps.semDedupTrained(s, d)),
     "sim_ann_lsh" -> (SimilarityOps.annLsh _),
     "sim_ann_ivf" -> (SimilarityOps.annIvf _),
     "sim_ann_ivf_mp" -> (SimilarityOps.annIvfMp _),
@@ -427,19 +429,28 @@ object SparkEntry {
     * engines (same IEEE-754 value — the ArrayDot fold and DuckDB's
     * list_dot_product are bit-identical, proven by the green ANN
     * family). */
-  private lazy val semDedupSql: String = {
-    val cs = SimilarityOps.centroids(64, 16)
-    val values = cs.zipWithIndex
-      .map { case (c, i) => s"($i, ${sqlVec(c)})" }
-      .mkString(",\n  ")
+  private lazy val semDedupSql: String = semDedupSqlP(trained = false)
+  private lazy val semDedupTrainedSql: String = semDedupSqlP(trained = true)
+
+  private def semDedupSqlP(trained: Boolean): String = {
+    val centsCte = if (trained) kmeansCentsSql else {
+      val cs = SimilarityOps.centroids(64, 16)
+      val values = cs.zipWithIndex
+        .map { case (c, i) => s"($i, ${sqlVec(c)})" }
+        .mkString(",\n  ")
+      s"""cents AS (SELECT * FROM (VALUES
+         |  $values) AS t(cell, c))""".stripMargin
+    }
+    val score = if (trained)
+      "list_dot_product(v.e, c.c) - list_dot_product(c.c, c.c)/2"
+    else "list_dot_product(v.e, c.c)"
     val tau = SimilarityOps.SemDedupTau
-    s"""WITH cents AS (SELECT * FROM (VALUES
-       |  $values) AS t(cell, c)),
+    s"""WITH $centsCte,
        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
        | FROM embeddings),
        |scored AS (
        | SELECT v.vec_id, v.e, c.cell,
-       |  list_dot_product(v.e, c.c) AS score
+       |  $score AS score
        | FROM v CROSS JOIN cents c),
        |best AS (
        | SELECT vec_id, e, cell FROM (
@@ -2032,6 +2043,7 @@ object SparkEntry {
         |FROM r WHERE rk <= 5""".stripMargin,
     "sim_embed_neardup" -> nearDupSql,
     "sim_semdedup" -> semDedupSql,
+    "sim_semdedup_t" -> semDedupTrainedSql,
     "m_media_decode" ->
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
         | CAST(strlen(text) % 64 + 16 AS INTEGER) AS width,

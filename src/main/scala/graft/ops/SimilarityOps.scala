@@ -700,10 +700,23 @@ object SimilarityOps {
     * exact cosines. Never an all-pairs corpus join.
     */
   def semDedup(spark: SparkSession, sfDir: String,
-      maxCell: Int = SemDedupMaxCell): DataFrame = {
-    val cs = centroids(64, 16)
+      maxCell: Int = SemDedupMaxCell): DataFrame =
+    semDedupWith(spark, sfDir, centroids(64, 16), l2 = false, maxCell)
+
+  /** [[semDedup]] over the Lloyd-trained coarse quantizer — trained
+    * cells are occupancy-balanced, so the capped per-cell quadratic
+    * sees fewer overflow drops on skewed real manifolds (the same
+    * trained-vs-random trade the ANN family measures with recall). */
+  def semDedupTrained(spark: SparkSession, sfDir: String,
+      maxCell: Int = SemDedupMaxCell): DataFrame =
+    semDedupWith(spark, sfDir, trainedCentroids(spark, sfDir),
+      l2 = true, maxCell)
+
+  private def semDedupWith(spark: SparkSession, sfDir: String,
+      cs: Array[Array[Double]], l2: Boolean,
+      maxCell: Int): DataFrame = {
     val v = withNorm(Tables.load(spark, sfDir, "embeddings"))
-      .withColumn("cell", ivfCell(col("e"), cs))
+      .withColumn("cell", ivfCell(col("e"), cs, l2))
     val cells = v
       .groupBy(col("cell"))
       .agg(array_sort(collect_list(

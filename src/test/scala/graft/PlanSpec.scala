@@ -277,4 +277,57 @@ class PlanSpec extends SparkSpec {
     assert(!schemas.contains("o_totalprice") && !schemas.contains("c_name"),
       s"key count scans extra columns: $schemas")
   }
+
+  test("gopher rules are a pure projection: no exchange in the plan") {
+    // every rule is an array/regex expression over the split token
+    // list; an Exchange would mean a 100 TB corpus shuffles for a
+    // per-row verdict
+    val p = plan(graft.ops.TextOps.gopherRules(spark, sfDir))
+    assert(!p.contains("Exchange"),
+      s"rule gate should not shuffle:\n$p")
+  }
+
+  test("decontamination spans probe a broadcast eval set; matched rows window per doc") {
+    val p = plan(graft.ops.DedupOps.decontamSpans(spark, sfDir))
+    // eval windows are benchmark-suite-sized -> the probe must be a
+    // broadcast join, never a corpus-sized shuffle join
+    assert(p.contains("BroadcastHashJoin"),
+      s"eval-set probe not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus shuffles for the eval probe:\n$p")
+    // the islands window partitions on doc_id (matched rows only) —
+    // never a single-partition global window
+    assert(!p.contains("SinglePartition"),
+      s"span merge serializes through one task:\n$p")
+  }
+
+  test("bloom dedup probes broadcast set bits; batch content never shuffles") {
+    val p = plan(graft.ops.DedupOps.bloomDedup(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"set-bit probe not broadcast:\n$p")
+    // exactly ONE content-hash exchange is legitimate: the history
+    // index build (distinct over history hashes — precomputed in
+    // production). The BATCH must never shuffle on content: a second
+    // hsh-keyed exchange means the gate was bypassed and the full
+    // batch rejoined the hash index
+    val hshShuffles = p.linesIterator.count(l =>
+      l.contains("hashpartitioning(hsh"))
+    assert(hshShuffles <= 1,
+      s"batch shuffles on content hash ($hshShuffles hsh exchanges):\n$p")
+  }
+
+  test("substring dedup shuffles window hashes, never text") {
+    val p = plan(graft.ops.DedupOps.substringDedup(spark, sfDir))
+    // every exchange must carry (wh) or (doc_id) keys only; 'text'
+    // reaching an exchange means raw documents cross the wire
+    val shuffles = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!shuffles.contains("text"),
+      s"document text reaches a shuffle:\n$shuffles")
+  }
+
+  test("semdedup: one cell-keyed aggregation, no corpus self-join") {
+    val p = plan(graft.ops.SimilarityOps.semDedup(spark, sfDir))
+    assert(!p.contains("SortMergeJoin") && !p.contains("Cartesian"),
+      s"semdedup self-joins the corpus:\n$p")
+  }
 }
