@@ -150,6 +150,8 @@ object SparkEntry {
     // deployable hash's cost next to the md5-oracle tax.
     "d_minhash_prod_recall" -> ((s: SparkSession, d: String) =>
       DedupOps.minhashProdRecall(s, d)),
+    "d_minhash_est" -> ((s: SparkSession, d: String) =>
+      DedupOps.minhashEstQuality(s, d)),
     "d_simhash" -> ((s: SparkSession, d: String) =>
       DedupOps.simhash(s, d, DedupOps.Md5)),
     "d_cross_source_dups" -> ((s: SparkSession, d: String) =>
@@ -263,11 +265,14 @@ object SparkEntry {
   }
 
   private lazy val minhashLshSql: String = {
-    // constants mirror DedupOps.perm: (h*A_i + B_i) % (2^61-1); h < 2^32
-    // and A_i <= 1.6e7 keep h*A_i + B_i < 2^57, overflow-free in BIGINT
-    val M = 2305843009213693951L
+    // constants mirror DedupOps.perm: ((h % p)·A_i + B_i) mod p with
+    // p = 2^31−1 and the shared independent-draw coefficient arrays —
+    // (p−1)² < 2^63 keeps the product overflow-free in BIGINT while
+    // the mod genuinely wraps (see the DedupOps.MinhashPrime note)
+    val M = 2147483647L
     val mhs = (0 until DedupOps.NumPerms).map(i =>
-      s"min((h * ${1000003L * (i + 1)} + ${777767777L * (i + 1)}) % $M) AS mh$i")
+      s"min(((h % $M) * ${DedupOps.PermA(i)} + ${DedupOps.PermB(i)}) % $M)" +
+        s" AS mh$i")
       .mkString(",\n  ")
     val rowsPerBand = DedupOps.NumPerms / DedupOps.NumBands
     val bands = (0 until DedupOps.NumBands).map { b =>
@@ -1969,6 +1974,44 @@ object SparkEntry {
         | count(*) AS n_windows
         |FROM g GROUP BY doc_id, grp""".stripMargin,
     "d_minhash_lsh" -> minhashLshSql,
+    // estimator accuracy: the oracle recomputes per-row signatures
+    // (list_min over the same permuted md5 hashes), the agreement
+    // estimate, and the exact shingle Jaccard — estimator quality is
+    // DATA, held to the same hash compare as correctness
+    "d_minhash_est" -> {
+      val M = 2147483647L
+      val sigs = (0 until DedupOps.NumPerms).map(i =>
+        s"list_min(list_transform(s, x -> ((${md5HashSql("x")} % $M) * " +
+          s"${DedupOps.PermA(i)} + ${DedupOps.PermB(i)}) % $M))")
+        .mkString("[\n   ", ",\n   ", "]")
+      s"""WITH docs2 AS (
+         | SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+         | FROM documents),
+         |shf AS (
+         | SELECT doc_id, list_distinct(list_transform(range(len(t) - 2),
+         |   i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS s
+         | FROM docs2),
+         |feat AS (SELECT doc_id, s, $sigs AS sig FROM shf),
+         |m AS (
+         | SELECT p.doc_a, p.doc_b,
+         |  len(list_filter(fa.s, x -> list_contains(fb.s, x))) AS inter,
+         |  len(fa.s) AS na, len(fb.s) AS nb,
+         |  len(list_filter(range(${DedupOps.NumPerms}),
+         |    i -> fa.sig[i+1] = fb.sig[i+1])) AS agree
+         | FROM ($minhashLshSql) p
+         | JOIN feat fa ON p.doc_a = fa.doc_id
+         | JOIN feat fb ON p.doc_b = fb.doc_id),
+         |r AS (
+         | SELECT doc_a, doc_b,
+         |  round(CAST(agree AS DOUBLE) / ${DedupOps.NumPerms}, 6)
+         |    AS est_jaccard,
+         |  round(CAST(inter AS DOUBLE) / (na + nb - inter), 6)
+         |    AS exact_jaccard
+         | FROM m)
+         |SELECT doc_a, doc_b, est_jaccard, exact_jaccard,
+         | round(abs(est_jaccard - exact_jaccard), 6) AS abs_err
+         |FROM r""".stripMargin
+    },
     // the xxhash64 production mode checked WITHOUT xxhash: identical
     // text ⇒ identical shingle set ⇒ identical signature under any
     // hash ⇒ every (original, clone) pair is a guaranteed LSH

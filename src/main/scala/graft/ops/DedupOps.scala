@@ -248,8 +248,8 @@ object DedupOps {
     * `Md5` is the oracle mode the registered queries use: first 8 hex
     * chars of md5 as a long — exactly reproducible in the DuckDB
     * oracle (`CAST('0x' || substr(md5(t),1,8) AS BIGINT)`), the shape
-    * TextOps.h32 proved. Both are bounded below 2^32 so the
-    * permutation arithmetic (h * 1000003 * 16 + offset < 2^57) stays
+    * TextOps.h32 proved. Both are bounded below 2^32; the permutation
+    * reduces them mod [[MinhashPrime]] first, so its products stay
     * far from long overflow.
     */
   sealed trait TokenHash { def apply(c: Column): Column }
@@ -261,12 +261,37 @@ object DedupOps {
       conv(substring(md5(c), 1, 8), 16, 10).cast("long")
   }
 
-  private val MersennePrime = 2305843009213693951L // 2^61 - 1
-  private def perm(i: Int, h: Column): Column =
-    ((h * lit(1000003L * (i + 1) % MersennePrime) + lit(777767777L * (i + 1)))
-      % lit(MersennePrime))
+  /** Universal-hash modulus for the permutation family: 2^31 − 1.
+    * The modulus MUST be small enough that h·A actually wraps — the
+    * previous family reduced mod 2^61−1 with h < 2^32 and A ≤ 2^24,
+    * so h·A + B < 2^57 never wrapped, the affine map was
+    * order-preserving, and every "permutation" picked the same
+    * argmin shingle (minhash collapsed to ONE effective hash
+    * function replicated 16×: every candidate pair showed 16/16
+    * signature agreement and banding gave no recall amplification —
+    * surfaced by the `d_minhash_est` audit as est_jaccard = 1.0 on
+    * pairs with exact Jaccard ≈ 0.005). With p = 2^31−1 the product
+    * (p−1)² < 2^63 stays overflow-free in a long while wrapping
+    * ~2^31 times — the classic (a·h + b) mod p universal hash. */
+  private val MinhashPrime = 2147483647L // 2^31 - 1
 
   val NumPerms = 16
+
+  /** Independent per-component coefficients, fixed seed:
+    * A_i ∈ [1, p−1], B_i ∈ [0, p−1]. */
+  val PermA: Array[Long] = {
+    val r = new scala.util.Random(1069L)
+    Array.fill(NumPerms)((r.nextInt(2147483646) + 1).toLong)
+  }
+  val PermB: Array[Long] = {
+    val r = new scala.util.Random(2069L)
+    Array.fill(NumPerms)(r.nextInt(2147483647).toLong)
+  }
+
+  private def perm(i: Int, h: Column): Column =
+    (((h % lit(MinhashPrime)) * lit(PermA(i)) + lit(PermB(i)))
+      % lit(MinhashPrime))
+
   val NumBands = 4 // 4 rows per band → Jaccard ~0.6+ lands in a bucket
 
   /** Hard cap on LSH band-bucket size: pair generation is O(size²) per
@@ -429,6 +454,51 @@ object DedupOps {
     minhashLshOf(both, XxHash, maxBucket = Int.MaxValue)
       .filter(col("doc_b") - col("doc_a") === CloneOffset)
       .select(col("doc_a"), col("doc_b"))
+  }
+
+  /** MinHash estimator-accuracy audit — the sketch-quality analogue of
+    * the ANN recall harness: for every LSH candidate pair, the
+    * signature-agreement Jaccard estimate (matching components / 16,
+    * the classic MinHash estimator) sits NEXT TO the exact shingle
+    * Jaccard in the result, so estimator degradation (a bad permutation
+    * family, a banding bug) shows up as a changed oracle row, not a
+    * silent quality drift. Signatures here are computed per-row
+    * (array_min over the shingle hashes — identical values to the
+    * groupBy form [[minhashSignaturesOf]] uses, zero shuffles).
+    *
+    * Scale shape: the pair set is the banded LSH output (never
+    * all-pairs, reused from the pipeline intermediate); per-doc
+    * features attach via two equi-joins where the pair side is
+    * audit-sized, and the exact-Jaccard intersection runs inside each
+    * pair row over two ≤doc-length shingle arrays.
+    */
+  def minhashEstQuality(spark: SparkSession, sfDir: String,
+      hash: TokenHash = Md5): DataFrame = {
+    val pairs = minhashLsh(spark, sfDir, hash)
+    val feat = Tables.loadBalanced(spark, sfDir, "documents")
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+      .select(col("doc_id"), col("sh"),
+        array((0 until NumPerms).map(i =>
+          array_min(transform(col("sh"), s => perm(i, hash(s))))): _*)
+          .as("sig"))
+    val fa = feat.select(col("doc_id").as("doc_a"),
+      col("sh").as("sha"), col("sig").as("siga"))
+    val fb = feat.select(col("doc_id").as("doc_b"),
+      col("sh").as("shb"), col("sig").as("sigb"))
+    pairs
+      .join(fa, "doc_a").join(fb, "doc_b")
+      .withColumn("inter",
+        size(array_intersect(col("sha"), col("shb"))))
+      .select(
+        col("doc_a"), col("doc_b"),
+        round(size(filter(zip_with(col("siga"), col("sigb"),
+          (x, y) => x === y), p => p)).cast("double") / NumPerms, 6)
+          .as("est_jaccard"),
+        round(col("inter").cast("double") /
+          (size(col("sha")) + size(col("shb")) - col("inter")), 6)
+          .as("exact_jaccard"))
+      .withColumn("abs_err",
+        round(abs(col("est_jaccard") - col("exact_jaccard")), 6))
   }
 
   /** Connected components over the [[minhashLsh]] candidate-pair graph:
