@@ -35,7 +35,13 @@ object Bench {
     // transient first-run failure doesn't discard a valid second-run
     // timing; a query is failed only when every run fails.
     val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional name filter (regex, full-match) for iterating on a subset;
+    // the driver never sets it, so the recorded artifact is always the
+    // full surface.
+    val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER").map(_.r)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => filter.forall(_.matches(n)) }
+      .map { case (name, fn) =>
       val times = (1 to nRuns).flatMap { _ =>
         val t0 = System.nanoTime()
         try {

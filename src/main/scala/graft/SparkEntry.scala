@@ -113,6 +113,7 @@ object SparkEntry {
       TextOps.topNgrams(s, d)),
     "t_gopher_rules" -> (TextOps.gopherRules _),
     "t_ppl_buckets" -> (TextOps.pplBuckets _),
+    "t_quality_clf" -> (TextOps.qualityClf _),
     // --- JSONL corpus ingestion (sources.JsonlCorpus) ---
     "src_jsonl_roundtrip" -> (sources.JsonlCorpus.roundtrip _),
     "src_jsonl_corrupt" -> (sources.JsonlCorpus.corruptAccounting _),
@@ -129,6 +130,7 @@ object SparkEntry {
       CorpusOps.globalShuffle(s, d)),
     "corp_split" -> (CorpusOps.evalSplit _),
     "corp_upsample" -> (CorpusOps.upsampleAudit _),
+    "corp_temperature_mix" -> (CorpusOps.temperatureMixAudit _),
     "corp_version_diff" -> (CorpusOps.versionDiffAudit _),
     "corp_chunk" -> (CorpusOps.chunkAudit _),
     "corp_adaptive_quality" -> ((s: SparkSession, d: String) =>
@@ -221,6 +223,7 @@ object SparkEntry {
     "st_dedup" -> (StreamingOps.dedupKeys _),
     "st_dedup_wm" -> (StreamingOps.dedupKeysWithinWatermark _),
     "st_static_join" -> (StreamingOps.staticJoin _),
+    "st_stream_join" -> (StreamingOps.streamStreamJoin _),
     "st_jsonl_ingest" -> (StreamingOps.jsonlIngest _),
     "st_corpus_gate" -> (StreamingOps.corpusGate _)
   )
@@ -246,6 +249,61 @@ object SparkEntry {
     * (shape proven by the green t_rolling_fp oracle). */
   private def md5HashSql(tok: String): String =
     s"CAST('0x' || substr(md5($tok), 1, 8) AS BIGINT)"
+
+  /** Full SQL replay of the distributed GD training loop behind
+    * `t_quality_clf` (TextOps.trainQualityClf): one gradient CTE pair
+    * per iteration, generated from the same constants the Spark
+    * trainer uses. The replay is exact — features are per-row
+    * rationals, the fast-sigmoid link is algebraic, and both engines
+    * quantize gradients (9 dp) and weights (6 dp) at the same points,
+    * so the oracle must land on bit-identical weights. */
+  private lazy val qualityClfSql: String = {
+    import graft.ops.TextOps.{ClfIters, ClfLenThreshold, ClfLr}
+    val feats = Seq("x0", "x1", "x2", "x3")
+    def sig(z: String) = s"0.5 * (1.0 + $z / (1.0 + abs($z)))"
+    def zExpr(it: String) =
+      feats.zipWithIndex.map { case (x, j) => s"$it.w$j * $x" }
+        .mkString(" + ")
+    val x1 = "least(1.0, CAST(length(text) AS DOUBLE) / 500.0)"
+    val x2 = "1.0 - CAST(len(regexp_extract_all(text," +
+      " '[^A-Za-z0-9\\s]')) AS DOUBLE) / length(text)"
+    val x3 = "least(1.0, 4.0 * CAST(len(list_filter(" +
+      "string_split_regex(trim(text), '\\s+'), x -> lower(x) IN " +
+      "('the','a','and','of','to','in','is','it','on','for'))) AS DOUBLE)" +
+      " / len(string_split_regex(trim(text), '\\s+')))"
+    val init = feats.indices.map(j => s"0.0 AS w$j").mkString(", ")
+    val rounds = (1 to ClfIters).map { i =>
+      val prev = s"it${i - 1}"
+      val grads = feats.zipWithIndex.map { case (x, j) =>
+        s"round(avg((${sig("z")} - y) * $x), 9) AS g$j" }.mkString(", ")
+      val upd = feats.indices.map(j =>
+        s"round($prev.w$j - $ClfLr * g$i.g$j, 6) AS w$j").mkString(", ")
+      s"""z$i AS (SELECT f.*, ${zExpr(prev)} AS z FROM f, $prev),
+         |g$i AS (SELECT $grads FROM z$i),
+         |it$i AS (SELECT $upd FROM $prev, g$i)""".stripMargin
+    }.mkString(",\n")
+    val fin = s"it$ClfIters"
+    s"""WITH f AS (
+       | SELECT CASE WHEN length(text) >= $ClfLenThreshold
+       |   THEN 1.0 ELSE 0.0 END AS y,
+       |  1.0 AS x0, $x1 AS x1, $x2 AS x2, $x3 AS x3
+       | FROM documents),
+       |it0 AS (SELECT $init),
+       |$rounds,
+       |zf AS (SELECT f.y,
+       |  ${feats.indices.map(j => s"$fin.w$j AS w$j").mkString(", ")},
+       |  ${zExpr(fin)} AS z FROM f, $fin)
+       |SELECT count(*) AS n_docs, CAST(sum(y) AS BIGINT) AS n_pos,
+       | round(CAST(sum(CASE WHEN (CASE WHEN ${sig("z")} >= 0.5
+       |     THEN 1.0 ELSE 0.0 END) = y THEN 1 ELSE 0 END) AS DOUBLE)
+       |   / count(*), 6) AS accuracy,
+       | round(avg(CASE WHEN y = 1.0 THEN ${sig("z")} END), 6)
+       |   AS mean_score_pos,
+       | round(avg(CASE WHEN y = 0.0 THEN ${sig("z")} END), 6)
+       |   AS mean_score_neg,
+       | ${feats.indices.map(j => s"max(w$j) AS w$j").mkString(", ")}
+       |FROM zf""".stripMargin
+  }
 
   private lazy val simhashSql: String = {
     val bitSums = (0 until 32).map(b =>
@@ -1470,6 +1528,11 @@ object SparkEntry {
         |SELECT doc_id, lang, avg_neg_logprob, tercile,
         | (['head', 'middle', 'tail'])[tercile] AS bucket
         |FROM b""".stripMargin,
+    // GD-trained quality probe: the oracle re-runs the whole training
+    // loop in SQL (generated CTE chain, one gradient/update pair per
+    // iteration) and must land on bit-identical weights — see
+    // qualityClfSql for the determinism engineering
+    "t_quality_clf" -> qualityClfSql,
     "t_unigram_logprob" ->
       """WITH t AS (
         | SELECT doc_id,
@@ -1747,6 +1810,42 @@ object SparkEntry {
         | FROM n WHERE n_copies > 0)
         |SELECT source, count(*) AS n_rows,
         | count(DISTINCT doc_id) AS n_docs,
+        | CAST(sum(doc_id * 7 + replica) AS BIGINT) AS rep_sum
+        |FROM x GROUP BY 1""".stripMargin,
+    // temperature mixing: α=0.5 epochs from sqrt token shares (sqrt is
+    // IEEE-exact, and the 6-dp round re-syncs the engines after the
+    // order-dependent window sums), then the ':tmp'-salted replication
+    // coin — exact bag membership via the same (doc_id, replica)
+    // checksum as corp_upsample
+    "corp_temperature_mix" ->
+      """WITH d AS (
+        | SELECT source, doc_id,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |    AS n_tok
+        | FROM documents),
+        |s AS (SELECT source, sum(n_tok) AS tok_in FROM d GROUP BY 1),
+        |e AS (
+        | SELECT source,
+        |  round((sqrt(CAST(tok_in AS DOUBLE))
+        |    / sum(sqrt(CAST(tok_in AS DOUBLE))) OVER ())
+        |   * (CAST(sum(tok_in) OVER () AS DOUBLE)
+        |    / CAST(tok_in AS DOUBLE)), 6) AS epochs
+        | FROM s),
+        |r AS (
+        | SELECT d.source, d.doc_id, d.n_tok, e.epochs,
+        |  CAST(floor(e.epochs)
+        |   + CASE WHEN CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)
+        |       || ':tmp'), 1, 8)) AS BIGINT) / 4294967296.0
+        |      < e.epochs - floor(e.epochs) THEN 1 ELSE 0 END
+        |   AS INTEGER) AS n_copies
+        | FROM d JOIN e USING (source)),
+        |x AS (
+        | SELECT source, doc_id, n_tok, epochs,
+        |  unnest(generate_series(0, n_copies - 1)) AS replica
+        | FROM r WHERE n_copies > 0)
+        |SELECT source, max(epochs) AS epochs, count(*) AS n_rows,
+        | count(DISTINCT doc_id) AS n_docs,
+        | CAST(sum(n_tok) AS BIGINT) AS tok_out,
         | CAST(sum(doc_id * 7 + replica) AS BIGINT) AS rep_sum
         |FROM x GROUP BY 1""".stripMargin,
     // train/val/test split: the salted coin replays bit-for-bit in
@@ -2232,6 +2331,17 @@ object SparkEntry {
         | SELECT user_id, count(*) AS user_event_count
         | FROM events GROUP BY 1)
         |SELECT e.event_id, e.user_id, c.user_event_count
-        |FROM events e JOIN c USING (user_id)""".stripMargin
+        |FROM events e JOIN c USING (user_id)""".stripMargin,
+    // stream-stream join: one AvailableNow micro-batch holds the whole
+    // fixture, so the emitted inner-join matches are exactly the batch
+    // join; micros comparisons mirror Spark's `ts div 1000` truncation
+    "st_stream_join" ->
+      """SELECT a.event_id AS click_id, b.event_id AS purchase_id,
+        | a.user_id, epoch_us(b.ts) - epoch_us(a.ts) AS lag_us,
+        | b.value AS purchase_value
+        |FROM events a JOIN events b ON a.user_id = b.user_id
+        |WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+        | AND epoch_us(b.ts) >= epoch_us(a.ts)
+        | AND epoch_us(b.ts) <= epoch_us(a.ts) + 1800000000""".stripMargin
   )
 }

@@ -259,6 +259,70 @@ object CorpusOps {
           .as("rep_sum"))
   }
 
+  /** Temperature-scaled source mixing (α = 0.5): sampling weights
+    * q_s ∝ p_s^α over the sources' token shares p_s — the standard
+    * knob (multilingual BERT / XLM-R style) that flattens a skewed
+    * source distribution: big sources sample below their natural
+    * share, small sources above, α→0 approaching uniform. Expressed
+    * as per-source epoch multipliers e_s = q_s / p_s, which keeps the
+    * expected total token count unchanged (Σ n_s·e_s = N·Σ q_s = N) —
+    * temperature reshapes the mix, the budget stays the corpus's.
+    * Replication then reuses the [[upsample]] bag semantics: floor(e)
+    * full copies + a salted fractional [[hashCoin]] (":tmp" salt
+    * decorrelates from the mix/split/up coins).
+    *
+    * α is FIXED at 0.5 so the weight is `sqrt` — IEEE-exact
+    * (correctly rounded) in every engine, which keeps the epoch
+    * arithmetic bit-replayable by the SQL oracle; a general-α variant
+    * would use `pow`, which libm does not guarantee identically
+    * across engines. The per-source epoch is rounded to 6 decimals
+    * BEFORE the fractional coin comparison: the window sums feeding
+    * it add ≤|sources| doubles in engine-chosen order (±1 ulp), and
+    * the round re-synchronizes both engines on one value.
+    *
+    * Scale shape: one corpus scan → one tiny groupBy (|sources|
+    * rows); the unpartitioned window runs over that AGGREGATE frame,
+    * never the corpus; epochs broadcast-join back; replication is a
+    * per-row explode. Same zero-corpus-shuffle shape as [[sourceMix]].
+    */
+  def temperatureMix(docs: DataFrame): DataFrame = {
+    val nTok = size(split(trim(col("text")), "\\s+")).cast("long")
+    val base = docs.select(col("source"), col("doc_id"), nTok.as("n_tok"))
+    val whole = Window.partitionBy()
+    val epochs = base.groupBy(col("source"))
+      .agg(sum(col("n_tok")).as("tok_in"))
+      .withColumn("epochs", round(
+        (sqrt(col("tok_in").cast("double")) /
+          sum(sqrt(col("tok_in").cast("double"))).over(whole)) *
+          (sum(col("tok_in")).over(whole).cast("double") /
+            col("tok_in").cast("double")), 6))
+      .select(col("source"), col("epochs"))
+    val coin = hashCoin(concat(col("doc_id").cast("string"), lit(":tmp")))
+    val nCopies = (floor(col("epochs")) +
+      when(coin < col("epochs") - floor(col("epochs")), 1).otherwise(0))
+      .cast("int")
+    base.join(epochs.hint("broadcast"), "source")
+      .withColumn("n_copies", nCopies)
+      .filter(col("n_copies") > 0)
+      .select(col("source"), col("doc_id"), col("n_tok"), col("epochs"),
+        explode(sequence(lit(0), col("n_copies") - 1)).as("replica"))
+  }
+
+  /** Registered temperature-mixing audit: per-source epoch multiplier
+    * and replicated volume, with the same order-independent
+    * (doc_id, replica) membership checksum as [[upsampleAudit]] — the
+    * oracle pins exact bag membership, not just totals. */
+  def temperatureMixAudit(spark: SparkSession, sfDir: String): DataFrame =
+    temperatureMix(Tables.load(spark, sfDir, "documents"))
+      .groupBy(col("source"))
+      .agg(
+        max(col("epochs")).as("epochs"),
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        sum(col("n_tok")).cast("long").as("tok_out"),
+        sum(col("doc_id") * lit(7L) + col("replica")).cast("long")
+          .as("rep_sum"))
+
   /** Deterministic train/val/test split. The assignment coin is the
     * key-derived [[hashCoin]] over a SALTED key (`doc_id || ":split"`)
     * — salting decorrelates the split from every other coin-driven

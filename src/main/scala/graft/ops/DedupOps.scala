@@ -467,20 +467,34 @@ object DedupOps {
     * groupBy form [[minhashSignaturesOf]] uses, zero shuffles).
     *
     * Scale shape: the pair set is the banded LSH output (never
-    * all-pairs, reused from the pipeline intermediate); per-doc
-    * features attach via two equi-joins where the pair side is
-    * audit-sized, and the exact-Jaccard intersection runs inside each
-    * pair row over two ≤doc-length shingle arrays.
+    * all-pairs, reused from the pipeline intermediate); the feature
+    * side is first semi-joined down to the documents that actually
+    * appear in a candidate pair — the audit computes shingle sets and
+    * per-row signatures for the AUDIT-SIZED participant set, never the
+    * corpus — then materialized once (`localCheckpoint`) because both
+    * the doc_a and doc_b join branches reference it and Catalyst
+    * shares no subtrees across branches. The token hash is computed
+    * ONCE per shingle into its own array; the 16 permutation mins map
+    * over those hashes (inlining `hash(s)` into each permutation
+    * lambda would md5 every shingle 16×). The exact-Jaccard
+    * intersection runs inside each pair row over two ≤doc-length
+    * shingle arrays.
     */
   def minhashEstQuality(spark: SparkSession, sfDir: String,
       hash: TokenHash = Md5): DataFrame = {
     val pairs = minhashLsh(spark, sfDir, hash)
+    val ids = pairs
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
     val feat = Tables.loadBalanced(spark, sfDir, "documents")
+      .join(ids.hint("broadcast"), Seq("doc_id"), "left_semi")
       .select(col("doc_id"), shingles(col("text")).as("sh"))
+      .withColumn("hs", transform(col("sh"), s => hash(s)))
       .select(col("doc_id"), col("sh"),
         array((0 until NumPerms).map(i =>
-          array_min(transform(col("sh"), s => perm(i, hash(s))))): _*)
+          array_min(transform(col("hs"), h => perm(i, h)))): _*)
           .as("sig"))
+      .localCheckpoint()
     val fa = feat.select(col("doc_id").as("doc_a"),
       col("sh").as("sha"), col("sig").as("siga"))
     val fb = feat.select(col("doc_id").as("doc_b"),

@@ -73,6 +73,117 @@ object TextOps {
         qualityScoreCol(col("text")).as("quality_score"))
   }
 
+  /** Label threshold for the trained quality probe: documents of
+    * [[ClfLenThreshold]]+ chars are the positive class (the sf0.01
+    * fixture median) — a held-out length signal the probe must recover
+    * from the blended quality FEATURES, the fastText-style
+    * classifier-as-filter setup in miniature. */
+  val ClfLenThreshold = 306
+
+  val ClfIters = 3
+  val ClfLr = 1.0
+
+  /** The probe's feature vector over a `text` column: bias + the three
+    * components of [[qualityScoreCol]] (bounded length, inverse
+    * punctuation density, bounded stopword ratio). Each is a per-row
+    * rational of integer counts — identical in any IEEE engine, which
+    * is what lets the SQL oracle replay training bit-for-bit. */
+  private def clfFeatures(text: Column): Seq[Column] = {
+    val t = toks(text)
+    val nTok = size(t).cast("double")
+    val stopHits =
+      size(filter(t, x => lower(x).isin(stopwordsEn: _*))).cast("double")
+    val punct =
+      size(regexp_extract_all(text, lit("[^A-Za-z0-9\\s]"), lit(0)))
+        .cast("double")
+    val len = length(text).cast("double")
+    Seq(lit(1.0),
+      least(lit(1.0), len / lit(500.0)),
+      lit(1.0) - punct / len,
+      least(lit(1.0), lit(4.0) * stopHits / nTok))
+  }
+
+  /** Fast sigmoid σ(z) = ½(1 + z/(1+|z|)) — the squashing link chosen
+    * over the logistic exp form because it is CLOSED-FORM ALGEBRAIC:
+    * +, ×, /, abs are all IEEE-exact, so Spark and the SQL oracle
+    * compute the identical double, whereas libm `exp` differs by ±1
+    * ulp across engines and three GD rounds would amplify the drift
+    * into the rounded output. Same sign, same monotone S-shape, same
+    * σ(0)=½ decision boundary. */
+  private def fastSigmoid(z: Column): Column =
+    lit(0.5) * (lit(1.0) + z / (lit(1.0) + abs(z)))
+
+  private def dotW(w: Array[Double], xs: Seq[Column]): Column =
+    w.toIndexedSeq.zip(xs).map { case (wi, x) => lit(wi) * x }
+      .reduce(_ + _)
+
+  /** Trained-probe memo, same lifecycle rationale as the ANN trained
+    * caches: a classifier is trained once per corpus and then serves. */
+  private val clfCache =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Double]]
+
+  /** Distributed batch-gradient-descent training of the quality probe:
+    * each round is ONE aggregation over the corpus (the gradient —
+    * avg((σ(w·x) − y)·x_j) per feature, a 4-number reduce) and a
+    * 4-double driver update, the Lloyd-iteration pattern applied to a
+    * linear model. Cross-engine determinism is engineered in two
+    * places: gradients round to 9 decimals and updated weights to 6 —
+    * the corpus-sized avg() adds doubles in engine-chosen order
+    * (±1e-14 wobble), and the two quantization points re-synchronize
+    * Spark and the replaying SQL oracle on identical weights every
+    * round, so drift never compounds. */
+  def trainQualityClf(spark: SparkSession, sfDir: String,
+      iters: Int = ClfIters, lr: Double = ClfLr): Array[Double] =
+    clfCache.getOrElseUpdate(s"$sfDir|$iters|$lr", {
+      val docs = Tables.load(spark, sfDir, "documents")
+      val xs = clfFeatures(col("text"))
+      val y = when(length(col("text")) >= ClfLenThreshold, lit(1.0))
+        .otherwise(lit(0.0))
+      var w = Array.fill(xs.length)(0.0)
+      def round6(v: Double) = BigDecimal(v)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      for (_ <- 0 until iters) {
+        val err = fastSigmoid(dotW(w, xs)) - y
+        val gradAggs = xs.zipWithIndex.map { case (x, j) =>
+          round(avg(err * x), 9).as(s"g$j") }
+        val g = docs.agg(gradAggs.head, gradAggs.tail: _*).head()
+        w = w.indices.map(j => round6(w(j) - lr * g.getDouble(j))).toArray
+      }
+      w
+    })
+
+  /** Registered trained-probe audit: the learned weights plus the
+    * probe's train-set performance, one row. Serving is a pure
+    * projection (σ(w·x) with CONSTANT weights — codegen'd, zero
+    * shuffles, the shape a 100 TB filter pass needs); the oracle
+    * replays the full training loop in SQL and must land on the
+    * identical weights, accuracy, and mean scores. Accuracy compares
+    * integer counts, and the decision σ ≥ ½ ⟺ w·x ≥ 0 uses the exact
+    * synchronized weights, so the replay is exact, not approximate. */
+  def qualityClf(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = trainQualityClf(spark, sfDir)
+    val xs = clfFeatures(col("text"))
+    val y = when(length(col("text")) >= ClfLenThreshold, lit(1.0))
+      .otherwise(lit(0.0))
+    val score = fastSigmoid(dotW(w, xs))
+    val pred = when(score >= 0.5, lit(1.0)).otherwise(lit(0.0))
+    val weightCols = w.toIndexedSeq.zipWithIndex.map { case (wi, j) =>
+      lit(wi).as(s"w$j") }
+    Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id") +: y.as("y") +: pred.as("pred") +:
+        score.as("score") +: weightCols: _*)
+      .agg(count(lit(1)).as("n_docs"),
+        (Seq(
+          sum(col("y")).cast("long").as("n_pos"),
+          round(sum(when(col("pred") === col("y"), 1L).otherwise(0L))
+            .cast("double") / count(lit(1)), 6).as("accuracy"),
+          round(avg(when(col("y") === 1.0, col("score"))), 6)
+            .as("mean_score_pos"),
+          round(avg(when(col("y") === 0.0, col("score"))), 6)
+            .as("mean_score_neg")) ++
+          w.indices.map(j => max(col(s"w$j")).as(s"w$j"))): _*)
+  }
+
   private val langStops: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "to", "in", "is"),
     "de" -> Seq("der", "die", "und", "das", "ist", "ein"),

@@ -268,6 +268,58 @@ object StreamingOps {
         .select(col("event_id"), col("user_id"), col("user_event_count"))
     }, sfDir, OutputMode.Append())
 
+  /** Stream-STREAM event-time join — the attribution shape ("purchase
+    * within 30 minutes of a click by the same user") that needs BOTH
+    * sides live: two independent file streams over the event log,
+    * watermarked on event time, inner-joined on the user key plus a
+    * time-range predicate. Spark buffers each side in join state and
+    * uses the watermarks + the range condition to bound it: a click
+    * older than the purchase-side watermark minus 30 minutes can never
+    * match again and its state evicts — state tracks the in-flight
+    * horizon, not stream lifetime. That eviction bound is exactly why
+    * the range condition matters at 100 TB: an unconstrained
+    * stream-stream join would hold every row forever.
+    *
+    * Under AvailableNow the whole fixture lands in one micro-batch, so
+    * every matching pair meets live state and the emitted set is the
+    * batch join — deterministic and oracle-checkable; the watermark
+    * machinery still runs (state is built and bounded identically),
+    * only the eviction horizon never truncates the fixture's matches.
+    */
+  def streamStreamJoin(spark: SparkSession, sfDir: String): DataFrame =
+    runToMemory(spark, src => {
+      // second, independent stream on the SAME child session (a plan
+      // may not mix sessions); self-joining one stream reference would
+      // hit the streaming self-join limitations, two sources are the
+      // documented shape
+      val s2 = src.sparkSession
+      val schema = s2.read.parquet(s"$sfDir/events.parquet").schema
+      val src2 = Tables.normalizeTs(s2.readStream.schema(schema)
+        .parquet(s"$sfDir/events.parquet*"))
+      def withEts(d: DataFrame) =
+        d.withColumn("ets", timestamp_micros(expr("ts div 1000")))
+      val clicks = withEts(src)
+        .filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ets").as("click_ets"))
+        .withWatermark("click_ets", "1 hour")
+      val purchases = withEts(src2)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"),
+          col("user_id").as("p_user_id"),
+          col("value").as("purchase_value"),
+          col("ets").as("purchase_ets"))
+        .withWatermark("purchase_ets", "1 hour")
+      clicks.join(purchases,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ets") >= col("click_ets") &&
+          col("purchase_ets") <= col("click_ets") + expr("INTERVAL 30 MINUTES"))
+        .select(col("click_id"), col("purchase_id"), col("user_id"),
+          (unix_micros(col("purchase_ets")) - unix_micros(col("click_ets")))
+            .as("lag_us"),
+          col("purchase_value"))
+    }, sfDir, OutputMode.Append())
+
   /** Streaming JSONL ingestion with corrupt-line accounting — the
     * continuous form of [[graft.sources.JsonlCorpus.corruptAccounting]]:
     * a corpus drop-directory is tailed as a file stream (declared

@@ -268,4 +268,33 @@ class CorpusOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("temperatureMix: inverse-size epochs, token budget preserved") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, sfDir, "documents")
+    val tokIn = docs
+      .groupBy(col("source"))
+      .agg(sum(size(split(trim(col("text")), "\\s+"))).as("tok_in"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val audit = CorpusOps.temperatureMixAudit(spark, sfDir).collect()
+    val epochs = audit.map(r =>
+      r.getString(0) -> r.getAs[Double]("epochs")).toMap
+    // α=0.5 flattening: epochs strictly anti-monotone in source token
+    // mass (smaller sources repeat more), sqrt-exactly e ∝ 1/sqrt(n)
+    for (a <- epochs.keys; b <- epochs.keys if tokIn(a) < tokIn(b))
+      assert(epochs(a) >= epochs(b) - 1e-9,
+        s"$a (${tokIn(a)} tok) got epochs ${epochs(a)} < " +
+          s"$b (${tokIn(b)} tok) at ${epochs(b)}")
+    // Σ e_s·n_s = Σ n_s (temperature reshapes the mix, not the budget);
+    // 6-dp epoch rounding bounds the identity's slack
+    val n = tokIn.values.sum.toDouble
+    val expected = epochs.map { case (s, e) => e * tokIn(s) }.sum
+    assert(math.abs(expected - n) / n < 1e-5,
+      s"expected token budget $expected drifted from corpus total $n")
+    // realized replication is a per-doc coin around the expectation —
+    // loose band, exactness is the oracle's job
+    val tokOut = audit.map(_.getAs[Long]("tok_out")).sum.toDouble
+    assert(math.abs(tokOut - n) / n < 0.25,
+      s"realized tokens $tokOut far from budget $n")
+  }
 }

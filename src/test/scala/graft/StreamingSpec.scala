@@ -214,6 +214,28 @@ class StreamingSpec extends SparkSpec {
       s"old keys were not evicted: $finalRows state rows remain")
   }
 
+  test("stream-stream join emits exactly the batch time-range join") {
+    import org.apache.spark.sql.functions._
+    val streamed = StreamingOps.streamStreamJoin(spark, sfDir)
+    val e = Tables.load(spark, sfDir, "events")
+      .withColumn("us", expr("ts div 1000"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("us").as("cus"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user_id"), col("value").as("purchase_value"),
+        col("us").as("pus"))
+    val batch = clicks.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("pus") >= col("cus") &&
+        col("pus") <= col("cus") + 1800000000L)
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+        (col("pus") - col("cus")).as("lag_us"), col("purchase_value"))
+    assert(streamed.count() > 0, "no attributed pairs on the fixture")
+    assertSameRows(streamed, batch)
+  }
+
   test("S11: maxFilesPerTrigger paces ingestion into bounded micro-batches") {
     // the reference's RateLimiter throttles the data-file reader
     // (NoTTLReader.java:1791-1794) so a rewrite can't saturate a live

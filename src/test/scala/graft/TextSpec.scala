@@ -69,4 +69,29 @@ class TextSpec extends SparkSpec {
     assert(bp.filter(col("doc_pct") < 0.05 - 1e-9).isEmpty,
       "bigram below the 5% corpus threshold")
   }
+
+  test("GD quality probe: learns above the base rate, deterministic") {
+    val row = TextOps.qualityClf(spark, sfDir).head()
+    val n = row.getAs[Long]("n_docs").toDouble
+    val pos = row.getAs[Long]("n_pos").toDouble
+    val base = math.max(pos / n, 1.0 - pos / n)
+    val acc = row.getAs[Double]("accuracy")
+    // the label is long-vs-short and x1 is the bounded length feature,
+    // so three GD rounds must beat always-guess-majority
+    assert(acc > base + 0.05, s"accuracy $acc did not beat base rate $base")
+    // the length feature must carry positive weight (positive class =
+    // long documents) and separate the class score means
+    assert(row.getAs[Double]("w1") > 0.0, "length weight not positive")
+    assert(row.getAs[Double]("mean_score_pos") >
+      row.getAs[Double]("mean_score_neg"), "score means not separated")
+    // a one-extra-iteration run retrains from scratch (different memo
+    // key) and must agree with the 3-round weights to GD-step order —
+    // cheap determinism witness that training is data-, not
+    // partitioning-, dependent (the true bit-replay check is the
+    // DuckDB oracle retraining from zero)
+    val w3 = TextOps.trainQualityClf(spark, sfDir)
+    val w4 = TextOps.trainQualityClf(spark, sfDir, iters = 4)
+    assert(w3.indices.forall(j => math.abs(w3(j) - w4(j)) < 0.2),
+      s"4-iter weights ${w4.toSeq} diverged from ${w3.toSeq}")
+  }
 }
