@@ -183,6 +183,7 @@ object SparkEntry {
       SimilarityOps.semDedup(s, d)),
     "sim_semdedup_t" -> ((s: SparkSession, d: String) =>
       SimilarityOps.semDedupTrained(s, d)),
+    "sim_cluster_profile" -> (SimilarityOps.clusterProfile _),
     "sim_ann_lsh" -> (SimilarityOps.annLsh _),
     "sim_ann_ivf" -> (SimilarityOps.annIvf _),
     "sim_ann_ivf_mp" -> (SimilarityOps.annIvfMp _),
@@ -538,6 +539,54 @@ object SparkEntry {
        | CASE WHEN bp.cos >= $tau THEN round(bp.cos, 6) END AS cos_sim
        |FROM n LEFT JOIN bp ON n.vec_id = bp.vec_id""".stripMargin
   }
+
+  /** Cluster-profile oracle: the trained-quantizer assignment CTEs
+    * (k-means chain, same DESC/DESC tie-break), member→centroid
+    * cosine rounded per row, then the same partial-aggregate →
+    * dominant-source window → rollup staging as the Spark plan. */
+  private lazy val clusterProfileSql: String =
+    s"""WITH ${ivfCtesSql(1, trained = true)},
+       |coh AS (
+       | SELECT b.vec_id, b.cell,
+       |  round(list_dot_product(b.e, c.c)
+       |   / (sqrt(list_dot_product(b.e, b.e))
+       |    * sqrt(list_dot_product(c.c, c.c))), 6) AS coh
+       | FROM best b JOIN cents c USING (cell)),
+       |d AS (
+       | SELECT doc_id, source,
+       |  len(string_split_regex(trim(text), '\\s+')) AS n_tok,
+       |  round(0.3 * least(1.0, CAST(length(text) AS DOUBLE) / 500.0)
+       |   + 0.4 * (1.0 - CAST(len(regexp_extract_all(text,
+       |      '[^A-Za-z0-9\\s]')) AS DOUBLE) / length(text))
+       |   + 0.3 * least(1.0, 4.0 *
+       |      CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+       |       x -> lower(x) IN ('the','a','and','of','to','in','is','it',
+       |        'on','for'))) AS DOUBLE)
+       |      / len(string_split_regex(trim(text), '\\s+'))), 6) AS q
+       | FROM documents),
+       |part AS (
+       | SELECT coh.cell, d.source, count(*) AS n_src,
+       |  sum(CAST(coh.coh AS DECIMAL(18,6))) AS s_coh,
+       |  sum(CAST(d.q AS DECIMAL(18,6))) AS s_q,
+       |  sum(d.n_tok) AS s_tok
+       | FROM coh JOIN d ON coh.vec_id = d.doc_id
+       | GROUP BY 1, 2),
+       |top AS (
+       | SELECT cell, source AS top_source, n_src AS top_source_docs
+       | FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY cell
+       |    ORDER BY n_src DESC, source) AS rn FROM part)
+       | WHERE rn = 1),
+       |a AS (
+       | SELECT cell, CAST(sum(n_src) AS BIGINT) AS n_docs,
+       |  round(CAST(sum(s_coh) AS DOUBLE) / sum(n_src), 6)
+       |    AS mean_coherence,
+       |  round(CAST(sum(s_q) AS DOUBLE) / sum(n_src), 6) AS mean_quality,
+       |  CAST(sum(s_tok) AS BIGINT) AS n_tokens
+       | FROM part GROUP BY 1)
+       |SELECT a.cell, a.n_docs, a.mean_coherence, a.mean_quality,
+       | a.n_tokens, top.top_source, top.top_source_docs
+       |FROM a JOIN top USING (cell)""".stripMargin
 
   private def annIvfPqSqlP(nprobe: Int, trained: Boolean = false): String = {
     val cs = SimilarityOps.centroids(64, 16)
@@ -2186,6 +2235,11 @@ object SparkEntry {
     "sim_embed_neardup" -> nearDupSql,
     "sim_semdedup" -> semDedupSql,
     "sim_semdedup_t" -> semDedupTrainedSql,
+    // cluster profile: trained-quantizer assignment (k-means CTE chain)
+    // + per-row 6-dp coherence/quality, decimal-summed means — every
+    // float in the output is either rounded per-row before an exact
+    // decimal sum or a final 6-dp round of a double/bigint division
+    "sim_cluster_profile" -> clusterProfileSql,
     "m_media_decode" ->
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
         | CAST(strlen(text) % 64 + 16 AS INTEGER) AS width,

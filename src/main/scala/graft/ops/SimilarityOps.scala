@@ -613,6 +613,66 @@ object SimilarityOps {
         cacheKey = Some(s"$sfDir|trained")))
   }
 
+  /** Per-cluster curation profile over the Lloyd-trained coarse
+    * quantizer — the cluster-level triage step (SemDeDup / DCLM style)
+    * that decides which embedding clusters to prune, re-weight, or
+    * audit BEFORE touching documents: every embedding is assigned to
+    * its trained cell, joined to its document's metadata (the fixture's
+    * vec_id ↔ doc_id correspondence), and each cluster reports size,
+    * coherence (mean cosine of members to their centroid — low
+    * coherence = junk drawer, high = near-dup pocket), mean document
+    * quality, token mass, and the dominant source with its count
+    * (a single-source cluster is a boilerplate signature).
+    *
+    * Scale shape: one embeddings scan (cell + member→centroid cosine
+    * are per-row expressions over broadcast centroid constants), one
+    * narrow documents scan, ONE equi-join on the unique id, and ONE
+    * corpus-sized groupBy to a ≤|cells|·|sources| frame that is
+    * checkpointed; the dominant-source window and the per-cell rollup
+    * both run on that tiny frame (without the checkpoint each branch
+    * would re-run the join — Catalyst shares no subtrees across DAG
+    * branches). Means are 6-dp-rounded per row and decimal-summed, the
+    * order-independent cross-engine form the dataset card uses.
+    */
+  def clusterProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    val cs = trainedCentroids(spark, sfDir)
+    val centArr = array(cs.toIndexedSeq.map(c =>
+      array(c.toIndexedSeq.map(lit(_)): _*)): _*)
+    val cnormArr = array(cs.toIndexedSeq.map(c =>
+      lit(math.sqrt(c.map(x => x * x).sum))): _*)
+    val v = withNorm(Tables.load(spark, sfDir, "embeddings"))
+      .withColumn("cell", ivfCell(col("e"), cs, l2 = true))
+      .select(col("vec_id"), col("cell"),
+        round(dot(col("e"), element_at(centArr, col("cell") + 1)) /
+          (col("nrm") * element_at(cnormArr, col("cell") + 1)), 6)
+          .as("coh"))
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(split(trim(col("text")), "\\s+")).as("n_tok"),
+        TextOps.qualityScoreCol(col("text")).as("q"))
+    val part = v.join(docs, col("vec_id") === col("doc_id"))
+      .groupBy(col("cell"), col("source"))
+      .agg(count(lit(1)).as("n_src"),
+        sum(col("coh").cast("decimal(18,6)")).as("s_coh"),
+        sum(col("q").cast("decimal(18,6)")).as("s_q"),
+        sum(col("n_tok")).as("s_tok"))
+      .localCheckpoint()
+    val wTop = Window.partitionBy("cell")
+      .orderBy(col("n_src").desc, col("source"))
+    val top = part.withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") === 1)
+      .select(col("cell"), col("source").as("top_source"),
+        col("n_src").as("top_source_docs"))
+    part.groupBy(col("cell"))
+      .agg(sum(col("n_src")).cast("long").as("n_docs"),
+        round(sum(col("s_coh")).cast("double") / sum(col("n_src")), 6)
+          .as("mean_coherence"),
+        round(sum(col("s_q")).cast("double") / sum(col("n_src")), 6)
+          .as("mean_quality"),
+        sum(col("s_tok")).cast("long").as("n_tokens"))
+      .join(top, "cell")
+  }
+
   private def annRecallOf(spark: SparkSession, sfDir: String,
       annIndex: DataFrame => DataFrame): DataFrame = {
     // the harness needs the corpus in FOUR roles (brute query+corpus,

@@ -378,4 +378,21 @@ class EstimatorSpec extends SparkSpec {
     assert(hits(SimilarityOps.annRecallIvfPqTrained(spark, sfDir)) >
       hits(SimilarityOps.annRecallIvfPq(spark, sfDir)))
   }
+
+  test("cluster profile: conserves the corpus, coherence and dominance sane") {
+    val prof = SimilarityOps.clusterProfile(spark, sfDir).collect()
+    val corpus = Tables.load(spark, sfDir, "embeddings").count()
+    // every embedding lands in exactly one profiled cluster
+    assert(prof.map(_.getAs[Long]("n_docs")).sum === corpus,
+      "cluster sizes do not sum to the corpus")
+    prof.foreach { r =>
+      val coh = r.getAs[Double]("mean_coherence")
+      assert(coh >= -1.0 - 1e-9 && coh <= 1.0 + 1e-9,
+        s"coherence $coh outside [-1,1]")
+      val q = r.getAs[Double]("mean_quality")
+      assert(q > 0.0 && q <= 1.0 + 1e-9, s"mean quality $q out of range")
+      assert(r.getAs[Long]("top_source_docs") <= r.getAs[Long]("n_docs"),
+        "dominant source larger than its cluster")
+    }
+  }
 }

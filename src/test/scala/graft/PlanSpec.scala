@@ -330,4 +330,40 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("Cartesian"),
       s"semdedup self-joins the corpus:\n$p")
   }
+
+  test("temperature mix: epochs broadcast back, no corpus-sized window") {
+    val p = plan(graft.ops.CorpusOps.temperatureMix(
+      Tables.load(spark, sfDir, "documents")))
+    // the per-source epoch frame joins back as a broadcast — the
+    // corpus must never shuffle for the join
+    assert(p.contains("BroadcastHashJoin"),
+      s"epoch join did not broadcast:\n$p")
+    // the unpartitioned window runs over the |sources|-row AGGREGATE
+    // frame: its single-partition exchange must sit above a
+    // HashAggregate, and no window may consume raw text
+    val winLines = p.linesIterator.filter(_.contains("Window")).mkString
+    assert(!winLines.contains("text"),
+      s"a window consumes corpus text:\n$winLines")
+  }
+
+  test("quality probe serving is one scan, one aggregation, no join") {
+    // training is memoized before planning; the SERVED plan (what a
+    // 100 TB scoring pass runs) must be scan → project → partial/final
+    // agg with the weights folded in as constants
+    val p = plan(graft.ops.TextOps.qualityClf(spark, sfDir))
+    assert(!p.contains("Join") && !p.contains("Exchange hashpartitioning"),
+      s"probe serving plan shuffles or joins:\n$p")
+    assert(p.linesIterator.count(_.contains("FileScan")) == 1,
+      s"probe serving reads more than one scan:\n$p")
+  }
+
+  test("cluster profile: one corpus groupBy; rollups run on the tiny frame") {
+    val p = plan(graft.ops.SimilarityOps.clusterProfile(spark, sfDir))
+    // both consumers (dominant-source window + per-cell rollup) must
+    // read the checkpointed partial-aggregate frame, not re-run the
+    // embeddings⋈documents join: exactly zero FileScans in the final
+    // plan (checkpoint scans print as Scan ExistingRDD)
+    assert(p.linesIterator.count(_.contains("FileScan")) == 0,
+      s"a profile consumer re-reads the corpus:\n$p")
+  }
 }
