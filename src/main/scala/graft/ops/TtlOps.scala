@@ -3,7 +3,7 @@ package graft.ops
 import graft.Tables
 import graft.model.CellModel
 import graft.model.CellModel.NowMicros
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{MapType, StringType}
@@ -305,5 +305,100 @@ object TtlOps {
       .localCheckpoint()
     graft.Scratch.delete(out)
     proof
+  }
+
+  /** Multi-generation last-write-wins merge with tombstone shadowing —
+    * the Cassandra READ-PATH reconciliation the reference delegates to
+    * the server (it rewrites each SSTable in isolation and lets
+    * Cassandra's compaction/read merge resolve versions): given cell
+    * rows from MANY generations/SSTables of the same table, produce
+    * the effective view a Cassandra read would return.
+    *
+    * Semantics (the compaction merge rules):
+    *   - a cell is shadowed by a ROW_DELETION of its (partition,
+    *     clustering) or a PARTITION_DELETION of its partition when
+    *     `writetime_us <= deletion_us` (deletions cover everything at
+    *     or before their timestamp; a later re-insert survives);
+    *   - among surviving versions of one (partition, clustering, name)
+    *     cell, the highest writetime wins, ties broken by the greater
+    *     value (Cassandra's timestamp-then-value reconciliation).
+    *
+    * Scale shape: ONE hash exchange on `partition_key` serves the
+    * whole merge — the partition-deletion window (pk), the
+    * row-deletion window (pk, clustering) and the LWW ranking window
+    * (pk, clustering, name) all declare distributions that
+    * hashpartitioning(pk) already satisfies (Spark's subset rule), so
+    * EnsureRequirements inserts sorts, never another shuffle
+    * (PlanSpec pins the single exchange). At 100 TB this is the
+    * one-shuffle compaction pass; skewed giant partitions are the
+    * same risk compaction itself has, and sub-splitting a partition
+    * by clustering prefix composes the same way as tokenPack's
+    * spanSize knob.
+    */
+  def lwwMerge(cells: DataFrame): DataFrame = {
+    val byPk = cells.repartition(col("partition_key"))
+    val pkW = Window.partitionBy("partition_key")
+    val rowW = Window.partitionBy("partition_key", "clustering")
+    val noDel = lit(Long.MinValue)
+    val lwwW = Window.partitionBy("partition_key", "clustering", "name")
+      .orderBy(col("writetime_us").desc, col("value").desc)
+    val nvW = Window.partitionBy("partition_key", "clustering", "name")
+    byPk
+      .withColumn("part_del",
+        max(when(col("row_kind") === "PARTITION_DELETION",
+          col("deletion_us"))).over(pkW))
+      .withColumn("row_del",
+        max(when(col("row_kind") === "ROW_DELETION",
+          col("deletion_us"))).over(rowW))
+      .filter(col("row_kind") === "ROW" &&
+        col("writetime_us") > coalesce(col("part_del"), noDel) &&
+        col("writetime_us") > coalesce(col("row_del"), noDel))
+      .withColumn("rk", row_number().over(lwwW))
+      .withColumn("n_versions", count(lit(1)).over(nvW))
+      .filter(col("rk") === 1)
+      .select(col("partition_key"), col("clustering"), col("name"),
+        col("value"), col("writetime_us"),
+        col("n_versions").cast("long").as("n_versions"))
+  }
+
+  /** Epoch base for the LWW fixture (2021-01-01T00:00:00Z, micros). */
+  val LwwBaseUs: Long = 1609459200L * 1000000L
+
+  /** Registered merge audit over a deterministic TWO-GENERATION cell
+    * fixture derived from the documents table in ONE scan (the explode
+    * idiom): gen-1 writes a 'len' and a 'src' cell per document
+    * (writetimes base+id, base+id+10); gen-2 re-writes 'len' at
+    * base+id+100 for id%3==0 (LWW winner), row-deletes at base+id+50
+    * for id%7==3 (shadows gen-1, NOT a later gen-2 re-write — the
+    * partial-shadow case), and partition-deletes at base+id+1000 for
+    * id%10==9 (everything vanishes). Every rule has fixture rows
+    * exercising it, and every timestamp is doc_id arithmetic the SQL
+    * oracle replays exactly.
+    */
+  def lwwMergeAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val pk = col("doc_id").cast("string")
+    val wt = (n: Long) => lit(LwwBaseUs) + (col("doc_id") + n) * 1000000L
+    def row(kind: String, name: Column, value: Column, w: Column,
+        del: Column) =
+      struct(pk.as("partition_key"), lit("c").as("clustering"),
+        lit(kind).as("row_kind"), name.as("name"), value.as("value"),
+        w.cast("long").as("writetime_us"), del.cast("long").as("deletion_us"))
+    val nul = lit(null).cast("string")
+    val nulL = lit(null).cast("long")
+    val candidates = array(
+      row("ROW", lit("len"), col("n_chars").cast("string"), wt(0), nulL),
+      row("ROW", lit("src"), col("source"), wt(10), nulL),
+      when(col("doc_id") % 3 === 0,
+        row("ROW", lit("len"), (col("n_chars") + 1).cast("string"),
+          wt(100), nulL)),
+      when(col("doc_id") % 7 === 3,
+        row("ROW_DELETION", nul, nul, nulL, wt(50))),
+      when(col("doc_id") % 10 === 9,
+        row("PARTITION_DELETION", nul, nul, nulL, wt(1000))))
+    lwwMerge(docs
+      .select(explode(candidates).as("r"))
+      .filter(col("r").isNotNull)
+      .select(col("r.*")))
   }
 }

@@ -357,6 +357,17 @@ class PlanSpec extends SparkSpec {
       s"probe serving reads more than one scan:\n$p")
   }
 
+  test("LWW merge: ONE exchange serves all three window tiers") {
+    val p = plan(TtlOps.lwwMergeAudit(spark, sfDir))
+    // hashpartitioning(partition_key) satisfies the pk, (pk,clustering)
+    // and (pk,clustering,name) window distributions via Spark's subset
+    // rule — EnsureRequirements must add sorts, never a second shuffle
+    val exchanges = p.linesIterator
+      .filter(l => l.contains("Exchange") && !l.contains("reuse")).toSeq
+    assert(exchanges.length == 1,
+      s"expected exactly one exchange, got ${exchanges.length}:\n$p")
+  }
+
   test("cluster profile: one corpus groupBy; rollups run on the tiny frame") {
     val p = plan(graft.ops.SimilarityOps.clusterProfile(spark, sfDir))
     // both consumers (dominant-source window + per-cell rollup) must

@@ -117,4 +117,39 @@ class TtlOpsSpec extends SparkSpec {
     }.sum()
     assert(violations === 0.0)
   }
+
+  test("lwwMerge: shadowing, partial shadow, and LWW winners are exact") {
+    val merged = TtlOps.lwwMergeAudit(spark, sfDir).collect()
+      .map(r => (r.getString(0).toLong, r.getString(2)) -> r).toMap
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    docs.keys.foreach { id =>
+      val len = merged.get(id -> "len")
+      val src = merged.get(id -> "src")
+      if (id % 10 == 9) {
+        // partition tombstone at +1000 shadows every generation
+        assert(len.isEmpty && src.isEmpty, s"doc $id not fully shadowed")
+      } else if (id % 7 == 3) {
+        // row tombstone at +50 kills gen-1 (+0/+10); only a gen-2
+        // re-write at +100 (id%3==0) survives — the partial shadow
+        assert(src.isEmpty, s"doc $id: shadowed src cell resurrected")
+        if (id % 3 == 0) {
+          assert(len.exists(_.getString(3) == (docs(id) + 1).toString),
+            s"doc $id: surviving re-write missing or wrong")
+          assert(len.exists(_.getLong(5) == 1L), "shadowed versions counted")
+        } else assert(len.isEmpty, s"doc $id: shadowed len resurrected")
+      } else {
+        // no tombstone: src always survives; len is the LWW winner —
+        // the +100 re-write (value n_chars+1) when id%3==0, else gen-1
+        assert(src.isDefined, s"doc $id: src cell lost")
+        val expect =
+          if (id % 3 == 0) (docs(id) + 1).toString else docs(id).toString
+        assert(len.exists(_.getString(3) == expect),
+          s"doc $id: LWW winner wrong")
+        assert(len.exists(_.getLong(5) == (if (id % 3 == 0) 2L else 1L)),
+          s"doc $id: version count wrong")
+      }
+    }
+  }
 }
