@@ -108,6 +108,7 @@ object SparkEntry {
     "t_word_repetition" -> (TextOps.wordRepetition _),
     "t_boilerplate" -> (TextOps.boilerplateBigrams _),
     "t_unigram_logprob" -> (TextOps.unigramLogprob _),
+    "t_bigram_logprob" -> (TextOps.bigramLogprob _),
     "t_entropy" -> (TextOps.tokenEntropy _),
     "t_pii_scrub" -> (TextOps.piiScrub _),
     "t_top_ngrams" -> ((s: SparkSession, d: String) =>
@@ -1640,6 +1641,35 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_tokens,
         | round(CAST(sum(nlp) AS DOUBLE) / count(*), 6) AS avg_neg_logprob
         |FROM s GROUP BY 1""".stripMargin,
+    // conditional bigram LM: p(b|a) = c(a,b)/c(a,·) over the corpus's
+    // own bigram table; −ln rounds to 8 dp before the exact
+    // decimal×multiplicity sum, same cross-engine-ln discipline as the
+    // unigram oracle
+    "t_bigram_logprob" ->
+      """WITH t AS (
+        | SELECT doc_id,
+        |  list_transform(string_split_regex(trim(text), '\s+'),
+        |    x -> lower(x)) AS tk
+        | FROM documents),
+        |b AS (
+        | SELECT doc_id,
+        |  unnest(list_transform(generate_series(1, len(tk) - 1),
+        |    i -> tk[i] || ' ' || tk[i + 1])) AS bg
+        | FROM t),
+        |tf AS (SELECT doc_id, bg, count(*) AS tf_d FROM b GROUP BY 1, 2),
+        |v AS (SELECT bg, CAST(sum(tf_d) AS BIGINT) AS c_ab
+        | FROM tf GROUP BY 1),
+        |ctx AS (SELECT split_part(bg, ' ', 1) AS a,
+        |  CAST(sum(c_ab) AS BIGINT) AS c_a FROM v GROUP BY 1),
+        |s AS (
+        | SELECT v.bg,
+        |  CAST(round(-ln(CAST(c_ab AS DOUBLE) / c_a), 8)
+        |    AS DECIMAL(20,8)) AS nlp
+        | FROM v JOIN ctx ON split_part(v.bg, ' ', 1) = ctx.a)
+        |SELECT tf.doc_id, CAST(sum(tf_d) AS BIGINT) AS n_bigrams,
+        | round(CAST(sum(nlp * CAST(tf_d AS DECIMAL(12,0))) AS DOUBLE)
+        |   / sum(tf_d), 6) AS avg_neg_logprob
+        |FROM tf JOIN s USING (bg) GROUP BY 1""".stripMargin,
     // PII scrub: the oracle reproduces the deterministic enrichment and
     // the scrub itself — the SAME pattern strings (interpolated from
     // TextOps, RE2-compatible subset) with DuckDB's 'g' flag standing

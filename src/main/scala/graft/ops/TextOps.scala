@@ -417,6 +417,53 @@ object TextOps {
           .cast("double") / sum(col("tf_d")), 6).as("avg_neg_logprob"))
   }
 
+  /** Conditional bigram LM scoring — the next LM tier above
+    * [[unigramLogprob]]: every document scores under
+    * p(b|a) = c(a,b) / c(a,·) estimated from the corpus itself, mean
+    * −log p per bigram instance. Catches fluent-vocabulary-but-scrambled
+    * text (high unigram likelihood, low bigram likelihood) — the word
+    * -salad band unigram scoring is blind to.
+    *
+    * Shape at scale: ONE corpus explode total (the [[unigramLogprob]]
+    * discipline) — the (doc, bigram) frequency aggregate is
+    * checkpointed and the bigram vocabulary, the prefix/context
+    * totals, AND the per-doc scoring all derive from it; shuffles
+    * carry post-aggregation rows only. The per-bigram −ln is rounded
+    * to 8 dp then multiplied by the exact integer multiplicity as
+    * decimals (cross-engine ln ULP differences die at the round; the
+    * decimal product/sum is order-independent).
+    */
+  def bigramLogprob(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = transform(toks(col("text")), x => lower(x))
+    val bigrams = when(size(t) >= 2,
+      zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+        (a, b) => concat_ws(" ", a, b)))
+      .otherwise(array().cast("array<string>"))
+    val tf = Tables.loadBalanced(spark, sfDir, "documents")
+      .select(col("doc_id"), explode(bigrams).as("bg"))
+      .groupBy(col("doc_id"), col("bg"))
+      .agg(count(lit(1)).as("tf_d"))
+      .localCheckpoint()
+    val vocab = tf.groupBy(col("bg"))
+      .agg(sum(col("tf_d")).cast("long").as("c_ab"))
+    val ctx = vocab
+      .withColumn("a", substring_index(col("bg"), " ", 1))
+      .groupBy(col("a")).agg(sum(col("c_ab")).cast("long").as("c_a"))
+    val scored = vocab
+      .withColumn("a", substring_index(col("bg"), " ", 1))
+      .join(ctx, "a")
+      .withColumn("nlp",
+        round(-log(col("c_ab").cast("double") / col("c_a")), 8)
+          .cast("decimal(20,8)"))
+      .select(col("bg"), col("nlp"))
+    tf.join(scored, "bg")
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("tf_d")).cast("long").as("n_bigrams"),
+        round(sum(col("nlp") * col("tf_d").cast("decimal(12,0)"))
+          .cast("double") / sum(col("tf_d")), 6).as("avg_neg_logprob"))
+  }
+
   /** TF-IDF top-3 terms per document — the classic relevance signal a
     * corpus pipeline derives before keyword filtering or topic
     * bucketing. Shape at scale: one explode scan feeding two hash

@@ -171,7 +171,8 @@ class PlanSpec extends SparkSpec {
     // count — a column-pruned scan with no explode).
     for ((name, df) <- Seq(
         "t_tfidf" -> graft.ops.TextOps.tfidfTopTerms(spark, sfDir),
-        "t_unigram" -> graft.ops.TextOps.unigramLogprob(spark, sfDir))) {
+        "t_unigram" -> graft.ops.TextOps.unigramLogprob(spark, sfDir),
+        "t_bigram" -> graft.ops.TextOps.bigramLogprob(spark, sfDir))) {
       val p = plan(df)
       assert(!p.contains("Generate"),
         s"$name re-explodes the corpus downstream of the checkpoint:\n$p")

@@ -70,6 +70,22 @@ class TextSpec extends SparkSpec {
       "bigram below the 5% corpus threshold")
   }
 
+  test("bigram LM: per-doc counts and conditional-probability bounds") {
+    val bg = TextOps.bigramLogprob(spark, sfDir)
+    // a conditional −log p is 0 exactly when the context is
+    // deterministic (c_ab = c_a); never negative, never NaN
+    assert(bg.filter(col("avg_neg_logprob") < 0 ||
+      isnan(col("avg_neg_logprob"))).isEmpty,
+      "negative or NaN bigram score")
+    // every (≥2-token) document contributes exactly n_tokens − 1
+    // bigram instances
+    val tok = TextOps.tokenCount(spark, sfDir)
+      .select(col("doc_id"), col("ws_tokens"))
+    assert(bg.join(tok, "doc_id")
+      .filter(col("n_bigrams") =!= col("ws_tokens") - 1).isEmpty,
+      "bigram count is not n_tokens - 1")
+  }
+
   test("GD quality probe: learns above the base rate, deterministic") {
     val row = TextOps.qualityClf(spark, sfDir).head()
     val n = row.getAs[Long]("n_docs").toDouble
