@@ -36,8 +36,16 @@ import org.apache.spark.sql.SparkSession
   * itself, so no cell-model flags apply.
   *
   * Usage:
+  * `--merge lww` (sstabledump only) reconciles ALL input generations
+  * through [[graft.ops.TtlOps.lwwMerge]] before writing — a directory
+  * of SSTable dumps collapses to the table's effective state
+  * (highest-writetime cells, tombstone shadowing applied, markers
+  * preserved), the step the reference leaves to the Cassandra server.
+  *
+  * Usage:
   *   graft.RemoverCli --in <dir> --out <dir> --table <name>
   *     [--keyspace <ks>] [--cpus <n>] [--format parquet|sstabledump]
+  *     [--merge lww]
   *     [--pk <cols> --ck <cols> --cells <cols> --writetime <col>
   *      --ttl-key <col>]
   */
@@ -49,10 +57,10 @@ object RemoverCli {
       pk: Seq[String] = Seq.empty, ck: Seq[String] = Seq.empty,
       cells: Seq[String] = Seq.empty,
       writetime: Option[String] = None, ttlKey: Option[String] = None,
-      format: String = "parquet")
+      format: String = "parquet", merge: Option[String] = None)
 
   private val Flags = Set("in", "out", "table", "keyspace", "cpus",
-    "pk", "ck", "cells", "writetime", "ttl-key", "format")
+    "pk", "ck", "cells", "writetime", "ttl-key", "format", "merge")
 
   private def csv(v: String): Seq[String] =
     v.split(',').map(_.trim).filter(_.nonEmpty).toSeq
@@ -90,8 +98,9 @@ object RemoverCli {
                   cells = m.get("cells").map(csv).getOrElse(Seq.empty),
                   writetime = m.get("writetime"),
                   ttlKey = m.get("ttl-key"),
-                  format = m.getOrElse("format", "parquet"))
-                validateFormat(args).flatMap(a =>
+                  format = m.getOrElse("format", "parquet"),
+                  merge = m.get("merge"))
+                validateFormat(args).flatMap(validateMerge).flatMap(a =>
                   // the dump format brings its own liveness model, so
                   // the cell-spec rules below don't apply to it
                   if (a.format == "sstabledump") Right(a)
@@ -114,10 +123,22 @@ object RemoverCli {
           a.writetime.nonEmpty || a.ttlKey.nonEmpty)
           Left("--format sstabledump carries its own liveness model: " +
             "--pk/--ck/--cells/--writetime/--ttl-key do not apply")
-        else Right(a)
+        else a.merge match {
+          case None | Some("lww") => Right(a)
+          case Some(other) =>
+            Left(s"unknown --merge '$other' (expected lww)")
+        }
       case other => Left(s"unknown --format '$other' " +
         "(expected parquet or sstabledump)")
     }
+
+  // --merge only means something over multi-generation dump input:
+  // per-table parquet has exactly one version of every row already
+  private def validateMerge(a: CliArgs): Either[String, CliArgs] =
+    if (a.merge.nonEmpty && a.format != "sstabledump")
+      Left("--merge requires --format sstabledump " +
+        "(parquet input has no generations to reconcile)")
+    else Right(a)
 
   /** A non-events table needs its cell model declared — the same rule
     * as the reference CLI, where `--cql` is how an arbitrary table's
@@ -153,7 +174,10 @@ object RemoverCli {
     * end-to-end without forking a JVM. Returns the written row count.
     */
   def run(spark: SparkSession, args: CliArgs): Long =
-    if (args.format == "sstabledump")
+    if (args.format == "sstabledump" && args.merge.contains("lww"))
+      graft.sources.SSTableDumpBridge.mergeTtlToDir(
+        spark, args.in, args.out, args.keyspace, args.table)
+    else if (args.format == "sstabledump")
       graft.sources.SSTableDumpBridge.removeTtlToDir(
         spark, args.in, args.out, args.keyspace, args.table)
     else if (args.cells.isEmpty) {
@@ -173,6 +197,7 @@ object RemoverCli {
       System.err.println(
         "usage: graft.RemoverCli --in <dir> --out <dir> --table <name>" +
           " [--keyspace <ks>] [--cpus <n>] [--format parquet|sstabledump]" +
+          " [--merge lww]" +
           " [--pk <cols> --ck <cols> --cells <cols> --writetime <col>" +
           " --ttl-key <col>]")
       sys.exit(2)

@@ -335,30 +335,53 @@ object TtlOps {
     * by clustering prefix composes the same way as tokenPack's
     * spanSize knob.
     */
-  def lwwMerge(cells: DataFrame): DataFrame = {
+  /** With `keepMarkers = true` the output ALSO carries every deletion
+    * marker verbatim (row_kind + deletion_us columns appear): the
+    * Cassandra rule that tombstones outlive the data they shadowed
+    * (they may still shadow cells in SSTables outside this run, so a
+    * merge that dropped them would resurrect data downstream —
+    * gc_grace is an explicit, separate decision). Both modes are ONE
+    * single-pass plan: live rows rank within their cell group ordered
+    * unshadowed-first, so no filter-then-rank second pass exists to
+    * re-run. */
+  def lwwMerge(cells: DataFrame, keepMarkers: Boolean = false): DataFrame = {
     val byPk = cells.repartition(col("partition_key"))
     val pkW = Window.partitionBy("partition_key")
     val rowW = Window.partitionBy("partition_key", "clustering")
     val noDel = lit(Long.MinValue)
-    val lwwW = Window.partitionBy("partition_key", "clustering", "name")
-      .orderBy(col("writetime_us").desc, col("value").desc)
     val nvW = Window.partitionBy("partition_key", "clustering", "name")
-    byPk
+    val lwwW = Window.partitionBy("partition_key", "clustering", "name")
+      .orderBy(col("ok").desc, col("writetime_us").desc, col("value").desc)
+    val scored = byPk
       .withColumn("part_del",
         max(when(col("row_kind") === "PARTITION_DELETION",
           col("deletion_us"))).over(pkW))
       .withColumn("row_del",
         max(when(col("row_kind") === "ROW_DELETION",
           col("deletion_us"))).over(rowW))
-      .filter(col("row_kind") === "ROW" &&
+      // PK_LIVENESS rows (primary-key-only inserts from the dump
+      // bridge) reconcile exactly like cells: they carry a writetime
+      // and can be shadowed or win
+      .withColumn("live", col("row_kind").isin("ROW", "PK_LIVENESS"))
+      .withColumn("ok", col("live") &&
         col("writetime_us") > coalesce(col("part_del"), noDel) &&
         col("writetime_us") > coalesce(col("row_del"), noDel))
       .withColumn("rk", row_number().over(lwwW))
-      .withColumn("n_versions", count(lit(1)).over(nvW))
-      .filter(col("rk") === 1)
-      .select(col("partition_key"), col("clustering"), col("name"),
-        col("value"), col("writetime_us"),
-        col("n_versions").cast("long").as("n_versions"))
+      .withColumn("n_versions",
+        sum(when(col("ok"), 1L).otherwise(0L)).over(nvW))
+    val winner = col("ok") && col("rk") === 1
+    if (keepMarkers)
+      scored.filter(winner || !col("live"))
+        .select(col("partition_key"), col("clustering"), col("row_kind"),
+          col("name"), col("value"), col("writetime_us"),
+          col("deletion_us"),
+          when(col("live"), col("n_versions").cast("long"))
+            .as("n_versions"))
+    else
+      scored.filter(winner)
+        .select(col("partition_key"), col("clustering"), col("name"),
+          col("value"), col("writetime_us"),
+          col("n_versions").cast("long").as("n_versions"))
   }
 
   /** Epoch base for the LWW fixture (2021-01-01T00:00:00Z, micros). */

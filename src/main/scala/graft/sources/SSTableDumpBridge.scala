@@ -369,6 +369,47 @@ object SSTableDumpBridge {
   def removeTtl(spark: SparkSession, cellParquetDir: String): DataFrame =
     stripTtl(spark.read.parquet(cellParquetDir))
 
+  /** Multi-generation merged view of a whole dump tree: the bridge
+    * rows of EVERY dump (SSTable generation) reconcile through
+    * [[graft.ops.TtlOps.lwwMerge]] — highest-writetime-wins per cell,
+    * row/partition tombstones shadowing at-or-before their timestamp,
+    * markers preserved verbatim (they may shadow SSTables outside
+    * this run). This is the step the reference cannot perform: it
+    * rewrites each SSTable in isolation
+    * (`Cassandra3TTLRemover.java:86-103` loops files independently)
+    * and leaves reconciliation to the Cassandra server; here a
+    * directory of generations collapses to the table's effective
+    * state in one shuffle. TTL metadata does not survive (value +
+    * writetime only) — the merge IS the strip. */
+  def mergeTree(spark: SparkSession, root: String): DataFrame =
+    graft.ops.TtlOps.lwwMerge(
+      readTree(spark, root).select(
+        col("partition_key"), col("clustering"), col("row_kind"),
+        col("name"), col("cell.value").as("value"),
+        col("cell.writetime_us").as("writetime_us"), col("deletion_us")),
+      keepMarkers = true)
+
+  /** [[mergeTree]] → sorted `out/<ks>/<table>/` layout — the CLI's
+    * `--merge lww` execution path; same write-side `observe` count
+    * discipline as [[removeTtlToDir]]. */
+  def mergeTtlToDir(spark: SparkSession, dumpPath: String, outDir: String,
+      keyspace: String, table: String,
+      saveMode: String = "errorifexists"): Long = {
+    val written = org.apache.spark.sql.Observation()
+    // no repartition here: lwwMerge's output is already
+    // hash-partitioned on partition_key (its one exchange), so the
+    // sorted-sink shape only needs the within-partition sort
+    mergeTree(spark, dumpPath)
+      .sortWithinPartitions(col("partition_key"), col("clustering"),
+        col("name"))
+      .withColumn("keyspace", lit(keyspace))
+      .withColumn("table_name", lit(table))
+      .observe(written, count(lit(1)).as("rows"))
+      .write.partitionBy("keyspace", "table_name")
+      .mode(saveMode).parquet(outDir)
+    written.get("rows").asInstanceOf[Long]
+  }
+
   /** Whole lifecycle from raw sstabledump JSON: read → strip →
     * sorted, `out/<ks>/<table>/`-laid-out parquet write. Returns the
     * written row count (write-side `observe`, same no-read-back

@@ -321,4 +321,68 @@ class SSTableBridgeSpec extends SparkSpec {
       "--in", in, "--out", out, "--table", "tbl",
       "--format", "avro")).isLeft)
   }
+
+  /** Two SSTable generations of the same table: gen-2 re-writes
+    * alice's score (LWW winner), row-deletes carol, and
+    * partition-deletes dave. */
+  private def writeTwoGenerations(): String = {
+    def live(ts: String, cells: String) =
+      s""""liveness_info":{"tstamp":"$ts"},"cells":[$cells]"""
+    def del(ts: String) =
+      s""""deletion_info":{"marked_deleted":"$ts","local_delete_time":"$ts"}"""
+    def part(key: String, rowBody: String, pdel: String = "") =
+      s"""{"partition":{"key":["$key"],"position":0$pdel},
+         |"rows":[$rowBody]}""".stripMargin
+    def row(body: String) =
+      s"""{"type":"row","position":1,"clustering":["c"],$body}"""
+    val t1 = "2021-01-01T00:00:00Z"
+    val t2 = "2021-06-01T00:00:00Z"
+    val gen1 = Seq(
+      part("alice", row(live(t1,
+        """{"name":"score","value":"42"},{"name":"note","value":"hi"}"""))),
+      part("carol", row(live(t1, """{"name":"v","value":"1"}"""))),
+      part("dave", row(live(t1, """{"name":"v","value":"9"}"""))))
+      .mkString("[", ",", "]")
+    val gen2 = Seq(
+      part("alice", row(live(t2, """{"name":"score","value":"43"}"""))),
+      part("carol", row(del(t2))),
+      part("dave", "", "," + del(t2)))
+      .mkString("[", ",", "]")
+    val dir = graft.Scratch.dir("graft-sstable-gen-")
+    Files.writeString(dir.resolve("mc-1-big-Data.json"), gen1)
+    Files.writeString(dir.resolve("mc-2-big-Data.json"), gen2)
+    dir.toString
+  }
+
+  test("RemoverCli --merge lww collapses generations to the effective state") {
+    val in = writeTwoGenerations()
+    val out = graft.Scratch.dir("graft-sstable-mrg-").toString + "/o"
+    val args = RemoverCli.parse(Array(
+      "--in", in, "--out", out, "--table", "t",
+      "--format", "sstabledump", "--merge", "lww"))
+      .fold(e => fail(s"parse failed: $e"), identity)
+    RemoverCli.run(spark, args)
+    val back = spark.read.parquet(out).localCheckpoint()
+    def cells(pk: String) = back
+      .filter(col("partition_key") === pk && col("row_kind") === "ROW")
+      .collect().map(r => r.getAs[String]("name") ->
+        (r.getAs[String]("value"), r.getAs[Long]("n_versions"))).toMap
+    // alice: gen-2 score wins over gen-1 (2 versions), note untouched
+    assert(cells("alice") ===
+      Map("score" -> ("43", 2L), "note" -> ("hi", 1L)))
+    // carol: the row tombstone shadows the gen-1 cell AND survives
+    assert(cells("carol").isEmpty, "shadowed carol cell resurrected")
+    assert(back.filter(col("partition_key") === "carol" &&
+      col("row_kind") === "ROW_DELETION").count() === 1)
+    // dave: partition tombstone shadows everything and is preserved
+    assert(cells("dave").isEmpty, "shadowed dave cell resurrected")
+    assert(back.filter(col("partition_key") === "dave" &&
+      col("row_kind") === "PARTITION_DELETION").count() === 1)
+    // --merge outside the dump format is a parse error
+    assert(RemoverCli.parse(Array(
+      "--in", in, "--out", out, "--table", "t", "--merge", "lww")).isLeft)
+    assert(RemoverCli.parse(Array(
+      "--in", in, "--out", out, "--table", "t",
+      "--format", "sstabledump", "--merge", "zzz")).isLeft)
+  }
 }
