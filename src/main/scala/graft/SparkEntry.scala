@@ -33,6 +33,7 @@ object SparkEntry {
     "s9_partitioned_layout" -> (TtlOps.partitionedLayout _),
     "p1_deletion_preserve" -> (TtlOps.deletionPreserve _),
     "p_lww_merge" -> (TtlOps.lwwMergeAudit _),
+    "p_lww_asof" -> (TtlOps.lwwAsOfAudit _),
     // --- scans + engine aggregates (SURVEY §2.1, §2.4) ---
     "q6_filter_pushdown" -> (ScanAggOps.q6FilterPushdown _),
     "q19_disjunct" -> (AnalyticsOps.q19Disjunct _),
@@ -1026,6 +1027,47 @@ object SparkEntry {
         | SELECT CAST(doc_id AS VARCHAR) AS pk,
         |  1609459200000000 + (doc_id + 1000) * 1000000 AS del
         | FROM docs WHERE doc_id % 10 = 9),
+        |live AS (
+        | SELECT c.* FROM cells c
+        | LEFT JOIN rdel r ON c.pk = r.pk AND c.cl = r.cl
+        | LEFT JOIN pdel p ON c.pk = p.pk
+        | WHERE (r.del IS NULL OR c.wt > r.del)
+        |   AND (p.del IS NULL OR c.wt > p.del)),
+        |v AS (
+        | SELECT *, row_number() OVER (PARTITION BY pk, cl, name
+        |   ORDER BY wt DESC, value DESC) AS rk,
+        |  count(*) OVER (PARTITION BY pk, cl, name) AS nv
+        | FROM live)
+        |SELECT pk AS partition_key, cl AS clustering, name, value,
+        | wt AS writetime_us, CAST(nv AS BIGINT) AS n_versions
+        |FROM v WHERE rk = 1""".stripMargin,
+    // point-in-time read: identical replay with every generation and
+    // tombstone filtered to events at or before the base+1030s cut —
+    // the WHERE clauses mirror lwwAsOf's writetime/deletion pre-filter
+    "p_lww_asof" ->
+      """WITH docs AS (SELECT doc_id, source, n_chars FROM documents),
+        |cells AS (
+        | SELECT CAST(doc_id AS VARCHAR) AS pk, 'c' AS cl, 'len' AS name,
+        |  CAST(n_chars AS VARCHAR) AS value,
+        |  1609459200000000 + (doc_id + 0) * 1000000 AS wt FROM docs
+        |  WHERE doc_id + 0 <= 1030
+        | UNION ALL
+        | SELECT CAST(doc_id AS VARCHAR), 'c', 'src', source,
+        |  1609459200000000 + (doc_id + 10) * 1000000 FROM docs
+        |  WHERE doc_id + 10 <= 1030
+        | UNION ALL
+        | SELECT CAST(doc_id AS VARCHAR), 'c', 'len',
+        |  CAST(n_chars + 1 AS VARCHAR),
+        |  1609459200000000 + (doc_id + 100) * 1000000
+        | FROM docs WHERE doc_id % 3 = 0 AND doc_id + 100 <= 1030),
+        |rdel AS (
+        | SELECT CAST(doc_id AS VARCHAR) AS pk, 'c' AS cl,
+        |  1609459200000000 + (doc_id + 50) * 1000000 AS del
+        | FROM docs WHERE doc_id % 7 = 3 AND doc_id + 50 <= 1030),
+        |pdel AS (
+        | SELECT CAST(doc_id AS VARCHAR) AS pk,
+        |  1609459200000000 + (doc_id + 1000) * 1000000 AS del
+        | FROM docs WHERE doc_id % 10 = 9 AND doc_id + 1000 <= 1030),
         |live AS (
         | SELECT c.* FROM cells c
         | LEFT JOIN rdel r ON c.pk = r.pk AND c.cl = r.cl

@@ -398,7 +398,39 @@ object TtlOps {
     * exercising it, and every timestamp is doc_id arithmetic the SQL
     * oracle replays exactly.
     */
-  def lwwMergeAudit(spark: SparkSession, sfDir: String): DataFrame = {
+  def lwwMergeAudit(spark: SparkSession, sfDir: String): DataFrame =
+    lwwMerge(lwwFixture(spark, sfDir))
+
+  /** Point-in-time (as-of) read over the merge family: the table's
+    * effective state as of `asOfUs` — only writes and deletions that
+    * had HAPPENED by T exist, then the same LWW + shadowing rules
+    * apply. A pre-filter, not a new operator: pruning the event set
+    * first is also the efficient shape (at scale the writetime
+    * predicate pushes into the scan and old-generation files skip on
+    * footer min/max — the time-travel read gets cheaper, not dearer,
+    * as T moves back). */
+  def lwwAsOf(cells: DataFrame, asOfUs: Long,
+      keepMarkers: Boolean = false): DataFrame =
+    lwwMerge(cells.filter(
+      when(col("row_kind").isin("ROW", "PK_LIVENESS"),
+        col("writetime_us") <= asOfUs)
+        .otherwise(col("deletion_us") <= asOfUs)), keepMarkers)
+
+  /** As-of cut for the registered audit: base + 1030 s. The fixture's
+    * per-doc event times are base + doc_id + {0,10,50,100,1000}, so
+    * this one global cut slices EVERY stratum somewhere in the corpus:
+    * docs with id ≤ 30 include even their partition tombstone, mid
+    * ids keep re-writes but not yet the tombstone, ids near 1030 have
+    * only generation 1 (the +10 'src' write excluded at the boundary),
+    * and ids above it don't exist yet. */
+  val LwwAsOfCutUs: Long = LwwBaseUs + 1030L * 1000000L
+
+  /** Registered as-of audit: [[lwwAsOf]] at [[LwwAsOfCutUs]] over the
+    * same two-generation fixture as [[lwwMergeAudit]]. */
+  def lwwAsOfAudit(spark: SparkSession, sfDir: String): DataFrame =
+    lwwAsOf(lwwFixture(spark, sfDir), LwwAsOfCutUs)
+
+  private def lwwFixture(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.load(spark, sfDir, "documents")
     val pk = col("doc_id").cast("string")
     val wt = (n: Long) => lit(LwwBaseUs) + (col("doc_id") + n) * 1000000L
@@ -419,9 +451,9 @@ object TtlOps {
         row("ROW_DELETION", nul, nul, nulL, wt(50))),
       when(col("doc_id") % 10 === 9,
         row("PARTITION_DELETION", nul, nul, nulL, wt(1000))))
-    lwwMerge(docs
+    docs
       .select(explode(candidates).as("r"))
       .filter(col("r").isNotNull)
-      .select(col("r.*")))
+      .select(col("r.*"))
   }
 }

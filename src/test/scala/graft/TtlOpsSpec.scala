@@ -152,4 +152,26 @@ class TtlOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("lwwAsOf: tombstones in the future of the cut do not shadow yet") {
+    val asof = TtlOps.lwwAsOfAudit(spark, sfDir)
+      .select(col("partition_key")).distinct()
+      .collect().map(_.getString(0).toLong).toSet
+    val ids = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    val cut = (TtlOps.LwwAsOfCutUs - TtlOps.LwwBaseUs) / 1000000L
+    ids.foreach { id =>
+      val anythingWritten = id <= cut
+      val pdelHappened = id % 10 == 9 && id + 1000 <= cut
+      val rowDelHappened = id % 7 == 3 && id + 50 <= cut
+      val rewriteSurvives = id % 3 == 0 && id + 100 <= cut
+      // visible as of T iff some write happened, the partition
+      // tombstone hasn't, and either no row tombstone happened or the
+      // later gen-2 re-write outlives it
+      val expectVisible = anythingWritten && !pdelHappened &&
+        (!rowDelHappened || rewriteSurvives)
+      assert(asof.contains(id) == expectVisible,
+        s"doc $id: as-of visibility expected $expectVisible")
+    }
+  }
 }
