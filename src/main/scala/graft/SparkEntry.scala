@@ -187,6 +187,8 @@ object SparkEntry {
     "sim_semdedup_t" -> ((s: SparkSession, d: String) =>
       SimilarityOps.semDedupTrained(s, d)),
     "sim_cluster_profile" -> (SimilarityOps.clusterProfile _),
+    "sim_ann_probe_curve" -> ((s: SparkSession, d: String) =>
+      SimilarityOps.annProbeCurve(s, d)),
     "sim_ann_lsh" -> (SimilarityOps.annLsh _),
     "sim_ann_ivf" -> (SimilarityOps.annIvf _),
     "sim_ann_ivf_mp" -> (SimilarityOps.annIvfMp _),
@@ -787,6 +789,42 @@ object SparkEntry {
        |SELECT t.q_vec_id, CAST(coalesce(h.hits, 0) AS BIGINT) AS n_hits,
        | round(CAST(coalesce(h.hits, 0) AS DOUBLE) / t.n_true, 6) AS recall
        |FROM t LEFT JOIN h USING (q_vec_id)""".stripMargin
+
+  /** One point of the nprobe tuning curve: the IVF recall CTE chain
+    * at `p` probes, aggregated over the whole audit query set. */
+  private def probeCurvePointSql(p: Int): String =
+    s"""(WITH ${ivfCtesSql(p)},
+       |q AS (SELECT vec_id AS q_vec_id, e AS qe, nrm AS qnrm
+       | FROM n WHERE vec_id < 8),
+       |bpairs AS (
+       | SELECT q.q_vec_id, c.vec_id AS neighbor_vec_id,
+       |  list_dot_product(q.qe, c.e) / (q.qnrm * c.nrm) AS cos
+       | FROM q JOIN n c ON c.vec_id <> q.q_vec_id),
+       |brute AS (SELECT q_vec_id, neighbor_vec_id FROM (
+       | SELECT *, row_number() OVER (PARTITION BY q_vec_id
+       |   ORDER BY cos DESC, neighbor_vec_id) AS rk FROM bpairs)
+       | WHERE rk <= 3),
+       |apairs AS (
+       | SELECT q.q_vec_id, c.vec_id AS neighbor_vec_id,
+       |  list_dot_product(q.qe, c.e) / (q.qnrm * c.nrm) AS cos
+       | FROM q JOIN qcells qc ON qc.vec_id = q.q_vec_id
+       | JOIN n c ON c.cell = qc.cell AND c.vec_id <> q.q_vec_id),
+       |ann AS (SELECT q_vec_id, neighbor_vec_id FROM (
+       | SELECT *, row_number() OVER (PARTITION BY q_vec_id
+       |   ORDER BY cos DESC, neighbor_vec_id) AS rk FROM apairs)
+       | WHERE rk <= 3),
+       |sel AS (
+       | SELECT CASE WHEN a.q_vec_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+       | FROM brute b LEFT JOIN ann a USING (q_vec_id, neighbor_vec_id))
+       |SELECT $p AS nprobe, CAST(count(*) AS BIGINT) AS n_true,
+       | CAST(sum(hit) AS BIGINT) AS n_hits,
+       | round(CAST(sum(hit) AS DOUBLE) / count(*), 6) AS recall
+       |FROM sel)""".stripMargin
+
+  private lazy val annProbeCurveSql: String =
+    SimilarityOps.ProbeCurve
+      .map(p => s"SELECT * FROM ${probeCurvePointSql(p)}")
+      .mkString("\nUNION ALL\n")
 
   /** Shared recall@3 oracle scaffold: `nCtes` must define a CTE `n`
     * with columns (vec_id, e, nrm, `key`); the brute side ranks over
@@ -2349,6 +2387,9 @@ object SparkEntry {
     "sim_embed_neardup" -> nearDupSql,
     "sim_semdedup" -> semDedupSql,
     "sim_semdedup_t" -> semDedupTrainedSql,
+    // nprobe tuning curve: three aggregated recall points, each
+    // replaying the IVF recall chain at its own probe count
+    "sim_ann_probe_curve" -> annProbeCurveSql,
     // cluster profile: trained-quantizer assignment (k-means CTE chain)
     // + per-row 6-dp coherence/quality, decimal-summed means — every
     // float in the output is either rounded per-row before an exact

@@ -613,6 +613,41 @@ object SimilarityOps {
         cacheKey = Some(s"$sfDir|trained")))
   }
 
+  /** nprobe settings the tuning curve measures. */
+  val ProbeCurve: Seq[Int] = Seq(1, 2, 4)
+
+  /** IVF nprobe tuning curve: aggregate recall@3 at nprobe ∈
+    * [[ProbeCurve]] in one result — the measured cost/recall dial an
+    * IVF deployment sweeps before fixing its serving configuration
+    * (candidate volume grows ~linearly in nprobe; recall approaches
+    * brute force). The brute-force truth side and the normalized
+    * corpus are each materialized ONCE and shared by every curve
+    * point (Catalyst shares no subtrees across the union's branches —
+    * without the checkpoints each point would re-run the brute top-k,
+    * the dominant cost). Recall here is the aggregate over the audit
+    * query set; per-query detail stays with the `sim_ann_recall_*`
+    * family. */
+  def annProbeCurve(spark: SparkSession, sfDir: String,
+      probes: Seq[Int] = ProbeCurve): DataFrame = {
+    val v = withNorm(Tables.load(spark, sfDir, "embeddings"))
+      .localCheckpoint()
+    val brute = cosineTopKOf(v).filter(col("rk") <= 3)
+      .select(col("q_vec_id"), col("neighbor_vec_id"))
+      .localCheckpoint()
+    probes.map { p =>
+      val ann = annIvfOf(v, nprobe = p)
+        .select(col("q_vec_id"), col("neighbor_vec_id"))
+        .withColumn("hit", lit(1L))
+      brute.join(ann, Seq("q_vec_id", "neighbor_vec_id"), "left")
+        .agg(count(lit(1)).as("n_true"),
+          sum(coalesce(col("hit"), lit(0L))).as("hits"))
+        .select(lit(p).as("nprobe"),
+          col("n_true").cast("long").as("n_true"),
+          col("hits").cast("long").as("n_hits"),
+          round(col("hits") / col("n_true"), 6).as("recall"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Per-cluster curation profile over the Lloyd-trained coarse
     * quantizer — the cluster-level triage step (SemDeDup / DCLM style)
     * that decides which embedding clusters to prune, re-weight, or

@@ -379,6 +379,17 @@ class EstimatorSpec extends SparkSpec {
       hits(SimilarityOps.annRecallIvfPq(spark, sfDir)))
   }
 
+  test("nprobe tuning curve: recall is monotone non-decreasing in probes") {
+    val pts = SimilarityOps.annProbeCurve(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> r.getAs[Double]("recall")).sortBy(_._1)
+    assert(pts.map(_._1).toSeq === SimilarityOps.ProbeCurve,
+      "curve points missing")
+    pts.sliding(2).foreach { case Array((p1, r1), (p2, r2)) =>
+      assert(r2 >= r1 - 1e-9,
+        s"recall fell from $r1 (nprobe=$p1) to $r2 (nprobe=$p2)")
+    }
+  }
+
   test("cluster profile: conserves the corpus, coherence and dominance sane") {
     val prof = SimilarityOps.clusterProfile(spark, sfDir).collect()
     val corpus = Tables.load(spark, sfDir, "embeddings").count()
