@@ -34,6 +34,7 @@ object SparkEntry {
     "p1_deletion_preserve" -> (TtlOps.deletionPreserve _),
     "p_lww_merge" -> (TtlOps.lwwMergeAudit _),
     "p_lww_asof" -> (TtlOps.lwwAsOfAudit _),
+    "p_lww_range" -> (TtlOps.lwwRangeAudit _),
     // --- scans + engine aggregates (SURVEY §2.1, §2.4) ---
     "q6_filter_pushdown" -> (ScanAggOps.q6FilterPushdown _),
     "q19_disjunct" -> (AnalyticsOps.q19Disjunct _),
@@ -1078,6 +1079,55 @@ object SparkEntry {
         | FROM live)
         |SELECT pk AS partition_key, cl AS clustering, name, value,
         | wt AS writetime_us, CAST(nv AS BIGINT) AS n_versions
+        |FROM v WHERE rk = 1""".stripMargin,
+    // range-tombstone shadowing: the oracle rebuilds both range
+    // families, applies the inclusive/exclusive bound coverage with
+    // the same writetime <= deletion rule via a pk join + conditional
+    // max, and ranks survivors identically
+    "p_lww_range" ->
+      """WITH docs AS (SELECT doc_id, n_chars FROM documents),
+        |cells AS (
+        | SELECT CAST(doc_id AS VARCHAR) AS pk, 'a' AS cl,
+        |  CAST(n_chars AS VARCHAR) AS value,
+        |  1609459200000000 + (doc_id + 0) * 1000000 AS wt FROM docs
+        | UNION ALL
+        | SELECT CAST(doc_id AS VARCHAR), 'c', CAST(n_chars + 1 AS VARCHAR),
+        |  1609459200000000 + (doc_id + 0) * 1000000 FROM docs
+        | UNION ALL
+        | SELECT CAST(doc_id AS VARCHAR), 'e', CAST(n_chars + 2 AS VARCHAR),
+        |  1609459200000000 + (doc_id + 0) * 1000000 FROM docs
+        | UNION ALL
+        | SELECT CAST(doc_id AS VARCHAR), 'c', CAST(n_chars + 10 AS VARCHAR),
+        |  1609459200000000 + (doc_id + 100) * 1000000
+        | FROM docs WHERE doc_id % 3 = 0),
+        |rng AS (
+        | SELECT CAST(doc_id AS VARCHAR) AS pk, 'b' AS scl, TRUE AS sinc,
+        |  'd' AS ecl, TRUE AS einc,
+        |  1609459200000000 + (doc_id + 60) * 1000000 AS del
+        | FROM docs WHERE doc_id % 2 = 0
+        | UNION ALL
+        | SELECT CAST(doc_id AS VARCHAR), 'd', FALSE, 'e', TRUE,
+        |  1609459200000000 + (doc_id + 40) * 1000000
+        | FROM docs WHERE doc_id % 5 = 1),
+        |shadow AS (
+        | SELECT c.pk, c.cl, c.value, c.wt,
+        |  max(CASE WHEN ((r.sinc AND c.cl >= r.scl)
+        |        OR (NOT r.sinc AND c.cl > r.scl))
+        |    AND ((r.einc AND c.cl <= r.ecl)
+        |        OR (NOT r.einc AND c.cl < r.ecl))
+        |   THEN r.del END) AS rt_del
+        | FROM cells c LEFT JOIN rng r ON c.pk = r.pk
+        | GROUP BY c.pk, c.cl, c.value, c.wt),
+        |live AS (
+        | SELECT pk, cl, value, wt FROM shadow
+        | WHERE rt_del IS NULL OR wt > rt_del),
+        |v AS (
+        | SELECT *, row_number() OVER (PARTITION BY pk, cl
+        |   ORDER BY wt DESC, value DESC) AS rk,
+        |  count(*) OVER (PARTITION BY pk, cl) AS nv
+        | FROM live)
+        |SELECT pk AS partition_key, cl AS clustering, 'v' AS name,
+        | value, wt AS writetime_us, CAST(nv AS BIGINT) AS n_versions
         |FROM v WHERE rk = 1""".stripMargin,
     // point-in-time read: identical replay with every generation and
     // tombstone filtered to events at or before the base+1030s cut —

@@ -316,7 +316,9 @@ object TtlOps {
     *
     * Semantics (the compaction merge rules):
     *   - a cell is shadowed by a ROW_DELETION of its (partition,
-    *     clustering) or a PARTITION_DELETION of its partition when
+    *     clustering), a PARTITION_DELETION of its partition, or a
+    *     RANGE tombstone whose bound pair covers its clustering
+    *     (inclusive/exclusive per bound), when
     *     `writetime_us <= deletion_us` (deletions cover everything at
     *     or before their timestamp; a later re-insert survives);
     *   - among surviving versions of one (partition, clustering, name)
@@ -352,6 +354,33 @@ object TtlOps {
     val nvW = Window.partitionBy("partition_key", "clustering", "name")
     val lwwW = Window.partitionBy("partition_key", "clustering", "name")
       .orderBy(col("ok").desc, col("writetime_us").desc, col("value").desc)
+    // RANGE tombstones ("start:<type>" / "end:<type>" bound rows, the
+    // bridge's encoding) shadow every clustering inside their bound
+    // pair. Bounds reach each row via pk-window collect_lists — no
+    // join, no second scan of the input — sorted by clustering and
+    // paired index-wise: the well-formed non-overlapping contract
+    // Cassandra SSTables guarantee and tombstonePairing pins. An
+    // unbalanced partition (starts ≠ ends) fails LOUDLY rather than
+    // half-applying a range. The per-row bound list is
+    // ranges-per-partition sized — small in practice; a partition
+    // with pathologically many ranges is the same hazard its read
+    // path has.
+    val isRt = col("row_kind") === "RANGE_TOMBSTONE_BOUND"
+    def bounds(side: String) = array_sort(collect_list(
+      when(isRt && substring_index(col("name"), ":", 1) === side,
+        struct(col("clustering").as("cl"),
+          (substring_index(col("name"), ":", -1) === "inclusive")
+            .as("inc"),
+          col("deletion_us").as("del")))).over(pkW))
+    val ranges = zip_with(col("rt_starts"), col("rt_ends"), (s, e) =>
+      struct(s.getField("cl").as("scl"), s.getField("inc").as("sinc"),
+        e.getField("cl").as("ecl"), e.getField("inc").as("einc"),
+        greatest(s.getField("del"), e.getField("del")).as("del")))
+    val covered = (r: Column) =>
+      when(r.getField("sinc"), col("clustering") >= r.getField("scl"))
+        .otherwise(col("clustering") > r.getField("scl")) &&
+        when(r.getField("einc"), col("clustering") <= r.getField("ecl"))
+          .otherwise(col("clustering") < r.getField("ecl"))
     val scored = byPk
       .withColumn("part_del",
         max(when(col("row_kind") === "PARTITION_DELETION",
@@ -359,13 +388,22 @@ object TtlOps {
       .withColumn("row_del",
         max(when(col("row_kind") === "ROW_DELETION",
           col("deletion_us"))).over(rowW))
+      .withColumn("rt_starts", bounds("start"))
+      .withColumn("rt_ends", bounds("end"))
+      .withColumn("rt_del",
+        when(size(col("rt_starts")) =!= size(col("rt_ends")),
+          raise_error(concat(lit("unbalanced range-tombstone bounds in "
+            + "partition "), col("partition_key"))))
+          .otherwise(array_max(transform(filter(ranges, covered),
+            r => r.getField("del")))))
       // PK_LIVENESS rows (primary-key-only inserts from the dump
       // bridge) reconcile exactly like cells: they carry a writetime
       // and can be shadowed or win
       .withColumn("live", col("row_kind").isin("ROW", "PK_LIVENESS"))
       .withColumn("ok", col("live") &&
         col("writetime_us") > coalesce(col("part_del"), noDel) &&
-        col("writetime_us") > coalesce(col("row_del"), noDel))
+        col("writetime_us") > coalesce(col("row_del"), noDel) &&
+        col("writetime_us") > coalesce(col("rt_del"), noDel))
       .withColumn("rk", row_number().over(lwwW))
       .withColumn("n_versions",
         sum(when(col("ok"), 1L).otherwise(0L)).over(nvW))
@@ -429,6 +467,50 @@ object TtlOps {
     * same two-generation fixture as [[lwwMergeAudit]]. */
   def lwwAsOfAudit(spark: SparkSession, sfDir: String): DataFrame =
     lwwAsOf(lwwFixture(spark, sfDir), LwwAsOfCutUs)
+
+  /** Registered range-shadowing audit over a purpose-built
+    * multi-clustering fixture: every document's partition holds 'v'
+    * cells at clusterings a / c / e (values n_chars, +1, +2; all
+    * written at base+id); even ids carry an INCLUSIVE range tombstone
+    * [b, d] at +60 (shadows c, not a/e), ids ≡1 (mod 5) an
+    * EXCLUSIVE-start range (d, e] at +40 (shadows e only), and ids
+    * ≡0 (mod 3) re-write c at +100 (outlives the range). The two
+    * range families are disjoint and ordered, so the sorted
+    * index-wise bound pairing reconstructs exactly them. */
+  def lwwRangeAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val pk = col("doc_id").cast("string")
+    val wt = (n: Long) => lit(LwwBaseUs) + (col("doc_id") + n) * 1000000L
+    def cell(cl: String, value: Column, w: Column) =
+      struct(pk.as("partition_key"), lit(cl).as("clustering"),
+        lit("ROW").as("row_kind"), lit("v").as("name"),
+        value.cast("string").as("value"), w.cast("long").as("writetime_us"),
+        lit(null).cast("long").as("deletion_us"))
+    def rtBound(cl: String, boundName: String, w: Column) =
+      struct(pk.as("partition_key"), lit(cl).as("clustering"),
+        lit("RANGE_TOMBSTONE_BOUND").as("row_kind"),
+        lit(boundName).as("name"), lit(null).cast("string").as("value"),
+        lit(null).cast("long").as("writetime_us"),
+        w.cast("long").as("deletion_us"))
+    val candidates = array(
+      cell("a", col("n_chars"), wt(0)),
+      cell("c", col("n_chars") + 1, wt(0)),
+      cell("e", col("n_chars") + 2, wt(0)),
+      when(col("doc_id") % 3 === 0,
+        cell("c", col("n_chars") + 10, wt(100))),
+      when(col("doc_id") % 2 === 0,
+        rtBound("b", "start:inclusive", wt(60))),
+      when(col("doc_id") % 2 === 0,
+        rtBound("d", "end:inclusive", wt(60))),
+      when(col("doc_id") % 5 === 1,
+        rtBound("d", "start:exclusive", wt(40))),
+      when(col("doc_id") % 5 === 1,
+        rtBound("e", "end:inclusive", wt(40))))
+    lwwMerge(docs
+      .select(explode(candidates).as("r"))
+      .filter(col("r").isNotNull)
+      .select(col("r.*")))
+  }
 
   private def lwwFixture(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.load(spark, sfDir, "documents")

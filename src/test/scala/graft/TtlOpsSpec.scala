@@ -153,6 +153,34 @@ class TtlOpsSpec extends SparkSpec {
     }
   }
 
+  test("lwwMerge range shadowing: bound coverage, exclusivity, re-write survival") {
+    val merged = TtlOps.lwwRangeAudit(spark, sfDir).collect()
+      .map(r => (r.getString(0).toLong, r.getString(1)) ->
+        (r.getString(3), r.getLong(5))).toMap
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    docs.foreach { case (id, n) =>
+      // 'a' sits below both ranges: always visible, one version
+      assert(merged.get(id -> "a").contains((n.toString, 1L)),
+        s"doc $id: clustering a wrong")
+      // 'c' is inside [b,d]: the base write dies on even ids; the
+      // +100 re-write (id%3==0) outlives the +60 range
+      val baseOk = id % 2 != 0
+      val rewrite = id % 3 == 0
+      val cExpect =
+        if (rewrite) Some(((n + 10).toString, (if (baseOk) 2L else 1L)))
+        else if (baseOk) Some(((n + 1).toString, 1L))
+        else None
+      assert(merged.get(id -> "c") == cExpect, s"doc $id: clustering c " +
+        s"got ${merged.get(id -> "c")}, want $cExpect")
+      // 'e' is covered only by the exclusive-start (d, e] range
+      val eExpect = if (id % 5 == 1) None else Some(((n + 2).toString, 1L))
+      assert(merged.get(id -> "e") == eExpect,
+        s"doc $id: clustering e wrong")
+    }
+  }
+
   test("lwwAsOf: tombstones in the future of the cut do not shadow yet") {
     val asof = TtlOps.lwwAsOfAudit(spark, sfDir)
       .select(col("partition_key")).distinct()
