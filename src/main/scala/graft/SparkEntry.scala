@@ -203,6 +203,7 @@ object SparkEntry {
     "sim_ann_recall_ivf" -> (SimilarityOps.annRecallIvf _),
     "sim_ann_recall_ivf_mp" -> (SimilarityOps.annRecallIvfMp _),
     "sim_ann_recall_ivf_t" -> (SimilarityOps.annRecallIvfTrained _),
+    "sim_ann_recall_ivf_t_mp" -> (SimilarityOps.annRecallIvfTrainedMp _),
     // custom logical node + Catalyst rewrite rule (graft.plans):
     // declared similarity join, planned as an LSH-bucketed equi-join
     "sim_lsh_join" -> ((s: SparkSession, dir: String) => {
@@ -2389,6 +2390,8 @@ object SparkEntry {
     "sim_ann_recall_ivf" -> annRecallIvfSql,
     "sim_ann_recall_ivf_mp" -> annRecallIvfSqlP(2),
     "sim_ann_recall_ivf_t" -> annRecallIvfSqlP(1, trained = true),
+    // trained × multi-probe matrix corner: same generator, both levers
+    "sim_ann_recall_ivf_t_mp" -> annRecallIvfSqlP(2, trained = true),
     "sim_lsh_join" -> lshJoinSql,
     "d_ngram_jaccard" ->
       ("""WITH docs AS (

@@ -593,6 +593,16 @@ object SimilarityOps {
     annRecallOf(spark, sfDir, v => annIvfOf(v, cs = cs, l2 = true))
   }
 
+  /** Recall@3 of the trained index at nprobe=2 — the matrix corner
+    * combining both recall levers (training moves cell BOUNDARIES
+    * onto the data, multi-probe forgives assignments near them); the
+    * serving plan is unchanged from either parent variant. */
+  def annRecallIvfTrainedMp(spark: SparkSession, sfDir: String): DataFrame = {
+    val cs = trainedCentroids(spark, sfDir)
+    annRecallOf(spark, sfDir,
+      v => annIvfOf(v, nprobe = 2, cs = cs, l2 = true))
+  }
+
   /** IVF-PQ over the fully trained index: Lloyd-trained coarse
     * centroids AND Lloyd-trained per-subspace codebooks. The serving
     * plan is identical to [[annIvfPq]] — compressed corpus, per-query

@@ -379,6 +379,14 @@ class EstimatorSpec extends SparkSpec {
       hits(SimilarityOps.annRecallIvfPq(spark, sfDir)))
   }
 
+  test("trained multi-probe recall dominates plain trained recall") {
+    def hits(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(sum(col("n_hits"))).head().getLong(0)
+    assert(hits(SimilarityOps.annRecallIvfTrainedMp(spark, sfDir)) >=
+      hits(SimilarityOps.annRecallIvfTrained(spark, sfDir)),
+      "nprobe=2 lost recall on the trained index")
+  }
+
   test("nprobe tuning curve: recall is monotone non-decreasing in probes") {
     val pts = SimilarityOps.annProbeCurve(spark, sfDir).collect()
       .map(r => r.getInt(0) -> r.getAs[Double]("recall")).sortBy(_._1)
