@@ -232,6 +232,7 @@ object SparkEntry {
     "st_dedup_wm" -> (StreamingOps.dedupKeysWithinWatermark _),
     "st_static_join" -> (StreamingOps.staticJoin _),
     "st_stream_join" -> (StreamingOps.streamStreamJoin _),
+    "st_stream_join_left" -> (StreamingOps.streamStreamJoinLeft _),
     "st_jsonl_ingest" -> (StreamingOps.jsonlIngest _),
     "st_corpus_gate" -> (StreamingOps.corpusGate _)
   )
@@ -2594,6 +2595,35 @@ object SparkEntry {
         | FROM events GROUP BY 1)
         |SELECT e.event_id, e.user_id, c.user_event_count
         |FROM events e JOIN c USING (user_id)""".stripMargin,
+    // LEFT OUTER stream-stream join: inner matches emit immediately;
+    // a null-extended click emits only when the global watermark
+    // (min over both streams of ms-floored max event time − 1 h, the
+    // same ms-floor rule st_window_append pins) strictly passes the
+    // click's whole match window — trailing unmatched clicks stay in
+    // state and are NOT emitted, which this oracle states as the
+    // `cus + 30 min < watermark` clause
+    "st_stream_join_left" ->
+      """WITH e AS (SELECT * FROM events),
+        |c AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS cus
+        | FROM e WHERE event_type = 'click'),
+        |p AS (SELECT event_id AS purchase_id, user_id AS p_user,
+        |  epoch_us(ts) AS pus FROM e WHERE event_type = 'purchase'),
+        |m AS (
+        | SELECT c.click_id, c.user_id, c.cus AS click_us, p.purchase_id
+        | FROM c JOIN p ON c.user_id = p.p_user
+        |  AND pus >= cus AND pus <= cus + 1800000000),
+        |wm AS (SELECT least(
+        |  (SELECT (max(epoch_us(ts)) // 1000) * 1000 - 3600000000
+        |   FROM e WHERE event_type = 'click'),
+        |  (SELECT (max(epoch_us(ts)) // 1000) * 1000 - 3600000000
+        |   FROM e WHERE event_type = 'purchase')) AS w),
+        |unm AS (
+        | SELECT c.click_id, c.user_id, c.cus AS click_us,
+        |  CAST(NULL AS BIGINT) AS purchase_id
+        | FROM c
+        | WHERE c.click_id NOT IN (SELECT click_id FROM m)
+        |  AND c.cus + 1800000000 < (SELECT w FROM wm))
+        |SELECT * FROM m UNION ALL SELECT * FROM unm""".stripMargin,
     // stream-stream join: one AvailableNow micro-batch holds the whole
     // fixture, so the emitted inner-join matches are exactly the batch
     // join; micros comparisons mirror Spark's `ts div 1000` truncation

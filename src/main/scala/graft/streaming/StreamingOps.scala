@@ -320,6 +320,51 @@ object StreamingOps {
           col("purchase_value"))
     }, sfDir, OutputMode.Append())
 
+  /** LEFT OUTER stream-stream join — the attribution report that also
+    * shows the clicks that converted to NOTHING: same two watermarked
+    * streams and time-range predicate as [[streamStreamJoin]], outer
+    * on the click side. A null-extended row for an unmatched click
+    * can only be emitted once the engine PROVES no purchase can ever
+    * match it — i.e. when the watermark passes click_time + 30 min
+    * and the join state for that click evicts; inner results stream
+    * out immediately, outer nulls trail the watermark by design.
+    * Under AvailableNow the final no-data micro-batch advances the
+    * watermark to (ms-floored max event time − 1 h), so the emitted
+    * set is exactly: all inner matches, plus null-extended clicks
+    * whose match window closed below that end-of-stream watermark —
+    * trailing unmatched clicks stay in (checkpointed) state, awaiting
+    * a later incremental run. Deterministic, and the oracle states
+    * that rule in SQL.
+    */
+  def streamStreamJoinLeft(spark: SparkSession, sfDir: String): DataFrame =
+    runToMemory(spark, src => {
+      val s2 = src.sparkSession
+      val schema = s2.read.parquet(s"$sfDir/events.parquet").schema
+      val src2 = Tables.normalizeTs(s2.readStream.schema(schema)
+        .parquet(s"$sfDir/events.parquet*"))
+      def withEts(d: DataFrame) =
+        d.withColumn("ets", timestamp_micros(expr("ts div 1000")))
+      val clicks = withEts(src)
+        .filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ets").as("click_ets"))
+        .withWatermark("click_ets", "1 hour")
+      val purchases = withEts(src2)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"),
+          col("user_id").as("p_user_id"),
+          col("ets").as("purchase_ets"))
+        .withWatermark("purchase_ets", "1 hour")
+      clicks.join(purchases,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ets") >= col("click_ets") &&
+          col("purchase_ets") <= col("click_ets") + expr("INTERVAL 30 MINUTES"),
+        "left_outer")
+        .select(col("click_id"), col("user_id"),
+          unix_micros(col("click_ets")).as("click_us"),
+          col("purchase_id"))
+    }, sfDir, OutputMode.Append())
+
   /** Streaming JSONL ingestion with corrupt-line accounting — the
     * continuous form of [[graft.sources.JsonlCorpus.corruptAccounting]]:
     * a corpus drop-directory is tailed as a file stream (declared

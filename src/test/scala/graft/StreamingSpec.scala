@@ -236,6 +236,44 @@ class StreamingSpec extends SparkSpec {
     assertSameRows(streamed, batch)
   }
 
+  test("left-outer stream join: nulls trail the watermark, trailing clicks held") {
+    import org.apache.spark.sql.functions._
+    val streamed = StreamingOps.streamStreamJoinLeft(spark, sfDir)
+      .localCheckpoint()
+    val e = Tables.load(spark, sfDir, "events")
+      .withColumn("us", expr("ts div 1000"))
+    def maxUs(tpe: String) = e.filter(col("event_type") === tpe)
+      .agg(max(col("us"))).head().getLong(0)
+    // global watermark: min over both streams of ms-floored max − 1 h
+    val wm = math.min(maxUs("click") / 1000 * 1000,
+      maxUs("purchase") / 1000 * 1000) - 3600000000L
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("us").as("click_us"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user_id"), col("us").as("pus"))
+    val m = clicks.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("pus") >= col("click_us") &&
+        col("pus") <= col("click_us") + 1800000000L)
+      .select(col("click_id"), col("user_id"), col("click_us"),
+        col("purchase_id"))
+    val unm = clicks
+      .join(m.select(col("click_id")), Seq("click_id"), "left_anti")
+      .filter(col("click_us") + 1800000000L < wm)
+      .select(col("click_id"), col("user_id"), col("click_us"),
+        lit(null).cast("long").as("purchase_id"))
+    assertSameRows(streamed, m.unionByName(unm))
+    // the rule actually bites: some unmatched click must be trailing
+    // (held in state, not emitted)
+    val unmatchedAll = clicks
+      .join(m.select(col("click_id")), Seq("click_id"), "left_anti").count()
+    val emittedNulls = streamed.filter(col("purchase_id").isNull).count()
+    assert(unmatchedAll > emittedNulls,
+      "no trailing click held in state — the watermark clause is untested")
+  }
+
   test("S11: maxFilesPerTrigger paces ingestion into bounded micro-batches") {
     // the reference's RateLimiter throttles the data-file reader
     // (NoTTLReader.java:1791-1794) so a rewrite can't saturate a live
