@@ -35,6 +35,7 @@ object SparkEntry {
     "p_lww_merge" -> (TtlOps.lwwMergeAudit _),
     "p_lww_asof" -> (TtlOps.lwwAsOfAudit _),
     "p_lww_range" -> (TtlOps.lwwRangeAudit _),
+    "p_lww_skew" -> (TtlOps.lwwSkewAudit _),
     // --- scans + engine aggregates (SURVEY §2.1, §2.4) ---
     "q6_filter_pushdown" -> (ScanAggOps.q6FilterPushdown _),
     "q19_disjunct" -> (AnalyticsOps.q19Disjunct _),
@@ -548,6 +549,46 @@ object SparkEntry {
        |FROM n LEFT JOIN bp ON n.vec_id = bp.vec_id""".stripMargin
   }
 
+  /** LWW-merge oracle, shared VERBATIM by the window-based
+    * (`p_lww_merge`) and skew-safe aggregation-based (`p_lww_skew`)
+    * physical strategies — one semantic definition, two plans. */
+  private lazy val lwwMergeOracle: String =
+    """WITH docs AS (SELECT doc_id, source, n_chars FROM documents),
+      |cells AS (
+      | SELECT CAST(doc_id AS VARCHAR) AS pk, 'c' AS cl, 'len' AS name,
+      |  CAST(n_chars AS VARCHAR) AS value,
+      |  1609459200000000 + (doc_id + 0) * 1000000 AS wt FROM docs
+      | UNION ALL
+      | SELECT CAST(doc_id AS VARCHAR), 'c', 'src', source,
+      |  1609459200000000 + (doc_id + 10) * 1000000 FROM docs
+      | UNION ALL
+      | SELECT CAST(doc_id AS VARCHAR), 'c', 'len',
+      |  CAST(n_chars + 1 AS VARCHAR),
+      |  1609459200000000 + (doc_id + 100) * 1000000
+      | FROM docs WHERE doc_id % 3 = 0),
+      |rdel AS (
+      | SELECT CAST(doc_id AS VARCHAR) AS pk, 'c' AS cl,
+      |  1609459200000000 + (doc_id + 50) * 1000000 AS del
+      | FROM docs WHERE doc_id % 7 = 3),
+      |pdel AS (
+      | SELECT CAST(doc_id AS VARCHAR) AS pk,
+      |  1609459200000000 + (doc_id + 1000) * 1000000 AS del
+      | FROM docs WHERE doc_id % 10 = 9),
+      |live AS (
+      | SELECT c.* FROM cells c
+      | LEFT JOIN rdel r ON c.pk = r.pk AND c.cl = r.cl
+      | LEFT JOIN pdel p ON c.pk = p.pk
+      | WHERE (r.del IS NULL OR c.wt > r.del)
+      |   AND (p.del IS NULL OR c.wt > p.del)),
+      |v AS (
+      | SELECT *, row_number() OVER (PARTITION BY pk, cl, name
+      |   ORDER BY wt DESC, value DESC) AS rk,
+      |  count(*) OVER (PARTITION BY pk, cl, name) AS nv
+      | FROM live)
+      |SELECT pk AS partition_key, cl AS clustering, name, value,
+      | wt AS writetime_us, CAST(nv AS BIGINT) AS n_versions
+      |FROM v WHERE rk = 1""".stripMargin
+
   /** Cluster-profile oracle: the trained-quantizer assignment CTEs
     * (k-means chain, same DESC/DESC tie-break), member→centroid
     * cosine rounded per row, then the same partial-aggregate →
@@ -1046,42 +1087,10 @@ object SparkEntry {
     // the same shadowing rule (writetime <= deletion vanishes), and
     // ranks survivors by (writetime, value) — the Cassandra read-path
     // reconciliation replayed in SQL
-    "p_lww_merge" ->
-      """WITH docs AS (SELECT doc_id, source, n_chars FROM documents),
-        |cells AS (
-        | SELECT CAST(doc_id AS VARCHAR) AS pk, 'c' AS cl, 'len' AS name,
-        |  CAST(n_chars AS VARCHAR) AS value,
-        |  1609459200000000 + (doc_id + 0) * 1000000 AS wt FROM docs
-        | UNION ALL
-        | SELECT CAST(doc_id AS VARCHAR), 'c', 'src', source,
-        |  1609459200000000 + (doc_id + 10) * 1000000 FROM docs
-        | UNION ALL
-        | SELECT CAST(doc_id AS VARCHAR), 'c', 'len',
-        |  CAST(n_chars + 1 AS VARCHAR),
-        |  1609459200000000 + (doc_id + 100) * 1000000
-        | FROM docs WHERE doc_id % 3 = 0),
-        |rdel AS (
-        | SELECT CAST(doc_id AS VARCHAR) AS pk, 'c' AS cl,
-        |  1609459200000000 + (doc_id + 50) * 1000000 AS del
-        | FROM docs WHERE doc_id % 7 = 3),
-        |pdel AS (
-        | SELECT CAST(doc_id AS VARCHAR) AS pk,
-        |  1609459200000000 + (doc_id + 1000) * 1000000 AS del
-        | FROM docs WHERE doc_id % 10 = 9),
-        |live AS (
-        | SELECT c.* FROM cells c
-        | LEFT JOIN rdel r ON c.pk = r.pk AND c.cl = r.cl
-        | LEFT JOIN pdel p ON c.pk = p.pk
-        | WHERE (r.del IS NULL OR c.wt > r.del)
-        |   AND (p.del IS NULL OR c.wt > p.del)),
-        |v AS (
-        | SELECT *, row_number() OVER (PARTITION BY pk, cl, name
-        |   ORDER BY wt DESC, value DESC) AS rk,
-        |  count(*) OVER (PARTITION BY pk, cl, name) AS nv
-        | FROM live)
-        |SELECT pk AS partition_key, cl AS clustering, name, value,
-        | wt AS writetime_us, CAST(nv AS BIGINT) AS n_versions
-        |FROM v WHERE rk = 1""".stripMargin,
+    "p_lww_merge" -> lwwMergeOracle,
+    // the skew-safe physical strategy must produce the identical
+    // frame: same fixture, same oracle, verbatim
+    "p_lww_skew" -> lwwMergeOracle,
     // range-tombstone shadowing: the oracle rebuilds both range
     // families, applies the inclusive/exclusive bound coverage with
     // the same writetime <= deletion rule via a pk join + conditional

@@ -365,22 +365,9 @@ object TtlOps {
     // ranges-per-partition sized — small in practice; a partition
     // with pathologically many ranges is the same hazard its read
     // path has.
-    val isRt = col("row_kind") === "RANGE_TOMBSTONE_BOUND"
     def bounds(side: String) = array_sort(collect_list(
-      when(isRt && substring_index(col("name"), ":", 1) === side,
-        struct(col("clustering").as("cl"),
-          (substring_index(col("name"), ":", -1) === "inclusive")
-            .as("inc"),
-          col("deletion_us").as("del")))).over(pkW))
-    val ranges = zip_with(col("rt_starts"), col("rt_ends"), (s, e) =>
-      struct(s.getField("cl").as("scl"), s.getField("inc").as("sinc"),
-        e.getField("cl").as("ecl"), e.getField("inc").as("einc"),
-        greatest(s.getField("del"), e.getField("del")).as("del")))
-    val covered = (r: Column) =>
-      when(r.getField("sinc"), col("clustering") >= r.getField("scl"))
-        .otherwise(col("clustering") > r.getField("scl")) &&
-        when(r.getField("einc"), col("clustering") <= r.getField("ecl"))
-          .otherwise(col("clustering") < r.getField("ecl"))
+      when(isRtBound && substring_index(col("name"), ":", 1) === side,
+        rtBoundStruct)).over(pkW))
     val scored = byPk
       .withColumn("part_del",
         max(when(col("row_kind") === "PARTITION_DELETION",
@@ -390,12 +377,7 @@ object TtlOps {
           col("deletion_us"))).over(rowW))
       .withColumn("rt_starts", bounds("start"))
       .withColumn("rt_ends", bounds("end"))
-      .withColumn("rt_del",
-        when(size(col("rt_starts")) =!= size(col("rt_ends")),
-          raise_error(concat(lit("unbalanced range-tombstone bounds in "
-            + "partition "), col("partition_key"))))
-          .otherwise(array_max(transform(filter(ranges, covered),
-            r => r.getField("del")))))
+      .withColumn("rt_del", rtDelExpr)
       // PK_LIVENESS rows (primary-key-only inserts from the dump
       // bridge) reconcile exactly like cells: they carry a writetime
       // and can be shadowed or win
@@ -421,6 +403,96 @@ object TtlOps {
           col("value"), col("writetime_us"),
           col("n_versions").cast("long").as("n_versions"))
   }
+
+  // --- shared range-tombstone machinery (lwwMerge + skew-safe form) ---
+  private def isRtBound = col("row_kind") === "RANGE_TOMBSTONE_BOUND"
+
+  private def rtBoundStruct =
+    struct(col("clustering").as("cl"),
+      (substring_index(col("name"), ":", -1) === "inclusive").as("inc"),
+      col("deletion_us").as("del"))
+
+  /** Sorted start/end bound lists paired index-wise — the well-formed
+    * non-overlapping contract Cassandra SSTables guarantee and
+    * tombstonePairing pins; a range's deletion time is the max of its
+    * bounds'. Expects `rt_starts` / `rt_ends` columns. */
+  private def rtRanges: Column =
+    zip_with(col("rt_starts"), col("rt_ends"), (s, e) =>
+      struct(s.getField("cl").as("scl"), s.getField("inc").as("sinc"),
+        e.getField("cl").as("ecl"), e.getField("inc").as("einc"),
+        greatest(s.getField("del"), e.getField("del")).as("del")))
+
+  private def rtCovered(r: Column): Column =
+    when(r.getField("sinc"), col("clustering") >= r.getField("scl"))
+      .otherwise(col("clustering") > r.getField("scl")) &&
+      when(r.getField("einc"), col("clustering") <= r.getField("ecl"))
+        .otherwise(col("clustering") < r.getField("ecl"))
+
+  /** Max deletion time of any range covering this row's clustering;
+    * an unbalanced bound set (starts ≠ ends) fails LOUDLY rather than
+    * half-applying a range. */
+  private def rtDelExpr: Column =
+    when(size(col("rt_starts")) =!= size(col("rt_ends")),
+      raise_error(concat(lit("unbalanced range-tombstone bounds in "
+        + "partition "), col("partition_key"))))
+      .otherwise(array_max(transform(filter(rtRanges, rtCovered(_)),
+        r => r.getField("del"))))
+
+  /** Skew-safe form of [[lwwMerge]] (winners only): the same merge
+    * rules distributed at CELL granularity instead of one coarse pk
+    * exchange. Tombstones reduce to three TINY aggregates (partitions
+    * with a partition tombstone; rows with a row tombstone; per-pk
+    * bound lists) that join back — the partition/range sides
+    * broadcast (they are deleted-partition-count sized), the row side
+    * joins on (pk, clustering) — and the LWW pick is a
+    * `max(struct(writetime, value))` aggregation keyed on the full
+    * (pk, clustering, name), whose skew is bounded by VERSIONS PER
+    * CELL (= generation count), not by partition width. The dial vs
+    * the window form: this one re-reads the input for the three
+    * marker extractions (filter-pushed, marker-kind-only scans) but
+    * no single task ever owns a whole hot partition — choose it when
+    * a partition can outgrow a task, the window form when the input
+    * scan dominates. Identical results by construction; the
+    * registered query shares p_lww_merge's oracle verbatim and
+    * TtlOpsSpec pins frame equality.
+    */
+  def lwwMergeSkewSafe(cells: DataFrame): DataFrame = {
+    val noDel = lit(Long.MinValue)
+    val partDel = cells.filter(col("row_kind") === "PARTITION_DELETION")
+      .groupBy(col("partition_key"))
+      .agg(max(col("deletion_us")).as("part_del"))
+    val rowDel = cells.filter(col("row_kind") === "ROW_DELETION")
+      .groupBy(col("partition_key"), col("clustering"))
+      .agg(max(col("deletion_us")).as("row_del"))
+    def bounds(side: String) = array_sort(collect_list(
+      when(substring_index(col("name"), ":", 1) === side, rtBoundStruct)))
+    val rt = cells.filter(isRtBound)
+      .groupBy(col("partition_key"))
+      .agg(bounds("start").as("rt_starts"), bounds("end").as("rt_ends"))
+    cells.filter(col("row_kind").isin("ROW", "PK_LIVENESS"))
+      .join(partDel.hint("broadcast"), Seq("partition_key"), "left")
+      .join(rowDel, Seq("partition_key", "clustering"), "left")
+      .join(rt.hint("broadcast"), Seq("partition_key"), "left")
+      .withColumn("rt_del",
+        when(col("rt_starts").isNull, lit(null).cast("long"))
+          .otherwise(rtDelExpr))
+      .filter(col("writetime_us") > coalesce(col("part_del"), noDel) &&
+        col("writetime_us") > coalesce(col("row_del"), noDel) &&
+        col("writetime_us") > coalesce(col("rt_del"), noDel))
+      .groupBy(col("partition_key"), col("clustering"), col("name"))
+      .agg(max(struct(col("writetime_us"), col("value"))).as("w"),
+        count(lit(1)).as("n_versions"))
+      .select(col("partition_key"), col("clustering"), col("name"),
+        col("w.value").as("value"),
+        col("w.writetime_us").as("writetime_us"),
+        col("n_versions").cast("long").as("n_versions"))
+  }
+
+  /** Registered skew-safe audit — same fixture, same oracle as
+    * `p_lww_merge`: the two physical strategies must agree row for
+    * row. */
+  def lwwSkewAudit(spark: SparkSession, sfDir: String): DataFrame =
+    lwwMergeSkewSafe(lwwFixture(spark, sfDir))
 
   /** Epoch base for the LWW fixture (2021-01-01T00:00:00Z, micros). */
   val LwwBaseUs: Long = 1609459200L * 1000000L
@@ -477,7 +549,11 @@ object TtlOps {
     * ≡0 (mod 3) re-write c at +100 (outlives the range). The two
     * range families are disjoint and ordered, so the sorted
     * index-wise bound pairing reconstructs exactly them. */
-  def lwwRangeAudit(spark: SparkSession, sfDir: String): DataFrame = {
+  def lwwRangeAudit(spark: SparkSession, sfDir: String): DataFrame =
+    lwwMerge(lwwRangeFixture(spark, sfDir))
+
+  private[graft] def lwwRangeFixture(spark: SparkSession,
+      sfDir: String): DataFrame = {
     val docs = Tables.load(spark, sfDir, "documents")
     val pk = col("doc_id").cast("string")
     val wt = (n: Long) => lit(LwwBaseUs) + (col("doc_id") + n) * 1000000L
@@ -506,10 +582,10 @@ object TtlOps {
         rtBound("d", "start:exclusive", wt(40))),
       when(col("doc_id") % 5 === 1,
         rtBound("e", "end:inclusive", wt(40))))
-    lwwMerge(docs
+    docs
       .select(explode(candidates).as("r"))
       .filter(col("r").isNotNull)
-      .select(col("r.*")))
+      .select(col("r.*"))
   }
 
   private def lwwFixture(spark: SparkSession, sfDir: String): DataFrame = {

@@ -181,6 +181,21 @@ class TtlOpsSpec extends SparkSpec {
     }
   }
 
+  test("skew-safe LWW strategy produces the identical frame on both fixtures") {
+    def same(a: org.apache.spark.sql.DataFrame,
+        b: org.apache.spark.sql.DataFrame): Unit = {
+      assert(a.count() === b.count(), "row counts differ")
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        "row sets differ between merge strategies")
+    }
+    same(TtlOps.lwwMergeAudit(spark, sfDir),
+      TtlOps.lwwSkewAudit(spark, sfDir))
+    // the range path too: bound pairing + coverage via the joined
+    // aggregate must match the window-collected form
+    same(TtlOps.lwwRangeAudit(spark, sfDir),
+      TtlOps.lwwMergeSkewSafe(TtlOps.lwwRangeFixture(spark, sfDir)))
+  }
+
   test("lwwAsOf: tombstones in the future of the cut do not shadow yet") {
     val asof = TtlOps.lwwAsOfAudit(spark, sfDir)
       .select(col("partition_key")).distinct()
