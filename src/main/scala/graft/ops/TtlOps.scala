@@ -332,10 +332,9 @@ object TtlOps {
     * hashpartitioning(pk) already satisfies (Spark's subset rule), so
     * EnsureRequirements inserts sorts, never another shuffle
     * (PlanSpec pins the single exchange). At 100 TB this is the
-    * one-shuffle compaction pass; skewed giant partitions are the
-    * same risk compaction itself has, and sub-splitting a partition
-    * by clustering prefix composes the same way as tokenPack's
-    * spanSize knob.
+    * one-shuffle compaction pass; a partition too hot for one task is
+    * the cue to switch to [[lwwMergeSkewSafe]] — identical semantics
+    * distributed at cell granularity.
     */
   /** With `keepMarkers = true` the output ALSO carries every deletion
     * marker verbatim (row_kind + deletion_us columns appear): the
