@@ -197,7 +197,9 @@ object SparkEntry {
     "sim_ann_ivf_t" -> (SimilarityOps.annIvfTrained _),
     "sim_ann_ivfpq" -> (SimilarityOps.annIvfPq _),
     "sim_ann_ivfpq_t" -> (SimilarityOps.annIvfPqTrained _),
+    "sim_ann_pq_rerank" -> (SimilarityOps.annPqRerank _),
     "sim_ann_recall_pq" -> (SimilarityOps.annRecallIvfPq _),
+    "sim_ann_recall_pq_rr" -> (SimilarityOps.annRecallPqRerank _),
     "sim_ann_recall_pq_mp" -> (SimilarityOps.annRecallIvfPqMp _),
     "sim_ann_recall_pq_t" -> (SimilarityOps.annRecallIvfPqTrained _),
     "sim_ann_recall" -> (SimilarityOps.annRecall _),
@@ -637,7 +639,8 @@ object SparkEntry {
        | a.n_tokens, top.top_source, top.top_source_docs
        |FROM a JOIN top USING (cell)""".stripMargin
 
-  private def annIvfPqSqlP(nprobe: Int, trained: Boolean = false): String = {
+  private def annIvfPqSqlP(nprobe: Int, trained: Boolean = false,
+      topK: Int = 3): String = {
     val cs = SimilarityOps.centroids(64, 16)
     val (m, len) = (4, 16)
     val base = SimilarityOps.PqSampleBase
@@ -762,8 +765,34 @@ object SparkEntry {
        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_vec_id
        |  ORDER BY score DESC, neighbor_vec_id) AS INTEGER) AS rk FROM adc)
        |SELECT q_vec_id, cell, neighbor_vec_id, round(score, 6) AS adc_cos, rk
-       |FROM r WHERE rk <= 3""".stripMargin
+       |FROM r WHERE rk <= $topK""".stripMargin
   }
+
+  /** PQ + exact-re-rank oracle: the full IVF-PQ chain at shortlist
+    * width 8 embedded verbatim, then exact cosines from the raw
+    * vectors for shortlist members only and a fresh top-3 ranking —
+    * the same two-stage refine the Spark plan runs. */
+  private def annPqRerankSqlP(nprobe: Int = 1,
+      trained: Boolean = false): String =
+    s"""WITH short AS (
+       | SELECT q_vec_id, neighbor_vec_id FROM (
+       |${annIvfPqSqlP(nprobe, trained, topK = SimilarityOps.RerankShortlist)}
+       | ) x),
+       |v2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+       |  FROM embeddings),
+       |n2 AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm
+       |  FROM v2),
+       |q2 AS (SELECT vec_id AS q_vec_id, e AS qe, nrm AS qnrm FROM n2
+       |  WHERE vec_id < 8),
+       |ex AS (
+       | SELECT s.q_vec_id, s.neighbor_vec_id,
+       |  list_dot_product(q2.qe, c.e) / (q2.qnrm * c.nrm) AS cos
+       | FROM short s JOIN q2 USING (q_vec_id)
+       | JOIN n2 c ON c.vec_id = s.neighbor_vec_id),
+       |r2 AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_vec_id
+       |  ORDER BY cos DESC, neighbor_vec_id) AS INTEGER) AS rk FROM ex)
+       |SELECT q_vec_id, neighbor_vec_id, round(cos, 6) AS cos_sim, rk
+       |FROM r2 WHERE rk <= 3""".stripMargin
 
   private lazy val annIvfPqSql: String = annIvfPqSqlP(1)
 
@@ -773,9 +802,14 @@ object SparkEntry {
     * are restated. */
   private def annRecallPqSqlP(nprobe: Int,
       trained: Boolean = false): String =
+    annRecallEmbedSql(annIvfPqSqlP(nprobe, trained))
+
+  /** Recall oracle over any embedded ann query (must yield q_vec_id,
+    * neighbor_vec_id): brute side + recall math restated once. */
+  private def annRecallEmbedSql(annSql: String): String =
     s"""WITH pqann AS (
        | SELECT q_vec_id, neighbor_vec_id FROM (
-       |${annIvfPqSqlP(nprobe, trained)}
+       |$annSql
        | ) x),
        |v2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
        |  FROM embeddings),
@@ -2393,7 +2427,9 @@ object SparkEntry {
     "sim_ann_ivf_t" -> annIvfSqlP(1, trained = true),
     "sim_ann_ivfpq" -> annIvfPqSql,
     "sim_ann_ivfpq_t" -> annIvfPqSqlP(1, trained = true),
+    "sim_ann_pq_rerank" -> annPqRerankSqlP(),
     "sim_ann_recall_pq" -> annRecallPqSql,
+    "sim_ann_recall_pq_rr" -> annRecallEmbedSql(annPqRerankSqlP()),
     "sim_ann_recall_pq_mp" -> annRecallPqSqlP(2),
     "sim_ann_recall_pq_t" -> annRecallPqSqlP(1, trained = true),
     "sim_ann_recall" -> annRecallSql,

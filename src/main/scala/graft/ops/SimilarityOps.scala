@@ -482,7 +482,8 @@ object SimilarityOps {
   private def annIvfPqOf(vn: DataFrame,
       books: Array[Array[Array[Double]]], nprobe: Int = 1,
       cs: Array[Array[Double]] = centroids(64, 16),
-      l2: Boolean = false, cacheKey: Option[String] = None): DataFrame = {
+      l2: Boolean = false, cacheKey: Option[String] = None,
+      topK: Int = 3): DataFrame = {
     val len = 64 / books.length
     val v = vn.withColumn("cell", ivfCell(col("e"), cs, l2))
     // compressed corpus index: cell + M codes per vector, plus the
@@ -527,10 +528,75 @@ object SimilarityOps {
       .orderBy(col("score").desc, col("vec_id"))
     pairs
       .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 3)
+      .filter(col("rk") <= topK)
       .select(col("q_vec_id"), col("cell"),
         col("vec_id").as("neighbor_vec_id"),
         round(col("score"), 6).as("adc_cos"), col("rk"))
+  }
+
+  /** ADC shortlist width for the re-rank (refine) stage: the exact
+    * stage re-scores this many candidates per query. FAISS's
+    * IndexRefineFlat uses k·a few; 8 for top-3 keeps the refine cost
+    * at ~2.7× the returned set while recovering most quantization
+    * misorderings. */
+  val RerankShortlist = 8
+
+  /** PQ + exact re-rank — the production two-stage retrieval (FAISS
+    * IndexRefineFlat): stage 1 ranks the cell-pruned candidates by
+    * compressed-domain ADC and keeps a [[RerankShortlist]]-wide
+    * shortlist; stage 2 fetches RAW vectors for shortlist members
+    * only and returns the exact-cosine top-3. Quantization error can
+    * REORDER near-ties but rarely expels a true neighbor from a
+    * modest shortlist, so the refine step recovers most of the PQ
+    * recall gap for a fixed, tiny exact-compute budget
+    * (|Q|·shortlist cosines instead of |Q|·cell-size).
+    *
+    * Scale shape: stage 1 is exactly [[annIvfPq]]'s plan (compressed
+    * index, broadcast ADC tables); the shortlist (|Q|·8 ids) then
+    * BROADCASTS into one raw-corpus scan — candidate fetch is a
+    * broadcast-hash probe, never a shuffle, and the raw corpus is
+    * touched once regardless of query count. Recall dominance over
+    * plain PQ is structural (the exact top-3 of an ADC-top-8 superset
+    * can only contain more of the true top-3 than the ADC top-3 —
+    * only true-top-3 vectors outrank a true-top-3 vector in exact
+    * cosine); EstimatorSpec asserts it per query. */
+  def annPqRerank(spark: SparkSession, sfDir: String): DataFrame =
+    annPqRerankOf(withNorm(Tables.load(spark, sfDir, "embeddings")),
+      pqCodebooks(spark, sfDir), cacheKey = Some(s"$sfDir|init"))
+
+  private def annPqRerankOf(vn: DataFrame,
+      books: Array[Array[Array[Double]]], nprobe: Int = 1,
+      cs: Array[Array[Double]] = centroids(64, 16),
+      l2: Boolean = false, cacheKey: Option[String] = None): DataFrame = {
+    val short = annIvfPqOf(vn, books, nprobe, cs, l2, cacheKey,
+      topK = RerankShortlist)
+      .select(col("q_vec_id"), col("neighbor_vec_id"))
+    val qv = vn.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_vec_id"), col("e").as("qe"),
+        col("nrm").as("qnrm"))
+    val nbr = vn.select(col("vec_id").as("neighbor_vec_id"),
+      col("e").as("ne"), col("nrm").as("nnrm"))
+    val exact = nbr
+      .join(broadcast(short.join(qv, "q_vec_id")), "neighbor_vec_id")
+      .withColumn("cos",
+        dot(col("qe"), col("ne")) / (col("qnrm") * col("nnrm")))
+    val w = Window.partitionBy("q_vec_id")
+      .orderBy(col("cos").desc, col("neighbor_vec_id"))
+    exact
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("q_vec_id"), col("neighbor_vec_id"),
+        round(col("cos"), 6).as("cos_sim"), col("rk"))
+  }
+
+  /** Recall@3 of the PQ + exact-re-rank pipeline, same harness —
+    * measures how much of the quantization recall gap the refine
+    * stage recovers (cell-pruning losses remain: a neighbor outside
+    * the probed cells never reaches the shortlist). */
+  def annRecallPqRerank(spark: SparkSession, sfDir: String): DataFrame = {
+    val books = pqCodebooks(spark, sfDir)
+    annRecallOf(spark, sfDir,
+      v => annPqRerankOf(v, books, cacheKey = Some(s"$sfDir|init")))
   }
 
   /** Recall@3 of the LSH-bucketed ANN against the brute-force

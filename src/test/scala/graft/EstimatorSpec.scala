@@ -340,6 +340,42 @@ class EstimatorSpec extends SparkSpec {
       SimilarityOps.annRecallIvfPqMp(spark, sf01))
   }
 
+  test("PQ exact re-rank: recall dominates plain PQ per query") {
+    // structural guarantee, not a fixture accident: the rerank top-3
+    // is the exact-cosine top-3 of an ADC-top-8 SUPERSET of the ADC
+    // top-3, and only a true-top-3 vector outranks a true-top-3
+    // vector in exact cosine — so per-query hits can never drop
+    // sf0.001's PQ misses sit below the ADC-top-8 shortlist (or in
+    // unprobed cells), so the refine can't reach them there; sf0.01
+    // has within-shortlist ADC misorderings — assert the strict gain
+    // where it exists (same fixture split as the multi-probe test)
+    val sf01 = "/root/testdata/sf0.01"
+    val p1 = SimilarityOps.annRecallIvfPq(spark, sf01)
+    val rr = SimilarityOps.annRecallPqRerank(spark, sf01)
+    val joined = p1.select(col("q_vec_id"), col("n_hits").as("h1"))
+      .join(rr.select(col("q_vec_id"), col("n_hits").as("h2")), "q_vec_id")
+      .localCheckpoint()
+    assert(joined.count() === 8)
+    assert(joined.filter(col("h2") < col("h1")).count() === 0,
+      "re-rank lost recall on some query")
+    val Array(s1, s2) = joined.agg(sum("h1"), sum("h2")).head()
+      .toSeq.map(_.asInstanceOf[Long]).toArray
+    assert(s2 > s1, s"re-rank total hits $s2 not > plain PQ's $s1")
+  }
+
+  test("PQ exact re-rank: every returned neighbor carries its exact cosine") {
+    // the rerank result's cos_sim must agree with the brute-force
+    // pipeline's cosine for the same (query, neighbor) pair — the
+    // refine stage serves EXACT scores, unlike ADC's approximation
+    val rr = SimilarityOps.annPqRerank(spark, sfDir)
+    val brute = SimilarityOps.cosineTopK(spark, sfDir)
+      .select(col("q_vec_id"), col("neighbor_vec_id"),
+        col("cos_sim").as("bcos"))
+    val mism = rr.join(brute, Seq("q_vec_id", "neighbor_vec_id"))
+      .filter(abs(col("cos_sim") - col("bcos")) > 1e-9)
+    assert(mism.count() === 0, "rerank cosine differs from brute cosine")
+  }
+
   test("Lloyd training: k-means objective decreases monotonically per round") {
     val cs0 = SimilarityOps.centroids(64, 16)
     val cs1 = SimilarityOps.trainedCentroids(spark, sfDir, iters = 1)
