@@ -198,6 +198,8 @@ object SparkEntry {
     "sim_ann_ivfpq" -> (SimilarityOps.annIvfPq _),
     "sim_ann_ivfpq_t" -> (SimilarityOps.annIvfPqTrained _),
     "sim_ann_pq_rerank" -> (SimilarityOps.annPqRerank _),
+    "sim_ann_sq8" -> (SimilarityOps.annSq8 _),
+    "sim_ann_recall_sq8" -> (SimilarityOps.annRecallSq8 _),
     "sim_ann_recall_pq" -> (SimilarityOps.annRecallIvfPq _),
     "sim_ann_recall_pq_rr" -> (SimilarityOps.annRecallPqRerank _),
     "sim_ann_recall_pq_mp" -> (SimilarityOps.annRecallIvfPqMp _),
@@ -795,6 +797,56 @@ object SparkEntry {
        |FROM r2 WHERE rk <= 3""".stripMargin
 
   private lazy val annIvfPqSql: String = annIvfPqSqlP(1)
+
+  /** SQ8 oracle: per-dim min/max bounds from the same bounded
+    * training sample (exact — no float summation), then the identical
+    * quantize / reconstruct / compressed-domain-score arithmetic.
+    * Every dot is a list_dot_product over dim-ordered lists — the
+    * same sequential fold as Spark's ArrayDot — and the scalar
+    * expressions are written with the same IEEE op order as the Spark
+    * lambdas, so scores match bit-for-bit. */
+  private lazy val annSq8Sql: String = {
+    val base = SimilarityOps.KmeansTrainBase
+    val hi = base + SimilarityOps.KmeansTrainCap
+    s"""WITH samp AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+       |  FROM embeddings WHERE vec_id >= $base AND vec_id < $hi),
+       |sdim AS (SELECT generate_subscripts(e, 1) AS i, unnest(e) AS x
+       |  FROM samp),
+       |b0 AS (SELECT i, min(x) AS mn, max(x) AS mx FROM sdim GROUP BY i),
+       |bounds AS (SELECT i, mn,
+       |  CASE WHEN mx = mn THEN 1.0 ELSE mx - mn END AS rg FROM b0),
+       |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+       |  FROM embeddings),
+       |cdim AS (SELECT vec_id, generate_subscripts(e, 1) AS i,
+       |  unnest(e) AS x FROM v),
+       |cq AS (SELECT vec_id, c.i,
+       |  least(greatest(floor((x - mn) * 256.0 / rg), 0), 255) AS code,
+       |  mn + (least(greatest(floor((x - mn) * 256.0 / rg), 0), 255)
+       |    + 0.5) * rg / 256.0 AS recon
+       | FROM cdim c JOIN bounds b ON b.i = c.i),
+       |enc AS (SELECT vec_id, list(code ORDER BY i) AS codes,
+       |  list(recon ORDER BY i) AS recon FROM cq GROUP BY vec_id),
+       |n AS (SELECT vec_id, codes,
+       |  sqrt(list_dot_product(recon, recon)) AS rnrm FROM enc),
+       |qdim AS (SELECT vec_id, c.i, x, mn, rg
+       | FROM cdim c JOIN bounds b ON b.i = c.i WHERE vec_id < 8),
+       |q0 AS (SELECT vec_id AS q_vec_id,
+       |  list(x * rg / 256.0 ORDER BY i) AS qscale,
+       |  list(x ORDER BY i) AS qe,
+       |  list(mn + 0.5 * rg / 256.0 ORDER BY i) AS basel
+       | FROM qdim GROUP BY vec_id),
+       |q AS (SELECT q_vec_id, qscale,
+       |  list_dot_product(qe, basel) AS qconst,
+       |  sqrt(list_dot_product(qe, qe)) AS qnrm FROM q0),
+       |p AS (SELECT q.q_vec_id, n.vec_id AS neighbor_vec_id,
+       |  (list_dot_product(q.qscale, n.codes) + q.qconst)
+       |    / (q.qnrm * n.rnrm) AS score
+       | FROM q JOIN n ON n.vec_id <> q.q_vec_id),
+       |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_vec_id
+       |  ORDER BY score DESC, neighbor_vec_id) AS INTEGER) AS rk FROM p)
+       |SELECT q_vec_id, neighbor_vec_id, round(score, 6) AS sq_cos, rk
+       |FROM r WHERE rk <= 3""".stripMargin
+  }
 
   /** PQ recall oracle: the cosine-ranked scaffold does not apply (the
     * PQ ann side ranks by ADC, not cosine), so the ann set embeds the
@@ -2428,6 +2480,8 @@ object SparkEntry {
     "sim_ann_ivfpq" -> annIvfPqSql,
     "sim_ann_ivfpq_t" -> annIvfPqSqlP(1, trained = true),
     "sim_ann_pq_rerank" -> annPqRerankSqlP(),
+    "sim_ann_sq8" -> annSq8Sql,
+    "sim_ann_recall_sq8" -> annRecallEmbedSql(annSq8Sql),
     "sim_ann_recall_pq" -> annRecallPqSql,
     "sim_ann_recall_pq_rr" -> annRecallEmbedSql(annPqRerankSqlP()),
     "sim_ann_recall_pq_mp" -> annRecallPqSqlP(2),

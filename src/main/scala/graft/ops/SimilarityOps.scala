@@ -599,6 +599,95 @@ object SimilarityOps {
       v => annPqRerankOf(v, books, cacheKey = Some(s"$sfDir|init")))
   }
 
+  /** SQ8 quantization levels (one byte per dimension). */
+  val Sq8Levels = 256
+
+  /** Per-dimension SQ8 bounds (min, range) trained on the bounded
+    * [[KmeansTrainBase]]..+[[KmeansTrainCap]] sample — the FAISS
+    * ScalarQuantizer train step. min/max are exact (no float
+    * summation), so the trained bounds are bit-identical to the
+    * oracle's SQL aggregates; a degenerate constant dimension gets
+    * range 1.0 (codes collapse to 0 there, identically in both
+    * engines). One tiny agg job; 128 doubles to the driver. */
+  private def sq8BoundsOf(vn: DataFrame,
+      key: String): (Array[Double], Array[Double]) =
+    trainedCache.getOrElseUpdate(("sq8", key, 0, 0), {
+      val samp = vn.filter(col("vec_id") >= KmeansTrainBase &&
+        col("vec_id") < KmeansTrainBase + KmeansTrainCap)
+      val aggs = (1 to 64).map(i => min(element_at(col("e"), i))) ++
+        (1 to 64).map(i => max(element_at(col("e"), i)))
+      val row = samp.agg(aggs.head, aggs.tail: _*).head()
+      val mins = Array.tabulate(64)(i => row.getDouble(i))
+      val maxs = Array.tabulate(64)(i => row.getDouble(64 + i))
+      val rng = Array.tabulate(64)(i =>
+        if (maxs(i) == mins(i)) 1.0 else maxs(i) - mins(i))
+      (mins, rng): (Array[Double], Array[Double])
+    }).asInstanceOf[(Array[Double], Array[Double])]
+
+  /** SQ8 flat ANN (FAISS IndexScalarQuantizer/SQ8): every dimension
+    * quantizes to one byte against trained per-dim (min, range)
+    * bounds — code = clamp(floor((x−min)·256/range)) — so the stored
+    * index is 64 B/vector instead of 256 B of float32 (4× less scan
+    * IO at 100 TB) with far milder quantization error than PQ's
+    * 4-code compression. Serving is compressed-domain: a query
+    * precomputes qscale (its values scaled by range/256) and qconst
+    * (its dot with the per-dim reconstruction base), and a
+    * candidate's approximate dot is ArrayDot(qscale, codes) + qconst
+    * — the codes array is never decoded. The reconstruction norm is
+    * stored at encode time (as IVF-PQ does) so ranking approximates
+    * COSINE, not raw dot. Flat = every query scans all codes: the
+    * right baseline when recall must be ~exact; compose with IVF
+    * cells when the corpus outgrows a full scan budget. */
+  def annSq8(spark: SparkSession, sfDir: String): DataFrame = {
+    val vn = withNorm(Tables.load(spark, sfDir, "embeddings"))
+    annSq8Of(vn, sq8BoundsOf(vn, sfDir))
+  }
+
+  private def annSq8Of(vn: DataFrame,
+      bounds: (Array[Double], Array[Double])): DataFrame = {
+    val (mins, rng) = bounds
+    val minArr = array(mins.toIndexedSeq.map(lit(_)): _*)
+    val rngArr = array(rng.toIndexedSeq.map(lit(_)): _*)
+    // base_d = min_d + 0.5·range_d/256 — the code-independent part of
+    // the reconstruction; driver doubles, same IEEE op order as the
+    // oracle's SQL expression
+    val baseArr = array(mins.indices.map(i =>
+      lit(mins(i) + 0.5 * rng(i) / 256.0)): _*)
+    val codes = zip_with(
+      zip_with(col("e"), minArr, (x, m) => x - m),
+      rngArr, (d, r) => least(greatest(
+        floor(d * lit(256.0) / r), lit(0L)), lit(255L)))
+      .cast("array<double>")
+    val recon = zip_with(
+      zip_with(codes, rngArr, (c, r) => (c + lit(0.5)) * r / lit(256.0)),
+      minArr, (t, m) => m + t)
+    val coded = vn.select(col("vec_id"), codes.as("codes"),
+      sqrt(dot(recon, recon)).as("rnrm"))
+    val q = vn.filter(col("vec_id") < 8).select(
+      col("vec_id").as("q_vec_id"),
+      zip_with(col("e"), rngArr, (x, r) => x * r / lit(256.0)).as("qscale"),
+      dot(col("e"), baseArr).as("qconst"),
+      col("nrm").as("qnrm"))
+    val pairs = coded.join(broadcast(q),
+        col("vec_id") =!= col("q_vec_id"))
+      .withColumn("score",
+        (dot(col("qscale"), col("codes")) + col("qconst")) /
+          (col("qnrm") * col("rnrm")))
+    val w = Window.partitionBy("q_vec_id")
+      .orderBy(col("score").desc, col("vec_id"))
+    pairs
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("q_vec_id"), col("vec_id").as("neighbor_vec_id"),
+        round(col("score"), 6).as("sq_cos"), col("rk"))
+  }
+
+  /** Recall@3 of the SQ8 flat index, same harness — byte-per-dim
+    * quantization preserves ranking far better than PQ's 4 codes, so
+    * this bounds the compressed-scan family's best recall. */
+  def annRecallSq8(spark: SparkSession, sfDir: String): DataFrame =
+    annRecallOf(spark, sfDir, v => annSq8Of(v, sq8BoundsOf(v, sfDir)))
+
   /** Recall@3 of the LSH-bucketed ANN against the brute-force
     * neighbors, per query — search QUALITY tracked by the same
     * oracle harness as correctness (an ANN that silently degrades

