@@ -159,6 +159,8 @@ object SparkEntry {
       DedupOps.minhashProdRecall(s, d)),
     "d_minhash_est" -> ((s: SparkSession, d: String) =>
       DedupOps.minhashEstQuality(s, d)),
+    "d_minhash_band_curve" -> ((s: SparkSession, d: String) =>
+      DedupOps.minhashBandCurve(s, d)),
     "d_simhash" -> ((s: SparkSession, d: String) =>
       DedupOps.simhash(s, d, DedupOps.Md5)),
     "d_cross_source_dups" -> ((s: SparkSession, d: String) =>
@@ -334,6 +336,79 @@ object SparkEntry {
        |  $bitSums
        | FROM h GROUP BY doc_id)
        |SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM b""".stripMargin
+  }
+
+  /** Banding-curve oracle: the same md5 shingle-hash → permutation →
+    * doc-grouped-min signature chain as [[minhashLshSql]], then for
+    * each (b, r) factorization the banding / size-capped bucketing /
+    * pair generation replayed per config, and the per-config rollup.
+    * Agreement estimates are k/16 dyadic rationals (exact in double),
+    * decimal-summed, so the means are order-independent. */
+  private lazy val minhashBandCurveSql: String = {
+    val M = 2147483647L
+    val mhs = (0 until DedupOps.NumPerms).map(i =>
+      s"min(((h % $M) * ${DedupOps.PermA(i)} + ${DedupOps.PermB(i)}) % $M)" +
+        s" AS mh$i")
+      .mkString(",\n  ")
+    val bands = DedupOps.BandCurve.zipWithIndex.flatMap {
+      case ((b, r), ci) =>
+        (0 until b).map { bi =>
+          val cols = (0 until r)
+            .map(j => s"CAST(mh${bi * r + j} AS VARCHAR)")
+            .mkString(" || '_' || ")
+          s" SELECT doc_id, $ci AS cfg, $bi AS band_id," +
+            s" md5($cols) AS band_hash FROM sig"
+        }
+    }.mkString("\n UNION ALL\n")
+    val agree = (0 until DedupOps.NumPerms)
+      .map(i => s"CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    val bCase = DedupOps.BandCurve.zipWithIndex
+      .map { case ((b, _), ci) => s"WHEN $ci THEN $b" }.mkString(" ")
+    val rCase = DedupOps.BandCurve.zipWithIndex
+      .map { case ((_, r), ci) => s"WHEN $ci THEN $r" }.mkString(" ")
+    s"""WITH docs AS (
+       | SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+       | FROM documents),
+       |sh AS (
+       | SELECT doc_id, list_distinct(list_transform(range(len(t) - 2),
+       |   i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS s
+       | FROM docs),
+       |inv AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+       |h AS (SELECT doc_id, ${md5HashSql("shingle")} AS h FROM inv),
+       |sig AS (SELECT doc_id,
+       |  $mhs
+       | FROM h GROUP BY doc_id),
+       |bands AS (
+       |$bands),
+       |ok AS (
+       | SELECT cfg, band_id, band_hash FROM bands
+       | GROUP BY cfg, band_id, band_hash
+       | HAVING count(*) BETWEEN 2 AND ${DedupOps.MaxBucketSize}),
+       |pairs AS (
+       | SELECT DISTINCT a.cfg, a.doc_id AS doc_a, b.doc_id AS doc_b
+       | FROM bands a
+       | JOIN ok ON ok.cfg = a.cfg AND ok.band_id = a.band_id
+       |  AND ok.band_hash = a.band_hash
+       | JOIN bands b
+       |  ON a.cfg = b.cfg AND a.band_id = b.band_id
+       |  AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+       |est AS (
+       | SELECT p.cfg, ($agree) / 16.0 AS est
+       | FROM pairs p
+       | JOIN sig sa ON sa.doc_id = p.doc_a
+       | JOIN sig sb ON sb.doc_id = p.doc_b),
+       |roll AS (
+       | SELECT cfg, count(*) AS n_pairs,
+       |  sum(CASE WHEN est >= 0.5 THEN 1 ELSE 0 END) AS n_tight,
+       |  sum(CAST(est AS DECIMAL(18,6))) AS s_est
+       | FROM est GROUP BY cfg)
+       |SELECT CASE cfg $bCase END AS n_bands,
+       | CASE cfg $rCase END AS rows_per_band,
+       | CAST(n_pairs AS BIGINT) AS n_pairs,
+       | CAST(n_tight AS BIGINT) AS n_tight_pairs,
+       | round(CAST(s_est AS DOUBLE) / n_pairs, 6) AS mean_est_jaccard
+       |FROM roll""".stripMargin
   }
 
   private lazy val minhashLshSql: String = {
@@ -2421,6 +2496,7 @@ object SparkEntry {
         | count(*) AS n_windows
         |FROM g GROUP BY doc_id, grp""".stripMargin,
     "d_minhash_lsh" -> minhashLshSql,
+    "d_minhash_band_curve" -> minhashBandCurveSql,
     // estimator accuracy: the oracle recomputes per-row signatures
     // (list_min over the same permuted md5 hashes), the agreement
     // estimate, and the exact shingle Jaccard — estimator quality is

@@ -515,6 +515,91 @@ object DedupOps {
         round(abs(col("est_jaccard") - col("exact_jaccard")), 6))
   }
 
+  /** (bands, rows-per-band) settings the banding tuning curve
+    * measures — every factorization of the 16-component signature,
+    * from the highest-recall (16×1: any single component match makes
+    * a candidate) to the strictest (1×16: all 16 must agree). */
+  val BandCurve: Seq[(Int, Int)] =
+    Seq((16, 1), (8, 2), (4, 4), (2, 8), (1, 16))
+
+  /** MinHash banding s-curve — the dedup family's cost/recall dial,
+    * measured (the analogue of the ANN nprobe tuning curve): for each
+    * (b, r) factorization in [[BandCurve]], the candidate-pair volume
+    * the banding generates, how many of those candidates are "tight"
+    * (signature-agreement estimate ≥ 0.5 — pairs the production 4×4
+    * config is designed to catch), and the mean estimated Jaccard of
+    * the candidate set. More bands of fewer rows catch lower-
+    * similarity pairs at higher candidate volume (detection prob.
+    * 1−(1−s^r)^b); the curve shows the precision/recall trade a
+    * deployment sweeps before fixing its banding.
+    *
+    * Scale shape: ONE shingle scan and per-row signatures (zero
+    * shuffles, the est-quality idiom), materialized once and fed to
+    * all five configs; the 31 (cfg, band) keys explode linearly;
+    * bucket formation is one groupBy with the standard size cap per
+    * (cfg, band, bucket) — overflow buckets drop visibly via the
+    * observe metric, never an O(size²) task; the per-config rollup
+    * runs on candidate pairs only. Mean estimates are exact: each
+    * agreement is k/16 (a dyadic rational), decimal-summed then
+    * divided — order-independent across engines. */
+  def minhashBandCurve(spark: SparkSession, sfDir: String,
+      hash: TokenHash = Md5,
+      maxBucket: Int = MaxBucketSize): DataFrame = {
+    val sig = Tables.loadBalanced(spark, sfDir, "documents")
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("hs", transform(col("sh"), s => hash(s)))
+      .select(col("doc_id"),
+        array((0 until NumPerms).map(i =>
+          array_min(transform(col("hs"), h => perm(i, h)))): _*)
+          .as("sig"))
+      .localCheckpoint()
+    val bandStructs = BandCurve.zipWithIndex.flatMap {
+      case ((b, r), ci) =>
+        (0 until b).map { bi =>
+          struct(lit(ci).as("cfg"), lit(bi).as("band_id"),
+            md5(concat_ws("_", (0 until r).map(j =>
+              element_at(col("sig"), bi * r + j + 1)): _*))
+              .as("band_hash"))
+        }
+    }
+    val banded = sig
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("x"))
+      .select(col("doc_id"), col("x.cfg").as("cfg"),
+        col("x.band_id").as("band_id"), col("x.band_hash").as("band_hash"))
+    val buckets = banded
+      .groupBy(col("cfg"), col("band_id"), col("band_hash"))
+      .agg(array_sort(collect_list(col("doc_id"))).as("docs"))
+      .observe(s"d_minhash_band_curve_buckets_cap$maxBucket",
+        sum(when(size(col("docs")) > maxBucket, 1).otherwise(0))
+          .as("dropped_buckets"))
+      .filter(size(col("docs")) > 1 && size(col("docs")) <= maxBucket)
+    val pairs = buckets
+      .select(col("cfg"), explode(pairsOf(col("docs"))).as("p"))
+      .select(col("cfg"), col("p.doc_a"), col("p.doc_b"))
+      .distinct()
+    val fa = sig.select(col("doc_id").as("doc_a"), col("sig").as("siga"))
+    val fb = sig.select(col("doc_id").as("doc_b"), col("sig").as("sigb"))
+    val bArr = array(BandCurve.map(c => lit(c._1)): _*)
+    val rArr = array(BandCurve.map(c => lit(c._2)): _*)
+    pairs
+      .join(fa, "doc_a").join(fb, "doc_b")
+      .withColumn("est",
+        size(filter(zip_with(col("siga"), col("sigb"),
+          (x, y) => x === y), p => p)).cast("double") / NumPerms)
+      .groupBy(col("cfg"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("est") >= 0.5, 1L).otherwise(0L)).as("n_tight"),
+        sum(col("est").cast("decimal(18,6)")).as("s_est"))
+      .select(
+        element_at(bArr, col("cfg") + 1).as("n_bands"),
+        element_at(rArr, col("cfg") + 1).as("rows_per_band"),
+        col("n_pairs").cast("long").as("n_pairs"),
+        col("n_tight").cast("long").as("n_tight_pairs"),
+        round(col("s_est").cast("double") / col("n_pairs"), 6)
+          .as("mean_est_jaccard"))
+  }
+
   /** Connected components over the [[minhashLsh]] candidate-pair graph:
     * the step a real dedup pipeline needs between "candidate pairs" and
     * "keep one copy per cluster" — every document gets a component id

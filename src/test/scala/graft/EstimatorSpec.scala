@@ -376,6 +376,27 @@ class EstimatorSpec extends SparkSpec {
     assert(mism.count() === 0, "rerank cosine differs from brute cosine")
   }
 
+  test("banding curve: candidate volume shrinks as rows-per-band grows; 4x4 matches the production pair set") {
+    val rows = DedupOps.minhashBandCurve(spark, sfDir).collect()
+      .map(r => (r.getAs[Int]("rows_per_band"), r.getAs[Long]("n_pairs"),
+        r.getAs[Long]("n_tight_pairs"))).sortBy(_._1)
+    assert(rows.length === DedupOps.BandCurve.length)
+    // nested factorizations (1|2|4|8|16): an aligned r2-block match is
+    // an aligned r1-block match for every r1 | r2, so absent cap drops
+    // (none on this fixture) the candidate set only shrinks with r
+    rows.sliding(2).foreach { case Array((r1, n1, _), (r2, n2, _)) =>
+      assert(n2 <= n1, s"candidates grew from $n1 (r=$r1) to $n2 (r=$r2)")
+    }
+    rows.foreach { case (r, n, t) =>
+      assert(t <= n, s"tight pairs $t exceed candidates $n at r=$r")
+    }
+    // the 4x4 point IS the production banding — its candidate count
+    // must equal the registered d_minhash_lsh pair set's
+    val prod = DedupOps.minhashLsh(spark, sfDir, DedupOps.Md5).count()
+    val p44 = rows.find(_._1 == 4).get._2
+    assert(p44 === prod, s"4x4 curve point $p44 != production $prod")
+  }
+
   test("SQ8: flat byte-quantized recall dominates 4-code IVF-PQ") {
     // byte-per-dim precision + no cell pruning: the SQ8 flat scan is
     // the compressed family's recall ceiling — it must beat the
