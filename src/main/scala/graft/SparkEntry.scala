@@ -124,6 +124,7 @@ object SparkEntry {
     "src_jsonl_corrupt" -> (sources.JsonlCorpus.corruptAccounting _),
     // --- sstabledump tree ingestion (sources.SSTableDumpBridge) ---
     "src_sstabledump_tree" -> (sources.SSTableDumpBridge.treeAudit _),
+    "src_schema_discovery" -> (sources.LakeDiscovery.discoveryAudit _),
     // --- corpus assembly (mixing / packing) ---
     "corp_source_mix" -> (CorpusOps.sourceMixAudit _),
     "corp_token_pack" -> (CorpusOps.tokenPackAudit _),
@@ -2041,6 +2042,26 @@ object SparkEntry {
     // TreeBase (doc_id seconds → micros, "src" cells at +10 s; absolute
     // epoch-micros would overflow BIGINT sums at scale), TTLs (even
     // doc_ids, doc_id % 100, inherited by both cells), and value mass
+    // lake-discovery audit: the fixture derives keyspaces (numeric
+    // source suffix mod 4), the t0/t1/t2 table split (doc_id % 3),
+    // the pinned widening schemas, and the row counts arithmetically
+    // from documents, so the oracle replays the whole discovered
+    // catalog without touching a filesystem
+    "src_schema_discovery" ->
+      """WITH d AS (
+        | SELECT doc_id,
+        |  'ks' || CAST(CAST(substr(source, 4) AS INTEGER) % 4
+        |    AS VARCHAR) AS ks,
+        |  CAST(doc_id % 3 AS INTEGER) AS t
+        | FROM documents)
+        |SELECT ks AS keyspace, 't' || CAST(t AS VARCHAR) AS table_name,
+        | CAST(t + 2 AS INTEGER) AS n_cols,
+        | CASE t WHEN 0 THEN 'doc_id:bigint,n_chars:bigint'
+        |  WHEN 1 THEN 'doc_id:bigint,n_chars:bigint,text_len:int'
+        |  ELSE 'doc_id:bigint,n_chars:bigint,text_len:int,is_even:boolean'
+        | END AS col_list,
+        | count(*) AS n_rows
+        |FROM d GROUP BY ks, t""".stripMargin,
     "src_sstabledump_tree" ->
       """WITH d AS (
         | SELECT CAST(doc_id AS BIGINT) AS doc_id, source, n_chars,

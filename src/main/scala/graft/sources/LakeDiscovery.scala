@@ -1,0 +1,131 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Live schema discovery over an on-disk lake — the engine-side
+  * analogue of the reference's boot-time schema load: Cassandra 2's
+  * remover calls `Schema.instance.loadFromDisk`
+  * (`cassandra-2/.../Cassandra2TTLRemover.java:48`) to reconstruct
+  * every keyspace/table definition from the data directory itself,
+  * then validates each input file's keyspace against that discovered
+  * catalog (`:58`) and derives its (ks, cf) identity from the on-disk
+  * path (`:65`, `Descriptor.fromFilename`). Here the same contract
+  * over a parquet lake laid out `root/<keyspace>/<table>/` (the s9
+  * output layout): walk the two directory levels, read each table's
+  * schema from parquet FOOTERS (metadata-only — no data pages), and
+  * emit one catalog row per table with its column inventory and row
+  * count.
+  *
+  * Scale shape: discovery is a metadata operation, exactly as in the
+  * reference — the directory walk and footer reads touch O(tables)
+  * filesystem entries, never data; the per-table row counts come from
+  * parquet row-group metadata (Spark's parquet count() reads no
+  * column pages). The catalog result is tables-sized, the one frame
+  * in this engine that is legitimately driver-built.
+  */
+object LakeDiscovery {
+
+  /** Walk `root/<ks>/<table>/` and build the catalog. Non-directory
+    * entries at either level are skipped (the reference skips
+    * non-sstable files in its data dirs); a table directory with no
+    * readable parquet footer fails loudly — a half-written table is
+    * a lake corruption the catalog must not paper over. */
+  def discover(spark: SparkSession, root: String): DataFrame = {
+    val fs = FileSystem.get(java.net.URI.create(root),
+      spark.sessionState.newHadoopConf())
+    val conf = spark.sessionState.newHadoopConf()
+    val tables = for {
+      ks <- fs.listStatus(new Path(root)).toSeq if ks.isDirectory
+      t <- fs.listStatus(ks.getPath).toSeq if t.isDirectory
+    } yield (ks.getPath.getName, t.getPath.getName, t.getPath)
+    val rows = tables.sortBy(t => (t._1, t._2)).map {
+      case (ks, table, path) =>
+        // Spark's parquet reader resolves the table schema from one
+        // footer (driver-side metadata, no data pages)
+        val cols = spark.read.parquet(path.toString).schema.fields
+          .map(f => s"${f.name}:${f.dataType.simpleString}")
+        // row counts likewise come straight from footer row-group
+        // metadata — the whole catalog build never launches a job
+        val nRows = fs.listStatus(path).toSeq
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .map { f =>
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+              org.apache.parquet.hadoop.util.HadoopInputFile
+                .fromPath(f.getPath, conf))
+            try r.getRecordCount finally r.close()
+          }.sum
+        Row(ks, table, cols.length, cols.mkString(","), nRows)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("keyspace", StringType, nullable = false),
+        StructField("table_name", StringType, nullable = false),
+        StructField("n_cols", IntegerType, nullable = false),
+        StructField("col_list", StringType, nullable = false),
+        StructField("n_rows", LongType, nullable = false))))
+  }
+
+  /** Deterministic lake fixture derived from the documents table:
+    * keyspace = `ks<numeric source suffix mod 4>` (4 keyspaces —
+    * catalog-sized, not source-sized), tables t0/t1/t2 split by
+    * doc_id % 3, each table index with its own (pinned, widening)
+    * schema — so the discovered catalog is arithmetically replayable
+    * by the oracle.
+    * Written as one partitioned job per table shape (schemas differ
+    * per table, so one union write would smear every column into
+    * every footer), then the hive-style `keyspace=<v>` partition dirs
+    * move under plain `<ks>/<table>/` names — the reference's raw
+    * directory layout, which is the thing [[discover]] must parse. */
+  def writeLakeFixture(spark: SparkSession,
+      sfDir: String): java.nio.file.Path = {
+    val out = graft.Scratch.dir("graft-lake-")
+    val d = graft.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"),
+        concat(lit("ks"), (substring(col("source"), 4, 10).cast("int")
+          % 4).cast("string")).as("source"),
+        col("n_chars").cast("long").as("n_chars"),
+        length(col("text")).cast("int").as("text_len"),
+        (col("doc_id") % 2 === 0).as("is_even"),
+        (col("doc_id") % 3).cast("int").as("t"))
+    val shapes: Seq[(Int, Seq[String])] = Seq(
+      0 -> Seq("doc_id", "n_chars"),
+      1 -> Seq("doc_id", "n_chars", "text_len"),
+      2 -> Seq("doc_id", "n_chars", "text_len", "is_even"))
+    val fsRoot = java.nio.file.Paths.get(out.toString)
+    shapes.foreach { case (ti, cols) =>
+      val tmp = out.resolve(s"_tmp_t$ti")
+      d.filter(col("t") === ti)
+        .select((col("source").as("keyspace") +: cols.map(col)): _*)
+        .repartition(1)
+        .write.partitionBy("keyspace").mode("overwrite")
+        .parquet(tmp.toString)
+      val files = java.nio.file.Files.list(tmp)
+      try files.forEach { p =>
+        val name = p.getFileName.toString
+        if (name.startsWith("keyspace=")) {
+          val ks = name.stripPrefix("keyspace=")
+          val dest = fsRoot.resolve(ks).resolve(s"t$ti")
+          java.nio.file.Files.createDirectories(dest.getParent)
+          java.nio.file.Files.move(p, dest)
+        }
+      } finally files.close()
+      graft.Scratch.delete(tmp)
+    }
+    out
+  }
+
+  /** Registered discovery audit: build the lake fixture, discover it
+    * back, return the catalog (checkpointed so the scratch lake can
+    * be deleted eagerly). The oracle replays keyspaces, table split,
+    * schemas, and row counts arithmetically from documents. */
+  def discoveryAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = writeLakeFixture(spark, sfDir)
+    val catalog = discover(spark, out.toString).localCheckpoint()
+    graft.Scratch.delete(out)
+    catalog
+  }
+}
