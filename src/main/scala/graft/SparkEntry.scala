@@ -203,6 +203,8 @@ object SparkEntry {
     "sim_ann_pq_rerank" -> (SimilarityOps.annPqRerank _),
     "sim_ann_sq8" -> (SimilarityOps.annSq8 _),
     "sim_ann_recall_sq8" -> (SimilarityOps.annRecallSq8 _),
+    "sim_ann_ivfsq8" -> (SimilarityOps.annIvfSq8 _),
+    "sim_ann_recall_ivfsq8" -> (SimilarityOps.annRecallIvfSq8 _),
     "sim_ann_recall_pq" -> (SimilarityOps.annRecallIvfPq _),
     "sim_ann_recall_pq_rr" -> (SimilarityOps.annRecallPqRerank _),
     "sim_ann_recall_pq_mp" -> (SimilarityOps.annRecallIvfPqMp _),
@@ -881,18 +883,20 @@ object SparkEntry {
     * same sequential fold as Spark's ArrayDot — and the scalar
     * expressions are written with the same IEEE op order as the Spark
     * lambdas, so scores match bit-for-bit. */
-  private lazy val annSq8Sql: String = {
+  /** Shared SQ8 CTE fragment (assumes a CTE `v(vec_id, e)` is already
+    * defined): trained bounds, per-dim codes/reconstruction, the
+    * encoded corpus `nsq(vec_id, codes, rnrm)` and the query-side
+    * `qsq(q_vec_id, qscale, qconst, qnrm)`. */
+  private lazy val sq8CtesSql: String = {
     val base = SimilarityOps.KmeansTrainBase
     val hi = base + SimilarityOps.KmeansTrainCap
-    s"""WITH samp AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+    s"""samp AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
        |  FROM embeddings WHERE vec_id >= $base AND vec_id < $hi),
        |sdim AS (SELECT generate_subscripts(e, 1) AS i, unnest(e) AS x
        |  FROM samp),
        |b0 AS (SELECT i, min(x) AS mn, max(x) AS mx FROM sdim GROUP BY i),
        |bounds AS (SELECT i, mn,
        |  CASE WHEN mx = mn THEN 1.0 ELSE mx - mn END AS rg FROM b0),
-       |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
-       |  FROM embeddings),
        |cdim AS (SELECT vec_id, generate_subscripts(e, 1) AS i,
        |  unnest(e) AS x FROM v),
        |cq AS (SELECT vec_id, c.i,
@@ -902,7 +906,7 @@ object SparkEntry {
        | FROM cdim c JOIN bounds b ON b.i = c.i),
        |enc AS (SELECT vec_id, list(code ORDER BY i) AS codes,
        |  list(recon ORDER BY i) AS recon FROM cq GROUP BY vec_id),
-       |n AS (SELECT vec_id, codes,
+       |nsq AS (SELECT vec_id, codes,
        |  sqrt(list_dot_product(recon, recon)) AS rnrm FROM enc),
        |qdim AS (SELECT vec_id, c.i, x, mn, rg
        | FROM cdim c JOIN bounds b ON b.i = c.i WHERE vec_id < 8),
@@ -911,18 +915,44 @@ object SparkEntry {
        |  list(x ORDER BY i) AS qe,
        |  list(mn + 0.5 * rg / 256.0 ORDER BY i) AS basel
        | FROM qdim GROUP BY vec_id),
-       |q AS (SELECT q_vec_id, qscale,
+       |qsq AS (SELECT q_vec_id, qscale,
        |  list_dot_product(qe, basel) AS qconst,
-       |  sqrt(list_dot_product(qe, qe)) AS qnrm FROM q0),
+       |  sqrt(list_dot_product(qe, qe)) AS qnrm FROM q0)""".stripMargin
+  }
+
+  private lazy val annSq8Sql: String =
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+       |  FROM embeddings),
+       |$sq8CtesSql,
        |p AS (SELECT q.q_vec_id, n.vec_id AS neighbor_vec_id,
        |  (list_dot_product(q.qscale, n.codes) + q.qconst)
        |    / (q.qnrm * n.rnrm) AS score
-       | FROM q JOIN n ON n.vec_id <> q.q_vec_id),
+       | FROM qsq q JOIN nsq n ON n.vec_id <> q.q_vec_id),
        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_vec_id
        |  ORDER BY score DESC, neighbor_vec_id) AS INTEGER) AS rk FROM p)
        |SELECT q_vec_id, neighbor_vec_id, round(score, 6) AS sq_cos, rk
        |FROM r WHERE rk <= 3""".stripMargin
-  }
+
+  /** IVF-SQ8 oracle: the IVF coarse-quantizer CTE stack (cells,
+    * probes) composed with the SQ8 encode/score fragment — the
+    * candidate join is cell-pruned, the scoring is compressed-domain,
+    * exactly the Spark plan's two halves. */
+  private lazy val annIvfSq8Sql: String =
+    s"""WITH ${ivfCtesSql(1)},
+       |$sq8CtesSql,
+       |ncell AS (SELECT n.vec_id, b.cell, n.codes, n.rnrm
+       | FROM nsq n JOIN best b ON b.vec_id = n.vec_id),
+       |p AS (SELECT q.q_vec_id, c.cell, c.vec_id AS neighbor_vec_id,
+       |  (list_dot_product(q.qscale, c.codes) + q.qconst)
+       |    / (q.qnrm * c.rnrm) AS score
+       | FROM qsq q
+       | JOIN qcells qc ON qc.vec_id = q.q_vec_id
+       | JOIN ncell c ON c.cell = qc.cell AND c.vec_id <> q.q_vec_id),
+       |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_vec_id
+       |  ORDER BY score DESC, neighbor_vec_id) AS INTEGER) AS rk FROM p)
+       |SELECT q_vec_id, cell, neighbor_vec_id,
+       | round(score, 6) AS sq_cos, rk
+       |FROM r WHERE rk <= 3""".stripMargin
 
   /** PQ recall oracle: the cosine-ranked scaffold does not apply (the
     * PQ ann side ranks by ADC, not cosine), so the ann set embeds the
@@ -2579,6 +2609,8 @@ object SparkEntry {
     "sim_ann_pq_rerank" -> annPqRerankSqlP(),
     "sim_ann_sq8" -> annSq8Sql,
     "sim_ann_recall_sq8" -> annRecallEmbedSql(annSq8Sql),
+    "sim_ann_ivfsq8" -> annIvfSq8Sql,
+    "sim_ann_recall_ivfsq8" -> annRecallEmbedSql(annIvfSq8Sql),
     "sim_ann_recall_pq" -> annRecallPqSql,
     "sim_ann_recall_pq_rr" -> annRecallEmbedSql(annPqRerankSqlP()),
     "sim_ann_recall_pq_mp" -> annRecallPqSqlP(2),

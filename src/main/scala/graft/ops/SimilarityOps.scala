@@ -688,6 +688,68 @@ object SimilarityOps {
   def annRecallSq8(spark: SparkSession, sfDir: String): DataFrame =
     annRecallOf(spark, sfDir, v => annSq8Of(v, sq8BoundsOf(v, sfDir)))
 
+  /** IVF-SQ8 — the most common production FAISS composition
+    * (IVF<k>,SQ8): the coarse quantizer prunes the scan to the
+    * query's cell AND every stored vector is byte-codes + recon norm.
+    * Same serving plan as [[annIvf]] (cell equi-join, broadcast
+    * queries) with [[annSq8]]'s compressed-domain scoring — the index
+    * is 64 B/vector and each query touches ~1/k of it, the standard
+    * middle ground between SQ8-flat's full scan and PQ's coarser
+    * compression. */
+  def annIvfSq8(spark: SparkSession, sfDir: String): DataFrame = {
+    val vn = withNorm(Tables.load(spark, sfDir, "embeddings"))
+    annIvfSq8Of(vn, sq8BoundsOf(vn, sfDir))
+  }
+
+  private def annIvfSq8Of(vn: DataFrame,
+      bounds: (Array[Double], Array[Double]), nprobe: Int = 1,
+      cs: Array[Array[Double]] = centroids(64, 16),
+      l2: Boolean = false): DataFrame = {
+    val (mins, rng) = bounds
+    val minArr = array(mins.toIndexedSeq.map(lit(_)): _*)
+    val rngArr = array(rng.toIndexedSeq.map(lit(_)): _*)
+    val baseArr = array(mins.indices.map(i =>
+      lit(mins(i) + 0.5 * rng(i) / 256.0)): _*)
+    val codes = zip_with(
+      zip_with(col("e"), minArr, (x, m) => x - m),
+      rngArr, (d, r) => least(greatest(
+        floor(d * lit(256.0) / r), lit(0L)), lit(255L)))
+      .cast("array<double>")
+    val recon = zip_with(
+      zip_with(codes, rngArr, (c, r) => (c + lit(0.5)) * r / lit(256.0)),
+      minArr, (t, m) => m + t)
+    val coded = vn.select(col("vec_id"),
+      ivfCell(col("e"), cs, l2).as("cell"), codes.as("codes"),
+      sqrt(dot(recon, recon)).as("rnrm"))
+    val q = vn.filter(col("vec_id") < 8).select(
+      col("vec_id").as("q_vec_id"),
+      explode(ivfCells(col("e"), cs, nprobe, l2)).as("cell"),
+      zip_with(col("e"), rngArr, (x, r) => x * r / lit(256.0)).as("qscale"),
+      dot(col("e"), baseArr).as("qconst"),
+      col("nrm").as("qnrm"))
+    val pairs = coded.join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_vec_id"))
+      .withColumn("score",
+        (dot(col("qscale"), col("codes")) + col("qconst")) /
+          (col("qnrm") * col("rnrm")))
+    val w = Window.partitionBy("q_vec_id")
+      .orderBy(col("score").desc, col("vec_id"))
+    pairs
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("q_vec_id"), col("cell"),
+        col("vec_id").as("neighbor_vec_id"),
+        round(col("score"), 6).as("sq_cos"), col("rk"))
+  }
+
+  /** Recall@3 of IVF-SQ8 — isolates the two error sources against
+    * its parents: vs [[annRecallSq8]] the delta is pure cell pruning
+    * (same codes), vs [[annRecallIvf]] the delta is pure byte
+    * quantization (same cells). EstimatorSpec pins both bounds. */
+  def annRecallIvfSq8(spark: SparkSession, sfDir: String): DataFrame =
+    annRecallOf(spark, sfDir,
+      v => annIvfSq8Of(v, sq8BoundsOf(v, sfDir)))
+
   /** Recall@3 of the LSH-bucketed ANN against the brute-force
     * neighbors, per query — search QUALITY tracked by the same
     * oracle harness as correctness (an ANN that silently degrades

@@ -409,6 +409,20 @@ class EstimatorSpec extends SparkSpec {
     assert(sq8 >= 20, s"SQ8 hits $sq8 unexpectedly low (24 = perfect)")
   }
 
+  test("IVF-SQ8: bounded above by both parents (cells bound one error, codes the other)") {
+    def hits(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(sum("n_hits")).head().getLong(0)
+    val ivfsq = hits(SimilarityOps.annRecallIvfSq8(spark, sfDir))
+    val sq = hits(SimilarityOps.annRecallSq8(spark, sfDir))
+    val ivf = hits(SimilarityOps.annRecallIvf(spark, sfDir))
+    // adding cell pruning to SQ8-flat can only lose candidates, and
+    // exact-cosine IVF ranks at least as well as byte-quantized IVF
+    // on the same candidate set (fixture property, near-exact codes)
+    assert(ivfsq <= sq, s"IVF-SQ8 hits $ivfsq above SQ8-flat's $sq")
+    assert(ivfsq <= ivf + 1,
+      s"IVF-SQ8 hits $ivfsq well above exact IVF's $ivf")
+  }
+
   test("SQ8: reconstruction error is within half a quantization step") {
     // the scalar-quantizer invariant: for any value inside the trained
     // [min, max] the decoded center is within range/512; corpus values
