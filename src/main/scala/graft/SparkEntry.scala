@@ -192,6 +192,7 @@ object SparkEntry {
     "sim_semdedup_t" -> ((s: SparkSession, d: String) =>
       SimilarityOps.semDedupTrained(s, d)),
     "sim_cluster_profile" -> (SimilarityOps.clusterProfile _),
+    "sim_source_drift" -> (SimilarityOps.sourceDrift _),
     "sim_ann_probe_curve" -> ((s: SparkSession, d: String) =>
       SimilarityOps.annProbeCurve(s, d)),
     "sim_ann_lsh" -> (SimilarityOps.annLsh _),
@@ -718,6 +719,48 @@ object SparkEntry {
        |SELECT a.cell, a.n_docs, a.mean_coherence, a.mean_quality,
        | a.n_tokens, top.top_source, top.top_source_docs
        |FROM a JOIN top USING (cell)""".stripMargin
+
+  /** Source-drift oracle: trained-quantizer assignment + per-row
+    * rounded coherence (the cluster-profile CTEs), then the same
+    * partial → grid → rollup staging as the Spark plan; histogram
+    * shares divide exact integer counts and drift terms are
+    * 6-dp-rounded before the decimal sum, so every double matches. */
+  private lazy val sourceDriftSql: String =
+    s"""WITH ${ivfCtesSql(1, trained = true)},
+       |coh AS (
+       | SELECT b.vec_id, b.cell,
+       |  round(list_dot_product(b.e, c.c)
+       |   / (sqrt(list_dot_product(b.e, b.e))
+       |    * sqrt(list_dot_product(c.c, c.c))), 6) AS coh
+       | FROM best b JOIN cents c USING (cell)),
+       |d AS (SELECT doc_id, source FROM documents),
+       |part AS (
+       | SELECT d.source, coh.cell, count(*) AS n,
+       |  sum(CAST(coh.coh AS DECIMAL(18,6))) AS s_coh
+       | FROM coh JOIN d ON coh.vec_id = d.doc_id GROUP BY 1, 2),
+       |srct AS (SELECT source, sum(n) AS s_n, sum(s_coh) AS s_coh_t
+       | FROM part GROUP BY 1),
+       |gcell AS (SELECT cell, sum(n) AS g_n FROM part GROUP BY 1),
+       |tot AS (SELECT sum(n) AS g_total FROM part),
+       |top AS (SELECT source, cell AS top_cell, n FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY source
+       |    ORDER BY n DESC, cell) AS rn FROM part) WHERE rn = 1),
+       |grid AS (
+       | SELECT s.source, s.s_n, s.s_coh_t,
+       |  CAST(round(abs(CAST(coalesce(p.n, 0) AS DOUBLE) / s.s_n
+       |    - CAST(g.g_n AS DOUBLE) / t.g_total), 6)
+       |   AS DECIMAL(18,6)) AS term
+       | FROM srct s CROSS JOIN gcell g CROSS JOIN tot t
+       | LEFT JOIN part p ON p.source = s.source AND p.cell = g.cell),
+       |roll AS (
+       | SELECT source, max(s_n) AS s_n, max(s_coh_t) AS s_coh_t,
+       |  sum(term) AS l1
+       | FROM grid GROUP BY source)
+       |SELECT r.source, CAST(r.s_n AS BIGINT) AS n_vecs, top.top_cell,
+       | round(CAST(top.n AS DOUBLE) / r.s_n, 6) AS top_cell_share,
+       | round(CAST(r.s_coh_t AS DOUBLE) / r.s_n, 6) AS mean_coherence,
+       | round(CAST(r.l1 AS DOUBLE), 6) AS l1_drift
+       |FROM roll r JOIN top USING (source)""".stripMargin
 
   private def annIvfPqSqlP(nprobe: Int, trained: Boolean = false,
       topK: Int = 3): String = {
@@ -2677,6 +2720,7 @@ object SparkEntry {
     // float in the output is either rounded per-row before an exact
     // decimal sum or a final 6-dp round of a double/bigint division
     "sim_cluster_profile" -> clusterProfileSql,
+    "sim_source_drift" -> sourceDriftSql,
     "m_media_decode" ->
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
         | CAST(strlen(text) % 64 + 16 AS INTEGER) AS width,

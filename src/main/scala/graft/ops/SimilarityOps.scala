@@ -935,6 +935,80 @@ object SimilarityOps {
       .join(top, "cell")
   }
 
+  /** Per-source embedding drift monitor — the distribution-shift
+    * telemetry a corpus pipeline runs per ingest batch: every source
+    * reports its vector count, its dominant trained cell and that
+    * cell's share, its mean member→centroid coherence, and its L1
+    * divergence between the source's cell histogram and the global
+    * one. A source whose histogram diverges (high l1_drift) is
+    * shifting away from the corpus distribution; one parked almost
+    * entirely in a single cell (high top_cell_share) is a boilerplate
+    * signature; low coherence marks a noisy source. All of it reads
+    * off the SAME trained coarse quantizer the ANN/SemDeDup family
+    * serves with, so drift is measured in the index's own geometry.
+    *
+    * Scale shape: one embeddings scan (cell + coherence are per-row
+    * expressions over broadcast centroid constants), one narrow
+    * documents scan, ONE equi-join and ONE corpus-sized groupBy down
+    * to the ≤|sources|·|cells| partial frame (checkpointed — every
+    * rollup branch reuses it); histograms, top-cell windows, and the
+    * drift terms all run on that tiny frame. Means and L1 terms are
+    * 6-dp-rounded then decimal-summed (order-independent across
+    * engines); absent (source, cell) pairs are restored via the
+    * sources×cells grid so a missing cell still contributes its
+    * |0 − global share| drift term. */
+  def sourceDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val cs = trainedCentroids(spark, sfDir)
+    val centArr = array(cs.toIndexedSeq.map(c =>
+      array(c.toIndexedSeq.map(lit(_)): _*)): _*)
+    val cnormArr = array(cs.toIndexedSeq.map(c =>
+      lit(math.sqrt(c.map(x => x * x).sum))): _*)
+    val v = withNorm(Tables.load(spark, sfDir, "embeddings"))
+      .withColumn("cell", ivfCell(col("e"), cs, l2 = true))
+      .select(col("vec_id"), col("cell"),
+        round(dot(col("e"), element_at(centArr, col("cell") + 1)) /
+          (col("nrm") * element_at(cnormArr, col("cell") + 1)), 6)
+          .as("coh"))
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"))
+    val part = v.join(docs, col("vec_id") === col("doc_id"))
+      .groupBy(col("source"), col("cell"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("coh").cast("decimal(18,6)")).as("s_coh"))
+      .localCheckpoint()
+    val srcTot = part.groupBy(col("source"))
+      .agg(sum(col("n")).as("s_n"), sum(col("s_coh")).as("s_coh_t"))
+    val glob = part.groupBy(col("cell")).agg(sum(col("n")).as("g_n"))
+    val total = part.agg(sum(col("n")).as("g_total"))
+    val wTop = Window.partitionBy("source")
+      .orderBy(col("n").desc, col("cell"))
+    val top = part.withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("cell").as("top_cell"), col("n"))
+    // sources × globally-present cells grid, so absent pairs still
+    // contribute their |0 − global share| term
+    val grid = srcTot.crossJoin(glob).crossJoin(total)
+      .join(part, Seq("source", "cell"), "left")
+      .select(col("source"), col("s_n"), col("s_coh_t"),
+        round(abs(
+          coalesce(col("n"), lit(0L)).cast("double") / col("s_n") -
+            col("g_n").cast("double") / col("g_total")), 6)
+          .cast("decimal(18,6)").as("term"))
+    grid.groupBy(col("source"))
+      .agg(first(col("s_n")).as("s_n"),
+        first(col("s_coh_t")).as("s_coh_t"),
+        sum(col("term")).as("l1"))
+      .join(top, "source")
+      .select(col("source"),
+        col("s_n").cast("long").as("n_vecs"),
+        col("top_cell"),
+        round(col("n").cast("double") / col("s_n"), 6)
+          .as("top_cell_share"),
+        round(col("s_coh_t").cast("double") / col("s_n"), 6)
+          .as("mean_coherence"),
+        round(col("l1").cast("double"), 6).as("l1_drift"))
+  }
+
   private def annRecallOf(spark: SparkSession, sfDir: String,
       annIndex: DataFrame => DataFrame): DataFrame = {
     // the harness needs the corpus in FOUR roles (brute query+corpus,

@@ -409,6 +409,19 @@ class EstimatorSpec extends SparkSpec {
     assert(sq8 >= 20, s"SQ8 hits $sq8 unexpectedly low (24 = perfect)")
   }
 
+  test("source drift: histogram divergence and shares are well-formed") {
+    val rows = SimilarityOps.sourceDrift(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (share, coh, l1) = (r.getAs[Double]("top_cell_share"),
+        r.getAs[Double]("mean_coherence"), r.getAs[Double]("l1_drift"))
+      assert(share > 0.0 && share <= 1.0, s"share $share out of range")
+      assert(coh >= -1.0 && coh <= 1.0, s"coherence $coh out of range")
+      // L1 distance between two distributions is bounded by 2
+      assert(l1 >= 0.0 && l1 <= 2.0, s"l1 $l1 out of range")
+    }
+  }
+
   test("IVF-SQ8: bounded above by both parents (cells bound one error, codes the other)") {
     def hits(df: org.apache.spark.sql.DataFrame): Long =
       df.agg(sum("n_hits")).head().getLong(0)
