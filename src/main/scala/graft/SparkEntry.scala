@@ -183,6 +183,8 @@ object SparkEntry {
       DedupOps.dedupComponents(s, d, DedupOps.Md5, maxIters = 0)),
     "d_dedup_pipeline" -> ((s: SparkSession, d: String) =>
       DedupOps.dedupPipeline(s, d, DedupOps.Md5)),
+    "d_dedup_bias" -> ((s: SparkSession, d: String) =>
+      DedupOps.dedupBias(s, d, DedupOps.Md5)),
     // --- similarity search ---
     "sim_cosine_topk" -> (SimilarityOps.cosineTopK _),
     "sim_embed_neardup" -> ((s: SparkSession, d: String) =>
@@ -1161,6 +1163,47 @@ object SparkEntry {
     * representative (min doc_id) kept per component; singletons are
     * their own representative. Wraps the components CTE verbatim —
     * one definition of the clustering for both queries. */
+  /** Survivor-bias oracle: the components chain + representative
+    * election, the documents quality projection (the cluster-profile
+    * expression verbatim), and null-guarded kept/removed means over
+    * 6-dp decimal sums. */
+  private lazy val dedupBiasSql: String =
+    s"""WITH comp AS (
+       |$dedupComponentsSql
+       |),
+       |reps AS (SELECT min(doc_id) AS keep_doc FROM comp
+       | GROUP BY component),
+       |dq AS (
+       | SELECT doc_id, source,
+       |  round(0.3 * least(1.0, CAST(length(text) AS DOUBLE) / 500.0)
+       |   + 0.4 * (1.0 - CAST(len(regexp_extract_all(text,
+       |      '[^A-Za-z0-9\\s]')) AS DOUBLE) / length(text))
+       |   + 0.3 * least(1.0, 4.0 *
+       |      CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+       |       x -> lower(x) IN ('the','a','and','of','to','in','is','it',
+       |        'on','for'))) AS DOUBLE)
+       |      / len(string_split_regex(trim(text), '\\s+'))), 6) AS q
+       | FROM documents),
+       |j AS (
+       | SELECT d.source, d.q, (r.keep_doc IS NOT NULL) AS kept
+       | FROM dq d
+       | JOIN comp c ON c.doc_id = d.doc_id
+       | LEFT JOIN reps r ON r.keep_doc = d.doc_id),
+       |roll AS (
+       | SELECT source, count(*) AS nd,
+       |  sum(CASE WHEN kept THEN 0 ELSE 1 END) AS nr,
+       |  sum(CASE WHEN kept THEN CAST(q AS DECIMAL(18,6)) END) AS s_kept,
+       |  sum(CASE WHEN NOT kept THEN CAST(q AS DECIMAL(18,6)) END) AS s_rem
+       | FROM j GROUP BY 1)
+       |SELECT source, CAST(nd AS BIGINT) AS n_docs,
+       | CAST(nr AS BIGINT) AS n_removed,
+       | round(CAST(nr AS DOUBLE) / nd, 6) AS removal_rate,
+       | CASE WHEN nd - nr > 0 THEN
+       |   round(CAST(s_kept AS DOUBLE) / (nd - nr), 6) END AS mean_q_kept,
+       | CASE WHEN nr > 0 THEN
+       |   round(CAST(s_rem AS DOUBLE) / nr, 6) END AS mean_q_removed
+       |FROM roll""".stripMargin
+
   private lazy val dedupPipelineSql: String =
     s"""WITH comp AS (
        |$dedupComponentsSql
@@ -2643,6 +2686,7 @@ object SparkEntry {
     // star contraction must land on the identical exact closure
     "d_components_stars" -> dedupComponentsSql,
     "d_dedup_pipeline" -> dedupPipelineSql,
+    "d_dedup_bias" -> dedupBiasSql,
     "sim_ann_lsh" -> annLshSql,
     "sim_ann_ivf" -> annIvfSql,
     "sim_ann_ivf_mp" -> annIvfSqlP(2),

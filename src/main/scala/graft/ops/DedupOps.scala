@@ -827,6 +827,50 @@ object DedupOps {
         count(col("keep_doc")).as("n_survivors"))
   }
 
+  /** Dedup survivor-bias audit — the "what did dedup actually
+    * remove?" check a curation pipeline runs before trusting its
+    * survivors: per source, the removal rate and the mean quality of
+    * KEPT vs REMOVED documents. Dedup is supposed to delete copies,
+    * not a quality stratum — a source whose removed-doc quality sits
+    * far below its kept-doc quality means the near-dup clusters are
+    * concentrated in its junk (expected); removed quality ABOVE kept
+    * quality means min-id representative election is systematically
+    * discarding the better copy, a real pipeline bug this audit
+    * exposes. Same composition as [[dedupPipeline]] plus the quality
+    * projection; means are 6-dp-rounded per row and decimal-summed
+    * (null when a source has no removed — or no kept — documents).
+    */
+  def dedupBias(spark: SparkSession, sfDir: String,
+      hash: TokenHash = XxHash): DataFrame = {
+    val comp = dedupComponents(spark, sfDir, hash)
+    val reps = comp.groupBy(col("component"))
+      .agg(min(col("doc_id")).as("keep_doc"))
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"),
+        TextOps.qualityScoreCol(col("text")).as("q"))
+    val j = docs.join(comp, "doc_id")
+      .join(reps, docs("doc_id") === reps("keep_doc"), "left")
+      .withColumn("kept", col("keep_doc").isNotNull)
+    j.groupBy(col("source"))
+      .agg(count(lit(1)).as("nd"),
+        sum(when(col("kept"), 0L).otherwise(1L)).as("nr"),
+        sum(when(col("kept"), col("q").cast("decimal(18,6)")))
+          .as("s_kept"),
+        sum(when(!col("kept"), col("q").cast("decimal(18,6)")))
+          .as("s_rem"))
+      .select(col("source"),
+        col("nd").cast("long").as("n_docs"),
+        col("nr").cast("long").as("n_removed"),
+        round(col("nr").cast("double") / col("nd"), 6)
+          .as("removal_rate"),
+        when(col("nd") - col("nr") > 0,
+          round(col("s_kept").cast("double") / (col("nd") - col("nr")),
+            6)).as("mean_q_kept"),
+        when(col("nr") > 0,
+          round(col("s_rem").cast("double") / col("nr"), 6))
+          .as("mean_q_removed"))
+  }
+
   /** Cross-source near-dup leakage matrix: how much near-duplicate
     * content each pair of sources shares — the audit that catches a
     * "web" crawl silently re-ingesting a "books" source (or a train
