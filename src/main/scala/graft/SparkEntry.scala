@@ -124,6 +124,7 @@ object SparkEntry {
     "src_jsonl_corrupt" -> (sources.JsonlCorpus.corruptAccounting _),
     // --- sstabledump tree ingestion (sources.SSTableDumpBridge) ---
     "src_sstabledump_tree" -> (sources.SSTableDumpBridge.treeAudit _),
+    "src_sstabledump_v2" -> (sources.SSTableDumpBridge.treeAuditV2 _),
     "src_schema_discovery" -> (sources.LakeDiscovery.discoveryAudit _),
     // --- corpus assembly (mixing / packing) ---
     "corp_source_mix" -> (CorpusOps.sourceMixAudit _),
@@ -1285,6 +1286,34 @@ object SparkEntry {
   //  - regexp_replace needs the 'g' flag (Spark replaces globally);
   //  - dayofweek() is 0=Sunday vs Spark 1=Sunday → +1;
   //  - doubles that feed outputs are rounded identically on both sides.
+  private lazy val sstabledumpTreeSql: String =
+    """WITH d AS (
+        | SELECT CAST(doc_id AS BIGINT) AS doc_id, source, n_chars,
+        |  doc_id % 10 AS k, doc_id % 4 AS f,
+        |  doc_id * 1000000 AS wt,
+        |  CASE WHEN doc_id % 2 = 0 THEN doc_id % 100 END AS ttl
+        | FROM documents),
+        |r AS (
+        | SELECT 'PARTITION_DELETION' AS row_kind, f, NULL AS wt2,
+        |   NULL AS ttl2, wt AS del, NULL AS vc FROM d WHERE k = 3
+        | UNION ALL
+        | SELECT 'ROW_DELETION', f, NULL, NULL, wt, NULL FROM d WHERE k = 7
+        | UNION ALL
+        | SELECT 'PK_LIVENESS', f, wt, ttl, NULL, NULL FROM d WHERE k = 5
+        | UNION ALL
+        | SELECT 'ROW', f, wt, ttl, NULL,
+        |   length(CAST(n_chars AS VARCHAR)) FROM d WHERE k NOT IN (3,5,7)
+        | UNION ALL
+        | SELECT 'ROW', f, wt + 10000000, ttl, NULL, length(source)
+        | FROM d WHERE k NOT IN (3,5,7))
+        |SELECT row_kind, count(*) AS n_rows,
+        | count(DISTINCT f) AS n_sstables,
+        | CAST(sum(wt2) AS BIGINT) AS sum_wt_off_us,
+        | CAST(sum(ttl2) AS BIGINT) AS sum_ttl_s,
+        | CAST(sum(del) AS BIGINT) AS sum_del_off_us,
+        | CAST(sum(vc) AS BIGINT) AS sum_value_chars
+        |FROM r GROUP BY 1""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "p1_ttl_strip" ->
       """SELECT event_id, user_id, event_type, value,
@@ -2178,33 +2207,10 @@ object SparkEntry {
         | END AS col_list,
         | count(*) AS n_rows
         |FROM d GROUP BY ks, t""".stripMargin,
-    "src_sstabledump_tree" ->
-      """WITH d AS (
-        | SELECT CAST(doc_id AS BIGINT) AS doc_id, source, n_chars,
-        |  doc_id % 10 AS k, doc_id % 4 AS f,
-        |  doc_id * 1000000 AS wt,
-        |  CASE WHEN doc_id % 2 = 0 THEN doc_id % 100 END AS ttl
-        | FROM documents),
-        |r AS (
-        | SELECT 'PARTITION_DELETION' AS row_kind, f, NULL AS wt2,
-        |   NULL AS ttl2, wt AS del, NULL AS vc FROM d WHERE k = 3
-        | UNION ALL
-        | SELECT 'ROW_DELETION', f, NULL, NULL, wt, NULL FROM d WHERE k = 7
-        | UNION ALL
-        | SELECT 'PK_LIVENESS', f, wt, ttl, NULL, NULL FROM d WHERE k = 5
-        | UNION ALL
-        | SELECT 'ROW', f, wt, ttl, NULL,
-        |   length(CAST(n_chars AS VARCHAR)) FROM d WHERE k NOT IN (3,5,7)
-        | UNION ALL
-        | SELECT 'ROW', f, wt + 10000000, ttl, NULL, length(source)
-        | FROM d WHERE k NOT IN (3,5,7))
-        |SELECT row_kind, count(*) AS n_rows,
-        | count(DISTINCT f) AS n_sstables,
-        | CAST(sum(wt2) AS BIGINT) AS sum_wt_off_us,
-        | CAST(sum(ttl2) AS BIGINT) AS sum_ttl_s,
-        | CAST(sum(del) AS BIGINT) AS sum_del_off_us,
-        | CAST(sum(vc) AS BIGINT) AS sum_value_chars
-        |FROM r GROUP BY 1""".stripMargin,
+    "src_sstabledump_tree" -> sstabledumpTreeSql,
+    // same oracle VERBATIM for the V2-connector ingestion path: one
+    // semantic contract, both IO paths held to it
+    "src_sstabledump_v2" -> sstabledumpTreeSql,
     // weighted mixing: the oracle replays the identical md5 coin
     // (DuckDB's hex-string cast = Spark's conv(...,16,10)) and the
     // cycling rate spec, so kept-set membership is exact per document

@@ -143,6 +143,25 @@ object SSTableDumpBridge {
           regexp_extract(col("_metadata.file_path"), "([^/]+/[^/]+)$", 1)),
       srcFile = true)
 
+  /** [[readTree]] through the [[SSTableDumpV2]] connector instead of
+    * the multiLine JSON source: the V2 reader streams one partition
+    * object at a time (per-task memory bounded by the largest
+    * Cassandra partition, not the dump file — the multiLine source
+    * materializes each whole file), then the SAME from_json schema
+    * and the SAME [[bridgeRows]] expression pipeline produce
+    * bit-identical bridge rows. One semantic definition, two IO
+    * paths; SSTableBridgeSpec pins their frame equality and the
+    * one-task-per-file parallelism. */
+  def readTreeV2(spark: SparkSession, root: String): DataFrame =
+    bridgeRows(
+      spark.read.format("sstabledump").load(root)
+        .select(
+          from_json(col("partition_json"), dumpSchema).as("p"),
+          col("sstable").as("_src_file"))
+        .select(col("p.partition").as("partition"),
+          col("p.rows").as("rows"), col("_src_file")),
+      srcFile = true)
+
   /** The partition→bridge-row expansion, as ONE expression tree over
     * ONE scan: every input partition computes an ARRAY of output rows
     * (partition deletion ∪ per-entry rows) which a single explode
@@ -327,10 +346,20 @@ object SSTableDumpBridge {
     * few thousand rows — the offset sum stays exactly as
     * timestamp-sensitive (a mis-parse shifts it) while bounded by
     * rows × max(doc_id)+10 seconds at any scale. */
-  def treeAudit(spark: SparkSession, sfDir: String): DataFrame = {
+  def treeAudit(spark: SparkSession, sfDir: String): DataFrame =
+    treeAuditWith(spark, sfDir, readTree)
+
+  /** The same audit through the V2 connector path — the oracle is
+    * shared verbatim with `src_sstabledump_tree`: one semantic
+    * contract, both IO paths held to it. */
+  def treeAuditV2(spark: SparkSession, sfDir: String): DataFrame =
+    treeAuditWith(spark, sfDir, readTreeV2)
+
+  private def treeAuditWith(spark: SparkSession, sfDir: String,
+      reader: (SparkSession, String) => DataFrame): DataFrame = {
     val baseUs = lit(TreeBase * 1000000L)
     val out = writeTreeFixture(spark, sfDir)
-    val audit = readTree(spark, out.toString)
+    val audit = reader(spark, out.toString)
       .groupBy(col("row_kind"))
       .agg(
         count(lit(1)).as("n_rows"),

@@ -385,4 +385,37 @@ class SSTableBridgeSpec extends SparkSpec {
       "--in", in, "--out", out, "--table", "t",
       "--format", "sstabledump", "--merge", "zzz")).isLeft)
   }
+
+  test("V2 connector: streamed tree read is frame-identical to the multiLine path") {
+    val out = SSTableDumpBridge.writeTreeFixture(spark, sfDir)
+    try {
+      val a = SSTableDumpBridge.readTree(spark, out.toString)
+      val b = SSTableDumpBridge.readTreeV2(spark, out.toString)
+      assert(b.schema === a.schema)
+      // symmetric difference empty = identical multisets (rows are
+      // unique here: every bridge row carries its partition key)
+      assert(a.exceptAll(b).count() === 0)
+      assert(b.exceptAll(a).count() === 0)
+    } finally Scratch.delete(out)
+  }
+
+  test("V2 connector: one task per dump file, pruning reaches the reader") {
+    val out = SSTableDumpBridge.writeTreeFixture(spark, sfDir)
+    try {
+      val raw = spark.read.format("sstabledump").load(out.toString)
+      // per-file parallelism: the fixture writes TreeFiles dump files
+      assert(raw.rdd.getNumPartitions === SSTableDumpBridge.TreeFiles)
+      // column pruning pushes into the connector: a sstable-only scan
+      // must not carry partition_json in its ReadSchema (the reader
+      // then skips JSON re-serialization entirely)
+      val pruned = raw.select("sstable")
+      val scan = pruned.queryExecution.executedPlan.collectLeaves()
+        .collectFirst {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+        }.getOrElse(fail("no BatchScanExec in plan"))
+      assert(scan.scan.readSchema().fieldNames.toSeq === Seq("sstable"),
+        "pruning did not reach the connector scan")
+      assert(pruned.distinct().count() === SSTableDumpBridge.TreeFiles)
+    } finally Scratch.delete(out)
+  }
 }
