@@ -45,7 +45,7 @@ import org.apache.spark.sql.SparkSession
   * Usage:
   *   graft.RemoverCli --in <dir> --out <dir> --table <name>
   *     [--keyspace <ks>] [--cpus <n>] [--format parquet|sstabledump]
-  *     [--merge lww]
+  *     [--merge lww] [--reader json|v2]
   *     [--pk <cols> --ck <cols> --cells <cols> --writetime <col>
   *      --ttl-key <col>]
   */
@@ -57,10 +57,12 @@ object RemoverCli {
       pk: Seq[String] = Seq.empty, ck: Seq[String] = Seq.empty,
       cells: Seq[String] = Seq.empty,
       writetime: Option[String] = None, ttlKey: Option[String] = None,
-      format: String = "parquet", merge: Option[String] = None)
+      format: String = "parquet", merge: Option[String] = None,
+      reader: String = "json")
 
   private val Flags = Set("in", "out", "table", "keyspace", "cpus",
-    "pk", "ck", "cells", "writetime", "ttl-key", "format", "merge")
+    "pk", "ck", "cells", "writetime", "ttl-key", "format", "merge",
+    "reader")
 
   private def csv(v: String): Seq[String] =
     v.split(',').map(_.trim).filter(_.nonEmpty).toSeq
@@ -99,8 +101,10 @@ object RemoverCli {
                   writetime = m.get("writetime"),
                   ttlKey = m.get("ttl-key"),
                   format = m.getOrElse("format", "parquet"),
-                  merge = m.get("merge"))
-                validateFormat(args).flatMap(validateMerge).flatMap(a =>
+                  merge = m.get("merge"),
+                  reader = m.getOrElse("reader", "json"))
+                validateFormat(args).flatMap(validateMerge)
+                  .flatMap(validateReader).flatMap(a =>
                   // the dump format brings its own liveness model, so
                   // the cell-spec rules below don't apply to it
                   if (a.format == "sstabledump") Right(a)
@@ -130,6 +134,20 @@ object RemoverCli {
         }
       case other => Left(s"unknown --format '$other' " +
         "(expected parquet or sstabledump)")
+    }
+
+  /** `--reader v2` routes dump ingestion through the streamed
+    * DataSourceV2 connector (partition-bounded memory — the right
+    * choice when single dump files are large); the default `json`
+    * reader is Spark's multiLine source (whole-file parse units).
+    * Only the dump format has a reader to choose. */
+  private def validateReader(a: CliArgs): Either[String, CliArgs] =
+    a.reader match {
+      case "json" => Right(a)
+      case "v2" =>
+        if (a.format == "sstabledump") Right(a)
+        else Left("--reader v2 requires --format sstabledump")
+      case other => Left(s"unknown --reader '$other' (expected json or v2)")
     }
 
   // --merge only means something over multi-generation dump input:
@@ -176,10 +194,12 @@ object RemoverCli {
   def run(spark: SparkSession, args: CliArgs): Long =
     if (args.format == "sstabledump" && args.merge.contains("lww"))
       graft.sources.SSTableDumpBridge.mergeTtlToDir(
-        spark, args.in, args.out, args.keyspace, args.table)
+        spark, args.in, args.out, args.keyspace, args.table,
+        reader = dumpReader(args))
     else if (args.format == "sstabledump")
       graft.sources.SSTableDumpBridge.removeTtlToDir(
-        spark, args.in, args.out, args.keyspace, args.table)
+        spark, args.in, args.out, args.keyspace, args.table,
+        reader = dumpReader(args))
     else if (args.cells.isEmpty) {
       val meta = CellModel.eventsMeta.copy(keyspace = args.keyspace)
       Pipeline.removeTtlFromDir(spark, args.in, args.out, meta)
@@ -191,13 +211,20 @@ object RemoverCli {
       Pipeline.removeTtl(cellified, meta, args.out)
     }
 
+  private def dumpReader(args: CliArgs)
+      : (SparkSession, String) => org.apache.spark.sql.DataFrame =
+    if (args.reader == "v2") graft.sources.SSTableDumpBridge.readTreeV2
+    else if (args.merge.contains("lww"))
+      graft.sources.SSTableDumpBridge.readTree
+    else graft.sources.SSTableDumpBridge.read
+
   def main(argv: Array[String]): Unit = parse(argv) match {
     case Left(err) =>
       System.err.println(s"error: $err")
       System.err.println(
         "usage: graft.RemoverCli --in <dir> --out <dir> --table <name>" +
           " [--keyspace <ks>] [--cpus <n>] [--format parquet|sstabledump]" +
-          " [--merge lww]" +
+          " [--merge lww] [--reader json|v2]" +
           " [--pk <cols> --ck <cols> --cells <cols> --writetime <col>" +
           " --ttl-key <col>]")
       sys.exit(2)

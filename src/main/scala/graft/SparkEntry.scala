@@ -248,6 +248,7 @@ object SparkEntry {
     "st_stream_join" -> (StreamingOps.streamStreamJoin _),
     "st_stream_join_left" -> (StreamingOps.streamStreamJoinLeft _),
     "st_jsonl_ingest" -> (StreamingOps.jsonlIngest _),
+    "st_dump_ingest" -> (StreamingOps.dumpIngest _),
     "st_corpus_gate" -> (StreamingOps.corpusGate _)
   )
 
@@ -2861,6 +2862,10 @@ object SparkEntry {
     // key emits exactly once — the batch DISTINCT, same as st_dedup
     "st_dedup_wm" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+    // streaming dump ingest: AvailableNow over the tree fixture lands
+    // on the exact batch audit frame — all three ingestion paths
+    // (multiLine, V2 connector, streaming) share this one oracle
+    "st_dump_ingest" -> sstabledumpTreeSql,
     // streaming JSONL ingest: one global Complete-mode aggregate over
     // the whole AvailableNow backlog = the batch accounting, same
     // constants-plus-good-side oracle as src_jsonl_corrupt

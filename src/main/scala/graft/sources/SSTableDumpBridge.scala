@@ -134,13 +134,20 @@ object SSTableDumpBridge {
     * filename→identity rule applied to dumps; one component alone
     * could collide across sibling directories) to every bridge row. */
   def readTree(spark: SparkSession, root: String): DataFrame =
-    bridgeRows(
+    bridgeTreeFrame(
       spark.read.schema(dumpSchema)
         .option("multiLine", "true")
         .option("recursiveFileLookup", "true")
-        .json(root)
-        .withColumn("_src_file",
-          regexp_extract(col("_metadata.file_path"), "([^/]+/[^/]+)$", 1)),
+        .json(root))
+
+  /** The tree expansion over any dump-schema frame (batch OR
+    * streaming — the projections/explodes in [[bridgeRows]] are
+    * stream-compatible): adds the file identity and expands. Lets the
+    * streaming ingest path reuse the one expansion definition. */
+  private[graft] def bridgeTreeFrame(raw: DataFrame): DataFrame =
+    bridgeRows(
+      raw.withColumn("_src_file",
+        regexp_extract(col("_metadata.file_path"), "([^/]+/[^/]+)$", 1)),
       srcFile = true)
 
   /** [[readTree]] through the [[SSTableDumpV2]] connector instead of
@@ -410,9 +417,10 @@ object SSTableDumpBridge {
     * directory of generations collapses to the table's effective
     * state in one shuffle. TTL metadata does not survive (value +
     * writetime only) — the merge IS the strip. */
-  def mergeTree(spark: SparkSession, root: String): DataFrame =
+  def mergeTree(spark: SparkSession, root: String,
+      reader: (SparkSession, String) => DataFrame = readTree): DataFrame =
     graft.ops.TtlOps.lwwMerge(
-      readTree(spark, root).select(
+      reader(spark, root).select(
         col("partition_key"), col("clustering"), col("row_kind"),
         col("name"), col("cell.value").as("value"),
         col("cell.writetime_us").as("writetime_us"), col("deletion_us")),
@@ -423,12 +431,13 @@ object SSTableDumpBridge {
     * discipline as [[removeTtlToDir]]. */
   def mergeTtlToDir(spark: SparkSession, dumpPath: String, outDir: String,
       keyspace: String, table: String,
-      saveMode: String = "errorifexists"): Long = {
+      saveMode: String = "errorifexists",
+      reader: (SparkSession, String) => DataFrame = readTree): Long = {
     val written = org.apache.spark.sql.Observation()
     // no repartition here: lwwMerge's output is already
     // hash-partitioned on partition_key (its one exchange), so the
     // sorted-sink shape only needs the within-partition sort
-    mergeTree(spark, dumpPath)
+    mergeTree(spark, dumpPath, reader)
       .sortWithinPartitions(col("partition_key"), col("clustering"),
         col("name"))
       .withColumn("keyspace", lit(keyspace))
@@ -446,9 +455,10 @@ object SSTableDumpBridge {
     * `--format sstabledump` entry point. */
   def removeTtlToDir(spark: SparkSession, dumpPath: String, outDir: String,
       keyspace: String, table: String,
-      saveMode: String = "errorifexists"): Long = {
+      saveMode: String = "errorifexists",
+      reader: (SparkSession, String) => DataFrame = read): Long = {
     val written = org.apache.spark.sql.Observation()
-    stripTtl(read(spark, dumpPath))
+    stripTtl(reader(spark, dumpPath))
       .withColumn("keyspace", lit(keyspace))
       .withColumn("table_name", lit(table))
       .observe(written, count(lit(1)).as("rows"))

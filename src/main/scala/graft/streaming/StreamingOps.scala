@@ -386,6 +386,46 @@ object StreamingOps {
     * AvailableNow over the fixed fixture makes the final Complete
     * emission equal the batch accounting — same oracle, exactly.
     */
+  /** Continuous SSTable-dump ingestion — the live form of the dump
+    * bridge: dumps arrive one file per SSTable (a compaction-export
+    * feed), the file stream paces them with `maxFilesPerTrigger`, and
+    * the SAME [[graft.sources.SSTableDumpBridge.bridgeTreeFrame]]
+    * expansion used by the batch and V2 paths runs unchanged inside
+    * the stream (projections + explode — no extra state). The
+    * streaming aggregate keeps (row_kind, sstable) partials —
+    * bounded by kinds × files, not rows — because streaming forbids
+    * countDistinct; the registered query finishes the per-kind
+    * rollup batch-side on the sink, landing on the EXACT same audit
+    * frame as `src_sstabledump_tree`, so all THREE ingestion paths
+    * (batch multiLine, V2 connector, streaming) share one oracle.
+    */
+  def dumpIngest(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.SSTableDumpBridge
+    val dir = SSTableDumpBridge.writeTreeFixture(spark, sfDir)
+    val baseUs = lit(SSTableDumpBridge.TreeBase * 1000000L)
+    val out = runSourceToMemory(spark,
+      s => SSTableDumpBridge.bridgeTreeFrame(
+        s.readStream.schema(SSTableDumpBridge.dumpSchema)
+          .option("multiLine", "true")
+          .option("maxFilesPerTrigger", "1")
+          .json(s"$dir/*/*")),
+      src => src.groupBy(col("row_kind"), col("sstable"))
+        .agg(count(lit(1)).as("nr"),
+          sum(col("cell.writetime_us") - baseUs).as("wt"),
+          sum(col("cell.ttl_s").cast("long")).as("tt"),
+          sum(col("deletion_us") - baseUs).as("dd"),
+          sum(length(col("cell.value")).cast("long")).as("vc")),
+      OutputMode.Complete())
+    graft.Scratch.delete(dir)
+    out.groupBy(col("row_kind"))
+      .agg(sum(col("nr")).cast("long").as("n_rows"),
+        count(lit(1)).cast("long").as("n_sstables"),
+        sum(col("wt")).cast("long").as("sum_wt_off_us"),
+        sum(col("tt")).cast("long").as("sum_ttl_s"),
+        sum(col("dd")).cast("long").as("sum_del_off_us"),
+        sum(col("vc")).cast("long").as("sum_value_chars"))
+  }
+
   def jsonlIngest(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.sources.JsonlCorpus
     val dir = JsonlCorpus.writeDamagedFixture(spark, sfDir)

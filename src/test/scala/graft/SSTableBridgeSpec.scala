@@ -386,6 +386,33 @@ class SSTableBridgeSpec extends SparkSpec {
       "--format", "sstabledump", "--merge", "zzz")).isLeft)
   }
 
+  test("RemoverCli --reader v2 runs the lifecycle through the connector, output-identical") {
+    val dumpDir = SSTableDumpBridge.writeTreeFixture(spark, sfDir)
+    try {
+      def runWith(reader: String): org.apache.spark.sql.DataFrame = {
+        val out = Scratch.dir("graft-cli-v2-").toString + "/o"
+        val argv = Array("--in", dumpDir.toString, "--out", out,
+          "--table", "t", "--format", "sstabledump",
+          "--reader", reader)
+        val args = RemoverCli.parse(argv)
+          .fold(e => fail(s"parse failed: $e"), identity)
+        RemoverCli.run(spark, args)
+        spark.read.parquet(out).localCheckpoint()
+      }
+      val viaJson = runWith("json")
+      val viaV2 = runWith("v2")
+      assert(viaV2.count() === viaJson.count())
+      assert(viaJson.exceptAll(viaV2).count() === 0)
+      assert(viaV2.exceptAll(viaJson).count() === 0)
+      // the reader choice only exists for the dump format
+      assert(RemoverCli.parse(Array("--in", "a", "--out", "b",
+        "--table", "t", "--reader", "v2")).isLeft)
+      assert(RemoverCli.parse(Array("--in", "a", "--out", "b",
+        "--table", "t", "--format", "sstabledump",
+        "--reader", "zzz")).isLeft)
+    } finally Scratch.delete(dumpDir)
+  }
+
   test("V2 connector: streamed tree read is frame-identical to the multiLine path") {
     val out = SSTableDumpBridge.writeTreeFixture(spark, sfDir)
     try {

@@ -314,4 +314,17 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("graft_paced").head().getLong(0) === total)
     spark.catalog.dropTempView("graft_paced")
   }
+
+  test("streaming dump ingest lands on the batch tree audit exactly") {
+    // three ingestion paths, one semantic contract: the paced
+    // AvailableNow stream's final Complete emission must equal the
+    // batch treeAudit frame row for row
+    val stream = graft.streaming.StreamingOps
+      .dumpIngest(spark, sfDir).localCheckpoint()
+    val batch = graft.sources.SSTableDumpBridge
+      .treeAudit(spark, sfDir)
+    assert(stream.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(stream).count() === 0)
+    assert(stream.count() === 4) // the four row kinds
+  }
 }
