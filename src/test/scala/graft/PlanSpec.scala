@@ -378,4 +378,41 @@ class PlanSpec extends SparkSpec {
     assert(p.linesIterator.count(_.contains("FileScan")) == 0,
       s"a profile consumer re-reads the corpus:\n$p")
   }
+
+  test("PQ re-rank: refine fetch is a broadcast probe, never a shuffled join") {
+    val p = plan(graft.ops.SimilarityOps.annPqRerank(spark, sfDir))
+    // every join in the two-stage plan (ADC candidate join + the
+    // raw-vector refine fetch) broadcasts its small side; a
+    // SortMergeJoin would mean the shortlist shuffled the corpus
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"refine stage shuffled a corpus-sized side:\n$p")
+  }
+
+  test("SQ8 flat: encode + score is scan + broadcast probe, no corpus exchange before ranking") {
+    val df = graft.ops.SimilarityOps.annSq8(spark, sfDir)
+    val p = plan(df)
+    // the only exchange allowed is the final top-k window's
+    // hash-partition on q_vec_id (|Q|·corpus candidate rows ranked);
+    // encode and scoring are per-row expressions over one scan
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffled to join:\n$p")
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      s"query side not broadcast:\n$p")
+  }
+
+  test("banding curve: one signature materialization feeds all five configs") {
+    val p = plan(graft.ops.DedupOps.minhashBandCurve(spark, sfDir))
+    // signatures are checkpointed once; banding, pair generation and
+    // the agreement joins all read the checkpoint (Scan ExistingRDD),
+    // so the corpus text is scanned ZERO times in the final plan
+    assert(p.linesIterator.count(_.contains("FileScan")) == 0,
+      s"a curve consumer re-reads the corpus:\n$p")
+  }
+
+  test("source drift: one corpus groupBy; grid and rollups on the tiny frame") {
+    val p = plan(graft.ops.SimilarityOps.sourceDrift(spark, sfDir))
+    assert(p.linesIterator.count(_.contains("FileScan")) == 0,
+      s"a drift consumer re-reads the corpus:\n$p")
+  }
 }
