@@ -105,6 +105,7 @@ object SparkEntry {
     "t_token_count" -> (TextOps.tokenCount _),
     "t_quality" -> (TextOps.qualityScore _),
     "t_langid" -> (TextOps.langId _),
+    "t_url_profile" -> (TextOps.urlProfile _),
     "t_fingerprint" -> (TextOps.fingerprint _),
     "t_rolling_fp" -> (TextOps.rollingFingerprint _),
     "t_tfidf" -> (TextOps.tfidfTopTerms _),
@@ -1900,6 +1901,19 @@ object SparkEntry {
         |   + 0.4 * (1.0 - punct / len)
         |   + 0.3 * least(1.0, 4.0 * stop / ntok), 6) AS quality_score
         |FROM s""".stripMargin,
+    // URL profile: the fixture URL is derived from (source, doc_id,
+    // lang), so the oracle replays host/path/query arithmetically
+    // while the Spark side genuinely parses with parse_url
+    "t_url_profile" ->
+      """WITH u AS (
+        | SELECT source || '.example.com' AS host,
+        |  '/docs/' || CAST(doc_id AS VARCHAR) AS path,
+        |  lang AS qlang
+        | FROM documents)
+        |SELECT host, count(*) AS n_docs,
+        | count(DISTINCT path) AS n_paths,
+        | count(DISTINCT qlang) AS n_langs
+        |FROM u GROUP BY host""".stripMargin,
     "t_langid" ->
       """WITH t AS (
         | SELECT doc_id, lang,

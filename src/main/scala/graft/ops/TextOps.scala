@@ -35,6 +35,33 @@ object TextOps {
     * funnel) score inline on their own scan instead of joining a
     * second pass of the table.
     */
+  /** URL/domain profiling — the web-corpus staple this surface
+    * lacked: crawl curation filters and reweights by DOMAIN (domain
+    * blocklists, per-host caps, registrable-domain dedup), so the
+    * engine must parse provenance URLs structurally, not with ad-hoc
+    * regexes. Documents carry no URL in the fixture, so one is
+    * derived deterministically from (source, doc_id, lang) — the
+    * bridge-fixture idiom: Spark then genuinely exercises
+    * `parse_url` (HOST / PATH / the `lang` QUERY parameter) while
+    * the oracle replays the derivation arithmetically. Per host:
+    * doc count, distinct paths (a near-1 paths/docs ratio = real
+    * pages; collapsed paths = a template site), distinct query
+    * langs. One scan, one groupBy — host cardinality ~ sources. */
+  def urlProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.load(spark, sfDir, "documents")
+      .withColumn("url", concat(lit("https://"), col("source"),
+        lit(".example.com/docs/"), col("doc_id"),
+        lit("?lang="), col("lang")))
+      .select(
+        parse_url(col("url"), lit("HOST")).as("host"),
+        parse_url(col("url"), lit("PATH")).as("path"),
+        parse_url(col("url"), lit("QUERY"), lit("lang")).as("qlang"))
+    d.groupBy(col("host"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("path")).as("n_paths"),
+        countDistinct(col("qlang")).as("n_langs"))
+  }
+
   def qualityScoreCol(text: Column): Column = {
     val t = toks(text)
     val nTok = size(t).cast("double")

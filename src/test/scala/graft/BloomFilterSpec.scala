@@ -79,4 +79,31 @@ class BloomFilterSpec extends SparkSpec {
     assert(spark.read.parquet(out)
       .filter(col("o_orderkey") === presentKey).count() === 1)
   }
+
+  test("runtime bloom-filter join injection fires on a selective shuffle join") {
+    // the OTHER bloom tier: beyond parquet's storage-side filters,
+    // Catalyst can inject a runtime bloom filter built from a
+    // selective join side into the big side's scan — at 100 TB this
+    // prunes most fact rows BEFORE the shuffle, the sibling of
+    // dynamic partition pruning (DppSpec). The fixture is tiny, so
+    // size thresholds drop to zero and broadcast is disabled to
+    // force the shuffle-join shape the rewrite targets.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s2.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.shuffle.partitions", "4")
+    val li = Tables.load(s2, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"))
+    val ord = Tables.load(s2, sfDir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val j = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .agg(sum(col("l_quantity")).as("q"))
+    assert(j.collect().nonEmpty)
+    val p = j.queryExecution.executedPlan.toString.toLowerCase
+    assert(p.contains("might_contain"),
+      s"runtime bloom filter not injected into the fact scan:\n$p")
+  }
 }
