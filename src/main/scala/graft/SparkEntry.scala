@@ -87,6 +87,7 @@ object SparkEntry {
     "w_running_sum" -> (AnalyticsOps.runningSum _),
     "w_lead_lag" -> (AnalyticsOps.leadLagGaps _),
     "w_sessionize" -> (AnalyticsOps.sessionize _),
+    "w_funnel_stages" -> (AnalyticsOps.funnelStages _),
     "w_session_window" -> (AnalyticsOps.sessionWindowAgg _),
     "g_salted_skew" -> (AnalyticsOps.saltedSkewAgg _),
     "j_skew" -> ((s: SparkSession, d: String) =>
@@ -1757,6 +1758,36 @@ object SparkEntry {
         |SELECT user_id, event_id,
         | CAST((epoch_us(ts) - epoch_us(prev_ts)) // 1000000 AS BIGINT) AS gap_s
         |FROM g""".stripMargin,
+    // ordered funnel: per-user stage timestamps via conditional mins
+    // (each stage strictly after the previous stage's entry), then
+    // the three-stage rollup; ts comparisons are order-equivalent
+    // across the engines' encodings, and only counts are emitted
+    "w_funnel_stages" ->
+      """WITH e AS (SELECT user_id, event_type, ts FROM events),
+        |s1 AS (SELECT user_id,
+        |  min(CASE WHEN event_type = 'view' THEN ts END) AS t1
+        | FROM e GROUP BY 1),
+        |s2 AS (SELECT e.user_id,
+        |  min(CASE WHEN e.event_type = 'click' AND e.ts > s1.t1
+        |    AND e.ts <= s1.t1 + INTERVAL 24 HOUR THEN e.ts END) AS t2
+        | FROM e JOIN s1 ON s1.user_id = e.user_id GROUP BY 1),
+        |s3 AS (SELECT e.user_id,
+        |  min(CASE WHEN e.event_type = 'purchase' AND e.ts > s2.t2
+        |    AND e.ts <= s2.t2 + INTERVAL 24 HOUR THEN e.ts END) AS t3
+        | FROM e JOIN s2 ON s2.user_id = e.user_id GROUP BY 1),
+        |a AS (SELECT count(t1) AS n1, count(t2) AS n2, count(t3) AS n3
+        | FROM s1 JOIN s2 USING (user_id) JOIN s3 USING (user_id))
+        |SELECT 1 AS stage, 'view' AS event_type,
+        | CAST(n1 AS BIGINT) AS n_users, CAST(NULL AS DOUBLE) AS conversion
+        |FROM a
+        |UNION ALL
+        |SELECT 2, 'click', CAST(n2 AS BIGINT),
+        | CASE WHEN n1 > 0 THEN round(CAST(n2 AS DOUBLE) / n1, 6) END
+        |FROM a
+        |UNION ALL
+        |SELECT 3, 'purchase', CAST(n3 AS BIGINT),
+        | CASE WHEN n2 > 0 THEN round(CAST(n3 AS DOUBLE) / n2, 6) END
+        |FROM a""".stripMargin,
     "w_sessionize" ->
       """WITH g AS (
         | SELECT user_id, ts, event_id,

@@ -267,6 +267,63 @@ object AnalyticsOps {
   /** lead/lag: inter-event gap in seconds per user. Micros truncation
     * happens per-row BEFORE the lag so it matches the oracle's
     * `epoch_us(ts) - epoch_us(prev_ts)` exactly. */
+  /** Ordered-funnel analysis — the event-sequence query product
+    * analytics runs constantly (view → click → purchase, IN ORDER):
+    * a user counts for stage k only if stage k's event happens
+    * strictly AFTER their stage k−1 entry (a purchase before any
+    * view is not funnel conversion). Three stacked Window operators
+    * over ONE user_id exchange compute the per-user stage
+    * timestamps — each stage's conditional min references the
+    * previous stage's column, and Spark plans all three windows on
+    * the same partitioning with no extra shuffle; the per-user
+    * frame then collapses to three stage rows with conversion
+    * rates. At 100 TB the single exchange moves (user, type, ts)
+    * triples once, and the funnel math rides the sort each window
+    * already needs. */
+  /** Conversion window for [[funnelStages]]: a stage counts only
+    * within 24 hours of the previous stage's entry — the bounded-
+    * window form real funnels use (an unbounded funnel saturates on
+    * any long-lived user). Nanos, matching the events encoding. */
+  val FunnelWindowNs: Long = 24L * 3600L * 1000000000L
+
+  def funnelStages(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val w = Window.partitionBy("user_id")
+    val staged = e
+      .withColumn("t1",
+        min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("t2",
+        min(when(col("event_type") === "click" && col("ts") > col("t1") &&
+          col("ts") <= col("t1") + lit(FunnelWindowNs),
+          col("ts"))).over(w))
+      .withColumn("t3",
+        min(when(col("event_type") === "purchase" && col("ts") > col("t2") &&
+          col("ts") <= col("t2") + lit(FunnelWindowNs),
+          col("ts"))).over(w))
+    val users = staged.groupBy(col("user_id"))
+      .agg(max(col("t1")).as("t1"), max(col("t2")).as("t2"),
+        max(col("t3")).as("t3"))
+    val a = users.agg(count(col("t1")).as("n1"),
+      count(col("t2")).as("n2"), count(col("t3")).as("n3"))
+    a.select(explode(array(
+      struct(lit(1).as("stage"), lit("view").as("event_type"),
+        col("n1").cast("long").as("n_users"),
+        lit(null).cast("double").as("conversion")),
+      struct(lit(2).as("stage"), lit("click").as("event_type"),
+        col("n2").cast("long").as("n_users"),
+        when(col("n1") > 0,
+          round(col("n2").cast("double") / col("n1"), 6))
+          .as("conversion")),
+      struct(lit(3).as("stage"), lit("purchase").as("event_type"),
+        col("n3").cast("long").as("n_users"),
+        when(col("n2") > 0,
+          round(col("n3").cast("double") / col("n2"), 6))
+          .as("conversion")))).as("s"))
+      .select(col("s.stage"), col("s.event_type"), col("s.n_users"),
+        col("s.conversion"))
+  }
+
   def leadLagGaps(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     Tables.load(spark, sfDir, "events")
