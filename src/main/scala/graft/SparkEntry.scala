@@ -88,6 +88,7 @@ object SparkEntry {
     "w_lead_lag" -> (AnalyticsOps.leadLagGaps _),
     "w_sessionize" -> (AnalyticsOps.sessionize _),
     "w_funnel_stages" -> (AnalyticsOps.funnelStages _),
+    "w_retention_cohorts" -> (AnalyticsOps.retentionCohorts _),
     "w_session_window" -> (AnalyticsOps.sessionWindowAgg _),
     "g_salted_skew" -> (AnalyticsOps.saltedSkewAgg _),
     "j_skew" -> ((s: SparkSession, d: String) =>
@@ -1758,6 +1759,32 @@ object SparkEntry {
         |SELECT user_id, event_id,
         | CAST((epoch_us(ts) - epoch_us(prev_ts)) // 1000000 AS BIGINT) AS gap_s
         |FROM g""".stripMargin,
+    // cohort retention: exact integer-division week bucketing on the
+    // nanos encoding in both engines (no float near week boundaries)
+    "w_retention_cohorts" ->
+      """WITH e AS (
+        | SELECT user_id, event_type,
+        |  epoch_ns(ts) // 86400000000000 AS day
+        | FROM events),
+        |cohort AS (
+        | SELECT user_id, min(day) AS cohort_day FROM e
+        | WHERE event_type = 'signup' GROUP BY 1),
+        |sizes AS (SELECT cohort_day, count(*) AS n_cohort FROM cohort
+        | GROUP BY 1),
+        |act AS (
+        | SELECT DISTINCT c.cohort_day, e.day - c.cohort_day AS day_offset,
+        |  e.user_id
+        | FROM e JOIN cohort c USING (user_id)
+        | WHERE e.event_type = 'purchase'
+        |  AND e.day - c.cohort_day BETWEEN 0 AND 7),
+        |roll AS (
+        | SELECT cohort_day, day_offset, count(*) AS n_active FROM act
+        | GROUP BY 1, 2)
+        |SELECT r.cohort_day, r.day_offset,
+        | CAST(r.n_active AS BIGINT) AS n_active,
+        | CAST(s.n_cohort AS BIGINT) AS n_cohort,
+        | round(CAST(r.n_active AS DOUBLE) / s.n_cohort, 6) AS retention
+        |FROM roll r JOIN sizes s USING (cohort_day)""".stripMargin,
     // ordered funnel: per-user stage timestamps via conditional mins
     // (each stage strictly after the previous stage's entry), then
     // the three-stage rollup; ts comparisons are order-equivalent

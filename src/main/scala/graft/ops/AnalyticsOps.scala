@@ -324,6 +324,46 @@ object AnalyticsOps {
         col("s.conversion"))
   }
 
+  /** Epoch-day width in nanos for [[retentionCohorts]]. */
+  val DayNs: Long = 86400L * 1000000000L
+
+  /** Cohort retention — the funnel's longitudinal companion: users
+    * cohort by their first-signup DAY, and each cohort reports how
+    * many members PURCHASED on days +0..+7 after it (purchase
+    * activity, not any-event — the fixture's events are dense enough
+    * that any-event retention saturates at 1.0 and measures
+    * nothing). Day indexing is EXACT integer division of the nanos
+    * timestamp (`div` / `//` — no float rounding near bucket
+    * boundaries), so both engines bucket identically. Plan: one
+    * groupBy(user) for the cohort frame, one equi-join back to
+    * events (at 100 TB the cohort frame is users-sized and the join
+    * key-distributes with the event scan), a distinct on (cohort,
+    * offset, user) — the per-user activity flag — and tiny rollups. */
+  def retentionCohorts(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), col("event_type"),
+        expr(s"ts div ${DayNs}L").as("day"))
+    val cohort = e.filter(col("event_type") === "signup")
+      .groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort_day"))
+    val sizes = cohort.groupBy(col("cohort_day"))
+      .agg(count(lit(1)).as("n_cohort"))
+    val active = e.filter(col("event_type") === "purchase")
+      .join(cohort, "user_id")
+      .withColumn("day_offset", col("day") - col("cohort_day"))
+      .filter(col("day_offset") >= 0 && col("day_offset") <= 7)
+      .select(col("cohort_day"), col("day_offset"), col("user_id"))
+      .distinct()
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(count(lit(1)).as("n_active"))
+    active.join(sizes, "cohort_day")
+      .select(col("cohort_day"), col("day_offset"),
+        col("n_active").cast("long").as("n_active"),
+        col("n_cohort").cast("long").as("n_cohort"),
+        round(col("n_active").cast("double") / col("n_cohort"), 6)
+          .as("retention"))
+  }
+
   def leadLagGaps(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     Tables.load(spark, sfDir, "events")
