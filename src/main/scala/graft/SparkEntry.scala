@@ -205,11 +205,13 @@ object SparkEntry {
     "sim_ann_ivf" -> (SimilarityOps.annIvf _),
     "sim_ann_ivf_mp" -> (SimilarityOps.annIvfMp _),
     "sim_ann_ivf_t" -> (SimilarityOps.annIvfTrained _),
+    "sim_ann_ivf_persist" -> (SimilarityOps.annIvfPersist _),
     "sim_ann_ivfpq" -> (SimilarityOps.annIvfPq _),
     "sim_ann_ivfpq_t" -> (SimilarityOps.annIvfPqTrained _),
     "sim_ann_pq_rerank" -> (SimilarityOps.annPqRerank _),
     "sim_ann_sq8" -> (SimilarityOps.annSq8 _),
     "sim_ann_recall_sq8" -> (SimilarityOps.annRecallSq8 _),
+    "sim_ann_tier_matrix" -> (SimilarityOps.annTierMatrix _),
     "sim_ann_ivfsq8" -> (SimilarityOps.annIvfSq8 _),
     "sim_ann_recall_ivfsq8" -> (SimilarityOps.annRecallIvfSq8 _),
     "sim_ann_recall_pq" -> (SimilarityOps.annRecallIvfPq _),
@@ -1111,6 +1113,30 @@ object SparkEntry {
     SimilarityOps.ProbeCurve
       .map(p => s"SELECT * FROM ${probeCurvePointSql(p)}")
       .mkString("\nUNION ALL\n")
+
+  /** Tier-matrix oracle: each tier's existing recall chain embedded
+    * verbatim and aggregated — the one-pager is definitionally the
+    * union of the per-tier measurements. */
+  private lazy val annTierMatrixSql: String = {
+    val tiers: Seq[(String, String)] = Seq(
+      "lsh" -> annRecallSql,
+      "ivf" -> annRecallIvfSqlP(1),
+      "ivf_mp" -> annRecallIvfSqlP(2),
+      "ivf_t" -> annRecallIvfSqlP(1, trained = true),
+      "sq8_flat" -> annRecallEmbedSql(annSq8Sql),
+      "ivf_sq8" -> annRecallEmbedSql(annIvfSq8Sql),
+      "ivf_pq" -> annRecallPqSqlP(1),
+      "pq_rerank" -> annRecallEmbedSql(annPqRerankSqlP()))
+    val bytes = SimilarityOps.TierBytes.toMap
+    tiers.map { case (n, sql) =>
+      s"""SELECT '$n' AS tier, ${bytes(n)} AS bytes_per_vec,
+         | CAST(sum(n_hits) AS BIGINT) AS n_hits,
+         | round(CAST(sum(n_hits) AS DOUBLE) / 24.0, 6) AS recall
+         |FROM (
+         |$sql
+         |) t_$n""".stripMargin
+    }.mkString("\nUNION ALL\n")
+  }
 
   /** Shared recall@3 oracle scaffold: `nCtes` must define a CTE `n`
     * with columns (vec_id, e, nrm, `key`); the brute side ranks over
@@ -2770,11 +2796,15 @@ object SparkEntry {
     "sim_ann_ivf" -> annIvfSql,
     "sim_ann_ivf_mp" -> annIvfSqlP(2),
     "sim_ann_ivf_t" -> annIvfSqlP(1, trained = true),
+    // serving from the parquet-reloaded index must answer EXACTLY
+    // like the job that trained it — same oracle verbatim
+    "sim_ann_ivf_persist" -> annIvfSqlP(1, trained = true),
     "sim_ann_ivfpq" -> annIvfPqSql,
     "sim_ann_ivfpq_t" -> annIvfPqSqlP(1, trained = true),
     "sim_ann_pq_rerank" -> annPqRerankSqlP(),
     "sim_ann_sq8" -> annSq8Sql,
     "sim_ann_recall_sq8" -> annRecallEmbedSql(annSq8Sql),
+    "sim_ann_tier_matrix" -> annTierMatrixSql,
     "sim_ann_ivfsq8" -> annIvfSq8Sql,
     "sim_ann_recall_ivfsq8" -> annRecallEmbedSql(annIvfSq8Sql),
     "sim_ann_recall_pq" -> annRecallPqSql,

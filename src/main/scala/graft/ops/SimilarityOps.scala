@@ -840,6 +840,94 @@ object SimilarityOps {
         cacheKey = Some(s"$sfDir|trained")))
   }
 
+  /** Trained-index persistence — the FAISS write_index/read_index
+    * lifecycle (and the ANN analogue of `a2_sketch_persist`'s
+    * cross-run Statistics.db workflow): the Lloyd-trained coarse
+    * centroids write to a parquet artifact (one row per centroid),
+    * a FRESH read reloads them, and serving runs entirely off the
+    * reloaded copy. Doubles round-trip parquet bit-exactly, so the
+    * reloaded index serves bit-identical results — the registered
+    * query shares `sim_ann_ivf_t`'s oracle VERBATIM, which is the
+    * point: an index built once on one cluster job and served by
+    * another must answer exactly like the job that built it.
+    * EstimatorSpec additionally pins the array-level bit equality. */
+  def reloadedCentroids(spark: SparkSession,
+      sfDir: String): Array[Array[Double]] = {
+    val cs = trainedCentroids(spark, sfDir)
+    val out = graft.Scratch.dir("graft-ivf-index-")
+    import spark.implicits._
+    cs.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "c")
+      .repartition(1)
+      .write.mode("overwrite").parquet(out.toString)
+    val back = spark.read.parquet(out.toString)
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).map(_._2)
+    graft.Scratch.delete(out)
+    back
+  }
+
+  /** IVF serving from the RELOADED trained index — must equal
+    * [[annIvfTrained]] exactly (shared oracle). */
+  def annIvfPersist(spark: SparkSession, sfDir: String): DataFrame =
+    annIvfOf(withNorm(Tables.load(spark, sfDir, "embeddings")),
+      cs = reloadedCentroids(spark, sfDir), l2 = true)
+
+  /** Serving-representation bytes per vector for [[annTierMatrix]] —
+    * what the index stores per corpus vector at scale: raw float32
+    * (4·64 = 256 B); IVF adds a 4 B cell id; SQ8 stores 64 byte
+    * codes + an 8 B recon norm; IVF-PQ stores 4 byte codes + 8 B
+    * recon norm + 4 B cell. The PQ re-rank serves from the PQ index
+    * (refine fetches raw vectors for a shortlist only, so the INDEX
+    * footprint is PQ's). */
+  val TierBytes: Seq[(String, Int)] = Seq(
+    "lsh" -> 256, "ivf" -> 260, "ivf_mp" -> 260, "ivf_t" -> 260,
+    "sq8_flat" -> 72, "ivf_sq8" -> 76, "ivf_pq" -> 16,
+    "pq_rerank" -> 16)
+
+  /** The ANN deployment one-pager: every index tier's aggregate
+    * recall@3 next to its serving footprint, measured in ONE query —
+    * the table that decides which index a 100 TB corpus serves with.
+    * The normalized corpus and the brute-force truth side materialize
+    * ONCE and feed all eight tiers (Catalyst shares no subtrees
+    * across union branches — without the checkpoints each tier would
+    * re-run the brute top-k, the dominant cost); each tier's index
+    * runs over the checkpointed vectors (the coded PQ corpus comes
+    * from its build-once memo). Recall denominators are the audit
+    * constant 8 queries × top-3 = 24 true neighbors. */
+  def annTierMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = withNorm(Tables.load(spark, sfDir, "embeddings"))
+      .localCheckpoint()
+    val brute = cosineTopKOf(v).filter(col("rk") <= 3)
+      .select(col("q_vec_id"), col("neighbor_vec_id"))
+      .localCheckpoint()
+    val books = pqCodebooks(spark, sfDir)
+    val csT = trainedCentroids(spark, sfDir)
+    val bounds = sq8BoundsOf(v, sfDir)
+    val tiers: Seq[(String, DataFrame)] = Seq(
+      "lsh" -> annLshOf(v),
+      "ivf" -> annIvfOf(v),
+      "ivf_mp" -> annIvfOf(v, nprobe = 2),
+      "ivf_t" -> annIvfOf(v, cs = csT, l2 = true),
+      "sq8_flat" -> annSq8Of(v, bounds),
+      "ivf_sq8" -> annIvfSq8Of(v, bounds),
+      "ivf_pq" -> annIvfPqOf(v, books, cacheKey = Some(s"$sfDir|init")),
+      "pq_rerank" -> annPqRerankOf(v, books,
+        cacheKey = Some(s"$sfDir|init")))
+    val bytes = TierBytes.toMap
+    tiers.map { case (name, ann) =>
+      brute.join(
+        ann.select(col("q_vec_id"), col("neighbor_vec_id"))
+          .withColumn("hit", lit(1L)),
+        Seq("q_vec_id", "neighbor_vec_id"), "left")
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("h"))
+        .select(lit(name).as("tier"),
+          lit(bytes(name)).as("bytes_per_vec"),
+          col("h").cast("long").as("n_hits"),
+          round(col("h").cast("double") / 24.0, 6).as("recall"))
+    }.reduce(_ unionByName _)
+  }
+
   /** nprobe settings the tuning curve measures. */
   val ProbeCurve: Seq[Int] = Seq(1, 2, 4)
 

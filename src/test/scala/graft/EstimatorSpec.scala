@@ -409,6 +409,16 @@ class EstimatorSpec extends SparkSpec {
     assert(sq8 >= 20, s"SQ8 hits $sq8 unexpectedly low (24 = perfect)")
   }
 
+  test("trained index round-trips parquet bit-exactly (write_index/read_index)") {
+    val cs = SimilarityOps.trainedCentroids(spark, sfDir)
+    val back = SimilarityOps.reloadedCentroids(spark, sfDir)
+    assert(back.length === cs.length)
+    cs.indices.foreach { i =>
+      assert(java.util.Arrays.equals(cs(i), back(i)),
+        s"centroid $i changed across the parquet round-trip")
+    }
+  }
+
   test("source drift: histogram divergence and shares are well-formed") {
     val rows = SimilarityOps.sourceDrift(spark, sfDir).collect()
     assert(rows.nonEmpty)
