@@ -143,6 +143,7 @@ object SparkEntry {
     "corp_temperature_mix" -> (CorpusOps.temperatureMixAudit _),
     "corp_version_diff" -> (CorpusOps.versionDiffAudit _),
     "corp_chunk" -> (CorpusOps.chunkAudit _),
+    "corp_chunk_cdc" -> (CorpusOps.chunkCdcAudit _),
     "corp_adaptive_quality" -> ((s: SparkSession, d: String) =>
       CorpusOps.adaptiveQualityGate(s, d)),
     // --- dedup ---
@@ -2409,6 +2410,35 @@ object SparkEntry {
     // below n_tokens; slice capped at 64) and digests the same
     // space-joined text, so window contents and boundaries compare
     // exactly — DuckDB slice l[a:b] is inclusive, hence start+window
+    // CDC chunking: candidate cuts where the 4-token window hash is
+    // divisible by the modulus, boundary list [0]+cuts+[n], chunks as
+    // inclusive slices between consecutive boundaries — the same
+    // locally-decidable arithmetic in both engines
+    "corp_chunk_cdc" ->
+      s"""WITH d AS (
+        | SELECT doc_id, source,
+        |  string_split_regex(trim(text), '\\s+') AS t
+        | FROM documents),
+        |d2 AS (SELECT doc_id, source, t, len(t) AS n FROM d
+        | WHERE len(t) >= 1),
+        |c AS (SELECT doc_id, source, t, n,
+        |  CASE WHEN n > ${CorpusOps.CdcWindow} THEN
+        |   list_filter(list_transform(list_filter(
+        |     range(n - ${CorpusOps.CdcWindow}),
+        |     i -> ${md5HashSql(
+               s"array_to_string(t[i+1:i+${CorpusOps.CdcWindow}], ' ')")}
+        |       % ${CorpusOps.CdcModulus} = 0),
+        |    i -> i + ${CorpusOps.CdcWindow}), x -> x < n)
+        |  ELSE CAST([] AS BIGINT[]) END AS cuts FROM d2),
+        |b0 AS (SELECT doc_id, source, t,
+        |  list_concat(list_concat([0], cuts), [n]) AS b FROM c),
+        |e AS (SELECT doc_id, source, t, b,
+        |  unnest(range(1, len(b))) AS k FROM b0)
+        |SELECT doc_id, source, CAST(k - 1 AS BIGINT) AS chunk_idx,
+        | CAST(b[k] + 1 AS BIGINT) AS start_tok,
+        | CAST(b[k+1] - b[k] AS BIGINT) AS n_tokens,
+        | md5(array_to_string(t[b[k]+1:b[k+1]], ' ')) AS chunk_md5
+        |FROM e""".stripMargin,
     // as an exclusive bound maps to [start+1 : start+window]
     "corp_chunk" ->
       """WITH t AS (

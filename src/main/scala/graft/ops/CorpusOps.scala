@@ -157,6 +157,79 @@ object CorpusOps {
   def chunkAudit(spark: SparkSession, sfDir: String): DataFrame =
     chunk(Tables.load(spark, sfDir, "documents"), window = 64, stride = 48)
 
+  /** CDC hash-window width and boundary modulus: a token position
+    * ends a chunk when the md5-derived hash of the [[CdcWindow]]
+    * tokens ending there is ≡ 0 mod [[CdcModulus]] — so chunks
+    * average ~[[CdcModulus]] tokens and every boundary is a pure
+    * function of LOCAL content. */
+  val CdcWindow = 4
+  val CdcModulus = 16L
+
+  /** Content-defined chunking (the FastCDC/rsync boundary idea on
+    * token streams): fixed-stride chunking ([[chunk]]) shatters under
+    * a single inserted token — every downstream window shifts and no
+    * chunk digest survives — while CDC cuts where the CONTENT says
+    * to, so after an insertion the boundaries realign as soon as the
+    * hash window clears the edit and the rest of the document's
+    * chunks are byte-identical again. That re-alignment is what makes
+    * chunk-level dedup robust on near-identical documents (the
+    * dominant large-corpus case: boilerplate edits, prepended
+    * headers), and CurationSpec pins it: a prefix insertion preserves
+    * most CDC digests and ~none of the fixed-stride ones.
+    *
+    * No min/max chunk caps: caps would need a sequential fold over
+    * candidate cuts (cut admission depends on the previous admitted
+    * cut), which neither engine expresses as a pure projection —
+    * the uncapped form keeps boundaries locally decidable and
+    * SQL-replayable; pathological runs of boundary hashes merely
+    * yield short chunks (mean stays ~modulus), and a production
+    * deployment wanting caps composes [[chunk]]'s stride as a
+    * fallback splitter on oversized CDC chunks.
+    *
+    * Scale shape: everything per-row expressions over one scan
+    * (candidate cuts → boundary list → chunk explode); the output is
+    * chunk rows carrying 32-char digests, never re-joined to text. */
+  def chunkCdc(docs: DataFrame, w: Int = CdcWindow,
+      m: Long = CdcModulus): DataFrame = {
+    val t = split(trim(col("text")), "\\s+")
+    val base = docs
+      .select(col("doc_id"), col("source"), t.as("t"))
+      .withColumn("n", size(col("t")))
+      .filter(col("n") >= 1)
+    // candidate cut AFTER token i+w (1-based): the hash window is
+    // tokens [i+1, i+w]; cuts strictly inside the document only
+    val cuts = filter(
+      transform(
+        filter(sequence(lit(0), col("n") - w - 1),
+          i => conv(substring(md5(concat_ws(" ",
+            slice(col("t"), i + 1, lit(w)))), 1, 8), 16, 10).cast("long")
+            % m === 0),
+        i => i + w),
+      c => c < col("n"))
+    // n <= w admits no interior cut (the only candidate would be the
+    // document end); the guard also keeps sequence() ascending
+    val withB = base.withColumn("b",
+      concat(array(lit(0)),
+        when(col("n") > w, cuts).otherwise(array().cast("array<int>")),
+        array(col("n"))))
+    withB
+      .select(col("doc_id"), col("source"), col("t"),
+        explode(sequence(lit(1), size(col("b")) - 1)).as("k"),
+        col("b"))
+      .select(col("doc_id"), col("source"),
+        (col("k") - 1).cast("long").as("chunk_idx"),
+        (element_at(col("b"), col("k")) + 1).cast("long").as("start_tok"),
+        (element_at(col("b"), col("k") + 1) -
+          element_at(col("b"), col("k"))).cast("long").as("n_tokens"),
+        md5(concat_ws(" ", slice(col("t"),
+          element_at(col("b"), col("k")) + 1,
+          element_at(col("b"), col("k") + 1) -
+            element_at(col("b"), col("k"))))).as("chunk_md5"))
+  }
+
+  def chunkCdcAudit(spark: SparkSession, sfDir: String): DataFrame =
+    chunkCdc(Tables.load(spark, sfDir, "documents"))
+
   /** Corpus version diff — the release audit: what changed between
     * corpus v1 and v2, per source. Each side reduces to a narrow
     * (doc_id, source, content-hash) projection, then ONE full-outer

@@ -168,4 +168,42 @@ class CurationSpec extends SparkSpec {
       assert(interleaved === 0L, "tercile score ranges interleave")
     } finally out.unpersist()
   }
+
+  test("CDC chunking realigns after a prefix insertion; fixed stride does not") {
+    import graft.ops.CorpusOps
+    // a long document and a copy with three tokens prepended — the
+    // dominant near-identical-document shape (prepended header)
+    val toks = (1 to 200).map(i => s"w${i % 37}x$i")
+    val orig = toks.mkString(" ")
+    val shifted = "hdr1 hdr2 hdr3 " + orig
+    val docs = Seq((1L, "a", orig), (2L, "a", shifted))
+      .toDF("doc_id", "source", "text")
+    def digests(df: org.apache.spark.sql.DataFrame, id: Long): Set[String] =
+      df.filter(col("doc_id") === id).select("chunk_md5")
+        .collect().map(_.getString(0)).toSet
+    val cdc = CorpusOps.chunkCdc(docs).localCheckpoint()
+    val c1 = digests(cdc, 1L); val c2 = digests(cdc, 2L)
+    val cdcShared = (c1 & c2).size.toDouble / c1.size
+    // content-defined boundaries realign once the hash window clears
+    // the edit: most of the original's chunks survive verbatim
+    assert(cdcShared >= 0.5,
+      f"CDC kept only $cdcShared%.2f of chunks across a prefix edit")
+    val fix = CorpusOps.chunk(docs, window = 16, stride = 16)
+      .localCheckpoint()
+    val f1 = fix.filter(col("doc_id") === 1L).select("chunk_md5")
+      .collect().map(_.getString(0)).toSet
+    val f2 = fix.filter(col("doc_id") === 2L).select("chunk_md5")
+      .collect().map(_.getString(0)).toSet
+    val fixShared = (f1 & f2).size.toDouble / f1.size
+    assert(fixShared < cdcShared,
+      s"fixed stride ($fixShared) not worse than CDC ($cdcShared)")
+    // CDC chunks partition each document exactly
+    val part = CorpusOps.chunkCdc(docs)
+      .groupBy(col("doc_id")).agg(sum(col("n_tokens")).as("s"),
+        min(col("start_tok")).as("mn"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(part(1L) === ((200L, 1L)))
+    assert(part(2L) === ((203L, 1L)))
+  }
 }
