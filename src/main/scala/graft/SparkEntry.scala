@@ -1786,8 +1786,8 @@ object SparkEntry {
         |SELECT user_id, event_id,
         | CAST((epoch_us(ts) - epoch_us(prev_ts)) // 1000000 AS BIGINT) AS gap_s
         |FROM g""".stripMargin,
-    // cohort retention: exact integer-division week bucketing on the
-    // nanos encoding in both engines (no float near week boundaries)
+    // cohort retention: exact integer-division day bucketing on the
+    // nanos encoding in both engines (no float near day boundaries)
     "w_retention_cohorts" ->
       """WITH e AS (
         | SELECT user_id, event_type,

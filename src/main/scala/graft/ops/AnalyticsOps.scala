@@ -264,9 +264,6 @@ object AnalyticsOps {
       .select(col("user_id"), col("event_id"), col("running_value"))
   }
 
-  /** lead/lag: inter-event gap in seconds per user. Micros truncation
-    * happens per-row BEFORE the lag so it matches the oracle's
-    * `epoch_us(ts) - epoch_us(prev_ts)` exactly. */
   /** Ordered-funnel analysis — the event-sequence query product
     * analytics runs constantly (view → click → purchase, IN ORDER):
     * a user counts for stage k only if stage k's event happens
@@ -364,6 +361,9 @@ object AnalyticsOps {
           .as("retention"))
   }
 
+  /** lead/lag: inter-event gap in seconds per user. Micros truncation
+    * happens per-row BEFORE the lag so it matches the oracle's
+    * `epoch_us(ts) - epoch_us(prev_ts)` exactly. */
   def leadLagGaps(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     Tables.load(spark, sfDir, "events")

@@ -30,11 +30,6 @@ object TextOps {
         size(regexp_extract_all(col("text"),
           lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).as("pre_tokens"))
 
-  /** The blended quality score over a `text` column, exposed as a
-    * reusable expression so composed pipelines (the corpus-assembly
-    * funnel) score inline on their own scan instead of joining a
-    * second pass of the table.
-    */
   /** URL/domain profiling — the web-corpus staple this surface
     * lacked: crawl curation filters and reweights by DOMAIN (domain
     * blocklists, per-host caps, registrable-domain dedup), so the
@@ -62,6 +57,11 @@ object TextOps {
         countDistinct(col("qlang")).as("n_langs"))
   }
 
+  /** The blended quality score over a `text` column, exposed as a
+    * reusable expression so composed pipelines (the corpus-assembly
+    * funnel) score inline on their own scan instead of joining a
+    * second pass of the table.
+    */
   def qualityScoreCol(text: Column): Column = {
     val t = toks(text)
     val nTok = size(t).cast("double")

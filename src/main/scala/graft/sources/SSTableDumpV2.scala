@@ -4,8 +4,8 @@ import java.util.{Map => JMap}
 
 import com.fasterxml.jackson.core.{JsonFactory, JsonToken}
 import com.fasterxml.jackson.databind.ObjectMapper
-import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
@@ -14,6 +14,7 @@ import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
 
 /** DataSourceV2 connector for `sstabledump` JSON trees —
   * `spark.read.format("sstabledump").load(root)`.
@@ -82,14 +83,21 @@ object SSTableDumpV2 {
 
   private class DumpScan(path: String, required: StructType)
       extends Scan with Batch {
+    // the SESSION's Hadoop conf, captured at scan build (fs.defaultFS,
+    // object-store credentials, spark.hadoop.* overrides), and shipped
+    // to executors inside the reader factory — a bare
+    // `new Configuration()` would resolve default-configured
+    // filesystems only, silently ignoring the lake's settings
+    private val hconf = new SerializableConfiguration(
+      SparkSession.active.sessionState.newHadoopConf())
+
     override def readSchema(): StructType = required
     override def toBatch: Batch = this
 
     /** One InputPartition per dump file — the per-file parallelism
       * unit; files sorted by path for deterministic partition ids. */
     override def planInputPartitions(): Array[InputPartition] = {
-      val fs = FileSystem.get(java.net.URI.create(path),
-        new Configuration())
+      val fs = FileSystem.get(java.net.URI.create(path), hconf.value)
       val files = scala.collection.mutable.ArrayBuffer.empty[String]
       val it = fs.listFiles(new HPath(path), true)
       while (it.hasNext) {
@@ -105,18 +113,19 @@ object SSTableDumpV2 {
     }
 
     override def createReaderFactory(): PartitionReaderFactory =
-      new DumpReaderFactory(required.fieldNames)
+      new DumpReaderFactory(required.fieldNames, hconf)
   }
 
   private case class DumpFilePartition(file: String)
       extends InputPartition
 
-  private class DumpReaderFactory(cols: Array[String])
+  private class DumpReaderFactory(cols: Array[String],
+      hconf: SerializableConfiguration)
       extends PartitionReaderFactory {
     override def createReader(
         partition: InputPartition): PartitionReader[InternalRow] =
       new DumpPartitionReader(
-        partition.asInstanceOf[DumpFilePartition].file, cols)
+        partition.asInstanceOf[DumpFilePartition].file, cols, hconf.value)
   }
 
   /** Streams one dump file: expects the top-level `[ {...}, ... ]`
@@ -125,7 +134,8 @@ object SSTableDumpV2 {
     * the array. The `sstable` identity is the file's last two path
     * components (the S2 filename→identity rule, matching
     * [[SSTableDumpBridge.readTree]]). */
-  private class DumpPartitionReader(file: String, cols: Array[String])
+  private class DumpPartitionReader(file: String, cols: Array[String],
+      conf: org.apache.hadoop.conf.Configuration)
       extends PartitionReader[InternalRow] {
     private val sstable = {
       val parts = file.split('/')
@@ -133,19 +143,25 @@ object SSTableDumpV2 {
     }
     private val needJson = cols.contains("partition_json")
     private val stream = FileSystem
-      .get(java.net.URI.create(file), new Configuration())
+      .get(java.net.URI.create(file), conf)
       .open(new HPath(file))
     private val parser = new JsonFactory().createParser(
       stream: java.io.InputStream)
     private val mapper = new ObjectMapper()
     private var row: InternalRow = _
-    locally {
-      val first = parser.nextToken()
-      require(first == JsonToken.START_ARRAY,
-        s"$file: expected a top-level JSON array, got $first")
-    }
+    // top-level-array validation happens on the FIRST next(), not in
+    // the constructor: by next() the reader has been returned and
+    // Spark's task-completion listener owns close(), so a malformed
+    // or empty dump file fails the task WITHOUT leaking the stream
+    private var started = false
 
     override def next(): Boolean = {
+      if (!started) {
+        val first = parser.nextToken()
+        require(first == JsonToken.START_ARRAY,
+          s"$file: expected a top-level JSON array, got $first")
+        started = true
+      }
       val t = parser.nextToken()
       if (t == null || t == JsonToken.END_ARRAY) false
       else {
