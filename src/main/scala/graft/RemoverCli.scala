@@ -44,7 +44,8 @@ import org.apache.spark.sql.SparkSession
   *
   * Usage:
   *   graft.RemoverCli --in <dir> --out <dir> --table <name>
-  *     [--keyspace <ks>] [--cpus <n>] [--format parquet|sstabledump]
+  *     [--keyspace <ks>] [--cpus <n>]
+  *     [--format parquet|sstabledump|sstable]
   *     [--merge lww] [--reader json|v2]
   *     [--pk <cols> --ck <cols> --cells <cols> --writetime <col>
   *      --ttl-key <col>]
@@ -105,9 +106,9 @@ object RemoverCli {
                   reader = m.getOrElse("reader", "json"))
                 validateFormat(args).flatMap(validateMerge)
                   .flatMap(validateReader).flatMap(a =>
-                  // the dump format brings its own liveness model, so
-                  // the cell-spec rules below don't apply to it
-                  if (a.format == "sstabledump") Right(a)
+                  // dump/binary formats bring their own liveness
+                  // model, so the cell-spec rules don't apply to them
+                  if (isDump(a)) Right(a)
                   else validateCellSpec(a))
             }
           }
@@ -122,10 +123,10 @@ object RemoverCli {
   private def validateFormat(a: CliArgs): Either[String, CliArgs] =
     a.format match {
       case "parquet" => Right(a)
-      case "sstabledump" =>
+      case "sstabledump" | "sstable" =>
         if (a.cells.nonEmpty || a.pk.nonEmpty || a.ck.nonEmpty ||
           a.writetime.nonEmpty || a.ttlKey.nonEmpty)
-          Left("--format sstabledump carries its own liveness model: " +
+          Left(s"--format ${a.format} carries its own liveness model: " +
             "--pk/--ck/--cells/--writetime/--ttl-key do not apply")
         else a.merge match {
           case None | Some("lww") => Right(a)
@@ -133,7 +134,7 @@ object RemoverCli {
             Left(s"unknown --merge '$other' (expected lww)")
         }
       case other => Left(s"unknown --format '$other' " +
-        "(expected parquet or sstabledump)")
+        "(expected parquet, sstabledump or sstable)")
     }
 
   /** `--reader v2` routes dump ingestion through the streamed
@@ -146,7 +147,8 @@ object RemoverCli {
       case "json" => Right(a)
       case "v2" =>
         if (a.format == "sstabledump") Right(a)
-        else Left("--reader v2 requires --format sstabledump")
+        else Left("--reader v2 requires --format sstabledump " +
+          "(--format sstable decodes binary directly and has no reader choice)")
       case other => Left(s"unknown --reader '$other' (expected json or v2)")
     }
 
@@ -192,11 +194,11 @@ object RemoverCli {
     * end-to-end without forking a JVM. Returns the written row count.
     */
   def run(spark: SparkSession, args: CliArgs): Long =
-    if (args.format == "sstabledump" && args.merge.contains("lww"))
+    if (isDump(args) && args.merge.contains("lww"))
       graft.sources.SSTableDumpBridge.mergeTtlToDir(
         spark, args.in, args.out, args.keyspace, args.table,
         reader = dumpReader(args))
-    else if (args.format == "sstabledump")
+    else if (isDump(args))
       graft.sources.SSTableDumpBridge.removeTtlToDir(
         spark, args.in, args.out, args.keyspace, args.table,
         reader = dumpReader(args))
@@ -211,9 +213,15 @@ object RemoverCli {
       Pipeline.removeTtl(cellified, meta, args.out)
     }
 
+  private def isDump(args: CliArgs): Boolean =
+    args.format == "sstabledump" || args.format == "sstable"
+
   private def dumpReader(args: CliArgs)
       : (SparkSession, String) => org.apache.spark.sql.DataFrame =
-    if (args.reader == "v2") graft.sources.SSTableDumpBridge.readTreeV2
+    // `sstable` is the no-pre-pass path: the big-format connector
+    // decodes *-Data.db directly into the same bridge-row frame
+    if (args.format == "sstable") graft.sources.SSTableBinaryV2.readBinary
+    else if (args.reader == "v2") graft.sources.SSTableDumpBridge.readTreeV2
     else if (args.merge.contains("lww"))
       graft.sources.SSTableDumpBridge.readTree
     else graft.sources.SSTableDumpBridge.read
@@ -223,7 +231,8 @@ object RemoverCli {
       System.err.println(s"error: $err")
       System.err.println(
         "usage: graft.RemoverCli --in <dir> --out <dir> --table <name>" +
-          " [--keyspace <ks>] [--cpus <n>] [--format parquet|sstabledump]" +
+          " [--keyspace <ks>] [--cpus <n>]" +
+          " [--format parquet|sstabledump|sstable]" +
           " [--merge lww] [--reader json|v2]" +
           " [--pk <cols> --ck <cols> --cells <cols> --writetime <col>" +
           " --ttl-key <col>]")

@@ -128,6 +128,7 @@ object SparkEntry {
     // --- sstabledump tree ingestion (sources.SSTableDumpBridge) ---
     "src_sstabledump_tree" -> (sources.SSTableDumpBridge.treeAudit _),
     "src_sstabledump_v2" -> (sources.SSTableDumpBridge.treeAuditV2 _),
+    "src_sstable_binary" -> (sources.SSTableBinaryV2.binaryAudit _),
     "src_schema_discovery" -> (sources.LakeDiscovery.discoveryAudit _),
     // --- corpus assembly (mixing / packing) ---
     "corp_source_mix" -> (CorpusOps.sourceMixAudit _),
@@ -2311,6 +2312,9 @@ object SparkEntry {
     // same oracle VERBATIM for the V2-connector ingestion path: one
     // semantic contract, both IO paths held to it
     "src_sstabledump_v2" -> sstabledumpTreeSql,
+    // the binary big-format decoder answers to the SAME contract: the
+    // fixture content is identical, only the on-disk encoding differs
+    "src_sstable_binary" -> sstabledumpTreeSql,
     // weighted mixing: the oracle replays the identical md5 coin
     // (DuckDB's hex-string cast = Spark's conv(...,16,10)) and the
     // cycling rate spec, so kept-set membership is exact per document

@@ -1,0 +1,395 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
+
+/** DataSourceV2 connector reading Cassandra 4.x big-format SSTables
+  * DIRECTLY — `spark.read.format("sstable-big").load(dataDir)` — the
+  * fourth ingestion path, and the first that needs NO `sstabledump`
+  * pre-pass: the [[BigFormat]] codec decodes `*-Data.db` partitions
+  * straight into the same bridge-row frame `readTree`/`readTreeV2`
+  * produce, so the whole operator surface (TTL strip, LWW merge,
+  * sorted sink) runs unchanged behind it. This is the reference's own
+  * entry point (`Cassandra4TTLRemover.java:45-74` opens the Data.db
+  * via the embedded Cassandra runtime) re-expressed as a thin
+  * self-contained decoder.
+  *
+  * Scale shape matches [[SSTableDumpV2]] exactly: one InputPartition
+  * per Data.db file (the reference's parallelism unit — its CLI loops
+  * files, `TTLRemoverCLI.java:147-163`), partitions streamed
+  * sequentially so per-task memory is bounded by the largest Cassandra
+  * PARTITION, never the SSTable; the serialization header is one tiny
+  * Statistics.db sibling read per file. Column pruning is pushed down
+  * (a `row_kind` count never renders values). The session's Hadoop
+  * conf ships to executors via [[SerializableConfiguration]], same as
+  * the dump connector.
+  *
+  * Row-kind mapping is the [[SSTableDumpBridge]] contract verbatim —
+  * `src_sstable_binary` shares `src_sstabledump_tree`'s DuckDB oracle
+  * word for word, holding all four IO paths to ONE semantic contract:
+  *   - partition-level deletion  → one PARTITION_DELETION row
+  *   - row with deletion         → ROW_DELETION (tombstones survive)
+  *   - live cells                → one ROW row per cell, cell-level
+  *     liveness overriding the row default (the USE_ROW_TIMESTAMP /
+  *     USE_ROW_TTL flags decode to exactly the dump bridge's
+  *     `coalesce(cell, row)` rule)
+  *   - primary-key-only insert   → PK_LIVENESS carrying row liveness
+  *   - cell tombstone            → CELL_DELETION (richer than the dump
+  *     path: sstabledump's row schema can't express per-cell deletes)
+  *   - range-tombstone bounds / boundaries → RANGE_TOMBSTONE_BOUND
+  *     rows, `name` = "start|end:inclusive|exclusive" (a boundary
+  *     emits both sides, as `sstabledump` renders it)
+  */
+class SSTableBinaryV2 extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "sstable-big"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    SSTableBinaryV2.schema
+
+  override def getTable(schema: StructType,
+      partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new SSTableBinaryV2.BinTable(properties.get("path"))
+}
+
+object SSTableBinaryV2 {
+
+  val cellType: StructType = StructType(Seq(
+    StructField("value", StringType),
+    StructField("writetime_us", LongType),
+    StructField("ttl_s", IntegerType),
+    StructField("expire_us", LongType)))
+
+  /** The bridge-row frame, directly — identical shape to
+    * [[SSTableDumpBridge.readTree]]'s output. */
+  val schema: StructType = StructType(Seq(
+    StructField("partition_key", StringType, nullable = false),
+    StructField("clustering", ArrayType(StringType, containsNull = true)),
+    StructField("row_kind", StringType, nullable = false),
+    StructField("name", StringType),
+    StructField("cell", cellType),
+    StructField("deletion_us", LongType),
+    StructField("sstable", StringType, nullable = false)))
+
+  private[sources] class BinTable(path: String)
+      extends Table with SupportsRead {
+    override def name(): String = s"sstable-big($path)"
+    override def schema(): StructType = SSTableBinaryV2.schema
+    override def capabilities(): java.util.Set[TableCapability] =
+      java.util.EnumSet.of(TableCapability.BATCH_READ)
+    override def newScanBuilder(
+        options: CaseInsensitiveStringMap): ScanBuilder =
+      new BinScanBuilder(Option(path).getOrElse(options.get("path")))
+  }
+
+  private class BinScanBuilder(path: String)
+      extends ScanBuilder with SupportsPushDownRequiredColumns {
+    private var required: StructType = SSTableBinaryV2.schema
+    override def pruneColumns(requiredSchema: StructType): Unit =
+      required = requiredSchema
+    override def build(): Scan = new BinScan(path, required)
+  }
+
+  private class BinScan(path: String, required: StructType)
+      extends Scan with Batch {
+    private val hconf = new SerializableConfiguration(
+      SparkSession.active.sessionState.newHadoopConf())
+
+    override def readSchema(): StructType = required
+    override def toBatch: Batch = this
+
+    /** One InputPartition per `*-Data.db` — the per-file parallelism
+      * unit; sorted for deterministic partition ids. Sibling
+      * components (Statistics/Index/Summary/TOC) are not data files. */
+    override def planInputPartitions(): Array[InputPartition] = {
+      val fs = FileSystem.get(java.net.URI.create(path), hconf.value)
+      val files = scala.collection.mutable.ArrayBuffer.empty[String]
+      val it = fs.listFiles(new HPath(path), true)
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.isFile && f.getPath.getName.endsWith("-Data.db"))
+          files += f.getPath.toString
+      }
+      files.sorted.map(f => BinFilePartition(f): InputPartition).toArray
+    }
+
+    override def createReaderFactory(): PartitionReaderFactory =
+      new BinReaderFactory(required.fieldNames, hconf)
+  }
+
+  private case class BinFilePartition(file: String) extends InputPartition
+
+  private class BinReaderFactory(cols: Array[String],
+      hconf: SerializableConfiguration)
+      extends PartitionReaderFactory {
+    override def createReader(
+        partition: InputPartition): PartitionReader[InternalRow] =
+      new BinPartitionReader(
+        partition.asInstanceOf[BinFilePartition].file, cols, hconf.value)
+  }
+
+  /** Streams one Data.db: header from the Statistics.db sibling, then
+    * one Cassandra partition decoded at a time, its bridge rows
+    * buffered (memory bound = one partition, the reference's own
+    * bound) and drained before the next partition is touched. */
+  private class BinPartitionReader(file: String, cols: Array[String],
+      conf: org.apache.hadoop.conf.Configuration)
+      extends PartitionReader[InternalRow] {
+    private val sstable = file.split('/').takeRight(2).mkString("/")
+    private val fs = FileSystem.get(java.net.URI.create(file), conf)
+    private val header = {
+      val statsPath = new HPath(
+        file.stripSuffix("-Data.db") + "-Statistics.db")
+      val st = fs.getFileStatus(statsPath)
+      val buf = new Array[Byte](st.getLen.toInt)
+      val in = fs.open(statsPath)
+      try in.readFully(0, buf) finally in.close()
+      BigFormat.readStats(buf)
+    }
+    private val stream = fs.open(new HPath(file))
+    private val parts =
+      BigFormat.partitions(header, stream, file)
+    private var pending: Iterator[InternalRow] = Iterator.empty
+    private var row: InternalRow = _
+
+    private def utf8(s: String): UTF8String = UTF8String.fromString(s)
+
+    private def cellStruct(value: Option[String], wtUs: Long,
+        ttlS: Option[Int]): InternalRow =
+      InternalRow(
+        value.map(utf8).orNull,
+        wtUs,
+        ttlS.map(Int.box).orNull,
+        // expire derives as writetime + ttl, the bridge's arithmetic
+        // (the on-disk localExpirationTime is its second-granular twin)
+        ttlS.map(t => Long.box(wtUs + t.toLong * 1000000L)).orNull)
+
+    private def project(pk: String, clustering: Seq[Option[String]],
+        rowKind: String, name: String, cell: InternalRow,
+        deletionUs: java.lang.Long): InternalRow = {
+      val clust =
+        if (clustering == null) null
+        else new GenericArrayData(
+          clustering.map(_.map(utf8).orNull).toArray[Any])
+      InternalRow.fromSeq(cols.toIndexedSeq.map {
+        case "partition_key" => utf8(pk)
+        case "clustering" => clust
+        case "row_kind" => utf8(rowKind)
+        case "name" => if (name == null) null else utf8(name)
+        case "cell" => cell
+        case "deletion_us" => deletionUs
+        case "sstable" => utf8(sstable)
+        case other =>
+          throw new IllegalArgumentException(s"unknown column $other")
+      })
+    }
+
+    private def boundName(kind: Int, side: Int): String = {
+      import BigFormat.Kind._
+      kind match {
+        case InclStartBound => "start:inclusive"
+        case ExclStartBound => "start:exclusive"
+        case InclEndBound => "end:inclusive"
+        case ExclEndBound => "end:exclusive"
+        case ExclEndInclStartBoundary =>
+          if (side == 0) "end:exclusive" else "start:inclusive"
+        case InclEndExclStartBoundary =>
+          if (side == 0) "end:inclusive" else "start:exclusive"
+        case other => throw new UnsupportedOperationException(
+          s"$file: unexpected bound kind $other")
+      }
+    }
+
+    private def expand(p: BigFormat.PartitionData): Iterator[InternalRow] = {
+      val out = Seq.newBuilder[InternalRow]
+      p.deletionUs.foreach(del =>
+        out += project(p.key, null, "PARTITION_DELETION", null, null, del))
+      p.atoms.foreach {
+        case r: BigFormat.RowAtom =>
+          r.deletionUs.foreach(del =>
+            out += project(p.key, r.clustering, "ROW_DELETION", null,
+              null, del))
+          if (r.cells.nonEmpty) {
+            r.cells.foreach { c =>
+              if (c.deleted)
+                out += project(p.key, r.clustering, "CELL_DELETION",
+                  c.name, null, c.tsUs)
+              else
+                out += project(p.key, r.clustering, "ROW", c.name,
+                  cellStruct(c.value, c.tsUs, c.ttlS), null)
+            }
+          } else if (r.deletionUs.isEmpty && r.livenessTsUs.isDefined) {
+            out += project(p.key, r.clustering, "PK_LIVENESS", null,
+              cellStruct(None, r.livenessTsUs.get, r.livenessTtlS), null)
+          }
+        case m: BigFormat.MarkerAtom =>
+          m.deletions.zipWithIndex.foreach { case (del, side) =>
+            out += project(p.key, m.clustering, "RANGE_TOMBSTONE_BOUND",
+              boundName(m.kind, side), null, del)
+          }
+      }
+      out.result().iterator
+    }
+
+    override def next(): Boolean = {
+      while (!pending.hasNext && parts.hasNext)
+        pending = expand(parts.next())
+      if (!pending.hasNext) false
+      else { row = pending.next(); true }
+    }
+
+    override def get(): InternalRow = row
+
+    override def close(): Unit = stream.close()
+  }
+
+  // =====================================================================
+  // fixture + registered audit
+  // =====================================================================
+
+  /** The fixture's serialization header shape (documents-table dump:
+    * string key, one string clustering column, `len`/`src` text
+    * cells). Stats minima are computed per file from the actual
+    * encoded values, as Cassandra's EncodingStats collector does. */
+  private def fixtureHeader(minTsUs: Long, minLdtS: Int,
+      minTtlS: Int): BigFormat.Header =
+    BigFormat.Header(minTsUs, minLdtS, minTtlS,
+      keyType = BigFormat.Utf8Type,
+      clusteringTypes = Seq(BigFormat.Utf8Type),
+      staticColumns = Nil,
+      regularColumns = Seq(
+        "len" -> BigFormat.Utf8Type, "src" -> BigFormat.Utf8Type))
+
+  /** Binary twin of [[SSTableDumpBridge.writeTreeFixture]]: the SAME
+    * logical content (each document one partition in file
+    * `doc_id % 4`, shape by `doc_id % 10`: 3 → partition tombstone,
+    * 7 → row tombstone, 5 → primary-key-only insert, else a live row
+    * with a row-timestamp `len` cell and an own-timestamp `src` cell;
+    * even doc_ids carry row TTL `doc_id % 100`) — encoded as big-format
+    * `nb-<gen>-big-Data.db` + `-Statistics.db` pairs instead of JSON.
+    * One genuinely binary divergence, invisible to the audit: a TTL of
+    * 0 is `LivenessInfo.NO_TTL` on disk (no such thing as an expiring
+    * cell with ttl=0), so `doc_id % 100 == 0` rows decode ttl as NULL
+    * where the JSON path reads 0 — identical under SUM.
+    *
+    * Encoding runs DISTRIBUTEDLY: one task per output SSTable
+    * (groupByKey on file id), the [[BigFormat]] codec being the
+    * honest `mapGroups` boundary — the same place the multimodal ops
+    * draw it — and each task writes its two files through the session
+    * Hadoop FS. Caller owns the returned dir's deletion. */
+  def writeBinaryFixture(spark: SparkSession,
+      sfDir: String): java.nio.file.Path = {
+    import spark.implicits._
+    val out = graft.Scratch.dir("graft-bintable-")
+    val outStr = out.toString
+    val hconf = spark.sparkContext.broadcast(
+      new SerializableConfiguration(spark.sessionState.newHadoopConf()))
+    val base = SSTableDumpBridge.TreeBase
+    val nFiles = SSTableDumpBridge.TreeFiles
+    graft.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id").cast("long"), col("source"),
+        col("n_chars").cast("long"))
+      .as[(Long, String, Long)]
+      .groupByKey { case (docId, _, _) => (docId % nFiles).toInt }
+      .mapGroups { (fileId, docs) =>
+        val sorted = docs.toArray.sortBy(_._1)
+        val parts = sorted.map { case (docId, source, nChars) =>
+          val kind = docId % 10
+          val wtSec = base + docId
+          val wtUs = wtSec * 1000000L
+          val rowTtl =
+            if (docId % 2 == 0 && docId % 100 != 0) Some((docId % 100).toInt)
+            else None
+          val rowLdt = rowTtl.map(t => (wtSec + t).toInt)
+          val clustering = Seq(Some(s"c$docId"))
+          val key = docId.toString
+          if (kind == 3)
+            BigFormat.PartitionData(key, Some(wtUs), Seq.empty)
+          else if (kind == 7)
+            BigFormat.PartitionData(key, None, Seq(
+              BigFormat.RowAtom(clustering, None, None, None,
+                Some(wtUs), Nil)))
+          else if (kind == 5)
+            BigFormat.PartitionData(key, None, Seq(
+              BigFormat.RowAtom(clustering, Some(wtUs), rowTtl, rowLdt,
+                None, Nil)))
+          else
+            BigFormat.PartitionData(key, None, Seq(
+              BigFormat.RowAtom(clustering, Some(wtUs), rowTtl, rowLdt,
+                None, Seq(
+                  BigFormat.CellAtom("len", wtUs, rowTtl, rowLdt,
+                    Some(nChars.toString), deleted = false),
+                  BigFormat.CellAtom("src", wtUs + 10000000L, rowTtl,
+                    rowTtl.map(t => (wtSec + 10 + t).toInt),
+                    Some(source), deleted = false)))))
+        }
+        // per-file EncodingStats minima over what will be written
+        val allTs = parts.flatMap(p =>
+          p.deletionUs.toSeq ++ p.atoms.flatMap {
+            case r: BigFormat.RowAtom =>
+              r.livenessTsUs.toSeq ++ r.deletionUs.toSeq ++
+                r.cells.map(_.tsUs)
+            case m: BigFormat.MarkerAtom => m.deletions
+          })
+        val allLdt = parts.flatMap(_.atoms.flatMap {
+          case r: BigFormat.RowAtom =>
+            r.livenessLdtS.toSeq ++ r.cells.flatMap(_.ldtS)
+          case _ => Nil
+        })
+        val allTtl = parts.flatMap(_.atoms.flatMap {
+          case r: BigFormat.RowAtom =>
+            r.livenessTtlS.toSeq ++ r.cells.flatMap(_.ttlS)
+          case _ => Nil
+        })
+        val header = fixtureHeader(
+          if (allTs.isEmpty) BigFormat.TimestampEpochUs else allTs.min,
+          if (allLdt.isEmpty) BigFormat.DeletionTimeEpochS else allLdt.min,
+          if (allTtl.isEmpty) BigFormat.TtlEpoch else allTtl.min)
+        val gen = fileId + 1
+        val fs = FileSystem.get(
+          java.net.URI.create(outStr), hconf.value.value)
+        val dir = new HPath(s"$outStr/documents")
+        def write(name: String, bytes: Array[Byte]): Unit = {
+          val os = fs.create(new HPath(dir, name), true)
+          try os.write(bytes) finally os.close()
+        }
+        write(s"nb-$gen-big-Data.db",
+          BigFormat.writeDataFile(parts.toSeq, header))
+        write(s"nb-$gen-big-Statistics.db", BigFormat.writeStats(header))
+        (fileId, parts.length)
+      }
+      .collect() // 4-row fixture manifest; the data never leaves executors
+    out
+  }
+
+  /** The bridge-row frame off a big-format data directory — the
+    * binary sibling of `readTree`/`readTreeV2`. */
+  def readBinary(spark: SparkSession, root: String): DataFrame =
+    spark.read.format("sstable-big").load(root)
+
+  /** Registered audit `src_sstable_binary`: binary fixture →
+    * [[readBinary]] → the SAME per-row_kind aggregation, sharing
+    * `src_sstabledump_tree`'s DuckDB oracle VERBATIM — the fourth IO
+    * path held to the one ingestion contract. */
+  def binaryAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = writeBinaryFixture(spark, sfDir)
+    val audit = SSTableDumpBridge
+      .auditFrame(readBinary(spark, out.toString))
+      .localCheckpoint()
+    graft.Scratch.delete(out)
+    audit
+  }
+}

@@ -364,9 +364,20 @@ object SSTableDumpBridge {
 
   private def treeAuditWith(spark: SparkSession, sfDir: String,
       reader: (SparkSession, String) => DataFrame): DataFrame = {
-    val baseUs = lit(TreeBase * 1000000L)
     val out = writeTreeFixture(spark, sfDir)
-    val audit = reader(spark, out.toString)
+    val audit = auditFrame(reader(spark, out.toString)).localCheckpoint()
+    graft.Scratch.delete(out)
+    audit
+  }
+
+  /** The per-row_kind audit aggregation over any bridge-row frame —
+    * ONE definition shared by all four ingestion paths (JSON tree,
+    * DSv2 dump connector, streaming ingest, and the binary big-format
+    * connector [[SSTableBinaryV2]]), so every path answers to the
+    * same oracle arithmetic. */
+  private[graft] def auditFrame(rows: DataFrame): DataFrame = {
+    val baseUs = lit(TreeBase * 1000000L)
+    rows
       .groupBy(col("row_kind"))
       .agg(
         count(lit(1)).as("n_rows"),
@@ -375,9 +386,6 @@ object SSTableDumpBridge {
         sum(col("cell.ttl_s").cast("long")).as("sum_ttl_s"),
         sum(col("deletion_us") - baseUs).as("sum_del_off_us"),
         sum(length(col("cell.value")).cast("long")).as("sum_value_chars"))
-      .localCheckpoint()
-    graft.Scratch.delete(out)
-    audit
   }
 
   /** The reference's core pipeline over bridge rows: strip TTL

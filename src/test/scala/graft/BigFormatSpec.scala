@@ -1,0 +1,237 @@
+package graft
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import graft.sources.{BigFormat, SSTableBinaryV2, SSTableDumpBridge}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The big-format codec in isolation: vint edges, header round-trip
+  * through the Statistics.db layout (checksums verified), and
+  * partition round-trips covering every atom shape the decoder
+  * supports — rows with liveness/TTL inheritance, tombstones at
+  * partition/row/cell granularity, range-tombstone bounds AND
+  * boundaries, null/empty clustering values, fixed-length types. */
+class BigFormatSpec extends AnyFunSuite {
+
+  private val header = BigFormat.Header(
+    minTimestampUs = 1609459200L * 1000000L,
+    minLocalDeletionTimeS = 1609459200,
+    minTtlS = 0,
+    keyType = BigFormat.Utf8Type,
+    clusteringTypes = Seq(BigFormat.Utf8Type, BigFormat.Int32Type),
+    staticColumns = Nil,
+    regularColumns = Seq(
+      "a" -> BigFormat.Utf8Type,
+      "b" -> BigFormat.LongType,
+      "c" -> BigFormat.Utf8Type))
+
+  private def roundTripVInt(v: Long): Unit = {
+    val bos = new ByteArrayOutputStream()
+    BigFormat.writeUnsignedVInt(v, new DataOutputStream(bos))
+    val got = BigFormat.readUnsignedVInt(
+      new DataInputStream(new ByteArrayInputStream(bos.toByteArray)))
+    assert(got === v, s"unsigned vint $v")
+  }
+
+  test("vint coding round-trips every byte-length boundary") {
+    // the 7-bit ladder: each step adds one leading-one flag bit
+    val edges = Seq(0L, 1L, 127L, 128L, 16383L, 16384L,
+      (1L << 21) - 1, 1L << 21, (1L << 28) - 1, 1L << 28,
+      (1L << 35) - 1, 1L << 35, (1L << 42) - 1, 1L << 42,
+      (1L << 49) - 1, 1L << 49, (1L << 56) - 1, 1L << 56,
+      Long.MaxValue, -1L, Long.MinValue)
+    edges.foreach(roundTripVInt)
+    // sizes match VIntCoding.computeUnsignedVIntSize
+    assert(BigFormat.unsignedVIntSize(0) === 1)
+    assert(BigFormat.unsignedVIntSize(127) === 1)
+    assert(BigFormat.unsignedVIntSize(128) === 2)
+    assert(BigFormat.unsignedVIntSize(16383) === 2)
+    assert(BigFormat.unsignedVIntSize(16384) === 3)
+    assert(BigFormat.unsignedVIntSize(-1L) === 9)
+  }
+
+  test("signed vint zigzags") {
+    val bos = new ByteArrayOutputStream()
+    val d = new DataOutputStream(bos)
+    Seq(0L, -1L, 1L, -64L, 64L, Long.MinValue, Long.MaxValue)
+      .foreach(BigFormat.writeVInt(_, d))
+    val in = new DataInputStream(new ByteArrayInputStream(bos.toByteArray))
+    Seq(0L, -1L, 1L, -64L, 64L, Long.MinValue, Long.MaxValue)
+      .foreach(v => assert(BigFormat.readVInt(in) === v))
+  }
+
+  test("Statistics.db header survives the TOC + checksum layout") {
+    val bytes = BigFormat.writeStats(header)
+    val back = BigFormat.readStats(bytes)
+    assert(back === header)
+    // corruption is detected, not silently misread
+    val corrupt = bytes.clone()
+    corrupt(corrupt.length - 6) = (corrupt(corrupt.length - 6) ^ 0x1).toByte
+    intercept[IllegalArgumentException](BigFormat.readStats(corrupt))
+  }
+
+  private def roundTrip(p: BigFormat.PartitionData): BigFormat.PartitionData = {
+    val bytes = BigFormat.writeDataFile(Seq(p), header)
+    val got = BigFormat.partitions(header,
+      new ByteArrayInputStream(bytes), "test").toSeq
+    assert(got.size === 1)
+    got.head
+  }
+
+  test("live row round-trips with row-liveness inheritance and overrides") {
+    val ts = 1609459300L * 1000000L
+    val row = BigFormat.RowAtom(
+      clustering = Seq(Some("ck"), Some("42")),
+      livenessTsUs = Some(ts), livenessTtlS = Some(600),
+      livenessLdtS = Some(1609459900), deletionUs = None,
+      cells = Seq(
+        // inherits row ts AND row ttl → USE_ROW_TIMESTAMP|USE_ROW_TTL
+        BigFormat.CellAtom("a", ts, Some(600), Some(1609459900),
+          Some("hello"), deleted = false),
+        // own timestamp, no ttl, fixed-length long value
+        BigFormat.CellAtom("b", ts + 5000000L, None, None,
+          Some("-9000000000"), deleted = false),
+        // cell tombstone: no value, carries its own deletion second
+        BigFormat.CellAtom("c", ts + 9000000L, None, Some(1609459309),
+          None, deleted = true)))
+    val got = roundTrip(BigFormat.PartitionData("pk1", None, Seq(row)))
+    assert(got.key === "pk1")
+    assert(got.deletionUs === None)
+    assert(got.atoms === Seq(row))
+  }
+
+  test("partition, row and empty-value shapes round-trip") {
+    val del = 1609459400L * 1000000L
+    val partDel = BigFormat.PartitionData("gone", Some(del), Seq.empty)
+    assert(roundTrip(partDel) === partDel)
+
+    val rowDel = BigFormat.PartitionData("p2", None, Seq(
+      BigFormat.RowAtom(Seq(Some("x"), None), None, None, None,
+        Some(del + 1), Nil)))
+    assert(roundTrip(rowDel) === rowDel)
+
+    // pk-only insert + empty-string and null clustering values + empty value
+    val pkOnly = BigFormat.PartitionData("p3", None, Seq(
+      BigFormat.RowAtom(Seq(Some(""), Some("7")), Some(del + 2), None,
+        None, None, Nil),
+      BigFormat.RowAtom(Seq(Some("y"), Some("8")), Some(del + 3), None,
+        None, None, Seq(
+          BigFormat.CellAtom("a", del + 3, None, None, Some(""),
+            deleted = false)))))
+    assert(roundTrip(pkOnly) === pkOnly)
+  }
+
+  test("range-tombstone bounds and boundaries round-trip") {
+    val del = 1609459500L * 1000000L
+    val p = BigFormat.PartitionData("rt", None, Seq(
+      BigFormat.MarkerAtom(BigFormat.Kind.InclStartBound,
+        Seq(Some("m1")), Seq(del)),
+      BigFormat.MarkerAtom(BigFormat.Kind.ExclEndInclStartBoundary,
+        Seq(Some("m2")), Seq(del + 1, del + 2)),
+      BigFormat.MarkerAtom(BigFormat.Kind.ExclEndBound,
+        Seq(Some("m3")), Seq(del + 3))))
+    assert(roundTrip(p) === p)
+  }
+
+  test("multi-partition files stream in order with one-partition memory") {
+    val ps = (0 until 100).map { i =>
+      BigFormat.PartitionData(s"k$i", None, Seq(
+        BigFormat.RowAtom(Seq(Some(s"c$i"), Some(i.toString)),
+          Some(1609459200L * 1000000L + i), None, None, None, Nil)))
+    }
+    val bytes = BigFormat.writeDataFile(ps, header)
+    val it = BigFormat.partitions(header,
+      new ByteArrayInputStream(bytes), "test")
+    // lazily pull two, then the rest: the iterator never materializes
+    assert(it.next().key === "k0")
+    assert(it.next().key === "k1")
+    assert(it.toSeq.map(_.key) === (2 until 100).map(i => s"k$i"))
+  }
+
+  test("subset violations raise loudly instead of misreading") {
+    intercept[UnsupportedOperationException] {
+      BigFormat.renderValue("org.apache.cassandra.db.marshal.ListType", Array())
+    }
+  }
+}
+
+/** The binary connector end-to-end: fixture equality against the JSON
+  * dump tree (same audit frame — the four-path contract), per-file
+  * task parallelism, and column-pruning pushdown. */
+class SSTableBinarySpec extends SparkSpec {
+
+  test("binary audit equals the JSON tree audit frame exactly") {
+    val bin = SSTableBinaryV2.binaryAudit(spark, sfDir)
+      .orderBy("row_kind").collect().toSeq
+    val json = SSTableDumpBridge.treeAudit(spark, sfDir)
+      .orderBy("row_kind").collect().toSeq
+    assert(bin.nonEmpty)
+    assert(bin === json)
+  }
+
+  test("one task per Data.db file; pruning skips value decode") {
+    val out = SSTableBinaryV2.writeBinaryFixture(spark, sfDir)
+    try {
+      val df = SSTableBinaryV2.readBinary(spark, out.toString)
+      val files = df.select("sstable").distinct().collect().map(_.getString(0))
+      assert(files.length === SSTableDumpBridge.TreeFiles)
+      assert(files.forall(_.matches("documents/nb-\\d+-big-Data\\.db")))
+      // parallelism: the DSv2 scan plans exactly one partition per file
+      val counted = df.groupBy(
+        org.apache.spark.sql.functions.spark_partition_id().as("pid"))
+        .count().collect()
+      assert(counted.length === SSTableDumpBridge.TreeFiles)
+      // pruning: a row_kind-only projection reads a 1-column schema
+      val pruned = df.select("row_kind")
+      val scan = pruned.queryExecution.executedPlan.toString()
+      assert(scan.contains("row_kind"))
+      assert(!scan.contains("partition_key"))
+      assert(pruned.count() > 0)
+    } finally graft.Scratch.delete(out)
+  }
+
+  test("RemoverCli --format sstable: binary lifecycle output-identical to the dump path") {
+    val binDir = SSTableBinaryV2.writeBinaryFixture(spark, sfDir)
+    val jsonDir = SSTableDumpBridge.writeTreeFixture(spark, sfDir)
+    try {
+      def runWith(in: String, format: String) = {
+        val out = Scratch.dir("graft-cli-bin-").toString + "/o"
+        val args = RemoverCli.parse(Array("--in", in, "--out", out,
+          "--table", "t", "--format", format))
+          .fold(e => fail(s"parse failed: $e"), identity)
+        RemoverCli.run(spark, args)
+        spark.read.parquet(out).localCheckpoint()
+      }
+      val viaBin = runWith(binDir.toString, "sstable")
+      val viaJson = runWith(jsonDir.toString, "sstabledump")
+      assert(viaBin.count() === viaJson.count())
+      // the one legitimate divergence (on-disk NO_TTL vs JSON ttl=0)
+      // is erased by the strip itself, so the frames must be equal
+      assert(viaJson.exceptAll(viaBin).count() === 0)
+      assert(viaBin.exceptAll(viaJson).count() === 0)
+      // binary input decodes directly: a --reader choice is a
+      // contradiction and parse-time rejected
+      assert(RemoverCli.parse(Array("--in", "a", "--out", "b",
+        "--table", "t", "--format", "sstable", "--reader", "v2")).isLeft)
+    } finally { Scratch.delete(binDir); Scratch.delete(jsonDir) }
+  }
+
+  test("full pipeline runs unchanged over the binary path") {
+    val out = SSTableBinaryV2.writeBinaryFixture(spark, sfDir)
+    try {
+      val rows = SSTableBinaryV2.readBinary(spark, out.toString)
+      val stripped = SSTableDumpBridge.stripTtl(rows.drop("sstable"))
+      // every live cell lost its TTL, kept value + writetime
+      assert(stripped.filter(col("row_kind") === "ROW")
+        .filter(col("cell.ttl_s").isNotNull).count() === 0)
+      assert(stripped.filter(col("row_kind") === "ROW")
+        .filter(col("cell.writetime_us").isNull).count() === 0)
+      // tombstones survive verbatim
+      val kinds = stripped.select("row_kind").distinct()
+        .collect().map(_.getString(0)).toSet
+      assert(kinds.contains("PARTITION_DELETION"))
+      assert(kinds.contains("ROW_DELETION"))
+    } finally graft.Scratch.delete(out)
+  }
+}
