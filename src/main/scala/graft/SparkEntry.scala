@@ -179,6 +179,8 @@ object SparkEntry {
       DedupOps.substringDedup(s, d)),
     "d_decontam_span" -> ((s: SparkSession, d: String) =>
       DedupOps.decontamSpans(s, d)),
+    "d_substring_span" -> ((s: SparkSession, d: String) =>
+      DedupOps.substringSpans(s, d)),
     "d_dedup_components" -> ((s: SparkSession, d: String) =>
       DedupOps.dedupComponents(s, d, DedupOps.Md5)),
     // the DEEP-GRAPH path through the same contract: maxIters=0 skips
@@ -204,12 +206,15 @@ object SparkEntry {
     "sim_ann_probe_curve" -> ((s: SparkSession, d: String) =>
       SimilarityOps.annProbeCurve(s, d)),
     "sim_ann_lsh" -> (SimilarityOps.annLsh _),
+    "sim_ann_hnsw" -> (SimilarityOps.annHnsw _),
+    "sim_ann_recall_hnsw" -> (SimilarityOps.annRecallHnsw _),
     "sim_ann_ivf" -> (SimilarityOps.annIvf _),
     "sim_ann_ivf_mp" -> (SimilarityOps.annIvfMp _),
     "sim_ann_ivf_t" -> (SimilarityOps.annIvfTrained _),
     "sim_ann_ivf_persist" -> (SimilarityOps.annIvfPersist _),
     "sim_ann_ivfpq" -> (SimilarityOps.annIvfPq _),
     "sim_ann_ivfpq_t" -> (SimilarityOps.annIvfPqTrained _),
+    "sim_ann_ivfpq_persist" -> (SimilarityOps.annIvfPqPersist _),
     "sim_ann_pq_rerank" -> (SimilarityOps.annPqRerank _),
     "sim_ann_sq8" -> (SimilarityOps.annSq8 _),
     "sim_ann_recall_sq8" -> (SimilarityOps.annRecallSq8 _),
@@ -485,6 +490,142 @@ object SparkEntry {
        |SELECT q_vec_id, bucket, neighbor_vec_id, round(cos, 6) AS cos_sim, rk
        |FROM r WHERE rk <= 3""".stripMargin
   }
+
+  /** The NSW graph build + beam search replayed in SQL, ending in CTEs
+    * `n` (normalized corpus), `q` (audit queries) and `beamH` (the
+    * final per-query beam): the same 16-bucket LSH init with the
+    * capped pair quadratic and the hub spine (node → bucket anchor →
+    * entry), the same NN-descent rounds (edges ∪ reversed ∪ 2-hop,
+    * top-M by cos DESC / dst — Spark's window order verbatim), the
+    * same symmetrize-plus-hub serve graph, and the same
+    * expand/rescore/top-B beam hops. Every ranking ties exactly like
+    * the Spark side, so the walked graph — and therefore the beam —
+    * is bit-identical across engines. */
+  private def hnswCtesSql: String = {
+    val planes = SimilarityOps.hyperplanes(64, SimilarityOps.HnswBits)
+    val m = SimilarityOps.HnswM
+    val iters = (1 to SimilarityOps.HnswIters).map { k =>
+      s"""cand$k AS (SELECT DISTINCT src, dst FROM (
+         |  SELECT src, dst FROM adj${k - 1}
+         |  UNION ALL SELECT dst AS src, src AS dst FROM adj${k - 1}
+         |  UNION ALL SELECT x.src, y.dst FROM adj${k - 1} x
+         |   JOIN adj${k - 1} y ON x.dst = y.src)
+         | WHERE src <> dst),
+         |sc$k AS (SELECT g.src, g.dst,
+         |  list_dot_product(a.e, b.e) / (a.nrm * b.nrm) AS cos
+         | FROM cand$k g JOIN n a ON a.vec_id = g.src
+         | JOIN n b ON b.vec_id = g.dst),
+         |adj$k AS MATERIALIZED (SELECT src, dst FROM (
+         | SELECT *, row_number() OVER (PARTITION BY src
+         |   ORDER BY cos DESC, dst) AS rn FROM sc$k) WHERE rn <= $m)""".stripMargin
+    }.mkString(",\n")
+    val last = SimilarityOps.HnswIters
+    val hops = (1 to SimilarityOps.HnswHops).map { h =>
+      s"""exp$h AS (SELECT DISTINCT q_vec_id, node FROM (
+         |  SELECT q_vec_id, node FROM beam${h - 1}
+         |  UNION ALL SELECT b.q_vec_id, s.dst AS node
+         |  FROM beam${h - 1} b JOIN adjs s ON s.src = b.node)),
+         |bs$h AS (SELECT x.q_vec_id, x.node,
+         |  list_dot_product(q.qe, c.e) / (q.qnrm * c.nrm) AS cos
+         | FROM exp$h x JOIN q ON q.q_vec_id = x.q_vec_id
+         | JOIN n c ON c.vec_id = x.node),
+         |beam$h AS MATERIALIZED (SELECT q_vec_id, node FROM (
+         | SELECT *, row_number() OVER (PARTITION BY q_vec_id
+         |   ORDER BY cos DESC, node) AS rn FROM bs$h)
+         | WHERE rn <= ${SimilarityOps.HnswBeam})""".stripMargin
+    }.mkString(",\n")
+    s"""v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |n AS MATERIALIZED (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm,
+       | ${bucketSql("e", planes)} AS bucket FROM v),
+       |krank AS MATERIALIZED (SELECT vec_id, bucket,
+       |  row_number() OVER (PARTITION BY bucket ORDER BY vec_id) AS brk
+       | FROM n),
+       |init AS (SELECT a.vec_id AS src, b.vec_id AS dst
+       | FROM krank a JOIN krank b
+       |  ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+       |  AND a.brk <= ${SimilarityOps.HnswInitCap}
+       |  AND b.brk <= ${SimilarityOps.HnswInitCap}),
+       |anch AS MATERIALIZED (SELECT bucket, min(vec_id) AS anchor FROM n GROUP BY bucket),
+       |ent AS MATERIALIZED (SELECT min(vec_id) AS entry FROM n),
+       |hub AS MATERIALIZED (
+       | SELECT n.vec_id AS src, a.anchor AS dst
+       | FROM n JOIN anch a USING (bucket) WHERE n.vec_id <> a.anchor
+       | UNION ALL
+       | SELECT a.anchor AS src, e.entry AS dst
+       | FROM anch a CROSS JOIN ent e WHERE a.anchor <> e.entry),
+       |e0 AS (SELECT DISTINCT src, dst FROM (
+       |  SELECT src, dst FROM init
+       |  UNION ALL SELECT src, dst FROM hub
+       |  UNION ALL SELECT dst AS src, src AS dst FROM hub)),
+       |sc0 AS (SELECT g.src, g.dst,
+       |  list_dot_product(a.e, b.e) / (a.nrm * b.nrm) AS cos
+       | FROM e0 g JOIN n a ON a.vec_id = g.src
+       | JOIN n b ON b.vec_id = g.dst),
+       |adj0 AS MATERIALIZED (SELECT src, dst FROM (
+       | SELECT *, row_number() OVER (PARTITION BY src
+       |   ORDER BY cos DESC, dst) AS rn FROM sc0) WHERE rn <= $m),
+       |$iters,
+       |adjs AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+       |  SELECT src, dst FROM adj$last
+       |  UNION ALL SELECT dst AS src, src AS dst FROM adj$last
+       |  UNION ALL SELECT src, dst FROM hub
+       |  UNION ALL SELECT dst AS src, src AS dst FROM hub)
+       | WHERE src <> dst),
+       |q AS MATERIALIZED (SELECT vec_id AS q_vec_id, e AS qe, nrm AS qnrm
+       | FROM n WHERE vec_id < 8),
+       |starts AS MATERIALIZED (
+       | SELECT DISTINCT node FROM (
+       |  SELECT anchor AS node FROM anch
+       |  UNION ALL SELECT entry AS node FROM ent)),
+       |beam0 AS MATERIALIZED (SELECT q_vec_id, s.node FROM q CROSS JOIN starts s),
+       |$hops""".stripMargin
+  }
+
+  /** Graph-ANN serving oracle: rescore the final beam (minus the query
+    * itself) and rank top-3 — `sim_ann_hnsw`'s twin. */
+  private lazy val annHnswSql: String =
+    s"""WITH $hnswCtesSql,
+       |fin AS (SELECT x.q_vec_id, x.node,
+       |  list_dot_product(q.qe, c.e) / (q.qnrm * c.nrm) AS cos
+       | FROM beam${SimilarityOps.HnswHops} x
+       | JOIN q ON q.q_vec_id = x.q_vec_id
+       | JOIN n c ON c.vec_id = x.node
+       | WHERE x.node <> x.q_vec_id)
+       |SELECT q_vec_id, neighbor_vec_id, round(cos, 6) AS cos_sim, rk
+       |FROM (SELECT q_vec_id, node AS neighbor_vec_id, cos,
+       |  CAST(row_number() OVER (PARTITION BY q_vec_id
+       |    ORDER BY cos DESC, node) AS INTEGER) AS rk FROM fin)
+       |WHERE rk <= 3""".stripMargin
+
+  /** Graph-tier recall oracle, the standard brute/ann h/t scaffold
+    * over the walked beam. */
+  private lazy val annRecallHnswSql: String =
+    s"""WITH $hnswCtesSql,
+       |bpairs AS (
+       | SELECT q.q_vec_id, c.vec_id AS neighbor_vec_id,
+       |  list_dot_product(q.qe, c.e) / (q.qnrm * c.nrm) AS cos
+       | FROM q JOIN n c ON c.vec_id <> q.q_vec_id),
+       |brute AS (SELECT q_vec_id, neighbor_vec_id FROM (
+       | SELECT *, row_number() OVER (PARTITION BY q_vec_id
+       |   ORDER BY cos DESC, neighbor_vec_id) AS rk FROM bpairs)
+       | WHERE rk <= 3),
+       |fin AS (SELECT x.q_vec_id, x.node,
+       |  list_dot_product(q.qe, c.e) / (q.qnrm * c.nrm) AS cos
+       | FROM beam${SimilarityOps.HnswHops} x
+       | JOIN q ON q.q_vec_id = x.q_vec_id
+       | JOIN n c ON c.vec_id = x.node
+       | WHERE x.node <> x.q_vec_id),
+       |ann AS (SELECT q_vec_id, node AS neighbor_vec_id FROM (
+       | SELECT *, row_number() OVER (PARTITION BY q_vec_id
+       |   ORDER BY cos DESC, node) AS rk FROM fin)
+       | WHERE rk <= 3),
+       |h AS (SELECT b.q_vec_id, count(*) AS hits
+       | FROM brute b JOIN ann a USING (q_vec_id, neighbor_vec_id)
+       | GROUP BY 1),
+       |t AS (SELECT q_vec_id, count(*) AS n_true FROM brute GROUP BY 1)
+       |SELECT t.q_vec_id, CAST(coalesce(h.hits, 0) AS BIGINT) AS n_hits,
+       | round(CAST(coalesce(h.hits, 0) AS DOUBLE) / t.n_true, 6) AS recall
+       |FROM t LEFT JOIN h USING (q_vec_id)""".stripMargin
 
   /** K-means coarse-centroid training replayed in SQL, ending in a
     * CTE `cents(cell, c)` holding the trained centroids: the same
@@ -1128,7 +1269,8 @@ object SparkEntry {
       "sq8_flat" -> annRecallEmbedSql(annSq8Sql),
       "ivf_sq8" -> annRecallEmbedSql(annIvfSq8Sql),
       "ivf_pq" -> annRecallPqSqlP(1),
-      "pq_rerank" -> annRecallEmbedSql(annPqRerankSqlP()))
+      "pq_rerank" -> annRecallEmbedSql(annPqRerankSqlP()),
+      "hnsw" -> annRecallHnswSql)
     val bytes = SimilarityOps.TierBytes.toMap
     tiers.map { case (n, sql) =>
       s"""SELECT '$n' AS tier, ${bytes(n)} AS bytes_per_vec,
@@ -2737,6 +2879,40 @@ object SparkEntry {
         | round(CAST(coalesce(pd.n_dup_windows, 0) AS DOUBLE)
         |   / CAST(tot.n_windows AS DOUBLE), 6) AS dup_ratio
         |FROM tot LEFT JOIN pd ON tot.doc_id = pd.doc_id""".stripMargin,
+    // exact-span substring dedup: the ≥2-distinct-docs window set,
+    // the gaps-and-islands merge, and the excised-text md5 replay
+    // identically (slice positions are 0-based starts → 1-based
+    // inclusive list bounds)
+    "d_substring_span" ->
+      """WITH t AS (
+        | SELECT doc_id, string_split_regex(trim(text), '\s+') AS t,
+        |  len(string_split_regex(trim(text), '\s+')) AS n
+        | FROM documents),
+        |w AS (
+        | SELECT doc_id, st AS pos,
+        |  md5(array_to_string(t[st+1 : st+8], ' ')) AS wh
+        | FROM (SELECT doc_id, t,
+        |   unnest(generate_series(0, n - 8)) AS st FROM t)),
+        |d AS (SELECT wh FROM w GROUP BY wh
+        |      HAVING count(DISTINCT doc_id) >= 2),
+        |m AS (SELECT doc_id, pos FROM w JOIN d USING (wh)),
+        |g AS (SELECT doc_id, pos,
+        |  CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+        |        > 8 THEN 1 ELSE 0 END AS ns FROM m),
+        |i AS (SELECT doc_id, pos,
+        |  sum(ns) OVER (PARTITION BY doc_id ORDER BY pos
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp FROM g),
+        |s AS (SELECT doc_id, grp, min(pos) AS span_start,
+        |  max(pos) + 7 AS span_end, count(*) AS n_windows
+        | FROM i GROUP BY 1, 2)
+        |SELECT s.doc_id,
+        | CAST(span_start AS INTEGER) AS span_start,
+        | CAST(span_end AS INTEGER) AS span_end,
+        | CAST(span_end - span_start + 1 AS INTEGER) AS span_tokens,
+        | CAST(n_windows AS BIGINT) AS n_windows,
+        | md5(array_to_string(t.t[span_start+1 : span_end+1], ' '))
+        |   AS excised_md5
+        |FROM s JOIN t USING (doc_id)""".stripMargin,
     // decontamination spans: same window digests; the eval hash set,
     // the matched starts, and the gaps-and-islands merge (new island
     // when a start exceeds its predecessor by more than the window
@@ -2827,6 +3003,8 @@ object SparkEntry {
     "d_dedup_pipeline" -> dedupPipelineSql,
     "d_dedup_bias" -> dedupBiasSql,
     "sim_ann_lsh" -> annLshSql,
+    "sim_ann_hnsw" -> annHnswSql,
+    "sim_ann_recall_hnsw" -> annRecallHnswSql,
     "sim_ann_ivf" -> annIvfSql,
     "sim_ann_ivf_mp" -> annIvfSqlP(2),
     "sim_ann_ivf_t" -> annIvfSqlP(1, trained = true),
@@ -2835,6 +3013,9 @@ object SparkEntry {
     "sim_ann_ivf_persist" -> annIvfSqlP(1, trained = true),
     "sim_ann_ivfpq" -> annIvfPqSql,
     "sim_ann_ivfpq_t" -> annIvfPqSqlP(1, trained = true),
+    // the fully reloaded index serves bit-identically to its builder —
+    // the oracle is shared VERBATIM with sim_ann_ivfpq_t
+    "sim_ann_ivfpq_persist" -> annIvfPqSqlP(1, trained = true),
     "sim_ann_pq_rerank" -> annPqRerankSqlP(),
     "sim_ann_sq8" -> annSq8Sql,
     "sim_ann_recall_sq8" -> annRecallEmbedSql(annSq8Sql),

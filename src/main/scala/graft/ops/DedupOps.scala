@@ -1131,4 +1131,70 @@ object DedupOps {
         (col("span_end") - col("span_start") + 1).as("span_tokens"),
         col("n_windows"))
   }
+
+  /** Exact-span substring dedup — [[substringDedup]]'s cross-doc
+    * duplicated-window set composed with [[decontamSpans]]'
+    * gaps-and-islands merge: instead of a per-document exposure RATIO,
+    * emit each document's maximal duplicated [start, end] token spans
+    * and the excised text itself (as an md5 digest — spans can be
+    * document-sized and the digest pins the exact excision
+    * byte-for-byte without shipping text through the result). This is
+    * Lee et al.'s ExactSubstr at window granularity: every duplicated
+    * run of ≥ w tokens shared by ≥ 2 documents surfaces as one island
+    * per document (windows whose [pos, pos+w−1] ranges overlap or
+    * touch coalesce; a gap strictly wider than w starts a new span).
+    *
+    * Scale shape: the window stream and the ≥2-distinct-docs
+    * duplicated-hash set are [[substringDedupOf]]'s (hash-keyed
+    * shuffles of (doc_id, hash) rows, text never shuffles); the
+    * island merge runs per contaminated document over MATCHED
+    * positions only; the final excision join brings token arrays back
+    * for span-carrying docs alone (one doc-keyed equi-join, spans
+    * side is the small one). No pair explosion at any corpus size.
+    */
+  def substringSpans(spark: SparkSession, sfDir: String,
+      w: Int = SubstrWindow): DataFrame =
+    substringSpansOf(Tables.loadBalanced(spark, sfDir, "documents"), w)
+
+  /** [[substringSpans]] over an arbitrary (doc_id, text) frame. */
+  def substringSpansOf(corpus: DataFrame,
+      w: Int = SubstrWindow): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = corpus
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .select(col("doc_id"), col("t"), windowHashes(col("t"), w).as("whs"))
+      // three consumers (dup-set build, window probe, excision slice);
+      // materialize so the split/md5 pipeline runs once per row
+      .localCheckpoint()
+    val wins = docs.select(col("doc_id"),
+      posexplode(col("whs")).as(Seq("pos", "wh")))
+    val dupSet = wins
+      .groupBy(col("wh"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("wh"))
+    val matched = wins.join(dupSet, "wh").select(col("doc_id"), col("pos"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val spans = matched
+      .withColumn("newSpan",
+        when(col("pos") - lag(col("pos"), 1).over(byDoc) > w, 1)
+          .otherwise(0))
+      .withColumn("grp", sum(col("newSpan")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(
+        min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(w - 1)).as("span_end"),
+        count(lit(1)).as("n_windows"))
+    spans
+      .join(docs.select(col("doc_id"), col("t")), "doc_id")
+      .select(
+        col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"),
+        col("n_windows"),
+        md5(concat_ws(" ",
+          slice(col("t"), col("span_start") + 1,
+            col("span_end") - col("span_start") + 1)))
+          .as("excised_md5"))
+  }
 }

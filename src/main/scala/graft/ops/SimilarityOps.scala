@@ -479,35 +479,46 @@ object SimilarityOps {
   private val codedCache =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
-  private def annIvfPqOf(vn: DataFrame,
-      books: Array[Array[Array[Double]]], nprobe: Int = 1,
-      cs: Array[Array[Double]] = centroids(64, 16),
-      l2: Boolean = false, cacheKey: Option[String] = None,
-      topK: Int = 3): DataFrame = {
+  /** The compressed corpus index frame: cell + M codes per vector,
+    * plus the reconstruction norm — derivable from the codes alone
+    * (the reconstruction is the concatenation of chosen centroids, so
+    * its squared norm is the sum of per-subspace centroid squared
+    * norms, a lookup against per-codebook constants). Ranking by
+    * ADC/‖recon‖ approximates COSINE: raw ADC dot favors candidates
+    * whose quantization landed on longer centroids, which buries true
+    * neighbors under reconstruction-norm noise. This frame IS the
+    * on-disk index payload — [[writeFullIndex]] persists it verbatim. */
+  private def pqEncode(vn: DataFrame, books: Array[Array[Array[Double]]],
+      cs: Array[Array[Double]], l2: Boolean): DataFrame = {
     val len = 64 / books.length
-    val v = vn.withColumn("cell", ivfCell(col("e"), cs, l2))
-    // compressed corpus index: cell + M codes per vector, plus the
-    // reconstruction norm — derivable from the codes alone (the
-    // reconstruction is the concatenation of chosen centroids, so its
-    // squared norm is the sum of per-subspace centroid squared norms,
-    // a lookup against per-codebook constants). Ranking by ADC/‖recon‖
-    // approximates COSINE: raw ADC dot favors candidates whose
-    // quantization landed on longer centroids, which buries true
-    // neighbors under reconstruction-norm noise.
-    val coded0 = v.select(
-      col("vec_id") +: col("cell") +:
-        books.indices.map(s =>
-          pqCodeCol(col("e"), books(s), s, len).as(s"c$s")): _*)
-    def encode = coded0.withColumn("recon_nrm",
+    val coded0 = vn.withColumn("cell", ivfCell(col("e"), cs, l2))
+      .select(
+        col("vec_id") +: col("cell") +:
+          books.indices.map(s =>
+            pqCodeCol(col("e"), books(s), s, len).as(s"c$s")): _*)
+    coded0.withColumn("recon_nrm",
       sqrt(books.indices.map { s =>
         val normsq = array(books(s).toIndexedSeq.map(c =>
           lit(c.map(x => x * x).sum)): _*)
         element_at(normsq, col(s"c$s") + 1)
       }.reduce(_ + _)))
-    val coded = cacheKey match {
-      case Some(k) => codedCache.getOrElseUpdate(k, encode.persist())
-      case None => encode
-    }
+  }
+
+  private def annIvfPqOf(vn: DataFrame,
+      books: Array[Array[Array[Double]]], nprobe: Int = 1,
+      cs: Array[Array[Double]] = centroids(64, 16),
+      l2: Boolean = false, cacheKey: Option[String] = None,
+      topK: Int = 3, codedOverride: Option[DataFrame] = None): DataFrame = {
+    val len = 64 / books.length
+    val v = vn.withColumn("cell", ivfCell(col("e"), cs, l2))
+    // the serving index: a RELOADED artifact frame when given (the
+    // read_index path — serving must not re-encode what the index
+    // build already wrote), else the build-once memoized encode
+    val coded = codedOverride.getOrElse(cacheKey match {
+      case Some(k) =>
+        codedCache.getOrElseUpdate(k, pqEncode(vn, books, cs, l2).persist())
+      case None => pqEncode(vn, books, cs, l2)
+    })
     // queries: nprobe nearest cells + per-subspace ADC lookup tables
     // (K dots per subspace, computed once per query, broadcast with
     // the query set — the exploded probes share one table computation)
@@ -873,6 +884,269 @@ object SimilarityOps {
     annIvfOf(withNorm(Tables.load(spark, sfDir, "embeddings")),
       cs = reloadedCentroids(spark, sfDir), l2 = true)
 
+  /** The COMPLETE index artifact set — write_index for the whole
+    * trained IVF-PQ(+SQ8) index, not just its coarse centroids:
+    *
+    *   <dir>/centroids/  (cell, c)        — Lloyd-trained coarse cells
+    *   <dir>/codebooks/  (s, code, c)     — trained per-subspace PQ books
+    *   <dir>/sq8/        (dim, mn, rng)   — scalar-quantizer bounds
+    *   <dir>/codes/      (vec_id, cell, c0..cM−1, recon_nrm)
+    *                                      — the ENCODED CORPUS frame
+    *
+    * The constants (centroids/books/bounds) are k-row frames written
+    * as one file each; the codes frame is corpus-sized and keeps its
+    * natural partitioning — at 100 TB it IS the index (16 B/vector),
+    * and a serving job reads it instead of re-encoding 100 TB of raw
+    * floats (the whole point of the build/serve split). Doubles
+    * round-trip parquet bit-exactly, so everything reloaded serves
+    * bit-identically — EstimatorSpec pins per-component equality. */
+  def writeFullIndex(spark: SparkSession, sfDir: String,
+      dir: String): Unit = {
+    import spark.implicits._
+    val cs = trainedCentroids(spark, sfDir)
+    val books = trainedPqCodebooks(spark, sfDir)
+    val vn = withNorm(Tables.load(spark, sfDir, "embeddings"))
+    val (mins, rng) = sq8BoundsOf(vn, sfDir)
+    cs.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "c").repartition(1)
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    books.zipWithIndex.flatMap { case (book, s) =>
+      book.zipWithIndex.map { case (c, j) => (s, j, c.toSeq) }
+    }.toSeq.toDF("s", "code", "c").repartition(1)
+      .write.mode("overwrite").parquet(s"$dir/codebooks")
+    mins.indices.map(i => (i, mins(i), rng(i))).toDF("dim", "mn", "rng")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/sq8")
+    pqEncode(vn, books, cs, l2 = true)
+      .write.mode("overwrite").parquet(s"$dir/codes")
+  }
+
+  /** read_index: reload every component of [[writeFullIndex]]'s
+    * artifact set. The constants come back as driver arrays (k rows —
+    * the same size they were at build); the codes frame comes back as
+    * a DataFrame and serves as-is. */
+  def readFullIndex(spark: SparkSession, dir: String)
+      : (Array[Array[Double]], Array[Array[Array[Double]]],
+        (Array[Double], Array[Double]), DataFrame) = {
+    val cs = spark.read.parquet(s"$dir/centroids")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).map(_._2)
+    val bookRows = spark.read.parquet(s"$dir/codebooks")
+      .collect().map(r => (r.getInt(0), r.getInt(1),
+        r.getSeq[Double](2).toArray))
+    val books = bookRows.groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3)).toArray
+    val sqRows = spark.read.parquet(s"$dir/sq8")
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    val bounds = (sqRows.map(_._2), sqRows.map(_._3))
+    (cs, books, bounds, spark.read.parquet(s"$dir/codes"))
+  }
+
+  /** IVF-PQ serving from the FULLY reloaded index — coarse centroids,
+    * PQ codebooks AND the encoded corpus all come off parquet; nothing
+    * re-encodes. Must equal [[annIvfPqTrained]] exactly (shared
+    * oracle): an index built by one job and served by another answers
+    * like the builder, byte for byte. */
+  def annIvfPqPersist(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = graft.Scratch.dir("graft-ivfpq-index-")
+    writeFullIndex(spark, sfDir, dir.toString)
+    val (cs, books, _, codes) = readFullIndex(spark, dir.toString)
+    val out = annIvfPqOf(
+      withNorm(Tables.load(spark, sfDir, "embeddings")), books,
+      cs = cs, l2 = true, codedOverride = Some(codes))
+      .localCheckpoint()
+    graft.Scratch.delete(dir)
+    out
+  }
+
+  // =====================================================================
+  // graph ANN (NSW/HNSW family)
+  // =====================================================================
+
+  /** Sign bits for the graph init's locality buckets (2^4 = 16
+    * buckets — coarse on purpose: init only has to seed PLAUSIBLE
+    * neighbors; NN-descent refines them). */
+  val HnswBits = 4
+
+  /** Out-degree of the navigable graph (HNSW's M). */
+  val HnswM = 8
+
+  /** NN-descent refinement rounds over the candidate graph. */
+  val HnswIters = 2
+
+  /** Beam width and hop count for graph search (HNSW's efSearch in
+    * miniature): each hop expands the current beam's adjacency,
+    * rescores, keeps the best [[HnswBeam]]. */
+  val HnswBeam = 16
+  val HnswHops = 5
+
+  /** Per-bucket member cap for init pair generation — the same
+    * quadratic-bucket guard as [[NearDupMaxBucket]]: members past the
+    * cap (by vec_id rank) seed no LSH pairs but keep their hub edge,
+    * so they stay reachable and NN-descent can still improve them. */
+  val HnswInitCap = 64
+
+  /** Pair-score an edge list: one join per endpoint against the
+    * normalized corpus, cosine via the codegen'd dot. */
+  private def edgeScore(edges: DataFrame, vn: DataFrame): DataFrame =
+    edges
+      .join(vn.select(col("vec_id").as("src"), col("e").as("se"),
+        col("nrm").as("sn")), "src")
+      .join(vn.select(col("vec_id").as("dst"), col("e").as("de"),
+        col("nrm").as("dn")), "dst")
+      .select(col("src"), col("dst"),
+        (dot(col("se"), col("de")) / (col("sn") * col("dn"))).as("cos"))
+
+  /** Keep each node's best `m` out-edges — (cos DESC, dst) ties, the
+    * deterministic order every ranking in this family uses. */
+  private def topM(scored: DataFrame, m: Int): DataFrame = {
+    val w = Window.partitionBy("src").orderBy(col("cos").desc, col("dst"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= m)
+      .select("src", "dst")
+  }
+
+  /** Build the navigable small-world graph over the corpus — the graph
+    * index family (HNSW/NSW) the quantization tiers can't represent:
+    * recall comes from graph CONNECTIVITY, not cell membership, so a
+    * boundary-straddling neighbor invisible to every IVF probe is one
+    * hop away here.
+    *
+    * Deterministic distributed build (every step has a bit-exact
+    * DuckDB replay, which is what lets `sim_ann_hnsw` be oracle-gated
+    * at all — real HNSW's sequential insert order can't be replayed
+    * by SQL):
+    *   1. init: within 16 LSH sign-buckets, all pairs among the first
+    *      [[HnswInitCap]] members (capped quadratic, like every bucket
+    *      op here), PLUS a hub spine — every node → its bucket's
+    *      min-id anchor, every anchor → the global min-id entry node —
+    *      so the graph is connected by construction.
+    *   2. [[HnswIters]] rounds of NN-descent (Dong et al., WWW'11 —
+    *      the standard distributed kNN-graph build): candidates =
+    *      current edges ∪ reversed edges ∪ 2-hop neighbors-of-
+    *      neighbors, keep each node's top-[[HnswM]] by cosine. Each
+    *      round is two shuffles of an O(n·M²) edge frame — never
+    *      all-pairs.
+    *   3. serve-graph: final edges symmetrized, hub spine re-added
+    *      unpruned (connectivity must survive degree pruning).
+    *
+    * The built graph is memoized per corpus like every trained index
+    * here (build once, serve repeatedly); ~[[HnswM]]+2 edges/node.
+    * At 100 TB the known hot spot is hub-anchor fan-in (an anchor's
+    * reverse edge list is bucket-sized); the production fix is the
+    * hierarchy HNSW is named for — recursive anchor LAYERS, each
+    * bucket-capped — which changes none of the per-layer algebra. */
+  private def hnswGraph(vn: DataFrame, cacheKey: String): DataFrame =
+    trainedCache.getOrElseUpdate(("hnsw", cacheKey, 0, 0), {
+      val planes = hyperplanes(64, HnswBits)
+      val b = vn.withColumn("bucket", lshBucket(col("e"), planes))
+        .select(col("vec_id"), col("bucket"))
+      val wB = Window.partitionBy("bucket").orderBy("vec_id")
+      val kept = b.withColumn("brk", row_number().over(wB))
+        .filter(col("brk") <= HnswInitCap)
+        .select("vec_id", "bucket")
+      val init = kept.as("a").join(kept.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
+      val anchors = b.groupBy("bucket").agg(min("vec_id").as("anchor"))
+      val entry = vn.agg(min(col("vec_id")).as("entry"))
+      val hub = b.join(anchors, "bucket")
+        .filter(col("vec_id") =!= col("anchor"))
+        .select(col("vec_id").as("src"), col("anchor").as("dst"))
+        .union(anchors.crossJoin(broadcast(entry))
+          .filter(col("anchor") =!= col("entry"))
+          .select(col("anchor").as("src"), col("entry").as("dst")))
+        .localCheckpoint()
+      val e0 = init
+        .union(hub)
+        .union(hub.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+      var adj = topM(edgeScore(e0, vn), HnswM).localCheckpoint()
+      for (_ <- 1 to HnswIters) {
+        val twoHop = adj.as("x").join(adj.as("y"),
+          col("x.dst") === col("y.src"))
+          .select(col("x.src").as("src"), col("y.dst").as("dst"))
+        val cand = adj
+          .union(adj.select(col("dst").as("src"), col("src").as("dst")))
+          .union(twoHop)
+          .filter(col("src") =!= col("dst"))
+          .distinct()
+        adj = topM(edgeScore(cand, vn), HnswM).localCheckpoint()
+      }
+      adj
+        .union(adj.select(col("dst").as("src"), col("src").as("dst")))
+        .union(hub)
+        .union(hub.select(col("dst").as("src"), col("src").as("dst")))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+        .localCheckpoint()
+    }).asInstanceOf[DataFrame]
+
+  /** Graph-ANN serving: beam search over the NSW graph — start every
+    * query's beam at the entry node, expand the beam's adjacency
+    * [[HnswHops]] times, rescore against the query, keep the best
+    * [[HnswBeam]]; the final beam (minus the query itself — queries
+    * are corpus members, and finding yourself fast is exactly how a
+    * graph walk locates its neighborhood) ranks to top-3. Each hop
+    * touches ≤ |Q|·beam·degree candidate rows — the per-hop frames
+    * are query-set-sized, never corpus-sized; the graph side of the
+    * hop join is the memoized checkpoint. */
+  private def annHnswOf(vn: DataFrame, cacheKey: String): DataFrame = {
+    val vnC = vn.localCheckpoint()
+    val adjS = hnswGraph(vnC, cacheKey)
+    val q = vnC.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_vec_id"), col("e").as("qe"),
+        col("nrm").as("qnrm"))
+    // HNSW's top layer in miniature: the beam starts at EVERY bucket
+    // anchor (plus the global entry), so the walk begins in 16 spread
+    // regions instead of one corner — constant-sized, broadcastable
+    val planes = hyperplanes(64, HnswBits)
+    val starts = vnC
+      .withColumn("bucket", lshBucket(col("e"), planes))
+      .groupBy("bucket").agg(min("vec_id").as("node"))
+      .select("node")
+      .union(vnC.agg(min(col("vec_id")).as("node")))
+      .distinct()
+    var beam = q.select(col("q_vec_id")).crossJoin(broadcast(starts))
+    for (_ <- 1 to HnswHops) {
+      val expanded = beam.union(
+        beam.join(adjS, beam("node") === adjS("src"))
+          .select(beam("q_vec_id"), adjS("dst").as("node")))
+        .distinct()
+      val scored = expanded
+        .join(vnC.select(col("vec_id").as("node"), col("e"), col("nrm")),
+          "node")
+        .join(broadcast(q), "q_vec_id")
+        .withColumn("cos",
+          dot(col("qe"), col("e")) / (col("qnrm") * col("nrm")))
+      val w = Window.partitionBy("q_vec_id")
+        .orderBy(col("cos").desc, col("node"))
+      beam = scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= HnswBeam)
+        .select("q_vec_id", "node")
+        .localCheckpoint()
+    }
+    val fin = beam.filter(col("node") =!= col("q_vec_id"))
+      .join(vnC.select(col("vec_id").as("node"), col("e"), col("nrm")),
+        "node")
+      .join(broadcast(q), "q_vec_id")
+      .withColumn("cos",
+        dot(col("qe"), col("e")) / (col("qnrm") * col("nrm")))
+    val w = Window.partitionBy("q_vec_id")
+      .orderBy(col("cos").desc, col("node"))
+    fin.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+      .select(col("q_vec_id"), col("node").as("neighbor_vec_id"),
+        round(col("cos"), 6).as("cos_sim"), col("rk"))
+  }
+
+  /** Registered graph-ANN serving query. */
+  def annHnsw(spark: SparkSession, sfDir: String): DataFrame =
+    annHnswOf(withNorm(Tables.load(spark, sfDir, "embeddings")), sfDir)
+
+  /** Recall@3 of the graph tier, same harness as every other index. */
+  def annRecallHnsw(spark: SparkSession, sfDir: String): DataFrame =
+    annRecallOf(spark, sfDir, v => annHnswOf(v, sfDir))
+
   /** Serving-representation bytes per vector for [[annTierMatrix]] —
     * what the index stores per corpus vector at scale: raw float32
     * (4·64 = 256 B); IVF adds a 4 B cell id; SQ8 stores 64 byte
@@ -883,7 +1157,9 @@ object SimilarityOps {
   val TierBytes: Seq[(String, Int)] = Seq(
     "lsh" -> 256, "ivf" -> 260, "ivf_mp" -> 260, "ivf_t" -> 260,
     "sq8_flat" -> 72, "ivf_sq8" -> 76, "ivf_pq" -> 16,
-    "pq_rerank" -> 16)
+    "pq_rerank" -> 16,
+    // graph tier: raw vectors (256) + M=8 out-edges + hub edge, 4 B ids
+    "hnsw" -> 292)
 
   /** The ANN deployment one-pager: every index tier's aggregate
     * recall@3 next to its serving footprint, measured in ONE query —
@@ -913,7 +1189,8 @@ object SimilarityOps {
       "ivf_sq8" -> annIvfSq8Of(v, bounds),
       "ivf_pq" -> annIvfPqOf(v, books, cacheKey = Some(s"$sfDir|init")),
       "pq_rerank" -> annPqRerankOf(v, books,
-        cacheKey = Some(s"$sfDir|init")))
+        cacheKey = Some(s"$sfDir|init")),
+      "hnsw" -> annHnswOf(v, sfDir))
     val bytes = TierBytes.toMap
     tiers.map { case (name, ann) =>
       brute.join(

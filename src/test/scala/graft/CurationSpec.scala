@@ -78,6 +78,52 @@ class CurationSpec extends SparkSpec {
     assert(r.getAs[Long]("n_windows") === 9L)
   }
 
+  test("substringSpans: cross-doc spans carry exact bounds and the excised text digest") {
+    // docs 1 and 2 share one 6-token run (→ one merged span each) and
+    // one disjoint 4-token run far enough away (→ a second span);
+    // doc 3 is clean. Every boundary and digest is hand-computable.
+    val runA = "a1 a2 a3 a4 a5 a6"
+    val runB = "b1 b2 b3 b4"
+    val corpus = Seq(
+      (1L, s"$runA x1 x2 x3 x4 x5 $runB"),
+      (2L, s"y1 y2 $runA z1 z2 z3 z4 z5 z6 z7 $runB"),
+      (3L, "p q r s t u v m n o")).toDF("doc_id", "text")
+    val out = DedupOps.substringSpansOf(corpus, w)
+      .orderBy("doc_id", "span_start").collect()
+    // doc 1: runA at [0,5] (3 windows), runB at [11,14] (1 window)
+    // doc 2: runA at [2,7] (3 windows), runB at [15,18] (1 window)
+    assert(out.map(r => (r.getAs[Long]("doc_id"),
+      r.getAs[Int]("span_start"), r.getAs[Int]("span_end"),
+      r.getAs[Int]("span_tokens"), r.getAs[Long]("n_windows"))).toSeq ===
+      Seq((1L, 0, 5, 6, 3L), (1L, 11, 14, 4, 1L),
+        (2L, 2, 7, 6, 3L), (2L, 15, 18, 4, 1L)))
+    // the excised digest is md5 of the exact shared text — identical
+    // across BOTH documents (that equality is what excision relies on)
+    def md5Of(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val byDoc = out.groupBy(_.getAs[Long]("doc_id"))
+    val d1 = byDoc(1L).map(_.getAs[String]("excised_md5")).toSeq
+    val d2 = byDoc(2L).map(_.getAs[String]("excised_md5")).toSeq
+    assert(d1 === Seq(md5Of(runA), md5Of(runB)))
+    assert(d1 === d2)
+  }
+
+  test("substringSpans: within-doc repeats alone produce no spans; seam windows don't bleed") {
+    // doc 20 repeats its own phrase (no cross-doc duplicate → no span);
+    // docs 30/31 share exactly w tokens at a seam — the span is exactly
+    // those w tokens, not the seam's neighbors
+    val corpus = Seq(
+      (20L, "a b c d a b c d"),
+      (30L, s"s1 s2 s3 k1 k2 k3 k4 t1 t2"),
+      (31L, s"u1 u2 k1 k2 k3 k4 v1 v2 v3")).toDF("doc_id", "text")
+    val out = DedupOps.substringSpansOf(corpus, w)
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getAs[Long]("doc_id"),
+      r.getAs[Int]("span_start"), r.getAs[Int]("span_end"))).toSeq ===
+      Seq((30L, 3, 6), (31L, 2, 5)))
+  }
+
   test("semDedup: keep-first invariants over the embeddings corpus") {
     val out = SimilarityOps.semDedup(spark, sfDir)
     val n = Tables.load(spark, sfDir, "embeddings").count()

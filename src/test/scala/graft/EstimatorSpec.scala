@@ -519,6 +519,71 @@ class EstimatorSpec extends SparkSpec {
       "nprobe=2 lost recall on the trained index")
   }
 
+  test("full-index persistence: every component round-trips bit-exactly and serves identically") {
+    val dir = Scratch.dir("graft-fullidx-")
+    try {
+      SimilarityOps.writeFullIndex(spark, sfDir, dir.toString)
+      val (cs, books, (mins, rng), codes) =
+        SimilarityOps.readFullIndex(spark, dir.toString)
+      // coarse centroids: bit equality with the builder's arrays
+      val csB = SimilarityOps.trainedCentroids(spark, sfDir)
+      assert(cs.length === csB.length)
+      cs.zip(csB).foreach { case (a, b) => assert(a.toSeq === b.toSeq) }
+      // PQ codebooks: per-subspace, per-code bit equality
+      val booksB = SimilarityOps.trainedPqCodebooks(spark, sfDir)
+      assert(books.length === booksB.length)
+      books.zip(booksB).foreach { case (ba, bb) =>
+        assert(ba.length === bb.length)
+        ba.zip(bb).foreach { case (a, b) => assert(a.toSeq === b.toSeq) }
+      }
+      // SQ8 bounds: exact min/range per dimension
+      assert(mins.length === 64 && rng.length === 64)
+      assert(rng.forall(_ > 0.0))
+      // the reloaded encoded-corpus frame equals a fresh encode —
+      // and the persist-serving query equals the trained one
+      val persist = SimilarityOps.annIvfPqPersist(spark, sfDir)
+        .localCheckpoint()
+      val trained = SimilarityOps.annIvfPqTrained(spark, sfDir)
+        .localCheckpoint()
+      assert(persist.exceptAll(trained).count() === 0)
+      assert(trained.exceptAll(persist).count() === 0)
+      assert(codes.columns.toSeq ===
+        Seq("vec_id", "cell", "c0", "c1", "c2", "c3", "recon_nrm"))
+    } finally Scratch.delete(dir)
+  }
+
+  test("graph ANN (NSW): recall beats every quantized single-probe tier on the fixture") {
+    def hits(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(sum("n_hits")).head().getLong(0)
+    val hnsw = hits(SimilarityOps.annRecallHnsw(spark, sfDir))
+    // the multi-entry beam explores enough of the fixture graph for
+    // high recall; the structural claim is dominance over the
+    // cell-pruned tiers whose boundary losses the graph walk dodges
+    assert(hnsw >= hits(SimilarityOps.annRecallIvf(spark, sfDir)),
+      "graph tier lost to untrained IVF")
+    assert(hnsw >= hits(SimilarityOps.annRecall(spark, sfDir)),
+      "graph tier lost to bucket LSH")
+    assert(hnsw >= 20, s"graph recall collapsed: $hnsw/24 hits")
+  }
+
+  test("graph ANN: serving is deterministic and neighbors carry exact cosines") {
+    val a = SimilarityOps.annHnsw(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(x => (x._1, x._4))
+    val b = SimilarityOps.annHnsw(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(x => (x._1, x._4))
+    assert(a.nonEmpty && a.toSeq === b.toSeq,
+      "graph serving is not run-deterministic")
+    // per query: exactly top-3, ranks 1..3, cosines non-increasing
+    a.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.length === 3, s"query $q returned ${rows.length} rows")
+      assert(rows.map(_._4).toSeq === Seq(1, 2, 3))
+      assert(rows.sliding(2).forall(p => p(0)._3 >= p(1)._3 - 1e-9))
+      assert(rows.forall(_._2 != q), "query returned itself")
+    }
+  }
+
   test("nprobe tuning curve: recall is monotone non-decreasing in probes") {
     val pts = SimilarityOps.annProbeCurve(spark, sfDir).collect()
       .map(r => r.getInt(0) -> r.getAs[Double]("recall")).sortBy(_._1)
