@@ -36,6 +36,7 @@ object SparkEntry {
     "p_lww_asof" -> (TtlOps.lwwAsOfAudit _),
     "p_lww_range" -> (TtlOps.lwwRangeAudit _),
     "p_lww_skew" -> (TtlOps.lwwSkewAudit _),
+    "p_lww_auto" -> (TtlOps.lwwAutoAudit _),
     // --- scans + engine aggregates (SURVEY §2.1, §2.4) ---
     "q6_filter_pushdown" -> (ScanAggOps.q6FilterPushdown _),
     "q19_disjunct" -> (AnalyticsOps.q19Disjunct _),
@@ -261,6 +262,7 @@ object SparkEntry {
     "st_stream_join_left" -> (StreamingOps.streamStreamJoinLeft _),
     "st_jsonl_ingest" -> (StreamingOps.jsonlIngest _),
     "st_dump_ingest" -> (StreamingOps.dumpIngest _),
+    "st_lww_merge" -> (StreamingOps.lwwMergeStream _),
     "st_corpus_gate" -> (StreamingOps.corpusGate _)
   )
 
@@ -1572,6 +1574,9 @@ object SparkEntry {
     // the skew-safe physical strategy must produce the identical
     // frame: same fixture, same oracle, verbatim
     "p_lww_skew" -> lwwMergeOracle,
+    // the auto-dial picks a physical strategy, never a different
+    // answer — the merge oracle shared verbatim a third time
+    "p_lww_auto" -> lwwMergeOracle,
     // range-tombstone shadowing: the oracle rebuilds both range
     // families, applies the inclusive/exclusive bound coverage with
     // the same writetime <= deletion rule via a pk join + conditional
@@ -3183,6 +3188,9 @@ object SparkEntry {
     // on the exact batch audit frame — all three ingestion paths
     // (multiLine, V2 connector, streaming) share this one oracle
     "st_dump_ingest" -> sstabledumpTreeSql,
+    // the stateful streaming merge's final snapshot equals the batch
+    // compaction — p_lww_merge's oracle shared verbatim
+    "st_lww_merge" -> lwwMergeOracle,
     // streaming JSONL ingest: one global Complete-mode aggregate over
     // the whole AvailableNow backlog = the batch accounting, same
     // constants-plus-good-side oracle as src_jsonl_corrupt

@@ -493,6 +493,47 @@ object TtlOps {
   def lwwSkewAudit(spark: SparkSession, sfDir: String): DataFrame =
     lwwMergeSkewSafe(lwwFixture(spark, sfDir))
 
+  /** Partition-width threshold above which [[lwwMergeAuto]] switches
+    * to the cell-granularity strategy: the window form gives one task
+    * a whole partition, so the dial flips where a partition's row
+    * count stops fitting a task comfortably. 10⁶ rows ≈ tens of MB of
+    * cell rows — well inside an executor task, well past any sane
+    * partition in the fixtures. */
+  val LwwAutoHotThreshold: Long = 1000000L
+
+  /** Adaptive strategy pick for the LWW merge — the dial
+    * [[lwwMerge]]/[[lwwMergeSkewSafe]] expose, turned by OBSERVED
+    * data: a pre-aggregation measures the widest partition (the only
+    * statistic that decides the hazard — the window form's task bound
+    * IS max partition width), and the merge runs as the window form
+    * under the threshold or the cell-granularity form above it. The
+    * stats pass is a count-only aggregation (column pruning cuts the
+    * scan to `partition_key`; at 100 TB it is the same cheap
+    * statistics job every adaptive planner runs before choosing a
+    * physical strategy), and its result is ONE driver scalar — the
+    * same class of bounded decision collect as the Lloyd convergence
+    * fingerprints. Both branches produce identical frames by
+    * construction (TtlOpsSpec pins it; the registered query shares
+    * `p_lww_merge`'s oracle verbatim), so the dial changes the
+    * physical plan and nothing else. */
+  def lwwMergeAuto(cells: DataFrame,
+      hotThreshold: Long = LwwAutoHotThreshold): DataFrame = {
+    val widest = cells
+      .groupBy(col("partition_key"))
+      .agg(count(lit(1)).as("n"))
+      .agg(max(col("n")))
+      .head()
+    val maxWidth = if (widest.isNullAt(0)) 0L else widest.getLong(0)
+    if (maxWidth > hotThreshold) lwwMergeSkewSafe(cells)
+    else lwwMerge(cells)
+  }
+
+  /** Registered auto-dial audit — same fixture, same oracle as
+    * `p_lww_merge`: whatever strategy the dial picks must answer
+    * identically. */
+  def lwwAutoAudit(spark: SparkSession, sfDir: String): DataFrame =
+    lwwMergeAuto(lwwFixture(spark, sfDir))
+
   /** Epoch base for the LWW fixture (2021-01-01T00:00:00Z, micros). */
   val LwwBaseUs: Long = 1609459200L * 1000000L
 
@@ -587,7 +628,7 @@ object TtlOps {
       .select(col("r.*"))
   }
 
-  private def lwwFixture(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def lwwFixture(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.load(spark, sfDir, "documents")
     val pk = col("doc_id").cast("string")
     val wt = (n: Long) => lit(LwwBaseUs) + (col("doc_id") + n) * 1000000L

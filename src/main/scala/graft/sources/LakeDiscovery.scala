@@ -32,35 +32,67 @@ object LakeDiscovery {
     * entries at either level are skipped (the reference skips
     * non-sstable files in its data dirs); a table directory with no
     * readable parquet footer fails loudly — a half-written table is
-    * a lake corruption the catalog must not paper over. */
+    * a lake corruption the catalog must not paper over.
+    *
+    * The two-level directory walk stays on the driver (O(tables)
+    * listings, unavoidable to even know the work list); the footer
+    * and row-group reads — the part that is O(tables × files) and
+    * used to loop serially on the driver — DISTRIBUTE: one task per
+    * table opens its own footers executor-side, so a 10⁵-table lake
+    * catalogs at cluster parallelism while the RESULT stays
+    * tables-sized on the driver (the one legitimately driver-built
+    * frame here). Schemas come from each table's first footer through
+    * Spark's own parquet→Catalyst converter fed with the session's
+    * Hadoop conf, so the rendered types match what `spark.read` would
+    * resolve. */
   def discover(spark: SparkSession, root: String): DataFrame = {
-    val fs = FileSystem.get(java.net.URI.create(root),
-      spark.sessionState.newHadoopConf())
-    val conf = spark.sessionState.newHadoopConf()
-    val tables = for {
+    val h = spark.sessionState.newHadoopConf()
+    // the parquet→Catalyst converter's Configuration constructor reads
+    // these SQL entries (Spark's own scans inject them the same way in
+    // ParquetFileFormat); the session RUNTIME conf supplies the
+    // effective value, defaults included
+    Seq("spark.sql.parquet.binaryAsString",
+      "spark.sql.parquet.int96AsTimestamp",
+      "spark.sql.caseSensitive",
+      "spark.sql.parquet.inferTimestampNTZ.enabled",
+      "spark.sql.legacy.parquet.nanosAsLong",
+      "spark.sql.parquet.fieldId.read.enabled")
+      .foreach(k => h.set(k, spark.conf.get(k)))
+    val hconf = new org.apache.spark.util.SerializableConfiguration(h)
+    val fs = FileSystem.get(java.net.URI.create(root), hconf.value)
+    val tables = (for {
       ks <- fs.listStatus(new Path(root)).toSeq if ks.isDirectory
       t <- fs.listStatus(ks.getPath).toSeq if t.isDirectory
-    } yield (ks.getPath.getName, t.getPath.getName, t.getPath)
-    val rows = tables.sortBy(t => (t._1, t._2)).map {
-      case (ks, table, path) =>
-        // Spark's parquet reader resolves the table schema from one
-        // footer (driver-side metadata, no data pages)
-        val cols = spark.read.parquet(path.toString).schema.fields
-          .map(f => s"${f.name}:${f.dataType.simpleString}")
-        // row counts likewise come straight from footer row-group
-        // metadata — the whole catalog build never launches a job
-        val nRows = fs.listStatus(path).toSeq
+    } yield (ks.getPath.getName, t.getPath.getName, t.getPath.toString))
+      .sortBy(t => (t._1, t._2))
+    val rows = spark.sparkContext
+      .parallelize(tables, math.max(1, math.min(tables.size, 32)))
+      .map { case (ks, table, path) =>
+        val tfs = FileSystem.get(java.net.URI.create(path), hconf.value)
+        val files = tfs.listStatus(new Path(path)).toSeq
           .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-          .map { f =>
-            val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-              org.apache.parquet.hadoop.util.HadoopInputFile
-                .fromPath(f.getPath, conf))
-            try r.getRecordCount finally r.close()
-          }.sum
+          .sortBy(_.getPath.getName)
+        require(files.nonEmpty, s"$ks/$table: no parquet footers")
+        var schema: Option[org.apache.parquet.schema.MessageType] = None
+        val nRows = files.map { f =>
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromPath(f.getPath, hconf.value))
+          try {
+            if (schema.isEmpty)
+              schema = Some(r.getFooter.getFileMetaData.getSchema)
+            r.getRecordCount
+          } finally r.close()
+        }.sum
+        val cols = new org.apache.spark.sql.execution.datasources.parquet
+          .ParquetToSparkSchemaConverter(hconf.value)
+          .convert(schema.get).fields
+          .map(f => s"${f.name}:${f.dataType.simpleString}")
         Row(ks, table, cols.length, cols.mkString(","), nRows)
-    }
+      }
+      .collect()
     spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1),
+      spark.sparkContext.parallelize(rows.toSeq, 1),
       StructType(Seq(
         StructField("keyspace", StringType, nullable = false),
         StructField("table_name", StringType, nullable = false),

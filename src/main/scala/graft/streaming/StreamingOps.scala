@@ -477,6 +477,139 @@ object StreamingOps {
     out
   }
 
+  // ---- streaming LWW merge ----
+
+  final case class CellArr(partition_key: String, clustering: String,
+      row_kind: String, name: Option[String], value: Option[String],
+      writetime_us: Option[Long], deletion_us: Option[Long])
+  final case class CellVer(cl: String, nm: String, wt: Long, v: String)
+  /** Per-partition merge state: tombstone maxima + the SURVIVING cell
+    * versions only (shadowed versions are pruned every batch — they can
+    * never win nor count again), so state is bounded by partition width
+    * × generations-per-cell, the same bound [[graft.ops.TtlOps
+    * .lwwMergeSkewSafe]] cites, never by stream lifetime. */
+  final case class LwwSt(partDel: Long, rowDels: Map[String, Long],
+      vers: Seq[CellVer], rev: Long)
+  final case class LwwEmit(partition_key: String, clustering: String,
+      name: String, value: String, writetime_us: Option[Long],
+      n_versions: Long, rev: Long)
+
+  private val cellSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "partition_key string, clustering string, row_kind string, " +
+      "name string, value string, writetime_us bigint, deletion_us bigint")
+
+  /** Write the p_lww_merge fixture as a STREAMING landing zone: one
+    * parquet file per generation (gen 1 = the original len/src cells,
+    * gen 2 = the re-writes and tombstones), so `maxFilesPerTrigger=1`
+    * feeds the merge one generation per micro-batch — the arrival
+    * pattern a continuously-compacting ingest actually sees. */
+  private[graft] def writeLwwStreamFixture(spark: SparkSession,
+      sfDir: String): java.nio.file.Path = {
+    val dir = graft.Scratch.dir("graft-lwwstream-")
+    val offUs = coalesce(col("writetime_us"), col("deletion_us")) -
+      lit(graft.ops.TtlOps.LwwBaseUs) -
+      col("partition_key").cast("long") * 1000000L
+    graft.ops.TtlOps.lwwFixture(spark, sfDir)
+      .withColumn("gen",
+        when(col("row_kind") === "ROW" && offUs <= 10000000L, 1)
+          .otherwise(2))
+      .repartition(col("gen"))
+      .write.partitionBy("gen").mode("overwrite").parquet(dir.toString)
+    dir
+  }
+
+  /** The stateful streaming LWW merge, raw emissions: winners keyed by
+    * partition, revised every micro-batch that touches the partition.
+    * Each batch the group (a) folds new cells into the surviving
+    * version list and new tombstones into the per-partition maxima,
+    * (b) prunes freshly-shadowed versions (a tombstone arriving AFTER
+    * the cells it shadows retroactively deletes them — the cross-batch
+    * revision a static batch job never faces), and (c) emits the
+    * partition's CURRENT winner snapshot tagged with a monotone
+    * revision, plus one revision SENTINEL row (null name): a partition
+    * whose last surviving cell just vanished must still announce the
+    * new revision, or the collapse would resurrect its previous
+    * snapshot. Range-tombstone bounds are the batch form's business
+    * and fail loudly here rather than merging wrong.
+    */
+  private[graft] def lwwMergeStreamRaw(parent: SparkSession,
+      dir: String): DataFrame =
+    runSourceToMemory(parent,
+      s => s.readStream.schema(cellSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$dir/*/*"),
+      src => {
+        val ss = src.sparkSession
+        import ss.implicits._
+        src.as[CellArr].groupByKey(_.partition_key)
+          .flatMapGroupsWithState[LwwSt, LwwEmit](
+            OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+            (pk: String, rows: Iterator[CellArr], state: GroupState[LwwSt]) =>
+              val st = state.getOption
+                .getOrElse(LwwSt(Long.MinValue, Map.empty, Nil, 0L))
+              var partDel = st.partDel
+              var rowDels = st.rowDels
+              var vers = st.vers
+              rows.foreach { r =>
+                r.row_kind match {
+                  case "ROW" | "PK_LIVENESS" =>
+                    vers = vers :+ CellVer(r.clustering, r.name.orNull,
+                      r.writetime_us.get, r.value.orNull)
+                  case "ROW_DELETION" =>
+                    rowDels = rowDels.updated(r.clustering,
+                      math.max(rowDels.getOrElse(r.clustering,
+                        Long.MinValue), r.deletion_us.get))
+                  case "PARTITION_DELETION" =>
+                    partDel = math.max(partDel, r.deletion_us.get)
+                  case other => throw new UnsupportedOperationException(
+                    s"streaming LWW merge: row_kind $other is the batch " +
+                      "form's (range bounds need whole-partition pairing)")
+                }
+              }
+              val live = vers.filter(v => v.wt > partDel &&
+                v.wt > rowDels.getOrElse(v.cl, Long.MinValue))
+              val rev = st.rev + 1
+              state.update(LwwSt(partDel, rowDels, live, rev))
+              val winners = live.groupBy(v => (v.cl, v.nm)).toSeq
+                .map { case ((cl, nm), vs) =>
+                  // (writetime, value) lexicographic max — the batch
+                  // merge's max(struct(writetime_us, value)) verbatim;
+                  // a null value (PK_LIVENESS) loses any same-writetime
+                  // tie, as DESC null-last window ordering does
+                  val w = vs.maxBy(v => (v.wt, Option(v.v).getOrElse("")))
+                  LwwEmit(pk, cl, nm, w.v, Some(w.wt), vs.size.toLong, rev)
+                }
+              (LwwEmit(pk, null, null, null, None, 0L, rev) +: winners)
+                .iterator
+          }.toDF()
+      }, OutputMode.Append())
+
+  /** Registered `st_lww_merge`: the two-generation merge fixture
+    * streamed one generation per micro-batch through the stateful
+    * merge, collapsed to each partition's LAST revision — which must
+    * equal the batch [[graft.ops.TtlOps.lwwMerge]] frame exactly
+    * (`p_lww_merge`'s oracle, shared verbatim): continuous merge and
+    * one-shot compaction are the same semantics on different triggers.
+    */
+  def lwwMergeStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = writeLwwStreamFixture(spark, sfDir)
+    val raw = lwwMergeStreamRaw(spark, dir.toString)
+    graft.Scratch.delete(dir)
+    collapseLwwStream(raw)
+  }
+
+  /** Latest-revision collapse of [[lwwMergeStreamRaw]] emissions: keep
+    * each partition's max-rev snapshot, drop the sentinels. */
+  private[graft] def collapseLwwStream(raw: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("partition_key")
+    raw
+      .withColumn("maxrev", max(col("rev")).over(w))
+      .filter(col("rev") === col("maxrev") && col("name").isNotNull)
+      .select(col("partition_key"), col("clustering"), col("name"),
+        col("value"), col("writetime_us"), col("n_versions"))
+  }
+
   final case class Evt(event_id: Long, user_id: Long, ts: Long)
   final case class Session(
       user_id: Long, session_id: Long, n_events: Long,

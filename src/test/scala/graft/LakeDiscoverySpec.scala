@@ -41,6 +41,33 @@ class LakeDiscoverySpec extends SparkSpec {
     } finally Scratch.delete(out)
   }
 
+  test("footer reads run as one distributed task per table") {
+    val out = LakeDiscovery.writeLakeFixture(spark, sfDir)
+    val taskCounts = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[Int]())
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        taskCounts.add(s.stageInfo.numTasks)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val nTables = LakeDiscovery.discover(spark, out.toString).count()
+      // listener delivery is async; poll briefly for the footer stage
+      val deadline = System.nanoTime() + 10000000000L
+      while (!taskCounts.contains(nTables.toInt) &&
+        System.nanoTime() < deadline) Thread.sleep(50)
+      // the footer job parallelizes one task per table (≤32): a stage
+      // with exactly tables-many tasks must have run — the serial
+      // driver loop this replaced would show no such stage
+      assert(taskCounts.contains(nTables.toInt),
+        s"no $nTables-task footer stage ran (saw $taskCounts)")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      Scratch.delete(out)
+    }
+  }
+
   test("discovery skips non-directory strays at both levels") {
     val out = LakeDiscovery.writeLakeFixture(spark, sfDir)
     try {

@@ -327,4 +327,44 @@ class StreamingSpec extends SparkSpec {
     assert(batch.exceptAll(stream).count() === 0)
     assert(stream.count() === 4) // the four row kinds
   }
+
+  test("streaming LWW merge: winners revised across micro-batches, final equals batch") {
+    import org.apache.spark.sql.functions._
+    val dir = StreamingOps.writeLwwStreamFixture(spark, sfDir)
+    try {
+      val raw = StreamingOps.lwwMergeStreamRaw(spark, dir.toString)
+        .localCheckpoint()
+      // the generation files arrive one per micro-batch, so partitions
+      // touched by both generations reach revision 2
+      assert(raw.agg(max(col("rev"))).head().getLong(0) === 2L)
+      // cross-batch winner REVISION: doc 6 (len re-written in gen 2,
+      // no tombstones) must show different winner sets at rev 1 vs
+      // rev 2 whichever order the generation files arrived in —
+      // gen1-first revises len's value, gen2-first adds src
+      val d6 = raw.filter(col("partition_key") === "6" &&
+        col("name").isNotNull)
+        .select(col("rev"), col("name"), col("value")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      val r1 = d6.filter(_._1 == 1L).map(t => (t._2, t._3)).toSet
+      val r2 = d6.filter(_._1 == 2L).map(t => (t._2, t._3)).toSet
+      assert(r1.nonEmpty && r2.nonEmpty && r1 != r2,
+        s"no winner revision across batches: rev1=$r1 rev2=$r2")
+      // doc 6's final len winner is the gen-2 re-write
+      val nChars6 = graft.Tables.load(spark, sfDir, "documents")
+        .filter(col("doc_id") === 6).head().getAs[Long]("n_chars")
+      assert(r2.contains(("len", (nChars6 + 1).toString)))
+      // retroactive shadowing: a partition-deleted doc ends EMPTY at
+      // its final revision (doc 9: 9 % 10 == 9)
+      val d9final = raw.filter(col("partition_key") === "9")
+        .withColumn("mx", max(col("rev")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(lit(1))))
+        .filter(col("rev") === col("mx") && col("name").isNotNull)
+      assert(d9final.count() === 0, "partition tombstone did not empty doc 9")
+      // the collapsed stream equals the batch merge frame exactly
+      val collapsed = StreamingOps.collapseLwwStream(raw)
+      val batch = graft.ops.TtlOps.lwwMergeAudit(spark, sfDir)
+      assert(collapsed.exceptAll(batch).count() === 0)
+      assert(batch.exceptAll(collapsed).count() === 0)
+    } finally Scratch.delete(dir)
+  }
 }
