@@ -46,7 +46,7 @@ import org.apache.spark.sql.SparkSession
   *   graft.RemoverCli --in <dir> --out <dir> --table <name>
   *     [--keyspace <ks>] [--cpus <n>]
   *     [--format parquet|sstabledump|sstable]
-  *     [--merge lww] [--reader json|v2]
+  *     [--merge lww] [--reader json|v2] [--sink parquet|sstable]
   *     [--pk <cols> --ck <cols> --cells <cols> --writetime <col>
   *      --ttl-key <col>]
   */
@@ -59,11 +59,11 @@ object RemoverCli {
       cells: Seq[String] = Seq.empty,
       writetime: Option[String] = None, ttlKey: Option[String] = None,
       format: String = "parquet", merge: Option[String] = None,
-      reader: String = "json")
+      reader: String = "json", sink: String = "parquet")
 
   private val Flags = Set("in", "out", "table", "keyspace", "cpus",
     "pk", "ck", "cells", "writetime", "ttl-key", "format", "merge",
-    "reader")
+    "reader", "sink")
 
   private def csv(v: String): Seq[String] =
     v.split(',').map(_.trim).filter(_.nonEmpty).toSeq
@@ -103,9 +103,11 @@ object RemoverCli {
                   ttlKey = m.get("ttl-key"),
                   format = m.getOrElse("format", "parquet"),
                   merge = m.get("merge"),
-                  reader = m.getOrElse("reader", "json"))
+                  reader = m.getOrElse("reader", "json"),
+                  sink = m.getOrElse("sink", "parquet"))
                 validateFormat(args).flatMap(validateMerge)
-                  .flatMap(validateReader).flatMap(a =>
+                  .flatMap(validateReader).flatMap(validateSink)
+                  .flatMap(a =>
                   // dump/binary formats bring their own liveness
                   // model, so the cell-spec rules don't apply to them
                   if (isDump(a)) Right(a)
@@ -152,11 +154,26 @@ object RemoverCli {
       case other => Left(s"unknown --reader '$other' (expected json or v2)")
     }
 
+  /** `--sink sstable` writes the output back as big-format SSTABLES
+    * (one rewritten generation per input SSTable; with `--merge lww`,
+    * ONE compacted generation — a major compaction) instead of the
+    * parquet lake layout. Only the dump-family formats carry the
+    * cell model the binary writer serializes. */
+  private def validateSink(a: CliArgs): Either[String, CliArgs] =
+    a.sink match {
+      case "parquet" => Right(a)
+      case "sstable" =>
+        if (isDump(a)) Right(a)
+        else Left("--sink sstable requires --format sstabledump|sstable " +
+          "(parquet input has no SSTable cell model to re-serialize)")
+      case other => Left(s"unknown --sink '$other' (expected parquet or sstable)")
+    }
+
   // --merge only means something over multi-generation dump input:
   // per-table parquet has exactly one version of every row already
   private def validateMerge(a: CliArgs): Either[String, CliArgs] =
-    if (a.merge.nonEmpty && a.format != "sstabledump")
-      Left("--merge requires --format sstabledump " +
+    if (a.merge.nonEmpty && !isDump(a))
+      Left("--merge requires --format sstabledump|sstable " +
         "(parquet input has no generations to reconcile)")
     else Right(a)
 
@@ -194,7 +211,9 @@ object RemoverCli {
     * end-to-end without forking a JVM. Returns the written row count.
     */
   def run(spark: SparkSession, args: CliArgs): Long =
-    if (isDump(args) && args.merge.contains("lww"))
+    if (args.sink == "sstable")
+      runSstableSink(spark, args)
+    else if (isDump(args) && args.merge.contains("lww"))
       graft.sources.SSTableDumpBridge.mergeTtlToDir(
         spark, args.in, args.out, args.keyspace, args.table,
         reader = dumpReader(args))
@@ -212,6 +231,46 @@ object RemoverCli {
         args.writetime.get, args.ttlKey.getOrElse(args.pk.head))
       Pipeline.removeTtl(cellified, meta, args.out)
     }
+
+  /** The `--sink sstable` execution paths: read the dump-family
+    * input through its sstable-identity-carrying reader, then either
+    * strip TTLs and rewrite ONE output SSTable per input SSTable (the
+    * reference's exact rewrite contract, binary in → binary out), or
+    * — with `--merge lww` — collapse every generation through the LWW
+    * merge and write ONE compacted generation: a major compaction.
+    * Returns rows written (the sink's own per-file manifest). */
+  private def runSstableSink(spark: SparkSession, args: CliArgs): Long = {
+    import org.apache.spark.sql.functions._
+    val reader: (SparkSession, String) => org.apache.spark.sql.DataFrame =
+      if (args.format == "sstable") graft.sources.SSTableBinaryV2.readBinary
+      else if (args.reader == "v2")
+        graft.sources.SSTableDumpBridge.readTreeV2
+      else graft.sources.SSTableDumpBridge.readTree
+    if (args.merge.contains("lww")) {
+      val merged = graft.sources.SSTableDumpBridge
+        .mergeTree(spark, args.in, reader)
+      val live = col("row_kind").isin("ROW", "PK_LIVENESS")
+      val reshaped = merged.select(
+        col("partition_key"), col("clustering"), col("row_kind"),
+        col("name"),
+        when(live, struct(col("value"), col("writetime_us"),
+          lit(null).cast("int").as("ttl_s"),
+          lit(null).cast("long").as("expire_us"))).as("cell"),
+        col("deletion_us"),
+        lit(s"${args.table}/nb-1-big-Data.db").as("sstable"))
+      graft.sources.SSTableBinaryV2
+        .writeSSTables(reshaped, args.out, args.keyspace, args.table)
+        .map(_._2).sum
+    } else {
+      val stripped = reader(spark, args.in).withColumn("cell",
+        when(col("cell").isNotNull,
+          graft.model.CellModel.stripCell(col("cell")))
+          .otherwise(col("cell")))
+      graft.sources.SSTableBinaryV2
+        .writeSSTables(stripped, args.out, args.keyspace, args.table)
+        .map(_._2).sum
+    }
+  }
 
   private def isDump(args: CliArgs): Boolean =
     args.format == "sstabledump" || args.format == "sstable"
@@ -233,7 +292,7 @@ object RemoverCli {
         "usage: graft.RemoverCli --in <dir> --out <dir> --table <name>" +
           " [--keyspace <ks>] [--cpus <n>]" +
           " [--format parquet|sstabledump|sstable]" +
-          " [--merge lww] [--reader json|v2]" +
+          " [--merge lww] [--reader json|v2] [--sink parquet|sstable]" +
           " [--pk <cols> --ck <cols> --cells <cols> --writetime <col>" +
           " --ttl-key <col>]")
       sys.exit(2)
@@ -247,8 +306,11 @@ object RemoverCli {
       spark.sparkContext.setLogLevel("WARN")
       try {
         val rows = run(spark, args)
-        println(s"wrote $rows rows to ${args.out}/" +
-          s"keyspace=${args.keyspace}/table_name=${args.table}/")
+        val layout =
+          if (args.sink == "sstable")
+            s"${args.out}/${args.keyspace}/${args.table}/ (big-format SSTables)"
+          else s"${args.out}/keyspace=${args.keyspace}/table_name=${args.table}/"
+        println(s"wrote $rows rows to $layout")
       } finally spark.stop()
   }
 }

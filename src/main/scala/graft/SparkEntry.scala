@@ -130,6 +130,7 @@ object SparkEntry {
     "src_sstabledump_tree" -> (sources.SSTableDumpBridge.treeAudit _),
     "src_sstabledump_v2" -> (sources.SSTableDumpBridge.treeAuditV2 _),
     "src_sstable_binary" -> (sources.SSTableBinaryV2.binaryAudit _),
+    "src_sstable_roundtrip" -> (sources.SSTableBinaryV2.binaryRoundtrip _),
     "src_schema_discovery" -> (sources.LakeDiscovery.discoveryAudit _),
     // --- corpus assembly (mixing / packing) ---
     "corp_source_mix" -> (CorpusOps.sourceMixAudit _),
@@ -208,6 +209,7 @@ object SparkEntry {
       SimilarityOps.annProbeCurve(s, d)),
     "sim_ann_lsh" -> (SimilarityOps.annLsh _),
     "sim_ann_hnsw" -> (SimilarityOps.annHnsw _),
+    "sim_ann_hnsw_persist" -> (SimilarityOps.annHnswPersist _),
     "sim_ann_recall_hnsw" -> (SimilarityOps.annRecallHnsw _),
     "sim_ann_ivf" -> (SimilarityOps.annIvf _),
     "sim_ann_ivf_mp" -> (SimilarityOps.annIvfMp _),
@@ -216,6 +218,7 @@ object SparkEntry {
     "sim_ann_ivfpq" -> (SimilarityOps.annIvfPq _),
     "sim_ann_ivfpq_t" -> (SimilarityOps.annIvfPqTrained _),
     "sim_ann_ivfpq_persist" -> (SimilarityOps.annIvfPqPersist _),
+    "sim_ann_ivfpq_add" -> (SimilarityOps.annIvfPqAdd _),
     "sim_ann_pq_rerank" -> (SimilarityOps.annPqRerank _),
     "sim_ann_sq8" -> (SimilarityOps.annSq8 _),
     "sim_ann_recall_sq8" -> (SimilarityOps.annRecallSq8 _),
@@ -263,7 +266,8 @@ object SparkEntry {
     "st_jsonl_ingest" -> (StreamingOps.jsonlIngest _),
     "st_dump_ingest" -> (StreamingOps.dumpIngest _),
     "st_lww_merge" -> (StreamingOps.lwwMergeStream _),
-    "st_corpus_gate" -> (StreamingOps.corpusGate _)
+    "st_corpus_gate" -> (StreamingOps.corpusGate _),
+    "st_ann_ingest" -> (StreamingOps.annIngest _)
   )
 
   // ---- oracle-SQL generators for the estimator/LSH operators ----
@@ -1490,6 +1494,17 @@ object SparkEntry {
         | CAST(sum(vc) AS BIGINT) AS sum_value_chars
         |FROM r GROUP BY 1""".stripMargin
 
+  /** `src_sstable_roundtrip`'s oracle: the tree-audit SQL with the TTL
+    * sum nulled — the strip's entire observable effect on the audit.
+    * Derived from [[sstabledumpTreeSql]] so the two stay in lockstep;
+    * the require guards the anchor against drift. */
+  private lazy val sstableRoundtripSql: String = {
+    val anchor = "CASE WHEN doc_id % 2 = 0 THEN doc_id % 100 END AS ttl"
+    require(sstabledumpTreeSql.contains(anchor),
+      "tree-audit SQL changed; update the roundtrip oracle anchor")
+    sstabledumpTreeSql.replace(anchor, "CAST(NULL AS BIGINT) AS ttl")
+  }
+
   def oracleSql: Map[String, String] = Map(
     "p1_ttl_strip" ->
       """SELECT event_id, user_id, event_type, value,
@@ -2462,6 +2477,9 @@ object SparkEntry {
     // the binary big-format decoder answers to the SAME contract: the
     // fixture content is identical, only the on-disk encoding differs
     "src_sstable_binary" -> sstabledumpTreeSql,
+    // read → strip → REWRITE as big-format SSTables → re-read: the
+    // tree contract with the TTL sum nulled, nothing else changed
+    "src_sstable_roundtrip" -> sstableRoundtripSql,
     // weighted mixing: the oracle replays the identical md5 coin
     // (DuckDB's hex-string cast = Spark's conv(...,16,10)) and the
     // cycling rate spec, so kept-set membership is exact per document
@@ -3009,6 +3027,9 @@ object SparkEntry {
     "d_dedup_bias" -> dedupBiasSql,
     "sim_ann_lsh" -> annLshSql,
     "sim_ann_hnsw" -> annHnswSql,
+    // the reloaded graph serves bit-identically — oracle shared
+    // verbatim with sim_ann_hnsw
+    "sim_ann_hnsw_persist" -> annHnswSql,
     "sim_ann_recall_hnsw" -> annRecallHnswSql,
     "sim_ann_ivf" -> annIvfSql,
     "sim_ann_ivf_mp" -> annIvfSqlP(2),
@@ -3021,6 +3042,11 @@ object SparkEntry {
     // the fully reloaded index serves bit-identically to its builder —
     // the oracle is shared VERBATIM with sim_ann_ivfpq_t
     "sim_ann_ivfpq_persist" -> annIvfPqSqlP(1, trained = true),
+    // growing the persisted index by an encoded delta must answer
+    // exactly like rebuilding it — the same oracle a third time
+    "sim_ann_ivfpq_add" -> annIvfPqSqlP(1, trained = true),
+    // and the stream-built index a fourth: continuous ingest ≡ batch
+    "st_ann_ingest" -> annIvfPqSqlP(1, trained = true),
     "sim_ann_pq_rerank" -> annPqRerankSqlP(),
     "sim_ann_sq8" -> annSq8Sql,
     "sim_ann_recall_sq8" -> annRecallEmbedSql(annSq8Sql),

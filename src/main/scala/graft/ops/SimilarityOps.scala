@@ -27,7 +27,7 @@ object SimilarityOps {
   private def dot(a: Column, b: Column): Column =
     graft.functions.GraftFunctions.array_dot(a, b)
 
-  private def withNorm(df: DataFrame): DataFrame =
+  private[graft] def withNorm(df: DataFrame): DataFrame =
     df.select(  // (callers pass loadBalanced tables; see Tables.loadBalanced)
       col("vec_id"),
       col("label"),
@@ -488,7 +488,7 @@ object SimilarityOps {
     * whose quantization landed on longer centroids, which buries true
     * neighbors under reconstruction-norm noise. This frame IS the
     * on-disk index payload — [[writeFullIndex]] persists it verbatim. */
-  private def pqEncode(vn: DataFrame, books: Array[Array[Array[Double]]],
+  private[graft] def pqEncode(vn: DataFrame, books: Array[Array[Array[Double]]],
       cs: Array[Array[Double]], l2: Boolean): DataFrame = {
     val len = 64 / books.length
     val coded0 = vn.withColumn("cell", ivfCell(col("e"), cs, l2))
@@ -504,7 +504,7 @@ object SimilarityOps {
       }.reduce(_ + _)))
   }
 
-  private def annIvfPqOf(vn: DataFrame,
+  private[graft] def annIvfPqOf(vn: DataFrame,
       books: Array[Array[Array[Double]]], nprobe: Int = 1,
       cs: Array[Array[Double]] = centroids(64, 16),
       l2: Boolean = false, cacheKey: Option[String] = None,
@@ -900,13 +900,17 @@ object SimilarityOps {
     * floats (the whole point of the build/serve split). Doubles
     * round-trip parquet bit-exactly, so everything reloaded serves
     * bit-identically — EstimatorSpec pins per-component equality. */
+  /** `corpus` overrides the encoded frame's vector set (default: the
+    * whole embeddings table) — the base-index case of the incremental
+    * ADD lifecycle, where later deltas append to `<dir>/codes`. */
   def writeFullIndex(spark: SparkSession, sfDir: String,
-      dir: String): Unit = {
+      dir: String, corpus: Option[DataFrame] = None): Unit = {
     import spark.implicits._
     val cs = trainedCentroids(spark, sfDir)
     val books = trainedPqCodebooks(spark, sfDir)
-    val vn = withNorm(Tables.load(spark, sfDir, "embeddings"))
-    val (mins, rng) = sq8BoundsOf(vn, sfDir)
+    val all = withNorm(Tables.load(spark, sfDir, "embeddings"))
+    val vn = corpus.getOrElse(all)
+    val (mins, rng) = sq8BoundsOf(all, sfDir)
     cs.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cell", "c").repartition(1)
       .write.mode("overwrite").parquet(s"$dir/centroids")
@@ -955,6 +959,37 @@ object SimilarityOps {
       withNorm(Tables.load(spark, sfDir, "embeddings")), books,
       cs = cs, l2 = true, codedOverride = Some(codes))
       .localCheckpoint()
+    graft.Scratch.delete(dir)
+    out
+  }
+
+  /** Incremental index ADD — the FAISS `add()` lifecycle over the
+    * persisted artifact set: the base index (¾ of the corpus) is
+    * built and persisted once; when a new batch arrives, a SEPARATE
+    * job reloads the trained constants off parquet (no trainer runs —
+    * adding must never retrain, or the index drifts per batch),
+    * encodes ONLY the delta (one scan of the arriving vectors), and
+    * APPENDS its codes to the stored index; serving then reads the
+    * grown index. Quantization is a pure per-vector function of the
+    * frozen artifacts, so base∪delta encodes bit-identically to a
+    * from-scratch full build — the registered query shares
+    * `sim_ann_ivfpq_t`'s oracle VERBATIM, which is the add contract:
+    * growing the index must answer exactly like rebuilding it. */
+  def annIvfPqAdd(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = graft.Scratch.dir("graft-ivfpq-add-")
+    val vn = withNorm(Tables.load(spark, sfDir, "embeddings"))
+      .localCheckpoint()
+    // base build job: persist the index over vec_id % 4 != 3
+    writeFullIndex(spark, sfDir, dir.toString,
+      corpus = Some(vn.filter(col("vec_id") % 4 =!= 3)))
+    // add job: reload artifacts, encode the delta only, append
+    val (cs, books, _, _) = readFullIndex(spark, dir.toString)
+    pqEncode(vn.filter(col("vec_id") % 4 === 3), books, cs, l2 = true)
+      .write.mode("append").parquet(s"$dir/codes")
+    // serving job: the grown index off disk
+    val (_, _, _, grown) = readFullIndex(spark, dir.toString)
+    val out = annIvfPqOf(vn, books, cs = cs, l2 = true,
+      codedOverride = Some(grown)).localCheckpoint()
     graft.Scratch.delete(dir)
     out
   }
@@ -1091,9 +1126,10 @@ object SimilarityOps {
     * touches ≤ |Q|·beam·degree candidate rows — the per-hop frames
     * are query-set-sized, never corpus-sized; the graph side of the
     * hop join is the memoized checkpoint. */
-  private def annHnswOf(vn: DataFrame, cacheKey: String): DataFrame = {
+  private def annHnswOf(vn: DataFrame, cacheKey: String,
+      graphOverride: Option[DataFrame] = None): DataFrame = {
     val vnC = vn.localCheckpoint()
-    val adjS = hnswGraph(vnC, cacheKey)
+    val adjS = graphOverride.getOrElse(hnswGraph(vnC, cacheKey))
     val q = vnC.filter(col("vec_id") < 8)
       .select(col("vec_id").as("q_vec_id"), col("e").as("qe"),
         col("nrm").as("qnrm"))
@@ -1142,6 +1178,25 @@ object SimilarityOps {
   /** Registered graph-ANN serving query. */
   def annHnsw(spark: SparkSession, sfDir: String): DataFrame =
     annHnswOf(withNorm(Tables.load(spark, sfDir, "embeddings")), sfDir)
+
+  /** Graph-index persistence — write_index/read_index for the NSW
+    * tier: the built adjacency (the graph IS the index — edges only,
+    * scores recompute from vectors at serve time) writes to parquet
+    * keeping its natural partitioning, a fresh read reloads it, and
+    * beam search runs entirely off the reloaded edges. Edge sets are
+    * exact (integer pairs), so the reloaded graph serves
+    * bit-identically — the registered query shares `sim_ann_hnsw`'s
+    * oracle VERBATIM, completing the persistence story across every
+    * index family (IVF, IVF-PQ(+SQ8 bounds), and now the graph). */
+  def annHnswPersist(spark: SparkSession, sfDir: String): DataFrame = {
+    val vn = withNorm(Tables.load(spark, sfDir, "embeddings"))
+      .localCheckpoint()
+    val dir = graft.Scratch.dir("graft-hnsw-index-")
+    hnswGraph(vn, sfDir).write.mode("overwrite").parquet(dir.toString)
+    val reloaded = spark.read.parquet(dir.toString).localCheckpoint()
+    graft.Scratch.delete(dir)
+    annHnswOf(vn, sfDir, graphOverride = Some(reloaded))
+  }
 
   /** Recall@3 of the graph tier, same harness as every other index. */
   def annRecallHnsw(spark: SparkSession, sfDir: String): DataFrame =

@@ -689,11 +689,101 @@ object BigFormat {
     Some(PartitionData(key, partitionDeletion, atoms.result()))
   }
 
-  /** Serialize a whole SSTable data file's partitions. */
+  // =====================================================================
+  // Murmur3 partitioner tokens — o.a.c.utils.MurmurHash.hash3_x64_128
+  // (Cassandra's port of Appleby's MurmurHash3 x64/128) and
+  // o.a.c.dht.Murmur3Partitioner.getToken: token = first 64-bit word,
+  // with Long.MinValue normalized to MaxValue. Cassandra's port reads
+  // input bytes SIGNED (a known divergence from e.g. Guava's unsigned
+  // reads) — faithfulness requires reproducing exactly that.
+  // =====================================================================
+
+  def murmur3Token(key: Array[Byte]): Long = {
+    val length = key.length
+    val nblocks = length >> 4
+    val c1 = 0x87c37b91114253d5L
+    val c2 = 0x4cf5ad432745937fL
+    var h1 = 0L
+    var h2 = 0L
+    def block(i: Int): Long = {
+      val o = i << 3
+      (key(o) & 0xffL) | ((key(o + 1) & 0xffL) << 8) |
+        ((key(o + 2) & 0xffL) << 16) | ((key(o + 3) & 0xffL) << 24) |
+        ((key(o + 4) & 0xffL) << 32) | ((key(o + 5) & 0xffL) << 40) |
+        ((key(o + 6) & 0xffL) << 48) | ((key(o + 7) & 0xffL) << 56)
+    }
+    def rotl(x: Long, r: Int): Long = (x << r) | (x >>> (64 - r))
+    def fmix(k0: Long): Long = {
+      var k = k0
+      k ^= k >>> 33
+      k *= 0xff51afd7ed558ccdL
+      k ^= k >>> 33
+      k *= 0xc4ceb9fe1a85ec53L
+      k ^= k >>> 33
+      k
+    }
+    var i = 0
+    while (i < nblocks) {
+      var k1 = block(i * 2)
+      var k2 = block(i * 2 + 1)
+      k1 *= c1; k1 = rotl(k1, 31); k1 *= c2; h1 ^= k1
+      h1 = rotl(h1, 27); h1 += h2; h1 = h1 * 5 + 0x52dce729
+      k2 *= c2; k2 = rotl(k2, 33); k2 *= c1; h2 ^= k2
+      h2 = rotl(h2, 31); h2 += h1; h2 = h2 * 5 + 0x38495ab5
+      i += 1
+    }
+    val tail = nblocks << 4
+    var k1 = 0L
+    var k2 = 0L
+    // the Java switch's fall-through as a descending if-chain; byte
+    // reads are SIGNED (`.toLong` of a Byte sign-extends) — the
+    // Cassandra port's quirk, reproduced deliberately
+    val rem = length & 15
+    if (rem >= 15) k2 ^= key(tail + 14).toLong << 48
+    if (rem >= 14) k2 ^= key(tail + 13).toLong << 40
+    if (rem >= 13) k2 ^= key(tail + 12).toLong << 32
+    if (rem >= 12) k2 ^= key(tail + 11).toLong << 24
+    if (rem >= 11) k2 ^= key(tail + 10).toLong << 16
+    if (rem >= 10) k2 ^= key(tail + 9).toLong << 8
+    if (rem >= 9) {
+      k2 ^= key(tail + 8).toLong
+      k2 *= c2; k2 = rotl(k2, 33); k2 *= c1; h2 ^= k2
+    }
+    if (rem >= 8) k1 ^= key(tail + 7).toLong << 56
+    if (rem >= 7) k1 ^= key(tail + 6).toLong << 48
+    if (rem >= 6) k1 ^= key(tail + 5).toLong << 40
+    if (rem >= 5) k1 ^= key(tail + 4).toLong << 32
+    if (rem >= 4) k1 ^= key(tail + 3).toLong << 24
+    if (rem >= 3) k1 ^= key(tail + 2).toLong << 16
+    if (rem >= 2) k1 ^= key(tail + 1).toLong << 8
+    if (rem >= 1) {
+      k1 ^= key(tail).toLong
+      k1 *= c1; k1 = rotl(k1, 31); k1 *= c2; h1 ^= k1
+    }
+    h1 ^= length.toLong
+    h2 ^= length.toLong
+    h1 += h2
+    h2 += h1
+    h1 = fmix(h1)
+    h2 = fmix(h2)
+    h1 += h2
+    val token = h1
+    if (token == Long.MinValue) Long.MaxValue else token
+  }
+
+  /** Serialize a whole SSTable data file's partitions, in Murmur3
+    * TOKEN order — the on-disk ordering a real big-format writer
+    * produces (`Cassandra4TTLRemover.java:63` pins the
+    * Murmur3Partitioner; the key-order contract is what lets
+    * Cassandra's index/summary binary-search work). The decoder never
+    * relies on inter-partition order, so token ordering is pure
+    * faithfulness, not a reader requirement. */
   def writeDataFile(partitions: Seq[PartitionData], h: Header): Array[Byte] = {
     val out = new ByteArrayOutputStream()
     val d = new DataOutputStream(out)
-    partitions.foreach(writePartition(_, h, d))
+    partitions
+      .sortBy(p => (murmur3Token(encodeValue(h.keyType, p.key)), p.key))
+      .foreach(writePartition(_, h, d))
     d.flush()
     out.toByteArray
   }

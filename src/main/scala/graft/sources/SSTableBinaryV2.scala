@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, when}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -98,8 +98,16 @@ object SSTableBinaryV2 {
   private class BinScanBuilder(path: String)
       extends ScanBuilder with SupportsPushDownRequiredColumns {
     private var required: StructType = SSTableBinaryV2.schema
+    // TOP-LEVEL pruning only (the contract explicitly allows partial
+    // pruning): Catalyst's nested-schema pruning may request a `cell`
+    // struct with a subset of fields, but the decoder always emits the
+    // full canonical cell — honoring the narrowed struct shape would
+    // misalign field ordinals (a pruned 1-field struct read against
+    // our 4-field rows casts garbage). readSchema() reflects what the
+    // reader actually produces.
     override def pruneColumns(requiredSchema: StructType): Unit =
-      required = requiredSchema
+      required = StructType(
+        requiredSchema.fieldNames.map(SSTableBinaryV2.schema(_)))
     override def build(): Scan = new BinScan(path, required)
   }
 
@@ -379,6 +387,185 @@ object SSTableBinaryV2 {
     * binary sibling of `readTree`/`readTreeV2`. */
   def readBinary(spark: SparkSession, root: String): DataFrame =
     spark.read.format("sstable-big").load(root)
+
+  // =====================================================================
+  // binary sink — the reference's OUTPUT side
+  // =====================================================================
+
+  private[sources] final case class SinkCell(value: Option[String],
+      writetime_us: Option[Long], ttl_s: Option[Int],
+      expire_us: Option[Long])
+  private[sources] final case class SinkRow(partition_key: String,
+      clustering: Option[Seq[String]], row_kind: String,
+      name: Option[String], cell: Option[SinkCell],
+      deletion_us: Option[Long], sstable: String)
+
+  private def boundKind(name: String): Int = name match {
+    case "start:inclusive" => BigFormat.Kind.InclStartBound
+    case "start:exclusive" => BigFormat.Kind.ExclStartBound
+    case "end:inclusive" => BigFormat.Kind.InclEndBound
+    case "end:exclusive" => BigFormat.Kind.ExclEndBound
+    case other => throw new IllegalArgumentException(
+      s"unknown range-tombstone bound name '$other'")
+  }
+
+  /** Write bridge-row cells back out as big-format SSTables under
+    * `out/<ks>/<table>/` — the reference's OUTPUT contract
+    * (`Cassandra4TTLRemover.java:85-87` builds an `SSTableWriter` per
+    * input table and re-serializes every partition): one output
+    * `nb-<gen>-big-Data.db` + `-Statistics.db` pair per SOURCE
+    * sstable (the reference rewrites file-per-file), partitions in
+    * Murmur3 token order (the partitioner the reference pins,
+    * `Cassandra4TTLRemover.java:63`), per-file EncodingStats minima
+    * computed from what is actually written.
+    *
+    * Scale shape: ONE shuffle keyed on the source sstable, then each
+    * task encodes and writes its own file pair through the session
+    * Hadoop FS — file-per-task, the write-side mirror of the read
+    * connector's file-per-task scans, with [[BigFormat]] as the same
+    * honest codec boundary (`mapGroups`) the fixture writer uses. A
+    * task buffers one output SSTable (the reference's own rewrite
+    * unit); tables whose per-SSTable volume outgrows a task split
+    * generations upstream, not here. Returns (sstable, rows written)
+    * per output file.
+    *
+    * Cell-model mapping (the read connector's, inverted): ROW cells
+    * group per (partition, clustering) into one row atom with
+    * explicit per-cell liveness (expiry second = expire_us/1e6);
+    * PK_LIVENESS becomes row liveness with no cells; ROW_DELETION /
+    * PARTITION_DELETION / RANGE_TOMBSTONE_BOUND become their marker
+    * forms. Clustering arity must be uniform per table (heterogeneous
+    * arity fails loudly — it would mean two different table schemas
+    * in one write). */
+  def writeSSTables(cells: DataFrame, outDir: String, keyspace: String,
+      table: String): Seq[(String, Long)] = {
+    val spark = cells.sparkSession
+    import spark.implicits._
+    val hconf = spark.sparkContext.broadcast(
+      new SerializableConfiguration(spark.sessionState.newHadoopConf()))
+    cells
+      .select(col("partition_key"), col("clustering"), col("row_kind"),
+        col("name"), col("cell"), col("deletion_us"), col("sstable"))
+      .as[SinkRow]
+      .groupByKey(_.sstable)
+      .mapGroups { (src, it) =>
+        val rows = it.toArray
+        // generation: first integer in the source identity
+        // (nb-<g>-big-Data.db / <g>.json), else a stable positive hash
+        val gen = "\\d+".r.findFirstIn(src.split('/').last)
+          .map(_.toInt).getOrElse((src.hashCode & 0x7fffffff) % 1000000)
+        val arity = rows.flatMap(_.clustering).map(_.size).distinct
+        require(arity.length <= 1,
+          s"$src: heterogeneous clustering arity ${arity.mkString(",")}")
+        val nClust = arity.headOption.getOrElse(0)
+        val regulars = rows.filter(_.row_kind == "ROW")
+          .flatMap(_.name).distinct.sorted
+        val parts = rows.groupBy(_.partition_key).toSeq.map {
+          case (pk, prs) =>
+            val partDel = prs.filter(_.row_kind == "PARTITION_DELETION")
+              .flatMap(_.deletion_us).maxOption
+            val atoms = Seq.newBuilder[BigFormat.Atom]
+            prs.filter(_.row_kind == "RANGE_TOMBSTONE_BOUND")
+              .sortBy(r => (r.clustering.map(_.mkString("\u0000"))
+                .getOrElse(""), r.name.getOrElse("")))
+              .foreach { r =>
+                atoms += BigFormat.MarkerAtom(boundKind(r.name.get),
+                  r.clustering.getOrElse(Nil).map(Option(_)),
+                  Seq(r.deletion_us.get))
+              }
+            prs.filter(r => r.row_kind == "ROW" ||
+              r.row_kind == "PK_LIVENESS" || r.row_kind == "ROW_DELETION")
+              .groupBy(_.clustering.map(_.map(Option(_))).getOrElse(Nil))
+              .toSeq.sortBy(_._1.map(_.getOrElse("")).mkString("\u0000"))
+              .foreach { case (cl, crs) =>
+                val rowDel = crs.filter(_.row_kind == "ROW_DELETION")
+                  .flatMap(_.deletion_us).maxOption
+                val pkLive = crs.find(_.row_kind == "PK_LIVENESS")
+                  .flatMap(_.cell)
+                val cellAtoms = regulars.flatMap { nm =>
+                  crs.filter(r => r.row_kind == "ROW" &&
+                    r.name.contains(nm))
+                    .flatMap(r => r.cell.map { c =>
+                      BigFormat.CellAtom(nm, c.writetime_us.get, c.ttl_s,
+                        c.expire_us.map(e => (e / 1000000L).toInt),
+                        c.value, deleted = false)
+                    })
+                }
+                if (rowDel.isDefined || pkLive.isDefined ||
+                  cellAtoms.nonEmpty)
+                  atoms += BigFormat.RowAtom(cl,
+                    pkLive.flatMap(_.writetime_us),
+                    pkLive.flatMap(_.ttl_s),
+                    pkLive.flatMap(_.expire_us)
+                      .map(e => (e / 1000000L).toInt),
+                    rowDel, cellAtoms.toSeq)
+              }
+            BigFormat.PartitionData(pk, partDel, atoms.result())
+        }
+        // per-file EncodingStats minima over what will be written
+        val allTs = parts.flatMap(p => p.deletionUs.toSeq ++ p.atoms.flatMap {
+          case r: BigFormat.RowAtom =>
+            r.livenessTsUs.toSeq ++ r.deletionUs.toSeq ++ r.cells.map(_.tsUs)
+          case m: BigFormat.MarkerAtom => m.deletions
+        })
+        val allLdt = parts.flatMap(_.atoms.flatMap {
+          case r: BigFormat.RowAtom =>
+            r.livenessLdtS.toSeq ++ r.cells.flatMap(_.ldtS)
+          case _ => Nil
+        })
+        val allTtl = parts.flatMap(_.atoms.flatMap {
+          case r: BigFormat.RowAtom =>
+            r.livenessTtlS.toSeq ++ r.cells.flatMap(_.ttlS)
+          case _ => Nil
+        })
+        val header = BigFormat.Header(
+          if (allTs.isEmpty) BigFormat.TimestampEpochUs else allTs.min,
+          if (allLdt.isEmpty) BigFormat.DeletionTimeEpochS else allLdt.min,
+          if (allTtl.isEmpty) BigFormat.TtlEpoch else allTtl.min,
+          keyType = BigFormat.Utf8Type,
+          clusteringTypes = Seq.fill(nClust)(BigFormat.Utf8Type),
+          staticColumns = Nil,
+          regularColumns = regulars.toSeq.map(_ -> BigFormat.Utf8Type))
+        val fs = FileSystem.get(
+          java.net.URI.create(outDir), hconf.value.value)
+        val dir = new HPath(s"$outDir/$keyspace/$table")
+        def write(name: String, bytes: Array[Byte]): Unit = {
+          val os = fs.create(new HPath(dir, name), true)
+          try os.write(bytes) finally os.close()
+        }
+        write(s"nb-$gen-big-Data.db",
+          BigFormat.writeDataFile(parts, header))
+        write(s"nb-$gen-big-Statistics.db", BigFormat.writeStats(header))
+        (s"$table/nb-$gen-big-Data.db", rows.length.toLong)
+      }
+      .collect().toSeq.sortBy(_._1)
+  }
+
+  /** Registered `src_sstable_roundtrip` — the reference's WHOLE
+    * lifecycle on the binary format, no JSON anywhere: fixture
+    * SSTables → [[readBinary]] → TTL strip (values, writetimes and
+    * every tombstone survive; TTL metadata does not) →
+    * [[writeSSTables]] (one rewritten SSTable per source, token
+    * order, real format) → [[readBinary]] of the REWRITTEN files →
+    * the shared per-kind audit. The oracle is the tree-audit SQL with
+    * the TTL sum nulled — exactly what stripping must do to that one
+    * column while changing nothing else. */
+  def binaryRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val in = writeBinaryFixture(spark, sfDir)
+    val out = graft.Scratch.dir("graft-binrt-")
+    val stripped = readBinary(spark, in.toString)
+      .withColumn("cell",
+        when(col("cell").isNotNull,
+          graft.model.CellModel.stripCell(col("cell")))
+          .otherwise(col("cell")))
+    writeSSTables(stripped, out.toString, "graft", "documents")
+    graft.Scratch.delete(in)
+    val audit = SSTableDumpBridge
+      .auditFrame(readBinary(spark, out.toString))
+      .localCheckpoint()
+    graft.Scratch.delete(out)
+    audit
+  }
 
   /** Registered audit `src_sstable_binary`: binary fixture →
     * [[readBinary]] → the SAME per-row_kind aggregation, sharing

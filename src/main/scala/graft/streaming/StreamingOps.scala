@@ -477,6 +477,39 @@ object StreamingOps {
     out
   }
 
+  /** Streaming ANN index ingest — the index MAINTAINED as vectors
+    * land, not rebuilt behind them: a file stream over the embeddings
+    * table runs the trained IVF-PQ encode (cell assignment + M
+    * subspace codes + reconstruction norm) as a pure per-row
+    * projection over broadcast artifact constants — quantization has
+    * no state, so the stream needs no watermark, no aggregation, and
+    * per-micro-batch cost is exactly the arriving rows. The streamed
+    * code table then SERVES: the registered query runs the standard
+    * IVF-PQ search over the stream-built index and must equal
+    * `sim_ann_ivfpq_t` exactly (oracle shared VERBATIM) — continuous
+    * ingest and batch build produce the same index, the same answers.
+    * At 100 TB this is the landing-zone pattern for embeddings: codes
+    * append to the stored index table per micro-batch (16 B/vector),
+    * while training stays a deliberate offline act. */
+  def annIngest(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ops.SimilarityOps
+    val cs = SimilarityOps.trainedCentroids(spark, sfDir)
+    val books = SimilarityOps.trainedPqCodebooks(spark, sfDir)
+    val streamedCodes = runSourceToMemory(spark,
+      s => {
+        val schema = s.read.parquet(s"$sfDir/embeddings.parquet").schema
+        s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$sfDir/embeddings.parquet*")
+      },
+      src => SimilarityOps.pqEncode(
+        SimilarityOps.withNorm(src), books, cs, l2 = true),
+      OutputMode.Append())
+    SimilarityOps.annIvfPqOf(
+      SimilarityOps.withNorm(graft.Tables.load(spark, sfDir, "embeddings")),
+      books, cs = cs, l2 = true, codedOverride = Some(streamedCodes))
+  }
+
   // ---- streaming LWW merge ----
 
   final case class CellArr(partition_key: String, clustering: String,

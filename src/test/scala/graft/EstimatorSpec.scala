@@ -552,6 +552,24 @@ class EstimatorSpec extends SparkSpec {
     } finally Scratch.delete(dir)
   }
 
+  test("incremental add: growing the persisted index answers like rebuilding it") {
+    val added = SimilarityOps.annIvfPqAdd(spark, sfDir).localCheckpoint()
+    val rebuilt = SimilarityOps.annIvfPqTrained(spark, sfDir)
+      .localCheckpoint()
+    assert(added.count() > 0)
+    assert(added.exceptAll(rebuilt).count() === 0)
+    assert(rebuilt.exceptAll(added).count() === 0)
+  }
+
+  test("graph index persistence: reloaded edges serve identically") {
+    val persist = SimilarityOps.annHnswPersist(spark, sfDir)
+      .localCheckpoint()
+    val direct = SimilarityOps.annHnsw(spark, sfDir).localCheckpoint()
+    assert(persist.count() > 0)
+    assert(persist.exceptAll(direct).count() === 0)
+    assert(direct.exceptAll(persist).count() === 0)
+  }
+
   test("graph ANN (NSW): recall beats every quantized single-probe tier on the fixture") {
     def hits(df: org.apache.spark.sql.DataFrame): Long =
       df.agg(sum("n_hits")).head().getLong(0)

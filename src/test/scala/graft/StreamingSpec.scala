@@ -328,6 +328,15 @@ class StreamingSpec extends SparkSpec {
     assert(stream.count() === 4) // the four row kinds
   }
 
+  test("streaming ANN ingest: the stream-built index serves like the batch-built one") {
+    val streamed = StreamingOps.annIngest(spark, sfDir).localCheckpoint()
+    val batch = graft.ops.SimilarityOps.annIvfPqTrained(spark, sfDir)
+      .localCheckpoint()
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+  }
+
   test("streaming LWW merge: winners revised across micro-batches, final equals batch") {
     import org.apache.spark.sql.functions._
     val dir = StreamingOps.writeLwwStreamFixture(spark, sfDir)
