@@ -47,6 +47,7 @@ import org.apache.spark.sql.SparkSession
   *     [--keyspace <ks>] [--cpus <n>]
   *     [--format parquet|sstabledump|sstable]
   *     [--merge lww] [--reader json|v2] [--sink parquet|sstable]
+  *     [--cql "CREATE TABLE ..." --writetime <col>]
   *     [--pk <cols> --ck <cols> --cells <cols> --writetime <col>
   *      --ttl-key <col>]
   */
@@ -63,7 +64,7 @@ object RemoverCli {
 
   private val Flags = Set("in", "out", "table", "keyspace", "cpus",
     "pk", "ck", "cells", "writetime", "ttl-key", "format", "merge",
-    "reader", "sink")
+    "reader", "sink", "cql")
 
   private def csv(v: String): Seq[String] =
     v.split(',').map(_.trim).filter(_.nonEmpty).toSeq
@@ -105,7 +106,8 @@ object RemoverCli {
                   merge = m.get("merge"),
                   reader = m.getOrElse("reader", "json"),
                   sink = m.getOrElse("sink", "parquet"))
-                validateFormat(args).flatMap(validateMerge)
+                applyCql(args, m)
+                  .flatMap(validateFormat).flatMap(validateMerge)
                   .flatMap(validateReader).flatMap(validateSink)
                   .flatMap(a =>
                   // dump/binary formats bring their own liveness
@@ -117,6 +119,47 @@ object RemoverCli {
       }
     }
   }
+
+  /** `--cql "CREATE TABLE ..."` — the reference CLI's schema language
+    * (`TTLRemoverCLI.java:166-170` hands exactly this string to
+    * Cassandra's CreateTableStatement.parse): the statement derives
+    * the key/column split the flags would otherwise declare. Cells
+    * are the declared non-key columns minus the `--writetime` /
+    * `--ttl-key` metadata columns (CQL tables carry liveness per
+    * cell; our parquet test tables carry it as columns, which is why
+    * those two flags remain). A CQL keyspace wins over the default;
+    * an explicit `--keyspace` must not contradict it, and neither may
+    * `--table` or the flag-based spec. Dump/binary formats are
+    * self-describing, so `--cql` beside them is a contradiction. */
+  private def applyCql(a: CliArgs,
+      m: Map[String, String]): Either[String, CliArgs] =
+    m.get("cql") match {
+      case None => Right(a)
+      case Some(cql) =>
+        if (a.pk.nonEmpty || a.ck.nonEmpty || a.cells.nonEmpty)
+          Left("--cql declares the schema; --pk/--ck/--cells contradict it")
+        else if (a.format != "parquet")
+          Left("--cql applies to the parquet cell-model path " +
+            "(sstabledump/sstable input is self-describing)")
+        else graft.model.CqlSchema.parse(cql).flatMap { p =>
+          if (p.table != a.table)
+            Left(s"--table '${a.table}' contradicts the CQL table " +
+              s"'${p.table}'")
+          else if (p.keyspace.exists(k =>
+            m.get("keyspace").exists(_ != k)))
+            Left(s"--keyspace '${m("keyspace")}' contradicts the CQL " +
+              s"keyspace '${p.keyspace.get}'")
+          else {
+            val meta = a.writetime.toSeq ++ a.ttlKey.toSeq
+            val cells = p.columns.map(_._1).filterNot(c =>
+              p.partitionKey.contains(c) || p.clustering.contains(c) ||
+                meta.contains(c))
+            Right(a.copy(
+              keyspace = p.keyspace.getOrElse(a.keyspace),
+              pk = p.partitionKey, ck = p.clustering, cells = cells))
+          }
+        }
+    }
 
   /** `--format sstabledump` points --in at sstabledump JSON (file or
     * directory, one dump per SSTable): the dump carries its own
@@ -293,6 +336,7 @@ object RemoverCli {
           " [--keyspace <ks>] [--cpus <n>]" +
           " [--format parquet|sstabledump|sstable]" +
           " [--merge lww] [--reader json|v2] [--sink parquet|sstable]" +
+          " [--cql \"CREATE TABLE ...\" --writetime <col>]" +
           " [--pk <cols> --ck <cols> --cells <cols> --writetime <col>" +
           " --ttl-key <col>]")
       sys.exit(2)

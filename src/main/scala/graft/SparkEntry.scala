@@ -89,6 +89,7 @@ object SparkEntry {
     "w_lead_lag" -> (AnalyticsOps.leadLagGaps _),
     "w_sessionize" -> (AnalyticsOps.sessionize _),
     "w_funnel_stages" -> (AnalyticsOps.funnelStages _),
+    "w_event_regex" -> (AnalyticsOps.eventRegex _),
     "w_retention_cohorts" -> (AnalyticsOps.retentionCohorts _),
     "w_session_window" -> (AnalyticsOps.sessionWindowAgg _),
     "g_salted_skew" -> (AnalyticsOps.saltedSkewAgg _),
@@ -130,6 +131,7 @@ object SparkEntry {
     "src_sstabledump_tree" -> (sources.SSTableDumpBridge.treeAudit _),
     "src_sstabledump_v2" -> (sources.SSTableDumpBridge.treeAuditV2 _),
     "src_sstable_binary" -> (sources.SSTableBinaryV2.binaryAudit _),
+    "src_sstable_binary_3x" -> (sources.SSTableBinaryV2.binaryAudit3x _),
     "src_sstable_roundtrip" -> (sources.SSTableBinaryV2.binaryRoundtrip _),
     "src_schema_discovery" -> (sources.LakeDiscovery.discoveryAudit _),
     // --- corpus assembly (mixing / packing) ---
@@ -2005,6 +2007,19 @@ object SparkEntry {
         |SELECT 3, 'purchase', CAST(n3 AS BIGINT),
         | CASE WHEN n2 > 0 THEN round(CAST(n3 AS DOUBLE) / n2, 6) END
         |FROM a""".stripMargin,
+    // sequence-pattern matching: the ordered per-user code string and
+    // the non-overlapping regex count replay verbatim (both engines'
+    // regexp_extract_all walks left-to-right, greedy, non-overlapping)
+    "w_event_regex" ->
+      """WITH s AS (
+        | SELECT user_id,
+        |  string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+        |    AS seq
+        | FROM events GROUP BY 1)
+        |SELECT user_id, CAST(length(seq) AS INTEGER) AS n_events,
+        | CAST(len(regexp_extract_all(seq, 'vc*p')) AS INTEGER)
+        |   AS n_funnels
+        |FROM s""".stripMargin,
     "w_sessionize" ->
       """WITH g AS (
         | SELECT user_id, ts, event_id,
@@ -2477,6 +2492,9 @@ object SparkEntry {
     // the binary big-format decoder answers to the SAME contract: the
     // fixture content is identical, only the on-disk encoding differs
     "src_sstable_binary" -> sstabledumpTreeSql,
+    // the 3.x (m-series) era differs only in checksumless metadata;
+    // the decoded content answers to the same contract
+    "src_sstable_binary_3x" -> sstabledumpTreeSql,
     // read → strip → REWRITE as big-format SSTables → re-read: the
     // tree contract with the TTL sum nulled, nothing else changed
     "src_sstable_roundtrip" -> sstableRoundtripSql,

@@ -361,6 +361,37 @@ object AnalyticsOps {
           .as("retention"))
   }
 
+  /** Sequence-pattern matching over per-user event timelines — the
+    * MATCH_RECOGNIZE / CEP family in its distributed re-expression:
+    * each user's events render (in exact (ts, event_id) order) as a
+    * one-char-per-event code string, and a regular expression over
+    * that string counts pattern occurrences — here the classic funnel
+    * `vc*p` (a view, any clicks, then a purchase), counted
+    * NON-OVERLAPPING left-to-right, which is exactly both engines'
+    * regexp_extract_all semantics, so the oracle replays it verbatim.
+    * Patterns compose like regexes do (alternation, bounded repeats)
+    * without new operator machinery.
+    *
+    * Scale shape: one shuffle keyed on user; the per-user code string
+    * is activity-sized (the sessionize bound — a pathological user is
+    * capped upstream by sessionization, same caveat documented there);
+    * the regex runs once per user over a short string, never over the
+    * corpus. */
+  def eventRegex(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.load(spark, sfDir, "events")
+      .select(col("user_id"),
+        struct(col("ts"), col("event_id"),
+          substring(col("event_type"), 1, 1).as("c")).as("s"))
+    e.groupBy(col("user_id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(col("s"))), _.getField("c")),
+        "").as("seq"))
+      .select(col("user_id"),
+        length(col("seq")).as("n_events"),
+        size(regexp_extract_all(col("seq"), lit("vc*p"), lit(0)))
+          .as("n_funnels"))
+  }
+
   /** lead/lag: inter-event gap in seconds per user. Micros truncation
     * happens per-row BEFORE the lag so it matches the oracle's
     * `epoch_us(ts) - epoch_us(prev_ts)` exactly. */

@@ -351,15 +351,24 @@ object BigFormat {
     crc.update((v >>> 8) & 0xff); crc.update(v & 0xff)
   }
 
+  /** Whether an SSTable format version carries metadata checksums in
+    * its Statistics.db: the n-series (4.x: "na"/"nb") does, the
+    * m-series (3.x: "ma".."me") does not — the ONLY difference between
+    * the two eras in this decoder's subset (the unfiltered row/cell
+    * layout is the 3.0 storage engine's in both). */
+  def versionHasMetadataChecksum(version: String): Boolean =
+    version.nonEmpty && version.charAt(0) >= 'n'
+
   /** Statistics.db with the HEADER component, in MetadataSerializer's
-    * version-"nb" layout: component count, CRC32 of the count, TOC of
-    * (type ordinal, offset) pairs, cumulative CRC32 of count+TOC, then
-    * each component's bytes followed by that component's own CRC32.
-    * Offsets account for the 4-byte checksums. Fixtures write the one
-    * component the scan needs; the reader walks the TOC, so real files
-    * carrying VALIDATION/COMPACTION/STATS as well parse identically
-    * (their components are simply never visited). */
-  def writeStats(header: Header): Array[Byte] = {
+    * layout: component count, TOC of (type ordinal, offset) pairs,
+    * then each component's bytes. With `checksummed` (the n-series /
+    * 4.x layout) a CRC32 follows the count, the TOC and every
+    * component, and offsets account for those 4-byte words; the
+    * m-series / 3.x layout is the same stream without any checksum.
+    * Fixtures write the one component the scan needs; the reader walks
+    * the TOC, so real files carrying VALIDATION/COMPACTION/STATS as
+    * well parse identically (their components are never visited). */
+  def writeStats(header: Header, checksummed: Boolean = true): Array[Byte] = {
     val body = new ByteArrayOutputStream()
     writeHeaderComponent(header, new DataOutputStream(body))
     val componentBytes = body.toByteArray
@@ -369,54 +378,65 @@ object BigFormat {
     val crc = new CRC32()
     d.writeInt(1)
     crcOfInt(crc, 1)
-    d.writeInt(crc.getValue.toInt)
-    val firstOffset = 4 + 8 * 1 + 2 * 4
+    if (checksummed) d.writeInt(crc.getValue.toInt)
+    val firstOffset = 4 + 8 * 1 + (if (checksummed) 2 * 4 else 0)
     d.writeInt(HeaderComponentOrdinal)
     crcOfInt(crc, HeaderComponentOrdinal)
     d.writeInt(firstOffset)
     crcOfInt(crc, firstOffset)
-    d.writeInt(crc.getValue.toInt)
+    if (checksummed) d.writeInt(crc.getValue.toInt)
     d.write(componentBytes)
-    val ccrc = new CRC32()
-    ccrc.update(componentBytes)
-    d.writeInt(ccrc.getValue.toInt)
+    if (checksummed) {
+      val ccrc = new CRC32()
+      ccrc.update(componentBytes)
+      d.writeInt(ccrc.getValue.toInt)
+    }
     d.flush()
     out.toByteArray
   }
 
   /** Parse Statistics.db far enough to return the serialization
-    * header; checksums (count, TOC, component) are verified. */
-  def readStats(bytes: Array[Byte]): Header = {
+    * header; in checksummed (n-series) files the count, TOC and
+    * component checksums are verified. */
+  def readStats(bytes: Array[Byte], checksummed: Boolean = true): Header = {
     val in = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
     val crc = new CRC32()
     val count = in.readInt()
     crcOfInt(crc, count)
-    val countCrc = in.readInt()
-    require(countCrc == crc.getValue.toInt, "Statistics.db: count checksum mismatch")
+    if (checksummed) {
+      val countCrc = in.readInt()
+      require(countCrc == crc.getValue.toInt,
+        "Statistics.db: count checksum mismatch")
+    }
     var headerOffset = -1
     (0 until count).foreach { _ =>
       val ordinal = in.readInt(); crcOfInt(crc, ordinal)
       val offset = in.readInt(); crcOfInt(crc, offset)
       if (ordinal == HeaderComponentOrdinal) headerOffset = offset
     }
-    val tocCrc = in.readInt()
-    require(tocCrc == crc.getValue.toInt, "Statistics.db: TOC checksum mismatch")
+    if (checksummed) {
+      val tocCrc = in.readInt()
+      require(tocCrc == crc.getValue.toInt,
+        "Statistics.db: TOC checksum mismatch")
+    }
     require(headerOffset >= 0,
       "Statistics.db carries no SERIALIZATION header component")
     val hin = new DataInputStream(
       new java.io.ByteArrayInputStream(bytes, headerOffset,
         bytes.length - headerOffset))
     val header = readHeaderComponent(hin)
-    // re-serialize to know the component's length, then verify its CRC
-    val rt = new ByteArrayOutputStream()
-    writeHeaderComponent(header, new DataOutputStream(rt))
-    val len = rt.size()
-    val ccrc = new CRC32()
-    ccrc.update(bytes, headerOffset, len)
-    val stored = java.nio.ByteBuffer
-      .wrap(bytes, headerOffset + len, 4).getInt
-    require(stored == ccrc.getValue.toInt,
-      "Statistics.db: HEADER component checksum mismatch")
+    if (checksummed) {
+      // re-serialize to know the component's length, then verify CRC
+      val rt = new ByteArrayOutputStream()
+      writeHeaderComponent(header, new DataOutputStream(rt))
+      val len = rt.size()
+      val ccrc = new CRC32()
+      ccrc.update(bytes, headerOffset, len)
+      val stored = java.nio.ByteBuffer
+        .wrap(bytes, headerOffset + len, 4).getInt
+      require(stored == ccrc.getValue.toInt,
+        "Statistics.db: HEADER component checksum mismatch")
+    }
     header
   }
 

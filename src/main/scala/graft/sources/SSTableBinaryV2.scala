@@ -165,7 +165,13 @@ object SSTableBinaryV2 {
       val buf = new Array[Byte](st.getLen.toInt)
       val in = fs.open(statsPath)
       try in.readFully(0, buf) finally in.close()
-      BigFormat.readStats(buf)
+      // format version from the filename prefix (nb-1-big-Data.db →
+      // "nb"): the n-series (4.x) metadata carries checksums, the
+      // m-series (3.x) does not — the row codec itself is the same
+      // 3.0 storage engine either way, so one decoder serves both eras
+      val version = file.split('/').last.split('-').head
+      BigFormat.readStats(buf,
+        BigFormat.versionHasMetadataChecksum(version))
     }
     private val stream = fs.open(new HPath(file))
     private val parts =
@@ -298,8 +304,8 @@ object SSTableBinaryV2 {
     * honest `mapGroups` boundary — the same place the multimodal ops
     * draw it — and each task writes its two files through the session
     * Hadoop FS. Caller owns the returned dir's deletion. */
-  def writeBinaryFixture(spark: SparkSession,
-      sfDir: String): java.nio.file.Path = {
+  def writeBinaryFixture(spark: SparkSession, sfDir: String,
+      version: String = "nb"): java.nio.file.Path = {
     import spark.implicits._
     val out = graft.Scratch.dir("graft-bintable-")
     val outStr = out.toString
@@ -374,9 +380,11 @@ object SSTableBinaryV2 {
           val os = fs.create(new HPath(dir, name), true)
           try os.write(bytes) finally os.close()
         }
-        write(s"nb-$gen-big-Data.db",
+        write(s"$version-$gen-big-Data.db",
           BigFormat.writeDataFile(parts.toSeq, header))
-        write(s"nb-$gen-big-Statistics.db", BigFormat.writeStats(header))
+        write(s"$version-$gen-big-Statistics.db",
+          BigFormat.writeStats(header,
+            BigFormat.versionHasMetadataChecksum(version)))
         (fileId, parts.length)
       }
       .collect() // 4-row fixture manifest; the data never leaves executors
@@ -571,8 +579,20 @@ object SSTableBinaryV2 {
     * [[readBinary]] → the SAME per-row_kind aggregation, sharing
     * `src_sstabledump_tree`'s DuckDB oracle VERBATIM — the fourth IO
     * path held to the one ingestion contract. */
-  def binaryAudit(spark: SparkSession, sfDir: String): DataFrame = {
-    val out = writeBinaryFixture(spark, sfDir)
+  def binaryAudit(spark: SparkSession, sfDir: String): DataFrame =
+    binaryAuditV(spark, sfDir, "nb")
+
+  /** The same audit over a Cassandra 3.x fixture ("me" files,
+    * checksumless metadata) — `src_sstable_binary_3x` shares the tree
+    * oracle too: one decoder, both format eras the 3.0 storage engine
+    * spans (the reference ships separate cassandra-3/cassandra-4
+    * modules for exactly this split). */
+  def binaryAudit3x(spark: SparkSession, sfDir: String): DataFrame =
+    binaryAuditV(spark, sfDir, "me")
+
+  private def binaryAuditV(spark: SparkSession, sfDir: String,
+      version: String): DataFrame = {
+    val out = writeBinaryFixture(spark, sfDir, version)
     val audit = SSTableDumpBridge
       .auditFrame(readBinary(spark, out.toString))
       .localCheckpoint()

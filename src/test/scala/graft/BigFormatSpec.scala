@@ -152,6 +152,18 @@ class BigFormatSpec extends AnyFunSuite {
     assert(it.toSeq.map(_.key) === tokenOrder.drop(2))
   }
 
+  test("m-series (3.x) metadata is checksumless and round-trips; eras decode identically") {
+    val plain = BigFormat.writeStats(header, checksummed = false)
+    val summed = BigFormat.writeStats(header, checksummed = true)
+    // the m-series layout is the n-series stream minus 3 CRC words
+    assert(summed.length === plain.length + 12)
+    assert(BigFormat.readStats(plain, checksummed = false) === header)
+    assert(!BigFormat.versionHasMetadataChecksum("me"))
+    assert(!BigFormat.versionHasMetadataChecksum("md"))
+    assert(BigFormat.versionHasMetadataChecksum("na"))
+    assert(BigFormat.versionHasMetadataChecksum("nb"))
+  }
+
   test("murmur3 tokens match Cassandra's published partitioner values") {
     // known answers for the hash3_x64_128 port (signed-tail quirk
     // included): 'jim' and 'hello' are the published `token()` values
@@ -214,6 +226,39 @@ class SSTableBinarySpec extends SparkSpec {
       .orderBy("row_kind").collect().toSeq
     assert(bin.nonEmpty)
     assert(bin === json)
+    // the 3.x era (me files, checksumless Statistics.db) decodes to
+    // the identical audit through the same connector
+    val m3 = SSTableBinaryV2.binaryAudit3x(spark, sfDir)
+      .orderBy("row_kind").collect().toSeq
+    assert(m3 === json)
+  }
+
+  test("mixed-era lake: me- and nb- SSTables decode in ONE scan") {
+    // a real upgrade-in-progress data dir holds both eras side by
+    // side; per-file version detection must handle them in one read
+    val dir3 = SSTableBinaryV2.writeBinaryFixture(spark, sfDir, "me")
+    val dir4 = SSTableBinaryV2.writeBinaryFixture(spark, sfDir, "nb")
+    val mixed = Scratch.dir("graft-mixed-era-")
+    try {
+      def cp(src: java.nio.file.Path): Unit = {
+        val t = java.nio.file.Files.list(src.resolve("documents"))
+        try t.forEach { f =>
+          val dest = mixed.resolve("documents")
+          java.nio.file.Files.createDirectories(dest)
+          java.nio.file.Files.copy(f, dest.resolve(f.getFileName))
+        } finally t.close()
+      }
+      cp(dir3); cp(dir4)
+      val both = SSTableBinaryV2.readBinary(spark, mixed.toString)
+        .localCheckpoint()
+      val one = SSTableBinaryV2.readBinary(spark, dir4.toString)
+      // both eras fully decoded: twice the rows, 8 distinct files
+      assert(both.count() === 2 * one.count())
+      assert(both.select("sstable").distinct().count() ===
+        2 * SSTableDumpBridge.TreeFiles)
+    } finally {
+      Scratch.delete(dir3); Scratch.delete(dir4); Scratch.delete(mixed)
+    }
   }
 
   test("one task per Data.db file; pruning skips value decode") {

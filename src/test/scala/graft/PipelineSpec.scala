@@ -81,6 +81,65 @@ class PipelineSpec extends SparkSpec {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("--cql: the reference's schema language derives the same run as the flags") {
+    import graft.model.CqlSchema
+    // parser subset: trailing composite PK, clustering, parameterized
+    // types, inline PRIMARY KEY, case-insensitivity
+    val p1 = CqlSchema.parse(
+      """CREATE TABLE IF NOT EXISTS shop.Orders (
+        |  o_orderkey bigint, region text, tags map<text, int>,
+        |  o_totalprice double, o_orderstatus text, o_orderdate timestamp,
+        |  PRIMARY KEY ((o_orderkey, region), o_orderdate)
+        |) WITH CLUSTERING ORDER BY (o_orderdate DESC);""".stripMargin)
+      .fold(e => fail(e), identity)
+    assert(p1.keyspace === Some("shop"))
+    assert(p1.table === "orders")
+    assert(p1.partitionKey === Seq("o_orderkey", "region"))
+    assert(p1.clustering === Seq("o_orderdate"))
+    assert(p1.columns.toMap.apply("tags") === "map<text, int>")
+    val p2 = CqlSchema.parse(
+      "create table t (id uuid primary key, v text)")
+      .fold(e => fail(e), identity)
+    assert(p2.partitionKey === Seq("id") && p2.clustering.isEmpty)
+    // loud subset boundaries
+    assert(CqlSchema.parse("SELECT 1").isLeft)
+    assert(CqlSchema.parse(
+      "CREATE TABLE t (\"Quoted\" int PRIMARY KEY)").isLeft)
+    assert(CqlSchema.parse(
+      "CREATE TABLE t (a int, PRIMARY KEY (b))").isLeft)
+    // the CLI run from --cql equals the flag-declared run exactly
+    def runWith(argv: Array[String]): org.apache.spark.sql.DataFrame = {
+      val out = graft.Scratch.dir("graft-cli-cql-").toString + "/out"
+      val args = RemoverCli.parse(argv ++ Array("--out", out))
+        .fold(e => fail(s"parse failed: $e"), identity)
+      RemoverCli.run(spark, args)
+      spark.read.parquet(out).localCheckpoint()
+    }
+    val cql = "CREATE TABLE shop.orders (o_orderkey bigint PRIMARY KEY," +
+      " o_totalprice double, o_orderstatus text, o_orderdate timestamp)"
+    val viaCql = runWith(Array("--in", sfDir, "--table", "orders",
+      "--cql", cql, "--writetime", "o_orderdate"))
+    val viaFlags = runWith(Array("--in", sfDir, "--table", "orders",
+      "--keyspace", "shop", "--pk", "o_orderkey",
+      "--cells", "o_totalprice,o_orderstatus",
+      "--writetime", "o_orderdate"))
+    assert(viaCql.count() === viaFlags.count())
+    assert(viaCql.exceptAll(viaFlags).count() === 0)
+    assert(viaFlags.exceptAll(viaCql).count() === 0)
+    // contradictions are rejected, not merged
+    assert(RemoverCli.parse(Array("--in", "a", "--out", "b",
+      "--table", "orders", "--cql", cql, "--pk", "x",
+      "--writetime", "o_orderdate")).isLeft)
+    assert(RemoverCli.parse(Array("--in", "a", "--out", "b",
+      "--table", "nope", "--cql", cql,
+      "--writetime", "o_orderdate")).isLeft)
+    assert(RemoverCli.parse(Array("--in", "a", "--out", "b",
+      "--table", "orders", "--keyspace", "other", "--cql", cql,
+      "--writetime", "o_orderdate")).isLeft)
+    assert(RemoverCli.parse(Array("--in", "a", "--out", "b",
+      "--table", "orders", "--cql", cql, "--format", "sstable")).isLeft)
+  }
+
   test("CLI path strips an arbitrary table (orders) end-to-end") {
     // parity with the reference CLI's --cql: the user declares keys +
     // cell columns on the command line and ANY table goes through the
