@@ -209,6 +209,8 @@ object SparkEntry {
     "sim_source_drift" -> (SimilarityOps.sourceDrift _),
     "sim_ann_probe_curve" -> ((s: SparkSession, d: String) =>
       SimilarityOps.annProbeCurve(s, d)),
+    "sim_ann_beam_curve" -> ((s: SparkSession, d: String) =>
+      SimilarityOps.annBeamCurve(s, d)),
     "sim_ann_lsh" -> (SimilarityOps.annLsh _),
     "sim_ann_hnsw" -> (SimilarityOps.annHnsw _),
     "sim_ann_hnsw_persist" -> (SimilarityOps.annHnswPersist _),
@@ -509,7 +511,14 @@ object SparkEntry {
     * expand/rescore/top-B beam hops. Every ranking ties exactly like
     * the Spark side, so the walked graph — and therefore the beam —
     * is bit-identical across engines. */
-  private def hnswCtesSql: String = {
+  private def hnswCtesSql: String =
+    s"""$hnswGraphCtesSql,
+       |${hnswBeamChainSql("", SimilarityOps.HnswBeam)}""".stripMargin
+
+  /** The graph-build CTE stack through `adjs` (the serve graph), `q`
+    * (audit queries) and `starts` (the multi-entry set) — shared by
+    * the serving, recall and tuning-curve oracles. */
+  private def hnswGraphCtesSql: String = {
     val planes = SimilarityOps.hyperplanes(64, SimilarityOps.HnswBits)
     val m = SimilarityOps.HnswM
     val iters = (1 to SimilarityOps.HnswIters).map { k =>
@@ -528,20 +537,6 @@ object SparkEntry {
          |   ORDER BY cos DESC, dst) AS rn FROM sc$k) WHERE rn <= $m)""".stripMargin
     }.mkString(",\n")
     val last = SimilarityOps.HnswIters
-    val hops = (1 to SimilarityOps.HnswHops).map { h =>
-      s"""exp$h AS (SELECT DISTINCT q_vec_id, node FROM (
-         |  SELECT q_vec_id, node FROM beam${h - 1}
-         |  UNION ALL SELECT b.q_vec_id, s.dst AS node
-         |  FROM beam${h - 1} b JOIN adjs s ON s.src = b.node)),
-         |bs$h AS (SELECT x.q_vec_id, x.node,
-         |  list_dot_product(q.qe, c.e) / (q.qnrm * c.nrm) AS cos
-         | FROM exp$h x JOIN q ON q.q_vec_id = x.q_vec_id
-         | JOIN n c ON c.vec_id = x.node),
-         |beam$h AS MATERIALIZED (SELECT q_vec_id, node FROM (
-         | SELECT *, row_number() OVER (PARTITION BY q_vec_id
-         |   ORDER BY cos DESC, node) AS rn FROM bs$h)
-         | WHERE rn <= ${SimilarityOps.HnswBeam})""".stripMargin
-    }.mkString(",\n")
     s"""v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
        |n AS MATERIALIZED (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm,
        | ${bucketSql("e", planes)} AS bucket FROM v),
@@ -584,9 +579,68 @@ object SparkEntry {
        |starts AS MATERIALIZED (
        | SELECT DISTINCT node FROM (
        |  SELECT anchor AS node FROM anch
-       |  UNION ALL SELECT entry AS node FROM ent)),
-       |beam0 AS MATERIALIZED (SELECT q_vec_id, s.node FROM q CROSS JOIN starts s),
+       |  UNION ALL SELECT entry AS node FROM ent))""".stripMargin
+  }
+
+  /** One beam-search CTE chain at width `width`; `tag` namespaces the
+    * CTE names so several widths coexist in one statement (the tuning
+    * curve). Ends in `beam$tag${HnswHops}`. */
+  private def hnswBeamChainSql(tag: String, width: Int): String = {
+    val hops = (1 to SimilarityOps.HnswHops).map { h =>
+      s"""exp$tag$h AS (SELECT DISTINCT q_vec_id, node FROM (
+         |  SELECT q_vec_id, node FROM beam$tag${h - 1}
+         |  UNION ALL SELECT b.q_vec_id, s.dst AS node
+         |  FROM beam$tag${h - 1} b JOIN adjs s ON s.src = b.node)),
+         |bs$tag$h AS (SELECT x.q_vec_id, x.node,
+         |  list_dot_product(q.qe, c.e) / (q.qnrm * c.nrm) AS cos
+         | FROM exp$tag$h x JOIN q ON q.q_vec_id = x.q_vec_id
+         | JOIN n c ON c.vec_id = x.node),
+         |beam$tag$h AS MATERIALIZED (SELECT q_vec_id, node FROM (
+         | SELECT *, row_number() OVER (PARTITION BY q_vec_id
+         |   ORDER BY cos DESC, node) AS rn FROM bs$tag$h)
+         | WHERE rn <= $width)""".stripMargin
+    }.mkString(",\n")
+    s"""beam${tag}0 AS MATERIALIZED (SELECT q_vec_id, s.node FROM q CROSS JOIN starts s),
        |$hops""".stripMargin
+  }
+
+  /** Beam-width tuning-curve oracle: ONE graph build shared by every
+    * width's beam chain, each point aggregated like the nprobe curve. */
+  private lazy val annBeamCurveSql: String = {
+    val h = SimilarityOps.HnswHops
+    val chains = SimilarityOps.BeamCurve
+      .map(b => hnswBeamChainSql(s"w$b", b)).mkString(",\n")
+    val anns = SimilarityOps.BeamCurve.map { b =>
+      s"""finw$b AS (SELECT x.q_vec_id, x.node,
+         |  list_dot_product(q.qe, c.e) / (q.qnrm * c.nrm) AS cos
+         | FROM beamw$b$h x JOIN q ON q.q_vec_id = x.q_vec_id
+         | JOIN n c ON c.vec_id = x.node
+         | WHERE x.node <> x.q_vec_id),
+         |annw$b AS (SELECT q_vec_id, node AS neighbor_vec_id FROM (
+         | SELECT *, row_number() OVER (PARTITION BY q_vec_id
+         |   ORDER BY cos DESC, node) AS rk FROM finw$b)
+         | WHERE rk <= 3)""".stripMargin
+    }.mkString(",\n")
+    val points = SimilarityOps.BeamCurve.map { b =>
+      s"""SELECT $b AS beam, CAST(count(*) AS BIGINT) AS n_true,
+         | CAST(sum(hit) AS BIGINT) AS n_hits,
+         | round(CAST(sum(hit) AS DOUBLE) / count(*), 6) AS recall
+         |FROM (SELECT CASE WHEN a.q_vec_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+         | FROM brute bb LEFT JOIN annw$b a
+         |  USING (q_vec_id, neighbor_vec_id)) t$b""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $hnswGraphCtesSql,
+       |bpairs AS (
+       | SELECT q.q_vec_id, c.vec_id AS neighbor_vec_id,
+       |  list_dot_product(q.qe, c.e) / (q.qnrm * c.nrm) AS cos
+       | FROM q JOIN n c ON c.vec_id <> q.q_vec_id),
+       |brute AS MATERIALIZED (SELECT q_vec_id, neighbor_vec_id FROM (
+       | SELECT *, row_number() OVER (PARTITION BY q_vec_id
+       |   ORDER BY cos DESC, neighbor_vec_id) AS rk FROM bpairs)
+       | WHERE rk <= 3),
+       |$chains,
+       |$anns
+       |$points""".stripMargin
   }
 
   /** Graph-ANN serving oracle: rescore the final beam (minus the query
@@ -3132,6 +3186,7 @@ object SparkEntry {
     // nprobe tuning curve: three aggregated recall points, each
     // replaying the IVF recall chain at its own probe count
     "sim_ann_probe_curve" -> annProbeCurveSql,
+    "sim_ann_beam_curve" -> annBeamCurveSql,
     // cluster profile: trained-quantizer assignment (k-means CTE chain)
     // + per-row 6-dp coherence/quality, decimal-summed means — every
     // float in the output is either rounded per-row before an exact

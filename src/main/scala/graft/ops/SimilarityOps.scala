@@ -1127,7 +1127,8 @@ object SimilarityOps {
     * are query-set-sized, never corpus-sized; the graph side of the
     * hop join is the memoized checkpoint. */
   private def annHnswOf(vn: DataFrame, cacheKey: String,
-      graphOverride: Option[DataFrame] = None): DataFrame = {
+      graphOverride: Option[DataFrame] = None,
+      beam: Int = HnswBeam): DataFrame = {
     val vnC = vn.localCheckpoint()
     val adjS = graphOverride.getOrElse(hnswGraph(vnC, cacheKey))
     val q = vnC.filter(col("vec_id") < 8)
@@ -1143,11 +1144,11 @@ object SimilarityOps {
       .select("node")
       .union(vnC.agg(min(col("vec_id")).as("node")))
       .distinct()
-    var beam = q.select(col("q_vec_id")).crossJoin(broadcast(starts))
+    var beamDf = q.select(col("q_vec_id")).crossJoin(broadcast(starts))
     for (_ <- 1 to HnswHops) {
-      val expanded = beam.union(
-        beam.join(adjS, beam("node") === adjS("src"))
-          .select(beam("q_vec_id"), adjS("dst").as("node")))
+      val expanded = beamDf.union(
+        beamDf.join(adjS, beamDf("node") === adjS("src"))
+          .select(beamDf("q_vec_id"), adjS("dst").as("node")))
         .distinct()
       val scored = expanded
         .join(vnC.select(col("vec_id").as("node"), col("e"), col("nrm")),
@@ -1157,12 +1158,12 @@ object SimilarityOps {
           dot(col("qe"), col("e")) / (col("qnrm") * col("nrm")))
       val w = Window.partitionBy("q_vec_id")
         .orderBy(col("cos").desc, col("node"))
-      beam = scored.withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= HnswBeam)
+      beamDf = scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= beam)
         .select("q_vec_id", "node")
         .localCheckpoint()
     }
-    val fin = beam.filter(col("node") =!= col("q_vec_id"))
+    val fin = beamDf.filter(col("node") =!= col("q_vec_id"))
       .join(vnC.select(col("vec_id").as("node"), col("e"), col("nrm")),
         "node")
       .join(broadcast(q), "q_vec_id")
@@ -1201,6 +1202,38 @@ object SimilarityOps {
   /** Recall@3 of the graph tier, same harness as every other index. */
   def annRecallHnsw(spark: SparkSession, sfDir: String): DataFrame =
     annRecallOf(spark, sfDir, v => annHnswOf(v, sfDir))
+
+  /** Beam widths the graph tuning curve measures — HNSW's efSearch
+    * dial, the exact analogue of IVF's nprobe curve. */
+  val BeamCurve: Seq[Int] = Seq(1, 2, 8)
+
+  /** Graph-search tuning curve: aggregate recall@3 at beam ∈
+    * [[BeamCurve]] in one result — wider beams explore more of the
+    * graph per hop for linearly more rescoring work, the efSearch
+    * trade every graph-ANN deployment sweeps before fixing its
+    * serving configuration. The corpus, the brute-force truth side
+    * AND the built graph are shared by every curve point (the graph
+    * from its build-once memo, the other two checkpointed here). */
+  def annBeamCurve(spark: SparkSession, sfDir: String,
+      beams: Seq[Int] = BeamCurve): DataFrame = {
+    val v = withNorm(Tables.load(spark, sfDir, "embeddings"))
+      .localCheckpoint()
+    val brute = cosineTopKOf(v).filter(col("rk") <= 3)
+      .select(col("q_vec_id"), col("neighbor_vec_id"))
+      .localCheckpoint()
+    beams.map { b =>
+      val ann = annHnswOf(v, sfDir, beam = b)
+        .select(col("q_vec_id"), col("neighbor_vec_id"))
+        .withColumn("hit", lit(1L))
+      brute.join(ann, Seq("q_vec_id", "neighbor_vec_id"), "left")
+        .agg(count(lit(1)).as("n_true"),
+          sum(coalesce(col("hit"), lit(0L))).as("hits"))
+        .select(lit(b).as("beam"),
+          col("n_true").cast("long").as("n_true"),
+          col("hits").cast("long").as("n_hits"),
+          round(col("hits") / col("n_true"), 6).as("recall"))
+    }.reduce(_ unionByName _)
+  }
 
   /** Serving-representation bytes per vector for [[annTierMatrix]] —
     * what the index stores per corpus vector at scale: raw float32

@@ -207,6 +207,98 @@ class BigFormatSpec extends AnyFunSuite {
     assert(keys === Seq("carol", "johnny", "jim", "suzy"))
   }
 
+  test("property: arbitrary partitions round-trip bit-exactly (ScalaCheck)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val epoch = 1609459200L * 1000000L
+    // strings incl. unicode + empties; timestamps straddling the
+    // stats minimum (negative deltas take the 9-byte vint path)
+    val genStr: Gen[String] = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(12)),
+      Gen.const(""),
+      Gen.const("naïve→雪 ∅"),
+      Gen.listOfN(3, Gen.choose(0x20.toChar, 0x2fff.toChar)).map(_.mkString))
+    val genCell: Gen[BigFormat.CellAtom] = for {
+      nm <- Gen.oneOf("a", "c")
+      dt <- Gen.chooseNum(-86400000000L, 86400000000L)
+      ttl <- Gen.option(Gen.chooseNum(1, 1000000))
+      v <- genStr
+      deleted <- Gen.oneOf(true, false)
+    } yield BigFormat.CellAtom(nm, epoch + dt,
+      if (deleted) None else ttl,
+      if (deleted) Some(1609459300) else ttl.map(t => 1609459200 + t),
+      if (deleted) None else Some(v), deleted)
+    val genClustering: Gen[Seq[Option[String]]] = for {
+      c1 <- Gen.oneOf(genStr.map(Option(_)), Gen.const(None),
+        Gen.const(Some("")))
+      c2 <- Gen.chooseNum(-1000000, 1000000)
+    } yield Seq(c1, Some(c2.toString))
+    val genRow: Gen[BigFormat.RowAtom] = for {
+      cl <- genClustering
+      ts <- Gen.option(Gen.chooseNum(-86400000000L, 86400000000L)
+        .map(epoch + _))
+      ttl <- Gen.option(Gen.chooseNum(1, 500000))
+      del <- Gen.option(Gen.chooseNum(0L, 86400000000L).map(epoch + _))
+      // unique per column, in header-regulars order (the on-disk order)
+      cells <- Gen.listOfN(2, genCell)
+        .map(_.distinctBy(_.name).sortBy(_.name))
+      // a row needs SOMETHING: liveness, a deletion, or cells
+      if ts.isDefined || del.isDefined || cells.nonEmpty
+    } yield BigFormat.RowAtom(cl,
+      ts, if (ts.isDefined) ttl else None,
+      (ts, ttl) match {
+        case (Some(t), Some(l)) => Some((t / 1000000L + l).toInt)
+        case _ => None
+      },
+      del,
+      // cells inherit nothing here: explicit timestamps throughout
+      if (ts.isEmpty && del.isEmpty && cells.isEmpty)
+        Seq(BigFormat.CellAtom("a", epoch, None, None, Some("x"), false))
+      else cells)
+    val genMarker: Gen[BigFormat.MarkerAtom] = for {
+      kind <- Gen.oneOf(BigFormat.Kind.InclStartBound,
+        BigFormat.Kind.ExclStartBound, BigFormat.Kind.InclEndBound,
+        BigFormat.Kind.ExclEndBound,
+        BigFormat.Kind.ExclEndInclStartBoundary,
+        BigFormat.Kind.InclEndExclStartBoundary)
+      cl <- genStr.map(s => Seq(Some(s)))
+      d1 <- Gen.chooseNum(0L, 86400000000L).map(epoch + _)
+      d2 <- Gen.chooseNum(0L, 86400000000L).map(epoch + _)
+    } yield BigFormat.MarkerAtom(kind, cl,
+      if (kind == BigFormat.Kind.ExclEndInclStartBoundary ||
+        kind == BigFormat.Kind.InclEndExclStartBoundary) Seq(d1, d2)
+      else Seq(d1))
+    val genPartition: Gen[BigFormat.PartitionData] = for {
+      key <- Gen.identifier.map(_.take(20)).suchThat(_.nonEmpty)
+      del <- Gen.option(Gen.chooseNum(0L, 86400000000L).map(epoch + _))
+      rows <- Gen.listOfN(3, genRow)
+      markers <- Gen.listOfN(1, genMarker)
+    } yield BigFormat.PartitionData(key, del, rows ++ markers)
+    val hdr = BigFormat.Header(
+      minTimestampUs = epoch, // mid-range: negative deltas exercised
+      minLocalDeletionTimeS = 1609459200, minTtlS = 0,
+      keyType = BigFormat.Utf8Type,
+      clusteringTypes = Seq(BigFormat.Utf8Type, BigFormat.Int32Type),
+      staticColumns = Nil,
+      regularColumns = Seq(
+        "a" -> BigFormat.Utf8Type, "c" -> BigFormat.Utf8Type))
+    (1 to 40).foreach { seed =>
+      val parts0 = Gen.listOfN(4, genPartition)
+        .apply(Gen.Parameters.default, Seed(seed.toLong))
+        .getOrElse(sys.error("gen failed"))
+        .distinctBy(_.key)
+      val bytes = BigFormat.writeDataFile(parts0, hdr)
+      val back = BigFormat.partitions(hdr,
+        new ByteArrayInputStream(bytes), s"prop-$seed").toSeq
+      val expected = parts0.sortBy(p =>
+        (BigFormat.murmur3Token(p.key.getBytes("UTF-8")), p.key))
+      assert(back.map(_.key) === expected.map(_.key), s"seed $seed keys")
+      back.zip(expected).foreach { case (b, e) =>
+        assert(b === e, s"seed $seed partition ${e.key}")
+      }
+    }
+  }
+
   test("subset violations raise loudly instead of misreading") {
     intercept[UnsupportedOperationException] {
       BigFormat.renderValue("org.apache.cassandra.db.marshal.ListType", Array())

@@ -602,6 +602,19 @@ class EstimatorSpec extends SparkSpec {
     }
   }
 
+  test("beam tuning curve: recall is monotone non-decreasing in beam width") {
+    val pts = SimilarityOps.annBeamCurve(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> r.getAs[Double]("recall")).sortBy(_._1)
+    assert(pts.map(_._1).toSeq === SimilarityOps.BeamCurve.sorted,
+      "curve points missing")
+    pts.sliding(2).foreach { case Array((b1, r1), (b2, r2)) =>
+      assert(r2 >= r1 - 1e-9,
+        s"recall fell from $r1 (beam=$b1) to $r2 (beam=$b2)")
+    }
+    // the widest beam must actually find something
+    assert(pts.last._2 > 0.0)
+  }
+
   test("nprobe tuning curve: recall is monotone non-decreasing in probes") {
     val pts = SimilarityOps.annProbeCurve(spark, sfDir).collect()
       .map(r => r.getInt(0) -> r.getAs[Double]("recall")).sortBy(_._1)
