@@ -223,6 +223,7 @@ object SparkEntry {
     "sim_ann_ivfpq_t" -> (SimilarityOps.annIvfPqTrained _),
     "sim_ann_ivfpq_persist" -> (SimilarityOps.annIvfPqPersist _),
     "sim_ann_ivfpq_add" -> (SimilarityOps.annIvfPqAdd _),
+    "sim_ann_ivfpq_remove" -> (SimilarityOps.annIvfPqRemove _),
     "sim_ann_pq_rerank" -> (SimilarityOps.annPqRerank _),
     "sim_ann_sq8" -> (SimilarityOps.annSq8 _),
     "sim_ann_recall_sq8" -> (SimilarityOps.annRecallSq8 _),
@@ -977,7 +978,7 @@ object SparkEntry {
        |FROM roll r JOIN top USING (source)""".stripMargin
 
   private def annIvfPqSqlP(nprobe: Int, trained: Boolean = false,
-      topK: Int = 3): String = {
+      topK: Int = 3, removeWhere: Option[String] = None): String = {
     val cs = SimilarityOps.centroids(64, 16)
     val (m, len) = (4, 16)
     val base = SimilarityOps.PqSampleBase
@@ -1079,7 +1080,8 @@ object SparkEntry {
        | FROM bestcode GROUP BY vec_id),
        |corpus AS (
        | SELECT b.vec_id, b.cell, codes.* EXCLUDE (vec_id)
-       | FROM best b JOIN codes USING (vec_id)),
+       | FROM best b JOIN codes USING (vec_id)${
+      removeWhere.map(w => s"\n WHERE NOT ($w)").getOrElse("")}),
        |qcells AS (
        | SELECT vec_id, cell FROM (
        |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
@@ -3117,6 +3119,11 @@ object SparkEntry {
     // growing the persisted index by an encoded delta must answer
     // exactly like rebuilding it — the same oracle a third time
     "sim_ann_ivfpq_add" -> annIvfPqSqlP(1, trained = true),
+    // remove_ids: dropping rows from a per-row index ≡ never having
+    // indexed them — the trained chain minus the removal predicate
+    "sim_ann_ivfpq_remove" -> annIvfPqSqlP(1, trained = true,
+      removeWhere = Some(s"b.vec_id % ${SimilarityOps.RemoveMod}" +
+        s" = ${SimilarityOps.RemoveRes}")),
     // and the stream-built index a fourth: continuous ingest ≡ batch
     "st_ann_ingest" -> annIvfPqSqlP(1, trained = true),
     "sim_ann_pq_rerank" -> annPqRerankSqlP(),

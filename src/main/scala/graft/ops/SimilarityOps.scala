@@ -963,6 +963,35 @@ object SimilarityOps {
     out
   }
 
+  /** Removal predicate for [[annIvfPqRemove]] (vec_id % 5 == 2 — 20%
+    * of the corpus, enough that removed true neighbors visibly change
+    * the answer). */
+  val RemoveMod = 5
+  val RemoveRes = 2
+
+  /** Index DELETE — the FAISS `remove_ids()` lifecycle: the persisted
+    * index drops every code row matching a predicate (parquet is
+    * immutable, so removal is a filtered rewrite of the codes table —
+    * exactly how a lakehouse deletes) and serving runs on the shrunk
+    * index with UNCHANGED trained artifacts. Removed vectors can no
+    * longer be returned as neighbors (EstimatorSpec pins it); the
+    * oracle is the trained IVF-PQ chain with the same predicate
+    * excluded from its corpus side — dropping rows from a
+    * per-row-encoded index must be exactly equivalent to never having
+    * indexed them. */
+  def annIvfPqRemove(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = graft.Scratch.dir("graft-ivfpq-remove-")
+    writeFullIndex(spark, sfDir, dir.toString)
+    val (cs, books, _, codes) = readFullIndex(spark, dir.toString)
+    val shrunk = codes.filter(col("vec_id") % RemoveMod =!= RemoveRes)
+    val out = annIvfPqOf(
+      withNorm(Tables.load(spark, sfDir, "embeddings")), books,
+      cs = cs, l2 = true, codedOverride = Some(shrunk))
+      .localCheckpoint()
+    graft.Scratch.delete(dir)
+    out
+  }
+
   /** Incremental index ADD — the FAISS `add()` lifecycle over the
     * persisted artifact set: the base index (¾ of the corpus) is
     * built and persisted once; when a new batch arrives, a SEPARATE

@@ -685,6 +685,17 @@ object BigFormat {
     * (`Cassandra4TTLRemover.java:89-105` streams partitions, never the
     * table). */
   def readPartition(h: Header, in: DataInputStream,
+      file: String): Option[PartitionData] =
+    try readPartition0(h, in, file)
+    catch {
+      // a truncation ANYWHERE inside a partition must name the file:
+      // the raw vint/readFully EOF carries no context, and a corrupt
+      // SSTable diagnosed as "EOF somewhere" is an operations dead end
+      case e: EOFException => throw new EOFException(
+        s"$file: truncated/corrupt SSTable data (${e.getMessage})")
+    }
+
+  private def readPartition0(h: Header, in: DataInputStream,
       file: String): Option[PartitionData] = {
     val first = in.read()
     if (first < 0) return None

@@ -325,6 +325,38 @@ class SSTableBinarySpec extends SparkSpec {
     assert(m3 === json)
   }
 
+  test("corrupt binary input fails loudly with the offending file named") {
+    val dir = Scratch.dir("graft-bincorrupt-")
+    try {
+      val d = dir.resolve("documents")
+      java.nio.file.Files.createDirectories(d)
+      // a truncated Data.db with a valid Statistics.db sibling: the
+      // decoder must name the file, never silently emit partial rows
+      val hdr = graft.sources.BigFormat.Header(
+        1609459200000000L, 1609459200, 0,
+        graft.sources.BigFormat.Utf8Type,
+        Seq(graft.sources.BigFormat.Utf8Type), Nil,
+        Seq("len" -> graft.sources.BigFormat.Utf8Type))
+      val good = graft.sources.BigFormat.writeDataFile(Seq(
+        graft.sources.BigFormat.PartitionData("k", None, Seq(
+          graft.sources.BigFormat.RowAtom(Seq(Some("c")),
+            Some(1609459200000000L), None, None, None, Seq(
+              graft.sources.BigFormat.CellAtom("len",
+                1609459200000000L, None, None, Some("v"), false)))))),
+        hdr)
+      java.nio.file.Files.write(d.resolve("nb-1-big-Data.db"),
+        good.dropRight(3)) // truncate mid-partition
+      java.nio.file.Files.write(d.resolve("nb-1-big-Statistics.db"),
+        graft.sources.BigFormat.writeStats(hdr))
+      val ex = intercept[org.apache.spark.SparkException] {
+        SSTableBinaryV2.readBinary(spark, dir.toString).count()
+      }
+      val msg = Option(ex.getCause).map(_.toString).getOrElse(ex.toString)
+      assert(msg.contains("Data.db") || ex.toString.contains("Data.db"),
+        s"corruption error does not name the file: $msg")
+    } finally Scratch.delete(dir)
+  }
+
   test("mixed-era lake: me- and nb- SSTables decode in ONE scan") {
     // a real upgrade-in-progress data dir holds both eras side by
     // side; per-file version detection must handle them in one read

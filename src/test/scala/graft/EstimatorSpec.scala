@@ -561,6 +561,24 @@ class EstimatorSpec extends SparkSpec {
     assert(rebuilt.exceptAll(added).count() === 0)
   }
 
+  test("remove_ids: removed vectors never surface; the answer genuinely changes") {
+    val removed = SimilarityOps.annIvfPqRemove(spark, sfDir)
+      .localCheckpoint()
+    assert(removed.count() > 0)
+    // no removed id is ever returned as a neighbor
+    assert(removed.filter(
+      col("neighbor_vec_id") % SimilarityOps.RemoveMod
+        === SimilarityOps.RemoveRes).count() === 0)
+    // the removal predicate actually bit: the shrunk index answers
+    // differently from the full one (some removed vector was a result)
+    val full = SimilarityOps.annIvfPqTrained(spark, sfDir)
+      .localCheckpoint()
+    assert(full.filter(col("neighbor_vec_id") % SimilarityOps.RemoveMod
+      === SimilarityOps.RemoveRes).count() > 0,
+      "fixture never returned a removed id; the test proves nothing")
+    assert(removed.exceptAll(full).count() > 0)
+  }
+
   test("graph index persistence: reloaded edges serve identically") {
     val persist = SimilarityOps.annHnswPersist(spark, sfDir)
       .localCheckpoint()
