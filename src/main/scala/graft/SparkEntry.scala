@@ -259,6 +259,7 @@ object SparkEntry {
     "m_frame_sample" -> (MultimodalOps.frameSample _),
     "m_resize" -> (MultimodalOps.resize _),
     "m_feature_extract" -> (MultimodalOps.featureExtract _),
+    "m_frame_dedup" -> (MultimodalOps.frameDedup _),
     // --- structured streaming (SURVEY §7.2 step 7) ---
     "st_window_agg" -> (StreamingOps.windowAgg _),
     "st_window_append" -> (StreamingOps.windowAggAppend _),
@@ -3241,6 +3242,33 @@ object SparkEntry {
         | CAST(((doc_id * 31 + frame_idx) * 17 + 2) % 1000 AS DOUBLE) / 1000.0 AS f2,
         | CAST(((doc_id * 31 + frame_idx) * 17 + 3) % 1000 AS DOUBLE) / 1000.0 AS f3
         |FROM f""".stripMargin,
+    // frame dedup: the fingerprint recovers the quantized feature ints
+    // exactly (k/1000·1000 rounds back to k in both engines), so the
+    // oracle packs the integer arithmetic directly
+    "m_frame_dedup" ->
+      """WITH m AS (
+        | SELECT doc_id, CAST(strlen(text) % 8 + 1 AS INTEGER) AS n_frames
+        | FROM documents),
+        |f AS (
+        | SELECT doc_id, CAST(unnest(range(n_frames)) AS INTEGER) AS frame_idx
+        | FROM m),
+        |fp AS (
+        | SELECT doc_id,
+        |  (((doc_id * 31 + frame_idx) * 17 + 0) % 1000) * 1000000000
+        |  + (((doc_id * 31 + frame_idx) * 17 + 1) % 1000) * 1000000
+        |  + (((doc_id * 31 + frame_idx) * 17 + 2) % 1000) * 1000
+        |  + (((doc_id * 31 + frame_idx) * 17 + 3) % 1000) AS fp
+        | FROM f),
+        |d AS (SELECT fp FROM fp GROUP BY fp
+        |      HAVING count(DISTINCT doc_id) >= 2),
+        |pd AS (SELECT doc_id, count(*) AS n_dup FROM fp
+        |       JOIN d USING (fp) GROUP BY 1),
+        |tot AS (SELECT doc_id, count(*) AS n_frames FROM fp GROUP BY 1)
+        |SELECT tot.doc_id, CAST(tot.n_frames AS BIGINT) AS n_frames,
+        | CAST(coalesce(pd.n_dup, 0) AS BIGINT) AS n_dup_frames,
+        | round(CAST(coalesce(pd.n_dup, 0) AS DOUBLE)
+        |   / CAST(tot.n_frames AS DOUBLE), 6) AS dup_ratio
+        |FROM tot LEFT JOIN pd ON tot.doc_id = pd.doc_id""".stripMargin,
     "st_window_agg" ->
       """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
         | event_type, count(*) AS n_events,

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: media as opaque `binary` columns with
@@ -101,5 +101,45 @@ object MultimodalOps {
       .select(col("doc_id"), col("frame_idx"),
         feat(0).as("f0"), feat(1).as("f1"), feat(2).as("f2"),
         feat(3).as("f3"))
+  }
+
+  /** Cross-video frame-level dedup — the multimodal analogue of
+    * substring dedup: every sampled frame fingerprints (its quantized
+    * feature vector packed into one integer — the role a perceptual
+    * hash plays over real pixels), a fingerprint seen in ≥ 2 distinct
+    * videos marks its frames duplicated, and each video reports its
+    * duplicated-frame exposure (intro/outro cards, stock footage,
+    * re-uploads). Consumes [[featureExtract]]'s OUTPUT — the vectors a
+    * real extractor yields — so quantization is `round(f·1000)`
+    * (exact: features are k/1000 by construction, and the round
+    * recovers k identically in both engines; a real pipeline would
+    * coarsen here, trading recall for tolerance). Scale shape =
+    * `d_substring_dedup`'s: fingerprint-keyed aggregation and a join
+    * back, (doc_id, fp) rows only, nothing quadratic.
+    */
+  def frameDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    def q(c: Column): Column = round(c * 1000, 0).cast("long")
+    val fp = featureExtract(spark, sfDir)
+      .select(col("doc_id"),
+        (q(col("f0")) * 1000000000L + q(col("f1")) * 1000000L +
+          q(col("f2")) * 1000L + q(col("f3"))).as("fp"))
+      // two consumers (dup set + per-doc probe): materialize once
+      .localCheckpoint()
+    val dup = fp.groupBy(col("fp"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("fp"))
+    val dupPerDoc = fp.join(dup, "fp")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_frames"))
+    fp.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"))
+      .join(dupPerDoc, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_dup_frames"))
+      .select(col("doc_id"),
+        col("n_frames").cast("long").as("n_frames"),
+        col("n_dup_frames").cast("long").as("n_dup_frames"),
+        round(col("n_dup_frames").cast("double") /
+          col("n_frames").cast("double"), 6).as("dup_ratio"))
   }
 }

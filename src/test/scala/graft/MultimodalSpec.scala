@@ -29,4 +29,18 @@ class MultimodalSpec extends SparkSpec {
       col(c) < 0.0 || col(c) >= 1.0).reduce(_ || _)
     assert(feats.filter(oob).count() === 0)
   }
+
+  test("frameDedup: totals conserve frames, exposure bounded, dups genuinely cross-video") {
+    val fd = MultimodalOps.frameDedup(spark, sfDir).localCheckpoint()
+    val frames = MultimodalOps.frameSample(spark, sfDir)
+    // every video reports, totals conserve the sampled frames
+    assert(fd.count() ===
+      Tables.load(spark, sfDir, "documents").count())
+    assert(fd.agg(sum("n_frames")).head().getLong(0) === frames.count())
+    // exposure is a ratio; some cross-video dup must exist at this
+    // fingerprint density (≈2000 frames over 1000 fingerprint slots)
+    assert(fd.filter(col("n_dup_frames") > col("n_frames")).count() === 0)
+    assert(fd.agg(sum("n_dup_frames")).head().getLong(0) > 0,
+      "no cross-video duplicates found; the test proves nothing")
+  }
 }
