@@ -273,7 +273,8 @@ object SparkEntry {
     "st_dump_ingest" -> (StreamingOps.dumpIngest _),
     "st_lww_merge" -> (StreamingOps.lwwMergeStream _),
     "st_corpus_gate" -> (StreamingOps.corpusGate _),
-    "st_ann_ingest" -> (StreamingOps.annIngest _)
+    "st_ann_ingest" -> (StreamingOps.annIngest _),
+    "st_sstable_ingest" -> (StreamingOps.sstableIngest _)
   )
 
   // ---- oracle-SQL generators for the estimator/LSH operators ----
@@ -3325,6 +3326,9 @@ object SparkEntry {
     // the stateful streaming merge's final snapshot equals the batch
     // compaction — p_lww_merge's oracle shared verbatim
     "st_lww_merge" -> lwwMergeOracle,
+    // continuous binary ingestion: the SIXTH path under the one tree
+    // contract (batch/V2/streaming dump, binary 3.x/4.x, streamed binary)
+    "st_sstable_ingest" -> sstabledumpTreeSql,
     // streaming JSONL ingest: one global Complete-mode aggregate over
     // the whole AvailableNow backlog = the batch accounting, same
     // constants-plus-good-side oracle as src_jsonl_corrupt

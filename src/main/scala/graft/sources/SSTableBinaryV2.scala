@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.functions.{col, when}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
@@ -89,13 +90,15 @@ object SSTableBinaryV2 {
     override def name(): String = s"sstable-big($path)"
     override def schema(): StructType = SSTableBinaryV2.schema
     override def capabilities(): java.util.Set[TableCapability] =
-      java.util.EnumSet.of(TableCapability.BATCH_READ)
+      java.util.EnumSet.of(TableCapability.BATCH_READ,
+        TableCapability.MICRO_BATCH_READ)
     override def newScanBuilder(
         options: CaseInsensitiveStringMap): ScanBuilder =
-      new BinScanBuilder(Option(path).getOrElse(options.get("path")))
+      new BinScanBuilder(Option(path).getOrElse(options.get("path")),
+        Option(options.get("maxFilesPerTrigger")).map(_.toInt))
   }
 
-  private class BinScanBuilder(path: String)
+  private class BinScanBuilder(path: String, maxFiles: Option[Int])
       extends ScanBuilder with SupportsPushDownRequiredColumns {
     private var required: StructType = SSTableBinaryV2.schema
     // TOP-LEVEL pruning only (the contract explicitly allows partial
@@ -108,10 +111,11 @@ object SSTableBinaryV2 {
     override def pruneColumns(requiredSchema: StructType): Unit =
       required = StructType(
         requiredSchema.fieldNames.map(SSTableBinaryV2.schema(_)))
-    override def build(): Scan = new BinScan(path, required)
+    override def build(): Scan = new BinScan(path, required, maxFiles)
   }
 
-  private class BinScan(path: String, required: StructType)
+  private class BinScan(path: String, required: StructType,
+      private[sources] val maxFiles: Option[Int] = None)
       extends Scan with Batch {
     private val hconf = new SerializableConfiguration(
       SparkSession.active.sessionState.newHadoopConf())
@@ -119,10 +123,7 @@ object SSTableBinaryV2 {
     override def readSchema(): StructType = required
     override def toBatch: Batch = this
 
-    /** One InputPartition per `*-Data.db` — the per-file parallelism
-      * unit; sorted for deterministic partition ids. Sibling
-      * components (Statistics/Index/Summary/TOC) are not data files. */
-    override def planInputPartitions(): Array[InputPartition] = {
+    private[sources] def listDataFiles(): Seq[String] = {
       val fs = FileSystem.get(java.net.URI.create(path), hconf.value)
       val files = scala.collection.mutable.ArrayBuffer.empty[String]
       val it = fs.listFiles(new HPath(path), true)
@@ -131,11 +132,70 @@ object SSTableBinaryV2 {
         if (f.isFile && f.getPath.getName.endsWith("-Data.db"))
           files += f.getPath.toString
       }
-      files.sorted.map(f => BinFilePartition(f): InputPartition).toArray
+      files.sorted.toSeq
     }
+
+    /** One InputPartition per `*-Data.db` — the per-file parallelism
+      * unit; sorted for deterministic partition ids. Sibling
+      * components (Statistics/Index/Summary/TOC) are not data files. */
+    override def planInputPartitions(): Array[InputPartition] =
+      listDataFiles().map(f => BinFilePartition(f): InputPartition).toArray
 
     override def createReaderFactory(): PartitionReaderFactory =
       new BinReaderFactory(required.fieldNames, hconf)
+
+    /** Streaming form — `spark.readStream.format("sstable-big")`: the
+      * source's offset is a position in the SORTED file listing (new
+      * SSTables land strictly after already-seen names in a
+      * generation-numbered directory — the landing-zone contract a
+      * compaction-export feed satisfies; files are immutable once
+      * written, as SSTables are by definition). `maxFilesPerTrigger`
+      * paces micro-batches exactly like the file sources (S11's
+      * admission-control dial); each micro-batch decodes whole files
+      * through the SAME reader factory as the batch scan — one codec,
+      * both execution modes. */
+    override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+      new BinMicroBatchStream(this)
+  }
+
+  private[sources] case class FileIndexOffset(index: Int) extends Offset {
+    override def json(): String = index.toString
+  }
+
+  private class BinMicroBatchStream(scan: BinScan)
+      extends MicroBatchStream with SupportsAdmissionControl {
+    private var snapshot: Seq[String] = Nil
+    private def refresh(): Seq[String] = {
+      snapshot = scan.listDataFiles()
+      snapshot
+    }
+    override def initialOffset(): Offset = FileIndexOffset(0)
+    override def deserializeOffset(json: String): Offset =
+      FileIndexOffset(json.trim.toInt)
+    override def latestOffset(): Offset = FileIndexOffset(refresh().size)
+    override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+      val all = refresh().size
+      val s = start.asInstanceOf[FileIndexOffset].index
+      limit match {
+        case r: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles =>
+          FileIndexOffset(math.min(all, s + r.maxFiles()))
+        case _ => FileIndexOffset(all)
+      }
+    }
+    override def getDefaultReadLimit: ReadLimit =
+      scan.maxFiles.map(ReadLimit.maxFiles)
+        .getOrElse(ReadLimit.allAvailable())
+    override def planInputPartitions(start: Offset,
+        end: Offset): Array[InputPartition] = {
+      val s = start.asInstanceOf[FileIndexOffset].index
+      val e = end.asInstanceOf[FileIndexOffset].index
+      val files = if (snapshot.size >= e) snapshot else refresh()
+      files.slice(s, e).map(f => BinFilePartition(f): InputPartition).toArray
+    }
+    override def createReaderFactory(): PartitionReaderFactory =
+      scan.createReaderFactory()
+    override def commit(end: Offset): Unit = ()
+    override def stop(): Unit = ()
   }
 
   private case class BinFilePartition(file: String) extends InputPartition

@@ -477,6 +477,41 @@ object StreamingOps {
     out
   }
 
+  /** Continuous BINARY SSTable ingestion — the sixth ingestion path,
+    * and the one a live compaction-export feed actually is: the
+    * big-format DSv2 connector's MicroBatchStream decodes newly-landed
+    * `*-Data.db` files one per micro-batch (`maxFilesPerTrigger`, the
+    * S11 admission dial, honored through SupportsAdmissionControl),
+    * with the SAME per-file reader the batch scan uses — one codec,
+    * both execution modes, no `sstabledump` anywhere. The audit
+    * aggregation is `st_dump_ingest`'s shape (streaming forbids
+    * countDistinct, so (kind, sstable) partials finish batch-side) and
+    * the result answers to the SAME tree oracle as every other
+    * ingestion path. */
+  def sstableIngest(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.{SSTableBinaryV2, SSTableDumpBridge}
+    val dir = SSTableBinaryV2.writeBinaryFixture(spark, sfDir)
+    val baseUs = lit(SSTableDumpBridge.TreeBase * 1000000L)
+    val out = runSourceToMemory(spark,
+      s => s.readStream.format("sstable-big")
+        .option("maxFilesPerTrigger", "1").load(dir.toString),
+      src => src.groupBy(col("row_kind"), col("sstable"))
+        .agg(count(lit(1)).as("nr"),
+          sum(col("cell.writetime_us") - baseUs).as("wt"),
+          sum(col("cell.ttl_s").cast("long")).as("tt"),
+          sum(col("deletion_us") - baseUs).as("dd"),
+          sum(length(col("cell.value")).cast("long")).as("vc")),
+      OutputMode.Complete())
+    graft.Scratch.delete(dir)
+    out.groupBy(col("row_kind"))
+      .agg(sum(col("nr")).cast("long").as("n_rows"),
+        count(lit(1)).cast("long").as("n_sstables"),
+        sum(col("wt")).cast("long").as("sum_wt_off_us"),
+        sum(col("tt")).cast("long").as("sum_ttl_s"),
+        sum(col("dd")).cast("long").as("sum_del_off_us"),
+        sum(col("vc")).cast("long").as("sum_value_chars"))
+  }
+
   /** Streaming ANN index ingest — the index MAINTAINED as vectors
     * land, not rebuilt behind them: a file stream over the embeddings
     * table runs the trained IVF-PQ encode (cell assignment + M

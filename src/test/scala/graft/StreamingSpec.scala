@@ -328,6 +328,14 @@ class StreamingSpec extends SparkSpec {
     assert(stream.count() === 4) // the four row kinds
   }
 
+  test("streaming binary ingest: the connector's micro-batch stream lands on the batch audit") {
+    val stream = StreamingOps.sstableIngest(spark, sfDir).localCheckpoint()
+    val batch = graft.sources.SSTableBinaryV2.binaryAudit(spark, sfDir)
+    assert(stream.count() === 4) // the four row kinds
+    assert(stream.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(stream).count() === 0)
+  }
+
   test("streaming ANN ingest: the stream-built index serves like the batch-built one") {
     val streamed = StreamingOps.annIngest(spark, sfDir).localCheckpoint()
     val batch = graft.ops.SimilarityOps.annIvfPqTrained(spark, sfDir)
