@@ -272,6 +272,7 @@ object SparkEntry {
     "st_jsonl_ingest" -> (StreamingOps.jsonlIngest _),
     "st_dump_ingest" -> (StreamingOps.dumpIngest _),
     "st_lww_merge" -> (StreamingOps.lwwMergeStream _),
+    "st_lww_range" -> (StreamingOps.lwwRangeMergeStream _),
     "st_corpus_gate" -> (StreamingOps.corpusGate _),
     "st_ann_ingest" -> (StreamingOps.annIngest _),
     "st_sstable_ingest" -> (StreamingOps.sstableIngest _)
@@ -1565,6 +1566,55 @@ object SparkEntry {
     sstabledumpTreeSql.replace(anchor, "CAST(NULL AS BIGINT) AS ttl")
   }
 
+  /** Range-shadowing merge oracle — shared verbatim by the batch
+    * window form (`p_lww_range`) and the streaming form
+    * (`st_lww_range`). */
+  private lazy val lwwRangeOracle: String =
+    """WITH docs AS (SELECT doc_id, n_chars FROM documents),
+        |cells AS (
+        | SELECT CAST(doc_id AS VARCHAR) AS pk, 'a' AS cl,
+        |  CAST(n_chars AS VARCHAR) AS value,
+        |  1609459200000000 + (doc_id + 0) * 1000000 AS wt FROM docs
+        | UNION ALL
+        | SELECT CAST(doc_id AS VARCHAR), 'c', CAST(n_chars + 1 AS VARCHAR),
+        |  1609459200000000 + (doc_id + 0) * 1000000 FROM docs
+        | UNION ALL
+        | SELECT CAST(doc_id AS VARCHAR), 'e', CAST(n_chars + 2 AS VARCHAR),
+        |  1609459200000000 + (doc_id + 0) * 1000000 FROM docs
+        | UNION ALL
+        | SELECT CAST(doc_id AS VARCHAR), 'c', CAST(n_chars + 10 AS VARCHAR),
+        |  1609459200000000 + (doc_id + 100) * 1000000
+        | FROM docs WHERE doc_id % 3 = 0),
+        |rng AS (
+        | SELECT CAST(doc_id AS VARCHAR) AS pk, 'b' AS scl, TRUE AS sinc,
+        |  'd' AS ecl, TRUE AS einc,
+        |  1609459200000000 + (doc_id + 60) * 1000000 AS del
+        | FROM docs WHERE doc_id % 2 = 0
+        | UNION ALL
+        | SELECT CAST(doc_id AS VARCHAR), 'd', FALSE, 'e', TRUE,
+        |  1609459200000000 + (doc_id + 40) * 1000000
+        | FROM docs WHERE doc_id % 5 = 1),
+        |shadow AS (
+        | SELECT c.pk, c.cl, c.value, c.wt,
+        |  max(CASE WHEN ((r.sinc AND c.cl >= r.scl)
+        |        OR (NOT r.sinc AND c.cl > r.scl))
+        |    AND ((r.einc AND c.cl <= r.ecl)
+        |        OR (NOT r.einc AND c.cl < r.ecl))
+        |   THEN r.del END) AS rt_del
+        | FROM cells c LEFT JOIN rng r ON c.pk = r.pk
+        | GROUP BY c.pk, c.cl, c.value, c.wt),
+        |live AS (
+        | SELECT pk, cl, value, wt FROM shadow
+        | WHERE rt_del IS NULL OR wt > rt_del),
+        |v AS (
+        | SELECT *, row_number() OVER (PARTITION BY pk, cl
+        |   ORDER BY wt DESC, value DESC) AS rk,
+        |  count(*) OVER (PARTITION BY pk, cl) AS nv
+        | FROM live)
+        |SELECT pk AS partition_key, cl AS clustering, 'v' AS name,
+        | value, wt AS writetime_us, CAST(nv AS BIGINT) AS n_versions
+        |FROM v WHERE rk = 1""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "p1_ttl_strip" ->
       """SELECT event_id, user_id, event_type, value,
@@ -1656,51 +1706,7 @@ object SparkEntry {
     // families, applies the inclusive/exclusive bound coverage with
     // the same writetime <= deletion rule via a pk join + conditional
     // max, and ranks survivors identically
-    "p_lww_range" ->
-      """WITH docs AS (SELECT doc_id, n_chars FROM documents),
-        |cells AS (
-        | SELECT CAST(doc_id AS VARCHAR) AS pk, 'a' AS cl,
-        |  CAST(n_chars AS VARCHAR) AS value,
-        |  1609459200000000 + (doc_id + 0) * 1000000 AS wt FROM docs
-        | UNION ALL
-        | SELECT CAST(doc_id AS VARCHAR), 'c', CAST(n_chars + 1 AS VARCHAR),
-        |  1609459200000000 + (doc_id + 0) * 1000000 FROM docs
-        | UNION ALL
-        | SELECT CAST(doc_id AS VARCHAR), 'e', CAST(n_chars + 2 AS VARCHAR),
-        |  1609459200000000 + (doc_id + 0) * 1000000 FROM docs
-        | UNION ALL
-        | SELECT CAST(doc_id AS VARCHAR), 'c', CAST(n_chars + 10 AS VARCHAR),
-        |  1609459200000000 + (doc_id + 100) * 1000000
-        | FROM docs WHERE doc_id % 3 = 0),
-        |rng AS (
-        | SELECT CAST(doc_id AS VARCHAR) AS pk, 'b' AS scl, TRUE AS sinc,
-        |  'd' AS ecl, TRUE AS einc,
-        |  1609459200000000 + (doc_id + 60) * 1000000 AS del
-        | FROM docs WHERE doc_id % 2 = 0
-        | UNION ALL
-        | SELECT CAST(doc_id AS VARCHAR), 'd', FALSE, 'e', TRUE,
-        |  1609459200000000 + (doc_id + 40) * 1000000
-        | FROM docs WHERE doc_id % 5 = 1),
-        |shadow AS (
-        | SELECT c.pk, c.cl, c.value, c.wt,
-        |  max(CASE WHEN ((r.sinc AND c.cl >= r.scl)
-        |        OR (NOT r.sinc AND c.cl > r.scl))
-        |    AND ((r.einc AND c.cl <= r.ecl)
-        |        OR (NOT r.einc AND c.cl < r.ecl))
-        |   THEN r.del END) AS rt_del
-        | FROM cells c LEFT JOIN rng r ON c.pk = r.pk
-        | GROUP BY c.pk, c.cl, c.value, c.wt),
-        |live AS (
-        | SELECT pk, cl, value, wt FROM shadow
-        | WHERE rt_del IS NULL OR wt > rt_del),
-        |v AS (
-        | SELECT *, row_number() OVER (PARTITION BY pk, cl
-        |   ORDER BY wt DESC, value DESC) AS rk,
-        |  count(*) OVER (PARTITION BY pk, cl) AS nv
-        | FROM live)
-        |SELECT pk AS partition_key, cl AS clustering, 'v' AS name,
-        | value, wt AS writetime_us, CAST(nv AS BIGINT) AS n_versions
-        |FROM v WHERE rk = 1""".stripMargin,
+    "p_lww_range" -> lwwRangeOracle,
     // point-in-time read: identical replay with every generation and
     // tombstone filtered to events at or before the base+1030s cut —
     // the WHERE clauses mirror lwwAsOf's writetime/deletion pre-filter
@@ -3326,6 +3332,9 @@ object SparkEntry {
     // the stateful streaming merge's final snapshot equals the batch
     // compaction — p_lww_merge's oracle shared verbatim
     "st_lww_merge" -> lwwMergeOracle,
+    // range shadowing as a stream: bounds arriving a batch later
+    // retroactively delete — final snapshot equals the batch merge
+    "st_lww_range" -> lwwRangeOracle,
     // continuous binary ingestion: the SIXTH path under the one tree
     // contract (batch/V2/streaming dump, binary 3.x/4.x, streamed binary)
     "st_sstable_ingest" -> sstabledumpTreeSql,

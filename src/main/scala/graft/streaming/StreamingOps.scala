@@ -551,12 +551,16 @@ object StreamingOps {
       row_kind: String, name: Option[String], value: Option[String],
       writetime_us: Option[Long], deletion_us: Option[Long])
   final case class CellVer(cl: String, nm: String, wt: Long, v: String)
-  /** Per-partition merge state: tombstone maxima + the SURVIVING cell
-    * versions only (shadowed versions are pruned every batch — they can
-    * never win nor count again), so state is bounded by partition width
-    * × generations-per-cell, the same bound [[graft.ops.TtlOps
-    * .lwwMergeSkewSafe]] cites, never by stream lifetime. */
+  final case class RtB(cl: String, inc: Boolean, del: Long)
+  /** Per-partition merge state: tombstone maxima, the partition's
+    * range-tombstone bound lists (ranges-per-partition sized — the
+    * same bound the batch form's pk-window collect has), and the
+    * SURVIVING cell versions only (shadowed versions are pruned every
+    * batch — they can never win nor count again), so state is bounded
+    * by partition width × generations-per-cell, never by stream
+    * lifetime. */
   final case class LwwSt(partDel: Long, rowDels: Map[String, Long],
+      starts: Seq[RtB], ends: Seq[RtB],
       vers: Seq[CellVer], rev: Long)
   final case class LwwEmit(partition_key: String, clustering: String,
       name: String, value: String, writetime_us: Option[Long],
@@ -614,9 +618,12 @@ object StreamingOps {
             OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
             (pk: String, rows: Iterator[CellArr], state: GroupState[LwwSt]) =>
               val st = state.getOption
-                .getOrElse(LwwSt(Long.MinValue, Map.empty, Nil, 0L))
+                .getOrElse(LwwSt(Long.MinValue, Map.empty, Nil, Nil,
+                  Nil, 0L))
               var partDel = st.partDel
               var rowDels = st.rowDels
+              var starts = st.starts
+              var ends = st.ends
               var vers = st.vers
               rows.foreach { r =>
                 r.row_kind match {
@@ -629,15 +636,41 @@ object StreamingOps {
                         Long.MinValue), r.deletion_us.get))
                   case "PARTITION_DELETION" =>
                     partDel = math.max(partDel, r.deletion_us.get)
+                  case "RANGE_TOMBSTONE_BOUND" =>
+                    // "start:inclusive"-style bound identity, the
+                    // bridge encoding; bounds arrive balanced per
+                    // micro-batch (Cassandra serializes complete
+                    // ranges per SSTable), so the paired apply below
+                    // never sees a split range
+                    val Array(side, kind) = r.name.get.split(':')
+                    val b = RtB(r.clustering, kind == "inclusive",
+                      r.deletion_us.get)
+                    if (side == "start") starts = starts :+ b
+                    else ends = ends :+ b
                   case other => throw new UnsupportedOperationException(
-                    s"streaming LWW merge: row_kind $other is the batch " +
-                      "form's (range bounds need whole-partition pairing)")
+                    s"streaming LWW merge: unknown row_kind $other")
                 }
               }
+              // the batch form's sorted index-wise pairing, verbatim:
+              // array_sort on struct(cl, inc, del) = sortBy the tuple
+              // (Booleans order false < true); unbalanced bound sets
+              // fail LOUDLY rather than half-applying a range
+              require(starts.size == ends.size,
+                s"unbalanced range-tombstone bounds in partition $pk")
+              val ranges = starts.sortBy(b => (b.cl, b.inc, b.del))
+                .zip(ends.sortBy(b => (b.cl, b.inc, b.del)))
+              def rtDel(cl: String): Long = ranges.collect {
+                case (sb, eb)
+                  if (if (sb.inc) cl >= sb.cl else cl > sb.cl) &&
+                    (if (eb.inc) cl <= eb.cl else cl < eb.cl) =>
+                  math.max(sb.del, eb.del)
+              }.foldLeft(Long.MinValue)(math.max)
               val live = vers.filter(v => v.wt > partDel &&
-                v.wt > rowDels.getOrElse(v.cl, Long.MinValue))
+                v.wt > rowDels.getOrElse(v.cl, Long.MinValue) &&
+                v.wt > rtDel(v.cl))
               val rev = st.rev + 1
-              state.update(LwwSt(partDel, rowDels, live, rev))
+              state.update(LwwSt(partDel, rowDels, starts, ends,
+                live, rev))
               val winners = live.groupBy(v => (v.cl, v.nm)).toSeq
                 .map { case ((cl, nm), vs) =>
                   // (writetime, value) lexicographic max — the batch
@@ -651,6 +684,38 @@ object StreamingOps {
                 .iterator
           }.toDF()
       }, OutputMode.Append())
+
+  /** The RANGE-fixture landing zone for [[lwwRangeMergeStream]]: gen 1
+    * = the base cells (offset-0 writetimes), gen 2 = the re-writes and
+    * every tombstone bound — so range shadowing arrives one micro-batch
+    * AFTER the cells it must retroactively delete. */
+  private[graft] def writeLwwRangeStreamFixture(spark: SparkSession,
+      sfDir: String): java.nio.file.Path = {
+    val dir = graft.Scratch.dir("graft-lwwrangestream-")
+    val offUs = coalesce(col("writetime_us"), col("deletion_us")) -
+      lit(graft.ops.TtlOps.LwwBaseUs) -
+      col("partition_key").cast("long") * 1000000L
+    graft.ops.TtlOps.lwwRangeFixture(spark, sfDir)
+      .withColumn("gen",
+        when(col("row_kind") === "ROW" && offUs === 0L, 1).otherwise(2))
+      .repartition(col("gen"))
+      .write.partitionBy("gen").mode("overwrite").parquet(dir.toString)
+    dir
+  }
+
+  /** Registered `st_lww_range`: the RANGE-TOMBSTONE merge as a stream —
+    * bounds arrive a micro-batch after the cells they shadow, pair
+    * index-wise inside the keyed state (the batch form's sorted
+    * pairing verbatim) and retroactively delete covered clusterings;
+    * the final snapshot equals the batch [[graft.ops.TtlOps
+    * .lwwMerge]] over the same fixture (`p_lww_range`'s oracle,
+    * shared verbatim). */
+  def lwwRangeMergeStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = writeLwwRangeStreamFixture(spark, sfDir)
+    val raw = lwwMergeStreamRaw(spark, dir.toString)
+    graft.Scratch.delete(dir)
+    collapseLwwStream(raw)
+  }
 
   /** Registered `st_lww_merge`: the two-generation merge fixture
     * streamed one generation per micro-batch through the stateful

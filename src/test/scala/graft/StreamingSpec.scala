@@ -345,6 +345,36 @@ class StreamingSpec extends SparkSpec {
     assert(batch.exceptAll(streamed).count() === 0)
   }
 
+  test("streaming range merge: bounds arriving later retroactively shadow; final equals batch") {
+    import org.apache.spark.sql.functions._
+    val dir = StreamingOps.writeLwwRangeStreamFixture(spark, sfDir)
+    try {
+      val raw = StreamingOps.lwwMergeStreamRaw(spark, dir.toString)
+        .localCheckpoint()
+      // doc 2 (even, not %3==0, not %5==1): gen 1 = cells at a/c/e,
+      // gen 2 = the [b,d] range — whichever order the generation files
+      // arrive in, the two revisions' snapshots differ (gen1-first:
+      // {a,c,e} → {a,e}; gen2-first: {} → {a,e}) and the final one
+      // never contains the shadowed 'c'
+      val d2all = raw.filter(col("partition_key") === "2")
+        .select(col("rev"), col("clustering")).collect()
+        .map(r => (r.getLong(0), Option(r.getString(1))))
+      val revs = d2all.map(_._1).distinct.sorted
+      assert(revs.length === 2, s"doc 2 saw ${revs.length} revisions")
+      def snap(rev: Long): Set[String] =
+        d2all.filter(t => t._1 == rev).flatMap(_._2).toSet
+      assert(snap(revs.max) === Set("a", "e"),
+        s"final snapshot kept the range-shadowed 'c': ${snap(revs.max)}")
+      assert(snap(revs.min) !== snap(revs.max),
+        "no retroactive revision happened across batches")
+      // the collapsed stream equals the batch range merge exactly
+      val collapsed = StreamingOps.collapseLwwStream(raw)
+      val batch = graft.ops.TtlOps.lwwRangeAudit(spark, sfDir)
+      assert(collapsed.exceptAll(batch).count() === 0)
+      assert(batch.exceptAll(collapsed).count() === 0)
+    } finally Scratch.delete(dir)
+  }
+
   test("streaming LWW merge: winners revised across micro-batches, final equals batch") {
     import org.apache.spark.sql.functions._
     val dir = StreamingOps.writeLwwStreamFixture(spark, sfDir)
