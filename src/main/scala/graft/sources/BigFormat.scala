@@ -4,11 +4,17 @@ import java.io.{ByteArrayOutputStream, DataInputStream, DataOutputStream, EOFExc
 import java.nio.charset.StandardCharsets.UTF_8
 import java.util.zip.CRC32
 
-/** Cassandra 4.x big-format ("nb") SSTable codec — the on-disk subset
-  * the graft cell model needs, decoded (and, for fixtures, encoded)
+/** Cassandra big-format SSTable codec — the 3.0-storage-engine
+  * on-disk subset the graft cell model needs, decoded AND encoded
   * WITHOUT linking Cassandra: partition keys, partition/row deletion,
   * row liveness (timestamp + TTL), regular cells with per-cell
   * liveness overrides, and range-tombstone bound/boundary markers.
+  * Both format eras are served: the 4.x n-series ("na"/"nb",
+  * checksummed metadata) and the 3.x m-series ("ma".."me",
+  * checksumless) — the row codec is identical across them. The
+  * encoder is a real SINK (`SSTableBinaryV2.writeSSTables` rewrites
+  * tables file-for-file in Murmur3 token order), not just fixture
+  * scaffolding.
   *
   * This is the step the reference performs by embedding the whole
   * Cassandra runtime (`Cassandra4TTLRemover.java:74` opens `*-Data.db`

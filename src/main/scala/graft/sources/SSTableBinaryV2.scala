@@ -17,10 +17,11 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.util.SerializableConfiguration
 
-/** DataSourceV2 connector reading Cassandra 4.x big-format SSTables
-  * DIRECTLY — `spark.read.format("sstable-big").load(dataDir)` — the
-  * fourth ingestion path, and the first that needs NO `sstabledump`
-  * pre-pass: the [[BigFormat]] codec decodes `*-Data.db` partitions
+/** DataSourceV2 connector reading Cassandra big-format SSTables
+  * DIRECTLY — `spark.read.format("sstable-big").load(dataDir)`, both
+  * the 4.x (nb) and 3.x (me/md) eras, batch AND micro-batch streaming
+  * — the ingestion paths that need NO `sstabledump` pre-pass: the
+  * [[BigFormat]] codec decodes `*-Data.db` partitions
   * straight into the same bridge-row frame `readTree`/`readTreeV2`
   * produce, so the whole operator surface (TTL strip, LWW merge,
   * sorted sink) runs unchanged behind it. This is the reference's own

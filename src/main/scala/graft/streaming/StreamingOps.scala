@@ -601,8 +601,12 @@ object StreamingOps {
     * revision, plus one revision SENTINEL row (null name): a partition
     * whose last surviving cell just vanished must still announce the
     * new revision, or the collapse would resurrect its previous
-    * snapshot. Range-tombstone bounds are the batch form's business
-    * and fail loudly here rather than merging wrong.
+    * snapshot. Range-tombstone bounds accumulate in state and re-pair
+    * index-wise each revision (the batch form's sorted pairing
+    * verbatim), so a range arriving after the cells it covers shadows
+    * them retroactively too; an UNBALANCED bound set fails loudly —
+    * Cassandra serializes complete ranges per SSTable, so a split
+    * range is corrupt input, not a transient.
     */
   private[graft] def lwwMergeStreamRaw(parent: SparkSession,
       dir: String): DataFrame =
