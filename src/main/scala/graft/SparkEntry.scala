@@ -134,6 +134,7 @@ object SparkEntry {
     "src_sstable_binary_3x" -> (sources.SSTableBinaryV2.binaryAudit3x _),
     "src_sstable_roundtrip" -> (sources.SSTableBinaryV2.binaryRoundtrip _),
     "src_schema_discovery" -> (sources.LakeDiscovery.discoveryAudit _),
+    "src_schema_evolution" -> (sources.LakeDiscovery.schemaEvolutionAudit _),
     // --- corpus assembly (mixing / packing) ---
     "corp_source_mix" -> (CorpusOps.sourceMixAudit _),
     "corp_token_pack" -> (CorpusOps.tokenPackAudit _),
@@ -2549,6 +2550,15 @@ object SparkEntry {
         | END AS col_list,
         | count(*) AS n_rows
         |FROM d GROUP BY ks, t""".stripMargin,
+    // schema evolution: generation membership, value sums and the
+    // null mass the widened column back-fills replay arithmetically
+    "src_schema_evolution" ->
+      """SELECT doc_id % 2 = 1 AS has_text_len,
+        | count(*) AS n_rows,
+        | CAST(sum(n_chars) AS BIGINT) AS sum_n_chars,
+        | CAST(sum(CASE WHEN doc_id % 2 = 1 THEN length(text) END)
+        |   AS BIGINT) AS sum_text_len
+        |FROM documents GROUP BY 1""".stripMargin,
     "src_sstabledump_tree" -> sstabledumpTreeSql,
     // same oracle VERBATIM for the V2-connector ingestion path: one
     // semantic contract, both IO paths held to it

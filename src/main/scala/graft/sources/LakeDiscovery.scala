@@ -150,6 +150,42 @@ object LakeDiscovery {
     out
   }
 
+  /** Registered schema-evolution audit (`src_schema_evolution`) — the
+    * lake fact discovery alone can't witness: a TABLE's schema widens
+    * over time, and readers must serve old and new files together. The
+    * fixture writes two file generations into ONE table directory
+    * (gen 1: even doc_ids, `(doc_id, n_chars)`; gen 2: odd doc_ids,
+    * plus a `text_len` column), reads them back through
+    * `mergeSchema` — Spark's footer-union schema resolution — and
+    * audits per generation: row counts, value sums, and the NULL mass
+    * the missing column back-fills. A reader that dropped pre-widening
+    * files, or back-filled anything but null, shifts an aggregate.
+    * Scale shape: schema union is footer metadata (the lake's
+    * O(files) boot cost, amortized by catalog caching); the scan
+    * itself stays one pass, no shuffle until the audit groupBy. */
+  def schemaEvolutionAudit(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val out = graft.Scratch.dir("graft-evo-")
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+    docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("n_chars"))
+      .write.mode("overwrite").parquet(out.toString)
+    docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("n_chars"),
+        length(col("text")).cast("long").as("text_len"))
+      .write.mode("append").parquet(out.toString)
+    val audit = spark.read.option("mergeSchema", "true")
+      .parquet(out.toString)
+      .groupBy(col("text_len").isNotNull.as("has_text_len"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("n_chars")).cast("long").as("sum_n_chars"),
+        sum(col("text_len")).cast("long").as("sum_text_len"))
+      .localCheckpoint()
+    graft.Scratch.delete(out)
+    audit
+  }
+
   /** Registered discovery audit: build the lake fixture, discover it
     * back, return the catalog (checkpointed so the scratch lake can
     * be deleted eagerly). The oracle replays keyspaces, table split,
