@@ -306,9 +306,7 @@ object RemoverCli {
         .map(_._2).sum
     } else {
       val stripped = reader(spark, args.in).withColumn("cell",
-        when(col("cell").isNotNull,
-          graft.model.CellModel.stripCell(col("cell")))
-          .otherwise(col("cell")))
+        graft.model.CellModel.stripCellKeepDeletion(col("cell")))
       graft.sources.SSTableBinaryV2
         .writeSSTables(stripped, args.out, args.keyspace, args.table)
         .map(_._2).sum

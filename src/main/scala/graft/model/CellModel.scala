@@ -87,6 +87,21 @@ object CellModel {
       lit(null).cast("int").as("ttl_s"),
       lit(null).cast("long").as("expire_us"))
 
+  /** The bridge-frame strip: P2's cell-kind dispatch on a nullable
+    * cell column — EXPIRING cells (ttl_s set) are stripped to their
+    * NO_TTL form; deletion markers (NULL cell) and deleted cells
+    * (CELL_DELETION rows whose cell carries the tombstone's
+    * `writetime_us`/`expire_us` but no TTL) pass through UNTOUCHED,
+    * exactly the reference's expiring→plain / deleted→passthrough
+    * dispatch (`Cassandra2TTLRemover.java:131-143`). An unconditional
+    * strip here would null a cell tombstone's local deletion time and
+    * resurrect deleted data on a later generation merge. Cells with no
+    * TTL are left alone too (the strip is a no-op on them by
+    * construction: `expire_us` is only ever set alongside `ttl_s`). */
+  def stripCellKeepDeletion(cell: Column): Column =
+    when(cell.isNotNull && cell.getField("ttl_s").isNotNull,
+      stripCell(cell)).otherwise(cell)
+
   /** The canonical cell field names. A column "is a cell" iff its
     * struct carries exactly these fields — the value type is free,
     * matching the reference's type-generic ByteBuffer copy

@@ -155,10 +155,23 @@ object BigFormat {
     var value: Long = (first & (0xff >>> extra)).toLong
     var i = 0
     while (i < extra) {
-      value = (value << 8) | (in.read() & 0xff).toLong
+      val b = in.read()
+      // a stream truncated mid-vint must raise, not sign-mask -1 into
+      // 0xff continuation bytes and decode garbage (the loud-corruption
+      // contract readPartition wraps with the file name)
+      if (b < 0) throw new EOFException("vint truncated mid-value")
+      value = (value << 8) | b.toLong
       i += 1
     }
     value
+  }
+
+  /** One flag/kind byte with the EOF contract vints have: -1 raises
+    * instead of silently decoding as an all-bits-set flag word. */
+  private def readFlagByte(in: DataInputStream, what: String): Int = {
+    val b = in.read()
+    if (b < 0) throw new EOFException(s"$what byte at EOF")
+    b
   }
 
   def readVInt(in: DataInputStream): Long = {
@@ -507,7 +520,7 @@ object BigFormat {
   private def readCell(name: String, tpe: String, rowTs: Option[Long],
       rowTtl: Option[Int], rowLdt: Option[Int], h: Header,
       in: DataInputStream): CellAtom = {
-    val flags = in.read()
+    val flags = readFlagByte(in, "cell flags")
     val hasValue = (flags & CellHasEmptyValue) == 0
     val deleted = (flags & CellIsDeleted) != 0
     val expiring = (flags & CellIsExpiring) != 0
@@ -668,7 +681,7 @@ object BigFormat {
   }
 
   private def readMarker(h: Header, in: DataInputStream): MarkerAtom = {
-    val kind = in.read()
+    val kind = readFlagByte(in, "marker kind")
     val n = in.readUnsignedShort()
     val clustering = readClusteringValues(n, h.clusteringTypes, in)
     readUnsignedVInt(in) // marker body size

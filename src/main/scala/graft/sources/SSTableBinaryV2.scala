@@ -133,7 +133,7 @@ object SSTableBinaryV2 {
         if (f.isFile && f.getPath.getName.endsWith("-Data.db"))
           files += f.getPath.toString
       }
-      files.sorted.toSeq
+      files.sortBy(generationSortKey).toSeq
     }
 
     /** One InputPartition per `*-Data.db` — the per-file parallelism
@@ -197,6 +197,23 @@ object SSTableBinaryV2 {
       scan.createReaderFactory()
     override def commit(end: Offset): Unit = ()
     override def stop(): Unit = ()
+  }
+
+  /** Listing order for SSTable paths: by directory, then NUMERIC
+    * generation, then name. Plain lexicographic order breaks the
+    * streaming source's "new files land strictly after seen names"
+    * contract the moment a directory reaches generation 10
+    * (`nb-10-big-Data.db` sorts before `nb-2-big-Data.db` as strings),
+    * which would shift positional offsets — re-reading processed files
+    * and skipping the new one. Generation-numeric order restores it:
+    * a compaction feed's generations are monotonically increasing, so
+    * every new file sorts strictly after all seen ones. */
+  private[graft] def generationSortKey(path: String): (String, Long, String) = {
+    val slash = path.lastIndexOf('/')
+    val dir = if (slash < 0) "" else path.substring(0, slash)
+    val name = path.substring(slash + 1)
+    val gen = "\\d+".r.findFirstIn(name).map(_.toLong).getOrElse(Long.MaxValue)
+    (dir, gen, name)
   }
 
   private case class BinFilePartition(file: String) extends InputPartition
@@ -300,8 +317,16 @@ object SSTableBinaryV2 {
           if (r.cells.nonEmpty) {
             r.cells.foreach { c =>
               if (c.deleted)
+                // the tombstone's full identity rides along: the cell
+                // struct carries the deletion timestamp (writetime_us)
+                // and the local deletion second (expire_us, micros) so
+                // the binary SINK can re-encode the atom losslessly;
+                // deletion_us stays the audit-visible column
                 out += project(p.key, r.clustering, "CELL_DELETION",
-                  c.name, null, c.tsUs)
+                  c.name,
+                  InternalRow(null, c.tsUs, null,
+                    c.ldtS.map(l => Long.box(l.toLong * 1000000L)).orNull),
+                  c.tsUs)
               else
                 out += project(p.key, r.clustering, "ROW", c.name,
                   cellStruct(c.value, c.tsUs, c.ttlS), null)
@@ -512,22 +537,58 @@ object SSTableBinaryV2 {
     import spark.implicits._
     val hconf = spark.sparkContext.broadcast(
       new SerializableConfiguration(spark.sessionState.newHadoopConf()))
-    cells
+    val selected = cells
       .select(col("partition_key"), col("clustering"), col("row_kind"),
         col("name"), col("cell"), col("deletion_us"), col("sstable"))
       .as[SinkRow]
+    // Output generations assigned ON THE DRIVER over the distinct
+    // source identities (catalog-sized: one row per source file), so
+    // two sources in different subdirectories that share a basename
+    // generation (t1/nb-1-big-Data.db and t2/nb-1-big-Data.db under
+    // one load root) can never map to the same output path and
+    // silently clobber each other. Rule: in sorted source order, a
+    // source keeps the first integer of its basename if still free
+    // (the reference's identity-partitioning contract, output
+    // generation = input generation, `Cassandra3TTLRemover.java:57-61`);
+    // a collision — or a nameless source — deterministically takes the
+    // smallest unused generation above the maximum parsed one.
+    val genOf: Map[String, Int] = {
+      val srcs = selected.select(col("sstable")).distinct()
+        .as[String].collect().sorted
+      val parsed = srcs.map(s =>
+        s -> "\\d+".r.findFirstIn(s.split('/').last).map(_.toInt))
+      var next = parsed.flatMap(_._2).foldLeft(0)(math.max) + 1
+      val used = scala.collection.mutable.Set.empty[Int]
+      parsed.map { case (src, g) =>
+        val gen = g.filterNot(used) match {
+          case Some(free) => free
+          case None => val n = next; next += 1; n
+        }
+        used += gen
+        src -> gen
+      }.toMap
+    }
+    selected
       .groupByKey(_.sstable)
       .mapGroups { (src, it) =>
         val rows = it.toArray
-        // generation: first integer in the source identity
-        // (nb-<g>-big-Data.db / <g>.json), else a stable positive hash
-        val gen = "\\d+".r.findFirstIn(src.split('/').last)
-          .map(_.toInt).getOrElse((src.hashCode & 0x7fffffff) % 1000000)
+        val gen = genOf(src)
+        val unknown = rows.iterator.map(_.row_kind).find(k =>
+          !Set("ROW", "PK_LIVENESS", "ROW_DELETION", "CELL_DELETION",
+            "PARTITION_DELETION", "RANGE_TOMBSTONE_BOUND")(k))
+        // a kind this sink cannot re-encode must refuse the whole
+        // write: dropping it would un-delete data on a later merge
+        unknown.foreach(k => throw new UnsupportedOperationException(
+          s"$src: row_kind '$k' not encodable by the binary sink"))
         val arity = rows.flatMap(_.clustering).map(_.size).distinct
         require(arity.length <= 1,
           s"$src: heterogeneous clustering arity ${arity.mkString(",")}")
         val nClust = arity.headOption.getOrElse(0)
-        val regulars = rows.filter(_.row_kind == "ROW")
+        // a column whose only surviving cells are tombstones must
+        // still appear in the header's regular set — hence the union
+        // with CELL_DELETION names
+        val regulars = rows
+          .filter(r => r.row_kind == "ROW" || r.row_kind == "CELL_DELETION")
           .flatMap(_.name).distinct.sorted
         val parts = rows.groupBy(_.partition_key).toSeq.map {
           case (pk, prs) =>
@@ -543,7 +604,8 @@ object SSTableBinaryV2 {
                   Seq(r.deletion_us.get))
               }
             prs.filter(r => r.row_kind == "ROW" ||
-              r.row_kind == "PK_LIVENESS" || r.row_kind == "ROW_DELETION")
+              r.row_kind == "PK_LIVENESS" || r.row_kind == "ROW_DELETION" ||
+              r.row_kind == "CELL_DELETION")
               .groupBy(_.clustering.map(_.map(Option(_))).getOrElse(Nil))
               .toSeq.sortBy(_._1.map(_.getOrElse("")).mkString("\u0000"))
               .foreach { case (cl, crs) =>
@@ -552,13 +614,31 @@ object SSTableBinaryV2 {
                 val pkLive = crs.find(_.row_kind == "PK_LIVENESS")
                   .flatMap(_.cell)
                 val cellAtoms = regulars.flatMap { nm =>
-                  crs.filter(r => r.row_kind == "ROW" &&
+                  // cell tombstones re-encode as deleted atoms —
+                  // timestamp from the cell's writetime (deletion_us
+                  // is its audit twin), local-deletion second from
+                  // expire_us, falling back to the timestamp's second
+                  // for frames that never carried one (dump-path rows)
+                  val dels = crs.filter(r => r.row_kind == "CELL_DELETION" &&
+                    r.name.contains(nm)).map { r =>
+                    val ts = r.cell.flatMap(_.writetime_us)
+                      .orElse(r.deletion_us).getOrElse(
+                        throw new IllegalArgumentException(
+                          s"$src: CELL_DELETION of '$nm' carries no timestamp"))
+                    val ldt = r.cell.flatMap(_.expire_us)
+                      .map(e => (e / 1000000L).toInt)
+                      .getOrElse((ts / 1000000L).toInt)
+                    BigFormat.CellAtom(nm, ts, None, Some(ldt), None,
+                      deleted = true)
+                  }
+                  val lives = crs.filter(r => r.row_kind == "ROW" &&
                     r.name.contains(nm))
                     .flatMap(r => r.cell.map { c =>
                       BigFormat.CellAtom(nm, c.writetime_us.get, c.ttl_s,
                         c.expire_us.map(e => (e / 1000000L).toInt),
                         c.value, deleted = false)
                     })
+                  dels ++ lives
                 }
                 if (rowDel.isDefined || pkLive.isDefined ||
                   cellAtoms.nonEmpty)
@@ -624,9 +704,7 @@ object SSTableBinaryV2 {
     val out = graft.Scratch.dir("graft-binrt-")
     val stripped = readBinary(spark, in.toString)
       .withColumn("cell",
-        when(col("cell").isNotNull,
-          graft.model.CellModel.stripCell(col("cell")))
-          .otherwise(col("cell")))
+        graft.model.CellModel.stripCellKeepDeletion(col("cell")))
     writeSSTables(stripped, out.toString, "graft", "documents")
     graft.Scratch.delete(in)
     val audit = SSTableDumpBridge

@@ -401,9 +401,7 @@ object SSTableDumpBridge {
       .select(
         col("partition_key"), col("clustering"), col("row_kind"),
         col("name"),
-        when(col("cell").isNotNull,
-          graft.model.CellModel.stripCell(col("cell")))
-          .otherwise(col("cell")).as("cell"),
+        graft.model.CellModel.stripCellKeepDeletion(col("cell")).as("cell"),
         col("deletion_us"))
       .repartition(col("partition_key"))
       .sortWithinPartitions(col("partition_key"), col("clustering"),

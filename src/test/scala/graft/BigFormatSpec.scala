@@ -304,6 +304,54 @@ class BigFormatSpec extends AnyFunSuite {
       BigFormat.renderValue("org.apache.cassandra.db.marshal.ListType", Array())
     }
   }
+
+  test("truncation mid-vint and mid-flags raises EOF, never decodes garbage") {
+    // a multi-byte vint cut after its first byte: without the
+    // continuation-byte EOF check this decodes 0xff padding silently
+    val bos = new ByteArrayOutputStream()
+    BigFormat.writeUnsignedVInt(1L << 42, new DataOutputStream(bos))
+    val full = bos.toByteArray
+    assert(full.length > 1)
+    (1 until full.length).foreach { keep =>
+      intercept[java.io.EOFException] {
+        BigFormat.readUnsignedVInt(new DataInputStream(
+          new ByteArrayInputStream(full.take(keep))))
+      }
+    }
+    // a partition truncated at EVERY byte boundary raises with the
+    // file named — covering the cell-flags and marker-kind byte reads
+    val p = BigFormat.PartitionData("pk", None, Seq(
+      BigFormat.RowAtom(Seq(Some("c"), Some("1")),
+        Some(1609459300L * 1000000L), None, None, None, Seq(
+          BigFormat.CellAtom("a", 1609459300L * 1000000L, None, None,
+            Some("v"), deleted = false))),
+      BigFormat.MarkerAtom(BigFormat.Kind.InclStartBound,
+        Seq(Some("m")), Seq(1609459400L * 1000000L))))
+    val bytes = BigFormat.writeDataFile(Seq(p), header)
+    (1 until bytes.length).foreach { keep =>
+      val ex = intercept[java.io.EOFException] {
+        BigFormat.partitions(header,
+          new ByteArrayInputStream(bytes.take(keep)), "trunc-test").toSeq
+      }
+      assert(ex.getMessage.contains("trunc-test"), s"at byte $keep")
+    }
+  }
+
+  test("listing order is generation-numeric, not lexicographic") {
+    // gen 10 sorts AFTER gen 2 — the streaming-offset stability
+    // contract for generation-numbered landing zones
+    val names = Seq("d/nb-10-big-Data.db", "d/nb-2-big-Data.db",
+      "d/nb-1-big-Data.db", "d/me-3-big-Data.db")
+    val sorted = names.sortBy(SSTableBinaryV2.generationSortKey)
+    assert(sorted === Seq("d/nb-1-big-Data.db", "d/nb-2-big-Data.db",
+      "d/me-3-big-Data.db", "d/nb-10-big-Data.db"))
+    // directories group first: files of one table stay contiguous
+    val twoDirs = Seq("t2/nb-1-big-Data.db", "t1/nb-10-big-Data.db",
+      "t1/nb-2-big-Data.db")
+    assert(twoDirs.sortBy(SSTableBinaryV2.generationSortKey) ===
+      Seq("t1/nb-2-big-Data.db", "t1/nb-10-big-Data.db",
+        "t2/nb-1-big-Data.db"))
+  }
 }
 
 /** The binary connector end-to-end: fixture equality against the JSON
@@ -530,6 +578,117 @@ class SSTableBinarySpec extends SparkSpec {
       Scratch.delete(java.nio.file.Paths.get(out1).getParent)
       Scratch.delete(java.nio.file.Paths.get(out2).getParent)
     }
+  }
+
+  test("binary sink: cell tombstones round-trip (never silently dropped)") {
+    // a cell tombstone next to a live cell in one row — the shape the
+    // r8 fixture never exercised; losing it on rewrite would resurrect
+    // deleted data when older generations are merged later
+    val tsDel = 1609459300L * 1000000L
+    val ldtDel = 1609459299
+    val src = Scratch.dir("graft-celldel-src-")
+    val out = Scratch.dir("graft-celldel-out-")
+    try {
+      val hdr = BigFormat.Header(tsDel - 1000000L, ldtDel - 10, 0,
+        BigFormat.Utf8Type, Seq(BigFormat.Utf8Type), Nil,
+        Seq("a" -> BigFormat.Utf8Type, "b" -> BigFormat.Utf8Type))
+      val part = BigFormat.PartitionData("pk", None, Seq(
+        BigFormat.RowAtom(Seq(Some("c1")), Some(tsDel - 500000L), None,
+          None, None, Seq(
+            BigFormat.CellAtom("a", tsDel, None, Some(ldtDel), None,
+              deleted = true),
+            BigFormat.CellAtom("b", tsDel - 500000L, None, None,
+              Some("live"), deleted = false)))))
+      val d = src.resolve("t")
+      java.nio.file.Files.createDirectories(d)
+      java.nio.file.Files.write(d.resolve("nb-1-big-Data.db"),
+        BigFormat.writeDataFile(Seq(part), hdr))
+      java.nio.file.Files.write(d.resolve("nb-1-big-Statistics.db"),
+        BigFormat.writeStats(hdr))
+      val frame = SSTableBinaryV2.readBinary(spark, src.toString)
+        .localCheckpoint()
+      // the reader surfaces the tombstone's full identity: deletion
+      // timestamp AND local-deletion second (as expire_us micros)
+      val cd = frame.filter(col("row_kind") === "CELL_DELETION").head()
+      assert(cd.getAs[String]("name") === "a")
+      assert(cd.getAs[Long]("deletion_us") === tsDel)
+      val cdCell = cd.getAs[org.apache.spark.sql.Row]("cell")
+      assert(cdCell.getAs[Long]("writetime_us") === tsDel)
+      assert(cdCell.getAs[Long]("expire_us") === ldtDel * 1000000L)
+      // strip + rewrite: the tombstone survives BIT-EXACTLY; the strip
+      // itself must not touch it (stripCellKeepDeletion's dispatch)
+      val stripped = frame.withColumn("cell",
+        graft.model.CellModel.stripCellKeepDeletion(col("cell")))
+      SSTableBinaryV2.writeSSTables(stripped, out.toString, "ks", "t")
+      val back = SSTableBinaryV2.readBinary(spark, out.toString)
+        .localCheckpoint()
+      assert(back.exceptAll(frame).count() === 0)
+      assert(back.exceptAll(frame).count() === 0)
+      assert(back.filter(col("row_kind") === "CELL_DELETION").count() === 1)
+      // and the codec-level atoms agree: deleted flag, ts, ldt —
+      // decoded against the REWRITTEN file's own Statistics.db (the
+      // sink computes fresh per-file minima)
+      val outTable = out.resolve("ks").resolve("t")
+      def outBytes(suffix: String): Array[Byte] =
+        java.nio.file.Files.readAllBytes(
+          java.nio.file.Files.list(outTable)
+            .filter(_.toString.endsWith(suffix)).findFirst().get())
+      val outHdr = BigFormat.readStats(outBytes("-Statistics.db"))
+      val rt = BigFormat.partitions(outHdr,
+        new java.io.ByteArrayInputStream(outBytes("-Data.db")), "rt").toSeq
+      val cells = rt.head.atoms.head
+        .asInstanceOf[BigFormat.RowAtom].cells
+      assert(cells.find(_.name == "a").get ===
+        BigFormat.CellAtom("a", tsDel, None, Some(ldtDel), None, true))
+    } finally { Scratch.delete(src); Scratch.delete(out) }
+  }
+
+  test("binary sink: unknown row_kind refuses the write loudly") {
+    import spark.implicits._
+    val rows = Seq(("p1", Seq("c"), "SOMETHING_NEW", None: Option[String],
+      Some(1L), "t/nb-1-big-Data.db"))
+      .toDF("partition_key", "clustering", "row_kind", "name",
+        "deletion_us", "sstable")
+      .withColumn("cell", lit(null).cast(SSTableBinaryV2.cellType))
+    val out = Scratch.dir("graft-badkind-")
+    try {
+      val ex = intercept[org.apache.spark.SparkException] {
+        SSTableBinaryV2.writeSSTables(rows, out.toString, "ks", "t")
+      }
+      assert(ex.toString.contains("SOMETHING_NEW") ||
+        Option(ex.getCause).exists(_.toString.contains("SOMETHING_NEW")))
+    } finally Scratch.delete(out)
+  }
+
+  test("binary sink: same-generation sources in different dirs never clobber") {
+    // t1/nb-1 and t2/nb-1 under one load root: without driver-side
+    // generation assignment both map to out/ks/t/nb-1-big-Data.db and
+    // one file silently vanishes while the manifest reports both
+    import spark.implicits._
+    val wt = 1609459200L * 1000000L
+    def row(pk: String, src: String) =
+      (pk, Seq("c"), "ROW", Some("v"),
+        Some(("x", wt, None: Option[Int], None: Option[Long])),
+        None: Option[Long], src)
+    val rows = Seq(row("p1", "t1/nb-1-big-Data.db"),
+      row("p2", "t2/nb-1-big-Data.db"))
+      .toDF("partition_key", "clustering", "row_kind", "name",
+        "cell_t", "deletion_us", "sstable")
+      .withColumn("cell", org.apache.spark.sql.functions.struct(
+        col("cell_t._1").as("value"), col("cell_t._2").as("writetime_us"),
+        col("cell_t._3").as("ttl_s"), col("cell_t._4").as("expire_us")))
+      .drop("cell_t")
+    val out = Scratch.dir("graft-gencollide-")
+    try {
+      val manifest = SSTableBinaryV2.writeSSTables(
+        rows, out.toString, "ks", "t")
+      // two DISTINCT output files, both rows present after read-back
+      assert(manifest.map(_._1).distinct.length === 2)
+      val back = SSTableBinaryV2.readBinary(spark, out.toString)
+      assert(back.count() === 2)
+      assert(back.select("partition_key").as[String].collect().toSet ===
+        Set("p1", "p2"))
+    } finally Scratch.delete(out)
   }
 
   test("full pipeline runs unchanged over the binary path") {
