@@ -132,6 +132,7 @@ object SparkEntry {
     "src_sstabledump_v2" -> (sources.SSTableDumpBridge.treeAuditV2 _),
     "src_sstable_binary" -> (sources.SSTableBinaryV2.binaryAudit _),
     "src_sstable_binary_3x" -> (sources.SSTableBinaryV2.binaryAudit3x _),
+    "src_sstable_binary_lz4" -> (sources.SSTableBinaryV2.binaryAuditLz4 _),
     "src_sstable_roundtrip" -> (sources.SSTableBinaryV2.binaryRoundtrip _),
     "src_schema_discovery" -> (sources.LakeDiscovery.discoveryAudit _),
     "src_schema_evolution" -> (sources.LakeDiscovery.schemaEvolutionAudit _),
@@ -2569,6 +2570,10 @@ object SparkEntry {
     // the 3.x (m-series) era differs only in checksumless metadata;
     // the decoded content answers to the same contract
     "src_sstable_binary_3x" -> sstabledumpTreeSql,
+    // LZ4 chunk-compressed Data.db + CompressionInfo.db (the DEFAULT
+    // Cassandra table shape): compression is pure transport — the
+    // decoded rows answer to the identical contract
+    "src_sstable_binary_lz4" -> sstabledumpTreeSql,
     // read → strip → REWRITE as big-format SSTables → re-read: the
     // tree contract with the TTL sum nulled, nothing else changed
     "src_sstable_roundtrip" -> sstableRoundtripSql,

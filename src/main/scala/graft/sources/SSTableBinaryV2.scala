@@ -236,22 +236,40 @@ object SSTableBinaryV2 {
       extends PartitionReader[InternalRow] {
     private val sstable = file.split('/').takeRight(2).mkString("/")
     private val fs = FileSystem.get(java.net.URI.create(file), conf)
-    private val header = {
-      val statsPath = new HPath(
-        file.stripSuffix("-Data.db") + "-Statistics.db")
-      val st = fs.getFileStatus(statsPath)
+    // format version from the filename prefix (nb-1-big-Data.db →
+    // "nb"): the n-series (4.x) metadata carries checksums and the
+    // maxCompressedSize word, the m-series (3.x) does not — the row
+    // codec itself is the same 3.0 storage engine either way, so one
+    // decoder serves both eras
+    private val version = file.split('/').last.split('-').head
+    private def sibling(suffix: String): HPath =
+      new HPath(file.stripSuffix("-Data.db") + suffix)
+    private def readSibling(path: HPath): Array[Byte] = {
+      val st = fs.getFileStatus(path)
       val buf = new Array[Byte](st.getLen.toInt)
-      val in = fs.open(statsPath)
+      val in = fs.open(path)
       try in.readFully(0, buf) finally in.close()
-      // format version from the filename prefix (nb-1-big-Data.db →
-      // "nb"): the n-series (4.x) metadata carries checksums, the
-      // m-series (3.x) does not — the row codec itself is the same
-      // 3.0 storage engine either way, so one decoder serves both eras
-      val version = file.split('/').last.split('-').head
-      BigFormat.readStats(buf,
-        BigFormat.versionHasMetadataChecksum(version))
+      buf
     }
-    private val stream = fs.open(new HPath(file))
+    private val header =
+      BigFormat.readStats(readSibling(sibling("-Statistics.db")),
+        BigFormat.versionHasMetadataChecksum(version))
+    /** A CompressionInfo.db sibling means the Data.db is chunk-
+      * compressed (Cassandra's DEFAULT) — decompress on the fly;
+      * absent, the bytes are the plain partition stream. Detection is
+      * by component presence, exactly how Cassandra itself decides
+      * (`Descriptor`'s component set), so a compressed table can
+      * never reach the row decoder as garbage. */
+    private val stream: java.io.InputStream = {
+      val raw = fs.open(new HPath(file))
+      val ci = sibling("-CompressionInfo.db")
+      if (fs.exists(ci)) {
+        val meta = CompressedData.readMeta(readSibling(ci),
+          CompressedData.versionHasMaxCompressedSize(version), file)
+        CompressedData.decompressingStream(raw,
+          fs.getFileStatus(new HPath(file)).getLen, meta, file)
+      } else raw
+    }
     private val parts =
       BigFormat.partitions(header, stream, file)
     private var pending: Iterator[InternalRow] = Iterator.empty
@@ -391,7 +409,8 @@ object SSTableBinaryV2 {
     * draw it — and each task writes its two files through the session
     * Hadoop FS. Caller owns the returned dir's deletion. */
   def writeBinaryFixture(spark: SparkSession, sfDir: String,
-      version: String = "nb"): java.nio.file.Path = {
+      version: String = "nb",
+      compression: Option[String] = None): java.nio.file.Path = {
     import spark.implicits._
     val out = graft.Scratch.dir("graft-bintable-")
     val outStr = out.toString
@@ -466,8 +485,21 @@ object SSTableBinaryV2 {
           val os = fs.create(new HPath(dir, name), true)
           try os.write(bytes) finally os.close()
         }
-        write(s"$version-$gen-big-Data.db",
-          BigFormat.writeDataFile(parts.toSeq, header))
+        val dataBytes = BigFormat.writeDataFile(parts.toSeq, header)
+        compression match {
+          case Some(comp) =>
+            // the default-config Cassandra shape: chunked LZ4 with a
+            // CompressionInfo.db sibling (16 KiB chunks, the 4.1
+            // default chunk_length_in_kb)
+            val (cbytes, meta) =
+              CompressedData.compress(dataBytes, 16 * 1024, comp)
+            write(s"$version-$gen-big-Data.db", cbytes)
+            write(s"$version-$gen-big-CompressionInfo.db",
+              CompressedData.writeMeta(meta,
+                CompressedData.versionHasMaxCompressedSize(version)))
+          case None =>
+            write(s"$version-$gen-big-Data.db", dataBytes)
+        }
         write(s"$version-$gen-big-Statistics.db",
           BigFormat.writeStats(header,
             BigFormat.versionHasMetadataChecksum(version)))
@@ -729,9 +761,17 @@ object SSTableBinaryV2 {
   def binaryAudit3x(spark: SparkSession, sfDir: String): DataFrame =
     binaryAuditV(spark, sfDir, "me")
 
+  /** The same audit over a DEFAULT-CONFIG-shaped fixture: LZ4
+    * chunk-compressed Data.db with its CompressionInfo.db sibling —
+    * `src_sstable_binary_lz4` shares the tree oracle VERBATIM, so
+    * compression is proven a pure transport layer (identical rows out
+    * of identical logical content, fifth IO path, one contract). */
+  def binaryAuditLz4(spark: SparkSession, sfDir: String): DataFrame =
+    binaryAuditV(spark, sfDir, "nb", Some(CompressedData.Lz4))
+
   private def binaryAuditV(spark: SparkSession, sfDir: String,
-      version: String): DataFrame = {
-    val out = writeBinaryFixture(spark, sfDir, version)
+      version: String, compression: Option[String] = None): DataFrame = {
+    val out = writeBinaryFixture(spark, sfDir, version, compression)
     val audit = SSTableDumpBridge
       .auditFrame(readBinary(spark, out.toString))
       .localCheckpoint()
