@@ -748,7 +748,17 @@ object BigFormat {
   // reads) — faithfulness requires reproducing exactly that.
   // =====================================================================
 
+  /** Murmur3 token = first 64-bit word of the 128-bit hash, with
+    * Long.MinValue normalized to MaxValue. */
   def murmur3Token(key: Array[Byte]): Long = {
+    val token = murmur3Hash128(key)._1
+    if (token == Long.MinValue) Long.MaxValue else token
+  }
+
+  /** The full 128-bit hash — the bloom filter needs BOTH words
+    * (`o.a.c.utils.BloomFilter` seeds its index ladder with
+    * (h2, h1) from `MurmurHash.hash3_x64_128(key, 0)`). */
+  def murmur3Hash128(key: Array[Byte]): (Long, Long) = {
     val length = key.length
     val nblocks = length >> 4
     val c1 = 0x87c37b91114253d5L
@@ -817,8 +827,8 @@ object BigFormat {
     h1 = fmix(h1)
     h2 = fmix(h2)
     h1 += h2
-    val token = h1
-    if (token == Long.MinValue) Long.MaxValue else token
+    h2 += h1
+    (h1, h2)
   }
 
   /** Serialize a whole SSTable data file's partitions, in Murmur3
@@ -828,14 +838,27 @@ object BigFormat {
     * Cassandra's index/summary binary-search work). The decoder never
     * relies on inter-partition order, so token ordering is pure
     * faithfulness, not a reader requirement. */
-  def writeDataFile(partitions: Seq[PartitionData], h: Header): Array[Byte] = {
+  def writeDataFile(partitions: Seq[PartitionData], h: Header): Array[Byte] =
+    writeDataFileIndexed(partitions, h)._1
+
+  /** [[writeDataFile]] plus the primary-index entries the component
+    * writer needs: (key bytes, Data.db start offset) per partition,
+    * in the on-disk token order — exactly what `BigTableWriter`'s
+    * `IndexWriter` records as it appends. */
+  def writeDataFileIndexed(partitions: Seq[PartitionData],
+      h: Header): (Array[Byte], Seq[(Array[Byte], Long)]) = {
     val out = new ByteArrayOutputStream()
     val d = new DataOutputStream(out)
+    val index = Seq.newBuilder[(Array[Byte], Long)]
     partitions
       .sortBy(p => (murmur3Token(encodeValue(h.keyType, p.key)), p.key))
-      .foreach(writePartition(_, h, d))
+      .foreach { p =>
+        d.flush()
+        index += ((encodeValue(h.keyType, p.key), out.size().toLong))
+        writePartition(p, h, d)
+      }
     d.flush()
-    out.toByteArray
+    (out.toByteArray, index.result())
   }
 
   /** Iterate every partition of a data stream (closing is the

@@ -714,9 +714,16 @@ object SSTableBinaryV2 {
           val os = fs.create(new HPath(dir, name), true)
           try os.write(bytes) finally os.close()
         }
-        write(s"nb-$gen-big-Data.db",
-          BigFormat.writeDataFile(parts, header))
-        write(s"nb-$gen-big-Statistics.db", BigFormat.writeStats(header))
+        // the FULL loadable component set — primary index, bloom
+        // filter, sampled summary, digest and TOC alongside
+        // Data/Statistics (the reference's bulk-load-back contract,
+        // `Cassandra3TTLRemoverTest.java:168-176`)
+        val (dataBytes, index) =
+          BigFormat.writeDataFileIndexed(parts, header)
+        SSTableComponents.buildAll(dataBytes, index, header)
+          .foreach { case (comp, bytes) =>
+            write(s"nb-$gen-big-$comp", bytes)
+          }
         (s"$table/nb-$gen-big-Data.db", rows.length.toLong)
       }
       .collect().toSeq.sortBy(_._1)

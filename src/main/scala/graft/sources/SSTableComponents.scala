@@ -1,0 +1,276 @@
+package graft.sources
+
+import java.io.{ByteArrayOutputStream, DataInputStream, DataOutputStream, EOFException}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.zip.CRC32
+
+/** The non-Data components that make a big-format SSTable generation
+  * LOADABLE: the primary index (`Index.db`), bloom filter
+  * (`Filter.db`), sampled index summary (`Summary.db`), component
+  * manifest (`TOC.txt`) and data checksum (`Digest.crc32`). The
+  * reference's whole output contract is load-back-into-Cassandra (its
+  * test bulk-loads the stripped files,
+  * `Cassandra3TTLRemoverTest.java:100-105,168-176`), and a C* node
+  * will not accept a generation without these components — writing
+  * only Data+Statistics made the binary sink readable solely by this
+  * engine.
+  *
+  * Layout knowledge from the PUBLIC Apache Cassandra source:
+  *
+  *   - Index.db   → `o.a.c.io.sstable.format.big.BigTableWriter.IndexWriter`
+  *     + `o.a.c.db.RowIndexEntry.Serializer` (3.0+ layout): per
+  *     partition a short-length key, then the entry — unsigned-vint
+  *     Data.db position, unsigned-vint promoted-index size (0 for
+  *     partitions under the 64 KiB column_index threshold; this
+  *     writer's partitions are one task buffer, always below it).
+  *   - Filter.db  → `o.a.c.utils.BloomFilterSerializer` (int
+  *     hashCount, then `OffHeapBitSet.serialize`: int word count +
+  *     big-endian longs) and `o.a.c.utils.BloomFilter`'s index
+  *     ladder: with (h1, h2) = `MurmurHash.hash3_x64_128(key, 0)`,
+  *     bit i = `FBUtilities.abs((h2 + i*h1) mod capacity)` —
+  *     reproducing the port's abs quirk (Long.MinValue stays put)
+  *     and seeding base with the SECOND word, exactly as
+  *     `BloomFilter.indexes` does. Sizing per
+  *     `o.a.c.utils.BloomCalculations` for the default 1% false-
+  *     positive chance: 10 buckets/element, 5 hashes.
+  *   - Summary.db → `o.a.c.io.sstable.IndexSummary.serialize` + the
+  *     first/last key tail `SSTableReader.saveSummary` appends:
+  *     big-endian header (minIndexInterval, offsetCount, offheap
+  *     size, sizeAtFullSampling), then the raw memory dump whose
+  *     ints/longs are NATIVE-endian (deserialize copies the stream
+  *     into `Memory` and reads with unsafe native order) — offsets
+  *     rebased by `offsetCount*4`, entries = key bytes + position
+  *     long, then writeWithLength(first), writeWithLength(last).
+  *     Little-endian is used here (every platform Cassandra ships on
+  *     is little-endian; a big-endian node would rebuild the summary
+  *     from Index.db, which Cassandra does on ANY summary
+  *     deserialization failure — the component is a cache).
+  *   - Digest.crc32 → the CRC32 of the as-on-disk Data.db bytes as a
+  *     decimal ASCII string (`o.a.c.io.util.DataIntegrityMetadata`).
+  *   - TOC.txt    → newline-separated component names
+  *     (`o.a.c.io.sstable.SSTable.appendTOC`).
+  */
+object SSTableComponents {
+
+  // =====================================================================
+  // Index.db
+  // =====================================================================
+
+  def writeIndex(entries: Seq[(Array[Byte], Long)]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    entries.foreach { case (key, position) =>
+      out.writeShort(key.length)
+      out.write(key)
+      BigFormat.writeUnsignedVInt(position, out)
+      BigFormat.writeUnsignedVInt(0L, out) // no promoted index blocks
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  def readIndex(bytes: Array[Byte], file: String): Seq[(Array[Byte], Long)] = {
+    val in = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val out = Seq.newBuilder[(Array[Byte], Long)]
+    var done = false
+    while (!done) {
+      val first = in.read()
+      if (first < 0) done = true
+      else {
+        val len = ((first & 0xff) << 8) | {
+          val b = in.read()
+          if (b < 0) throw new EOFException(s"$file: Index.db truncated")
+          b & 0xff
+        }
+        val key = new Array[Byte](len)
+        in.readFully(key)
+        val position = BigFormat.readUnsignedVInt(in)
+        val promoted = BigFormat.readUnsignedVInt(in)
+        // promoted blocks are outside this writer's subset; refuse
+        // rather than misparse the next entry
+        if (promoted != 0) throw new UnsupportedOperationException(
+          s"$file: promoted index blocks unsupported ($promoted bytes)")
+        out += ((key, position))
+      }
+    }
+    out.result()
+  }
+
+  // =====================================================================
+  // Filter.db
+  // =====================================================================
+
+  /** Default-config sizing (BloomCalculations for fp_chance 0.01). */
+  val BucketsPerElement = 10
+  val HashCount = 5
+  private val BitsetExcess = 20 // FilterFactory.BITSET_EXCESS
+
+  final class Bloom(val hashCount: Int, val words: Array[Long]) {
+    def capacity: Long = words.length.toLong * 64
+
+    private def bitIndexes(key: Array[Byte]): Array[Long] = {
+      val (h1, h2) = BigFormat.murmur3Hash128(key)
+      val out = new Array[Long](hashCount)
+      var base = h2 // BloomFilter.indexes seeds base with the 2nd word
+      var i = 0
+      while (i < hashCount) {
+        val m = base % capacity
+        out(i) = if (m < 0) -m else m // FBUtilities.abs
+        base += h1
+        i += 1
+      }
+      out
+    }
+
+    def add(key: Array[Byte]): Unit =
+      bitIndexes(key).foreach { b =>
+        words((b >>> 6).toInt) |= (1L << (b & 63))
+      }
+
+    def mightContain(key: Array[Byte]): Boolean =
+      bitIndexes(key).forall { b =>
+        (words((b >>> 6).toInt) & (1L << (b & 63))) != 0
+      }
+  }
+
+  def newBloom(numElements: Long): Bloom = {
+    val bits = numElements * BucketsPerElement + BitsetExcess
+    new Bloom(HashCount, new Array[Long](((bits + 63) / 64).toInt.max(1)))
+  }
+
+  def writeFilter(bloom: Bloom): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(bloom.hashCount)
+    out.writeInt(bloom.words.length)
+    bloom.words.foreach(out.writeLong)
+    out.flush()
+    bos.toByteArray
+  }
+
+  def readFilter(bytes: Array[Byte]): Bloom = {
+    val in = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val hashCount = in.readInt()
+    val nWords = in.readInt()
+    new Bloom(hashCount, Array.fill(nWords)(in.readLong()))
+  }
+
+  // =====================================================================
+  // Summary.db
+  // =====================================================================
+
+  val MinIndexInterval = 128 // the table-schema default
+
+  /** Serialize the sampled summary + first/last key tail. `entries`
+    * are (key bytes, Index.db position) of every MinIndexInterval-th
+    * partition starting with the first, in token order. */
+  def writeSummary(sampled: Seq[(Array[Byte], Long)], totalKeys: Long,
+      firstKey: Array[Byte], lastKey: Array[Byte]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(MinIndexInterval)
+    out.writeInt(sampled.size)
+    val entriesLen = sampled.map(_._1.length + 8L).sum
+    out.writeLong(4L * sampled.size + entriesLen) // off-heap size
+    out.writeInt((
+      (totalKeys + MinIndexInterval - 1) / MinIndexInterval).toInt)
+    // offsets: entry position within the contiguous (offsets+entries)
+    // structure; the memory-dump regions are native(little)-endian
+    var pos = 4 * sampled.size
+    sampled.foreach { case (key, _) =>
+      out.writeInt(Integer.reverseBytes(pos))
+      pos += key.length + 8
+    }
+    sampled.foreach { case (key, idxPos) =>
+      out.write(key)
+      out.writeLong(java.lang.Long.reverseBytes(idxPos))
+    }
+    // SSTableReader.saveSummary tail: first/last partition keys
+    out.writeInt(firstKey.length); out.write(firstKey)
+    out.writeInt(lastKey.length); out.write(lastKey)
+    out.flush()
+    bos.toByteArray
+  }
+
+  case class Summary(minIndexInterval: Int,
+      sampled: Seq[(Array[Byte], Long)], sizeAtFullSampling: Int,
+      firstKey: Array[Byte], lastKey: Array[Byte])
+
+  def readSummary(bytes: Array[Byte]): Summary = {
+    val in = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val interval = in.readInt()
+    val n = in.readInt()
+    val offheap = in.readLong()
+    val fullSampling = in.readInt()
+    val offsets = Array.fill(n)(Integer.reverseBytes(in.readInt()))
+    val entriesLen = (offheap - 4L * n).toInt
+    val entries = new Array[Byte](entriesLen)
+    in.readFully(entries)
+    val sampled = (0 until n).map { i =>
+      val start = offsets(i) - 4 * n
+      val end = (if (i + 1 < n) offsets(i + 1) - 4 * n else entriesLen) - 8
+      val key = java.util.Arrays.copyOfRange(entries, start, end)
+      val idxPos = java.lang.Long.reverseBytes(
+        java.nio.ByteBuffer.wrap(entries, end, 8).getLong)
+      (key, idxPos)
+    }
+    def keyWithLength(): Array[Byte] = {
+      val k = new Array[Byte](in.readInt()); in.readFully(k); k
+    }
+    Summary(interval, sampled, fullSampling, keyWithLength(), keyWithLength())
+  }
+
+  // =====================================================================
+  // Digest.crc32 + TOC.txt
+  // =====================================================================
+
+  def writeDigest(dataBytes: Array[Byte]): Array[Byte] = {
+    val crc = new CRC32()
+    crc.update(dataBytes)
+    String.valueOf(crc.getValue).getBytes(UTF_8)
+  }
+
+  /** The component set this sink writes, TOC.txt included (as
+    * Cassandra's own TOC lists itself). */
+  val Components: Seq[String] = Seq("Data.db", "Statistics.db",
+    "Index.db", "Filter.db", "Summary.db", "Digest.crc32", "TOC.txt")
+
+  def writeTOC(): Array[Byte] =
+    Components.mkString("", "\n", "\n").getBytes(UTF_8)
+
+  /** Every per-generation artifact, built from one indexed encode:
+    * name → bytes, ready for the sink's file loop. */
+  def buildAll(dataBytes: Array[Byte], index: Seq[(Array[Byte], Long)],
+      header: BigFormat.Header,
+      checksummedStats: Boolean = true): Seq[(String, Array[Byte])] = {
+    val indexBytes = writeIndex(index)
+    // Index.db positions of each entry (for summary sampling)
+    val idxPositions = {
+      var pos = 0L
+      index.map { case (key, dataPos) =>
+        val here = pos
+        pos += 2 + key.length + BigFormat.unsignedVIntSize(dataPos) + 1
+        here
+      }
+    }
+    val bloom = newBloom(index.size.toLong)
+    index.foreach { case (key, _) => bloom.add(key) }
+    val sampled = index.zip(idxPositions)
+      .zipWithIndex.collect {
+        case (((key, _), idxPos), i) if i % MinIndexInterval == 0 =>
+          (key, idxPos)
+      }
+    val summary =
+      if (index.isEmpty) Array.emptyByteArray
+      else writeSummary(sampled, index.size.toLong,
+        index.head._1, index.last._1)
+    Seq(
+      "Data.db" -> dataBytes,
+      "Statistics.db" -> BigFormat.writeStats(header, checksummedStats),
+      "Index.db" -> indexBytes,
+      "Filter.db" -> writeFilter(bloom),
+      "Summary.db" -> summary,
+      "Digest.crc32" -> writeDigest(dataBytes),
+      "TOC.txt" -> writeTOC())
+  }
+}

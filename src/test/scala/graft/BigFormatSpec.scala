@@ -420,6 +420,67 @@ class BigFormatSpec extends AnyFunSuite {
   }
 }
 
+/** The loadable-generation components in isolation: index, bloom
+  * filter, summary, digest, TOC — each round-tripping through its
+  * serialized form, plus the self-consistency the sink relies on. */
+class SSTableComponentsSpec extends AnyFunSuite {
+  import graft.sources.SSTableComponents
+
+  private def k(s: String): Array[Byte] = s.getBytes("UTF-8")
+
+  test("Index.db entries round-trip") {
+    val entries = Seq(k("alpha") -> 0L, k("beta") -> 517L,
+      k("") -> 70000L, k("δ-key") -> (1L << 33))
+    val bytes = SSTableComponents.writeIndex(entries)
+    val back = SSTableComponents.readIndex(bytes, "t")
+    assert(back.map(_._2) === entries.map(_._2))
+    assert(back.map(_._1.toSeq) === entries.map(_._1.toSeq))
+  }
+
+  test("bloom filter: no false negatives, ~1% false positives, serialized form stable") {
+    val present = (0 until 2000).map(i => k(s"key-$i"))
+    val bloom = SSTableComponents.newBloom(present.size.toLong)
+    present.foreach(bloom.add)
+    // serialization round-trip preserves every bit
+    val back = SSTableComponents.readFilter(
+      SSTableComponents.writeFilter(bloom))
+    assert(back.hashCount === bloom.hashCount)
+    assert(back.words.toSeq === bloom.words.toSeq)
+    // the bloom contract: NEVER a false negative...
+    assert(present.forall(back.mightContain))
+    // ...and false positives near the configured 1% (deterministic:
+    // fixed keys, fixed hash)
+    val absent = (0 until 2000).map(i => k(s"other-$i"))
+    val fp = absent.count(back.mightContain)
+    assert(fp < 60, s"false-positive rate ${fp / 2000.0} far above 1%")
+  }
+
+  test("Summary.db round-trips sampling, first/last keys and full-sampling size") {
+    val sampled = Seq(k("a") -> 0L, k("middle-key") -> 4096L,
+      k("zz") -> 9000L)
+    val bytes = SSTableComponents.writeSummary(sampled, 300L,
+      k("a"), k("zzz-last"))
+    val s = SSTableComponents.readSummary(bytes)
+    assert(s.minIndexInterval === SSTableComponents.MinIndexInterval)
+    assert(s.sampled.map(_._2) === sampled.map(_._2))
+    assert(s.sampled.map(_._1.toSeq) === sampled.map(_._1.toSeq))
+    assert(s.sizeAtFullSampling === 3) // ceil(300/128)
+    assert(s.firstKey.toSeq === k("a").toSeq)
+    assert(s.lastKey.toSeq === k("zzz-last").toSeq)
+  }
+
+  test("digest is the Data.db CRC32 as decimal ASCII; TOC lists every component") {
+    val data = "some data bytes".getBytes("UTF-8")
+    val crc = new java.util.zip.CRC32(); crc.update(data)
+    assert(new String(SSTableComponents.writeDigest(data), "UTF-8") ===
+      crc.getValue.toString)
+    val toc = new String(SSTableComponents.writeTOC(), "UTF-8")
+      .split("\n").toSeq
+    assert(toc === SSTableComponents.Components)
+    assert(toc.contains("TOC.txt")) // the TOC lists itself
+  }
+}
+
 /** The binary connector end-to-end: fixture equality against the JSON
   * dump tree (same audit frame — the four-path contract), per-file
   * task parallelism, and column-pruning pushdown. */
@@ -679,6 +740,84 @@ class SSTableBinarySpec extends SparkSpec {
       Scratch.delete(java.nio.file.Paths.get(out1).getParent)
       Scratch.delete(java.nio.file.Paths.get(out2).getParent)
     }
+  }
+
+  test("binary sink writes a LOADABLE generation: full component set, index locates every partition, bloom answers") {
+    import graft.sources.SSTableComponents
+    val in = SSTableBinaryV2.writeBinaryFixture(spark, sfDir)
+    val out = Scratch.dir("graft-loadable-")
+    try {
+      val original = SSTableBinaryV2.readBinary(spark, in.toString)
+        .localCheckpoint()
+      SSTableBinaryV2.writeSSTables(original, out.toString,
+        "graft", "documents")
+      val dir = out.resolve("graft").resolve("documents")
+      val names = {
+        val s = java.nio.file.Files.list(dir)
+        try { import scala.jdk.CollectionConverters._
+          s.iterator().asScala.map(_.getFileName.toString).toVector
+        } finally s.close()
+      }
+      val gens = names.filter(_.endsWith("-Data.db"))
+        .map(_.split('-')(1).toInt).sorted
+      assert(gens === Seq(1, 2, 3, 4))
+      // 1. every generation carries the FULL component set
+      gens.foreach { g =>
+        SSTableComponents.Components.foreach { comp =>
+          assert(names.contains(s"nb-$g-big-$comp"),
+            s"generation $g missing $comp")
+        }
+      }
+      def bytesOf(name: String): Array[Byte] =
+        java.nio.file.Files.readAllBytes(dir.resolve(name))
+      gens.foreach { g =>
+        val data = bytesOf(s"nb-$g-big-Data.db")
+        val header = graft.sources.BigFormat.readStats(
+          bytesOf(s"nb-$g-big-Statistics.db"))
+        val index = SSTableComponents.readIndex(
+          bytesOf(s"nb-$g-big-Index.db"), "t")
+        // 2. Index.db locates every partition: decoding the data file
+        // FROM each indexed offset yields the partition with that key
+        val allKeys = graft.sources.BigFormat.partitions(header,
+          new ByteArrayInputStream(data), "t").map(_.key).toVector
+        assert(index.size === allKeys.size)
+        index.zip(allKeys).foreach { case ((keyBytes, pos), expected) =>
+          assert(new String(keyBytes, "UTF-8") === expected)
+          val at = graft.sources.BigFormat.partitions(header,
+            new ByteArrayInputStream(data, pos.toInt,
+              data.length - pos.toInt), "t").next()
+          assert(at.key === expected, s"offset $pos")
+        }
+        // 3. the bloom filter answers present/absent correctly
+        val bloom = SSTableComponents.readFilter(
+          bytesOf(s"nb-$g-big-Filter.db"))
+        index.foreach { case (keyBytes, _) =>
+          assert(bloom.mightContain(keyBytes))
+        }
+        val absent = (0 until 500).map(i => s"no-such-key-$i"
+          .getBytes("UTF-8")).count(bloom.mightContain)
+        assert(absent < 25, s"gen $g bloom fp rate ${absent / 500.0}")
+        // 4. summary samples Index.db positions and brackets the keys
+        val summary = SSTableComponents.readSummary(
+          bytesOf(s"nb-$g-big-Summary.db"))
+        assert(summary.firstKey.toSeq ===
+          allKeys.head.getBytes("UTF-8").toSeq)
+        assert(summary.lastKey.toSeq ===
+          allKeys.last.getBytes("UTF-8").toSeq)
+        assert(summary.sampled.head._1.toSeq === summary.firstKey.toSeq)
+        assert(summary.sampled.head._2 === 0L)
+        // 5. digest matches the data bytes; TOC lists the set
+        val crc = new java.util.zip.CRC32(); crc.update(data)
+        assert(new String(bytesOf(s"nb-$g-big-Digest.crc32"), "UTF-8")
+          === crc.getValue.toString)
+        assert(new String(bytesOf(s"nb-$g-big-TOC.txt"), "UTF-8")
+          .split("\n").toSeq === SSTableComponents.Components)
+      }
+      // the round-trip oracle is untouched by the new components
+      val back = SSTableBinaryV2.readBinary(spark, out.toString)
+      assert(back.exceptAll(original).count() === 0)
+      assert(original.exceptAll(back).count() === 0)
+    } finally { Scratch.delete(in); Scratch.delete(out) }
   }
 
   test("binary sink: cell tombstones round-trip (never silently dropped)") {
