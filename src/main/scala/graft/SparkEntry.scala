@@ -134,6 +134,7 @@ object SparkEntry {
     "src_sstable_binary_3x" -> (sources.SSTableBinaryV2.binaryAudit3x _),
     "src_sstable_binary_lz4" -> (sources.SSTableBinaryV2.binaryAuditLz4 _),
     "src_sstable_roundtrip" -> (sources.SSTableBinaryV2.binaryRoundtrip _),
+    "src_sstable_complex" -> (sources.SSTableBinaryV2.complexLifecycle _),
     "src_schema_discovery" -> (sources.LakeDiscovery.discoveryAudit _),
     "src_schema_evolution" -> (sources.LakeDiscovery.schemaEvolutionAudit _),
     // --- corpus assembly (mixing / packing) ---
@@ -2577,6 +2578,48 @@ object SparkEntry {
     // read → strip → REWRITE as big-format SSTables → re-read: the
     // tree contract with the TTL sum nulled, nothing else changed
     "src_sstable_roundtrip" -> sstableRoundtripSql,
+    // collection-column lifecycle: the oracle replays each map
+    // entry's name-encoded CellPath ("attrs[k0]"), the per-element
+    // cells' writetime offsets, the kind-6 entry tombstone and the
+    // kind-4 whole-collection tombstone; TTLs are stripped (NULL sum)
+    "src_sstable_complex" -> """
+      |WITH d AS (
+      |  SELECT CAST(doc_id AS BIGINT) AS d, source,
+      |         CAST(n_chars AS BIGINT) AS nc,
+      |         CAST(doc_id AS BIGINT) % 10 AS k
+      |  FROM documents
+      |), u AS (
+      |  SELECT 'ROW' AS row_kind, d % 4 AS f,
+      |         d * 1000000 AS wt, CAST(NULL AS BIGINT) AS del,
+      |         CAST(LENGTH(CAST(nc AS VARCHAR)) AS BIGINT) AS vch,
+      |         CAST(3 AS BIGINT) AS nch
+      |  FROM d
+      |  UNION ALL
+      |  SELECT 'ROW', d % 4, d * 1000000, NULL,
+      |         CAST(LENGTH(source) AS BIGINT), 9
+      |  FROM d WHERE k <> 6
+      |  UNION ALL
+      |  SELECT 'ROW', d % 4, d * 1000000 + 1000000, NULL,
+      |         CAST(LENGTH(CAST(nc AS VARCHAR)) AS BIGINT), 9
+      |  FROM d WHERE k <> 4
+      |  UNION ALL
+      |  SELECT 'CELL_DELETION', d % 4, d * 1000000, d * 1000000,
+      |         NULL, 9
+      |  FROM d WHERE k = 6
+      |  UNION ALL
+      |  SELECT 'COMPLEX_DELETION', d % 4, NULL, d * 1000000 - 1,
+      |         NULL, 5
+      |  FROM d WHERE k = 4
+      |)
+      |SELECT row_kind,
+      |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |       CAST(COUNT(DISTINCT f) AS BIGINT) AS n_sstables,
+      |       CAST(SUM(wt) AS BIGINT) AS sum_wt_off_us,
+      |       CAST(NULL AS BIGINT) AS sum_ttl_s,
+      |       CAST(SUM(del) AS BIGINT) AS sum_del_off_us,
+      |       CAST(SUM(vch) AS BIGINT) AS sum_value_chars,
+      |       CAST(SUM(nch) AS BIGINT) AS sum_name_chars
+      |FROM u GROUP BY 1""".stripMargin,
     // weighted mixing: the oracle replays the identical md5 coin
     // (DuckDB's hex-string cast = Spark's conv(...,16,10)) and the
     // cycling rate spec, so kept-set membership is exact per document

@@ -110,10 +110,52 @@ object BigFormat {
   val BytesType = "org.apache.cassandra.db.marshal.BytesType"
   val Int32Type = "org.apache.cassandra.db.marshal.Int32Type"
   val LongType = "org.apache.cassandra.db.marshal.LongType"
+  val TimeUuidType = "org.apache.cassandra.db.marshal.TimeUUIDType"
+
+  /** Non-frozen collection type strings (`o.a.c.db.marshal.MapType`
+    * etc. print as `MapType(keyType,valueType)`). */
+  def mapType(k: String, v: String): String =
+    s"org.apache.cassandra.db.marshal.MapType($k,$v)"
+  def setType(e: String): String =
+    s"org.apache.cassandra.db.marshal.SetType($e)"
+  def listType(e: String): String =
+    s"org.apache.cassandra.db.marshal.ListType($e)"
+
+  /** Complex-column decomposition: Some((cellPathType, valueType))
+    * for a non-frozen collection, None for a simple column. The
+    * CellPath is the reference's per-element identity
+    * (`Cassandra3TTLRemover.java:180-186` re-attaches `cell.path()`):
+    * map → the key, set → the element (value empty), list → a
+    * 16-byte timeuuid position. */
+  def complexOf(tpe: String): Option[(String, String)] = {
+    val prefix = "org.apache.cassandra.db.marshal."
+    def args(inner: String): Seq[String] = {
+      // split on the ONE top-level comma (nested parens respected)
+      var depth = 0
+      val cut = inner.indexWhere { c =>
+        if (c == '(') { depth += 1; false }
+        else if (c == ')') { depth -= 1; false }
+        else c == ',' && depth == 0
+      }
+      if (cut < 0) Seq(inner) else Seq(inner.take(cut), inner.drop(cut + 1))
+    }
+    if (tpe.startsWith(prefix + "MapType(") && tpe.endsWith(")")) {
+      val Seq(k, v) = args(
+        tpe.stripPrefix(prefix + "MapType(").stripSuffix(")"))
+      Some((k, v))
+    } else if (tpe.startsWith(prefix + "SetType(") && tpe.endsWith(")")) {
+      val e = tpe.stripPrefix(prefix + "SetType(").stripSuffix(")")
+      Some((e, Utf8Type)) // set-cell values are empty; type is moot
+    } else if (tpe.startsWith(prefix + "ListType(") && tpe.endsWith(")")) {
+      val e = tpe.stripPrefix(prefix + "ListType(").stripSuffix(")")
+      Some((TimeUuidType, e))
+    } else None
+  }
 
   private def fixedLength(tpe: String): Int = tpe match {
     case Int32Type => 4
     case LongType => 8
+    case TimeUuidType => 16
     case Utf8Type | AsciiType | BytesType => -1
     case other => throw new UnsupportedOperationException(
       s"unsupported marshal type in this decoder subset: $other")
@@ -211,7 +253,7 @@ object BigFormat {
     case Utf8Type | AsciiType => new String(bytes, UTF_8)
     case Int32Type => java.nio.ByteBuffer.wrap(bytes).getInt.toString
     case LongType => java.nio.ByteBuffer.wrap(bytes).getLong.toString
-    case BytesType => bytes.map("%02x".format(_)).mkString
+    case BytesType | TimeUuidType => bytes.map("%02x".format(_)).mkString
     case other => throw new UnsupportedOperationException(other)
   }
 
@@ -222,7 +264,7 @@ object BigFormat {
       java.nio.ByteBuffer.allocate(4).putInt(s.toInt).array()
     case LongType =>
       java.nio.ByteBuffer.allocate(8).putLong(s.toLong).array()
-    case BytesType =>
+    case BytesType | TimeUuidType =>
       s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
     case other => throw new UnsupportedOperationException(other)
   }
@@ -469,7 +511,11 @@ object BigFormat {
       ttlS: Option[Int],
       ldtS: Option[Int],
       value: Option[String],
-      deleted: Boolean)
+      deleted: Boolean,
+      /** CellPath for cells of a complex (collection) column — the
+        * map key / set element / list timeuuid, rendered through the
+        * column's path type. None for simple columns. */
+      path: Option[String] = None)
 
   sealed trait Atom
   case class RowAtom(
@@ -478,7 +524,11 @@ object BigFormat {
       livenessTtlS: Option[Int],
       livenessLdtS: Option[Int],
       deletionUs: Option[Long],
-      cells: Seq[CellAtom]) extends Atom
+      cells: Seq[CellAtom],
+      /** Whole-collection tombstones, (column → deletion timestamp):
+        * the `complexDeletion()` a non-frozen collection overwrite
+        * leaves behind. */
+      complexDeletions: Seq[(String, Long)] = Nil) extends Atom
   case class MarkerAtom(
       kind: Int,
       clustering: Seq[Option[String]],
@@ -496,7 +546,7 @@ object BigFormat {
 
   private def writeCell(c: CellAtom, rowTs: Option[Long],
       rowTtl: Option[Int], rowLdt: Option[Int], tpe: String, h: Header,
-      out: DataOutputStream): Unit = {
+      out: DataOutputStream, pathType: Option[String] = None): Unit = {
     val useRowTs = rowTs.contains(c.tsUs)
     val isExpiring = !c.deleted && c.ttlS.isDefined
     val useRowTtl = isExpiring && rowTtl.isDefined &&
@@ -514,12 +564,19 @@ object BigFormat {
       writeUnsignedVInt(h.ldtOut(c.ldtS.getOrElse(NoDeletionTime)), out)
     if (isExpiring && !useRowTtl)
       writeUnsignedVInt(h.ttlOut(c.ttlS.get), out)
+    // CellPath between liveness and value (Cell.Serializer's order):
+    // always vint-length-prefixed, whatever the path's type
+    pathType.foreach { pt =>
+      val p = c.path.getOrElse(throw new IllegalArgumentException(
+        s"cell of complex column '${c.name}' carries no CellPath"))
+      writeWithVIntLength(encodeValue(pt, p), out)
+    }
     if (hasValue) writeValue(tpe, encodeValue(tpe, c.value.get), out)
   }
 
   private def readCell(name: String, tpe: String, rowTs: Option[Long],
       rowTtl: Option[Int], rowLdt: Option[Int], h: Header,
-      in: DataInputStream): CellAtom = {
+      in: DataInputStream, pathType: Option[String] = None): CellAtom = {
     val flags = readFlagByte(in, "cell flags")
     val hasValue = (flags & CellHasEmptyValue) == 0
     val deleted = (flags & CellIsDeleted) != 0
@@ -537,11 +594,12 @@ object BigFormat {
       if (expiring && !useRowTtl) Some(h.ttlIn(readUnsignedVInt(in)))
       else if (useRowTtl) rowTtl
       else None
+    val path = pathType.map(pt => renderValue(pt, readWithVIntLength(in)))
     val value =
       if (hasValue) Some(renderValue(tpe, readValue(tpe, in)))
       else if (deleted) None
       else Some("")
-    CellAtom(name, ts, ttl, ldt, value, deleted)
+    CellAtom(name, ts, ttl, ldt, value, deleted, path)
   }
 
   /** Columns.Serializer.serializeSubset for supersets < 64 wide: 0 if
@@ -562,12 +620,15 @@ object BigFormat {
     val hasTs = r.livenessTsUs.isDefined
     val hasTtl = r.livenessTtlS.isDefined
     val hasDeletion = r.deletionUs.isDefined
-    val present = r.cells.map(_.name).toSet
+    val hasComplexDeletion = r.complexDeletions.nonEmpty
+    val present =
+      r.cells.map(_.name).toSet ++ r.complexDeletions.map(_._1)
     val allColumns = present == h.regularColumns.map(_._1).toSet
     var flags = 0
     if (hasTs) flags |= HasTimestamp
     if (hasTtl) flags |= HasTtl
     if (hasDeletion) flags |= HasDeletion
+    if (hasComplexDeletion) flags |= HasComplexDeletion
     if (allColumns) flags |= HasAllColumns
     out.write(flags)
     writeClusteringValues(r.clustering, h.clusteringTypes, out)
@@ -585,10 +646,39 @@ object BigFormat {
       writeUnsignedVInt(h.ldtOut(NoDeletionTime - 1), b)
     }
     if (!allColumns) writeColumnSubset(present, h.regularColumns, b)
-    h.regularColumns.foreach { case (name, tpe) =>
-      r.cells.find(_.name == name).foreach(c =>
-        writeCell(c, r.livenessTsUs, r.livenessTtlS, r.livenessLdtS,
-          tpe, h, b))
+    h.regularColumns.filter(c => present(c._1)).foreach {
+      case (name, tpe) =>
+        complexOf(tpe) match {
+          case None =>
+            val c = r.cells.find(_.name == name).getOrElse(
+              throw new IllegalArgumentException(
+                s"simple column '$name' present but cell-less"))
+            require(c.path.isEmpty,
+              s"simple column '$name' cannot carry a CellPath")
+            writeCell(c, r.livenessTsUs, r.livenessTtlS, r.livenessLdtS,
+              tpe, h, b)
+          case Some((pathType, valueType)) =>
+            // UnfilteredSerializer.writeComplexColumn: when the ROW
+            // flag is set, EVERY present complex column writes its
+            // deletion (LIVE when it has none); then vint cell count,
+            // then the path-bearing cells in path order
+            if (hasComplexDeletion) {
+              r.complexDeletions.find(_._1 == name) match {
+                case Some((_, del)) =>
+                  writeUnsignedVInt(h.tsOut(del), b)
+                  writeUnsignedVInt(h.ldtOut(NoDeletionTime - 1), b)
+                case None =>
+                  writeUnsignedVInt(h.tsOut(NoTimestamp), b)
+                  writeUnsignedVInt(h.ldtOut(NoDeletionTime), b)
+              }
+            }
+            val cells = r.cells.filter(_.name == name).sortBy(_.path)
+            writeUnsignedVInt(cells.size.toLong, b)
+            cells.foreach { c =>
+              writeCell(c, r.livenessTsUs, r.livenessTtlS,
+                r.livenessLdtS, valueType, h, b, Some(pathType))
+            }
+        }
     }
     b.flush()
     writeUnsignedVInt(body.size().toLong, out)
@@ -645,9 +735,6 @@ object BigFormat {
     if ((flags & ExtensionFlag) != 0)
       throw new UnsupportedOperationException(
         s"$file: static/shadowable extension rows outside decoder subset")
-    if ((flags & HasComplexDeletion) != 0)
-      throw new UnsupportedOperationException(
-        s"$file: complex (collection) columns outside decoder subset")
     val clustering =
       readClusteringValues(h.clusteringTypes.size, h.clusteringTypes, in)
     readUnsignedVInt(in) // row body size (skip-ahead hint; body is parsed)
@@ -674,10 +761,30 @@ object BigFormat {
           .filter { case (_, i) => (missing & (1L << i)) == 0 }
           .map(_._1)
       }
-    val cells = present.map { case (name, tpe) =>
-      readCell(name, tpe, ts, ttl, ldt, h, in)
+    val hasComplexDeletion = (flags & HasComplexDeletion) != 0
+    val cells = Seq.newBuilder[CellAtom]
+    val complexDeletions = Seq.newBuilder[(String, Long)]
+    present.foreach { case (name, tpe) =>
+      complexOf(tpe) match {
+        case None =>
+          cells += readCell(name, tpe, ts, ttl, ldt, h, in)
+        case Some((pathType, valueType)) =>
+          if (hasComplexDeletion) {
+            val mfda = h.tsIn(readUnsignedVInt(in))
+            val dldt = h.ldtIn(readUnsignedVInt(in))
+            // DeletionTime.LIVE (NoTimestamp/NoDeletionTime) = none
+            if (!(mfda == NoTimestamp && dldt == NoDeletionTime))
+              complexDeletions += ((name, mfda))
+          }
+          val n = readUnsignedVInt(in).toInt
+          (0 until n).foreach { _ =>
+            cells += readCell(name, valueType, ts, ttl, ldt, h, in,
+              Some(pathType))
+          }
+      }
     }
-    RowAtom(clustering.toSeq, ts, ttl, ldt, deletion, cells)
+    RowAtom(clustering.toSeq, ts, ttl, ldt, deletion, cells.result(),
+      complexDeletions.result())
   }
 
   private def readMarker(h: Header, in: DataInputStream): MarkerAtom = {

@@ -332,8 +332,21 @@ object SSTableBinaryV2 {
           r.deletionUs.foreach(del =>
             out += project(p.key, r.clustering, "ROW_DELETION", null,
               null, del))
+          // whole-collection tombstones: their own row kind, the
+          // column name bare (no path — the delete covers them all)
+          r.complexDeletions.foreach { case (colName, del) =>
+            out += project(p.key, r.clustering, "COMPLEX_DELETION",
+              colName, null, del)
+          }
           if (r.cells.nonEmpty) {
-            r.cells.foreach { c =>
+            r.cells.foreach { c0 =>
+              // a complex column's cells surface with NAME-ENCODED
+              // paths — "attrs[k1]" — keeping the bridge frame's
+              // 7-column shape; the sink parses them back
+              val c = c0.path match {
+                case Some(pth) => c0.copy(name = s"${c0.name}[$pth]")
+                case None => c0
+              }
               if (c.deleted)
                 // the tombstone's full identity rides along: the cell
                 // struct carries the deletion timestamp (writetime_us)
@@ -515,6 +528,153 @@ object SSTableBinaryV2 {
     spark.read.format("sstable-big").load(root)
 
   // =====================================================================
+  // complex-column (collection) fixture + lifecycle
+  // =====================================================================
+
+  /** Big-format fixture with a COMPLEX column: each document one
+    * partition carrying a simple `len` cell plus a non-frozen
+    * `attrs map<text,text>` with per-entry CellPaths — the structure
+    * the reference handles at `Cassandra3TTLRemover.java:180-186`
+    * (`cdef.isComplex()`, `cell.path()`). Shape by `doc_id % 10`:
+    *   - 4 → a whole-collection tombstone on `attrs` (ts wt-1) with
+    *     one surviving overwrite entry k0 (the UPDATE-overwrites-map
+    *     pattern that produces complex deletions in real tables)
+    *   - 6 → a deleted map entry k0 (cell tombstone WITH a path) next
+    *     to a live k1
+    *   - else both entries live: k0 → source (ts wt), k1 → n_chars
+    *     (ts wt+1s)
+    * Even doc_ids (except %100==0) carry TTL `doc_id % 100` on every
+    * live cell. All deterministic from the documents table, so the
+    * DuckDB oracle replays every aggregate bit-for-bit. */
+  def writeComplexFixture(spark: SparkSession,
+      sfDir: String): java.nio.file.Path = {
+    import spark.implicits._
+    val out = graft.Scratch.dir("graft-cplxtable-")
+    val outStr = out.toString
+    val hconf = spark.sparkContext.broadcast(
+      new SerializableConfiguration(spark.sessionState.newHadoopConf()))
+    val base = SSTableDumpBridge.TreeBase
+    val nFiles = SSTableDumpBridge.TreeFiles
+    graft.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id").cast("long"), col("source"),
+        col("n_chars").cast("long"))
+      .as[(Long, String, Long)]
+      .groupByKey { case (docId, _, _) => (docId % nFiles).toInt }
+      .mapGroups { (fileId, docs) =>
+        val sorted = docs.toArray.sortBy(_._1)
+        val parts = sorted.map { case (docId, source, nChars) =>
+          val kind = docId % 10
+          val wtSec = base + docId
+          val wtUs = wtSec * 1000000L
+          val ttl =
+            if (docId % 2 == 0 && docId % 100 != 0) Some((docId % 100).toInt)
+            else None
+          def cell(name: String, tsOff: Long, value: String,
+              path: Option[String]): BigFormat.CellAtom =
+            BigFormat.CellAtom(name, wtUs + tsOff, ttl,
+              ttl.map(t => (wtSec + tsOff / 1000000L + t).toInt),
+              Some(value), deleted = false, path)
+          val len = cell("len", 0L, nChars.toString, None)
+          val (attrsCells, complexDels) =
+            if (kind == 4)
+              (Seq(cell("attrs", 0L, source, Some("k0"))),
+                Seq("attrs" -> (wtUs - 1)))
+            else if (kind == 6)
+              (Seq(
+                BigFormat.CellAtom("attrs", wtUs, None, Some(wtSec.toInt),
+                  None, deleted = true, path = Some("k0")),
+                cell("attrs", 1000000L, nChars.toString, Some("k1"))),
+                Nil)
+            else
+              (Seq(cell("attrs", 0L, source, Some("k0")),
+                cell("attrs", 1000000L, nChars.toString, Some("k1"))),
+                Nil)
+          BigFormat.PartitionData(docId.toString, None, Seq(
+            BigFormat.RowAtom(Seq(Some(s"c$docId")), Some(wtUs), ttl,
+              ttl.map(t => (wtSec + t).toInt), None,
+              len +: attrsCells, complexDels)))
+        }
+        val allTs = parts.flatMap(_.atoms.flatMap {
+          case r: BigFormat.RowAtom =>
+            r.livenessTsUs.toSeq ++ r.cells.map(_.tsUs) ++
+              r.complexDeletions.map(_._2)
+          case _ => Nil
+        })
+        val allLdt = parts.flatMap(_.atoms.flatMap {
+          case r: BigFormat.RowAtom =>
+            r.livenessLdtS.toSeq ++ r.cells.flatMap(_.ldtS)
+          case _ => Nil
+        })
+        val allTtl = parts.flatMap(_.atoms.flatMap {
+          case r: BigFormat.RowAtom =>
+            r.livenessTtlS.toSeq ++ r.cells.flatMap(_.ttlS)
+          case _ => Nil
+        })
+        val header = BigFormat.Header(
+          if (allTs.isEmpty) BigFormat.TimestampEpochUs else allTs.min,
+          if (allLdt.isEmpty) BigFormat.DeletionTimeEpochS else allLdt.min,
+          if (allTtl.isEmpty) BigFormat.TtlEpoch else allTtl.min,
+          keyType = BigFormat.Utf8Type,
+          clusteringTypes = Seq(BigFormat.Utf8Type),
+          staticColumns = Nil,
+          regularColumns = Seq(
+            "len" -> BigFormat.Utf8Type,
+            "attrs" -> BigFormat.mapType(
+              BigFormat.Utf8Type, BigFormat.Utf8Type)))
+        val gen = fileId + 1
+        val fs = FileSystem.get(
+          java.net.URI.create(outStr), hconf.value.value)
+        val dir = new HPath(s"$outStr/documents")
+        def write(name: String, bytes: Array[Byte]): Unit = {
+          val os = fs.create(new HPath(dir, name), true)
+          try os.write(bytes) finally os.close()
+        }
+        write(s"nb-$gen-big-Data.db",
+          BigFormat.writeDataFile(parts.toSeq, header))
+        write(s"nb-$gen-big-Statistics.db", BigFormat.writeStats(header))
+        (fileId, parts.length)
+      }
+      .collect()
+    out
+  }
+
+  /** Per-row_kind audit with NAME chars summed — paths are part of a
+    * name-encoded cell's identity, so the oracle pins them too. */
+  private def complexAuditFrame(rows: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val baseUs = lit(SSTableDumpBridge.TreeBase * 1000000L)
+    rows.groupBy(col("row_kind")).agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("sstable")).as("n_sstables"),
+      sum(col("cell.writetime_us") - baseUs).as("sum_wt_off_us"),
+      sum(col("cell.ttl_s").cast("long")).as("sum_ttl_s"),
+      sum(col("deletion_us") - baseUs).as("sum_del_off_us"),
+      sum(length(col("cell.value")).cast("long")).as("sum_value_chars"),
+      sum(length(col("name")).cast("long")).as("sum_name_chars"))
+  }
+
+  /** Registered `src_sstable_complex` — the reference's lifecycle
+    * over a table WITH a collection column: fixture → [[readBinary]]
+    * (map entries surface as name-encoded CellPaths, whole-collection
+    * tombstones as COMPLEX_DELETION rows) → TTL strip (per-element:
+    * the reference's `transform_values` analogue) → [[writeSSTables]]
+    * (paths re-encoded, complex deletion re-serialized) →
+    * [[readBinary]] of the rewrite → per-kind audit. */
+  def complexLifecycle(spark: SparkSession, sfDir: String): DataFrame = {
+    val in = writeComplexFixture(spark, sfDir)
+    val out = graft.Scratch.dir("graft-cplxrt-")
+    val stripped = readBinary(spark, in.toString)
+      .withColumn("cell",
+        graft.model.CellModel.stripCellKeepDeletion(col("cell")))
+    writeSSTables(stripped, out.toString, "graft", "documents")
+    graft.Scratch.delete(in)
+    val audit = complexAuditFrame(readBinary(spark, out.toString))
+      .localCheckpoint()
+    graft.Scratch.delete(out)
+    audit
+  }
+
+  // =====================================================================
   // binary sink — the reference's OUTPUT side
   // =====================================================================
 
@@ -525,6 +685,15 @@ object SSTableBinaryV2 {
       clustering: Option[Seq[String]], row_kind: String,
       name: Option[String], cell: Option[SinkCell],
       deletion_us: Option[Long], sstable: String)
+
+  /** "attrs[k1]" → ("attrs", Some("k1")); bare names pass through.
+    * The inverse of the reader's name-encoded CellPath rendering. */
+  private[sources] def splitPath(name: String): (String, Option[String]) = {
+    val i = name.indexOf('[')
+    if (i >= 0 && name.endsWith("]"))
+      (name.substring(0, i), Some(name.substring(i + 1, name.length - 1)))
+    else (name, None)
+  }
 
   private def boundKind(name: String): Int = name match {
     case "start:inclusive" => BigFormat.Kind.InclStartBound
@@ -607,7 +776,8 @@ object SSTableBinaryV2 {
         val gen = genOf(src)
         val unknown = rows.iterator.map(_.row_kind).find(k =>
           !Set("ROW", "PK_LIVENESS", "ROW_DELETION", "CELL_DELETION",
-            "PARTITION_DELETION", "RANGE_TOMBSTONE_BOUND")(k))
+            "COMPLEX_DELETION", "PARTITION_DELETION",
+            "RANGE_TOMBSTONE_BOUND")(k))
         // a kind this sink cannot re-encode must refuse the whole
         // write: dropping it would un-delete data on a later merge
         unknown.foreach(k => throw new UnsupportedOperationException(
@@ -616,12 +786,29 @@ object SSTableBinaryV2 {
         require(arity.length <= 1,
           s"$src: heterogeneous clustering arity ${arity.mkString(",")}")
         val nClust = arity.headOption.getOrElse(0)
-        // a column whose only surviving cells are tombstones must
-        // still appear in the header's regular set — hence the union
-        // with CELL_DELETION names
-        val regulars = rows
+        // Column inventory, tombstone-only columns included. A
+        // bracketed name ("attrs[k1]") is a complex column's
+        // path-bearing cell; a COMPLEX_DELETION names its column
+        // bare. Complex columns re-encode as map<text,text> — the
+        // value-opaque string carry of the whole cell model. Header
+        // order is Cassandra's: simple columns first, then complex,
+        // each sorted by name.
+        val cellNames = rows
           .filter(r => r.row_kind == "ROW" || r.row_kind == "CELL_DELETION")
-          .flatMap(_.name).distinct.sorted
+          .flatMap(_.name).map(splitPath).distinct
+        val complexCols = (cellNames.collect { case (c, Some(_)) => c } ++
+          rows.filter(_.row_kind == "COMPLEX_DELETION").flatMap(_.name))
+          .distinct.sorted
+        val bareNames = cellNames.collect { case (c, None) => c }
+        val clash = bareNames.toSet.intersect(complexCols.toSet)
+        require(clash.isEmpty,
+          s"$src: columns used both simple and complex: " +
+            clash.toSeq.sorted.mkString(","))
+        val simpleCols = bareNames.distinct.sorted
+        val regulars: Seq[(String, String)] =
+          simpleCols.toSeq.map(_ -> BigFormat.Utf8Type) ++
+            complexCols.toSeq.map(_ ->
+              BigFormat.mapType(BigFormat.Utf8Type, BigFormat.Utf8Type))
         val parts = rows.groupBy(_.partition_key).toSeq.map {
           case (pk, prs) =>
             val partDel = prs.filter(_.row_kind == "PARTITION_DELETION")
@@ -637,7 +824,8 @@ object SSTableBinaryV2 {
               }
             prs.filter(r => r.row_kind == "ROW" ||
               r.row_kind == "PK_LIVENESS" || r.row_kind == "ROW_DELETION" ||
-              r.row_kind == "CELL_DELETION")
+              r.row_kind == "CELL_DELETION" ||
+              r.row_kind == "COMPLEX_DELETION")
               .groupBy(_.clustering.map(_.map(Option(_))).getOrElse(Nil))
               .toSeq.sortBy(_._1.map(_.getOrElse("")).mkString("\u0000"))
               .foreach { case (cl, crs) =>
@@ -645,48 +833,68 @@ object SSTableBinaryV2 {
                   .flatMap(_.deletion_us).maxOption
                 val pkLive = crs.find(_.row_kind == "PK_LIVENESS")
                   .flatMap(_.cell)
-                val cellAtoms = regulars.flatMap { nm =>
+                val complexDels = crs
+                  .filter(_.row_kind == "COMPLEX_DELETION")
+                  .map(r => (r.name.getOrElse(
+                    throw new IllegalArgumentException(
+                      s"$src: COMPLEX_DELETION without a column name")),
+                    r.deletion_us.get))
+                  .groupBy(_._1).map { case (c, ds) =>
+                    (c, ds.map(_._2).max)
+                  }.toSeq.sortBy(_._1)
+                val cellAtoms = regulars.flatMap { case (nm, _) =>
+                  def pathsOf(r: SinkRow): Option[Option[String]] =
+                    r.name.map(splitPath).collect {
+                      case (c, p) if c == nm => p
+                    }
                   // cell tombstones re-encode as deleted atoms —
                   // timestamp from the cell's writetime (deletion_us
                   // is its audit twin), local-deletion second from
                   // expire_us, falling back to the timestamp's second
                   // for frames that never carried one (dump-path rows)
-                  val dels = crs.filter(r => r.row_kind == "CELL_DELETION" &&
-                    r.name.contains(nm)).map { r =>
-                    val ts = r.cell.flatMap(_.writetime_us)
-                      .orElse(r.deletion_us).getOrElse(
-                        throw new IllegalArgumentException(
-                          s"$src: CELL_DELETION of '$nm' carries no timestamp"))
-                    val ldt = r.cell.flatMap(_.expire_us)
-                      .map(e => (e / 1000000L).toInt)
-                      .getOrElse((ts / 1000000L).toInt)
-                    BigFormat.CellAtom(nm, ts, None, Some(ldt), None,
-                      deleted = true)
-                  }
-                  val lives = crs.filter(r => r.row_kind == "ROW" &&
-                    r.name.contains(nm))
-                    .flatMap(r => r.cell.map { c =>
-                      BigFormat.CellAtom(nm, c.writetime_us.get, c.ttl_s,
-                        c.expire_us.map(e => (e / 1000000L).toInt),
-                        c.value, deleted = false)
-                    })
+                  val dels = crs.filter(_.row_kind == "CELL_DELETION")
+                    .flatMap { r =>
+                      pathsOf(r).map { pth =>
+                        val ts = r.cell.flatMap(_.writetime_us)
+                          .orElse(r.deletion_us).getOrElse(
+                            throw new IllegalArgumentException(
+                              s"$src: CELL_DELETION of '$nm' carries no timestamp"))
+                        val ldt = r.cell.flatMap(_.expire_us)
+                          .map(e => (e / 1000000L).toInt)
+                          .getOrElse((ts / 1000000L).toInt)
+                        BigFormat.CellAtom(nm, ts, None, Some(ldt), None,
+                          deleted = true, path = pth)
+                      }
+                    }
+                  val lives = crs.filter(_.row_kind == "ROW")
+                    .flatMap { r =>
+                      pathsOf(r).flatMap { pth =>
+                        r.cell.map { c =>
+                          BigFormat.CellAtom(nm, c.writetime_us.get,
+                            c.ttl_s,
+                            c.expire_us.map(e => (e / 1000000L).toInt),
+                            c.value, deleted = false, path = pth)
+                        }
+                      }
+                    }
                   dels ++ lives
                 }
                 if (rowDel.isDefined || pkLive.isDefined ||
-                  cellAtoms.nonEmpty)
+                  cellAtoms.nonEmpty || complexDels.nonEmpty)
                   atoms += BigFormat.RowAtom(cl,
                     pkLive.flatMap(_.writetime_us),
                     pkLive.flatMap(_.ttl_s),
                     pkLive.flatMap(_.expire_us)
                       .map(e => (e / 1000000L).toInt),
-                    rowDel, cellAtoms.toSeq)
+                    rowDel, cellAtoms.toSeq, complexDels)
               }
             BigFormat.PartitionData(pk, partDel, atoms.result())
         }
         // per-file EncodingStats minima over what will be written
         val allTs = parts.flatMap(p => p.deletionUs.toSeq ++ p.atoms.flatMap {
           case r: BigFormat.RowAtom =>
-            r.livenessTsUs.toSeq ++ r.deletionUs.toSeq ++ r.cells.map(_.tsUs)
+            r.livenessTsUs.toSeq ++ r.deletionUs.toSeq ++
+              r.cells.map(_.tsUs) ++ r.complexDeletions.map(_._2)
           case m: BigFormat.MarkerAtom => m.deletions
         })
         val allLdt = parts.flatMap(_.atoms.flatMap {
@@ -706,7 +914,7 @@ object SSTableBinaryV2 {
           keyType = BigFormat.Utf8Type,
           clusteringTypes = Seq.fill(nClust)(BigFormat.Utf8Type),
           staticColumns = Nil,
-          regularColumns = regulars.toSeq.map(_ -> BigFormat.Utf8Type))
+          regularColumns = regulars)
         val fs = FileSystem.get(
           java.net.URI.create(outDir), hconf.value.value)
         val dir = new HPath(s"$outDir/$keyspace/$table")

@@ -299,6 +299,58 @@ class BigFormatSpec extends AnyFunSuite {
     }
   }
 
+  test("complex columns round-trip: map/set/list CellPaths and complex deletions") {
+    val ts = 1609459300L * 1000000L
+    val hdr = BigFormat.Header(
+      minTimestampUs = 1609459200L * 1000000L,
+      minLocalDeletionTimeS = 1609459200, minTtlS = 0,
+      keyType = BigFormat.Utf8Type,
+      clusteringTypes = Seq(BigFormat.Utf8Type),
+      staticColumns = Nil,
+      regularColumns = Seq(
+        "a" -> BigFormat.Utf8Type,
+        "m" -> BigFormat.mapType(BigFormat.Utf8Type, BigFormat.Int32Type),
+        "s" -> BigFormat.setType(BigFormat.Utf8Type),
+        "l" -> BigFormat.listType(BigFormat.Utf8Type)))
+    // type decomposition
+    assert(BigFormat.complexOf(hdr.regularColumns(1)._2) ===
+      Some((BigFormat.Utf8Type, BigFormat.Int32Type)))
+    assert(BigFormat.complexOf(BigFormat.Utf8Type) === None)
+    val row = BigFormat.RowAtom(
+      clustering = Seq(Some("ck")),
+      livenessTsUs = Some(ts), livenessTtlS = None, livenessLdtS = None,
+      deletionUs = None,
+      cells = Seq(
+        BigFormat.CellAtom("a", ts, None, None, Some("plain"), false),
+        // map: int values, string-key paths; one expiring, one deleted
+        BigFormat.CellAtom("m", ts + 1, Some(60), Some(1609459360),
+          Some("7"), false, Some("key1")),
+        BigFormat.CellAtom("m", ts + 2, None, Some(1609459300), None,
+          deleted = true, path = Some("key2")),
+        // set: empty values, element-as-path
+        BigFormat.CellAtom("s", ts + 3, None, None, Some(""), false,
+          Some("elem")),
+        // list: 16-byte timeuuid path, hex-rendered
+        BigFormat.CellAtom("l", ts + 4, None, None, Some("item"), false,
+          Some("00112233445566778899aabbccddeeff"))),
+      complexDeletions = Seq("l" -> (ts - 5)))
+    val bytes = BigFormat.writeDataFile(
+      Seq(BigFormat.PartitionData("pk", None, Seq(row))), hdr)
+    val got = BigFormat.partitions(hdr,
+      new ByteArrayInputStream(bytes), "cplx").toSeq
+    assert(got.size === 1)
+    assert(got.head.atoms === Seq(row))
+    // a complex column with a deletion but NO cells (full overwrite
+    // to empty) survives too, and mixes with untouched columns
+    val row2 = BigFormat.RowAtom(Seq(Some("ck2")), Some(ts), None, None,
+      None, Seq(BigFormat.CellAtom("a", ts, None, None, Some("x"), false)),
+      complexDeletions = Seq("m" -> ts, "s" -> (ts + 1)))
+    val b2 = BigFormat.writeDataFile(
+      Seq(BigFormat.PartitionData("p2", None, Seq(row2))), hdr)
+    assert(BigFormat.partitions(hdr, new ByteArrayInputStream(b2),
+      "cplx2").toSeq.head.atoms === Seq(row2))
+  }
+
   test("subset violations raise loudly instead of misreading") {
     intercept[UnsupportedOperationException] {
       BigFormat.renderValue("org.apache.cassandra.db.marshal.ListType", Array())
@@ -881,6 +933,35 @@ class SSTableBinarySpec extends SparkSpec {
       assert(cells.find(_.name == "a").get ===
         BigFormat.CellAtom("a", tsDel, None, Some(ldtDel), None, true))
     } finally { Scratch.delete(src); Scratch.delete(out) }
+  }
+
+  test("complex lifecycle: map entries, entry tombstones and collection tombstones survive read → strip → rewrite") {
+    val in = SSTableBinaryV2.writeComplexFixture(spark, sfDir)
+    val out = Scratch.dir("graft-cplx-spec-")
+    try {
+      val frame = SSTableBinaryV2.readBinary(spark, in.toString)
+        .localCheckpoint()
+      // reader surface: name-encoded paths + COMPLEX_DELETION rows
+      val kinds = frame.select("row_kind").distinct()
+        .collect().map(_.getString(0)).toSet
+      assert(kinds === Set("ROW", "CELL_DELETION", "COMPLEX_DELETION"))
+      assert(frame.filter(col("name") === "attrs[k0]").count() > 0)
+      val cd = frame.filter(col("row_kind") === "COMPLEX_DELETION")
+      assert(cd.count() > 0)
+      assert(cd.select("name").distinct().collect()
+        .map(_.getString(0)).toSeq === Seq("attrs"))
+      // strip + rewrite: everything but TTL metadata survives
+      val stripped = frame.withColumn("cell",
+        graft.model.CellModel.stripCellKeepDeletion(col("cell")))
+      SSTableBinaryV2.writeSSTables(stripped, out.toString,
+        "graft", "documents")
+      val back = SSTableBinaryV2.readBinary(spark, out.toString)
+        .localCheckpoint()
+      assert(back.filter(col("cell.ttl_s").isNotNull).count() === 0)
+      val expected = stripped.drop("sstable")
+      assert(back.drop("sstable").exceptAll(expected).count() === 0)
+      assert(expected.exceptAll(back.drop("sstable")).count() === 0)
+    } finally { Scratch.delete(in); Scratch.delete(out) }
   }
 
   test("binary sink: unknown row_kind refuses the write loudly") {
