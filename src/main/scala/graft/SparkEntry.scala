@@ -135,6 +135,7 @@ object SparkEntry {
     "src_sstable_binary_lz4" -> (sources.SSTableBinaryV2.binaryAuditLz4 _),
     "src_sstable_roundtrip" -> (sources.SSTableBinaryV2.binaryRoundtrip _),
     "src_sstable_complex" -> (sources.SSTableBinaryV2.complexLifecycle _),
+    "src_sstable_static" -> (sources.SSTableBinaryV2.staticLifecycle _),
     "src_schema_discovery" -> (sources.LakeDiscovery.discoveryAudit _),
     "src_schema_evolution" -> (sources.LakeDiscovery.schemaEvolutionAudit _),
     // --- corpus assembly (mixing / packing) ---
@@ -2620,6 +2621,37 @@ object SparkEntry {
       |       CAST(SUM(vch) AS BIGINT) AS sum_value_chars,
       |       CAST(SUM(nch) AS BIGINT) AS sum_name_chars
       |FROM u GROUP BY 1""".stripMargin,
+    // static + counter lifecycle: one static 'stitle' cell per
+    // partition (NULL clustering → n_static), one 'len' cell and one
+    // 16-hex counter 'hits' cell per clustered row; TTLs stripped,
+    // counter values pass through (16 chars each, ts at wt+1s)
+    "src_sstable_static" -> """
+      |WITH d AS (
+      |  SELECT CAST(doc_id AS BIGINT) AS d, source,
+      |         CAST(n_chars AS BIGINT) AS nc
+      |  FROM documents
+      |), u AS (
+      |  SELECT d % 4 AS f, 1 AS st, d * 1000000 AS wt,
+      |         CAST(LENGTH(source) AS BIGINT) AS vch,
+      |         CAST(6 AS BIGINT) AS nch
+      |  FROM d
+      |  UNION ALL
+      |  SELECT d % 4, 0, d * 1000000,
+      |         CAST(LENGTH(CAST(nc AS VARCHAR)) AS BIGINT), 3
+      |  FROM d
+      |  UNION ALL
+      |  SELECT d % 4, 0, d * 1000000 + 1000000, 16, 4
+      |  FROM d
+      |)
+      |SELECT 'ROW' AS row_kind,
+      |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |       CAST(SUM(st) AS BIGINT) AS n_static,
+      |       CAST(COUNT(DISTINCT f) AS BIGINT) AS n_sstables,
+      |       CAST(SUM(wt) AS BIGINT) AS sum_wt_off_us,
+      |       CAST(NULL AS BIGINT) AS sum_ttl_s,
+      |       CAST(SUM(vch) AS BIGINT) AS sum_value_chars,
+      |       CAST(SUM(nch) AS BIGINT) AS sum_name_chars
+      |FROM u""".stripMargin,
     // weighted mixing: the oracle replays the identical md5 coin
     // (DuckDB's hex-string cast = Spark's conv(...,16,10)) and the
     // cycling rate spec, so kept-set membership is exact per document

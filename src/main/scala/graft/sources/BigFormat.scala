@@ -84,6 +84,10 @@ object BigFormat {
   val HasComplexDeletion = 0x40
   val ExtensionFlag = 0x80
 
+  // ---- extended flags (UnfilteredSerializer; follow ExtensionFlag) ----
+  val ExtendedIsStatic = 0x01
+  val ExtendedShadowableDeletion = 0x02
+
   // ---- cell flags (o.a.c.db.rows.Cell.Serializer) ----
   val CellIsDeleted = 0x01
   val CellIsExpiring = 0x02
@@ -111,6 +115,13 @@ object BigFormat {
   val Int32Type = "org.apache.cassandra.db.marshal.Int32Type"
   val LongType = "org.apache.cassandra.db.marshal.LongType"
   val TimeUuidType = "org.apache.cassandra.db.marshal.TimeUUIDType"
+  /** Counter columns: the on-disk cell is a plain cell whose value is
+    * the serialized counter context (shard list); counter-ness lives
+    * in the column TYPE, not the cell flags. The value rides the same
+    * opaque hex carry as BytesType — the strip passes counters
+    * through untouched (`NoTTLColumnSerializer.java:26-50`'s
+    * counter→passthrough dispatch; counters cannot expire). */
+  val CounterColumnType = "org.apache.cassandra.db.marshal.CounterColumnType"
 
   /** Non-frozen collection type strings (`o.a.c.db.marshal.MapType`
     * etc. print as `MapType(keyType,valueType)`). */
@@ -156,7 +167,7 @@ object BigFormat {
     case Int32Type => 4
     case LongType => 8
     case TimeUuidType => 16
-    case Utf8Type | AsciiType | BytesType => -1
+    case Utf8Type | AsciiType | BytesType | CounterColumnType => -1
     case other => throw new UnsupportedOperationException(
       s"unsupported marshal type in this decoder subset: $other")
   }
@@ -253,7 +264,8 @@ object BigFormat {
     case Utf8Type | AsciiType => new String(bytes, UTF_8)
     case Int32Type => java.nio.ByteBuffer.wrap(bytes).getInt.toString
     case LongType => java.nio.ByteBuffer.wrap(bytes).getLong.toString
-    case BytesType | TimeUuidType => bytes.map("%02x".format(_)).mkString
+    case BytesType | TimeUuidType | CounterColumnType =>
+      bytes.map("%02x".format(_)).mkString
     case other => throw new UnsupportedOperationException(other)
   }
 
@@ -264,7 +276,7 @@ object BigFormat {
       java.nio.ByteBuffer.allocate(4).putInt(s.toInt).array()
     case LongType =>
       java.nio.ByteBuffer.allocate(8).putLong(s.toLong).array()
-    case BytesType | TimeUuidType =>
+    case BytesType | TimeUuidType | CounterColumnType =>
       s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
     case other => throw new UnsupportedOperationException(other)
   }
@@ -528,7 +540,12 @@ object BigFormat {
       /** Whole-collection tombstones, (column → deletion timestamp):
         * the `complexDeletion()` a non-frozen collection overwrite
         * leaves behind. */
-      complexDeletions: Seq[(String, Long)] = Nil) extends Atom
+      complexDeletions: Seq[(String, Long)] = Nil,
+      /** The partition's STATIC row: no clustering (it precedes every
+        * clustered row on disk), cells resolve against the header's
+        * STATIC column set, and it carries no primary-key liveness
+        * (its cells' own timestamps are the liveness). */
+      static: Boolean = false) extends Atom
   case class MarkerAtom(
       kind: Int,
       clustering: Seq[Option[String]],
@@ -617,21 +634,43 @@ object BigFormat {
   }
 
   private def writeRow(r: RowAtom, h: Header, out: DataOutputStream): Unit = {
+    if (r.static) {
+      require(r.livenessTsUs.isEmpty && r.livenessTtlS.isEmpty,
+        "a static row carries no primary-key liveness")
+      require(r.clustering.isEmpty,
+        "a static row has no clustering values")
+    }
+    val superset = if (r.static) h.staticColumns else h.regularColumns
+    // a cell whose column is missing from the header superset would
+    // VANISH silently (the subset bitmap can only mark superset
+    // members) — refuse instead
+    val outside = (r.cells.map(_.name) ++ r.complexDeletions.map(_._1))
+      .filterNot(superset.map(_._1).toSet)
+    require(outside.isEmpty,
+      s"cells of ${if (r.static) "static" else "regular"} columns " +
+        s"${outside.distinct.mkString(",")} missing from header superset")
     val hasTs = r.livenessTsUs.isDefined
     val hasTtl = r.livenessTtlS.isDefined
     val hasDeletion = r.deletionUs.isDefined
     val hasComplexDeletion = r.complexDeletions.nonEmpty
     val present =
       r.cells.map(_.name).toSet ++ r.complexDeletions.map(_._1)
-    val allColumns = present == h.regularColumns.map(_._1).toSet
+    val allColumns = present == superset.map(_._1).toSet
     var flags = 0
     if (hasTs) flags |= HasTimestamp
     if (hasTtl) flags |= HasTtl
     if (hasDeletion) flags |= HasDeletion
     if (hasComplexDeletion) flags |= HasComplexDeletion
     if (allColumns) flags |= HasAllColumns
-    out.write(flags)
-    writeClusteringValues(r.clustering, h.clusteringTypes, out)
+    if (r.static) {
+      // the static row's marker is an EXTENSION flag + extended byte
+      // (UnfilteredSerializer.ExtendedFlags.IS_STATIC); no clustering
+      out.write(flags | ExtensionFlag)
+      out.write(ExtendedIsStatic)
+    } else {
+      out.write(flags)
+      writeClusteringValues(r.clustering, h.clusteringTypes, out)
+    }
     // body buffered first: the format prefixes its byte size (and the
     // previous unfiltered's, for reverse iteration) as unsigned vints
     val body = new ByteArrayOutputStream()
@@ -645,8 +684,8 @@ object BigFormat {
       writeUnsignedVInt(h.tsOut(r.deletionUs.get), b)
       writeUnsignedVInt(h.ldtOut(NoDeletionTime - 1), b)
     }
-    if (!allColumns) writeColumnSubset(present, h.regularColumns, b)
-    h.regularColumns.filter(c => present(c._1)).foreach {
+    if (!allColumns) writeColumnSubset(present, superset, b)
+    superset.filter(c => present(c._1)).foreach {
       case (name, tpe) =>
         complexOf(tpe) match {
           case None =>
@@ -732,11 +771,20 @@ object BigFormat {
 
   private def readRow(flags: Int, h: Header, in: DataInputStream,
       file: String): RowAtom = {
-    if ((flags & ExtensionFlag) != 0)
+    val extended =
+      if ((flags & ExtensionFlag) != 0) readFlagByte(in, "extended flags")
+      else 0
+    if ((extended & ExtendedShadowableDeletion) != 0)
       throw new UnsupportedOperationException(
-        s"$file: static/shadowable extension rows outside decoder subset")
-    val clustering =
-      readClusteringValues(h.clusteringTypes.size, h.clusteringTypes, in)
+        s"$file: shadowable (materialized-view) deletions outside " +
+          "decoder subset")
+    val isStatic = (extended & ExtendedIsStatic) != 0
+    if ((flags & ExtensionFlag) != 0 && !isStatic)
+      throw new UnsupportedOperationException(
+        s"$file: unknown extended row flags 0x${extended.toHexString}")
+    val clustering: Array[Option[String]] =
+      if (isStatic) Array.empty
+      else readClusteringValues(h.clusteringTypes.size, h.clusteringTypes, in)
     readUnsignedVInt(in) // row body size (skip-ahead hint; body is parsed)
     readUnsignedVInt(in) // previous unfiltered size
     val ts = if ((flags & HasTimestamp) != 0)
@@ -751,13 +799,14 @@ object BigFormat {
       readUnsignedVInt(in) // deletion's localDeletionTime
       Some(mfda)
     } else None
+    val superset = if (isStatic) h.staticColumns else h.regularColumns
     val present: Seq[(String, String)] =
-      if ((flags & HasAllColumns) != 0) h.regularColumns
+      if ((flags & HasAllColumns) != 0) superset
       else {
-        require(h.regularColumns.size < 64,
+        require(superset.size < 64,
           s"$file: large column sets outside decoder subset")
         val missing = readUnsignedVInt(in)
-        h.regularColumns.zipWithIndex
+        superset.zipWithIndex
           .filter { case (_, i) => (missing & (1L << i)) == 0 }
           .map(_._1)
       }
@@ -784,7 +833,7 @@ object BigFormat {
       }
     }
     RowAtom(clustering.toSeq, ts, ttl, ldt, deletion, cells.result(),
-      complexDeletions.result())
+      complexDeletions.result(), static = isStatic)
   }
 
   private def readMarker(h: Header, in: DataInputStream): MarkerAtom = {

@@ -329,13 +329,17 @@ object SSTableBinaryV2 {
         out += project(p.key, null, "PARTITION_DELETION", null, null, del))
       p.atoms.foreach {
         case r: BigFormat.RowAtom =>
+          // a STATIC row surfaces with NULL clustering — the sentinel
+          // distinguishing it from a clusteringless table's rows
+          // (which carry an EMPTY array); the sink maps it back
+          val clust = if (r.static) null else r.clustering
           r.deletionUs.foreach(del =>
-            out += project(p.key, r.clustering, "ROW_DELETION", null,
+            out += project(p.key, clust, "ROW_DELETION", null,
               null, del))
           // whole-collection tombstones: their own row kind, the
           // column name bare (no path — the delete covers them all)
           r.complexDeletions.foreach { case (colName, del) =>
-            out += project(p.key, r.clustering, "COMPLEX_DELETION",
+            out += project(p.key, clust, "COMPLEX_DELETION",
               colName, null, del)
           }
           if (r.cells.nonEmpty) {
@@ -353,17 +357,17 @@ object SSTableBinaryV2 {
                 // and the local deletion second (expire_us, micros) so
                 // the binary SINK can re-encode the atom losslessly;
                 // deletion_us stays the audit-visible column
-                out += project(p.key, r.clustering, "CELL_DELETION",
+                out += project(p.key, clust, "CELL_DELETION",
                   c.name,
                   InternalRow(null, c.tsUs, null,
                     c.ldtS.map(l => Long.box(l.toLong * 1000000L)).orNull),
                   c.tsUs)
               else
-                out += project(p.key, r.clustering, "ROW", c.name,
+                out += project(p.key, clust, "ROW", c.name,
                   cellStruct(c.value, c.tsUs, c.ttlS), null)
             }
           } else if (r.deletionUs.isEmpty && r.livenessTsUs.isDefined) {
-            out += project(p.key, r.clustering, "PK_LIVENESS", null,
+            out += project(p.key, clust, "PK_LIVENESS", null,
               cellStruct(None, r.livenessTsUs.get, r.livenessTtlS), null)
           }
         case m: BigFormat.MarkerAtom =>
@@ -638,6 +642,131 @@ object SSTableBinaryV2 {
     out
   }
 
+  /** Big-format fixture with a STATIC column and a COUNTER column —
+    * the two remaining cell kinds of the reference's P2 dispatch
+    * (`NoTTLColumnSerializer.java:26-50`: counter → passthrough;
+    * static rows are the 3.0 engine's partition-scoped row). Per
+    * document one partition:
+    *   - a static row (no clustering, EXTENSION/IS_STATIC flags)
+    *     carrying `stitle` = source at wt, TTL'd on even doc_ids —
+    *     static cells expire like any other, so the strip must reach
+    *     them;
+    *   - a clustered row with `len` = n_chars (row liveness, TTL
+    *     rule) and a COUNTER cell `hits` whose value is the
+    *     deterministic 16-hex counter-context stand-in of n_chars —
+    *     counters carry NO TTL (they cannot expire) and must survive
+    *     the strip bit-identically. */
+  def writeStaticFixture(spark: SparkSession,
+      sfDir: String): java.nio.file.Path = {
+    import spark.implicits._
+    val out = graft.Scratch.dir("graft-statictable-")
+    val outStr = out.toString
+    val hconf = spark.sparkContext.broadcast(
+      new SerializableConfiguration(spark.sessionState.newHadoopConf()))
+    val base = SSTableDumpBridge.TreeBase
+    val nFiles = SSTableDumpBridge.TreeFiles
+    graft.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id").cast("long"), col("source"),
+        col("n_chars").cast("long"))
+      .as[(Long, String, Long)]
+      .groupByKey { case (docId, _, _) => (docId % nFiles).toInt }
+      .mapGroups { (fileId, docs) =>
+        val sorted = docs.toArray.sortBy(_._1)
+        val parts = sorted.map { case (docId, source, nChars) =>
+          val wtSec = base + docId
+          val wtUs = wtSec * 1000000L
+          val ttl =
+            if (docId % 2 == 0 && docId % 100 != 0) Some((docId % 100).toInt)
+            else None
+          val staticRow = BigFormat.RowAtom(Nil, None, None, None, None,
+            Seq(BigFormat.CellAtom("stitle", wtUs, ttl,
+              ttl.map(t => (wtSec + t).toInt), Some(source), false)),
+            static = true)
+          val clustered = BigFormat.RowAtom(Seq(Some(s"c$docId")),
+            Some(wtUs), ttl, ttl.map(t => (wtSec + t).toInt), None, Seq(
+              BigFormat.CellAtom("len", wtUs, ttl,
+                ttl.map(t => (wtSec + t).toInt), Some(nChars.toString),
+                false),
+              BigFormat.CellAtom("hits", wtUs + 1000000L, None, None,
+                Some("%016x".format(nChars)), false)))
+          BigFormat.PartitionData(docId.toString, None,
+            Seq(staticRow, clustered))
+        }
+        val allTs = parts.flatMap(_.atoms.flatMap {
+          case r: BigFormat.RowAtom =>
+            r.livenessTsUs.toSeq ++ r.cells.map(_.tsUs)
+          case _ => Nil
+        })
+        val allLdt = parts.flatMap(_.atoms.flatMap {
+          case r: BigFormat.RowAtom =>
+            r.livenessLdtS.toSeq ++ r.cells.flatMap(_.ldtS)
+          case _ => Nil
+        })
+        val allTtl = parts.flatMap(_.atoms.flatMap {
+          case r: BigFormat.RowAtom =>
+            r.livenessTtlS.toSeq ++ r.cells.flatMap(_.ttlS)
+          case _ => Nil
+        })
+        val header = BigFormat.Header(
+          if (allTs.isEmpty) BigFormat.TimestampEpochUs else allTs.min,
+          if (allLdt.isEmpty) BigFormat.DeletionTimeEpochS else allLdt.min,
+          if (allTtl.isEmpty) BigFormat.TtlEpoch else allTtl.min,
+          keyType = BigFormat.Utf8Type,
+          clusteringTypes = Seq(BigFormat.Utf8Type),
+          staticColumns = Seq("stitle" -> BigFormat.Utf8Type),
+          regularColumns = Seq(
+            "hits" -> BigFormat.CounterColumnType,
+            "len" -> BigFormat.Utf8Type))
+        val gen = fileId + 1
+        val fs = FileSystem.get(
+          java.net.URI.create(outStr), hconf.value.value)
+        val dir = new HPath(s"$outStr/documents")
+        def write(name: String, bytes: Array[Byte]): Unit = {
+          val os = fs.create(new HPath(dir, name), true)
+          try os.write(bytes) finally os.close()
+        }
+        write(s"nb-$gen-big-Data.db",
+          BigFormat.writeDataFile(parts.toSeq, header))
+        write(s"nb-$gen-big-Statistics.db", BigFormat.writeStats(header))
+        (fileId, parts.length)
+      }
+      .collect()
+    out
+  }
+
+  /** Registered `src_sstable_static`: the lifecycle over the
+    * static+counter fixture — read (static rows surface with NULL
+    * clustering) → strip (static TTLs go, counters untouched) →
+    * rewrite (EXTENSION/IS_STATIC re-encoded, static columns in the
+    * header's static set) → re-read → audit. `n_static` pins the
+    * static rows; counter values' 16-hex length pins their
+    * passthrough. */
+  def staticLifecycle(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val in = writeStaticFixture(spark, sfDir)
+    val out = graft.Scratch.dir("graft-staticrt-")
+    val stripped = readBinary(spark, in.toString)
+      .withColumn("cell",
+        graft.model.CellModel.stripCellKeepDeletion(col("cell")))
+    writeSSTables(stripped, out.toString, "graft", "documents")
+    graft.Scratch.delete(in)
+    val baseUs = lit(SSTableDumpBridge.TreeBase * 1000000L)
+    val audit = readBinary(spark, out.toString)
+      .groupBy(col("row_kind"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("clustering").isNull, 1L).otherwise(0L))
+          .as("n_static"),
+        countDistinct(col("sstable")).as("n_sstables"),
+        sum(col("cell.writetime_us") - baseUs).as("sum_wt_off_us"),
+        sum(col("cell.ttl_s").cast("long")).as("sum_ttl_s"),
+        sum(length(col("cell.value")).cast("long")).as("sum_value_chars"),
+        sum(length(col("name")).cast("long")).as("sum_name_chars"))
+      .localCheckpoint()
+    graft.Scratch.delete(out)
+    audit
+  }
+
   /** Per-row_kind audit with NAME chars summed — paths are part of a
     * name-encoded cell's identity, so the oracle pins them too. */
   private def complexAuditFrame(rows: DataFrame): DataFrame = {
@@ -793,22 +922,36 @@ object SSTableBinaryV2 {
         // value-opaque string carry of the whole cell model. Header
         // order is Cassandra's: simple columns first, then complex,
         // each sorted by name.
-        val cellNames = rows
-          .filter(r => r.row_kind == "ROW" || r.row_kind == "CELL_DELETION")
-          .flatMap(_.name).map(splitPath).distinct
-        val complexCols = (cellNames.collect { case (c, Some(_)) => c } ++
-          rows.filter(_.row_kind == "COMPLEX_DELETION").flatMap(_.name))
-          .distinct.sorted
-        val bareNames = cellNames.collect { case (c, None) => c }
-        val clash = bareNames.toSet.intersect(complexCols.toSet)
-        require(clash.isEmpty,
-          s"$src: columns used both simple and complex: " +
-            clash.toSeq.sorted.mkString(","))
-        val simpleCols = bareNames.distinct.sorted
-        val regulars: Seq[(String, String)] =
-          simpleCols.toSeq.map(_ -> BigFormat.Utf8Type) ++
+        // A NULL clustering on a cell-bearing kind marks a STATIC row
+        // (the reader's sentinel); its columns form the header's
+        // static set, disjoint from the regular set.
+        def isStaticRow(r: SinkRow): Boolean =
+          r.clustering.isEmpty && (r.row_kind == "ROW" ||
+            r.row_kind == "CELL_DELETION" ||
+            r.row_kind == "COMPLEX_DELETION")
+        def inventory(rs: Array[SinkRow]): Seq[(String, String)] = {
+          val cellNames = rs
+            .filter(r => r.row_kind == "ROW" || r.row_kind == "CELL_DELETION")
+            .flatMap(_.name).map(splitPath).distinct
+          val complexCols = (cellNames.collect { case (c, Some(_)) => c } ++
+            rs.filter(_.row_kind == "COMPLEX_DELETION").flatMap(_.name))
+            .distinct.sorted
+          val bareNames = cellNames.collect { case (c, None) => c }
+          val clash = bareNames.toSet.intersect(complexCols.toSet)
+          require(clash.isEmpty,
+            s"$src: columns used both simple and complex: " +
+              clash.toSeq.sorted.mkString(","))
+          bareNames.distinct.sorted.toSeq.map(_ -> BigFormat.Utf8Type) ++
             complexCols.toSeq.map(_ ->
               BigFormat.mapType(BigFormat.Utf8Type, BigFormat.Utf8Type))
+        }
+        val statics = inventory(rows.filter(isStaticRow))
+        val regulars = inventory(rows.filterNot(isStaticRow))
+        val dupCols = statics.map(_._1).toSet
+          .intersect(regulars.map(_._1).toSet)
+        require(dupCols.isEmpty,
+          s"$src: columns used both static and regular: " +
+            dupCols.toSeq.sorted.mkString(","))
         val parts = rows.groupBy(_.partition_key).toSeq.map {
           case (pk, prs) =>
             val partDel = prs.filter(_.row_kind == "PARTITION_DELETION")
@@ -822,7 +965,63 @@ object SSTableBinaryV2 {
                   r.clustering.getOrElse(Nil).map(Option(_)),
                   Seq(r.deletion_us.get))
               }
-            prs.filter(r => r.row_kind == "ROW" ||
+            // build atoms for one (static or clustered) row group
+            def rowPieces(crs: Array[SinkRow],
+                cols: Seq[(String, String)])
+                : (Seq[BigFormat.CellAtom], Seq[(String, Long)]) = {
+              val complexDels = crs
+                .filter(_.row_kind == "COMPLEX_DELETION")
+                .map(r => (r.name.getOrElse(
+                  throw new IllegalArgumentException(
+                    s"$src: COMPLEX_DELETION without a column name")),
+                  r.deletion_us.get))
+                .groupBy(_._1).map { case (c, ds) =>
+                  (c, ds.map(_._2).max)
+                }.toSeq.sortBy(_._1)
+              val cellAtoms = cols.flatMap { case (nm, _) =>
+                def pathsOf(r: SinkRow): Option[Option[String]] =
+                  r.name.map(splitPath).collect {
+                    case (c, p) if c == nm => p
+                  }
+                val dels = crs.filter(_.row_kind == "CELL_DELETION")
+                  .flatMap { r =>
+                    pathsOf(r).map { pth =>
+                      val ts = r.cell.flatMap(_.writetime_us)
+                        .orElse(r.deletion_us).getOrElse(
+                          throw new IllegalArgumentException(
+                            s"$src: CELL_DELETION of '$nm' carries no timestamp"))
+                      val ldt = r.cell.flatMap(_.expire_us)
+                        .map(e => (e / 1000000L).toInt)
+                        .getOrElse((ts / 1000000L).toInt)
+                      BigFormat.CellAtom(nm, ts, None, Some(ldt), None,
+                        deleted = true, path = pth)
+                    }
+                  }
+                val lives = crs.filter(_.row_kind == "ROW")
+                  .flatMap { r =>
+                    pathsOf(r).flatMap { pth =>
+                      r.cell.map { c =>
+                        BigFormat.CellAtom(nm, c.writetime_us.get,
+                          c.ttl_s,
+                          c.expire_us.map(e => (e / 1000000L).toInt),
+                          c.value, deleted = false, path = pth)
+                      }
+                    }
+                  }
+                dels ++ lives
+              }
+              (cellAtoms, complexDels)
+            }
+            // the static row precedes every clustered row on disk
+            val staticPrs = prs.filter(isStaticRow)
+            if (staticPrs.nonEmpty) {
+              val (cellAtoms, complexDels) = rowPieces(staticPrs, statics)
+              if (cellAtoms.nonEmpty || complexDels.nonEmpty)
+                atoms += BigFormat.RowAtom(Nil, None, None, None, None,
+                  cellAtoms, complexDels, static = true)
+            }
+            prs.filterNot(isStaticRow)
+              .filter(r => r.row_kind == "ROW" ||
               r.row_kind == "PK_LIVENESS" || r.row_kind == "ROW_DELETION" ||
               r.row_kind == "CELL_DELETION" ||
               r.row_kind == "COMPLEX_DELETION")
@@ -833,52 +1032,7 @@ object SSTableBinaryV2 {
                   .flatMap(_.deletion_us).maxOption
                 val pkLive = crs.find(_.row_kind == "PK_LIVENESS")
                   .flatMap(_.cell)
-                val complexDels = crs
-                  .filter(_.row_kind == "COMPLEX_DELETION")
-                  .map(r => (r.name.getOrElse(
-                    throw new IllegalArgumentException(
-                      s"$src: COMPLEX_DELETION without a column name")),
-                    r.deletion_us.get))
-                  .groupBy(_._1).map { case (c, ds) =>
-                    (c, ds.map(_._2).max)
-                  }.toSeq.sortBy(_._1)
-                val cellAtoms = regulars.flatMap { case (nm, _) =>
-                  def pathsOf(r: SinkRow): Option[Option[String]] =
-                    r.name.map(splitPath).collect {
-                      case (c, p) if c == nm => p
-                    }
-                  // cell tombstones re-encode as deleted atoms —
-                  // timestamp from the cell's writetime (deletion_us
-                  // is its audit twin), local-deletion second from
-                  // expire_us, falling back to the timestamp's second
-                  // for frames that never carried one (dump-path rows)
-                  val dels = crs.filter(_.row_kind == "CELL_DELETION")
-                    .flatMap { r =>
-                      pathsOf(r).map { pth =>
-                        val ts = r.cell.flatMap(_.writetime_us)
-                          .orElse(r.deletion_us).getOrElse(
-                            throw new IllegalArgumentException(
-                              s"$src: CELL_DELETION of '$nm' carries no timestamp"))
-                        val ldt = r.cell.flatMap(_.expire_us)
-                          .map(e => (e / 1000000L).toInt)
-                          .getOrElse((ts / 1000000L).toInt)
-                        BigFormat.CellAtom(nm, ts, None, Some(ldt), None,
-                          deleted = true, path = pth)
-                      }
-                    }
-                  val lives = crs.filter(_.row_kind == "ROW")
-                    .flatMap { r =>
-                      pathsOf(r).flatMap { pth =>
-                        r.cell.map { c =>
-                          BigFormat.CellAtom(nm, c.writetime_us.get,
-                            c.ttl_s,
-                            c.expire_us.map(e => (e / 1000000L).toInt),
-                            c.value, deleted = false, path = pth)
-                        }
-                      }
-                    }
-                  dels ++ lives
-                }
+                val (cellAtoms, complexDels) = rowPieces(crs, regulars)
                 if (rowDel.isDefined || pkLive.isDefined ||
                   cellAtoms.nonEmpty || complexDels.nonEmpty)
                   atoms += BigFormat.RowAtom(cl,
@@ -913,7 +1067,7 @@ object SSTableBinaryV2 {
           if (allTtl.isEmpty) BigFormat.TtlEpoch else allTtl.min,
           keyType = BigFormat.Utf8Type,
           clusteringTypes = Seq.fill(nClust)(BigFormat.Utf8Type),
-          staticColumns = Nil,
+          staticColumns = statics,
           regularColumns = regulars)
         val fs = FileSystem.get(
           java.net.URI.create(outDir), hconf.value.value)

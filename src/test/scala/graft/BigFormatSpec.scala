@@ -351,6 +351,60 @@ class BigFormatSpec extends AnyFunSuite {
       "cplx2").toSeq.head.atoms === Seq(row2))
   }
 
+  test("static rows and counter cells round-trip; shadowable deletions reject") {
+    val ts = 1609459300L * 1000000L
+    val hdr = BigFormat.Header(
+      minTimestampUs = 1609459200L * 1000000L,
+      minLocalDeletionTimeS = 1609459200, minTtlS = 0,
+      keyType = BigFormat.Utf8Type,
+      clusteringTypes = Seq(BigFormat.Utf8Type),
+      staticColumns = Seq(
+        "stot" -> BigFormat.Utf8Type, "stitle" -> BigFormat.Utf8Type),
+      regularColumns = Seq(
+        "hits" -> BigFormat.CounterColumnType,
+        "len" -> BigFormat.Utf8Type))
+    val staticRow = BigFormat.RowAtom(Nil, None, None, None, None, Seq(
+      // static cells can expire — TTL'd static cell + plain one
+      BigFormat.CellAtom("stot", ts, Some(60), Some(1609459360),
+        Some("42"), false),
+      BigFormat.CellAtom("stitle", ts + 1, None, None, Some("title"),
+        false)), static = true)
+    val clustered = BigFormat.RowAtom(Seq(Some("ck")), Some(ts + 2),
+      None, None, None, Seq(
+        // counter context bytes ride the hex carry, bit-identical
+        BigFormat.CellAtom("hits", ts + 3, None, None,
+          Some("0011aaff00000007"), false),
+        BigFormat.CellAtom("len", ts + 2, None, None, Some("9"), false)))
+    val p = BigFormat.PartitionData("pk", None, Seq(staticRow, clustered))
+    val bytes = BigFormat.writeDataFile(Seq(p), hdr)
+    val got = BigFormat.partitions(hdr,
+      new ByteArrayInputStream(bytes), "static").toSeq
+    assert(got.size === 1)
+    assert(got.head.atoms === Seq(staticRow, clustered))
+    assert(got.head.atoms.head.asInstanceOf[BigFormat.RowAtom].static)
+    // a subset static row (one of two static columns) round-trips too
+    val partial = BigFormat.PartitionData("pk2", None, Seq(
+      BigFormat.RowAtom(Nil, None, None, None, None, Seq(
+        BigFormat.CellAtom("stitle", ts, None, None, Some("only"),
+          false)), static = true)))
+    assert(BigFormat.partitions(hdr, new ByteArrayInputStream(
+      BigFormat.writeDataFile(Seq(partial), hdr)), "s2").toSeq
+      .head.atoms === partial.atoms)
+    // the OTHER extended flag (shadowable MV deletion) still rejects
+    val bos = new ByteArrayOutputStream()
+    val d = new DataOutputStream(bos)
+    val keyB = "pk".getBytes("UTF-8")
+    d.writeShort(keyB.length); d.write(keyB)
+    d.writeInt(BigFormat.NoDeletionTime); d.writeLong(BigFormat.NoTimestamp)
+    d.write(BigFormat.ExtensionFlag)
+    d.write(BigFormat.ExtendedShadowableDeletion)
+    val ex = intercept[UnsupportedOperationException] {
+      BigFormat.partitions(hdr, new ByteArrayInputStream(bos.toByteArray),
+        "shadow").toSeq
+    }
+    assert(ex.getMessage.contains("shadowable"))
+  }
+
   test("subset violations raise loudly instead of misreading") {
     intercept[UnsupportedOperationException] {
       BigFormat.renderValue("org.apache.cassandra.db.marshal.ListType", Array())
@@ -961,6 +1015,45 @@ class SSTableBinarySpec extends SparkSpec {
       val expected = stripped.drop("sstable")
       assert(back.drop("sstable").exceptAll(expected).count() === 0)
       assert(expected.exceptAll(back.drop("sstable")).count() === 0)
+    } finally { Scratch.delete(in); Scratch.delete(out) }
+  }
+
+  test("static+counter lifecycle: statics strip, counters pass through, both survive the rewrite") {
+    val in = SSTableBinaryV2.writeStaticFixture(spark, sfDir)
+    val out = Scratch.dir("graft-static-spec-")
+    try {
+      val frame = SSTableBinaryV2.readBinary(spark, in.toString)
+        .localCheckpoint()
+      // static rows: NULL clustering, one per partition
+      val statics = frame.filter(col("clustering").isNull &&
+        col("row_kind") === "ROW")
+      assert(statics.count() ===
+        frame.select("partition_key").distinct().count())
+      assert(statics.select("name").distinct().collect()
+        .map(_.getString(0)).toSeq === Seq("stitle"))
+      // some static cells carry TTL before the strip
+      assert(statics.filter(col("cell.ttl_s").isNotNull).count() > 0)
+      // counters: never a TTL, 16-hex values
+      val counters = frame.filter(col("name") === "hits")
+      assert(counters.filter(col("cell.ttl_s").isNotNull).count() === 0)
+      assert(counters.filter(length(col("cell.value")) =!= 16)
+        .count() === 0)
+      val stripped = frame.withColumn("cell",
+        graft.model.CellModel.stripCellKeepDeletion(col("cell")))
+      SSTableBinaryV2.writeSSTables(stripped, out.toString,
+        "graft", "documents")
+      val back = SSTableBinaryV2.readBinary(spark, out.toString)
+        .localCheckpoint()
+      // stripped statics, untouched counters, full frame equality
+      assert(back.filter(col("cell.ttl_s").isNotNull).count() === 0)
+      val expected = stripped.drop("sstable")
+      assert(back.drop("sstable").exceptAll(expected).count() === 0)
+      assert(expected.exceptAll(back.drop("sstable")).count() === 0)
+      // counter VALUES are bit-identical through the whole lifecycle
+      assert(back.filter(col("name") === "hits")
+        .select("cell.value").exceptAll(
+          frame.filter(col("name") === "hits").select("cell.value"))
+        .count() === 0)
     } finally { Scratch.delete(in); Scratch.delete(out) }
   }
 
