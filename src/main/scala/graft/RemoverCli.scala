@@ -60,7 +60,8 @@ object RemoverCli {
       cells: Seq[String] = Seq.empty,
       writetime: Option[String] = None, ttlKey: Option[String] = None,
       format: String = "parquet", merge: Option[String] = None,
-      reader: String = "json", sink: String = "parquet")
+      reader: String = "json", sink: String = "parquet",
+      cqlSchema: Option[graft.model.CqlSchema.Parsed] = None)
 
   private val Flags = Set("in", "out", "table", "keyspace", "cpus",
     "pk", "ck", "cells", "writetime", "ttl-key", "format", "merge",
@@ -138,9 +139,11 @@ object RemoverCli {
       case Some(cql) =>
         if (a.pk.nonEmpty || a.ck.nonEmpty || a.cells.nonEmpty)
           Left("--cql declares the schema; --pk/--ck/--cells contradict it")
-        else if (a.format != "parquet")
-          Left("--cql applies to the parquet cell-model path " +
-            "(sstabledump/sstable input is self-describing)")
+        else if (a.format != "parquet" &&
+          !(a.format == "sstable" && a.sink == "sstable"))
+          Left("--cql applies to the parquet cell-model path, or to " +
+            "--format sstable --sink sstable (where it types the " +
+            "rewritten SSTables' keys and columns)")
         else graft.model.CqlSchema.parse(cql).flatMap { p =>
           if (p.table != a.table)
             Left(s"--table '${a.table}' contradicts the CQL table " +
@@ -149,14 +152,27 @@ object RemoverCli {
             m.get("keyspace").exists(_ != k)))
             Left(s"--keyspace '${m("keyspace")}' contradicts the CQL " +
               s"keyspace '${p.keyspace.get}'")
-          else {
+          else if (a.format == "sstable") {
+            // binary path: input is self-describing; the schema TYPES
+            // the OUTPUT (uuid/timestamp keys encode + token-order as
+            // their real byte forms, not strings). Resolve eagerly so
+            // unsupported types reject at parse time, not mid-write.
+            try {
+              graft.sources.SSTableBinaryV2.resolveTyping(p)
+              Right(a.copy(keyspace = p.keyspace.getOrElse(a.keyspace),
+                cqlSchema = Some(p)))
+            } catch {
+              case e: IllegalArgumentException => Left(e.getMessage)
+            }
+          } else {
             val meta = a.writetime.toSeq ++ a.ttlKey.toSeq
             val cells = p.columns.map(_._1).filterNot(c =>
               p.partitionKey.contains(c) || p.clustering.contains(c) ||
                 meta.contains(c))
             Right(a.copy(
               keyspace = p.keyspace.getOrElse(a.keyspace),
-              pk = p.partitionKey, ck = p.clustering, cells = cells))
+              pk = p.partitionKey, ck = p.clustering, cells = cells,
+              cqlSchema = Some(p)))
           }
         }
     }
@@ -302,13 +318,15 @@ object RemoverCli {
         col("deletion_us"),
         lit(s"${args.table}/nb-1-big-Data.db").as("sstable"))
       graft.sources.SSTableBinaryV2
-        .writeSSTables(reshaped, args.out, args.keyspace, args.table)
+        .writeSSTables(reshaped, args.out, args.keyspace, args.table,
+          args.cqlSchema)
         .map(_._2).sum
     } else {
       val stripped = reader(spark, args.in).withColumn("cell",
         graft.model.CellModel.stripCellKeepDeletion(col("cell")))
       graft.sources.SSTableBinaryV2
-        .writeSSTables(stripped, args.out, args.keyspace, args.table)
+        .writeSSTables(stripped, args.out, args.keyspace, args.table,
+          args.cqlSchema)
         .map(_._2).sum
     }
   }

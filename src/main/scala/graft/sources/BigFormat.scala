@@ -115,6 +115,11 @@ object BigFormat {
   val Int32Type = "org.apache.cassandra.db.marshal.Int32Type"
   val LongType = "org.apache.cassandra.db.marshal.LongType"
   val TimeUuidType = "org.apache.cassandra.db.marshal.TimeUUIDType"
+  val UuidType = "org.apache.cassandra.db.marshal.UUIDType"
+  /** Timestamps: 8-byte big-endian epoch MILLIS
+    * (`o.a.c.db.marshal.TimestampType`); rendered as the millis
+    * long's decimal string — the value-opaque carry stays numeric. */
+  val TimestampType = "org.apache.cassandra.db.marshal.TimestampType"
   /** Counter columns: the on-disk cell is a plain cell whose value is
     * the serialized counter context (shard list); counter-ness lives
     * in the column TYPE, not the cell flags. The value rides the same
@@ -165,11 +170,60 @@ object BigFormat {
 
   private def fixedLength(tpe: String): Int = tpe match {
     case Int32Type => 4
-    case LongType => 8
-    case TimeUuidType => 16
+    case LongType | TimestampType => 8
+    case TimeUuidType | UuidType => 16
     case Utf8Type | AsciiType | BytesType | CounterColumnType => -1
     case other => throw new UnsupportedOperationException(
       s"unsupported marshal type in this decoder subset: $other")
+  }
+
+  /** CQL type name → marshal class string (the mapping Cassandra's
+    * own `CQL3Type.Native` enum pins); collection types recurse.
+    * Frozen collections serialize as one blob (not per-element
+    * cells) and sit outside the subset — loudly. The `static`
+    * modifier is the caller's to strip (it is a column property,
+    * not a type). */
+  def marshalOfCql(cqlType: String): Either[String, String] = {
+    val t = cqlType.trim.toLowerCase
+    def coll(prefix: String): Option[Seq[String]] =
+      if (t.startsWith(prefix + "<") && t.endsWith(">")) {
+        val inner = t.stripPrefix(prefix + "<").stripSuffix(">")
+        var depth = 0
+        val cut = inner.indexWhere { c =>
+          if (c == '<') { depth += 1; false }
+          else if (c == '>') { depth -= 1; false }
+          else c == ',' && depth == 0
+        }
+        Some(if (cut < 0) Seq(inner)
+        else Seq(inner.take(cut), inner.drop(cut + 1)))
+      } else None
+    t match {
+      case "text" | "varchar" => Right(Utf8Type)
+      case "ascii" => Right(AsciiType)
+      case "int" => Right(Int32Type)
+      case "bigint" => Right(LongType)
+      case "blob" => Right(BytesType)
+      case "uuid" => Right(UuidType)
+      case "timeuuid" => Right(TimeUuidType)
+      case "timestamp" => Right(TimestampType)
+      case "counter" => Right(CounterColumnType)
+      case _ if t.startsWith("frozen<") =>
+        Left(s"frozen collections are outside the subset: $cqlType")
+      case _ =>
+        coll("map").map {
+          case Seq(k, v) => for {
+            km <- marshalOfCql(k); vm <- marshalOfCql(v)
+          } yield mapType(km, vm)
+          case _ => Left(s"map needs two type params: $cqlType")
+        }.orElse(coll("set").map {
+          case Seq(e) => marshalOfCql(e).map(setType)
+          case _ => Left(s"set needs one type param: $cqlType")
+        }).orElse(coll("list").map {
+          case Seq(e) => marshalOfCql(e).map(listType)
+          case _ => Left(s"list needs one type param: $cqlType")
+        }).getOrElse(
+          Left(s"CQL type outside the engine's subset: $cqlType"))
+    }
   }
 
   // =====================================================================
@@ -263,7 +317,11 @@ object BigFormat {
   def renderValue(tpe: String, bytes: Array[Byte]): String = tpe match {
     case Utf8Type | AsciiType => new String(bytes, UTF_8)
     case Int32Type => java.nio.ByteBuffer.wrap(bytes).getInt.toString
-    case LongType => java.nio.ByteBuffer.wrap(bytes).getLong.toString
+    case LongType | TimestampType =>
+      java.nio.ByteBuffer.wrap(bytes).getLong.toString
+    case UuidType =>
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      new java.util.UUID(bb.getLong, bb.getLong).toString
     case BytesType | TimeUuidType | CounterColumnType =>
       bytes.map("%02x".format(_)).mkString
     case other => throw new UnsupportedOperationException(other)
@@ -274,8 +332,13 @@ object BigFormat {
     case Utf8Type | AsciiType => s.getBytes(UTF_8)
     case Int32Type =>
       java.nio.ByteBuffer.allocate(4).putInt(s.toInt).array()
-    case LongType =>
+    case LongType | TimestampType =>
       java.nio.ByteBuffer.allocate(8).putLong(s.toLong).array()
+    case UuidType =>
+      val u = java.util.UUID.fromString(s)
+      java.nio.ByteBuffer.allocate(16)
+        .putLong(u.getMostSignificantBits)
+        .putLong(u.getLeastSignificantBits).array()
     case BytesType | TimeUuidType | CounterColumnType =>
       s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
     case other => throw new UnsupportedOperationException(other)

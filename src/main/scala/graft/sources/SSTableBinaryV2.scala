@@ -861,10 +861,49 @@ object SSTableBinaryV2 {
     * forms. Clustering arity must be uniform per table (heterogeneous
     * arity fails loudly — it would mean two different table schemas
     * in one write). */
+  /** Resolved CQL typing for the sink: marshal types for the key,
+    * clustering and each declared column, plus the static set. */
+  private[graft] final case class SinkTyping(
+      keyType: String,
+      clusteringTypes: Seq[String],
+      columnTypes: Map[String, String],
+      staticCols: Set[String]) extends Serializable
+
+  /** Validate + resolve a parsed CQL schema into marshal types,
+    * failing fast on the driver (composite partition keys and types
+    * outside the codec subset reject loudly). The `static` modifier
+    * is a column property; it is stripped from the type here. */
+  private[graft] def resolveTyping(
+      p: graft.model.CqlSchema.Parsed): SinkTyping = {
+    def strip(t: String): String = t.replaceAll("(?i)\\s+static$", "")
+    def isStaticDecl(t: String): Boolean =
+      t.toLowerCase.trim.endsWith(" static")
+    def marshal(t: String): String = BigFormat.marshalOfCql(strip(t))
+      .fold(e => throw new IllegalArgumentException(e), identity)
+    require(p.partitionKey.size == 1,
+      s"composite partition keys are outside the binary sink subset: " +
+        p.partitionKey.mkString(","))
+    val colType = p.columns.toMap
+    SinkTyping(
+      keyType = marshal(colType(p.partitionKey.head)),
+      clusteringTypes = p.clustering.map(c => marshal(colType(c))),
+      columnTypes = p.columns
+        .filterNot(c => p.partitionKey.contains(c._1) ||
+          p.clustering.contains(c._1))
+        .map { case (n, t) => n -> marshal(t) }.toMap,
+      staticCols = p.columns
+        .collect { case (n, t) if isStaticDecl(t) => n }.toSet)
+  }
+
   def writeSSTables(cells: DataFrame, outDir: String, keyspace: String,
-      table: String): Seq[(String, Long)] = {
+      table: String,
+      schema: Option[graft.model.CqlSchema.Parsed] = None)
+      : Seq[(String, Long)] = {
     val spark = cells.sparkSession
     import spark.implicits._
+    // CQL typing resolves (and rejects) ON THE DRIVER, before any
+    // task runs; None = the value-opaque default (text everywhere)
+    val typing: Option[SinkTyping] = schema.map(resolveTyping)
     val hconf = spark.sparkContext.broadcast(
       new SerializableConfiguration(spark.sessionState.newHadoopConf()))
     val selected = cells
@@ -941,9 +980,23 @@ object SSTableBinaryV2 {
           require(clash.isEmpty,
             s"$src: columns used both simple and complex: " +
               clash.toSeq.sorted.mkString(","))
-          bareNames.distinct.sorted.toSeq.map(_ -> BigFormat.Utf8Type) ++
-            complexCols.toSeq.map(_ ->
-              BigFormat.mapType(BigFormat.Utf8Type, BigFormat.Utf8Type))
+          def resolve(nm: String, complex: Boolean): String =
+            typing match {
+              case None =>
+                if (complex)
+                  BigFormat.mapType(BigFormat.Utf8Type, BigFormat.Utf8Type)
+                else BigFormat.Utf8Type
+              case Some(ty) =>
+                val t = ty.columnTypes.getOrElse(nm,
+                  throw new IllegalArgumentException(
+                    s"$src: column '$nm' is not declared in the CQL schema"))
+                require(BigFormat.complexOf(t).isDefined == complex,
+                  s"$src: column '$nm' is ${if (complex) "" else "not "}" +
+                    s"a collection in the data but declared '$t'")
+                t
+            }
+          bareNames.distinct.sorted.toSeq.map(n => n -> resolve(n, false)) ++
+            complexCols.toSeq.map(n => n -> resolve(n, true))
         }
         val statics = inventory(rows.filter(isStaticRow))
         val regulars = inventory(rows.filterNot(isStaticRow))
@@ -952,6 +1005,21 @@ object SSTableBinaryV2 {
         require(dupCols.isEmpty,
           s"$src: columns used both static and regular: " +
             dupCols.toSeq.sorted.mkString(","))
+        typing.foreach { ty =>
+          // the frame's static/regular split must agree with the
+          // schema's declared static modifiers
+          statics.map(_._1).find(!ty.staticCols(_)).foreach(c =>
+            throw new IllegalArgumentException(
+              s"$src: column '$c' is static in the data but not " +
+                "declared STATIC in the CQL schema"))
+          regulars.map(_._1).find(ty.staticCols).foreach(c =>
+            throw new IllegalArgumentException(
+              s"$src: column '$c' is declared STATIC but appears on " +
+                "clustered rows"))
+          require(ty.clusteringTypes.size == nClust || nClust == 0,
+            s"$src: data has $nClust clustering values but the CQL " +
+              s"schema declares ${ty.clusteringTypes.size}")
+        }
         val parts = rows.groupBy(_.partition_key).toSeq.map {
           case (pk, prs) =>
             val partDel = prs.filter(_.row_kind == "PARTITION_DELETION")
@@ -1065,8 +1133,9 @@ object SSTableBinaryV2 {
           if (allTs.isEmpty) BigFormat.TimestampEpochUs else allTs.min,
           if (allLdt.isEmpty) BigFormat.DeletionTimeEpochS else allLdt.min,
           if (allTtl.isEmpty) BigFormat.TtlEpoch else allTtl.min,
-          keyType = BigFormat.Utf8Type,
-          clusteringTypes = Seq.fill(nClust)(BigFormat.Utf8Type),
+          keyType = typing.map(_.keyType).getOrElse(BigFormat.Utf8Type),
+          clusteringTypes = typing.map(_.clusteringTypes.take(nClust))
+            .getOrElse(Seq.fill(nClust)(BigFormat.Utf8Type)),
           staticColumns = statics,
           regularColumns = regulars)
         val fs = FileSystem.get(

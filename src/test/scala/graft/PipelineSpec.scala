@@ -312,4 +312,88 @@ class PipelineSpec extends SparkSpec {
     assert(RemoverCli.parse(Array(
       "--in", "/a", "--out", "/b", "--table", "t", "--cpus", "zero")).isLeft)
   }
+
+  test("uuid-keyed CQL schema through the binary lifecycle: real byte encodings, real token order") {
+    import spark.implicits._
+    import graft.sources.{BigFormat, SSTableBinaryV2, SSTableComponents}
+    val cql = "CREATE TABLE graft.t (id uuid, ts timestamp, " +
+      "val text, PRIMARY KEY (id, ts))"
+    val parsed = graft.model.CqlSchema.parse(cql)
+      .fold(e => fail(s"cql parse: $e"), identity)
+    val wt = 1609459200L * 1000000L
+    val rows = (0 until 40).map { i =>
+      val uuid = new java.util.UUID(0x1111000000000000L + i,
+        0x2222000000000000L + i).toString
+      (uuid, Seq((1609459200000L + i * 1000L).toString), "ROW",
+        Some("val"),
+        Some(("v" + i, wt + i,
+          if (i % 3 == 0) Some(600) else None,
+          if (i % 3 == 0) Some(wt + i + 600000000L) else None)),
+        None: Option[Long], "t/nb-1-big-Data.db")
+    }.toDF("partition_key", "clustering", "row_kind", "name",
+      "cell_t", "deletion_us", "sstable")
+      .withColumn("cell", struct(
+        col("cell_t._1").as("value"), col("cell_t._2").as("writetime_us"),
+        col("cell_t._3").as("ttl_s"), col("cell_t._4").as("expire_us")))
+      .drop("cell_t")
+    val in = Scratch.dir("graft-uuid-in-")
+    val out = Scratch.dir("graft-uuid-out-").toString + "/o"
+    try {
+      // typed input generation (uuid keys, timestamp clustering)
+      SSTableBinaryV2.writeSSTables(rows, in.toString, "graft", "t",
+        Some(parsed))
+      // CLI: binary in → strip → typed binary out, schema via --cql
+      val args = RemoverCli.parse(Array(
+        "--in", s"$in/graft/t", "--out", out, "--table", "t",
+        "--format", "sstable", "--sink", "sstable", "--cql", cql))
+        .fold(e => fail(s"parse failed: $e"), identity)
+      assert(args.cqlSchema.isDefined)
+      RemoverCli.run(spark, args)
+      val back = SSTableBinaryV2.readBinary(spark, s"$out/graft/t")
+        .localCheckpoint()
+      // uuid keys and timestamp clusterings round-trip canonically
+      assert(back.count() === 40)
+      assert(back.filter(col("cell.ttl_s").isNotNull).count() === 0)
+      val keys = back.select("partition_key").as[String]
+        .collect().sorted
+      assert(keys === rows.select("partition_key").as[String]
+        .collect().sorted)
+      assert(keys.forall(_.matches(
+        "[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}")))
+      // on disk the key is its 16-BYTE uuid form, and the file's
+      // partition order is Murmur3 token order over those bytes —
+      // "correct comparators", checked through Index.db
+      val dir = java.nio.file.Paths.get(out, "graft", "t")
+      val idx = java.nio.file.Files.list(dir)
+      val idxFile = try {
+        import scala.jdk.CollectionConverters._
+        idx.iterator().asScala.find(_.toString.endsWith("-Index.db")).get
+      } finally idx.close()
+      val entries = SSTableComponents.readIndex(
+        java.nio.file.Files.readAllBytes(idxFile), "t")
+      assert(entries.size === 40)
+      assert(entries.forall(_._1.length === 16))
+      val toks = entries.map(e => BigFormat.murmur3Token(e._1))
+      assert(toks === toks.sorted, "index not in token order")
+      // a string-keyed write of the same frame orders DIFFERENTLY —
+      // the uuid typing changes the comparator, as it must
+      val toksAsText = rows.select("partition_key").as[String].collect()
+        .map(k => BigFormat.murmur3Token(k.getBytes("UTF-8"))).sorted
+      assert(toks != toksAsText.toSeq)
+      // declared-but-undeclared columns reject loudly
+      val badCql = "CREATE TABLE graft.t (id uuid, ts timestamp, " +
+        "other text, PRIMARY KEY (id, ts))"
+      val badParsed = graft.model.CqlSchema.parse(badCql)
+        .fold(e => fail(e), identity)
+      val ex = intercept[org.apache.spark.SparkException] {
+        SSTableBinaryV2.writeSSTables(rows, in.toString + "-x",
+          "graft", "t", Some(badParsed))
+      }
+      assert(ex.toString.contains("not declared") ||
+        Option(ex.getCause).exists(_.toString.contains("not declared")))
+    } finally {
+      Scratch.delete(in)
+      Scratch.delete(java.nio.file.Paths.get(out).getParent)
+    }
+  }
 }
