@@ -189,6 +189,8 @@ object SparkEntry {
       DedupOps.decontamSpans(s, d)),
     "d_substring_span" -> ((s: SparkSession, d: String) =>
       DedupOps.substringSpans(s, d)),
+    "d_substring_exact" -> ((s: SparkSession, d: String) =>
+      DedupOps.substringExact(s, d)),
     "d_dedup_components" -> ((s: SparkSession, d: String) =>
       DedupOps.dedupComponents(s, d, DedupOps.Md5)),
     // the DEEP-GRAPH path through the same contract: maxIters=0 skips
@@ -3099,6 +3101,50 @@ object SparkEntry {
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp FROM g),
         |s AS (SELECT doc_id, grp, min(pos) AS span_start,
         |  max(pos) + 7 AS span_end, count(*) AS n_windows
+        | FROM i GROUP BY 1, 2)
+        |SELECT s.doc_id,
+        | CAST(span_start AS INTEGER) AS span_start,
+        | CAST(span_end AS INTEGER) AS span_end,
+        | CAST(span_end - span_start + 1 AS INTEGER) AS span_tokens,
+        | CAST(n_windows AS BIGINT) AS n_windows,
+        | md5(array_to_string(t.t[span_start+1 : span_end+1], ' '))
+        |   AS excised_md5
+        |FROM s JOIN t USING (doc_id)""".stripMargin,
+    // arbitrary-length ExactSubstr: minLen-wide (4) windows, the
+    // ≥2-docs set, and CONSECUTIVE-position islands (gap > 1 starts a
+    // new span) replayed exactly, including the two planted
+    // duplicates (4 tokens = w/2, 12 tokens = 3w/2) appended to the
+    // %50==1 / %50==2 documents
+    "d_substring_exact" ->
+      """WITH p AS (
+        | SELECT doc_id,
+        |  CASE WHEN doc_id % 50 = 1
+        |        THEN trim(text) || ' zq1 zq2 zq3 zq4'
+        |       WHEN doc_id % 50 = 2
+        |        THEN trim(text) ||
+        |         ' zr1 zr2 zr3 zr4 zr5 zr6 zr7 zr8 zr9 zr10 zr11 zr12'
+        |       ELSE text END AS text
+        | FROM documents),
+        |t AS (
+        | SELECT doc_id, string_split_regex(trim(text), '\s+') AS t,
+        |  len(string_split_regex(trim(text), '\s+')) AS n
+        | FROM p),
+        |w AS (
+        | SELECT doc_id, st AS pos,
+        |  md5(array_to_string(t[st+1 : st+4], ' ')) AS wh
+        | FROM (SELECT doc_id, t,
+        |   unnest(generate_series(0, n - 4)) AS st FROM t)),
+        |d AS (SELECT wh FROM w GROUP BY wh
+        |      HAVING count(DISTINCT doc_id) >= 2),
+        |m AS (SELECT doc_id, pos FROM w JOIN d USING (wh)),
+        |g AS (SELECT doc_id, pos,
+        |  CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+        |        > 1 THEN 1 ELSE 0 END AS ns FROM m),
+        |i AS (SELECT doc_id, pos,
+        |  sum(ns) OVER (PARTITION BY doc_id ORDER BY pos
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp FROM g),
+        |s AS (SELECT doc_id, grp, min(pos) AS span_start,
+        |  max(pos) + 3 AS span_end, count(*) AS n_windows
         | FROM i GROUP BY 1, 2)
         |SELECT s.doc_id,
         | CAST(span_start AS INTEGER) AS span_start,

@@ -1158,7 +1158,19 @@ object DedupOps {
 
   /** [[substringSpans]] over an arbitrary (doc_id, text) frame. */
   def substringSpansOf(corpus: DataFrame,
-      w: Int = SubstrWindow): DataFrame = {
+      w: Int = SubstrWindow): DataFrame = spanCore(corpus, w, w)
+
+  /** Shared core of [[substringSpansOf]] / [[substringExactOf]]:
+    * width-`w` stride-1 window hashes, the ≥2-distinct-docs
+    * duplicated set, and gaps-and-islands over matched positions —
+    * a new island when a start exceeds its predecessor by more than
+    * `islandGap`. `islandGap = w` gives the tolerant legacy merge
+    * (nearby runs coalesce, ends quantized to the w grid);
+    * `islandGap = 1` keeps only CONSECUTIVE matched positions
+    * together, which reconstructs maximal duplicated runs exactly
+    * (see [[substringExactOf]]). */
+  private def spanCore(corpus: DataFrame, w: Int,
+      islandGap: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = corpus
       .select(col("doc_id"), toks(col("text")).as("t"))
@@ -1177,7 +1189,7 @@ object DedupOps {
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val spans = matched
       .withColumn("newSpan",
-        when(col("pos") - lag(col("pos"), 1).over(byDoc) > w, 1)
+        when(col("pos") - lag(col("pos"), 1).over(byDoc) > islandGap, 1)
           .otherwise(0))
       .withColumn("grp", sum(col("newSpan")).over(
         byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -1196,5 +1208,56 @@ object DedupOps {
           slice(col("t"), col("span_start") + 1,
             col("span_end") - col("span_start") + 1)))
           .as("excised_md5"))
+  }
+
+  /** Threshold length for [[substringExact]] — half the legacy
+    * [[SubstrWindow]], proving the detector is NOT bound to the old
+    * window grid. */
+  val ExactSubstrMinLen = 4
+
+  /** Arbitrary-length ExactSubstr (Lee et al. 2021's suffix-array
+    * pass, re-expressed distributed): every MAXIMAL token span of
+    * length ≥ `minLen` whose every `minLen`-window occurs in ≥ 2
+    * documents, with exact boundaries — no window-grid quantization.
+    *
+    * Why this equals sorted-suffix grouping: two suffixes sharing a
+    * prefix of length ≥ minLen ⟺ the minLen-window at their starts
+    * hashes equal. With stride-1 windows of width EXACTLY minLen, a
+    * maximal duplicated run [a, b] (length ≥ minLen) matches
+    * precisely the CONSECUTIVE positions a..b−minLen+1 — so islands
+    * of strictly consecutive matched positions (islandGap = 1)
+    * reconstruct [a, b] bit-exactly. A duplicate of length exactly
+    * minLen is one matched window; length minLen+k is k+1. The
+    * legacy [[substringSpans]] (w = 8, islandGap = w) misses
+    * duplicates shorter than 8 tokens, bridges distinct runs up to 8
+    * tokens apart and can quantize ends past the true boundary; this
+    * detector does none of those. Cost is the same class: one corpus
+    * scan, (doc_id, hash) shuffles, per-matched-doc window merge —
+    * suffix ARRAYS (global sort of all suffixes) are never built.
+    */
+  def substringExactOf(corpus: DataFrame,
+      minLen: Int = ExactSubstrMinLen): DataFrame =
+    spanCore(corpus, minLen, 1)
+
+  /** Registered `d_substring_exact`: [[substringExactOf]] over the
+    * documents corpus with two PLANTED cross-document duplicates
+    * straddling the legacy window grid — a 4-token phrase (w/2: the
+    * fixed-w detector cannot see it at all) on doc_id % 50 == 1 and a
+    * 12-token phrase (3w/2: the fixed-w detector would find it but
+    * with grid-quantized boundaries) on doc_id % 50 == 2, appended
+    * after each document's own text so their positions fall wherever
+    * the document lengths put them. The DuckDB oracle replays the
+    * planting and every span boundary exactly. */
+  def substringExact(spark: SparkSession, sfDir: String,
+      minLen: Int = ExactSubstrMinLen): DataFrame = {
+    val planted = Tables.loadBalanced(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        when(col("doc_id") % 50 === 1,
+          concat(trim(col("text")), lit(" zq1 zq2 zq3 zq4")))
+          .when(col("doc_id") % 50 === 2,
+            concat(trim(col("text")),
+              lit(" zr1 zr2 zr3 zr4 zr5 zr6 zr7 zr8 zr9 zr10 zr11 zr12")))
+          .otherwise(col("text")).as("text"))
+    substringExactOf(planted, minLen)
   }
 }

@@ -124,6 +124,62 @@ class CurationSpec extends SparkSpec {
       Seq((30L, 3, 6), (31L, 2, 5)))
   }
 
+  test("substringExact: arbitrary-length duplicates with exact boundaries, no grid quantization") {
+    // minLen = 4, and the duplicates are sized against the LEGACY
+    // window w = 8: one 4-token run (w/2 — invisible to the fixed-w
+    // detector), one 12-token run (3w/2), one 3-token run (below
+    // threshold — must NOT surface), and two runs 2 tokens apart
+    // (the legacy islandGap = w merge would bridge them; the exact
+    // detector must not)
+    val legacyW = 8
+    val short4 = "q1 q2 q3 q4"            // length minLen exactly
+    val long12 = "r1 r2 r3 r4 r5 r6 r7 r8 r9 r10 r11 r12"
+    val tiny3 = "s1 s2 s3"
+    val runA = "m1 m2 m3 m4"
+    val runB = "n1 n2 n3 n4"
+    val corpus = Seq(
+      (1L, s"$short4 x1 x2 x3 $long12"),
+      (2L, s"y1 $short4 y2 y3 y4 y5 $long12 y6"),
+      (3L, s"$tiny3 z1 z2 z3 z4 z5 z6 z7"),
+      (4L, s"z8 $tiny3 z9 za zb zc zd ze"),
+      (5L, s"$runA g1 g2 $runB h1 h2 h3"),
+      (6L, s"k1 k2 $runA g3 g4 $runB")).toDF("doc_id", "text")
+    val out = DedupOps.substringExactOf(corpus, 4)
+      .orderBy("doc_id", "span_start").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("span_start"),
+        r.getAs[Int]("span_end"), r.getAs[Int]("span_tokens"),
+        r.getAs[Long]("n_windows")))
+    assert(out.toSeq === Seq(
+      // doc 1: short4 at [0,3] (1 window), long12 at [7,18] (9 windows)
+      (1L, 0, 3, 4, 1L), (1L, 7, 18, 12, 9L),
+      // doc 2: short4 at [1,4], long12 at [9,20]
+      (2L, 1, 4, 4, 1L), (2L, 9, 20, 12, 9L),
+      // docs 5/6: runA and runB stay SEPARATE spans despite the
+      // 2-token gap between them
+      (5L, 0, 3, 4, 1L), (5L, 6, 9, 4, 1L),
+      (6L, 2, 5, 4, 1L), (6L, 8, 11, 4, 1L)))
+    // the 3-token duplicate never surfaces (below threshold) — and
+    // the LEGACY fixed-w detector misses the 4-token runs entirely
+    // and is allowed to bridge runA/runB: the exact detector's
+    // advantage made executable
+    val legacy = DedupOps.substringSpansOf(corpus, legacyW)
+      .orderBy("doc_id", "span_start").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("span_start"),
+        r.getAs[Int]("span_end")))
+    assert(legacy.toSeq === Seq((1L, 7, 18), (2L, 9, 20)),
+      "legacy w=8 sees only the 12-token run")
+    // excised digests equal across partners for every exact span
+    def md5Of(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val digests = DedupOps.substringExactOf(corpus, 4)
+      .orderBy("doc_id", "span_start").collect()
+      .map(_.getAs[String]("excised_md5")).toSeq
+    assert(digests === Seq(md5Of(short4), md5Of(long12),
+      md5Of(short4), md5Of(long12),
+      md5Of(runA), md5Of(runB), md5Of(runA), md5Of(runB)))
+  }
+
   test("semDedup: keep-first invariants over the embeddings corpus") {
     val out = SimilarityOps.semDedup(spark, sfDir)
     val n = Tables.load(spark, sfDir, "embeddings").count()
