@@ -558,14 +558,7 @@ object SparkEntry {
        |  ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
        |  AND a.brk <= ${SimilarityOps.HnswInitCap}
        |  AND b.brk <= ${SimilarityOps.HnswInitCap}),
-       |anch AS MATERIALIZED (SELECT bucket, min(vec_id) AS anchor FROM n GROUP BY bucket),
-       |ent AS MATERIALIZED (SELECT min(vec_id) AS entry FROM n),
-       |hub AS MATERIALIZED (
-       | SELECT n.vec_id AS src, a.anchor AS dst
-       | FROM n JOIN anch a USING (bucket) WHERE n.vec_id <> a.anchor
-       | UNION ALL
-       | SELECT a.anchor AS src, e.entry AS dst
-       | FROM anch a CROSS JOIN ent e WHERE a.anchor <> e.entry),
+       |${hnswSpineCtesSql},
        |e0 AS (SELECT DISTINCT src, dst FROM (
        |  SELECT src, dst FROM init
        |  UNION ALL SELECT src, dst FROM hub
@@ -590,6 +583,45 @@ object SparkEntry {
        | SELECT DISTINCT node FROM (
        |  SELECT anchor AS node FROM anch
        |  UNION ALL SELECT entry AS node FROM ent))""".stripMargin
+  }
+
+  /** The hierarchical anchor spine replayed level by level: within
+    * each bucket, vec_id-ranked runs of [[SimilarityOps.HnswFanCap]]
+    * hang off their min-id anchor; anchors re-rank and re-group for
+    * [[SimilarityOps.HnswAnchorLevels]] levels; survivors hang off
+    * the bucket apex (its min id), apexes off the global entry —
+    * every fan-in capped, exactly the Spark build's algebra
+    * (integer `//` = Spark's floor of the non-negative division). */
+  private def hnswSpineCtesSql: String = {
+    val f = SimilarityOps.HnswFanCap
+    val levels = (1 to SimilarityOps.HnswAnchorLevels).map { k =>
+      val src = if (k == 1) "n" else s"lvl${k - 1}"
+      s"""grp$k AS (SELECT vec_id, bucket,
+         |  (row_number() OVER (PARTITION BY bucket ORDER BY vec_id) - 1)
+         |   // $f AS grp FROM $src),
+         |anc$k AS MATERIALIZED (SELECT bucket, grp, min(vec_id) AS anchor
+         | FROM grp$k GROUP BY 1, 2),
+         |hubl$k AS (SELECT g.vec_id AS src, a.anchor AS dst
+         | FROM grp$k g JOIN anc$k a USING (bucket, grp)
+         | WHERE g.vec_id <> a.anchor),
+         |lvl$k AS (SELECT anchor AS vec_id, bucket FROM anc$k)""".stripMargin
+    }.mkString(",\n")
+    val last = SimilarityOps.HnswAnchorLevels
+    val levelEdges = (1 to last)
+      .map(k => s" SELECT src, dst FROM hubl$k")
+      .mkString("\n UNION ALL\n")
+    s"""$levels,
+       |anch AS MATERIALIZED (SELECT bucket, min(vec_id) AS anchor FROM n GROUP BY bucket),
+       |ent AS MATERIALIZED (SELECT min(vec_id) AS entry FROM n),
+       |hub AS MATERIALIZED (
+       |$levelEdges
+       | UNION ALL
+       | SELECT s.vec_id AS src, a.anchor AS dst
+       | FROM lvl$last s JOIN anch a USING (bucket)
+       | WHERE s.vec_id <> a.anchor
+       | UNION ALL
+       | SELECT a.anchor AS src, e.entry AS dst
+       | FROM anch a CROSS JOIN ent e WHERE a.anchor <> e.entry)""".stripMargin
   }
 
   /** One beam-search CTE chain at width `width`; `tag` namespaces the

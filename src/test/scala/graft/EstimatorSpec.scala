@@ -660,4 +660,51 @@ class EstimatorSpec extends SparkSpec {
         "dominant source larger than its cluster")
     }
   }
+
+  test("anchor spine: constant fan-in, one parent per node, tree to the entry, loud capacity guard") {
+    import spark.implicits._
+    val F = SimilarityOps.HnswFanCap
+    val D = SimilarityOps.HnswAnchorLevels
+    // skewed synthetic buckets: one at the capacity edge (F^(D+1) =
+    // 512), one mid, one tiny, one singleton
+    val nodes = (0L until 500L).map(i => (i, 0)) ++
+      (1000L until 1300L).map(i => (i, 1)) ++
+      (2000L until 2012L).map(i => (i, 2)) ++ Seq((3000L, 3))
+    val b = nodes.toDF("vec_id", "bucket")
+    val spine = SimilarityOps.anchorSpine(b.select("vec_id"), b)
+      .localCheckpoint()
+    // 1. fan-in bounded by a CONSTANT independent of bucket size:
+    // ≤ (levels+1)·(cap−1) group children + one apex edge per bucket
+    val bound = (D + 1) * (F - 1) + 4
+    val maxIn = spine.groupBy("dst").count()
+      .agg(max("count")).head().getLong(0)
+    assert(maxIn <= bound, s"spine fan-in $maxIn exceeds $bound")
+    // the old one-hub spine hung all ~499 bucket members off one
+    // anchor; the hierarchy never comes near bucket size
+    assert(maxIn < 100, s"fan-in $maxIn is bucket-scale, not capped")
+    // 2. the spine is a tree: every node except the entry has exactly
+    // one parent edge, and following parents reaches the entry in
+    // ≤ levels+2 hops (anchor chain → apex → entry)
+    assert(spine.groupBy("src").count()
+      .filter(col("count") =!= 1).count() === 0)
+    assert(spine.select("src").distinct().count() === nodes.size - 1)
+    val parent = spine.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    nodes.map(_._1).foreach { n =>
+      var cur = n
+      var hops = 0
+      while (cur != 0L) {
+        cur = parent(cur)
+        hops += 1
+        assert(hops <= D + 2, s"node $n: anchor chain too deep")
+      }
+    }
+    // 3. a bucket past the configured capacity refuses loudly with
+    // the fix named, instead of silently re-growing a hot spot
+    val over = (0L until 600L).map(i => (i, 0)).toDF("vec_id", "bucket")
+    val ex = intercept[IllegalArgumentException] {
+      SimilarityOps.anchorSpine(over.select("vec_id"), over)
+    }
+    assert(ex.getMessage.contains("HnswAnchorLevels"))
+  }
 }
