@@ -133,6 +133,7 @@ object SparkEntry {
     "src_sstable_binary" -> (sources.SSTableBinaryV2.binaryAudit _),
     "src_sstable_binary_3x" -> (sources.SSTableBinaryV2.binaryAudit3x _),
     "src_sstable_binary_lz4" -> (sources.SSTableBinaryV2.binaryAuditLz4 _),
+    "src_sstable_2x" -> (sources.SSTableBinaryV2.audit2x _),
     "src_sstable_roundtrip" -> (sources.SSTableBinaryV2.binaryRoundtrip _),
     "src_sstable_complex" -> (sources.SSTableBinaryV2.complexLifecycle _),
     "src_sstable_static" -> (sources.SSTableBinaryV2.staticLifecycle _),
@@ -2610,6 +2611,43 @@ object SparkEntry {
     // Cassandra table shape): compression is pure transport — the
     // decoded rows answer to the identical contract
     "src_sstable_binary_lz4" -> sstabledumpTreeSql,
+    // pre-3.0 ("ka") era: the same logical content in 2.x shapes —
+    // CQL row DELETEs are range-tombstone PAIRS (that era has no
+    // row-deletion atom), every live row carries the CQL3 row marker
+    // (PK_LIVENESS), and ttl=0 never serializes (no expiring mask)
+    "src_sstable_2x" -> """
+      |WITH d AS (
+      | SELECT CAST(doc_id AS BIGINT) AS doc_id, source, n_chars,
+      |  doc_id % 10 AS k, doc_id % 4 AS f,
+      |  doc_id * 1000000 AS wt,
+      |  CASE WHEN doc_id % 2 = 0 AND doc_id % 100 <> 0
+      |   THEN doc_id % 100 END AS ttl
+      | FROM documents),
+      |r AS (
+      | SELECT 'PARTITION_DELETION' AS row_kind, f, NULL AS wt2,
+      |   NULL AS ttl2, wt AS del, NULL AS vc FROM d WHERE k = 3
+      | UNION ALL
+      | SELECT 'RANGE_TOMBSTONE_BOUND', f, NULL, NULL, wt, NULL
+      | FROM d WHERE k = 7
+      | UNION ALL
+      | SELECT 'RANGE_TOMBSTONE_BOUND', f, NULL, NULL, wt, NULL
+      | FROM d WHERE k = 7
+      | UNION ALL
+      | SELECT 'PK_LIVENESS', f, wt, ttl, NULL, NULL
+      | FROM d WHERE k NOT IN (3, 7)
+      | UNION ALL
+      | SELECT 'ROW', f, wt, ttl, NULL,
+      |   length(CAST(n_chars AS VARCHAR)) FROM d WHERE k NOT IN (3,5,7)
+      | UNION ALL
+      | SELECT 'ROW', f, wt + 10000000, ttl, NULL, length(source)
+      | FROM d WHERE k NOT IN (3,5,7))
+      |SELECT row_kind, count(*) AS n_rows,
+      | count(DISTINCT f) AS n_sstables,
+      | CAST(sum(wt2) AS BIGINT) AS sum_wt_off_us,
+      | CAST(sum(ttl2) AS BIGINT) AS sum_ttl_s,
+      | CAST(sum(del) AS BIGINT) AS sum_del_off_us,
+      | CAST(sum(vc) AS BIGINT) AS sum_value_chars
+      |FROM r GROUP BY 1""".stripMargin,
     // read → strip → REWRITE as big-format SSTables → re-read: the
     // tree contract with the TTL sum nulled, nothing else changed
     "src_sstable_roundtrip" -> sstableRoundtripSql,

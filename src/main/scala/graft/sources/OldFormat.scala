@@ -1,0 +1,358 @@
+package graft.sources
+
+import java.io.{ByteArrayOutputStream, DataInputStream, DataOutputStream, EOFException, InputStream}
+
+/** Cassandra 2.x big-format codec ("ka"/"la", the 2.1/2.2 era) — the
+  * pre-3.0 storage engine the reference's ENTIRE `cassandra-2` module
+  * exists for (its ~2,400-line `NoTTLReader.java` fork plus
+  * `NoTTLColumnSerializer`/`NoTTLSerializer`), decoded here as a
+  * small self-contained stream codec with no Cassandra linkage.
+  *
+  * The 2.x on-disk model is cell-per-atom with COMPOSITE names (no
+  * row grouping, no serialization header): every partition is
+  *
+  *   [unsigned short keyLen][key bytes]
+  *   [partition DeletionTime: int localDeletionTime, long
+  *    markedForDeleteAt]           (Int.MaxValue/Long.MinValue = LIVE)
+  *   atom*:
+  *     [unsigned short nameLen]    — nameLen == 0 terminates the row
+  *     [name bytes]                (composite: per component
+  *                                  [short len][bytes][eoc byte])
+  *     [byte serializationFlags]   (`NoTTLColumnSerializer.java:26-50`'s
+  *                                  dispatch masks)
+  *     RANGE_TOMBSTONE_MASK → [short len][end-bound bytes]
+  *                            [int ldt][long markedForDeleteAt]
+  *     COUNTER_MASK         → [long timestampOfLastDelete] before ts
+  *     EXPIRATION_MASK      → [int ttl][int localExpirationTime]
+  *                            before ts — the S7 read-side strip
+  *                            point (`NoTTLColumnSerializer.java:
+  *                            33-40` reads-and-discards exactly these
+  *                            two ints)
+  *     then [long timestamp][int valueLen][value bytes]
+  *     (a DELETION_MASK cell's value is the 4-byte localDeletionTime)
+  *
+  * Layout knowledge from the PUBLIC Apache Cassandra 2.2 source:
+  * `o.a.c.db.ColumnSerializer` (cell masks + field order),
+  * `o.a.c.db.OnDiskAtom.Serializer` (range-tombstone form),
+  * `o.a.c.db.marshal.CompositeType` (short-len + eoc components),
+  * `o.a.c.io.sstable.format.big.BigTableWriter` 2.x (key +
+  * DeletionTime + atoms + empty-name terminator).
+  *
+  * Schema: 2.x files carry NO column/type metadata the codec can use
+  * (the reference loads the live system tables,
+  * `Cassandra2TTLRemover.java:48`); here the caller DECLARES the
+  * schema — the same CQL `CREATE TABLE` language the v3/v4 reference
+  * modules take (`TTLRemoverCLI.java:166-170`), resolved through
+  * [[BigFormat.marshalOfCql]]. CQL3 row-marker cells (empty column
+  * name, empty value) carry the row's primary-key liveness.
+  *
+  * Subset boundaries, loud as everywhere: unknown masks raise;
+  * truncation raises EOF with the file named; composite arity must
+  * match the declared clustering.
+  */
+object OldFormat {
+
+  // ---- serialization masks (o.a.c.db.ColumnSerializer) ----
+  val DeletionMask = 0x01
+  val ExpirationMask = 0x02
+  val CounterMask = 0x04
+  val CounterUpdateMask = 0x08
+  val RangeTombstoneMask = 0x10
+
+  val LiveLdt: Int = Int.MaxValue
+  val LiveMfda: Long = Long.MinValue
+
+  /** The declared 2.x table shape: marshal types for the key, the
+    * clustering components, and each named column. */
+  case class Schema(
+      keyType: String,
+      clusteringTypes: Seq[String],
+      columns: Map[String, String])
+
+  def schemaOfCql(p: graft.model.CqlSchema.Parsed): Schema = {
+    def marshal(t: String): String = BigFormat.marshalOfCql(t)
+      .fold(e => throw new IllegalArgumentException(e), identity)
+    require(p.partitionKey.size == 1,
+      "composite partition keys are outside the 2.x subset: " +
+        p.partitionKey.mkString(","))
+    val colType = p.columns.toMap
+    Schema(
+      keyType = marshal(colType(p.partitionKey.head)),
+      clusteringTypes = p.clustering.map(c => marshal(colType(c))),
+      columns = p.columns
+        .filterNot(c => p.partitionKey.contains(c._1) ||
+          p.clustering.contains(c._1))
+        .map { case (n, t) => n -> marshal(t) }.toMap)
+  }
+
+  // ---- atoms ----
+
+  sealed trait Atom2
+  /** One 2.x cell: clustering prefix from the composite name, the
+    * column name ("" = the CQL3 row marker), liveness, value. */
+  case class Cell2(
+      clustering: Seq[String],
+      name: String,
+      tsUs: Long,
+      ttlS: Option[Int],
+      ldtS: Option[Int],
+      value: Option[String],
+      deleted: Boolean,
+      counter: Boolean) extends Atom2
+  /** A 2.x range tombstone: composite start/end bounds (with
+    * inclusivity from the eoc bytes) and the deletion timestamp. */
+  case class Tombstone2(
+      start: Seq[String], startInclusive: Boolean,
+      end: Seq[String], endInclusive: Boolean,
+      deletionUs: Long) extends Atom2
+
+  case class Partition2(
+      key: String,
+      deletionUs: Option[Long],
+      atoms: Seq[Atom2])
+
+  // ---- composite names ----
+
+  private def readShortBytes(in: DataInputStream,
+      what: String): Array[Byte] = {
+    val len = in.readUnsignedShort()
+    val buf = new Array[Byte](len)
+    in.readFully(buf)
+    buf
+  }
+
+  /** Decode a composite name blob: components as
+    * [short len][bytes][eoc]; returns (clustering values, column
+    * name, eoc of the LAST component). A clusteringless table's name
+    * is the bare column bytes (no composite framing). */
+  private def decodeName(bytes: Array[Byte], s: Schema,
+      file: String): (Seq[String], String, Int) = {
+    if (s.clusteringTypes.isEmpty)
+      return (Nil, new String(bytes, java.nio.charset.StandardCharsets.UTF_8), 0)
+    val in = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val comps = Seq.newBuilder[(Array[Byte], Int)]
+    while (in.available() > 0) {
+      val b = readShortBytes(in, "composite component")
+      val eoc = in.read()
+      if (eoc < 0) throw new EOFException(
+        s"$file: composite name truncated before its eoc byte")
+      comps += ((b, if (eoc > 127) eoc - 256 else eoc))
+    }
+    val cs = comps.result()
+    require(cs.size == s.clusteringTypes.size + 1 ||
+      cs.size <= s.clusteringTypes.size,
+      s"$file: composite of ${cs.size} components against " +
+        s"${s.clusteringTypes.size} declared clustering columns")
+    if (cs.size == s.clusteringTypes.size + 1) {
+      // clustering prefix + column-name component
+      val clustering = cs.init.zip(s.clusteringTypes).map {
+        case ((b, _), t) => BigFormat.renderValue(t, b)
+      }
+      (clustering,
+        new String(cs.last._1, java.nio.charset.StandardCharsets.UTF_8),
+        cs.last._2)
+    } else {
+      // a bound: clustering prefix only (possibly partial)
+      val clustering = cs.zip(s.clusteringTypes).map {
+        case ((b, _), t) => BigFormat.renderValue(t, b)
+      }
+      (clustering, "", cs.lastOption.map(_._2).getOrElse(0))
+    }
+  }
+
+  private def encodeComposite(components: Seq[(String, String)],
+      eocLast: Int): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    components.zipWithIndex.foreach { case ((tpe, v), i) =>
+      val b =
+        if (tpe == "") v.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        else BigFormat.encodeValue(tpe, v)
+      out.writeShort(b.length)
+      out.write(b)
+      out.write(if (i == components.size - 1) eocLast & 0xff else 0)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  // ---- encode (fixture writer / round-trip specs) ----
+
+  private def writeAtom(a: Atom2, s: Schema, out: DataOutputStream,
+      file: String): Unit = a match {
+    case c: Cell2 =>
+      val name =
+        if (s.clusteringTypes.isEmpty)
+          c.name.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        else encodeComposite(
+          c.clustering.zip(s.clusteringTypes).map { case (v, t) => (t, v) }
+            :+ (("", c.name)), 0)
+      out.writeShort(name.length)
+      out.write(name)
+      var mask = 0
+      if (c.deleted) mask |= DeletionMask
+      else if (c.ttlS.isDefined) mask |= ExpirationMask
+      if (c.counter) mask |= CounterMask
+      out.write(mask)
+      if (c.counter) out.writeLong(LiveMfda) // timestampOfLastDelete
+      else if (c.ttlS.isDefined && !c.deleted) {
+        out.writeInt(c.ttlS.get)
+        out.writeInt(c.ldtS.getOrElse(LiveLdt))
+      }
+      out.writeLong(c.tsUs)
+      val value =
+        if (c.deleted)
+          java.nio.ByteBuffer.allocate(4)
+            .putInt(c.ldtS.getOrElse(LiveLdt)).array()
+        else {
+          val tpe =
+            if (c.counter) BigFormat.CounterColumnType
+            else if (c.name.isEmpty) BigFormat.BytesType // row marker
+            else s.columns.getOrElse(c.name,
+              throw new IllegalArgumentException(
+                s"$file: column '${c.name}' not declared"))
+          BigFormat.encodeValue(tpe, c.value.getOrElse(""))
+        }
+      out.writeInt(value.length)
+      out.write(value)
+    case t: Tombstone2 =>
+      val start = encodeComposite(
+        t.start.zip(s.clusteringTypes).map { case (v, tp) => (tp, v) },
+        if (t.startInclusive) -1 else 1)
+      val end = encodeComposite(
+        t.end.zip(s.clusteringTypes).map { case (v, tp) => (tp, v) },
+        if (t.endInclusive) 1 else -1)
+      out.writeShort(start.length)
+      out.write(start)
+      out.write(RangeTombstoneMask)
+      out.writeShort(end.length)
+      out.write(end)
+      out.writeInt(LiveLdt - 1) // tombstone localDeletionTime (seconds)
+      out.writeLong(t.deletionUs)
+  }
+
+  def writePartition(p: Partition2, s: Schema,
+      out: DataOutputStream, file: String = "fixture"): Unit = {
+    val keyBytes = BigFormat.encodeValue(s.keyType, p.key)
+    out.writeShort(keyBytes.length)
+    out.write(keyBytes)
+    p.deletionUs match {
+      case Some(del) => out.writeInt(LiveLdt - 1); out.writeLong(del)
+      case None => out.writeInt(LiveLdt); out.writeLong(LiveMfda)
+    }
+    p.atoms.foreach(writeAtom(_, s, out, file))
+    out.writeShort(0) // end-of-row terminator (empty name)
+  }
+
+  def writeDataFile(partitions: Seq[Partition2], s: Schema): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    partitions
+      .sortBy(p =>
+        (BigFormat.murmur3Token(BigFormat.encodeValue(s.keyType, p.key)),
+          p.key))
+      .foreach(writePartition(_, s, out))
+    out.flush()
+    bos.toByteArray
+  }
+
+  // ---- decode ----
+
+  private def readAtom(s: Schema, in: DataInputStream,
+      file: String): Option[Atom2] = {
+    val nameLen = in.readUnsignedShort()
+    if (nameLen == 0) return None // end of row
+    val nameBytes = new Array[Byte](nameLen)
+    in.readFully(nameBytes)
+    val mask = in.read()
+    if (mask < 0) throw new EOFException(s"$file: atom mask at EOF")
+    if ((mask & RangeTombstoneMask) != 0) {
+      val endBytes = readShortBytes(in, "tombstone end bound")
+      in.readInt() // tombstone localDeletionTime
+      val mfda = in.readLong()
+      val (sc, sn, seoc) = decodeName(nameBytes, s, file)
+      val (ec, en, eeoc) = decodeName(endBytes, s, file)
+      require(sn.isEmpty && en.isEmpty,
+        s"$file: range-tombstone bound carries a column name")
+      Some(Tombstone2(sc, startInclusive = seoc <= 0,
+        ec, endInclusive = eeoc >= 0, mfda))
+    } else if ((mask & CounterUpdateMask) != 0) {
+      throw new UnsupportedOperationException(
+        s"$file: counter-update cells (commit-log-only form) in an " +
+          "SSTable are outside the decoder subset")
+    } else {
+      val counter = (mask & CounterMask) != 0
+      val expiring = (mask & ExpirationMask) != 0
+      val deleted = (mask & DeletionMask) != 0
+      if (counter) in.readLong() // timestampOfLastDelete
+      val (ttl, ldt) =
+        if (expiring && !deleted) {
+          val t = in.readInt(); val l = in.readInt()
+          (Some(t), Some(l))
+        } else (None, None)
+      val ts = in.readLong()
+      val valueLen = in.readInt()
+      if (valueLen < 0) throw new EOFException(
+        s"$file: negative cell value length $valueLen")
+      val valueBytes = new Array[Byte](valueLen)
+      in.readFully(valueBytes)
+      val (clustering, colName, _) = decodeName(nameBytes, s, file)
+      if (deleted) {
+        val delLdt = java.nio.ByteBuffer.wrap(valueBytes).getInt
+        Some(Cell2(clustering, colName, ts, None, Some(delLdt), None,
+          deleted = true, counter = false))
+      } else {
+        val tpe =
+          if (counter) BigFormat.CounterColumnType
+          else if (colName.isEmpty) BigFormat.BytesType // row marker
+          else s.columns.getOrElse(colName,
+            throw new UnsupportedOperationException(
+              s"$file: column '$colName' not in the declared schema"))
+        Some(Cell2(clustering, colName, ts, ttl, ldt,
+          Some(BigFormat.renderValue(tpe, valueBytes)),
+          deleted = false, counter = counter))
+      }
+    }
+  }
+
+  def readPartition(s: Schema, in: DataInputStream,
+      file: String): Option[Partition2] =
+    try readPartition0(s, in, file)
+    catch {
+      case e: EOFException => throw new EOFException(
+        s"$file: truncated/corrupt 2.x SSTable data (${e.getMessage})")
+    }
+
+  private def readPartition0(s: Schema, in: DataInputStream,
+      file: String): Option[Partition2] = {
+    val first = in.read()
+    if (first < 0) return None
+    val second = in.read()
+    if (second < 0) throw new EOFException(s"$file: key length truncated")
+    val keyLen = ((first & 0xff) << 8) | (second & 0xff)
+    val keyBuf = new Array[Byte](keyLen)
+    in.readFully(keyBuf)
+    val key = BigFormat.renderValue(s.keyType, keyBuf)
+    val ldt = in.readInt()
+    val mfda = in.readLong()
+    val deletion =
+      if (ldt == LiveLdt && mfda == LiveMfda) None else Some(mfda)
+    val atoms = Seq.newBuilder[Atom2]
+    var done = false
+    while (!done) readAtom(s, in, file) match {
+      case Some(a) => atoms += a
+      case None => done = true
+    }
+    Some(Partition2(key, deletion, atoms.result()))
+  }
+
+  /** Stream every partition; memory bound = one partition's atoms,
+    * the reference scanner's own bound (`NoTTLScanner.java:171-219`
+    * holds a two-entry lookahead, never the table). */
+  def partitions(s: Schema, in: InputStream,
+      file: String): Iterator[Partition2] = {
+    val d = new DataInputStream(new java.io.BufferedInputStream(in))
+    Iterator.continually(readPartition(s, d, file))
+      .takeWhile(_.isDefined).map(_.get)
+  }
+}

@@ -96,10 +96,12 @@ object SSTableBinaryV2 {
     override def newScanBuilder(
         options: CaseInsensitiveStringMap): ScanBuilder =
       new BinScanBuilder(Option(path).getOrElse(options.get("path")),
-        Option(options.get("maxFilesPerTrigger")).map(_.toInt))
+        Option(options.get("maxFilesPerTrigger")).map(_.toInt),
+        Option(options.get("cql")))
   }
 
-  private class BinScanBuilder(path: String, maxFiles: Option[Int])
+  private class BinScanBuilder(path: String, maxFiles: Option[Int],
+      cql: Option[String])
       extends ScanBuilder with SupportsPushDownRequiredColumns {
     private var required: StructType = SSTableBinaryV2.schema
     // TOP-LEVEL pruning only (the contract explicitly allows partial
@@ -112,11 +114,12 @@ object SSTableBinaryV2 {
     override def pruneColumns(requiredSchema: StructType): Unit =
       required = StructType(
         requiredSchema.fieldNames.map(SSTableBinaryV2.schema(_)))
-    override def build(): Scan = new BinScan(path, required, maxFiles)
+    override def build(): Scan = new BinScan(path, required, maxFiles, cql)
   }
 
   private class BinScan(path: String, required: StructType,
-      private[sources] val maxFiles: Option[Int] = None)
+      private[sources] val maxFiles: Option[Int] = None,
+      cql: Option[String] = None)
       extends Scan with Batch {
     private val hconf = new SerializableConfiguration(
       SparkSession.active.sessionState.newHadoopConf())
@@ -143,7 +146,7 @@ object SSTableBinaryV2 {
       listDataFiles().map(f => BinFilePartition(f): InputPartition).toArray
 
     override def createReaderFactory(): PartitionReaderFactory =
-      new BinReaderFactory(required.fieldNames, hconf)
+      new BinReaderFactory(required.fieldNames, hconf, cql)
 
     /** Streaming form — `spark.readStream.format("sstable-big")`: the
       * source's offset is a position in the SORTED file listing (new
@@ -219,12 +222,13 @@ object SSTableBinaryV2 {
   private case class BinFilePartition(file: String) extends InputPartition
 
   private class BinReaderFactory(cols: Array[String],
-      hconf: SerializableConfiguration)
+      hconf: SerializableConfiguration, cql: Option[String])
       extends PartitionReaderFactory {
     override def createReader(
         partition: InputPartition): PartitionReader[InternalRow] =
       new BinPartitionReader(
-        partition.asInstanceOf[BinFilePartition].file, cols, hconf.value)
+        partition.asInstanceOf[BinFilePartition].file, cols, hconf.value,
+        cql)
   }
 
   /** Streams one Data.db: header from the Statistics.db sibling, then
@@ -232,7 +236,8 @@ object SSTableBinaryV2 {
     * buffered (memory bound = one partition, the reference's own
     * bound) and drained before the next partition is touched. */
   private class BinPartitionReader(file: String, cols: Array[String],
-      conf: org.apache.hadoop.conf.Configuration)
+      conf: org.apache.hadoop.conf.Configuration,
+      cql: Option[String] = None)
       extends PartitionReader[InternalRow] {
     private val sstable = file.split('/').takeRight(2).mkString("/")
     private val fs = FileSystem.get(java.net.URI.create(file), conf)
@@ -251,9 +256,27 @@ object SSTableBinaryV2 {
       try in.readFully(0, buf) finally in.close()
       buf
     }
-    private val header =
-      BigFormat.readStats(readSibling(sibling("-Statistics.db")),
+    /** Pre-3.0 eras ("ka"/"la"/"jb"…): a different storage engine
+      * entirely — the [[OldFormat]] codec, with the schema DECLARED
+      * via the `cql` option (2.x files carry no serialization
+      * header; the reference's cassandra-2 module loads live system
+      * tables instead, `Cassandra2TTLRemover.java:48`). */
+    private val oldEra = version.nonEmpty && version.charAt(0) < 'm'
+    private val header: BigFormat.Header =
+      if (oldEra) null
+      else BigFormat.readStats(readSibling(sibling("-Statistics.db")),
         BigFormat.versionHasMetadataChecksum(version))
+    private val oldSchema: OldFormat.Schema =
+      if (!oldEra) null
+      else OldFormat.schemaOfCql(
+        graft.model.CqlSchema.parse(cql.getOrElse(
+          throw new IllegalArgumentException(
+            s"$file: a '$version'-era (2.x) SSTable carries no " +
+              "serialization header — declare the table with " +
+              ".option(\"cql\", \"CREATE TABLE ...\") " +
+              "(the reference CLI's --cql)")))
+          .fold(e => throw new IllegalArgumentException(s"$file: $e"),
+            identity))
     /** A CompressionInfo.db sibling means the Data.db is chunk-
       * compressed (Cassandra's DEFAULT) — decompress on the fly;
       * absent, the bytes are the plain partition stream. Detection is
@@ -264,14 +287,19 @@ object SSTableBinaryV2 {
       val raw = fs.open(new HPath(file))
       val ci = sibling("-CompressionInfo.db")
       if (fs.exists(ci)) {
+        if (oldEra) throw new UnsupportedOperationException(
+          s"$file: compressed 2.x SSTables (Adler32-era chunks) are " +
+            "outside the subset — decompress with sstable tooling first")
         val meta = CompressedData.readMeta(readSibling(ci),
           CompressedData.versionHasMaxCompressedSize(version), file)
         CompressedData.decompressingStream(raw,
           fs.getFileStatus(new HPath(file)).getLen, meta, file)
       } else raw
     }
-    private val parts =
-      BigFormat.partitions(header, stream, file)
+    private val parts: Iterator[Iterator[InternalRow]] =
+      if (oldEra) OldFormat.partitions(oldSchema, stream, file)
+        .map(expand2)
+      else BigFormat.partitions(header, stream, file).map(expand)
     private var pending: Iterator[InternalRow] = Iterator.empty
     private var row: InternalRow = _
 
@@ -379,9 +407,47 @@ object SSTableBinaryV2 {
       out.result().iterator
     }
 
+    /** Bridge rows from a 2.x partition — the same row-kind contract
+      * as [[expand]]: the CQL3 row-marker cell (empty column name) is
+      * the row's PK_LIVENESS; deleted cells are CELL_DELETION with
+      * their local-deletion second riding in expire_us; counter and
+      * plain cells are ROW; 2.x range tombstones (which is also how
+      * that era stores CQL row deletes) are RANGE_TOMBSTONE_BOUND
+      * pairs with eoc-derived inclusivity. */
+    private def expand2(p: OldFormat.Partition2): Iterator[InternalRow] = {
+      val out = Seq.newBuilder[InternalRow]
+      p.deletionUs.foreach(del =>
+        out += project(p.key, null, "PARTITION_DELETION", null, null, del))
+      p.atoms.foreach {
+        case c: OldFormat.Cell2 =>
+          val clust = c.clustering.map(Option(_))
+          if (c.name.isEmpty && !c.deleted)
+            out += project(p.key, clust, "PK_LIVENESS", null,
+              cellStruct(None, c.tsUs, c.ttlS), null)
+          else if (c.deleted)
+            out += project(p.key, clust, "CELL_DELETION", c.name,
+              InternalRow(null, c.tsUs, null,
+                c.ldtS.map(l => Long.box(l.toLong * 1000000L)).orNull),
+              c.tsUs)
+          else
+            out += project(p.key, clust, "ROW", c.name,
+              cellStruct(c.value, c.tsUs, c.ttlS), null)
+        case t: OldFormat.Tombstone2 =>
+          out += project(p.key, t.start.map(Option(_)),
+            "RANGE_TOMBSTONE_BOUND",
+            if (t.startInclusive) "start:inclusive" else "start:exclusive",
+            null, t.deletionUs)
+          out += project(p.key, t.end.map(Option(_)),
+            "RANGE_TOMBSTONE_BOUND",
+            if (t.endInclusive) "end:inclusive" else "end:exclusive",
+            null, t.deletionUs)
+      }
+      out.result().iterator
+    }
+
     override def next(): Boolean = {
       while (!pending.hasNext && parts.hasNext)
-        pending = expand(parts.next())
+        pending = parts.next()
       if (!pending.hasNext) false
       else { row = pending.next(); true }
     }
@@ -527,9 +593,115 @@ object SSTableBinaryV2 {
   }
 
   /** The bridge-row frame off a big-format data directory — the
-    * binary sibling of `readTree`/`readTreeV2`. */
+    * binary sibling of `readTree`/`readTreeV2`. A declared CQL schema
+    * is REQUIRED for pre-3.0 ("ka"/"la") files, which carry no
+    * serialization header. */
+  def readBinary(spark: SparkSession, root: String,
+      cql: Option[String]): DataFrame = {
+    val r = spark.read.format("sstable-big")
+    cql.foreach(c => r.option("cql", c))
+    r.load(root)
+  }
+
   def readBinary(spark: SparkSession, root: String): DataFrame =
-    spark.read.format("sstable-big").load(root)
+    readBinary(spark, root, None)
+
+  // =====================================================================
+  // 2.x era fixture + audit
+  // =====================================================================
+
+  /** The declared schema of the 2.x fixture (2.x files carry none —
+    * the reference loads live system tables instead,
+    * `Cassandra2TTLRemover.java:48`; we take the v3 modules' CQL
+    * declaration route). */
+  val Cql2x: String = "CREATE TABLE graft.documents " +
+    "(id text, ck text, len text, src text, PRIMARY KEY (id, ck))"
+
+  /** 2.x ("ka") twin of [[writeBinaryFixture]]: the SAME logical
+    * content expressed the pre-3.0 way — partition tombstones are
+    * row-level DeletionTimes, CQL row DELETEs are range tombstones
+    * covering the row's clustering (2.x had no row-deletion atom),
+    * primary-key-only inserts and live rows carry the CQL3 row-marker
+    * cell (empty column name), cells are mask-dispatched atoms with
+    * composite names. One `ka-<gen>-big-Data.db` per file id; no
+    * Statistics.db (that era's metadata carries no header the codec
+    * needs). */
+  def writeOldFixture(spark: SparkSession,
+      sfDir: String): java.nio.file.Path = {
+    import spark.implicits._
+    val out = graft.Scratch.dir("graft-katable-")
+    val outStr = out.toString
+    val hconf = spark.sparkContext.broadcast(
+      new SerializableConfiguration(spark.sessionState.newHadoopConf()))
+    val base = SSTableDumpBridge.TreeBase
+    val nFiles = SSTableDumpBridge.TreeFiles
+    val schema = OldFormat.schemaOfCql(
+      graft.model.CqlSchema.parse(Cql2x)
+        .fold(e => throw new IllegalArgumentException(e), identity))
+    graft.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id").cast("long"), col("source"),
+        col("n_chars").cast("long"))
+      .as[(Long, String, Long)]
+      .groupByKey { case (docId, _, _) => (docId % nFiles).toInt }
+      .mapGroups { (fileId, docs) =>
+        val parts = docs.toArray.sortBy(_._1).map {
+          case (docId, source, nChars) =>
+            val kind = docId % 10
+            val wtSec = base + docId
+            val wtUs = wtSec * 1000000L
+            val ttl =
+              if (docId % 2 == 0 && docId % 100 != 0)
+                Some((docId % 100).toInt)
+              else None
+            val cl = Seq(s"c$docId")
+            val key = docId.toString
+            def marker = OldFormat.Cell2(cl, "", wtUs, ttl,
+              ttl.map(t => (wtSec + t).toInt), Some(""), deleted = false,
+              counter = false)
+            if (kind == 3)
+              OldFormat.Partition2(key, Some(wtUs), Nil)
+            else if (kind == 7)
+              OldFormat.Partition2(key, None, Seq(
+                OldFormat.Tombstone2(cl, startInclusive = true,
+                  cl, endInclusive = true, wtUs)))
+            else if (kind == 5)
+              OldFormat.Partition2(key, None, Seq(marker))
+            else
+              OldFormat.Partition2(key, None, Seq(
+                marker,
+                OldFormat.Cell2(cl, "len", wtUs, ttl,
+                  ttl.map(t => (wtSec + t).toInt), Some(nChars.toString),
+                  deleted = false, counter = false),
+                OldFormat.Cell2(cl, "src", wtUs + 10000000L, ttl,
+                  ttl.map(t => (wtSec + 10 + t).toInt), Some(source),
+                  deleted = false, counter = false)))
+        }
+        val gen = fileId + 1
+        val fs = FileSystem.get(
+          java.net.URI.create(outStr), hconf.value.value)
+        val os = fs.create(
+          new HPath(s"$outStr/documents/ka-$gen-big-Data.db"), true)
+        try os.write(OldFormat.writeDataFile(parts.toSeq, schema))
+        finally os.close()
+        (fileId, parts.length)
+      }
+      .collect()
+    out
+  }
+
+  /** Registered `src_sstable_2x`: the pre-3.0 decode path — the
+    * reference's whole cassandra-2 module re-expressed — under the
+    * per-row_kind audit. Content mirrors the tree fixture; the oracle
+    * replays the 2.x shapes (row DELETEs as range-tombstone pairs,
+    * row markers as PK_LIVENESS on every live row). */
+  def audit2x(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = writeOldFixture(spark, sfDir)
+    val audit = SSTableDumpBridge
+      .auditFrame(readBinary(spark, dir.toString, Some(Cql2x)))
+      .localCheckpoint()
+    graft.Scratch.delete(dir)
+    audit
+  }
 
   // =====================================================================
   // complex-column (collection) fixture + lifecycle

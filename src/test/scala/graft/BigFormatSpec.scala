@@ -526,6 +526,94 @@ class BigFormatSpec extends AnyFunSuite {
   }
 }
 
+/** The 2.x (pre-3.0) codec in isolation: composite names, mask
+  * dispatch, range tombstones, row markers, counters, truncation. */
+class OldFormatSpec extends AnyFunSuite {
+  import graft.sources.OldFormat
+
+  private val schema = OldFormat.Schema(
+    keyType = BigFormat.Utf8Type,
+    clusteringTypes = Seq(BigFormat.Utf8Type),
+    columns = Map("len" -> BigFormat.Utf8Type,
+      "n" -> BigFormat.Int32Type))
+
+  private def roundTrip(p: OldFormat.Partition2): OldFormat.Partition2 = {
+    val bytes = OldFormat.writeDataFile(Seq(p), schema)
+    val got = OldFormat.partitions(schema,
+      new ByteArrayInputStream(bytes), "t2").toSeq
+    assert(got.size === 1)
+    got.head
+  }
+
+  test("2.x cells round-trip: plain, expiring, deleted, counter, row marker") {
+    val ts = 1609459300L * 1000000L
+    val p = OldFormat.Partition2("pk", None, Seq(
+      // CQL3 row marker: empty column name, empty value, row liveness
+      OldFormat.Cell2(Seq("ck1"), "", ts, Some(600), Some(1609459900),
+        Some(""), deleted = false, counter = false),
+      OldFormat.Cell2(Seq("ck1"), "len", ts, Some(600), Some(1609459900),
+        Some("42"), deleted = false, counter = false),
+      // fixed-length int value through the composite name path
+      OldFormat.Cell2(Seq("ck1"), "n", ts + 1, None, None,
+        Some("-7"), deleted = false, counter = false),
+      // deleted cell: value IS the 4-byte local-deletion second
+      OldFormat.Cell2(Seq("ck2"), "len", ts + 2, None, Some(1609459300),
+        None, deleted = true, counter = false)))
+    assert(roundTrip(p) === p)
+  }
+
+  test("2.x range tombstones and partition deletions round-trip with eoc inclusivity") {
+    val del = 1609459400L * 1000000L
+    val partDel = OldFormat.Partition2("gone", Some(del), Nil)
+    assert(roundTrip(partDel) === partDel)
+    val rt = OldFormat.Partition2("p2", None, Seq(
+      OldFormat.Tombstone2(Seq("a"), startInclusive = true,
+        Seq("a"), endInclusive = true, del),
+      OldFormat.Tombstone2(Seq("b"), startInclusive = false,
+        Seq("d"), endInclusive = false, del + 1)))
+    assert(roundTrip(rt) === rt)
+  }
+
+  test("2.x multi-partition files stream in token order; truncation names the file") {
+    val ps = (0 until 50).map(i => OldFormat.Partition2(s"k$i", None, Seq(
+      OldFormat.Cell2(Seq(s"c$i"), "len", 1609459200000000L + i, None,
+        None, Some(i.toString), deleted = false, counter = false))))
+    val bytes = OldFormat.writeDataFile(ps, schema)
+    val keys = OldFormat.partitions(schema,
+      new ByteArrayInputStream(bytes), "t").map(_.key).toVector
+    assert(keys === (0 until 50).map(i => s"k$i")
+      .sortBy(k => BigFormat.murmur3Token(k.getBytes("UTF-8"))))
+    (1 until 40).foreach { keep =>
+      val ex = intercept[java.io.EOFException] {
+        OldFormat.partitions(schema,
+          new ByteArrayInputStream(bytes.take(keep)), "trunc2x").toVector
+      }
+      assert(ex.getMessage.contains("trunc2x"), s"at byte $keep")
+    }
+  }
+
+  test("undeclared columns and counter-update masks reject loudly") {
+    val ts = 1609459300L * 1000000L
+    val bad = OldFormat.Partition2("pk", None, Seq(
+      OldFormat.Cell2(Seq("c"), "mystery", ts, None, None, Some("x"),
+        deleted = false, counter = false)))
+    intercept[IllegalArgumentException] {
+      OldFormat.writeDataFile(Seq(bad), schema)
+    }
+    // decode side: a valid file whose schema no longer declares the
+    // column must raise, never silently misparse the stream
+    val narrow = schema.copy(columns = Map("n" -> BigFormat.Int32Type))
+    val ok = OldFormat.Partition2("pk", None, Seq(
+      OldFormat.Cell2(Seq("c"), "len", ts, None, None, Some("x"),
+        deleted = false, counter = false)))
+    val bytes = OldFormat.writeDataFile(Seq(ok), schema)
+    intercept[UnsupportedOperationException] {
+      OldFormat.partitions(narrow,
+        new ByteArrayInputStream(bytes), "t").toVector
+    }
+  }
+}
+
 /** The loadable-generation components in isolation: index, bloom
   * filter, summary, digest, TOC — each round-tripping through its
   * serialized form, plus the self-consistency the sink relies on. */
@@ -846,6 +934,40 @@ class SSTableBinarySpec extends SparkSpec {
       Scratch.delete(java.nio.file.Paths.get(out1).getParent)
       Scratch.delete(java.nio.file.Paths.get(out2).getParent)
     }
+  }
+
+  test("2.x era: ka fixture decodes through the connector; schema is mandatory and loud") {
+    val dir = SSTableBinaryV2.writeOldFixture(spark, sfDir)
+    try {
+      val frame = SSTableBinaryV2.readBinary(spark, dir.toString,
+        Some(SSTableBinaryV2.Cql2x)).localCheckpoint()
+      val kinds = frame.groupBy("row_kind").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // every 2.x shape surfaces: partition tombstones, RT pairs for
+      // row deletes, row markers as PK_LIVENESS, plain cells as ROW
+      assert(kinds.keySet === Set("PARTITION_DELETION",
+        "RANGE_TOMBSTONE_BOUND", "PK_LIVENESS", "ROW"))
+      assert(kinds("RANGE_TOMBSTONE_BOUND") % 2 === 0)
+      // live rows outnumber pk-only rows; the marker rides EVERY one
+      assert(kinds("PK_LIVENESS") > kinds("RANGE_TOMBSTONE_BOUND") / 2)
+      // the strip works unchanged over the 2.x frame
+      val stripped = frame.withColumn("cell",
+        graft.model.CellModel.stripCellKeepDeletion(col("cell")))
+      assert(frame.filter(col("cell.ttl_s").isNotNull).count() > 0)
+      assert(stripped.filter(col("cell.ttl_s").isNotNull).count() === 0)
+      // four ka files, one task each
+      assert(frame.select("sstable").distinct().count() ===
+        SSTableDumpBridge.TreeFiles)
+      // without a declared schema the read refuses loudly, naming the
+      // era and the option (2.x files carry no serialization header)
+      val ex = intercept[org.apache.spark.SparkException] {
+        SSTableBinaryV2.readBinary(spark, dir.toString).count()
+      }
+      val msg = ex.toString +
+        Option(ex.getCause).map(_.toString).getOrElse("")
+      assert(msg.contains("cql") || msg.contains("2.x"),
+        s"missing-schema error is not actionable: $msg")
+    } finally Scratch.delete(dir)
   }
 
   test("binary sink writes a LOADABLE generation: full component set, index locates every partition, bloom answers") {
