@@ -61,7 +61,8 @@ object RemoverCli {
       writetime: Option[String] = None, ttlKey: Option[String] = None,
       format: String = "parquet", merge: Option[String] = None,
       reader: String = "json", sink: String = "parquet",
-      cqlSchema: Option[graft.model.CqlSchema.Parsed] = None)
+      cqlSchema: Option[graft.model.CqlSchema.Parsed] = None,
+      cqlText: Option[String] = None)
 
   private val Flags = Set("in", "out", "table", "keyspace", "cpus",
     "pk", "ck", "cells", "writetime", "ttl-key", "format", "merge",
@@ -139,11 +140,10 @@ object RemoverCli {
       case Some(cql) =>
         if (a.pk.nonEmpty || a.ck.nonEmpty || a.cells.nonEmpty)
           Left("--cql declares the schema; --pk/--ck/--cells contradict it")
-        else if (a.format != "parquet" &&
-          !(a.format == "sstable" && a.sink == "sstable"))
-          Left("--cql applies to the parquet cell-model path, or to " +
-            "--format sstable --sink sstable (where it types the " +
-            "rewritten SSTables' keys and columns)")
+        else if (a.format != "parquet" && a.format != "sstable")
+          Left("--cql applies to the parquet cell-model path or to " +
+            "--format sstable (where it declares pre-3.0 input " +
+            "schemas and types rewritten SSTables' keys and columns)")
         else graft.model.CqlSchema.parse(cql).flatMap { p =>
           if (p.table != a.table)
             Left(s"--table '${a.table}' contradicts the CQL table " +
@@ -160,7 +160,7 @@ object RemoverCli {
             try {
               graft.sources.SSTableBinaryV2.resolveTyping(p)
               Right(a.copy(keyspace = p.keyspace.getOrElse(a.keyspace),
-                cqlSchema = Some(p)))
+                cqlSchema = Some(p), cqlText = Some(cql)))
             } catch {
               case e: IllegalArgumentException => Left(e.getMessage)
             }
@@ -301,7 +301,9 @@ object RemoverCli {
   private def runSstableSink(spark: SparkSession, args: CliArgs): Long = {
     import org.apache.spark.sql.functions._
     val reader: (SparkSession, String) => org.apache.spark.sql.DataFrame =
-      if (args.format == "sstable") graft.sources.SSTableBinaryV2.readBinary
+      if (args.format == "sstable")
+        (s, p) => graft.sources.SSTableBinaryV2.readBinary(s, p,
+          args.cqlText)
       else if (args.reader == "v2")
         graft.sources.SSTableDumpBridge.readTreeV2
       else graft.sources.SSTableDumpBridge.readTree
@@ -338,7 +340,9 @@ object RemoverCli {
       : (SparkSession, String) => org.apache.spark.sql.DataFrame =
     // `sstable` is the no-pre-pass path: the big-format connector
     // decodes *-Data.db directly into the same bridge-row frame
-    if (args.format == "sstable") graft.sources.SSTableBinaryV2.readBinary
+    if (args.format == "sstable")
+      (s, p) => graft.sources.SSTableBinaryV2.readBinary(s, p,
+        args.cqlText)
     else if (args.reader == "v2") graft.sources.SSTableDumpBridge.readTreeV2
     else if (args.merge.contains("lww"))
       graft.sources.SSTableDumpBridge.readTree

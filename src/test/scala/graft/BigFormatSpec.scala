@@ -970,6 +970,71 @@ class SSTableBinarySpec extends SparkSpec {
     } finally Scratch.delete(dir)
   }
 
+  test("CLI lifecycle: 2.x (ka) input strips into a modern loadable generation — the cassandra-2 module's whole job") {
+    val in = SSTableBinaryV2.writeOldFixture(spark, sfDir)
+    val out = Scratch.dir("graft-ka-up-").toString + "/o"
+    try {
+      val args = RemoverCli.parse(Array(
+        "--in", s"$in/documents", "--out", out, "--table", "documents",
+        "--format", "sstable", "--sink", "sstable",
+        "--cql", SSTableBinaryV2.Cql2x))
+        .fold(e => fail(s"parse failed: $e"), identity)
+      RemoverCli.run(spark, args)
+      // modern (nb) loadable generations out: full component set
+      val dir = java.nio.file.Paths.get(out, "graft", "documents")
+      val names = {
+        val l = java.nio.file.Files.list(dir)
+        try { import scala.jdk.CollectionConverters._
+          l.iterator().asScala.map(_.getFileName.toString)
+            .filterNot(_.startsWith(".")).toVector // hadoop .crc siblings
+        } finally l.close()
+      }
+      assert(names.count(_.endsWith("-Data.db")) ===
+        SSTableDumpBridge.TreeFiles)
+      assert(names.forall(_.startsWith("nb-")))
+      assert(names.exists(_.endsWith("-Filter.db")))
+      assert(names.exists(_.endsWith("-TOC.txt")))
+      // content: TTLs gone, every 2.x shape survived the translation
+      val back = SSTableBinaryV2.readBinary(spark, dir.toString)
+        .localCheckpoint()
+      assert(back.filter(col("cell.ttl_s").isNotNull).count() === 0)
+      val kinds = back.select("row_kind").distinct().collect()
+        .map(_.getString(0)).toSet
+      assert(kinds === Set("PARTITION_DELETION",
+        "RANGE_TOMBSTONE_BOUND", "PK_LIVENESS", "ROW"))
+      val orig = SSTableBinaryV2.readBinary(spark, in.toString,
+        Some(SSTableBinaryV2.Cql2x)).localCheckpoint()
+      // the 2.x row MARKER on a cell-bearing row is absorbed into the
+      // modern row's primary-key liveness — exactly what Cassandra's
+      // own upgradesstables does (3.0+ has no separate marker cell);
+      // pk-ONLY rows keep surfacing as PK_LIVENESS
+      def kindCount(df: org.apache.spark.sql.DataFrame, k: String) =
+        df.filter(col("row_kind") === k).count()
+      assert(kindCount(back, "ROW") === kindCount(orig, "ROW"))
+      assert(kindCount(back, "PARTITION_DELETION") ===
+        kindCount(orig, "PARTITION_DELETION"))
+      assert(kindCount(back, "RANGE_TOMBSTONE_BOUND") ===
+        kindCount(orig, "RANGE_TOMBSTONE_BOUND"))
+      val pkOnly = orig.filter(col("row_kind") === "PK_LIVENESS")
+        .select("partition_key", "clustering")
+        .exceptAll(orig.filter(col("row_kind") === "ROW")
+          .select("partition_key", "clustering").distinct())
+        .count()
+      assert(kindCount(back, "PK_LIVENESS") === pkOnly)
+      assert(pkOnly > 0)
+      // values + writetimes byte-identical through the era upgrade
+      assert(back.filter(col("row_kind") === "ROW")
+        .select("partition_key", "name", "cell.value",
+          "cell.writetime_us")
+        .exceptAll(orig.filter(col("row_kind") === "ROW")
+          .select("partition_key", "name", "cell.value",
+            "cell.writetime_us")).count() === 0)
+    } finally {
+      Scratch.delete(in)
+      Scratch.delete(java.nio.file.Paths.get(out).getParent)
+    }
+  }
+
   test("binary sink writes a LOADABLE generation: full component set, index locates every partition, bloom answers") {
     import graft.sources.SSTableComponents
     val in = SSTableBinaryV2.writeBinaryFixture(spark, sfDir)
