@@ -62,11 +62,12 @@ object RemoverCli {
       format: String = "parquet", merge: Option[String] = None,
       reader: String = "json", sink: String = "parquet",
       cqlSchema: Option[graft.model.CqlSchema.Parsed] = None,
-      cqlText: Option[String] = None)
+      cqlText: Option[String] = None,
+      compress: Option[String] = None)
 
   private val Flags = Set("in", "out", "table", "keyspace", "cpus",
     "pk", "ck", "cells", "writetime", "ttl-key", "format", "merge",
-    "reader", "sink", "cql")
+    "reader", "sink", "cql", "compress")
 
   private def csv(v: String): Seq[String] =
     v.split(',').map(_.trim).filter(_.nonEmpty).toSeq
@@ -107,7 +108,8 @@ object RemoverCli {
                   format = m.getOrElse("format", "parquet"),
                   merge = m.get("merge"),
                   reader = m.getOrElse("reader", "json"),
-                  sink = m.getOrElse("sink", "parquet"))
+                  sink = m.getOrElse("sink", "parquet"),
+                  compress = m.get("compress").map(_.toLowerCase))
                 applyCql(args, m)
                   .flatMap(validateFormat).flatMap(validateMerge)
                   .flatMap(validateReader).flatMap(validateSink)
@@ -218,13 +220,31 @@ object RemoverCli {
     * ONE compacted generation — a major compaction) instead of the
     * parquet lake layout. Only the dump-family formats carry the
     * cell model the binary writer serializes. */
+  /** CLI compressor names → Cassandra compressor class simple names
+    * (the table-schema `compression.class` values). */
+  private val Compressors = Map(
+    "lz4" -> graft.sources.CompressedData.Lz4,
+    "snappy" -> graft.sources.CompressedData.Snappy,
+    "deflate" -> graft.sources.CompressedData.Deflate,
+    "zstd" -> graft.sources.CompressedData.Zstd)
+
   private def validateSink(a: CliArgs): Either[String, CliArgs] =
     a.sink match {
-      case "parquet" => Right(a)
+      case "parquet" =>
+        if (a.compress.nonEmpty)
+          Left("--compress applies to --sink sstable (parquet has its " +
+            "own codec config)")
+        else Right(a)
       case "sstable" =>
-        if (isDump(a)) Right(a)
-        else Left("--sink sstable requires --format sstabledump|sstable " +
-          "(parquet input has no SSTable cell model to re-serialize)")
+        if (!isDump(a))
+          Left("--sink sstable requires --format sstabledump|sstable " +
+            "(parquet input has no SSTable cell model to re-serialize)")
+        else a.compress match {
+          case Some(c) if !Compressors.contains(c) =>
+            Left(s"unknown --compress '$c' (expected " +
+              s"${Compressors.keys.toSeq.sorted.mkString("|")})")
+          case _ => Right(a)
+        }
       case other => Left(s"unknown --sink '$other' (expected parquet or sstable)")
     }
 
@@ -321,14 +341,14 @@ object RemoverCli {
         lit(s"${args.table}/nb-1-big-Data.db").as("sstable"))
       graft.sources.SSTableBinaryV2
         .writeSSTables(reshaped, args.out, args.keyspace, args.table,
-          args.cqlSchema)
+          args.cqlSchema, args.compress.map(Compressors))
         .map(_._2).sum
     } else {
       val stripped = reader(spark, args.in).withColumn("cell",
         graft.model.CellModel.stripCellKeepDeletion(col("cell")))
       graft.sources.SSTableBinaryV2
         .writeSSTables(stripped, args.out, args.keyspace, args.table,
-          args.cqlSchema)
+          args.cqlSchema, args.compress.map(Compressors))
         .map(_._2).sum
     }
   }

@@ -1069,13 +1069,18 @@ object SSTableBinaryV2 {
 
   def writeSSTables(cells: DataFrame, outDir: String, keyspace: String,
       table: String,
-      schema: Option[graft.model.CqlSchema.Parsed] = None)
+      schema: Option[graft.model.CqlSchema.Parsed] = None,
+      compression: Option[String] = None)
       : Seq[(String, Long)] = {
     val spark = cells.sparkSession
     import spark.implicits._
     // CQL typing resolves (and rejects) ON THE DRIVER, before any
-    // task runs; None = the value-opaque default (text everywhere)
+    // task runs; None = the value-opaque default (text everywhere).
+    // Compression likewise validates up front.
     val typing: Option[SinkTyping] = schema.map(resolveTyping)
+    compression.foreach(c => require(CompressedData.Supported(c),
+      s"unsupported sink compressor '$c' (supported: " +
+        s"${CompressedData.Supported.toSeq.sorted.mkString(", ")})"))
     val hconf = spark.sparkContext.broadcast(
       new SerializableConfiguration(spark.sessionState.newHadoopConf()))
     val selected = cells
@@ -1323,7 +1328,8 @@ object SSTableBinaryV2 {
         // `Cassandra3TTLRemoverTest.java:168-176`)
         val (dataBytes, index) =
           BigFormat.writeDataFileIndexed(parts, header)
-        SSTableComponents.buildAll(dataBytes, index, header)
+        SSTableComponents.buildAll(dataBytes, index, header,
+          compression = compression)
           .foreach { case (comp, bytes) =>
             write(s"nb-$gen-big-$comp", bytes)
           }

@@ -231,18 +231,49 @@ object SSTableComponents {
   }
 
   /** The component set this sink writes, TOC.txt included (as
-    * Cassandra's own TOC lists itself). */
+    * Cassandra's own TOC lists itself); compressed generations add
+    * CompressionInfo.db. */
   val Components: Seq[String] = Seq("Data.db", "Statistics.db",
     "Index.db", "Filter.db", "Summary.db", "Digest.crc32", "TOC.txt")
 
-  def writeTOC(): Array[Byte] =
-    Components.mkString("", "\n", "\n").getBytes(UTF_8)
+  def writeTOC(compressed: Boolean = false): Array[Byte] =
+    (if (compressed) Components :+ "CompressionInfo.db" else Components)
+      .mkString("", "\n", "\n").getBytes(UTF_8)
+
+  /** Default output chunk length — Cassandra 4.1's
+    * chunk_length_in_kb default. */
+  val ChunkLength: Int = 16 * 1024
 
   /** Every per-generation artifact, built from one indexed encode:
-    * name → bytes, ready for the sink's file loop. */
+    * name → bytes, ready for the sink's file loop. With `compression`
+    * the Data.db bytes are chunk-compressed and CompressionInfo.db
+    * joins the set; Index.db positions stay UNCOMPRESSED offsets
+    * (Cassandra's contract — `CompressionMetadata.chunkFor` maps
+    * them at read time) and Digest.crc32 covers the AS-ON-DISK
+    * (compressed) bytes. */
   def buildAll(dataBytes: Array[Byte], index: Seq[(Array[Byte], Long)],
       header: BigFormat.Header,
-      checksummedStats: Boolean = true): Seq[(String, Array[Byte])] = {
+      checksummedStats: Boolean = true,
+      compression: Option[String] = None): Seq[(String, Array[Byte])] = {
+    compression match {
+      case None => buildAll0(dataBytes, index, header, checksummedStats)
+      case Some(comp) =>
+        val (cbytes, meta) =
+          CompressedData.compress(dataBytes, ChunkLength, comp)
+        buildAll0(dataBytes, index, header, checksummedStats,
+          dataOnDisk = cbytes,
+          extra = Seq("CompressionInfo.db" ->
+            CompressedData.writeMeta(meta,
+              hasMaxCompressedSize = true)))
+    }
+  }
+
+  private def buildAll0(dataBytes: Array[Byte],
+      index: Seq[(Array[Byte], Long)], header: BigFormat.Header,
+      checksummedStats: Boolean,
+      dataOnDisk: Array[Byte] = null,
+      extra: Seq[(String, Array[Byte])] = Nil)
+      : Seq[(String, Array[Byte])] = {
     val indexBytes = writeIndex(index)
     // Index.db positions of each entry (for summary sampling)
     val idxPositions = {
@@ -264,13 +295,14 @@ object SSTableComponents {
       if (index.isEmpty) Array.emptyByteArray
       else writeSummary(sampled, index.size.toLong,
         index.head._1, index.last._1)
+    val onDisk = if (dataOnDisk == null) dataBytes else dataOnDisk
     Seq(
-      "Data.db" -> dataBytes,
+      "Data.db" -> onDisk,
       "Statistics.db" -> BigFormat.writeStats(header, checksummedStats),
       "Index.db" -> indexBytes,
       "Filter.db" -> writeFilter(bloom),
       "Summary.db" -> summary,
-      "Digest.crc32" -> writeDigest(dataBytes),
-      "TOC.txt" -> writeTOC())
+      "Digest.crc32" -> writeDigest(onDisk),
+      "TOC.txt" -> writeTOC(compressed = extra.nonEmpty)) ++ extra
   }
 }

@@ -1035,6 +1035,67 @@ class SSTableBinarySpec extends SparkSpec {
     }
   }
 
+  test("compressed sink output: --compress lz4 writes chunked generations the reader round-trips") {
+    val in = SSTableBinaryV2.writeBinaryFixture(spark, sfDir)
+    val outC = Scratch.dir("graft-csink-").toString + "/o"
+    val outP = Scratch.dir("graft-psink-").toString + "/o"
+    try {
+      def cli(out: String, extra: String*) = {
+        val args = RemoverCli.parse(Array("--in", in.toString,
+          "--out", out, "--table", "documents", "--format", "sstable",
+          "--sink", "sstable") ++ extra)
+          .fold(e => fail(s"parse failed: $e"), identity)
+        RemoverCli.run(spark, args)
+      }
+      cli(outC, "--compress", "lz4")
+      cli(outP)
+      val dirC = java.nio.file.Paths.get(outC, "graft", "documents")
+      def files(dir: java.nio.file.Path, suffix: String) = {
+        val l = java.nio.file.Files.list(dir)
+        try { import scala.jdk.CollectionConverters._
+          l.iterator().asScala
+            .filter(_.getFileName.toString.endsWith(suffix)).toVector
+        } finally l.close()
+      }
+      // every generation carries CompressionInfo.db, its TOC lists it,
+      // and the compressed Data.db beats the plain twin's size
+      assert(files(dirC, "-CompressionInfo.db").size ===
+        SSTableDumpBridge.TreeFiles)
+      val toc = new String(java.nio.file.Files.readAllBytes(
+        files(dirC, "-TOC.txt").head), "UTF-8")
+      assert(toc.contains("CompressionInfo.db"))
+      val dirP = java.nio.file.Paths.get(outP, "graft", "documents")
+      val sizeC = files(dirC, "-Data.db").map(java.nio.file.Files.size).sum
+      val sizeP = files(dirP, "-Data.db").map(java.nio.file.Files.size).sum
+      assert(sizeC < sizeP, s"compressed $sizeC !< plain $sizeP")
+      // digest covers the AS-ON-DISK (compressed) bytes
+      val d0 = files(dirC, "-Data.db").head
+      val crc = new java.util.zip.CRC32()
+      crc.update(java.nio.file.Files.readAllBytes(d0))
+      val digest = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(d0.toString.stripSuffix("Data.db")
+          + "Digest.crc32")), "UTF-8")
+      assert(digest === crc.getValue.toString)
+      // the frames are identical: compression is pure transport on
+      // the write side exactly as on the read side
+      val a = SSTableBinaryV2.readBinary(spark, dirC.toString)
+      val b = SSTableBinaryV2.readBinary(spark, dirP.toString)
+      assert(a.count() > 0)
+      assert(a.exceptAll(b).count() === 0)
+      assert(b.exceptAll(a).count() === 0)
+      // bad compressor names reject at parse time
+      assert(RemoverCli.parse(Array("--in", "x", "--out", "y",
+        "--table", "t", "--format", "sstable", "--sink", "sstable",
+        "--compress", "brotli")).isLeft)
+      assert(RemoverCli.parse(Array("--in", "x", "--out", "y",
+        "--table", "t", "--compress", "lz4")).isLeft)
+    } finally {
+      Scratch.delete(in)
+      Scratch.delete(java.nio.file.Paths.get(outC).getParent)
+      Scratch.delete(java.nio.file.Paths.get(outP).getParent)
+    }
+  }
+
   test("binary sink writes a LOADABLE generation: full component set, index locates every partition, bloom answers") {
     import graft.sources.SSTableComponents
     val in = SSTableBinaryV2.writeBinaryFixture(spark, sfDir)
