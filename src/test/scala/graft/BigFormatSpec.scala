@@ -970,6 +970,54 @@ class SSTableBinarySpec extends SparkSpec {
     } finally Scratch.delete(dir)
   }
 
+  test("2.x era: three-era lake (ka + me + nb) decodes in ONE scan; ka micro-batches stream") {
+    // an upgrade-in-progress cluster's data dir spans eras; per-file
+    // version detection must route each file to its codec in one read
+    val ka = SSTableBinaryV2.writeOldFixture(spark, sfDir)
+    val me = SSTableBinaryV2.writeBinaryFixture(spark, sfDir, "me")
+    val nb = SSTableBinaryV2.writeBinaryFixture(spark, sfDir, "nb")
+    val mixed = Scratch.dir("graft-three-era-")
+    try {
+      def cp(src: java.nio.file.Path): Unit = {
+        val t = java.nio.file.Files.list(src.resolve("documents"))
+        try t.forEach { f =>
+          val dest = mixed.resolve("documents")
+          java.nio.file.Files.createDirectories(dest)
+          java.nio.file.Files.copy(f, dest.resolve(f.getFileName))
+        } finally t.close()
+      }
+      cp(ka); cp(me); cp(nb)
+      val all = SSTableBinaryV2.readBinary(spark, mixed.toString,
+        Some(SSTableBinaryV2.Cql2x)).localCheckpoint()
+      val kaRows = SSTableBinaryV2.readBinary(spark, ka.toString,
+        Some(SSTableBinaryV2.Cql2x)).count()
+      val meRows = SSTableBinaryV2.readBinary(spark, me.toString).count()
+      val nbRows = SSTableBinaryV2.readBinary(spark, nb.toString).count()
+      assert(all.count() === kaRows + meRows + nbRows)
+      assert(all.select("sstable").distinct().count() ===
+        3 * SSTableDumpBridge.TreeFiles)
+      // and the 2.x files stream through the SAME micro-batch source
+      // (the cql option rides the stream's scan options)
+      val outDir = Scratch.dir("graft-ka-stream-")
+      val q = spark.readStream.format("sstable-big")
+        .option("cql", SSTableBinaryV2.Cql2x)
+        .option("maxFilesPerTrigger", "2")
+        .load(ka.toString)
+        .writeStream.format("memory").queryName("ka_stream")
+        .option("checkpointLocation", s"$outDir/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      val streamed = spark.table("ka_stream").count()
+      Scratch.delete(outDir)
+      assert(streamed === kaRows,
+        s"streamed $streamed of $kaRows 2.x rows")
+    } finally {
+      Scratch.delete(ka); Scratch.delete(me); Scratch.delete(nb)
+      Scratch.delete(mixed)
+    }
+  }
+
   test("CLI lifecycle: 2.x (ka) input strips into a modern loadable generation — the cassandra-2 module's whole job") {
     val in = SSTableBinaryV2.writeOldFixture(spark, sfDir)
     val out = Scratch.dir("graft-ka-up-").toString + "/o"
