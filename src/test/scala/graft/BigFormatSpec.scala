@@ -592,6 +592,67 @@ class OldFormatSpec extends AnyFunSuite {
     }
   }
 
+  test("property: arbitrary 2.x partitions round-trip bit-exactly (ScalaCheck)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val epoch = 1609459200L * 1000000L
+    val genStr: Gen[String] = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(10)),
+      Gen.const("päx→1"),
+      Gen.listOfN(2, Gen.choose(0x21.toChar, 0x2fff.toChar)).map(_.mkString))
+    val genCell: Gen[OldFormat.Cell2] = for {
+      cl <- genStr.suchThat(_.nonEmpty)
+      nm <- Gen.oneOf("len", "n", "") // "" = row marker
+      dt <- Gen.chooseNum(-86400000000L, 86400000000L)
+      shape <- Gen.chooseNum(0, 3)
+      v <- genStr
+    } yield {
+      val value = if (nm == "n") "1234567" else v
+      shape match {
+        case 0 => OldFormat.Cell2(Seq(cl), nm, epoch + dt, None, None,
+          Some(if (nm == "") "" else value), deleted = false,
+          counter = false)
+        case 1 => OldFormat.Cell2(Seq(cl), nm, epoch + dt, Some(600),
+          Some(1609459900), Some(if (nm == "") "" else value),
+          deleted = false, counter = false)
+        case 2 => OldFormat.Cell2(Seq(cl), if (nm == "") "len" else nm,
+          epoch + dt, None, Some(1609459300), None, deleted = true,
+          counter = false)
+        case _ => OldFormat.Cell2(Seq(cl), if (nm == "") "len" else nm,
+          epoch + dt, None, None, Some("00aaff17"), deleted = false,
+          counter = true)
+      }
+    }
+    val genTomb: Gen[OldFormat.Tombstone2] = for {
+      a <- genStr.suchThat(_.nonEmpty)
+      b <- genStr.suchThat(_.nonEmpty)
+      si <- Gen.oneOf(true, false)
+      ei <- Gen.oneOf(true, false)
+      dt <- Gen.chooseNum(0L, 86400000000L)
+    } yield OldFormat.Tombstone2(Seq(a), si, Seq(b), ei, epoch + dt)
+    val genPart: Gen[OldFormat.Partition2] = for {
+      key <- Gen.identifier.map(_.take(16)).suchThat(_.nonEmpty)
+      del <- Gen.option(Gen.chooseNum(0L, 86400000000L).map(epoch + _))
+      cells <- Gen.listOfN(3, genCell)
+      tombs <- Gen.listOfN(1, genTomb)
+    } yield OldFormat.Partition2(key, del, cells ++ tombs)
+    val s2 = OldFormat.Schema(BigFormat.Utf8Type,
+      Seq(BigFormat.Utf8Type),
+      Map("len" -> BigFormat.Utf8Type, "n" -> BigFormat.Int32Type))
+    (1 to 40).foreach { seed =>
+      val ps = Gen.listOfN(4, genPart)
+        .apply(Gen.Parameters.default, Seed(seed.toLong))
+        .getOrElse(sys.error("gen failed"))
+        .distinctBy(_.key)
+      val bytes = OldFormat.writeDataFile(ps, s2)
+      val back = OldFormat.partitions(s2,
+        new ByteArrayInputStream(bytes), s"prop2x-$seed").toSeq
+      val expected = ps.sortBy(p =>
+        (BigFormat.murmur3Token(p.key.getBytes("UTF-8")), p.key))
+      assert(back === expected, s"seed $seed")
+    }
+  }
+
   test("undeclared columns and counter-update masks reject loudly") {
     val ts = 1609459300L * 1000000L
     val bad = OldFormat.Partition2("pk", None, Seq(
