@@ -47,7 +47,9 @@ import org.apache.spark.sql.SparkSession
   *     [--keyspace <ks>] [--cpus <n>]
   *     [--format parquet|sstabledump|sstable]
   *     [--merge lww] [--reader json|v2] [--sink parquet|sstable]
-  *     [--cql "CREATE TABLE ..." --writetime <col>]
+  *     [--compress lz4|snappy|deflate|zstd]   (sstable sink output)
+  *     [--cql "CREATE TABLE ..."]  (parquet cell model; 2.x binary
+  *       input schema; typed binary sink output)
   *     [--pk <cols> --ck <cols> --cells <cols> --writetime <col>
   *      --ttl-key <col>]
   */
@@ -376,6 +378,7 @@ object RemoverCli {
           " [--keyspace <ks>] [--cpus <n>]" +
           " [--format parquet|sstabledump|sstable]" +
           " [--merge lww] [--reader json|v2] [--sink parquet|sstable]" +
+          " [--compress lz4|snappy|deflate|zstd]" +
           " [--cql \"CREATE TABLE ...\" --writetime <col>]" +
           " [--pk <cols> --ck <cols> --cells <cols> --writetime <col>" +
           " --ttl-key <col>]")
