@@ -211,6 +211,20 @@ object SSTableBinaryV2 {
     * and skipping the new one. Generation-numeric order restores it:
     * a compaction feed's generations are monotonically increasing, so
     * every new file sorts strictly after all seen ones. */
+  /** Format-version token of an SSTable filename. New-style (2.2+)
+    * names are `<version>-<gen>-big-<Component>`; OLD-style (≤2.1,
+    * the "ka"/"jb" eras) are `<ks>-<cf>-<version>-<gen>-<Component>`
+    * with the version third-from-last — real 2.1 files in the wild
+    * carry their keyspace/table in the name, so taking the first
+    * token would misread the era. (A keyspace literally named "big"
+    * defeats the discriminator; Cassandra's own Descriptor has the
+    * same new-style marker.) */
+  private[graft] def versionOf(name: String): String = {
+    val parts = name.split('-')
+    if (parts.contains("big") || parts.length < 3) parts.head
+    else parts(parts.length - 3)
+  }
+
   private[graft] def generationSortKey(path: String): (String, Long, String) = {
     val slash = path.lastIndexOf('/')
     val dir = if (slash < 0) "" else path.substring(0, slash)
@@ -246,7 +260,7 @@ object SSTableBinaryV2 {
     // maxCompressedSize word, the m-series (3.x) does not — the row
     // codec itself is the same 3.0 storage engine either way, so one
     // decoder serves both eras
-    private val version = file.split('/').last.split('-').head
+    private val version = versionOf(file.split('/').last)
     private def sibling(suffix: String): HPath =
       new HPath(file.stripSuffix("-Data.db") + suffix)
     private def readSibling(path: HPath): Array[Byte] = {
@@ -680,7 +694,8 @@ object SSTableBinaryV2 {
         val fs = FileSystem.get(
           java.net.URI.create(outStr), hconf.value.value)
         val os = fs.create(
-          new HPath(s"$outStr/documents/ka-$gen-big-Data.db"), true)
+          new HPath(s"$outStr/documents/graft-documents-ka-$gen-Data.db"),
+          true)
         try os.write(OldFormat.writeDataFile(parts.toSeq, schema))
         finally os.close()
         (fileId, parts.length)

@@ -509,6 +509,17 @@ class BigFormatSpec extends AnyFunSuite {
     assert(badMeta.nonEmpty)
   }
 
+  test("filename era detection: new-style vs old-style (≤2.1) names") {
+    assert(SSTableBinaryV2.versionOf("nb-1-big-Data.db") === "nb")
+    assert(SSTableBinaryV2.versionOf("me-12-big-Statistics.db") === "me")
+    // real 2.1 files carry keyspace/table in the name; the version
+    // sits third-from-last
+    assert(SSTableBinaryV2.versionOf(
+      "mykeyspace-mytable-ka-3-Data.db") === "ka")
+    assert(SSTableBinaryV2.versionOf("graft-documents-jb-1-Data.db")
+      === "jb")
+  }
+
   test("listing order is generation-numeric, not lexicographic") {
     // gen 10 sorts AFTER gen 2 — the streaming-offset stability
     // contract for generation-numbered landing zones
