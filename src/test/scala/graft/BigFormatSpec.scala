@@ -475,6 +475,40 @@ class BigFormatSpec extends AnyFunSuite {
     }
   }
 
+  test("chunks stored raw past maxCompressedSize pass through verified") {
+    import graft.sources.CompressedData
+    // craft a compressed file where chunk 1 is STORED RAW (the
+    // n-series min_compress_ratio path): its slot holds the plain
+    // bytes + CRC, and the reader must pass it through because its
+    // length reaches maxCompressedSize — no LZ4 decode attempt
+    val rng = new scala.util.Random(7)
+    val chunk0 = Array.fill(4096)('a'.toByte) // compresses well
+    val chunk1 = Array.fill(4096)((rng.nextInt(256) - 128).toByte)
+    val (c0, _) = CompressedData.compress(chunk0, 4096)
+    def crc(b: Array[Byte]): Int = {
+      val c = new java.util.zip.CRC32(); c.update(b); c.getValue.toInt
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val d = new DataOutputStream(bos)
+    // slot 0: the LZ4-compressed form of chunk0 (reuse compress's)
+    val slot0 = java.util.Arrays.copyOfRange(c0, 0, c0.length - 4)
+    d.write(slot0); d.writeInt(crc(slot0))
+    val off1 = bos.size().toLong
+    d.write(chunk1); d.writeInt(crc(chunk1)) // slot 1: raw
+    val bytes = bos.toByteArray
+    val meta = CompressedData.Meta(CompressedData.Lz4, Map.empty,
+      4096, maxCompressedSize = 4096, dataLength = 8192,
+      offsets = Array(0L, off1))
+    val in = new java.io.DataInputStream(
+      CompressedData.decompressingStream(
+        new ByteArrayInputStream(bytes), bytes.length, meta, "t"))
+    val got = new Array[Byte](8192)
+    in.readFully(got)
+    assert(in.read() === -1)
+    assert(got.take(4096).toSeq === chunk0.toSeq)
+    assert(got.drop(4096).toSeq === chunk1.toSeq)
+  }
+
   test("compressed chunk corruption and unknown compressors raise loudly") {
     import graft.sources.CompressedData
     val raw = Array.fill(50000)('x'.toByte)
@@ -1423,6 +1457,51 @@ class SSTableBinarySpec extends SparkSpec {
           frame.filter(col("name") === "hits").select("cell.value"))
         .count() === 0)
     } finally { Scratch.delete(in); Scratch.delete(out) }
+  }
+
+  test("typed sink honors declared STATIC columns and rejects static/regular disagreement") {
+    import spark.implicits._
+    val cql = "CREATE TABLE graft.t (id text, ck text, " +
+      "stitle text static, len text, PRIMARY KEY (id, ck))"
+    val parsed = graft.model.CqlSchema.parse(cql)
+      .fold(e => fail(e), identity)
+    val wt = 1609459200L * 1000000L
+    def mk(rows: Seq[(String, Seq[String], String, Option[String])]) =
+      rows.map { case (pk, cl, kind, name) =>
+        (pk, cl, kind, name,
+          Some(("v", wt, None: Option[Int], None: Option[Long])),
+          None: Option[Long], "t/nb-1-big-Data.db")
+      }.toDF("partition_key", "clustering", "row_kind", "name",
+        "cell_t", "deletion_us", "sstable")
+        .withColumn("cell", org.apache.spark.sql.functions.struct(
+          col("cell_t._1").as("value"),
+          col("cell_t._2").as("writetime_us"),
+          col("cell_t._3").as("ttl_s"), col("cell_t._4").as("expire_us")))
+        .drop("cell_t")
+    val good = mk(Seq(
+      ("p1", null, "ROW", Some("stitle")), // static: NULL clustering
+      ("p1", Seq("c1"), "ROW", Some("len"))))
+    val out = Scratch.dir("graft-cqlstatic-")
+    try {
+      SSTableBinaryV2.writeSSTables(good, out.toString, "graft", "t",
+        Some(parsed))
+      val back = SSTableBinaryV2.readBinary(spark, out.toString)
+      val rows = back.select("partition_key", "clustering", "name")
+        .collect().map(r => (r.getString(0),
+          Option(r.getSeq[String](1)).map(_.toSeq), r.getString(2)))
+      assert(rows.toSet === Set(
+        ("p1", None, "stitle"), ("p1", Some(Seq("c1")), "len")))
+      // a declared-STATIC column arriving on a CLUSTERED row is a
+      // contradiction, refused with the column named
+      val bad = mk(Seq(("p1", Seq("c1"), "ROW", Some("stitle"))))
+      val ex = intercept[org.apache.spark.SparkException] {
+        SSTableBinaryV2.writeSSTables(bad, out.toString + "-x",
+          "graft", "t", Some(parsed))
+      }
+      assert((ex.toString +
+        Option(ex.getCause).map(_.toString).getOrElse(""))
+        .contains("stitle"))
+    } finally Scratch.delete(out)
   }
 
   test("binary sink: unknown row_kind refuses the write loudly") {
