@@ -326,6 +326,20 @@ class PlanSpec extends SparkSpec {
       s"document text reaches a shuffle:\n$shuffles")
   }
 
+  test("exact-substring dedup shuffles window hashes, never text; no pair blow-up") {
+    val p = plan(graft.ops.DedupOps.substringExact(spark, sfDir))
+    val shuffles = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!shuffles.contains("text"),
+      s"document text reaches a shuffle:\n$shuffles")
+    // the islands merge must key per document — the only window in
+    // the plan partitions by doc_id (never an unpartitioned sort)
+    val winLines = p.linesIterator.filter(_.contains("Window")).mkString("\n")
+    assert(winLines.isEmpty || winLines.contains("doc_id"),
+      s"islands window not doc-partitioned:\n$winLines")
+    assert(!p.contains("CartesianProduct"),
+      s"exact-substring plan went quadratic:\n$p")
+  }
+
   test("semdedup: one cell-keyed aggregation, no corpus self-join") {
     val p = plan(graft.ops.SimilarityOps.semDedup(spark, sfDir))
     assert(!p.contains("SortMergeJoin") && !p.contains("Cartesian"),
