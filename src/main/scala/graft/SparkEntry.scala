@@ -134,6 +134,7 @@ object SparkEntry {
     "src_sstable_binary_3x" -> (sources.SSTableBinaryV2.binaryAudit3x _),
     "src_sstable_binary_lz4" -> (sources.SSTableBinaryV2.binaryAuditLz4 _),
     "src_sstable_2x" -> (sources.SSTableBinaryV2.audit2x _),
+    "src_sstable_2x_upgrade" -> (sources.SSTableBinaryV2.upgrade2x _),
     "src_sstable_roundtrip" -> (sources.SSTableBinaryV2.binaryRoundtrip _),
     "src_sstable_complex" -> (sources.SSTableBinaryV2.complexLifecycle _),
     "src_sstable_static" -> (sources.SSTableBinaryV2.staticLifecycle _),
@@ -2645,6 +2646,42 @@ object SparkEntry {
       | count(DISTINCT f) AS n_sstables,
       | CAST(sum(wt2) AS BIGINT) AS sum_wt_off_us,
       | CAST(sum(ttl2) AS BIGINT) AS sum_ttl_s,
+      | CAST(sum(del) AS BIGINT) AS sum_del_off_us,
+      | CAST(sum(vc) AS BIGINT) AS sum_value_chars
+      |FROM r GROUP BY 1""".stripMargin,
+    // the era-UPGRADE lifecycle: the 2.x oracle with (a) every TTL
+    // nulled (the strip) and (b) PK_LIVENESS collapsed to pk-only
+    // rows — a 2.x row marker on a cell-bearing row becomes the
+    // modern row's primary-key liveness (upgradesstables semantics),
+    // so its separate bridge row disappears while ROW/tombstone
+    // counts and every writetime/value sum are conserved
+    "src_sstable_2x_upgrade" -> """
+      |WITH d AS (
+      | SELECT CAST(doc_id AS BIGINT) AS doc_id, source, n_chars,
+      |  doc_id % 10 AS k, doc_id % 4 AS f,
+      |  doc_id * 1000000 AS wt
+      | FROM documents),
+      |r AS (
+      | SELECT 'PARTITION_DELETION' AS row_kind, f, NULL AS wt2,
+      |   wt AS del, NULL AS vc FROM d WHERE k = 3
+      | UNION ALL
+      | SELECT 'RANGE_TOMBSTONE_BOUND', f, NULL, wt, NULL
+      | FROM d WHERE k = 7
+      | UNION ALL
+      | SELECT 'RANGE_TOMBSTONE_BOUND', f, NULL, wt, NULL
+      | FROM d WHERE k = 7
+      | UNION ALL
+      | SELECT 'PK_LIVENESS', f, wt, NULL, NULL FROM d WHERE k = 5
+      | UNION ALL
+      | SELECT 'ROW', f, wt, NULL,
+      |   length(CAST(n_chars AS VARCHAR)) FROM d WHERE k NOT IN (3,5,7)
+      | UNION ALL
+      | SELECT 'ROW', f, wt + 10000000, NULL, length(source)
+      | FROM d WHERE k NOT IN (3,5,7))
+      |SELECT row_kind, count(*) AS n_rows,
+      | count(DISTINCT f) AS n_sstables,
+      | CAST(sum(wt2) AS BIGINT) AS sum_wt_off_us,
+      | CAST(NULL AS BIGINT) AS sum_ttl_s,
       | CAST(sum(del) AS BIGINT) AS sum_del_off_us,
       | CAST(sum(vc) AS BIGINT) AS sum_value_chars
       |FROM r GROUP BY 1""".stripMargin,

@@ -718,6 +718,32 @@ object SSTableBinaryV2 {
     audit
   }
 
+  /** Registered `src_sstable_2x_upgrade`: the reference cassandra-2
+    * module's WHOLE lifecycle plus an era upgrade — ka files →
+    * declared-schema decode → TTL strip → typed modern loadable
+    * generations → re-read → audit. The upgrade's one semantic
+    * translation (Cassandra's own `upgradesstables` rule): a 2.x
+    * row-marker cell on a cell-bearing row becomes the modern row's
+    * primary-key liveness (3.0+ has no separate marker cell), so
+    * only pk-ONLY rows still surface as PK_LIVENESS; every value,
+    * writetime and tombstone survives bit-identically, every TTL is
+    * gone. */
+  def upgrade2x(spark: SparkSession, sfDir: String): DataFrame = {
+    val in = writeOldFixture(spark, sfDir)
+    val out = graft.Scratch.dir("graft-2xup-")
+    val stripped = readBinary(spark, in.toString, Some(Cql2x))
+      .withColumn("cell",
+        graft.model.CellModel.stripCellKeepDeletion(col("cell")))
+    writeSSTables(stripped, out.toString, "graft", "documents",
+      graft.model.CqlSchema.parse(Cql2x).toOption)
+    graft.Scratch.delete(in)
+    val audit = SSTableDumpBridge
+      .auditFrame(readBinary(spark, out.toString))
+      .localCheckpoint()
+    graft.Scratch.delete(out)
+    audit
+  }
+
   // =====================================================================
   // complex-column (collection) fixture + lifecycle
   // =====================================================================
