@@ -124,7 +124,12 @@ object OldFormat {
   /** Decode a composite name blob: components as
     * [short len][bytes][eoc]; returns (clustering values, column
     * name, eoc of the LAST component). A clusteringless table's name
-    * is the bare column bytes (no composite framing). */
+    * is decoded as COMPACT-STORAGE bare column bytes (no composite
+    * framing) — the thrift-era table shape; a CQL3 non-compact table
+    * with zero clustering columns (whose names are composite-framed
+    * single components) is outside this subset, a declared-schema
+    * mismatch that surfaces as an unknown-column loud reject rather
+    * than a misparse. */
   private def decodeName(bytes: Array[Byte], s: Schema,
       file: String): (Seq[String], String, Int) = {
     if (s.clusteringTypes.isEmpty)
