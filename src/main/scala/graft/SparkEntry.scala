@@ -135,6 +135,7 @@ object SparkEntry {
     "src_sstable_binary_lz4" -> (sources.SSTableBinaryV2.binaryAuditLz4 _),
     "src_sstable_2x" -> (sources.SSTableBinaryV2.audit2x _),
     "src_sstable_2x_upgrade" -> (sources.SSTableBinaryV2.upgrade2x _),
+    "src_sstable_point" -> (sources.SSTableBinaryV2.pointLookup _),
     "src_sstable_roundtrip" -> (sources.SSTableBinaryV2.binaryRoundtrip _),
     "src_sstable_complex" -> (sources.SSTableBinaryV2.complexLifecycle _),
     "src_sstable_static" -> (sources.SSTableBinaryV2.staticLifecycle _),
@@ -2636,6 +2637,38 @@ object SparkEntry {
       | UNION ALL
       | SELECT 'PK_LIVENESS', f, wt, ttl, NULL, NULL
       | FROM d WHERE k NOT IN (3, 7)
+      | UNION ALL
+      | SELECT 'ROW', f, wt, ttl, NULL,
+      |   length(CAST(n_chars AS VARCHAR)) FROM d WHERE k NOT IN (3,5,7)
+      | UNION ALL
+      | SELECT 'ROW', f, wt + 10000000, ttl, NULL, length(source)
+      | FROM d WHERE k NOT IN (3,5,7))
+      |SELECT row_kind, count(*) AS n_rows,
+      | count(DISTINCT f) AS n_sstables,
+      | CAST(sum(wt2) AS BIGINT) AS sum_wt_off_us,
+      | CAST(sum(ttl2) AS BIGINT) AS sum_ttl_s,
+      | CAST(sum(del) AS BIGINT) AS sum_del_off_us,
+      | CAST(sum(vc) AS BIGINT) AS sum_value_chars
+      |FROM r GROUP BY 1""".stripMargin,
+    // point lookups over the sink's components (bloom skip +
+    // Index.db seek): the tree-audit contract restricted to the four
+    // probed keys — one per row shape (live, partition tombstone,
+    // pk-only, row tombstone)
+    "src_sstable_point" -> """
+      |WITH d AS (
+      | SELECT CAST(doc_id AS BIGINT) AS doc_id, source, n_chars,
+      |  doc_id % 10 AS k, doc_id % 4 AS f,
+      |  doc_id * 1000000 AS wt,
+      |  CASE WHEN doc_id % 2 = 0 THEN doc_id % 100 END AS ttl
+      | FROM documents
+      | WHERE CAST(doc_id AS BIGINT) IN (8, 13, 15, 17)),
+      |r AS (
+      | SELECT 'PARTITION_DELETION' AS row_kind, f, NULL AS wt2,
+      |   NULL AS ttl2, wt AS del, NULL AS vc FROM d WHERE k = 3
+      | UNION ALL
+      | SELECT 'ROW_DELETION', f, NULL, NULL, wt, NULL FROM d WHERE k = 7
+      | UNION ALL
+      | SELECT 'PK_LIVENESS', f, wt, ttl, NULL, NULL FROM d WHERE k = 5
       | UNION ALL
       | SELECT 'ROW', f, wt, ttl, NULL,
       |   length(CAST(n_chars AS VARCHAR)) FROM d WHERE k NOT IN (3,5,7)

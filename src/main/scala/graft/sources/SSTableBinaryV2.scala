@@ -11,7 +11,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.functions.{col, when}
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -102,8 +102,40 @@ object SSTableBinaryV2 {
 
   private class BinScanBuilder(path: String, maxFiles: Option[Int],
       cql: Option[String])
-      extends ScanBuilder with SupportsPushDownRequiredColumns {
+      extends ScanBuilder with SupportsPushDownRequiredColumns
+      with SupportsPushDownFilters {
     private var required: StructType = SSTableBinaryV2.schema
+    private var pointKeys: Option[Seq[String]] = None
+    private var accepted: Array[Filter] = Array.empty
+    /** Point-lookup pushdown — the reference's bloom-gated
+      * index-seek read path (`NoTTLReader.getPosition`,
+      * `NoTTLReader.java:1519-1575`) over OUR component files:
+      * a `partition_key = k` / IN (...) predicate lets each task
+      * consult Filter.db (skip the whole file on a bloom miss) and
+      * Index.db (seek straight to the partition) instead of
+      * scanning. Every filter stays RESIDUAL (Spark re-applies it),
+      * so bloom false positives and unsupported shapes cost nothing
+      * in correctness. */
+    override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+      val keys = filters.collect {
+        case EqualTo("partition_key", v: String) => Seq(v)
+        case In("partition_key", vs) if vs.forall(_.isInstanceOf[String]) =>
+          vs.toSeq.map(_.asInstanceOf[String])
+      }
+      if (keys.nonEmpty) {
+        // conjunction: every predicate must hold, so the candidate
+        // set is the INTERSECTION of the pushed key sets
+        pointKeys = Some(keys.reduce(_ intersect _))
+        accepted = filters.filter {
+          case EqualTo("partition_key", _: String) => true
+          case In("partition_key", vs) =>
+            vs.forall(_.isInstanceOf[String])
+          case _ => false
+        }
+      }
+      filters // all residual
+    }
+    override def pushedFilters(): Array[Filter] = accepted
     // TOP-LEVEL pruning only (the contract explicitly allows partial
     // pruning): Catalyst's nested-schema pruning may request a `cell`
     // struct with a subset of fields, but the decoder always emits the
@@ -114,12 +146,14 @@ object SSTableBinaryV2 {
     override def pruneColumns(requiredSchema: StructType): Unit =
       required = StructType(
         requiredSchema.fieldNames.map(SSTableBinaryV2.schema(_)))
-    override def build(): Scan = new BinScan(path, required, maxFiles, cql)
+    override def build(): Scan =
+      new BinScan(path, required, maxFiles, cql, pointKeys)
   }
 
   private class BinScan(path: String, required: StructType,
       private[sources] val maxFiles: Option[Int] = None,
-      cql: Option[String] = None)
+      cql: Option[String] = None,
+      pointKeys: Option[Seq[String]] = None)
       extends Scan with Batch {
     private val hconf = new SerializableConfiguration(
       SparkSession.active.sessionState.newHadoopConf())
@@ -146,7 +180,7 @@ object SSTableBinaryV2 {
       listDataFiles().map(f => BinFilePartition(f): InputPartition).toArray
 
     override def createReaderFactory(): PartitionReaderFactory =
-      new BinReaderFactory(required.fieldNames, hconf, cql)
+      new BinReaderFactory(required.fieldNames, hconf, cql, pointKeys)
 
     /** Streaming form — `spark.readStream.format("sstable-big")`: the
       * source's offset is a position in the SORTED file listing (new
@@ -236,13 +270,14 @@ object SSTableBinaryV2 {
   private case class BinFilePartition(file: String) extends InputPartition
 
   private class BinReaderFactory(cols: Array[String],
-      hconf: SerializableConfiguration, cql: Option[String])
+      hconf: SerializableConfiguration, cql: Option[String],
+      pointKeys: Option[Seq[String]] = None)
       extends PartitionReaderFactory {
     override def createReader(
         partition: InputPartition): PartitionReader[InternalRow] =
       new BinPartitionReader(
         partition.asInstanceOf[BinFilePartition].file, cols, hconf.value,
-        cql)
+        cql, pointKeys)
   }
 
   /** Streams one Data.db: header from the Statistics.db sibling, then
@@ -251,7 +286,8 @@ object SSTableBinaryV2 {
     * bound) and drained before the next partition is touched. */
   private class BinPartitionReader(file: String, cols: Array[String],
       conf: org.apache.hadoop.conf.Configuration,
-      cql: Option[String] = None)
+      cql: Option[String] = None,
+      pointKeys: Option[Seq[String]] = None)
       extends PartitionReader[InternalRow] {
     private val sstable = file.split('/').takeRight(2).mkString("/")
     private val fs = FileSystem.get(java.net.URI.create(file), conf)
@@ -297,7 +333,7 @@ object SSTableBinaryV2 {
       * by component presence, exactly how Cassandra itself decides
       * (`Descriptor`'s component set), so a compressed table can
       * never reach the row decoder as garbage. */
-    private val stream: java.io.InputStream = {
+    private def openFullStream(): java.io.InputStream = {
       val raw = fs.open(new HPath(file))
       val ci = sibling("-CompressionInfo.db")
       if (fs.exists(ci)) {
@@ -310,10 +346,54 @@ object SSTableBinaryV2 {
           fs.getFileStatus(new HPath(file)).getLen, meta, file)
       } else raw
     }
-    private val parts: Iterator[Iterator[InternalRow]] =
-      if (oldEra) OldFormat.partitions(oldSchema, stream, file)
-        .map(expand2)
-      else BigFormat.partitions(header, stream, file).map(expand)
+
+    /** The point-lookup plan for this file when partition-key
+      * predicates were pushed: None = full scan (no components, a
+      * compressed file, or the 2.x era); Some(positions) = consult
+      * Filter.db then Index.db and decode EXACTLY those Data.db
+      * offsets — the reference's bloom-gated `getPosition` path
+      * (`NoTTLReader.java:1519-1575`) over our own components. A
+      * bloom miss for every key skips the file without touching
+      * Data.db at all. Keys that don't parse under the table's key
+      * type simply cannot match. Index matches are exact, so bloom
+      * false positives only cost the Index.db read. */
+    private val lookup: Option[Seq[Long]] = pointKeys.flatMap { keys =>
+      val filterP = sibling("-Filter.db")
+      val indexP = sibling("-Index.db")
+      if (oldEra || fs.exists(sibling("-CompressionInfo.db")) ||
+        !fs.exists(filterP) || !fs.exists(indexP)) None
+      else {
+        val keyBytes = keys.flatMap(k =>
+          scala.util.Try(BigFormat.encodeValue(header.keyType, k))
+            .toOption)
+        val bloom = SSTableComponents.readFilter(readSibling(filterP))
+        val candidates = keyBytes.filter(bloom.mightContain)
+        if (candidates.isEmpty) Some(Nil)
+        else {
+          val wanted = candidates.map(_.toSeq).toSet
+          Some(SSTableComponents.readIndex(readSibling(indexP), file)
+            .collect { case (k, pos) if wanted(k.toSeq) => pos }
+            .sorted)
+        }
+      }
+    }
+
+    private var fullStream: java.io.InputStream = null
+    private var seekStream: org.apache.hadoop.fs.FSDataInputStream = null
+    private val parts: Iterator[Iterator[InternalRow]] = lookup match {
+      case Some(Seq()) => Iterator.empty // bloom-negative: file skipped
+      case Some(positions) =>
+        seekStream = fs.open(new HPath(file))
+        positions.iterator.map { pos =>
+          seekStream.seek(pos)
+          expand(BigFormat.partitions(header, seekStream, file).next())
+        }
+      case None =>
+        fullStream = openFullStream()
+        if (oldEra)
+          OldFormat.partitions(oldSchema, fullStream, file).map(expand2)
+        else BigFormat.partitions(header, fullStream, file).map(expand)
+    }
     private var pending: Iterator[InternalRow] = Iterator.empty
     private var row: InternalRow = _
 
@@ -468,7 +548,10 @@ object SSTableBinaryV2 {
 
     override def get(): InternalRow = row
 
-    override def close(): Unit = stream.close()
+    override def close(): Unit = {
+      if (fullStream != null) fullStream.close()
+      if (seekStream != null) seekStream.close()
+    }
   }
 
   // =====================================================================
@@ -715,6 +798,28 @@ object SSTableBinaryV2 {
       .auditFrame(readBinary(spark, dir.toString, Some(Cql2x)))
       .localCheckpoint()
     graft.Scratch.delete(dir)
+    audit
+  }
+
+  /** Registered `src_sstable_point`: the bloom-gated index-seek READ
+    * path over the sink's own components — the reference's
+    * `getPosition` machinery (`NoTTLReader.java:1519-1575`: bloom
+    * check, index-summary search, seek) made a live serving path.
+    * Fixture → unstripped rewrite (per-generation Index.db/Filter.db
+    * land) → point lookups for four keys covering every row shape;
+    * the pushed IN-predicate lets every task bloom-skip foreign
+    * generations and decode exactly the indexed offsets. */
+  def pointLookup(spark: SparkSession, sfDir: String): DataFrame = {
+    val in = writeBinaryFixture(spark, sfDir)
+    val out = graft.Scratch.dir("graft-pointidx-")
+    writeSSTables(readBinary(spark, in.toString), out.toString,
+      "graft", "documents")
+    graft.Scratch.delete(in)
+    val audit = SSTableDumpBridge.auditFrame(
+      readBinary(spark, out.toString)
+        .filter(col("partition_key").isin("8", "13", "15", "17")))
+      .localCheckpoint()
+    graft.Scratch.delete(out)
     audit
   }
 
