@@ -371,11 +371,57 @@ object SSTableBinaryV2 {
         if (candidates.isEmpty) Some(Nil)
         else {
           val wanted = candidates.map(_.toSeq).toSet
-          Some(SSTableComponents.readIndex(readSibling(indexP), file)
+          Some(readIndexFor(candidates, indexP)
             .collect { case (k, pos) if wanted(k.toSeq) => pos }
             .sorted)
         }
       }
+    }
+
+    /** Index entries that can match the candidate keys. With a
+      * Summary.db present, its sampled (key, Index.db position)
+      * marks bound the read to the candidate tokens' intervals — the
+      * reference's index-summary binary search
+      * (`NoTTLReader.java:1571-1575`) — so a point lookup reads
+      * O(sampled-interval) index bytes, not the whole component
+      * (one interval = MinIndexInterval partitions; one extra
+      * interval is included conservatively because the summary marks
+      * order by (token, key) while we search by token alone).
+      * Without a summary, the full Index.db parses. */
+    private def readIndexFor(candidates: Seq[Array[Byte]],
+        indexP: HPath): Seq[(Array[Byte], Long)] = {
+      val summaryP = sibling("-Summary.db")
+      if (!fs.exists(summaryP))
+        return SSTableComponents.readIndex(readSibling(indexP), file)
+      val summary = SSTableComponents.readSummary(readSibling(summaryP))
+      val marks = summary.sampled.map { case (k, ip) =>
+        (BigFormat.murmur3Token(k), ip)
+      }
+      if (marks.isEmpty) return Nil
+      val idxLen = fs.getFileStatus(indexP).getLen
+      val ranges = candidates.flatMap { kb =>
+        val t = BigFormat.murmur3Token(kb)
+        val i = marks.lastIndexWhere(_._1 <= t)
+        if (i < 0) None // token precedes the first partition: no match
+        else {
+          val startIdx = math.max(0, i - 1)
+          val endIdx = i + 1
+          Some((marks(startIdx)._2,
+            if (endIdx < marks.length) marks(endIdx)._2 else idxLen))
+        }
+      }.sorted
+      // merge overlapping ranges, then parse each slice
+      val merged = ranges.foldLeft(List.empty[(Long, Long)]) {
+        case (Nil, r) => List(r)
+        case (acc @ ((s0, e0) :: rest), (s1, e1)) =>
+          if (s1 <= e0) (s0, math.max(e0, e1)) :: rest else (s1, e1) :: acc
+      }.reverse
+      val in = fs.open(indexP)
+      try merged.flatMap { case (start, end) =>
+        val buf = new Array[Byte]((end - start).toInt)
+        in.readFully(start, buf)
+        SSTableComponents.readIndex(buf, file)
+      } finally in.close()
     }
 
     private var fullStream: java.io.InputStream = null

@@ -1234,6 +1234,51 @@ class SSTableBinarySpec extends SparkSpec {
     } finally { Scratch.delete(in); Scratch.delete(out) }
   }
 
+  test("summary-bounded lookups: multi-interval Summary.db narrows the index read, answers stay exact") {
+    import spark.implicits._
+    // ONE generation with 600 partitions → a 5-entry summary
+    // (interval 128): lookups land in different intervals, at
+    // interval edges, and off both ends of the token range
+    val wt = 1609459200L * 1000000L
+    val rows = (0 until 600).map { i =>
+      (s"key$i", Seq("c"), "ROW", Some("v"),
+        Some((s"val$i", wt + i, None: Option[Int], None: Option[Long])),
+        None: Option[Long], "t/nb-1-big-Data.db")
+    }.toDF("partition_key", "clustering", "row_kind", "name",
+      "cell_t", "deletion_us", "sstable")
+      .withColumn("cell", org.apache.spark.sql.functions.struct(
+        col("cell_t._1").as("value"), col("cell_t._2").as("writetime_us"),
+        col("cell_t._3").as("ttl_s"), col("cell_t._4").as("expire_us")))
+      .drop("cell_t")
+    val out = Scratch.dir("graft-sumlookup-")
+    try {
+      SSTableBinaryV2.writeSSTables(rows, out.toString, "ks", "t")
+      val dir = s"$out/ks/t"
+      // the summary really has several intervals
+      val sumBytes = java.nio.file.Files.readAllBytes(
+        java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+          .filter(_.toString.endsWith("-Summary.db")).findFirst().get())
+      val summary = graft.sources.SSTableComponents.readSummary(sumBytes)
+      assert(summary.sampled.size === 5) // ceil(600/128)
+      // exact answers for keys across the token space — first/last
+      // in token order, interval boundaries, and misses
+      val full = SSTableBinaryV2.readBinary(spark, dir).localCheckpoint()
+      val byToken = (0 until 600).map(i => s"key$i").sortBy(k =>
+        graft.sources.BigFormat.murmur3Token(k.getBytes("UTF-8")))
+      val probes = Seq(byToken.head, byToken(127), byToken(128),
+        byToken(255), byToken(256), byToken(599), "key42", "nope")
+      probes.foreach { k =>
+        val got = SSTableBinaryV2.readBinary(spark, dir)
+          .filter(col("partition_key") === k).collect().toSet
+        val want = full.filter(col("partition_key") === k)
+          .collect().toSet
+        assert(got === want, s"probe '$k'")
+      }
+      assert(SSTableBinaryV2.readBinary(spark, dir)
+        .filter(col("partition_key") === "key42").count() === 1)
+    } finally Scratch.delete(out)
+  }
+
   test("compressed sink output: --compress lz4 writes chunked generations the reader round-trips") {
     val in = SSTableBinaryV2.writeBinaryFixture(spark, sfDir)
     val outC = Scratch.dir("graft-csink-").toString + "/o"
