@@ -199,7 +199,11 @@ object OldFormat {
       else if (c.ttlS.isDefined) mask |= ExpirationMask
       if (c.counter) mask |= CounterMask
       out.write(mask)
-      if (c.counter) out.writeLong(LiveMfda) // timestampOfLastDelete
+      // counter timestampOfLastDelete: read-and-dropped on decode,
+      // re-written as "never" here — the one counter bookkeeping
+      // field the Cell2 model does not carry (subset boundary; the
+      // counter VALUE bytes round-trip exactly)
+      if (c.counter) out.writeLong(LiveMfda)
       else if (c.ttlS.isDefined && !c.deleted) {
         out.writeInt(c.ttlS.get)
         out.writeInt(c.ldtS.getOrElse(LiveLdt))
