@@ -139,6 +139,7 @@ object SparkEntry {
     "src_sstable_roundtrip" -> (sources.SSTableBinaryV2.binaryRoundtrip _),
     "src_sstable_complex" -> (sources.SSTableBinaryV2.complexLifecycle _),
     "src_sstable_static" -> (sources.SSTableBinaryV2.staticLifecycle _),
+    "src_sstable_composite" -> (sources.SSTableBinaryV2.compositeLifecycle _),
     "src_schema_discovery" -> (sources.LakeDiscovery.discoveryAudit _),
     "src_schema_evolution" -> (sources.LakeDiscovery.schemaEvolutionAudit _),
     // --- corpus assembly (mixing / packing) ---
@@ -2763,6 +2764,39 @@ object SparkEntry {
       |       CAST(SUM(vch) AS BIGINT) AS sum_value_chars,
       |       CAST(SUM(nch) AS BIGINT) AS sum_name_chars
       |FROM u GROUP BY 1""".stripMargin,
+    // composite-partition-key lifecycle: per document one partition
+    // keyed (source, doc_id) — rendered source||':'||doc_id, the
+    // dump bridge's concat_ws carry — with a 'len' and an 'origin'
+    // cell; TTLs stripped, key rendering pinned by n_keys +
+    // sum_key_chars (2 cell rows per doc each carry the key)
+    "src_sstable_composite" -> """
+      |WITH d AS (
+      |  SELECT CAST(doc_id AS BIGINT) AS d, source,
+      |         CAST(n_chars AS BIGINT) AS nc
+      |  FROM documents
+      |), u AS (
+      |  SELECT d % 4 AS f,
+      |         source || ':' || CAST(d AS VARCHAR) AS pk,
+      |         d * 1000000 AS wt,
+      |         CAST(LENGTH(CAST(nc AS VARCHAR)) AS BIGINT) AS vch,
+      |         CAST(3 AS BIGINT) AS nch
+      |  FROM d
+      |  UNION ALL
+      |  SELECT d % 4, source || ':' || CAST(d AS VARCHAR),
+      |         d * 1000000,
+      |         CAST(LENGTH(source) AS BIGINT), 6
+      |  FROM d
+      |)
+      |SELECT 'ROW' AS row_kind,
+      |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |       CAST(COUNT(DISTINCT f) AS BIGINT) AS n_sstables,
+      |       CAST(COUNT(DISTINCT pk) AS BIGINT) AS n_keys,
+      |       CAST(SUM(LENGTH(pk)) AS BIGINT) AS sum_key_chars,
+      |       CAST(SUM(wt) AS BIGINT) AS sum_wt_off_us,
+      |       CAST(NULL AS BIGINT) AS sum_ttl_s,
+      |       CAST(SUM(vch) AS BIGINT) AS sum_value_chars,
+      |       CAST(SUM(nch) AS BIGINT) AS sum_name_chars
+      |FROM u""".stripMargin,
     // static + counter lifecycle: one static 'stitle' cell per
     // partition (NULL clustering → n_static), one 'len' cell and one
     // 16-hex counter 'hits' cell per clustered row; TTLs stripped,

@@ -137,6 +137,41 @@ object BigFormat {
   def listType(e: String): String =
     s"org.apache.cassandra.db.marshal.ListType($e)"
 
+  /** Composite partition keys (`o.a.c.db.marshal.CompositeType` —
+    * the key type Cassandra writes for a multi-column partition key
+    * `PRIMARY KEY ((a, b), ...)`, identical blob layout in every era
+    * from 2.x thrift composites to 4.x): per component an unsigned
+    * short length, the component bytes, then one end-of-component
+    * byte (0 for a whole key). Rendered as the ':'-joined component
+    * renderings — the SAME string the dump bridge produces via
+    * `concat_ws(":", partition.key)`, so the binary and JSON paths
+    * agree on composite-key identity. */
+  def compositeType(components: Seq[String]): String =
+    s"org.apache.cassandra.db.marshal.CompositeType(${components.mkString(",")})"
+
+  /** Some(component marshal types) for a CompositeType, else None. */
+  def compositeOf(tpe: String): Option[Seq[String]] = {
+    val prefix = "org.apache.cassandra.db.marshal.CompositeType("
+    if (tpe.startsWith(prefix) && tpe.endsWith(")")) {
+      val inner = tpe.stripPrefix(prefix).stripSuffix(")")
+      val parts = Seq.newBuilder[String]
+      var depth = 0
+      var start = 0
+      var i = 0
+      while (i < inner.length) {
+        val c = inner.charAt(i)
+        if (c == '(') depth += 1
+        else if (c == ')') depth -= 1
+        else if (c == ',' && depth == 0) {
+          parts += inner.substring(start, i); start = i + 1
+        }
+        i += 1
+      }
+      parts += inner.substring(start)
+      Some(parts.result())
+    } else None
+  }
+
   /** Complex-column decomposition: Some((cellPathType, valueType))
     * for a non-frozen collection, None for a simple column. The
     * CellPath is the reference's per-element identity
@@ -173,6 +208,7 @@ object BigFormat {
     case LongType | TimestampType => 8
     case TimeUuidType | UuidType => 16
     case Utf8Type | AsciiType | BytesType | CounterColumnType => -1
+    case c if compositeOf(c).isDefined => -1
     case other => throw new UnsupportedOperationException(
       s"unsupported marshal type in this decoder subset: $other")
   }
@@ -324,6 +360,25 @@ object BigFormat {
       new java.util.UUID(bb.getLong, bb.getLong).toString
     case BytesType | TimeUuidType | CounterColumnType =>
       bytes.map("%02x".format(_)).mkString
+    case c if compositeOf(c).isDefined =>
+      val types = compositeOf(c).get
+      val in = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
+      val rendered = types.map { t =>
+        val len = in.readUnsignedShort()
+        val b = new Array[Byte](len)
+        in.readFully(b)
+        val eoc = in.read()
+        if (eoc < 0) throw new EOFException(
+          "composite key truncated before its end-of-component byte")
+        require(eoc == 0,
+          s"non-zero end-of-component byte $eoc in a composite " +
+            "partition key")
+        renderValue(t, b)
+      }
+      require(in.available() == 0,
+        s"composite key carries more components than the declared " +
+          s"${types.size} (${in.available()} trailing bytes)")
+      rendered.mkString(":")
     case other => throw new UnsupportedOperationException(other)
   }
 
@@ -341,6 +396,29 @@ object BigFormat {
         .putLong(u.getLeastSignificantBits).array()
     case BytesType | TimeUuidType | CounterColumnType =>
       s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    case c if compositeOf(c).isDefined =>
+      // ':'-joined components, the renderValue inverse. A component
+      // whose OWN rendering contains ':' (only possible for a
+      // text/ascii component) inflates the split count past the
+      // declared arity — a LOUD reject, never a silently shifted
+      // component boundary (the same lossiness the dump bridge's
+      // concat_ws key carry has).
+      val types = compositeOf(c).get
+      val parts = s.split(":", -1)
+      require(parts.length == types.size,
+        s"composite key '$s' splits into ${parts.length} components " +
+          s"against ${types.size} declared (a ':' inside a text " +
+          "component is outside the string-carry subset)")
+      val bos = new ByteArrayOutputStream()
+      val out = new DataOutputStream(bos)
+      types.zip(parts).foreach { case (t, v) =>
+        val b = encodeValue(t, v)
+        out.writeShort(b.length)
+        out.write(b)
+        out.write(0)
+      }
+      out.flush()
+      bos.toByteArray
     case other => throw new UnsupportedOperationException(other)
   }
 

@@ -72,12 +72,16 @@ object OldFormat {
   def schemaOfCql(p: graft.model.CqlSchema.Parsed): Schema = {
     def marshal(t: String): String = BigFormat.marshalOfCql(t)
       .fold(e => throw new IllegalArgumentException(e), identity)
-    require(p.partitionKey.size == 1,
-      "composite partition keys are outside the 2.x subset: " +
-        p.partitionKey.mkString(","))
     val colType = p.columns.toMap
     Schema(
-      keyType = marshal(colType(p.partitionKey.head)),
+      // a multi-column partition key is the same CompositeType blob
+      // in 2.x it is in 4.x (thrift-era CompositeType IS the origin
+      // of the framing) — [[BigFormat.compositeType]]'s ':'-joined
+      // carry serves both eras
+      keyType =
+        if (p.partitionKey.size == 1) marshal(colType(p.partitionKey.head))
+        else BigFormat.compositeType(
+          p.partitionKey.map(c => marshal(colType(c)))),
       clusteringTypes = p.clustering.map(c => marshal(colType(c))),
       columns = p.columns
         .filterNot(c => p.partitionKey.contains(c._1) ||

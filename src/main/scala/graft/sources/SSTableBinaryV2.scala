@@ -1167,6 +1167,132 @@ object SSTableBinaryV2 {
     audit
   }
 
+  /** Big-format fixture keyed by a COMPOSITE partition key
+    * `((src, d))` — the multi-column `PRIMARY KEY ((a, b), ...)`
+    * shape the reference handles through the live schema's
+    * `CompositeType` key (every era serializes it as the same
+    * [short len][bytes][eoc] blob). Per document one partition keyed
+    * `(source, doc_id)`, one clustered row with `len` = n_chars and
+    * `origin` = source, row + cells TTL'd by the usual even-doc_id
+    * rule. The Statistics.db header carries the real
+    * `CompositeType(UTF8Type,LongType)` key type. */
+  def writeCompositeFixture(spark: SparkSession,
+      sfDir: String): java.nio.file.Path = {
+    import spark.implicits._
+    val out = graft.Scratch.dir("graft-comptable-")
+    val outStr = out.toString
+    val hconf = spark.sparkContext.broadcast(
+      new SerializableConfiguration(spark.sessionState.newHadoopConf()))
+    val base = SSTableDumpBridge.TreeBase
+    val nFiles = SSTableDumpBridge.TreeFiles
+    val keyType = BigFormat.compositeType(
+      Seq(BigFormat.Utf8Type, BigFormat.LongType))
+    graft.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id").cast("long"), col("source"),
+        col("n_chars").cast("long"))
+      .as[(Long, String, Long)]
+      .groupByKey { case (docId, _, _) => (docId % nFiles).toInt }
+      .mapGroups { (fileId, docs) =>
+        val sorted = docs.toArray.sortBy(_._1)
+        val parts = sorted.map { case (docId, source, nChars) =>
+          val wtSec = base + docId
+          val wtUs = wtSec * 1000000L
+          val ttl =
+            if (docId % 2 == 0 && docId % 100 != 0) Some((docId % 100).toInt)
+            else None
+          val row = BigFormat.RowAtom(Seq(Some(s"c$docId")),
+            Some(wtUs), ttl, ttl.map(t => (wtSec + t).toInt), None, Seq(
+              BigFormat.CellAtom("len", wtUs, ttl,
+                ttl.map(t => (wtSec + t).toInt), Some(nChars.toString),
+                false),
+              BigFormat.CellAtom("origin", wtUs, ttl,
+                ttl.map(t => (wtSec + t).toInt), Some(source), false)))
+          // the ':'-joined rendering encodeValue re-splits into the
+          // declared component types
+          BigFormat.PartitionData(s"$source:$docId", None, Seq(row))
+        }
+        val allTs = parts.flatMap(_.atoms.flatMap {
+          case r: BigFormat.RowAtom =>
+            r.livenessTsUs.toSeq ++ r.cells.map(_.tsUs)
+          case _ => Nil
+        })
+        val allLdt = parts.flatMap(_.atoms.flatMap {
+          case r: BigFormat.RowAtom =>
+            r.livenessLdtS.toSeq ++ r.cells.flatMap(_.ldtS)
+          case _ => Nil
+        })
+        val allTtl = parts.flatMap(_.atoms.flatMap {
+          case r: BigFormat.RowAtom =>
+            r.livenessTtlS.toSeq ++ r.cells.flatMap(_.ttlS)
+          case _ => Nil
+        })
+        val header = BigFormat.Header(
+          if (allTs.isEmpty) BigFormat.TimestampEpochUs else allTs.min,
+          if (allLdt.isEmpty) BigFormat.DeletionTimeEpochS else allLdt.min,
+          if (allTtl.isEmpty) BigFormat.TtlEpoch else allTtl.min,
+          keyType = keyType,
+          clusteringTypes = Seq(BigFormat.Utf8Type),
+          staticColumns = Nil,
+          regularColumns = Seq(
+            "len" -> BigFormat.Utf8Type,
+            "origin" -> BigFormat.Utf8Type))
+        val gen = fileId + 1
+        val fs = FileSystem.get(
+          java.net.URI.create(outStr), hconf.value.value)
+        val dir = new HPath(s"$outStr/documents")
+        def write(name: String, bytes: Array[Byte]): Unit = {
+          val os = fs.create(new HPath(dir, name), true)
+          try os.write(bytes) finally os.close()
+        }
+        write(s"nb-$gen-big-Data.db",
+          BigFormat.writeDataFile(parts.toSeq, header))
+        write(s"nb-$gen-big-Statistics.db", BigFormat.writeStats(header))
+        (fileId, parts.length)
+      }
+      .collect()
+    out
+  }
+
+  /** Registered `src_sstable_composite` — the whole lifecycle over a
+    * composite-partition-key table: fixture → [[readBinary]] (keys
+    * render ':'-joined, matching the dump bridge's
+    * `concat_ws(":", partition.key)` carry) → TTL strip →
+    * [[writeSSTables]] TYPED by a `PRIMARY KEY ((src, d), ck)` CQL
+    * schema (keys re-encode as REAL CompositeType blobs, token order
+    * computed over the blob) → re-read → audit. `n_keys` and
+    * `sum_key_chars` pin the component rendering exactly. */
+  def compositeLifecycle(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val in = writeCompositeFixture(spark, sfDir)
+    val out = graft.Scratch.dir("graft-comprt-")
+    val cql = graft.model.CqlSchema.parse(
+      """CREATE TABLE graft.documents (
+        |  src text, d bigint, ck text, len text, origin text,
+        |  PRIMARY KEY ((src, d), ck))""".stripMargin)
+      .fold(e => throw new IllegalArgumentException(e), identity)
+    val stripped = readBinary(spark, in.toString)
+      .withColumn("cell",
+        graft.model.CellModel.stripCellKeepDeletion(col("cell")))
+    writeSSTables(stripped, out.toString, "graft", "documents",
+      schema = Some(cql))
+    graft.Scratch.delete(in)
+    val baseUs = lit(SSTableDumpBridge.TreeBase * 1000000L)
+    val audit = readBinary(spark, out.toString)
+      .groupBy(col("row_kind"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("sstable")).as("n_sstables"),
+        countDistinct(col("partition_key")).as("n_keys"),
+        sum(length(col("partition_key")).cast("long")).as("sum_key_chars"),
+        sum(col("cell.writetime_us") - baseUs).as("sum_wt_off_us"),
+        sum(col("cell.ttl_s").cast("long")).as("sum_ttl_s"),
+        sum(length(col("cell.value")).cast("long")).as("sum_value_chars"),
+        sum(length(col("name")).cast("long")).as("sum_name_chars"))
+      .localCheckpoint()
+    graft.Scratch.delete(out)
+    audit
+  }
+
   // =====================================================================
   // binary sink — the reference's OUTPUT side
   // =====================================================================
@@ -1234,9 +1360,11 @@ object SSTableBinaryV2 {
       staticCols: Set[String]) extends Serializable
 
   /** Validate + resolve a parsed CQL schema into marshal types,
-    * failing fast on the driver (composite partition keys and types
-    * outside the codec subset reject loudly). The `static` modifier
-    * is a column property; it is stripped from the type here. */
+    * failing fast on the driver (types outside the codec subset
+    * reject loudly). A multi-column partition key `((a, b))` resolves
+    * to [[BigFormat.compositeType]] — the ':'-joined composite-blob
+    * carry. The `static` modifier is a column property; it is
+    * stripped from the type here. */
   private[graft] def resolveTyping(
       p: graft.model.CqlSchema.Parsed): SinkTyping = {
     def strip(t: String): String = t.replaceAll("(?i)\\s+static$", "")
@@ -1244,12 +1372,12 @@ object SSTableBinaryV2 {
       t.toLowerCase.trim.endsWith(" static")
     def marshal(t: String): String = BigFormat.marshalOfCql(strip(t))
       .fold(e => throw new IllegalArgumentException(e), identity)
-    require(p.partitionKey.size == 1,
-      s"composite partition keys are outside the binary sink subset: " +
-        p.partitionKey.mkString(","))
     val colType = p.columns.toMap
     SinkTyping(
-      keyType = marshal(colType(p.partitionKey.head)),
+      keyType =
+        if (p.partitionKey.size == 1) marshal(colType(p.partitionKey.head))
+        else BigFormat.compositeType(
+          p.partitionKey.map(c => marshal(colType(c)))),
       clusteringTypes = p.clustering.map(c => marshal(colType(c))),
       columnTypes = p.columns
         .filterNot(c => p.partitionKey.contains(c._1) ||

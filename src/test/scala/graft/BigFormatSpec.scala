@@ -698,6 +698,67 @@ class OldFormatSpec extends AnyFunSuite {
     }
   }
 
+  test("composite partition keys render ':'-joined and re-encode; rejects are loud") {
+    val ct = BigFormat.compositeType(
+      Seq(BigFormat.Utf8Type, BigFormat.LongType))
+    // render ∘ encode = identity on the ':'-joined carry
+    val blob = BigFormat.encodeValue(ct, "src7:42")
+    assert(BigFormat.renderValue(ct, blob) === "src7:42")
+    // blob layout: [short 4]["src7"][0][short 8][8-byte BE 42][0]
+    assert(blob.length === 2 + 4 + 1 + 2 + 8 + 1)
+    assert(blob(6) === 0.toByte && blob.last === 0.toByte)
+    // arity mismatches reject loudly, both directions
+    intercept[IllegalArgumentException] {
+      BigFormat.encodeValue(ct, "onlyone")
+    }
+    intercept[IllegalArgumentException] {
+      // a ':' inside a text component inflates the split count
+      BigFormat.encodeValue(ct, "a:b:3")
+    }
+    intercept[IllegalArgumentException] {
+      // trailing bytes = more components than declared
+      BigFormat.renderValue(
+        BigFormat.compositeType(Seq(BigFormat.Utf8Type)), blob)
+    }
+    // non-zero end-of-component byte rejects
+    val tampered = blob.clone(); tampered(6) = 1
+    intercept[IllegalArgumentException] {
+      BigFormat.renderValue(ct, tampered)
+    }
+    // nested parameterized component types split on TOP-LEVEL commas
+    val nested = BigFormat.compositeType(Seq(
+      BigFormat.mapType(BigFormat.Utf8Type, BigFormat.Int32Type),
+      BigFormat.LongType))
+    assert(BigFormat.compositeOf(nested) === Some(Seq(
+      BigFormat.mapType(BigFormat.Utf8Type, BigFormat.Int32Type),
+      BigFormat.LongType)))
+  }
+
+  test("2.x composite partition keys round-trip in blob token order") {
+    // the SAME CompositeType carry serves the 2.x era: key blob =
+    // [short len][bytes][0] per component, token over the whole blob
+    val ct = BigFormat.compositeType(
+      Seq(BigFormat.Utf8Type, BigFormat.LongType))
+    val s2 = OldFormat.Schema(ct, Seq(BigFormat.Utf8Type),
+      Map("len" -> BigFormat.Utf8Type))
+    val ps = (0 until 20).map(i => OldFormat.Partition2(s"s${i % 3}:$i",
+      None, Seq(OldFormat.Cell2(Seq(s"c$i"), "len",
+        1609459200000000L + i, None, None, Some(i.toString),
+        deleted = false, counter = false))))
+    val bytes = OldFormat.writeDataFile(ps, s2)
+    val back = OldFormat.partitions(s2,
+      new ByteArrayInputStream(bytes), "comp2x").toVector
+    val expected = ps.sortBy(p =>
+      (BigFormat.murmur3Token(BigFormat.encodeValue(ct, p.key)), p.key))
+    assert(back === expected)
+    // the composite token differs from the joined-string token (the
+    // blob framing is part of the hashed bytes) — the ordering really
+    // exercised the composite encode
+    assert(ps.exists(p =>
+      BigFormat.murmur3Token(BigFormat.encodeValue(ct, p.key)) !=
+        BigFormat.murmur3Token(p.key.getBytes("UTF-8"))))
+  }
+
   test("undeclared columns and counter-update masks reject loudly") {
     val ts = 1609459300L * 1000000L
     val bad = OldFormat.Partition2("pk", None, Seq(
