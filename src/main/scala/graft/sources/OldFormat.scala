@@ -93,7 +93,13 @@ object OldFormat {
 
   sealed trait Atom2
   /** One 2.x cell: clustering prefix from the composite name, the
-    * column name ("" = the CQL3 row marker), liveness, value. */
+    * column name ("" = the CQL3 row marker), liveness, value.
+    * `counterTsOfLastDeleteUs` is the 2.x counter cell's
+    * timestampOfLastDelete bookkeeping field (LiveMfda = "never
+    * deleted"), carried so 2.x→2.x rewrites round-trip it bit-exactly;
+    * the 2.x→modern upgrade legitimately drops it — the 3.0 engine
+    * has no such field (its LegacyLayout consumes it during
+    * conversion, which is upgradesstables' own behavior). */
   case class Cell2(
       clustering: Seq[String],
       name: String,
@@ -102,7 +108,8 @@ object OldFormat {
       ldtS: Option[Int],
       value: Option[String],
       deleted: Boolean,
-      counter: Boolean) extends Atom2
+      counter: Boolean,
+      counterTsOfLastDeleteUs: Long = LiveMfda) extends Atom2
   /** A 2.x range tombstone: composite start/end bounds (with
     * inclusivity from the eoc bytes) and the deletion timestamp. */
   case class Tombstone2(
@@ -203,11 +210,9 @@ object OldFormat {
       else if (c.ttlS.isDefined) mask |= ExpirationMask
       if (c.counter) mask |= CounterMask
       out.write(mask)
-      // counter timestampOfLastDelete: read-and-dropped on decode,
-      // re-written as "never" here — the one counter bookkeeping
-      // field the Cell2 model does not carry (subset boundary; the
-      // counter VALUE bytes round-trip exactly)
-      if (c.counter) out.writeLong(LiveMfda)
+      // counter timestampOfLastDelete: carried on the model and
+      // re-written verbatim, so 2.x→2.x rewrites are bit-exact
+      if (c.counter) out.writeLong(c.counterTsOfLastDeleteUs)
       else if (c.ttlS.isDefined && !c.deleted) {
         out.writeInt(c.ttlS.get)
         out.writeInt(c.ldtS.getOrElse(LiveLdt))
@@ -297,7 +302,8 @@ object OldFormat {
       val counter = (mask & CounterMask) != 0
       val expiring = (mask & ExpirationMask) != 0
       val deleted = (mask & DeletionMask) != 0
-      if (counter) in.readLong() // timestampOfLastDelete
+      val counterTsOfLastDelete =
+        if (counter) in.readLong() else LiveMfda
       val (ttl, ldt) =
         if (expiring && !deleted) {
           val t = in.readInt(); val l = in.readInt()
@@ -323,7 +329,8 @@ object OldFormat {
               s"$file: column '$colName' not in the declared schema"))
         Some(Cell2(clustering, colName, ts, ttl, ldt,
           Some(BigFormat.renderValue(tpe, valueBytes)),
-          deleted = false, counter = counter))
+          deleted = false, counter = counter,
+          counterTsOfLastDeleteUs = counterTsOfLastDelete))
       }
     }
   }

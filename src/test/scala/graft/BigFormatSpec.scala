@@ -580,7 +580,8 @@ class OldFormatSpec extends AnyFunSuite {
     keyType = BigFormat.Utf8Type,
     clusteringTypes = Seq(BigFormat.Utf8Type),
     columns = Map("len" -> BigFormat.Utf8Type,
-      "n" -> BigFormat.Int32Type))
+      "n" -> BigFormat.Int32Type,
+      "hits" -> BigFormat.CounterColumnType))
 
   private def roundTrip(p: OldFormat.Partition2): OldFormat.Partition2 = {
     val bytes = OldFormat.writeDataFile(Seq(p), schema)
@@ -603,7 +604,12 @@ class OldFormatSpec extends AnyFunSuite {
         Some("-7"), deleted = false, counter = false),
       // deleted cell: value IS the 4-byte local-deletion second
       OldFormat.Cell2(Seq("ck2"), "len", ts + 2, None, Some(1609459300),
-        None, deleted = true, counter = false)))
+        None, deleted = true, counter = false),
+      // counter cell with a REAL timestampOfLastDelete: the
+      // bookkeeping long is model-carried, not read-and-dropped
+      OldFormat.Cell2(Seq("ck3"), "hits", ts + 3, None, None,
+        Some("00aaff17"), deleted = false, counter = true,
+        counterTsOfLastDeleteUs = ts - 5000000L)))
     assert(roundTrip(p) === p)
   }
 
@@ -665,7 +671,10 @@ class OldFormatSpec extends AnyFunSuite {
           counter = false)
         case _ => OldFormat.Cell2(Seq(cl), if (nm == "") "len" else nm,
           epoch + dt, None, None, Some("00aaff17"), deleted = false,
-          counter = true)
+          counter = true,
+          // non-trivial timestampOfLastDelete must round-trip too
+          counterTsOfLastDeleteUs =
+            if (dt % 2 == 0) epoch + dt - 1000000L else OldFormat.LiveMfda)
       }
     }
     val genTomb: Gen[OldFormat.Tombstone2] = for {
