@@ -14,7 +14,9 @@ package graft.model
   * `<>`/`()` don't split columns), inline single-column
   * `PRIMARY KEY`, and the trailing `PRIMARY KEY ((pk1, pk2), ck1,
   * ck2)` form with composite partition keys. `WITH ...` options are
-  * accepted and ignored (they configure storage, not shape). Quoted
+  * accepted and ignored (they configure storage, not shape) —
+  * except `COMPACT STORAGE`, surfaced as [[Parsed.compactStorage]]
+  * because it DOES change the 2.x on-disk cell-name framing. Quoted
   * identifiers and anything else outside the subset fail LOUDLY with
   * the offending text — a schema half-understood is worse than one
   * rejected. */
@@ -25,7 +27,12 @@ object CqlSchema {
       table: String,
       partitionKey: Seq[String],
       clustering: Seq[String],
-      columns: Seq[(String, String)])
+      columns: Seq[(String, String)],
+      /** `WITH COMPACT STORAGE` — the one WITH option that changes
+        * SHAPE, not storage tuning: a 2.x compact table frames
+        * clusteringless cell names as bare bytes where a CQL3
+        * non-compact table composite-frames them. */
+      compactStorage: Boolean = false)
 
   /** Split on top-level commas: depth counts both () and <>. */
   private def splitTop(s: String): Seq[String] = {
@@ -136,7 +143,14 @@ object CqlSchema {
                 else (pk ++ ck).find(!names.contains(_)) match {
                   case Some(missing) =>
                     Left(s"key column '$missing' is not declared")
-                  case None => Right(Parsed(ks, table, pk, ck, cols))
+                  case None =>
+                    // WITH options tune storage and are ignored —
+                    // EXCEPT COMPACT STORAGE, which changes the 2.x
+                    // on-disk cell-name shape
+                    val compact = "(?i)compact\\s+storage".r
+                      .findFirstIn(rest.substring(close + 1)).isDefined
+                    Right(Parsed(ks, table, pk, ck, cols,
+                      compactStorage = compact))
                 }
               }
             }

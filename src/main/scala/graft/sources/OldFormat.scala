@@ -63,11 +63,17 @@ object OldFormat {
   val LiveMfda: Long = Long.MinValue
 
   /** The declared 2.x table shape: marshal types for the key, the
-    * clustering components, and each named column. */
+    * clustering components, and each named column. `compactStorage`
+    * matters only for CLUSTERINGLESS tables: a thrift-era
+    * `WITH COMPACT STORAGE` table writes bare cell-name bytes where a
+    * CQL3 non-compact table composite-frames the single name
+    * component (and its row marker is a composite of one EMPTY
+    * component). */
   case class Schema(
       keyType: String,
       clusteringTypes: Seq[String],
-      columns: Map[String, String])
+      columns: Map[String, String],
+      compactStorage: Boolean = true)
 
   def schemaOfCql(p: graft.model.CqlSchema.Parsed): Schema = {
     def marshal(t: String): String = BigFormat.marshalOfCql(t)
@@ -86,7 +92,8 @@ object OldFormat {
       columns = p.columns
         .filterNot(c => p.partitionKey.contains(c._1) ||
           p.clustering.contains(c._1))
-        .map { case (n, t) => n -> marshal(t) }.toMap)
+        .map { case (n, t) => n -> marshal(t) }.toMap,
+      compactStorage = p.compactStorage)
   }
 
   // ---- atoms ----
@@ -134,16 +141,14 @@ object OldFormat {
 
   /** Decode a composite name blob: components as
     * [short len][bytes][eoc]; returns (clustering values, column
-    * name, eoc of the LAST component). A clusteringless table's name
-    * is decoded as COMPACT-STORAGE bare column bytes (no composite
-    * framing) — the thrift-era table shape; a CQL3 non-compact table
-    * with zero clustering columns (whose names are composite-framed
-    * single components) is outside this subset, a declared-schema
-    * mismatch that surfaces as an unknown-column loud reject rather
-    * than a misparse. */
+    * name, eoc of the LAST component). A clusteringless COMPACT
+    * STORAGE table's name is bare column bytes (no composite
+    * framing) — the thrift-era table shape; a clusteringless CQL3
+    * non-compact table composite-frames the single name component,
+    * which the general loop below handles (arity 0+1). */
   private def decodeName(bytes: Array[Byte], s: Schema,
       file: String): (Seq[String], String, Int) = {
-    if (s.clusteringTypes.isEmpty)
+    if (s.clusteringTypes.isEmpty && s.compactStorage)
       return (Nil, new String(bytes, java.nio.charset.StandardCharsets.UTF_8), 0)
     val in = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
     val comps = Seq.newBuilder[(Array[Byte], Int)]
@@ -198,7 +203,7 @@ object OldFormat {
       file: String): Unit = a match {
     case c: Cell2 =>
       val name =
-        if (s.clusteringTypes.isEmpty)
+        if (s.clusteringTypes.isEmpty && s.compactStorage)
           c.name.getBytes(java.nio.charset.StandardCharsets.UTF_8)
         else encodeComposite(
           c.clustering.zip(s.clusteringTypes).map { case (v, t) => (t, v) }

@@ -1364,7 +1364,10 @@ object SSTableBinaryV2 {
     * reject loudly). A multi-column partition key `((a, b))` resolves
     * to [[BigFormat.compositeType]] — the ':'-joined composite-blob
     * carry. The `static` modifier is a column property; it is
-    * stripped from the type here. */
+    * stripped from the type here. A `WITH COMPACT STORAGE` schema is
+    * accepted with the flag IGNORED: a modern rewrite of a compact
+    * 2.x table is exactly Cassandra's own `DROP COMPACT STORAGE`
+    * upgrade (C* 4 removed compact tables entirely). */
   private[graft] def resolveTyping(
       p: graft.model.CqlSchema.Parsed): SinkTyping = {
     def strip(t: String): String = t.replaceAll("(?i)\\s+static$", "")

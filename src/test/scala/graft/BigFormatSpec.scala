@@ -743,6 +743,42 @@ class OldFormatSpec extends AnyFunSuite {
       BigFormat.LongType)))
   }
 
+  test("clusteringless 2.x tables: CQL3 composite framing vs COMPACT bare names") {
+    val ts = 1609459300L * 1000000L
+    def schemaFor(compact: Boolean) = OldFormat.Schema(
+      BigFormat.Utf8Type, Nil,
+      Map("v" -> BigFormat.Utf8Type), compactStorage = compact)
+    val p = OldFormat.Partition2("pk", None, Seq(
+      // CQL3 row marker: EMPTY name component
+      OldFormat.Cell2(Nil, "", ts, None, None, Some(""),
+        deleted = false, counter = false),
+      OldFormat.Cell2(Nil, "v", ts, Some(600), Some(1609459900),
+        Some("val"), deleted = false, counter = false)))
+    // both framings round-trip under their own schema
+    Seq(true, false).foreach { compact =>
+      val s = schemaFor(compact)
+      val bytes = OldFormat.writeDataFile(
+        Seq(if (compact) p.copy(atoms = p.atoms.tail) else p), s)
+      val back = OldFormat.partitions(s,
+        new ByteArrayInputStream(bytes), s"cless-$compact").toSeq
+      assert(back.head.atoms ===
+        (if (compact) p.atoms.tail else p.atoms), s"compact=$compact")
+    }
+    // the on-disk name bytes really differ: composite framing adds
+    // [short len] + eoc around the bare name
+    val bare = OldFormat.writeDataFile(
+      Seq(p.copy(atoms = p.atoms.tail)), schemaFor(true))
+    val framed = OldFormat.writeDataFile(
+      Seq(p.copy(atoms = p.atoms.tail)), schemaFor(false))
+    assert(framed.length === bare.length + 3)
+    // reading CQL3-framed bytes with a compact schema misdeclares the
+    // name → unknown-column loud reject, never a silent misparse
+    intercept[UnsupportedOperationException] {
+      OldFormat.partitions(schemaFor(true),
+        new ByteArrayInputStream(framed), "misdeclared").toSeq
+    }
+  }
+
   test("2.x composite partition keys round-trip in blob token order") {
     // the SAME CompositeType carry serves the 2.x era: key blob =
     // [short len][bytes][0] per component, token over the whole blob

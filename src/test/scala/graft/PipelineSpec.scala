@@ -101,6 +101,15 @@ class PipelineSpec extends SparkSpec {
       "create table t (id uuid primary key, v text)")
       .fold(e => fail(e), identity)
     assert(p2.partitionKey === Seq("id") && p2.clustering.isEmpty)
+    assert(!p2.compactStorage)
+    // WITH COMPACT STORAGE is the one shape-changing WITH option,
+    // surfaced (anywhere in the option trailer, case-insensitive)
+    val p3 = CqlSchema.parse(
+      "CREATE TABLE t (k text PRIMARY KEY, v text) " +
+        "WITH compression = {} AND Compact Storage").fold(e => fail(e),
+        identity)
+    assert(p3.compactStorage)
+    assert(!p1.compactStorage)
     // loud subset boundaries
     assert(CqlSchema.parse("SELECT 1").isLeft)
     assert(CqlSchema.parse(
