@@ -64,22 +64,25 @@ object OldFormat {
 
   /** The declared 2.x table shape: marshal types for the key, the
     * clustering components, and each named column. `compactStorage`
-    * matters only for CLUSTERINGLESS tables: a thrift-era
+    * changes the cell-name shape: a clusteringless thrift-era
     * `WITH COMPACT STORAGE` table writes bare cell-name bytes where a
     * CQL3 non-compact table composite-frames the single name
     * component (and its row marker is a composite of one EMPTY
-    * component). */
+    * component); a compact table WITH clustering (the thrift dynamic
+    * CF) uses the clustering AS the name — raw comparator bytes for
+    * one clustering column, a CompositeType of exactly the clustering
+    * components for several — and exposes one value column. */
   case class Schema(
       keyType: String,
       clusteringTypes: Seq[String],
       columns: Map[String, String],
-      compactStorage: Boolean = true)
+      compactStorage: Boolean = false)
 
   def schemaOfCql(p: graft.model.CqlSchema.Parsed): Schema = {
     def marshal(t: String): String = BigFormat.marshalOfCql(t)
       .fold(e => throw new IllegalArgumentException(e), identity)
     val colType = p.columns.toMap
-    Schema(
+    val s = Schema(
       // a multi-column partition key is the same CompositeType blob
       // in 2.x it is in 4.x (thrift-era CompositeType IS the origin
       // of the framing) — [[BigFormat.compositeType]]'s ':'-joined
@@ -94,6 +97,12 @@ object OldFormat {
           p.clustering.contains(c._1))
         .map { case (n, t) => n -> marshal(t) }.toMap,
       compactStorage = p.compactStorage)
+    require(!(s.compactStorage && s.clusteringTypes.nonEmpty) ||
+      s.columns.size == 1,
+      "a COMPACT STORAGE table with clustering has exactly ONE value " +
+        s"column (the thrift dynamic-CF shape); declared: " +
+        s.columns.keys.toSeq.sorted.mkString(","))
+    s
   }
 
   // ---- atoms ----
@@ -139,17 +148,69 @@ object OldFormat {
     buf
   }
 
+  /** The single value column of a compact table WITH clustering —
+    * the thrift dynamic-CF shape stores the whole "row" as one cell,
+    * so CQL exposes exactly one non-key column. */
+  private def compactValueColumn(s: Schema, file: String): String = {
+    require(s.columns.size == 1,
+      s"$file: a COMPACT STORAGE table with clustering has exactly " +
+        s"ONE value column; declared: ${s.columns.keys.toSeq.sorted
+          .mkString(",")}")
+    s.columns.keys.head
+  }
+
   /** Decode a composite name blob: components as
     * [short len][bytes][eoc]; returns (clustering values, column
     * name, eoc of the LAST component). A clusteringless COMPACT
     * STORAGE table's name is bare column bytes (no composite
     * framing) — the thrift-era table shape; a clusteringless CQL3
     * non-compact table composite-frames the single name component,
-    * which the general loop below handles (arity 0+1). */
+    * which the general loop below handles (arity 0+1).
+    *
+    * COMPACT STORAGE WITH clustering (the thrift dynamic CF): the
+    * name IS the clustering — raw comparator bytes for one
+    * clustering column, a CompositeType of exactly the clustering
+    * components (NO trailing column-name component) for several; the
+    * cell's CQL column is the table's single value column. `isBound`
+    * is the caller's context (range-tombstone bounds never name a
+    * column; compact single-column bounds are raw bytes with no
+    * inclusivity eoc, empty = open). */
   private def decodeName(bytes: Array[Byte], s: Schema,
-      file: String): (Seq[String], String, Int) = {
+      file: String, isBound: Boolean = false): (Seq[String], String, Int) = {
     if (s.clusteringTypes.isEmpty && s.compactStorage)
       return (Nil, new String(bytes, java.nio.charset.StandardCharsets.UTF_8), 0)
+    if (s.compactStorage && s.clusteringTypes.nonEmpty) {
+      if (s.clusteringTypes.size == 1) {
+        if (bytes.isEmpty) {
+          require(isBound,
+            s"$file: empty cell name in a compact table")
+          return (Nil, "", 0)
+        }
+        val cl = BigFormat.renderValue(s.clusteringTypes.head, bytes)
+        return (Seq(cl),
+          if (isBound) "" else compactValueColumn(s, file), 0)
+      }
+      val in = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
+      val comps = Seq.newBuilder[(Array[Byte], Int)]
+      while (in.available() > 0) {
+        val b = readShortBytes(in, "composite component")
+        val eoc = in.read()
+        if (eoc < 0) throw new EOFException(
+          s"$file: composite name truncated before its eoc byte")
+        comps += ((b, if (eoc > 127) eoc - 256 else eoc))
+      }
+      val cs = comps.result()
+      require(cs.size == s.clusteringTypes.size ||
+        (isBound && cs.size < s.clusteringTypes.size),
+        s"$file: compact composite of ${cs.size} components against " +
+          s"${s.clusteringTypes.size} declared clustering columns")
+      val clustering = cs.zip(s.clusteringTypes).map {
+        case ((b, _), t) => BigFormat.renderValue(t, b)
+      }
+      return (clustering,
+        if (isBound) "" else compactValueColumn(s, file),
+        cs.lastOption.map(_._2).getOrElse(0))
+    }
     val in = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
     val comps = Seq.newBuilder[(Array[Byte], Int)]
     while (in.available() > 0) {
@@ -205,6 +266,20 @@ object OldFormat {
       val name =
         if (s.clusteringTypes.isEmpty && s.compactStorage)
           c.name.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        else if (s.compactStorage) {
+          // dynamic CF: the name IS the clustering, the column is the
+          // table's single value column
+          require(c.name == compactValueColumn(s, file),
+            s"$file: compact cell must use the single value column " +
+              s"'${compactValueColumn(s, file)}', got '${c.name}'")
+          require(c.clustering.size == s.clusteringTypes.size,
+            s"$file: compact cell clustering arity ${c.clustering.size}" +
+              s" != declared ${s.clusteringTypes.size}")
+          if (s.clusteringTypes.size == 1)
+            BigFormat.encodeValue(s.clusteringTypes.head, c.clustering.head)
+          else encodeComposite(c.clustering.zip(s.clusteringTypes)
+            .map { case (v, t) => (t, v) }, 0)
+        }
         else encodeComposite(
           c.clustering.zip(s.clusteringTypes).map { case (v, t) => (t, v) }
             :+ (("", c.name)), 0)
@@ -239,12 +314,29 @@ object OldFormat {
       out.writeInt(value.length)
       out.write(value)
     case t: Tombstone2 =>
-      val start = encodeComposite(
-        t.start.zip(s.clusteringTypes).map { case (v, tp) => (tp, v) },
-        if (t.startInclusive) -1 else 1)
-      val end = encodeComposite(
-        t.end.zip(s.clusteringTypes).map { case (v, tp) => (tp, v) },
-        if (t.endInclusive) 1 else -1)
+      // compact single-comparator bounds are raw bytes with NO eoc:
+      // inclusivity cannot be expressed, so only inclusive (or open =
+      // empty) bounds encode — anything else is a loud reject
+      def compactRaw(vs: Seq[String], inclusive: Boolean,
+          which: String): Array[Byte] = {
+        require(inclusive || vs.isEmpty,
+          s"$file: a compact raw-comparator $which bound carries no " +
+            "inclusivity eoc; exclusive bounds are outside the 2.x " +
+            "compact subset")
+        if (vs.isEmpty) Array.emptyByteArray
+        else BigFormat.encodeValue(s.clusteringTypes.head, vs.head)
+      }
+      val compactSingle = s.compactStorage && s.clusteringTypes.size == 1
+      val start =
+        if (compactSingle) compactRaw(t.start, t.startInclusive, "start")
+        else encodeComposite(
+          t.start.zip(s.clusteringTypes).map { case (v, tp) => (tp, v) },
+          if (t.startInclusive) -1 else 1)
+      val end =
+        if (compactSingle) compactRaw(t.end, t.endInclusive, "end")
+        else encodeComposite(
+          t.end.zip(s.clusteringTypes).map { case (v, tp) => (tp, v) },
+          if (t.endInclusive) 1 else -1)
       out.writeShort(start.length)
       out.write(start)
       out.write(RangeTombstoneMask)
@@ -293,8 +385,8 @@ object OldFormat {
       val endBytes = readShortBytes(in, "tombstone end bound")
       in.readInt() // tombstone localDeletionTime
       val mfda = in.readLong()
-      val (sc, sn, seoc) = decodeName(nameBytes, s, file)
-      val (ec, en, eeoc) = decodeName(endBytes, s, file)
+      val (sc, sn, seoc) = decodeName(nameBytes, s, file, isBound = true)
+      val (ec, en, eeoc) = decodeName(endBytes, s, file, isBound = true)
       require(sn.isEmpty && en.isEmpty,
         s"$file: range-tombstone bound carries a column name")
       Some(Tombstone2(sc, startInclusive = seoc <= 0,

@@ -779,6 +779,60 @@ class OldFormatSpec extends AnyFunSuite {
     }
   }
 
+  test("COMPACT STORAGE with clustering: the thrift dynamic-CF shapes round-trip") {
+    val ts = 1609459300L * 1000000L
+    // single clustering column: names are RAW comparator bytes
+    val s1 = OldFormat.Schema(BigFormat.Utf8Type,
+      Seq(BigFormat.LongType),
+      Map("value" -> BigFormat.Utf8Type), compactStorage = true)
+    val p1 = OldFormat.Partition2("pk", None, Seq(
+      OldFormat.Cell2(Seq("17"), "value", ts, None, None, Some("a"),
+        deleted = false, counter = false),
+      OldFormat.Cell2(Seq("42"), "value", ts + 1, Some(600),
+        Some(1609459900), Some("b"), deleted = false, counter = false),
+      // raw bounds: inclusive only; empty = open end
+      OldFormat.Tombstone2(Seq("5"), startInclusive = true,
+        Nil, endInclusive = true, ts + 2)))
+    val b1 = OldFormat.writeDataFile(Seq(p1), s1)
+    val back1 = OldFormat.partitions(s1,
+      new ByteArrayInputStream(b1), "dyncf1").toSeq
+    assert(back1 === Seq(p1))
+    // the name really is the raw 8-byte long, not a composite
+    // (8 bytes where a composite would add short-len + eoc framing)
+    assert(b1.length ===
+      OldFormat.writeDataFile(Seq(p1.copy(atoms = p1.atoms.tail)), s1)
+        .length + 2 + 8 + 1 + 8 + 4 + 1)
+    // multi clustering: CompositeType of EXACTLY the clustering
+    // components (no trailing column-name component)
+    val s2 = OldFormat.Schema(BigFormat.Utf8Type,
+      Seq(BigFormat.Utf8Type, BigFormat.Int32Type),
+      Map("value" -> BigFormat.Utf8Type), compactStorage = true)
+    val p2 = OldFormat.Partition2("pk2", None, Seq(
+      OldFormat.Cell2(Seq("a", "1"), "value", ts, None, None, Some("x"),
+        deleted = false, counter = false),
+      OldFormat.Tombstone2(Seq("b"), startInclusive = false,
+        Seq("c", "9"), endInclusive = true, ts + 3)))
+    val b2 = OldFormat.writeDataFile(Seq(p2), s2)
+    assert(OldFormat.partitions(s2,
+      new ByteArrayInputStream(b2), "dyncf2").toSeq === Seq(p2))
+    // loud rejects: wrong column name, exclusive raw bound, >1 value
+    // column declared
+    intercept[IllegalArgumentException] {
+      OldFormat.writeDataFile(Seq(p1.copy(atoms = Seq(
+        OldFormat.Cell2(Seq("1"), "other", ts, None, None, Some("v"),
+          deleted = false, counter = false)))), s1)
+    }
+    intercept[IllegalArgumentException] {
+      OldFormat.writeDataFile(Seq(p1.copy(atoms = Seq(
+        OldFormat.Tombstone2(Seq("1"), startInclusive = false,
+          Seq("2"), endInclusive = true, ts)))), s1)
+    }
+    intercept[IllegalArgumentException] {
+      OldFormat.writeDataFile(Seq(p1), s1.copy(columns =
+        Map("value" -> BigFormat.Utf8Type, "v2" -> BigFormat.Utf8Type)))
+    }
+  }
+
   test("2.x composite partition keys round-trip in blob token order") {
     // the SAME CompositeType carry serves the 2.x era: key blob =
     // [short len][bytes][0] per component, token over the whole blob
