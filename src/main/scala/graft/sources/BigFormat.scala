@@ -120,6 +120,25 @@ object BigFormat {
     * (`o.a.c.db.marshal.TimestampType`); rendered as the millis
     * long's decimal string — the value-opaque carry stays numeric. */
   val TimestampType = "org.apache.cassandra.db.marshal.TimestampType"
+  /** 8-byte big-endian IEEE double; rendered via Java's
+    * shortest-round-trip `Double.toString`. */
+  val DoubleType = "org.apache.cassandra.db.marshal.DoubleType"
+  /** 4-byte big-endian IEEE float. */
+  val FloatType = "org.apache.cassandra.db.marshal.FloatType"
+  /** 1 byte, 0 = false. */
+  val BooleanType = "org.apache.cassandra.db.marshal.BooleanType"
+  /** 4 (v4) or 16 (v6) address bytes; rendered as the literal
+    * address. Encode accepts ONLY literals (a hostname would mean a
+    * resolver call inside a codec — loud reject instead). */
+  val InetAddressType = "org.apache.cassandra.db.marshal.InetAddressType"
+  /** CQL `varint`: minimal two's-complement big-endian bytes
+    * (`BigInteger.toByteArray`), rendered as the decimal string. */
+  val VarintType = "org.apache.cassandra.db.marshal.IntegerType"
+  /** CQL `decimal`: 4-byte big-endian scale + unscaled varint bytes;
+    * rendered via `BigDecimal.toString` (which round-trips scale,
+    * including negative scales like 1E+2). */
+  val DecimalType = "org.apache.cassandra.db.marshal.DecimalType"
+
   /** Counter columns: the on-disk cell is a plain cell whose value is
     * the serialized counter context (shard list); counter-ness lives
     * in the column TYPE, not the cell flags. The value rides the same
@@ -205,9 +224,12 @@ object BigFormat {
 
   private def fixedLength(tpe: String): Int = tpe match {
     case Int32Type => 4
-    case LongType | TimestampType => 8
+    case LongType | TimestampType | DoubleType => 8
+    case FloatType => 4
+    case BooleanType => 1
     case TimeUuidType | UuidType => 16
     case Utf8Type | AsciiType | BytesType | CounterColumnType => -1
+    case InetAddressType | VarintType | DecimalType => -1
     case c if compositeOf(c).isDefined => -1
     case other => throw new UnsupportedOperationException(
       s"unsupported marshal type in this decoder subset: $other")
@@ -243,6 +265,16 @@ object BigFormat {
       case "timeuuid" => Right(TimeUuidType)
       case "timestamp" => Right(TimestampType)
       case "counter" => Right(CounterColumnType)
+      case "double" => Right(DoubleType)
+      case "float" => Right(FloatType)
+      case "boolean" => Right(BooleanType)
+      case "inet" => Right(InetAddressType)
+      case "varint" => Right(VarintType)
+      case "decimal" => Right(DecimalType)
+      // smallint/tinyint/date/time sit OUTSIDE the subset on purpose:
+      // their on-disk length-prefix semantics could not be pinned
+      // from the public sources at hand, and a guessed length would
+      // violate the never-silently-misread contract
       case _ if t.startsWith("frozen<") =>
         Left(s"frozen collections are outside the subset: $cqlType")
       case _ =>
@@ -358,6 +390,29 @@ object BigFormat {
     case UuidType =>
       val bb = java.nio.ByteBuffer.wrap(bytes)
       new java.util.UUID(bb.getLong, bb.getLong).toString
+    case DoubleType =>
+      java.lang.Double.toString(
+        java.nio.ByteBuffer.wrap(bytes).getDouble)
+    case FloatType =>
+      java.lang.Float.toString(java.nio.ByteBuffer.wrap(bytes).getFloat)
+    case BooleanType =>
+      require(bytes.length == 1, s"boolean expects 1 byte, got ${bytes.length}")
+      if (bytes(0) != 0) "true" else "false"
+    case InetAddressType =>
+      require(bytes.length == 4 || bytes.length == 16,
+        s"inet expects 4 or 16 bytes, got ${bytes.length}")
+      java.net.InetAddress.getByAddress(bytes).getHostAddress
+    case VarintType =>
+      require(bytes.nonEmpty, "varint expects at least one byte")
+      new java.math.BigInteger(bytes).toString
+    case DecimalType =>
+      require(bytes.length >= 4, s"decimal expects scale + unscaled bytes")
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      val scale = bb.getInt
+      val unscaled = new Array[Byte](bytes.length - 4)
+      bb.get(unscaled)
+      new java.math.BigDecimal(
+        new java.math.BigInteger(unscaled), scale).toString
     case BytesType | TimeUuidType | CounterColumnType =>
       bytes.map("%02x".format(_)).mkString
     case c if compositeOf(c).isDefined =>
@@ -394,6 +449,25 @@ object BigFormat {
       java.nio.ByteBuffer.allocate(16)
         .putLong(u.getMostSignificantBits)
         .putLong(u.getLeastSignificantBits).array()
+    case DoubleType =>
+      java.nio.ByteBuffer.allocate(8).putDouble(s.toDouble).array()
+    case FloatType =>
+      java.nio.ByteBuffer.allocate(4).putFloat(s.toFloat).array()
+    case BooleanType =>
+      Array((if (s.toBoolean) 1 else 0).toByte)
+    case InetAddressType =>
+      // literals only: a hostname here would mean a resolver call
+      // inside a codec
+      require(s.matches("[0-9a-fA-F:.]+"),
+        s"inet encode takes address literals only, got '$s'")
+      java.net.InetAddress.getByName(s).getAddress
+    case VarintType =>
+      new java.math.BigInteger(s).toByteArray
+    case DecimalType =>
+      val bd = new java.math.BigDecimal(s)
+      val unscaled = bd.unscaledValue.toByteArray
+      java.nio.ByteBuffer.allocate(4 + unscaled.length)
+        .putInt(bd.scale).put(unscaled).array()
     case BytesType | TimeUuidType | CounterColumnType =>
       s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
     case c if compositeOf(c).isDefined =>

@@ -707,6 +707,59 @@ class OldFormatSpec extends AnyFunSuite {
     }
   }
 
+  test("scalar marshal types: render ∘ encode is the identity; rejects are loud") {
+    import BigFormat._
+    def rt(tpe: String, s: String): Unit =
+      assert(renderValue(tpe, encodeValue(tpe, s)) === s, s"$tpe: $s")
+    Seq("0.0", "-0.0", "1.5", "3.141592653589793", "1.0E-300",
+      "NaN", "Infinity", "-Infinity").foreach(rt(DoubleType, _))
+    assert(encodeValue(DoubleType, "1.5").length === 8)
+    Seq("0.0", "2.5", "-1.17549435E-38", "NaN").foreach(rt(FloatType, _))
+    assert(encodeValue(FloatType, "2.5").length === 4)
+    Seq("true", "false").foreach(rt(BooleanType, _))
+    assert(encodeValue(BooleanType, "true") === Array(1.toByte))
+    Seq("10.0.0.1", "192.168.255.254").foreach(rt(InetAddressType, _))
+    assert(encodeValue(InetAddressType, "10.0.0.1").length === 4)
+    // v6 literals render uncompressed; encode accepts both forms
+    assert(encodeValue(InetAddressType, "2001:db8::1").length === 16)
+    rt(InetAddressType,
+      renderValue(InetAddressType,
+        encodeValue(InetAddressType, "2001:db8::1")))
+    Seq("0", "-1", "170141183460469231731687303715884105728",
+      "-170141183460469231731687303715884105728")
+      .foreach(rt(VarintType, _))
+    // minimal two's-complement: 255 needs a sign byte, 127 doesn't
+    assert(encodeValue(VarintType, "127").length === 1)
+    assert(encodeValue(VarintType, "255").length === 2)
+    Seq("0", "1.00", "-42.125", "1E+2", "1.7E-98").foreach(rt(DecimalType, _))
+    // scale is part of identity: 1.00 (scale 2) != 1 (scale 0)
+    assert(!java.util.Arrays.equals(
+      encodeValue(DecimalType, "1.00"), encodeValue(DecimalType, "1")))
+    // loud rejects
+    intercept[IllegalArgumentException] {
+      encodeValue(InetAddressType, "example.com") // no resolver calls
+    }
+    intercept[IllegalArgumentException] {
+      renderValue(BooleanType, Array(1.toByte, 0.toByte))
+    }
+    intercept[IllegalArgumentException] {
+      renderValue(InetAddressType, Array.fill(5)(0.toByte))
+    }
+    intercept[NumberFormatException] {
+      encodeValue(VarintType, "not-a-number")
+    }
+    // CQL names resolve
+    Seq("double" -> DoubleType, "float" -> FloatType,
+      "boolean" -> BooleanType, "inet" -> InetAddressType,
+      "varint" -> VarintType, "decimal" -> DecimalType).foreach {
+      case (cql, m) => assert(marshalOfCql(cql) === Right(m))
+    }
+    // the unverifiable 2.2-era quartet stays a loud boundary
+    Seq("smallint", "tinyint", "date", "time").foreach { t =>
+      assert(marshalOfCql(t).isLeft, t)
+    }
+  }
+
   test("composite partition keys render ':'-joined and re-encode; rejects are loud") {
     val ct = BigFormat.compositeType(
       Seq(BigFormat.Utf8Type, BigFormat.LongType))

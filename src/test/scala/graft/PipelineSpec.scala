@@ -145,8 +145,17 @@ class PipelineSpec extends SparkSpec {
     assert(RemoverCli.parse(Array("--in", "a", "--out", "b",
       "--table", "orders", "--keyspace", "other", "--cql", cql,
       "--writetime", "o_orderdate")).isLeft)
+    // binary-format CQL validation happens at parse time: a type the
+    // codec can't serialize (smallint's on-disk length semantics are
+    // outside the subset) rejects before any file is touched —
+    // double/timestamp/etc now resolve, so the same cql passes
     assert(RemoverCli.parse(Array("--in", "a", "--out", "b",
-      "--table", "orders", "--cql", cql, "--format", "sstable")).isLeft)
+      "--table", "orders", "--cql", cql, "--format", "sstable")).isRight)
+    val cqlSmall = cql.replace("o_totalprice double",
+      "o_totalprice smallint")
+    assert(RemoverCli.parse(Array("--in", "a", "--out", "b",
+      "--table", "orders", "--cql", cqlSmall,
+      "--format", "sstable")).isLeft)
   }
 
   test("CLI path strips an arbitrary table (orders) end-to-end") {
