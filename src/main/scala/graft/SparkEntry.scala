@@ -134,6 +134,7 @@ object SparkEntry {
     "src_sstable_binary_3x" -> (sources.SSTableBinaryV2.binaryAudit3x _),
     "src_sstable_binary_lz4" -> (sources.SSTableBinaryV2.binaryAuditLz4 _),
     "src_sstable_2x" -> (sources.SSTableBinaryV2.audit2x _),
+    "src_sstable_compact" -> (sources.SSTableBinaryV2.auditCompact2x _),
     "src_sstable_2x_upgrade" -> (sources.SSTableBinaryV2.upgrade2x _),
     "src_sstable_point" -> (sources.SSTableBinaryV2.pointLookup _),
     "src_sstable_roundtrip" -> (sources.SSTableBinaryV2.binaryRoundtrip _),
@@ -2644,6 +2645,40 @@ object SparkEntry {
       | UNION ALL
       | SELECT 'ROW', f, wt + 10000000, ttl, NULL, length(source)
       | FROM d WHERE k NOT IN (3,5,7))
+      |SELECT row_kind, count(*) AS n_rows,
+      | count(DISTINCT f) AS n_sstables,
+      | CAST(sum(wt2) AS BIGINT) AS sum_wt_off_us,
+      | CAST(sum(ttl2) AS BIGINT) AS sum_ttl_s,
+      | CAST(sum(del) AS BIGINT) AS sum_del_off_us,
+      | CAST(sum(vc) AS BIGINT) AS sum_value_chars
+      |FROM r GROUP BY 1""".stripMargin,
+    // thrift dynamic CF (COMPACT STORAGE with clustering): one cell
+    // per "row" named by the raw clustering value, NO row markers
+    // (hence no PK_LIVENESS group), row deletes as inclusive
+    // raw-bound tombstone pairs
+    "src_sstable_compact" -> """
+      |WITH d AS (
+      | SELECT CAST(doc_id AS BIGINT) AS doc_id, source, n_chars,
+      |  doc_id % 10 AS k, doc_id % 4 AS f,
+      |  doc_id * 1000000 AS wt,
+      |  CASE WHEN doc_id % 2 = 0 AND doc_id % 100 <> 0
+      |   THEN doc_id % 100 END AS ttl
+      | FROM documents),
+      |r AS (
+      | SELECT 'PARTITION_DELETION' AS row_kind, f, NULL AS wt2,
+      |   NULL AS ttl2, wt AS del, NULL AS vc FROM d WHERE k = 3
+      | UNION ALL
+      | SELECT 'RANGE_TOMBSTONE_BOUND', f, NULL, NULL, wt, NULL
+      | FROM d WHERE k = 7
+      | UNION ALL
+      | SELECT 'RANGE_TOMBSTONE_BOUND', f, NULL, NULL, wt, NULL
+      | FROM d WHERE k = 7
+      | UNION ALL
+      | SELECT 'ROW', f, wt, ttl, NULL,
+      |   length(CAST(n_chars AS VARCHAR)) FROM d WHERE k NOT IN (3,7)
+      | UNION ALL
+      | SELECT 'ROW', f, wt + 10000000, ttl, NULL, length(source)
+      | FROM d WHERE k NOT IN (3,7))
       |SELECT row_kind, count(*) AS n_rows,
       | count(DISTINCT f) AS n_sstables,
       | CAST(sum(wt2) AS BIGINT) AS sum_wt_off_us,

@@ -847,6 +847,91 @@ object SSTableBinaryV2 {
     audit
   }
 
+  /** The thrift dynamic-CF declaration: single clustering column,
+    * ONE value column, `WITH COMPACT STORAGE` — cell names are raw
+    * comparator bytes, no CQL3 row markers exist. */
+  val CqlCompact2x: String = "CREATE TABLE graft.documents " +
+    "(id text, ck text, value text, PRIMARY KEY (id, ck)) " +
+    "WITH COMPACT STORAGE"
+
+  /** COMPACT STORAGE twin of [[writeOldFixture]]: the same logical
+    * content as a thrift dynamic CF — every "row" is ONE cell whose
+    * name is the raw clustering value, no row-marker cells (compact
+    * tables predate the CQL3 marker), row deletes are raw-bound
+    * inclusive range tombstones. */
+  def writeCompactFixture(spark: SparkSession,
+      sfDir: String): java.nio.file.Path = {
+    import spark.implicits._
+    val out = graft.Scratch.dir("graft-compacttable-")
+    val outStr = out.toString
+    val hconf = spark.sparkContext.broadcast(
+      new SerializableConfiguration(spark.sessionState.newHadoopConf()))
+    val base = SSTableDumpBridge.TreeBase
+    val nFiles = SSTableDumpBridge.TreeFiles
+    val schema = OldFormat.schemaOfCql(
+      graft.model.CqlSchema.parse(CqlCompact2x)
+        .fold(e => throw new IllegalArgumentException(e), identity))
+    graft.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id").cast("long"), col("source"),
+        col("n_chars").cast("long"))
+      .as[(Long, String, Long)]
+      .groupByKey { case (docId, _, _) => (docId % nFiles).toInt }
+      .mapGroups { (fileId, docs) =>
+        val parts = docs.toArray.sortBy(_._1).map {
+          case (docId, source, nChars) =>
+            val kind = docId % 10
+            val wtSec = base + docId
+            val wtUs = wtSec * 1000000L
+            val ttl =
+              if (docId % 2 == 0 && docId % 100 != 0)
+                Some((docId % 100).toInt)
+              else None
+            val key = docId.toString
+            if (kind == 3)
+              OldFormat.Partition2(key, Some(wtUs), Nil)
+            else if (kind == 7)
+              OldFormat.Partition2(key, None, Seq(
+                OldFormat.Tombstone2(Seq(s"c$docId"),
+                  startInclusive = true, Seq(s"c$docId"),
+                  endInclusive = true, wtUs)))
+            else
+              OldFormat.Partition2(key, None, Seq(
+                OldFormat.Cell2(Seq(s"c$docId"), "value", wtUs, ttl,
+                  ttl.map(t => (wtSec + t).toInt),
+                  Some(nChars.toString), deleted = false,
+                  counter = false),
+                OldFormat.Cell2(Seq(s"d$docId"), "value",
+                  wtUs + 10000000L, ttl,
+                  ttl.map(t => (wtSec + 10 + t).toInt), Some(source),
+                  deleted = false, counter = false)))
+        }
+        val gen = fileId + 1
+        val fs = FileSystem.get(
+          java.net.URI.create(outStr), hconf.value.value)
+        val os = fs.create(
+          new HPath(s"$outStr/documents/graft-documents-ka-$gen-Data.db"),
+          true)
+        try os.write(OldFormat.writeDataFile(parts.toSeq, schema))
+        finally os.close()
+        (fileId, parts.length)
+      }
+      .collect()
+    out
+  }
+
+  /** Registered `src_sstable_compact`: the thrift dynamic-CF decode
+    * path — raw-comparator cell names, single value column, no
+    * markers — under the same per-row_kind audit as every other
+    * ingestion path. */
+  def auditCompact2x(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = writeCompactFixture(spark, sfDir)
+    val audit = SSTableDumpBridge
+      .auditFrame(readBinary(spark, dir.toString, Some(CqlCompact2x)))
+      .localCheckpoint()
+    graft.Scratch.delete(dir)
+    audit
+  }
+
   /** Registered `src_sstable_point`: the bloom-gated index-seek READ
     * path over the sink's own components — the reference's
     * `getPosition` machinery (`NoTTLReader.java:1519-1575`: bloom
