@@ -131,6 +131,7 @@ object SparkEntry {
     "src_sstabledump_tree" -> (sources.SSTableDumpBridge.treeAudit _),
     "src_sstabledump_v2" -> (sources.SSTableDumpBridge.treeAuditV2 _),
     "src_sstable_binary" -> (sources.SSTableBinaryV2.binaryAudit _),
+    "src_sstable_split" -> (sources.SSTableBinaryV2.splitAudit _),
     "src_sstable_binary_3x" -> (sources.SSTableBinaryV2.binaryAudit3x _),
     "src_sstable_binary_lz4" -> (sources.SSTableBinaryV2.binaryAuditLz4 _),
     "src_sstable_2x" -> (sources.SSTableBinaryV2.audit2x _),
@@ -2608,6 +2609,11 @@ object SparkEntry {
     // the binary big-format decoder answers to the SAME contract: the
     // fixture content is identical, only the on-disk encoding differs
     "src_sstable_binary" -> sstabledumpTreeSql,
+    // the SPLIT scan (blind byte ranges aligned to partition
+    // boundaries through Index.db) answers to the same contract:
+    // splitting is pure parallelism — nothing lost at a boundary,
+    // nothing decoded twice
+    "src_sstable_split" -> sstabledumpTreeSql,
     // the 3.x (m-series) era differs only in checksumless metadata;
     // the decoded content answers to the same contract
     "src_sstable_binary_3x" -> sstabledumpTreeSql,

@@ -97,11 +97,12 @@ object SSTableBinaryV2 {
         options: CaseInsensitiveStringMap): ScanBuilder =
       new BinScanBuilder(Option(path).getOrElse(options.get("path")),
         Option(options.get("maxFilesPerTrigger")).map(_.toInt),
-        Option(options.get("cql")))
+        Option(options.get("cql")),
+        Option(options.get("splitBytes")).map(_.toLong))
   }
 
   private class BinScanBuilder(path: String, maxFiles: Option[Int],
-      cql: Option[String])
+      cql: Option[String], splitBytes: Option[Long])
       extends ScanBuilder with SupportsPushDownRequiredColumns
       with SupportsPushDownFilters {
     private var required: StructType = SSTableBinaryV2.schema
@@ -147,37 +148,79 @@ object SSTableBinaryV2 {
       required = StructType(
         requiredSchema.fieldNames.map(SSTableBinaryV2.schema(_)))
     override def build(): Scan =
-      new BinScan(path, required, maxFiles, cql, pointKeys)
+      new BinScan(path, required, maxFiles, cql, pointKeys, splitBytes)
   }
 
   private class BinScan(path: String, required: StructType,
       private[sources] val maxFiles: Option[Int] = None,
       cql: Option[String] = None,
-      pointKeys: Option[Seq[String]] = None)
+      pointKeys: Option[Seq[String]] = None,
+      splitBytesOpt: Option[Long] = None)
       extends Scan with Batch {
     private val hconf = new SerializableConfiguration(
       SparkSession.active.sessionState.newHadoopConf())
+    /** Target split size: the `splitBytes` option, else the session's
+      * `spark.sql.files.maxPartitionBytes` — the same dial that sizes
+      * parquet splits. 0 disables splitting. */
+    private val splitBytes: Long = splitBytesOpt.getOrElse(
+      SparkSession.active.sessionState.conf.filesMaxPartitionBytes)
 
     override def readSchema(): StructType = required
     override def toBatch: Batch = this
 
-    private[sources] def listDataFiles(): Seq[String] = {
+    /** One recursive listing yields the data files AND their sibling
+      * component sets (no per-file exists() RPCs at plan time). */
+    private def listWithMeta(): Seq[(String, Long, Boolean, Boolean)] = {
       val fs = FileSystem.get(java.net.URI.create(path), hconf.value)
-      val files = scala.collection.mutable.ArrayBuffer.empty[String]
+      val files = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+      val seen = scala.collection.mutable.Set.empty[String]
       val it = fs.listFiles(new HPath(path), true)
       while (it.hasNext) {
         val f = it.next()
-        if (f.isFile && f.getPath.getName.endsWith("-Data.db"))
-          files += f.getPath.toString
+        if (f.isFile) {
+          seen += f.getPath.toString
+          if (f.getPath.getName.endsWith("-Data.db"))
+            files += ((f.getPath.toString, f.getLen))
+        }
       }
-      files.sortBy(generationSortKey).toSeq
+      files.sortBy(f => generationSortKey(f._1)).toSeq.map {
+        case (p, len) =>
+          val base = p.stripSuffix("-Data.db")
+          (p, len, seen(base + "-Index.db"),
+            seen(base + "-CompressionInfo.db"))
+      }
     }
 
-    /** One InputPartition per `*-Data.db` — the per-file parallelism
-      * unit; sorted for deterministic partition ids. Sibling
-      * components (Statistics/Index/Summary/TOC) are not data files. */
+    private[sources] def listDataFiles(): Seq[String] =
+      listWithMeta().map(_._1)
+
+    /** Parallelism units. Default: one InputPartition per `*-Data.db`
+      * (sorted for deterministic partition ids; sibling components are
+      * not data files). A file bigger than the split target whose
+      * Index.db sibling exists SPLITS into partition-aligned byte
+      * ranges — the straggler killer at 100 TB, where one major-
+      * compacted SSTable can be hundreds of GB and a file-per-task
+      * scan would serialize on it. The planner splits BLINDLY (no
+      * index IO on the driver — the same contract as Hadoop text
+      * splits); each task aligns its range to real partition
+      * boundaries through the index sidecar. Chunk-compressed files
+      * stay one task (like gzip in Hadoop: data offsets live in
+      * uncompressed space, so a range seek needs the chunk map — the
+      * dial that matters there is one-file-per-generation sizing),
+      * and so do 2.x-era files (no index subset). */
     override def planInputPartitions(): Array[InputPartition] =
-      listDataFiles().map(f => BinFilePartition(f): InputPartition).toArray
+      listWithMeta().flatMap { case (f, len, hasIndex, compressed) =>
+        val v = versionOf(f.split('/').last)
+        val splittable = splitBytes > 0 && hasIndex && !compressed &&
+          v.nonEmpty && v.charAt(0) >= 'm' && len > splitBytes
+        if (!splittable) Seq(BinFilePartition(f): InputPartition)
+        else {
+          val n = ((len + splitBytes - 1) / splitBytes).toInt
+          (0 until n).map(i => BinFilePartition(f, i * splitBytes,
+            if (i == n - 1) Long.MaxValue else (i + 1) * splitBytes)
+            : InputPartition)
+        }
+      }.toArray
 
     override def createReaderFactory(): PartitionReaderFactory =
       new BinReaderFactory(required.fieldNames, hconf, cql, pointKeys)
@@ -267,17 +310,22 @@ object SSTableBinaryV2 {
     (dir, gen, name)
   }
 
-  private case class BinFilePartition(file: String) extends InputPartition
+  /** [start, end) is a BLIND byte range of the Data.db; the reader
+    * aligns it to partition boundaries via Index.db. (0, MaxValue) =
+    * the whole file, no index needed. */
+  private case class BinFilePartition(file: String, start: Long = 0L,
+      end: Long = Long.MaxValue) extends InputPartition
 
   private class BinReaderFactory(cols: Array[String],
       hconf: SerializableConfiguration, cql: Option[String],
       pointKeys: Option[Seq[String]] = None)
       extends PartitionReaderFactory {
     override def createReader(
-        partition: InputPartition): PartitionReader[InternalRow] =
-      new BinPartitionReader(
-        partition.asInstanceOf[BinFilePartition].file, cols, hconf.value,
-        cql, pointKeys)
+        partition: InputPartition): PartitionReader[InternalRow] = {
+      val p = partition.asInstanceOf[BinFilePartition]
+      new BinPartitionReader(p.file, cols, hconf.value, cql, pointKeys,
+        p.start, p.end)
+    }
   }
 
   /** Streams one Data.db: header from the Statistics.db sibling, then
@@ -287,8 +335,14 @@ object SSTableBinaryV2 {
   private class BinPartitionReader(file: String, cols: Array[String],
       conf: org.apache.hadoop.conf.Configuration,
       cql: Option[String] = None,
-      pointKeys: Option[Seq[String]] = None)
+      pointKeys: Option[Seq[String]] = None,
+      rangeStart: Long = 0L, rangeEnd: Long = Long.MaxValue)
       extends PartitionReader[InternalRow] {
+    /** A split task owns the partitions whose Data.db start offset
+      * falls in its BLIND [rangeStart, rangeEnd) — blind ranges tile
+      * the file disjointly, so every partition has exactly one owner
+      * regardless of alignment. */
+    private val ranged = rangeStart != 0L || rangeEnd != Long.MaxValue
     private val sstable = file.split('/').takeRight(2).mkString("/")
     private val fs = FileSystem.get(java.net.URI.create(file), conf)
     // format version from the filename prefix (nb-1-big-Data.db →
@@ -424,15 +478,104 @@ object SSTableBinaryV2 {
       } finally in.close()
     }
 
+    /** Align the blind range to partition boundaries via the index
+      * sidecar: Some((seekPos, stopPos)) = decode Data.db bytes
+      * [seekPos, stopPos) exactly; None = no partition starts in the
+      * range. A Summary.db bounds the index read — binary search over
+      * the sampled marks by PROBED data position (one-entry reads at
+      * mark offsets) finds where to start streaming, so a task parses
+      * O(its own share) of the index, not all of it; without a
+      * summary the stream starts at 0 but still stops at the first
+      * entry past the range. */
+    private def alignRange(): Option[(Long, Long)] = {
+      require(!oldEra,
+        s"$file: 2.x-era SSTables have no index subset to split by")
+      require(!fs.exists(sibling("-CompressionInfo.db")),
+        s"$file: chunk-compressed SSTables don't split (index offsets " +
+          "are uncompressed positions)")
+      val indexP = sibling("-Index.db")
+      require(fs.exists(indexP),
+        s"$file: a split scan needs the Index.db sidecar")
+      val dataLen = fs.getFileStatus(new HPath(file)).getLen
+      val in = fs.open(indexP)
+      try {
+        val summaryP = sibling("-Summary.db")
+        val startIndexPos: Long =
+          if (!fs.exists(summaryP)) 0L
+          else {
+            val marks = SSTableComponents
+              .readSummary(readSibling(summaryP)).sampled.map(_._2)
+            def dataPosAt(ip: Long): Long = {
+              in.seek(ip)
+              SSTableComponents.indexEntries(new java.io.DataInputStream(
+                new java.io.BufferedInputStream(in, 4096)), file)
+                .next()._2
+            }
+            var lo = 0
+            var hi = marks.length - 1
+            var best = 0L
+            while (lo <= hi) {
+              val mid = (lo + hi) / 2
+              if (dataPosAt(marks(mid)) <= rangeStart) {
+                best = marks(mid); lo = mid + 1
+              } else hi = mid - 1
+            }
+            best
+          }
+        in.seek(startIndexPos)
+        val entries = SSTableComponents.indexEntries(
+          new java.io.DataInputStream(new java.io.BufferedInputStream(in)), file)
+        var seekPos = -1L
+        var stopPos = dataLen
+        var done = false
+        while (!done && entries.hasNext) {
+          val pos = entries.next()._2
+          if (pos >= rangeEnd) { stopPos = pos; done = true }
+          else if (seekPos < 0 && pos >= rangeStart) seekPos = pos
+        }
+        if (seekPos < 0) None else Some((seekPos, stopPos))
+      } finally in.close()
+    }
+
+    /** Caps a stream at the range's byte budget so the partition
+      * decoder sees clean EOF exactly at the split boundary. */
+    private class BoundedStream(in: java.io.InputStream,
+        private var remaining: Long) extends java.io.InputStream {
+      override def read(): Int =
+        if (remaining <= 0) -1
+        else { val b = in.read(); if (b >= 0) remaining -= 1; b }
+      override def read(buf: Array[Byte], off: Int, len: Int): Int =
+        if (remaining <= 0) -1
+        else {
+          val n = in.read(buf, off, math.min(len.toLong, remaining).toInt)
+          if (n > 0) remaining -= n
+          n
+        }
+      override def close(): Unit = in.close()
+    }
+
     private var fullStream: java.io.InputStream = null
     private var seekStream: org.apache.hadoop.fs.FSDataInputStream = null
     private val parts: Iterator[Iterator[InternalRow]] = lookup match {
       case Some(Seq()) => Iterator.empty // bloom-negative: file skipped
       case Some(positions) =>
+        // a split task serves only the indexed positions it owns
+        val owned =
+          if (!ranged) positions
+          else positions.filter(p => p >= rangeStart && p < rangeEnd)
         seekStream = fs.open(new HPath(file))
-        positions.iterator.map { pos =>
+        owned.iterator.map { pos =>
           seekStream.seek(pos)
           expand(BigFormat.partitions(header, seekStream, file).next())
+        }
+      case None if ranged =>
+        alignRange() match {
+          case None => Iterator.empty
+          case Some((seekPos, stopPos)) =>
+            val raw = fs.open(new HPath(file))
+            raw.seek(seekPos)
+            fullStream = new BoundedStream(raw, stopPos - seekPos)
+            BigFormat.partitions(header, fullStream, file).map(expand)
         }
       case None =>
         fullStream = openFullStream()
@@ -1776,6 +1919,27 @@ object SSTableBinaryV2 {
     * path held to the one ingestion contract. */
   def binaryAudit(spark: SparkSession, sfDir: String): DataFrame =
     binaryAuditV(spark, sfDir, "nb")
+
+  /** Registered `src_sstable_split`: the SPLIT scan under the same
+    * tree oracle — fixture → unstripped rewrite (Index/Summary/bloom
+    * components land) → read with a tiny `splitBytes` so every
+    * Data.db divides into many partition-aligned byte ranges → audit.
+    * Sharing the oracle VERBATIM proves splitting is pure parallelism:
+    * no partition lost at a blind boundary, none decoded twice. At
+    * 100 TB this is the straggler killer — a major-compacted SSTable
+    * is one FILE but many tasks. */
+  def splitAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val in = writeBinaryFixture(spark, sfDir)
+    val out = graft.Scratch.dir("graft-splitaudit-")
+    writeSSTables(readBinary(spark, in.toString), out.toString,
+      "graft", "documents")
+    graft.Scratch.delete(in)
+    val split = spark.read.format("sstable-big")
+      .option("splitBytes", "512").load(out.toString)
+    val audit = SSTableDumpBridge.auditFrame(split).localCheckpoint()
+    graft.Scratch.delete(out)
+    audit
+  }
 
   /** The same audit over a Cassandra 3.x fixture ("me" files,
     * checksumless metadata) — `src_sstable_binary_3x` shares the tree

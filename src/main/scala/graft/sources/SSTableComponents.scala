@@ -69,32 +69,44 @@ object SSTableComponents {
     bos.toByteArray
   }
 
-  def readIndex(bytes: Array[Byte], file: String): Seq[(Array[Byte], Long)] = {
-    val in = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
-    val out = Seq.newBuilder[(Array[Byte], Long)]
-    var done = false
-    while (!done) {
-      val first = in.read()
-      if (first < 0) done = true
-      else {
-        val len = ((first & 0xff) << 8) | {
-          val b = in.read()
-          if (b < 0) throw new EOFException(s"$file: Index.db truncated")
-          b & 0xff
+  /** Stream Index.db entries one at a time — the split-scan aligner
+    * reads only a prefix (it stops at the first data position past its
+    * range), so a materializing parse would defeat the bounding.
+    * Promoted blocks are outside this writer's subset; refuse rather
+    * than misparse the next entry. */
+  def indexEntries(in: DataInputStream,
+      file: String): Iterator[(Array[Byte], Long)] =
+    new Iterator[(Array[Byte], Long)] {
+      private def fetch(): Option[(Array[Byte], Long)] = {
+        val first = in.read()
+        if (first < 0) None
+        else {
+          val len = ((first & 0xff) << 8) | {
+            val b = in.read()
+            if (b < 0) throw new EOFException(s"$file: Index.db truncated")
+            b & 0xff
+          }
+          val key = new Array[Byte](len)
+          in.readFully(key)
+          val position = BigFormat.readUnsignedVInt(in)
+          val promoted = BigFormat.readUnsignedVInt(in)
+          if (promoted != 0) throw new UnsupportedOperationException(
+            s"$file: promoted index blocks unsupported ($promoted bytes)")
+          Some((key, position))
         }
-        val key = new Array[Byte](len)
-        in.readFully(key)
-        val position = BigFormat.readUnsignedVInt(in)
-        val promoted = BigFormat.readUnsignedVInt(in)
-        // promoted blocks are outside this writer's subset; refuse
-        // rather than misparse the next entry
-        if (promoted != 0) throw new UnsupportedOperationException(
-          s"$file: promoted index blocks unsupported ($promoted bytes)")
-        out += ((key, position))
+      }
+      private var nextEntry: Option[(Array[Byte], Long)] = fetch()
+      override def hasNext: Boolean = nextEntry.isDefined
+      override def next(): (Array[Byte], Long) = {
+        val e = nextEntry.getOrElse(throw new NoSuchElementException)
+        nextEntry = fetch()
+        e
       }
     }
-    out.result()
-  }
+
+  def readIndex(bytes: Array[Byte], file: String): Seq[(Array[Byte], Long)] =
+    indexEntries(new DataInputStream(
+      new java.io.ByteArrayInputStream(bytes)), file).toSeq
 
   // =====================================================================
   // Filter.db

@@ -1129,6 +1129,61 @@ class SSTableBinarySpec extends SparkSpec {
     } finally graft.Scratch.delete(out)
   }
 
+  test("split scan: big Data.db files divide into partition-aligned ranges") {
+    import org.apache.spark.sql.functions.spark_partition_id
+    // sink output carries Index.db + Summary.db — the split substrate
+    val src = SSTableBinaryV2.writeBinaryFixture(spark, sfDir)
+    val out = graft.Scratch.dir("graft-splitscan-")
+    try {
+      SSTableBinaryV2.writeSSTables(
+        SSTableBinaryV2.readBinary(spark, src.toString),
+        out.toString, "graft", "documents")
+      val whole = spark.read.format("sstable-big")
+        .option("splitBytes", "0").load(out.toString)
+      val nFiles = whole.select("sstable").distinct().count()
+      val split = spark.read.format("sstable-big")
+        .option("splitBytes", "512").load(out.toString)
+      // more tasks than files, frame EXACTLY preserved (no partition
+      // lost at a boundary, none decoded twice)
+      val splitTasks = split
+        .groupBy(spark_partition_id().as("pid")).count().count()
+      assert(splitTasks > nFiles,
+        s"expected >$nFiles tasks, got $splitTasks")
+      assert(split.exceptAll(whole).count() === 0)
+      assert(whole.exceptAll(split).count() === 0)
+      // a pushed point lookup under splits: each key decoded ONCE
+      val point = spark.read.format("sstable-big")
+        .option("splitBytes", "512").load(out.toString)
+        .filter(org.apache.spark.sql.functions.col("partition_key")
+          .isin("8", "15"))
+      val pointWhole = whole.filter(
+        org.apache.spark.sql.functions.col("partition_key")
+          .isin("8", "15"))
+      assert(point.exceptAll(pointWhole).count() === 0)
+      assert(pointWhole.exceptAll(point).count() === 0)
+      // compressed generations stay one task per file (offsets live
+      // in uncompressed space)
+      val cout = graft.Scratch.dir("graft-splitcmp-")
+      try {
+        SSTableBinaryV2.writeSSTables(
+          SSTableBinaryV2.readBinary(spark, out.toString),
+          cout.toString, "graft", "documents",
+          compression = Some("LZ4Compressor"))
+        val csplit = spark.read.format("sstable-big")
+          .option("splitBytes", "512").load(cout.toString)
+        val ctasks = csplit
+          .groupBy(spark_partition_id().as("pid")).count().count()
+        val cfiles = csplit.select("sstable").distinct().count()
+        assert(ctasks === cfiles)
+        assert(csplit.exceptAll(whole).count() === 0)
+        assert(whole.exceptAll(csplit).count() === 0)
+      } finally graft.Scratch.delete(cout)
+    } finally {
+      graft.Scratch.delete(src)
+      graft.Scratch.delete(out)
+    }
+  }
+
   test("RemoverCli --format sstable: binary lifecycle output-identical to the dump path") {
     val binDir = SSTableBinaryV2.writeBinaryFixture(spark, sfDir)
     val jsonDir = SSTableDumpBridge.writeTreeFixture(spark, sfDir)
