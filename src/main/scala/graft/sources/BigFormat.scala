@@ -496,6 +496,128 @@ object BigFormat {
     case other => throw new UnsupportedOperationException(other)
   }
 
+  /** `AbstractType.compare` for the marshal subset — the byte order
+    * each type's comparator pins (public layouts: Int32/Long/Timestamp
+    * compare the decoded signed value, UTF8/Ascii/Bytes/Inet compare
+    * unsigned-lexicographic, Boolean false<true, Float/Double by IEEE
+    * total order, UUIDType by version then v1 timestamp then raw
+    * bytes, TimeUUIDType by the reassembled 60-bit timestamp,
+    * IntegerType/DecimalType by the decoded big number). Cassandra
+    * binary-searches clusterings and complex-cell paths in exactly
+    * this order, so the SINK must emit it — a rendered-string sort
+    * would put 10 before 2 for numeric types and break loadability. */
+  def compareEncoded(tpe: String, a: Array[Byte], b: Array[Byte]): Int = {
+    def unsignedLex(x: Array[Byte], y: Array[Byte]): Int = {
+      val n = math.min(x.length, y.length)
+      var i = 0
+      while (i < n) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      x.length - y.length
+    }
+    // reassemble a v1 uuid's 60-bit timestamp from time_low|mid|hi
+    def v1Timestamp(raw: Array[Byte]): Long = {
+      val msb = java.nio.ByteBuffer.wrap(raw).getLong
+      ((msb & 0x0000000000000fffL) << 48) |
+        ((msb & 0x00000000ffff0000L) << 16) |
+        (msb >>> 32)
+    }
+    tpe match {
+      case Utf8Type | AsciiType | BytesType | InetAddressType =>
+        unsignedLex(a, b)
+      case Int32Type =>
+        Integer.compare(java.nio.ByteBuffer.wrap(a).getInt,
+          java.nio.ByteBuffer.wrap(b).getInt)
+      case LongType | TimestampType =>
+        java.lang.Long.compare(java.nio.ByteBuffer.wrap(a).getLong,
+          java.nio.ByteBuffer.wrap(b).getLong)
+      case DoubleType =>
+        java.lang.Double.compare(java.nio.ByteBuffer.wrap(a).getDouble,
+          java.nio.ByteBuffer.wrap(b).getDouble)
+      case FloatType =>
+        java.lang.Float.compare(java.nio.ByteBuffer.wrap(a).getFloat,
+          java.nio.ByteBuffer.wrap(b).getFloat)
+      case BooleanType =>
+        java.lang.Byte.compare(a(0), b(0))
+      case TimeUuidType =>
+        val c = java.lang.Long.compare(v1Timestamp(a), v1Timestamp(b))
+        if (c != 0) c else unsignedLex(a, b)
+      case UuidType =>
+        val va = (a(6) >> 4) & 0xf
+        val vb = (b(6) >> 4) & 0xf
+        if (va != vb) va - vb
+        else if (va == 1) {
+          val c = java.lang.Long.compare(v1Timestamp(a), v1Timestamp(b))
+          if (c != 0) c else unsignedLex(a, b)
+        } else unsignedLex(a, b)
+      case VarintType =>
+        new java.math.BigInteger(a).compareTo(new java.math.BigInteger(b))
+      case DecimalType =>
+        def dec(raw: Array[Byte]): java.math.BigDecimal = {
+          val bb = java.nio.ByteBuffer.wrap(raw)
+          val scale = bb.getInt
+          val unscaled = new Array[Byte](raw.length - 4)
+          bb.get(unscaled)
+          new java.math.BigDecimal(new java.math.BigInteger(unscaled), scale)
+        }
+        dec(a).compareTo(dec(b))
+      case other => throw new UnsupportedOperationException(
+        s"no comparator for marshal type in this sink subset: $other")
+    }
+  }
+
+  /** `ClusteringPrefix.Kind.comparison` (public enum value): how two
+    * prefixes of EQUAL component length order by kind alone. */
+  def kindComparison(kind: Int): Int = kind match {
+    case Kind.ExclEndBound | Kind.InclStartBound |
+        Kind.ExclEndInclStartBoundary => 0
+    case Kind.StaticClustering => 1
+    case Kind.Clustering => 2
+    case _ => 3 // InclEndExclStartBoundary | InclEndBound | ExclStartBound
+  }
+
+  /** `ClusteringPrefix.Kind.comparedToClustering`: how a SHORTER
+    * prefix orders against anything it is a strict prefix of. */
+  def kindComparedToClustering(kind: Int): Int = kind match {
+    case Kind.Clustering => 0
+    case Kind.InclEndExclStartBoundary | Kind.InclEndBound |
+        Kind.ExclStartBound => 1
+    case _ => -1
+  }
+
+  /** `ClusteringComparator.compare` over (encoded prefix values,
+    * kind): component-wise [[compareEncoded]] under the declared
+    * clustering types, then kind resolution — equal lengths order by
+    * [[kindComparison]], a strict prefix by its
+    * [[kindComparedToClustering]]. This is the order the 3.0 data
+    * file REQUIRES of its unfiltereds (rows AND range-tombstone
+    * markers interleaved), and what Cassandra's reader binary-searches
+    * promoted-index blocks by. A null component orders before any
+    * value (deterministic; the sink's own rows never carry mid-prefix
+    * nulls). */
+  def compareClusterable(types: Seq[String],
+      va: Seq[Option[Array[Byte]]], ka: Int,
+      vb: Seq[Option[Array[Byte]]], kb: Int): Int = {
+    val n = math.min(va.size, vb.size)
+    var i = 0
+    while (i < n) {
+      val c = (va(i), vb(i)) match {
+        case (Some(x), Some(y)) => compareEncoded(types(i), x, y)
+        case (None, None) => 0
+        case (None, _) => -1
+        case (_, None) => 1
+      }
+      if (c != 0) return c
+      i += 1
+    }
+    if (va.size == vb.size)
+      Integer.compare(kindComparison(ka), kindComparison(kb))
+    else if (va.size < vb.size) kindComparedToClustering(ka)
+    else -kindComparedToClustering(kb)
+  }
+
   /** ClusteringPrefix.Serializer.serializeValuesWithoutSize: per 32
     * values one unsigned-vint header word (bit 2i = empty, bit 2i+1 =
     * null), then each non-null non-empty value via its type. */
@@ -926,7 +1048,18 @@ object BigFormat {
                   writeUnsignedVInt(h.ldtOut(NoDeletionTime), b)
               }
             }
-            val cells = r.cells.filter(_.name == name).sortBy(_.path)
+            // cells in the PATH TYPE's comparator order (Cassandra
+            // binary-searches ComplexColumnData by path; a rendered-
+            // string sort would misorder numeric keys, e.g. 10 < 2)
+            val cells = r.cells.filter(_.name == name)
+              .map { c =>
+                val p = c.path.getOrElse(
+                  throw new IllegalArgumentException(
+                    s"complex column '$name' cell without a CellPath"))
+                (encodeValue(pathType, p), c)
+              }
+              .sortWith((x, y) => compareEncoded(pathType, x._1, y._1) < 0)
+              .map(_._2)
             writeUnsignedVInt(cells.size.toLong, b)
             cells.foreach { c =>
               writeCell(c, r.livenessTsUs, r.livenessTtlS,

@@ -228,8 +228,21 @@ object CompressedData {
       if (stored != actual) throw new java.io.IOException(
         s"$file: compressed chunk $chunkIdx CRC mismatch " +
           f"(stored 0x$stored%08x, computed 0x$actual%08x)")
+      // raw-stored detection mirrors CompressedSequentialWriter's
+      // boundary: a chunk is stored RAW (uncompressed bytes) when its
+      // compressed form reached maxCompressedSize. A raw chunk's
+      // stored length equals the slot's uncompressed length — which
+      // for the short FINAL chunk can sit BELOW maxCompressedSize, so
+      // that case is recognized by exact length too (the supported
+      // codecs cannot emit compressed output of exactly the input
+      // length: each adds at least one byte of framing to
+      // incompressible data, so the equality is unambiguous).
+      val expectedRaw =
+        math.min(meta.chunkLength.toLong, meta.dataLength - served).toInt
       chunk =
-        if (block.length >= meta.maxCompressedSize) block // stored raw
+        if (block.length >= meta.maxCompressedSize ||
+          (meta.maxCompressedSize != Int.MaxValue &&
+            block.length == expectedRaw)) block // stored raw
         else decompressBlock(meta.compressor, block, meta.chunkLength, file)
       // the final chunk may decompress past dataLength only if corrupt
       if (served + chunk.length > meta.dataLength)

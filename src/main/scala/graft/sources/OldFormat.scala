@@ -396,13 +396,20 @@ object OldFormat {
         s"$file: counter-update cells (commit-log-only form) in an " +
           "SSTable are outside the decoder subset")
     } else {
+      // the 2.x ColumnSerializer dispatches the body on an ELSE-IF
+      // chain — counter, then expiration, then deletion — so a mask
+      // carrying several bits resolves to the FIRST branch (an
+      // EXPIRATION|DELETION cell is an ExpiringColumn; its deletion
+      // bit is never consulted), and only that branch's extra fields
+      // are on the stream. Reading them by independent bit tests
+      // would misparse the bytes that follow.
       val counter = (mask & CounterMask) != 0
-      val expiring = (mask & ExpirationMask) != 0
-      val deleted = (mask & DeletionMask) != 0
+      val expiring = !counter && (mask & ExpirationMask) != 0
+      val deleted = !counter && !expiring && (mask & DeletionMask) != 0
       val counterTsOfLastDelete =
         if (counter) in.readLong() else LiveMfda
       val (ttl, ldt) =
-        if (expiring && !deleted) {
+        if (expiring) {
           val t = in.readInt(); val l = in.readInt()
           (Some(t), Some(l))
         } else (None, None)

@@ -1748,23 +1748,48 @@ object SSTableBinaryV2 {
             s"$src: data has $nClust clustering values but the CQL " +
               s"schema declares ${ty.clusteringTypes.size}")
         }
+        val clTypes = typing.map(_.clusteringTypes.take(nClust))
+          .getOrElse(Seq.fill(nClust)(BigFormat.Utf8Type))
         val parts = rows.groupBy(_.partition_key).toSeq.map {
           case (pk, prs) =>
             val partDel = prs.filter(_.row_kind == "PARTITION_DELETION")
               .flatMap(_.deletion_us).maxOption
             val atoms = Seq.newBuilder[BigFormat.Atom]
+            // the 3.0 format requires unfiltereds (rows AND range-
+            // tombstone markers, INTERLEAVED) in clustering-comparator
+            // order — component-wise under the declared types, kinds
+            // resolving ties — not a rendered-string order (which
+            // would misorder numeric/negative clusterings and park
+            // every marker at the front). Cassandra refuses anything
+            // else on load, and the promoted index assumes it.
+            val unfiltereds = Seq.newBuilder[
+              (Seq[Option[Array[Byte]]], Int, BigFormat.Atom)]
+            def encPrefix(cl: Seq[Option[String]]): Seq[Option[Array[Byte]]] =
+              cl.zipWithIndex.map { case (v, i) =>
+                v.map(BigFormat.encodeValue(clTypes(i), _))
+              }
             prs.filter(_.row_kind == "RANGE_TOMBSTONE_BOUND")
               .sortBy(r => (r.clustering.map(_.mkString("\u0000"))
                 .getOrElse(""), r.name.getOrElse("")))
               .foreach { r =>
-                atoms += BigFormat.MarkerAtom(boundKind(r.name.get),
-                  r.clustering.getOrElse(Nil).map(Option(_)),
-                  Seq(r.deletion_us.get))
+                val kind = boundKind(r.name.get)
+                val cl = r.clustering.getOrElse(Nil).map(Option(_))
+                unfiltereds += ((encPrefix(cl), kind,
+                  BigFormat.MarkerAtom(kind, cl, Seq(r.deletion_us.get))))
               }
             // build atoms for one (static or clustered) row group
             def rowPieces(crs: Array[SinkRow],
                 cols: Seq[(String, String)])
                 : (Seq[BigFormat.CellAtom], Seq[(String, Long)]) = {
+              // a nameless cell kind would silently fall out of
+              // pathsOf below — and a dropped cell tombstone can
+              // RESURRECT deleted data on a later merge, so refuse
+              // loudly (same pattern as the unknown-row_kind guard)
+              crs.find(r => r.name.isEmpty &&
+                (r.row_kind == "ROW" || r.row_kind == "CELL_DELETION"))
+                .foreach(r => throw new IllegalArgumentException(
+                  s"$src: ${r.row_kind} without a column name is not " +
+                    "encodable by the binary sink"))
               val complexDels = crs
                 .filter(_.row_kind == "COMPLEX_DELETION")
                 .map(r => (r.name.getOrElse(
@@ -1831,13 +1856,25 @@ object SSTableBinaryV2 {
                 val (cellAtoms, complexDels) = rowPieces(crs, regulars)
                 if (rowDel.isDefined || pkLive.isDefined ||
                   cellAtoms.nonEmpty || complexDels.nonEmpty)
-                  atoms += BigFormat.RowAtom(cl,
-                    pkLive.flatMap(_.writetime_us),
-                    pkLive.flatMap(_.ttl_s),
-                    pkLive.flatMap(_.expire_us)
-                      .map(e => (e / 1000000L).toInt),
-                    rowDel, cellAtoms.toSeq, complexDels)
+                  unfiltereds += ((encPrefix(cl), BigFormat.Kind.Clustering,
+                    BigFormat.RowAtom(cl,
+                      pkLive.flatMap(_.writetime_us),
+                      pkLive.flatMap(_.ttl_s),
+                      pkLive.flatMap(_.expire_us)
+                        .map(e => (e / 1000000L).toInt),
+                      rowDel, cellAtoms.toSeq, complexDels)))
               }
+            // comparator-sort rows + markers together (stable, so the
+            // deterministic pre-sorts above break exact-kind ties)
+            atoms ++= unfiltereds.result()
+              .sorted(new Ordering[
+                (Seq[Option[Array[Byte]]], Int, BigFormat.Atom)] {
+                def compare(x: (Seq[Option[Array[Byte]]], Int, BigFormat.Atom),
+                    y: (Seq[Option[Array[Byte]]], Int, BigFormat.Atom)): Int =
+                  BigFormat.compareClusterable(
+                    clTypes, x._1, x._2, y._1, y._2)
+              })
+              .map(_._3)
             BigFormat.PartitionData(pk, partDel, atoms.result())
         }
         // per-file EncodingStats minima over what will be written
@@ -1862,8 +1899,7 @@ object SSTableBinaryV2 {
           if (allLdt.isEmpty) BigFormat.DeletionTimeEpochS else allLdt.min,
           if (allTtl.isEmpty) BigFormat.TtlEpoch else allTtl.min,
           keyType = typing.map(_.keyType).getOrElse(BigFormat.Utf8Type),
-          clusteringTypes = typing.map(_.clusteringTypes.take(nClust))
-            .getOrElse(Seq.fill(nClust)(BigFormat.Utf8Type)),
+          clusteringTypes = clTypes,
           staticColumns = statics,
           regularColumns = regulars)
         val fs = FileSystem.get(

@@ -569,6 +569,61 @@ class BigFormatSpec extends AnyFunSuite {
       Seq("t1/nb-2-big-Data.db", "t1/nb-10-big-Data.db",
         "t2/nb-1-big-Data.db"))
   }
+
+  test("compareEncoded pins each marshal type's comparator byte order") {
+    import BigFormat._
+    def cmp(t: String, a: String, b: String): Int =
+      compareEncoded(t, encodeValue(t, a), encodeValue(t, b))
+    // numeric types compare the VALUE (a rendered-string sort would
+    // say '10' < '2' and '-5' > '3')
+    assert(cmp(Int32Type, "2", "10") < 0)
+    assert(cmp(Int32Type, "-5", "3") < 0)
+    assert(cmp(LongType, "-9999999999", "1") < 0)
+    assert(cmp(TimestampType, "999", "1000") < 0)
+    assert(cmp(DoubleType, "-1.5", "0.25") < 0)
+    assert(cmp(FloatType, "2.5", "10.25") < 0)
+    assert(cmp(VarintType,
+      "90000000000000000000", "100000000000000000000") < 0)
+    assert(cmp(DecimalType, "2.50", "2.5") === 0) // scale-insensitive
+    assert(cmp(DecimalType, "-0.001", "0.0001") < 0)
+    assert(cmp(BooleanType, "false", "true") < 0)
+    // text IS lexicographic; bytes/inet unsigned (0x80 > 0x7f)
+    assert(cmp(Utf8Type, "10", "2") < 0)
+    assert(cmp(InetAddressType, "10.0.0.1", "192.168.0.1") < 0)
+    assert(compareEncoded(BytesType,
+      Array(0x7f.toByte), Array(0x80.toByte)) < 0)
+    // timeuuid orders by the reassembled v1 timestamp, not raw bytes:
+    // time_mid=1 (ts = 2^32) must sort AFTER time_low=1 (ts = 1)
+    // even though its raw bytes are lexicographically smaller
+    val tsLow1 = "00000001000010008000000000000000"
+    val tsMid1 = "00000000000110008000000000000000"
+    assert(cmp(TimeUuidType, tsLow1, tsMid1) < 0)
+    // v4 uuids fall back to unsigned raw order
+    assert(cmp(UuidType, "40000000-0000-4000-8000-000000000000",
+      "c0000000-0000-4000-8000-000000000000") < 0)
+  }
+
+  test("compareClusterable interleaves marker kinds around rows (ClusteringComparator semantics)") {
+    import BigFormat._
+    val t = Seq(Int32Type)
+    def enc(v: Int) = Seq(Some(encodeValue(Int32Type, v.toString)))
+    def c(a: Seq[Option[Array[Byte]]], ka: Int,
+        b: Seq[Option[Array[Byte]]], kb: Int) =
+      compareClusterable(t, a, ka, b, kb)
+    // at EQUAL prefix: inclusive-start and exclusive-end sort before
+    // the row; inclusive-end and exclusive-start after
+    assert(c(enc(5), Kind.InclStartBound, enc(5), Kind.Clustering) < 0)
+    assert(c(enc(5), Kind.ExclEndBound, enc(5), Kind.Clustering) < 0)
+    assert(c(enc(5), Kind.InclEndBound, enc(5), Kind.Clustering) > 0)
+    assert(c(enc(5), Kind.ExclStartBound, enc(5), Kind.Clustering) > 0)
+    // values dominate kinds when they differ — typed compare
+    assert(c(enc(2), Kind.ExclStartBound, enc(10), Kind.Clustering) < 0)
+    // an empty-prefix bound brackets every row by comparedToClustering
+    assert(c(Nil, Kind.InclStartBound, enc(Int.MinValue),
+      Kind.Clustering) < 0)
+    assert(c(Nil, Kind.InclEndBound, enc(Int.MaxValue),
+      Kind.Clustering) > 0)
+  }
 }
 
 /** The 2.x (pre-3.0) codec in isolation: composite names, mask
@@ -1926,5 +1981,89 @@ class SSTableBinarySpec extends SparkSpec {
       assert(kinds.contains("PARTITION_DELETION"))
       assert(kinds.contains("ROW_DELETION"))
     } finally graft.Scratch.delete(out)
+  }
+
+  test("sink emits unfiltereds in comparator order: typed clusterings, markers interleaved at their bounds") {
+    import spark.implicits._
+    val wt = 1609459200L * 1000000L
+    def row(ck: Long) = ("pk", Seq(ck.toString), "ROW", Some("v"),
+      Some((s"x$ck", wt, None: Option[Int], None: Option[Long])),
+      None: Option[Long], "t/nb-1-big-Data.db")
+    def marker(ck: Long, bound: String) =
+      ("pk", Seq(ck.toString), "RANGE_TOMBSTONE_BOUND", Some(bound),
+        None: Option[(String, Long, Option[Int], Option[Long])],
+        Some(wt - 1), "t/nb-1-big-Data.db")
+    // string order would park the markers first and sort rows
+    // -5 < 10 < 2; comparator order is -5, 2, [3 .. 9], 10
+    val rows = Seq(row(2), row(10), row(-5),
+      marker(3, "start:inclusive"), marker(9, "end:inclusive"))
+      .toDF("partition_key", "clustering", "row_kind", "name",
+        "cell_t", "deletion_us", "sstable")
+      .withColumn("cell", struct(
+        col("cell_t._1").as("value"), col("cell_t._2").as("writetime_us"),
+        col("cell_t._3").as("ttl_s"), col("cell_t._4").as("expire_us")))
+      .drop("cell_t")
+    val parsed = graft.model.CqlSchema.parse(
+      "CREATE TABLE ks.t (pk text, ck bigint, v text, " +
+        "PRIMARY KEY (pk, ck))").fold(e => fail(e), identity)
+    val out = Scratch.dir("graft-clorder-")
+    try {
+      SSTableBinaryV2.writeSSTables(rows, out.toString, "ks", "t",
+        Some(parsed))
+      val dir = out.resolve("ks").resolve("t")
+      val h = BigFormat.readStats(java.nio.file.Files.readAllBytes(
+        dir.resolve("nb-1-big-Statistics.db")))
+      val atoms = BigFormat.partitions(h,
+        new java.io.ByteArrayInputStream(
+          java.nio.file.Files.readAllBytes(dir.resolve("nb-1-big-Data.db"))),
+        "clorder-test").toSeq.head.atoms
+      val shape = atoms.map {
+        case r: BigFormat.RowAtom => ("row", r.clustering.head.get)
+        case m: BigFormat.MarkerAtom =>
+          (s"marker${m.kind}", m.clustering.head.get)
+      }
+      assert(shape === Seq(
+        ("row", "-5"), ("row", "2"),
+        (s"marker${BigFormat.Kind.InclStartBound}", "3"),
+        (s"marker${BigFormat.Kind.InclEndBound}", "9"),
+        ("row", "10")))
+    } finally Scratch.delete(out)
+  }
+
+  test("sink orders complex cell paths by the PATH TYPE's comparator, not rendered strings") {
+    import spark.implicits._
+    val wt = 1609459200L * 1000000L
+    def cellRow(key: Int, v: String) =
+      ("pk", Seq.empty[String], "ROW", Some(s"attrs[$key]"),
+        Some((v, wt, None: Option[Int], None: Option[Long])),
+        None: Option[Long], "t/nb-1-big-Data.db")
+    val rows = Seq(cellRow(10, "ten"), cellRow(2, "two"),
+      cellRow(-3, "minus"))
+      .toDF("partition_key", "clustering", "row_kind", "name",
+        "cell_t", "deletion_us", "sstable")
+      .withColumn("cell", struct(
+        col("cell_t._1").as("value"), col("cell_t._2").as("writetime_us"),
+        col("cell_t._3").as("ttl_s"), col("cell_t._4").as("expire_us")))
+      .drop("cell_t")
+    val parsed = graft.model.CqlSchema.parse(
+      "CREATE TABLE ks.t (pk text PRIMARY KEY, attrs map<int, text>)")
+      .fold(e => fail(e), identity)
+    val out = Scratch.dir("graft-pathorder-")
+    try {
+      SSTableBinaryV2.writeSSTables(rows, out.toString, "ks", "t",
+        Some(parsed))
+      val dir = out.resolve("ks").resolve("t")
+      val h = BigFormat.readStats(java.nio.file.Files.readAllBytes(
+        dir.resolve("nb-1-big-Statistics.db")))
+      val atoms = BigFormat.partitions(h,
+        new java.io.ByteArrayInputStream(
+          java.nio.file.Files.readAllBytes(dir.resolve("nb-1-big-Data.db"))),
+        "pathorder-test").toSeq.head.atoms
+      val paths = atoms.collect { case r: BigFormat.RowAtom =>
+        r.cells.map(_.path.get)
+      }.flatten
+      // Int32 comparator order — a string sort would say 10 < 2
+      assert(paths === Seq("-3", "2", "10"))
+    } finally Scratch.delete(out)
   }
 }
