@@ -138,6 +138,7 @@ object SparkEntry {
     "src_sstable_compact" -> (sources.SSTableBinaryV2.auditCompact2x _),
     "src_sstable_2x_upgrade" -> (sources.SSTableBinaryV2.upgrade2x _),
     "src_sstable_point" -> (sources.SSTableBinaryV2.pointLookup _),
+    "src_sstable_wide" -> (sources.SSTableBinaryV2.wideAudit _),
     "src_sstable_roundtrip" -> (sources.SSTableBinaryV2.binaryRoundtrip _),
     "src_sstable_complex" -> (sources.SSTableBinaryV2.complexLifecycle _),
     "src_sstable_static" -> (sources.SSTableBinaryV2.staticLifecycle _),
@@ -2614,6 +2615,21 @@ object SparkEntry {
     // splitting is pure parallelism — nothing lost at a boundary,
     // nothing decoded twice
     "src_sstable_split" -> sstabledumpTreeSql,
+    // WIDE partitions with PROMOTED index entries (1 KiB column-index
+    // blocks): the split-scan audit of 4 rows per doc, each carrying
+    // the source string at writetime base+doc_id — the promoted
+    // envelope parse, point-lookup equality and block invariants are
+    // loud in-query checks, so any promoted-path break fails the row
+    "src_sstable_wide" -> """
+      |SELECT 'ROW' AS row_kind,
+      | 4 * count(*) AS n_rows,
+      | count(DISTINCT CAST(doc_id AS BIGINT) % 4) AS n_sstables,
+      | CAST(4 * sum(CAST(doc_id AS BIGINT) * 1000000) AS BIGINT)
+      |   AS sum_wt_off_us,
+      | CAST(sum(CAST(NULL AS BIGINT)) AS BIGINT) AS sum_ttl_s,
+      | CAST(sum(CAST(NULL AS BIGINT)) AS BIGINT) AS sum_del_off_us,
+      | CAST(4 * sum(length(source)) AS BIGINT) AS sum_value_chars
+      |FROM documents""".stripMargin,
     // the 3.x (m-series) era differs only in checksumless metadata;
     // the decoded content answers to the same contract
     "src_sstable_binary_3x" -> sstabledumpTreeSql,

@@ -673,6 +673,185 @@ object BigFormat {
   }
 
   // =====================================================================
+  // promoted ("column") index — o.a.c.db.RowIndexEntry.IndexedEntry
+  // =====================================================================
+
+  /** `column_index_size` default (64 KiB): a partition whose
+    * unfiltereds span at least two such blocks gets its index entry
+    * "promoted" — block metadata rides Index.db so a reader can seek
+    * WITHIN the partition (`NoTTLSSTableNamesIterator.java:156-225`
+    * is the reference's consumer of exactly this structure). */
+  val ColumnIndexSize: Int = 64 * 1024
+
+  /** `IndexInfo.WIDTH_BASE` — block widths serialize as signed vints
+    * relative to it (widths cluster around the 64 KiB threshold). */
+  val WidthBase: Long = 65536L
+
+  /** One `o.a.c.io.sstable.IndexInfo` block: clustering prefixes
+    * ((values, kind)) of the block's first and last unfiltered, byte
+    * offset from the PARTITION start, byte width, and the range-
+    * tombstone deletion left OPEN across the block's end (a reader
+    * entering mid-partition must know it). */
+  case class IndexInfo(
+      firstName: (Seq[Option[String]], Int),
+      lastName: (Seq[Option[String]], Int),
+      offset: Long,
+      width: Long,
+      endOpenMarkerUs: Option[Long])
+
+  /** A decoded promoted payload: the partition-header length (key +
+    * deletion + static row — everything before the first indexed
+    * unfiltered), the partition deletion, the blocks. */
+  case class Promoted(headerLength: Long, deletionUs: Option[Long],
+      blocks: Seq[IndexInfo])
+
+  /** `ClusteringPrefix.serializer.serialize`: kind ordinal byte; a
+    * bound adds a 16-bit size (a full clustering's size is the
+    * comparator's, not repeated); then the values. */
+  private def writeIndexPrefix(name: (Seq[Option[String]], Int),
+      types: Seq[String], out: DataOutputStream): Unit = {
+    val (values, kind) = name
+    require(kind != Kind.StaticClustering,
+      "static clustering cannot appear in an IndexInfo block")
+    out.write(kind)
+    if (kind != Kind.Clustering) out.writeShort(values.size)
+    writeClusteringValues(values, types.take(values.size), out)
+  }
+
+  private def readIndexPrefix(types: Seq[String], in: DataInputStream,
+      file: String): (Seq[Option[String]], Int) = {
+    val kind = in.read()
+    if (kind < 0) throw new EOFException(s"$file: IndexInfo prefix at EOF")
+    require(kind != Kind.StaticClustering,
+      s"$file: static clustering in an IndexInfo block")
+    val n =
+      if (kind == Kind.Clustering) types.size else in.readUnsignedShort()
+    (readClusteringValues(n, types, in).toSeq, kind)
+  }
+
+  /** RowIndexEntry.IndexedEntry serialization: vint headerLength,
+    * legacy DeletionTime (int ldt + long markedForDeleteAt), vint
+    * block count, the IndexInfo blocks, then each block's int offset
+    * within the blob (the tail array RowIndexEntry binary-searches). */
+  def writePromoted(p: Promoted, types: Seq[String]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    writeUnsignedVInt(p.headerLength, out)
+    p.deletionUs match {
+      case Some(del) => out.writeInt(NoDeletionTime - 1); out.writeLong(del)
+      case None => out.writeInt(NoDeletionTime); out.writeLong(NoTimestamp)
+    }
+    writeUnsignedVInt(p.blocks.size.toLong, out)
+    val blockBos = new ByteArrayOutputStream()
+    val blockOut = new DataOutputStream(blockBos)
+    val offsets = p.blocks.map { b =>
+      blockOut.flush()
+      val here = blockBos.size()
+      writeIndexPrefix(b.firstName, types, blockOut)
+      writeIndexPrefix(b.lastName, types, blockOut)
+      writeUnsignedVInt(b.offset, blockOut)
+      writeVInt(b.width - WidthBase, blockOut)
+      blockOut.writeBoolean(b.endOpenMarkerUs.isDefined)
+      b.endOpenMarkerUs.foreach { del =>
+        blockOut.writeInt(NoDeletionTime - 1); blockOut.writeLong(del)
+      }
+      here
+    }
+    blockOut.flush()
+    out.write(blockBos.toByteArray)
+    offsets.foreach(out.writeInt)
+    out.flush()
+    bos.toByteArray
+  }
+
+  def readPromoted(bytes: Array[Byte], types: Seq[String],
+      file: String): Promoted = {
+    val in = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val headerLength = readUnsignedVInt(in)
+    val del = {
+      val ldt = in.readInt(); val mfda = in.readLong()
+      if (ldt == NoDeletionTime && mfda == NoTimestamp) None
+      else Some(mfda)
+    }
+    val n = readUnsignedVInt(in).toInt
+    val blocks = (0 until n).map { _ =>
+      val first = readIndexPrefix(types, in, file)
+      val last = readIndexPrefix(types, in, file)
+      val offset = readUnsignedVInt(in)
+      val width = readVInt(in) + WidthBase
+      val open =
+        if (in.readBoolean()) { in.readInt(); Some(in.readLong()) }
+        else None
+      IndexInfo(first, last, offset, width, open)
+    }
+    val offs = (0 until n).map(_ => in.readInt())
+    require(in.available() == 0,
+      s"$file: promoted entry carries ${in.available()} trailing bytes")
+    require(offs.isEmpty || (offs.head == 0 &&
+      offs.zip(offs.tail).forall { case (a, b) => a < b }),
+      s"$file: promoted block offsets not ascending from 0")
+    Promoted(headerLength, del, blocks)
+  }
+
+  /** Build the column-index blocks for one partition from its atom
+    * offsets (relative to the partition's start byte). Mirrors
+    * `o.a.c.db.ColumnIndex`: the static row belongs to the header
+    * region, blocks accumulate unfiltereds until one crosses
+    * `columnIndexSize`, the open range-tombstone (if any) rides each
+    * block boundary, and only a partition spanning ≥ 2 blocks
+    * promotes (a one-block partition gains nothing over its Index.db
+    * position). `atomsEnd` = offset just past the last unfiltered
+    * (before the end-of-partition marker byte). */
+  def buildPromoted(partitionDeletionUs: Option[Long],
+      atoms: Seq[(Atom, Long)], atomsEnd: Long,
+      columnIndexSize: Int): Option[Promoted] = {
+    val body = atoms.dropWhile {
+      case (r: RowAtom, _) => r.static
+      case _ => false
+    }
+    if (body.isEmpty) return None
+    val headerLength = body.head._2
+    def prefixOf(a: Atom): (Seq[Option[String]], Int) = a match {
+      case r: RowAtom => (r.clustering, Kind.Clustering)
+      case m: MarkerAtom => (m.clustering, m.kind)
+    }
+    var open: Option[Long] = None
+    def updateOpen(a: Atom): Unit = a match {
+      case m: MarkerAtom => m.kind match {
+        case Kind.InclStartBound | Kind.ExclStartBound |
+            Kind.ExclEndInclStartBoundary |
+            Kind.InclEndExclStartBoundary =>
+          open = Some(m.deletions.last)
+        case Kind.InclEndBound | Kind.ExclEndBound => open = None
+        case _ =>
+      }
+      case _ =>
+    }
+    val blocks = Seq.newBuilder[IndexInfo]
+    var blockStart = -1L
+    var first: (Seq[Option[String]], Int) = null
+    var last: (Seq[Option[String]], Int) = null
+    body.indices.foreach { i =>
+      val (a, off) = body(i)
+      val end = if (i + 1 < body.size) body(i + 1)._2 else atomsEnd
+      if (blockStart < 0) { blockStart = off; first = prefixOf(a) }
+      last = prefixOf(a)
+      updateOpen(a)
+      if (end - blockStart >= columnIndexSize) {
+        blocks += IndexInfo(first, last, blockStart,
+          end - blockStart, open)
+        blockStart = -1L
+      }
+    }
+    if (blockStart >= 0)
+      blocks += IndexInfo(first, last, blockStart,
+        atomsEnd - blockStart, open)
+    val bs = blocks.result()
+    if (bs.size < 2) None
+    else Some(Promoted(headerLength, partitionDeletionUs, bs))
+  }
+
+  // =====================================================================
   // serialization header (the Statistics.db HEADER component)
   // =====================================================================
 
@@ -1095,6 +1274,18 @@ object BigFormat {
     * legacy partition DeletionTime, unfiltereds, END_OF_PARTITION). */
   def writePartition(p: PartitionData, h: Header,
       out: DataOutputStream): Unit = {
+    writePartitionIndexed(p, h, out); ()
+  }
+
+  /** [[writePartition]] that also reports each atom's byte offset and
+    * the offset just past the last atom, both relative to the
+    * partition's first byte — the inputs [[buildPromoted]] chunks
+    * into column-index blocks. Uses `DataOutputStream.size()` (bytes
+    * written, no flush needed), so `out` must be the partition
+    * writer's own stream. */
+  def writePartitionIndexed(p: PartitionData, h: Header,
+      out: DataOutputStream): (Seq[(Atom, Long)], Long) = {
+    val start = out.size().toLong
     val keyBytes = encodeValue(h.keyType, p.key)
     out.writeShort(keyBytes.length)
     out.write(keyBytes)
@@ -1106,11 +1297,17 @@ object BigFormat {
         out.writeInt(NoDeletionTime) // DeletionTime.LIVE
         out.writeLong(NoTimestamp)
     }
-    p.atoms.foreach {
-      case r: RowAtom => writeRow(r, h, out)
-      case m: MarkerAtom => writeMarker(m, h, out)
+    val offs = p.atoms.map { a =>
+      val off = out.size().toLong - start
+      a match {
+        case r: RowAtom => writeRow(r, h, out)
+        case m: MarkerAtom => writeMarker(m, h, out)
+      }
+      (a, off)
     }
+    val atomsEnd = out.size().toLong - start
     out.write(EndOfPartition)
+    (offs, atomsEnd)
   }
 
   // =====================================================================
@@ -1345,21 +1542,31 @@ object BigFormat {
   def writeDataFile(partitions: Seq[PartitionData], h: Header): Array[Byte] =
     writeDataFileIndexed(partitions, h)._1
 
+  /** Index entry triple: (encoded key, Data.db position, promoted
+    * payload — empty unless the partition spans ≥ 2 column-index
+    * blocks). */
+  type IndexEntry = (Array[Byte], Long, Array[Byte])
+
   /** [[writeDataFile]] plus the primary-index entries the component
     * writer needs: (key bytes, Data.db start offset) per partition,
     * in the on-disk token order — exactly what `BigTableWriter`'s
     * `IndexWriter` records as it appends. */
-  def writeDataFileIndexed(partitions: Seq[PartitionData],
-      h: Header): (Array[Byte], Seq[(Array[Byte], Long)]) = {
+  def writeDataFileIndexed(partitions: Seq[PartitionData], h: Header,
+      columnIndexSize: Int = ColumnIndexSize)
+      : (Array[Byte], Seq[IndexEntry]) = {
     val out = new ByteArrayOutputStream()
     val d = new DataOutputStream(out)
-    val index = Seq.newBuilder[(Array[Byte], Long)]
+    val index = Seq.newBuilder[IndexEntry]
     partitions
       .sortBy(p => (murmur3Token(encodeValue(h.keyType, p.key)), p.key))
       .foreach { p =>
-        d.flush()
-        index += ((encodeValue(h.keyType, p.key), out.size().toLong))
-        writePartition(p, h, d)
+        val pos = d.size().toLong
+        val (atomOffs, atomsEnd) = writePartitionIndexed(p, h, d)
+        val promoted =
+          buildPromoted(p.deletionUs, atomOffs, atomsEnd, columnIndexSize)
+            .map(writePromoted(_, h.clusteringTypes))
+            .getOrElse(Array.emptyByteArray)
+        index += ((encodeValue(h.keyType, p.key), pos, promoted))
       }
     d.flush()
     (out.toByteArray, index.result())

@@ -10,7 +10,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
-import org.apache.spark.sql.functions.{col, when}
+import org.apache.spark.sql.functions.{col, struct, when}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -426,7 +426,7 @@ object SSTableBinaryV2 {
         else {
           val wanted = candidates.map(_.toSeq).toSet
           Some(readIndexFor(candidates, indexP)
-            .collect { case (k, pos) if wanted(k.toSeq) => pos }
+            .collect { case (k, pos, _) if wanted(k.toSeq) => pos }
             .sorted)
         }
       }
@@ -443,7 +443,7 @@ object SSTableBinaryV2 {
       * order by (token, key) while we search by token alone).
       * Without a summary, the full Index.db parses. */
     private def readIndexFor(candidates: Seq[Array[Byte]],
-        indexP: HPath): Seq[(Array[Byte], Long)] = {
+        indexP: HPath): Seq[BigFormat.IndexEntry] = {
       val summaryP = sibling("-Summary.db")
       if (!fs.exists(summaryP))
         return SSTableComponents.readIndex(readSibling(indexP), file)
@@ -1621,7 +1621,8 @@ object SSTableBinaryV2 {
   def writeSSTables(cells: DataFrame, outDir: String, keyspace: String,
       table: String,
       schema: Option[graft.model.CqlSchema.Parsed] = None,
-      compression: Option[String] = None)
+      compression: Option[String] = None,
+      columnIndexSize: Int = BigFormat.ColumnIndexSize)
       : Seq[(String, Long)] = {
     val spark = cells.sparkSession
     import spark.implicits._
@@ -1914,7 +1915,7 @@ object SSTableBinaryV2 {
         // Data/Statistics (the reference's bulk-load-back contract,
         // `Cassandra3TTLRemoverTest.java:168-176`)
         val (dataBytes, index) =
-          BigFormat.writeDataFileIndexed(parts, header)
+          BigFormat.writeDataFileIndexed(parts, header, columnIndexSize)
         SSTableComponents.buildAll(dataBytes, index, header,
           compression = compression)
           .foreach { case (comp, bytes) =>
@@ -1992,6 +1993,112 @@ object SSTableBinaryV2 {
     * of identical logical content, fifth IO path, one contract). */
   def binaryAuditLz4(spark: SparkSession, sfDir: String): DataFrame =
     binaryAuditV(spark, sfDir, "nb", Some(CompressedData.Lz4))
+
+  /** Registered `src_sstable_wide`: WIDE partitions — the shape real
+    * compactions produce and the ONE shape that "promotes" an Index.db
+    * entry (RowIndexEntry.IndexedEntry: the partition's column-index
+    * blocks ride the index). Documents regroup into 4 partitions of
+    * 4 rows per doc (hundreds of rows each), written typed
+    * (`ck bigint`, so rows land in true comparator order) with a
+    * 1 KiB `column_index_size` — Cassandra's own knob at its legal
+    * minimum — so every partition spans MANY IndexInfo blocks at any
+    * SF. The generation is then served three ways that must agree:
+    *   1. the full scan (the registered audit's input is the SPLIT
+    *      scan — byte ranges aligned across promoted payloads),
+    *   2. bloom-gated point lookups (Index.db iteration now skips
+    *      promoted payloads by their explicit length),
+    *   3. the promoted envelopes themselves parse on the driver and
+    *      satisfy the ColumnIndex invariants (offsets ascending from
+    *      headerLength, every non-final block ≥ the threshold).
+    * The audit shares the tree-style oracle shape. */
+  def wideAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = SSTableDumpBridge.TreeBase
+    val frame = graft.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id").cast("long"), col("source"))
+      .as[(Long, String)]
+      .flatMap { case (docId, source) =>
+        (0 until 4).map { j =>
+          ((docId % 4).toString, Seq((docId * 4 + j).toString), "ROW",
+            Some("v"),
+            Some((source, (base + docId) * 1000000L,
+              None: Option[Int], None: Option[Long])),
+            None: Option[Long],
+            s"t/nb-${docId % 4 + 1}-big-Data.db")
+        }
+      }
+      .toDF("partition_key", "clustering", "row_kind", "name",
+        "cell_t", "deletion_us", "sstable")
+      .withColumn("cell", struct(
+        col("cell_t._1").as("value"), col("cell_t._2").as("writetime_us"),
+        col("cell_t._3").as("ttl_s"), col("cell_t._4").as("expire_us")))
+      .drop("cell_t")
+    val out = graft.Scratch.dir("graft-wideaudit-")
+    try {
+      val threshold = 1024
+      val schema = graft.model.CqlSchema.parse(
+        "CREATE TABLE graft.documents (pk text, ck bigint, v text, " +
+          "PRIMARY KEY (pk, ck))").toOption
+      writeSSTables(frame, out.toString, "graft", "documents", schema,
+        columnIndexSize = threshold)
+      val dir = s"$out/graft/documents"
+      // 3. promoted envelopes are REALLY there and parse under the
+      // ColumnIndex invariants — never pass vacuously
+      val fs = FileSystem.get(java.net.URI.create(dir),
+        spark.sessionState.newHadoopConf())
+      val idxFiles = fs.listStatus(new HPath(dir))
+        .map(_.getPath).filter(_.getName.endsWith("-Index.db"))
+      require(idxFiles.nonEmpty, s"$dir: no Index.db components")
+      val clTypes = Seq(BigFormat.LongType)
+      var promotedSeen = 0
+      idxFiles.foreach { p =>
+        val in = fs.open(p)
+        val bytes = try {
+          val b = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+          in.readFully(0, b); b
+        } finally in.close()
+        SSTableComponents.readIndex(bytes, p.toString).foreach {
+          case (_, _, promoted) if promoted.nonEmpty =>
+            promotedSeen += 1
+            val pr = BigFormat.readPromoted(promoted, clTypes, p.toString)
+            require(pr.blocks.size >= 2, s"$p: promoted with " +
+              s"${pr.blocks.size} blocks")
+            require(pr.blocks.head.offset == pr.headerLength,
+              s"$p: first block not at headerLength")
+            pr.blocks.sliding(2).foreach {
+              case Seq(a, b2) =>
+                require(a.offset + a.width == b2.offset,
+                  s"$p: non-contiguous blocks")
+              case _ =>
+            }
+            pr.blocks.dropRight(1).foreach(b2 =>
+              require(b2.width >= threshold,
+                s"$p: undersized non-final block (${b2.width})"))
+          case _ =>
+        }
+      }
+      require(promotedSeen >= idxFiles.length,
+        s"$dir: only $promotedSeen promoted entries across " +
+          s"${idxFiles.length} generations — partitions too small " +
+          "to exercise the promoted path")
+      // 2. point lookup (bloom + index seek over promoted entries)
+      // answers exactly like the full scan filtered after the fact
+      def tiny(df: DataFrame): Seq[String] =
+        SSTableDumpBridge.auditFrame(df).collect()
+          .map(_.toString).sorted.toSeq
+      val full = readBinary(spark, dir).localCheckpoint()
+      val viaPoint = tiny(readBinary(spark, dir)
+        .filter(col("partition_key") === "2"))
+      val viaScan = tiny(full.filter(col("partition_key") === "2"))
+      require(viaPoint == viaScan,
+        s"$dir: point lookup diverged from the full scan over a " +
+          s"promoted generation: $viaPoint vs $viaScan")
+      // 1. the registered output: the SPLIT scan's audit
+      val split = spark.read.format("sstable-big")
+        .option("splitBytes", "4096").load(dir)
+      SSTableDumpBridge.auditFrame(split).localCheckpoint()
+    } finally graft.Scratch.delete(out)
+  }
 
   private def binaryAuditV(spark: SparkSession, sfDir: String,
       version: String, compression: Option[String] = None): DataFrame = {

@@ -20,9 +20,10 @@ import java.util.zip.CRC32
   *   - Index.db   → `o.a.c.io.sstable.format.big.BigTableWriter.IndexWriter`
   *     + `o.a.c.db.RowIndexEntry.Serializer` (3.0+ layout): per
   *     partition a short-length key, then the entry — unsigned-vint
-  *     Data.db position, unsigned-vint promoted-index size (0 for
-  *     partitions under the 64 KiB column_index threshold; this
-  *     writer's partitions are one task buffer, always below it).
+  *     Data.db position, unsigned-vint promoted-index size, then for
+  *     partitions spanning ≥ 2 column-index blocks (64 KiB each by
+  *     default) the RowIndexEntry.IndexedEntry payload
+  *     ([[BigFormat.writePromoted]]).
   *   - Filter.db  → `o.a.c.utils.BloomFilterSerializer` (int
   *     hashCount, then `OffHeapBitSet.serialize`: int word count +
   *     big-endian longs) and `o.a.c.utils.BloomFilter`'s index
@@ -56,14 +57,15 @@ object SSTableComponents {
   // Index.db
   // =====================================================================
 
-  def writeIndex(entries: Seq[(Array[Byte], Long)]): Array[Byte] = {
+  def writeIndex(entries: Seq[BigFormat.IndexEntry]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
-    entries.foreach { case (key, position) =>
+    entries.foreach { case (key, position, promoted) =>
       out.writeShort(key.length)
       out.write(key)
       BigFormat.writeUnsignedVInt(position, out)
-      BigFormat.writeUnsignedVInt(0L, out) // no promoted index blocks
+      BigFormat.writeUnsignedVInt(promoted.length.toLong, out)
+      out.write(promoted)
     }
     out.flush()
     bos.toByteArray
@@ -71,13 +73,16 @@ object SSTableComponents {
 
   /** Stream Index.db entries one at a time — the split-scan aligner
     * reads only a prefix (it stops at the first data position past its
-    * range), so a materializing parse would defeat the bounding.
-    * Promoted blocks are outside this writer's subset; refuse rather
-    * than misparse the next entry. */
+    * range), so a materializing parse would defeat the bounding. A
+    * promoted payload's length is explicit in the entry, so carrying
+    * it is exact — pushdown over wide-partition generations (the ones
+    * real compactions produce) never falls back, let alone fails;
+    * [[BigFormat.readPromoted]] decodes the payload when a caller
+    * wants the blocks. */
   def indexEntries(in: DataInputStream,
-      file: String): Iterator[(Array[Byte], Long)] =
-    new Iterator[(Array[Byte], Long)] {
-      private def fetch(): Option[(Array[Byte], Long)] = {
+      file: String): Iterator[BigFormat.IndexEntry] =
+    new Iterator[BigFormat.IndexEntry] {
+      private def fetch(): Option[BigFormat.IndexEntry] = {
         val first = in.read()
         if (first < 0) None
         else {
@@ -89,22 +94,25 @@ object SSTableComponents {
           val key = new Array[Byte](len)
           in.readFully(key)
           val position = BigFormat.readUnsignedVInt(in)
-          val promoted = BigFormat.readUnsignedVInt(in)
-          if (promoted != 0) throw new UnsupportedOperationException(
-            s"$file: promoted index blocks unsupported ($promoted bytes)")
-          Some((key, position))
+          val promotedLen = BigFormat.readUnsignedVInt(in)
+          if (promotedLen < 0 || promotedLen > Int.MaxValue)
+            throw new EOFException(
+              s"$file: absurd promoted-index size $promotedLen")
+          val promoted = new Array[Byte](promotedLen.toInt)
+          in.readFully(promoted)
+          Some((key, position, promoted))
         }
       }
-      private var nextEntry: Option[(Array[Byte], Long)] = fetch()
+      private var nextEntry: Option[BigFormat.IndexEntry] = fetch()
       override def hasNext: Boolean = nextEntry.isDefined
-      override def next(): (Array[Byte], Long) = {
+      override def next(): BigFormat.IndexEntry = {
         val e = nextEntry.getOrElse(throw new NoSuchElementException)
         nextEntry = fetch()
         e
       }
     }
 
-  def readIndex(bytes: Array[Byte], file: String): Seq[(Array[Byte], Long)] =
+  def readIndex(bytes: Array[Byte], file: String): Seq[BigFormat.IndexEntry] =
     indexEntries(new DataInputStream(
       new java.io.ByteArrayInputStream(bytes)), file).toSeq
 
@@ -263,7 +271,7 @@ object SSTableComponents {
     * (Cassandra's contract — `CompressionMetadata.chunkFor` maps
     * them at read time) and Digest.crc32 covers the AS-ON-DISK
     * (compressed) bytes. */
-  def buildAll(dataBytes: Array[Byte], index: Seq[(Array[Byte], Long)],
+  def buildAll(dataBytes: Array[Byte], index: Seq[BigFormat.IndexEntry],
       header: BigFormat.Header,
       checksummedStats: Boolean = true,
       compression: Option[String] = None): Seq[(String, Array[Byte])] = {
@@ -281,7 +289,7 @@ object SSTableComponents {
   }
 
   private def buildAll0(dataBytes: Array[Byte],
-      index: Seq[(Array[Byte], Long)], header: BigFormat.Header,
+      index: Seq[BigFormat.IndexEntry], header: BigFormat.Header,
       checksummedStats: Boolean,
       dataOnDisk: Array[Byte] = null,
       extra: Seq[(String, Array[Byte])] = Nil)
@@ -290,17 +298,19 @@ object SSTableComponents {
     // Index.db positions of each entry (for summary sampling)
     val idxPositions = {
       var pos = 0L
-      index.map { case (key, dataPos) =>
+      index.map { case (key, dataPos, promoted) =>
         val here = pos
-        pos += 2 + key.length + BigFormat.unsignedVIntSize(dataPos) + 1
+        pos += 2 + key.length + BigFormat.unsignedVIntSize(dataPos) +
+          BigFormat.unsignedVIntSize(promoted.length.toLong) +
+          promoted.length
         here
       }
     }
     val bloom = newBloom(index.size.toLong)
-    index.foreach { case (key, _) => bloom.add(key) }
+    index.foreach { case (key, _, _) => bloom.add(key) }
     val sampled = index.zip(idxPositions)
       .zipWithIndex.collect {
-        case (((key, _), idxPos), i) if i % MinIndexInterval == 0 =>
+        case (((key, _, _), idxPos), i) if i % MinIndexInterval == 0 =>
           (key, idxPos)
       }
     val summary =

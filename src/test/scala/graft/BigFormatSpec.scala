@@ -624,6 +624,65 @@ class BigFormatSpec extends AnyFunSuite {
     assert(c(Nil, Kind.InclEndBound, enc(Int.MaxValue),
       Kind.Clustering) > 0)
   }
+
+  test("promoted index envelope round-trips (RowIndexEntry.IndexedEntry layout)") {
+    import BigFormat._
+    val types = Seq(LongType)
+    val blocks = Seq(
+      IndexInfo((Seq(Some("1")), Kind.Clustering),
+        (Seq(Some("4200")), Kind.Clustering), 30L, 66000L, None),
+      IndexInfo((Seq(Some("4300")), Kind.InclStartBound),
+        (Seq(Some("-7")), Kind.ExclEndBound), 66030L, 64100L,
+        Some(1609459200000000L)),
+      IndexInfo((Seq(Some("9000")), Kind.Clustering),
+        (Seq(Some("9050")), Kind.Clustering), 130130L, 1000L, None))
+    val p = Promoted(30L, Some(1609459300000000L), blocks)
+    val back = readPromoted(writePromoted(p, types), types, "t")
+    assert(back === p)
+    // LIVE partition deletion round-trips as None
+    val live = Promoted(12L, None, blocks.take(2))
+    assert(readPromoted(writePromoted(live, types), types, "t") === live)
+    // trailing garbage is loud, never silently ignored
+    val ex = intercept[IllegalArgumentException] {
+      readPromoted(writePromoted(p, types) :+ 0x7f.toByte, types, "t")
+    }
+    assert(ex.getMessage.contains("trailing"))
+  }
+
+  test("buildPromoted chunks atoms into ColumnIndex blocks; <2 blocks never promote") {
+    import BigFormat._
+    def row(ck: String) = RowAtom(Seq(Some(ck)), Some(0L), None, None,
+      None, Nil)
+    def marker(ck: String, kind: Int, del: Long) =
+      MarkerAtom(kind, Seq(Some(ck)), Seq(del))
+    // atoms at 100-byte strides after a 20-byte header; threshold 256
+    // → blocks close after the atom that crosses 256 bytes of width
+    val atoms: Seq[(Atom, Long)] = Seq(
+      (row("a"), 20L), (row("b"), 120L),
+      (marker("c", Kind.InclStartBound, 77L), 220L),
+      (row("d"), 320L), (row("e"), 420L),
+      (marker("f", Kind.InclEndBound, 77L), 520L), (row("g"), 620L))
+    val p = buildPromoted(None, atoms, 720L, 256).get
+    assert(p.headerLength === 20L)
+    assert(p.blocks.map(b => (b.offset, b.width)) ===
+      Seq((20L, 300L), (320L, 300L), (620L, 100L)))
+    // the range tombstone left OPEN at block 0's end rides the block;
+    // block 1 ends just after the closing marker, so nothing is open
+    assert(p.blocks.map(_.endOpenMarkerUs) ===
+      Seq(Some(77L), None, None))
+    assert(p.blocks.head.firstName === (Seq(Some("a")), Kind.Clustering))
+    assert(p.blocks.head.lastName ===
+      (Seq(Some("c")), Kind.InclStartBound))
+    // a static leading row belongs to the header region, not block 0
+    val withStatic = (RowAtom(Nil, None, None, None, None, Nil,
+      static = true), 20L) +: atoms.map { case (a, o) => (a, o + 80L) }
+    val ps = buildPromoted(None, withStatic, 800L, 256).get
+    assert(ps.headerLength === 100L)
+    assert(ps.blocks.head.offset === 100L)
+    // one block → no promotion
+    assert(buildPromoted(None, atoms.take(2), 256L, 256).isEmpty)
+    assert(buildPromoted(None, Nil, 20L, 256).isEmpty)
+  }
 }
 
 /** The 2.x (pre-3.0) codec in isolation: composite names, mask
@@ -997,12 +1056,17 @@ class SSTableComponentsSpec extends AnyFunSuite {
   private def k(s: String): Array[Byte] = s.getBytes("UTF-8")
 
   test("Index.db entries round-trip") {
-    val entries = Seq(k("alpha") -> 0L, k("beta") -> 517L,
-      k("") -> 70000L, k("δ-key") -> (1L << 33))
+    val entries: Seq[BigFormat.IndexEntry] = Seq(
+      (k("alpha"), 0L, Array.emptyByteArray),
+      (k("beta"), 517L, Array[Byte](1, 2, 3)),
+      (k(""), 70000L, Array.emptyByteArray),
+      (k("δ-key"), 1L << 33, Array.emptyByteArray))
     val bytes = SSTableComponents.writeIndex(entries)
     val back = SSTableComponents.readIndex(bytes, "t")
     assert(back.map(_._2) === entries.map(_._2))
     assert(back.map(_._1.toSeq) === entries.map(_._1.toSeq))
+    // promoted payloads ride the entry verbatim (length-prefixed)
+    assert(back.map(_._3.toSeq) === entries.map(_._3.toSeq))
   }
 
   test("bloom filter: no false negatives, ~1% false positives, serialized form stable") {
@@ -1702,7 +1766,7 @@ class SSTableBinarySpec extends SparkSpec {
         val allKeys = graft.sources.BigFormat.partitions(header,
           new ByteArrayInputStream(data), "t").map(_.key).toVector
         assert(index.size === allKeys.size)
-        index.zip(allKeys).foreach { case ((keyBytes, pos), expected) =>
+        index.zip(allKeys).foreach { case ((keyBytes, pos, _), expected) =>
           assert(new String(keyBytes, "UTF-8") === expected)
           val at = graft.sources.BigFormat.partitions(header,
             new ByteArrayInputStream(data, pos.toInt,
@@ -1712,7 +1776,7 @@ class SSTableBinarySpec extends SparkSpec {
         // 3. the bloom filter answers present/absent correctly
         val bloom = SSTableComponents.readFilter(
           bytesOf(s"nb-$g-big-Filter.db"))
-        index.foreach { case (keyBytes, _) =>
+        index.foreach { case (keyBytes, _, _) =>
           assert(bloom.mightContain(keyBytes))
         }
         val absent = (0 until 500).map(i => s"no-such-key-$i"
@@ -2028,6 +2092,20 @@ class SSTableBinarySpec extends SparkSpec {
         (s"marker${BigFormat.Kind.InclEndBound}", "9"),
         ("row", "10")))
     } finally Scratch.delete(out)
+  }
+
+  test("promoted index end-to-end: wide partitions promote; point, split and full scans agree; envelopes parse") {
+    // wideAudit's own in-query checks are the meat: ≥1 promoted entry
+    // per generation, readPromoted invariants (contiguous ascending
+    // blocks from headerLength, non-final widths ≥ threshold), and
+    // point-lookup ≡ full-scan equality over promoted generations
+    val audit = SSTableBinaryV2.wideAudit(spark, sfDir).collect()
+    assert(audit.length === 1)
+    val r = audit.head
+    assert(r.getString(0) === "ROW")
+    val docs = graft.Tables.load(spark, sfDir, "documents").count()
+    assert(r.getLong(1) === 4 * docs)
+    assert(r.getLong(2) === 4)
   }
 
   test("sink orders complex cell paths by the PATH TYPE's comparator, not rendered strings") {
