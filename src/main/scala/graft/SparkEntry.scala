@@ -138,6 +138,8 @@ object SparkEntry {
     "src_sstable_compact" -> (sources.SSTableBinaryV2.auditCompact2x _),
     "src_sstable_2x_upgrade" -> (sources.SSTableBinaryV2.upgrade2x _),
     "src_sstable_point" -> (sources.SSTableBinaryV2.pointLookup _),
+    "src_sstable_point_lz4" -> (sources.SSTableBinaryV2.pointLookupLz4 _),
+    "src_sstable_split_lz4" -> (sources.SSTableBinaryV2.splitAuditLz4 _),
     "src_sstable_wide" -> (sources.SSTableBinaryV2.wideAudit _),
     "src_sstable_roundtrip" -> (sources.SSTableBinaryV2.binaryRoundtrip _),
     "src_sstable_complex" -> (sources.SSTableBinaryV2.complexLifecycle _),
@@ -1600,6 +1602,17 @@ object SparkEntry {
         | CAST(sum(vc) AS BIGINT) AS sum_value_chars
         |FROM r GROUP BY 1""".stripMargin
 
+  /** `src_sstable_point`'s (and `_lz4`'s) oracle: the tree-audit SQL
+    * restricted to the four probed keys — one per row shape. Derived
+    * from [[sstabledumpTreeSql]] so the contracts stay in lockstep. */
+  private lazy val pointOracleSql: String = {
+    val anchor = " FROM documents),"
+    require(sstabledumpTreeSql.contains(anchor),
+      "tree oracle drifted from the point oracle's anchor")
+    sstabledumpTreeSql.replace(anchor,
+      " FROM documents WHERE CAST(doc_id AS BIGINT) IN (8, 13, 15, 17)),")
+  }
+
   /** `src_sstable_roundtrip`'s oracle: the tree-audit SQL with the TTL
     * sum nulled — the strip's entire observable effect on the audit.
     * Derived from [[sstabledumpTreeSql]] so the two stay in lockstep;
@@ -2712,34 +2725,14 @@ object SparkEntry {
     // Index.db seek): the tree-audit contract restricted to the four
     // probed keys — one per row shape (live, partition tombstone,
     // pk-only, row tombstone)
-    "src_sstable_point" -> """
-      |WITH d AS (
-      | SELECT CAST(doc_id AS BIGINT) AS doc_id, source, n_chars,
-      |  doc_id % 10 AS k, doc_id % 4 AS f,
-      |  doc_id * 1000000 AS wt,
-      |  CASE WHEN doc_id % 2 = 0 THEN doc_id % 100 END AS ttl
-      | FROM documents
-      | WHERE CAST(doc_id AS BIGINT) IN (8, 13, 15, 17)),
-      |r AS (
-      | SELECT 'PARTITION_DELETION' AS row_kind, f, NULL AS wt2,
-      |   NULL AS ttl2, wt AS del, NULL AS vc FROM d WHERE k = 3
-      | UNION ALL
-      | SELECT 'ROW_DELETION', f, NULL, NULL, wt, NULL FROM d WHERE k = 7
-      | UNION ALL
-      | SELECT 'PK_LIVENESS', f, wt, ttl, NULL, NULL FROM d WHERE k = 5
-      | UNION ALL
-      | SELECT 'ROW', f, wt, ttl, NULL,
-      |   length(CAST(n_chars AS VARCHAR)) FROM d WHERE k NOT IN (3,5,7)
-      | UNION ALL
-      | SELECT 'ROW', f, wt + 10000000, ttl, NULL, length(source)
-      | FROM d WHERE k NOT IN (3,5,7))
-      |SELECT row_kind, count(*) AS n_rows,
-      | count(DISTINCT f) AS n_sstables,
-      | CAST(sum(wt2) AS BIGINT) AS sum_wt_off_us,
-      | CAST(sum(ttl2) AS BIGINT) AS sum_ttl_s,
-      | CAST(sum(del) AS BIGINT) AS sum_del_off_us,
-      | CAST(sum(vc) AS BIGINT) AS sum_value_chars
-      |FROM r GROUP BY 1""".stripMargin,
+    "src_sstable_point" -> pointOracleSql,
+    // the SAME point contract over a chunk-compressed generation:
+    // the index position's chunk resolves via CompressionInfo.db
+    // (CompressionMetadata.chunkFor's role) before the seek
+    "src_sstable_point_lz4" -> pointOracleSql,
+    // the SAME split contract over a chunk-compressed generation:
+    // blind on-disk ranges claim whole chunks, logical spans align
+    "src_sstable_split_lz4" -> sstabledumpTreeSql,
     // the era-UPGRADE lifecycle: the 2.x oracle with (a) every TTL
     // nulled (the strip) and (b) PK_LIVENESS collapsed to pk-only
     // rows — a 2.x row marker on a cell-bearing row becomes the

@@ -204,12 +204,15 @@ object CompressedData {
     * chunk; the underlying stream is consumed strictly forward (no
     * seeks), matching the reader's full-scan access pattern. */
   def decompressingStream(compressed: InputStream, compressedLength: Long,
-      meta: Meta, file: String): InputStream = new InputStream {
+      meta: Meta, file: String, startChunk: Int = 0): InputStream =
+    new InputStream {
     private val in = new DataInputStream(compressed)
     private var chunk: Array[Byte] = Array.emptyByteArray
     private var pos = 0
-    private var chunkIdx = 0
-    private var served = 0L
+    private var chunkIdx = startChunk
+    // logical (uncompressed) position already behind us — when the
+    // caller starts mid-file the stream begins at a chunk boundary
+    private var served = startChunk.toLong * meta.chunkLength
 
     private def slotEnd(i: Int): Long =
       if (i + 1 < meta.offsets.length) meta.offsets(i + 1) else compressedLength
@@ -271,5 +274,35 @@ object CompressedData {
     }
 
     override def close(): Unit = in.close()
+  }
+
+  /** `CompressionMetadata.chunkFor`'s role — random access in LOGICAL
+    * (uncompressed) offsets over a chunk-compressed file: seek the
+    * underlying file to the owning chunk's slot start, decompress
+    * forward from that chunk, discard the in-chunk remainder. This is
+    * what lets Index.db positions (always uncompressed offsets —
+    * Cassandra's contract) seek into a compressed Data.db for point
+    * lookups and split scans. */
+  def seekableStream(raw: org.apache.hadoop.fs.FSDataInputStream,
+      compressedLength: Long, meta: Meta, file: String,
+      logicalOffset: Long): InputStream = {
+    require(logicalOffset >= 0 && logicalOffset <= meta.dataLength,
+      s"$file: logical offset $logicalOffset outside " +
+        s"[0, ${meta.dataLength}]")
+    val chunkIdx = (logicalOffset / meta.chunkLength).toInt
+    raw.seek(
+      if (chunkIdx < meta.offsets.length) meta.offsets(chunkIdx)
+      else compressedLength)
+    val s = decompressingStream(raw, compressedLength, meta, file,
+      chunkIdx)
+    var toSkip = logicalOffset - chunkIdx.toLong * meta.chunkLength
+    while (toSkip > 0) {
+      val n = s.skip(toSkip)
+      if (n <= 0) throw new java.io.IOException(
+        s"$file: chunk ${chunkIdx} too short to reach logical " +
+          s"offset $logicalOffset")
+      toSkip -= n
+    }
+    s
   }
 }

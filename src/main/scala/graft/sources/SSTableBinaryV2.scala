@@ -204,14 +204,15 @@ object SSTableBinaryV2 {
       * index IO on the driver — the same contract as Hadoop text
       * splits); each task aligns its range to real partition
       * boundaries through the index sidecar. Chunk-compressed files
-      * stay one task (like gzip in Hadoop: data offsets live in
-      * uncompressed space, so a range seek needs the chunk map — the
-      * dial that matters there is one-file-per-generation sizing),
-      * and so do 2.x-era files (no index subset). */
+      * split too (unlike gzip in Hadoop, the chunk map gives random
+      * access): the blind range is over ON-DISK bytes, the task maps
+      * it to whole chunks via CompressionInfo.db and aligns their
+      * LOGICAL span through the index. Only 2.x-era files stay one
+      * task (no index subset). */
     override def planInputPartitions(): Array[InputPartition] =
       listWithMeta().flatMap { case (f, len, hasIndex, compressed) =>
         val v = versionOf(f.split('/').last)
-        val splittable = splitBytes > 0 && hasIndex && !compressed &&
+        val splittable = splitBytes > 0 && hasIndex &&
           v.nonEmpty && v.charAt(0) >= 'm' && len > splitBytes
         if (!splittable) Seq(BinFilePartition(f): InputPartition)
         else {
@@ -387,23 +388,36 @@ object SSTableBinaryV2 {
       * by component presence, exactly how Cassandra itself decides
       * (`Descriptor`'s component set), so a compressed table can
       * never reach the row decoder as garbage. */
-    private def openFullStream(): java.io.InputStream = {
-      val raw = fs.open(new HPath(file))
+    private lazy val onDiskLen: Long =
+      fs.getFileStatus(new HPath(file)).getLen
+
+    /** The decoded CompressionInfo.db sibling, once per file — the
+      * chunk map every compressed access path (full scan, point seek,
+      * split alignment) resolves logical offsets through. */
+    private lazy val compressionMeta: Option[CompressedData.Meta] = {
       val ci = sibling("-CompressionInfo.db")
-      if (fs.exists(ci)) {
+      if (!fs.exists(ci)) None
+      else {
         if (oldEra) throw new UnsupportedOperationException(
           s"$file: compressed 2.x SSTables (Adler32-era chunks) are " +
             "outside the subset — decompress with sstable tooling first")
-        val meta = CompressedData.readMeta(readSibling(ci),
-          CompressedData.versionHasMaxCompressedSize(version), file)
-        CompressedData.decompressingStream(raw,
-          fs.getFileStatus(new HPath(file)).getLen, meta, file)
-      } else raw
+        Some(CompressedData.readMeta(readSibling(ci),
+          CompressedData.versionHasMaxCompressedSize(version), file))
+      }
+    }
+
+    private def openFullStream(): java.io.InputStream = {
+      val raw = fs.open(new HPath(file))
+      compressionMeta match {
+        case Some(meta) =>
+          CompressedData.decompressingStream(raw, onDiskLen, meta, file)
+        case None => raw
+      }
     }
 
     /** The point-lookup plan for this file when partition-key
-      * predicates were pushed: None = full scan (no components, a
-      * compressed file, or the 2.x era); Some(positions) = consult
+      * predicates were pushed: None = full scan (no components or
+      * the 2.x era); Some(positions) = consult
       * Filter.db then Index.db and decode EXACTLY those Data.db
       * offsets — the reference's bloom-gated `getPosition` path
       * (`NoTTLReader.java:1519-1575`) over our own components. A
@@ -414,8 +428,7 @@ object SSTableBinaryV2 {
     private val lookup: Option[Seq[Long]] = pointKeys.flatMap { keys =>
       val filterP = sibling("-Filter.db")
       val indexP = sibling("-Index.db")
-      if (oldEra || fs.exists(sibling("-CompressionInfo.db")) ||
-        !fs.exists(filterP) || !fs.exists(indexP)) None
+      if (oldEra || !fs.exists(filterP) || !fs.exists(indexP)) None
       else {
         val keyBytes = keys.flatMap(k =>
           scala.util.Try(BigFormat.encodeValue(header.keyType, k))
@@ -487,16 +500,36 @@ object SSTableBinaryV2 {
       * O(its own share) of the index, not all of it; without a
       * summary the stream starts at 0 but still stops at the first
       * entry past the range. */
+    /** The task's owned span in LOGICAL (uncompressed) offsets. On a
+      * plain file that IS the blind range. On a compressed file the
+      * blind range is over ON-DISK bytes but Index.db positions are
+      * logical offsets — Cassandra's contract — so the task claims
+      * the chunks whose slot START falls inside its range (chunk
+      * slots map 1:1 to logical spans: no chunk owned twice, none
+      * orphaned) and works in their logical span. */
+    private def logicalRange(): Option[(Long, Long)] =
+      compressionMeta match {
+        case None => Some((rangeStart, rangeEnd))
+        case Some(m) =>
+          val i0 = m.offsets.indexWhere(_ >= rangeStart)
+          if (i0 < 0) None
+          else {
+            val i1 = m.offsets.indexWhere(_ >= rangeEnd)
+            val s = i0.toLong * m.chunkLength
+            val e =
+              if (i1 < 0) m.dataLength else i1.toLong * m.chunkLength
+            if (s >= e) None else Some((s, e))
+          }
+      }
+
     private def alignRange(): Option[(Long, Long)] = {
       require(!oldEra,
         s"$file: 2.x-era SSTables have no index subset to split by")
-      require(!fs.exists(sibling("-CompressionInfo.db")),
-        s"$file: chunk-compressed SSTables don't split (index offsets " +
-          "are uncompressed positions)")
       val indexP = sibling("-Index.db")
       require(fs.exists(indexP),
         s"$file: a split scan needs the Index.db sidecar")
-      val dataLen = fs.getFileStatus(new HPath(file)).getLen
+      val (uncStart, uncEnd) = logicalRange().getOrElse(return None)
+      val dataLen = compressionMeta.map(_.dataLength).getOrElse(onDiskLen)
       val in = fs.open(indexP)
       try {
         val summaryP = sibling("-Summary.db")
@@ -516,7 +549,7 @@ object SSTableBinaryV2 {
             var best = 0L
             while (lo <= hi) {
               val mid = (lo + hi) / 2
-              if (dataPosAt(marks(mid)) <= rangeStart) {
+              if (dataPosAt(marks(mid)) <= uncStart) {
                 best = marks(mid); lo = mid + 1
               } else hi = mid - 1
             }
@@ -530,8 +563,8 @@ object SSTableBinaryV2 {
         var done = false
         while (!done && entries.hasNext) {
           val pos = entries.next()._2
-          if (pos >= rangeEnd) { stopPos = pos; done = true }
-          else if (seekPos < 0 && pos >= rangeStart) seekPos = pos
+          if (pos >= uncEnd) { stopPos = pos; done = true }
+          else if (seekPos < 0 && pos >= uncStart) seekPos = pos
         }
         if (seekPos < 0) None else Some((seekPos, stopPos))
       } finally in.close()
@@ -559,22 +592,38 @@ object SSTableBinaryV2 {
     private val parts: Iterator[Iterator[InternalRow]] = lookup match {
       case Some(Seq()) => Iterator.empty // bloom-negative: file skipped
       case Some(positions) =>
-        // a split task serves only the indexed positions it owns
+        // a split task serves only the indexed positions it owns —
+        // compared in LOGICAL offsets (positions always are)
         val owned =
           if (!ranged) positions
-          else positions.filter(p => p >= rangeStart && p < rangeEnd)
+          else logicalRange() match {
+            case None => Nil
+            case Some((ls, le)) => positions.filter(p => p >= ls && p < le)
+          }
         seekStream = fs.open(new HPath(file))
         owned.iterator.map { pos =>
-          seekStream.seek(pos)
-          expand(BigFormat.partitions(header, seekStream, file).next())
+          val in: java.io.InputStream = compressionMeta match {
+            case Some(m) =>
+              // chunk-map seek: CompressionMetadata.chunkFor's role
+              CompressedData.seekableStream(seekStream, onDiskLen, m,
+                file, pos)
+            case None => seekStream.seek(pos); seekStream
+          }
+          expand(BigFormat.partitions(header, in, file).next())
         }
       case None if ranged =>
         alignRange() match {
           case None => Iterator.empty
           case Some((seekPos, stopPos)) =>
             val raw = fs.open(new HPath(file))
-            raw.seek(seekPos)
-            fullStream = new BoundedStream(raw, stopPos - seekPos)
+            val in: java.io.InputStream = compressionMeta match {
+              case Some(m) =>
+                seekStream = raw // closed via seekStream on exhaustion
+                CompressedData.seekableStream(raw, onDiskLen, m, file,
+                  seekPos)
+              case None => raw.seek(seekPos); raw
+            }
+            fullStream = new BoundedStream(in, stopPos - seekPos)
             BigFormat.partitions(header, fullStream, file).map(expand)
         }
       case None =>
@@ -1083,11 +1132,23 @@ object SSTableBinaryV2 {
     * land) → point lookups for four keys covering every row shape;
     * the pushed IN-predicate lets every task bloom-skip foreign
     * generations and decode exactly the indexed offsets. */
-  def pointLookup(spark: SparkSession, sfDir: String): DataFrame = {
+  def pointLookup(spark: SparkSession, sfDir: String): DataFrame =
+    pointLookupV(spark, sfDir, None)
+
+  /** Registered `src_sstable_point_lz4`: bloom-gated point lookups
+    * over a chunk-COMPRESSED generation — the index position's chunk
+    * is found through CompressionInfo.db (CompressionMetadata
+    * .chunkFor's role), decompressed, and the partition decoded from
+    * its logical offset. Shares the plain point oracle VERBATIM. */
+  def pointLookupLz4(spark: SparkSession, sfDir: String): DataFrame =
+    pointLookupV(spark, sfDir, Some(CompressedData.Lz4))
+
+  private def pointLookupV(spark: SparkSession, sfDir: String,
+      compression: Option[String]): DataFrame = {
     val in = writeBinaryFixture(spark, sfDir)
     val out = graft.Scratch.dir("graft-pointidx-")
     writeSSTables(readBinary(spark, in.toString), out.toString,
-      "graft", "documents")
+      "graft", "documents", compression = compression)
     graft.Scratch.delete(in)
     val audit = SSTableDumpBridge.auditFrame(
       readBinary(spark, out.toString)
@@ -1965,11 +2026,24 @@ object SSTableBinaryV2 {
     * no partition lost at a blind boundary, none decoded twice. At
     * 100 TB this is the straggler killer — a major-compacted SSTable
     * is one FILE but many tasks. */
-  def splitAudit(spark: SparkSession, sfDir: String): DataFrame = {
+  def splitAudit(spark: SparkSession, sfDir: String): DataFrame =
+    splitAuditV(spark, sfDir, None)
+
+  /** Registered `src_sstable_split_lz4`: the SAME split contract over
+    * a chunk-COMPRESSED generation — blind on-disk ranges map to
+    * whole chunks via CompressionInfo.db, their logical span aligns
+    * to partitions, and the tree oracle is shared VERBATIM. The two
+    * features that used to switch off on default-config (compressed)
+    * files — splitting and point seeks — now hold on them. */
+  def splitAuditLz4(spark: SparkSession, sfDir: String): DataFrame =
+    splitAuditV(spark, sfDir, Some(CompressedData.Lz4))
+
+  private def splitAuditV(spark: SparkSession, sfDir: String,
+      compression: Option[String]): DataFrame = {
     val in = writeBinaryFixture(spark, sfDir)
     val out = graft.Scratch.dir("graft-splitaudit-")
     writeSSTables(readBinary(spark, in.toString), out.toString,
-      "graft", "documents")
+      "graft", "documents", compression = compression)
     graft.Scratch.delete(in)
     val split = spark.read.format("sstable-big")
       .option("splitBytes", "512").load(out.toString)

@@ -2094,6 +2094,42 @@ class SSTableBinarySpec extends SparkSpec {
     } finally Scratch.delete(out)
   }
 
+  test("chunk-map seeks: point lookups and split scans serve a COMPRESSED generation exactly like the full scan") {
+    import graft.sources.CompressedData
+    val in = SSTableBinaryV2.writeBinaryFixture(spark, sfDir)
+    val out = Scratch.dir("graft-chunkseek-")
+    try {
+      SSTableBinaryV2.writeSSTables(
+        SSTableBinaryV2.readBinary(spark, in.toString),
+        out.toString, "graft", "documents",
+        compression = Some(CompressedData.Lz4))
+      val dir = s"$out/graft/documents"
+      // generations really are compressed (CompressionInfo siblings)
+      val names = {
+        val s = java.nio.file.Files.list(
+          java.nio.file.Paths.get(dir))
+        try { import scala.jdk.CollectionConverters._
+          s.iterator().asScala.map(_.getFileName.toString).toVector
+        } finally s.close()
+      }
+      assert(names.count(_.endsWith("-CompressionInfo.db")) === 4)
+      val full = SSTableBinaryV2.readBinary(spark, dir).localCheckpoint()
+      // 1. point lookup seeks THROUGH the chunk map
+      val viaPoint = SSTableBinaryV2.readBinary(spark, dir)
+        .filter(col("partition_key") === "8").collect().toSet
+      assert(viaPoint === full.filter(col("partition_key") === "8")
+        .collect().toSet)
+      assert(viaPoint.nonEmpty)
+      // 2. split scan: blind ON-DISK ranges claim whole chunks, their
+      // logical span partition-aligns — nothing lost, nothing doubled
+      val split = spark.read.format("sstable-big")
+        .option("splitBytes", "512").load(dir)
+      assert(split.count() === full.count())
+      assert(split.exceptAll(full).count() === 0)
+      assert(full.exceptAll(split).count() === 0)
+    } finally { Scratch.delete(in); Scratch.delete(out) }
+  }
+
   test("promoted index end-to-end: wide partitions promote; point, split and full scans agree; envelopes parse") {
     // wideAudit's own in-query checks are the meat: ≥1 promoted entry
     // per generation, readPromoted invariants (contiguous ascending
