@@ -135,8 +135,10 @@ object SparkEntry {
     "src_sstable_binary_3x" -> (sources.SSTableBinaryV2.binaryAudit3x _),
     "src_sstable_binary_lz4" -> (sources.SSTableBinaryV2.binaryAuditLz4 _),
     "src_sstable_2x" -> (sources.SSTableBinaryV2.audit2x _),
+    "src_sstable_2x_adler" -> (sources.SSTableBinaryV2.audit2xAdler _),
     "src_sstable_compact" -> (sources.SSTableBinaryV2.auditCompact2x _),
     "src_sstable_2x_upgrade" -> (sources.SSTableBinaryV2.upgrade2x _),
+    "src_sstable_2x_coll" -> (sources.SSTableBinaryV2.coll2xUpgrade _),
     "src_sstable_point" -> (sources.SSTableBinaryV2.pointLookup _),
     "src_sstable_point_lz4" -> (sources.SSTableBinaryV2.pointLookupLz4 _),
     "src_sstable_split_lz4" -> (sources.SSTableBinaryV2.splitAuditLz4 _),
@@ -1574,6 +1576,44 @@ object SparkEntry {
   //  - regexp_replace needs the 'g' flag (Spark replaces globally);
   //  - dayofweek() is 0=Sunday vs Spark 1=Sunday → +1;
   //  - doubles that feed outputs are rounded identically on both sides.
+  // pre-3.0 ("ka") era: the same logical content in 2.x shapes —
+  // CQL row DELETEs are range-tombstone PAIRS (that era has no
+  // row-deletion atom), every live row carries the CQL3 row marker
+  // (PK_LIVENESS), and ttl=0 never serializes (no expiring mask)
+  private lazy val sstable2xSql: String = """
+    |WITH d AS (
+    | SELECT CAST(doc_id AS BIGINT) AS doc_id, source, n_chars,
+    |  doc_id % 10 AS k, doc_id % 4 AS f,
+    |  doc_id * 1000000 AS wt,
+    |  CASE WHEN doc_id % 2 = 0 AND doc_id % 100 <> 0
+    |   THEN doc_id % 100 END AS ttl
+    | FROM documents),
+    |r AS (
+    | SELECT 'PARTITION_DELETION' AS row_kind, f, NULL AS wt2,
+    |   NULL AS ttl2, wt AS del, NULL AS vc FROM d WHERE k = 3
+    | UNION ALL
+    | SELECT 'RANGE_TOMBSTONE_BOUND', f, NULL, NULL, wt, NULL
+    | FROM d WHERE k = 7
+    | UNION ALL
+    | SELECT 'RANGE_TOMBSTONE_BOUND', f, NULL, NULL, wt, NULL
+    | FROM d WHERE k = 7
+    | UNION ALL
+    | SELECT 'PK_LIVENESS', f, wt, ttl, NULL, NULL
+    | FROM d WHERE k NOT IN (3, 7)
+    | UNION ALL
+    | SELECT 'ROW', f, wt, ttl, NULL,
+    |   length(CAST(n_chars AS VARCHAR)) FROM d WHERE k NOT IN (3,5,7)
+    | UNION ALL
+    | SELECT 'ROW', f, wt + 10000000, ttl, NULL, length(source)
+    | FROM d WHERE k NOT IN (3,5,7))
+    |SELECT row_kind, count(*) AS n_rows,
+    | count(DISTINCT f) AS n_sstables,
+    | CAST(sum(wt2) AS BIGINT) AS sum_wt_off_us,
+    | CAST(sum(ttl2) AS BIGINT) AS sum_ttl_s,
+    | CAST(sum(del) AS BIGINT) AS sum_del_off_us,
+    | CAST(sum(vc) AS BIGINT) AS sum_value_chars
+    |FROM r GROUP BY 1""".stripMargin
+
   private lazy val sstabledumpTreeSql: String =
     """WITH d AS (
         | SELECT CAST(doc_id AS BIGINT) AS doc_id, source, n_chars,
@@ -2654,39 +2694,11 @@ object SparkEntry {
     // CQL row DELETEs are range-tombstone PAIRS (that era has no
     // row-deletion atom), every live row carries the CQL3 row marker
     // (PK_LIVENESS), and ttl=0 never serializes (no expiring mask)
-    "src_sstable_2x" -> """
-      |WITH d AS (
-      | SELECT CAST(doc_id AS BIGINT) AS doc_id, source, n_chars,
-      |  doc_id % 10 AS k, doc_id % 4 AS f,
-      |  doc_id * 1000000 AS wt,
-      |  CASE WHEN doc_id % 2 = 0 AND doc_id % 100 <> 0
-      |   THEN doc_id % 100 END AS ttl
-      | FROM documents),
-      |r AS (
-      | SELECT 'PARTITION_DELETION' AS row_kind, f, NULL AS wt2,
-      |   NULL AS ttl2, wt AS del, NULL AS vc FROM d WHERE k = 3
-      | UNION ALL
-      | SELECT 'RANGE_TOMBSTONE_BOUND', f, NULL, NULL, wt, NULL
-      | FROM d WHERE k = 7
-      | UNION ALL
-      | SELECT 'RANGE_TOMBSTONE_BOUND', f, NULL, NULL, wt, NULL
-      | FROM d WHERE k = 7
-      | UNION ALL
-      | SELECT 'PK_LIVENESS', f, wt, ttl, NULL, NULL
-      | FROM d WHERE k NOT IN (3, 7)
-      | UNION ALL
-      | SELECT 'ROW', f, wt, ttl, NULL,
-      |   length(CAST(n_chars AS VARCHAR)) FROM d WHERE k NOT IN (3,5,7)
-      | UNION ALL
-      | SELECT 'ROW', f, wt + 10000000, ttl, NULL, length(source)
-      | FROM d WHERE k NOT IN (3,5,7))
-      |SELECT row_kind, count(*) AS n_rows,
-      | count(DISTINCT f) AS n_sstables,
-      | CAST(sum(wt2) AS BIGINT) AS sum_wt_off_us,
-      | CAST(sum(ttl2) AS BIGINT) AS sum_ttl_s,
-      | CAST(sum(del) AS BIGINT) AS sum_del_off_us,
-      | CAST(sum(vc) AS BIGINT) AS sum_value_chars
-      |FROM r GROUP BY 1""".stripMargin,
+    "src_sstable_2x" -> sstable2xSql,
+    // the SAME decode + oracle over chunk-COMPRESSED ka files (LZ4
+    // chunks, per-chunk ADLER32 — the pre-3.0 checksum era):
+    // compression is pure transport here too
+    "src_sstable_2x_adler" -> sstable2xSql,
     // thrift dynamic CF (COMPACT STORAGE with clustering): one cell
     // per "row" named by the raw clustering value, NO row markers
     // (hence no PK_LIVENESS group), row deletes as inclusive
@@ -2766,6 +2778,39 @@ object SparkEntry {
       | count(DISTINCT f) AS n_sstables,
       | CAST(sum(wt2) AS BIGINT) AS sum_wt_off_us,
       | CAST(NULL AS BIGINT) AS sum_ttl_s,
+      | CAST(sum(del) AS BIGINT) AS sum_del_off_us,
+      | CAST(sum(vc) AS BIGINT) AS sum_value_chars
+      |FROM r GROUP BY 1""".stripMargin,
+    // the 2.x COLLECTION lifecycle: ka per-element cells (map/set/
+    // list via WithCollection composite names) decode → strip →
+    // modern typed rewrite → re-read. Four live cells per doc (map
+    // source at wt, map n_chars at wt+1s, empty-valued set element,
+    // list slot with source); docs with k=6 add a deleted map entry
+    // at wt+2s whose tombstone must survive the era upgrade; every
+    // TTL is stripped (NULL sum)
+    "src_sstable_2x_coll" -> """
+      |WITH d AS (
+      | SELECT CAST(doc_id AS BIGINT) AS doc_id, source, n_chars,
+      |  doc_id % 10 AS k, doc_id % 4 AS f,
+      |  doc_id * 1000000 AS wt
+      | FROM documents),
+      |r AS (
+      | SELECT 'ROW' AS row_kind, f, wt AS wt2, NULL AS del,
+      |   length(source) AS vc FROM d
+      | UNION ALL
+      | SELECT 'ROW', f, wt + 1000000, NULL,
+      |   length(CAST(n_chars AS VARCHAR)) FROM d
+      | UNION ALL
+      | SELECT 'ROW', f, wt, NULL, 0 FROM d
+      | UNION ALL
+      | SELECT 'ROW', f, wt, NULL, length(source) FROM d
+      | UNION ALL
+      | SELECT 'CELL_DELETION', f, wt + 2000000, wt + 2000000, NULL
+      | FROM d WHERE k = 6)
+      |SELECT row_kind, count(*) AS n_rows,
+      | count(DISTINCT f) AS n_sstables,
+      | CAST(sum(wt2) AS BIGINT) AS sum_wt_off_us,
+      | CAST(sum(CAST(NULL AS BIGINT)) AS BIGINT) AS sum_ttl_s,
       | CAST(sum(del) AS BIGINT) AS sum_del_off_us,
       | CAST(sum(vc) AS BIGINT) AS sum_value_chars
       |FROM r GROUP BY 1""".stripMargin,

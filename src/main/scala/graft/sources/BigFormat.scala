@@ -138,6 +138,20 @@ object BigFormat {
     * rendered via `BigDecimal.toString` (which round-trips scale,
     * including negative scales like 1E+2). */
   val DecimalType = "org.apache.cassandra.db.marshal.DecimalType"
+  /** CQL `date`: 4-byte UNSIGNED days-since-epoch with a 2^31 bias
+    * (0x80000000 = 1970-01-01, `o.a.c.serializers.SimpleDateSerializer`
+    * — the bias makes unsigned byte order the date order); rendered
+    * as the ISO local date. */
+  val SimpleDateType = "org.apache.cassandra.db.marshal.SimpleDateType"
+  /** CQL `time`: 8-byte nanoseconds-of-day long
+    * (`o.a.c.serializers.TimeSerializer`); rendered canonically as
+    * HH:MM:SS.nnnnnnnnn (fraction always 9 digits, so render∘encode
+    * is the identity). */
+  val TimeType = "org.apache.cassandra.db.marshal.TimeType"
+  /** CQL `smallint`: 2-byte big-endian signed short. */
+  val ShortType = "org.apache.cassandra.db.marshal.ShortType"
+  /** CQL `tinyint`: 1 signed byte. */
+  val ByteType = "org.apache.cassandra.db.marshal.ByteType"
 
   /** Counter columns: the on-disk cell is a plain cell whose value is
     * the serialized counter context (shard list); counter-ness lives
@@ -223,10 +237,12 @@ object BigFormat {
   }
 
   private def fixedLength(tpe: String): Int = tpe match {
-    case Int32Type => 4
-    case LongType | TimestampType | DoubleType => 8
+    case Int32Type | SimpleDateType => 4
+    case LongType | TimestampType | DoubleType | TimeType => 8
     case FloatType => 4
     case BooleanType => 1
+    case ShortType => 2
+    case ByteType => 1
     case TimeUuidType | UuidType => 16
     case Utf8Type | AsciiType | BytesType | CounterColumnType => -1
     case InetAddressType | VarintType | DecimalType => -1
@@ -271,10 +287,10 @@ object BigFormat {
       case "inet" => Right(InetAddressType)
       case "varint" => Right(VarintType)
       case "decimal" => Right(DecimalType)
-      // smallint/tinyint/date/time sit OUTSIDE the subset on purpose:
-      // their on-disk length-prefix semantics could not be pinned
-      // from the public sources at hand, and a guessed length would
-      // violate the never-silently-misread contract
+      case "date" => Right(SimpleDateType)
+      case "time" => Right(TimeType)
+      case "smallint" => Right(ShortType)
+      case "tinyint" => Right(ByteType)
       case _ if t.startsWith("frozen<") =>
         Left(s"frozen collections are outside the subset: $cqlType")
       case _ =>
@@ -413,6 +429,24 @@ object BigFormat {
       bb.get(unscaled)
       new java.math.BigDecimal(
         new java.math.BigInteger(unscaled), scale).toString
+    case SimpleDateType =>
+      require(bytes.length == 4, s"date expects 4 bytes, got ${bytes.length}")
+      val raw = java.nio.ByteBuffer.wrap(bytes).getInt
+      java.time.LocalDate
+        .ofEpochDay((raw.toLong & 0xffffffffL) - 0x80000000L).toString
+    case TimeType =>
+      require(bytes.length == 8, s"time expects 8 bytes, got ${bytes.length}")
+      val ns = java.nio.ByteBuffer.wrap(bytes).getLong
+      require(ns >= 0 && ns < 86400L * 1000000000L,
+        s"time value $ns outside a day's nanos")
+      f"${ns / 3600000000000L}%02d:${ns / 60000000000L % 60}%02d:" +
+        f"${ns / 1000000000L % 60}%02d.${ns % 1000000000L}%09d"
+    case ShortType =>
+      require(bytes.length == 2, s"smallint expects 2 bytes, got ${bytes.length}")
+      java.nio.ByteBuffer.wrap(bytes).getShort.toString
+    case ByteType =>
+      require(bytes.length == 1, s"tinyint expects 1 byte, got ${bytes.length}")
+      bytes(0).toString
     case BytesType | TimeUuidType | CounterColumnType =>
       bytes.map("%02x".format(_)).mkString
     case c if compositeOf(c).isDefined =>
@@ -468,6 +502,27 @@ object BigFormat {
       val unscaled = bd.unscaledValue.toByteArray
       java.nio.ByteBuffer.allocate(4 + unscaled.length)
         .putInt(bd.scale).put(unscaled).array()
+    case SimpleDateType =>
+      val days = java.time.LocalDate.parse(s).toEpochDay
+      require(days >= -0x80000000L && days <= 0x7fffffffL,
+        s"date '$s' outside the 4-byte biased range")
+      java.nio.ByteBuffer.allocate(4)
+        .putInt((days + 0x80000000L).toInt).array()
+    case TimeType =>
+      val m = "(\\d{2}):(\\d{2}):(\\d{2})\\.(\\d{9})".r
+      s match {
+        case m(h, mi, sec, nano) =>
+          val ns = h.toLong * 3600000000000L + mi.toLong * 60000000000L +
+            sec.toLong * 1000000000L + nano.toLong
+          require(ns < 86400L * 1000000000L, s"time '$s' past 24h")
+          java.nio.ByteBuffer.allocate(8).putLong(ns).array()
+        case _ => throw new IllegalArgumentException(
+          s"time encode takes HH:MM:SS.nnnnnnnnn, got '$s'")
+      }
+    case ShortType =>
+      java.nio.ByteBuffer.allocate(2).putShort(s.toShort).array()
+    case ByteType =>
+      Array(s.toByte)
     case BytesType | TimeUuidType | CounterColumnType =>
       s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
     case c if compositeOf(c).isDefined =>
@@ -525,14 +580,22 @@ object BigFormat {
         (msb >>> 32)
     }
     tpe match {
-      case Utf8Type | AsciiType | BytesType | InetAddressType =>
+      // SimpleDateType's 2^31 bias makes unsigned byte order the
+      // date order; TimeType nanos are non-negative so signed works
+      case Utf8Type | AsciiType | BytesType | InetAddressType |
+          SimpleDateType =>
         unsignedLex(a, b)
       case Int32Type =>
         Integer.compare(java.nio.ByteBuffer.wrap(a).getInt,
           java.nio.ByteBuffer.wrap(b).getInt)
-      case LongType | TimestampType =>
+      case LongType | TimestampType | TimeType =>
         java.lang.Long.compare(java.nio.ByteBuffer.wrap(a).getLong,
           java.nio.ByteBuffer.wrap(b).getLong)
+      case ShortType =>
+        java.lang.Short.compare(java.nio.ByteBuffer.wrap(a).getShort,
+          java.nio.ByteBuffer.wrap(b).getShort)
+      case ByteType =>
+        java.lang.Byte.compare(a(0), b(0))
       case DoubleType =>
         java.lang.Double.compare(java.nio.ByteBuffer.wrap(a).getDouble,
           java.nio.ByteBuffer.wrap(b).getDouble)

@@ -57,23 +57,39 @@ object CompressedData {
   def versionHasMaxCompressedSize(version: String): Boolean =
     version.nonEmpty && version.charAt(0) >= 'n'
 
+  /** Whether a format version's chunk checksums are Adler32 rather
+    * than CRC32: the 2.x eras ("jb" through "la") append an Adler32
+    * of the compressed bytes per chunk; "ma" (3.0) switched to CRC32
+    * (`o.a.c.io.sstable.format.Version.hasAllAdlerChecksums` /
+    * `uncompressedChecksumType()` in the public source — the
+    * reference reads these files natively through the embedded
+    * runtime, `NoTTLReader.java:343,623`). Eras before "jb"
+    * checksummed the UNCOMPRESSED bytes and sit outside the 2.x
+    * subset ([[OldFormat]] starts at "ka"). */
+  def versionUsesAdler32(version: String): Boolean =
+    version.nonEmpty && version.charAt(0) < 'm'
+
   /** The decoded CompressionInfo.db. `offsets` index into the
     * COMPRESSED Data.db; chunk i occupies
-    * `[offsets(i), nextOffset - 4)` with its CRC32 in the last 4
-    * bytes of the slot (the final chunk ends at the file length). */
+    * `[offsets(i), nextOffset - 4)` with its checksum (CRC32, or
+    * Adler32 when `adler`) in the last 4 bytes of the slot (the
+    * final chunk ends at the file length). `adler` is a property of
+    * the FORMAT VERSION, not of the metadata file — callers derive
+    * it via [[versionUsesAdler32]]. */
   case class Meta(
       compressor: String,
       options: Map[String, String],
       chunkLength: Int,
       maxCompressedSize: Int,
       dataLength: Long,
-      offsets: Array[Long]) {
+      offsets: Array[Long],
+      adler: Boolean = false) {
     require(Integer.bitCount(chunkLength) == 1,
       s"chunk length must be a power of two, got $chunkLength")
   }
 
   def readMeta(bytes: Array[Byte], hasMaxCompressedSize: Boolean,
-      file: String): Meta = {
+      file: String, adler: Boolean = false): Meta = {
     val in = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
     val name = in.readUTF()
     if (!Supported(name)) throw new UnsupportedOperationException(
@@ -87,7 +103,8 @@ object CompressedData {
     val dataLength = in.readLong()
     val nChunks = in.readInt()
     val offsets = Array.fill(nChunks)(in.readLong())
-    Meta(name, opts, chunkLength, maxCompressed, dataLength, offsets)
+    Meta(name, opts, chunkLength, maxCompressed, dataLength, offsets,
+      adler)
   }
 
   def writeMeta(meta: Meta, hasMaxCompressedSize: Boolean): Array[Byte] = {
@@ -170,9 +187,15 @@ object CompressedData {
     case other => throw new UnsupportedOperationException(other)
   }
 
-  private def crc32(bytes: Array[Byte]): Int = {
-    val c = new CRC32(); c.update(bytes); c.getValue.toInt
-  }
+  /** The per-chunk checksum for the era: CRC32 (3.0+) or Adler32
+    * (2.x) of the chunk's compressed bytes. */
+  private def checksum(bytes: Array[Byte], adler: Boolean): Int =
+    if (adler) {
+      val c = new java.util.zip.Adler32(); c.update(bytes)
+      c.getValue.toInt
+    } else {
+      val c = new CRC32(); c.update(bytes); c.getValue.toInt
+    }
 
   /** Compress raw Data.db bytes into the chunked on-disk form,
     * returning (compressed file bytes, metadata). Used by the fixture
@@ -180,7 +203,7 @@ object CompressedData {
     * `CompressedSequentialWriter` (one chunk per `chunkLength` of
     * uncompressed input, CRC32 of the compressed bytes appended). */
   def compress(raw: Array[Byte], chunkLength: Int,
-      compressor: String = Lz4): (Array[Byte], Meta) = {
+      compressor: String = Lz4, adler: Boolean = false): (Array[Byte], Meta) = {
     val out = new ByteArrayOutputStream()
     val offsets = Array.newBuilder[Long]
     var off = 0
@@ -189,13 +212,14 @@ object CompressedData {
       val block = compressBlock(compressor, raw, off, len)
       offsets += out.size().toLong
       out.write(block)
-      val crcBytes = java.nio.ByteBuffer.allocate(4).putInt(crc32(block))
+      val crcBytes = java.nio.ByteBuffer.allocate(4)
+        .putInt(checksum(block, adler))
       out.write(crcBytes.array())
       off += len
     }
     (out.toByteArray,
       Meta(compressor, Map.empty, chunkLength, Int.MaxValue,
-        raw.length.toLong, offsets.result()))
+        raw.length.toLong, offsets.result(), adler))
   }
 
   /** A sequential InputStream over a compressed Data.db: reads one
@@ -227,9 +251,10 @@ object CompressedData {
       val block = new Array[Byte](slotLen.toInt - 4)
       in.readFully(block)
       val stored = in.readInt()
-      val actual = crc32(block)
+      val actual = checksum(block, meta.adler)
       if (stored != actual) throw new java.io.IOException(
-        s"$file: compressed chunk $chunkIdx CRC mismatch " +
+        s"$file: compressed chunk $chunkIdx " +
+          s"${if (meta.adler) "Adler32" else "CRC"} mismatch " +
           f"(stored 0x$stored%08x, computed 0x$actual%08x)")
       // raw-stored detection mirrors CompressedSequentialWriter's
       // boundary: a chunk is stored RAW (uncompressed bytes) when its

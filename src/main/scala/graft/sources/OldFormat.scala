@@ -222,10 +222,33 @@ object OldFormat {
     }
     val cs = comps.result()
     require(cs.size == s.clusteringTypes.size + 1 ||
+      cs.size == s.clusteringTypes.size + 2 ||
       cs.size <= s.clusteringTypes.size,
       s"$file: composite of ${cs.size} components against " +
         s"${s.clusteringTypes.size} declared clustering columns")
-    if (cs.size == s.clusteringTypes.size + 1) {
+    if (cs.size == s.clusteringTypes.size + 2) {
+      // clustering prefix + column name + collection element key —
+      // the CompoundSparseCellNameType.WithCollection shape (2.x
+      // stores each map entry / set element / list slot as its own
+      // cell whose name carries the element identity). Surfaces
+      // through the SAME name-encoded CellPath convention as the
+      // 3.0 bridge: "col[key]".
+      val n = s.clusteringTypes.size
+      val clustering = cs.take(n).zip(s.clusteringTypes).map {
+        case ((b, _), t) => BigFormat.renderValue(t, b)
+      }
+      val colName = new String(cs(n)._1,
+        java.nio.charset.StandardCharsets.UTF_8)
+      val declared = s.columns.getOrElse(colName,
+        throw new UnsupportedOperationException(
+          s"$file: column '$colName' not in the declared schema"))
+      val pathType = BigFormat.complexOf(declared).map(_._1).getOrElse(
+        throw new UnsupportedOperationException(
+          s"$file: cell name carries an element key but '$colName' " +
+            "is not declared a collection"))
+      val key = BigFormat.renderValue(pathType, cs.last._1)
+      (clustering, s"$colName[$key]", cs.last._2)
+    } else if (cs.size == s.clusteringTypes.size + 1) {
       // clustering prefix + column-name component
       val clustering = cs.init.zip(s.clusteringTypes).map {
         case ((b, _), t) => BigFormat.renderValue(t, b)
@@ -240,6 +263,42 @@ object OldFormat {
       }
       (clustering, "", cs.lastOption.map(_._2).getOrElse(0))
     }
+  }
+
+  /** Resolve a cell's VALUE marshal type from its (possibly
+    * path-bearing) bridge name: "col[key]" must name a declared
+    * collection (map → its value type, set → the empty-value carry,
+    * list → its element type); a bare name must NOT be one (a 2.x
+    * collection column never writes a path-less cell). */
+  private def cellValueType(name: String, s: Schema,
+      file: String): String = {
+    val i = name.indexOf('[')
+    if (i >= 0 && name.endsWith("]")) {
+      val base = name.substring(0, i)
+      val declared = s.columns.getOrElse(base,
+        throw new UnsupportedOperationException(
+          s"$file: column '$base' not in the declared schema"))
+      BigFormat.complexOf(declared).map(_._2).getOrElse(
+        throw new UnsupportedOperationException(
+          s"$file: '$base' carries an element key but is not " +
+            "declared a collection"))
+    } else {
+      val declared = s.columns.getOrElse(name,
+        throw new UnsupportedOperationException(
+          s"$file: column '$name' not in the declared schema"))
+      require(BigFormat.complexOf(declared).isEmpty,
+        s"$file: collection column '$name' cell without an element key")
+      declared
+    }
+  }
+
+  /** "col[key]" → (col, Some(key)); bare name → (name, None). */
+  private def splitCellName(name: String): (String, Option[String]) = {
+    val i = name.indexOf('[')
+    if (i >= 0 && name.endsWith("]"))
+      (name.substring(0, i),
+        Some(name.substring(i + 1, name.length - 1)))
+    else (name, None)
   }
 
   private def encodeComposite(components: Seq[(String, String)],
@@ -280,9 +339,22 @@ object OldFormat {
           else encodeComposite(c.clustering.zip(s.clusteringTypes)
             .map { case (v, t) => (t, v) }, 0)
         }
-        else encodeComposite(
-          c.clustering.zip(s.clusteringTypes).map { case (v, t) => (t, v) }
-            :+ (("", c.name)), 0)
+        else {
+          val cl = c.clustering.zip(s.clusteringTypes)
+            .map { case (v, t) => (t, v) }
+          splitCellName(c.name) match {
+            case (_, None) => encodeComposite(cl :+ (("", c.name)), 0)
+            case (base, Some(key)) =>
+              // the WithCollection shape: clustering + column name +
+              // element key encoded with the collection's path type
+              val pathType = s.columns.get(base)
+                .flatMap(BigFormat.complexOf).map(_._1).getOrElse(
+                  throw new IllegalArgumentException(
+                    s"$file: '$base' is not a declared collection"))
+              encodeComposite(
+                cl :+ (("", base)) :+ ((pathType, key)), 0)
+          }
+        }
       out.writeShort(name.length)
       out.write(name)
       var mask = 0
@@ -306,9 +378,7 @@ object OldFormat {
           val tpe =
             if (c.counter) BigFormat.CounterColumnType
             else if (c.name.isEmpty) BigFormat.BytesType // row marker
-            else s.columns.getOrElse(c.name,
-              throw new IllegalArgumentException(
-                s"$file: column '${c.name}' not declared"))
+            else cellValueType(c.name, s, file)
           BigFormat.encodeValue(tpe, c.value.getOrElse(""))
         }
       out.writeInt(value.length)
@@ -428,9 +498,7 @@ object OldFormat {
         val tpe =
           if (counter) BigFormat.CounterColumnType
           else if (colName.isEmpty) BigFormat.BytesType // row marker
-          else s.columns.getOrElse(colName,
-            throw new UnsupportedOperationException(
-              s"$file: column '$colName' not in the declared schema"))
+          else cellValueType(colName, s, file)
         Some(Cell2(clustering, colName, ts, ttl, ldt,
           Some(BigFormat.renderValue(tpe, valueBytes)),
           deleted = false, counter = counter,

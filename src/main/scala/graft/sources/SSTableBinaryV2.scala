@@ -169,16 +169,20 @@ object SSTableBinaryV2 {
     override def toBatch: Batch = this
 
     /** One recursive listing yields the data files AND their sibling
-      * component sets (no per-file exists() RPCs at plan time). */
-    private def listWithMeta(): Seq[(String, Long, Boolean, Boolean)] = {
+      * component sets WITH lengths (no per-file exists()/status RPCs
+      * at plan time — and, because the result ships inside each
+      * [[BinFilePartition]], none in the TASKS either: at a 100k-file
+      * lake, per-reader exists() probes are pure namenode chatter the
+      * planner's listing already answered). */
+    private def listWithMeta(): Seq[(String, SiblingInfo)] = {
       val fs = FileSystem.get(java.net.URI.create(path), hconf.value)
       val files = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
-      val seen = scala.collection.mutable.Set.empty[String]
+      val seen = scala.collection.mutable.Map.empty[String, Long]
       val it = fs.listFiles(new HPath(path), true)
       while (it.hasNext) {
         val f = it.next()
         if (f.isFile) {
-          seen += f.getPath.toString
+          seen(f.getPath.toString) = f.getLen
           if (f.getPath.getName.endsWith("-Data.db"))
             files += ((f.getPath.toString, f.getLen))
         }
@@ -186,13 +190,17 @@ object SSTableBinaryV2 {
       files.sortBy(f => generationSortKey(f._1)).toSeq.map {
         case (p, len) =>
           val base = p.stripSuffix("-Data.db")
-          (p, len, seen(base + "-Index.db"),
-            seen(base + "-CompressionInfo.db"))
+          (p, SiblingInfo(len,
+            hasIndex = seen.contains(base + "-Index.db"),
+            hasFilter = seen.contains(base + "-Filter.db"),
+            hasSummary = seen.contains(base + "-Summary.db"),
+            hasCompression = seen.contains(base + "-CompressionInfo.db"),
+            indexLen = seen.getOrElse(base + "-Index.db", -1L)))
       }
     }
 
-    private[sources] def listDataFiles(): Seq[String] =
-      listWithMeta().map(_._1)
+    private[sources] def listDataFiles(): Seq[(String, SiblingInfo)] =
+      listWithMeta()
 
     /** Parallelism units. Default: one InputPartition per `*-Data.db`
       * (sorted for deterministic partition ids; sibling components are
@@ -210,16 +218,17 @@ object SSTableBinaryV2 {
       * LOGICAL span through the index. Only 2.x-era files stay one
       * task (no index subset). */
     override def planInputPartitions(): Array[InputPartition] =
-      listWithMeta().flatMap { case (f, len, hasIndex, compressed) =>
+      listWithMeta().flatMap { case (f, info) =>
         val v = versionOf(f.split('/').last)
-        val splittable = splitBytes > 0 && hasIndex &&
-          v.nonEmpty && v.charAt(0) >= 'm' && len > splitBytes
-        if (!splittable) Seq(BinFilePartition(f): InputPartition)
+        val splittable = splitBytes > 0 && info.hasIndex &&
+          v.nonEmpty && v.charAt(0) >= 'm' && info.dataLen > splitBytes
+        if (!splittable)
+          Seq(BinFilePartition(f, info = Some(info)): InputPartition)
         else {
-          val n = ((len + splitBytes - 1) / splitBytes).toInt
+          val n = ((info.dataLen + splitBytes - 1) / splitBytes).toInt
           (0 until n).map(i => BinFilePartition(f, i * splitBytes,
-            if (i == n - 1) Long.MaxValue else (i + 1) * splitBytes)
-            : InputPartition)
+            if (i == n - 1) Long.MaxValue else (i + 1) * splitBytes,
+            Some(info)): InputPartition)
         }
       }.toArray
 
@@ -246,8 +255,8 @@ object SSTableBinaryV2 {
 
   private class BinMicroBatchStream(scan: BinScan)
       extends MicroBatchStream with SupportsAdmissionControl {
-    private var snapshot: Seq[String] = Nil
-    private def refresh(): Seq[String] = {
+    private var snapshot: Seq[(String, SiblingInfo)] = Nil
+    private def refresh(): Seq[(String, SiblingInfo)] = {
       snapshot = scan.listDataFiles()
       snapshot
     }
@@ -272,7 +281,9 @@ object SSTableBinaryV2 {
       val s = start.asInstanceOf[FileIndexOffset].index
       val e = end.asInstanceOf[FileIndexOffset].index
       val files = if (snapshot.size >= e) snapshot else refresh()
-      files.slice(s, e).map(f => BinFilePartition(f): InputPartition).toArray
+      files.slice(s, e).map { case (f, info) =>
+        BinFilePartition(f, info = Some(info)): InputPartition
+      }.toArray
     }
     override def createReaderFactory(): PartitionReaderFactory =
       scan.createReaderFactory()
@@ -311,11 +322,22 @@ object SSTableBinaryV2 {
     (dir, gen, name)
   }
 
+  /** The planner-listed sibling component set of one Data.db, shipped
+    * inside its [[BinFilePartition]] so tasks never re-probe the
+    * filesystem for components the driver's single recursive listing
+    * already saw. `indexLen` is -1 when no Index.db exists. */
+  private[sources] case class SiblingInfo(dataLen: Long, hasIndex: Boolean,
+      hasFilter: Boolean, hasSummary: Boolean, hasCompression: Boolean,
+      indexLen: Long)
+
   /** [start, end) is a BLIND byte range of the Data.db; the reader
     * aligns it to partition boundaries via Index.db. (0, MaxValue) =
-    * the whole file, no index needed. */
+    * the whole file, no index needed. `info` carries the planner's
+    * sibling listing; None (foreign callers) falls back to exists()
+    * probes in the reader. */
   private case class BinFilePartition(file: String, start: Long = 0L,
-      end: Long = Long.MaxValue) extends InputPartition
+      end: Long = Long.MaxValue, info: Option[SiblingInfo] = None)
+      extends InputPartition
 
   private class BinReaderFactory(cols: Array[String],
       hconf: SerializableConfiguration, cql: Option[String],
@@ -325,7 +347,7 @@ object SSTableBinaryV2 {
         partition: InputPartition): PartitionReader[InternalRow] = {
       val p = partition.asInstanceOf[BinFilePartition]
       new BinPartitionReader(p.file, cols, hconf.value, cql, pointKeys,
-        p.start, p.end)
+        p.start, p.end, p.info)
     }
   }
 
@@ -337,7 +359,8 @@ object SSTableBinaryV2 {
       conf: org.apache.hadoop.conf.Configuration,
       cql: Option[String] = None,
       pointKeys: Option[Seq[String]] = None,
-      rangeStart: Long = 0L, rangeEnd: Long = Long.MaxValue)
+      rangeStart: Long = 0L, rangeEnd: Long = Long.MaxValue,
+      info: Option[SiblingInfo] = None)
       extends PartitionReader[InternalRow] {
     /** A split task owns the partitions whose Data.db start offset
       * falls in its BLIND [rangeStart, rangeEnd) — blind ranges tile
@@ -354,6 +377,20 @@ object SSTableBinaryV2 {
     private val version = versionOf(file.split('/').last)
     private def sibling(suffix: String): HPath =
       new HPath(file.stripSuffix("-Data.db") + suffix)
+    /** Component presence, answered from the planner-shipped listing
+      * when available — the reader's hot construction path issues NO
+      * per-file exists() RPCs under the DSv2 scan (the fallback
+      * serves foreign/spec callers constructing readers directly). */
+    private def hasSibling(suffix: String): Boolean = info match {
+      case Some(i) => suffix match {
+        case "-Index.db" => i.hasIndex
+        case "-Filter.db" => i.hasFilter
+        case "-Summary.db" => i.hasSummary
+        case "-CompressionInfo.db" => i.hasCompression
+        case _ => fs.exists(sibling(suffix))
+      }
+      case None => fs.exists(sibling(suffix))
+    }
     private def readSibling(path: HPath): Array[Byte] = {
       val st = fs.getFileStatus(path)
       val buf = new Array[Byte](st.getLen.toInt)
@@ -388,22 +425,22 @@ object SSTableBinaryV2 {
       * by component presence, exactly how Cassandra itself decides
       * (`Descriptor`'s component set), so a compressed table can
       * never reach the row decoder as garbage. */
-    private lazy val onDiskLen: Long =
-      fs.getFileStatus(new HPath(file)).getLen
+    private lazy val onDiskLen: Long = info.map(_.dataLen)
+      .getOrElse(fs.getFileStatus(new HPath(file)).getLen)
 
     /** The decoded CompressionInfo.db sibling, once per file — the
       * chunk map every compressed access path (full scan, point seek,
-      * split alignment) resolves logical offsets through. */
+      * split alignment) resolves logical offsets through. The
+      * checksum era follows the format version: 2.x ("ka"/"la")
+      * chunks carry Adler32, 3.0+ CRC32 — both verified on every
+      * chunk ([[CompressedData.versionUsesAdler32]]; the reference
+      * reads both natively, `NoTTLReader.java:343,623`). */
     private lazy val compressionMeta: Option[CompressedData.Meta] = {
       val ci = sibling("-CompressionInfo.db")
-      if (!fs.exists(ci)) None
-      else {
-        if (oldEra) throw new UnsupportedOperationException(
-          s"$file: compressed 2.x SSTables (Adler32-era chunks) are " +
-            "outside the subset — decompress with sstable tooling first")
-        Some(CompressedData.readMeta(readSibling(ci),
-          CompressedData.versionHasMaxCompressedSize(version), file))
-      }
+      if (!hasSibling("-CompressionInfo.db")) None
+      else Some(CompressedData.readMeta(readSibling(ci),
+        CompressedData.versionHasMaxCompressedSize(version), file,
+        CompressedData.versionUsesAdler32(version)))
     }
 
     private def openFullStream(): java.io.InputStream = {
@@ -428,7 +465,8 @@ object SSTableBinaryV2 {
     private val lookup: Option[Seq[Long]] = pointKeys.flatMap { keys =>
       val filterP = sibling("-Filter.db")
       val indexP = sibling("-Index.db")
-      if (oldEra || !fs.exists(filterP) || !fs.exists(indexP)) None
+      if (oldEra || !hasSibling("-Filter.db") ||
+        !hasSibling("-Index.db")) None
       else {
         val keyBytes = keys.flatMap(k =>
           scala.util.Try(BigFormat.encodeValue(header.keyType, k))
@@ -458,14 +496,15 @@ object SSTableBinaryV2 {
     private def readIndexFor(candidates: Seq[Array[Byte]],
         indexP: HPath): Seq[BigFormat.IndexEntry] = {
       val summaryP = sibling("-Summary.db")
-      if (!fs.exists(summaryP))
+      if (!hasSibling("-Summary.db"))
         return SSTableComponents.readIndex(readSibling(indexP), file)
       val summary = SSTableComponents.readSummary(readSibling(summaryP))
       val marks = summary.sampled.map { case (k, ip) =>
         (BigFormat.murmur3Token(k), ip)
       }
       if (marks.isEmpty) return Nil
-      val idxLen = fs.getFileStatus(indexP).getLen
+      val idxLen = info.map(_.indexLen).filter(_ >= 0)
+        .getOrElse(fs.getFileStatus(indexP).getLen)
       val ranges = candidates.flatMap { kb =>
         val t = BigFormat.murmur3Token(kb)
         val i = marks.lastIndexWhere(_._1 <= t)
@@ -526,7 +565,7 @@ object SSTableBinaryV2 {
       require(!oldEra,
         s"$file: 2.x-era SSTables have no index subset to split by")
       val indexP = sibling("-Index.db")
-      require(fs.exists(indexP),
+      require(hasSibling("-Index.db"),
         s"$file: a split scan needs the Index.db sidecar")
       val (uncStart, uncEnd) = logicalRange().getOrElse(return None)
       val dataLen = compressionMeta.map(_.dataLength).getOrElse(onDiskLen)
@@ -534,7 +573,7 @@ object SSTableBinaryV2 {
       try {
         val summaryP = sibling("-Summary.db")
         val startIndexPos: Long =
-          if (!fs.exists(summaryP)) 0L
+          if (!hasSibling("-Summary.db")) 0L
           else {
             val marks = SSTableComponents
               .readSummary(readSibling(summaryP)).sampled.map(_._2)
@@ -960,9 +999,12 @@ object SSTableBinaryV2 {
     * cell (empty column name), cells are mask-dispatched atoms with
     * composite names. One `ka-<gen>-big-Data.db` per file id; no
     * Statistics.db (that era's metadata carries no header the codec
-    * needs). */
+    * needs). With `compress`, each Data.db is chunk-compressed the
+    * 2.x way — LZ4 chunks with per-chunk ADLER32 checksums and a
+    * CompressionInfo.db sibling without the maxCompressedSize word
+    * (the era the reference reads at `NoTTLReader.java:343,623`). */
   def writeOldFixture(spark: SparkSession,
-      sfDir: String): java.nio.file.Path = {
+      sfDir: String, compress: Boolean = false): java.nio.file.Path = {
     import spark.implicits._
     val out = graft.Scratch.dir("graft-katable-")
     val outStr = out.toString
@@ -1014,11 +1056,20 @@ object SSTableBinaryV2 {
         val gen = fileId + 1
         val fs = FileSystem.get(
           java.net.URI.create(outStr), hconf.value.value)
-        val os = fs.create(
-          new HPath(s"$outStr/documents/graft-documents-ka-$gen-Data.db"),
-          true)
-        try os.write(OldFormat.writeDataFile(parts.toSeq, schema))
-        finally os.close()
+        def write(name: String, bytes: Array[Byte]): Unit = {
+          val os = fs.create(
+            new HPath(s"$outStr/documents/graft-documents-ka-$gen-$name"),
+            true)
+          try os.write(bytes) finally os.close()
+        }
+        val dataBytes = OldFormat.writeDataFile(parts.toSeq, schema)
+        if (compress) {
+          val (cbytes, meta) = CompressedData.compress(
+            dataBytes, 16 * 1024, CompressedData.Lz4, adler = true)
+          write("Data.db", cbytes)
+          write("CompressionInfo.db", CompressedData.writeMeta(meta,
+            CompressedData.versionHasMaxCompressedSize("ka")))
+        } else write("Data.db", dataBytes)
         (fileId, parts.length)
       }
       .collect()
@@ -1032,6 +1083,21 @@ object SSTableBinaryV2 {
     * row markers as PK_LIVENESS on every live row). */
   def audit2x(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = writeOldFixture(spark, sfDir)
+    val audit = SSTableDumpBridge
+      .auditFrame(readBinary(spark, dir.toString, Some(Cql2x)))
+      .localCheckpoint()
+    graft.Scratch.delete(dir)
+    audit
+  }
+
+  /** Registered `src_sstable_2x_adler`: the SAME 2.x decode under
+    * the SAME oracle, but over chunk-COMPRESSED ka files — LZ4
+    * chunks with Adler32 checksums, the pre-3.0 checksum era
+    * (`NoTTLReader.java:343,623` reads these natively; the loud
+    * reject this replaces told users to decompress first). Every
+    * chunk's Adler32 is verified on the way through. */
+  def audit2xAdler(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = writeOldFixture(spark, sfDir, compress = true)
     val audit = SSTableDumpBridge
       .auditFrame(readBinary(spark, dir.toString, Some(Cql2x)))
       .localCheckpoint()
@@ -1176,6 +1242,102 @@ object SSTableBinaryV2 {
         graft.model.CellModel.stripCellKeepDeletion(col("cell")))
     writeSSTables(stripped, out.toString, "graft", "documents",
       graft.model.CqlSchema.parse(Cql2x).toOption)
+    graft.Scratch.delete(in)
+    val audit = SSTableDumpBridge
+      .auditFrame(readBinary(spark, out.toString))
+      .localCheckpoint()
+    graft.Scratch.delete(out)
+    audit
+  }
+
+  /** The declared schema for the 2.x COLLECTION fixture: all three
+    * non-frozen collection kinds, each stored by the 2.x engine as
+    * per-element cells whose composite names carry the element key
+    * (the `CompoundSparseCellNameType.WithCollection` shape). */
+  val Cql2xColl: String = "CREATE TABLE graft.documents (id text, " +
+    "ck text, tags map<text, text>, labels set<text>, seq list<text>, " +
+    "PRIMARY KEY (id, ck))"
+
+  /** ka-era fixture with collection cells: per doc one row carrying
+    * two map entries (source at wt, n_chars at wt+1s), one set
+    * element (empty value), one list slot (deterministic timeuuid
+    * position, source value); docs with `doc_id % 10 == 6` add a
+    * DELETED map entry (the 2.x per-entry tombstone) at wt+2s. Even
+    * doc_ids (except %100==0) TTL every live cell — the strip must
+    * erase exactly that. */
+  def writeOld2xCollFixture(spark: SparkSession,
+      sfDir: String): java.nio.file.Path = {
+    import spark.implicits._
+    val out = graft.Scratch.dir("graft-kacoll-")
+    val outStr = out.toString
+    val hconf = spark.sparkContext.broadcast(
+      new SerializableConfiguration(spark.sessionState.newHadoopConf()))
+    val base = SSTableDumpBridge.TreeBase
+    val nFiles = SSTableDumpBridge.TreeFiles
+    val schema = OldFormat.schemaOfCql(
+      graft.model.CqlSchema.parse(Cql2xColl)
+        .fold(e => throw new IllegalArgumentException(e), identity))
+    graft.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id").cast("long"), col("source"),
+        col("n_chars").cast("long"))
+      .as[(Long, String, Long)]
+      .groupByKey { case (docId, _, _) => (docId % nFiles).toInt }
+      .mapGroups { (fileId, docs) =>
+        val parts = docs.toArray.sortBy(_._1).map {
+          case (docId, source, nChars) =>
+            val wtSec = base + docId
+            val wtUs = wtSec * 1000000L
+            val ttl =
+              if (docId % 2 == 0 && docId % 100 != 0)
+                Some((docId % 100).toInt)
+              else None
+            val ldt = ttl.map(t => (wtSec + t).toInt)
+            val cl = Seq(s"c$docId")
+            def live(name: String, v: String, dUs: Long) =
+              OldFormat.Cell2(cl, name, wtUs + dUs, ttl,
+                ldt, Some(v), deleted = false, counter = false)
+            val listPos = f"$docId%032x"
+            val cells = Seq(
+              live("tags[k0]", source, 0L),
+              live("tags[k1]", nChars.toString, 1000000L),
+              live(s"labels[s${docId % 5}]", "", 0L),
+              live(s"seq[$listPos]", source, 0L)) ++
+              (if (docId % 10 == 6)
+                Seq(OldFormat.Cell2(cl, "tags[gone]", wtUs + 2000000L,
+                  None, Some((wtSec + 2).toInt), None, deleted = true,
+                  counter = false))
+              else Nil)
+            OldFormat.Partition2(docId.toString, None, cells)
+        }
+        val gen = fileId + 1
+        val fs = FileSystem.get(
+          java.net.URI.create(outStr), hconf.value.value)
+        val os = fs.create(
+          new HPath(s"$outStr/documents/graft-documents-ka-$gen-Data.db"),
+          true)
+        try os.write(OldFormat.writeDataFile(parts.toSeq, schema))
+        finally os.close()
+        (fileId, parts.length)
+      }
+      .collect()
+    out
+  }
+
+  /** Registered `src_sstable_2x_coll`: the cassandra-2 module's
+    * lifecycle over COLLECTION columns — ka cells with
+    * WithCollection composite names → declared-schema decode (each
+    * element surfaces through the bridge's name-encoded CellPath,
+    * "tags[k0]") → TTL strip → typed MODERN rewrite (real complex
+    * cells with CellPaths, path-comparator ordered) → re-read →
+    * audit. Entry tombstones survive the whole era upgrade. */
+  def coll2xUpgrade(spark: SparkSession, sfDir: String): DataFrame = {
+    val in = writeOld2xCollFixture(spark, sfDir)
+    val out = graft.Scratch.dir("graft-2xcoll-")
+    val stripped = readBinary(spark, in.toString, Some(Cql2xColl))
+      .withColumn("cell",
+        graft.model.CellModel.stripCellKeepDeletion(col("cell")))
+    writeSSTables(stripped, out.toString, "graft", "documents",
+      graft.model.CqlSchema.parse(Cql2xColl).toOption)
     graft.Scratch.delete(in)
     val audit = SSTableDumpBridge
       .auditFrame(readBinary(spark, out.toString))

@@ -475,6 +475,48 @@ class BigFormatSpec extends AnyFunSuite {
     }
   }
 
+  test("Adler32-era (2.x) chunk checksums round-trip and mismatch loudly") {
+    import graft.sources.CompressedData
+    // the checksum algorithm follows the FORMAT VERSION: 2.x eras
+    // Adler32, 3.0+ CRC32
+    assert(CompressedData.versionUsesAdler32("ka"))
+    assert(CompressedData.versionUsesAdler32("la"))
+    assert(!CompressedData.versionUsesAdler32("ma"))
+    assert(!CompressedData.versionUsesAdler32("nb"))
+    assert(!CompressedData.versionUsesAdler32("oa"))
+    val rng = new scala.util.Random(11)
+    val raw = Array.fill(40000)('a'.toByte) ++
+      Array.fill(9000)((rng.nextInt(256) - 128).toByte)
+    val (cbytes, meta) =
+      CompressedData.compress(raw, 16 * 1024, CompressedData.Lz4,
+        adler = true)
+    assert(meta.adler)
+    val back = new java.io.DataInputStream(
+      CompressedData.decompressingStream(
+        new ByteArrayInputStream(cbytes), cbytes.length, meta, "t"))
+    val got = new Array[Byte](raw.length)
+    back.readFully(got)
+    assert(back.read() === -1)
+    assert(got === raw)
+    // the adler flag survives the metadata round-trip (it rides the
+    // read call, not the file — CompressionInfo.db is era-agnostic)
+    val rt = CompressedData.readMeta(
+      CompressedData.writeMeta(meta, false), false, "t", adler = true)
+    assert(rt.adler)
+    // CRC32-checksummed chunks misread under the Adler era must fail
+    // LOUDLY naming the algorithm, never decode silently
+    val (crcBytes, crcMeta) = CompressedData.compress(raw, 16 * 1024)
+    val ex = intercept[java.io.IOException] {
+      val s = new java.io.DataInputStream(
+        CompressedData.decompressingStream(
+          new ByteArrayInputStream(crcBytes), crcBytes.length,
+          crcMeta.copy(adler = true), "era-mix"))
+      s.readFully(new Array[Byte](raw.length))
+    }
+    assert(ex.getMessage.contains("Adler32"))
+    assert(ex.getMessage.contains("era-mix"))
+  }
+
   test("chunks stored raw past maxCompressedSize pass through verified") {
     import graft.sources.CompressedData
     // craft a compressed file where chunk 1 is STORED RAW (the
@@ -727,6 +769,45 @@ class OldFormatSpec extends AnyFunSuite {
     assert(roundTrip(p) === p)
   }
 
+  test("2.x collection cells round-trip: map entries, set elements, list slots (WithCollection composite)") {
+    val cs = OldFormat.schemaOfCql(graft.model.CqlSchema.parse(
+      "CREATE TABLE ks.t (id text, ck text, tags map<text, text>, " +
+        "labels set<int>, seq list<text>, PRIMARY KEY (id, ck))")
+      .fold(e => fail(e), identity))
+    val ts = 1609459300L * 1000000L
+    val listPos = "10f0aa10000010008000000000000001" // timeuuid hex
+    val p = OldFormat.Partition2("pk", None, Seq(
+      OldFormat.Cell2(Seq("c1"), "tags[k0]", ts, Some(600),
+        Some(1609459900), Some("v0"), deleted = false, counter = false),
+      OldFormat.Cell2(Seq("c1"), "tags[k1]", ts + 1, None, None,
+        Some("v1"), deleted = false, counter = false),
+      // set elements: the value is EMPTY, identity lives in the path
+      OldFormat.Cell2(Seq("c1"), "labels[42]", ts + 2, None, None,
+        Some(""), deleted = false, counter = false),
+      // list slots: timeuuid positions, value is the element
+      OldFormat.Cell2(Seq("c1"), s"seq[$listPos]", ts + 3, None, None,
+        Some("elem"), deleted = false, counter = false),
+      // a DELETED map entry (2.x entry tombstone)
+      OldFormat.Cell2(Seq("c2"), "tags[gone]", ts + 4, None,
+        Some(1609459300), None, deleted = true, counter = false)))
+    val bytes = OldFormat.writeDataFile(Seq(p), cs)
+    val got = OldFormat.partitions(cs,
+      new ByteArrayInputStream(bytes), "t2coll").toSeq
+    assert(got === Seq(p))
+    // loud boundaries: a path on a non-collection column, a bare
+    // cell on a collection column, an undeclared column
+    intercept[IllegalArgumentException] {
+      OldFormat.writeDataFile(Seq(OldFormat.Partition2("pk", None, Seq(
+        OldFormat.Cell2(Seq("c1"), "tags", ts, None, None, Some("x"),
+          deleted = false, counter = false)))), cs)
+    }
+    intercept[IllegalArgumentException] {
+      OldFormat.writeDataFile(Seq(OldFormat.Partition2("pk", None, Seq(
+        OldFormat.Cell2(Seq("c1"), "nope[k]", ts, None, None, Some("x"),
+          deleted = false, counter = false)))), cs)
+    }
+  }
+
   test("2.x range tombstones and partition deletions round-trip with eoc inclusivity") {
     val del = 1609459400L * 1000000L
     val partDel = OldFormat.Partition2("gone", Some(del), Nil)
@@ -868,9 +949,42 @@ class OldFormatSpec extends AnyFunSuite {
       "varint" -> VarintType, "decimal" -> DecimalType).foreach {
       case (cql, m) => assert(marshalOfCql(cql) === Right(m))
     }
-    // the unverifiable 2.2-era quartet stays a loud boundary
-    Seq("smallint", "tinyint", "date", "time").foreach { t =>
-      assert(marshalOfCql(t).isLeft, t)
+    // the 2.2-era quartet (CASSANDRA-7523): date as the 2^31-biased
+    // unsigned day count, time as nanos-of-day, smallint/tinyint
+    // fixed-width signed
+    Seq("1970-01-01", "2026-08-14", "1969-12-31", "-999999-01-01")
+      .foreach(rt(SimpleDateType, _))
+    assert(encodeValue(SimpleDateType, "1970-01-01") ===
+      Array(0x80.toByte, 0, 0, 0))
+    assert(encodeValue(SimpleDateType, "1970-01-02") ===
+      Array(0x80.toByte, 0, 0, 1))
+    // the bias makes unsigned byte order the date order
+    assert(compareEncoded(SimpleDateType,
+      encodeValue(SimpleDateType, "1969-12-31"),
+      encodeValue(SimpleDateType, "1970-01-01")) < 0)
+    Seq("00:00:00.000000000", "23:59:59.999999999", "14:30:05.123000000")
+      .foreach(rt(TimeType, _))
+    assert(encodeValue(TimeType, "00:00:00.000000001") ===
+      Array[Byte](0, 0, 0, 0, 0, 0, 0, 1))
+    Seq("0", "-32768", "32767").foreach(rt(ShortType, _))
+    assert(encodeValue(ShortType, "1").length === 2)
+    Seq("0", "-128", "127").foreach(rt(ByteType, _))
+    assert(encodeValue(ByteType, "-1") === Array((-1).toByte))
+    intercept[IllegalArgumentException] {
+      encodeValue(TimeType, "25:00:00.000000000") // past 24h
+    }
+    intercept[IllegalArgumentException] {
+      encodeValue(TimeType, "1:2:3") // not the canonical form
+    }
+    intercept[NumberFormatException] {
+      encodeValue(ShortType, "70000")
+    }
+    intercept[IllegalArgumentException] {
+      renderValue(SimpleDateType, Array.fill(3)(0.toByte))
+    }
+    Seq("date" -> SimpleDateType, "time" -> TimeType,
+      "smallint" -> ShortType, "tinyint" -> ByteType).foreach {
+      case (cql, m) => assert(marshalOfCql(cql) === Right(m))
     }
   }
 
@@ -1030,7 +1144,7 @@ class OldFormatSpec extends AnyFunSuite {
     val bad = OldFormat.Partition2("pk", None, Seq(
       OldFormat.Cell2(Seq("c"), "mystery", ts, None, None, Some("x"),
         deleted = false, counter = false)))
-    intercept[IllegalArgumentException] {
+    intercept[UnsupportedOperationException] {
       OldFormat.writeDataFile(Seq(bad), schema)
     }
     // decode side: a valid file whose schema no longer declares the
@@ -2142,6 +2256,47 @@ class SSTableBinarySpec extends SparkSpec {
     val docs = graft.Tables.load(spark, sfDir, "documents").count()
     assert(r.getLong(1) === 4 * docs)
     assert(r.getLong(2) === 4)
+  }
+
+  test("typed lifecycle with a date clustering: the 2.2-era quartet is live end-to-end") {
+    import spark.implicits._
+    val wt = 1609459200L * 1000000L
+    def row(d: String) = ("pk", Seq(d), "ROW", Some("v"),
+      Some((s"@$d", wt, None: Option[Int], None: Option[Long])),
+      None: Option[Long], "t/nb-1-big-Data.db")
+    val rows = Seq(row("2026-08-14"), row("1969-12-31"),
+      row("2026-01-02"))
+      .toDF("partition_key", "clustering", "row_kind", "name",
+        "cell_t", "deletion_us", "sstable")
+      .withColumn("cell", struct(
+        col("cell_t._1").as("value"), col("cell_t._2").as("writetime_us"),
+        col("cell_t._3").as("ttl_s"), col("cell_t._4").as("expire_us")))
+      .drop("cell_t")
+    val parsed = graft.model.CqlSchema.parse(
+      "CREATE TABLE ks.t (pk text, ck date, v text, " +
+        "PRIMARY KEY (pk, ck))").fold(e => fail(e), identity)
+    val out = Scratch.dir("graft-datelc-")
+    try {
+      SSTableBinaryV2.writeSSTables(rows, out.toString, "ks", "t",
+        Some(parsed))
+      // read back through the connector: dates render canonically
+      val back = SSTableBinaryV2.readBinary(spark, s"$out/ks/t")
+      val cks = back.select(col("clustering").getItem(0)).as[String]
+        .collect().sorted
+      assert(cks === Array("1969-12-31", "2026-01-02", "2026-08-14"))
+      // and the FILE order is date order, not string order
+      val dir = out.resolve("ks").resolve("t")
+      val h = BigFormat.readStats(java.nio.file.Files.readAllBytes(
+        dir.resolve("nb-1-big-Statistics.db")))
+      assert(h.clusteringTypes === Seq(BigFormat.SimpleDateType))
+      val atoms = BigFormat.partitions(h,
+        new java.io.ByteArrayInputStream(
+          java.nio.file.Files.readAllBytes(dir.resolve("nb-1-big-Data.db"))),
+        "datelc").toSeq.head.atoms
+      assert(atoms.collect { case r: BigFormat.RowAtom =>
+        r.clustering.head.get
+      } === Seq("1969-12-31", "2026-01-02", "2026-08-14"))
+    } finally Scratch.delete(out)
   }
 
   test("sink orders complex cell paths by the PATH TYPE's comparator, not rendered strings") {

@@ -146,15 +146,20 @@ class PipelineSpec extends SparkSpec {
       "--table", "orders", "--keyspace", "other", "--cql", cql,
       "--writetime", "o_orderdate")).isLeft)
     // binary-format CQL validation happens at parse time: a type the
-    // codec can't serialize (smallint's on-disk length semantics are
-    // outside the subset) rejects before any file is touched —
-    // double/timestamp/etc now resolve, so the same cql passes
+    // codec can't serialize (duration's vint triple is outside the
+    // subset) rejects before any file is touched — double/timestamp/
+    // smallint/etc resolve, so those cqls pass
     assert(RemoverCli.parse(Array("--in", "a", "--out", "b",
       "--table", "orders", "--cql", cql, "--format", "sstable")).isRight)
     val cqlSmall = cql.replace("o_totalprice double",
       "o_totalprice smallint")
     assert(RemoverCli.parse(Array("--in", "a", "--out", "b",
       "--table", "orders", "--cql", cqlSmall,
+      "--format", "sstable")).isRight)
+    val cqlDur = cql.replace("o_totalprice double",
+      "o_totalprice duration")
+    assert(RemoverCli.parse(Array("--in", "a", "--out", "b",
+      "--table", "orders", "--cql", cqlDur,
       "--format", "sstable")).isLeft)
   }
 
