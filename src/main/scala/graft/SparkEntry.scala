@@ -528,7 +528,8 @@ object SparkEntry {
     * capped pair quadratic and the hub spine (node → bucket anchor →
     * entry), the same NN-descent rounds (edges ∪ reversed ∪ 2-hop,
     * top-M by cos DESC / dst — Spark's window order verbatim), the
-    * same symmetrize-plus-hub serve graph, and the same
+    * same symmetrize-plus-hub serve graph, and the same LAYERED
+    * search — spine descent from the single entry, then the flat
     * expand/rescore/top-B beam hops. Every ranking ties exactly like
     * the Spark side, so the walked graph — and therefore the beam —
     * is bit-identical across engines. */
@@ -537,8 +538,9 @@ object SparkEntry {
        |${hnswBeamChainSql("", SimilarityOps.HnswBeam)}""".stripMargin
 
   /** The graph-build CTE stack through `adjs` (the serve graph), `q`
-    * (audit queries) and `starts` (the multi-entry set) — shared by
-    * the serving, recall and tuning-curve oracles. */
+    * (audit queries), `hub` (the spine the descent walks) and `ent`
+    * (the single entry) — shared by the serving, recall and
+    * tuning-curve oracles. */
   private def hnswGraphCtesSql: String = {
     val planes = SimilarityOps.hyperplanes(64, SimilarityOps.HnswBits)
     val m = SimilarityOps.HnswM
@@ -589,11 +591,7 @@ object SparkEntry {
        |  UNION ALL SELECT dst AS src, src AS dst FROM hub)
        | WHERE src <> dst),
        |q AS MATERIALIZED (SELECT vec_id AS q_vec_id, e AS qe, nrm AS qnrm
-       | FROM n WHERE vec_id < 8),
-       |starts AS MATERIALIZED (
-       | SELECT DISTINCT node FROM (
-       |  SELECT anchor AS node FROM anch
-       |  UNION ALL SELECT entry AS node FROM ent))""".stripMargin
+       | FROM n WHERE vec_id < 8)""".stripMargin
   }
 
   /** The hierarchical anchor spine replayed level by level: within
@@ -635,10 +633,30 @@ object SparkEntry {
        | FROM anch a CROSS JOIN ent e WHERE a.anchor <> e.entry)""".stripMargin
   }
 
-  /** One beam-search CTE chain at width `width`; `tag` namespaces the
-    * CTE names so several widths coexist in one statement (the tuning
-    * curve). Ends in `beam$tag${HnswHops}`. */
+  /** One LAYERED search CTE chain at width `width`; `tag` namespaces
+    * the CTE names so several widths coexist in one statement (the
+    * tuning curve). First the spine DESCENT — [[SimilarityOps
+    * .HnswDescentHops]] hops from the single entry over the REVERSED
+    * hub edges (anchor → children), rescore, keep the best
+    * [[SimilarityOps.HnswDescentKeep]] each level — then the flat
+    * phase seeds from the landing set ∪ the top layer (dsc1 = entry
+    * ∪ apexes) and runs the [[SimilarityOps.HnswHops]] flat-graph
+    * hops at `width`. Ends in `beam$tag${HnswHops}`. */
   private def hnswBeamChainSql(tag: String, width: Int): String = {
+    val descents = (1 to SimilarityOps.HnswDescentHops).map { h =>
+      s"""dxp$tag$h AS (SELECT DISTINCT q_vec_id, node FROM (
+         |  SELECT q_vec_id, node FROM dsc$tag${h - 1}
+         |  UNION ALL SELECT b.q_vec_id, s.src AS node
+         |  FROM dsc$tag${h - 1} b JOIN hub s ON s.dst = b.node)),
+         |dbs$tag$h AS (SELECT x.q_vec_id, x.node,
+         |  list_dot_product(q.qe, c.e) / (q.qnrm * c.nrm) AS cos
+         | FROM dxp$tag$h x JOIN q ON q.q_vec_id = x.q_vec_id
+         | JOIN n c ON c.vec_id = x.node),
+         |dsc$tag$h AS MATERIALIZED (SELECT q_vec_id, node FROM (
+         | SELECT *, row_number() OVER (PARTITION BY q_vec_id
+         |   ORDER BY cos DESC, node) AS rn FROM dbs$tag$h)
+         | WHERE rn <= ${SimilarityOps.HnswDescentKeep})""".stripMargin
+    }.mkString(",\n")
     val hops = (1 to SimilarityOps.HnswHops).map { h =>
       s"""exp$tag$h AS (SELECT DISTINCT q_vec_id, node FROM (
          |  SELECT q_vec_id, node FROM beam$tag${h - 1}
@@ -653,7 +671,11 @@ object SparkEntry {
          |   ORDER BY cos DESC, node) AS rn FROM bs$tag$h)
          | WHERE rn <= $width)""".stripMargin
     }.mkString(",\n")
-    s"""beam${tag}0 AS MATERIALIZED (SELECT q_vec_id, s.node FROM q CROSS JOIN starts s),
+    s"""dsc${tag}0 AS MATERIALIZED (SELECT q_vec_id, e.entry AS node FROM q CROSS JOIN ent e),
+       |$descents,
+       |beam${tag}0 AS MATERIALIZED (SELECT DISTINCT q_vec_id, node FROM (
+       | SELECT q_vec_id, node FROM dsc$tag${SimilarityOps.HnswDescentHops}
+       | UNION ALL SELECT q_vec_id, node FROM dsc${tag}1)),
        |$hops""".stripMargin
   }
 

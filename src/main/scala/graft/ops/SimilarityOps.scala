@@ -1038,11 +1038,32 @@ object SimilarityOps {
   /** NN-descent refinement rounds over the candidate graph. */
   val HnswIters = 2
 
-  /** Beam width and hop count for graph search (HNSW's efSearch in
-    * miniature): each hop expands the current beam's adjacency,
-    * rescores, keeps the best [[HnswBeam]]. */
+  /** Beam width and FLAT-GRAPH hop count for graph search (HNSW's
+    * efSearch in miniature): each hop expands the current beam's
+    * adjacency, rescores, keeps the best [[HnswBeam]]. Serving is
+    * LAYERED (HNSW's defining move): a spine DESCENT — entry → best
+    * apexes → best anchor subtrees, [[HnswDescentHops]] tree hops of
+    * fan ≤ [[HnswFanCap]] — lands the beam in query-biased regions
+    * first, so only 3 expensive flat hops remain where the flat-only
+    * walk needed 5 (each flat hop joins the beam against the FULL
+    * ~2[[HnswM]]-degree edge list — the frame that grows with n;
+    * descent hops touch ≤ beam·[[HnswFanCap]] tree edges). */
   val HnswBeam = 16
-  val HnswHops = 5
+  val HnswHops = 3
+
+  /** Descent frontier width — WIDER than the serving beam: the spine
+    * is a vec_id-grouped tree, so its anchors are coarse random
+    * representatives of their subtrees; a wide triage keeps enough
+    * diverse subtrees alive that the flat phase starts from
+    * query-biased seeds in several regions instead of one basin.
+    * Still constant-sized: descent frames are ≤ |Q|·keep·fan. */
+  val HnswDescentKeep = 48
+
+  /** Flat hops the pre-layered serving needed from the same entry
+    * set — the bar [[HnswHops]] is pinned BELOW now that the spine
+    * descent does the coarse navigation (EstimatorSpec pins both the
+    * reduction and recall non-regression). */
+  val HnswFlatOnlyHops = 5
 
   /** Per-bucket member cap for init pair generation — the same
     * quadratic-bucket guard as [[NearDupMaxBucket]]: members past the
@@ -1112,6 +1133,12 @@ object SimilarityOps {
     * 8^11 ≈ 8.6e9 vectors per bucket). */
   val HnswAnchorLevels = 2
 
+  /** Descent hops from the entry to the base level: entry → apexes →
+    * the [[HnswAnchorLevels]] anchor levels → base nodes — one tree
+    * hop per spine layer, exactly the chain length the spine spec
+    * pins (every node reaches the entry in ≤ levels+2 parent hops). */
+  val HnswDescentHops: Int = HnswAnchorLevels + 2
+
   /** The hierarchical anchor spine — HNSW's layer structure, built
     * bottom-up instead of by sequential insertion: within each LSH
     * bucket, nodes rank by vec_id and group in runs of
@@ -1162,6 +1189,20 @@ object SimilarityOps {
         .select(col("anchor").as("src"), col("entry").as("dst")))
   }
 
+  /** The anchor-spine edge frame (child → anchor), memoized per
+    * corpus like the graph itself: the build hangs these edges into
+    * the serve graph, and serving's layered descent walks them
+    * top-down. Derived from the corpus alone (buckets + vec_ids, no
+    * trained state), so a persisted-graph reload recomputes it
+    * bit-identically. */
+  private[graft] def hnswSpineOf(vn: DataFrame, cacheKey: String): DataFrame =
+    trainedCache.getOrElseUpdate(("hnsw-spine", cacheKey, 0, 0), {
+      val planes = hyperplanes(64, HnswBits)
+      val b = vn.withColumn("bucket", lshBucket(col("e"), planes))
+        .select(col("vec_id"), col("bucket"))
+      anchorSpine(vn, b).localCheckpoint()
+    }).asInstanceOf[DataFrame]
+
   private def hnswGraph(vn: DataFrame, cacheKey: String): DataFrame =
     trainedCache.getOrElseUpdate(("hnsw", cacheKey, 0, 0), {
       val planes = hyperplanes(64, HnswBits)
@@ -1175,7 +1216,7 @@ object SimilarityOps {
         col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") =!= col("b.vec_id"))
         .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
-      val hub = anchorSpine(vn, b).localCheckpoint()
+      val hub = hnswSpineOf(vn, cacheKey)
       val e0 = init
         .union(hub)
         .union(hub.select(col("dst").as("src"), col("src").as("dst")))
@@ -1201,38 +1242,37 @@ object SimilarityOps {
         .localCheckpoint()
     }).asInstanceOf[DataFrame]
 
-  /** Graph-ANN serving: beam search over the NSW graph — start every
-    * query's beam at the entry node, expand the beam's adjacency
-    * [[HnswHops]] times, rescore against the query, keep the best
-    * [[HnswBeam]]; the final beam (minus the query itself — queries
+  /** Graph-ANN serving, LAYERED (the move HNSW is named for): the
+    * beam starts at the single entry node and first DESCENDS the
+    * anchor spine — [[HnswDescentHops]] hops over the reversed spine
+    * tree (anchor → children, fan ≤ [[HnswFanCap]]), rescoring and
+    * keeping the best [[HnswBeam]] each level, so the walk triages
+    * coarse→fine into query-biased buckets and subtrees — then runs
+    * only [[HnswHops]] flat-graph hops (vs [[HnswFlatOnlyHops]]
+    * before the descent existed) to refine within the located
+    * neighborhood; the final beam (minus the query itself — queries
     * are corpus members, and finding yourself fast is exactly how a
-    * graph walk locates its neighborhood) ranks to top-3. Each hop
-    * touches ≤ |Q|·beam·degree candidate rows — the per-hop frames
-    * are query-set-sized, never corpus-sized; the graph side of the
-    * hop join is the memoized checkpoint. */
+    * graph walk locates its neighborhood) ranks to top-3. Descent
+    * hops touch ≤ |Q|·beam·[[HnswFanCap]] tree edges; flat hops
+    * ≤ |Q|·beam·degree — all query-set-sized frames, never
+    * corpus-sized; both adjacency sides are memoized checkpoints. */
   private def annHnswOf(vn: DataFrame, cacheKey: String,
       graphOverride: Option[DataFrame] = None,
       beam: Int = HnswBeam): DataFrame = {
     val vnC = vn.localCheckpoint()
     val adjS = graphOverride.getOrElse(hnswGraph(vnC, cacheKey))
+    // spine edges are corpus-derived (no trained state), so the
+    // persisted-graph path descends the identical tree
+    val spineRev = hnswSpineOf(vnC, cacheKey)
+      .select(col("dst").as("src"), col("src").as("dst"))
+      .localCheckpoint()
     val q = vnC.filter(col("vec_id") < 8)
       .select(col("vec_id").as("q_vec_id"), col("e").as("qe"),
         col("nrm").as("qnrm"))
-    // HNSW's top layer in miniature: the beam starts at EVERY bucket
-    // anchor (plus the global entry), so the walk begins in 16 spread
-    // regions instead of one corner — constant-sized, broadcastable
-    val planes = hyperplanes(64, HnswBits)
-    val starts = vnC
-      .withColumn("bucket", lshBucket(col("e"), planes))
-      .groupBy("bucket").agg(min("vec_id").as("node"))
-      .select("node")
-      .union(vnC.agg(min(col("vec_id")).as("node")))
-      .distinct()
-    var beamDf = q.select(col("q_vec_id")).crossJoin(broadcast(starts))
-    for (_ <- 1 to HnswHops) {
-      val expanded = beamDf.union(
-        beamDf.join(adjS, beamDf("node") === adjS("src"))
-          .select(beamDf("q_vec_id"), adjS("dst").as("node")))
+    def hop(cur: DataFrame, adj: DataFrame, keep: Int): DataFrame = {
+      val expanded = cur.union(
+        cur.join(adj, cur("node") === adj("src"))
+          .select(cur("q_vec_id"), adj("dst").as("node")))
         .distinct()
       val scored = expanded
         .join(vnC.select(col("vec_id").as("node"), col("e"), col("nrm")),
@@ -1242,11 +1282,26 @@ object SimilarityOps {
           dot(col("qe"), col("e")) / (col("qnrm") * col("nrm")))
       val w = Window.partitionBy("q_vec_id")
         .orderBy(col("cos").desc, col("node"))
-      beamDf = scored.withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= beam)
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= keep)
         .select("q_vec_id", "node")
         .localCheckpoint()
     }
+    val entry = vnC.agg(min(col("vec_id")).as("node"))
+    var beamDf = q.select(col("q_vec_id")).crossJoin(broadcast(entry))
+    var topLayer: DataFrame = null
+    for (h <- 1 to HnswDescentHops) {
+      beamDf = hop(beamDf, spineRev, HnswDescentKeep)
+      // the frontier after hop 1 IS the spine's top layer (entry ∪
+      // the bucket apexes, ≤16 nodes)
+      if (h == 1) topLayer = beamDf
+    }
+    // flat seeds = the descent's query-biased landing set ∪ the top
+    // layer: the apexes keep one probe alive per coarse region, so a
+    // mis-triaged subtree can't strand a query in one basin —
+    // constant-sized either way
+    beamDf = beamDf.union(topLayer).distinct().localCheckpoint()
+    for (_ <- 1 to HnswHops) beamDf = hop(beamDf, adjS, beam)
     val fin = beamDf.filter(col("node") =!= col("q_vec_id"))
       .join(vnC.select(col("vec_id").as("node"), col("e"), col("nrm")),
         "node")

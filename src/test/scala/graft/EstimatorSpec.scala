@@ -592,14 +592,36 @@ class EstimatorSpec extends SparkSpec {
     def hits(df: org.apache.spark.sql.DataFrame): Long =
       df.agg(sum("n_hits")).head().getLong(0)
     val hnsw = hits(SimilarityOps.annRecallHnsw(spark, sfDir))
-    // the multi-entry beam explores enough of the fixture graph for
-    // high recall; the structural claim is dominance over the
-    // cell-pruned tiers whose boundary losses the graph walk dodges
+    // the layered walk explores enough of the fixture graph for high
+    // recall; the structural claim is dominance over the cell-pruned
+    // tiers whose boundary losses the graph walk dodges
     assert(hnsw >= hits(SimilarityOps.annRecallIvf(spark, sfDir)),
       "graph tier lost to untrained IVF")
     assert(hnsw >= hits(SimilarityOps.annRecall(spark, sfDir)),
       "graph tier lost to bucket LSH")
     assert(hnsw >= 20, s"graph recall collapsed: $hnsw/24 hits")
+  }
+
+  test("layered search: fewer flat hops than the flat-only walk, bounded descent fan") {
+    // the spine descent does the coarse navigation, so the expensive
+    // phase — flat hops, each joining the beam against the full
+    // ~2M-degree edge list — is pinned BELOW the flat-only walk's
+    // count (recall non-regression is the ≥20/24 pin above, under
+    // the same oracle gate)
+    assert(SimilarityOps.HnswHops < SimilarityOps.HnswFlatOnlyHops,
+      "layered serving no longer cuts flat hops")
+    // each descent hop expands ≤ FanCap tree children per beam slot:
+    // the spine is the adjacency, and its out-fan (children per
+    // anchor) is capped by construction — pin it on the fixture
+    val vn = SimilarityOps.withNorm(Tables.load(spark, sfDir, "embeddings"))
+    val fanOut = SimilarityOps.hnswSpineOf(vn, sfDir)
+      .groupBy("dst").count().agg(max("count")).head().getLong(0)
+    assert(fanOut <= (SimilarityOps.HnswAnchorLevels + 1)
+      * (SimilarityOps.HnswFanCap - 1) + 16,
+      s"descent fan $fanOut not capped")
+    // total hops: descent levels are fixed by the spine depth
+    assert(SimilarityOps.HnswDescentHops ===
+      SimilarityOps.HnswAnchorLevels + 2)
   }
 
   test("graph ANN: serving is deterministic and neighbors carry exact cosines") {
