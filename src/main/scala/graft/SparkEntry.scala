@@ -143,6 +143,7 @@ object SparkEntry {
     "src_sstable_point_lz4" -> (sources.SSTableBinaryV2.pointLookupLz4 _),
     "src_sstable_split_lz4" -> (sources.SSTableBinaryV2.splitAuditLz4 _),
     "src_sstable_wide" -> (sources.SSTableBinaryV2.wideAudit _),
+    "src_sstable_slice" -> (sources.SSTableBinaryV2.sliceAudit _),
     "src_sstable_roundtrip" -> (sources.SSTableBinaryV2.binaryRoundtrip _),
     "src_sstable_complex" -> (sources.SSTableBinaryV2.complexLifecycle _),
     "src_sstable_static" -> (sources.SSTableBinaryV2.staticLifecycle _),
@@ -2705,6 +2706,32 @@ object SparkEntry {
       | CAST(sum(CAST(NULL AS BIGINT)) AS BIGINT) AS sum_del_off_us,
       | CAST(4 * sum(length(source)) AS BIGINT) AS sum_value_chars
       |FROM documents""".stripMargin,
+    // clustering-slice point read over the SAME wide generation: the
+    // promoted IndexInfo blocks are CONSUMED (in-partition seek) while
+    // the slice predicate stays residual — the audit restricts pk=2 to
+    // the middle-third ck band, derived (not absolute) so every SF has
+    // skippable blocks on both flanks; in-query checks pin sliced ≡
+    // residual-filtered full scan AND strict block-subset selection
+    "src_sstable_slice" -> """
+      |WITH b AS (
+      | SELECT 4*min(CAST(doc_id AS BIGINT)) AS ckmin,
+      |  4*(max(CAST(doc_id AS BIGINT)) - min(CAST(doc_id AS BIGINT)) + 1)
+      |    AS span
+      | FROM documents),
+      |s AS (
+      | SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.source
+      | FROM documents d, (SELECT unnest([0,1,2,3]) AS j) js, b
+      | WHERE d.doc_id % 4 = 2
+      |  AND CAST(d.doc_id AS BIGINT)*4 + js.j
+      |   BETWEEN b.ckmin + b.span//3 AND b.ckmin + (2*b.span)//3)
+      |SELECT 'ROW' AS row_kind,
+      | count(*) AS n_rows,
+      | CAST(1 AS BIGINT) AS n_sstables,
+      | CAST(sum(doc_id*1000000) AS BIGINT) AS sum_wt_off_us,
+      | CAST(sum(CAST(NULL AS BIGINT)) AS BIGINT) AS sum_ttl_s,
+      | CAST(sum(CAST(NULL AS BIGINT)) AS BIGINT) AS sum_del_off_us,
+      | CAST(sum(length(source)) AS BIGINT) AS sum_value_chars
+      |FROM s""".stripMargin,
     // the 3.x (m-series) era differs only in checksumless metadata;
     // the decoded content answers to the same contract
     "src_sstable_binary_3x" -> sstabledumpTreeSql,

@@ -1503,6 +1503,119 @@ object BigFormat {
     Some(PartitionData(key, partitionDeletion, atoms.result()))
   }
 
+  /** Caps a stream at a byte budget so the atom decoder sees clean
+    * EOF exactly at the selected blocks' end. Never closes the
+    * underlying stream (it is typically a shared seekable handle). */
+  private class BoundedIn(in: java.io.InputStream,
+      private var remaining: Long) extends java.io.InputStream {
+    override def read(): Int =
+      if (remaining <= 0) -1
+      else { val b = in.read(); if (b >= 0) remaining -= 1; b }
+    override def read(buf: Array[Byte], off: Int, len: Int): Int =
+      if (remaining <= 0) -1
+      else {
+        val n = in.read(buf, off, math.min(len.toLong, remaining).toInt)
+        if (n > 0) remaining -= n
+        n
+      }
+    override def close(): Unit = ()
+  }
+
+  /** Block-bounded ("sliced") partition decode — the promoted-index
+    * SERVING path. Given an Index.db entry's [[Promoted]] payload,
+    * decode the partition's header region (key, partition deletion,
+    * and the static row when one precedes the first indexed block)
+    * plus ONLY the unfiltereds of the column-index blocks that can
+    * overlap the clustering slice `[lo, hi]` (inclusive bounds on the
+    * LEADING clustering component, compared under the declared type's
+    * comparator with prefix semantics). This is exactly what the
+    * reference's names iterator does with the same structure
+    * (`NoTTLSSTableNamesIterator.java:156-225`: `IndexHelper.indexFor`
+    * over the IndexInfo list, seek `basePosition + offset`, read
+    * `width` bytes) — an in-partition seek, so a slice of a multi-GB
+    * production partition decodes O(overlapping blocks), not O(the
+    * partition).
+    *
+    * Selection is CONSERVATIVE (boundary blocks are decoded whole) and
+    * the caller's slice predicate stays RESIDUAL, so correctness never
+    * depends on this pruning. Range-tombstone bounds whose markers sit
+    * in unselected blocks are NOT re-synthesized: this serves row
+    * reads (the reference's names path has the same property of only
+    * including tombstones it walks past) — the REWRITE path never
+    * slices. `openAt(logicalPos)` must yield a stream positioned at an
+    * absolute logical Data.db offset; streams are NOT closed here (the
+    * caller owns the shared handle's lifecycle). */
+  def readPartitionSliced(h: Header,
+      openAt: Long => java.io.InputStream, partitionPos: Long,
+      promoted: Promoted, lo: Option[Array[Byte]],
+      hi: Option[Array[Byte]], file: String): PartitionData = try {
+    val types = h.clusteringTypes
+    // prefix-compare an IndexInfo clustering name against a bound on
+    // the leading component (render∘encode identity is spec-pinned,
+    // so re-encoding the carried rendered values is exact)
+    def cmp(name: (Seq[Option[String]], Int), bound: Array[Byte]): Int = {
+      val (values, kind) = name
+      val enc = values.zipWithIndex.map { case (v, i) =>
+        v.map(encodeValue(types(i), _))
+      }
+      compareClusterable(types, enc, kind,
+        Seq(Some(bound)), Kind.Clustering)
+    }
+    val blocks = promoted.blocks
+    val i0 = lo match {
+      case None => 0
+      case Some(l) => blocks.indexWhere(b => cmp(b.lastName, l) >= 0)
+    }
+    val i1 = hi match {
+      case None => blocks.size - 1
+      case Some(x) => blocks.lastIndexWhere(b => cmp(b.firstName, x) <= 0)
+    }
+    // header region: key + partition deletion, then the static row iff
+    // the first indexed unfiltered starts past them (buildPromoted's
+    // rule: statics belong to the header, never to a block)
+    val head = new DataInputStream(new java.io.BufferedInputStream(
+      new BoundedIn(openAt(partitionPos), promoted.headerLength)))
+    val keyLen = head.readUnsignedShort()
+    val keyBuf = new Array[Byte](keyLen)
+    head.readFully(keyBuf)
+    val key = renderValue(h.keyType, keyBuf)
+    val ldt = head.readInt()
+    val mfda = head.readLong()
+    val partitionDeletion =
+      if (mfda == NoTimestamp && ldt == NoDeletionTime) None else Some(mfda)
+    val atoms = Seq.newBuilder[Atom]
+    if (2L + keyLen + 4 + 8 < promoted.headerLength) {
+      val flags = readFlagByte(head, "static-region flags")
+      require((flags & (EndOfPartition | IsMarker)) == 0,
+        s"$file: partition $key: header region holds a non-row " +
+          s"unfiltered (flags 0x${flags.toHexString})")
+      val static = readRow(flags, h, head, file)
+      require(static.static,
+        s"$file: partition $key: non-static row inside the promoted " +
+          "header region")
+      atoms += static
+    }
+    if (i0 >= 0 && i1 >= 0 && i0 <= i1) {
+      val span = blocks(i1).offset + blocks(i1).width - blocks(i0).offset
+      val in = new DataInputStream(new java.io.BufferedInputStream(
+        new BoundedIn(openAt(partitionPos + blocks(i0).offset), span)))
+      var done = false
+      while (!done) {
+        val flags = in.read()
+        // bounded EOF = the selected blocks are drained; an
+        // END_OF_PARTITION byte can only be the final block's own end
+        if (flags < 0 || (flags & EndOfPartition) != 0) done = true
+        else if ((flags & IsMarker) != 0) atoms += readMarker(h, in)
+        else atoms += readRow(flags, h, in, file)
+      }
+    }
+    PartitionData(key, partitionDeletion, atoms.result())
+  } catch {
+    case e: EOFException => throw new EOFException(
+      s"$file: truncated/corrupt SSTable data in sliced read " +
+        s"(${e.getMessage})")
+  }
+
   // =====================================================================
   // Murmur3 partitioner tokens — o.a.c.utils.MurmurHash.hash3_x64_128
   // (Cassandra's port of Appleby's MurmurHash3 x64/128) and

@@ -98,11 +98,13 @@ object SSTableBinaryV2 {
       new BinScanBuilder(Option(path).getOrElse(options.get("path")),
         Option(options.get("maxFilesPerTrigger")).map(_.toInt),
         Option(options.get("cql")),
-        Option(options.get("splitBytes")).map(_.toLong))
+        Option(options.get("splitBytes")).map(_.toLong),
+        (Option(options.get("sliceLo")), Option(options.get("sliceHi"))))
   }
 
   private class BinScanBuilder(path: String, maxFiles: Option[Int],
-      cql: Option[String], splitBytes: Option[Long])
+      cql: Option[String], splitBytes: Option[Long],
+      slice: (Option[String], Option[String]) = (None, None))
       extends ScanBuilder with SupportsPushDownRequiredColumns
       with SupportsPushDownFilters {
     private var required: StructType = SSTableBinaryV2.schema
@@ -148,14 +150,16 @@ object SSTableBinaryV2 {
       required = StructType(
         requiredSchema.fieldNames.map(SSTableBinaryV2.schema(_)))
     override def build(): Scan =
-      new BinScan(path, required, maxFiles, cql, pointKeys, splitBytes)
+      new BinScan(path, required, maxFiles, cql, pointKeys, splitBytes,
+        slice)
   }
 
   private class BinScan(path: String, required: StructType,
       private[sources] val maxFiles: Option[Int] = None,
       cql: Option[String] = None,
       pointKeys: Option[Seq[String]] = None,
-      splitBytesOpt: Option[Long] = None)
+      splitBytesOpt: Option[Long] = None,
+      slice: (Option[String], Option[String]) = (None, None))
       extends Scan with Batch {
     private val hconf = new SerializableConfiguration(
       SparkSession.active.sessionState.newHadoopConf())
@@ -233,7 +237,8 @@ object SSTableBinaryV2 {
       }.toArray
 
     override def createReaderFactory(): PartitionReaderFactory =
-      new BinReaderFactory(required.fieldNames, hconf, cql, pointKeys)
+      new BinReaderFactory(required.fieldNames, hconf, cql, pointKeys,
+        slice)
 
     /** Streaming form — `spark.readStream.format("sstable-big")`: the
       * source's offset is a position in the SORTED file listing (new
@@ -341,13 +346,14 @@ object SSTableBinaryV2 {
 
   private class BinReaderFactory(cols: Array[String],
       hconf: SerializableConfiguration, cql: Option[String],
-      pointKeys: Option[Seq[String]] = None)
+      pointKeys: Option[Seq[String]] = None,
+      slice: (Option[String], Option[String]) = (None, None))
       extends PartitionReaderFactory {
     override def createReader(
         partition: InputPartition): PartitionReader[InternalRow] = {
       val p = partition.asInstanceOf[BinFilePartition]
       new BinPartitionReader(p.file, cols, hconf.value, cql, pointKeys,
-        p.start, p.end, p.info)
+        p.start, p.end, p.info, slice)
     }
   }
 
@@ -360,7 +366,8 @@ object SSTableBinaryV2 {
       cql: Option[String] = None,
       pointKeys: Option[Seq[String]] = None,
       rangeStart: Long = 0L, rangeEnd: Long = Long.MaxValue,
-      info: Option[SiblingInfo] = None)
+      info: Option[SiblingInfo] = None,
+      slice: (Option[String], Option[String]) = (None, None))
       extends PartitionReader[InternalRow] {
     /** A split task owns the partitions whose Data.db start offset
       * falls in its BLIND [rangeStart, rangeEnd) — blind ranges tile
@@ -462,26 +469,48 @@ object SSTableBinaryV2 {
       * Data.db at all. Keys that don't parse under the table's key
       * type simply cannot match. Index matches are exact, so bloom
       * false positives only cost the Index.db read. */
-    private val lookup: Option[Seq[Long]] = pointKeys.flatMap { keys =>
-      val filterP = sibling("-Filter.db")
-      val indexP = sibling("-Index.db")
-      if (oldEra || !hasSibling("-Filter.db") ||
-        !hasSibling("-Index.db")) None
-      else {
-        val keyBytes = keys.flatMap(k =>
-          scala.util.Try(BigFormat.encodeValue(header.keyType, k))
-            .toOption)
-        val bloom = SSTableComponents.readFilter(readSibling(filterP))
-        val candidates = keyBytes.filter(bloom.mightContain)
-        if (candidates.isEmpty) Some(Nil)
+    private val lookup: Option[Seq[(Long, Array[Byte])]] =
+      pointKeys.flatMap { keys =>
+        val filterP = sibling("-Filter.db")
+        val indexP = sibling("-Index.db")
+        if (oldEra || !hasSibling("-Filter.db") ||
+          !hasSibling("-Index.db")) None
         else {
-          val wanted = candidates.map(_.toSeq).toSet
-          Some(readIndexFor(candidates, indexP)
-            .collect { case (k, pos, _) if wanted(k.toSeq) => pos }
-            .sorted)
+          val keyBytes = keys.flatMap(k =>
+            scala.util.Try(BigFormat.encodeValue(header.keyType, k))
+              .toOption)
+          val bloom = SSTableComponents.readFilter(readSibling(filterP))
+          val candidates = keyBytes.filter(bloom.mightContain)
+          if (candidates.isEmpty) Some(Nil)
+          else {
+            val wanted = candidates.map(_.toSeq).toSet
+            // each owned position rides with its promoted payload so a
+            // pushed clustering slice can seek WITHIN the partition
+            Some(readIndexFor(candidates, indexP)
+              .collect { case (k, pos, prom) if wanted(k.toSeq) =>
+                (pos, prom)
+              }
+              .sortBy(_._1))
+          }
         }
       }
-    }
+
+    /** Pushed clustering-slice bounds, encoded under the LEADING
+      * declared clustering type — engaged only on the point-lookup
+      * path against partitions whose index entry was promoted (the
+      * reference's names-iterator shape). Bounds that don't encode
+      * under the type simply don't prune; the slice predicate always
+      * stays residual in the caller's plan. */
+    private val sliceBounds: (Option[Array[Byte]], Option[Array[Byte]]) =
+      if (oldEra || header == null || header.clusteringTypes.isEmpty)
+        (None, None)
+      else {
+        def enc(v: Option[String]): Option[Array[Byte]] = v.flatMap(s =>
+          scala.util.Try(
+            BigFormat.encodeValue(header.clusteringTypes.head, s))
+            .toOption)
+        (enc(slice._1), enc(slice._2))
+      }
 
     /** Index entries that can match the candidate keys. With a
       * Summary.db present, its sampled (key, Index.db position)
@@ -637,18 +666,31 @@ object SSTableBinaryV2 {
           if (!ranged) positions
           else logicalRange() match {
             case None => Nil
-            case Some((ls, le)) => positions.filter(p => p >= ls && p < le)
+            case Some((ls, le)) =>
+              positions.filter { case (p, _) => p >= ls && p < le }
           }
         seekStream = fs.open(new HPath(file))
-        owned.iterator.map { pos =>
-          val in: java.io.InputStream = compressionMeta match {
-            case Some(m) =>
-              // chunk-map seek: CompressionMetadata.chunkFor's role
-              CompressedData.seekableStream(seekStream, onDiskLen, m,
-                file, pos)
-            case None => seekStream.seek(pos); seekStream
-          }
-          expand(BigFormat.partitions(header, in, file).next())
+        // one shared seekable handle; every per-position stream wraps
+        // it at a fresh logical offset (plain seek or chunk-map seek)
+        def openAt(p: Long): java.io.InputStream = compressionMeta match {
+          case Some(m) =>
+            // chunk-map seek: CompressionMetadata.chunkFor's role
+            CompressedData.seekableStream(seekStream, onDiskLen, m,
+              file, p)
+          case None => seekStream.seek(p); seekStream
+        }
+        owned.iterator.map { case (pos, promoted) =>
+          val slicing = (sliceBounds._1.nonEmpty ||
+            sliceBounds._2.nonEmpty) && promoted.nonEmpty
+          if (slicing) {
+            // in-partition seek over the promoted blocks — decode only
+            // the slice's overlapping column-index blocks
+            val pr = BigFormat.readPromoted(promoted,
+              header.clusteringTypes, file)
+            expand(BigFormat.readPartitionSliced(header, openAt, pos,
+              pr, sliceBounds._1, sliceBounds._2, file))
+          } else
+            expand(BigFormat.partitions(header, openAt(pos), file).next())
         }
       case None if ranged =>
         alignRange() match {
@@ -2247,10 +2289,15 @@ object SSTableBinaryV2 {
     *      satisfy the ColumnIndex invariants (offsets ascending from
     *      headerLength, every non-final block ≥ the threshold).
     * The audit shares the tree-style oracle shape. */
-  def wideAudit(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The WIDE fixture frame shared by [[wideAudit]] and
+    * [[sliceAudit]]: documents regroup into 4 partitions (pk =
+    * doc_id % 4) of 4 rows per doc (ck = doc_id*4+j, bigint-typed so
+    * comparator order ≠ string order), value = source, writetime =
+    * (TreeBase + doc_id) seconds. */
+  private def wideFrame(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val base = SSTableDumpBridge.TreeBase
-    val frame = graft.Tables.load(spark, sfDir, "documents")
+    graft.Tables.load(spark, sfDir, "documents")
       .select(col("doc_id").cast("long"), col("source"))
       .as[(Long, String)]
       .flatMap { case (docId, source) =>
@@ -2269,6 +2316,10 @@ object SSTableBinaryV2 {
         col("cell_t._1").as("value"), col("cell_t._2").as("writetime_us"),
         col("cell_t._3").as("ttl_s"), col("cell_t._4").as("expire_us")))
       .drop("cell_t")
+  }
+
+  def wideAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val frame = wideFrame(spark, sfDir)
     val out = graft.Scratch.dir("graft-wideaudit-")
     try {
       val threshold = 1024
@@ -2333,6 +2384,99 @@ object SSTableBinaryV2 {
       val split = spark.read.format("sstable-big")
         .option("splitBytes", "4096").load(dir)
       SSTableDumpBridge.auditFrame(split).localCheckpoint()
+    } finally graft.Scratch.delete(out)
+  }
+
+  /** Registered `src_sstable_slice`: the promoted-index blocks
+    * CONSUMED — a clustering-slice point read that seeks WITHIN a wide
+    * partition (the reference's names-iterator serving path,
+    * `NoTTLSSTableNamesIterator.java:156-225`: binary-search the
+    * IndexInfo list, seek `basePosition + offset`, decode `width`
+    * bytes). The wide typed generation (1 KiB blocks) is read with
+    * `partition_key = '2'` pushed AND a `[lo, hi]` slice on the bigint
+    * clustering; the reader decodes ONLY the overlapping blocks while
+    * the slice predicate stays residual in the plan. In-query checks:
+    * the sliced read equals the full scan under the same residual
+    * filter (pruning is pure IO), and the slice's block range is a
+    * STRICT subset of the partition's blocks (the middle-third bounds
+    * guarantee skippable blocks on both flanks at any SF) — so a
+    * slicing break or a silently-disengaged prune both fail loudly.
+    * At 100 TB this is the difference between a point read and a
+    * partition scan: a multi-GB production partition serves a slice
+    * by decoding O(overlapping blocks). */
+  def sliceAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val frame = wideFrame(spark, sfDir)
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+      .agg(org.apache.spark.sql.functions.min(col("doc_id").cast("long")),
+        org.apache.spark.sql.functions.max(col("doc_id").cast("long")))
+      .as[(Long, Long)].head()
+    // middle-third ck band — derived, not absolute, so every SF has
+    // rows below, inside, and above the slice
+    val ckMin = 4L * docs._1
+    val span = 4L * (docs._2 - docs._1 + 1)
+    val lo = ckMin + span / 3
+    val hi = ckMin + (2L * span) / 3
+    val out = graft.Scratch.dir("graft-sliceaudit-")
+    try {
+      val threshold = 1024
+      val schema = graft.model.CqlSchema.parse(
+        "CREATE TABLE graft.documents (pk text, ck bigint, v text, " +
+          "PRIMARY KEY (pk, ck))").toOption
+      writeSSTables(frame, out.toString, "graft", "documents", schema,
+        columnIndexSize = threshold)
+      val dir = s"$out/graft/documents"
+      // the slice must select a STRICT subset of blocks in every
+      // promoted entry — otherwise the prune proved nothing
+      val fs = FileSystem.get(java.net.URI.create(dir),
+        spark.sessionState.newHadoopConf())
+      val clTypes = Seq(BigFormat.LongType)
+      val loB = BigFormat.encodeValue(BigFormat.LongType, lo.toString)
+      val hiB = BigFormat.encodeValue(BigFormat.LongType, hi.toString)
+      def cmp(name: (Seq[Option[String]], Int), b: Array[Byte]): Int =
+        BigFormat.compareClusterable(clTypes,
+          name._1.map(_.map(BigFormat.encodeValue(BigFormat.LongType, _))),
+          name._2, Seq(Some(b)), BigFormat.Kind.Clustering)
+      var strictSubsets = 0
+      fs.listStatus(new HPath(dir)).map(_.getPath)
+        .filter(_.getName.endsWith("-Index.db")).foreach { p =>
+          val in = fs.open(p)
+          val bytes = try {
+            val b = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+            in.readFully(0, b); b
+          } finally in.close()
+          SSTableComponents.readIndex(bytes, p.toString).foreach {
+            case (_, _, promoted) if promoted.nonEmpty =>
+              val pr = BigFormat.readPromoted(promoted, clTypes,
+                p.toString)
+              val i0 = pr.blocks.indexWhere(b => cmp(b.lastName, loB) >= 0)
+              val i1 = pr.blocks.lastIndexWhere(b =>
+                cmp(b.firstName, hiB) <= 0)
+              require(i0 >= 0 && i1 >= i0, s"$p: middle-third slice " +
+                s"selected no blocks ($i0..$i1 of ${pr.blocks.size})")
+              if (i0 > 0 && i1 < pr.blocks.size - 1) strictSubsets += 1
+            case _ =>
+          }
+        }
+      require(strictSubsets > 0,
+        s"$dir: no promoted entry had skippable blocks on both flanks " +
+          "— the slice audit would pass without pruning anything")
+      // sliced read ≡ full scan under the same residual predicate
+      def restricted(df: DataFrame): DataFrame = df
+        .filter(col("partition_key") === "2" &&
+          col("clustering")(0).cast("long").between(lo, hi))
+      val sliced = restricted(spark.read.format("sstable-big")
+        .option("sliceLo", lo.toString).option("sliceHi", hi.toString)
+        .load(dir))
+      val viaScan = SSTableDumpBridge
+        .auditFrame(restricted(readBinary(spark, dir)))
+        .collect().map(_.toString).sorted.toSeq
+      val audit = SSTableDumpBridge.auditFrame(sliced).localCheckpoint()
+      val viaSlice = audit.collect().map(_.toString).sorted.toSeq
+      require(viaSlice == viaScan,
+        s"$dir: sliced read diverged from the residual-filtered full " +
+          s"scan: $viaSlice vs $viaScan")
+      audit
     } finally graft.Scratch.delete(out)
   }
 

@@ -725,6 +725,92 @@ class BigFormatSpec extends AnyFunSuite {
     assert(buildPromoted(None, atoms.take(2), 256L, 256).isEmpty)
     assert(buildPromoted(None, Nil, 20L, 256).isEmpty)
   }
+
+  test("readPartitionSliced decodes only the slice's blocks (and strictly fewer bytes)") {
+    import BigFormat._
+    val hdr = BigFormat.Header(
+      minTimestampUs = 1609459200L * 1000000L,
+      minLocalDeletionTimeS = 1609459200,
+      minTtlS = 0,
+      keyType = Utf8Type,
+      clusteringTypes = Seq(LongType),
+      staticColumns = Seq("s" -> Utf8Type),
+      regularColumns = Seq("v" -> Utf8Type))
+    val ts = 1609459200L * 1000000L
+    def row(ck: Long) = RowAtom(Seq(Some(ck.toString)), Some(ts), None,
+      None, None,
+      Seq(CellAtom("v", ts, None, None, Some("x" * 40), deleted = false)))
+    val static = RowAtom(Nil, None, None, None, None,
+      Seq(CellAtom("s", ts, None, None, Some("stat"), deleted = false)),
+      static = true)
+    // bigint clusterings + an interleaved range-tombstone pair, in
+    // comparator order (an inclusive start bound sorts BEFORE its
+    // row, an inclusive end bound after); 200 ~60-byte rows over
+    // 256-byte blocks → dozens of blocks
+    val atoms: Seq[Atom] = static +: (0L until 200L).flatMap { ck =>
+      (if (ck == 90L)
+        Seq(MarkerAtom(Kind.InclStartBound, Seq(Some("90")), Seq(ts + 5)))
+      else Nil) ++ Seq(row(ck)) ++ (if (ck == 95L)
+        Seq(MarkerAtom(Kind.InclEndBound, Seq(Some("95")), Seq(ts + 5)))
+      else Nil)
+    }
+    val part = PartitionData("p", None, atoms)
+    val (data, index) = writeDataFileIndexed(Seq(part), hdr, 256)
+    val (_, pos, promotedBytes) = index.head
+    assert(promotedBytes.nonEmpty, "partition did not promote")
+    val promoted = readPromoted(promotedBytes, hdr.clusteringTypes, "t")
+    assert(promoted.blocks.size > 5)
+    var served = 0L
+    def openAt(p: Long): java.io.InputStream =
+      new java.io.InputStream {
+        private val in = new ByteArrayInputStream(
+          data, p.toInt, data.length - p.toInt)
+        override def read(): Int = {
+          val b = in.read(); if (b >= 0) served += 1; b
+        }
+        override def read(buf: Array[Byte], off: Int, len: Int): Int = {
+          val n = in.read(buf, off, len); if (n > 0) served += n; n
+        }
+      }
+    def cks(p: PartitionData): Seq[Long] = p.atoms.collect {
+      case r: RowAtom if !r.static => r.clustering.head.get.toLong
+    }
+    val lo = Some(encodeValue(LongType, "80"))
+    val hi = Some(encodeValue(LongType, "120"))
+    val sliced = readPartitionSliced(hdr, openAt, pos, promoted,
+      lo, hi, "t")
+    assert(sliced.key === "p")
+    // the static row always surfaces (header region)
+    assert(sliced.atoms.head === static)
+    // conservative superset of [80,120], strict subset of the partition
+    val got = cks(sliced)
+    assert((80L to 120L).forall(got.contains))
+    assert(got.size < 200)
+    assert(got === got.sorted, "sliced rows out of order")
+    // block-aligned: everything decoded is contiguous in the original
+    assert(got === (got.head to got.last))
+    // the markers inside the slice decode too
+    assert(sliced.atoms.collect { case m: MarkerAtom => m }.size === 2)
+    // strictly fewer bytes than the whole partition
+    assert(served < data.length,
+      s"sliced read served $served of ${data.length} bytes")
+    // lo-only and hi-only bounds
+    val loOnly = cks(readPartitionSliced(hdr, openAt, pos, promoted,
+      lo, None, "t"))
+    assert(loOnly.last === 199L && !loOnly.contains(10L))
+    val hiOnly = cks(readPartitionSliced(hdr, openAt, pos, promoted,
+      None, Some(encodeValue(LongType, "20")), "t"))
+    assert(hiOnly.head === 0L && !hiOnly.contains(190L))
+    // a slice past the data: header region only, no blocks decoded
+    val empty = readPartitionSliced(hdr, openAt, pos, promoted,
+      Some(encodeValue(LongType, "5000")), None, "t")
+    assert(cks(empty).isEmpty && empty.atoms === Seq(static))
+    // bigint comparator order, not string order: lo=99 must include
+    // three-digit clusterings that sort before "99" as strings
+    val after99 = cks(readPartitionSliced(hdr, openAt, pos, promoted,
+      Some(encodeValue(LongType, "99")), None, "t"))
+    assert(after99.contains(100L))
+  }
 }
 
 /** The 2.x (pre-3.0) codec in isolation: composite names, mask
@@ -2256,6 +2342,32 @@ class SSTableBinarySpec extends SparkSpec {
     val docs = graft.Tables.load(spark, sfDir, "documents").count()
     assert(r.getLong(1) === 4 * docs)
     assert(r.getLong(2) === 4)
+  }
+
+  test("clustering slice end-to-end: promoted blocks consumed, sliced ≡ residual-filtered scan") {
+    // sliceAudit's in-query checks carry the weight: the middle-third
+    // slice selects a STRICT subset of blocks (skippable flanks
+    // required), and the sliced read equals the residual-filtered
+    // full scan; here the oracle arithmetic is replayed on documents
+    val audit = SSTableBinaryV2.sliceAudit(spark, sfDir).collect()
+    assert(audit.length === 1)
+    val r = audit.head
+    assert(r.getString(0) === "ROW")
+    import org.apache.spark.sql.functions.{col, min => smin, max => smax}
+    import spark.implicits._
+    val (dMin, dMax) = graft.Tables.load(spark, sfDir, "documents")
+      .agg(smin(col("doc_id").cast("long")),
+        smax(col("doc_id").cast("long"))).as[(Long, Long)].head()
+    val ckMin = 4 * dMin
+    val span = 4 * (dMax - dMin + 1)
+    val (lo, hi) = (ckMin + span / 3, ckMin + (2 * span) / 3)
+    val expected = (dMin to dMax)
+      .filter(_ % 4 == 2)
+      .map(d => (0 to 3).count(j => d * 4 + j >= lo && d * 4 + j <= hi))
+      .sum
+    assert(r.getLong(1) === expected)
+    assert(expected > 0 && expected < (dMax - dMin + 1))
+    assert(r.getLong(2) === 1) // one generation serves pk=2
   }
 
   test("typed lifecycle with a date clustering: the 2.2-era quartet is live end-to-end") {
