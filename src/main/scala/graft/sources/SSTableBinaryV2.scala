@@ -2318,17 +2318,29 @@ object SSTableBinaryV2 {
       .drop("cell_t")
   }
 
-  def wideAudit(spark: SparkSession, sfDir: String): DataFrame = {
-    val frame = wideFrame(spark, sfDir)
-    val out = graft.Scratch.dir("graft-wideaudit-")
-    try {
-      val threshold = 1024
+  /** The wide TYPED generation built once per corpus and shared by the
+    * promoted-index audits ([[wideAudit]], [[sliceAudit]]) — both
+    * consumers are read-only and the sink write is deterministic, so
+    * sharing changes cost, not content (the trained-ANN memo
+    * discipline). Scratch's exit hook owns the cleanup. */
+  private val WideBlockBytes = 1024
+  private val wideGenCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def wideGeneration(spark: SparkSession, sfDir: String): String =
+    wideGenCache.getOrElseUpdate(sfDir, {
+      val out = graft.Scratch.dir("graft-wide-")
       val schema = graft.model.CqlSchema.parse(
         "CREATE TABLE graft.documents (pk text, ck bigint, v text, " +
           "PRIMARY KEY (pk, ck))").toOption
-      writeSSTables(frame, out.toString, "graft", "documents", schema,
-        columnIndexSize = threshold)
-      val dir = s"$out/graft/documents"
+      writeSSTables(wideFrame(spark, sfDir), out.toString, "graft",
+        "documents", schema, columnIndexSize = WideBlockBytes)
+      s"$out/graft/documents"
+    })
+
+  def wideAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    locally {
+      val threshold = WideBlockBytes
+      val dir = wideGeneration(spark, sfDir)
       // 3. promoted envelopes are REALLY there and parse under the
       // ColumnIndex invariants — never pass vacuously
       val fs = FileSystem.get(java.net.URI.create(dir),
@@ -2384,7 +2396,7 @@ object SSTableBinaryV2 {
       val split = spark.read.format("sstable-big")
         .option("splitBytes", "4096").load(dir)
       SSTableDumpBridge.auditFrame(split).localCheckpoint()
-    } finally graft.Scratch.delete(out)
+    }
   }
 
   /** Registered `src_sstable_slice`: the promoted-index blocks
@@ -2406,7 +2418,6 @@ object SSTableBinaryV2 {
     * by decoding O(overlapping blocks). */
   def sliceAudit(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val frame = wideFrame(spark, sfDir)
     val docs = graft.Tables.load(spark, sfDir, "documents")
       .agg(org.apache.spark.sql.functions.min(col("doc_id").cast("long")),
         org.apache.spark.sql.functions.max(col("doc_id").cast("long")))
@@ -2417,15 +2428,8 @@ object SSTableBinaryV2 {
     val span = 4L * (docs._2 - docs._1 + 1)
     val lo = ckMin + span / 3
     val hi = ckMin + (2L * span) / 3
-    val out = graft.Scratch.dir("graft-sliceaudit-")
-    try {
-      val threshold = 1024
-      val schema = graft.model.CqlSchema.parse(
-        "CREATE TABLE graft.documents (pk text, ck bigint, v text, " +
-          "PRIMARY KEY (pk, ck))").toOption
-      writeSSTables(frame, out.toString, "graft", "documents", schema,
-        columnIndexSize = threshold)
-      val dir = s"$out/graft/documents"
+    locally {
+      val dir = wideGeneration(spark, sfDir)
       // the slice must select a STRICT subset of blocks in every
       // promoted entry — otherwise the prune proved nothing
       val fs = FileSystem.get(java.net.URI.create(dir),
@@ -2477,7 +2481,7 @@ object SSTableBinaryV2 {
         s"$dir: sliced read diverged from the residual-filtered full " +
           s"scan: $viaSlice vs $viaScan")
       audit
-    } finally graft.Scratch.delete(out)
+    }
   }
 
   private def binaryAuditV(spark: SparkSession, sfDir: String,
