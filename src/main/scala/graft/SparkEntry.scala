@@ -136,6 +136,8 @@ object SparkEntry {
     "src_sstable_binary_lz4" -> (sources.SSTableBinaryV2.binaryAuditLz4 _),
     "src_sstable_2x" -> (sources.SSTableBinaryV2.audit2x _),
     "src_sstable_2x_adler" -> (sources.SSTableBinaryV2.audit2xAdler _),
+    "src_sstable_2x_point" -> (sources.SSTableBinaryV2.point2x _),
+    "src_sstable_2x_split" -> (sources.SSTableBinaryV2.split2x _),
     "src_sstable_compact" -> (sources.SSTableBinaryV2.auditCompact2x _),
     "src_sstable_2x_upgrade" -> (sources.SSTableBinaryV2.upgrade2x _),
     "src_sstable_2x_coll" -> (sources.SSTableBinaryV2.coll2xUpgrade _),
@@ -1676,6 +1678,17 @@ object SparkEntry {
       " FROM documents WHERE CAST(doc_id AS BIGINT) IN (8, 13, 15, 17)),")
   }
 
+  /** `src_sstable_2x_point`'s oracle: the 2.x tree SQL restricted to
+    * the four probed keys — derived from [[sstable2xSql]] so the two
+    * contracts stay in lockstep. */
+  private lazy val point2xOracleSql: String = {
+    val anchor = " FROM documents),"
+    require(sstable2xSql.contains(anchor),
+      "2.x oracle drifted from the 2.x point oracle's anchor")
+    sstable2xSql.replace(anchor,
+      " FROM documents WHERE CAST(doc_id AS BIGINT) IN (8, 13, 15, 17)),")
+  }
+
   /** `src_sstable_roundtrip`'s oracle: the tree-audit SQL with the TTL
     * sum nulled — the strip's entire observable effect on the audit.
     * Derived from [[sstabledumpTreeSql]] so the two stay in lockstep;
@@ -2748,6 +2761,13 @@ object SparkEntry {
     // chunks, per-chunk ADLER32 — the pre-3.0 checksum era):
     // compression is pure transport here too
     "src_sstable_2x_adler" -> sstable2xSql,
+    // the 2.x getPosition path: bloom skip + fixed-width ka/la
+    // Index.db seek — the 2.x contract restricted to the four probed
+    // keys (live, partition tombstone, marker-only, row DELETE)
+    "src_sstable_2x_point" -> point2xOracleSql,
+    // partition-aligned split scans of 2.x files via their own
+    // Index.db: split transport, identical logical content
+    "src_sstable_2x_split" -> sstable2xSql,
     // thrift dynamic CF (COMPACT STORAGE with clustering): one cell
     // per "row" named by the raw clustering value, NO row markers
     // (hence no PK_LIVENESS group), row deletes as inclusive

@@ -429,16 +429,31 @@ object OldFormat {
     out.writeShort(0) // end-of-row terminator (empty name)
   }
 
-  def writeDataFile(partitions: Seq[Partition2], s: Schema): Array[Byte] = {
+  def writeDataFile(partitions: Seq[Partition2], s: Schema): Array[Byte] =
+    writeDataFileIndexed(partitions, s)._1
+
+  /** [[writeDataFile]] plus the primary-index entries — (encoded key,
+    * Data.db start offset) per partition in token order, the exact
+    * pairs a 2.x `Index.db` carries (`o.a.c.db.RowIndexEntry
+    * .Serializer`, 2.1 layout) — so a ka/la fixture can ship the
+    * sidecars the reference's own `getPosition` path consults. */
+  def writeDataFileIndexed(partitions: Seq[Partition2],
+      s: Schema): (Array[Byte], Seq[(Array[Byte], Long)]) = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
+    val index = Seq.newBuilder[(Array[Byte], Long)]
     partitions
       .sortBy(p =>
         (BigFormat.murmur3Token(BigFormat.encodeValue(s.keyType, p.key)),
           p.key))
-      .foreach(writePartition(_, s, out))
+      .foreach { p =>
+        out.flush()
+        index += ((BigFormat.encodeValue(s.keyType, p.key),
+          bos.size.toLong))
+        writePartition(p, s, out)
+      }
     out.flush()
-    bos.toByteArray
+    (bos.toByteArray, index.result())
   }
 
   // ---- decode ----

@@ -219,13 +219,14 @@ object SSTableBinaryV2 {
       * split too (unlike gzip in Hadoop, the chunk map gives random
       * access): the blind range is over ON-DISK bytes, the task maps
       * it to whole chunks via CompressionInfo.db and aligns their
-      * LOGICAL span through the index. Only 2.x-era files stay one
-      * task (no index subset). */
+      * LOGICAL span through the index. 2.x-era files split too when
+      * their Index.db sidecar is present (the fixed-width ka/la entry
+      * framing parses in [[SSTableComponents.indexEntries2x]]); an
+      * index-less file stays one task. */
     override def planInputPartitions(): Array[InputPartition] =
       listWithMeta().flatMap { case (f, info) =>
-        val v = versionOf(f.split('/').last)
         val splittable = splitBytes > 0 && info.hasIndex &&
-          v.nonEmpty && v.charAt(0) >= 'm' && info.dataLen > splitBytes
+          info.dataLen > splitBytes
         if (!splittable)
           Seq(BinFilePartition(f, info = Some(info)): InputPartition)
         else {
@@ -473,11 +474,14 @@ object SSTableBinaryV2 {
       pointKeys.flatMap { keys =>
         val filterP = sibling("-Filter.db")
         val indexP = sibling("-Index.db")
-        if (oldEra || !hasSibling("-Filter.db") ||
-          !hasSibling("-Index.db")) None
+        if (!hasSibling("-Filter.db") || !hasSibling("-Index.db")) None
         else {
+          // the Murmur3 bloom layout and index ladder are identical
+          // across 2.1→3.x (`BloomFilterSerializer` was untouched by
+          // the 3.0 rewrite); only the Index.db entry framing differs
+          val keyType = if (oldEra) oldSchema.keyType else header.keyType
           val keyBytes = keys.flatMap(k =>
-            scala.util.Try(BigFormat.encodeValue(header.keyType, k))
+            scala.util.Try(BigFormat.encodeValue(keyType, k))
               .toOption)
           val bloom = SSTableComponents.readFilter(readSibling(filterP))
           val candidates = keyBytes.filter(bloom.mightContain)
@@ -524,6 +528,11 @@ object SSTableBinaryV2 {
       * Without a summary, the full Index.db parses. */
     private def readIndexFor(candidates: Seq[Array[Byte]],
         indexP: HPath): Seq[BigFormat.IndexEntry] = {
+      // 2.x: fixed-width entry framing, and the 2.x IndexSummary
+      // layout predates `IndexSummary.serialize` — parse the whole
+      // (small) component rather than misread a foreign summary
+      if (oldEra)
+        return SSTableComponents.readIndex2x(readSibling(indexP), file)
       val summaryP = sibling("-Summary.db")
       if (!hasSibling("-Summary.db"))
         return SSTableComponents.readIndex(readSibling(indexP), file)
@@ -591,8 +600,6 @@ object SSTableBinaryV2 {
       }
 
     private def alignRange(): Option[(Long, Long)] = {
-      require(!oldEra,
-        s"$file: 2.x-era SSTables have no index subset to split by")
       val indexP = sibling("-Index.db")
       require(hasSibling("-Index.db"),
         s"$file: a split scan needs the Index.db sidecar")
@@ -602,7 +609,11 @@ object SSTableBinaryV2 {
       try {
         val summaryP = sibling("-Summary.db")
         val startIndexPos: Long =
-          if (!hasSibling("-Summary.db")) 0L
+          // the 2.x IndexSummary layout predates the 3.0 serializer —
+          // never summary-bound an old-era stream; its Index.db
+          // (small, fixed-width entries) streams from 0 and still
+          // stops at the first entry past the range
+          if (oldEra || !hasSibling("-Summary.db")) 0L
           else {
             val marks = SSTableComponents
               .readSummary(readSibling(summaryP)).sampled.map(_._2)
@@ -624,8 +635,11 @@ object SSTableBinaryV2 {
             best
           }
         in.seek(startIndexPos)
-        val entries = SSTableComponents.indexEntries(
-          new java.io.DataInputStream(new java.io.BufferedInputStream(in)), file)
+        val entryStream = new java.io.DataInputStream(
+          new java.io.BufferedInputStream(in))
+        val entries =
+          if (oldEra) SSTableComponents.indexEntries2x(entryStream, file)
+          else SSTableComponents.indexEntries(entryStream, file)
         var seekPos = -1L
         var stopPos = dataLen
         var done = false
@@ -680,7 +694,7 @@ object SSTableBinaryV2 {
           case None => seekStream.seek(p); seekStream
         }
         owned.iterator.map { case (pos, promoted) =>
-          val slicing = (sliceBounds._1.nonEmpty ||
+          val slicing = !oldEra && (sliceBounds._1.nonEmpty ||
             sliceBounds._2.nonEmpty) && promoted.nonEmpty
           if (slicing) {
             // in-partition seek over the promoted blocks — decode only
@@ -689,7 +703,10 @@ object SSTableBinaryV2 {
               header.clusteringTypes, file)
             expand(BigFormat.readPartitionSliced(header, openAt, pos,
               pr, sliceBounds._1, sliceBounds._2, file))
-          } else
+          } else if (oldEra)
+            expand2(OldFormat.partitions(oldSchema, openAt(pos), file)
+              .next())
+          else
             expand(BigFormat.partitions(header, openAt(pos), file).next())
         }
       case None if ranged =>
@@ -705,7 +722,9 @@ object SSTableBinaryV2 {
               case None => raw.seek(seekPos); raw
             }
             fullStream = new BoundedStream(in, stopPos - seekPos)
-            BigFormat.partitions(header, fullStream, file).map(expand)
+            if (oldEra)
+              OldFormat.partitions(oldSchema, fullStream, file).map(expand2)
+            else BigFormat.partitions(header, fullStream, file).map(expand)
         }
       case None =>
         fullStream = openFullStream()
@@ -1104,7 +1123,8 @@ object SSTableBinaryV2 {
             true)
           try os.write(bytes) finally os.close()
         }
-        val dataBytes = OldFormat.writeDataFile(parts.toSeq, schema)
+        val (dataBytes, index) =
+          OldFormat.writeDataFileIndexed(parts.toSeq, schema)
         if (compress) {
           val (cbytes, meta) = CompressedData.compress(
             dataBytes, 16 * 1024, CompressedData.Lz4, adler = true)
@@ -1112,6 +1132,14 @@ object SSTableBinaryV2 {
           write("CompressionInfo.db", CompressedData.writeMeta(meta,
             CompressedData.versionHasMaxCompressedSize("ka")))
         } else write("Data.db", dataBytes)
+        // the 2.x sidecars the reference's own getPosition path
+        // consults: fixed-width Index.db entries (logical offsets —
+        // valid under compression too) and the Murmur3 bloom, whose
+        // layout 2.1 and 3.x share
+        write("Index.db", SSTableComponents.writeIndex2x(index))
+        val bloom = SSTableComponents.newBloom(index.size.toLong)
+        index.foreach { case (k, _) => bloom.add(k) }
+        write("Filter.db", SSTableComponents.writeFilter(bloom))
         (fileId, parts.length)
       }
       .collect()
@@ -1143,6 +1171,40 @@ object SSTableBinaryV2 {
     val audit = SSTableDumpBridge
       .auditFrame(readBinary(spark, dir.toString, Some(Cql2x)))
       .localCheckpoint()
+    graft.Scratch.delete(dir)
+    audit
+  }
+
+  /** Registered `src_sstable_2x_point`: bloom-gated point lookups over
+    * PRE-3.0 files — the reference's 2.x `getPosition` path (the same
+    * bloom check + primary-index seek, against the fixed-width ka/la
+    * `Index.db` framing and the Murmur3 bloom whose layout 2.1 and
+    * 3.x share). Four pushed keys cover every 2.x row shape
+    * (cells+marker, partition deletion, marker-only, row DELETE); a
+    * generation holding none of them is skipped without touching its
+    * Data.db. Oracle: the 2.x tree SQL restricted to the probed keys. */
+  def point2x(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = writeOldFixture(spark, sfDir)
+    val audit = SSTableDumpBridge.auditFrame(
+      readBinary(spark, dir.toString, Some(Cql2x))
+        .filter(col("partition_key").isin("8", "13", "15", "17")))
+      .localCheckpoint()
+    graft.Scratch.delete(dir)
+    audit
+  }
+
+  /** Registered `src_sstable_2x_split`: partition-aligned SPLIT scans
+    * of 2.x files — blind byte ranges align to partition starts
+    * through the ka/la `Index.db` (fixed-width entries, positions are
+    * logical offsets), so one big pre-3.0 Data.db no longer
+    * serializes a scan. Shares `src_sstable_2x`'s oracle VERBATIM:
+    * split transport, identical logical content. */
+  def split2x(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = writeOldFixture(spark, sfDir)
+    val split = spark.read.format("sstable-big")
+      .option("cql", Cql2x).option("splitBytes", "512")
+      .load(dir.toString)
+    val audit = SSTableDumpBridge.auditFrame(split).localCheckpoint()
     graft.Scratch.delete(dir)
     audit
   }

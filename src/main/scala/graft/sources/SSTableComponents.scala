@@ -117,6 +117,71 @@ object SSTableComponents {
       new java.io.ByteArrayInputStream(bytes)), file).toSeq
 
   // =====================================================================
+  // Index.db — pre-3.0 ("ka"/"la") layout
+  // =====================================================================
+
+  /** The 2.x `Index.db` entry layout (`o.a.c.db.RowIndexEntry
+    * .Serializer`, 2.1: `ByteBufferUtil.writeWithShortLength(key)`,
+    * fixed 8-byte Data.db position, fixed 4-byte promoted-index size,
+    * then the promoted payload verbatim) — fixed-width where 3.0 went
+    * vint. The promoted payload (2.x IndexInfo list) is carried
+    * opaquely: point lookups and split alignment only need (key,
+    * position), the same subset the 3.x paths consume. */
+  def writeIndex2x(entries: Seq[(Array[Byte], Long)]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    entries.foreach { case (key, position) =>
+      out.writeShort(key.length)
+      out.write(key)
+      out.writeLong(position)
+      out.writeInt(0) // promoted-index size: fixture partitions are slim
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  /** Stream 2.x Index.db entries; same streaming contract as
+    * [[indexEntries]] (split alignment reads only a prefix). */
+  def indexEntries2x(in: DataInputStream,
+      file: String): Iterator[BigFormat.IndexEntry] =
+    new Iterator[BigFormat.IndexEntry] {
+      private def fetch(): Option[BigFormat.IndexEntry] = {
+        val first = in.read()
+        if (first < 0) None
+        else {
+          val len = ((first & 0xff) << 8) | {
+            val b = in.read()
+            if (b < 0) throw new EOFException(
+              s"$file: 2.x Index.db truncated")
+            b & 0xff
+          }
+          val key = new Array[Byte](len)
+          in.readFully(key)
+          val position = in.readLong()
+          val promotedLen = in.readInt()
+          if (promotedLen < 0)
+            throw new EOFException(
+              s"$file: absurd 2.x promoted-index size $promotedLen")
+          val promoted = new Array[Byte](promotedLen)
+          in.readFully(promoted)
+          Some((key, position, promoted))
+        }
+      }
+      private var nextEntry: Option[BigFormat.IndexEntry] = fetch()
+      override def hasNext: Boolean = nextEntry.isDefined
+      override def next(): BigFormat.IndexEntry = {
+        val e = nextEntry.getOrElse(throw new NoSuchElementException)
+        nextEntry = fetch()
+        e
+      }
+    }
+
+  def readIndex2x(bytes: Array[Byte],
+      file: String): Seq[BigFormat.IndexEntry] =
+    indexEntries2x(new DataInputStream(
+      new java.io.ByteArrayInputStream(bytes)), file).toSeq
+
+  // =====================================================================
   // Filter.db
   // =====================================================================
 

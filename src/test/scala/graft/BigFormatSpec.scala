@@ -855,6 +855,43 @@ class OldFormatSpec extends AnyFunSuite {
     assert(roundTrip(p) === p)
   }
 
+  test("2.x primary index: writeDataFileIndexed offsets decode their own partitions; ka Index.db round-trips") {
+    import graft.sources.SSTableComponents
+    val ts = 1609459300L * 1000000L
+    val parts = (0 until 20).map { i =>
+      OldFormat.Partition2(s"k$i", None, Seq(
+        OldFormat.Cell2(Seq(s"c$i"), "len", ts + i, None, None,
+          Some(("x" * (i + 1))), deleted = false, counter = false)))
+    }
+    val (bytes, index) = OldFormat.writeDataFileIndexed(parts, schema)
+    assert(index.size === 20)
+    assert(index.head._2 === 0L)
+    assert(index.map(_._2) === index.map(_._2).sorted, "offsets ascend")
+    // every offset decodes EXACTLY the partition its key names — the
+    // getPosition contract (seek + single-partition read)
+    index.foreach { case (keyBytes, off) =>
+      val in = new ByteArrayInputStream(
+        bytes, off.toInt, bytes.length - off.toInt)
+      val p = OldFormat.partitions(schema, in, "t2").next()
+      assert(BigFormat.encodeValue(schema.keyType, p.key).toSeq ===
+        keyBytes.toSeq)
+    }
+    // entries land in TOKEN order (the 2.x comparator), not key order
+    val tokens = index.map(e => BigFormat.murmur3Token(e._1))
+    assert(tokens === tokens.sorted)
+    // the fixed-width ka/la Index.db framing round-trips
+    val idxBytes = SSTableComponents.writeIndex2x(index)
+    val back = SSTableComponents.readIndex2x(idxBytes, "t2")
+    assert(back.map(_._2) === index.map(_._2))
+    assert(back.map(_._1.toSeq) === index.map(_._1.toSeq))
+    assert(back.forall(_._3.isEmpty))
+    // a truncated component fails loudly, never misparses
+    intercept[java.io.EOFException] {
+      SSTableComponents.readIndex2x(
+        idxBytes.take(idxBytes.length - 3), "t2")
+    }
+  }
+
   test("2.x collection cells round-trip: map entries, set elements, list slots (WithCollection composite)") {
     val cs = OldFormat.schemaOfCql(graft.model.CqlSchema.parse(
       "CREATE TABLE ks.t (id text, ck text, tags map<text, text>, " +
@@ -2328,6 +2365,44 @@ class SSTableBinarySpec extends SparkSpec {
       assert(split.exceptAll(full).count() === 0)
       assert(full.exceptAll(split).count() === 0)
     } finally { Scratch.delete(in); Scratch.delete(out) }
+  }
+
+  test("2.x point and split pushdown: ka sidecars serve like the full scan; unknown keys bloom-skip") {
+    val dir = SSTableBinaryV2.writeOldFixture(spark, sfDir)
+    try {
+      // the fixture ships the 2.x sidecars
+      val names = {
+        val s = java.nio.file.Files.list(
+          java.nio.file.Paths.get(s"$dir/documents"))
+        try { import scala.jdk.CollectionConverters._
+          s.iterator().asScala.map(_.getFileName.toString).toVector
+        } finally s.close()
+      }
+      assert(names.count(_.endsWith("-Index.db")) === 4)
+      assert(names.count(_.endsWith("-Filter.db")) === 4)
+      val full = SSTableBinaryV2
+        .readBinary(spark, dir.toString, Some(SSTableBinaryV2.Cql2x))
+        .localCheckpoint()
+      // point lookups through the ka Index.db ≡ filtered full scan
+      val keys = Seq("8", "13", "15", "17")
+      val viaPoint = SSTableBinaryV2
+        .readBinary(spark, dir.toString, Some(SSTableBinaryV2.Cql2x))
+        .filter(col("partition_key").isin(keys: _*)).collect().toSet
+      assert(viaPoint === full
+        .filter(col("partition_key").isin(keys: _*)).collect().toSet)
+      assert(viaPoint.nonEmpty)
+      // a key in NO generation: bloom-negative everywhere, zero rows
+      assert(SSTableBinaryV2
+        .readBinary(spark, dir.toString, Some(SSTableBinaryV2.Cql2x))
+        .filter(col("partition_key") === "no-such-key").count() === 0)
+      // split scans align through the same index: nothing lost/doubled
+      val split = spark.read.format("sstable-big")
+        .option("cql", SSTableBinaryV2.Cql2x)
+        .option("splitBytes", "512").load(dir.toString)
+      assert(split.count() === full.count())
+      assert(split.exceptAll(full).count() === 0)
+      assert(full.exceptAll(split).count() === 0)
+    } finally Scratch.delete(dir)
   }
 
   test("promoted index end-to-end: wide partitions promote; point, split and full scans agree; envelopes parse") {
