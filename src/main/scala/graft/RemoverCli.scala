@@ -65,11 +65,12 @@ object RemoverCli {
       reader: String = "json", sink: String = "parquet",
       cqlSchema: Option[graft.model.CqlSchema.Parsed] = None,
       cqlText: Option[String] = None,
-      compress: Option[String] = None)
+      compress: Option[String] = None,
+      verify: Boolean = false)
 
   private val Flags = Set("in", "out", "table", "keyspace", "cpus",
     "pk", "ck", "cells", "writetime", "ttl-key", "format", "merge",
-    "reader", "sink", "cql", "compress")
+    "reader", "sink", "cql", "compress", "verify")
 
   private def csv(v: String): Seq[String] =
     v.split(',').map(_.trim).filter(_.nonEmpty).toSeq
@@ -111,7 +112,8 @@ object RemoverCli {
                   merge = m.get("merge"),
                   reader = m.getOrElse("reader", "json"),
                   sink = m.getOrElse("sink", "parquet"),
-                  compress = m.get("compress").map(_.toLowerCase))
+                  compress = m.get("compress").map(_.toLowerCase),
+                  verify = m.get("verify").exists(_.toBoolean))
                 applyCql(args, m)
                   .flatMap(validateFormat).flatMap(validateMerge)
                   .flatMap(validateReader).flatMap(validateSink)
@@ -186,7 +188,10 @@ object RemoverCli {
     * liveness fields, so a cell-model spec alongside it is a
     * contradiction, rejected rather than ignored. */
   private def validateFormat(a: CliArgs): Either[String, CliArgs] =
-    a.format match {
+    if (a.verify && a.format != "sstable")
+      Left("--verify true checks Digest.crc32 siblings: it requires " +
+        "--format sstable (the binary connector)")
+    else a.format match {
       case "parquet" => Right(a)
       case "sstabledump" | "sstable" =>
         if (a.cells.nonEmpty || a.pk.nonEmpty || a.ck.nonEmpty ||
@@ -325,7 +330,7 @@ object RemoverCli {
     val reader: (SparkSession, String) => org.apache.spark.sql.DataFrame =
       if (args.format == "sstable")
         (s, p) => graft.sources.SSTableBinaryV2.readBinary(s, p,
-          args.cqlText)
+          args.cqlText, args.verify)
       else if (args.reader == "v2")
         graft.sources.SSTableDumpBridge.readTreeV2
       else graft.sources.SSTableDumpBridge.readTree
@@ -364,7 +369,7 @@ object RemoverCli {
     // decodes *-Data.db directly into the same bridge-row frame
     if (args.format == "sstable")
       (s, p) => graft.sources.SSTableBinaryV2.readBinary(s, p,
-        args.cqlText)
+        args.cqlText, args.verify)
     else if (args.reader == "v2") graft.sources.SSTableDumpBridge.readTreeV2
     else if (args.merge.contains("lww"))
       graft.sources.SSTableDumpBridge.readTree

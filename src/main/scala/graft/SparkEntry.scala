@@ -145,6 +145,7 @@ object SparkEntry {
     "src_sstable_point_lz4" -> (sources.SSTableBinaryV2.pointLookupLz4 _),
     "src_sstable_split_lz4" -> (sources.SSTableBinaryV2.splitAuditLz4 _),
     "src_sstable_wide" -> (sources.SSTableBinaryV2.wideAudit _),
+    "src_sstable_digest" -> (sources.SSTableBinaryV2.digestAudit _),
     "src_sstable_slice" -> (sources.SSTableBinaryV2.sliceAudit _),
     "src_sstable_roundtrip" -> (sources.SSTableBinaryV2.binaryRoundtrip _),
     "src_sstable_complex" -> (sources.SSTableBinaryV2.complexLifecycle _),
@@ -2814,6 +2815,10 @@ object SparkEntry {
     // the SAME split contract over a chunk-compressed generation:
     // blind on-disk ranges claim whole chunks, logical spans align
     "src_sstable_split_lz4" -> sstabledumpTreeSql,
+    // the read-side integrity pass: per-generation Digest.crc32
+    // recomputed and compared before rows are served — verification
+    // is pure assurance, so the tree contract holds verbatim
+    "src_sstable_digest" -> sstabledumpTreeSql,
     // the era-UPGRADE lifecycle: the 2.x oracle with (a) every TTL
     // nulled (the strip) and (b) PK_LIVENESS collapsed to pk-only
     // rows — a 2.x row marker on a cell-bearing row becomes the

@@ -99,12 +99,14 @@ object SSTableBinaryV2 {
         Option(options.get("maxFilesPerTrigger")).map(_.toInt),
         Option(options.get("cql")),
         Option(options.get("splitBytes")).map(_.toLong),
-        (Option(options.get("sliceLo")), Option(options.get("sliceHi"))))
+        (Option(options.get("sliceLo")), Option(options.get("sliceHi"))),
+        Option(options.get("verify")).exists(_.toBoolean))
   }
 
   private class BinScanBuilder(path: String, maxFiles: Option[Int],
       cql: Option[String], splitBytes: Option[Long],
-      slice: (Option[String], Option[String]) = (None, None))
+      slice: (Option[String], Option[String]) = (None, None),
+      verify: Boolean = false)
       extends ScanBuilder with SupportsPushDownRequiredColumns
       with SupportsPushDownFilters {
     private var required: StructType = SSTableBinaryV2.schema
@@ -151,7 +153,7 @@ object SSTableBinaryV2 {
         requiredSchema.fieldNames.map(SSTableBinaryV2.schema(_)))
     override def build(): Scan =
       new BinScan(path, required, maxFiles, cql, pointKeys, splitBytes,
-        slice)
+        slice, verify)
   }
 
   private class BinScan(path: String, required: StructType,
@@ -159,7 +161,8 @@ object SSTableBinaryV2 {
       cql: Option[String] = None,
       pointKeys: Option[Seq[String]] = None,
       splitBytesOpt: Option[Long] = None,
-      slice: (Option[String], Option[String]) = (None, None))
+      slice: (Option[String], Option[String]) = (None, None),
+      verify: Boolean = false)
       extends Scan with Batch {
     private val hconf = new SerializableConfiguration(
       SparkSession.active.sessionState.newHadoopConf())
@@ -239,7 +242,7 @@ object SSTableBinaryV2 {
 
     override def createReaderFactory(): PartitionReaderFactory =
       new BinReaderFactory(required.fieldNames, hconf, cql, pointKeys,
-        slice)
+        slice, verify)
 
     /** Streaming form — `spark.readStream.format("sstable-big")`: the
       * source's offset is a position in the SORTED file listing (new
@@ -348,13 +351,14 @@ object SSTableBinaryV2 {
   private class BinReaderFactory(cols: Array[String],
       hconf: SerializableConfiguration, cql: Option[String],
       pointKeys: Option[Seq[String]] = None,
-      slice: (Option[String], Option[String]) = (None, None))
+      slice: (Option[String], Option[String]) = (None, None),
+      verify: Boolean = false)
       extends PartitionReaderFactory {
     override def createReader(
         partition: InputPartition): PartitionReader[InternalRow] = {
       val p = partition.asInstanceOf[BinFilePartition]
       new BinPartitionReader(p.file, cols, hconf.value, cql, pointKeys,
-        p.start, p.end, p.info, slice)
+        p.start, p.end, p.info, slice, verify)
     }
   }
 
@@ -368,7 +372,8 @@ object SSTableBinaryV2 {
       pointKeys: Option[Seq[String]] = None,
       rangeStart: Long = 0L, rangeEnd: Long = Long.MaxValue,
       info: Option[SiblingInfo] = None,
-      slice: (Option[String], Option[String]) = (None, None))
+      slice: (Option[String], Option[String]) = (None, None),
+      verify: Boolean = false)
       extends PartitionReader[InternalRow] {
     /** A split task owns the partitions whose Data.db start offset
       * falls in its BLIND [rangeStart, rangeEnd) — blind ranges tile
@@ -667,6 +672,39 @@ object SSTableBinaryV2 {
           n
         }
       override def close(): Unit = in.close()
+    }
+
+    /** Read-side data-integrity pass (`.option("verify", "true")` /
+      * the CLI's `--verify`): CRC32 the AS-ON-DISK Data.db bytes and
+      * compare with the `Digest.crc32` sibling —
+      * `o.a.c.io.util.DataIntegrityMetadata.FileDigestValidator`'s
+      * check, the first pass of Cassandra's standalone verifier. Runs
+      * at most ONCE per file (a split scan's zero-offset range owns
+      * it), and a missing digest under an explicit verify request
+      * refuses loudly rather than silently verifying nothing. The
+      * digest covers on-disk bytes, so compressed files verify
+      * without decompressing (chunk CRCs separately guard the
+      * decompression path). */
+    if (verify && rangeStart == 0L) {
+      require(hasSibling("-Digest.crc32"),
+        s"$file: verify requested but no Digest.crc32 sibling exists")
+      val expected = new String(readSibling(sibling("-Digest.crc32")),
+        java.nio.charset.StandardCharsets.US_ASCII).trim
+      val crc = new java.util.zip.CRC32()
+      val din = fs.open(new HPath(file))
+      try {
+        val buf = new Array[Byte](64 * 1024)
+        var n = din.read(buf)
+        while (n >= 0) {
+          if (n > 0) crc.update(buf, 0, n)
+          n = din.read(buf)
+        }
+      } finally din.close()
+      val actual = java.lang.Long.toString(crc.getValue)
+      if (actual != expected)
+        throw new IllegalStateException(
+          s"$file: Digest.crc32 mismatch — stored $expected, computed " +
+            s"$actual (corrupt or truncated Data.db); refusing to serve")
     }
 
     private var fullStream: java.io.InputStream = null
@@ -1040,6 +1078,16 @@ object SSTableBinaryV2 {
 
   def readBinary(spark: SparkSession, root: String): DataFrame =
     readBinary(spark, root, None)
+
+  /** [[readBinary]] with the digest-verification pass engaged (the
+    * CLI's `--verify true`). */
+  def readBinary(spark: SparkSession, root: String, cql: Option[String],
+      verify: Boolean): DataFrame = {
+    val r = spark.read.format("sstable-big")
+    cql.foreach(c => r.option("cql", c))
+    if (verify) r.option("verify", "true")
+    r.load(root)
+  }
 
   // =====================================================================
   // 2.x era fixture + audit
@@ -2314,6 +2362,28 @@ object SSTableBinaryV2 {
     val split = spark.read.format("sstable-big")
       .option("splitBytes", "512").load(out.toString)
     val audit = SSTableDumpBridge.auditFrame(split).localCheckpoint()
+    graft.Scratch.delete(out)
+    audit
+  }
+
+  /** Registered `src_sstable_digest`: the read-side INTEGRITY pass —
+    * every generation's as-on-disk Data.db CRC32 is recomputed and
+    * compared with its `Digest.crc32` sibling before a row is served
+    * (`o.a.c.io.util.DataIntegrityMetadata`'s check, the first pass of
+    * Cassandra's standalone verifier). The fixture rewrites through
+    * the sink (digests land per generation), then reads back with
+    * `verify` on — the audit sharing the tree oracle proves
+    * verification is pure assurance, never a transform; the spec
+    * proves a flipped Data.db byte refuses loudly. */
+  def digestAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val in = writeBinaryFixture(spark, sfDir)
+    val out = graft.Scratch.dir("graft-digestaudit-")
+    writeSSTables(readBinary(spark, in.toString), out.toString,
+      "graft", "documents")
+    graft.Scratch.delete(in)
+    val audit = SSTableDumpBridge.auditFrame(
+      readBinary(spark, out.toString, None, verify = true))
+      .localCheckpoint()
     graft.Scratch.delete(out)
     audit
   }

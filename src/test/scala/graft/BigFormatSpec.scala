@@ -2367,6 +2367,64 @@ class SSTableBinarySpec extends SparkSpec {
     } finally { Scratch.delete(in); Scratch.delete(out) }
   }
 
+  test("digest verification: clean generations serve; a flipped Data.db byte refuses loudly; absent digest refuses") {
+    val in = SSTableBinaryV2.writeBinaryFixture(spark, sfDir)
+    val out = Scratch.dir("graft-digestspec-")
+    try {
+      SSTableBinaryV2.writeSSTables(
+        SSTableBinaryV2.readBinary(spark, in.toString),
+        out.toString, "graft", "documents")
+      val dir = s"$out/graft/documents"
+      val clean = SSTableBinaryV2
+        .readBinary(spark, dir, None, verify = true).count()
+      assert(clean ===
+        SSTableBinaryV2.readBinary(spark, dir).count())
+      // flip one Data.db byte: the verify pass must refuse loudly,
+      // naming the digest — not serve silently-corrupt rows
+      val data = {
+        val s = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+        try { import scala.jdk.CollectionConverters._
+          s.iterator().asScala
+            .filter(_.getFileName.toString.endsWith("-Data.db"))
+            .toVector.head
+        } finally s.close()
+      }
+      // nio writes bypass Hadoop's LocalFileSystem, whose stale .crc
+      // sibling would otherwise trip first — drop it so the failure
+      // exercised is OUR Digest.crc32 pass, not Hadoop's transport
+      def dropHadoopCrc(): Unit = {
+        val crc = data.getParent.resolve("." + data.getFileName + ".crc")
+        java.nio.file.Files.deleteIfExists(crc)
+      }
+      val original = java.nio.file.Files.readAllBytes(data)
+      val bytes = original.clone()
+      bytes(bytes.length / 2) = (bytes(bytes.length / 2) ^ 0x5a).toByte
+      java.nio.file.Files.write(data, bytes)
+      dropHadoopCrc()
+      val e = intercept[org.apache.spark.SparkException] {
+        SSTableBinaryV2.readBinary(spark, dir, None, verify = true)
+          .count()
+      }
+      assert(e.getMessage.contains("Digest.crc32") ||
+        Option(e.getCause).exists(_.getMessage.contains("Digest.crc32")))
+      java.nio.file.Files.write(data, original)
+      dropHadoopCrc()
+      // a generation with NO digest sibling refuses an explicit
+      // verify request instead of silently verifying nothing
+      val digest = java.nio.file.Paths.get(
+        data.toString.stripSuffix("-Data.db") + "-Digest.crc32")
+      java.nio.file.Files.delete(digest)
+      val e2 = intercept[org.apache.spark.SparkException] {
+        SSTableBinaryV2.readBinary(spark, dir, None, verify = true)
+          .count()
+      }
+      assert(e2.getMessage.contains("no Digest.crc32") ||
+        Option(e2.getCause).exists(_.getMessage.contains("no Digest.crc32")))
+      // the unverified read path is untouched by a missing digest
+      assert(SSTableBinaryV2.readBinary(spark, dir).count() > 0)
+    } finally { Scratch.delete(in); Scratch.delete(out) }
+  }
+
   test("2.x point and split pushdown: ka sidecars serve like the full scan; unknown keys bloom-skip") {
     val dir = SSTableBinaryV2.writeOldFixture(spark, sfDir)
     try {

@@ -334,6 +334,14 @@ class PipelineSpec extends SparkSpec {
       "--in", "/a", "--in", "/c", "--out", "/b", "--table", "t")).isLeft)
     assert(RemoverCli.parse(Array(
       "--in", "/a", "--out", "/b", "--table", "t", "--cpus", "zero")).isLeft)
+    // --verify is the binary connector's digest pass: sstable-only
+    assert(RemoverCli.parse(Array(
+      "--in", "/a", "--out", "/b", "--table", "t",
+      "--verify", "true")).isLeft)
+    assert(RemoverCli.parse(Array(
+      "--in", "/a", "--out", "/b", "--table", "t",
+      "--format", "sstable", "--verify", "true"))
+      .exists(_.verify))
   }
 
   test("uuid-keyed CQL schema through the binary lifecycle: real byte encodings, real token order") {
