@@ -202,7 +202,8 @@ object SSTableBinaryV2 {
             hasFilter = seen.contains(base + "-Filter.db"),
             hasSummary = seen.contains(base + "-Summary.db"),
             hasCompression = seen.contains(base + "-CompressionInfo.db"),
-            indexLen = seen.getOrElse(base + "-Index.db", -1L)))
+            indexLen = seen.getOrElse(base + "-Index.db", -1L),
+            hasDigest = seen.contains(base + "-Digest.crc32")))
       }
     }
 
@@ -337,7 +338,7 @@ object SSTableBinaryV2 {
     * already saw. `indexLen` is -1 when no Index.db exists. */
   private[sources] case class SiblingInfo(dataLen: Long, hasIndex: Boolean,
       hasFilter: Boolean, hasSummary: Boolean, hasCompression: Boolean,
-      indexLen: Long)
+      indexLen: Long, hasDigest: Boolean = false)
 
   /** [start, end) is a BLIND byte range of the Data.db; the reader
     * aligns it to partition boundaries via Index.db. (0, MaxValue) =
@@ -400,6 +401,7 @@ object SSTableBinaryV2 {
         case "-Filter.db" => i.hasFilter
         case "-Summary.db" => i.hasSummary
         case "-CompressionInfo.db" => i.hasCompression
+        case "-Digest.crc32" => i.hasDigest
         case _ => fs.exists(sibling(suffix))
       }
       case None => fs.exists(sibling(suffix))
@@ -2426,7 +2428,8 @@ object SSTableBinaryV2 {
     * doc_id % 4) of 4 rows per doc (ck = doc_id*4+j, bigint-typed so
     * comparator order ≠ string order), value = source, writetime =
     * (TreeBase + doc_id) seconds. */
-  private def wideFrame(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def wideFrame(spark: SparkSession,
+      sfDir: String): DataFrame = {
     import spark.implicits._
     val base = SSTableDumpBridge.TreeBase
     graft.Tables.load(spark, sfDir, "documents")

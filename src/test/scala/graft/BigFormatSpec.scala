@@ -2503,6 +2503,47 @@ class SSTableBinarySpec extends SparkSpec {
     assert(r.getLong(2) === 1) // one generation serves pk=2
   }
 
+  test("clustering slice over a COMPRESSED wide generation: chunk-map seeks compose with promoted blocks") {
+    import graft.sources.CompressedData
+    import org.apache.spark.sql.functions.{max => smax, min => smin}
+    val out = Scratch.dir("graft-slicelz4-")
+    try {
+      val schema = graft.model.CqlSchema.parse(
+        "CREATE TABLE graft.documents (pk text, ck bigint, v text, " +
+          "PRIMARY KEY (pk, ck))").toOption
+      SSTableBinaryV2.writeSSTables(
+        SSTableBinaryV2.wideFrame(spark, sfDir), out.toString,
+        "graft", "documents", schema,
+        compression = Some(CompressedData.Lz4), columnIndexSize = 1024)
+      val dir = s"$out/graft/documents"
+      val names = {
+        val s = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+        try { import scala.jdk.CollectionConverters._
+          s.iterator().asScala.map(_.getFileName.toString).toVector
+        } finally s.close()
+      }
+      assert(names.exists(_.endsWith("-CompressionInfo.db")),
+        "fixture is not compressed")
+      val full = SSTableBinaryV2.readBinary(spark, dir).localCheckpoint()
+      val ckCol = col("clustering")(0).cast("long")
+      val (ckMin, ckMax) = {
+        val r = full.agg(smin(ckCol), smax(ckCol)).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      val lo = ckMin + (ckMax - ckMin) / 3
+      val hi = ckMin + 2 * (ckMax - ckMin) / 3
+      def restricted(df: org.apache.spark.sql.DataFrame) =
+        df.filter(col("partition_key") === "2" && ckCol.between(lo, hi))
+      // sliced read = promoted-block seek THROUGH the chunk map;
+      // must equal the residual-filtered full scan exactly
+      val sliced = restricted(spark.read.format("sstable-big")
+        .option("sliceLo", lo.toString).option("sliceHi", hi.toString)
+        .load(dir)).collect().toSet
+      assert(sliced === restricted(full).collect().toSet)
+      assert(sliced.nonEmpty)
+    } finally Scratch.delete(out)
+  }
+
   test("typed lifecycle with a date clustering: the 2.2-era quartet is live end-to-end") {
     import spark.implicits._
     val wt = 1609459200L * 1000000L
