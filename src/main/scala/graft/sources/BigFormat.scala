@@ -1547,29 +1547,32 @@ object BigFormat {
     * caller owns the shared handle's lifecycle). */
   def readPartitionSliced(h: Header,
       openAt: Long => java.io.InputStream, partitionPos: Long,
-      promoted: Promoted, lo: Option[Array[Byte]],
-      hi: Option[Array[Byte]], file: String): PartitionData = try {
+      promoted: Promoted, lo: Seq[Array[Byte]],
+      hi: Seq[Array[Byte]], file: String): PartitionData = try {
     val types = h.clusteringTypes
-    // prefix-compare an IndexInfo clustering name against a bound on
-    // the leading component (render∘encode identity is spec-pinned,
-    // so re-encoding the carried rendered values is exact)
-    def cmp(name: (Seq[Option[String]], Int), bound: Array[Byte]): Int = {
+    // prefix-compare an IndexInfo clustering name against a bound
+    // PREFIX — one or more leading components under the declared
+    // comparators, ClusteringComparator's own prefix semantics
+    // (render∘encode identity is spec-pinned, so re-encoding the
+    // carried rendered values is exact). A strict prefix compares
+    // EQUAL here (both sides Kind.Clustering), keeping boundary-block
+    // selection conservative.
+    def cmp(name: (Seq[Option[String]], Int),
+        bound: Seq[Array[Byte]]): Int = {
       val (values, kind) = name
       val enc = values.zipWithIndex.map { case (v, i) =>
         v.map(encodeValue(types(i), _))
       }
       compareClusterable(types, enc, kind,
-        Seq(Some(bound)), Kind.Clustering)
+        bound.map(b => Some(b)), Kind.Clustering)
     }
     val blocks = promoted.blocks
-    val i0 = lo match {
-      case None => 0
-      case Some(l) => blocks.indexWhere(b => cmp(b.lastName, l) >= 0)
-    }
-    val i1 = hi match {
-      case None => blocks.size - 1
-      case Some(x) => blocks.lastIndexWhere(b => cmp(b.firstName, x) <= 0)
-    }
+    val i0 =
+      if (lo.isEmpty) 0
+      else blocks.indexWhere(b => cmp(b.lastName, lo) >= 0)
+    val i1 =
+      if (hi.isEmpty) blocks.size - 1
+      else blocks.lastIndexWhere(b => cmp(b.firstName, hi) <= 0)
     // header region: key + partition deletion, then the static row iff
     // the first indexed unfiltered starts past them (buildPromoted's
     // rule: statics belong to the header, never to a block)

@@ -506,20 +506,36 @@ object SSTableBinaryV2 {
         }
       }
 
-    /** Pushed clustering-slice bounds, encoded under the LEADING
-      * declared clustering type — engaged only on the point-lookup
-      * path against partitions whose index entry was promoted (the
-      * reference's names-iterator shape). Bounds that don't encode
-      * under the type simply don't prune; the slice predicate always
+    /** Pushed clustering-slice bounds — a ':'-joined PREFIX of the
+      * declared clustering columns (the composite string-carry
+      * convention), each component encoded under its type — engaged
+      * only on the point-lookup path against partitions whose index
+      * entry was promoted (the reference's names-iterator shape). A
+      * bound with MORE components than declared refuses loudly (the
+      * composite-carry rule: a ':' inside a text component must never
+      * silently shift a boundary — a shifted bound would prune WRONG
+      * blocks); a component that doesn't encode under its type simply
+      * disables pruning (conservative). The slice predicate always
       * stays residual in the caller's plan. */
-    private val sliceBounds: (Option[Array[Byte]], Option[Array[Byte]]) =
+    private val sliceBounds: (Seq[Array[Byte]], Seq[Array[Byte]]) =
       if (oldEra || header == null || header.clusteringTypes.isEmpty)
-        (None, None)
+        (Nil, Nil)
       else {
-        def enc(v: Option[String]): Option[Array[Byte]] = v.flatMap(s =>
-          scala.util.Try(
-            BigFormat.encodeValue(header.clusteringTypes.head, s))
-            .toOption)
+        def enc(v: Option[String]): Seq[Array[Byte]] = v match {
+          case None => Nil
+          case Some(s) =>
+            val parts = s.split(":", -1).toSeq
+            require(parts.size <= header.clusteringTypes.size,
+              s"$file: slice bound '$s' carries ${parts.size} " +
+                s"components against ${header.clusteringTypes.size} " +
+                "declared clustering columns (a ':' inside a text " +
+                "component is outside the string-carry subset)")
+            val enc = parts.zip(header.clusteringTypes).map {
+              case (p, t) =>
+                scala.util.Try(BigFormat.encodeValue(t, p)).toOption
+            }
+            if (enc.exists(_.isEmpty)) Nil else enc.map(_.get)
+        }
         (enc(slice._1), enc(slice._2))
       }
 

@@ -775,8 +775,8 @@ class BigFormatSpec extends AnyFunSuite {
     def cks(p: PartitionData): Seq[Long] = p.atoms.collect {
       case r: RowAtom if !r.static => r.clustering.head.get.toLong
     }
-    val lo = Some(encodeValue(LongType, "80"))
-    val hi = Some(encodeValue(LongType, "120"))
+    val lo = Seq(encodeValue(LongType, "80"))
+    val hi = Seq(encodeValue(LongType, "120"))
     val sliced = readPartitionSliced(hdr, openAt, pos, promoted,
       lo, hi, "t")
     assert(sliced.key === "p")
@@ -796,19 +796,19 @@ class BigFormatSpec extends AnyFunSuite {
       s"sliced read served $served of ${data.length} bytes")
     // lo-only and hi-only bounds
     val loOnly = cks(readPartitionSliced(hdr, openAt, pos, promoted,
-      lo, None, "t"))
+      lo, Nil, "t"))
     assert(loOnly.last === 199L && !loOnly.contains(10L))
     val hiOnly = cks(readPartitionSliced(hdr, openAt, pos, promoted,
-      None, Some(encodeValue(LongType, "20")), "t"))
+      Nil, Seq(encodeValue(LongType, "20")), "t"))
     assert(hiOnly.head === 0L && !hiOnly.contains(190L))
     // a slice past the data: header region only, no blocks decoded
     val empty = readPartitionSliced(hdr, openAt, pos, promoted,
-      Some(encodeValue(LongType, "5000")), None, "t")
+      Seq(encodeValue(LongType, "5000")), Nil, "t")
     assert(cks(empty).isEmpty && empty.atoms === Seq(static))
     // bigint comparator order, not string order: lo=99 must include
     // three-digit clusterings that sort before "99" as strings
     val after99 = cks(readPartitionSliced(hdr, openAt, pos, promoted,
-      Some(encodeValue(LongType, "99")), None, "t"))
+      Seq(encodeValue(LongType, "99")), Nil, "t"))
     assert(after99.contains(100L))
   }
 }
@@ -2501,6 +2501,64 @@ class SSTableBinarySpec extends SparkSpec {
     assert(r.getLong(1) === expected)
     assert(expected > 0 && expected < (dMax - dMin + 1))
     assert(r.getLong(2) === 1) // one generation serves pk=2
+  }
+
+  test("multi-component clustering slice: ':'-joined prefix bounds prune under tuple comparator semantics") {
+    import spark.implicits._
+    val out = Scratch.dir("graft-slicemulti-")
+    try {
+      // one wide partition, (ck1 bigint, ck2 int) clustering, enough
+      // value bytes that 512-byte blocks promote the index entry
+      val frame = (0L until 100L).flatMap(i => (0 to 3).map(j =>
+        ("0", Seq(i.toString, j.toString), "ROW", Some("v"),
+          Some(("x" * 40, 1609459200000000L + i, None: Option[Int],
+            None: Option[Long])), None: Option[Long],
+          "t/nb-1-big-Data.db")))
+        .toDF("partition_key", "clustering", "row_kind", "name",
+          "cell_t", "deletion_us", "sstable")
+        .withColumn("cell", struct(
+          col("cell_t._1").as("value"),
+          col("cell_t._2").as("writetime_us"),
+          col("cell_t._3").as("ttl_s"), col("cell_t._4").as("expire_us")))
+        .drop("cell_t")
+      val schema = graft.model.CqlSchema.parse(
+        "CREATE TABLE graft.documents (pk text, ck1 bigint, ck2 int, " +
+          "v text, PRIMARY KEY (pk, ck1, ck2))").toOption
+      SSTableBinaryV2.writeSSTables(frame, out.toString, "graft",
+        "documents", schema, columnIndexSize = 512)
+      val dir = s"$out/graft/documents"
+      val full = SSTableBinaryV2.readBinary(spark, dir).localCheckpoint()
+      val c1 = col("clustering")(0).cast("long")
+      val c2 = col("clustering")(1).cast("int")
+      // tuple bounds (33,2) <= (ck1,ck2) <= (66,1): the comparator
+      // order a ':'-joined two-component bound pins
+      def restricted(df: org.apache.spark.sql.DataFrame) = df.filter(
+        col("partition_key") === "0" &&
+          (c1 > 33 || (c1 === 33 && c2 >= 2)) &&
+          (c1 < 66 || (c1 === 66 && c2 <= 1)))
+      val sliced = restricted(spark.read.format("sstable-big")
+        .option("sliceLo", "33:2").option("sliceHi", "66:1").load(dir))
+        .collect().toSet
+      assert(sliced === restricted(full).collect().toSet)
+      assert(sliced.size === (32 * 4 + 2 + 2))
+      // a PREFIX bound (leading component only) serves the same way
+      def prefRestricted(df: org.apache.spark.sql.DataFrame) =
+        df.filter(col("partition_key") === "0" && c1.between(40, 50))
+      val viaPrefix = prefRestricted(spark.read.format("sstable-big")
+        .option("sliceLo", "40").option("sliceHi", "50").load(dir))
+        .collect().toSet
+      assert(viaPrefix === prefRestricted(full).collect().toSet)
+      assert(viaPrefix.size === 11 * 4)
+      // more bound components than declared clusterings: loud reject,
+      // never a silently shifted (wrongly pruning) boundary
+      val e = intercept[org.apache.spark.SparkException] {
+        spark.read.format("sstable-big")
+          .option("sliceLo", "1:2:3").option("sliceHi", "4:5:6")
+          .load(dir).filter(col("partition_key") === "0").count()
+      }
+      assert(e.getMessage.contains("components") ||
+        Option(e.getCause).exists(_.getMessage.contains("components")))
+    } finally Scratch.delete(out)
   }
 
   test("clustering slice over a COMPRESSED wide generation: chunk-map seeks compose with promoted blocks") {
