@@ -62,7 +62,13 @@ object Bench {
         times.map(t => f"$t%.2f").mkString(", ")})")
       name -> dt
     }
+    // Emit per-query entries MOST-EXPENSIVE FIRST: the recorded
+    // artifact has repeatedly kept only a prefix of this line, and a
+    // cost-descending order means whatever prefix survives carries
+    // the queries that matter for a perf read. JSON object order is
+    // semantically irrelevant, so full parses are unaffected.
     val qs = results
+      .sortBy { case (_, v) => -v.getOrElse(Double.MaxValue) }
       .map { case (k, v) => "\"" + k + "\":" + v.map(_.toString).getOrElse("null") }
       .mkString("{", ",", "}")
     val failedNames = results.collect { case (k, None) => "\"" + k + "\"" }

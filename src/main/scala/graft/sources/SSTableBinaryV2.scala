@@ -1267,8 +1267,12 @@ object SSTableBinaryV2 {
     * split transport, identical logical content. */
   def split2x(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = writeOldFixture(spark, sfDir)
+    // 4 KiB blind ranges: dozens of splits per generation at every SF
+    // without drowning the run in task overhead (a 2.x task streams
+    // its Index.db prefix from 0 — no summary to bound it — so split
+    // count is the cost dial here)
     val split = spark.read.format("sstable-big")
-      .option("cql", Cql2x).option("splitBytes", "512")
+      .option("cql", Cql2x).option("splitBytes", "4096")
       .load(dir.toString)
     val audit = SSTableDumpBridge.auditFrame(split).localCheckpoint()
     graft.Scratch.delete(dir)
