@@ -95,6 +95,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(spark => RewriteCosineSimilarityJoin(spark))
     e.injectOptimizerRule(spark => RewriteIntervalJoin(spark))
+    e.injectOptimizerRule(spark => PushClusteringSlice(spark))
   }
 }
 
@@ -104,7 +105,8 @@ object GraftExtensions {
   def enable(spark: SparkSession): Unit = {
     val existing = spark.experimental.extraOptimizations
     val missing = Seq(
-      RewriteCosineSimilarityJoin(spark), RewriteIntervalJoin(spark))
+      RewriteCosineSimilarityJoin(spark), RewriteIntervalJoin(spark),
+      PushClusteringSlice(spark))
       .filterNot(r => existing.exists(_.getClass == r.getClass))
     if (missing.nonEmpty)
       spark.experimental.extraOptimizations = existing ++ missing

@@ -161,9 +161,22 @@ object SSTableBinaryV2 {
       cql: Option[String] = None,
       pointKeys: Option[Seq[String]] = None,
       splitBytesOpt: Option[Long] = None,
-      slice: (Option[String], Option[String]) = (None, None),
-      verify: Boolean = false)
+      private[sources] val slice: (Option[String], Option[String]) =
+        (None, None),
+      verify: Boolean = false,
+      sliceSpace: Option[String] = None)
       extends Scan with Batch {
+
+    /** A copy of this scan with planner-derived slice bounds — the
+      * [[graft.plans.PushClusteringSlice]] hook. `space` names the
+      * comparison order the bounds were derived under ("long" /
+      * "string"); the reader engages pruning only when the declared
+      * leading clustering type's comparator is order-isomorphic to
+      * it, so a rule misfire can never prune wrong blocks. */
+    private[graft] def withSlice(lo: Option[String], hi: Option[String],
+        space: String): BinScan =
+      new BinScan(path, required, maxFiles, cql, pointKeys,
+        splitBytesOpt, (lo, hi), verify, Some(space))
     private val hconf = new SerializableConfiguration(
       SparkSession.active.sessionState.newHadoopConf())
     /** Target split size: the `splitBytes` option, else the session's
@@ -243,7 +256,7 @@ object SSTableBinaryV2 {
 
     override def createReaderFactory(): PartitionReaderFactory =
       new BinReaderFactory(required.fieldNames, hconf, cql, pointKeys,
-        slice, verify)
+        slice, verify, sliceSpace)
 
     /** Streaming form — `spark.readStream.format("sstable-big")`: the
       * source's offset is a position in the SORTED file listing (new
@@ -353,13 +366,14 @@ object SSTableBinaryV2 {
       hconf: SerializableConfiguration, cql: Option[String],
       pointKeys: Option[Seq[String]] = None,
       slice: (Option[String], Option[String]) = (None, None),
-      verify: Boolean = false)
+      verify: Boolean = false,
+      sliceSpace: Option[String] = None)
       extends PartitionReaderFactory {
     override def createReader(
         partition: InputPartition): PartitionReader[InternalRow] = {
       val p = partition.asInstanceOf[BinFilePartition]
       new BinPartitionReader(p.file, cols, hconf.value, cql, pointKeys,
-        p.start, p.end, p.info, slice, verify)
+        p.start, p.end, p.info, slice, verify, sliceSpace)
     }
   }
 
@@ -374,7 +388,8 @@ object SSTableBinaryV2 {
       rangeStart: Long = 0L, rangeEnd: Long = Long.MaxValue,
       info: Option[SiblingInfo] = None,
       slice: (Option[String], Option[String]) = (None, None),
-      verify: Boolean = false)
+      verify: Boolean = false,
+      sliceSpace: Option[String] = None)
       extends PartitionReader[InternalRow] {
     /** A split task owns the partitions whose Data.db start offset
       * falls in its BLIND [rangeStart, rangeEnd) — blind ranges tile
@@ -517,14 +532,41 @@ object SSTableBinaryV2 {
       * blocks); a component that doesn't encode under its type simply
       * disables pruning (conservative). The slice predicate always
       * stays residual in the caller's plan. */
+    /** When the slice was PLANNER-derived (sliceSpace set by
+      * [[graft.plans.PushClusteringSlice]]), pruning engages only if
+      * the declared leading clustering type's comparator orders
+      * exactly like the comparison space the predicate used — a
+      * numeric predicate over a text clustering (or any type whose
+      * comparator isn't the literal's order) must never prune.
+      * Manual options (no space) keep the caller's assertion. */
+    private def sliceSpaceCompatible: Boolean = sliceSpace match {
+      case None => true
+      case Some(space) =>
+        val leading = header.clusteringTypes.head
+        space match {
+          case "long" => Set(BigFormat.Int32Type, BigFormat.LongType,
+            BigFormat.ShortType, BigFormat.ByteType).contains(leading)
+          case "string" => Set(BigFormat.Utf8Type, BigFormat.AsciiType)
+            .contains(leading)
+          case _ => false
+        }
+    }
+
     private val sliceBounds: (Seq[Array[Byte]], Seq[Array[Byte]]) =
-      if (oldEra || header == null || header.clusteringTypes.isEmpty)
+      if (oldEra || header == null || header.clusteringTypes.isEmpty ||
+        !sliceSpaceCompatible)
         (Nil, Nil)
       else {
         def enc(v: Option[String]): Seq[Array[Byte]] = v match {
           case None => Nil
           case Some(s) =>
-            val parts = s.split(":", -1).toSeq
+            // planner-derived bounds (sliceSpace set) are ONE leading
+            // component verbatim — a ':' in a text literal is data,
+            // not a composite separator; only manual options use the
+            // ':'-joined multi-component carry
+            val parts =
+              if (sliceSpace.isDefined) Seq(s)
+              else s.split(":", -1).toSeq
             require(parts.size <= header.clusteringTypes.size,
               s"$file: slice bound '$s' carries ${parts.size} " +
                 s"components against ${header.clusteringTypes.size} " +
@@ -1096,6 +1138,31 @@ object SSTableBinaryV2 {
 
   def readBinary(spark: SparkSession, root: String): DataFrame =
     readBinary(spark, root, None)
+
+  /** Planner hook for [[graft.plans.PushClusteringSlice]]: when `scan`
+    * is this connector's batch scan WITHOUT slice bounds already set,
+    * return a copy carrying (lo, hi) derived in comparison-order
+    * `space` ("long" | "string"); None otherwise (foreign scan, or
+    * bounds already present — the rule's fixed point). */
+  private[graft] def scanWithSlice(
+      scan: org.apache.spark.sql.connector.read.Scan,
+      lo: Option[String], hi: Option[String],
+      space: String): Option[org.apache.spark.sql.connector.read.Scan] =
+    scan match {
+      case b: BinScan if (lo.nonEmpty || hi.nonEmpty) &&
+        b.slice._1.isEmpty && b.slice._2.isEmpty =>
+        Some(b.withSlice(lo, hi, space))
+      case _ => None
+    }
+
+  /** The slice bounds a scan carries — plan-inspection surface for
+    * specs and audits (proves the rule REALLY injected bounds rather
+    * than the residual filter doing all the work). */
+  private[graft] def sliceOf(scan: org.apache.spark.sql.connector.read.Scan)
+      : Option[(Option[String], Option[String])] = scan match {
+    case b: BinScan => Some(b.slice)
+    case _ => None
+  }
 
   /** [[readBinary]] with the digest-verification pass engaged (the
     * CLI's `--verify true`). */
@@ -2627,14 +2694,35 @@ object SSTableBinaryV2 {
       val sliced = restricted(spark.read.format("sstable-big")
         .option("sliceLo", lo.toString).option("sliceHi", hi.toString)
         .load(dir))
+      // the AUTOMATIC path must reach the same bounds: with the
+      // planner rule active, the bare Filter alone carries the slice
+      // into the scan (PushClusteringSlice) — pinned here so the rule
+      // breaking or silently disengaging fails the oracle run
+      graft.plans.GraftExtensions.enable(spark)
+      val auto = restricted(readBinary(spark, dir))
+      val autoBounds = auto.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2
+          .DataSourceV2ScanRelation => sliceOf(r.scan)
+      }.flatten
+      require(autoBounds ==
+        Seq((Some(lo.toString), Some(hi.toString))),
+        s"$dir: PushClusteringSlice injected $autoBounds, expected " +
+          s"[$lo, $hi]")
+      // baseline = the checkpointed full scan, filtered AFTER
+      // materialization — a frame the planner rule cannot slice
       val viaScan = SSTableDumpBridge
-        .auditFrame(restricted(readBinary(spark, dir)))
+        .auditFrame(restricted(readBinary(spark, dir).localCheckpoint()))
+        .collect().map(_.toString).sorted.toSeq
+      val viaAuto = SSTableDumpBridge.auditFrame(auto)
         .collect().map(_.toString).sorted.toSeq
       val audit = SSTableDumpBridge.auditFrame(sliced).localCheckpoint()
       val viaSlice = audit.collect().map(_.toString).sorted.toSeq
       require(viaSlice == viaScan,
         s"$dir: sliced read diverged from the residual-filtered full " +
           s"scan: $viaSlice vs $viaScan")
+      require(viaAuto == viaScan,
+        s"$dir: rule-sliced read diverged from the residual-filtered " +
+          s"full scan: $viaAuto vs $viaScan")
       audit
     }
   }

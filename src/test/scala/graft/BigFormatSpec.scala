@@ -2503,6 +2503,84 @@ class SSTableBinarySpec extends SparkSpec {
     assert(r.getLong(2) === 1) // one generation serves pk=2
   }
 
+  test("PushClusteringSlice: a plain Filter slices automatically; the space gate never wrong-prunes text clusterings") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+    graft.plans.GraftExtensions.enable(spark)
+    def scanBounds(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect {
+        case r: DataSourceV2ScanRelation =>
+          SSTableBinaryV2.sliceOf(r.scan)
+      }.flatten
+    def mkFrame(ck: Long => String) =
+      (0L until 100L).map { i =>
+        ("0", Seq(ck(i)), "ROW", Some("v"),
+          Some(("x" * 40, 1609459200000000L + i, None: Option[Int],
+            None: Option[Long])), None: Option[Long],
+          "t/nb-1-big-Data.db")
+      }.toDF("partition_key", "clustering", "row_kind", "name",
+        "cell_t", "deletion_us", "sstable")
+        .withColumn("cell", struct(
+          col("cell_t._1").as("value"),
+          col("cell_t._2").as("writetime_us"),
+          col("cell_t._3").as("ttl_s"), col("cell_t._4").as("expire_us")))
+        .drop("cell_t")
+    val out = Scratch.dir("graft-sliceauto-")
+    try {
+      // 1. bigint clustering: the rule injects bounds and the reader
+      // prunes — results equal the unassisted filter's
+      val schemaL = graft.model.CqlSchema.parse(
+        "CREATE TABLE graft.documents (pk text, ck bigint, v text, " +
+          "PRIMARY KEY (pk, ck))").toOption
+      SSTableBinaryV2.writeSSTables(mkFrame(_.toString),
+        s"$out/l", "graft", "documents", schemaL, columnIndexSize = 512)
+      val dirL = s"$out/l/graft/documents"
+      val ckL = col("clustering")(0).cast("long")
+      val auto = SSTableBinaryV2.readBinary(spark, dirL)
+        .filter(col("partition_key") === "0" && ckL >= 40 && ckL <= 60)
+      assert(scanBounds(auto) === Seq((Some("40"), Some("60"))),
+        "rule did not inject slice bounds")
+      val expected = SSTableBinaryV2.readBinary(spark, dirL)
+        .collect().filter { r =>
+          val ck = r.getSeq[String](1).head.toLong
+          ck >= 40 && ck <= 60
+        }.toSet
+      assert(auto.collect().toSet === expected)
+      assert(expected.size === 21)
+      // strict bounds widen to an inclusive (conservative) slice
+      val strict = SSTableBinaryV2.readBinary(spark, dirL)
+        .filter(col("partition_key") === "0" && ckL > 40 && ckL < 60)
+      assert(scanBounds(strict) === Seq((Some("40"), Some("60"))))
+      assert(strict.count() === 19)
+      // 2. TEXT clustering + numeric predicate: bounds inject but the
+      // reader's space gate must ABSTAIN — text order would prune
+      // blocks holding "9" (> "60" as text, inside [40,60] as long)
+      val schemaT = graft.model.CqlSchema.parse(
+        "CREATE TABLE graft.documents (pk text, ck text, v text, " +
+          "PRIMARY KEY (pk, ck))").toOption
+      SSTableBinaryV2.writeSSTables(mkFrame(_.toString),
+        s"$out/t", "graft", "documents", schemaT, columnIndexSize = 512)
+      val dirT = s"$out/t/graft/documents"
+      val ckT = col("clustering")(0).cast("long")
+      val autoT = SSTableBinaryV2.readBinary(spark, dirT)
+        .filter(col("partition_key") === "0" && ckT >= 40 && ckT <= 60)
+      assert(scanBounds(autoT) === Seq((Some("40"), Some("60"))))
+      assert(autoT.count() === 21, "space gate failed: numeric bounds " +
+        "pruned a text-comparator generation")
+      // 3. a STRING predicate over the text clustering does engage
+      val autoS = SSTableBinaryV2.readBinary(spark, dirT)
+        .filter(col("partition_key") === "0" &&
+          col("clustering")(0) >= "40" && col("clustering")(0) <= "60")
+      assert(scanBounds(autoS) === Seq((Some("40"), Some("60"))))
+      val expectedS = SSTableBinaryV2.readBinary(spark, dirT)
+        .collect().filter { r =>
+          val ck = r.getSeq[String](1).head
+          ck >= "40" && ck <= "60"
+        }.toSet
+      assert(autoS.collect().toSet === expectedS)
+    } finally Scratch.delete(out)
+  }
+
   test("multi-component clustering slice: ':'-joined prefix bounds prune under tuple comparator semantics") {
     import spark.implicits._
     val out = Scratch.dir("graft-slicemulti-")
