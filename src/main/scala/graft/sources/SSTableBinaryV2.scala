@@ -769,6 +769,74 @@ object SSTableBinaryV2 {
 
     private var fullStream: java.io.InputStream = null
     private var seekStream: org.apache.hadoop.fs.FSDataInputStream = null
+    private var indexStream: org.apache.hadoop.fs.FSDataInputStream = null
+    /** One shared seekable Data.db handle for position-serving modes;
+      * every per-position stream wraps it at a fresh logical offset
+      * (plain seek or chunk-map seek — CompressionMetadata.chunkFor's
+      * role). */
+    private def openDataAt(p: Long): java.io.InputStream = {
+      if (seekStream == null) seekStream = fs.open(new HPath(file))
+      compressionMeta match {
+        case Some(m) =>
+          CompressedData.seekableStream(seekStream, onDiskLen, m,
+            file, p)
+        case None => seekStream.seek(p); seekStream
+      }
+    }
+
+    /** Serve one indexed partition: sliced (promoted blocks consumed)
+      * when slice bounds are engaged and the entry promoted, whole
+      * otherwise — shared by the point-lookup and slice-scan modes. */
+    private def servePosition(pos: Long,
+        promoted: Array[Byte]): Iterator[InternalRow] = {
+      val slicing = !oldEra && (sliceBounds._1.nonEmpty ||
+        sliceBounds._2.nonEmpty) && promoted.nonEmpty
+      if (slicing) {
+        val pr = BigFormat.readPromoted(promoted,
+          header.clusteringTypes, file)
+        expand(BigFormat.readPartitionSliced(header, openDataAt, pos,
+          pr, sliceBounds._1, sliceBounds._2, file))
+      } else if (oldEra)
+        expand2(OldFormat.partitions(oldSchema, openDataAt(pos), file)
+          .next())
+      else
+        expand(BigFormat.partitions(header, openDataAt(pos), file)
+          .next())
+    }
+
+    /** SLICE-SCAN mode: no partition-key predicate, but clustering
+      * slice bounds are engaged and an Index.db sidecar exists — so
+      * instead of streaming Data.db whole, walk the primary index and
+      * serve every (owned) partition through [[servePosition]]: wide
+      * partitions decode ONLY their overlapping promoted blocks, slim
+      * ones decode whole. This is the reference's
+      * ClusteringIndexSliceFilter read shape applied to a scan: at
+      * 100 TB a narrow slice over wide partitions reads O(overlap),
+      * not O(table). The index streams (never materializes — its size
+      * scales with the file) and ranged tasks claim entries by the
+      * same logical-offset ownership the split aligner uses. */
+    private def sliceScan(): Iterator[Iterator[InternalRow]] = {
+      val indexIn = fs.open(sibling("-Index.db"))
+      indexStream = indexIn
+      val entries = SSTableComponents.indexEntries(
+        new java.io.DataInputStream(
+          new java.io.BufferedInputStream(indexIn)), file)
+      val owned: Iterator[BigFormat.IndexEntry] =
+        if (!ranged) entries
+        else logicalRange() match {
+          case None => Iterator.empty
+          case Some((ls, le)) => entries
+            .dropWhile(_._2 < ls).takeWhile(_._2 < le)
+        }
+      owned.map { case (_, pos, promoted) =>
+        servePosition(pos, promoted)
+      }
+    }
+
+    private def sliceScanEligible: Boolean =
+      !oldEra && (sliceBounds._1.nonEmpty || sliceBounds._2.nonEmpty) &&
+        hasSibling("-Index.db")
+
     private val parts: Iterator[Iterator[InternalRow]] = lookup match {
       case Some(Seq()) => Iterator.empty // bloom-negative: file skipped
       case Some(positions) =>
@@ -781,32 +849,10 @@ object SSTableBinaryV2 {
             case Some((ls, le)) =>
               positions.filter { case (p, _) => p >= ls && p < le }
           }
-        seekStream = fs.open(new HPath(file))
-        // one shared seekable handle; every per-position stream wraps
-        // it at a fresh logical offset (plain seek or chunk-map seek)
-        def openAt(p: Long): java.io.InputStream = compressionMeta match {
-          case Some(m) =>
-            // chunk-map seek: CompressionMetadata.chunkFor's role
-            CompressedData.seekableStream(seekStream, onDiskLen, m,
-              file, p)
-          case None => seekStream.seek(p); seekStream
-        }
         owned.iterator.map { case (pos, promoted) =>
-          val slicing = !oldEra && (sliceBounds._1.nonEmpty ||
-            sliceBounds._2.nonEmpty) && promoted.nonEmpty
-          if (slicing) {
-            // in-partition seek over the promoted blocks — decode only
-            // the slice's overlapping column-index blocks
-            val pr = BigFormat.readPromoted(promoted,
-              header.clusteringTypes, file)
-            expand(BigFormat.readPartitionSliced(header, openAt, pos,
-              pr, sliceBounds._1, sliceBounds._2, file))
-          } else if (oldEra)
-            expand2(OldFormat.partitions(oldSchema, openAt(pos), file)
-              .next())
-          else
-            expand(BigFormat.partitions(header, openAt(pos), file).next())
+          servePosition(pos, promoted)
         }
+      case None if sliceScanEligible => sliceScan()
       case None if ranged =>
         alignRange() match {
           case None => Iterator.empty
@@ -987,6 +1033,7 @@ object SSTableBinaryV2 {
     override def close(): Unit = {
       if (fullStream != null) fullStream.close()
       if (seekStream != null) seekStream.close()
+      if (indexStream != null) indexStream.close()
     }
   }
 

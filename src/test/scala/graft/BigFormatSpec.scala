@@ -2552,6 +2552,19 @@ class SSTableBinarySpec extends SparkSpec {
         .filter(col("partition_key") === "0" && ckL > 40 && ckL < 60)
       assert(scanBounds(strict) === Seq((Some("40"), Some("60"))))
       assert(strict.count() === 19)
+      // 1b. SLICE-SCAN: no partition-key predicate at all — the
+      // reader walks Index.db and serves every partition through the
+      // promoted-block seek (ClusteringIndexSliceFilter's shape)
+      val scanAuto = SSTableBinaryV2.readBinary(spark, dirL)
+        .filter(ckL >= 40 && ckL <= 60)
+      assert(scanBounds(scanAuto) === Seq((Some("40"), Some("60"))))
+      assert(scanAuto.collect().toSet === expected)
+      // 1c. split + slice compose: ranged tasks claim index entries
+      // by logical offset, each serving its share sliced
+      val splitAuto = spark.read.format("sstable-big")
+        .option("splitBytes", "512").load(dirL)
+        .filter(ckL >= 40 && ckL <= 60)
+      assert(splitAuto.collect().toSet === expected)
       // 2. TEXT clustering + numeric predicate: bounds inject but the
       // reader's space gate must ABSTAIN — text order would prune
       // blocks holding "9" (> "60" as text, inside [40,60] as long)
