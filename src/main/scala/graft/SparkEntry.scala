@@ -146,6 +146,8 @@ object SparkEntry {
     "src_sstable_split_lz4" -> (sources.SSTableBinaryV2.splitAuditLz4 _),
     "src_sstable_wide" -> (sources.SSTableBinaryV2.wideAudit _),
     "src_sstable_digest" -> (sources.SSTableBinaryV2.digestAudit _),
+    "src_sstable_token_range" ->
+      (sources.SSTableBinaryV2.tokenRangeAudit _),
     "src_sstable_slice" -> (sources.SSTableBinaryV2.sliceAudit _),
     "src_sstable_roundtrip" -> (sources.SSTableBinaryV2.binaryRoundtrip _),
     "src_sstable_complex" -> (sources.SSTableBinaryV2.complexLifecycle _),
@@ -2819,6 +2821,11 @@ object SparkEntry {
     // recomputed and compared before rows are served — verification
     // is pure assurance, so the tree contract holds verbatim
     "src_sstable_digest" -> sstabledumpTreeSql,
+    // the token-range read path (S4's literal binary form): in-query
+    // checks pin exact ring membership + wrap-complement tiling; the
+    // audit residually restricts to the four probe keys, so the point
+    // contract holds verbatim
+    "src_sstable_token_range" -> pointOracleSql,
     // the era-UPGRADE lifecycle: the 2.x oracle with (a) every TTL
     // nulled (the strip) and (b) PK_LIVENESS collapsed to pk-only
     // rows — a 2.x row marker on a cell-bearing row becomes the

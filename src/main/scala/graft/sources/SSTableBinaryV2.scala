@@ -100,13 +100,18 @@ object SSTableBinaryV2 {
         Option(options.get("cql")),
         Option(options.get("splitBytes")).map(_.toLong),
         (Option(options.get("sliceLo")), Option(options.get("sliceHi"))),
-        Option(options.get("verify")).exists(_.toBoolean))
+        Option(options.get("verify")).exists(_.toBoolean),
+        for {
+          lo <- Option(options.get("tokenLo"))
+          hi <- Option(options.get("tokenHi"))
+        } yield (lo.toLong, hi.toLong))
   }
 
   private class BinScanBuilder(path: String, maxFiles: Option[Int],
       cql: Option[String], splitBytes: Option[Long],
       slice: (Option[String], Option[String]) = (None, None),
-      verify: Boolean = false)
+      verify: Boolean = false,
+      tokenRange: Option[(Long, Long)] = None)
       extends ScanBuilder with SupportsPushDownRequiredColumns
       with SupportsPushDownFilters {
     private var required: StructType = SSTableBinaryV2.schema
@@ -153,7 +158,7 @@ object SSTableBinaryV2 {
         requiredSchema.fieldNames.map(SSTableBinaryV2.schema(_)))
     override def build(): Scan =
       new BinScan(path, required, maxFiles, cql, pointKeys, splitBytes,
-        slice, verify)
+        slice, verify, tokenRange = tokenRange)
   }
 
   private class BinScan(path: String, required: StructType,
@@ -164,7 +169,8 @@ object SSTableBinaryV2 {
       private[sources] val slice: (Option[String], Option[String]) =
         (None, None),
       verify: Boolean = false,
-      sliceSpace: Option[String] = None)
+      sliceSpace: Option[String] = None,
+      tokenRange: Option[(Long, Long)] = None)
       extends Scan with Batch {
 
     /** A copy of this scan with planner-derived slice bounds — the
@@ -256,7 +262,7 @@ object SSTableBinaryV2 {
 
     override def createReaderFactory(): PartitionReaderFactory =
       new BinReaderFactory(required.fieldNames, hconf, cql, pointKeys,
-        slice, verify, sliceSpace)
+        slice, verify, sliceSpace, tokenRange)
 
     /** Streaming form — `spark.readStream.format("sstable-big")`: the
       * source's offset is a position in the SORTED file listing (new
@@ -367,13 +373,14 @@ object SSTableBinaryV2 {
       pointKeys: Option[Seq[String]] = None,
       slice: (Option[String], Option[String]) = (None, None),
       verify: Boolean = false,
-      sliceSpace: Option[String] = None)
+      sliceSpace: Option[String] = None,
+      tokenRange: Option[(Long, Long)] = None)
       extends PartitionReaderFactory {
     override def createReader(
         partition: InputPartition): PartitionReader[InternalRow] = {
       val p = partition.asInstanceOf[BinFilePartition]
       new BinPartitionReader(p.file, cols, hconf.value, cql, pointKeys,
-        p.start, p.end, p.info, slice, verify, sliceSpace)
+        p.start, p.end, p.info, slice, verify, sliceSpace, tokenRange)
     }
   }
 
@@ -389,7 +396,8 @@ object SSTableBinaryV2 {
       info: Option[SiblingInfo] = None,
       slice: (Option[String], Option[String]) = (None, None),
       verify: Boolean = false,
-      sliceSpace: Option[String] = None)
+      sliceSpace: Option[String] = None,
+      tokenRange: Option[(Long, Long)] = None)
       extends PartitionReader[InternalRow] {
     /** A split task owns the partitions whose Data.db start offset
       * falls in its BLIND [rangeStart, rangeEnd) — blind ranges tile
@@ -818,9 +826,11 @@ object SSTableBinaryV2 {
     private def sliceScan(): Iterator[Iterator[InternalRow]] = {
       val indexIn = fs.open(sibling("-Index.db"))
       indexStream = indexIn
-      val entries = SSTableComponents.indexEntries(
-        new java.io.DataInputStream(
-          new java.io.BufferedInputStream(indexIn)), file)
+      val din = new java.io.DataInputStream(
+        new java.io.BufferedInputStream(indexIn))
+      val entries =
+        if (oldEra) SSTableComponents.indexEntries2x(din, file)
+        else SSTableComponents.indexEntries(din, file)
       val owned: Iterator[BigFormat.IndexEntry] =
         if (!ranged) entries
         else logicalRange() match {
@@ -828,16 +838,63 @@ object SSTableBinaryV2 {
           case Some((ls, le)) => entries
             .dropWhile(_._2 < ls).takeWhile(_._2 < le)
         }
-      owned.map { case (_, pos, promoted) =>
+      // token filtering rides the walk: entries stream in token order,
+      // so a non-wrapping range stops at the first token past hi
+      val inRange: Iterator[BigFormat.IndexEntry] = tokenRange match {
+        case None => owned
+        case Some((lo, hi)) if lo <= hi =>
+          owned.map(e => (BigFormat.murmur3Token(e._1), e))
+            .takeWhile(_._1 <= hi)
+            .collect { case (t, e) if t >= lo => e }
+        case Some(_) =>
+          owned.filter(e => tokenIn(BigFormat.murmur3Token(e._1)))
+      }
+      inRange.map { case (_, pos, promoted) =>
         servePosition(pos, promoted)
       }
     }
 
     private def sliceScanEligible: Boolean =
-      !oldEra && (sliceBounds._1.nonEmpty || sliceBounds._2.nonEmpty) &&
+      ((!oldEra && (sliceBounds._1.nonEmpty ||
+        sliceBounds._2.nonEmpty)) || tokenRange.isDefined) &&
         hasSibling("-Index.db")
 
-    private val parts: Iterator[Iterator[InternalRow]] = lookup match {
+    /** Wrap-around-aware Murmur3 token-range membership — the
+      * reference's S4 range semantics (`lo > hi` wraps through the
+      * ring's ends, exactly how Cassandra token ranges do). */
+    private def tokenIn(t: Long): Boolean = tokenRange match {
+      case None => true
+      case Some((lo, hi)) =>
+        if (lo <= hi) t >= lo && t <= hi else t >= lo || t <= hi
+    }
+
+    /** FILE-level token skip: the Summary.db tail carries the
+      * generation's first/last keys (`SSTableReader.saveSummary`'s
+      * appendix); a file whose [token(first), token(last)] span —
+      * contiguous, files are token-ordered — is disjoint from the
+      * requested range is skipped without touching Index.db or
+      * Data.db, the way Cassandra's getScanner(ranges) elides
+      * non-overlapping sstables. Absent summary = no skip (serve and
+      * let the per-partition walk filter). */
+    private def fileTokenDisjoint: Boolean = tokenRange match {
+      case None => false
+      case Some((lo, hi)) =>
+        if (oldEra || !hasSibling("-Summary.db")) false
+        else {
+          val sm = SSTableComponents
+            .readSummary(readSibling(sibling("-Summary.db")))
+          val tFirst = BigFormat.murmur3Token(sm.firstKey)
+          val tLast = BigFormat.murmur3Token(sm.lastKey)
+          val overlaps =
+            if (lo <= hi) !(hi < tFirst || lo > tLast)
+            else tLast >= lo || tFirst <= hi
+          !overlaps
+        }
+    }
+
+    private val parts: Iterator[Iterator[InternalRow]] =
+      if (fileTokenDisjoint) Iterator.empty
+      else lookup match {
       case Some(Seq()) => Iterator.empty // bloom-negative: file skipped
       case Some(positions) =>
         // a split task serves only the indexed positions it owns —
@@ -2498,6 +2555,57 @@ object SSTableBinaryV2 {
     val split = spark.read.format("sstable-big")
       .option("splitBytes", "512").load(out.toString)
     val audit = SSTableDumpBridge.auditFrame(split).localCheckpoint()
+    graft.Scratch.delete(out)
+    audit
+  }
+
+  /** Registered `src_sstable_token_range`: the TOKEN-RANGE read path
+    * over the binary connector — the reference's S4 (range-bounded
+    * scan with wrap-around) in its literal on-disk form. `tokenLo`/
+    * `tokenHi` bound the Murmur3 ring inclusively; the reader walks
+    * Index.db in token order (early-stopping past `hi` on non-wrap
+    * ranges), seeks exactly the member partitions, and skips whole
+    * generations whose Summary.db first/last-key token span is
+    * disjoint — `getScanner(ranges)`' sstable elision. In-query
+    * checks: membership is EXACT against a driver-side token filter
+    * of every key, and the wrap-complement range `[hi+1, lo-1]` tiles
+    * the ring (rows(range) + rows(complement) = rows(full) — so wrap
+    * semantics are exercised at every SF). The audit residually
+    * restricts to the four probe keys, keeping the point oracle. */
+  def tokenRangeAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val in = writeBinaryFixture(spark, sfDir)
+    val out = graft.Scratch.dir("graft-tokenrange-")
+    writeSSTables(readBinary(spark, in.toString), out.toString,
+      "graft", "documents")
+    graft.Scratch.delete(in)
+    val dir = s"$out/graft/documents"
+    val keys = Seq("8", "13", "15", "17")
+    def tok(k: String): Long = BigFormat.murmur3Token(
+      BigFormat.encodeValue(BigFormat.Utf8Type, k))
+    val toks = keys.map(tok)
+    val (lo, hi) = (toks.min, toks.max)
+    def ranged(l: Long, h: Long): DataFrame =
+      spark.read.format("sstable-big")
+        .option("tokenLo", l.toString).option("tokenHi", h.toString)
+        .load(dir)
+    val full = readBinary(spark, dir).localCheckpoint()
+    val allKeys = full.select("partition_key").distinct()
+      .collect().map(_.getString(0))
+    val expected = allKeys.filter(k =>
+      { val t = tok(k); t >= lo && t <= hi }).toSet
+    val got = ranged(lo, hi).select("partition_key").distinct()
+      .collect().map(_.getString(0)).toSet
+    require(got == expected,
+      s"$dir: token range served ${got.size} keys, driver-side " +
+        s"membership says ${expected.size}")
+    val nIn = ranged(lo, hi).count()
+    val nWrap = ranged(hi + 1, lo - 1).count()
+    require(nIn + nWrap == full.count(),
+      s"$dir: range + wrap-complement do not tile the ring " +
+        s"($nIn + $nWrap vs ${full.count()})")
+    val audit = SSTableDumpBridge.auditFrame(
+      ranged(lo, hi).filter(col("partition_key").isin(keys: _*)))
+      .localCheckpoint()
     graft.Scratch.delete(out)
     audit
   }

@@ -2367,6 +2367,68 @@ class SSTableBinarySpec extends SparkSpec {
     } finally { Scratch.delete(in); Scratch.delete(out) }
   }
 
+  test("token-range reads: exact ring membership, wrap-around, and summary-gated file skips (garbled foreign files untouched)") {
+    import spark.implicits._
+    val out = Scratch.dir("graft-tokenspec-")
+    try {
+      // four single-partition generations — each key its own file, so
+      // file-level skip behavior is deterministic per range
+      val frame = (0 to 3).map { i =>
+        (i.toString, Seq(s"c$i"), "ROW", Some("v"),
+          Some((s"val$i", 1609459200000000L + i, None: Option[Int],
+            None: Option[Long])), None: Option[Long],
+          s"t/nb-${i + 1}-big-Data.db")
+      }.toDF("partition_key", "clustering", "row_kind", "name",
+        "cell_t", "deletion_us", "sstable")
+        .withColumn("cell", struct(
+          col("cell_t._1").as("value"),
+          col("cell_t._2").as("writetime_us"),
+          col("cell_t._3").as("ttl_s"), col("cell_t._4").as("expire_us")))
+        .drop("cell_t")
+      SSTableBinaryV2.writeSSTables(frame, out.toString, "graft",
+        "documents")
+      val dir = s"$out/graft/documents"
+      def tok(k: String): Long = BigFormat.murmur3Token(
+        BigFormat.encodeValue(BigFormat.Utf8Type, k))
+      def ranged(lo: Long, hi: Long) = spark.read.format("sstable-big")
+        .option("tokenLo", lo.toString).option("tokenHi", hi.toString)
+        .load(dir)
+      // single-token range serves exactly its key
+      val t2 = tok("2")
+      assert(ranged(t2, t2).select("partition_key").collect()
+        .map(_.getString(0)).toSet === Set("2"))
+      // wrap-complement serves exactly the others
+      assert(ranged(t2 + 1, t2 - 1).select("partition_key").collect()
+        .map(_.getString(0)).toSet === Set("0", "1", "3"))
+      // summary-gated FILE skip: garble every other generation's
+      // Data.db — the single-token read must still answer (their
+      // Summary.db token spans are disjoint, so they are never
+      // opened), while a full scan now fails loudly
+      val files = {
+        val st = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+        try { import scala.jdk.CollectionConverters._
+          st.iterator().asScala.filter(
+            _.getFileName.toString.endsWith("-Data.db")).toVector
+        } finally st.close()
+      }
+      val t2name = SSTableBinaryV2.readBinary(spark, dir)
+        .filter(col("partition_key") === "2")
+        .select("sstable").head().getString(0).split('/').last
+      files.filterNot(_.getFileName.toString == t2name).foreach { f =>
+        java.nio.file.Files.write(f,
+          Array.fill[Byte](64)(0x7f))
+        java.nio.file.Files.deleteIfExists(
+          f.getParent.resolve("." + f.getFileName + ".crc"))
+      }
+      assert(ranged(t2, t2).select("partition_key").collect()
+        .map(_.getString(0)).toSet === Set("2"),
+        "token-range read touched a generation its summary excludes")
+      intercept[org.apache.spark.SparkException] {
+        SSTableBinaryV2.readBinary(spark, dir).count()
+      }
+    } finally Scratch.delete(out)
+  }
+
   test("digest verification: clean generations serve; a flipped Data.db byte refuses loudly; absent digest refuses") {
     val in = SSTableBinaryV2.writeBinaryFixture(spark, sfDir)
     val out = Scratch.dir("graft-digestspec-")
@@ -2690,6 +2752,13 @@ class SSTableBinarySpec extends SparkSpec {
         .load(dir)).collect().toSet
       assert(sliced === restricted(full).collect().toSet)
       assert(sliced.nonEmpty)
+      // slice-SCAN (no pk) composes with the chunk map too: index
+      // walk + per-partition chunk-seeks
+      val scanSliced = spark.read.format("sstable-big")
+        .option("sliceLo", lo.toString).option("sliceHi", hi.toString)
+        .load(dir).filter(ckCol.between(lo, hi)).collect().toSet
+      assert(scanSliced ===
+        full.filter(ckCol.between(lo, hi)).collect().toSet)
     } finally Scratch.delete(out)
   }
 
