@@ -19,6 +19,10 @@ object GraftFunctions {
   def array_poly_hash(a: Column): Column =
     GraftColumns.column(ArrayPolyHash(GraftColumns.expression(a)))
 
+  /** Cassandra's Murmur3Partitioner token of a string/binary key. */
+  def murmur3_token(a: Column): Column =
+    GraftColumns.column(Murmur3Token(GraftColumns.expression(a)))
+
   /** Register every graft function on a session for SQL use
     * (`SELECT array_dot(a, b) ...`). Idempotent. */
   def register(spark: SparkSession): Unit = {
@@ -26,5 +30,7 @@ object GraftFunctions {
       exprs => ArrayDot(exprs(0), exprs(1)))
     GraftColumns.registerFunction(spark, "array_poly_hash",
       exprs => ArrayPolyHash(exprs(0)))
+    GraftColumns.registerFunction(spark, "murmur3_token",
+      exprs => Murmur3Token(exprs(0)))
   }
 }

@@ -113,6 +113,49 @@ case class PushClusteringSlice(spark: SparkSession)
       case _ => Nil
     }
 
+  /** Murmur3 token bounds from conjuncts comparing
+    * `murmur3_token(partition_key)` with long literals — the ring
+    * form of the same derivation ([[graft.functions.Murmur3Token]]
+    * computes exactly the partitioner token the reader ranges by, so
+    * the comparison space is pinned by construction). Returns
+    * (lo, hi) inclusive; strict bounds widen (conservative). Only
+    * non-wrapping ranges are derivable from AND-conjuncts. */
+  private def tokenBoundsOf(cond: Expression,
+      rel: DataSourceV2ScanRelation): (Option[Long], Option[Long]) = {
+    def tokOfPk(e: Expression): Boolean = e match {
+      case graft.functions.Murmur3Token(a: AttributeReference) =>
+        a.name == "partition_key" &&
+          rel.output.exists(_.exprId == a.exprId)
+      case _ => false
+    }
+    def longOf(l: Literal): Option[Long] = l.value match {
+      case v: java.lang.Long => Some(v)
+      case v: java.lang.Integer => Some(v.toLong)
+      case _ => None
+    }
+    val bounds = splitConjunctivePredicates(cond).flatMap {
+      case GreaterThanOrEqual(t, l: Literal) if tokOfPk(t) =>
+        longOf(l).map((_, true))
+      case GreaterThan(t, l: Literal) if tokOfPk(t) =>
+        longOf(l).map((_, true))
+      case LessThanOrEqual(t, l: Literal) if tokOfPk(t) =>
+        longOf(l).map((_, false))
+      case LessThan(t, l: Literal) if tokOfPk(t) =>
+        longOf(l).map((_, false))
+      case GreaterThanOrEqual(l: Literal, t) if tokOfPk(t) =>
+        longOf(l).map((_, false))
+      case GreaterThan(l: Literal, t) if tokOfPk(t) =>
+        longOf(l).map((_, false))
+      case LessThanOrEqual(l: Literal, t) if tokOfPk(t) =>
+        longOf(l).map((_, true))
+      case LessThan(l: Literal, t) if tokOfPk(t) =>
+        longOf(l).map((_, true))
+      case _ => Nil
+    }
+    (bounds.collectFirst { case (v, true) => v },
+      bounds.collectFirst { case (v, false) => v })
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, rel: DataSourceV2ScanRelation) =>
       val bounds = boundsOf(cond, rel)
@@ -121,15 +164,32 @@ case class PushClusteringSlice(spark: SparkSession)
       // multi-component carry — the reader treats planner bounds as
       // one verbatim component, but abstain anyway for clarity
       val clean = bounds.filterNot(_._2.contains(":"))
-      if (clean.isEmpty || spaces.size != 1) f
-      else {
-        val lo = clean.collectFirst { case (_, v, true) => v }
-        val hi = clean.collectFirst { case (_, v, false) => v }
-        graft.sources.SSTableBinaryV2
-          .scanWithSlice(rel.scan, lo, hi, spaces.head) match {
-          case Some(sliced) => f.copy(child = rel.copy(scan = sliced))
-          case None => f
+      val afterSlice =
+        if (clean.isEmpty || spaces.size != 1) rel
+        else {
+          val lo = clean.collectFirst { case (_, v, true) => v }
+          val hi = clean.collectFirst { case (_, v, false) => v }
+          graft.sources.SSTableBinaryV2
+            .scanWithSlice(rel.scan, lo, hi, spaces.head) match {
+            case Some(sliced) => rel.copy(scan = sliced)
+            case None => rel
+          }
         }
+      val afterToken = tokenBoundsOf(cond, rel) match {
+        // the reader's range is inclusive on both ends; a one-sided
+        // predicate completes with the ring's own end (no wrap)
+        case (Some(lo), hi) =>
+          graft.sources.SSTableBinaryV2.scanWithTokenRange(
+            afterSlice.scan, lo, hi.getOrElse(Long.MaxValue))
+            .map(sc => afterSlice.copy(scan = sc))
+            .getOrElse(afterSlice)
+        case (None, Some(hi)) =>
+          graft.sources.SSTableBinaryV2.scanWithTokenRange(
+            afterSlice.scan, Long.MinValue, hi)
+            .map(sc => afterSlice.copy(scan = sc))
+            .getOrElse(afterSlice)
+        case _ => afterSlice
       }
+      if (afterToken eq rel) f else f.copy(child = afterToken)
   }
 }

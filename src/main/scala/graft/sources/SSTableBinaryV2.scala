@@ -182,7 +182,14 @@ object SSTableBinaryV2 {
     private[graft] def withSlice(lo: Option[String], hi: Option[String],
         space: String): BinScan =
       new BinScan(path, required, maxFiles, cql, pointKeys,
-        splitBytesOpt, (lo, hi), verify, Some(space))
+        splitBytesOpt, (lo, hi), verify, Some(space), tokenRange)
+
+    private[graft] def withTokenRange(lo: Long, hi: Long): BinScan =
+      new BinScan(path, required, maxFiles, cql, pointKeys,
+        splitBytesOpt, slice, verify, sliceSpace, Some((lo, hi)))
+
+    private[graft] def currentTokenRange: Option[(Long, Long)] =
+      tokenRange
     private val hconf = new SerializableConfiguration(
       SparkSession.active.sessionState.newHadoopConf())
     /** Target split size: the `splitBytes` option, else the session's
@@ -1265,6 +1272,25 @@ object SSTableBinaryV2 {
   private[graft] def sliceOf(scan: org.apache.spark.sql.connector.read.Scan)
       : Option[(Option[String], Option[String])] = scan match {
     case b: BinScan => Some(b.slice)
+    case _ => None
+  }
+
+  /** Planner hook: copy `scan` with a Murmur3 token range when it is
+    * this connector's scan without one already (fixed point). */
+  private[graft] def scanWithTokenRange(
+      scan: org.apache.spark.sql.connector.read.Scan,
+      lo: Long, hi: Long): Option[org.apache.spark.sql.connector.read.Scan] =
+    scan match {
+      case b: BinScan if b.currentTokenRange.isEmpty =>
+        Some(b.withTokenRange(lo, hi))
+      case _ => None
+    }
+
+  /** The token range a scan carries — plan-inspection surface. */
+  private[graft] def tokenRangeOf(
+      scan: org.apache.spark.sql.connector.read.Scan)
+      : Option[(Long, Long)] = scan match {
+    case b: BinScan => b.currentTokenRange
     case _ => None
   }
 
@@ -2603,6 +2629,22 @@ object SSTableBinaryV2 {
     require(nIn + nWrap == full.count(),
       s"$dir: range + wrap-complement do not tile the ring " +
         s"($nIn + $nWrap vs ${full.count()})")
+    // the AUTOMATIC form: a murmur3_token() predicate alone derives
+    // the same range via the planner rule — pinned so a rule break
+    // fails the oracle run
+    graft.plans.GraftExtensions.enable(spark)
+    val tokCol = graft.functions.GraftFunctions
+      .murmur3_token(col("partition_key"))
+    val auto = readBinary(spark, dir).filter(tokCol.between(lo, hi))
+    val autoRange = auto.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2
+        .DataSourceV2ScanRelation => tokenRangeOf(r.scan)
+    }.flatten
+    require(autoRange == Seq((lo, hi)),
+      s"$dir: rule derived $autoRange, expected [$lo, $hi]")
+    require(auto.count() == nIn,
+      s"$dir: rule-ranged read served ${auto.count()} rows, " +
+        s"options-ranged served $nIn")
     val audit = SSTableDumpBridge.auditFrame(
       ranged(lo, hi).filter(col("partition_key").isin(keys: _*)))
       .localCheckpoint()

@@ -2400,6 +2400,23 @@ class SSTableBinarySpec extends SparkSpec {
       // wrap-complement serves exactly the others
       assert(ranged(t2 + 1, t2 - 1).select("partition_key").collect()
         .map(_.getString(0)).toSet === Set("0", "1", "3"))
+      // the planner rule derives the range from a murmur3_token
+      // predicate — no options, the Filter alone carries the ring
+      // bounds into the scan
+      graft.plans.GraftExtensions.enable(spark)
+      import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+      val tokCol = graft.functions.GraftFunctions
+        .murmur3_token(col("partition_key"))
+      val auto = SSTableBinaryV2.readBinary(spark, dir)
+        .filter(tokCol.between(t2, t2))
+      val bounds = auto.queryExecution.optimizedPlan.collect {
+        case r: DataSourceV2ScanRelation =>
+          SSTableBinaryV2.tokenRangeOf(r.scan)
+      }.flatten
+      assert(bounds === Seq((t2, t2)),
+        "PushClusteringSlice did not derive the token range")
+      assert(auto.select("partition_key").collect()
+        .map(_.getString(0)).toSet === Set("2"))
       // summary-gated FILE skip: garble every other generation's
       // Data.db — the single-token read must still answer (their
       // Summary.db token spans are disjoint, so they are never

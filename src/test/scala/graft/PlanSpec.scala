@@ -140,6 +140,35 @@ class PlanSpec extends SparkSpec {
     assert(r === 11.0)
   }
 
+  test("murmur3_token matches the engine's partitioner token, over strings and binary, in SQL too") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val samples = Seq("8", "13", "", "hello world", "ün¡çødé")
+    // the codegen'd column path agrees with the engine's token
+    val got = samples.toDF("k")
+      .select(graft.functions.GraftFunctions.murmur3_token(col("k")))
+      .collect().map(_.getLong(0)).toSeq
+    val want = samples.map(s => graft.sources.BigFormat
+      .murmur3Token(s.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    assert(got === want)
+    // binary input hashes the bytes verbatim
+    val bin = Seq(Array[Byte](0, 1, 2, -1)).toDF("b")
+      .select(graft.functions.GraftFunctions.murmur3_token(col("b")))
+      .head().getLong(0)
+    assert(bin === graft.sources.BigFormat
+      .murmur3Token(Array[Byte](0, 1, 2, -1)))
+    // SQL-callable
+    val sql = spark.sql("SELECT murmur3_token('8') AS t").head().getLong(0)
+    assert(sql === want.head)
+    // non-string/binary input refuses at analysis
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(1).toDF("n")
+        .select(graft.functions.GraftFunctions.murmur3_token(col("n")))
+        .head()
+    }
+  }
+
   test("decontamination probes a broadcast blocklist, never shuffles the corpus for the join") {
     val p = plan(graft.ops.DedupOps.decontaminate(spark, sfDir))
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast probe:\n$p")
