@@ -101,10 +101,15 @@ object SSTableBinaryV2 {
         Option(options.get("splitBytes")).map(_.toLong),
         (Option(options.get("sliceLo")), Option(options.get("sliceHi"))),
         Option(options.get("verify")).exists(_.toBoolean),
-        for {
-          lo <- Option(options.get("tokenLo"))
-          hi <- Option(options.get("tokenHi"))
-        } yield (lo.toLong, hi.toLong))
+        (Option(options.get("tokenLo")),
+          Option(options.get("tokenHi"))) match {
+          case (Some(lo), Some(hi)) => Some((lo.toLong, hi.toLong))
+          case (None, None) => None
+          case _ => throw new IllegalArgumentException(
+            "tokenLo and tokenHi come as a pair (the ring has no " +
+              "implicit end for a manual option — pass Long.MinValue/" +
+              "MaxValue to leave a side open)")
+        })
   }
 
   private class BinScanBuilder(path: String, maxFiles: Option[Int],
@@ -2619,12 +2624,13 @@ object SSTableBinaryV2 {
       .collect().map(_.getString(0))
     val expected = allKeys.filter(k =>
       { val t = tok(k); t >= lo && t <= hi }).toSet
-    val got = ranged(lo, hi).select("partition_key").distinct()
+    val inRange = ranged(lo, hi).localCheckpoint()
+    val got = inRange.select("partition_key").distinct()
       .collect().map(_.getString(0)).toSet
     require(got == expected,
       s"$dir: token range served ${got.size} keys, driver-side " +
         s"membership says ${expected.size}")
-    val nIn = ranged(lo, hi).count()
+    val nIn = inRange.count()
     val nWrap = ranged(hi + 1, lo - 1).count()
     require(nIn + nWrap == full.count(),
       s"$dir: range + wrap-complement do not tile the ring " +
@@ -2646,7 +2652,7 @@ object SSTableBinaryV2 {
       s"$dir: rule-ranged read served ${auto.count()} rows, " +
         s"options-ranged served $nIn")
     val audit = SSTableDumpBridge.auditFrame(
-      ranged(lo, hi).filter(col("partition_key").isin(keys: _*)))
+      inRange.filter(col("partition_key").isin(keys: _*)))
       .localCheckpoint()
     graft.Scratch.delete(out)
     audit
