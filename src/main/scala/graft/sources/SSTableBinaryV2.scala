@@ -195,6 +195,25 @@ object SSTableBinaryV2 {
 
     private[graft] def currentTokenRange: Option[(Long, Long)] =
       tokenRange
+
+    /** Surfaced by `.explain("formatted")` — the IO-pruning state a
+      * user needs to SEE to trust (pushed point keys, slice bounds,
+      * token range, split size, verify): plan-shape iteration is how
+      * this engine is meant to be tuned, so the scan says what it
+      * will and won't read. */
+    override def description(): String = {
+      val parts = Seq(
+        Some(s"path=$path"),
+        pointKeys.map(k => s"pointKeys=${k.size}"),
+        slice._1.map(v => s"sliceLo=$v"),
+        slice._2.map(v => s"sliceHi=$v"),
+        sliceSpace.map(v => s"sliceSpace=$v"),
+        tokenRange.map { case (lo, hi) => s"tokenRange=[$lo,$hi]" },
+        splitBytesOpt.map(b => s"splitBytes=$b"),
+        if (verify) Some("verify=true") else None
+      ).flatten
+      s"sstable-big(${parts.mkString(", ")})"
+    }
     private val hconf = new SerializableConfiguration(
       SparkSession.active.sessionState.newHadoopConf())
     /** Target split size: the `splitBytes` option, else the session's

@@ -2417,6 +2417,12 @@ class SSTableBinarySpec extends SparkSpec {
         "PushClusteringSlice did not derive the token range")
       assert(auto.select("partition_key").collect()
         .map(_.getString(0)).toSet === Set("2"))
+      // the pruning state is VISIBLE in explain output (Scan
+      // description) — users verify engagement from the plan alone
+      val explained = auto.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(explained.contains(s"tokenRange=[$t2,$t2]"),
+        s"scan description lacks the token range:\n$explained")
       // summary-gated FILE skip: garble every other generation's
       // Data.db — the single-token read must still answer (their
       // Summary.db token spans are disjoint, so they are never
