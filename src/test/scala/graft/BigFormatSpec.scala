@@ -2452,6 +2452,44 @@ class SSTableBinarySpec extends SparkSpec {
     } finally Scratch.delete(out)
   }
 
+  test("SQL surface: CREATE TEMPORARY VIEW USING sstable-big + murmur3_token() WHERE clause prunes via the rule") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+    val out = Scratch.dir("graft-sqlview-")
+    try {
+      val frame = (0 to 3).map { i =>
+        (i.toString, Seq(s"c$i"), "ROW", Some("v"),
+          Some((s"val$i", 1609459200000000L + i, None: Option[Int],
+            None: Option[Long])), None: Option[Long],
+          s"t/nb-${i + 1}-big-Data.db")
+      }.toDF("partition_key", "clustering", "row_kind", "name",
+        "cell_t", "deletion_us", "sstable")
+        .withColumn("cell", struct(
+          col("cell_t._1").as("value"),
+          col("cell_t._2").as("writetime_us"),
+          col("cell_t._3").as("ttl_s"), col("cell_t._4").as("expire_us")))
+        .drop("cell_t")
+      SSTableBinaryV2.writeSSTables(frame, out.toString, "graft",
+        "documents")
+      val dir = s"$out/graft/documents"
+      graft.functions.GraftFunctions.register(spark)
+      graft.plans.GraftExtensions.enable(spark)
+      spark.sql("CREATE OR REPLACE TEMPORARY VIEW sst " +
+        s"USING `sstable-big` OPTIONS (path '$dir')")
+      val t2 = BigFormat.murmur3Token(
+        BigFormat.encodeValue(BigFormat.Utf8Type, "2"))
+      val q = spark.sql("SELECT partition_key FROM sst WHERE " +
+        s"murmur3_token(partition_key) BETWEEN ${t2}L AND ${t2}L")
+      assert(q.collect().map(_.getString(0)).toSet === Set("2"))
+      val ranges = q.queryExecution.optimizedPlan.collect {
+        case r: DataSourceV2ScanRelation =>
+          SSTableBinaryV2.tokenRangeOf(r.scan)
+      }.flatten
+      assert(ranges === Seq((t2, t2)),
+        "SQL WHERE clause did not reach the scan as a token range")
+    } finally Scratch.delete(out)
+  }
+
   test("digest verification: clean generations serve; a flipped Data.db byte refuses loudly; absent digest refuses") {
     val in = SSTableBinaryV2.writeBinaryFixture(spark, sfDir)
     val out = Scratch.dir("graft-digestspec-")
