@@ -2452,6 +2452,36 @@ class SSTableBinarySpec extends SparkSpec {
     } finally Scratch.delete(out)
   }
 
+  test("point lookups over COMPOSITE partition keys: the ':'-joined carry encodes to the real blob") {
+    val in = SSTableBinaryV2.writeCompositeFixture(spark, sfDir)
+    val out = Scratch.dir("graft-comppoint-")
+    try {
+      val cql = graft.model.CqlSchema.parse(
+        """CREATE TABLE graft.documents (
+          |  src text, d bigint, ck text, len text, origin text,
+          |  PRIMARY KEY ((src, d), ck))""".stripMargin)
+        .fold(e => fail(e), identity)
+      SSTableBinaryV2.writeSSTables(
+        SSTableBinaryV2.readBinary(spark, in.toString),
+        out.toString, "graft", "documents", Some(cql))
+      val dir = s"$out/graft/documents"
+      val full = SSTableBinaryV2.readBinary(spark, dir).localCheckpoint()
+      val key = full.select("partition_key").head().getString(0)
+      assert(key.contains(":"), s"not a composite carry: $key")
+      // the pushed ':'-joined key must bloom/index-match the REAL
+      // CompositeType blob the typed sink wrote
+      val viaPoint = SSTableBinaryV2.readBinary(spark, dir)
+        .filter(col("partition_key") === key).collect().toSet
+      assert(viaPoint ===
+        full.filter(col("partition_key") === key).collect().toSet)
+      assert(viaPoint.nonEmpty)
+      // a well-formed composite that exists nowhere: zero rows
+      assert(SSTableBinaryV2.readBinary(spark, dir)
+        .filter(col("partition_key") === "no-such-src:999999")
+        .count() === 0)
+    } finally { Scratch.delete(in); Scratch.delete(out) }
+  }
+
   test("SQL surface: CREATE TEMPORARY VIEW USING sstable-big + murmur3_token() WHERE clause prunes via the rule") {
     import spark.implicits._
     import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
