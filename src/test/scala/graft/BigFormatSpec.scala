@@ -726,6 +726,62 @@ class BigFormatSpec extends AnyFunSuite {
     assert(buildPromoted(None, Nil, 20L, 256).isEmpty)
   }
 
+  test("readPartitionSliced property: any random slice serves a block-aligned superset, exact under the residual filter") {
+    import BigFormat._
+    val hdr = BigFormat.Header(
+      minTimestampUs = 1609459200L * 1000000L,
+      minLocalDeletionTimeS = 1609459200,
+      minTtlS = 0,
+      keyType = Utf8Type,
+      clusteringTypes = Seq(LongType),
+      staticColumns = Nil,
+      regularColumns = Seq("v" -> Utf8Type))
+    val ts = 1609459200L * 1000000L
+    for (seed <- Seq(7L, 99L, 20260815L)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 50 + rnd.nextInt(250)
+      val threshold = Seq(256, 512, 1024)(rnd.nextInt(3))
+      val atoms: Seq[Atom] = (0L until n.toLong).map(ck =>
+        RowAtom(Seq(Some(ck.toString)), Some(ts), None, None, None,
+          Seq(CellAtom("v", ts, None, None,
+            Some("x" * (20 + rnd.nextInt(60))), deleted = false))))
+      val part = PartitionData("p", None, atoms)
+      val (data, index) = writeDataFileIndexed(Seq(part), hdr, threshold)
+      val (_, pos, promotedBytes) = index.head
+      assert(promotedBytes.nonEmpty, s"seed=$seed did not promote")
+      val promoted = readPromoted(promotedBytes, hdr.clusteringTypes, "t")
+      def openAt(p: Long): java.io.InputStream =
+        new ByteArrayInputStream(data, p.toInt, data.length - p.toInt)
+      def cks(p: PartitionData): Seq[Long] = p.atoms.collect {
+        case r: RowAtom if !r.static => r.clustering.head.get.toLong
+      }
+      for (_ <- 0 until 10) {
+        // bounds roam past both ends so empty and total slices occur
+        val a = -20L + rnd.nextInt(n + 40)
+        val b = -20L + rnd.nextInt(n + 40)
+        val (lo, hi) = (math.min(a, b), math.max(a, b))
+        val loB =
+          if (rnd.nextBoolean()) Seq(encodeValue(LongType, lo.toString))
+          else Nil
+        val hiB =
+          if (rnd.nextBoolean()) Seq(encodeValue(LongType, hi.toString))
+          else Nil
+        val got = cks(readPartitionSliced(hdr, openAt, pos, promoted,
+          loB, hiB, "t"))
+        val want = (0L until n.toLong).filter(ck =>
+          (loB.isEmpty || ck >= lo) && (hiB.isEmpty || ck <= hi))
+        // superset of the filter's rows, subset of the partition,
+        // contiguous (block-aligned), ordered
+        assert(want.forall(got.contains),
+          s"seed=$seed [$lo,$hi]: slice lost rows")
+        assert(got.forall(ck => ck >= 0 && ck < n))
+        assert(got === got.sorted)
+        if (got.nonEmpty) assert(got === (got.head to got.last),
+          s"seed=$seed [$lo,$hi]: non-contiguous block selection")
+      }
+    }
+  }
+
   test("readPartitionSliced decodes only the slice's blocks (and strictly fewer bytes)") {
     import BigFormat._
     val hdr = BigFormat.Header(
