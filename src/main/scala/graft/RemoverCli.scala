@@ -66,11 +66,12 @@ object RemoverCli {
       cqlSchema: Option[graft.model.CqlSchema.Parsed] = None,
       cqlText: Option[String] = None,
       compress: Option[String] = None,
-      verify: Boolean = false)
+      verify: Boolean = false,
+      outGenerations: Int = 1)
 
   private val Flags = Set("in", "out", "table", "keyspace", "cpus",
     "pk", "ck", "cells", "writetime", "ttl-key", "format", "merge",
-    "reader", "sink", "cql", "compress", "verify")
+    "reader", "sink", "cql", "compress", "verify", "out-generations")
 
   private def csv(v: String): Seq[String] =
     v.split(',').map(_.trim).filter(_.nonEmpty).toSeq
@@ -98,9 +99,14 @@ object RemoverCli {
             Left("--out must differ from --in (originals are kept)")
           else {
             val cpus = m.getOrElse("cpus", "8")
-            cpus.toIntOption.filter(_ > 0) match {
-              case None => Left(s"--cpus must be a positive int, got '$cpus'")
-              case Some(c) =>
+            val outGens = m.get("out-generations")
+              .map(_.toIntOption.filter(_ >= 1))
+            (cpus.toIntOption.filter(_ > 0), outGens) match {
+              case (None, _) =>
+                Left(s"--cpus must be a positive int, got '$cpus'")
+              case (_, Some(None)) =>
+                Left("--out-generations must be a positive int")
+              case (Some(c), og) =>
                 val args = CliArgs(i, o, t,
                   m.getOrElse("keyspace", "graft"), c,
                   pk = m.get("pk").map(csv).getOrElse(Seq.empty),
@@ -113,7 +119,8 @@ object RemoverCli {
                   reader = m.getOrElse("reader", "json"),
                   sink = m.getOrElse("sink", "parquet"),
                   compress = m.get("compress").map(_.toLowerCase),
-                  verify = m.get("verify").exists(_.toBoolean))
+                  verify = m.get("verify").exists(_.toBoolean),
+                  outGenerations = og.flatten.getOrElse(1))
                 applyCql(args, m)
                   .flatMap(validateFormat).flatMap(validateMerge)
                   .flatMap(validateReader).flatMap(validateSink)
@@ -261,6 +268,11 @@ object RemoverCli {
     if (a.merge.nonEmpty && !isDump(a))
       Left("--merge requires --format sstabledump|sstable " +
         "(parquet input has no generations to reconcile)")
+    else if (a.outGenerations > 1 &&
+      (a.merge.isEmpty || a.sink != "sstable"))
+      Left("--out-generations splits the MERGED output: it requires " +
+        "--merge lww --sink sstable (the unmerged rewrite is already " +
+        "one generation per input)")
     else Right(a)
 
   /** A non-events table needs its cell model declared — the same rule
@@ -338,6 +350,32 @@ object RemoverCli {
       val merged = graft.sources.SSTableDumpBridge
         .mergeTree(spark, args.in, reader)
       val live = col("row_kind").isin("ROW", "PK_LIVENESS")
+      // `--out-generations N`: a major compaction must not funnel
+      // 100 TB through ONE encoder task. The merged cells partition
+      // into N token-CONTIGUOUS output generations by fixed ring
+      // division (deterministic, zero extra passes; Murmur3 uniformity
+      // balances sizes at scale), so each generation is itself a valid
+      // token-ordered SSTable whose Summary first/last keys support
+      // file-level range elision on the OUTPUT lake — the same
+      // size-bounded multi-file shape a real compaction strategy
+      // produces. N=1 keeps the reference's single-file contract.
+      val genName =
+        if (args.outGenerations <= 1)
+          lit(s"${args.table}/nb-1-big-Data.db")
+        else {
+          val n = args.outGenerations
+          val tok = graft.functions.GraftFunctions
+            .murmur3_token(col("partition_key"))
+          // ring position in [0,1): token/2^64 + 0.5; double rounding
+          // only nudges bucket BOUNDARIES (still deterministic and
+          // token-contiguous — the write path sorts within each)
+          val ringPos = tok.cast("double") / lit(1.8446744073709552E19) +
+            lit(0.5)
+          val bucket = least(lit(n - 1),
+            floor(ringPos * lit(n)).cast("int"))
+          concat(lit(s"${args.table}/nb-"), (bucket + lit(1)).cast("string"),
+            lit("-big-Data.db"))
+        }
       val reshaped = merged.select(
         col("partition_key"), col("clustering"), col("row_kind"),
         col("name"),
@@ -345,7 +383,7 @@ object RemoverCli {
           lit(null).cast("int").as("ttl_s"),
           lit(null).cast("long").as("expire_us"))).as("cell"),
         col("deletion_us"),
-        lit(s"${args.table}/nb-1-big-Data.db").as("sstable"))
+        genName.as("sstable"))
       graft.sources.SSTableBinaryV2
         .writeSSTables(reshaped, args.out, args.keyspace, args.table,
           args.cqlSchema, args.compress.map(Compressors))

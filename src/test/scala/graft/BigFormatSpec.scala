@@ -1712,6 +1712,44 @@ class SSTableBinarySpec extends SparkSpec {
         .readBinary(spark, s"$out2/graft/documents")
       assert(compacted.select("sstable").distinct().count() === 1)
       assert(compacted.count() > 0)
+      // size-bounded major compaction: --out-generations 4 splits the
+      // merged output into token-CONTIGUOUS generations — same
+      // content, four loadable files, disjoint ring spans
+      val out3 = Scratch.dir("graft-cli-multigen-").toString + "/o"
+      try {
+        val args3 = RemoverCli.parse(Array("--in", in.toString,
+          "--out", out3, "--table", "documents", "--format", "sstable",
+          "--sink", "sstable", "--merge", "lww",
+          "--out-generations", "4"))
+          .fold(e => fail(s"parse failed: $e"), identity)
+        RemoverCli.run(spark, args3)
+        val multi = SSTableBinaryV2
+          .readBinary(spark, s"$out3/graft/documents").localCheckpoint()
+        assert(multi.select("sstable").distinct().count() === 4)
+        assert(multi.drop("sstable")
+          .exceptAll(compacted.drop("sstable")).count() === 0)
+        assert(compacted.drop("sstable")
+          .exceptAll(multi.drop("sstable")).count() === 0)
+        def tok(k: String): Long = BigFormat.murmur3Token(
+          BigFormat.encodeValue(BigFormat.Utf8Type, k))
+        val spans = multi.select("sstable", "partition_key").collect()
+          .groupBy(_.getString(0)).map { case (_, rows) =>
+            val ts = rows.map(r => tok(r.getString(1)))
+            (ts.min, ts.max)
+          }.toSeq.sortBy(_._1)
+        spans.sliding(2).foreach {
+          case Seq(a, b) => assert(a._2 < b._1,
+            s"generation token spans overlap: $spans")
+          case _ =>
+        }
+      } finally Scratch.delete(java.nio.file.Paths.get(out3).getParent)
+      // --out-generations outside the merged sink is a contradiction
+      assert(RemoverCli.parse(Array("--in", "a", "--out", "b",
+        "--table", "t", "--format", "sstable", "--sink", "sstable",
+        "--out-generations", "4")).isLeft)
+      assert(RemoverCli.parse(Array("--in", "a", "--out", "b",
+        "--table", "t", "--format", "sstable", "--sink", "sstable",
+        "--merge", "lww", "--out-generations", "zero")).isLeft)
       // the sink needs the cell model: parquet input is rejected
       assert(RemoverCli.parse(Array("--in", "a", "--out", "b",
         "--table", "t", "--sink", "sstable")).isLeft)
