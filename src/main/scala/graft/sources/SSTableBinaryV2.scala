@@ -885,6 +885,27 @@ object SSTableBinaryV2 {
       }
     }
 
+    /** Exact token filtering for the INDEX-LESS fallback: a manual
+      * token range must never over-serve just because a file has no
+      * Index.db to walk — the whole file still streams (nothing to
+      * seek by), but only member partitions surface, and a
+      * non-wrapping range stops decoding at the first key past `hi`
+      * (partitions stream in token order). Keeps the option's
+      * semantics uniform across component-rich and bare files. */
+    private def tokenGate[P](it: Iterator[P],
+        keyOf: P => String): Iterator[P] = tokenRange match {
+      case None => it
+      case Some((lo, hi)) =>
+        def tok(p: P): Long = {
+          val kt = if (oldEra) oldSchema.keyType else header.keyType
+          BigFormat.murmur3Token(BigFormat.encodeValue(kt, keyOf(p)))
+        }
+        if (lo <= hi)
+          it.map(p => (tok(p), p)).takeWhile(_._1 <= hi)
+            .collect { case (t, p) if t >= lo => p }
+        else it.filter(p => tokenIn(tok(p)))
+    }
+
     private def sliceScanEligible: Boolean =
       ((!oldEra && (sliceBounds._1.nonEmpty ||
         sliceBounds._2.nonEmpty)) || tokenRange.isDefined) &&
@@ -961,8 +982,12 @@ object SSTableBinaryV2 {
       case None =>
         fullStream = openFullStream()
         if (oldEra)
-          OldFormat.partitions(oldSchema, fullStream, file).map(expand2)
-        else BigFormat.partitions(header, fullStream, file).map(expand)
+          tokenGate[OldFormat.Partition2](
+            OldFormat.partitions(oldSchema, fullStream, file), _.key)
+            .map(expand2)
+        else tokenGate[BigFormat.PartitionData](
+          BigFormat.partitions(header, fullStream, file), _.key)
+          .map(expand)
     }
     private var pending: Iterator[InternalRow] = Iterator.empty
     private var row: InternalRow = _

@@ -1820,6 +1820,22 @@ class SSTableBinarySpec extends SparkSpec {
       assert(all.count() === kaRows + meRows + nbRows)
       assert(all.select("sstable").distinct().count() ===
         3 * SSTableDumpBridge.TreeFiles)
+      // a token range crosses ERAS in the same read: key "8" exists
+      // in all three (identical text carry → identical ring token);
+      // ka serves via its Index.db walk, the index-less me/nb
+      // fixtures via the token-gated full-scan fallback — both exact
+      val t8 = BigFormat.murmur3Token(
+        BigFormat.encodeValue(BigFormat.Utf8Type, "8"))
+      val ring = spark.read.format("sstable-big")
+        .option("cql", SSTableBinaryV2.Cql2x)
+        .option("tokenLo", t8.toString).option("tokenHi", t8.toString)
+        .load(mixed.toString)
+      assert(ring.select("partition_key").distinct().collect()
+        .map(_.getString(0)).toSet === Set("8"))
+      assert(ring.collect().toSet ===
+        all.filter(col("partition_key") === "8").collect().toSet)
+      assert(ring.select("sstable").distinct().count() === 3,
+        "key 8 should surface from one generation of each era")
       // and the 2.x files stream through the SAME micro-batch source
       // (the cql option rides the stream's scan options)
       val outDir = Scratch.dir("graft-ka-stream-")
