@@ -550,9 +550,12 @@ object SSTableBinaryV2 {
           else {
             val wanted = candidates.map(_.toSeq).toSet
             // each owned position rides with its promoted payload so a
-            // pushed clustering slice can seek WITHIN the partition
+            // pushed clustering slice can seek WITHIN the partition; a
+            // token range composes (a matched key OUTSIDE the ring
+            // bounds must not serve — same exactness as every path)
             Some(readIndexFor(candidates, indexP)
-              .collect { case (k, pos, prom) if wanted(k.toSeq) =>
+              .collect { case (k, pos, prom) if wanted(k.toSeq) &&
+                tokenIn(BigFormat.murmur3Token(k)) =>
                 (pos, prom)
               }
               .sortBy(_._1))

@@ -2510,6 +2510,12 @@ class SSTableBinarySpec extends SparkSpec {
       // wrap-complement serves exactly the others
       assert(ranged(t2 + 1, t2 - 1).select("partition_key").collect()
         .map(_.getString(0)).toSet === Set("0", "1", "3"))
+      // point lookup + token range COMPOSE: a pushed key outside the
+      // ring bounds must not serve even though its bloom+index match
+      assert(ranged(t2, t2)
+        .filter(col("partition_key").isin("2", "3"))
+        .select("partition_key").collect()
+        .map(_.getString(0)).toSet === Set("2"))
       // the planner rule derives the range from a murmur3_token
       // predicate — no options, the Filter alone carries the ring
       // bounds into the scan
