@@ -180,12 +180,13 @@ case class PushClusteringSlice(spark: SparkSession)
         // predicate completes with the ring's own end (no wrap)
         case (Some(lo), hi) =>
           graft.sources.SSTableBinaryV2.scanWithTokenRange(
-            afterSlice.scan, lo, hi.getOrElse(Long.MaxValue))
+            afterSlice.scan, lo, hi.getOrElse(Long.MaxValue),
+            derived = true)
             .map(sc => afterSlice.copy(scan = sc))
             .getOrElse(afterSlice)
         case (None, Some(hi)) =>
           graft.sources.SSTableBinaryV2.scanWithTokenRange(
-            afterSlice.scan, Long.MinValue, hi)
+            afterSlice.scan, Long.MinValue, hi, derived = true)
             .map(sc => afterSlice.copy(scan = sc))
             .getOrElse(afterSlice)
         case _ => afterSlice

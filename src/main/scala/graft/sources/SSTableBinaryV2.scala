@@ -175,7 +175,8 @@ object SSTableBinaryV2 {
         (None, None),
       verify: Boolean = false,
       sliceSpace: Option[String] = None,
-      tokenRange: Option[(Long, Long)] = None)
+      tokenRange: Option[(Long, Long)] = None,
+      tokenDerived: Boolean = false)
       extends Scan with Batch {
 
     /** A copy of this scan with planner-derived slice bounds — the
@@ -187,11 +188,22 @@ object SSTableBinaryV2 {
     private[graft] def withSlice(lo: Option[String], hi: Option[String],
         space: String): BinScan =
       new BinScan(path, required, maxFiles, cql, pointKeys,
-        splitBytesOpt, (lo, hi), verify, Some(space), tokenRange)
+        splitBytesOpt, (lo, hi), verify, Some(space), tokenRange,
+        tokenDerived)
 
-    private[graft] def withTokenRange(lo: Long, hi: Long): BinScan =
+    /** `derived = true` marks bounds LIFTED from a
+      * `murmur3_token(partition_key)` predicate — that expression
+      * evaluates over the RENDERED key string, which coincides with
+      * the real partitioner token only for text key types (UTF8Type
+      * encodes as the rendered bytes). The reader engages a derived
+      * range only when the declared key type is text; manual
+      * tokenLo/tokenHi options keep real-token semantics on every
+      * key type. */
+    private[graft] def withTokenRange(lo: Long, hi: Long,
+        derived: Boolean): BinScan =
       new BinScan(path, required, maxFiles, cql, pointKeys,
-        splitBytesOpt, slice, verify, sliceSpace, Some((lo, hi)))
+        splitBytesOpt, slice, verify, sliceSpace, Some((lo, hi)),
+        derived)
 
     private[graft] def currentTokenRange: Option[(Long, Long)] =
       tokenRange
@@ -208,7 +220,8 @@ object SSTableBinaryV2 {
         slice._1.map(v => s"sliceLo=$v"),
         slice._2.map(v => s"sliceHi=$v"),
         sliceSpace.map(v => s"sliceSpace=$v"),
-        tokenRange.map { case (lo, hi) => s"tokenRange=[$lo,$hi]" },
+        tokenRange.map { case (lo, hi) =>
+          s"tokenRange=[$lo,$hi]${if (tokenDerived) " (derived)" else ""}" },
         splitBytesOpt.map(b => s"splitBytes=$b"),
         if (verify) Some("verify=true") else None
       ).flatten
@@ -293,7 +306,7 @@ object SSTableBinaryV2 {
 
     override def createReaderFactory(): PartitionReaderFactory =
       new BinReaderFactory(required.fieldNames, hconf, cql, pointKeys,
-        slice, verify, sliceSpace, tokenRange)
+        slice, verify, sliceSpace, tokenRange, tokenDerived)
 
     /** Streaming form — `spark.readStream.format("sstable-big")`: the
       * source's offset is a position in the SORTED file listing (new
@@ -405,13 +418,15 @@ object SSTableBinaryV2 {
       slice: (Option[String], Option[String]) = (None, None),
       verify: Boolean = false,
       sliceSpace: Option[String] = None,
-      tokenRange: Option[(Long, Long)] = None)
+      tokenRange: Option[(Long, Long)] = None,
+      tokenDerived: Boolean = false)
       extends PartitionReaderFactory {
     override def createReader(
         partition: InputPartition): PartitionReader[InternalRow] = {
       val p = partition.asInstanceOf[BinFilePartition]
       new BinPartitionReader(p.file, cols, hconf.value, cql, pointKeys,
-        p.start, p.end, p.info, slice, verify, sliceSpace, tokenRange)
+        p.start, p.end, p.info, slice, verify, sliceSpace, tokenRange,
+        tokenDerived)
     }
   }
 
@@ -428,7 +443,8 @@ object SSTableBinaryV2 {
       slice: (Option[String], Option[String]) = (None, None),
       verify: Boolean = false,
       sliceSpace: Option[String] = None,
-      tokenRange: Option[(Long, Long)] = None)
+      tokenRangeOpt: Option[(Long, Long)] = None,
+      tokenDerived: Boolean = false)
       extends PartitionReader[InternalRow] {
     /** A split task owns the partitions whose Data.db start offset
       * falls in its BLIND [rangeStart, rangeEnd) — blind ranges tile
@@ -488,6 +504,28 @@ object SSTableBinaryV2 {
               "(the reference CLI's --cql)")))
           .fold(e => throw new IllegalArgumentException(s"$file: $e"),
             identity))
+    /** The token range this reader actually prunes by. A PLANNER-
+      * derived range (lifted by [[graft.plans.PushClusteringSlice]]
+      * from a `murmur3_token(partition_key)` predicate) compares
+      * tokens of the RENDERED key string; the reader's gates hash the
+      * TYPED key encoding, and the two coincide only for text key
+      * types (UTF8Type/AsciiType encode as the rendered bytes — a
+      * bigint's "42" is not its 8-byte form, a composite's ':'-join
+      * is not its length-framed form). On any other key type a
+      * derived range DISENGAGES entirely (the predicate stays
+      * residual in the plan, so the filter still holds — just without
+      * IO pruning); a mismatch here would silently drop partitions,
+      * because a residual Filter can only narrow what the reader
+      * serves. Manual tokenLo/tokenHi options are real-token
+      * semantics on every key type and pass through untouched. */
+    private val tokenRange: Option[(Long, Long)] =
+      if (!tokenDerived) tokenRangeOpt
+      else {
+        val kt = if (oldEra) oldSchema.keyType else header.keyType
+        if (kt == BigFormat.Utf8Type || kt == BigFormat.AsciiType)
+          tokenRangeOpt
+        else None
+      }
     /** A CompressionInfo.db sibling means the Data.db is chunk-
       * compressed (Cassandra's DEFAULT) — decompress on the fly;
       * absent, the bytes are the plain partition stream. Detection is
@@ -1331,10 +1369,11 @@ object SSTableBinaryV2 {
     * this connector's scan without one already (fixed point). */
   private[graft] def scanWithTokenRange(
       scan: org.apache.spark.sql.connector.read.Scan,
-      lo: Long, hi: Long): Option[org.apache.spark.sql.connector.read.Scan] =
+      lo: Long, hi: Long, derived: Boolean)
+      : Option[org.apache.spark.sql.connector.read.Scan] =
     scan match {
       case b: BinScan if b.currentTokenRange.isEmpty =>
-        Some(b.withTokenRange(lo, hi))
+        Some(b.withTokenRange(lo, hi, derived))
       case _ => None
     }
 

@@ -2568,6 +2568,67 @@ class SSTableBinarySpec extends SparkSpec {
     } finally Scratch.delete(out)
   }
 
+  test("derived token ranges DISENGAGE on non-text partition keys; manual options keep real-token semantics") {
+    import spark.implicits._
+    val out = Scratch.dir("graft-tokguard-")
+    try {
+      val wt = 1609459200000000L
+      val frame = (1 to 8).map { i =>
+        (i.toString, Seq("c"), "ROW", Some("v"),
+          Some((s"val$i", wt, None: Option[Int], None: Option[Long])),
+          None: Option[Long], "t/nb-1-big-Data.db")
+      }.toDF("partition_key", "clustering", "row_kind", "name",
+        "cell_t", "deletion_us", "sstable")
+        .withColumn("cell", struct(
+          col("cell_t._1").as("value"),
+          col("cell_t._2").as("writetime_us"),
+          col("cell_t._3").as("ttl_s"), col("cell_t._4").as("expire_us")))
+        .drop("cell_t")
+      val cql = graft.model.CqlSchema.parse(
+        "CREATE TABLE graft.documents (pk bigint, ck text, v text, " +
+          "PRIMARY KEY (pk, ck))").fold(e => fail(e), identity)
+      SSTableBinaryV2.writeSSTables(frame, out.toString, "graft",
+        "documents", Some(cql))
+      val dir = s"$out/graft/documents"
+      graft.plans.GraftExtensions.enable(spark)
+      import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+      // a bigint key's murmur3_token(partition_key) hashes the RENDERED
+      // decimal string; the ring token hashes the 8-byte encoding —
+      // the two MUST differ for this fixture to prove anything
+      val k = "5"
+      val tokStr = BigFormat.murmur3Token(k.getBytes("UTF-8"))
+      val tokEnc = BigFormat.murmur3Token(
+        BigFormat.encodeValue(BigFormat.LongType, k))
+      assert(tokStr !== tokEnc)
+      val tokCol = graft.functions.GraftFunctions
+        .murmur3_token(col("partition_key"))
+      val auto = SSTableBinaryV2.readBinary(spark, dir)
+        .filter(tokCol.between(tokStr, tokStr))
+      // the rule still fires (the PLAN cannot know the key type —
+      // only the file's serialization header declares it) ...
+      val bounds = auto.queryExecution.optimizedPlan.collect {
+        case r: DataSourceV2ScanRelation =>
+          SSTableBinaryV2.tokenRangeOf(r.scan)
+      }.flatten
+      assert(bounds === Seq((tokStr, tokStr)),
+        "rule did not derive the token range")
+      // ... but the READER must disengage it: pruning by the encoded-
+      // key token against string-space bounds would drop key 5 (a
+      // residual Filter can only narrow, never restore). Correctness
+      // = exactly what the residual predicate keeps.
+      assert(auto.select("partition_key").collect()
+        .map(_.getString(0)).toSet === Set("5"),
+        "derived token range pruned by the wrong token space")
+      // manual tokenLo/tokenHi are REAL ring positions — they stay
+      // engaged on the bigint key and serve exactly the member
+      val manual = spark.read.format("sstable-big")
+        .option("tokenLo", tokEnc.toString)
+        .option("tokenHi", tokEnc.toString).load(dir)
+      assert(manual.select("partition_key").collect()
+        .map(_.getString(0)).toSet === Set("5"))
+    } finally Scratch.delete(out)
+  }
+
   test("point lookups over COMPOSITE partition keys: the ':'-joined carry encodes to the real blob") {
     val in = SSTableBinaryV2.writeCompositeFixture(spark, sfDir)
     val out = Scratch.dir("graft-comppoint-")
