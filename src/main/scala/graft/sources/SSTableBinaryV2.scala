@@ -575,14 +575,19 @@ object SSTableBinaryV2 {
         val indexP = sibling("-Index.db")
         if (!hasSibling("-Filter.db") || !hasSibling("-Index.db")) None
         else {
-          // the Murmur3 bloom layout and index ladder are identical
-          // across 2.1→3.x (`BloomFilterSerializer` was untouched by
-          // the 3.0 rewrite); only the Index.db entry framing differs
+          // the serialized bloom LAYOUT (hashCount + word array) is
+          // identical across 2.1→3.x, but the BIT derivation is not:
+          // 3.0 swapped the two hash words' roles
+          // (`BloomFilter.setIndexes`'s oldBfHashOrder) — probe
+          // pre-"ma" filters with the 2.x order or suffer silent
+          // false negatives. Only the Index.db entry framing differs
+          // beyond that.
           val keyType = if (oldEra) oldSchema.keyType else header.keyType
           val keyBytes = keys.flatMap(k =>
             scala.util.Try(BigFormat.encodeValue(keyType, k))
               .toOption)
-          val bloom = SSTableComponents.readFilter(readSibling(filterP))
+          val bloom = SSTableComponents.readFilter(
+            readSibling(filterP), oldHashOrder = oldEra)
           val candidates = keyBytes.filter(bloom.mightContain)
           if (candidates.isEmpty) Some(Nil)
           else {
@@ -1488,10 +1493,13 @@ object SSTableBinaryV2 {
         } else write("Data.db", dataBytes)
         // the 2.x sidecars the reference's own getPosition path
         // consults: fixed-width Index.db entries (logical offsets —
-        // valid under compression too) and the Murmur3 bloom, whose
-        // layout 2.1 and 3.x share
+        // valid under compression too) and the Murmur3 bloom in the
+        // PRE-3.0 hash-word order a real ka/la generation carries
+        // (oldBfHashOrder — a fixture written with the modern order
+        // would mask reader-side order bugs)
         write("Index.db", SSTableComponents.writeIndex2x(index))
-        val bloom = SSTableComponents.newBloom(index.size.toLong)
+        val bloom = SSTableComponents
+          .newBloom(index.size.toLong, oldHashOrder = true)
         index.foreach { case (k, _) => bloom.add(k) }
         write("Filter.db", SSTableComponents.writeFilter(bloom))
         (fileId, parts.length)

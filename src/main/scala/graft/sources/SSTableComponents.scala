@@ -190,18 +190,31 @@ object SSTableComponents {
   val HashCount = 5
   private val BitsetExcess = 20 // FilterFactory.BITSET_EXCESS
 
-  final class Bloom(val hashCount: Int, val words: Array[Long]) {
+  /** `oldHashOrder` selects the PRE-3.0 bit derivation: Cassandra
+    * swapped the two 128-bit hash words' roles in 3.0
+    * (`BloomFilter.setIndexes`'s `oldBfHashOrder` flag, kept exactly
+    * for reading pre-"ma" files) — 2.x seeds base with the FIRST
+    * word and steps by the second; 3.0+ seeds with the SECOND and
+    * steps by the first. Probing a genuine ka/la Filter.db with the
+    * modern order yields false NEGATIVES, which in a bloom-gated
+    * read path means silently dropped partitions — the order must
+    * follow the file's format era. */
+  final class Bloom(val hashCount: Int, val words: Array[Long],
+      val oldHashOrder: Boolean = false) {
     def capacity: Long = words.length.toLong * 64
 
     private def bitIndexes(key: Array[Byte]): Array[Long] = {
       val (h1, h2) = BigFormat.murmur3Hash128(key)
       val out = new Array[Long](hashCount)
-      var base = h2 // BloomFilter.indexes seeds base with the 2nd word
+      // BloomFilter.indexes seeds base with the 2nd word (3.0+);
+      // oldBfHashOrder swaps the pair
+      var base = if (oldHashOrder) h1 else h2
+      val inc = if (oldHashOrder) h2 else h1
       var i = 0
       while (i < hashCount) {
         val m = base % capacity
         out(i) = if (m < 0) -m else m // FBUtilities.abs
-        base += h1
+        base += inc
         i += 1
       }
       out
@@ -218,9 +231,10 @@ object SSTableComponents {
       }
   }
 
-  def newBloom(numElements: Long): Bloom = {
+  def newBloom(numElements: Long, oldHashOrder: Boolean = false): Bloom = {
     val bits = numElements * BucketsPerElement + BitsetExcess
-    new Bloom(HashCount, new Array[Long](((bits + 63) / 64).toInt.max(1)))
+    new Bloom(HashCount, new Array[Long](((bits + 63) / 64).toInt.max(1)),
+      oldHashOrder)
   }
 
   def writeFilter(bloom: Bloom): Array[Byte] = {
@@ -233,11 +247,11 @@ object SSTableComponents {
     bos.toByteArray
   }
 
-  def readFilter(bytes: Array[Byte]): Bloom = {
+  def readFilter(bytes: Array[Byte], oldHashOrder: Boolean = false): Bloom = {
     val in = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
     val hashCount = in.readInt()
     val nWords = in.readInt()
-    new Bloom(hashCount, Array.fill(nWords)(in.readLong()))
+    new Bloom(hashCount, Array.fill(nWords)(in.readLong()), oldHashOrder)
   }
 
   // =====================================================================

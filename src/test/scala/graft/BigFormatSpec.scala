@@ -1362,6 +1362,26 @@ class SSTableComponentsSpec extends AnyFunSuite {
     assert(back.map(_._3.toSeq) === entries.map(_._3.toSeq))
   }
 
+  test("bloom hash-word order follows the format era: 2.x filters probe under oldBfHashOrder") {
+    val keys = (0 until 64).map(i => k(s"era-key-$i"))
+    // a 2.x-written filter (Cassandra pre-3.0 seeds base with the
+    // FIRST hash word; 3.0 swapped the pair — BloomFilter.setIndexes'
+    // oldBfHashOrder flag exists exactly to keep reading old files)
+    val written = SSTableComponents.newBloom(keys.size.toLong,
+      oldHashOrder = true)
+    keys.foreach(written.add)
+    val bytes = SSTableComponents.writeFilter(written)
+    // probed under the MATCHING order: the bloom contract holds
+    val asOld = SSTableComponents.readFilter(bytes, oldHashOrder = true)
+    assert(keys.forall(asOld.mightContain))
+    // probed under the MODERN order: false negatives — in the bloom-
+    // gated read path that is a silently dropped partition, the exact
+    // failure the era dispatch prevents (deterministic keys, no flake)
+    val asNew = SSTableComponents.readFilter(bytes)
+    assert(!keys.forall(asNew.mightContain),
+      "hash orders cannot be interchangeable — the spec fixture is too small to distinguish them")
+  }
+
   test("bloom filter: no false negatives, ~1% false positives, serialized form stable") {
     val present = (0 until 2000).map(i => k(s"key-$i"))
     val bloom = SSTableComponents.newBloom(present.size.toLong)
