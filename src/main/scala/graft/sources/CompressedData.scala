@@ -260,17 +260,24 @@ object CompressedData {
       // boundary: a chunk is stored RAW (uncompressed bytes) when its
       // compressed form reached maxCompressedSize. A raw chunk's
       // stored length equals the slot's uncompressed length — which
-      // for the short FINAL chunk can sit BELOW maxCompressedSize, so
-      // that case is recognized by exact length too (the supported
-      // codecs cannot emit compressed output of exactly the input
-      // length: each adds at least one byte of framing to
-      // incompressible data, so the equality is unambiguous).
+      // for the short FINAL chunk can sit BELOW maxCompressedSize.
+      // That exact-length case is AMBIGUOUS: a partially-compressible
+      // tail can legitimately compress to exactly its input length
+      // (the chunk checksum covers the stored bytes either way, so it
+      // cannot arbitrate). Decompression arbitrates: a compressed
+      // chunk must decode cleanly to exactly the slot's logical
+      // length; only when it does not is the block served raw.
       val expectedRaw =
         math.min(meta.chunkLength.toLong, meta.dataLength - served).toInt
       chunk =
-        if (block.length >= meta.maxCompressedSize ||
-          (meta.maxCompressedSize != Int.MaxValue &&
-            block.length == expectedRaw)) block // stored raw
+        if (block.length >= meta.maxCompressedSize) block // stored raw
+        else if (meta.maxCompressedSize != Int.MaxValue &&
+          block.length == expectedRaw)
+          try {
+            val d = decompressBlock(meta.compressor, block,
+              meta.chunkLength, file)
+            if (d.length == expectedRaw) d else block
+          } catch { case scala.util.control.NonFatal(_) => block }
         else decompressBlock(meta.compressor, block, meta.chunkLength, file)
       // the final chunk may decompress past dataLength only if corrupt
       if (served + chunk.length > meta.dataLength)

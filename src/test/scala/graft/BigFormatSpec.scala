@@ -475,6 +475,67 @@ class BigFormatSpec extends AnyFunSuite {
     }
   }
 
+  test("exact-length final chunks are arbitrated by decompression, not misread as raw") {
+    import graft.sources.CompressedData
+    // a partially-compressible tail CAN compress to exactly its input
+    // length — find such data deterministically (zero-run prefix +
+    // random tail, scanning the run length until the LZ4 frame lands
+    // on the input size). The length-equality rule alone would serve
+    // the compressed bytes as raw data: silent corruption.
+    val lz4 = net.jpountz.lz4.LZ4Factory.fastestInstance
+    def frame(data: Array[Byte]): Array[Byte] = {
+      val c = lz4.fastCompressor()
+      val out = new Array[Byte](4 + c.maxCompressedLength(data.length))
+      out(0) = data.length.toByte; out(1) = (data.length >>> 8).toByte
+      out(2) = (data.length >>> 16).toByte
+      out(3) = (data.length >>> 24).toByte
+      val n = c.compress(data, 0, data.length, out, 4, out.length - 4)
+      java.util.Arrays.copyOf(out, 4 + n)
+    }
+    val found = (190 to 230).iterator.flatMap { len =>
+      (0 until len).iterator.map { z =>
+        val rng = new scala.util.Random(7 * len + z)
+        val d = Array.fill(z)(0.toByte) ++
+          Array.fill(len - z)((rng.nextInt(256) - 128).toByte)
+        (d, frame(d))
+      }.find { case (d, f) => f.length == d.length }
+    }.take(1).toSeq
+    assert(found.nonEmpty,
+      "no exact-length-compressing tail found — widen the search")
+    val (data, block) = found.head
+    def crc(b: Array[Byte]): Int = {
+      val c = new java.util.zip.CRC32(); c.update(b); c.getValue.toInt
+    }
+    def chunkStream(b: Array[Byte]): Array[Byte] =
+      b ++ java.nio.ByteBuffer.allocate(4).putInt(crc(b)).array()
+    // a foreign n-series file: real maxCompressedSize, one final
+    // chunk whose stored length equals its logical length
+    val meta = CompressedData.Meta(CompressedData.Lz4, Map.empty,
+      chunkLength = 256, maxCompressedSize = data.length + 20,
+      dataLength = data.length.toLong, offsets = Array(0L))
+    val bytes = chunkStream(block)
+    val in = new java.io.DataInputStream(CompressedData
+      .decompressingStream(new ByteArrayInputStream(bytes),
+        bytes.length, meta, "eqlen-test"))
+    val got = new Array[Byte](data.length)
+    in.readFully(got)
+    assert(in.read() === -1)
+    assert(got === data,
+      "exact-length compressed tail was served as raw bytes")
+    // the GENUINE raw tail (stored verbatim below maxCompressedSize)
+    // still serves: it does not decode as LZ4, so the fallback keeps
+    // the bytes. First 4 bytes declare an absurd uncompressed length.
+    val rawTail = Array.fill(data.length)(0xff.toByte)
+    val rawBytes = chunkStream(rawTail)
+    val in2 = new java.io.DataInputStream(CompressedData
+      .decompressingStream(new ByteArrayInputStream(rawBytes),
+        rawBytes.length, meta, "rawtail-test"))
+    val got2 = new Array[Byte](rawTail.length)
+    in2.readFully(got2)
+    assert(in2.read() === -1)
+    assert(got2 === rawTail, "true raw tail no longer serves verbatim")
+  }
+
   test("Adler32-era (2.x) chunk checksums round-trip and mismatch loudly") {
     import graft.sources.CompressedData
     // the checksum algorithm follows the FORMAT VERSION: 2.x eras
