@@ -359,13 +359,23 @@ object RemoverCli {
       // file-level range elision on the OUTPUT lake — the same
       // size-bounded multi-file shape a real compaction strategy
       // produces. N=1 keeps the reference's single-file contract.
+      // The bucket token is the REAL ring position: on a typed table
+      // the key encodes through the declared key type before hashing
+      // (the token the sink itself sorts by) — bucketing by the
+      // rendered-string token would make generations overlap on the
+      // real ring, defeating Summary-range file elision downstream.
       val genName =
         if (args.outGenerations <= 1)
           lit(s"${args.table}/nb-1-big-Data.db")
         else {
           val n = args.outGenerations
-          val tok = graft.functions.GraftFunctions
-            .murmur3_token(col("partition_key"))
+          val tok = args.cqlSchema match {
+            case Some(p) => graft.functions.GraftFunctions
+              .murmur3_token_typed(col("partition_key"),
+                graft.sources.SSTableBinaryV2.resolveTyping(p).keyType)
+            case None => graft.functions.GraftFunctions
+              .murmur3_token(col("partition_key"))
+          }
           // ring position in [0,1): token/2^64 + 0.5; double rounding
           // only nudges bucket BOUNDARIES (still deterministic and
           // token-contiguous — the write path sorts within each)

@@ -23,6 +23,13 @@ object GraftFunctions {
   def murmur3_token(a: Column): Column =
     GraftColumns.column(Murmur3Token(GraftColumns.expression(a)))
 
+  /** The REAL ring token of a rendered key under a declared marshal
+    * key type — the token the sink sorts by and the reader ranges by
+    * on typed tables (see [[Murmur3TokenTyped]]). */
+  def murmur3_token_typed(a: Column, keyType: String): Column =
+    GraftColumns.column(
+      Murmur3TokenTyped(GraftColumns.expression(a), keyType))
+
   /** Register every graft function on a session for SQL use
     * (`SELECT array_dot(a, b) ...`). Idempotent. */
   def register(spark: SparkSession): Unit = {

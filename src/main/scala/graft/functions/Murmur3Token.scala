@@ -47,3 +47,44 @@ case class Murmur3Token(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): Murmur3Token =
     copy(child = newChild)
 }
+
+/** The REAL partitioner token of a rendered key string under a
+  * declared marshal type: encodes the string through the table's key
+  * type (a bigint's "42" → its 8-byte form, a composite's ':'-join →
+  * its length-framed blob — [[graft.sources.BigFormat.encodeValue]])
+  * before hashing, exactly the token the SSTable sink sorts by and
+  * the reader's ring gates compare. [[Murmur3Token]] over a string
+  * column coincides with this only for text key types; anything that
+  * derives ring positions for a TYPED table (the CLI's
+  * `--out-generations` bucketing) must use this form or its buckets
+  * drift off the real ring. Codegen'd scalar, no shuffle. */
+case class Murmur3TokenTyped(child: Expression, keyType: String)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires the rendered key string, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "murmur3_token_typed"
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val rendered = v.asInstanceOf[UTF8String].toString
+    graft.sources.BigFormat.murmur3Token(
+      graft.sources.BigFormat.encodeValue(keyType, rendered))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kt = ctx.addReferenceObj("keyType", keyType, "java.lang.String")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"""${ev.value} = graft.sources.BigFormat.murmur3Token(
+         |  graft.sources.BigFormat.encodeValue($kt, $a.toString()));
+         |""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Murmur3TokenTyped = copy(child = newChild)
+}

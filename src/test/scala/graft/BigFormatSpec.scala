@@ -1841,6 +1841,59 @@ class SSTableBinarySpec extends SparkSpec {
     }
   }
 
+  test("--out-generations buckets by the REAL ring token on typed tables") {
+    import spark.implicits._
+    val in = Scratch.dir("graft-multigen-typed-in-")
+    val outParent = Scratch.dir("graft-multigen-typed-out-")
+    val out = outParent.toString + "/o"
+    try {
+      val wt = 1609459200000000L
+      val frame = (1 to 64).map { i =>
+        (i.toString, Seq("c"), "ROW", Some("v"),
+          Some((s"val$i", wt, None: Option[Int], None: Option[Long])),
+          None: Option[Long], "t/nb-1-big-Data.db")
+      }.toDF("partition_key", "clustering", "row_kind", "name",
+        "cell_t", "deletion_us", "sstable")
+        .withColumn("cell", struct(
+          col("cell_t._1").as("value"),
+          col("cell_t._2").as("writetime_us"),
+          col("cell_t._3").as("ttl_s"), col("cell_t._4").as("expire_us")))
+        .drop("cell_t")
+      val cqlText = "CREATE TABLE graft.documents (pk bigint, ck text, " +
+        "v text, PRIMARY KEY (pk, ck))"
+      val cql = graft.model.CqlSchema.parse(cqlText)
+        .fold(e => fail(e), identity)
+      SSTableBinaryV2.writeSSTables(frame, in.toString, "graft",
+        "documents", Some(cql))
+      val args = RemoverCli.parse(Array("--in", in.toString,
+        "--out", out, "--table", "documents", "--format", "sstable",
+        "--sink", "sstable", "--merge", "lww",
+        "--out-generations", "3", "--cql", cqlText))
+        .fold(e => fail(s"parse failed: $e"), identity)
+      RemoverCli.run(spark, args)
+      val multi = SSTableBinaryV2
+        .readBinary(spark, s"$out/graft/documents").localCheckpoint()
+      assert(multi.select("sstable").distinct().count() === 3)
+      assert(multi.select("partition_key").distinct().count() === 64)
+      // the generations must tile the REAL ring (bigint tokens —
+      // hashing the 8-byte encodings, not the decimal strings):
+      // overlapping spans would defeat Summary first/last-key range
+      // elision on the output lake
+      def tok(k: String): Long = BigFormat.murmur3Token(
+        BigFormat.encodeValue(BigFormat.LongType, k))
+      val spans = multi.select("sstable", "partition_key").collect()
+        .groupBy(_.getString(0)).map { case (_, rows) =>
+          val ts = rows.map(r => tok(r.getString(1)))
+          (ts.min, ts.max)
+        }.toSeq.sortBy(_._1)
+      spans.sliding(2).foreach {
+        case Seq(a, b) => assert(a._2 < b._1,
+          s"typed generations overlap on the real ring: $spans")
+        case _ =>
+      }
+    } finally { Scratch.delete(in); Scratch.delete(outParent) }
+  }
+
   test("2.x era: ka fixture decodes through the connector; schema is mandatory and loud") {
     val dir = SSTableBinaryV2.writeOldFixture(spark, sfDir)
     try {
