@@ -148,6 +148,8 @@ object SparkEntry {
     "src_sstable_digest" -> (sources.SSTableBinaryV2.digestAudit _),
     "src_sstable_token_range" ->
       (sources.SSTableBinaryV2.tokenRangeAudit _),
+    "src_sstable_token_typed" ->
+      (sources.SSTableBinaryV2.tokenTypedAudit _),
     "src_sstable_slice" -> (sources.SSTableBinaryV2.sliceAudit _),
     "src_sstable_roundtrip" -> (sources.SSTableBinaryV2.binaryRoundtrip _),
     "src_sstable_complex" -> (sources.SSTableBinaryV2.complexLifecycle _),
@@ -2826,6 +2828,7 @@ object SparkEntry {
     // audit residually restricts to the four probe keys, so the point
     // contract holds verbatim
     "src_sstable_token_range" -> pointOracleSql,
+    "src_sstable_token_typed" -> pointOracleSql,
     // the era-UPGRADE lifecycle: the 2.x oracle with (a) every TTL
     // nulled (the strip) and (b) PK_LIVENESS collapsed to pk-only
     // rows — a 2.x row marker on a cell-bearing row becomes the

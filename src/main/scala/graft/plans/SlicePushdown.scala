@@ -114,46 +114,59 @@ case class PushClusteringSlice(spark: SparkSession)
     }
 
   /** Murmur3 token bounds from conjuncts comparing
-    * `murmur3_token(partition_key)` with long literals — the ring
-    * form of the same derivation ([[graft.functions.Murmur3Token]]
-    * computes exactly the partitioner token the reader ranges by, so
-    * the comparison space is pinned by construction). Returns
-    * (lo, hi) inclusive; strict bounds widen (conservative). Only
-    * non-wrapping ranges are derivable from AND-conjuncts. */
+    * `murmur3_token(partition_key)` or
+    * `murmur3_token_typed(partition_key, <type>)` with long
+    * literals. Each derived bound carries its token SPACE
+    * ([[graft.sources.SSTableBinaryV2.RenderedTokenSpace]] for the
+    * plain form, the marshal key type for the typed form) — the
+    * reader engages the range only on files whose declared key type
+    * matches, so a predicate in the wrong space can never prune
+    * (it stays residual). Returns (lo, hi, space), bounds
+    * inclusive; strict bounds widen (conservative). Only
+    * non-wrapping ranges are derivable from AND-conjuncts; bounds
+    * in DIFFERENT spaces abstain entirely (comparing them would be
+    * meaningless). */
   private def tokenBoundsOf(cond: Expression,
-      rel: DataSourceV2ScanRelation): (Option[Long], Option[Long]) = {
-    def tokOfPk(e: Expression): Boolean = e match {
-      case graft.functions.Murmur3Token(a: AttributeReference) =>
-        a.name == "partition_key" &&
-          rel.output.exists(_.exprId == a.exprId)
-      case _ => false
+      rel: DataSourceV2ScanRelation)
+      : (Option[Long], Option[Long], Option[String]) = {
+    def spaceOfPk(e: Expression): Option[String] = e match {
+      case graft.functions.Murmur3Token(a: AttributeReference)
+        if a.name == "partition_key" &&
+          rel.output.exists(_.exprId == a.exprId) =>
+        Some(graft.sources.SSTableBinaryV2.RenderedTokenSpace)
+      case graft.functions.Murmur3TokenTyped(a: AttributeReference, kt)
+        if a.name == "partition_key" &&
+          rel.output.exists(_.exprId == a.exprId) =>
+        Some(kt)
+      case _ => None
     }
     def longOf(l: Literal): Option[Long] = l.value match {
       case v: java.lang.Long => Some(v)
       case v: java.lang.Integer => Some(v.toLong)
       case _ => None
     }
+    def bound(t: Expression, l: Literal, isLo: Boolean)
+        : Seq[(Long, Boolean, String)] =
+      (spaceOfPk(t), longOf(l)) match {
+        case (Some(s), Some(v)) => Seq((v, isLo, s))
+        case _ => Nil
+      }
     val bounds = splitConjunctivePredicates(cond).flatMap {
-      case GreaterThanOrEqual(t, l: Literal) if tokOfPk(t) =>
-        longOf(l).map((_, true))
-      case GreaterThan(t, l: Literal) if tokOfPk(t) =>
-        longOf(l).map((_, true))
-      case LessThanOrEqual(t, l: Literal) if tokOfPk(t) =>
-        longOf(l).map((_, false))
-      case LessThan(t, l: Literal) if tokOfPk(t) =>
-        longOf(l).map((_, false))
-      case GreaterThanOrEqual(l: Literal, t) if tokOfPk(t) =>
-        longOf(l).map((_, false))
-      case GreaterThan(l: Literal, t) if tokOfPk(t) =>
-        longOf(l).map((_, false))
-      case LessThanOrEqual(l: Literal, t) if tokOfPk(t) =>
-        longOf(l).map((_, true))
-      case LessThan(l: Literal, t) if tokOfPk(t) =>
-        longOf(l).map((_, true))
+      case GreaterThanOrEqual(t, l: Literal) => bound(t, l, isLo = true)
+      case GreaterThan(t, l: Literal) => bound(t, l, isLo = true)
+      case LessThanOrEqual(t, l: Literal) => bound(t, l, isLo = false)
+      case LessThan(t, l: Literal) => bound(t, l, isLo = false)
+      case GreaterThanOrEqual(l: Literal, t) => bound(t, l, isLo = false)
+      case GreaterThan(l: Literal, t) => bound(t, l, isLo = false)
+      case LessThanOrEqual(l: Literal, t) => bound(t, l, isLo = true)
+      case LessThan(l: Literal, t) => bound(t, l, isLo = true)
       case _ => Nil
     }
-    (bounds.collectFirst { case (v, true) => v },
-      bounds.collectFirst { case (v, false) => v })
+    val spaces = bounds.map(_._3).distinct
+    if (bounds.isEmpty || spaces.size != 1) (None, None, None)
+    else (bounds.collectFirst { case (v, true, _) => v },
+      bounds.collectFirst { case (v, false, _) => v },
+      Some(spaces.head))
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
@@ -178,15 +191,14 @@ case class PushClusteringSlice(spark: SparkSession)
       val afterToken = tokenBoundsOf(cond, rel) match {
         // the reader's range is inclusive on both ends; a one-sided
         // predicate completes with the ring's own end (no wrap)
-        case (Some(lo), hi) =>
+        case (Some(lo), hi, space) =>
           graft.sources.SSTableBinaryV2.scanWithTokenRange(
-            afterSlice.scan, lo, hi.getOrElse(Long.MaxValue),
-            derived = true)
+            afterSlice.scan, lo, hi.getOrElse(Long.MaxValue), space)
             .map(sc => afterSlice.copy(scan = sc))
             .getOrElse(afterSlice)
-        case (None, Some(hi)) =>
+        case (None, Some(hi), space) =>
           graft.sources.SSTableBinaryV2.scanWithTokenRange(
-            afterSlice.scan, Long.MinValue, hi, derived = true)
+            afterSlice.scan, Long.MinValue, hi, space)
             .map(sc => afterSlice.copy(scan = sc))
             .getOrElse(afterSlice)
         case _ => afterSlice

@@ -176,7 +176,7 @@ object SSTableBinaryV2 {
       verify: Boolean = false,
       sliceSpace: Option[String] = None,
       tokenRange: Option[(Long, Long)] = None,
-      tokenDerived: Boolean = false)
+      tokenSpace: Option[String] = None)
       extends Scan with Batch {
 
     /** A copy of this scan with planner-derived slice bounds — the
@@ -189,21 +189,23 @@ object SSTableBinaryV2 {
         space: String): BinScan =
       new BinScan(path, required, maxFiles, cql, pointKeys,
         splitBytesOpt, (lo, hi), verify, Some(space), tokenRange,
-        tokenDerived)
+        tokenSpace)
 
-    /** `derived = true` marks bounds LIFTED from a
-      * `murmur3_token(partition_key)` predicate — that expression
-      * evaluates over the RENDERED key string, which coincides with
-      * the real partitioner token only for text key types (UTF8Type
-      * encodes as the rendered bytes). The reader engages a derived
-      * range only when the declared key type is text; manual
-      * tokenLo/tokenHi options keep real-token semantics on every
-      * key type. */
+    /** `space` names the token space PLANNER-derived bounds were
+      * computed in: [[RenderedTokenSpace]] for a
+      * `murmur3_token(partition_key)` predicate (tokens of the
+      * rendered string — real ring positions only on text key
+      * types), or a marshal key type for
+      * `murmur3_token_typed(partition_key, <type>)` (real ring
+      * positions iff the file declares that exact key type). The
+      * reader engages a derived range only when the file's key type
+      * matches the space; manual tokenLo/tokenHi options pass None
+      * and keep real-token semantics on every key type. */
     private[graft] def withTokenRange(lo: Long, hi: Long,
-        derived: Boolean): BinScan =
+        space: Option[String]): BinScan =
       new BinScan(path, required, maxFiles, cql, pointKeys,
         splitBytesOpt, slice, verify, sliceSpace, Some((lo, hi)),
-        derived)
+        space)
 
     private[graft] def currentTokenRange: Option[(Long, Long)] =
       tokenRange
@@ -221,7 +223,8 @@ object SSTableBinaryV2 {
         slice._2.map(v => s"sliceHi=$v"),
         sliceSpace.map(v => s"sliceSpace=$v"),
         tokenRange.map { case (lo, hi) =>
-          s"tokenRange=[$lo,$hi]${if (tokenDerived) " (derived)" else ""}" },
+          s"tokenRange=[$lo,$hi]" +
+            tokenSpace.map(s => s" (derived, space=$s)").getOrElse("") },
         splitBytesOpt.map(b => s"splitBytes=$b"),
         if (verify) Some("verify=true") else None
       ).flatten
@@ -306,7 +309,7 @@ object SSTableBinaryV2 {
 
     override def createReaderFactory(): PartitionReaderFactory =
       new BinReaderFactory(required.fieldNames, hconf, cql, pointKeys,
-        slice, verify, sliceSpace, tokenRange, tokenDerived)
+        slice, verify, sliceSpace, tokenRange, tokenSpace)
 
     /** Streaming form — `spark.readStream.format("sstable-big")`: the
       * source's offset is a position in the SORTED file listing (new
@@ -419,14 +422,14 @@ object SSTableBinaryV2 {
       verify: Boolean = false,
       sliceSpace: Option[String] = None,
       tokenRange: Option[(Long, Long)] = None,
-      tokenDerived: Boolean = false)
+      tokenSpace: Option[String] = None)
       extends PartitionReaderFactory {
     override def createReader(
         partition: InputPartition): PartitionReader[InternalRow] = {
       val p = partition.asInstanceOf[BinFilePartition]
       new BinPartitionReader(p.file, cols, hconf.value, cql, pointKeys,
         p.start, p.end, p.info, slice, verify, sliceSpace, tokenRange,
-        tokenDerived)
+        tokenSpace)
     }
   }
 
@@ -444,7 +447,7 @@ object SSTableBinaryV2 {
       verify: Boolean = false,
       sliceSpace: Option[String] = None,
       tokenRangeOpt: Option[(Long, Long)] = None,
-      tokenDerived: Boolean = false)
+      tokenSpace: Option[String] = None)
       extends PartitionReader[InternalRow] {
     /** A split task owns the partitions whose Data.db start offset
       * falls in its BLIND [rangeStart, rangeEnd) — blind ranges tile
@@ -505,27 +508,32 @@ object SSTableBinaryV2 {
           .fold(e => throw new IllegalArgumentException(s"$file: $e"),
             identity))
     /** The token range this reader actually prunes by. A PLANNER-
-      * derived range (lifted by [[graft.plans.PushClusteringSlice]]
-      * from a `murmur3_token(partition_key)` predicate) compares
-      * tokens of the RENDERED key string; the reader's gates hash the
-      * TYPED key encoding, and the two coincide only for text key
-      * types (UTF8Type/AsciiType encode as the rendered bytes — a
-      * bigint's "42" is not its 8-byte form, a composite's ':'-join
-      * is not its length-framed form). On any other key type a
-      * derived range DISENGAGES entirely (the predicate stays
-      * residual in the plan, so the filter still holds — just without
-      * IO pruning); a mismatch here would silently drop partitions,
-      * because a residual Filter can only narrow what the reader
-      * serves. Manual tokenLo/tokenHi options are real-token
-      * semantics on every key type and pass through untouched. */
-    private val tokenRange: Option[(Long, Long)] =
-      if (!tokenDerived) tokenRangeOpt
-      else {
+      * derived range (lifted by [[graft.plans.PushClusteringSlice]])
+      * carries the token SPACE its bounds were computed in, and the
+      * reader's gates hash the TYPED key encoding — so a derived
+      * range engages only when the file's declared key type matches:
+      * [[RenderedTokenSpace]] (a `murmur3_token(partition_key)`
+      * predicate over the rendered string) matches text key types,
+      * whose encoding IS the rendered bytes; a marshal-type space (a
+      * `murmur3_token_typed(partition_key, <type>)` predicate, which
+      * computes REAL ring tokens for that type) matches exactly that
+      * declared key type. Any mismatch DISENGAGES entirely — the
+      * predicate stays residual in the plan, so the filter still
+      * holds, just without IO pruning; pruning in the wrong space
+      * would silently drop partitions, because a residual Filter can
+      * only narrow what the reader serves. Manual tokenLo/tokenHi
+      * options are real-token semantics on every key type and pass
+      * through untouched. */
+    private val tokenRange: Option[(Long, Long)] = tokenSpace match {
+      case None => tokenRangeOpt
+      case Some(space) =>
         val kt = if (oldEra) oldSchema.keyType else header.keyType
-        if (kt == BigFormat.Utf8Type || kt == BigFormat.AsciiType)
-          tokenRangeOpt
-        else None
-      }
+        val compatible =
+          if (space == SSTableBinaryV2.RenderedTokenSpace)
+            kt == BigFormat.Utf8Type || kt == BigFormat.AsciiType
+          else kt == space
+        if (compatible) tokenRangeOpt else None
+    }
     /** A CompressionInfo.db sibling means the Data.db is chunk-
       * compressed (Cassandra's DEFAULT) — decompress on the fly;
       * absent, the bytes are the plain partition stream. Detection is
@@ -1370,15 +1378,23 @@ object SSTableBinaryV2 {
     case _ => None
   }
 
+  /** The token space of rule-derived bounds lifted from a plain
+    * `murmur3_token(partition_key)` predicate: Murmur3 over the
+    * RENDERED key string — a real ring position only when the key
+    * type encodes as its rendered bytes (text). */
+  private[graft] val RenderedTokenSpace = "rendered-utf8"
+
   /** Planner hook: copy `scan` with a Murmur3 token range when it is
-    * this connector's scan without one already (fixed point). */
+    * this connector's scan without one already (fixed point).
+    * `space` is the token space derived bounds were computed in
+    * (see [[BinScan.withTokenRange]]). */
   private[graft] def scanWithTokenRange(
       scan: org.apache.spark.sql.connector.read.Scan,
-      lo: Long, hi: Long, derived: Boolean)
+      lo: Long, hi: Long, space: Option[String])
       : Option[org.apache.spark.sql.connector.read.Scan] =
     scan match {
       case b: BinScan if b.currentTokenRange.isEmpty =>
-        Some(b.withTokenRange(lo, hi, derived))
+        Some(b.withTokenRange(lo, hi, space))
       case _ => None
     }
 
@@ -2745,6 +2761,61 @@ object SSTableBinaryV2 {
     require(auto.count() == nIn,
       s"$dir: rule-ranged read served ${auto.count()} rows, " +
         s"options-ranged served $nIn")
+    val audit = SSTableDumpBridge.auditFrame(
+      inRange.filter(col("partition_key").isin(keys: _*)))
+      .localCheckpoint()
+    graft.Scratch.delete(out)
+    audit
+  }
+
+  /** Registered `src_sstable_token_typed`: ring-range reads over a
+    * TYPED (bigint) partition key. `murmur3_token_typed(pk, <type>)`
+    * computes the REAL ring position — the token of the 8-byte
+    * encoding, not of the rendered decimal string — so the planner
+    * rule's derived range carries the marshal type as its token
+    * space and the reader ENGAGES it (the file's declared key type
+    * matches): Summary file skips and index walks on a non-text
+    * table, the reference's S4 ring semantics beyond text keys.
+    * In-query `require`s pin ring-membership equality against
+    * driver-side tokens and the rule's engagement; the audit of the
+    * four probed keys shares `pointOracleSql`. */
+  def tokenTypedAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val in = writeBinaryFixture(spark, sfDir)
+    val out = graft.Scratch.dir("graft-tokentyped-")
+    val cql = graft.model.CqlSchema.parse(
+      "CREATE TABLE graft.documents (pk bigint, ck text, len text, " +
+        "src text, PRIMARY KEY (pk, ck))")
+      .fold(e => throw new IllegalArgumentException(e), identity)
+    writeSSTables(readBinary(spark, in.toString), out.toString,
+      "graft", "documents", Some(cql))
+    graft.Scratch.delete(in)
+    val dir = s"$out/graft/documents"
+    val keys = Seq("8", "13", "15", "17")
+    def tok(k: String): Long = BigFormat.murmur3Token(
+      BigFormat.encodeValue(BigFormat.LongType, k))
+    val toks = keys.map(tok)
+    val (lo, hi) = (toks.min, toks.max)
+    graft.plans.GraftExtensions.enable(spark)
+    val tokCol = graft.functions.GraftFunctions
+      .murmur3_token_typed(col("partition_key"), BigFormat.LongType)
+    val full = readBinary(spark, dir).localCheckpoint()
+    val expected = full.select("partition_key").distinct()
+      .collect().map(_.getString(0))
+      .filter(k => { val t = tok(k); t >= lo && t <= hi }).toSet
+    val auto = readBinary(spark, dir).filter(tokCol.between(lo, hi))
+    val autoRange = auto.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2
+        .DataSourceV2ScanRelation => tokenRangeOf(r.scan)
+    }.flatten
+    require(autoRange == Seq((lo, hi)),
+      s"$dir: rule derived $autoRange from the typed predicate, " +
+        s"expected [$lo, $hi]")
+    val inRange = auto.localCheckpoint()
+    val got = inRange.select("partition_key").distinct()
+      .collect().map(_.getString(0)).toSet
+    require(got == expected,
+      s"$dir: typed token range served ${got.size} keys, driver-side " +
+        s"membership says ${expected.size}")
     val audit = SSTableDumpBridge.auditFrame(
       inRange.filter(col("partition_key").isin(keys: _*)))
       .localCheckpoint()

@@ -2710,7 +2710,7 @@ class SSTableBinarySpec extends SparkSpec {
       val frame = (1 to 8).map { i =>
         (i.toString, Seq("c"), "ROW", Some("v"),
           Some((s"val$i", wt, None: Option[Int], None: Option[Long])),
-          None: Option[Long], "t/nb-1-big-Data.db")
+          None: Option[Long], s"t/nb-$i-big-Data.db")
       }.toDF("partition_key", "clustering", "row_kind", "name",
         "cell_t", "deletion_us", "sstable")
         .withColumn("cell", struct(
@@ -2760,6 +2760,49 @@ class SSTableBinarySpec extends SparkSpec {
         .option("tokenHi", tokEnc.toString).load(dir)
       assert(manual.select("partition_key").collect()
         .map(_.getString(0)).toSet === Set("5"))
+      // the TYPED form computes REAL ring tokens for the declared key
+      // type — it ENGAGES on the bigint table, in SQL too
+      graft.functions.GraftFunctions.register(spark)
+      assert(spark.sql(s"SELECT murmur3_token_typed('5', " +
+        s"'${BigFormat.LongType}') AS t").head().getLong(0) === tokEnc)
+      val typedCol = graft.functions.GraftFunctions
+        .murmur3_token_typed(col("partition_key"), BigFormat.LongType)
+      val typed = SSTableBinaryV2.readBinary(spark, dir)
+        .filter(typedCol.between(tokEnc, tokEnc))
+      val tBounds = typed.queryExecution.optimizedPlan.collect {
+        case r: DataSourceV2ScanRelation =>
+          SSTableBinaryV2.tokenRangeOf(r.scan)
+      }.flatten
+      assert(tBounds === Seq((tokEnc, tokEnc)),
+        "rule did not derive the typed token range")
+      assert(typed.select("partition_key").collect()
+        .map(_.getString(0)).toSet === Set("5"))
+      // and it genuinely PRUNES IO: garble every other generation —
+      // their Summary token spans exclude the ring point, so the
+      // typed ranged read never opens them; a full scan fails loudly
+      val keep = SSTableBinaryV2.readBinary(spark, dir)
+        .filter(col("partition_key") === "5")
+        .select("sstable").head().getString(0).split('/').last
+      val files = {
+        val st = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+        try { import scala.jdk.CollectionConverters._
+          st.iterator().asScala.filter(
+            _.getFileName.toString.endsWith("-Data.db")).toVector
+        } finally st.close()
+      }
+      files.filterNot(_.getFileName.toString == keep).foreach { f =>
+        java.nio.file.Files.write(f, Array.fill[Byte](64)(0x7f))
+        java.nio.file.Files.deleteIfExists(
+          f.getParent.resolve("." + f.getFileName + ".crc"))
+      }
+      assert(SSTableBinaryV2.readBinary(spark, dir)
+        .filter(typedCol.between(tokEnc, tokEnc))
+        .select("partition_key").collect()
+        .map(_.getString(0)).toSet === Set("5"),
+        "typed token range opened a generation its summary excludes")
+      intercept[org.apache.spark.SparkException] {
+        SSTableBinaryV2.readBinary(spark, dir).count()
+      }
     } finally Scratch.delete(out)
   }
 
