@@ -67,11 +67,13 @@ object RemoverCli {
       cqlText: Option[String] = None,
       compress: Option[String] = None,
       verify: Boolean = false,
+      scrub: Boolean = false,
       outGenerations: Int = 1)
 
   private val Flags = Set("in", "out", "table", "keyspace", "cpus",
     "pk", "ck", "cells", "writetime", "ttl-key", "format", "merge",
-    "reader", "sink", "cql", "compress", "verify", "out-generations")
+    "reader", "sink", "cql", "compress", "verify", "scrub",
+    "out-generations")
 
   private def csv(v: String): Seq[String] =
     v.split(',').map(_.trim).filter(_.nonEmpty).toSeq
@@ -120,6 +122,7 @@ object RemoverCli {
                   sink = m.getOrElse("sink", "parquet"),
                   compress = m.get("compress").map(_.toLowerCase),
                   verify = m.get("verify").exists(_.toBoolean),
+                  scrub = m.get("scrub").exists(_.toBoolean),
                   outGenerations = og.flatten.getOrElse(1))
                 applyCql(args, m)
                   .flatMap(validateFormat).flatMap(validateMerge)
@@ -198,6 +201,12 @@ object RemoverCli {
     if (a.verify && a.format != "sstable")
       Left("--verify true checks Digest.crc32 siblings: it requires " +
         "--format sstable (the binary connector)")
+    else if (a.scrub && a.format != "sstable")
+      Left("--scrub true salvages damaged binary generations: it " +
+        "requires --format sstable (the binary connector)")
+    else if (a.scrub && a.verify)
+      Left("--scrub and --verify contradict each other: verification " +
+        "refuses a damaged generation, scrub salvages it — pick one")
     else a.format match {
       case "parquet" => Right(a)
       case "sstabledump" | "sstable" =>
@@ -342,7 +351,7 @@ object RemoverCli {
     val reader: (SparkSession, String) => org.apache.spark.sql.DataFrame =
       if (args.format == "sstable")
         (s, p) => graft.sources.SSTableBinaryV2.readBinary(s, p,
-          args.cqlText, args.verify)
+          args.cqlText, args.verify, args.scrub)
       else if (args.reader == "v2")
         graft.sources.SSTableDumpBridge.readTreeV2
       else graft.sources.SSTableDumpBridge.readTree
@@ -417,7 +426,7 @@ object RemoverCli {
     // decodes *-Data.db directly into the same bridge-row frame
     if (args.format == "sstable")
       (s, p) => graft.sources.SSTableBinaryV2.readBinary(s, p,
-        args.cqlText, args.verify)
+        args.cqlText, args.verify, args.scrub)
     else if (args.reader == "v2") graft.sources.SSTableDumpBridge.readTreeV2
     else if (args.merge.contains("lww"))
       graft.sources.SSTableDumpBridge.readTree

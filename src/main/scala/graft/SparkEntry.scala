@@ -150,6 +150,8 @@ object SparkEntry {
       (sources.SSTableBinaryV2.tokenRangeAudit _),
     "src_sstable_token_typed" ->
       (sources.SSTableBinaryV2.tokenTypedAudit _),
+    "src_sstable_scrub" ->
+      (sources.SSTableBinaryV2.scrubAudit _),
     "src_sstable_slice" -> (sources.SSTableBinaryV2.sliceAudit _),
     "src_sstable_roundtrip" -> (sources.SSTableBinaryV2.binaryRoundtrip _),
     "src_sstable_complex" -> (sources.SSTableBinaryV2.complexLifecycle _),
@@ -1672,6 +1674,20 @@ object SparkEntry {
         | CAST(sum(vc) AS BIGINT) AS sum_value_chars
         |FROM r GROUP BY 1""".stripMargin
 
+  /** `src_sstable_scrub`'s oracle: the tree-audit SQL over the capped
+    * fixture (doc_id < 1000) minus the ONE deterministically poisoned
+    * partition (doc 378) — exactly what a salvage read must serve.
+    * Derived from [[sstabledumpTreeSql]] so the contracts stay in
+    * lockstep. */
+  private lazy val scrubOracleSql: String = {
+    val anchor = " FROM documents),"
+    require(sstabledumpTreeSql.contains(anchor),
+      "tree oracle drifted from the scrub oracle's anchor")
+    sstabledumpTreeSql.replace(anchor,
+      " FROM documents WHERE CAST(doc_id AS BIGINT) < 1000 " +
+        "AND CAST(doc_id AS BIGINT) <> 378),")
+  }
+
   /** `src_sstable_point`'s (and `_lz4`'s) oracle: the tree-audit SQL
     * restricted to the four probed keys — one per row shape. Derived
     * from [[sstabledumpTreeSql]] so the contracts stay in lockstep. */
@@ -2829,6 +2845,7 @@ object SparkEntry {
     // contract holds verbatim
     "src_sstable_token_range" -> pointOracleSql,
     "src_sstable_token_typed" -> pointOracleSql,
+    "src_sstable_scrub" -> scrubOracleSql,
     // the era-UPGRADE lifecycle: the 2.x oracle with (a) every TTL
     // nulled (the strip) and (b) PK_LIVENESS collapsed to pk-only
     // rows — a 2.x row marker on a cell-bearing row becomes the

@@ -109,14 +109,16 @@ object SSTableBinaryV2 {
             "tokenLo and tokenHi come as a pair (the ring has no " +
               "implicit end for a manual option — pass Long.MinValue/" +
               "MaxValue to leave a side open)")
-        })
+        },
+        Option(options.get("scrub")).exists(_.toBoolean))
   }
 
   private class BinScanBuilder(path: String, maxFiles: Option[Int],
       cql: Option[String], splitBytes: Option[Long],
       slice: (Option[String], Option[String]) = (None, None),
       verify: Boolean = false,
-      tokenRange: Option[(Long, Long)] = None)
+      tokenRange: Option[(Long, Long)] = None,
+      scrub: Boolean = false)
       extends ScanBuilder with SupportsPushDownRequiredColumns
       with SupportsPushDownFilters {
     private var required: StructType = SSTableBinaryV2.schema
@@ -163,7 +165,7 @@ object SSTableBinaryV2 {
         requiredSchema.fieldNames.map(SSTableBinaryV2.schema(_)))
     override def build(): Scan =
       new BinScan(path, required, maxFiles, cql, pointKeys, splitBytes,
-        slice, verify, tokenRange = tokenRange)
+        slice, verify, tokenRange = tokenRange, scrub = scrub)
   }
 
   private class BinScan(path: String, required: StructType,
@@ -176,7 +178,8 @@ object SSTableBinaryV2 {
       verify: Boolean = false,
       sliceSpace: Option[String] = None,
       tokenRange: Option[(Long, Long)] = None,
-      tokenSpace: Option[String] = None)
+      tokenSpace: Option[String] = None,
+      scrub: Boolean = false)
       extends Scan with Batch {
 
     /** A copy of this scan with planner-derived slice bounds — the
@@ -189,7 +192,7 @@ object SSTableBinaryV2 {
         space: String): BinScan =
       new BinScan(path, required, maxFiles, cql, pointKeys,
         splitBytesOpt, (lo, hi), verify, Some(space), tokenRange,
-        tokenSpace)
+        tokenSpace, scrub)
 
     /** `space` names the token space PLANNER-derived bounds were
       * computed in: [[RenderedTokenSpace]] for a
@@ -205,7 +208,7 @@ object SSTableBinaryV2 {
         space: Option[String]): BinScan =
       new BinScan(path, required, maxFiles, cql, pointKeys,
         splitBytesOpt, slice, verify, sliceSpace, Some((lo, hi)),
-        space)
+        space, scrub)
 
     private[graft] def currentTokenRange: Option[(Long, Long)] =
       tokenRange
@@ -226,7 +229,8 @@ object SSTableBinaryV2 {
           s"tokenRange=[$lo,$hi]" +
             tokenSpace.map(s => s" (derived, space=$s)").getOrElse("") },
         splitBytesOpt.map(b => s"splitBytes=$b"),
-        if (verify) Some("verify=true") else None
+        if (verify) Some("verify=true") else None,
+        if (scrub) Some("scrub=true") else None
       ).flatten
       s"sstable-big(${parts.mkString(", ")})"
     }
@@ -309,7 +313,7 @@ object SSTableBinaryV2 {
 
     override def createReaderFactory(): PartitionReaderFactory =
       new BinReaderFactory(required.fieldNames, hconf, cql, pointKeys,
-        slice, verify, sliceSpace, tokenRange, tokenSpace)
+        slice, verify, sliceSpace, tokenRange, tokenSpace, scrub)
 
     /** Streaming form — `spark.readStream.format("sstable-big")`: the
       * source's offset is a position in the SORTED file listing (new
@@ -422,14 +426,15 @@ object SSTableBinaryV2 {
       verify: Boolean = false,
       sliceSpace: Option[String] = None,
       tokenRange: Option[(Long, Long)] = None,
-      tokenSpace: Option[String] = None)
+      tokenSpace: Option[String] = None,
+      scrub: Boolean = false)
       extends PartitionReaderFactory {
     override def createReader(
         partition: InputPartition): PartitionReader[InternalRow] = {
       val p = partition.asInstanceOf[BinFilePartition]
       new BinPartitionReader(p.file, cols, hconf.value, cql, pointKeys,
         p.start, p.end, p.info, slice, verify, sliceSpace, tokenRange,
-        tokenSpace)
+        tokenSpace, scrub)
     }
   }
 
@@ -447,7 +452,8 @@ object SSTableBinaryV2 {
       verify: Boolean = false,
       sliceSpace: Option[String] = None,
       tokenRangeOpt: Option[(Long, Long)] = None,
-      tokenSpace: Option[String] = None)
+      tokenSpace: Option[String] = None,
+      scrub: Boolean = false)
       extends PartitionReader[InternalRow] {
     /** A split task owns the partitions whose Data.db start offset
       * falls in its BLIND [rangeStart, rangeEnd) — blind ranges tile
@@ -962,7 +968,7 @@ object SSTableBinaryV2 {
 
     private def sliceScanEligible: Boolean =
       ((!oldEra && (sliceBounds._1.nonEmpty ||
-        sliceBounds._2.nonEmpty)) || tokenRange.isDefined) &&
+        sliceBounds._2.nonEmpty)) || tokenRange.isDefined || scrub) &&
         hasSibling("-Index.db")
 
     /** Wrap-around-aware Murmur3 token-range membership — the
@@ -998,7 +1004,60 @@ object SSTableBinaryV2 {
         }
     }
 
-    private val parts: Iterator[Iterator[InternalRow]] =
+    /** SCRUB mode — Cassandra's `sstablescrub` re-expressed as a read
+      * option: salvage every decodable partition of a damaged
+      * generation instead of failing the job (at 100 TB one corrupt
+      * partition must not kill a multi-hour scan). With an Index.db
+      * sidecar the scan is forced INDEX-PACED (each partition an
+      * independent seek via [[servePosition]] — `resync = true`), so
+      * a decode failure skips exactly that partition and resumes at
+      * the next index entry. Without an index there is nothing to
+      * re-frame by, so the salvage keeps the intact PREFIX and
+      * abandons the file remainder loudly — strictly more than the
+      * all-or-nothing alternative. One partition is materialized at
+      * a time (the reader's existing memory bound); every skip is
+      * WARN-logged with the file and cause. Trade-off stated: index
+      * pacing seeks per partition where a healthy scan would stream
+      * sequentially — scrub is a recovery mode, not the default. */
+    private var scrubSkipped = 0
+    private def salvaged(src: Iterator[Iterator[InternalRow]],
+        resync: Boolean): Iterator[Iterator[InternalRow]] =
+      new Iterator[Iterator[InternalRow]] {
+        private var queued: Iterator[InternalRow] = null
+        private var dead = false
+        private def warn(e: Throwable, where: String): Unit = {
+          scrubSkipped += 1
+          org.slf4j.LoggerFactory.getLogger(classOf[BinPartitionReader])
+            .warn(s"$file: scrub skipped $where " +
+              s"(${e.getClass.getSimpleName}: ${e.getMessage}); " +
+              (if (resync) "resuming at the next index entry"
+              else "abandoning the file remainder (no Index.db to " +
+                "re-frame by)"))
+        }
+        private def advance(): Unit =
+          while (queued == null && !dead) {
+            val hasMore =
+              try src.hasNext
+              catch { case scala.util.control.NonFatal(e) =>
+                warn(e, "the partition walk"); dead = true; false }
+            if (!hasMore) dead = true
+            else try queued = src.next().toArray.iterator
+            catch {
+              case scala.util.control.NonFatal(e) =>
+                warn(e, "a corrupt partition")
+                if (!resync) dead = true
+            }
+          }
+        override def hasNext: Boolean = { advance(); queued != null }
+        override def next(): Iterator[InternalRow] = {
+          advance()
+          if (queued == null) throw new NoSuchElementException
+          val q = queued; queued = null; q
+        }
+      }
+
+    private val parts: Iterator[Iterator[InternalRow]] = {
+      val base: Iterator[Iterator[InternalRow]] =
       if (fileTokenDisjoint) Iterator.empty
       else lookup match {
       case Some(Seq()) => Iterator.empty // bloom-negative: file skipped
@@ -1042,6 +1101,11 @@ object SSTableBinaryV2 {
         else tokenGate[BigFormat.PartitionData](
           BigFormat.partitions(header, fullStream, file), _.key)
           .map(expand)
+      }
+      if (!scrub) base
+      // resync iff partitions are independently seeked: pushed point
+      // positions, or the index-paced walk scrub itself forces on
+      else salvaged(base, resync = lookup.isDefined || sliceScanEligible)
     }
     private var pending: Iterator[InternalRow] = Iterator.empty
     private var row: InternalRow = _
@@ -1407,12 +1471,14 @@ object SSTableBinaryV2 {
   }
 
   /** [[readBinary]] with the digest-verification pass engaged (the
-    * CLI's `--verify true`). */
+    * CLI's `--verify true`) and/or the salvage-read scrub mode (the
+    * CLI's `--scrub true`). */
   def readBinary(spark: SparkSession, root: String, cql: Option[String],
-      verify: Boolean): DataFrame = {
+      verify: Boolean, scrub: Boolean = false): DataFrame = {
     val r = spark.read.format("sstable-big")
     cql.foreach(c => r.option("cql", c))
     if (verify) r.option("verify", "true")
+    if (scrub) r.option("scrub", "true")
     r.load(root)
   }
 
@@ -2819,6 +2885,61 @@ object SSTableBinaryV2 {
     val audit = SSTableDumpBridge.auditFrame(
       inRange.filter(col("partition_key").isin(keys: _*)))
       .localCheckpoint()
+    graft.Scratch.delete(out)
+    audit
+  }
+
+  /** Registered `src_sstable_scrub`: the salvage READ path —
+    * Cassandra's `sstablescrub` re-expressed as a connector option.
+    * The fixture writes a capped generation set (doc_id < 1000, so
+    * the poison below is deterministic at every SF), then corrupts
+    * EXACTLY ONE partition: doc 378's 2-byte key-length prefix
+    * becomes 0xFFFF, so its decode must overrun the (far smaller)
+    * file — a guaranteed failure confined to one index slot. The
+    * in-query `require`s pin that the ordinary read DIES on the
+    * damage (scrub earns its keep) and that scrub serves everything
+    * except the poisoned key; the oracle replays the tree SQL minus
+    * doc 378. At 100 TB this is the difference between re-running a
+    * multi-hour job and a WARN line per bad partition. */
+  def scrubAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val in = writeBinaryFixture(spark, sfDir)
+    val out = graft.Scratch.dir("graft-scrubaudit-")
+    writeSSTables(
+      readBinary(spark, in.toString)
+        .filter(col("partition_key").cast("long") < 1000),
+      out.toString, "graft", "documents")
+    graft.Scratch.delete(in)
+    val dir = s"$out/graft/documents"
+    // doc 378: ROW-shaped (378%10=8), fileId 378%4=2 → generation 3
+    val dataP = java.nio.file.Paths.get(dir, "nb-3-big-Data.db")
+    val idxP = java.nio.file.Paths.get(dir, "nb-3-big-Index.db")
+    val keyBytes = BigFormat.encodeValue(BigFormat.Utf8Type, "378").toSeq
+    val pos = SSTableComponents.indexEntries(
+      new java.io.DataInputStream(new java.io.ByteArrayInputStream(
+        java.nio.file.Files.readAllBytes(idxP))), idxP.toString)
+      .collectFirst { case (k, p, _) if k.toSeq == keyBytes => p }
+      .getOrElse(throw new IllegalStateException(
+        s"$idxP: fixture key 378 missing from the index"))
+    val ch = java.nio.channels.FileChannel.open(dataP,
+      java.nio.file.StandardOpenOption.WRITE)
+    try {
+      ch.position(pos)
+      ch.write(java.nio.ByteBuffer.wrap(
+        Array(0xff.toByte, 0xff.toByte)))
+    } finally ch.close()
+    java.nio.file.Files.deleteIfExists(
+      dataP.getParent.resolve("." + dataP.getFileName + ".crc"))
+    val plain = scala.util.Try(readBinary(spark, dir).count())
+    require(plain.isFailure,
+      s"$dir: the poisoned generation still reads cleanly — the " +
+        "scrub audit is proving nothing")
+    val scrubbed = readBinary(spark, dir, None, verify = false,
+      scrub = true).localCheckpoint()
+    val got = scrubbed.select("partition_key").distinct()
+      .collect().map(_.getString(0)).toSet
+    require(!got.contains("378"),
+      s"$dir: scrub served rows from the corrupt partition")
+    val audit = SSTableDumpBridge.auditFrame(scrubbed).localCheckpoint()
     graft.Scratch.delete(out)
     audit
   }

@@ -1841,6 +1841,97 @@ class SSTableBinarySpec extends SparkSpec {
     }
   }
 
+  test("scrub mode salvages damaged generations; without an index the intact prefix survives") {
+    import spark.implicits._
+    def freshGen(): java.nio.file.Path = {
+      val out = Scratch.dir("graft-scrubspec-")
+      val wt = 1609459200000000L
+      val frame = (1 to 16).map { i =>
+        (i.toString, Seq("c"), "ROW", Some("v"),
+          Some((s"val$i", wt, None: Option[Int], None: Option[Long])),
+          None: Option[Long], "t/nb-1-big-Data.db")
+      }.toDF("partition_key", "clustering", "row_kind", "name",
+        "cell_t", "deletion_us", "sstable")
+        .withColumn("cell", struct(
+          col("cell_t._1").as("value"),
+          col("cell_t._2").as("writetime_us"),
+          col("cell_t._3").as("ttl_s"), col("cell_t._4").as("expire_us")))
+        .drop("cell_t")
+      SSTableBinaryV2.writeSSTables(frame, out.toString, "graft",
+        "documents")
+      out
+    }
+    def poison(dir: java.nio.file.Path, key: String): Unit = {
+      // overwrite the partition's 2-byte key-length prefix with
+      // 0xFFFF: the decoder's 65535-byte key read overruns the tiny
+      // file — a guaranteed failure confined to that slot
+      val dataP = dir.resolve("nb-1-big-Data.db")
+      val idxP = dir.resolve("nb-1-big-Index.db")
+      val kb = BigFormat.encodeValue(BigFormat.Utf8Type, key).toSeq
+      val pos = graft.sources.SSTableComponents.indexEntries(
+        new java.io.DataInputStream(new ByteArrayInputStream(
+          java.nio.file.Files.readAllBytes(idxP))), idxP.toString)
+        .collectFirst { case (k, p, _) if k.toSeq == kb => p }
+        .getOrElse(fail(s"key $key missing from index"))
+      val ch = java.nio.channels.FileChannel.open(dataP,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        ch.position(pos)
+        ch.write(java.nio.ByteBuffer.wrap(
+          Array(0xff.toByte, 0xff.toByte)))
+      } finally ch.close()
+      java.nio.file.Files.deleteIfExists(
+        dir.resolve(".nb-1-big-Data.db.crc"))
+    }
+    def keysOf(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.select("partition_key").collect().map(_.getString(0)).toSet
+    val all = (1 to 16).map(_.toString).toSet
+    def tok(k: String): Long = BigFormat.murmur3Token(
+      BigFormat.encodeValue(BigFormat.Utf8Type, k))
+    // pick the corrupt key from the MIDDLE of token order so both
+    // the skip and the continuation are exercised
+    val ordered = all.toSeq.sortBy(tok)
+    val bad = ordered(7)
+    val out = freshGen()
+    try {
+      val dir = out.resolve("graft").resolve("documents")
+      poison(dir, bad)
+      // the ordinary read dies loudly; scrub serves everything else
+      intercept[org.apache.spark.SparkException] {
+        SSTableBinaryV2.readBinary(spark, dir.toString).count()
+      }
+      val scrubbed = spark.read.format("sstable-big")
+        .option("scrub", "true").load(dir.toString)
+      assert(keysOf(scrubbed) === all - bad)
+      // scrub shows in the plan description (trust-by-explain)
+      assert(scrubbed.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        .contains("scrub=true"))
+      // WITHOUT an index there is nothing to re-frame by: the intact
+      // token-order PREFIX survives, the remainder is abandoned
+      Seq("-Index.db", "-Summary.db", "-Filter.db").foreach { sfx =>
+        java.nio.file.Files.deleteIfExists(
+          dir.resolve(s"nb-1-big$sfx"))
+        java.nio.file.Files.deleteIfExists(
+          dir.resolve(s".nb-1-big$sfx.crc"))
+      }
+      val prefix = ordered.takeWhile(_ != bad).toSet
+      val salvagedNoIdx = spark.read.format("sstable-big")
+        .option("scrub", "true").load(dir.toString)
+      assert(keysOf(salvagedNoIdx) === prefix)
+    } finally Scratch.delete(out)
+    // CLI validation: scrub is a binary-format recovery mode and
+    // contradicts digest verification
+    assert(RemoverCli.parse(Array("--in", "a", "--out", "b",
+      "--table", "t", "--scrub", "true")).isLeft)
+    assert(RemoverCli.parse(Array("--in", "a", "--out", "b",
+      "--table", "t", "--format", "sstable", "--scrub", "true",
+      "--verify", "true")).isLeft)
+    assert(RemoverCli.parse(Array("--in", "a", "--out", "b",
+      "--table", "t", "--format", "sstable", "--scrub", "true"))
+      .isRight)
+  }
+
   test("--out-generations buckets by the REAL ring token on typed tables") {
     import spark.implicits._
     val in = Scratch.dir("graft-multigen-typed-in-")
