@@ -245,6 +245,20 @@ object SSTableBinaryV2 {
     override def readSchema(): StructType = required
     override def toBatch: Batch = this
 
+    /** UI-visible IO-pruning counters — gate engagement must be
+      * READABLE off the executed query at scale, not inferred. */
+    override def supportedCustomMetrics()
+        : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+      Array(
+        new SumMetric(MetricPartitionsServed,
+          "Cassandra partitions decoded"),
+        new SumMetric(MetricFilesSkippedBloom,
+          "files skipped whole by a Filter.db miss"),
+        new SumMetric(MetricFilesSkippedTokenSpan,
+          "files skipped whole by Summary.db token-span disjointness"),
+        new SumMetric(MetricPartitionsScrubSkipped,
+          "corrupt partitions skipped by scrub"))
+
     /** One recursive listing yields the data files AND their sibling
       * component sets WITH lengths (no per-file exists()/status RPCs
       * at plan time — and, because the result ships inside each
@@ -1056,11 +1070,19 @@ object SSTableBinaryV2 {
         }
       }
 
+    private var partitionsServed = 0L
+    private var filesSkippedBloom = 0L
+    private var filesSkippedTokenSpan = 0L
     private val parts: Iterator[Iterator[InternalRow]] = {
       val base: Iterator[Iterator[InternalRow]] =
-      if (fileTokenDisjoint) Iterator.empty
+      if (fileTokenDisjoint) {
+        filesSkippedTokenSpan += 1
+        Iterator.empty
+      }
       else lookup match {
-      case Some(Seq()) => Iterator.empty // bloom-negative: file skipped
+      case Some(Seq()) => // bloom-negative: file skipped
+        filesSkippedBloom += 1
+        Iterator.empty
       case Some(positions) =>
         // a split task serves only the indexed positions it owns —
         // compared in LOGICAL offsets (positions always are)
@@ -1253,13 +1275,23 @@ object SSTableBinaryV2 {
     }
 
     override def next(): Boolean = {
-      while (!pending.hasNext && parts.hasNext)
+      while (!pending.hasNext && parts.hasNext) {
         pending = parts.next()
+        partitionsServed += 1
+      }
       if (!pending.hasNext) false
       else { row = pending.next(); true }
     }
 
     override def get(): InternalRow = row
+
+    override def currentMetricsValues()
+        : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+      Array(
+        TaskMetric(MetricPartitionsServed, partitionsServed),
+        TaskMetric(MetricFilesSkippedBloom, filesSkippedBloom),
+        TaskMetric(MetricFilesSkippedTokenSpan, filesSkippedTokenSpan),
+        TaskMetric(MetricPartitionsScrubSkipped, scrubSkipped.toLong))
 
     override def close(): Unit = {
       if (fullStream != null) fullStream.close()
@@ -1447,6 +1479,28 @@ object SSTableBinaryV2 {
     * RENDERED key string — a real ring position only when the key
     * type encodes as its rendered bytes (text). */
   private[graft] val RenderedTokenSpace = "rendered-utf8"
+
+  // =====================================================================
+  // DSv2 custom metrics — IO-pruning observability in the Spark UI.
+  // At 100 TB "did the bloom/summary gates actually fire" must be
+  // readable off the query, not inferred from wall-clock: these are
+  // the connector's equivalents of Cassandra's own table metrics
+  // (BloomFilterFalsePositives / sstablesPerRead family).
+  // =====================================================================
+  private class SumMetric(metricName: String, desc: String)
+      extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+    override def name(): String = metricName
+    override def description(): String = desc
+  }
+  private case class TaskMetric(metricName: String, v: Long)
+      extends org.apache.spark.sql.connector.metric.CustomTaskMetric {
+    override def name(): String = metricName
+    override def value(): Long = v
+  }
+  private[graft] val MetricPartitionsServed = "partitionsServed"
+  private[graft] val MetricFilesSkippedBloom = "filesSkippedBloom"
+  private[graft] val MetricFilesSkippedTokenSpan = "filesSkippedTokenSpan"
+  private[graft] val MetricPartitionsScrubSkipped = "partitionsScrubSkipped"
 
   /** Planner hook: copy `scan` with a Murmur3 token range when it is
     * this connector's scan without one already (fixed point).

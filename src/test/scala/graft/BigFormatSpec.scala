@@ -1932,6 +1932,79 @@ class SSTableBinarySpec extends SparkSpec {
       .isRight)
   }
 
+  test("DSv2 custom metrics surface the IO-pruning gates: bloom skips, token-span skips, scrub skips, partitions served") {
+    import spark.implicits._
+    val out = Scratch.dir("graft-metricspec-")
+    try {
+      val wt = 1609459200000000L
+      // four single-partition generations — per-file gate decisions
+      val frame = (0 to 3).map { i =>
+        (i.toString, Seq(s"c$i"), "ROW", Some("v"),
+          Some((s"val$i", wt, None: Option[Int], None: Option[Long])),
+          None: Option[Long], s"t/nb-${i + 1}-big-Data.db")
+      }.toDF("partition_key", "clustering", "row_kind", "name",
+        "cell_t", "deletion_us", "sstable")
+        .withColumn("cell", struct(
+          col("cell_t._1").as("value"),
+          col("cell_t._2").as("writetime_us"),
+          col("cell_t._3").as("ttl_s"), col("cell_t._4").as("expire_us")))
+        .drop("cell_t")
+      SSTableBinaryV2.writeSSTables(frame, out.toString, "graft",
+        "documents")
+      val dir = s"$out/graft/documents"
+      def metricsOf(df: org.apache.spark.sql.DataFrame)
+          : Map[String, Long] = {
+        df.collect()
+        df.queryExecution.executedPlan.collectLeaves().collect {
+          case s: org.apache.spark.sql.execution.datasources.v2
+            .BatchScanExec =>
+            s.metrics.view.mapValues(_.value).toMap
+        }.head.map { case (k, v) => k -> v.toString.toLong }
+      }
+      // point lookup on ONE key: three files bloom-skip, one serves
+      val point = metricsOf(SSTableBinaryV2.readBinary(spark, dir)
+        .filter(col("partition_key") === "2"))
+      assert(point("filesSkippedBloom") === 3, point.toString)
+      assert(point("partitionsServed") === 1, point.toString)
+      // single-token range: three files are token-span disjoint
+      def tok(k: String): Long = BigFormat.murmur3Token(
+        BigFormat.encodeValue(BigFormat.Utf8Type, k))
+      val ranged = metricsOf(spark.read.format("sstable-big")
+        .option("tokenLo", tok("2").toString)
+        .option("tokenHi", tok("2").toString).load(dir))
+      assert(ranged("filesSkippedTokenSpan") === 3, ranged.toString)
+      assert(ranged("partitionsServed") === 1, ranged.toString)
+      // full scan: every partition served, nothing skipped
+      val full = metricsOf(SSTableBinaryV2.readBinary(spark, dir))
+      assert(full("partitionsServed") === 4, full.toString)
+      assert(full("filesSkippedBloom") === 0, full.toString)
+      // poison one generation's key-length prefix: scrub counts it
+      val badFile = SSTableBinaryV2.readBinary(spark, dir)
+        .filter(col("partition_key") === "3")
+        .select("sstable").head().getString(0).split('/').last
+      val dataP = java.nio.file.Paths.get(dir, badFile)
+      val idxP = java.nio.file.Paths.get(dir,
+        badFile.replace("-Data.db", "-Index.db"))
+      val pos = graft.sources.SSTableComponents.indexEntries(
+        new java.io.DataInputStream(new ByteArrayInputStream(
+          java.nio.file.Files.readAllBytes(idxP))), idxP.toString)
+        .map(_._2).next()
+      val ch = java.nio.channels.FileChannel.open(dataP,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        ch.position(pos)
+        ch.write(java.nio.ByteBuffer.wrap(
+          Array(0xff.toByte, 0xff.toByte)))
+      } finally ch.close()
+      java.nio.file.Files.deleteIfExists(
+        dataP.getParent.resolve("." + dataP.getFileName + ".crc"))
+      val scrubbed = metricsOf(spark.read.format("sstable-big")
+        .option("scrub", "true").load(dir))
+      assert(scrubbed("partitionsScrubSkipped") === 1, scrubbed.toString)
+      assert(scrubbed("partitionsServed") === 3, scrubbed.toString)
+    } finally Scratch.delete(out)
+  }
+
   test("--out-generations buckets by the REAL ring token on typed tables") {
     import spark.implicits._
     val in = Scratch.dir("graft-multigen-typed-in-")
