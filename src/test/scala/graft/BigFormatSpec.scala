@@ -2005,6 +2005,54 @@ class SSTableBinarySpec extends SparkSpec {
     } finally Scratch.delete(out)
   }
 
+  test("scrub salvages 2.x (ka) generations through their fixed-width index") {
+    val dir = SSTableBinaryV2.writeOldFixture(spark, sfDir)
+    try {
+      val docs = dir.resolve("documents")
+      import scala.jdk.CollectionConverters._
+      val dataFiles = java.nio.file.Files.list(docs).iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(_.endsWith("-Data.db")).toSeq.sorted
+      val victim = dataFiles.head
+      val idxP = docs.resolve(victim.replace("-Data.db", "-Index.db"))
+      val entries = graft.sources.SSTableComponents.readIndex2x(
+        java.nio.file.Files.readAllBytes(idxP), idxP.toString)
+      assert(entries.size > 4)
+      // poison a mid-token-order partition's 2-byte key-length prefix
+      val (badKey, pos, _) = entries(entries.size / 2)
+      val dataP = docs.resolve(victim)
+      val ch = java.nio.channels.FileChannel.open(dataP,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        ch.position(pos)
+        ch.write(java.nio.ByteBuffer.wrap(
+          Array(0xff.toByte, 0xff.toByte)))
+      } finally ch.close()
+      java.nio.file.Files.deleteIfExists(
+        docs.resolve("." + victim + ".crc"))
+      val cql = SSTableBinaryV2.Cql2x
+      intercept[org.apache.spark.SparkException] {
+        SSTableBinaryV2.readBinary(spark, dir.toString, Some(cql)).count()
+      }
+      val scrubbed = spark.read.format("sstable-big")
+        .option("cql", cql).option("scrub", "true").load(dir.toString)
+      val got = scrubbed.select("partition_key").distinct().collect()
+        .map(_.getString(0)).toSet
+      val bad = new String(badKey, "UTF-8")
+      assert(!got.contains(bad))
+      // every OTHER partition still serves — the fixed-width 2.x
+      // index re-frames past the corruption within the damaged file,
+      // and the intact generations are untouched
+      val allKeys = dataFiles.flatMap { f =>
+        graft.sources.SSTableComponents.readIndex2x(
+          java.nio.file.Files.readAllBytes(
+            docs.resolve(f.replace("-Data.db", "-Index.db"))), f)
+          .map(e => new String(e._1, "UTF-8"))
+      }.toSet
+      assert(got === allKeys - bad)
+    } finally Scratch.delete(dir)
+  }
+
   test("--out-generations buckets by the REAL ring token on typed tables") {
     import spark.implicits._
     val in = Scratch.dir("graft-multigen-typed-in-")
@@ -2997,6 +3045,27 @@ class SSTableBinarySpec extends SparkSpec {
       assert(SSTableBinaryV2.readBinary(spark, dir)
         .filter(col("partition_key") === "no-such-src:999999")
         .count() === 0)
+      // typed token pruning reaches COMPOSITE keys: the typed
+      // expression encodes the ':'-joined carry through the declared
+      // CompositeType before hashing — the token the sink sorted by
+      graft.plans.GraftExtensions.enable(spark)
+      val compType = BigFormat.compositeType(
+        Seq(BigFormat.Utf8Type, BigFormat.LongType))
+      val tokEnc = BigFormat.murmur3Token(
+        BigFormat.encodeValue(compType, key))
+      val typedCol = graft.functions.GraftFunctions
+        .murmur3_token_typed(col("partition_key"), compType)
+      val typed = SSTableBinaryV2.readBinary(spark, dir)
+        .filter(typedCol.between(tokEnc, tokEnc))
+      import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+      val tBounds = typed.queryExecution.optimizedPlan.collect {
+        case r: DataSourceV2ScanRelation =>
+          SSTableBinaryV2.tokenRangeOf(r.scan)
+      }.flatten
+      assert(tBounds === Seq((tokEnc, tokEnc)),
+        "rule did not derive the composite-typed token range")
+      assert(typed.select("partition_key").distinct().collect()
+        .map(_.getString(0)).toSet === Set(key))
     } finally { Scratch.delete(in); Scratch.delete(out) }
   }
 
