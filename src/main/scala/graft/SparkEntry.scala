@@ -152,6 +152,8 @@ object SparkEntry {
       (sources.SSTableBinaryV2.tokenTypedAudit _),
     "src_sstable_scrub" ->
       (sources.SSTableBinaryV2.scrubAudit _),
+    "src_sstable_metadata" ->
+      (sources.SSTableMetadata.metadataAudit _),
     "src_sstable_slice" -> (sources.SSTableBinaryV2.sliceAudit _),
     "src_sstable_roundtrip" -> (sources.SSTableBinaryV2.binaryRoundtrip _),
     "src_sstable_complex" -> (sources.SSTableBinaryV2.complexLifecycle _),
@@ -2846,6 +2848,33 @@ object SparkEntry {
     "src_sstable_token_range" -> pointOracleSql,
     "src_sstable_token_typed" -> pointOracleSql,
     "src_sstable_scrub" -> scrubOracleSql,
+    // the sidecar-only inventory: per generation, exact partition
+    // counts (Index.db), EncodingStats minima (Statistics.db) and the
+    // component census — for both the plain and the lz4 rewrite of
+    // the same fixture (the lz4 one shows its compressor and one
+    // extra component). Data.db is never opened.
+    "src_sstable_metadata" -> """
+      |WITH d AS (
+      | SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |  CAST(doc_id % 4 AS BIGINT) AS f,
+      |  (1609459200 + doc_id) * 1000000 AS wt,
+      |  CASE WHEN doc_id % 2 = 0 AND doc_id % 100 <> 0
+      |    THEN doc_id % 100 END AS ttl
+      | FROM documents),
+      |g AS (
+      | SELECT 'documents/nb-' || CAST(f + 1 AS VARCHAR)
+      |    || '-big-Data.db' AS sstable,
+      |  CAST(count(*) AS BIGINT) AS n_partitions,
+      |  CAST(min(wt) AS BIGINT) AS min_writetime_us,
+      |  CAST(min(ttl) AS INTEGER) AS min_ttl_s
+      | FROM d GROUP BY f)
+      |SELECT sstable, n_partitions, min_writetime_us, min_ttl_s,
+      | CAST(NULL AS VARCHAR) AS compressor,
+      | 7 AS n_components, 'plain' AS layout FROM g
+      |UNION ALL
+      |SELECT sstable, n_partitions, min_writetime_us, min_ttl_s,
+      | 'LZ4Compressor' AS compressor,
+      | 8 AS n_components, 'lz4' AS layout FROM g""".stripMargin,
     // the era-UPGRADE lifecycle: the 2.x oracle with (a) every TTL
     // nulled (the strip) and (b) PK_LIVENESS collapsed to pk-only
     // rows — a 2.x row marker on a cell-bearing row becomes the

@@ -1,0 +1,149 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.util.SerializableConfiguration
+
+/** `sstablemetadata`'s role re-expressed for a lake: one inventory row
+  * per generation, read from SIDECARS ONLY — Data.db is never opened,
+  * so a 100 TB table inventories at the cost of its metadata (~1-2%
+  * of bytes, and only the index among those). The driver does ONE
+  * recursive listing (catalog-sized — the same contract as the
+  * connector's planner, `SSTableBinaryV2` listing); every component
+  * read happens executor-side, one task wave across the lake.
+  *
+  * Columns and their sources:
+  *   - `sstable`         dir/name, the connector frames' identity
+  *   - `n_partitions`    EXACT key count — streamed Index.db entry
+  *                       count (modern vint framing or the fixed-width
+  *                       2.x form); NULL when no index sidecar exists.
+  *                       (Summary.db stores only ceil(n/interval) —
+  *                       Cassandra itself can only estimate from it.)
+  *   - `min_writetime_us` / `min_ttl_s`  the Statistics.db header
+  *                       minima (EncodingStats — what the reference's
+  *                       sstablemetadata prints); NULL on pre-3.0
+  *                       files, which carry no serialization header
+  *   - `compressor`      CompressionInfo.db's declared algorithm, or
+  *                       NULL for uncompressed generations
+  *   - `n_components`    sibling files in the generation (TOC's role,
+  *                       counted from the listing — no TOC read)
+  */
+object SSTableMetadata {
+
+  final case class GenerationMeta(
+      sstable: String,
+      n_partitions: Option[Long],
+      min_writetime_us: Option[Long],
+      min_ttl_s: Option[Int],
+      compressor: Option[String],
+      n_components: Int)
+
+  def describe(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val hconf = new SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    // driver: one recursive listing, grouped into generations
+    val fs = FileSystem.get(java.net.URI.create(root), hconf.value)
+    val all = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = fs.listFiles(new HPath(root), true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.isFile && !f.getPath.getName.startsWith("."))
+        all += f.getPath.toString
+    }
+    val byGen = all.groupBy { p =>
+      val name = p.split('/').last
+      val comp = name.split('-').last
+      p.stripSuffix("-" + comp)
+    }
+    val gens = byGen.collect {
+      case (base, comps) if comps.exists(_.endsWith("-Data.db")) =>
+        (base + "-Data.db", comps.toSeq.sorted)
+    }.toSeq.sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(hconf)
+    spark.createDataset(gens)
+      .repartition(math.min(gens.size.max(1),
+        spark.sparkContext.defaultParallelism))
+      .map { case (dataPath, comps) =>
+        describeOne(dataPath, comps, bc.value.value)
+      }
+      .toDF()
+  }
+
+  private def describeOne(dataPath: String, comps: Seq[String],
+      conf: org.apache.hadoop.conf.Configuration): GenerationMeta = {
+    val fs = FileSystem.get(java.net.URI.create(dataPath), conf)
+    val name = dataPath.split('/').last
+    val version = SSTableBinaryV2.versionOf(name)
+    val oldEra = version.nonEmpty && version.charAt(0) < 'm'
+    val base = dataPath.stripSuffix("-Data.db")
+    def comp(suffix: String): Option[String] =
+      comps.find(_ == base + suffix)
+    def readAll(p: String): Array[Byte] = {
+      val st = fs.getFileStatus(new HPath(p))
+      val buf = new Array[Byte](st.getLen.toInt)
+      val in = fs.open(new HPath(p))
+      try in.readFully(0, buf) finally in.close()
+      buf
+    }
+    val header: Option[BigFormat.Header] =
+      if (oldEra) None
+      else comp("-Statistics.db").map(p => BigFormat.readStats(
+        readAll(p), BigFormat.versionHasMetadataChecksum(version)))
+    val nPartitions: Option[Long] = comp("-Index.db").map { p =>
+      val in = fs.open(new HPath(p))
+      try {
+        val din = new java.io.DataInputStream(
+          new java.io.BufferedInputStream(in))
+        val entries =
+          if (oldEra) SSTableComponents.indexEntries2x(din, p)
+          else SSTableComponents.indexEntries(din, p)
+        var n = 0L
+        while (entries.hasNext) { entries.next(); n += 1 }
+        n
+      } finally in.close()
+    }
+    val compressor: Option[String] = comp("-CompressionInfo.db").map {
+      p => CompressedData.readMeta(readAll(p),
+        CompressedData.versionHasMaxCompressedSize(version), p,
+        CompressedData.versionUsesAdler32(version)).compressor
+    }
+    GenerationMeta(
+      sstable = dataPath.split('/').takeRight(2).mkString("/"),
+      n_partitions = nPartitions,
+      min_writetime_us = header.map(_.minTimestampUs),
+      // TTL 0 is Cassandra's own "no expiring cells" sentinel
+      // (EncodingStats.TTL_EPOCH): a real TTL is >= 1 second, so the
+      // inventory surfaces the sentinel as NULL, not as a minimum
+      min_ttl_s = header.map(_.minTtlS).filter(_ != 0),
+      compressor = compressor,
+      n_components = comps.size)
+  }
+
+  /** Registered `src_sstable_metadata`: the sidecar-only inventory
+    * over a sink-written generation set, uncompressed AND compressed
+    * (the lz4 rewrite shows its compressor and one extra component).
+    * The oracle replays the fixture arithmetic per generation: exact
+    * partition counts, EncodingStats minima, component census —
+    * without the engine ever opening a Data.db. */
+  def metadataAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val in = SSTableBinaryV2.writeBinaryFixture(spark, sfDir)
+    val out = graft.Scratch.dir("graft-metaaudit-")
+    val outLz4 = graft.Scratch.dir("graft-metaauditlz4-")
+    val frame = SSTableBinaryV2.readBinary(spark, in.toString)
+    SSTableBinaryV2.writeSSTables(frame, out.toString,
+      "graft", "documents")
+    SSTableBinaryV2.writeSSTables(frame, outLz4.toString,
+      "graft", "documents", compression = Some(CompressedData.Lz4))
+    graft.Scratch.delete(in)
+    val described = describe(spark, s"$out/graft/documents")
+      .withColumn("layout", lit("plain"))
+      .unionByName(describe(spark, s"$outLz4/graft/documents")
+        .withColumn("layout", lit("lz4")))
+      .localCheckpoint()
+    graft.Scratch.delete(out)
+    graft.Scratch.delete(outLz4)
+    described
+  }
+}

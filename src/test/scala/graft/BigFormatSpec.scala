@@ -2005,6 +2005,48 @@ class SSTableBinarySpec extends SparkSpec {
     } finally Scratch.delete(out)
   }
 
+  test("sidecar-only inventory: describe() never opens Data.db and reads 2.x sidecars") {
+    import graft.sources.SSTableMetadata
+    // modern generations: garble every Data.db AFTER the write — the
+    // inventory must still answer in full (it reads only sidecars)
+    val in = SSTableBinaryV2.writeBinaryFixture(spark, sfDir)
+    val out = Scratch.dir("graft-metadesc-")
+    try {
+      SSTableBinaryV2.writeSSTables(
+        SSTableBinaryV2.readBinary(spark, in.toString),
+        out.toString, "graft", "documents")
+      val dir = out.resolve("graft").resolve("documents")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(dir).iterator().asScala
+        .filter(_.getFileName.toString.endsWith("-Data.db"))
+        .foreach { f =>
+          java.nio.file.Files.write(f, Array.fill[Byte](32)(0x11))
+          java.nio.file.Files.deleteIfExists(
+            f.getParent.resolve("." + f.getFileName + ".crc"))
+        }
+      val rows = SSTableMetadata.describe(spark, dir.toString).collect()
+      assert(rows.length === 4)
+      assert(rows.forall(_.getAs[Long]("n_partitions") === 125L))
+      assert(rows.forall(!_.isNullAt(
+        rows.head.fieldIndex("min_writetime_us"))))
+      assert(rows.forall(_.getAs[Int]("n_components") === 7))
+    } finally { Scratch.delete(in); Scratch.delete(out) }
+    // 2.x (ka, compressed): fixed-width index counts, no Statistics
+    // header → NULL minima, Adler-era CompressionInfo names its algo
+    val ka = SSTableBinaryV2.writeOldFixture(spark, sfDir,
+      compress = true)
+    try {
+      val rows = SSTableMetadata
+        .describe(spark, ka.resolve("documents").toString).collect()
+      assert(rows.length === 4)
+      assert(rows.map(_.getAs[Long]("n_partitions")).sum === 500L)
+      assert(rows.forall(_.isNullAt(
+        rows.head.fieldIndex("min_writetime_us"))))
+      assert(rows.forall(
+        _.getAs[String]("compressor") === "LZ4Compressor"))
+    } finally Scratch.delete(ka)
+  }
+
   test("scrub salvages 2.x (ka) generations through their fixed-width index") {
     val dir = SSTableBinaryV2.writeOldFixture(spark, sfDir)
     try {
