@@ -154,6 +154,8 @@ object SparkEntry {
       (sources.SSTableBinaryV2.scrubAudit _),
     "src_sstable_metadata" ->
       (sources.SSTableMetadata.metadataAudit _),
+    "src_sstable_dump_export" ->
+      (sources.SSTableDumpBridge.exportAudit _),
     "src_sstable_slice" -> (sources.SSTableBinaryV2.sliceAudit _),
     "src_sstable_roundtrip" -> (sources.SSTableBinaryV2.binaryRoundtrip _),
     "src_sstable_complex" -> (sources.SSTableBinaryV2.complexLifecycle _),
@@ -2716,6 +2718,9 @@ object SparkEntry {
         |   AS BIGINT) AS sum_text_len
         |FROM documents GROUP BY 1""".stripMargin,
     "src_sstabledump_tree" -> sstabledumpTreeSql,
+    // the export loop (binary → dump JSON → re-ingest) answers to the
+    // SAME tree contract as every direct ingestion path
+    "src_sstable_dump_export" -> sstabledumpTreeSql,
     // same oracle VERBATIM for the V2-connector ingestion path: one
     // semantic contract, both IO paths held to it
     "src_sstabledump_v2" -> sstabledumpTreeSql,

@@ -454,6 +454,165 @@ object SSTableDumpBridge {
     written.get("rows").asInstanceOf[Long]
   }
 
+  /** EXPORT: bridge-row frame → sstabledump JSON tree — the inverse
+    * of [[readTree]], so the engine EMITS the same public format it
+    * ingests (binary in → dump out closes the interop loop: any tool
+    * that consumes `sstabledump` output consumes this). One dump file
+    * per distinct `sstable` value, NAMED exactly after it (re-reading
+    * reproduces the same `sstable` column), each an array of
+    * partition objects. Assembly is Spark-expression work end-to-end
+    * (entry structs → `to_json`, null fields omitted — the dump
+    * convention); the only imperative code is the per-file Hadoop
+    * write inside `mapGroups`, the same codec-boundary discipline as
+    * the fixture writers. Deterministic: entries sort by
+    * (clustering, name), partitions by key, so a re-export is
+    * byte-identical.
+    *
+    * The dump-EXPRESSIBLE subset is exactly what `sstabledump`
+    * itself prints: ROW / PK_LIVENESS / ROW_DELETION /
+    * PARTITION_DELETION / RANGE_TOMBSTONE_BOUND. Binary-only shapes
+    * (cell/complex tombstones, static rows) REFUSE loudly in-flight
+    * (`raise_error`) — an export that silently dropped a tombstone
+    * would resurrect data in whatever re-ingests it. Cells carry
+    * their EXPLICIT tstamp/ttl (no row-default compression), which
+    * is why readTree(writeTree(frame)) reproduces the frame exactly.
+    * Timestamps render with a literal 'Z', the fixture convention —
+    * callers run UTC sessions (all mains here do). */
+  def writeTree(frame: DataFrame, outDir: String): Unit = {
+    val spark = frame.sparkSession
+    import spark.implicits._
+    def iso(us: Column): Column =
+      date_format(timestamp_micros(us), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")
+    val delInfo = struct(
+      iso(col("deletion_us")).as("marked_deleted"),
+      iso(col("deletion_us")).as("local_delete_time"))
+    val nullLive = lit(null).cast("struct<tstamp:string,ttl:int>")
+    val nullDel = lit(null)
+      .cast("struct<marked_deleted:string,local_delete_time:string>")
+    val nullBound = lit(null).cast("struct<type:string," +
+      "clustering:array<string>," +
+      "deletion_info:struct<marked_deleted:string,local_delete_time:string>>")
+    val nullCells = lit(null)
+      .cast("array<struct<name:string,value:string,tstamp:string,ttl:int>>")
+    def entry(live: Column, del: Column, start: Column, end: Column,
+        cells: Column, tpe: String) = struct(
+      lit(tpe).as("type"), col("clustering"),
+      live.as("liveness_info"), del.as("deletion_info"),
+      start.as("start"), end.as("end"), cells.as("cells"))
+    val rtBound = struct(
+      element_at(split(col("name"), ":"), 2).as("type"),
+      col("clustering"), delInfo.as("deletion_info"))
+    val isStart = split(col("name"), ":").getItem(0) === "start"
+    val expressible = col("row_kind").isin("ROW", "PK_LIVENESS",
+      "ROW_DELETION", "PARTITION_DELETION", "RANGE_TOMBSTONE_BOUND") &&
+      !(col("row_kind") === "ROW" && col("clustering").isNull)
+    // the subset guard rides the partition_key column (an always-
+    // evaluated path — a dropped side column would be pruned away
+    // unevaluated by Catalyst, silently skipping the check)
+    val entries = frame
+      .select(col("sstable"),
+        when(!expressible, raise_error(concat(
+          lit("dump export: not dump-expressible: row_kind="),
+          col("row_kind"),
+          lit(" (cell/complex tombstones and static rows are binary-" +
+            "only shapes)"))))
+          .otherwise(col("partition_key")).as("partition_key"),
+        col("row_kind") === "PARTITION_DELETION",
+        when(col("row_kind") === "PARTITION_DELETION",
+          struct(iso(col("deletion_us")).as("marked_deleted"),
+            iso(col("deletion_us")).as("local_delete_time")))
+          .as("pdel"),
+        when(col("row_kind") === "ROW",
+          entry(nullLive, nullDel, nullBound, nullBound,
+            array(struct(col("name"),
+              col("cell.value").as("value"),
+              iso(col("cell.writetime_us")).as("tstamp"),
+              col("cell.ttl_s").as("ttl"))), "row"))
+          .when(col("row_kind") === "PK_LIVENESS",
+            entry(struct(iso(col("cell.writetime_us")).as("tstamp"),
+              col("cell.ttl_s").as("ttl")),
+              nullDel, nullBound, nullBound, nullCells, "row"))
+          .when(col("row_kind") === "ROW_DELETION",
+            entry(nullLive, delInfo, nullBound, nullBound, nullCells,
+              "row"))
+          .when(col("row_kind") === "RANGE_TOMBSTONE_BOUND",
+            entry(nullLive, nullDel,
+              when(isStart, rtBound).otherwise(nullBound),
+              when(!isStart, rtBound).otherwise(nullBound),
+              nullCells, "range_tombstone_bound"))
+          .as("e"))
+      .toDF("sstable", "partition_key", "is_pdel", "pdel", "e")
+    // ROW entries for one (partition, clustering) merge their cells
+    // into ONE dump row — sstabledump prints a row once; entries sort
+    // by (clustering, type, cell name) for determinism
+    val merged = entries
+      .groupBy(col("sstable"), col("partition_key"),
+        col("e.clustering"), col("e.type"),
+        col("e.liveness_info"), col("e.deletion_info"),
+        col("e.start"), col("e.end"), col("is_pdel"), col("pdel"))
+      .agg(flatten(collect_list(col("e.cells"))).as("cells"))
+      .select(col("sstable"), col("partition_key"), col("is_pdel"),
+        col("pdel"),
+        when(col("type").isNotNull, struct(col("type"),
+          col("clustering"), col("liveness_info"), col("deletion_info"),
+          col("start"), col("end"),
+          when(size(col("cells")) > 0,
+            array_sort(col("cells"))).as("cells"))).as("e"))
+    val partitions = merged
+      .groupBy(col("sstable"), col("partition_key"))
+      .agg(
+        max(col("pdel")).as("pdel"),
+        concat_ws(",", transform(
+          array_sort(collect_list(struct(
+            col("e.clustering").as("_c"), col("e.type").as("_t"),
+            to_json(col("e")).as("j")))),
+          x => x.getField("j"))).as("rows_json"))
+      .select(col("sstable"), col("partition_key"),
+        concat(
+          lit("{\"partition\":"),
+          to_json(struct(
+            split(col("partition_key"), ":").as("key"),
+            lit(0L).as("position"),
+            col("pdel").as("deletion_info"))),
+          lit(",\"rows\":["), col("rows_json"), lit("]}")).as("pj"))
+    val hconf = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sessionState.newHadoopConf()))
+    val outStr = outDir
+    partitions.as[(String, String, String)]
+      .groupByKey(_._1)
+      .mapGroups { (sst, it) =>
+        val doc = it.toArray.sortBy(_._2).map(_._3)
+          .mkString("[", ",", "]")
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          java.net.URI.create(outStr), hconf.value.value)
+        val os = fs.create(
+          new org.apache.hadoop.fs.Path(s"$outStr/$sst"), true)
+        try os.write(doc.getBytes("UTF-8")) finally os.close()
+        (sst, doc.length)
+      }
+      .collect()
+    ()
+  }
+
+  /** Registered `src_sstable_dump_export`: the format LOOP — binary
+    * generations decode to the bridge frame, export back out as
+    * sstabledump JSON ([[writeTree]]), and the re-ingested tree must
+    * satisfy the same oracle as every other ingestion path. A lost
+    * tombstone, a shifted timestamp or a dropped PK-liveness row in
+    * either direction shifts an aggregate. */
+  def exportAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val in = SSTableBinaryV2.writeBinaryFixture(spark, sfDir)
+    val out = graft.Scratch.dir("graft-dumpexport-")
+    writeTree(SSTableBinaryV2.readBinary(spark, in.toString),
+      out.toString)
+    graft.Scratch.delete(in)
+    val audit = auditFrame(readTree(spark, out.toString))
+      .localCheckpoint()
+    graft.Scratch.delete(out)
+    audit
+  }
+
   /** Whole lifecycle from raw sstabledump JSON: read → strip →
     * sorted, `out/<ks>/<table>/`-laid-out parquet write. Returns the
     * written row count (write-side `observe`, same no-read-back

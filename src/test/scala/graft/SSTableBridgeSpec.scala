@@ -426,6 +426,48 @@ class SSTableBridgeSpec extends SparkSpec {
     } finally Scratch.delete(out)
   }
 
+  test("dump export: readTree(writeTree(frame)) is the EXACT frame; non-expressible kinds refuse; bytes deterministic") {
+    import org.apache.spark.sql.functions._
+    val in = graft.sources.SSTableBinaryV2.writeBinaryFixture(spark, sfDir)
+    val out = Scratch.dir("graft-exportspec-")
+    val out2 = Scratch.dir("graft-exportspec2-")
+    try {
+      val frame = graft.sources.SSTableBinaryV2
+        .readBinary(spark, in.toString).localCheckpoint()
+      SSTableDumpBridge.writeTree(frame, out.toString)
+      val back = SSTableDumpBridge.readTree(spark, out.toString)
+        .localCheckpoint()
+      // exact round trip, not just aggregate equality: every column
+      // including the sstable identity (files are NAMED after it)
+      assert(back.exceptAll(frame).count() === 0,
+        "re-read frame has rows the original lacks")
+      assert(frame.exceptAll(back).count() === 0,
+        "export lost rows")
+      // determinism: a second export is byte-identical per file
+      SSTableDumpBridge.writeTree(frame, out2.toString)
+      import scala.jdk.CollectionConverters._
+      def bytesOf(root: java.nio.file.Path): Map[String, Int] = {
+        val s = java.nio.file.Files.walk(root)
+        try s.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+          .filterNot(_.getFileName.toString.startsWith("."))
+          .map(p => root.relativize(p).toString ->
+            java.util.Arrays.hashCode(java.nio.file.Files.readAllBytes(p)))
+          .toMap
+        finally s.close()
+      }
+      assert(bytesOf(out) === bytesOf(out2))
+      // a binary-only shape (cell tombstone) refuses loudly
+      val cellDel = frame.limit(1)
+        .withColumn("row_kind", lit("CELL_DELETION"))
+      val ex = intercept[Exception] {
+        SSTableDumpBridge.writeTree(cellDel, Scratch.dir("graft-exportbad-").toString)
+      }
+      assert(ex.getMessage.contains("not dump-expressible") ||
+        Option(ex.getCause).exists(_.getMessage.contains("not dump-expressible")),
+        s"wrong refusal: $ex")
+    } finally { Scratch.delete(in); Scratch.delete(out); Scratch.delete(out2) }
+  }
+
   test("V2 connector: one task per dump file, pruning reaches the reader") {
     val out = SSTableDumpBridge.writeTreeFixture(spark, sfDir)
     try {
