@@ -268,7 +268,17 @@ object RemoverCli {
               s"${Compressors.keys.toSeq.sorted.mkString("|")})")
           case _ => Right(a)
         }
-      case other => Left(s"unknown --sink '$other' (expected parquet or sstable)")
+      case "sstabledump" =>
+        if (!isDump(a))
+          Left("--sink sstabledump requires --format sstabledump|" +
+            "sstable (parquet input has no SSTable cell model to " +
+            "export)")
+        else if (a.compress.nonEmpty)
+          Left("--compress applies to --sink sstable (dump JSON is " +
+            "plain text)")
+        else Right(a)
+      case other => Left(s"unknown --sink '$other' " +
+        "(expected parquet, sstable or sstabledump)")
     }
 
   // --merge only means something over multi-generation dump input:
@@ -320,6 +330,8 @@ object RemoverCli {
   def run(spark: SparkSession, args: CliArgs): Long =
     if (args.sink == "sstable")
       runSstableSink(spark, args)
+    else if (args.sink == "sstabledump")
+      runDumpExport(spark, args)
     else if (isDump(args) && args.merge.contains("lww"))
       graft.sources.SSTableDumpBridge.mergeTtlToDir(
         spark, args.in, args.out, args.keyspace, args.table,
@@ -338,6 +350,36 @@ object RemoverCli {
         args.writetime.get, args.ttlKey.getOrElse(args.pk.head))
       Pipeline.removeTtl(cellified, meta, args.out)
     }
+
+  /** `--sink sstabledump`: read the dump-family input (binary or
+    * dump JSON), strip TTLs — or LWW-merge first — and EXPORT as
+    * sstabledump JSON ([[graft.sources.SSTableDumpBridge.writeTree]]),
+    * so the CLI interops with anything that consumes the public dump
+    * format. Merged output collapses to one dump named after the
+    * table (generations are gone by definition); unmerged keeps one
+    * dump per input SSTable. Returns rows exported. */
+  private def runDumpExport(spark: SparkSession, args: CliArgs): Long = {
+    import org.apache.spark.sql.functions._
+    val reader = dumpReader(args)
+    val frame =
+      if (args.merge.contains("lww")) {
+        val merged = graft.sources.SSTableDumpBridge
+          .mergeTree(spark, args.in, reader)
+        val live = col("row_kind").isin("ROW", "PK_LIVENESS")
+        merged.select(
+          col("partition_key"), col("clustering"), col("row_kind"),
+          col("name"),
+          when(live, struct(col("value"), col("writetime_us"),
+            lit(null).cast("int").as("ttl_s"),
+            lit(null).cast("long").as("expire_us"))).as("cell"),
+          col("deletion_us"),
+          lit(s"${args.table}/${args.table}-merged.json").as("sstable"))
+      } else reader(spark, args.in).withColumn("cell",
+        graft.model.CellModel.stripCellKeepDeletion(col("cell")))
+    val frameC = frame.localCheckpoint()
+    graft.sources.SSTableDumpBridge.writeTree(frameC, args.out)
+    frameC.count()
+  }
 
   /** The `--sink sstable` execution paths: read the dump-family
     * input through its sstable-identity-carrying reader, then either

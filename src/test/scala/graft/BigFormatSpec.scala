@@ -2005,6 +2005,45 @@ class SSTableBinarySpec extends SparkSpec {
     } finally Scratch.delete(out)
   }
 
+  test("CLI --sink sstabledump: binary in, dump JSON out, both merged and per-generation") {
+    val in = SSTableBinaryV2.writeBinaryFixture(spark, sfDir)
+    val out1 = Scratch.dir("graft-cliexp-").toString + "/o"
+    val out2 = Scratch.dir("graft-cliexp2-").toString + "/o"
+    try {
+      // per-generation export: one dump per input SSTable, stripped
+      val args = RemoverCli.parse(Array("--in", in.toString,
+        "--out", out1, "--table", "documents", "--format", "sstable",
+        "--sink", "sstabledump"))
+        .fold(e => fail(s"parse failed: $e"), identity)
+      RemoverCli.run(spark, args)
+      val back = SSTableDumpBridge.readTree(spark, out1)
+      assert(back.select("sstable").distinct().count()
+        === SSTableDumpBridge.TreeFiles)
+      assert(back.filter(col("cell.ttl_s").isNotNull).count() === 0)
+      assert(back.filter(col("row_kind") === "PARTITION_DELETION")
+        .count() > 0)
+      // merged export: one compacted dump
+      val args2 = RemoverCli.parse(Array("--in", in.toString,
+        "--out", out2, "--table", "documents", "--format", "sstable",
+        "--sink", "sstabledump", "--merge", "lww"))
+        .fold(e => fail(s"parse failed: $e"), identity)
+      RemoverCli.run(spark, args2)
+      val merged = SSTableDumpBridge.readTree(spark, out2)
+      assert(merged.select("sstable").distinct().count() === 1)
+      assert(merged.count() > 0)
+      // validation: dump export needs the cell model; no --compress
+      assert(RemoverCli.parse(Array("--in", "a", "--out", "b",
+        "--table", "t", "--sink", "sstabledump")).isLeft)
+      assert(RemoverCli.parse(Array("--in", "a", "--out", "b",
+        "--table", "t", "--format", "sstable", "--sink", "sstabledump",
+        "--compress", "lz4")).isLeft)
+    } finally {
+      Scratch.delete(in)
+      Scratch.delete(java.nio.file.Paths.get(out1).getParent)
+      Scratch.delete(java.nio.file.Paths.get(out2).getParent)
+    }
+  }
+
   test("sidecar-only inventory: describe() never opens Data.db and reads 2.x sidecars") {
     import graft.sources.SSTableMetadata
     // modern generations: garble every Data.db AFTER the write — the
