@@ -306,7 +306,8 @@ object SparkEntry {
     "st_lww_range" -> (StreamingOps.lwwRangeMergeStream _),
     "st_corpus_gate" -> (StreamingOps.corpusGate _),
     "st_ann_ingest" -> (StreamingOps.annIngest _),
-    "st_sstable_ingest" -> (StreamingOps.sstableIngest _)
+    "st_sstable_ingest" -> (StreamingOps.sstableIngest _),
+    "st_sstable_sink" -> (StreamingOps.sstableSink _)
   )
 
   // ---- oracle-SQL generators for the estimator/LSH operators ----
@@ -3878,6 +3879,9 @@ object SparkEntry {
     // continuous binary ingestion: the SIXTH path under the one tree
     // contract (batch/V2/streaming dump, binary 3.x/4.x, streamed binary)
     "st_sstable_ingest" -> sstabledumpTreeSql,
+    // the streaming EMISSION loop (micro-batches land as loadable
+    // generations, re-read whole) answers to the same tree contract
+    "st_sstable_sink" -> sstabledumpTreeSql,
     // streaming JSONL ingest: one global Complete-mode aggregate over
     // the whole AvailableNow backlog = the batch accounting, same
     // constants-plus-good-side oracle as src_jsonl_corrupt

@@ -512,6 +512,48 @@ object StreamingOps {
         sum(col("vc")).cast("long").as("sum_value_chars"))
   }
 
+  /** Continuous SSTABLE EMISSION — the sink side of the landing-zone
+    * loop [[sstableIngest]] reads: each micro-batch of bridge rows
+    * lands as LOADABLE generations through the binary sink
+    * (`foreachBatch` → `writeSSTables`), generation identity
+    * preserved per batch — a streaming compaction-export relay,
+    * binary in → binary out, never materializing more than one
+    * micro-batch. The re-read of everything the stream emitted
+    * answers to the SAME tree oracle as every other path: stream
+    * writing and batch writing produce the same lake. At 100 TB this
+    * is the continuous-rewrite pattern (TTL strip, era upgrade, or
+    * re-compression riding an arrival feed); per-batch cost is
+    * exactly the arriving files. */
+  def sstableSink(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.{SSTableBinaryV2, SSTableDumpBridge}
+    val in = SSTableBinaryV2.writeBinaryFixture(spark, sfDir)
+    val out = graft.Scratch.dir("graft-stsink-")
+    val child = streamingSession(spark)
+    val ckptPath = graft.Scratch.dir("graft-ckpt-")
+    val outStr = out.toString
+    val q = child.readStream.format("sstable-big")
+      .option("maxFilesPerTrigger", "1").load(in.toString)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+        org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty)
+          SSTableBinaryV2.writeSSTables(batch.toDF(), outStr,
+            "graft", "documents")
+        ()
+      }
+      .option("checkpointLocation", ckptPath.toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.Scratch.delete(in)
+    graft.Scratch.delete(ckptPath)
+    val audit = SSTableDumpBridge.auditFrame(
+      SSTableBinaryV2.readBinary(spark, s"$out/graft/documents"))
+      .localCheckpoint()
+    graft.Scratch.delete(out)
+    audit
+  }
+
   /** Streaming ANN index ingest — the index MAINTAINED as vectors
     * land, not rebuilt behind them: a file stream over the embeddings
     * table runs the trained IVF-PQ encode (cell assignment + M
