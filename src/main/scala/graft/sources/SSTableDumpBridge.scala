@@ -579,17 +579,29 @@ object SSTableDumpBridge {
       new org.apache.spark.util.SerializableConfiguration(
         spark.sessionState.newHadoopConf()))
     val outStr = outDir
+    // one task per dump file, partitions STREAMED to it in key order
+    // (flatMapSortedGroups — the shuffle sorts, the task never holds
+    // more than one partition's JSON): a 100 GB source SSTable
+    // exports in O(one Cassandra partition) memory, same bound as
+    // every other path here
     partitions.as[(String, String, String)]
       .groupByKey(_._1)
-      .mapGroups { (sst, it) =>
-        val doc = it.toArray.sortBy(_._2).map(_._3)
-          .mkString("[", ",", "]")
+      .flatMapSortedGroups(col("partition_key")) { (sst, it) =>
         val fs = org.apache.hadoop.fs.FileSystem.get(
           java.net.URI.create(outStr), hconf.value.value)
         val os = fs.create(
           new org.apache.hadoop.fs.Path(s"$outStr/$sst"), true)
-        try os.write(doc.getBytes("UTF-8")) finally os.close()
-        (sst, doc.length)
+        var n = 0L
+        try {
+          os.write('[')
+          it.foreach { case (_, _, pj) =>
+            if (n > 0) os.write(',')
+            os.write(pj.getBytes("UTF-8"))
+            n += 1
+          }
+          os.write(']')
+        } finally os.close()
+        Iterator.single((sst, n))
       }
       .collect()
     ()
