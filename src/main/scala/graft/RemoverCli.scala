@@ -287,11 +287,11 @@ object RemoverCli {
     if (a.merge.nonEmpty && !isDump(a))
       Left("--merge requires --format sstabledump|sstable " +
         "(parquet input has no generations to reconcile)")
-    else if (a.outGenerations > 1 &&
-      (a.merge.isEmpty || a.sink != "sstable"))
-      Left("--out-generations splits the MERGED output: it requires " +
-        "--merge lww --sink sstable (the unmerged rewrite is already " +
-        "one generation per input)")
+    else if (a.outGenerations > 1 && a.sink != "sstable")
+      Left("--out-generations writes token-bucketed SSTable " +
+        "generations: it requires --sink sstable (with --merge lww " +
+        "it bounds the compacted output; without, it splits each " +
+        "input generation — sstablesplit's role)")
     else Right(a)
 
   /** A non-events table needs its cell model declared — the same rule
@@ -418,25 +418,10 @@ object RemoverCli {
       val genName =
         if (args.outGenerations <= 1)
           lit(s"${args.table}/nb-1-big-Data.db")
-        else {
-          val n = args.outGenerations
-          val tok = args.cqlSchema match {
-            case Some(p) => graft.functions.GraftFunctions
-              .murmur3_token_typed(col("partition_key"),
-                graft.sources.SSTableBinaryV2.resolveTyping(p).keyType)
-            case None => graft.functions.GraftFunctions
-              .murmur3_token(col("partition_key"))
-          }
-          // ring position in [0,1): token/2^64 + 0.5; double rounding
-          // only nudges bucket BOUNDARIES (still deterministic and
-          // token-contiguous — the write path sorts within each)
-          val ringPos = tok.cast("double") / lit(1.8446744073709552E19) +
-            lit(0.5)
-          val bucket = least(lit(n - 1),
-            floor(ringPos * lit(n)).cast("int"))
-          concat(lit(s"${args.table}/nb-"), (bucket + lit(1)).cast("string"),
+        else
+          concat(lit(s"${args.table}/nb-"),
+            (ringBucket(args) + lit(1)).cast("string"),
             lit("-big-Data.db"))
-        }
       val reshaped = merged.select(
         col("partition_key"), col("clustering"), col("row_kind"),
         col("name"),
@@ -452,11 +437,48 @@ object RemoverCli {
     } else {
       val stripped = reader(spark, args.in).withColumn("cell",
         graft.model.CellModel.stripCellKeepDeletion(col("cell")))
+      // UNMERGED `--out-generations N` = sstablesplit's role: each
+      // input generation splits into N token-contiguous outputs (one
+      // oversized SSTable stops serializing its own rewrite — N
+      // encoder tasks instead of one). The bucketed names are
+      // deliberately NON-numeric ("<src>#sK"), so the sink's
+      // deterministic collision rule assigns fresh sequential output
+      // generations in sorted source order.
+      val reshaped =
+        if (args.outGenerations <= 1) stripped
+        else stripped.withColumn("sstable",
+          concat(col("sstable"), lit("#s"),
+            ringBucket(args).cast("string")))
       graft.sources.SSTableBinaryV2
-        .writeSSTables(stripped, args.out, args.keyspace, args.table,
+        .writeSSTables(reshaped, args.out, args.keyspace, args.table,
           args.cqlSchema, args.compress.map(Compressors))
         .map(_._2).sum
     }
+  }
+
+  /** Ring-division bucket in [0, N) of the REAL partitioner token —
+    * typed through the declared CQL key type when one is given (the
+    * token the sink itself sorts by; a rendered-string token would
+    * put typed tables' generations off the real ring). Deterministic,
+    * zero extra passes; Murmur3 uniformity balances bucket sizes at
+    * any scale. */
+  private def ringBucket(args: CliArgs)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val n = args.outGenerations
+    val tok = args.cqlSchema match {
+      case Some(p) => graft.functions.GraftFunctions
+        .murmur3_token_typed(col("partition_key"),
+          graft.sources.SSTableBinaryV2.resolveTyping(p).keyType)
+      case None => graft.functions.GraftFunctions
+        .murmur3_token(col("partition_key"))
+    }
+    // ring position in [0,1): token/2^64 + 0.5; double rounding only
+    // nudges bucket BOUNDARIES (still deterministic and
+    // token-contiguous — the write path sorts within each)
+    val ringPos = tok.cast("double") / lit(1.8446744073709552E19) +
+      lit(0.5)
+    least(lit(n - 1), floor(ringPos * lit(n)).cast("int"))
   }
 
   private def isDump(args: CliArgs): Boolean =

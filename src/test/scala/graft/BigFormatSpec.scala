@@ -1824,9 +1824,30 @@ class SSTableBinarySpec extends SparkSpec {
           case _ =>
         }
       } finally Scratch.delete(java.nio.file.Paths.get(out3).getParent)
-      // --out-generations outside the merged sink is a contradiction
+      // UNMERGED --out-generations = sstablesplit's role: each input
+      // generation splits into N token-contiguous outputs
+      val outS = Scratch.dir("graft-cli-split-").toString + "/o"
+      try {
+        val argsS = RemoverCli.parse(Array("--in", in.toString,
+          "--out", outS, "--table", "documents", "--format", "sstable",
+          "--sink", "sstable", "--out-generations", "3"))
+          .fold(e => fail(s"parse failed: $e"), identity)
+        RemoverCli.run(spark, argsS)
+        val split = SSTableBinaryV2
+          .readBinary(spark, s"$outS/graft/documents").localCheckpoint()
+        // 4 inputs × 3 ring buckets, all non-empty for this fixture
+        assert(split.select("sstable").distinct().count() === 12)
+        // same content as the unsplit rewrite (out1), redistributed
+        val whole = SSTableBinaryV2
+          .readBinary(spark, s"$out1/graft/documents")
+        assert(split.drop("sstable")
+          .exceptAll(whole.drop("sstable")).count() === 0)
+        assert(whole.drop("sstable")
+          .exceptAll(split.drop("sstable")).count() === 0)
+      } finally Scratch.delete(java.nio.file.Paths.get(outS).getParent)
+      // --out-generations outside the sstable sink is a contradiction
       assert(RemoverCli.parse(Array("--in", "a", "--out", "b",
-        "--table", "t", "--format", "sstable", "--sink", "sstable",
+        "--table", "t", "--format", "sstable",
         "--out-generations", "4")).isLeft)
       assert(RemoverCli.parse(Array("--in", "a", "--out", "b",
         "--table", "t", "--format", "sstable", "--sink", "sstable",
