@@ -1817,11 +1817,10 @@ object SSTableBinaryV2 {
 
   private def pointLookupV(spark: SparkSession, sfDir: String,
       compression: Option[String]): DataFrame = {
-    val in = writeBinaryFixture(spark, sfDir)
+    val in = binaryFixtureShared(spark, sfDir)
     val out = graft.Scratch.dir("graft-pointidx-")
-    writeSSTables(readBinary(spark, in.toString), out.toString,
+    writeSSTables(readBinary(spark, in), out.toString,
       "graft", "documents", compression = compression)
-    graft.Scratch.delete(in)
     val audit = SSTableDumpBridge.auditFrame(
       readBinary(spark, out.toString)
         .filter(col("partition_key").isin("8", "13", "15", "17")))
@@ -1848,7 +1847,6 @@ object SSTableBinaryV2 {
         graft.model.CellModel.stripCellKeepDeletion(col("cell")))
     writeSSTables(stripped, out.toString, "graft", "documents",
       graft.model.CqlSchema.parse(Cql2x).toOption)
-    graft.Scratch.delete(in)
     val audit = SSTableDumpBridge
       .auditFrame(readBinary(spark, out.toString))
       .localCheckpoint()
@@ -1944,7 +1942,6 @@ object SSTableBinaryV2 {
         graft.model.CellModel.stripCellKeepDeletion(col("cell")))
     writeSSTables(stripped, out.toString, "graft", "documents",
       graft.model.CqlSchema.parse(Cql2xColl).toOption)
-    graft.Scratch.delete(in)
     val audit = SSTableDumpBridge
       .auditFrame(readBinary(spark, out.toString))
       .localCheckpoint()
@@ -2170,7 +2167,6 @@ object SSTableBinaryV2 {
       .withColumn("cell",
         graft.model.CellModel.stripCellKeepDeletion(col("cell")))
     writeSSTables(stripped, out.toString, "graft", "documents")
-    graft.Scratch.delete(in)
     val baseUs = lit(SSTableDumpBridge.TreeBase * 1000000L)
     val audit = readBinary(spark, out.toString)
       .groupBy(col("row_kind"))
@@ -2217,7 +2213,6 @@ object SSTableBinaryV2 {
       .withColumn("cell",
         graft.model.CellModel.stripCellKeepDeletion(col("cell")))
     writeSSTables(stripped, out.toString, "graft", "documents")
-    graft.Scratch.delete(in)
     val audit = complexAuditFrame(readBinary(spark, out.toString))
       .localCheckpoint()
     graft.Scratch.delete(out)
@@ -2332,7 +2327,6 @@ object SSTableBinaryV2 {
         graft.model.CellModel.stripCellKeepDeletion(col("cell")))
     writeSSTables(stripped, out.toString, "graft", "documents",
       schema = Some(cql))
-    graft.Scratch.delete(in)
     val baseUs = lit(SSTableDumpBridge.TreeBase * 1000000L)
     val audit = readBinary(spark, out.toString)
       .groupBy(col("row_kind"))
@@ -2765,13 +2759,12 @@ object SSTableBinaryV2 {
     * the TTL sum nulled — exactly what stripping must do to that one
     * column while changing nothing else. */
   def binaryRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
-    val in = writeBinaryFixture(spark, sfDir)
+    val in = binaryFixtureShared(spark, sfDir)
     val out = graft.Scratch.dir("graft-binrt-")
     val stripped = readBinary(spark, in.toString)
       .withColumn("cell",
         graft.model.CellModel.stripCellKeepDeletion(col("cell")))
     writeSSTables(stripped, out.toString, "graft", "documents")
-    graft.Scratch.delete(in)
     val audit = SSTableDumpBridge
       .auditFrame(readBinary(spark, out.toString))
       .localCheckpoint()
@@ -2808,11 +2801,10 @@ object SSTableBinaryV2 {
 
   private def splitAuditV(spark: SparkSession, sfDir: String,
       compression: Option[String]): DataFrame = {
-    val in = writeBinaryFixture(spark, sfDir)
+    val in = binaryFixtureShared(spark, sfDir)
     val out = graft.Scratch.dir("graft-splitaudit-")
-    writeSSTables(readBinary(spark, in.toString), out.toString,
+    writeSSTables(readBinary(spark, in), out.toString,
       "graft", "documents", compression = compression)
-    graft.Scratch.delete(in)
     val split = spark.read.format("sstable-big")
       .option("splitBytes", "512").load(out.toString)
     val audit = SSTableDumpBridge.auditFrame(split).localCheckpoint()
@@ -2834,11 +2826,10 @@ object SSTableBinaryV2 {
     * semantics are exercised at every SF). The audit residually
     * restricts to the four probe keys, keeping the point oracle. */
   def tokenRangeAudit(spark: SparkSession, sfDir: String): DataFrame = {
-    val in = writeBinaryFixture(spark, sfDir)
+    val in = binaryFixtureShared(spark, sfDir)
     val out = graft.Scratch.dir("graft-tokenrange-")
-    writeSSTables(readBinary(spark, in.toString), out.toString,
+    writeSSTables(readBinary(spark, in), out.toString,
       "graft", "documents")
-    graft.Scratch.delete(in)
     val dir = s"$out/graft/documents"
     val keys = Seq("8", "13", "15", "17")
     def tok(k: String): Long = BigFormat.murmur3Token(
@@ -2900,15 +2891,14 @@ object SSTableBinaryV2 {
     * driver-side tokens and the rule's engagement; the audit of the
     * four probed keys shares `pointOracleSql`. */
   def tokenTypedAudit(spark: SparkSession, sfDir: String): DataFrame = {
-    val in = writeBinaryFixture(spark, sfDir)
+    val in = binaryFixtureShared(spark, sfDir)
     val out = graft.Scratch.dir("graft-tokentyped-")
     val cql = graft.model.CqlSchema.parse(
       "CREATE TABLE graft.documents (pk bigint, ck text, len text, " +
         "src text, PRIMARY KEY (pk, ck))")
       .fold(e => throw new IllegalArgumentException(e), identity)
-    writeSSTables(readBinary(spark, in.toString), out.toString,
+    writeSSTables(readBinary(spark, in), out.toString,
       "graft", "documents", Some(cql))
-    graft.Scratch.delete(in)
     val dir = s"$out/graft/documents"
     val keys = Seq("8", "13", "15", "17")
     def tok(k: String): Long = BigFormat.murmur3Token(
@@ -2956,13 +2946,12 @@ object SSTableBinaryV2 {
     * doc 378. At 100 TB this is the difference between re-running a
     * multi-hour job and a WARN line per bad partition. */
   def scrubAudit(spark: SparkSession, sfDir: String): DataFrame = {
-    val in = writeBinaryFixture(spark, sfDir)
+    val in = binaryFixtureShared(spark, sfDir)
     val out = graft.Scratch.dir("graft-scrubaudit-")
     writeSSTables(
-      readBinary(spark, in.toString)
+      readBinary(spark, in)
         .filter(col("partition_key").cast("long") < 1000),
       out.toString, "graft", "documents")
-    graft.Scratch.delete(in)
     val dir = s"$out/graft/documents"
     // doc 378: ROW-shaped (378%10=8), fileId 378%4=2 → generation 3
     val dataP = java.nio.file.Paths.get(dir, "nb-3-big-Data.db")
@@ -3008,11 +2997,10 @@ object SSTableBinaryV2 {
     * verification is pure assurance, never a transform; the spec
     * proves a flipped Data.db byte refuses loudly. */
   def digestAudit(spark: SparkSession, sfDir: String): DataFrame = {
-    val in = writeBinaryFixture(spark, sfDir)
+    val in = binaryFixtureShared(spark, sfDir)
     val out = graft.Scratch.dir("graft-digestaudit-")
-    writeSSTables(readBinary(spark, in.toString), out.toString,
+    writeSSTables(readBinary(spark, in), out.toString,
       "graft", "documents")
-    graft.Scratch.delete(in)
     val audit = SSTableDumpBridge.auditFrame(
       readBinary(spark, out.toString, None, verify = true))
       .localCheckpoint()
@@ -3088,6 +3076,21 @@ object SSTableBinaryV2 {
     * consumers are read-only and the sink write is deterministic, so
     * sharing changes cost, not content (the trained-ANN memo
     * discipline). Scratch's exit hook owns the cleanup. */
+  /** The DEFAULT-shape dump fixture, built once per corpus and shared
+    * by every registered audit that only READS it before rewriting
+    * elsewhere (token/point/split/scrub/digest/metadata/export/
+    * streaming — ~10 queries each paid a full fixture write per run).
+    * Deterministic content, read-only consumers ⇒ sharing changes
+    * cost, not answers (the [[wideGeneration]] discipline); Scratch's
+    * exit hook owns the cleanup. Parameterized shapes (2.x era,
+    * pre-compressed) stay per-caller via [[writeBinaryFixture]]. */
+  private val binFixtureCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private[graft] def binaryFixtureShared(spark: SparkSession,
+      sfDir: String): String =
+    binFixtureCache.getOrElseUpdate(sfDir,
+      writeBinaryFixture(spark, sfDir).toString)
+
   private val WideBlockBytes = 1024
   private val wideGenCache =
     scala.collection.concurrent.TrieMap.empty[String, String]

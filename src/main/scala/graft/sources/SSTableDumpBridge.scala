@@ -614,11 +614,9 @@ object SSTableDumpBridge {
     * tombstone, a shifted timestamp or a dropped PK-liveness row in
     * either direction shifts an aggregate. */
   def exportAudit(spark: SparkSession, sfDir: String): DataFrame = {
-    val in = SSTableBinaryV2.writeBinaryFixture(spark, sfDir)
+    val in = SSTableBinaryV2.binaryFixtureShared(spark, sfDir)
     val out = graft.Scratch.dir("graft-dumpexport-")
-    writeTree(SSTableBinaryV2.readBinary(spark, in.toString),
-      out.toString)
-    graft.Scratch.delete(in)
+    writeTree(SSTableBinaryV2.readBinary(spark, in), out.toString)
     val audit = auditFrame(readTree(spark, out.toString))
       .localCheckpoint()
     graft.Scratch.delete(out)

@@ -128,15 +128,14 @@ object SSTableMetadata {
     * without the engine ever opening a Data.db. */
   def metadataAudit(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val in = SSTableBinaryV2.writeBinaryFixture(spark, sfDir)
+    val in = SSTableBinaryV2.binaryFixtureShared(spark, sfDir)
     val out = graft.Scratch.dir("graft-metaaudit-")
     val outLz4 = graft.Scratch.dir("graft-metaauditlz4-")
-    val frame = SSTableBinaryV2.readBinary(spark, in.toString)
+    val frame = SSTableBinaryV2.readBinary(spark, in)
     SSTableBinaryV2.writeSSTables(frame, out.toString,
       "graft", "documents")
     SSTableBinaryV2.writeSSTables(frame, outLz4.toString,
       "graft", "documents", compression = Some(CompressedData.Lz4))
-    graft.Scratch.delete(in)
     val described = describe(spark, s"$out/graft/documents")
       .withColumn("layout", lit("plain"))
       .unionByName(describe(spark, s"$outLz4/graft/documents")

@@ -416,7 +416,6 @@ object StreamingOps {
           sum(col("deletion_us") - baseUs).as("dd"),
           sum(length(col("cell.value")).cast("long")).as("vc")),
       OutputMode.Complete())
-    graft.Scratch.delete(dir)
     out.groupBy(col("row_kind"))
       .agg(sum(col("nr")).cast("long").as("n_rows"),
         count(lit(1)).cast("long").as("n_sstables"),
@@ -490,11 +489,11 @@ object StreamingOps {
     * ingestion path. */
   def sstableIngest(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.sources.{SSTableBinaryV2, SSTableDumpBridge}
-    val dir = SSTableBinaryV2.writeBinaryFixture(spark, sfDir)
+    val dir = SSTableBinaryV2.binaryFixtureShared(spark, sfDir)
     val baseUs = lit(SSTableDumpBridge.TreeBase * 1000000L)
     val out = runSourceToMemory(spark,
       s => s.readStream.format("sstable-big")
-        .option("maxFilesPerTrigger", "1").load(dir.toString),
+        .option("maxFilesPerTrigger", "1").load(dir),
       src => src.groupBy(col("row_kind"), col("sstable"))
         .agg(count(lit(1)).as("nr"),
           sum(col("cell.writetime_us") - baseUs).as("wt"),
@@ -502,7 +501,6 @@ object StreamingOps {
           sum(col("deletion_us") - baseUs).as("dd"),
           sum(length(col("cell.value")).cast("long")).as("vc")),
       OutputMode.Complete())
-    graft.Scratch.delete(dir)
     out.groupBy(col("row_kind"))
       .agg(sum(col("nr")).cast("long").as("n_rows"),
         count(lit(1)).cast("long").as("n_sstables"),
@@ -526,13 +524,13 @@ object StreamingOps {
     * exactly the arriving files. */
   def sstableSink(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.sources.{SSTableBinaryV2, SSTableDumpBridge}
-    val in = SSTableBinaryV2.writeBinaryFixture(spark, sfDir)
+    val in = SSTableBinaryV2.binaryFixtureShared(spark, sfDir)
     val out = graft.Scratch.dir("graft-stsink-")
     val child = streamingSession(spark)
     val ckptPath = graft.Scratch.dir("graft-ckpt-")
     val outStr = out.toString
     val q = child.readStream.format("sstable-big")
-      .option("maxFilesPerTrigger", "1").load(in.toString)
+      .option("maxFilesPerTrigger", "1").load(in)
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[
         org.apache.spark.sql.Row], _: Long) =>
@@ -545,7 +543,6 @@ object StreamingOps {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    graft.Scratch.delete(in)
     graft.Scratch.delete(ckptPath)
     val audit = SSTableDumpBridge.auditFrame(
       SSTableBinaryV2.readBinary(spark, s"$out/graft/documents"))
