@@ -376,9 +376,13 @@ object RemoverCli {
           lit(s"${args.table}/${args.table}-merged.json").as("sstable"))
       } else reader(spark, args.in).withColumn("cell",
         graft.model.CellModel.stripCellKeepDeletion(col("cell")))
-    val frameC = frame.localCheckpoint()
-    graft.sources.SSTableDumpBridge.writeTree(frameC, args.out)
-    frameC.count()
+    // the row count rides the export's own action (observe) — a
+    // localCheckpoint here would cache the whole frame just to count
+    // it, and a separate count() would re-scan the source
+    val written = org.apache.spark.sql.Observation()
+    graft.sources.SSTableDumpBridge.writeTree(
+      frame.observe(written, count(lit(1)).as("rows")), args.out)
+    written.get("rows").asInstanceOf[Long]
   }
 
   /** The `--sink sstable` execution paths: read the dump-family
