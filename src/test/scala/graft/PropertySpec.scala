@@ -20,6 +20,14 @@ final case class RawEvent(
     event_id: Long, user_id: Long, event_type: String,
     value: Double, ts: Long)
 
+/** Top-level for Encoder derivation (see [[RawEvent]]). */
+final case class ExportRow(
+    partition_key: String, clustering: Seq[String], row_kind: String,
+    name: Option[String], value: Option[String],
+    writetime_us: Option[Long], ttl_s: Option[Int],
+    expire_us: Option[Long], deletion_us: Option[Long],
+    sstable: String)
+
 class PropertySpec extends SparkSpec {
 
   private val genEvent: Gen[RawEvent] = for {
@@ -187,6 +195,104 @@ class PropertySpec extends SparkSpec {
     }
     intercept[IllegalArgumentException] {
       CellModel.stripAll(df, TableMeta("graft", "bad", Seq("c"), Nil))
+    }
+  }
+
+  test("property: dump export round-trips random frames, JSON-hostile strings included") {
+    import spark.implicits._
+    // adversarial string pool: every JSON-escaping hazard class
+    val nasty = Seq("plain", "with \"quotes\"", "back\\slash",
+      "new\nline", "tab\there", "unicode✓☃", "commas,and]brackets[",
+      "{braces}", "  leading space", "")
+    val genValue: Gen[String] = Gen.oneOf(nasty)
+    val genKey: Gen[String] = for {
+      base <- Gen.oneOf(nasty.filterNot(s =>
+        s.isEmpty || s.contains(":"))) // the composite-carry caveat
+      n <- Gen.chooseNum(0, 9999)
+    } yield s"$base#$n"
+    val wtGen = Gen.chooseNum(1500000000000000L, 1700000000999999L)
+    // one partition: distinct clusterings per entry (a real decode
+    // never yields two identical non-cell rows in one partition)
+    type FrameRow = ExportRow
+    def genPartition(pk: String, sst: String): Gen[Seq[FrameRow]] = for {
+      nRows <- Gen.chooseNum(1, 4)
+      kinds <- Gen.listOfN(nRows, Gen.frequency(
+        5 -> "ROW", 2 -> "PK_LIVENESS", 2 -> "ROW_DELETION",
+        1 -> "RT", 1 -> "PARTITION_DELETION"))
+      rows <- Gen.sequence[Seq[Seq[FrameRow]], Seq[FrameRow]](
+        kinds.zipWithIndex.map { case (kind, i) =>
+          val clust = Seq(s"c$i")
+          kind match {
+            case "ROW" => for {
+              nCells <- Gen.chooseNum(1, 3)
+              cells <- Gen.sequence[Seq[FrameRow], FrameRow](
+                (0 until nCells).map { j => for {
+                  v <- genValue; wt <- wtGen
+                  ttl <- Gen.option(Gen.chooseNum(1, 86400))
+                } yield ExportRow(pk, clust, "ROW", Some(s"col$j"),
+                  Some(v), Some(wt), ttl,
+                  ttl.map(t => wt + t.toLong * 1000000L),
+                  None, sst) })
+            } yield cells
+            case "PK_LIVENESS" => for {
+              wt <- wtGen; ttl <- Gen.option(Gen.chooseNum(1, 86400))
+            } yield Seq(ExportRow(pk, clust, "PK_LIVENESS", None,
+              None, Some(wt), ttl,
+              ttl.map(t => wt + t.toLong * 1000000L), None, sst))
+            case "ROW_DELETION" => wtGen.map(del => Seq(
+              ExportRow(pk, clust, "ROW_DELETION", None, None, None,
+                None, None, Some(del), sst)))
+            case "RT" => for {
+              del <- wtGen
+              lo <- Gen.oneOf("inclusive", "exclusive")
+              hi <- Gen.oneOf("inclusive", "exclusive")
+            } yield Seq(
+              ExportRow(pk, clust, "RANGE_TOMBSTONE_BOUND",
+                Some(s"start:$lo"), None, None, None, None,
+                Some(del), sst),
+              ExportRow(pk, Seq(s"c$i-end"), "RANGE_TOMBSTONE_BOUND",
+                Some(s"end:$hi"), None, None, None, None,
+                Some(del), sst))
+            case _ => wtGen.map(del => Seq(
+              ExportRow(pk, null, "PARTITION_DELETION", None, None,
+                None, None, None, Some(del), sst)))
+          }
+        })
+    } yield {
+      // at most ONE partition deletion per partition (dump semantics)
+      val (pdels, rest) = rows.flatten
+        .partition(_.row_kind == "PARTITION_DELETION")
+      pdels.take(1) ++ rest
+    }
+    val genFrame: Gen[Seq[FrameRow]] = for {
+      nParts <- Gen.chooseNum(2, 8)
+      keys <- Gen.listOfN(nParts, genKey)
+      parts <- Gen.sequence[Seq[Seq[FrameRow]], Seq[FrameRow]](
+        keys.distinct.zipWithIndex.map { case (k, i) =>
+          genPartition(k, s"t/nb-${i % 2 + 1}-big-Data.db") })
+    } yield parts.flatten
+    (1 to 5).foreach { seed =>
+      val rows: Seq[ExportRow] =
+        genFrame(Gen.Parameters.default, Seed(seed.toLong))
+          .getOrElse(sys.error("gen failed"))
+      val frame = spark.createDataFrame(rows)
+        .withColumn("cell", when(col("writetime_us").isNotNull, struct(
+          col("value"), col("writetime_us"), col("ttl_s"),
+          col("expire_us"))))
+        .drop("value", "writetime_us", "ttl_s", "expire_us")
+        .select("partition_key", "clustering", "row_kind", "name",
+          "cell", "deletion_us", "sstable")
+        .localCheckpoint()
+      val out = Scratch.dir(s"graft-exportprop-$seed-")
+      try {
+        graft.sources.SSTableDumpBridge.writeTree(frame, out.toString)
+        val back = graft.sources.SSTableDumpBridge
+          .readTree(spark, out.toString)
+        assert(back.exceptAll(frame).count() === 0,
+          s"seed $seed: re-read invented rows")
+        assert(frame.exceptAll(back).count() === 0,
+          s"seed $seed: export lost rows")
+      } finally Scratch.delete(out)
     }
   }
 }
