@@ -444,10 +444,13 @@ object RemoverCli {
       // UNMERGED `--out-generations N` = sstablesplit's role: each
       // input generation splits into N token-contiguous outputs (one
       // oversized SSTable stops serializing its own rewrite — N
-      // encoder tasks instead of one). The bucketed names are
-      // deliberately NON-numeric ("<src>#sK"), so the sink's
-      // deterministic collision rule assigns fresh sequential output
-      // generations in sorted source order.
+      // encoder tasks instead of one). Bucketed identities
+      // ("<src>#sK") feed the sink's deterministic generation
+      // assignment: the first integer in "<src>" still parses, so
+      // each input's FIRST bucket keeps the input's generation
+      // number and the rest take the next free integers in sorted
+      // source order — collision-free and deterministic, interleaved
+      // with (not renumbered from) the input numbering.
       val reshaped =
         if (args.outGenerations <= 1) stripped
         else stripped.withColumn("sstable",

@@ -40,13 +40,18 @@ object GraftFunctions {
     GraftColumns.registerFunction(spark, "murmur3_token",
       exprs => Murmur3Token(exprs(0)))
     GraftColumns.registerFunction(spark, "murmur3_token_typed",
-      exprs => exprs(1) match {
-        case org.apache.spark.sql.catalyst.expressions
-          .Literal(s: org.apache.spark.unsafe.types.UTF8String, _) =>
-          Murmur3TokenTyped(exprs(0), s.toString)
-        case other => throw new IllegalArgumentException(
-          "murmur3_token_typed(key, type): the marshal key type must " +
-            s"be a string literal, got $other")
+      exprs => {
+        if (exprs.length != 2) throw new IllegalArgumentException(
+          "murmur3_token_typed(key, type) takes exactly two " +
+            s"arguments, got ${exprs.length}")
+        exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions
+            .Literal(s: org.apache.spark.unsafe.types.UTF8String, _) =>
+            Murmur3TokenTyped(exprs(0), s.toString)
+          case other => throw new IllegalArgumentException(
+            "murmur3_token_typed(key, type): the marshal key type " +
+              s"must be a string literal, got $other")
+        }
       })
   }
 }

@@ -1039,26 +1039,34 @@ object SSTableBinaryV2 {
       new Iterator[Iterator[InternalRow]] {
         private var queued: Iterator[InternalRow] = null
         private var dead = false
-        private def warn(e: Throwable, where: String): Unit = {
+        private def warn(e: Throwable, where: String,
+            outcome: String): Unit = {
           scrubSkipped += 1
           org.slf4j.LoggerFactory.getLogger(classOf[BinPartitionReader])
             .warn(s"$file: scrub skipped $where " +
               s"(${e.getClass.getSimpleName}: ${e.getMessage}); " +
-              (if (resync) "resuming at the next index entry"
-              else "abandoning the file remainder (no Index.db to " +
-                "re-frame by)"))
+              outcome)
         }
         private def advance(): Unit =
           while (queued == null && !dead) {
             val hasMore =
               try src.hasNext
               catch { case scala.util.control.NonFatal(e) =>
-                warn(e, "the partition walk"); dead = true; false }
+                // the WALK itself broke (e.g. a corrupt Index.db
+                // entry): nothing left to resync by, whatever mode —
+                // say so, don't claim resumption
+                warn(e, "the partition walk",
+                  "abandoning the file remainder (the walk cannot " +
+                    "be re-framed)")
+                dead = true; false }
             if (!hasMore) dead = true
             else try queued = src.next().toArray.iterator
             catch {
               case scala.util.control.NonFatal(e) =>
-                warn(e, "a corrupt partition")
+                warn(e, "a corrupt partition",
+                  if (resync) "resuming at the next index entry"
+                  else "abandoning the file remainder (no Index.db " +
+                    "to re-frame by)")
                 if (!resync) dead = true
             }
           }
@@ -1073,15 +1081,20 @@ object SSTableBinaryV2 {
     private var partitionsServed = 0L
     private var filesSkippedBloom = 0L
     private var filesSkippedTokenSpan = 0L
+    // file-level skip metrics count once per FILE: a split file makes
+    // one reader per range, and every range evaluates the same gate —
+    // only the zero-offset owner reports, or the UI would show N
+    // skips for one file (the digest-verify ownership rule)
+    private val ownsFileMetrics = rangeStart == 0L
     private val parts: Iterator[Iterator[InternalRow]] = {
       val base: Iterator[Iterator[InternalRow]] =
       if (fileTokenDisjoint) {
-        filesSkippedTokenSpan += 1
+        if (ownsFileMetrics) filesSkippedTokenSpan += 1
         Iterator.empty
       }
       else lookup match {
       case Some(Seq()) => // bloom-negative: file skipped
-        filesSkippedBloom += 1
+        if (ownsFileMetrics) filesSkippedBloom += 1
         Iterator.empty
       case Some(positions) =>
         // a split task serves only the indexed positions it owns —
@@ -1847,6 +1860,7 @@ object SSTableBinaryV2 {
         graft.model.CellModel.stripCellKeepDeletion(col("cell")))
     writeSSTables(stripped, out.toString, "graft", "documents",
       graft.model.CqlSchema.parse(Cql2x).toOption)
+    graft.Scratch.delete(in)
     val audit = SSTableDumpBridge
       .auditFrame(readBinary(spark, out.toString))
       .localCheckpoint()
@@ -1942,6 +1956,7 @@ object SSTableBinaryV2 {
         graft.model.CellModel.stripCellKeepDeletion(col("cell")))
     writeSSTables(stripped, out.toString, "graft", "documents",
       graft.model.CqlSchema.parse(Cql2xColl).toOption)
+    graft.Scratch.delete(in)
     val audit = SSTableDumpBridge
       .auditFrame(readBinary(spark, out.toString))
       .localCheckpoint()
@@ -2167,6 +2182,7 @@ object SSTableBinaryV2 {
       .withColumn("cell",
         graft.model.CellModel.stripCellKeepDeletion(col("cell")))
     writeSSTables(stripped, out.toString, "graft", "documents")
+    graft.Scratch.delete(in)
     val baseUs = lit(SSTableDumpBridge.TreeBase * 1000000L)
     val audit = readBinary(spark, out.toString)
       .groupBy(col("row_kind"))
@@ -2213,6 +2229,7 @@ object SSTableBinaryV2 {
       .withColumn("cell",
         graft.model.CellModel.stripCellKeepDeletion(col("cell")))
     writeSSTables(stripped, out.toString, "graft", "documents")
+    graft.Scratch.delete(in)
     val audit = complexAuditFrame(readBinary(spark, out.toString))
       .localCheckpoint()
     graft.Scratch.delete(out)
@@ -2327,6 +2344,7 @@ object SSTableBinaryV2 {
         graft.model.CellModel.stripCellKeepDeletion(col("cell")))
     writeSSTables(stripped, out.toString, "graft", "documents",
       schema = Some(cql))
+    graft.Scratch.delete(in)
     val baseUs = lit(SSTableDumpBridge.TreeBase * 1000000L)
     val audit = readBinary(spark, out.toString)
       .groupBy(col("row_kind"))

@@ -476,11 +476,21 @@ object SSTableDumpBridge {
     * would resurrect data in whatever re-ingests it. Cells carry
     * their EXPLICIT tstamp/ttl (no row-default compression), which
     * is why readTree(writeTree(frame)) reproduces the frame exactly.
-    * Timestamps render with a literal 'Z', the fixture convention —
-    * callers run UTC sessions (all mains here do). */
+    * Timestamps render with a literal 'Z', so the session MUST be
+    * UTC (all mains here are) — enforced loudly below, because
+    * `date_format` renders in the session zone: a non-UTC session
+    * would print local wall time labeled Z, and the deliberately
+    * timezone-explicit read side ([[isoToMicros]]) would then parse
+    * every instant shifted by the zone offset. Silent corruption is
+    * not an acceptable failure mode for an interop writer. */
   def writeTree(frame: DataFrame, outDir: String): Unit = {
     val spark = frame.sparkSession
     import spark.implicits._
+    val tz = spark.sessionState.conf.sessionLocalTimeZone
+    require(tz == "UTC" || tz == "Etc/UTC" || tz == "Z",
+      s"writeTree renders ISO-8601 with a literal 'Z' but the session " +
+        s"timezone is '$tz' — set spark.sql.session.timeZone=UTC " +
+        "(a non-UTC session would export every timestamp shifted)")
     def iso(us: Column): Column =
       date_format(timestamp_micros(us), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")
     val delInfo = struct(

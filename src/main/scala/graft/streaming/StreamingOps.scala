@@ -416,6 +416,7 @@ object StreamingOps {
           sum(col("deletion_us") - baseUs).as("dd"),
           sum(length(col("cell.value")).cast("long")).as("vc")),
       OutputMode.Complete())
+    graft.Scratch.delete(dir)
     out.groupBy(col("row_kind"))
       .agg(sum(col("nr")).cast("long").as("n_rows"),
         count(lit(1)).cast("long").as("n_sstables"),
