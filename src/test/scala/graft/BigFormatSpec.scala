@@ -1999,6 +1999,15 @@ class SSTableBinarySpec extends SparkSpec {
       val full = metricsOf(SSTableBinaryV2.readBinary(spark, dir))
       assert(full("partitionsServed") === 4, full.toString)
       assert(full("filesSkippedBloom") === 0, full.toString)
+      // split files report file-level skips ONCE (zero-offset owner),
+      // not once per range — the UI number must reconcile with the
+      // file count
+      val rangedSplit = metricsOf(spark.read.format("sstable-big")
+        .option("tokenLo", tok("2").toString)
+        .option("tokenHi", tok("2").toString)
+        .option("splitBytes", "64").load(dir))
+      assert(rangedSplit("filesSkippedTokenSpan") === 3,
+        rangedSplit.toString)
       // poison one generation's key-length prefix: scrub counts it
       val badFile = SSTableBinaryV2.readBinary(spark, dir)
         .filter(col("partition_key") === "3")
