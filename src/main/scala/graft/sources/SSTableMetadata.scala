@@ -36,7 +36,18 @@ object SSTableMetadata {
       min_writetime_us: Option[Long],
       min_ttl_s: Option[Int],
       compressor: Option[String],
-      n_components: Int)
+      n_components: Int,
+      /** Rendered Summary.db first/last keys — the generation's token
+        * span endpoints, the values the reader's file-level range
+        * elision compares. NULL without a summary, or when the key
+        * type is unknown (2.x files carry no header to render by). */
+      first_key: Option[String] = None,
+      last_key: Option[String] = None,
+      /** Summary's own size-at-full-sampling estimate × interval — an
+        * O(1) partition-count BOUND read without touching Index.db
+        * (what Cassandra itself estimates from); exact count is
+        * `n_partitions`. */
+      est_keys_max: Option[Long] = None)
 
   def describe(spark: SparkSession, root: String): DataFrame = {
     import spark.implicits._
@@ -108,6 +119,11 @@ object SSTableMetadata {
         CompressedData.versionHasMaxCompressedSize(version), p,
         CompressedData.versionUsesAdler32(version)).compressor
     }
+    val summary = comp("-Summary.db").map(p =>
+      SSTableComponents.readSummary(readAll(p)))
+    def renderKey(k: Array[Byte]): Option[String] =
+      header.flatMap(h =>
+        scala.util.Try(BigFormat.renderValue(h.keyType, k)).toOption)
     GenerationMeta(
       sstable = dataPath.split('/').takeRight(2).mkString("/"),
       n_partitions = nPartitions,
@@ -117,7 +133,11 @@ object SSTableMetadata {
       // inventory surfaces the sentinel as NULL, not as a minimum
       min_ttl_s = header.map(_.minTtlS).filter(_ != 0),
       compressor = compressor,
-      n_components = comps.size)
+      n_components = comps.size,
+      first_key = summary.flatMap(s => renderKey(s.firstKey)),
+      last_key = summary.flatMap(s => renderKey(s.lastKey)),
+      est_keys_max = summary.map(s =>
+        s.sizeAtFullSampling.toLong * s.minIndexInterval))
   }
 
   /** Registered `src_sstable_metadata`: the sidecar-only inventory
@@ -136,10 +156,14 @@ object SSTableMetadata {
       "graft", "documents")
     SSTableBinaryV2.writeSSTables(frame, outLz4.toString,
       "graft", "documents", compression = Some(CompressedData.Lz4))
+    // first/last keys and the summary estimate are TOKEN-order facts
+    // DuckDB cannot replay — the spec pins them; the oracle checks
+    // the arithmetic-expressible columns
     val described = describe(spark, s"$out/graft/documents")
       .withColumn("layout", lit("plain"))
       .unionByName(describe(spark, s"$outLz4/graft/documents")
         .withColumn("layout", lit("lz4")))
+      .drop("first_key", "last_key", "est_keys_max")
       .localCheckpoint()
     graft.Scratch.delete(out)
     graft.Scratch.delete(outLz4)

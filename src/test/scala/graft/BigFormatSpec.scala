@@ -2099,6 +2099,15 @@ class SSTableBinarySpec extends SparkSpec {
       assert(rows.forall(!_.isNullAt(
         rows.head.fieldIndex("min_writetime_us"))))
       assert(rows.forall(_.getAs[Int]("n_components") === 7))
+      // Summary-sourced span endpoints render through the key type,
+      // and the O(1) estimate BOUNDS the exact count
+      assert(rows.forall { r =>
+        val f = r.getAs[String]("first_key")
+        val l = r.getAs[String]("last_key")
+        f != null && l != null && f.toLong >= 0 && l.toLong >= 0
+      })
+      assert(rows.forall(r =>
+        r.getAs[Long]("est_keys_max") >= r.getAs[Long]("n_partitions")))
     } finally { Scratch.delete(in); Scratch.delete(out) }
     // 2.x (ka, compressed): fixed-width index counts, no Statistics
     // header → NULL minima, Adler-era CompressionInfo names its algo
