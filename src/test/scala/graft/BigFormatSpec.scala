@@ -2125,6 +2125,57 @@ class SSTableBinarySpec extends SparkSpec {
     } finally Scratch.delete(ka)
   }
 
+  test("scrub salvages a COMPRESSED generation past a corrupt chunk") {
+    import spark.implicits._
+    val out = Scratch.dir("graft-scrubchunk-")
+    try {
+      val wt = 1609459200000000L
+      // values big enough that partitions span several 16 KiB chunks
+      val frame = (1 to 64).map { i =>
+        (i.toString, Seq("c"), "ROW", Some("v"),
+          Some((("x" * 2000) + i, wt, None: Option[Int],
+            None: Option[Long])),
+          None: Option[Long], "t/nb-1-big-Data.db")
+      }.toDF("partition_key", "clustering", "row_kind", "name",
+        "cell_t", "deletion_us", "sstable")
+        .withColumn("cell", struct(
+          col("cell_t._1").as("value"),
+          col("cell_t._2").as("writetime_us"),
+          col("cell_t._3").as("ttl_s"), col("cell_t._4").as("expire_us")))
+        .drop("cell_t")
+      SSTableBinaryV2.writeSSTables(frame, out.toString, "graft",
+        "documents", compression = Some(graft.sources.CompressedData.Lz4))
+      val dir = out.resolve("graft").resolve("documents")
+      val dataP = dir.resolve("nb-1-big-Data.db")
+      // flip bytes in the MIDDLE of the compressed stream: the chunk
+      // CRC refuses, every partition whose decode touches that chunk
+      // skips, the rest (independent chunk-map seeks) still serve
+      val size = java.nio.file.Files.size(dataP)
+      val ch = java.nio.channels.FileChannel.open(dataP,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        ch.position(size / 2)
+        ch.write(java.nio.ByteBuffer.wrap(Array.fill[Byte](8)(0x5a)))
+      } finally ch.close()
+      java.nio.file.Files.deleteIfExists(
+        dir.resolve(".nb-1-big-Data.db.crc"))
+      intercept[org.apache.spark.SparkException] {
+        SSTableBinaryV2.readBinary(spark, dir.toString).count()
+      }
+      val got = spark.read.format("sstable-big")
+        .option("scrub", "true").load(dir.toString)
+        .select("partition_key").distinct().collect()
+        .map(_.getString(0)).toSet
+      val all = (1 to 64).map(_.toString).toSet
+      assert(got.subsetOf(all))
+      // the majority survives (one dead chunk takes its co-resident
+      // partitions with it — "x"*2000 compresses hard, so one 16 KiB
+      // chunk holds many); something was genuinely skipped
+      assert(got.size >= 32, s"salvaged only ${got.size}/64")
+      assert(got.size < 64, "nothing was skipped — fixture too small?")
+    } finally Scratch.delete(out)
+  }
+
   test("scrub salvages 2.x (ka) generations through their fixed-width index") {
     val dir = SSTableBinaryV2.writeOldFixture(spark, sfDir)
     try {
