@@ -144,8 +144,10 @@ object SSTableMetadata {
     * over a sink-written generation set, uncompressed AND compressed
     * (the lz4 rewrite shows its compressor and one extra component).
     * The oracle replays the fixture arithmetic per generation: exact
-    * partition counts, EncodingStats minima, component census —
-    * without the engine ever opening a Data.db. */
+    * partition counts, EncodingStats minima, component census. The
+    * no-Data.db property is ORACLE-GATED, not just spec-gated: every
+    * Data.db is garbled before describing, so a describe() that ever
+    * starts opening data files fails the correctness run loudly. */
   def metadataAudit(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val in = SSTableBinaryV2.binaryFixtureShared(spark, sfDir)
@@ -156,6 +158,20 @@ object SSTableMetadata {
       "graft", "documents")
     SSTableBinaryV2.writeSSTables(frame, outLz4.toString,
       "graft", "documents", compression = Some(CompressedData.Lz4))
+    Seq(out, outLz4).foreach { root =>
+      val dir = root.resolve("graft").resolve("documents")
+      val ls = java.nio.file.Files.list(dir)
+      try {
+        import scala.jdk.CollectionConverters._
+        ls.iterator().asScala
+          .filter(_.getFileName.toString.endsWith("-Data.db"))
+          .foreach { f =>
+            java.nio.file.Files.write(f, Array.fill[Byte](16)(0x11))
+            java.nio.file.Files.deleteIfExists(
+              f.getParent.resolve("." + f.getFileName + ".crc"))
+          }
+      } finally ls.close()
+    }
     // first/last keys and the summary estimate are TOKEN-order facts
     // DuckDB cannot replay — the spec pins them; the oracle checks
     // the arithmetic-expressible columns
