@@ -501,10 +501,13 @@ object SSTableBinaryV2 {
     }
     private def readSibling(path: HPath): Array[Byte] = {
       val st = fs.getFileStatus(path)
-      val buf = new Array[Byte](st.getLen.toInt)
-      val in = fs.open(path)
-      try in.readFully(0, buf) finally in.close()
-      buf
+      SSTableBinaryV2.ComponentCache
+        .get(path.toString, st.getLen) {
+          val buf = new Array[Byte](st.getLen.toInt)
+          val in = fs.open(path)
+          try in.readFully(0, buf) finally in.close()
+          buf
+        }
     }
     /** Pre-3.0 eras ("ka"/"la"/"jb"…): a different storage engine
       * entirely — the [[OldFormat]] codec, with the schema DECLARED
@@ -1510,6 +1513,50 @@ object SSTableBinaryV2 {
     override def name(): String = metricName
     override def value(): Long = v
   }
+  /** Executor-side cache of small immutable sidecar components — the
+    * §2.11 key-cache row in its LITERAL form (the reference memoizes
+    * key→index-entry lookups, `NoTTLReader.java:1450-1496`, so
+    * repeated point reads skip re-reading components). SSTables are
+    * immutable by definition, so (path, length)-keyed memoization is
+    * sound; the cache is LRU-bounded in BYTES (not entries — one
+    * 10M-key bloom is ~12 MB) and skips oversized entries (a whole
+    * Index.db of a big file must not evict everything else). Across
+    * the tasks of one executor JVM, repeated point lookups and token
+    * ranges against a hot working set stop re-reading
+    * Filter/Summary/Statistics per task — Cassandra's key-cache
+    * economics, at the component granularity a scan engine wants. */
+  private[sources] object ComponentCache {
+    private val MaxTotalBytes = 128L * 1024 * 1024
+    private val MaxEntryBytes = 4L * 1024 * 1024
+    private val map = new java.util.LinkedHashMap[String, Array[Byte]](
+      64, 0.75f, true) // access-order: LRU iteration starts at eldest
+    private var total = 0L
+    def get(path: String, len: Long)(load: => Array[Byte])
+        : Array[Byte] = {
+      val key = s"$path@$len"
+      map.synchronized {
+        val hit = map.get(key)
+        if (hit != null) return hit
+      }
+      // load OUTSIDE the lock: a duplicate concurrent load is
+      // harmless, a stalled lock across an IO round-trip is not
+      val bytes = load
+      if (bytes.length <= MaxEntryBytes) map.synchronized {
+        if (!map.containsKey(key)) {
+          map.put(key, bytes)
+          total += bytes.length
+          val it = map.entrySet().iterator()
+          while (total > MaxTotalBytes && it.hasNext) {
+            total -= it.next().getValue.length
+            it.remove()
+          }
+        }
+      }
+      bytes
+    }
+    private[graft] def sizeBytes: Long = map.synchronized(total)
+  }
+
   private[graft] val MetricPartitionsServed = "partitionsServed"
   private[graft] val MetricFilesSkippedBloom = "filesSkippedBloom"
   private[graft] val MetricFilesSkippedTokenSpan = "filesSkippedTokenSpan"
