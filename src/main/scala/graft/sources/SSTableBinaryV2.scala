@@ -1525,7 +1525,7 @@ object SSTableBinaryV2 {
     * ranges against a hot working set stop re-reading
     * Filter/Summary/Statistics per task — Cassandra's key-cache
     * economics, at the component granularity a scan engine wants. */
-  private[sources] object ComponentCache {
+  private[graft] object ComponentCache {
     private val MaxTotalBytes = 128L * 1024 * 1024
     private val MaxEntryBytes = 4L * 1024 * 1024
     private val map = new java.util.LinkedHashMap[String, Array[Byte]](

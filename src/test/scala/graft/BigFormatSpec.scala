@@ -2074,6 +2074,26 @@ class SSTableBinarySpec extends SparkSpec {
     }
   }
 
+  test("component cache: hits return the loaded bytes, oversized entries bypass, the byte bound holds") {
+    import graft.sources.SSTableBinaryV2.ComponentCache
+    var loads = 0
+    def load(n: Int): Array[Byte] = { loads += 1; Array.fill[Byte](n)(7) }
+    val a = ComponentCache.get("/cc-spec/a", 100)(load(100))
+    val b = ComponentCache.get("/cc-spec/a", 100)(load(100))
+    assert(loads === 1, "second get must hit")
+    assert(a eq b, "hit must return the cached reference")
+    // same path, DIFFERENT length = a different file: no stale hit
+    ComponentCache.get("/cc-spec/a", 101)(load(101))
+    assert(loads === 2)
+    // oversized entries load but never cache (they would evict the
+    // working set a whole big Index.db at a time)
+    val before = ComponentCache.sizeBytes
+    ComponentCache.get("/cc-spec/big", 5 << 20)(load(5 << 20))
+    ComponentCache.get("/cc-spec/big", 5 << 20)(load(5 << 20))
+    assert(loads === 4, "oversized entries must not cache")
+    assert(ComponentCache.sizeBytes === before)
+  }
+
   test("sidecar-only inventory: describe() never opens Data.db and reads 2.x sidecars") {
     import graft.sources.SSTableMetadata
     // modern generations: garble every Data.db AFTER the write — the
