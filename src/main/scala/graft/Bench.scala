@@ -62,13 +62,14 @@ object Bench {
         times.map(t => f"$t%.2f").mkString(", ")})")
       name -> dt
     }
-    // Emit per-query entries MOST-EXPENSIVE FIRST: the recorded
-    // artifact has repeatedly kept only a prefix of this line, and a
-    // cost-descending order means whatever prefix survives carries
-    // the queries that matter for a perf read. JSON object order is
-    // semantically irrelevant, so full parses are unaffected.
+    // Emit per-query entries CHEAPEST FIRST: the recorded artifact has
+    // repeatedly kept only the TAIL of this line, and a cost-ascending
+    // order means whatever tail survives carries the expensive queries
+    // that matter for a perf read (failures sort last for the same
+    // reason). JSON object order is semantically irrelevant, so full
+    // parses are unaffected.
     val qs = results
-      .sortBy { case (_, v) => -v.getOrElse(Double.MaxValue) }
+      .sortBy { case (_, v) => v.getOrElse(Double.MaxValue) }
       .map { case (k, v) => "\"" + k + "\":" + v.map(_.toString).getOrElse("null") }
       .mkString("{", ",", "}")
     val failedNames = results.collect { case (k, None) => "\"" + k + "\"" }

@@ -291,6 +291,7 @@ object SparkEntry {
     "m_resize" -> (MultimodalOps.resize _),
     "m_feature_extract" -> (MultimodalOps.featureExtract _),
     "m_frame_dedup" -> (MultimodalOps.frameDedup _),
+    "m_real_decode" -> (MultimodalOps.realMediaDecode _),
     // --- structured streaming (SURVEY §7.2 step 7) ---
     "st_window_agg" -> (StreamingOps.windowAgg _),
     "st_window_append" -> (StreamingOps.windowAggAppend _),
@@ -3817,6 +3818,20 @@ object SparkEntry {
         | round(CAST(coalesce(pd.n_dup, 0) AS DOUBLE)
         |   / CAST(tot.n_frames AS DOUBLE), 6) AS dup_ratio
         |FROM tot LEFT JOIN pd ON tot.doc_id = pd.doc_id""".stripMargin,
+    // REAL codec oracle: the Spark side synthesizes a deterministic
+    // two-band PNG per doc_id and decodes it through javax.imageio;
+    // everything the decode must recover (dims, band count, container
+    // format, the 8x8 average-hash bit pattern) is pure arithmetic on
+    // doc_id, which DuckDB computes independently — so a codec that
+    // misreads dimensions, channels, or pixel values hash-fails here
+    "m_real_decode" ->
+      """SELECT doc_id, TRUE AS decode_ok,
+        | CAST(16 + (doc_id % 8) * 8 AS INTEGER) AS width,
+        | CAST(16 + (doc_id % 6) * 8 AS INTEGER) AS height,
+        | CAST(3 AS INTEGER) AS channels,
+        | 'png' AS format,
+        | CAST(-4294967296 AS BIGINT) AS phash
+        |FROM documents""".stripMargin,
     "st_window_agg" ->
       """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
         | event_type, count(*) AS n_events,

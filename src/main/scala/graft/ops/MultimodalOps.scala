@@ -7,12 +7,21 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: media as opaque `binary` columns with
   * typed metadata, processed partition-wise in batches.
   *
-  * The decode step is a STUB — image/audio codecs are not in this
-  * container — but everything Spark-side is real: the binary column,
-  * the schema of the decoded metadata, the `mapPartitions` batch shape
-  * (the Scala analogue of `mapInPandas` batches), and the partitioning.
-  * The fake decode is deterministic arithmetic on the payload length so
-  * it is oracle-checkable.
+  * Two decode paths share the same batched `mapPartitions` boundary
+  * (the Scala analogue of `mapInPandas` batches):
+  *
+  *  - [[fakeDecode]] — deterministic arithmetic on the payload length,
+  *    kept as the oracle mode for the length-derived query family
+  *    (`m_media_decode` and its consumers), since arbitrary media bytes
+  *    are not DuckDB-replayable.
+  *  - [[realDecode]] — a REAL image codec (`javax.imageio`, on every
+  *    JVM): format sniffing, dimensions, raster band count, and an
+  *    exact integer-arithmetic 8×8 average perceptual hash. The
+  *    registered query `m_real_decode` feeds it deterministic synthetic
+  *    PNGs ([[syntheticPng]]) whose decoded properties are pure
+  *    arithmetic on `doc_id`, so the real decode is still oracle-gated:
+  *    the bytes genuinely round-trip through the PNG codec and DuckDB
+  *    independently computes what the decode must recover.
   */
 object MultimodalOps {
 
@@ -37,6 +46,138 @@ object MultimodalOps {
       height = (n % 48).toInt + 16,
       n_frames = (n % 8).toInt + 1,
       format = if (n % 2 == 0) "fake-rgb8" else "fake-yuv420")
+  }
+
+  /** Decoded-media metadata from the REAL codec path. `decode_ok`
+    * false (with zeroed fields and format `undecodable`) marks bytes no
+    * installed reader accepts — the corrupt-input row survives loudly
+    * instead of killing the batch, the same skip-don't-die philosophy
+    * as the corrupt-file scan paths. */
+  final case class RealMediaMeta(
+      doc_id: Long,
+      n_bytes: Long,
+      decode_ok: Boolean,
+      width: Int,
+      height: Int,
+      channels: Int,
+      format: String,
+      phash: Long)
+
+  /** Real image decode via `javax.imageio`: sniffs the container format
+    * from the byte stream, decodes the first image, and reports
+    * dimensions, raster band count, and an 8×8 average perceptual hash.
+    *
+    * The hash is computed with EXACT integer arithmetic (per-block
+    * channel sums compared against the global mean by
+    * cross-multiplication), never float resampling, so it is
+    * bit-reproducible across JVMs and replayable by any engine that can
+    * do the same sums. Block (bx,by) covers columns
+    * [bx·w/8, (bx+1)·w/8) × rows [by·h/8, (by+1)·h/8) (floor bounds);
+    * bit by·8+bx is set iff the block's mean luma ≥ the image mean.
+    * Long cross-products bound exactness to ≤ ~8.8e8 pixels per image
+    * (765·(wh)²/64 < 2^63) — far above any sane frame.
+    */
+  def realDecode(docId: Long, payload: Array[Byte]): RealMediaMeta = {
+    val failed = RealMediaMeta(docId, payload.length.toLong,
+      decode_ok = false, 0, 0, 0, "undecodable", 0L)
+    try {
+      javax.imageio.ImageIO.setUseCache(false) // no executor temp files
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) failed
+      else {
+        val reader = readers.next()
+        try {
+          reader.setInput(iis)
+          val fmt = reader.getFormatName.toLowerCase(java.util.Locale.ROOT)
+          val img = reader.read(0)
+          val (w, h) = (img.getWidth, img.getHeight)
+          val channels = img.getRaster.getNumBands
+          // per-block and global luma sums (r+g+b of the sRGB view:
+          // uniform across source color models, exact integers)
+          val blockSum = new Array[Long](64)
+          var total = 0L
+          var y = 0
+          while (y < h) {
+            val by = y * 8 / h
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val luma = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+              blockSum(by * 8 + (x * 8 / w)) += luma
+              total += luma
+              x += 1
+            }
+            y += 1
+          }
+          val totalArea = w.toLong * h
+          var phash = 0L
+          var i = 0
+          while (i < 64) {
+            val bx = i % 8; val by = i / 8
+            val bw = ((bx + 1) * w / 8) - (bx * w / 8)
+            val bh = ((by + 1) * h / 8) - (by * h / 8)
+            val area = bw.toLong * bh
+            // blockMean >= imageMean  ⟺  blockSum/area >= total/totalArea
+            if (area > 0 && blockSum(i) * totalArea >= total * area)
+              phash |= 1L << i
+            i += 1
+          }
+          RealMediaMeta(docId, payload.length.toLong, decode_ok = true,
+            w, h, channels, fmt, phash)
+        } finally reader.dispose()
+      }
+    } catch { case scala.util.control.NonFatal(_) => failed }
+  }
+
+  /** Deterministic synthetic PNG for a document: a w×h two-band image
+    * (top half gray `a = 20 + id%160`, bottom half gray `a+40`; w,h
+    * multiples of 8 so the 8×8 hash blocks never straddle the halves). Everything the
+    * decode recovers is arithmetic on `doc_id`:
+    * w = 16 + (id%8)·8, h = 16 + (id%6)·8, channels = 3, format `png`,
+    * and phash = bits 32..63 set (bottom four block-rows brighter than
+    * the mean) = 0xFFFFFFFF00000000 = -4294967296.
+    */
+  def syntheticPng(docId: Long): Array[Byte] = {
+    val w = 16 + (docId % 8).toInt * 8
+    val h = 16 + (docId % 6).toInt * 8
+    // gray levels stay within 8-bit: a <= 179, so a+40 <= 219 < 256
+    val a = (docId % 160).toInt + 20
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      val v = if (y < h / 2) a else a + 40
+      val rgb = (v << 16) | (v << 8) | v
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.setUseCache(false)
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** REAL-codec ingest: synthesize one PNG payload per document
+    * executor-side, push the bytes through [[realDecode]] at the same
+    * batched `mapPartitions` boundary as [[mediaDecode]], and emit the
+    * decoded metadata. `n_bytes` (the encoder's output size) is not
+    * engine-independent, so the registered projection carries the
+    * decode-recoverable columns only; the full record (including
+    * n_bytes) is the API surface.
+    */
+  def realMediaDecode(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ids = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id")).as[Long]
+    ids
+      .mapPartitions(_.grouped(64).flatMap(batch =>
+        batch.map(id => realDecode(id, syntheticPng(id)))))
+      .toDF()
+      .select(col("doc_id"), col("decode_ok"), col("width"),
+        col("height"), col("channels"), col("format"), col("phash"))
   }
 
   /** Binary ingest → partition-wise batched decode → typed metadata.

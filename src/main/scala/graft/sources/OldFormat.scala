@@ -562,4 +562,136 @@ object OldFormat {
     Iterator.continually(readPartition(s, d, file))
       .takeWhile(_.isDefined).map(_.get)
   }
+
+  // =====================================================================
+  // Statistics.db — pre-3.0 ("ka"/"la") StatsMetadata
+  // =====================================================================
+
+  /** The pre-3.0 stats the inventory surfaces: min/max timestamp,
+    * max local-deletion second, level and repairedAt — the fields the
+    * reference reads off its 2.x readers (`NoTTLReader.java:1937-1945`
+    * `getMinTimestamp`/`getMaxTimestamp`, `:1965` `getSSTableLevel`).
+    * The 2.x era records NO TTL minima — EncodingStats (minTTL) is a
+    * 3.0 invention — so a ka/la inventory row honestly lacks one. */
+  case class Stats2x(
+      minTimestampUs: Long,
+      maxTimestampUs: Long,
+      maxLocalDeletionTimeS: Int,
+      sstableLevel: Int,
+      repairedAt: Long)
+
+  /** MetadataType ordinals shared by every era's Statistics.db TOC
+    * (`o.a.c.io.sstable.metadata.MetadataType`): VALIDATION=0,
+    * COMPACTION=1, STATS=2 (3.0 added HEADER=3). The 2.x container is
+    * the 3.x one WITHOUT checksums: int component count, then (int
+    * type ordinal, int offset) pairs, then each component's bytes. */
+  private val ValidationOrdinal = 0
+  private val StatsOrdinal = 2
+
+  /** Serialize a 2.x ("ka") Statistics.db. Component layouts from the
+    * PUBLIC Apache Cassandra 2.1 source:
+    *   - `StatsMetadata.StatsMetadataSerializer.serialize`: two
+    *     EstimatedHistograms (row size, column count), ReplayPosition
+    *     (long segmentId + int position), long minTimestamp, long
+    *     maxTimestamp, int maxLocalDeletionTime, double
+    *     compressionRatio, StreamingHistogram (tombstone drop times),
+    *     int sstableLevel, long repairedAt, min/max column-name lists
+    *     (int size + short-length-prefixed names), boolean
+    *     hasLegacyCounterShards.
+    *   - `EstimatedHistogram.HistogramSerializer`: int bucket count,
+    *     then (long offset, long bucket) per bucket — a real reader
+    *     allocates `size - 1` offsets, so at least one bucket is
+    *     written.
+    *   - `StreamingHistogram.StreamingHistogramSerializer`: int
+    *     maxBinSize, int bin count, (double, long) per bin.
+    *   - `ValidationMetadata.ValidationMetadataSerializer`: UTF
+    *     partitioner FQCN + double bloomFilterFPChance.
+    * A VALIDATION component is written alongside STATS so the TOC has
+    * the realistic multi-component shape readers must seek through. */
+  def writeStats2x(s: Stats2x, nPartitions: Long): Array[Byte] = {
+    def histogram(out: DataOutputStream): Unit = {
+      out.writeInt(1)
+      out.writeLong(1L)          // single bucket offset
+      out.writeLong(nPartitions) // everything in one bucket
+    }
+    val validation = {
+      val bos = new ByteArrayOutputStream()
+      val out = new DataOutputStream(bos)
+      out.writeUTF("org.apache.cassandra.dht.Murmur3Partitioner")
+      out.writeDouble(0.01)
+      out.flush(); bos.toByteArray
+    }
+    val stats = {
+      val bos = new ByteArrayOutputStream()
+      val out = new DataOutputStream(bos)
+      histogram(out)               // estimatedRowSize
+      histogram(out)               // estimatedColumnCount
+      out.writeLong(0L); out.writeInt(0) // ReplayPosition
+      out.writeLong(s.minTimestampUs)
+      out.writeLong(s.maxTimestampUs)
+      out.writeInt(s.maxLocalDeletionTimeS)
+      out.writeDouble(-1.0)        // NO_COMPRESSION_RATIO sentinel
+      out.writeInt(100); out.writeInt(0) // empty StreamingHistogram
+      out.writeInt(s.sstableLevel)
+      out.writeLong(s.repairedAt)
+      out.writeInt(0)              // minColumnNames
+      out.writeInt(0)              // maxColumnNames
+      out.writeBoolean(false)      // hasLegacyCounterShards
+      out.flush(); bos.toByteArray
+    }
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(2)
+    val tocLen = 4 + 2 * 8
+    out.writeInt(ValidationOrdinal); out.writeInt(tocLen)
+    out.writeInt(StatsOrdinal); out.writeInt(tocLen + validation.length)
+    out.write(validation)
+    out.write(stats)
+    out.flush()
+    bos.toByteArray
+  }
+
+  /** Parse a 2.x Statistics.db far enough to return [[Stats2x]]: walk
+    * the un-checksummed TOC to the STATS component, skip the two
+    * EstimatedHistograms and the ReplayPosition by their own framing,
+    * then read the scalar fields (see [[writeStats2x]] for the layout
+    * sources). Fails loudly when no STATS component exists. */
+  def readStats2x(bytes: Array[Byte], file: String): Stats2x = {
+    val in = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val count = in.readInt()
+    require(count >= 0 && count <= 16,
+      s"$file: absurd 2.x Statistics.db component count $count")
+    var statsOffset = -1
+    (0 until count).foreach { _ =>
+      val ordinal = in.readInt()
+      val offset = in.readInt()
+      if (ordinal == StatsOrdinal) statsOffset = offset
+    }
+    require(statsOffset >= 0 && statsOffset <= bytes.length,
+      s"$file: 2.x Statistics.db carries no STATS component")
+    val s = new DataInputStream(new java.io.ByteArrayInputStream(
+      bytes, statsOffset, bytes.length - statsOffset))
+    def skipHistogram(): Unit = {
+      val n = s.readInt()
+      require(n >= 0, s"$file: negative 2.x histogram size $n")
+      var skipped = 0L
+      val want = 16L * n
+      while (skipped < want) skipped += s.skip(want - skipped)
+    }
+    skipHistogram()              // estimatedRowSize
+    skipHistogram()              // estimatedColumnCount
+    s.readLong(); s.readInt()    // ReplayPosition
+    val minTs = s.readLong()
+    val maxTs = s.readLong()
+    val maxLdt = s.readInt()
+    s.readDouble()               // compressionRatio
+    s.readInt()                  // StreamingHistogram maxBinSize
+    val nBins = s.readInt()
+    require(nBins >= 0, s"$file: negative 2.x histogram bin count")
+    var skipped = 0L
+    while (skipped < 16L * nBins) skipped += s.skip(16L * nBins - skipped)
+    val level = s.readInt()
+    val repairedAt = s.readLong()
+    Stats2x(minTs, maxTs, maxLdt, level, repairedAt)
+  }
 }

@@ -30,6 +30,64 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.filter(oob).count() === 0)
   }
 
+  test("realDecode reads a real PNG: dims, bands, format, exact average hash") {
+    // a 24x16 image, left half dark / right half bright: hash blocks
+    // never straddle the halves, so the expected bit pattern is exact
+    val img = new java.awt.image.BufferedImage(
+      24, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 24) {
+      val v = if (x < 12) 30 else 130
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val m = MultimodalOps.realDecode(7L, baos.toByteArray)
+    assert(m.decode_ok)
+    assert(m.width === 24 && m.height === 16)
+    assert(m.channels === 3)
+    assert(m.format === "png")
+    assert(m.n_bytes === baos.size().toLong)
+    // left 4 block-columns below the mean (bit 0), right 4 at/above
+    // (bit 1) in every block-row: bits bx>=4 set for all by
+    val expected = (0 until 64).foldLeft(0L)((acc, i) =>
+      if (i % 8 >= 4) acc | (1L << i) else acc)
+    assert(m.phash === expected)
+  }
+
+  test("realDecode reads a real JPEG: format sniffed from bytes, dims exact") {
+    val img = new java.awt.image.BufferedImage(
+      40, 24, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 24; x <- 0 until 40) img.setRGB(x, y, 0x808080)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpeg", baos)
+    val m = MultimodalOps.realDecode(9L, baos.toByteArray)
+    assert(m.decode_ok)
+    assert(m.width === 40 && m.height === 24)
+    assert(m.format === "jpeg")
+    // JPEG is lossy but a uniform image stays (near-)uniform; every
+    // block mean equals the image mean, so every hash bit is set
+    assert(m.phash === -1L)
+  }
+
+  test("realDecode on undecodable bytes: loud skip row, not a crash") {
+    val m = MultimodalOps.realDecode(3L, Array[Byte](1, 2, 3, 4, 5))
+    assert(!m.decode_ok)
+    assert(m.format === "undecodable")
+    assert(m.width === 0 && m.height === 0 && m.phash === 0L)
+    assert(m.n_bytes === 5L)
+    // empty payload too
+    assert(!MultimodalOps.realDecode(4L, Array.emptyByteArray).decode_ok)
+  }
+
+  test("realMediaDecode: every synthetic PNG decodes through the real codec") {
+    val r = MultimodalOps.realMediaDecode(spark, sfDir).localCheckpoint()
+    val nDocs = Tables.load(spark, sfDir, "documents").count()
+    assert(r.count() === nDocs)
+    assert(r.filter(!col("decode_ok")).count() === 0)
+    assert(r.filter(col("format") =!= "png").count() === 0)
+    assert(r.filter(col("phash") =!= -4294967296L).count() === 0)
+  }
+
   test("frameDedup: totals conserve frames, exposure bounded, dups genuinely cross-video") {
     val fd = MultimodalOps.frameDedup(spark, sfDir).localCheckpoint()
     val frames = MultimodalOps.frameSample(spark, sfDir)
