@@ -2881,7 +2881,16 @@ object SparkEntry {
       |UNION ALL
       |SELECT sstable, n_partitions, min_writetime_us, min_ttl_s,
       | 'LZ4Compressor' AS compressor,
-      | 8 AS n_components, 'lz4' AS layout FROM g""".stripMargin,
+      | 8 AS n_components, 'lz4' AS layout FROM g
+      |UNION ALL
+      |SELECT 'documents/graft-documents-ka-' || CAST(f + 1 AS VARCHAR)
+      |  || '-Data.db' AS sstable,
+      | CAST(count(*) AS BIGINT) AS n_partitions,
+      | CAST(min(wt) AS BIGINT) AS min_writetime_us,
+      | CAST(NULL AS INTEGER) AS min_ttl_s,
+      | CAST(NULL AS VARCHAR) AS compressor,
+      | 4 AS n_components, 'ka' AS layout
+      |FROM d GROUP BY f""".stripMargin,
     // the era-UPGRADE lifecycle: the 2.x oracle with (a) every TTL
     // nulled (the strip) and (b) PK_LIVENESS collapsed to pk-only
     // rows — a 2.x row marker on a cell-bearing row becomes the

@@ -1613,9 +1613,12 @@ object SSTableBinaryV2 {
     * covering the row's clustering (2.x had no row-deletion atom),
     * primary-key-only inserts and live rows carry the CQL3 row-marker
     * cell (empty column name), cells are mask-dispatched atoms with
-    * composite names. One `ka-<gen>-big-Data.db` per file id; no
-    * Statistics.db (that era's metadata carries no header the codec
-    * needs). With `compress`, each Data.db is chunk-compressed the
+    * composite names. One `ka-<gen>-big-Data.db` per file id, with
+    * the authentic pre-3.0 StatsMetadata sidecar (the 2.x
+    * Statistics.db layout carries min/max timestamps but no
+    * serialization header and no TTL minima — the codec still takes
+    * the schema from `cql`). With `compress`, each Data.db is
+    * chunk-compressed the
     * 2.x way — LZ4 chunks with per-chunk ADLER32 checksums and a
     * CompressionInfo.db sibling without the maxCompressedSize word
     * (the era the reference reads at `NoTTLReader.java:343,623`). */
@@ -1698,6 +1701,21 @@ object SSTableBinaryV2 {
           .newBloom(index.size.toLong, oldHashOrder = true)
         index.foreach { case (k, _) => bloom.add(k) }
         write("Filter.db", SSTableComponents.writeFilter(bloom))
+        // the pre-3.0 StatsMetadata sidecar (min/max timestamp over
+        // every atom, max local-deletion second) — what the sidecar
+        // inventory reports for ka/la generations instead of NULLs
+        val allTs = parts.iterator.flatMap(p =>
+          p.deletionUs.iterator ++ p.atoms.iterator.map {
+            case c: OldFormat.Cell2 => c.tsUs
+            case t: OldFormat.Tombstone2 => t.deletionUs
+          }).toSeq
+        val maxLdt = parts.iterator.flatMap(_.atoms.iterator).map {
+          case c: OldFormat.Cell2 => c.ldtS.getOrElse(Int.MaxValue)
+          case t: OldFormat.Tombstone2 => (t.deletionUs / 1000000L).toInt
+        }.foldLeft(Int.MinValue)(_ max _)
+        write("Statistics.db", OldFormat.writeStats2x(
+          OldFormat.Stats2x(allTs.min, allTs.max, maxLdt,
+            sstableLevel = 0, repairedAt = 0L), index.size.toLong))
         (fileId, parts.length)
       }
       .collect()

@@ -21,8 +21,13 @@ import org.apache.spark.util.SerializableConfiguration
   *                       Cassandra itself can only estimate from it.)
   *   - `min_writetime_us` / `min_ttl_s`  the Statistics.db header
   *                       minima (EncodingStats — what the reference's
-  *                       sstablemetadata prints); NULL on pre-3.0
-  *                       files, which carry no serialization header
+  *                       sstablemetadata prints). Pre-3.0 files carry
+  *                       no serialization header, but their 2.x
+  *                       StatsMetadata records min/max timestamps
+  *                       (`NoTTLReader.java:1937-1945`), so ka/la
+  *                       generations report `min_writetime_us` from
+  *                       it; `min_ttl_s` stays NULL — EncodingStats'
+  *                       TTL minimum is a 3.0 invention
   *   - `compressor`      CompressionInfo.db's declared algorithm, or
   *                       NULL for uncompressed generations
   *   - `n_components`    sibling files in the generation (TOC's role,
@@ -49,7 +54,16 @@ object SSTableMetadata {
         * `n_partitions`. */
       est_keys_max: Option[Long] = None)
 
-  def describe(spark: SparkSession, root: String): DataFrame = {
+  /** With `audit` (the registered query's mode), every generation's
+    * token-order facts are cross-checked executor-side against an
+    * INDEPENDENT component while the row is produced: the Summary's
+    * first/last keys must byte-equal the streamed Index.db's first and
+    * last entry keys, and the Summary-derived `est_keys_max` must be a
+    * TIGHT upper bound on the exact count (`n <= est < n + interval`).
+    * A wrong value throws, failing the ORACLE run — DuckDB can't
+    * replay token order, but these invariants don't need it. */
+  def describe(spark: SparkSession, root: String,
+      audit: Boolean = false): DataFrame = {
     import spark.implicits._
     val hconf = new SerializableConfiguration(
       spark.sessionState.newHadoopConf())
@@ -76,13 +90,14 @@ object SSTableMetadata {
       .repartition(math.min(gens.size.max(1),
         spark.sparkContext.defaultParallelism))
       .map { case (dataPath, comps) =>
-        describeOne(dataPath, comps, bc.value.value)
+        describeOne(dataPath, comps, bc.value.value, audit)
       }
       .toDF()
   }
 
   private def describeOne(dataPath: String, comps: Seq[String],
-      conf: org.apache.hadoop.conf.Configuration): GenerationMeta = {
+      conf: org.apache.hadoop.conf.Configuration,
+      audit: Boolean = false): GenerationMeta = {
     val fs = FileSystem.get(java.net.URI.create(dataPath), conf)
     val name = dataPath.split('/').last
     val version = SSTableBinaryV2.versionOf(name)
@@ -101,6 +116,18 @@ object SSTableMetadata {
       if (oldEra) None
       else comp("-Statistics.db").map(p => BigFormat.readStats(
         readAll(p), BigFormat.versionHasMetadataChecksum(version)))
+    // pre-3.0 Statistics.db: the 2.x StatsMetadata layout (what the
+    // reference surfaces off its ka/la readers, NoTTLReader.java:
+    // 1937-1945) carries min/max timestamps — but no TTL minima
+    // (EncodingStats is a 3.0 invention), so min_ttl_s stays NULL
+    val stats2x: Option[OldFormat.Stats2x] =
+      if (!oldEra) None
+      else comp("-Statistics.db").map(p =>
+        OldFormat.readStats2x(readAll(p), p))
+    // first/last entry keys captured during the same count stream —
+    // the audit mode's independent ground truth for the Summary facts
+    var idxFirst: Option[Array[Byte]] = None
+    var idxLast: Option[Array[Byte]] = None
     val nPartitions: Option[Long] = comp("-Index.db").map { p =>
       val in = fs.open(new HPath(p))
       try {
@@ -110,7 +137,12 @@ object SSTableMetadata {
           if (oldEra) SSTableComponents.indexEntries2x(din, p)
           else SSTableComponents.indexEntries(din, p)
         var n = 0L
-        while (entries.hasNext) { entries.next(); n += 1 }
+        while (entries.hasNext) {
+          val e = entries.next()
+          if (n == 0L) idxFirst = Some(e._1)
+          idxLast = Some(e._1)
+          n += 1
+        }
         n
       } finally in.close()
     }
@@ -121,13 +153,28 @@ object SSTableMetadata {
     }
     val summary = comp("-Summary.db").map(p =>
       SSTableComponents.readSummary(readAll(p)))
+    if (audit) summary.foreach { s =>
+      def eq(a: Option[Array[Byte]], b: Array[Byte]) =
+        a.exists(java.util.Arrays.equals(_, b))
+      require(idxFirst.isEmpty || eq(idxFirst, s.firstKey),
+        s"$dataPath: Summary first key != Index.db first entry key")
+      require(idxLast.isEmpty || eq(idxLast, s.lastKey),
+        s"$dataPath: Summary last key != Index.db last entry key")
+      nPartitions.foreach { n =>
+        val est = s.sizeAtFullSampling.toLong * s.minIndexInterval
+        require(est >= n && est - n < s.minIndexInterval,
+          s"$dataPath: est_keys_max $est is not a tight bound on the " +
+            s"exact count $n (interval ${s.minIndexInterval})")
+      }
+    }
     def renderKey(k: Array[Byte]): Option[String] =
       header.flatMap(h =>
         scala.util.Try(BigFormat.renderValue(h.keyType, k)).toOption)
     GenerationMeta(
       sstable = dataPath.split('/').takeRight(2).mkString("/"),
       n_partitions = nPartitions,
-      min_writetime_us = header.map(_.minTimestampUs),
+      min_writetime_us =
+        header.map(_.minTimestampUs).orElse(stats2x.map(_.minTimestampUs)),
       // TTL 0 is Cassandra's own "no expiring cells" sentinel
       // (EncodingStats.TTL_EPOCH): a real TTL is >= 1 second, so the
       // inventory surfaces the sentinel as NULL, not as a minimum
@@ -141,13 +188,20 @@ object SSTableMetadata {
   }
 
   /** Registered `src_sstable_metadata`: the sidecar-only inventory
-    * over a sink-written generation set, uncompressed AND compressed
-    * (the lz4 rewrite shows its compressor and one extra component).
+    * over sink-written generation sets — uncompressed, compressed
+    * (the lz4 rewrite shows its compressor and one extra component),
+    * and a pre-3.0 ka set (whose 2.x StatsMetadata supplies
+    * `min_writetime_us` where the era has no serialization header).
     * The oracle replays the fixture arithmetic per generation: exact
-    * partition counts, EncodingStats minima, component census. The
+    * partition counts, stats minima, component census. The
     * no-Data.db property is ORACLE-GATED, not just spec-gated: every
     * Data.db is garbled before describing, so a describe() that ever
-    * starts opening data files fails the correctness run loudly. */
+    * starts opening data files fails the correctness run loudly.
+    * The token-order columns (`first_key`/`last_key`/`est_keys_max`)
+    * are ALSO oracle-gated — audit mode requires each Summary fact to
+    * match the independently streamed Index.db ground truth while the
+    * row is produced — then dropped, since DuckDB cannot replay the
+    * key rendering itself. */
   def metadataAudit(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val in = SSTableBinaryV2.binaryFixtureShared(spark, sfDir)
@@ -158,8 +212,12 @@ object SSTableMetadata {
       "graft", "documents")
     SSTableBinaryV2.writeSSTables(frame, outLz4.toString,
       "graft", "documents", compression = Some(CompressedData.Lz4))
-    Seq(out, outLz4).foreach { root =>
-      val dir = root.resolve("graft").resolve("documents")
+    val outKa = SSTableBinaryV2.writeOldFixture(spark, sfDir)
+    val genDirs = Seq(
+      out.resolve("graft").resolve("documents"),
+      outLz4.resolve("graft").resolve("documents"),
+      outKa.resolve("documents"))
+    genDirs.foreach { dir =>
       val ls = java.nio.file.Files.list(dir)
       try {
         import scala.jdk.CollectionConverters._
@@ -172,17 +230,19 @@ object SSTableMetadata {
           }
       } finally ls.close()
     }
-    // first/last keys and the summary estimate are TOKEN-order facts
-    // DuckDB cannot replay — the spec pins them; the oracle checks
-    // the arithmetic-expressible columns
-    val described = describe(spark, s"$out/graft/documents")
+    val described = describe(spark, s"$out/graft/documents",
+        audit = true)
       .withColumn("layout", lit("plain"))
-      .unionByName(describe(spark, s"$outLz4/graft/documents")
+      .unionByName(describe(spark, s"$outLz4/graft/documents",
+          audit = true)
         .withColumn("layout", lit("lz4")))
+      .unionByName(describe(spark, s"$outKa/documents", audit = true)
+        .withColumn("layout", lit("ka")))
       .drop("first_key", "last_key", "est_keys_max")
       .localCheckpoint()
     graft.Scratch.delete(out)
     graft.Scratch.delete(outLz4)
+    graft.Scratch.delete(outKa)
     described
   }
 }

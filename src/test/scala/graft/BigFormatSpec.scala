@@ -2129,8 +2129,9 @@ class SSTableBinarySpec extends SparkSpec {
       assert(rows.forall(r =>
         r.getAs[Long]("est_keys_max") >= r.getAs[Long]("n_partitions")))
     } finally { Scratch.delete(in); Scratch.delete(out) }
-    // 2.x (ka, compressed): fixed-width index counts, no Statistics
-    // header → NULL minima, Adler-era CompressionInfo names its algo
+    // 2.x (ka, compressed): fixed-width index counts, min_writetime_us
+    // from the pre-3.0 StatsMetadata (no EncodingStats → min_ttl_s
+    // stays NULL), Adler-era CompressionInfo names its algo
     val ka = SSTableBinaryV2.writeOldFixture(spark, sfDir,
       compress = true)
     try {
@@ -2138,11 +2139,72 @@ class SSTableBinarySpec extends SparkSpec {
         .describe(spark, ka.resolve("documents").toString).collect()
       assert(rows.length === 4)
       assert(rows.map(_.getAs[Long]("n_partitions")).sum === 500L)
+      // gen g holds doc_ids ≡ g-1 (mod 4); min ts = (base + min id)·1e6
+      rows.foreach { r =>
+        val gen = r.getAs[String]("sstable")
+          .split('-').dropRight(1).last.toLong
+        assert(r.getAs[Long]("min_writetime_us") ===
+          (1609459200L + (gen - 1)) * 1000000L)
+      }
       assert(rows.forall(_.isNullAt(
-        rows.head.fieldIndex("min_writetime_us"))))
+        rows.head.fieldIndex("min_ttl_s"))))
       assert(rows.forall(
         _.getAs[String]("compressor") === "LZ4Compressor"))
     } finally Scratch.delete(ka)
+  }
+
+  test("inventory audit mode fires on a tampered Summary, plain mode still describes") {
+    import graft.sources.SSTableMetadata
+    val in = SSTableBinaryV2.writeBinaryFixture(spark, sfDir)
+    val out = Scratch.dir("graft-metatamper-")
+    try {
+      SSTableBinaryV2.writeSSTables(
+        SSTableBinaryV2.readBinary(spark, in.toString),
+        out.toString, "graft", "documents")
+      val dir = out.resolve("graft").resolve("documents")
+      import scala.jdk.CollectionConverters._
+      val summary = java.nio.file.Files.list(dir).iterator().asScala
+        .find(_.getFileName.toString.endsWith("-Summary.db")).get
+      // corrupt sizeAtFullSampling (bytes 16..19): the derived
+      // est_keys_max stops bounding the exact Index.db count
+      val bytes = java.nio.file.Files.readAllBytes(summary)
+      java.nio.ByteBuffer.wrap(bytes).putInt(16, 1 << 20)
+      java.nio.file.Files.write(summary, bytes)
+      java.nio.file.Files.deleteIfExists(
+        summary.getParent.resolve("." + summary.getFileName + ".crc"))
+      val e = intercept[org.apache.spark.SparkException] {
+        SSTableMetadata.describe(spark, dir.toString, audit = true)
+          .collect()
+      }
+      def msg(t: Throwable): String =
+        t.getMessage + Option(t.getCause).map(msg).getOrElse("")
+      assert(msg(e).contains("not a tight bound"))
+      // non-audit describe() reports what the lake says, loudly wrong
+      // or not — inventorying a damaged lake must not die
+      assert(SSTableMetadata.describe(spark, dir.toString)
+        .collect().length === 4)
+    } finally { Scratch.delete(in); Scratch.delete(out) }
+  }
+
+  test("2.x Statistics.db codec: StatsMetadata round-trips; STATS sought through the TOC") {
+    import graft.sources.OldFormat
+    val s = OldFormat.Stats2x(
+      minTimestampUs = -123456789L, maxTimestampUs = 987654321012345L,
+      maxLocalDeletionTimeS = Int.MaxValue, sstableLevel = 3,
+      repairedAt = 1609459200123L)
+    val bytes = OldFormat.writeStats2x(s, nPartitions = 42L)
+    assert(OldFormat.readStats2x(bytes, "t") === s)
+    // the reader walks the TOC — it must not assume STATS is first:
+    // the writer puts VALIDATION ahead of it, so a reader that just
+    // parses from the top would misread the partitioner UTF as a
+    // histogram and fail (or worse, return garbage that != s)
+    val toc = java.nio.ByteBuffer.wrap(bytes)
+    assert(toc.getInt === 2)          // two components
+    assert(toc.getInt === 0)          // VALIDATION ordinal first
+    // truncated / foreign bytes fail loudly, never silently zero
+    intercept[Exception] {
+      OldFormat.readStats2x(Array[Byte](0, 0, 0, 1, 0, 0, 0, 9), "t")
+    }
   }
 
   test("scrub salvages a COMPRESSED generation past a corrupt chunk") {
