@@ -52,6 +52,12 @@ import org.apache.spark.sql.SparkSession
   *       input schema; typed binary sink output)
   *     [--pk <cols> --ck <cols> --cells <cols> --writetime <col>
   *      --ttl-key <col>]
+  *
+  * Inventory mode (`sstablemetadata`'s UX, read-only):
+  *   graft.RemoverCli --inventory true --in <lake dir>
+  *     [--out <dir>] [--cpus <n>]
+  * prints one row per generation from sidecars only (Data.db never
+  * opened) and persists the table as parquet when `--out` is given.
   */
 object RemoverCli {
 
@@ -68,12 +74,18 @@ object RemoverCli {
       compress: Option[String] = None,
       verify: Boolean = false,
       scrub: Boolean = false,
-      outGenerations: Int = 1)
+      outGenerations: Int = 1,
+      /** `--inventory true`: sstablemetadata's UX — list every
+        * generation under `--in` from sidecars only (Data.db never
+        * opened) and print the table; `--out` optionally persists it
+        * as parquet. A read-only mode: every transform flag
+        * contradicts it. */
+      inventory: Boolean = false)
 
   private val Flags = Set("in", "out", "table", "keyspace", "cpus",
     "pk", "ck", "cells", "writetime", "ttl-key", "format", "merge",
     "reader", "sink", "cql", "compress", "verify", "scrub",
-    "out-generations")
+    "out-generations", "inventory")
 
   private def csv(v: String): Seq[String] =
     v.split(',').map(_.trim).filter(_.nonEmpty).toSeq
@@ -91,7 +103,8 @@ object RemoverCli {
       case other :: _ => Left(s"unexpected argument '$other'")
     }
     loop(argv.toList, Map.empty).flatMap { m =>
-      (m.get("in"), m.get("out"), m.get("table")) match {
+      if (m.get("inventory").exists(_.toBoolean)) parseInventory(m)
+      else (m.get("in"), m.get("out"), m.get("table")) match {
         case (None, _, _) => Left("--in <dir> is required")
         case (_, None, _) => Left("--out <dir> is required")
         case (_, _, None) => Left("--table <name> is required")
@@ -135,6 +148,36 @@ object RemoverCli {
             }
           }
       }
+    }
+  }
+
+  /** `--inventory true` validation: a read-only sidecar listing takes
+    * `--in` (required), `--out` (optional parquet persist) and
+    * `--cpus`; every transform flag beside it is a contradiction the
+    * user should hear about, not a silently ignored intent. */
+  private def parseInventory(m: Map[String, String])
+      : Either[String, CliArgs] = {
+    val allowed = Set("inventory", "in", "out", "cpus")
+    val stray = (m.keySet -- allowed).toSeq.sorted
+    if (stray.nonEmpty)
+      Left(s"--inventory lists generations from sidecars (read-only); " +
+        s"${stray.map("--" + _).mkString("/")} do" +
+        (if (stray.size == 1) "es" else "") + " not apply")
+    else m.get("in") match {
+      case None => Left("--in <dir> is required")
+      case Some(i) =>
+        val cpus = m.getOrElse("cpus", "8")
+        cpus.toIntOption.filter(_ > 0) match {
+          case None => Left(s"--cpus must be a positive int, got '$cpus'")
+          case Some(c) =>
+            val out = m.getOrElse("out", "")
+            if (out.nonEmpty && java.nio.file.Paths.get(out)
+              .toAbsolutePath ==
+              java.nio.file.Paths.get(i).toAbsolutePath)
+              Left("--out must differ from --in (originals are kept)")
+            else Right(CliArgs(i, out, table = "", cpus = c,
+              inventory = true))
+        }
     }
   }
 
@@ -328,7 +371,9 @@ object RemoverCli {
     * end-to-end without forking a JVM. Returns the written row count.
     */
   def run(spark: SparkSession, args: CliArgs): Long =
-    if (args.sink == "sstable")
+    if (args.inventory)
+      runInventory(spark, args)
+    else if (args.sink == "sstable")
       runSstableSink(spark, args)
     else if (args.sink == "sstabledump")
       runDumpExport(spark, args)
@@ -350,6 +395,37 @@ object RemoverCli {
         args.writetime.get, args.ttlKey.getOrElse(args.pk.head))
       Pipeline.removeTtl(cellified, meta, args.out)
     }
+
+  /** `--inventory`: the distributed `sstablemetadata` — one row per
+    * generation under `--in`, from SIDECARS only. Prints the aligned
+    * table (the tool's terminal UX; an inventory is catalog-sized by
+    * the same contract as the planner's listing, so collecting it is
+    * bounded) and persists parquet when `--out` is given. Returns the
+    * generation count. */
+  private def runInventory(spark: SparkSession, args: CliArgs): Long = {
+    val df = graft.sources.SSTableMetadata.describe(spark, args.in)
+      .orderBy("sstable")
+    if (args.out.nonEmpty)
+      df.coalesce(1).write.mode("overwrite").parquet(args.out)
+    val rows = df.collect()
+    println(formatInventory(
+      df.columns, rows.map(_.toSeq.map {
+        case null => "-"
+        case v => v.toString
+      })))
+    rows.length.toLong
+  }
+
+  /** Pure aligned-table rendering for [[runInventory]] (testable
+    * without capturing stdout). */
+  def formatInventory(header: Seq[String],
+      rows: Seq[Seq[String]]): String = {
+    val table = header +: rows
+    val widths = header.indices.map(i => table.map(_(i).length).max)
+    table.map(r => r.lazyZip(widths)
+      .map((v, w) => v.padTo(w, ' ')).mkString("  ").stripTrailing())
+      .mkString("\n")
+  }
 
   /** `--sink sstabledump`: read the dump-family input (binary or
     * dump JSON), strip TTLs — or LWW-merge first — and EXPORT as
@@ -509,6 +585,7 @@ object RemoverCli {
       System.err.println(
         "usage: graft.RemoverCli --in <dir> --out <dir> --table <name>" +
           " [--keyspace <ks>] [--cpus <n>]" +
+          " | --inventory true --in <dir> [--out <dir>] [--cpus <n>]" +
           " [--format parquet|sstabledump|sstable]" +
           " [--merge lww] [--reader json|v2] [--sink parquet|sstable]" +
           " [--compress lz4|snappy|deflate|zstd]" +
@@ -526,11 +603,17 @@ object RemoverCli {
       spark.sparkContext.setLogLevel("WARN")
       try {
         val rows = run(spark, args)
-        val layout =
-          if (args.sink == "sstable")
-            s"${args.out}/${args.keyspace}/${args.table}/ (big-format SSTables)"
-          else s"${args.out}/keyspace=${args.keyspace}/table_name=${args.table}/"
-        println(s"wrote $rows rows to $layout")
+        if (args.inventory)
+          println(s"inventoried $rows generations under ${args.in}" +
+            (if (args.out.nonEmpty) s" (persisted to ${args.out})"
+             else ""))
+        else {
+          val layout =
+            if (args.sink == "sstable")
+              s"${args.out}/${args.keyspace}/${args.table}/ (big-format SSTables)"
+            else s"${args.out}/keyspace=${args.keyspace}/table_name=${args.table}/"
+          println(s"wrote $rows rows to $layout")
+        }
       } finally spark.stop()
   }
 }

@@ -312,6 +312,52 @@ class PipelineSpec extends SparkSpec {
         Some("o_custkey"))))
   }
 
+  test("CLI --inventory: read-only parse rules + end-to-end sidecar listing") {
+    def p(a: String*) = RemoverCli.parse(a.toArray)
+    // --in required; transform flags contradict a read-only listing
+    assert(p("--inventory", "true").isLeft)
+    assert(p("--inventory", "true", "--in", "/a", "--table", "t").isLeft)
+    assert(p("--inventory", "true", "--in", "/a", "--merge", "lww").isLeft)
+    assert(p("--inventory", "true", "--in", "/a", "--scrub", "true").isLeft)
+    assert(p("--inventory", "true", "--in", "/a", "--out", "/a").isLeft)
+    assert(p("--inventory", "true", "--in", "/a") ===
+      Right(RemoverCli.CliArgs("/a", "", table = "", inventory = true)))
+    // end-to-end: generations in, garbled Data.db (sidecar-only is the
+    // contract), inventory out — printed AND persisted
+    val in = graft.sources.SSTableBinaryV2.writeBinaryFixture(spark, sfDir)
+    val gens = Scratch.dir("graft-cliinv-")
+    val outP = Scratch.dir("graft-cliinvout-").resolve("inv")
+    try {
+      graft.sources.SSTableBinaryV2.writeSSTables(
+        graft.sources.SSTableBinaryV2.readBinary(spark, in.toString),
+        gens.toString, "graft", "documents")
+      val dir = gens.resolve("graft").resolve("documents")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(dir).iterator().asScala
+        .filter(_.getFileName.toString.endsWith("-Data.db"))
+        .foreach { f =>
+          java.nio.file.Files.write(f, Array.fill[Byte](8)(0x22))
+          java.nio.file.Files.deleteIfExists(
+            f.getParent.resolve("." + f.getFileName + ".crc"))
+        }
+      val args = RemoverCli.parse(Array("--inventory", "true",
+        "--in", dir.toString, "--out", outP.toString))
+        .fold(e => fail(e), identity)
+      assert(RemoverCli.run(spark, args) === 4L)
+      val persisted = spark.read.parquet(outP.toString)
+      assert(persisted.count() === 4L)
+      assert(persisted.columns.contains("n_partitions"))
+      // the aligned renderer: header widths hold, NULLs surface as '-'
+      val txt = RemoverCli.formatInventory(
+        Seq("sstable", "n"), Seq(Seq("a/b-Data.db", "12"), Seq("c", "-")))
+      assert(txt.linesIterator.toSeq ===
+        Seq("sstable      n", "a/b-Data.db  12", "c            -"))
+    } finally {
+      Scratch.delete(in); Scratch.delete(gens)
+      Scratch.delete(outP.getParent)
+    }
+  }
+
   test("RemoverCli.parse validates flags like the reference CLI") {
     // happy path with defaults
     val ok = RemoverCli.parse(Array(
