@@ -257,7 +257,11 @@ object SSTableBinaryV2 {
         new SumMetric(MetricFilesSkippedTokenSpan,
           "files skipped whole by Summary.db token-span disjointness"),
         new SumMetric(MetricPartitionsScrubSkipped,
-          "corrupt partitions skipped by scrub"))
+          "corrupt partitions skipped by scrub"),
+        new SumMetric(MetricComponentCacheHits,
+          "sidecar component reads served from the executor cache"),
+        new SumMetric(MetricComponentCacheMisses,
+          "sidecar component reads that went to storage"))
 
     /** One recursive listing yields the data files AND their sibling
       * component sets WITH lengths (no per-file exists()/status RPCs
@@ -499,15 +503,19 @@ object SSTableBinaryV2 {
       }
       case None => fs.exists(sibling(suffix))
     }
+    private var cacheHits = 0L
+    private var cacheMisses = 0L
     private def readSibling(path: HPath): Array[Byte] = {
       val st = fs.getFileStatus(path)
-      SSTableBinaryV2.ComponentCache
-        .get(path.toString, st.getLen) {
+      val (bytes, hit) = SSTableBinaryV2.ComponentCache
+        .getFlagged(path.toString, st.getLen, st.getModificationTime) {
           val buf = new Array[Byte](st.getLen.toInt)
           val in = fs.open(path)
           try in.readFully(0, buf) finally in.close()
           buf
         }
+      if (hit) cacheHits += 1 else cacheMisses += 1
+      bytes
     }
     /** Pre-3.0 eras ("ka"/"la"/"jb"…): a different storage engine
       * entirely — the [[OldFormat]] codec, with the schema DECLARED
@@ -1307,7 +1315,9 @@ object SSTableBinaryV2 {
         TaskMetric(MetricPartitionsServed, partitionsServed),
         TaskMetric(MetricFilesSkippedBloom, filesSkippedBloom),
         TaskMetric(MetricFilesSkippedTokenSpan, filesSkippedTokenSpan),
-        TaskMetric(MetricPartitionsScrubSkipped, scrubSkipped.toLong))
+        TaskMetric(MetricPartitionsScrubSkipped, scrubSkipped.toLong),
+        TaskMetric(MetricComponentCacheHits, cacheHits),
+        TaskMetric(MetricComponentCacheMisses, cacheMisses))
 
     override def close(): Unit = {
       if (fullStream != null) fullStream.close()
@@ -1517,12 +1527,16 @@ object SSTableBinaryV2 {
     * §2.11 key-cache row in its LITERAL form (the reference memoizes
     * key→index-entry lookups, `NoTTLReader.java:1450-1496`, so
     * repeated point reads skip re-reading components). SSTables are
-    * immutable by definition, so (path, length)-keyed memoization is
-    * sound; the cache is LRU-bounded in BYTES (not entries — one
-    * 10M-key bloom is ~12 MB) and skips oversized entries (a whole
-    * Index.db of a big file must not evict everything else). Across
-    * the tasks of one executor JVM, repeated point lookups and token
-    * ranges against a hot working set stop re-reading
+    * immutable by definition, so size-keyed memoization is nearly
+    * sound — but a foreign lake CAN rewrite a generation in place
+    * with identical lengths, so the key folds in the modification
+    * time too (the `FileStatus` is already in hand at every call
+    * site; a same-length same-path rewrite must never serve stale
+    * sidecar bytes). The cache is LRU-bounded in BYTES (not entries —
+    * one 10M-key bloom is ~12 MB) and skips oversized entries (a
+    * whole Index.db of a big file must not evict everything else).
+    * Across the tasks of one executor JVM, repeated point lookups and
+    * token ranges against a hot working set stop re-reading
     * Filter/Summary/Statistics per task — Cassandra's key-cache
     * economics, at the component granularity a scan engine wants. */
   private[graft] object ComponentCache {
@@ -1531,12 +1545,17 @@ object SSTableBinaryV2 {
     private val map = new java.util.LinkedHashMap[String, Array[Byte]](
       64, 0.75f, true) // access-order: LRU iteration starts at eldest
     private var total = 0L
-    def get(path: String, len: Long)(load: => Array[Byte])
-        : Array[Byte] = {
-      val key = s"$path@$len"
+    def get(path: String, len: Long, mtime: Long = 0L)
+        (load: => Array[Byte]): Array[Byte] =
+      getFlagged(path, len, mtime)(load)._1
+    /** As [[get]], also reporting whether the bytes came from the
+      * cache — the reader's hit/miss metrics feed (`_2` = hit). */
+    private[graft] def getFlagged(path: String, len: Long, mtime: Long)
+        (load: => Array[Byte]): (Array[Byte], Boolean) = {
+      val key = s"$path@$len@$mtime"
       map.synchronized {
         val hit = map.get(key)
-        if (hit != null) return hit
+        if (hit != null) return (hit, true)
       }
       // load OUTSIDE the lock: a duplicate concurrent load is
       // harmless, a stalled lock across an IO round-trip is not
@@ -1552,7 +1571,7 @@ object SSTableBinaryV2 {
           }
         }
       }
-      bytes
+      (bytes, false)
     }
     private[graft] def sizeBytes: Long = map.synchronized(total)
   }
@@ -1561,6 +1580,8 @@ object SSTableBinaryV2 {
   private[graft] val MetricFilesSkippedBloom = "filesSkippedBloom"
   private[graft] val MetricFilesSkippedTokenSpan = "filesSkippedTokenSpan"
   private[graft] val MetricPartitionsScrubSkipped = "partitionsScrubSkipped"
+  private[graft] val MetricComponentCacheHits = "componentCacheHits"
+  private[graft] val MetricComponentCacheMisses = "componentCacheMisses"
 
   /** Planner hook: copy `scan` with a Murmur3 token range when it is
     * this connector's scan without one already (fixed point).

@@ -1995,10 +1995,16 @@ class SSTableBinarySpec extends SparkSpec {
         .option("tokenHi", tok("2").toString).load(dir))
       assert(ranged("filesSkippedTokenSpan") === 3, ranged.toString)
       assert(ranged("partitionsServed") === 1, ranged.toString)
+      // the FIRST read of this dir went to storage for its sidecars…
+      assert(point("componentCacheMisses") > 0, point.toString)
       // full scan: every partition served, nothing skipped
       val full = metricsOf(SSTableBinaryV2.readBinary(spark, dir))
       assert(full("partitionsServed") === 4, full.toString)
       assert(full("filesSkippedBloom") === 0, full.toString)
+      // …and a later read of the same generations is served from the
+      // executor component cache — the key-cache economics, readable
+      // in the UI like the other gates
+      assert(full("componentCacheHits") > 0, full.toString)
       // split files report file-level skips ONCE (zero-offset owner),
       // not once per range — the UI number must reconcile with the
       // file count
@@ -2092,6 +2098,21 @@ class SSTableBinarySpec extends SparkSpec {
     ComponentCache.get("/cc-spec/big", 5 << 20)(load(5 << 20))
     assert(loads === 4, "oversized entries must not cache")
     assert(ComponentCache.sizeBytes === before)
+    // same (path, length), NEW modification time — an in-place
+    // rewrite on a foreign lake: reload, never serve stale bytes
+    var rwLoads = 0
+    def rw(v: Byte): Array[Byte] = { rwLoads += 1; Array.fill[Byte](10)(v) }
+    val x = ComponentCache.get("/cc-spec/rw", 10, mtime = 1000L)(rw(1))
+    val y = ComponentCache.get("/cc-spec/rw", 10, mtime = 2000L)(rw(2))
+    assert(rwLoads === 2, "an mtime change must invalidate")
+    assert(x(0) === 1 && y(0) === 2)
+    assert(ComponentCache.get("/cc-spec/rw", 10, mtime = 2000L)(rw(3))(0)
+      === 2, "the rewritten bytes are what stays cached")
+    // the flagged form (the metrics feed) reports hit/miss truthfully
+    assert(!ComponentCache.getFlagged("/cc-spec/f", 3, 0L)(
+      Array[Byte](9, 9, 9))._2)
+    assert(ComponentCache.getFlagged("/cc-spec/f", 3, 0L)(
+      Array[Byte](9, 9, 9))._2)
   }
 
   test("sidecar-only inventory: describe() never opens Data.db and reads 2.x sidecars") {
