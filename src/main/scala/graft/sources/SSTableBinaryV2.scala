@@ -505,6 +505,43 @@ object SSTableBinaryV2 {
     }
     private var cacheHits = 0L
     private var cacheMisses = 0L
+    /** The generation's index summary: Summary.db when present (modern
+      * era — the 2.x IndexSummary layout predates the 3.0 serializer,
+      * so a foreign 2.x summary is never parsed), else REBUILT from
+      * Index.db at MinIndexInterval sampling
+      * ([[SSTableComponents.rebuildSummary]] — `SSTableReader
+      * .buildSummary`'s recovery path, both eras). The rebuilt
+      * serialized form is cached under a synthetic component name, so
+      * the one-pass index stream is paid once per executor and every
+      * later task gets summary economics (file-level token elision,
+      * bounded point/split index reads) as if Summary.db existed. */
+    private def summaryOrRebuilt(): Option[SSTableComponents.Summary] =
+      if (!oldEra && hasSibling("-Summary.db"))
+        Some(SSTableComponents.readSummary(
+          readSibling(sibling("-Summary.db"))))
+      else if (!hasSibling("-Index.db")) None
+      else {
+        val indexP = sibling("-Index.db")
+        val st = fs.getFileStatus(indexP)
+        val (bytes, hit) = SSTableBinaryV2.ComponentCache.getFlagged(
+          indexP.toString + "#rebuilt-summary", st.getLen,
+          st.getModificationTime) {
+          // the full index loads ONCE (unbuffered raw read, not via
+          // readSibling: a big Index.db must not evict the working
+          // set); what caches is the small serialized summary
+          val raw = new Array[Byte](st.getLen.toInt)
+          val in = fs.open(indexP)
+          try in.readFully(0, raw) finally in.close()
+          val s = SSTableComponents.rebuildSummary(raw, oldEra, file)
+          // ceil(totalKeys/interval) must round-trip to the rebuilt
+          // sizeAtFullSampling; size*interval reconstructs it exactly
+          SSTableComponents.writeSummary(
+            s.sampled, s.sizeAtFullSampling.toLong * s.minIndexInterval,
+            s.firstKey, s.lastKey, s.minIndexInterval)
+        }
+        if (hit) cacheHits += 1 else cacheMisses += 1
+        Some(SSTableComponents.readSummary(bytes))
+      }
     private def readSibling(path: HPath): Array[Byte] = {
       val st = fs.getFileStatus(path)
       val (bytes, hit) = SSTableBinaryV2.ComponentCache
@@ -717,15 +754,16 @@ object SSTableBinaryV2 {
       * Without a summary, the full Index.db parses. */
     private def readIndexFor(candidates: Seq[Array[Byte]],
         indexP: HPath): Seq[BigFormat.IndexEntry] = {
-      // 2.x: fixed-width entry framing, and the 2.x IndexSummary
-      // layout predates `IndexSummary.serialize` — parse the whole
-      // (small) component rather than misread a foreign summary
+      // 2.x: fixed-width entry framing — the summary-bounded slices
+      // below parse with the MODERN framing, so the whole (small)
+      // component parses instead
       if (oldEra)
         return SSTableComponents.readIndex2x(readSibling(indexP), file)
-      val summaryP = sibling("-Summary.db")
-      if (!hasSibling("-Summary.db"))
-        return SSTableComponents.readIndex(readSibling(indexP), file)
-      val summary = SSTableComponents.readSummary(readSibling(summaryP))
+      // Summary.db when present, else rebuilt from the index (the
+      // rebuild's one full read is this same component — no loss on
+      // the first probe, and every later probe reads O(interval))
+      val summary = summaryOrRebuilt().getOrElse(
+        return SSTableComponents.readIndex(readSibling(indexP), file))
       val marks = summary.sampled.map { case (k, ip) =>
         (BigFormat.murmur3Token(k), ip)
       }
@@ -796,16 +834,16 @@ object SSTableBinaryV2 {
       val dataLen = compressionMeta.map(_.dataLength).getOrElse(onDiskLen)
       val in = fs.open(indexP)
       try {
-        val summaryP = sibling("-Summary.db")
         val startIndexPos: Long =
-          // the 2.x IndexSummary layout predates the 3.0 serializer —
-          // never summary-bound an old-era stream; its Index.db
-          // (small, fixed-width entries) streams from 0 and still
-          // stops at the first entry past the range
-          if (oldEra || !hasSibling("-Summary.db")) 0L
+          // the old-era index (small, fixed-width entries) streams
+          // from 0 and still stops at the first entry past the range;
+          // `dataPosAt` below probes with the MODERN framing, so the
+          // summary bound stays modern-only — but a summaryless
+          // modern file gets it via the cached rebuild
+          if (oldEra) 0L
           else {
-            val marks = SSTableComponents
-              .readSummary(readSibling(summaryP)).sampled.map(_._2)
+            val marks = summaryOrRebuilt().map(_.sampled.map(_._2))
+              .getOrElse(Nil)
             def dataPosAt(ip: Long): Long = {
               in.seek(ip)
               SSTableComponents.indexEntries(new java.io.DataInputStream(
@@ -1016,16 +1054,20 @@ object SSTableBinaryV2 {
     private def fileTokenDisjoint: Boolean = tokenRange match {
       case None => false
       case Some((lo, hi)) =>
-        if (oldEra || !hasSibling("-Summary.db")) false
-        else {
-          val sm = SSTableComponents
-            .readSummary(readSibling(sibling("-Summary.db")))
-          val tFirst = BigFormat.murmur3Token(sm.firstKey)
-          val tLast = BigFormat.murmur3Token(sm.lastKey)
-          val overlaps =
-            if (lo <= hi) !(hi < tFirst || lo > tLast)
-            else tLast >= lo || tFirst <= hi
-          !overlaps
+        // a summaryless (or 2.x) generation still gets file-level
+        // elision: the summary rebuilds from Index.db once per
+        // executor and caches — losing Summary.db must not turn a
+        // ranged scan back into reading every file
+        summaryOrRebuilt() match {
+          case None => false
+          case Some(sm) if sm.sampled.isEmpty => false
+          case Some(sm) =>
+            val tFirst = BigFormat.murmur3Token(sm.firstKey)
+            val tLast = BigFormat.murmur3Token(sm.lastKey)
+            val overlaps =
+              if (lo <= hi) !(hi < tFirst || lo > tLast)
+              else tLast >= lo || tFirst <= hi
+            !overlaps
         }
     }
 

@@ -261,18 +261,18 @@ object SSTableComponents {
   val MinIndexInterval = 128 // the table-schema default
 
   /** Serialize the sampled summary + first/last key tail. `entries`
-    * are (key bytes, Index.db position) of every MinIndexInterval-th
+    * are (key bytes, Index.db position) of every `interval`-th
     * partition starting with the first, in token order. */
   def writeSummary(sampled: Seq[(Array[Byte], Long)], totalKeys: Long,
-      firstKey: Array[Byte], lastKey: Array[Byte]): Array[Byte] = {
+      firstKey: Array[Byte], lastKey: Array[Byte],
+      interval: Int = MinIndexInterval): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
-    out.writeInt(MinIndexInterval)
+    out.writeInt(interval)
     out.writeInt(sampled.size)
     val entriesLen = sampled.map(_._1.length + 8L).sum
     out.writeLong(4L * sampled.size + entriesLen) // off-heap size
-    out.writeInt((
-      (totalKeys + MinIndexInterval - 1) / MinIndexInterval).toInt)
+    out.writeInt(((totalKeys + interval - 1) / interval).toInt)
     // offsets: entry position within the contiguous (offsets+entries)
     // structure; the memory-dump regions are native(little)-endian
     var pos = 4 * sampled.size
@@ -317,6 +317,67 @@ object SSTableComponents {
       val k = new Array[Byte](in.readInt()); in.readFully(k); k
     }
     Summary(interval, sampled, fullSampling, keyWithLength(), keyWithLength())
+  }
+
+  /** REBUILD an index summary from Index.db bytes — Cassandra's own
+    * recovery path when Summary.db is missing or corrupt
+    * (`SSTableReader.buildSummary` streams the primary index through
+    * an `IndexSummaryBuilder`), generalized over the sampling level
+    * the way index-summary downsampling is (`IndexSummaryManager`
+    * redistributes summaries across sampling levels; a coarser
+    * `interval` trades summary memory for wider index reads). Every
+    * `interval`-th entry is recorded with its Index.db byte offset;
+    * works on both the modern vint framing and the 2.x fixed-width
+    * form. The result round-trips through [[writeSummary]]/
+    * [[readSummary]], so a rebuilt summary caches like any sidecar. */
+  def rebuildSummary(bytes: Array[Byte], oldEra: Boolean, file: String,
+      interval: Int = MinIndexInterval): Summary = {
+    require(interval >= 1, s"$file: sampling interval must be >= 1")
+    val in = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    var offset = 0L
+    var n = 0L
+    var first: Array[Byte] = null
+    var last: Array[Byte] = null
+    val sampled = Seq.newBuilder[(Array[Byte], Long)]
+    def skipFully(want: Long): Unit = {
+      var s = 0L
+      while (s < want) {
+        val k = in.skip(want - s)
+        if (k <= 0) throw new EOFException(s"$file: Index.db truncated")
+        s += k
+      }
+    }
+    while (offset < bytes.length) {
+      val keyLen = in.readUnsignedShort()
+      val key = new Array[Byte](keyLen)
+      in.readFully(key)
+      var consumed = 2L + keyLen
+      if (oldEra) {
+        in.readLong()                  // data position (fixed 8)
+        val plen = in.readInt()
+        if (plen < 0) throw new EOFException(
+          s"$file: absurd 2.x promoted-index size $plen")
+        skipFully(plen)
+        consumed += 12L + plen
+      } else {
+        val position = BigFormat.readUnsignedVInt(in)
+        val plen = BigFormat.readUnsignedVInt(in)
+        if (plen < 0 || plen > Int.MaxValue) throw new EOFException(
+          s"$file: absurd promoted-index size $plen")
+        skipFully(plen)
+        consumed += BigFormat.unsignedVIntSize(position) +
+          BigFormat.unsignedVIntSize(plen) + plen
+      }
+      if (n % interval == 0) sampled += ((key, offset))
+      if (first == null) first = key
+      last = key
+      n += 1
+      offset += consumed
+    }
+    if (n == 0)
+      Summary(interval, Nil, 0, Array.emptyByteArray, Array.emptyByteArray)
+    else Summary(interval, sampled.result(),
+      ((n + interval - 1) / interval).toInt, first, last)
   }
 
   // =====================================================================

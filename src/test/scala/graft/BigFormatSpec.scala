@@ -2080,6 +2080,87 @@ class SSTableBinarySpec extends SparkSpec {
     }
   }
 
+  test("summary rebuild: summaryless generations keep file elision and bounded index reads") {
+    import spark.implicits._
+    import graft.sources.SSTableComponents
+    // unit: the rebuild samples every interval-th entry with its REAL
+    // byte offset, on both framings, and round-trips the serializer
+    val keys = (0 until 10).map(i => s"k$i".getBytes("UTF-8"))
+    val modern = SSTableComponents.writeIndex(
+      keys.zipWithIndex.map { case (k, i) =>
+        (k, i * 100L, Array.emptyByteArray) })
+    val rb = SSTableComponents.rebuildSummary(modern, oldEra = false,
+      "t", interval = 4)
+    assert(rb.sampled.map(_._1.toSeq) ===
+      Seq(keys(0), keys(4), keys(8)).map(_.toSeq))
+    assert(rb.sizeAtFullSampling === 3)
+    assert(rb.firstKey.toSeq === keys.head.toSeq)
+    assert(rb.lastKey.toSeq === keys.last.toSeq)
+    // offsets are real: parsing the index FROM a sampled offset must
+    // yield exactly that entry first
+    rb.sampled.foreach { case (k, off) =>
+      val sliced = SSTableComponents.readIndex(
+        java.util.Arrays.copyOfRange(modern, off.toInt, modern.length), "t")
+      assert(sliced.head._1.toSeq === k.toSeq)
+    }
+    val two = SSTableComponents.rebuildSummary(
+      SSTableComponents.writeIndex2x(
+        keys.map(k => (k, 7L)).take(5)), oldEra = true, "t", interval = 2)
+    assert(two.sampled.size === 3 && two.sizeAtFullSampling === 3)
+    // round-trip through the serializer (what the cache stores)
+    val rt = SSTableComponents.readSummary(SSTableComponents.writeSummary(
+      rb.sampled, rb.sizeAtFullSampling.toLong * 4, rb.firstKey,
+      rb.lastKey, 4))
+    assert(rt.minIndexInterval === 4)
+    assert(rt.sampled.map(p => (p._1.toSeq, p._2)) ===
+      rb.sampled.map(p => (p._1.toSeq, p._2)))
+    // end-to-end: DELETE every Summary.db, token-range the lake — the
+    // three disjoint files still elide (rebuilt summaries), the served
+    // rows are identical
+    val out = Scratch.dir("graft-rebuildspec-")
+    try {
+      val wt = 1609459200000000L
+      val frame = (0 to 3).map { i =>
+        (i.toString, Seq(s"c$i"), "ROW", Some("v"),
+          Some((s"val$i", wt, None: Option[Int], None: Option[Long])),
+          None: Option[Long], s"t/nb-${i + 1}-big-Data.db")
+      }.toDF("partition_key", "clustering", "row_kind", "name",
+        "cell_t", "deletion_us", "sstable")
+        .withColumn("cell", struct(
+          col("cell_t._1").as("value"),
+          col("cell_t._2").as("writetime_us"),
+          col("cell_t._3").as("ttl_s"), col("cell_t._4").as("expire_us")))
+        .drop("cell_t")
+      SSTableBinaryV2.writeSSTables(frame, out.toString, "graft",
+        "documents")
+      val dir = out.resolve("graft").resolve("documents")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(dir).iterator().asScala
+        .filter(_.getFileName.toString.endsWith("-Summary.db"))
+        .foreach { f =>
+          java.nio.file.Files.delete(f)
+          java.nio.file.Files.deleteIfExists(
+            f.getParent.resolve("." + f.getFileName + ".crc"))
+        }
+      def tok(k: String): Long = BigFormat.murmur3Token(
+        BigFormat.encodeValue(BigFormat.Utf8Type, k))
+      val ranged = spark.read.format("sstable-big")
+        .option("tokenLo", tok("2").toString)
+        .option("tokenHi", tok("2").toString).load(dir.toString)
+      ranged.collect()
+      val metrics = ranged.queryExecution.executedPlan.collectLeaves()
+        .collect {
+          case s: org.apache.spark.sql.execution.datasources.v2
+            .BatchScanExec =>
+            s.metrics.view.mapValues(_.value.toString.toLong).toMap
+        }.head
+      assert(metrics("filesSkippedTokenSpan") === 3, metrics.toString)
+      assert(metrics("partitionsServed") === 1, metrics.toString)
+      assert(ranged.select("partition_key").as[String].collect().toSet
+        === Set("2"))
+    } finally Scratch.delete(out)
+  }
+
   test("component cache: hits return the loaded bytes, oversized entries bypass, the byte bound holds") {
     import graft.sources.SSTableBinaryV2.ComponentCache
     var loads = 0
