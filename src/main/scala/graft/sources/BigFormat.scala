@@ -1545,6 +1545,73 @@ object BigFormat {
     * slices. `openAt(logicalPos)` must yield a stream positioned at an
     * absolute logical Data.db offset; streams are NOT closed here (the
     * caller owns the shared handle's lifecycle). */
+  /** Decode a BYTE-OWNED subrange of one promoted partition: the
+    * blocks whose absolute Data.db start (`partitionPos + offset`)
+    * falls in [loAbs, hiAbs). This is the sub-partition split unit —
+    * an oversized partition (one bigger than the scan's split target)
+    * stops serializing in a single task because each blind range owns
+    * exactly the promoted blocks that START inside it (the same
+    * disjoint-tiling ownership rule the split aligner uses for whole
+    * partitions). `serveHeader` marks the shard owning the partition
+    * START: only it emits the partition deletion and the static row,
+    * so header artifacts surface exactly once across the shards.
+    * Splitting between atoms is sound because 3.0 unfiltereds are
+    * self-framed (full clustering per row, deltas against the
+    * header's EncodingStats minima, never against a running
+    * predecessor) — the property the promoted index exists to exploit
+    * (`o.a.c.db.RowIndexEntry`'s indexed entries seek the same way).
+    * Range-tombstone bounds are independent atoms on the bridge
+    * frame, so an open marker in one shard and its close in another
+    * together emit the same rows a whole-partition decode would. */
+  def readPartitionBlocks(h: Header,
+      openAt: Long => java.io.InputStream, partitionPos: Long,
+      promoted: Promoted, loAbs: Long, hiAbs: Long,
+      serveHeader: Boolean, file: String): PartitionData = try {
+    val head = new DataInputStream(new java.io.BufferedInputStream(
+      new BoundedIn(openAt(partitionPos), promoted.headerLength)))
+    val keyLen = head.readUnsignedShort()
+    val keyBuf = new Array[Byte](keyLen)
+    head.readFully(keyBuf)
+    val key = renderValue(h.keyType, keyBuf)
+    val ldt = head.readInt()
+    val mfda = head.readLong()
+    val partitionDeletion =
+      if (mfda == NoTimestamp && ldt == NoDeletionTime) None else Some(mfda)
+    val atoms = Seq.newBuilder[Atom]
+    if (serveHeader && 2L + keyLen + 4 + 8 < promoted.headerLength) {
+      val flags = readFlagByte(head, "static-region flags")
+      require((flags & (EndOfPartition | IsMarker)) == 0,
+        s"$file: partition $key: header region holds a non-row " +
+          s"unfiltered (flags 0x${flags.toHexString})")
+      val static = readRow(flags, h, head, file)
+      require(static.static,
+        s"$file: partition $key: non-static row inside the promoted " +
+          "header region")
+      atoms += static
+    }
+    val blocks = promoted.blocks
+    val i0 = blocks.indexWhere(b => partitionPos + b.offset >= loAbs)
+    val i1 = blocks.lastIndexWhere(b => partitionPos + b.offset < hiAbs)
+    if (i0 >= 0 && i1 >= 0 && i0 <= i1) {
+      val span = blocks(i1).offset + blocks(i1).width - blocks(i0).offset
+      val in = new DataInputStream(new java.io.BufferedInputStream(
+        new BoundedIn(openAt(partitionPos + blocks(i0).offset), span)))
+      var done = false
+      while (!done) {
+        val flags = in.read()
+        if (flags < 0 || (flags & EndOfPartition) != 0) done = true
+        else if ((flags & IsMarker) != 0) atoms += readMarker(h, in)
+        else atoms += readRow(flags, h, in, file)
+      }
+    }
+    PartitionData(key,
+      if (serveHeader) partitionDeletion else None, atoms.result())
+  } catch {
+    case e: EOFException => throw new EOFException(
+      s"$file: truncated/corrupt SSTable data in block-subrange read " +
+        s"(${e.getMessage})")
+  }
+
   def readPartitionSliced(h: Header,
       openAt: Long => java.io.InputStream, partitionPos: Long,
       promoted: Promoted, lo: Seq[Array[Byte]],

@@ -249,19 +249,9 @@ object SSTableBinaryV2 {
       * READABLE off the executed query at scale, not inferred. */
     override def supportedCustomMetrics()
         : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
-      Array(
-        new SumMetric(MetricPartitionsServed,
-          "Cassandra partitions decoded"),
-        new SumMetric(MetricFilesSkippedBloom,
-          "files skipped whole by a Filter.db miss"),
-        new SumMetric(MetricFilesSkippedTokenSpan,
-          "files skipped whole by Summary.db token-span disjointness"),
-        new SumMetric(MetricPartitionsScrubSkipped,
-          "corrupt partitions skipped by scrub"),
-        new SumMetric(MetricComponentCacheHits,
-          "sidecar component reads served from the executor cache"),
-        new SumMetric(MetricComponentCacheMisses,
-          "sidecar component reads that went to storage"))
+      Array(new PartitionsServedMetric, new FilesSkippedBloomMetric,
+        new FilesSkippedTokenSpanMetric, new PartitionsScrubSkippedMetric,
+        new ComponentCacheHitsMetric, new ComponentCacheMissesMetric)
 
     /** One recursive listing yields the data files AND their sibling
       * component sets WITH lengths (no per-file exists()/status RPCs
@@ -826,7 +816,29 @@ object SSTableBinaryV2 {
           }
       }
 
-    private def alignRange(): Option[(Long, Long)] = {
+    /** The ranged task's serving plan, three disjoint pieces:
+      *  - `head`: a PROMOTED partition that STARTED in an earlier
+      *    range and extends into this one — this task owns its blocks
+      *    whose absolute start falls in [uncStart, uncEnd), headerless
+      *    (the starting shard emits the partition deletion + static).
+      *  - `stream`: whole partitions starting in the range, decoded
+      *    sequentially (the existing bounded-stream path).
+      *  - `tail`: the last owned partition when it is promoted AND
+      *    crosses uncEnd — truncated to the blocks starting before
+      *    uncEnd (with the header), the rest owned by later ranges.
+      * A NON-promoted oversized partition stays whole-owned by its
+      * starting range (there is nothing to re-frame by), the pre-
+      * sub-split behavior. This is the straggler killer's second
+      * stage: after file splits, ONE 100 GB Cassandra partition no
+      * longer serializes its own decode — its promoted blocks tile
+      * across the blind ranges like partitions tile across the file. */
+    private case class RangePlan(
+        head: Option[(Long, BigFormat.Promoted)],
+        stream: Option[(Long, Long)],
+        tail: Option[(Long, BigFormat.Promoted)],
+        uncStart: Long, uncEnd: Long)
+
+    private def alignRangePlan(): Option[RangePlan] = {
       val indexP = sibling("-Index.db")
       require(hasSibling("-Index.db"),
         s"$file: a split scan needs the Index.db sidecar")
@@ -867,15 +879,48 @@ object SSTableBinaryV2 {
         val entries =
           if (oldEra) SSTableComponents.indexEntries2x(entryStream, file)
           else SSTableComponents.indexEntries(entryStream, file)
+        var prevPos = -1L
+        var prevPromoted: Array[Byte] = Array.emptyByteArray
+        var lastPos = -1L
+        var lastPromoted: Array[Byte] = Array.emptyByteArray
         var seekPos = -1L
         var stopPos = dataLen
         var done = false
         while (!done && entries.hasNext) {
-          val pos = entries.next()._2
+          val e = entries.next()
+          val pos = e._2
           if (pos >= uncEnd) { stopPos = pos; done = true }
-          else if (seekPos < 0 && pos >= uncStart) seekPos = pos
+          else if (pos >= uncStart) {
+            if (seekPos < 0) seekPos = pos
+            lastPos = pos; lastPromoted = e._3
+          } else { prevPos = pos; prevPromoted = e._3 }
         }
-        if (seekPos < 0) None else Some((seekPos, stopPos))
+        def parse(bytes: Array[Byte]): BigFormat.Promoted =
+          BigFormat.readPromoted(bytes, header.clusteringTypes, file)
+        val head =
+          if (oldEra || prevPos < 0 || prevPromoted.isEmpty) None
+          else {
+            val pr = parse(prevPromoted)
+            // own a continuation only when a block genuinely starts
+            // here — a slim predecessor ends before uncStart and a
+            // sub-block-sized range may own nothing of a giant
+            if (pr.blocks.exists(b => prevPos + b.offset >= uncStart &&
+              prevPos + b.offset < uncEnd)) Some((prevPos, pr))
+            else None
+          }
+        // the last owned partition ends at stopPos (partitions tile
+        // the data file); past uncEnd = it crosses into later ranges
+        val tail =
+          if (oldEra || lastPos < 0 || stopPos <= uncEnd ||
+            lastPromoted.isEmpty) None
+          else Some((lastPos, parse(lastPromoted)))
+        val stream =
+          if (seekPos < 0) None
+          else if (tail.isDefined) {
+            if (seekPos == lastPos) None else Some((seekPos, lastPos))
+          } else Some((seekPos, stopPos))
+        if (head.isEmpty && stream.isEmpty && tail.isEmpty) None
+        else Some(RangePlan(head, stream, tail, uncStart, uncEnd))
       } finally in.close()
     }
 
@@ -1164,21 +1209,35 @@ object SSTableBinaryV2 {
         }
       case None if sliceScanEligible => sliceScan()
       case None if ranged =>
-        alignRange() match {
+        alignRangePlan() match {
           case None => Iterator.empty
-          case Some((seekPos, stopPos)) =>
-            val raw = fs.open(new HPath(file))
-            val in: java.io.InputStream = compressionMeta match {
-              case Some(m) =>
-                seekStream = raw // closed via seekStream on exhaustion
-                CompressedData.seekableStream(raw, onDiskLen, m, file,
-                  seekPos)
-              case None => raw.seek(seekPos); raw
+          case Some(plan) =>
+            // head/tail are sub-partition shards of promoted giants:
+            // headerless continuation blocks, then the sequential
+            // whole-partition stream, then the truncated tail owner
+            val headIt = plan.head.iterator.map { case (pos, pr) =>
+              expand(BigFormat.readPartitionBlocks(header, openDataAt,
+                pos, pr, plan.uncStart, plan.uncEnd,
+                serveHeader = false, file))
             }
-            fullStream = new BoundedStream(in, stopPos - seekPos)
-            if (oldEra)
-              OldFormat.partitions(oldSchema, fullStream, file).map(expand2)
-            else BigFormat.partitions(header, fullStream, file).map(expand)
+            // LAZY: the shared seekable handle serves all three
+            // pieces, so the stream must not position it until the
+            // head shard has been fully consumed
+            val streamIt: Iterator[Iterator[InternalRow]] =
+              plan.stream.iterator.flatMap { case (seekPos, stopPos) =>
+                fullStream = new BoundedStream(openDataAt(seekPos),
+                  stopPos - seekPos)
+                if (oldEra)
+                  OldFormat.partitions(oldSchema, fullStream, file)
+                    .map(expand2)
+                else BigFormat.partitions(header, fullStream, file)
+                  .map(expand)
+              }
+            val tailIt = plan.tail.iterator.map { case (pos, pr) =>
+              expand(BigFormat.readPartitionBlocks(header, openDataAt,
+                pos, pr, pos, plan.uncEnd, serveHeader = true, file))
+            }
+            headIt ++ streamIt ++ tailIt
         }
       case None =>
         fullStream = openFullStream()
@@ -1555,11 +1614,6 @@ object SSTableBinaryV2 {
   // the connector's equivalents of Cassandra's own table metrics
   // (BloomFilterFalsePositives / sstablesPerRead family).
   // =====================================================================
-  private class SumMetric(metricName: String, desc: String)
-      extends org.apache.spark.sql.connector.metric.CustomSumMetric {
-    override def name(): String = metricName
-    override def description(): String = desc
-  }
   private case class TaskMetric(metricName: String, v: Long)
       extends org.apache.spark.sql.connector.metric.CustomTaskMetric {
     override def name(): String = metricName
@@ -3428,4 +3482,48 @@ object SSTableBinaryV2 {
     graft.Scratch.delete(out)
     audit
   }
+}
+
+// DSv2 custom-metric classes are TOP-LEVEL with zero-arg constructors:
+// Spark re-instantiates them by REFLECTION on the driver to aggregate
+// task values for the UI (CustomMetrics.buildV2CustomMetricTypeName's
+// contract) — a nested/parameterized class makes every aggregation
+// log a SparkException and fall back.
+private[sources] class PartitionsServedMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = SSTableBinaryV2.MetricPartitionsServed
+  override def description(): String = "Cassandra partitions decoded"
+}
+private[sources] class FilesSkippedBloomMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = SSTableBinaryV2.MetricFilesSkippedBloom
+  override def description(): String =
+    "files skipped whole by a Filter.db miss"
+}
+private[sources] class FilesSkippedTokenSpanMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String =
+    SSTableBinaryV2.MetricFilesSkippedTokenSpan
+  override def description(): String =
+    "files skipped whole by Summary.db token-span disjointness"
+}
+private[sources] class PartitionsScrubSkippedMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String =
+    SSTableBinaryV2.MetricPartitionsScrubSkipped
+  override def description(): String =
+    "corrupt partitions skipped by scrub"
+}
+private[sources] class ComponentCacheHitsMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = SSTableBinaryV2.MetricComponentCacheHits
+  override def description(): String =
+    "sidecar component reads served from the executor cache"
+}
+private[sources] class ComponentCacheMissesMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String =
+    SSTableBinaryV2.MetricComponentCacheMisses
+  override def description(): String =
+    "sidecar component reads that went to storage"
 }

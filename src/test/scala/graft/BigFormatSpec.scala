@@ -2080,6 +2080,68 @@ class SSTableBinarySpec extends SparkSpec {
     }
   }
 
+  test("sub-partition splits: one giant promoted partition serves across >= 2 tasks, content exact") {
+    import spark.implicits._
+    val out = Scratch.dir("graft-subsplit-")
+    try {
+      val wt = 1609459200000000L
+      val schema = graft.model.CqlSchema.parse(
+        "CREATE TABLE graft.documents (pk text, ck bigint, v text, " +
+          "PRIMARY KEY (pk, ck))").toOption
+      // one giant partition (~22 KB over ~1 KB promoted blocks), with
+      // a partition deletion (the header artifact that must surface
+      // exactly once), plus two slim neighbors
+      val giant = (0 until 200).map { i =>
+        ("giant", Seq(i.toString), "ROW", Some("v"),
+          Some(("x" * 100 + i, wt + i, None: Option[Int],
+            None: Option[Long])),
+          None: Option[Long], "t/nb-1-big-Data.db")
+      }
+      val slim = Seq("a", "b").map { k =>
+        (k, Seq("0"), "ROW", Some("v"),
+          Some(("tiny", wt, None: Option[Int], None: Option[Long])),
+          None: Option[Long], "t/nb-1-big-Data.db")
+      }
+      val del = Seq(("giant", null: Seq[String], "PARTITION_DELETION",
+        None: Option[String],
+        None: Option[(String, Long, Option[Int], Option[Long])],
+        Some(wt - 5L): Option[Long], "t/nb-1-big-Data.db"))
+      val frame = (giant ++ slim ++ del)
+        .toDF("partition_key", "clustering", "row_kind", "name",
+          "cell_t", "deletion_us", "sstable")
+        .withColumn("cell", when(col("cell_t").isNotNull, struct(
+          col("cell_t._1").as("value"),
+          col("cell_t._2").as("writetime_us"),
+          col("cell_t._3").as("ttl_s"),
+          col("cell_t._4").as("expire_us"))))
+        .drop("cell_t")
+      SSTableBinaryV2.writeSSTables(frame, out.toString, "graft",
+        "documents", schema, columnIndexSize = 1024)
+      val dir = s"$out/graft/documents"
+      val whole = SSTableBinaryV2.readBinary(spark, dir).localCheckpoint()
+      val split = spark.read.format("sstable-big")
+        .option("splitBytes", "4096").load(dir)
+      // content is EXACTLY the unsplit read
+      assert(split.count() === whole.count())
+      assert(split.exceptAll(whole).count() === 0)
+      assert(whole.exceptAll(split).count() === 0)
+      // the giant's rows really spread across tasks (DSv2 input
+      // partition = Spark partition): >= 2 tasks serve it. Counted
+      // WITHOUT a key filter — a pushed key predicate would flip the
+      // scan into the point-lookup path and probe the wrong mode
+      val perTask = split.select("partition_key").rdd
+        .mapPartitions(it =>
+          Iterator.single(it.count(_.getString(0) == "giant")))
+        .collect()
+      assert(perTask.count(_ > 0) >= 2,
+        s"giant partition not sub-split: task row counts ${
+          perTask.mkString(",")}")
+      // header artifacts exactly once across the shards
+      assert(split.filter(col("row_kind") === "PARTITION_DELETION" &&
+        col("partition_key") === "giant").count() === 1)
+    } finally Scratch.delete(out)
+  }
+
   test("summary rebuild: summaryless generations keep file elision and bounded index reads") {
     import spark.implicits._
     import graft.sources.SSTableComponents
