@@ -292,6 +292,7 @@ object SparkEntry {
     "m_feature_extract" -> (MultimodalOps.featureExtract _),
     "m_frame_dedup" -> (MultimodalOps.frameDedup _),
     "m_real_decode" -> (MultimodalOps.realMediaDecode _),
+    "m_wav_decode" -> (MultimodalOps.wavMediaDecode _),
     // --- structured streaming (SURVEY §7.2 step 7) ---
     "st_window_agg" -> (StreamingOps.windowAgg _),
     "st_window_append" -> (StreamingOps.windowAggAppend _),
@@ -3841,6 +3842,28 @@ object SparkEntry {
         | 'png' AS format,
         | CAST(-4294967296 AS BIGINT) AS phash
         |FROM documents""".stripMargin,
+    // REAL audio oracle: the Spark side synthesizes a PCM16 WAV per
+    // doc (junk LIST chunk included) and parses it back through the
+    // RIFF chunk walk; every recovered field INCLUDING the
+    // sum-of-|sample| over the actual data-chunk bytes is doc_id
+    // arithmetic DuckDB replays independently
+    "m_wav_decode" ->
+      """WITH d AS (
+        | SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(8000 + (doc_id % 4) * 4000 AS INTEGER) AS sample_rate,
+        |  CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+        |  100 + doc_id % 50 AS frames
+        | FROM documents),
+        |s AS (
+        | SELECT doc_id, sample_rate, channels, frames,
+        |  CAST(unnest(range(frames * channels)) AS BIGINT) AS k
+        | FROM d)
+        |SELECT doc_id, TRUE AS decode_ok, sample_rate, channels,
+        | CAST(16 AS INTEGER) AS bits,
+        | CAST(frames AS BIGINT) AS n_samples,
+        | CAST(sum(abs((doc_id * 31 + k * 17) % 65536 - 32768))
+        |   AS BIGINT) AS sum_abs_amplitude
+        |FROM s GROUP BY 1, 3, 4, 6""".stripMargin,
     "st_window_agg" ->
       """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
         | event_type, count(*) AS n_events,

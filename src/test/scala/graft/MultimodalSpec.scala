@@ -79,6 +79,40 @@ class MultimodalSpec extends SparkSpec {
     assert(!MultimodalOps.realDecode(4L, Array.emptyByteArray).decode_ok)
   }
 
+  test("wavDecode: real RIFF chunk walk — fields, samples, junk chunks, foreign decoder agreement") {
+    for (id <- Seq(0L, 7L, 49L, 123L)) {
+      val bytes = MultimodalOps.syntheticWav(id)
+      val m = MultimodalOps.wavDecode(id, bytes)
+      assert(m.decode_ok, s"doc $id")
+      assert(m.sample_rate === 8000 + (id % 4).toInt * 4000)
+      assert(m.channels === 1 + (id % 2).toInt)
+      assert(m.bits === 16)
+      assert(m.n_samples === 100 + id % 50)
+      val nFlat = m.n_samples * m.channels
+      val expectedSum = (0L until nFlat).map(k =>
+        math.abs((id * 31 + k * 17) % 65536 - 32768)).sum
+      assert(m.sum_abs_amplitude === expectedSum, s"doc $id")
+      // the synthetic container is a REAL WAV: the JDK's own audio
+      // system (an independent RIFF implementation) must agree on
+      // format and frame count — proving the writer emits the public
+      // layout and not a private dialect our parser colludes with
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(ais.getFormat.getSampleRate.toInt === m.sample_rate)
+      assert(ais.getFormat.getChannels === m.channels)
+      assert(ais.getFormat.getSampleSizeInBits === 16)
+      assert(ais.getFrameLength === m.n_samples)
+      ais.close()
+    }
+    // non-RIFF, truncated, and float-PCM payloads: flagged, not thrown
+    assert(!MultimodalOps.wavDecode(1L, Array[Byte](1, 2, 3)).decode_ok)
+    assert(!MultimodalOps.wavDecode(1L,
+      "RIFFxxxxWAVE".getBytes("US-ASCII")).decode_ok)
+    val nonPcm = MultimodalOps.syntheticWav(3L)
+    nonPcm(20) = 3 // fmt audioFormat: 1 (PCM) -> 3 (IEEE float)
+    assert(!MultimodalOps.wavDecode(3L, nonPcm).decode_ok)
+  }
+
   test("realMediaDecode: every synthetic PNG decodes through the real codec") {
     val r = MultimodalOps.realMediaDecode(spark, sfDir).localCheckpoint()
     val nDocs = Tables.load(spark, sfDir, "documents").count()
