@@ -293,6 +293,7 @@ object SparkEntry {
     "m_frame_dedup" -> (MultimodalOps.frameDedup _),
     "m_real_decode" -> (MultimodalOps.realMediaDecode _),
     "m_wav_decode" -> (MultimodalOps.wavMediaDecode _),
+    "m_mp4_probe" -> (MultimodalOps.mp4MediaProbe _),
     // --- structured streaming (SURVEY §7.2 step 7) ---
     "st_window_agg" -> (StreamingOps.windowAgg _),
     "st_window_append" -> (StreamingOps.windowAggAppend _),
@@ -3864,6 +3865,17 @@ object SparkEntry {
         | CAST(sum(abs((doc_id * 31 + k * 17) % 65536 - 32768))
         |   AS BIGINT) AS sum_abs_amplitude
         |FROM s GROUP BY 1, 3, 4, 6""".stripMargin,
+    // REAL video-container oracle: synthetic ISO BMFF skeletons (junk
+    // free/mdat boxes force a genuine box walk) probed for brand,
+    // mvhd timescale/duration, trak count — all doc_id arithmetic;
+    // duration_ms is exact because the synthetic timescale divides 10
+    "m_mp4_probe" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id, TRUE AS decode_ok,
+        | 'isom' AS major_brand,
+        | CAST(1000 + (doc_id % 10) * 100 AS BIGINT) AS timescale,
+        | CAST((5 + doc_id % 20) * 100 AS BIGINT) AS duration_ms,
+        | CAST(1 + doc_id % 3 AS INTEGER) AS n_tracks
+        |FROM documents""".stripMargin,
     "st_window_agg" ->
       """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
         | event_type, count(*) AS n_events,

@@ -113,6 +113,52 @@ class MultimodalSpec extends SparkSpec {
     assert(!MultimodalOps.wavDecode(3L, nonPcm).decode_ok)
   }
 
+  test("mp4Probe: real ISO BMFF box walk — brand, mvhd, traks, largesize, junk boxes") {
+    for (id <- Seq(0L, 3L, 19L, 42L)) {
+      val m = MultimodalOps.mp4Probe(id, MultimodalOps.syntheticMp4(id))
+      assert(m.decode_ok, s"doc $id")
+      assert(m.major_brand === "isom")
+      assert(m.timescale === 1000 + (id % 10) * 100)
+      assert(m.duration_ms === (5 + id % 20) * 100)
+      assert(m.n_tracks === 1 + (id % 3).toInt)
+      // junk boxes (free, mdat) were walked, not choked on
+      assert(m.n_boxes >= 4 + m.n_tracks)
+    }
+    // a 64-bit largesize box and an mvhd v1 (64-bit duration) parse
+    val ts = 600L
+    val mvhd1 = {
+      val b = java.nio.ByteBuffer.allocate(112)
+      b.putInt(0x01000000) // version 1
+      b.putLong(0L); b.putLong(0L)
+      b.putInt(ts.toInt); b.putLong(ts * 9)
+      b.array()
+    }
+    def box(name: String, body: Array[Byte]): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(8 + body.length)
+      out.putInt(8 + body.length)
+      out.put(name.getBytes("US-ASCII")); out.put(body)
+      out.array()
+    }
+    val inner = box("mvhd", mvhd1)
+    val largeMoov = {
+      val out = java.nio.ByteBuffer.allocate(16 + inner.length)
+      out.putInt(1) // size=1: 64-bit largesize follows the type
+      out.put("moov".getBytes("US-ASCII"))
+      out.putLong(16L + inner.length)
+      out.put(inner)
+      out.array()
+    }
+    val m1 = MultimodalOps.mp4Probe(9L,
+      box("ftyp", "mp42mp42".getBytes("US-ASCII")) ++ largeMoov)
+    assert(m1.decode_ok && m1.major_brand === "mp42")
+    assert(m1.timescale === ts && m1.duration_ms === 9000L)
+    // non-BMFF and lying box sizes: flagged, never thrown
+    assert(!MultimodalOps.mp4Probe(1L, Array[Byte](1, 2, 3, 4)).decode_ok)
+    val lying = MultimodalOps.syntheticMp4(1L)
+    java.nio.ByteBuffer.wrap(lying).putInt(0, Int.MaxValue)
+    assert(!MultimodalOps.mp4Probe(1L, lying).decode_ok)
+  }
+
   test("realMediaDecode: every synthetic PNG decodes through the real codec") {
     val r = MultimodalOps.realMediaDecode(spark, sfDir).localCheckpoint()
     val nDocs = Tables.load(spark, sfDir, "documents").count()
