@@ -103,7 +103,16 @@ object RemoverCli {
       case other :: _ => Left(s"unexpected argument '$other'")
     }
     loop(argv.toList, Map.empty).flatMap { m =>
-      if (m.get("inventory").exists(_.toBoolean)) parseInventory(m)
+      // boolean flags validate BEFORE use: `--verify yes` must produce
+      // the usage error every other malformed flag does, not an
+      // uncaught toBoolean stack trace
+      val badBool = Seq("verify", "scrub", "inventory").collectFirst {
+        case k if m.get(k).exists(v => !v.equalsIgnoreCase("true") &&
+          !v.equalsIgnoreCase("false")) =>
+          s"--$k must be true or false, got '${m(k)}'"
+      }
+      if (badBool.nonEmpty) Left(badBool.get)
+      else if (m.get("inventory").exists(_.toBoolean)) parseInventory(m)
       else (m.get("in"), m.get("out"), m.get("table")) match {
         case (None, _, _) => Left("--in <dir> is required")
         case (_, None, _) => Left("--out <dir> is required")
@@ -403,8 +412,10 @@ object RemoverCli {
     * bounded) and persists parquet when `--out` is given. Returns the
     * generation count. */
   private def runInventory(spark: SparkSession, args: CliArgs): Long = {
+    // checkpoint before the two consumers (write + print): the
+    // listing + sidecar task wave must run once, not per action
     val df = graft.sources.SSTableMetadata.describe(spark, args.in)
-      .orderBy("sstable")
+      .orderBy("sstable").localCheckpoint()
     if (args.out.nonEmpty)
       df.coalesce(1).write.mode("overwrite").parquet(args.out)
     val rows = df.collect()

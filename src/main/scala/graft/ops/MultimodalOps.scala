@@ -220,6 +220,10 @@ object MultimodalOps {
       var dataOff = -1; var dataLen = 0L
       while (o + 8 <= payload.length) {
         val id = tag(o); val sz = u32(o + 4)
+        // a declared chunk bigger than the file (or u32 values whose
+        // Int truncation would make the advance non-positive and spin
+        // the walk forever) marks corrupt bytes: flag, don't hang
+        if (sz > payload.length.toLong - o - 8) return failed
         if (id == "fmt ") {
           if (u16(o + 8) != 1) return failed // PCM only
           channels = u16(o + 10)
@@ -240,10 +244,7 @@ object MultimodalOps {
       }
       WavMeta(docId, payload.length.toLong, decode_ok = true,
         rate, channels, bits, nSamples, sum)
-    } catch {
-      case scala.util.control.NonFatal(_) => failed
-      case _: ArrayIndexOutOfBoundsException => failed
-    }
+    } catch { case scala.util.control.NonFatal(_) => failed }
   }
 
   /** Deterministic synthetic WAV for a document: PCM16 mono/stereo
@@ -378,10 +379,7 @@ object MultimodalOps {
       if (!sawMvhd || timescale == 0) return failed
       Mp4Meta(docId, payload.length.toLong, decode_ok = true, brand,
         timescale, duration * 1000L / timescale, tracks, boxes)
-    } catch {
-      case scala.util.control.NonFatal(_) => failed
-      case _: ArrayIndexOutOfBoundsException => failed
-    }
+    } catch { case scala.util.control.NonFatal(_) => failed }
   }
 
   /** Deterministic synthetic MP4 skeleton: `ftyp` (brand isom), a

@@ -671,12 +671,21 @@ object OldFormat {
       s"$file: 2.x Statistics.db carries no STATS component")
     val s = new DataInputStream(new java.io.ByteArrayInputStream(
       bytes, statsOffset, bytes.length - statsOffset))
+    def skipFully(want: Long, what: String): Unit = {
+      var skipped = 0L
+      while (skipped < want) {
+        val k = s.skip(want - skipped)
+        // ByteArrayInputStream.skip returns 0 at end-of-stream: a
+        // truncated component must fail loudly, never spin
+        if (k <= 0) throw new EOFException(
+          s"$file: 2.x Statistics.db truncated inside $what")
+        skipped += k
+      }
+    }
     def skipHistogram(): Unit = {
       val n = s.readInt()
       require(n >= 0, s"$file: negative 2.x histogram size $n")
-      var skipped = 0L
-      val want = 16L * n
-      while (skipped < want) skipped += s.skip(want - skipped)
+      skipFully(16L * n, "an EstimatedHistogram")
     }
     skipHistogram()              // estimatedRowSize
     skipHistogram()              // estimatedColumnCount
@@ -688,8 +697,7 @@ object OldFormat {
     s.readInt()                  // StreamingHistogram maxBinSize
     val nBins = s.readInt()
     require(nBins >= 0, s"$file: negative 2.x histogram bin count")
-    var skipped = 0L
-    while (skipped < 16L * nBins) skipped += s.skip(16L * nBins - skipped)
+    skipFully(16L * nBins, "the StreamingHistogram")
     val level = s.readInt()
     val repairedAt = s.readLong()
     Stats2x(minTs, maxTs, maxLdt, level, repairedAt)

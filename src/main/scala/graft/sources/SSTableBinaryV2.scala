@@ -516,13 +516,17 @@ object SSTableBinaryV2 {
         val (bytes, hit) = SSTableBinaryV2.ComponentCache.getFlagged(
           indexP.toString + "#rebuilt-summary", st.getLen,
           st.getModificationTime) {
-          // the full index loads ONCE (unbuffered raw read, not via
-          // readSibling: a big Index.db must not evict the working
-          // set); what caches is the small serialized summary
-          val raw = new Array[Byte](st.getLen.toInt)
+          // the index STREAMS through the rebuild once (strictly
+          // sequential, one entry's working set — a multi-GB Index.db
+          // of a major-compacted generation must neither materialize
+          // on-heap nor evict the cache's working set); what caches
+          // is the small serialized summary
           val in = fs.open(indexP)
-          try in.readFully(0, raw) finally in.close()
-          val s = SSTableComponents.rebuildSummary(raw, oldEra, file)
+          val s = try SSTableComponents.rebuildSummary(
+            new java.io.DataInputStream(
+              new java.io.BufferedInputStream(in, 64 * 1024)),
+            oldEra, file, SSTableComponents.MinIndexInterval)
+          finally in.close()
           // ceil(totalKeys/interval) must round-trip to the rebuilt
           // sizeAtFullSampling; size*interval reconstructs it exactly
           SSTableComponents.writeSummary(

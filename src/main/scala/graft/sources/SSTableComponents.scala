@@ -331,9 +331,18 @@ object SSTableComponents {
     * form. The result round-trips through [[writeSummary]]/
     * [[readSummary]], so a rebuilt summary caches like any sidecar. */
   def rebuildSummary(bytes: Array[Byte], oldEra: Boolean, file: String,
-      interval: Int = MinIndexInterval): Summary = {
+      interval: Int = MinIndexInterval): Summary =
+    rebuildSummary(new DataInputStream(
+      new java.io.ByteArrayInputStream(bytes)), oldEra, file, interval)
+
+  /** Streaming form of the rebuild: consumes the index STRICTLY
+    * sequentially (one entry's working set at a time), so an
+    * arbitrarily large Index.db — a 2 GB index of a major-compacted
+    * 100 TB-lake generation — rebuilds without ever materializing
+    * on-heap. */
+  def rebuildSummary(in: DataInputStream, oldEra: Boolean, file: String,
+      interval: Int): Summary = {
     require(interval >= 1, s"$file: sampling interval must be >= 1")
-    val in = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
     var offset = 0L
     var n = 0L
     var first: Array[Byte] = null
@@ -347,8 +356,15 @@ object SSTableComponents {
         s += k
       }
     }
-    while (offset < bytes.length) {
-      val keyLen = in.readUnsignedShort()
+    var eof = false
+    while (!eof) {
+      val firstByte = in.read()
+      if (firstByte < 0) { eof = true }
+      else {
+      val secondByte = in.read()
+      if (secondByte < 0)
+        throw new EOFException(s"$file: Index.db truncated mid-entry")
+      val keyLen = ((firstByte & 0xff) << 8) | (secondByte & 0xff)
       val key = new Array[Byte](keyLen)
       in.readFully(key)
       var consumed = 2L + keyLen
@@ -373,6 +389,7 @@ object SSTableComponents {
       last = key
       n += 1
       offset += consumed
+      }
     }
     if (n == 0)
       Summary(interval, Nil, 0, Array.emptyByteArray, Array.emptyByteArray)

@@ -151,8 +151,15 @@ object SSTableMetadata {
         CompressedData.versionHasMaxCompressedSize(version), p,
         CompressedData.versionUsesAdler32(version)).compressor
     }
-    val summary = comp("-Summary.db").map(p =>
-      SSTableComponents.readSummary(readAll(p)))
+    // the 2.x IndexSummary layout predates the 3.0 serializer — a
+    // real ka/la Summary.db would be MISREAD by this parser (garbage
+    // span endpoints, or a throw killing the whole inventory), so
+    // pre-3.0 generations report no summary facts, the same gate the
+    // connector's summaryOrRebuilt applies
+    val summary =
+      if (oldEra) None
+      else comp("-Summary.db").map(p =>
+        SSTableComponents.readSummary(readAll(p)))
     if (audit) summary.foreach { s =>
       def eq(a: Option[Array[Byte]], b: Array[Byte]) =
         a.exists(java.util.Arrays.equals(_, b))

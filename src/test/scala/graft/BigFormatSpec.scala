@@ -2314,6 +2314,22 @@ class SSTableBinarySpec extends SparkSpec {
         rows.head.fieldIndex("min_ttl_s"))))
       assert(rows.forall(
         _.getAs[String]("compressor") === "LZ4Compressor"))
+      // a real 2.x lake SHIPS Summary.db files in the pre-3.0 layout
+      // the modern parser would misread: the inventory must ignore
+      // them (NULL span facts), not die or serve garbage
+      import scala.jdk.CollectionConverters._
+      val anyBase = java.nio.file.Files.list(ka.resolve("documents"))
+        .iterator().asScala
+        .find(_.getFileName.toString.endsWith("-Data.db")).get
+        .toString.stripSuffix("-Data.db")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(anyBase + "-Summary.db"),
+        Array.fill[Byte](64)(0x2a))
+      val rows2 = SSTableMetadata
+        .describe(spark, ka.resolve("documents").toString).collect()
+      assert(rows2.length === 4)
+      assert(rows2.forall(_.isNullAt(
+        rows2.head.fieldIndex("first_key"))))
     } finally Scratch.delete(ka)
   }
 
@@ -2369,6 +2385,16 @@ class SSTableBinarySpec extends SparkSpec {
     intercept[Exception] {
       OldFormat.readStats2x(Array[Byte](0, 0, 0, 1, 0, 0, 0, 9), "t")
     }
+    // a histogram declaring 1000 buckets with no payload must throw
+    // EOF, not spin (ByteArrayInputStream.skip returns 0 at EOS)
+    val truncated = java.nio.ByteBuffer.allocate(16)
+      .putInt(1).putInt(2).putInt(12) // one component: STATS at 12
+      .putInt(1000)                   // histogram size, nothing behind
+      .array()
+    val e = intercept[java.io.EOFException] {
+      OldFormat.readStats2x(truncated, "t")
+    }
+    assert(e.getMessage.contains("truncated"))
   }
 
   test("scrub salvages a COMPRESSED generation past a corrupt chunk") {

@@ -111,6 +111,11 @@ class MultimodalSpec extends SparkSpec {
     val nonPcm = MultimodalOps.syntheticWav(3L)
     nonPcm(20) = 3 // fmt audioFormat: 1 (PCM) -> 3 (IEEE float)
     assert(!MultimodalOps.wavDecode(3L, nonPcm).decode_ok)
+    // a lying chunk size (0xFFFFFFF8: Int truncation would zero the
+    // walk's advance) flags instead of hanging the executor
+    val lying = MultimodalOps.syntheticWav(5L)
+    java.nio.ByteBuffer.wrap(lying).putInt(16, 0xFFFFFFF8)
+    assert(!MultimodalOps.wavDecode(5L, lying).decode_ok)
   }
 
   test("mp4Probe: real ISO BMFF box walk — brand, mvhd, traks, largesize, junk boxes") {

@@ -322,6 +322,12 @@ class PipelineSpec extends SparkSpec {
     assert(p("--inventory", "true", "--in", "/a", "--out", "/a").isLeft)
     assert(p("--inventory", "true", "--in", "/a") ===
       Right(RemoverCli.CliArgs("/a", "", table = "", inventory = true)))
+    // malformed booleans produce the usage error, not a stack trace
+    assert(p("--inventory", "yes", "--in", "/a").isLeft)
+    assert(p("--in", "/a", "--out", "/b", "--table", "t",
+      "--format", "sstable", "--verify", "maybe").isLeft)
+    assert(p("--in", "/a", "--out", "/b", "--table", "t",
+      "--format", "sstable", "--scrub", "1").isLeft)
     // end-to-end: generations in, garbled Data.db (sidecar-only is the
     // contract), inventory out — printed AND persisted
     val in = graft.sources.SSTableBinaryV2.writeBinaryFixture(spark, sfDir)
