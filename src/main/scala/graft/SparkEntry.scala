@@ -294,6 +294,7 @@ object SparkEntry {
     "m_real_decode" -> (MultimodalOps.realMediaDecode _),
     "m_wav_decode" -> (MultimodalOps.wavMediaDecode _),
     "m_mp4_probe" -> (MultimodalOps.mp4MediaProbe _),
+    "m_real_frame_dedup" -> (MultimodalOps.realFrameDedup _),
     // --- structured streaming (SURVEY §7.2 step 7) ---
     "st_window_agg" -> (StreamingOps.windowAgg _),
     "st_window_append" -> (StreamingOps.windowAggAppend _),
@@ -3876,6 +3877,22 @@ object SparkEntry {
         | CAST((5 + doc_id % 20) * 100 AS BIGINT) AS duration_ms,
         | CAST(1 + doc_id % 3 AS INTEGER) AS n_tracks
         |FROM documents""".stripMargin,
+    // real-codec frame dedup: each (doc, frame)'s synthetic PNG is
+    // REALLY decoded and average-hashed; the two-band split row sits
+    // at block-row 2 or 4 by (doc_id+frame) parity, so the collision
+    // census is pure arithmetic — bits 16..63 = -65536, bits 32..63
+    // = -4294967296 — and any codec/hash misread regroups the frames
+    "m_real_frame_dedup" ->
+      """WITH f AS (
+        | SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(unnest(range(1 + doc_id % 4)) AS BIGINT) AS k
+        | FROM documents)
+        |SELECT CASE WHEN (doc_id + k) % 2 = 0
+        |  THEN CAST(-65536 AS BIGINT)
+        |  ELSE CAST(-4294967296 AS BIGINT) END AS phash,
+        | count(*) AS n_frames,
+        | count(DISTINCT doc_id) AS n_docs
+        |FROM f GROUP BY 1""".stripMargin,
     "st_window_agg" ->
       """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
         | event_type, count(*) AS n_events,

@@ -302,6 +302,55 @@ object MultimodalOps {
         col("sum_abs_amplitude"))
   }
 
+  /** Synthetic 32×32 video-frame PNG: gray levels vary per (doc,
+    * frame) so the codec cannot shortcut, but the two-band SPLIT ROW
+    * sits at block-row 2 or 4 by `(doc_id+frame)` parity — so the
+    * REAL average-hash collapses every frame to one of exactly two
+    * phashes (bits 16..63 = -65536, bits 32..63 = -4294967296), the
+    * collision structure a perceptual-hash dedup exists to find. */
+  def syntheticFramePng(docId: Long, frame: Int): Array[Byte] = {
+    val a = 20 + ((docId * 7 + frame * 13) % 160).toInt
+    val split = if ((docId + frame) % 2 == 0) 8 else 16
+    val img = new java.awt.image.BufferedImage(
+      32, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 32) {
+      val v = if (y < split) a else a + 40
+      val rgb = (v << 16) | (v << 8) | v
+      var x = 0
+      while (x < 32) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.setUseCache(false)
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** Cross-video frame dedup over REALLY-decoded frames: every doc
+    * contributes `1 + id%4` synthetic PNG frames, each decoded
+    * through [[realDecode]] (genuine ImageIO round trip, genuine
+    * 8×8 average hash), then frames group by their DECODED phash —
+    * the real-codec form of [[frameDedup]]'s fingerprint role. The
+    * output is the collision census (frames and distinct docs per
+    * phash); the oracle replays it from (doc_id, frame) parity, so a
+    * codec or hash misread changes the grouping and fails the run. */
+  def realFrameDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ids = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id")).as[Long]
+    ids
+      .flatMap(id => (0 until (1 + id % 4).toInt).map(k => (id, k)))
+      .mapPartitions(_.grouped(64).flatMap(batch =>
+        batch.map { case (id, k) =>
+          realDecode(id, syntheticFramePng(id, k)) }))
+      .toDF()
+      .groupBy(col("phash"))
+      .agg(count(lit(1)).as("n_frames"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .select(col("phash"), col("n_frames"), col("n_docs"))
+  }
+
   /** Probed video-container metadata from the REAL ISO BMFF (MP4)
     * box walk. Decode of the streams themselves needs codecs this
     * container honestly does not ship — the probe is the metadata

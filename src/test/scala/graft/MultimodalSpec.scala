@@ -173,6 +173,18 @@ class MultimodalSpec extends SparkSpec {
     assert(r.filter(col("phash") =!= -4294967296L).count() === 0)
   }
 
+  test("realFrameDedup: decoded phashes collapse to the two designed collision classes") {
+    val rows = MultimodalOps.realFrameDedup(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("phash")).toSet ===
+      Set(-65536L, -4294967296L))
+    val nDocs = Tables.load(spark, sfDir, "documents").count()
+    // frames conserve: sum over classes = sum over docs of 1 + id%4
+    val total = rows.map(_.getAs[Long]("n_frames")).sum
+    assert(total === (0L until nDocs).map(1 + _ % 4).sum)
+    // both classes really span many docs — collisions are cross-video
+    assert(rows.forall(_.getAs[Long]("n_docs") > nDocs / 3))
+  }
+
   test("frameDedup: totals conserve frames, exposure bounded, dups genuinely cross-video") {
     val fd = MultimodalOps.frameDedup(spark, sfDir).localCheckpoint()
     val frames = MultimodalOps.frameSample(spark, sfDir)
