@@ -310,6 +310,7 @@ object SparkEntry {
     "st_lww_range" -> (StreamingOps.lwwRangeMergeStream _),
     "st_corpus_gate" -> (StreamingOps.corpusGate _),
     "st_ann_ingest" -> (StreamingOps.annIngest _),
+    "st_media_decode" -> (StreamingOps.mediaDecodeStream _),
     "st_sstable_ingest" -> (StreamingOps.sstableIngest _),
     "st_sstable_sink" -> (StreamingOps.sstableSink _)
   )
@@ -3893,6 +3894,16 @@ object SparkEntry {
         | count(*) AS n_frames,
         | count(DISTINCT doc_id) AS n_docs
         |FROM f GROUP BY 1""".stripMargin,
+    // the streaming form shares m_real_decode's oracle VERBATIM:
+    // streaming is pure transport around the same codec boundary
+    "st_media_decode" ->
+      """SELECT doc_id, TRUE AS decode_ok,
+        | CAST(16 + (doc_id % 8) * 8 AS INTEGER) AS width,
+        | CAST(16 + (doc_id % 6) * 8 AS INTEGER) AS height,
+        | CAST(3 AS INTEGER) AS channels,
+        | 'png' AS format,
+        | CAST(-4294967296 AS BIGINT) AS phash
+        |FROM documents""".stripMargin,
     "st_window_agg" ->
       """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
         | event_type, count(*) AS n_events,
