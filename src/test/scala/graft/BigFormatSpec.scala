@@ -2139,6 +2139,32 @@ class SSTableBinarySpec extends SparkSpec {
       // header artifacts exactly once across the shards
       assert(split.filter(col("row_kind") === "PARTITION_DELETION" &&
         col("partition_key") === "giant").count() === 1)
+      // COMPRESSED composition: block offsets are LOGICAL, blind
+      // ranges are ON-DISK — the chunk map must bridge them for
+      // sub-partition shards exactly as it does for whole partitions
+      val outLz4 = Scratch.dir("graft-subsplitlz4-")
+      try {
+        SSTableBinaryV2.writeSSTables(frame, outLz4.toString, "graft",
+          "documents", schema, columnIndexSize = 1024,
+          compression = Some(graft.sources.CompressedData.Lz4))
+        val dirLz4 = s"$outLz4/graft/documents"
+        // tiny ON-DISK ranges: the repetitive fixture compresses hard,
+        // so 64-byte ranges guarantee several ranges own chunks and
+        // the giant's ~22 KB logical span (≥ 2 chunks) really shards
+        val splitLz4 = spark.read.format("sstable-big")
+          .option("splitBytes", "64").load(dirLz4)
+        assert(splitLz4.count() === whole.count())
+        assert(splitLz4.exceptAll(whole).count() === 0)
+        assert(whole.exceptAll(splitLz4).count() === 0)
+        assert(splitLz4.filter(col("row_kind") === "PARTITION_DELETION"
+          && col("partition_key") === "giant").count() === 1)
+        val perTaskLz4 = splitLz4.select("partition_key").rdd
+          .mapPartitions(it =>
+            Iterator.single(it.count(_.getString(0) == "giant")))
+          .collect()
+        assert(perTaskLz4.count(_ > 0) >= 2,
+          s"compressed giant not sub-split: ${perTaskLz4.mkString(",")}")
+      } finally Scratch.delete(outLz4)
     } finally Scratch.delete(out)
   }
 
@@ -2220,6 +2246,36 @@ class SSTableBinarySpec extends SparkSpec {
       assert(metrics("partitionsServed") === 1, metrics.toString)
       assert(ranged.select("partition_key").as[String].collect().toSet
         === Set("2"))
+      // COMPRESSED composition: a summaryless lz4 generation set
+      // rebuilds and elides identically — Index.db positions are
+      // logical, so compression never touches the rebuild
+      val outLz4 = Scratch.dir("graft-rebuildlz4-")
+      try {
+        SSTableBinaryV2.writeSSTables(frame, outLz4.toString, "graft",
+          "documents",
+          compression = Some(graft.sources.CompressedData.Lz4))
+        val dirLz4 = outLz4.resolve("graft").resolve("documents")
+        java.nio.file.Files.list(dirLz4).iterator().asScala
+          .filter(_.getFileName.toString.endsWith("-Summary.db"))
+          .foreach { f =>
+            java.nio.file.Files.delete(f)
+            java.nio.file.Files.deleteIfExists(
+              f.getParent.resolve("." + f.getFileName + ".crc"))
+          }
+        val rangedLz4 = spark.read.format("sstable-big")
+          .option("tokenLo", tok("2").toString)
+          .option("tokenHi", tok("2").toString).load(dirLz4.toString)
+        rangedLz4.collect()
+        val mLz4 = rangedLz4.queryExecution.executedPlan.collectLeaves()
+          .collect {
+            case s: org.apache.spark.sql.execution.datasources.v2
+              .BatchScanExec =>
+              s.metrics.view.mapValues(_.value.toString.toLong).toMap
+          }.head
+        assert(mLz4("filesSkippedTokenSpan") === 3, mLz4.toString)
+        assert(rangedLz4.select("partition_key").as[String].collect()
+          .toSet === Set("2"))
+      } finally Scratch.delete(outLz4)
     } finally Scratch.delete(out)
   }
 
