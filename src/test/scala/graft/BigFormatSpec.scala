@@ -2422,6 +2422,47 @@ class SSTableBinarySpec extends SparkSpec {
     } finally { Scratch.delete(in); Scratch.delete(out) }
   }
 
+  test("la (2.2) generations with NEW-style names decode through the 2.x path") {
+    // 2.2 kept the 2.1 storage engine but switched to new-style
+    // filenames (la-<gen>-big-<Component>, no keyspace/table prefix):
+    // version detection must classify them old-era off the THIRD-from-
+    // last token rule's new-style branch, and every 2.x sidecar must
+    // serve under the renamed identity
+    val ka = SSTableBinaryV2.writeOldFixture(spark, sfDir)
+    try {
+      val dir = ka.resolve("documents")
+      import scala.jdk.CollectionConverters._
+      val files = java.nio.file.Files.list(dir).iterator().asScala.toSeq
+      files.foreach { f =>
+        val name = f.getFileName.toString
+        // graft-documents-ka-<gen>-<Comp> -> la-<gen>-big-<Comp>
+        val parts = name.split('-')
+        val renamed = s"la-${parts(3)}-big-${parts.drop(4).mkString("-")}"
+        java.nio.file.Files.move(f, f.getParent.resolve(renamed))
+      }
+      val la = SSTableBinaryV2
+        .readBinary(spark, dir.toString, Some(SSTableBinaryV2.Cql2x))
+        .localCheckpoint()
+      assert(la.count() > 0)
+      // identical logical content to the ka read (same bytes, new
+      // names) modulo the sstable identity column
+      val ka2 = SSTableBinaryV2.writeOldFixture(spark, sfDir)
+      try {
+        val base = SSTableBinaryV2
+          .readBinary(spark, ka2.toString, Some(SSTableBinaryV2.Cql2x))
+          .drop("sstable").localCheckpoint()
+        assert(la.drop("sstable").exceptAll(base).count() === 0)
+        assert(base.exceptAll(la.drop("sstable")).count() === 0)
+      } finally Scratch.delete(ka2)
+      // the inventory era-dispatches off the new-style la name too
+      val inv = graft.sources.SSTableMetadata
+        .describe(spark, dir.toString).collect()
+      assert(inv.length === 4)
+      assert(inv.forall(!_.isNullAt(
+        inv.head.fieldIndex("min_writetime_us"))))
+    } finally Scratch.delete(ka)
+  }
+
   test("2.x Statistics.db codec: StatsMetadata round-trips; STATS sought through the TOC") {
     import graft.sources.OldFormat
     val s = OldFormat.Stats2x(
