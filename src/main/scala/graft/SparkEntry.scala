@@ -1780,6 +1780,18 @@ object SparkEntry {
         | value, wt AS writetime_us, CAST(nv AS BIGINT) AS n_versions
         |FROM v WHERE rk = 1""".stripMargin
 
+  /** Shared by `m_real_decode` (batch) and `st_media_decode` (the
+    * same pipeline under a file stream, MultimodalOps
+    * .realDecodeColumns): one binding, so the two keys cannot drift. */
+  private lazy val realDecodeSql: String =
+    """SELECT doc_id, TRUE AS decode_ok,
+      | CAST(16 + (doc_id % 8) * 8 AS INTEGER) AS width,
+      | CAST(16 + (doc_id % 6) * 8 AS INTEGER) AS height,
+      | CAST(3 AS INTEGER) AS channels,
+      | 'png' AS format,
+      | CAST(-4294967296 AS BIGINT) AS phash
+      |FROM documents""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "p1_ttl_strip" ->
       """SELECT event_id, user_id, event_type, value,
@@ -3837,14 +3849,7 @@ object SparkEntry {
     // format, the 8x8 average-hash bit pattern) is pure arithmetic on
     // doc_id, which DuckDB computes independently — so a codec that
     // misreads dimensions, channels, or pixel values hash-fails here
-    "m_real_decode" ->
-      """SELECT doc_id, TRUE AS decode_ok,
-        | CAST(16 + (doc_id % 8) * 8 AS INTEGER) AS width,
-        | CAST(16 + (doc_id % 6) * 8 AS INTEGER) AS height,
-        | CAST(3 AS INTEGER) AS channels,
-        | 'png' AS format,
-        | CAST(-4294967296 AS BIGINT) AS phash
-        |FROM documents""".stripMargin,
+    "m_real_decode" -> realDecodeSql,
     // REAL audio oracle: the Spark side synthesizes a PCM16 WAV per
     // doc (junk LIST chunk included) and parses it back through the
     // RIFF chunk walk; every recovered field INCLUDING the
@@ -3894,16 +3899,9 @@ object SparkEntry {
         | count(*) AS n_frames,
         | count(DISTINCT doc_id) AS n_docs
         |FROM f GROUP BY 1""".stripMargin,
-    // the streaming form shares m_real_decode's oracle VERBATIM:
-    // streaming is pure transport around the same codec boundary
-    "st_media_decode" ->
-      """SELECT doc_id, TRUE AS decode_ok,
-        | CAST(16 + (doc_id % 8) * 8 AS INTEGER) AS width,
-        | CAST(16 + (doc_id % 6) * 8 AS INTEGER) AS height,
-        | CAST(3 AS INTEGER) AS channels,
-        | 'png' AS format,
-        | CAST(-4294967296 AS BIGINT) AS phash
-        |FROM documents""".stripMargin,
+    // the streaming form: the SAME binding as m_real_decode —
+    // streaming is pure transport around the same codec pipeline
+    "st_media_decode" -> realDecodeSql,
     "st_window_agg" ->
       """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
         | event_type, count(*) AS n_events,

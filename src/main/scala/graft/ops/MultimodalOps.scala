@@ -139,16 +139,24 @@ object MultimodalOps {
     * and phash = bits 32..63 set (bottom four block-rows brighter than
     * the mean) = 0xFFFFFFFF00000000 = -4294967296.
     */
-  def syntheticPng(docId: Long): Array[Byte] = {
-    val w = 16 + (docId % 8).toInt * 8
-    val h = 16 + (docId % 6).toInt * 8
-    // gray levels stay within 8-bit: a <= 179, so a+40 <= 219 < 256
-    val a = (docId % 160).toInt + 20
+  def syntheticPng(docId: Long): Array[Byte] =
+    twoBandPng(
+      w = 16 + (docId % 8).toInt * 8,
+      h = 16 + (docId % 6).toInt * 8,
+      // gray levels stay within 8-bit: a <= 179, so a+40 <= 219 < 256
+      a = (docId % 160).toInt + 20,
+      splitRow = (16 + (docId % 6).toInt * 8) / 2)
+
+  /** The shared two-band PNG synthesizer: rows above `splitRow` fill
+    * gray `a`, the rest `a+40` (caller keeps a ≤ 215 so both bands
+    * stay within 8 bits), encoded through the real PNG codec. */
+  private def twoBandPng(w: Int, h: Int, a: Int,
+      splitRow: Int): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
     var y = 0
     while (y < h) {
-      val v = if (y < h / 2) a else a + 40
+      val v = if (y < splitRow) a else a + 40
       val rgb = (v << 16) | (v << 8) | v
       var x = 0
       while (x < w) { img.setRGB(x, y, rgb); x += 1 }
@@ -170,8 +178,18 @@ object MultimodalOps {
     */
   def realMediaDecode(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val ids = Tables.load(spark, sfDir, "documents")
-      .select(col("doc_id")).as[Long]
+    realDecodeColumns(Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id")).as[Long])
+  }
+
+  /** The ONE real-image decode pipeline both execution modes share:
+    * ids → batched synthetic-PNG [[realDecode]] → the oracle's seven
+    * columns. [[realMediaDecode]] (batch) and the streaming
+    * `st_media_decode` call exactly this, so the "oracle shared
+    * verbatim" claim is structural — the paths cannot drift. */
+  def realDecodeColumns(
+      ids: org.apache.spark.sql.Dataset[Long]): DataFrame = {
+    import ids.sparkSession.implicits._
     ids
       .mapPartitions(_.grouped(64).flatMap(batch =>
         batch.map(id => realDecode(id, syntheticPng(id)))))
@@ -308,24 +326,10 @@ object MultimodalOps {
     * REAL average-hash collapses every frame to one of exactly two
     * phashes (bits 16..63 = -65536, bits 32..63 = -4294967296), the
     * collision structure a perceptual-hash dedup exists to find. */
-  def syntheticFramePng(docId: Long, frame: Int): Array[Byte] = {
-    val a = 20 + ((docId * 7 + frame * 13) % 160).toInt
-    val split = if ((docId + frame) % 2 == 0) 8 else 16
-    val img = new java.awt.image.BufferedImage(
-      32, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
-    var y = 0
-    while (y < 32) {
-      val v = if (y < split) a else a + 40
-      val rgb = (v << 16) | (v << 8) | v
-      var x = 0
-      while (x < 32) { img.setRGB(x, y, rgb); x += 1 }
-      y += 1
-    }
-    val baos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.setUseCache(false)
-    javax.imageio.ImageIO.write(img, "png", baos)
-    baos.toByteArray
-  }
+  def syntheticFramePng(docId: Long, frame: Int): Array[Byte] =
+    twoBandPng(w = 32, h = 32,
+      a = 20 + ((docId * 7 + frame * 13) % 160).toInt,
+      splitRow = if ((docId + frame) % 2 == 0) 8 else 16)
 
   /** Cross-video frame dedup over REALLY-decoded frames: every doc
     * contributes `1 + id%4` synthetic PNG frames, each decoded

@@ -566,31 +566,6 @@ object StreamingOps {
     * At 100 TB this is the landing-zone pattern for embeddings: codes
     * append to the stored index table per micro-batch (16 B/vector),
     * while training stays a deliberate offline act. */
-  /** Streaming REAL media decode (`st_media_decode`): the documents
-    * corpus arrives as a file stream and each micro-batch pushes its
-    * synthetic PNGs through the SAME batched `realDecode` boundary as
-    * the batch query — one codec path, both execution modes, so the
-    * `m_real_decode` oracle is shared VERBATIM (streaming is pure
-    * transport; the decode is stateless, no watermark needed). */
-  def mediaDecodeStream(spark: SparkSession, sfDir: String): DataFrame =
-    runSourceToMemory(spark,
-      s => {
-        val schema = s.read.parquet(s"$sfDir/documents.parquet").schema
-        s.readStream.schema(schema).parquet(s"$sfDir/documents.parquet*")
-      },
-      src => {
-        import src.sparkSession.implicits._
-        import graft.ops.MultimodalOps
-        src.select(col("doc_id").cast("long")).as[Long]
-          .mapPartitions(_.grouped(64).flatMap(batch =>
-            batch.map(id =>
-              MultimodalOps.realDecode(id, MultimodalOps.syntheticPng(id)))))
-          .toDF()
-          .select(col("doc_id"), col("decode_ok"), col("width"),
-            col("height"), col("channels"), col("format"), col("phash"))
-      },
-      OutputMode.Append())
-
   def annIngest(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.ops.SimilarityOps
     val cs = SimilarityOps.trainedCentroids(spark, sfDir)
@@ -609,6 +584,25 @@ object StreamingOps {
       SimilarityOps.withNorm(graft.Tables.load(spark, sfDir, "embeddings")),
       books, cs = cs, l2 = true, codedOverride = Some(streamedCodes))
   }
+
+  /** Streaming REAL media decode (`st_media_decode`): the documents
+    * corpus arrives as a file stream and each micro-batch runs
+    * [[graft.ops.MultimodalOps.realDecodeColumns]] — literally the
+    * batch query's pipeline — so the `m_real_decode` oracle is shared
+    * structurally, not by textual coincidence (streaming is pure
+    * transport; the decode is stateless, no watermark needed). */
+  def mediaDecodeStream(spark: SparkSession, sfDir: String): DataFrame =
+    runSourceToMemory(spark,
+      s => {
+        val schema = s.read.parquet(s"$sfDir/documents.parquet").schema
+        s.readStream.schema(schema).parquet(s"$sfDir/documents.parquet*")
+      },
+      src => {
+        import src.sparkSession.implicits._
+        graft.ops.MultimodalOps.realDecodeColumns(
+          src.select(col("doc_id").cast("long")).as[Long])
+      },
+      OutputMode.Append())
 
   // ---- streaming LWW merge ----
 

@@ -2435,10 +2435,16 @@ class SSTableBinarySpec extends SparkSpec {
       val files = java.nio.file.Files.list(dir).iterator().asScala.toSeq
       files.foreach { f =>
         val name = f.getFileName.toString
-        // graft-documents-ka-<gen>-<Comp> -> la-<gen>-big-<Comp>
-        val parts = name.split('-')
-        val renamed = s"la-${parts(3)}-big-${parts.drop(4).mkString("-")}"
-        java.nio.file.Files.move(f, f.getParent.resolve(renamed))
+        // Hadoop's LocalFileSystem leaves hidden '.name.crc' siblings;
+        // renaming those into VISIBLE bogus components would pollute
+        // the fixture (no real 2.2 directory has them) — drop instead
+        if (name.startsWith(".")) java.nio.file.Files.delete(f)
+        else {
+          // graft-documents-ka-<gen>-<Comp> -> la-<gen>-big-<Comp>
+          val parts = name.split('-')
+          val renamed = s"la-${parts(3)}-big-${parts.drop(4).mkString("-")}"
+          java.nio.file.Files.move(f, f.getParent.resolve(renamed))
+        }
       }
       val la = SSTableBinaryV2
         .readBinary(spark, dir.toString, Some(SSTableBinaryV2.Cql2x))
