@@ -295,4 +295,41 @@ class PropertySpec extends SparkSpec {
       } finally Scratch.delete(out)
     }
   }
+
+  test("media decoders TERMINATE and flag (never throw) on arbitrary and mutated bytes") {
+    import graft.ops.MultimodalOps
+    // one corrupt asset in a 100 TB media corpus must cost one
+    // flagged row, never a hung or killed task: every walker must
+    // return on ARBITRARY bytes and on single-byte mutations of its
+    // own valid containers (the shapes real bit-rot produces)
+    val genBytes = Gen.chooseNum(0, 512).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-128, 127).map(_.toByte))
+        .map(_.toArray))
+    def samples(seed: Long, n: Int): Seq[Array[Byte]] =
+      Gen.listOfN(n, genBytes)
+        .apply(Gen.Parameters.default, Seed(seed))
+        .getOrElse(sys.error("gen failed"))
+    for (b <- samples(7L, 200)) {
+      MultimodalOps.wavDecode(1L, b)
+      MultimodalOps.mp4Probe(1L, b)
+      MultimodalOps.realDecode(1L, b)
+    }
+    // mutations of VALID containers: flip one byte at every generated
+    // position; the decode either still succeeds or flags — no throw,
+    // no hang (the checksummed PNG may legitimately reject)
+    val positions = Gen.listOfN(120, Gen.chooseNum(0, 10000))
+      .apply(Gen.Parameters.default, Seed(11L))
+      .getOrElse(sys.error("gen failed"))
+    val wav = MultimodalOps.syntheticWav(9L)
+    val mp4 = MultimodalOps.syntheticMp4(9L)
+    val png = MultimodalOps.syntheticPng(9L)
+    for (p <- positions) {
+      def mutated(src: Array[Byte]): Array[Byte] = {
+        val c = src.clone(); c(p % c.length) = (c(p % c.length) ^ 0x41).toByte; c
+      }
+      MultimodalOps.wavDecode(9L, mutated(wav))
+      MultimodalOps.mp4Probe(9L, mutated(mp4))
+      MultimodalOps.realDecode(9L, mutated(png))
+    }
+  }
 }
