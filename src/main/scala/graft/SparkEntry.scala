@@ -154,6 +154,8 @@ object SparkEntry {
       (sources.SSTableBinaryV2.scrubAudit _),
     "src_sstable_metadata" ->
       (sources.SSTableMetadata.metadataAudit _),
+    "src_sstable_keycount" ->
+      (sources.SSTableMetadata.keyCountAudit _),
     "src_sstable_dump_export" ->
       (sources.SSTableDumpBridge.exportAudit _),
     "src_sstable_slice" -> (sources.SSTableBinaryV2.sliceAudit _),
@@ -2893,11 +2895,13 @@ object SparkEntry {
       | FROM d GROUP BY f)
       |SELECT sstable, n_partitions, min_writetime_us, min_ttl_s,
       | CAST(NULL AS VARCHAR) AS compressor,
-      | 7 AS n_components, 'plain' AS layout FROM g
+      | 7 AS n_components, n_partitions AS est_keys_hll,
+      | 'plain' AS layout FROM g
       |UNION ALL
       |SELECT sstable, n_partitions, min_writetime_us, min_ttl_s,
       | 'LZ4Compressor' AS compressor,
-      | 8 AS n_components, 'lz4' AS layout FROM g
+      | 8 AS n_components, n_partitions AS est_keys_hll,
+      | 'lz4' AS layout FROM g
       |UNION ALL
       |SELECT 'documents/graft-documents-ka-' || CAST(f + 1 AS VARCHAR)
       |  || '-Data.db' AS sstable,
@@ -2905,8 +2909,27 @@ object SparkEntry {
       | CAST(min(wt) AS BIGINT) AS min_writetime_us,
       | CAST(NULL AS INTEGER) AS min_ttl_s,
       | CAST(NULL AS VARCHAR) AS compressor,
-      | 4 AS n_components, 'ka' AS layout
+      | 4 AS n_components,
+      | CAST(count(*) AS BIGINT) AS est_keys_hll, 'ka' AS layout
       |FROM d GROUP BY f""".stripMargin,
+    // the key-count-estimation surface, sidecar-only: exact totals,
+    // the merged HLL++ estimate (sketches stay sparse ⇒ exact on the
+    // designed keys), the compaction-gain ratio over two identical
+    // generation sets (keep half ⇒ 0.5), and the sketchless demotion
+    // path (summary-estimate sum seeded from the reference's -1)
+    "src_sstable_keycount" -> """
+      |WITH d AS (SELECT doc_id % 4 AS f FROM documents),
+      |g AS (SELECT f, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY f),
+      |t AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+      |  CAST(sum(CAST(ceil(n / 128.0) AS BIGINT) * 128) AS BIGINT)
+      |    AS est,
+      |  CAST(count(*) AS BIGINT) AS nf FROM g)
+      |SELECT 'exact_total' AS figure, total AS value FROM t
+      |UNION ALL SELECT 'fallback_sum', 2 * est - 1 FROM t
+      |UNION ALL SELECT 'gain_x1000', CAST(500 AS BIGINT) FROM t
+      |UNION ALL SELECT 'merged_hll', total FROM t
+      |UNION ALL SELECT 'n_lost_index', nf FROM t
+      |UNION ALL SELECT 'sum_hll', 2 * total FROM t""".stripMargin,
     // the era-UPGRADE lifecycle: the 2.x oracle with (a) every TTL
     // nulled (the strip) and (b) PK_LIVENESS collapsed to pk-only
     // rows — a 2.x row marker on a cell-bearing row becomes the

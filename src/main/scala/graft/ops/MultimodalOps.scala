@@ -84,6 +84,7 @@ object MultimodalOps {
       javax.imageio.ImageIO.setUseCache(false) // no executor temp files
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(payload))
+      try {
       val readers = javax.imageio.ImageIO.getImageReaders(iis)
       if (!readers.hasNext) failed
       else {
@@ -128,6 +129,7 @@ object MultimodalOps {
             w, h, channels, fmt, phash)
         } finally reader.dispose()
       }
+      } finally if (iis != null) iis.close() // memory-backed but Closeable
     } catch { case scala.util.control.NonFatal(_) => failed }
   }
 
@@ -243,6 +245,10 @@ object MultimodalOps {
         // the walk forever) marks corrupt bytes: flag, don't hang
         if (sz > payload.length.toLong - o - 8) return failed
         if (id == "fmt ") {
+          // a PCM fmt chunk declares >= 16 bytes; a smaller declared
+          // size would make the reads below silently consume the NEXT
+          // chunk's bytes as format fields — corrupt, flag loudly
+          if (sz < 16) return failed
           if (u16(o + 8) != 1) return failed // PCM only
           channels = u16(o + 10)
           rate = u32(o + 12).toInt
@@ -436,11 +442,17 @@ object MultimodalOps {
   }
 
   /** Deterministic synthetic MP4 skeleton: `ftyp` (brand isom), a
-    * junk `free` box, `moov` holding `mvhd` (v0, timescale =
+    * junk `free` box, `moov` holding `mvhd` (timescale =
     * 1000 + (id%10)·100, duration = (5 + id%20)·timescale/10 ticks)
     * and 1 + id%3 empty `trak` boxes, then an opaque `mdat`. Every
     * probed field is doc_id arithmetic; the box framing is the real
-    * ISO layout (the junk boxes force a genuine walk). */
+    * ISO layout (the junk boxes force a genuine walk). Two framing
+    * variants rotate by doc_id so BOTH spec-only probe branches sit
+    * under the oracle's hash gate: id%4==1 writes a VERSION-1 mvhd
+    * (64-bit creation/modification/duration — the post-2038 layout),
+    * id%4==2 frames mdat with size32=1 + 64-bit LARGESIZE. A probe
+    * that misreads either yields wrong duration fields or a flagged
+    * row — both hash-visible. */
   def syntheticMp4(docId: Long): Array[Byte] = {
     val timescale = 1000L + (docId % 10) * 100L
     val durationTicks = (5L + docId % 20) * timescale / 10L
@@ -452,21 +464,42 @@ object MultimodalOps {
       out.put(name.getBytes("US-ASCII")); out.put(body)
       out.array()
     }
+    // ISO/IEC 14496-12 §4.2: size32 == 1 ⇒ the 64-bit largesize
+    // follows the type word
+    def box64(name: String, body: Array[Byte]): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(16 + body.length)
+      out.putInt(1)
+      out.put(name.getBytes("US-ASCII"))
+      out.putLong(16L + body.length)
+      out.put(body)
+      out.array()
+    }
     bos.write(box("ftyp",
       "isomiso2".getBytes("US-ASCII"))) // brand + compatible
     bos.write(box("free", Array.fill[Byte](7)(0x5f)))
-    val mvhd = {
-      val b = java.nio.ByteBuffer.allocate(100)
-      b.putInt(0)                      // version 0 + flags
-      b.putInt(0); b.putInt(0)         // creation/modification
-      b.putInt(timescale.toInt)
-      b.putInt(durationTicks.toInt)
-      box("mvhd", b.array())
-    }
+    val mvhd =
+      if (docId % 4 == 1) {
+        val b = java.nio.ByteBuffer.allocate(32)
+        b.putInt(0x01000000)             // version 1 + flags
+        b.putLong(0L); b.putLong(0L)     // creation/modification (64-bit)
+        b.putInt(timescale.toInt)
+        b.putLong(durationTicks)
+        box("mvhd", b.array())
+      } else {
+        val b = java.nio.ByteBuffer.allocate(100)
+        b.putInt(0)                      // version 0 + flags
+        b.putInt(0); b.putInt(0)         // creation/modification
+        b.putInt(timescale.toInt)
+        b.putInt(durationTicks.toInt)
+        box("mvhd", b.array())
+      }
     val traks = (0 until nTraks).map(i =>
       box("trak", Array.fill[Byte](4 + i)(0x74)))
     bos.write(box("moov", mvhd ++ traks.flatten))
-    bos.write(box("mdat", Array.fill[Byte]((docId % 32).toInt)(0x6d)))
+    val mdatBody = Array.fill[Byte]((docId % 32).toInt)(0x6d)
+    bos.write(
+      if (docId % 4 == 2) box64("mdat", mdatBody)
+      else box("mdat", mdatBody))
     bos.toByteArray
   }
 
@@ -482,6 +515,278 @@ object MultimodalOps {
       .toDF()
       .select(col("doc_id"), col("decode_ok"), col("major_brand"),
         col("timescale"), col("duration_ms"), col("n_tracks"))
+  }
+
+  /** Genuinely DECODED video: per-frame metadata off an MJPEG-in-AVI
+    * container. AVI is RIFF (the same walk [[wavDecode]] does, with
+    * LIST sub-containers) and MJPEG frames are plain JPEGs the JVM's
+    * own ImageIO reads — so unlike the MP4 probe (H.264 honestly
+    * isn't on a bare JVM) every frame here round-trips a REAL lossy
+    * codec and a REAL pixel hash. */
+  final case class AviMeta(
+      doc_id: Long,
+      n_bytes: Long,
+      decode_ok: Boolean,
+      /** avih dwMicroSecPerFrame — container timing, header-read. */
+      us_per_frame: Long,
+      /** `00dc` frames found AND successfully JPEG-decoded. */
+      n_frames: Int,
+      /** First decoded frame's real pixel dimensions. */
+      width: Int,
+      height: Int,
+      /** Distinct REAL phashes across the decoded frames — the
+        * dedup-relevant collision census ([[syntheticFrameJpeg]]
+        * designs exactly two classes; JPEG's loss on band-aligned
+        * flats must not smear them). */
+      n_phash_classes: Int)
+
+  /** Real MJPEG-AVI decode: verify `RIFF…AVI `, walk the chunk list
+    * (PUBLIC layout: `LIST` chunks carry a 4-byte list type then
+    * sub-chunks; `hdrl` holds `avih` with dwMicroSecPerFrame at
+    * body+0; `movi` holds the stream data, video frames tagged
+    * `00dc`/`00db`), JPEG-decode every frame through the SAME
+    * [[realDecode]] the image pipeline uses, and census their real
+    * phashes. Corrupt bytes — bad magic, lying chunk sizes,
+    * undecodable frames — yield a flagged row, never a hang or a
+    * batch kill (the RIFF walk's EOF/advance guards are shared with
+    * [[wavDecode]]'s, the property-pinned pattern). */
+  def aviDecode(docId: Long, payload: Array[Byte]): AviMeta = {
+    val failed = AviMeta(docId, payload.length.toLong,
+      decode_ok = false, 0L, 0, 0, 0, 0)
+    def u32(o: Int): Long =
+      (payload(o) & 0xffL) | ((payload(o + 1) & 0xffL) << 8) |
+        ((payload(o + 2) & 0xffL) << 16) | ((payload(o + 3) & 0xffL) << 24)
+    def tag(o: Int) = new String(payload, o, 4, "US-ASCII")
+    try {
+      if (payload.length < 12 || tag(0) != "RIFF" || tag(8) != "AVI ")
+        return failed
+      var usPerFrame = 0L
+      var frames = List.empty[RealMediaMeta]
+      // one walker for the top level and LIST bodies alike; depth
+      // bounds recursion on adversarial nesting
+      def walk(start: Int, end: Int, depth: Int): Unit = {
+        if (depth > 4) throw new java.io.EOFException("over-nested RIFF")
+        var o = start
+        while (o + 8 <= end) {
+          val id = tag(o); val sz = u32(o + 4)
+          if (sz > end.toLong - o - 8)
+            throw new java.io.EOFException(s"chunk $id size $sz")
+          val body = o + 8
+          if (id == "LIST" && sz >= 4) {
+            // list type word, then sub-chunks
+            walk(body + 4, body + sz.toInt, depth + 1)
+          } else if (id == "avih" && sz >= 4) {
+            usPerFrame = u32(body)
+          } else if ((id == "00dc" || id == "00db") && sz > 0) {
+            val frame = java.util.Arrays.copyOfRange(
+              payload, body, body + sz.toInt)
+            val m = realDecode(docId, frame)
+            if (!m.decode_ok)
+              throw new java.io.EOFException("undecodable frame")
+            frames ::= m
+          }
+          o += 8 + sz.toInt + (sz.toInt & 1) // chunks pad to even
+        }
+      }
+      walk(12, payload.length, 0)
+      if (usPerFrame == 0L || frames.isEmpty) return failed
+      val first = frames.last // frames was prepended
+      AviMeta(docId, payload.length.toLong, decode_ok = true,
+        usPerFrame, frames.size, first.width, first.height,
+        frames.map(_.phash).distinct.size)
+    } catch { case scala.util.control.NonFatal(_) => failed }
+  }
+
+  /** The frame-PNG design pushed through a REAL lossy codec: the same
+    * 32×32 two-band split-at-block-row-2-or-4 image as
+    * [[syntheticFramePng]], JPEG-encoded. The split row aligns with
+    * the 8×8 hash blocks and the bands sit ≥ 20 gray levels from the
+    * global mean, so JPEG's ±few-level error cannot flip a block's
+    * side of the threshold — the two designed phash classes
+    * (bits 16..63 / bits 32..63) survive the loss EXACTLY, which is
+    * the property a perceptual hash exists to have. */
+  def syntheticFrameJpeg(docId: Long, frame: Int): Array[Byte] = {
+    val w = 32; val h = 32
+    val a = 20 + ((docId * 7 + frame * 13) % 160).toInt
+    val splitRow = if ((docId + frame) % 2 == 0) 8 else 16
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      val v = if (y < splitRow) a else a + 40
+      val rgb = (v << 16) | (v << 8) | v
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.setUseCache(false)
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic synthetic MJPEG-AVI: `RIFF AVI ` holding
+    * `LIST hdrl (avih)` — dwMicroSecPerFrame = 40000 + (id%5)·10000 —
+    * a junk `JUNK` chunk (real muxers pad with them; a walker that
+    * assumes `movi` follows `hdrl` directly misreads), and
+    * `LIST movi` with 1 + id%4 JPEG `00dc` frames. */
+  def syntheticAvi(docId: Long): Array[Byte] = {
+    val usPerFrame = 40000L + (docId % 5) * 10000L
+    val nFrames = 1 + (docId % 4).toInt
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val pad = body.length & 1
+      val out = java.nio.ByteBuffer
+        .allocate(8 + body.length + pad)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put(id.getBytes("US-ASCII"))
+      out.putInt(body.length)
+      out.put(body)
+      out.array()
+    }
+    def list(listType: String, bodies: Array[Byte]*): Array[Byte] =
+      chunk("LIST", listType.getBytes("US-ASCII") ++ bodies.flatten)
+    val avih = {
+      val b = java.nio.ByteBuffer.allocate(56)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putInt(usPerFrame.toInt)       // dwMicroSecPerFrame
+      b.putInt(0); b.putInt(0); b.putInt(0)
+      b.putInt(nFrames)                // dwTotalFrames
+      chunk("avih", b.array())
+    }
+    val frames = (0 until nFrames).map(k =>
+      chunk("00dc", syntheticFrameJpeg(docId, k)))
+    val body = "AVI ".getBytes("US-ASCII") ++
+      list("hdrl", avih) ++
+      chunk("JUNK", Array.fill[Byte](11)(0x4a)) ++
+      list("movi", frames: _*)
+    chunk("RIFF", body)
+  }
+
+  /** Registered `m_avi_decode`: genuinely decoded VIDEO frames — the
+    * modality triple's last real-decode gap closed. Each document's
+    * MJPEG-AVI round-trips container walk → per-frame JPEG decode →
+    * real phash census; `id % 20 == 10` documents carry truncated
+    * bytes (flagged rows — per-file corrupt tolerance under the hash
+    * gate). The oracle replays every column from doc_id arithmetic:
+    * the phash-class count is 1 for single-class frame sets and 2
+    * otherwise — frame k's class is (id+k) parity, so only the frame
+    * count drives it (≥ 2 frames ⇒ both parities ⇒ 2). */
+  def aviMediaDecode(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ids = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id")).as[Long]
+    ids
+      .mapPartitions(_.grouped(64).flatMap(batch =>
+        batch.map { id =>
+          val bytes = syntheticAvi(id)
+          aviDecode(id,
+            if (id % 20 == 10) java.util.Arrays.copyOf(bytes, 40)
+            else bytes)
+        }))
+      .toDF()
+      .select(col("doc_id"), col("decode_ok"), col("us_per_frame"),
+        col("n_frames"), col("width"), col("height"),
+        col("n_phash_classes"))
+  }
+
+  /** One decoded-file row of the real-FILE ingestion path. */
+  final case class FileMediaMeta(
+      doc_id: Long,
+      modality: String,
+      decode_ok: Boolean,
+      width: Option[Int],
+      sample_rate: Option[Int],
+      duration_ms: Option[Long])
+
+  /** Write a deterministic on-disk asset tree — one PNG, one WAV and
+    * one MP4 file per `doc_id % 5 == 0` document (`img_<id>.png` /
+    * `aud_<id>.wav` / `vid_<id>.mp4`), with every `id % 20 == 10`
+    * document's files TRUNCATED to 40 bytes (the per-file corrupt
+    * case a real lake always has). Files are written DISTRIBUTEDLY
+    * (one task per id-bucket through the session Hadoop FS), the same
+    * sink discipline as the SSTable fixtures. Caller owns deletion. */
+  def writeAssetDir(spark: SparkSession,
+      sfDir: String): java.nio.file.Path = {
+    import spark.implicits._
+    val out = graft.Scratch.dir("graft-assets-")
+    val outStr = out.toString
+    val hconf = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sessionState.newHadoopConf()))
+    Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id").cast("long")).as[Long]
+      .filter((id: Long) => id % 5 == 0)
+      .groupByKey(id => (id % 8).toInt)
+      .mapGroups { (_, ids) =>
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          java.net.URI.create(outStr), hconf.value.value)
+        var n = 0
+        ids.foreach { id =>
+          def emit(name: String, bytes: Array[Byte]): Unit = {
+            val b =
+              if (id % 20 == 10) java.util.Arrays.copyOf(bytes, 40)
+              else bytes
+            val os = fs.create(new org.apache.hadoop.fs.Path(
+              s"$outStr/$name"), true)
+            try os.write(b) finally os.close()
+            n += 1
+          }
+          emit(s"img_$id.png", syntheticPng(id))
+          emit(s"aud_$id.wav", syntheticWav(id))
+          emit(s"vid_$id.mp4", syntheticMp4(id))
+        }
+        n
+      }
+      .collect() // per-bucket file counts; the bytes never leave executors
+    out
+  }
+
+  /** Registered `m_file_ingest`: the real-FILE multimodal ingestion
+    * boundary — `spark.read.format("binaryFile")` over an asset
+    * directory, feeding the SAME [[realDecode]]/[[wavDecode]]/
+    * [[mp4Probe]] functions the in-memory queries use (one decode
+    * pipeline, two ingestion modes — the `st_media_decode` argument
+    * again, now for files). `binaryFile` keeps whole files per row
+    * (the format is unsplittable — exactly right for opaque media
+    * payloads) and the decode stays in 64-payload batches inside
+    * `mapPartitions`. Truncated files yield flagged rows; the batch
+    * never dies. The oracle replays every column from doc_id
+    * arithmetic. At 100 TB this is the shape that matters: listing
+    * parallelizes over Spark's file index, payload bytes stream
+    * executor-side only, and a corrupt object costs one flagged row,
+    * not a job. */
+  def fileIngest(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = writeAssetDir(spark, sfDir)
+    val name = "(img|aud|vid)_(\\d+)\\.".r
+    val decoded = spark.read.format("binaryFile")
+      .load(dir.toString)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.grouped(64).flatMap(_.map { case (path, bytes) =>
+        val m = name.findFirstMatchIn(path.split('/').last)
+          .getOrElse(throw new IllegalArgumentException(
+            s"foreign file in the asset dir: $path"))
+        val id = m.group(2).toLong
+        m.group(1) match {
+          case "img" =>
+            val r = realDecode(id, bytes)
+            FileMediaMeta(id, "img", r.decode_ok,
+              if (r.decode_ok) Some(r.width) else None, None, None)
+          case "aud" =>
+            val r = wavDecode(id, bytes)
+            FileMediaMeta(id, "aud", r.decode_ok, None,
+              if (r.decode_ok) Some(r.sample_rate) else None, None)
+          case _ =>
+            val r = mp4Probe(id, bytes)
+            FileMediaMeta(id, "vid", r.decode_ok, None, None,
+              if (r.decode_ok) Some(r.duration_ms) else None)
+        }
+      }))
+      .toDF()
+      .localCheckpoint()
+    graft.Scratch.delete(dir)
+    decoded
   }
 
   /** Binary ingest → partition-wise batched decode → typed metadata.

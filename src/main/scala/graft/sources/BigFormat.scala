@@ -1011,40 +1011,94 @@ object BigFormat {
   def versionHasMetadataChecksum(version: String): Boolean =
     version.nonEmpty && version.charAt(0) >= 'n'
 
-  /** Statistics.db with the HEADER component, in MetadataSerializer's
-    * layout: component count, TOC of (type ordinal, offset) pairs,
-    * then each component's bytes. With `checksummed` (the n-series /
-    * 4.x layout) a CRC32 follows the count, the TOC and every
-    * component, and offsets account for those 4-byte words; the
-    * m-series / 3.x layout is the same stream without any checksum.
-    * Fixtures write the one component the scan needs; the reader walks
-    * the TOC, so real files carrying VALIDATION/COMPACTION/STATS as
-    * well parse identically (their components are never visited). */
-  def writeStats(header: Header, checksummed: Boolean = true): Array[Byte] = {
+  /** MetadataType.COMPACTION ordinal — the per-file HLL++ key-count
+    * sketch's slot in the Statistics.db TOC. */
+  val CompactionComponentOrdinal = 1
+
+  /** Statistics.db in MetadataSerializer's layout: component count,
+    * TOC of (type ordinal, offset) pairs, then each component's
+    * bytes. With `checksummed` (the n-series / 4.x layout) a CRC32
+    * follows the count, the TOC and every component, and offsets
+    * account for those 4-byte words; the m-series / 3.x layout is the
+    * same stream without any checksum. Components are the
+    * serialization HEADER the scan needs and — when the sink provides
+    * one — the COMPACTION key-count sketch
+    * ([[graft.sources.KeyCardinality]]); the TOC is written in
+    * ordinal order, as `MetadataSerializer` (an EnumMap walk) does.
+    * The reader walks the TOC, so real files carrying
+    * VALIDATION/STATS as well parse identically (their components are
+    * never visited). */
+  def writeStats(header: Header, checksummed: Boolean = true,
+      compaction: Option[Array[Byte]] = None): Array[Byte] = {
     val body = new ByteArrayOutputStream()
     writeHeaderComponent(header, new DataOutputStream(body))
-    val componentBytes = body.toByteArray
+    val components: Seq[(Int, Array[Byte])] =
+      compaction.map(CompactionComponentOrdinal -> _).toSeq :+
+        (HeaderComponentOrdinal -> body.toByteArray)
 
     val out = new ByteArrayOutputStream()
     val d = new DataOutputStream(out)
     val crc = new CRC32()
-    d.writeInt(1)
-    crcOfInt(crc, 1)
+    val n = components.size
+    d.writeInt(n)
+    crcOfInt(crc, n)
     if (checksummed) d.writeInt(crc.getValue.toInt)
-    val firstOffset = 4 + 8 * 1 + (if (checksummed) 2 * 4 else 0)
-    d.writeInt(HeaderComponentOrdinal)
-    crcOfInt(crc, HeaderComponentOrdinal)
-    d.writeInt(firstOffset)
-    crcOfInt(crc, firstOffset)
+    var offset = 4 + 8 * n + (if (checksummed) 2 * 4 else 0)
+    components.foreach { case (ordinal, bytes) =>
+      d.writeInt(ordinal)
+      crcOfInt(crc, ordinal)
+      d.writeInt(offset)
+      crcOfInt(crc, offset)
+      offset += bytes.length + (if (checksummed) 4 else 0)
+    }
     if (checksummed) d.writeInt(crc.getValue.toInt)
-    d.write(componentBytes)
-    if (checksummed) {
-      val ccrc = new CRC32()
-      ccrc.update(componentBytes)
-      d.writeInt(ccrc.getValue.toInt)
+    components.foreach { case (_, bytes) =>
+      d.write(bytes)
+      if (checksummed) {
+        val ccrc = new CRC32()
+        ccrc.update(bytes)
+        d.writeInt(ccrc.getValue.toInt)
+      }
     }
     d.flush()
     out.toByteArray
+  }
+
+  /** The COMPACTION component's bytes out of a modern Statistics.db
+    * (the `[int length][HyperLogLogPlus bytes]` body — framing parsed
+    * by [[graft.sources.KeyCardinality.readComponent]]), None when
+    * the TOC has no such entry — real lakes DO lack it
+    * (CASSANDRA-10676), and the inventory must degrade, not throw.
+    * In checksummed (n-series) files the component CRC is verified. */
+  def readCompaction(bytes: Array[Byte],
+      checksummed: Boolean = true): Option[Array[Byte]] = {
+    val in = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val count = in.readInt()
+    if (checksummed) in.readInt() // count CRC (verified by readStats)
+    var compOffset = -1
+    (0 until count).foreach { _ =>
+      val ordinal = in.readInt()
+      val offset = in.readInt()
+      if (ordinal == CompactionComponentOrdinal) compOffset = offset
+    }
+    if (compOffset < 0 || compOffset + 4 > bytes.length) None
+    else {
+      val len = java.nio.ByteBuffer.wrap(bytes, compOffset, 4).getInt
+      if (len < 0 || compOffset + 4L + len > bytes.length) None
+      else {
+        val end = compOffset + 4 + len
+        if (checksummed) {
+          require(end + 4 <= bytes.length,
+            "Statistics.db: COMPACTION component missing its checksum")
+          val ccrc = new CRC32()
+          ccrc.update(bytes, compOffset, 4 + len)
+          val stored = java.nio.ByteBuffer.wrap(bytes, end, 4).getInt
+          require(stored == ccrc.getValue.toInt,
+            "Statistics.db: COMPACTION component checksum mismatch")
+        }
+        Some(java.util.Arrays.copyOfRange(bytes, compOffset, end))
+      }
+    }
   }
 
   /** Parse Statistics.db far enough to return the serialization

@@ -586,6 +586,7 @@ object OldFormat {
     * the 3.x one WITHOUT checksums: int component count, then (int
     * type ordinal, int offset) pairs, then each component's bytes. */
   private val ValidationOrdinal = 0
+  private val CompactionOrdinal = 1
   private val StatsOrdinal = 2
 
   /** Serialize a 2.x ("ka") Statistics.db. Component layouts from the
@@ -607,8 +608,12 @@ object OldFormat {
     *   - `ValidationMetadata.ValidationMetadataSerializer`: UTF
     *     partitioner FQCN + double bloomFilterFPChance.
     * A VALIDATION component is written alongside STATS so the TOC has
-    * the realistic multi-component shape readers must seek through. */
-  def writeStats2x(s: Stats2x, nPartitions: Long): Array[Byte] = {
+    * the realistic multi-component shape readers must seek through;
+    * with `compaction` (the pre-3.0 `CompactionMetadata` body —
+    * ancestor list + HLL++ sketch, [[KeyCardinality.writeComponent2x]])
+    * a COMPACTION component joins them in ordinal order. */
+  def writeStats2x(s: Stats2x, nPartitions: Long,
+      compaction: Option[Array[Byte]] = None): Array[Byte] = {
     def histogram(out: DataOutputStream): Unit = {
       out.writeInt(1)
       out.writeLong(1L)          // single bucket offset
@@ -639,16 +644,43 @@ object OldFormat {
       out.writeBoolean(false)      // hasLegacyCounterShards
       out.flush(); bos.toByteArray
     }
+    val components: Seq[(Int, Array[Byte])] =
+      Seq(ValidationOrdinal -> validation) ++
+        compaction.map(CompactionOrdinal -> _).toSeq :+
+        (StatsOrdinal -> stats)
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
-    out.writeInt(2)
-    val tocLen = 4 + 2 * 8
-    out.writeInt(ValidationOrdinal); out.writeInt(tocLen)
-    out.writeInt(StatsOrdinal); out.writeInt(tocLen + validation.length)
-    out.write(validation)
-    out.write(stats)
+    out.writeInt(components.size)
+    var offset = 4 + components.size * 8
+    components.foreach { case (ordinal, bytes) =>
+      out.writeInt(ordinal); out.writeInt(offset)
+      offset += bytes.length
+    }
+    components.foreach { case (_, bytes) => out.write(bytes) }
     out.flush()
     bos.toByteArray
+  }
+
+  /** The COMPACTION component's bytes out of a 2.x Statistics.db
+    * (ancestors + sketch — framing parsed by
+    * [[KeyCardinality.readComponent]] with `oldEra = true`); None
+    * when the TOC has no such entry. The component's extent runs to
+    * the next TOC offset (components are laid out in TOC order), or
+    * to EOF when it is last. */
+  def readCompaction2x(bytes: Array[Byte], file: String)
+      : Option[Array[Byte]] = {
+    val in = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val count = in.readInt()
+    require(count >= 0 && count <= 16,
+      s"$file: absurd 2.x Statistics.db component count $count")
+    val toc = (0 until count).map(_ => (in.readInt(), in.readInt()))
+    toc.find(_._1 == CompactionOrdinal).map { case (_, offset) =>
+      require(offset >= 0 && offset <= bytes.length,
+        s"$file: 2.x COMPACTION offset $offset out of range")
+      val end = toc.map(_._2).filter(_ > offset)
+        .minOption.getOrElse(bytes.length)
+      java.util.Arrays.copyOfRange(bytes, offset, end)
+    }
   }
 
   /** Parse a 2.x Statistics.db far enough to return [[Stats2x]]: walk

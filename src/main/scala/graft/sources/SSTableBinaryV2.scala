@@ -505,7 +505,14 @@ object SSTableBinaryV2 {
       * the one-pass index stream is paid once per executor and every
       * later task gets summary economics (file-level token elision,
       * bounded point/split index reads) as if Summary.db existed. */
+    /** Memoized: up to three sites consult the summary per task
+      * (token-span elision, split alignment, point/split index reads);
+      * the getFileStatus RPC + parse are paid once per reader. */
+    private lazy val summaryMemo: Option[SSTableComponents.Summary] =
+      summaryOrRebuilt0()
     private def summaryOrRebuilt(): Option[SSTableComponents.Summary] =
+      summaryMemo
+    private def summaryOrRebuilt0(): Option[SSTableComponents.Summary] =
       if (!oldEra && hasSibling("-Summary.db"))
         Some(SSTableComponents.readSummary(
           readSibling(sibling("-Summary.db"))))
@@ -1559,7 +1566,10 @@ object SSTableBinaryV2 {
         }
         write(s"$version-$gen-big-Statistics.db",
           BigFormat.writeStats(header,
-            BigFormat.versionHasMetadataChecksum(version)))
+            BigFormat.versionHasMetadataChecksum(version),
+            compaction = Some(KeyCardinality.writeComponent(
+              KeyCardinality.sketchOf(parts.iterator.map(p =>
+                BigFormat.encodeValue(header.keyType, p.key)))))))
         (fileId, parts.length)
       }
       .collect() // 4-row fixture manifest; the data never leaves executors
@@ -1836,7 +1846,9 @@ object SSTableBinaryV2 {
         }.foldLeft(Int.MinValue)(_ max _)
         write("Statistics.db", OldFormat.writeStats2x(
           OldFormat.Stats2x(allTs.min, allTs.max, maxLdt,
-            sstableLevel = 0, repairedAt = 0L), index.size.toLong))
+            sstableLevel = 0, repairedAt = 0L), index.size.toLong,
+          compaction = Some(KeyCardinality.writeComponent2x(
+            KeyCardinality.sketchOf(index.iterator.map(_._1))))))
         (fileId, parts.length)
       }
       .collect()
@@ -2254,7 +2266,10 @@ object SSTableBinaryV2 {
         }
         write(s"nb-$gen-big-Data.db",
           BigFormat.writeDataFile(parts.toSeq, header))
-        write(s"nb-$gen-big-Statistics.db", BigFormat.writeStats(header))
+        write(s"nb-$gen-big-Statistics.db", BigFormat.writeStats(header,
+          compaction = Some(KeyCardinality.writeComponent(
+            KeyCardinality.sketchOf(parts.iterator.map(p =>
+              BigFormat.encodeValue(header.keyType, p.key)))))))
         (fileId, parts.length)
       }
       .collect()
@@ -2346,7 +2361,10 @@ object SSTableBinaryV2 {
         }
         write(s"nb-$gen-big-Data.db",
           BigFormat.writeDataFile(parts.toSeq, header))
-        write(s"nb-$gen-big-Statistics.db", BigFormat.writeStats(header))
+        write(s"nb-$gen-big-Statistics.db", BigFormat.writeStats(header,
+          compaction = Some(KeyCardinality.writeComponent(
+            KeyCardinality.sketchOf(parts.iterator.map(p =>
+              BigFormat.encodeValue(header.keyType, p.key)))))))
         (fileId, parts.length)
       }
       .collect()
@@ -2501,7 +2519,10 @@ object SSTableBinaryV2 {
         }
         write(s"nb-$gen-big-Data.db",
           BigFormat.writeDataFile(parts.toSeq, header))
-        write(s"nb-$gen-big-Statistics.db", BigFormat.writeStats(header))
+        write(s"nb-$gen-big-Statistics.db", BigFormat.writeStats(header,
+          compaction = Some(KeyCardinality.writeComponent(
+            KeyCardinality.sketchOf(parts.iterator.map(p =>
+              BigFormat.encodeValue(header.keyType, p.key)))))))
         (fileId, parts.length)
       }
       .collect()
@@ -3060,6 +3081,38 @@ object SSTableBinaryV2 {
     require(nIn + nWrap == full.count(),
       s"$dir: range + wrap-complement do not tile the ring " +
         s"($nIn + $nWrap vs ${full.count()})")
+    // the reference's per-range SAMPLED key estimate
+    // (`estimatedKeysForRanges`, `NoTTLReader.java:1289-1299`) off
+    // Summary.db alone, gated per generation against the EXACT
+    // in-range key count: a window of E consecutive index positions
+    // holds ⌊E/I⌋ or ⌈E/I⌉ marks, so the mark-count × interval
+    // estimate must land within ±interval of E (and ≥ 1, as the
+    // reference pins). Checked on the probe range, its wrap-around
+    // complement, and a 4× DOWNSAMPLED summary (in-place coarsening —
+    // no Index.db re-stream) whose slack widens by exactly the factor.
+    val keysByGen = full.select("sstable", "partition_key").distinct()
+      .collect().map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1).map { case (g, ks) => g -> ks.map(_._2) }
+    def gateRange(l: Long, h: Long, downsample: Int): Unit = {
+      val ests = SSTableMetadata
+        .describeRange(spark, dir, l, h, downsample)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val slack = 128L * downsample
+      keysByGen.foreach { case (g, ks) =>
+        val e = ks.count(k => {
+          val t = tok(k)
+          if (l <= h) t >= l && t <= h else t >= l || t <= h
+        })
+        val est = ests.getOrElse(g, sys.error(
+          s"$dir: generation $g missing from describeRange"))
+        require(est <= e + slack && est + slack > e && est >= 1,
+          s"$dir: per-range estimate $est for $g is outside " +
+            s"±$slack of the exact in-range count $e")
+      }
+    }
+    gateRange(lo, hi, downsample = 1)
+    gateRange(hi + 1, lo - 1, downsample = 1) // wrap-around form
+    gateRange(lo, hi, downsample = 4)
     // the AUTOMATIC form: a murmur3_token() predicate alone derives
     // the same range via the planner rule — pinned so a rule break
     // fails the oracle run

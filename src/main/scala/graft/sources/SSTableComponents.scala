@@ -397,6 +397,78 @@ object SSTableComponents {
       ((n + interval - 1) / interval).toInt, first, last)
   }
 
+  /** In-place summary DOWNSAMPLING: derive a coarser summary from an
+    * existing one WITHOUT touching Index.db — the memory-relief path
+    * `IndexSummaryManager` applies to cold sstables
+    * (`NoTTLReader.java:1062-1140` carries the downsample plumbing;
+    * `IndexSummaryBuilder.downsample` does the entry removal). This
+    * implements the divisor ladder (sampling level 128 → 128/factor):
+    * every `factor`-th retained mark keeps its key AND its Index.db
+    * position, so the result is IDENTICAL to a full
+    * [[rebuildSummary]] at `factor ×` the interval — with zero index
+    * IO, which is the point: a multi-GB Index.db never streams just
+    * to shrink its summary's memory. `sizeAtFullSampling` folds by
+    * the nested-ceiling identity ⌈n/(fI)⌉ = ⌈⌈n/I⌉/f⌉, so the
+    * est_keys_max bound stays exact-to-the-formula too. */
+  def downsampleSummary(s: Summary, factor: Int): Summary = {
+    require(factor >= 1, s"downsample factor must be >= 1, got $factor")
+    if (factor == 1) s
+    else Summary(
+      minIndexInterval = s.minIndexInterval * factor,
+      sampled = s.sampled.zipWithIndex
+        .collect { case (e, i) if i % factor == 0 => e },
+      sizeAtFullSampling = ((s.sizeAtFullSampling + factor - 1) / factor),
+      firstKey = s.firstKey, lastKey = s.lastKey)
+  }
+
+  /** `NoTTLReader.getSampleIndexesForRanges`
+    * (`NoTTLReader.java:1326-1366`): the summary-mark index spans
+    * [left, right] covered by each (start-exclusive, end-inclusive]
+    * TOKEN range, binary-searched over the marks' ring positions —
+    * O(log marks) per range, no index or data IO. A wrap-around
+    * range (left ≥ right — Cassandra's (x, x] is the FULL ring)
+    * unwraps into its two tail segments first, `Range.normalize`'s
+    * job in the reference. */
+  def sampleIndexesForRanges(s: Summary,
+      ranges: Seq[(Long, Long)]): Seq[(Int, Int)] = {
+    val toks = s.sampled.map(e => BigFormat.murmur3Token(e._1)).toArray
+    // first mark index with token > t (tokens are mark-sorted: the
+    // summary is sampled in ring order)
+    def upperBound(t: Long): Int = {
+      var lo = 0; var hi = toks.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (toks(mid) <= t) lo = mid + 1 else hi = mid
+      }
+      lo
+    }
+    val unwrapped = ranges.flatMap { case (l, r) =>
+      if (l < r) Seq((l, r))
+      else Seq((l, Long.MaxValue), (Long.MinValue, r)) // full ring too
+    }
+    unwrapped.flatMap { case (l, r) =>
+      val left = upperBound(l)          // start-exclusive
+      val right = upperBound(r) - 1     // end-inclusive
+      if (left >= toks.length || right < left) None
+      else Some((left, right))
+    }
+  }
+
+  /** `NoTTLReader.estimatedKeysForRanges` (`NoTTLReader.java:1289-1299`):
+    * marks inside the ranges × the effective index interval — an O(1)
+    * per-range key estimate off Summary.db alone, never Index.db. At
+    * full sampling the reference's
+    * `count × BASE_SAMPLING_LEVEL × minIndexInterval / samplingLevel`
+    * is `count × minIndexInterval`; a [[downsampleSummary]]'d summary
+    * carries its coarser interval, which IS that formula's sampling
+    * adjustment. Never less than 1, as the reference pins. */
+  def estimatedKeysForRanges(s: Summary,
+      ranges: Seq[(Long, Long)]): Long = {
+    val sampleKeyCount = sampleIndexesForRanges(s, ranges)
+      .map { case (l, r) => (r - l + 1).toLong }.sum
+    math.max(1L, sampleKeyCount * s.minIndexInterval)
+  }
+
   // =====================================================================
   // Digest.crc32 + TOC.txt
   // =====================================================================
@@ -475,9 +547,15 @@ object SSTableComponents {
       else writeSummary(sampled, index.size.toLong,
         index.head._1, index.last._1)
     val onDisk = if (dataOnDisk == null) dataBytes else dataOnDisk
+    // the COMPACTION key-count sketch every real write path collects
+    // (MetadataCollector.addKey per appended partition): hashes of
+    // the SAME encoded key bytes the index carries
+    val sketch = KeyCardinality.sketchOf(
+      index.iterator.map { case (key, _, _) => key })
     Seq(
       "Data.db" -> onDisk,
-      "Statistics.db" -> BigFormat.writeStats(header, checksummedStats),
+      "Statistics.db" -> BigFormat.writeStats(header, checksummedStats,
+        compaction = Some(KeyCardinality.writeComponent(sketch))),
       "Index.db" -> indexBytes,
       "Filter.db" -> writeFilter(bloom),
       "Summary.db" -> summary,

@@ -52,7 +52,15 @@ object SSTableMetadata {
         * O(1) partition-count BOUND read without touching Index.db
         * (what Cassandra itself estimates from); exact count is
         * `n_partitions`. */
-      est_keys_max: Option[Long] = None)
+      est_keys_max: Option[Long] = None,
+      /** The HLL++ key-count sketch's estimate, deserialized from the
+        * Statistics.db COMPACTION component ([[KeyCardinality]]) — the
+        * reference's PRIMARY per-file estimate
+        * (`NoTTLReader.getApproximateKeyCount`,
+        * `NoTTLReader.java:152-216`) and the ONLY count left standing
+        * when Index.db is lost. NULL when the component is absent
+        * (CASSANDRA-10676 lakes) or unparseable. */
+      est_keys_hll: Option[Long] = None)
 
   /** With `audit` (the registered query's mode), every generation's
     * token-order facts are cross-checked executor-side against an
@@ -62,13 +70,12 @@ object SSTableMetadata {
     * TIGHT upper bound on the exact count (`n <= est < n + interval`).
     * A wrong value throws, failing the ORACLE run — DuckDB can't
     * replay token order, but these invariants don't need it. */
-  def describe(spark: SparkSession, root: String,
-      audit: Boolean = false): DataFrame = {
-    import spark.implicits._
-    val hconf = new SerializableConfiguration(
-      spark.sessionState.newHadoopConf())
-    // driver: one recursive listing, grouped into generations
-    val fs = FileSystem.get(java.net.URI.create(root), hconf.value)
+  /** One recursive driver-side listing grouped into generations —
+    * catalog-sized, the same contract as the connector's planner. */
+  private def listGenerations(root: String,
+      conf: org.apache.hadoop.conf.Configuration)
+      : Seq[(String, Seq[String])] = {
+    val fs = FileSystem.get(java.net.URI.create(root), conf)
     val all = scala.collection.mutable.ArrayBuffer.empty[String]
     val it = fs.listFiles(new HPath(root), true)
     while (it.hasNext) {
@@ -76,15 +83,22 @@ object SSTableMetadata {
       if (f.isFile && !f.getPath.getName.startsWith("."))
         all += f.getPath.toString
     }
-    val byGen = all.groupBy { p =>
+    all.groupBy { p =>
       val name = p.split('/').last
       val comp = name.split('-').last
       p.stripSuffix("-" + comp)
-    }
-    val gens = byGen.collect {
+    }.collect {
       case (base, comps) if comps.exists(_.endsWith("-Data.db")) =>
         (base + "-Data.db", comps.toSeq.sorted)
     }.toSeq.sortBy(_._1)
+  }
+
+  def describe(spark: SparkSession, root: String,
+      audit: Boolean = false): DataFrame = {
+    import spark.implicits._
+    val hconf = new SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val gens = listGenerations(root, hconf.value)
     val bc = spark.sparkContext.broadcast(hconf)
     spark.createDataset(gens)
       .repartition(math.min(gens.size.max(1),
@@ -112,18 +126,29 @@ object SSTableMetadata {
       try in.readFully(0, buf) finally in.close()
       buf
     }
+    val statsBytes: Option[(String, Array[Byte])] =
+      comp("-Statistics.db").map(p => (p, readAll(p)))
     val header: Option[BigFormat.Header] =
       if (oldEra) None
-      else comp("-Statistics.db").map(p => BigFormat.readStats(
-        readAll(p), BigFormat.versionHasMetadataChecksum(version)))
+      else statsBytes.map { case (_, b) => BigFormat.readStats(
+        b, BigFormat.versionHasMetadataChecksum(version)) }
     // pre-3.0 Statistics.db: the 2.x StatsMetadata layout (what the
     // reference surfaces off its ka/la readers, NoTTLReader.java:
     // 1937-1945) carries min/max timestamps — but no TTL minima
     // (EncodingStats is a 3.0 invention), so min_ttl_s stays NULL
     val stats2x: Option[OldFormat.Stats2x] =
       if (!oldEra) None
-      else comp("-Statistics.db").map(p =>
-        OldFormat.readStats2x(readAll(p), p))
+      else statsBytes.map { case (p, b) => OldFormat.readStats2x(b, p) }
+    // the COMPACTION component's HLL++ sketch — both eras carry it in
+    // the same TOC'd container; absence or corrupt bytes degrade to
+    // NULL, the reference's own fallback posture (CASSANDRA-10676)
+    val sketch = statsBytes.flatMap { case (p, b) =>
+      (if (oldEra) OldFormat.readCompaction2x(b, p)
+       else BigFormat.readCompaction(
+         b, BigFormat.versionHasMetadataChecksum(version)))
+        .flatMap(KeyCardinality.readComponent(_, oldEra))
+    }
+    val estHll: Option[Long] = sketch.map(_.cardinality())
     // first/last entry keys captured during the same count stream —
     // the audit mode's independent ground truth for the Summary facts
     var idxFirst: Option[Array[Byte]] = None
@@ -174,6 +199,17 @@ object SSTableMetadata {
             s"exact count $n (interval ${s.minIndexInterval})")
       }
     }
+    // the sketch estimate must sit within HLL++(p=13)'s error bound of
+    // the streamed-Index.db exact count (rsd = 1.04/√8192 ≈ 1.15%;
+    // gated at 4×rsd — overwhelming-probability-true for any honest
+    // sketch over the file's real keys, false for a sketch that was
+    // not built from them)
+    if (audit) for (n <- nPartitions; est <- estHll) {
+      val tol = math.max(2.0, 4 * 0.0115 * n)
+      require(math.abs(est - n) <= tol,
+        s"$dataPath: est_keys_hll $est outside the HLL++ error bound " +
+          s"of the exact count $n (±$tol)")
+    }
     def renderKey(k: Array[Byte]): Option[String] =
       header.flatMap(h =>
         scala.util.Try(BigFormat.renderValue(h.keyType, k)).toOption)
@@ -191,7 +227,8 @@ object SSTableMetadata {
       first_key = summary.flatMap(s => renderKey(s.firstKey)),
       last_key = summary.flatMap(s => renderKey(s.lastKey)),
       est_keys_max = summary.map(s =>
-        s.sizeAtFullSampling.toLong * s.minIndexInterval))
+        s.sizeAtFullSampling.toLong * s.minIndexInterval),
+      est_keys_hll = estHll)
   }
 
   /** Registered `src_sstable_metadata`: the sidecar-only inventory
@@ -209,6 +246,193 @@ object SSTableMetadata {
     * match the independently streamed Index.db ground truth while the
     * row is produced — then dropped, since DuckDB cannot replay the
     * key rendering itself. */
+  private final case class SketchRow(
+      sstable: String,
+      sketch: Option[Array[Byte]],
+      est_keys_max: Option[Long],
+      n_exact: Option[Long])
+
+  /** Per-generation (COMPACTION sketch bytes, summary estimate, exact
+    * count) — the inputs of `getApproximateKeyCount` /
+    * `estimateCompactionGain`, gathered executor-side like
+    * [[describe]] (sidecars only; Data.db never opened). The caller
+    * collects: one KB-sized row per GENERATION, the same
+    * catalog-sized contract as the planner's listing. */
+  private def gatherSketches(spark: SparkSession, root: String)
+      : Seq[(Option[Array[Byte]], Option[Long], Option[Long])] = {
+    import spark.implicits._
+    val hconf = new SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val gens = listGenerations(root, hconf.value)
+    val bc = spark.sparkContext.broadcast(hconf)
+    spark.createDataset(gens)
+      .repartition(math.min(gens.size.max(1),
+        spark.sparkContext.defaultParallelism))
+      .map { case (dataPath, comps) =>
+        val m = describeOne(dataPath, comps, bc.value.value)
+        val conf = bc.value.value
+        val fsx = FileSystem.get(java.net.URI.create(dataPath), conf)
+        val version = SSTableBinaryV2.versionOf(dataPath.split('/').last)
+        val oldEra = version.nonEmpty && version.charAt(0) < 'm'
+        val base = dataPath.stripSuffix("-Data.db")
+        val sketchBytes = comps.find(_ == base + "-Statistics.db")
+          .flatMap { p =>
+            val st = fsx.getFileStatus(new HPath(p))
+            val buf = new Array[Byte](st.getLen.toInt)
+            val in = fsx.open(new HPath(p))
+            try in.readFully(0, buf) finally in.close()
+            if (oldEra) OldFormat.readCompaction2x(buf, p)
+            else BigFormat.readCompaction(
+              buf, BigFormat.versionHasMetadataChecksum(version))
+          }
+        SketchRow(m.sstable, sketchBytes, m.est_keys_max, m.n_partitions)
+      }
+      .collect()
+      .toSeq
+      .map(r => (r.sketch, r.est_keys_max, r.n_exact))
+  }
+
+  final case class RangeEstimate(
+      sstable: String,
+      /** `estimatedKeysForRanges` off Summary.db alone — the O(1)
+        * per-range key estimate the reference serves for repair /
+        * streaming size planning (`NoTTLReader.java:1289-1299`). */
+      est_keys_range: Long,
+      /** The summary marks consulted (post-downsample count). */
+      n_marks: Int)
+
+  /** Per-generation key estimates for an INCLUSIVE token range
+    * `[tokenLo, tokenHi]` (wrap-around when lo > hi, Cassandra ring
+    * semantics), computed from Summary.db ALONE — no Index.db, no
+    * Data.db: a 100 TB lake answers "how many keys does this node
+    * range hold" at sidecar cost. `downsample` > 1 first coarsens
+    * each summary IN PLACE ([[SSTableComponents.downsampleSummary]])
+    * — the estimate's granularity degrades by exactly the factor, the
+    * trade the reference's IndexSummaryManager makes under memory
+    * pressure. Generations without a modern Summary.db are skipped
+    * (the 2.x layout predates this serializer — same gate as
+    * [[describe]]). */
+  def describeRange(spark: SparkSession, root: String,
+      tokenLo: Long, tokenHi: Long, downsample: Int = 1): DataFrame = {
+    import spark.implicits._
+    val hconf = new SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val gens = listGenerations(root, hconf.value)
+    val bc = spark.sparkContext.broadcast(hconf)
+    // inclusive [lo, hi] as the reference's (start-exclusive,
+    // end-inclusive] ranges: (lo-1, hi], MIN-open when lo is the ring
+    // minimum (no Murmur3Partitioner key carries token MIN — the
+    // partitioner normalizes it away)
+    val ranges: Seq[(Long, Long)] =
+      if (tokenLo > tokenHi) // inclusive wrap: t >= lo OR t <= hi
+        Seq((tokenLo - 1, Long.MaxValue), (Long.MinValue, tokenHi))
+      else Seq((
+        if (tokenLo == Long.MinValue) Long.MinValue else tokenLo - 1,
+        tokenHi))
+    spark.createDataset(gens)
+      .repartition(math.min(gens.size.max(1),
+        spark.sparkContext.defaultParallelism))
+      .flatMap { case (dataPath, comps) =>
+        val conf = bc.value.value
+        val fs = FileSystem.get(java.net.URI.create(dataPath), conf)
+        val name = dataPath.split('/').last
+        val version = SSTableBinaryV2.versionOf(name)
+        val oldEra = version.nonEmpty && version.charAt(0) < 'm'
+        val base = dataPath.stripSuffix("-Data.db")
+        comps.find(_ == base + "-Summary.db").filter(_ => !oldEra)
+          .map { p =>
+            val st = fs.getFileStatus(new HPath(p))
+            val buf = new Array[Byte](st.getLen.toInt)
+            val in = fs.open(new HPath(p))
+            try in.readFully(0, buf) finally in.close()
+            val s = SSTableComponents.downsampleSummary(
+              SSTableComponents.readSummary(buf), downsample)
+            RangeEstimate(
+              dataPath.split('/').takeRight(2).mkString("/"),
+              SSTableComponents.estimatedKeysForRanges(s, ranges),
+              s.sampled.size)
+          }
+      }
+      .toDF()
+  }
+
+  /** Registered `src_sstable_keycount` — the reference's whole
+    * key-count-estimation surface exercised SIDECAR-ONLY over two
+    * generation sets of the same content:
+    *   - set A: intact (Index.db streamed → exact counts);
+    *   - set B: every Index.db DELETED — the lake where exact counting
+    *     is impossible and the sketch is the only count left standing.
+    * One row per figure, each replayed by the oracle from fixture
+    * arithmetic (the fixture's key sets keep the (13,25) sketch in its
+    * sparse — exact-by-construction — regime, so every estimate is a
+    * DETERMINISTIC function of the designed keys):
+    *   - `exact_total`   Σ n_partitions over A (B has none to stream)
+    *   - `n_lost_index`  generations whose exact count is NULL (B's)
+    *   - `merged_hll`    `getApproximateKeyCount(A ∪ B)` — all files
+    *     carry sketches, so the answer is the merged cardinality: the
+    *     DISTINCT key count (B duplicates A ⇒ = exact_total)
+    *   - `sum_hll`       Σ per-file cardinalities (2 × exact_total)
+    *   - `gain_x1000`    `estimateCompactionGain(A ∪ B)` × 1000 —
+    *     compacting two identical sets keeps half: 500
+    *   - `fallback_sum`  `getApproximateKeyCount` when ANY file lacks
+    *     a sketch (B's suppressed — the CASSANDRA-10676 demotion):
+    *     the summary-estimate sum SEEDED FROM -1, the reference's own
+    *     off-by-one (`NoTTLReader.java:154,211-214` — `count = -1`
+    *     then `count += estimatedKeys()`), mirrored quirk and all. */
+  def keyCountAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val in = SSTableBinaryV2.binaryFixtureShared(spark, sfDir)
+    val frame = SSTableBinaryV2.readBinary(spark, in)
+    val outA = graft.Scratch.dir("graft-keycount-a-")
+    val outB = graft.Scratch.dir("graft-keycount-b-")
+    SSTableBinaryV2.writeSSTables(frame, outA.toString,
+      "graft", "documents")
+    SSTableBinaryV2.writeSSTables(frame, outB.toString,
+      "graft", "documents")
+    val dirB = outB.resolve("graft").resolve("documents")
+    val ls = java.nio.file.Files.list(dirB)
+    try {
+      import scala.jdk.CollectionConverters._
+      ls.iterator().asScala
+        .filter(_.getFileName.toString.endsWith("-Index.db"))
+        .toSeq.foreach { f =>
+          java.nio.file.Files.delete(f)
+          java.nio.file.Files.deleteIfExists(
+            f.getParent.resolve("." + f.getFileName + ".crc"))
+        }
+    } finally ls.close()
+    val rows =
+      gatherSketches(spark, s"$outA/graft/documents") ++
+        gatherSketches(spark, s"$dirB")
+    graft.Scratch.delete(outA)
+    graft.Scratch.delete(outB)
+    val sketches = rows.map(_._1.flatMap(
+      KeyCardinality.readComponent(_, oldEra = false)))
+    require(sketches.forall(_.isDefined),
+      "key-count fixture: a generation lost its COMPACTION sketch")
+    val exactTotal = rows.flatMap(_._3).sum
+    val nLost = rows.count(_._3.isEmpty)
+    val merged = KeyCardinality.approximateKeyCount(
+      sketches.zip(rows).map { case (s, (_, est, _)) =>
+        (s, est.getOrElse(0L)) })
+    val sumHll = sketches.flatten.map(_.cardinality()).sum
+    val gain = KeyCardinality.compactionGain(sketches.flatten)
+    // the demotion path: B's sketches suppressed — every file must
+    // carry one for the merged answer, so the whole estimate falls
+    // back to summary sums (seeded from -1, the reference's quirk)
+    val fallback = KeyCardinality.approximateKeyCount(
+      sketches.zip(rows).zipWithIndex.map { case ((s, (_, est, _)), i) =>
+        (if (i < rows.size / 2) s else None, est.getOrElse(0L)) })
+    spark.createDataset(Seq(
+      ("exact_total", exactTotal),
+      ("fallback_sum", fallback),
+      ("gain_x1000", math.round(gain * 1000.0)),
+      ("merged_hll", merged),
+      ("n_lost_index", nLost.toLong),
+      ("sum_hll", sumHll)))
+      .toDF("figure", "value")
+  }
+
   def metadataAudit(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val in = SSTableBinaryV2.binaryFixtureShared(spark, sfDir)
