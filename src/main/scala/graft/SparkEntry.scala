@@ -297,6 +297,8 @@ object SparkEntry {
     "m_wav_decode" -> (MultimodalOps.wavMediaDecode _),
     "m_mp4_probe" -> (MultimodalOps.mp4MediaProbe _),
     "m_real_frame_dedup" -> (MultimodalOps.realFrameDedup _),
+    "m_avi_decode" -> (MultimodalOps.aviMediaDecode _),
+    "m_file_ingest" -> (MultimodalOps.fileIngest _),
     // --- structured streaming (SURVEY §7.2 step 7) ---
     "st_window_agg" -> (StreamingOps.windowAgg _),
     "st_window_append" -> (StreamingOps.windowAggAppend _),
@@ -3922,6 +3924,50 @@ object SparkEntry {
         | count(*) AS n_frames,
         | count(DISTINCT doc_id) AS n_docs
         |FROM f GROUP BY 1""".stripMargin,
+    // genuinely DECODED video: MJPEG frames inside a RIFF/AVI
+    // container, each JPEG round-tripping the real codec into the
+    // real 8×8 average hash. The two-band split row aligns with the
+    // hash blocks and keeps ≥ 20 gray levels of threshold margin, so
+    // JPEG's loss cannot smear the designed two phash classes — the
+    // census is again pure arithmetic. id%20==10 docs carry truncated
+    // bytes: flagged rows (zeros, the decoder's failed sentinel)
+    "m_avi_decode" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  doc_id % 20 = 10 AS corrupt FROM documents)
+        |SELECT doc_id, NOT corrupt AS decode_ok,
+        | CASE WHEN corrupt THEN 0
+        |   ELSE 40000 + (doc_id % 5) * 10000 END AS us_per_frame,
+        | CAST(CASE WHEN corrupt THEN 0
+        |   ELSE 1 + doc_id % 4 END AS INTEGER) AS n_frames,
+        | CAST(CASE WHEN corrupt THEN 0 ELSE 32 END AS INTEGER) AS width,
+        | CAST(CASE WHEN corrupt THEN 0 ELSE 32 END AS INTEGER) AS height,
+        | CAST(CASE WHEN corrupt THEN 0 WHEN doc_id % 4 = 0 THEN 1
+        |   ELSE 2 END AS INTEGER) AS n_phash_classes
+        |FROM d""".stripMargin,
+    // the real-FILE ingestion boundary: binaryFile over an on-disk
+    // asset tree (one png/wav/mp4 per id%5==0 doc, id%20==10 files
+    // truncated to 40 bytes), decoded by the SAME three codecs the
+    // in-memory queries use — every surviving field is doc_id
+    // arithmetic, corrupt files are flagged rows with NULL metrics
+    "m_file_ingest" ->
+      """WITH x AS (SELECT CAST(doc_id AS BIGINT) AS id,
+        |  doc_id % 20 = 10 AS corrupt
+        | FROM documents WHERE doc_id % 5 = 0 AND doc_id < 1000)
+        |SELECT id AS doc_id, 'img' AS modality, NOT corrupt AS decode_ok,
+        | CASE WHEN NOT corrupt
+        |   THEN CAST(16 + (id % 8) * 8 AS INTEGER) END AS width,
+        | CAST(NULL AS INTEGER) AS sample_rate,
+        | CAST(NULL AS BIGINT) AS duration_ms FROM x
+        |UNION ALL
+        |SELECT id, 'aud', NOT corrupt, CAST(NULL AS INTEGER),
+        | CASE WHEN NOT corrupt
+        |   THEN CAST(8000 + (id % 4) * 4000 AS INTEGER) END,
+        | CAST(NULL AS BIGINT) FROM x
+        |UNION ALL
+        |SELECT id, 'vid', NOT corrupt, CAST(NULL AS INTEGER),
+        | CAST(NULL AS INTEGER),
+        | CASE WHEN NOT corrupt
+        |   THEN CAST((5 + id % 20) * 100 AS BIGINT) END FROM x""".stripMargin,
     // the streaming form: the SAME binding as m_real_decode —
     // streaming is pure transport around the same codec pipeline
     "st_media_decode" -> realDecodeSql,

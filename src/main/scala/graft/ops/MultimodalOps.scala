@@ -698,13 +698,23 @@ object MultimodalOps {
       sample_rate: Option[Int],
       duration_ms: Option[Long])
 
+  /** The asset-tree membership rule, shared verbatim by the writer
+    * and the oracle: every fifth document, capped at id < 2000 so the
+    * FIXTURE's file count stays bounded as SF grows (fixture
+    * generation cost must not scale with the corpus — the OPERATOR
+    * under test is per-file and covered at any membership size;
+    * the cap is ≥ the whole id space at the verify SF). */
+  val AssetIdCap = 1000L
+
   /** Write a deterministic on-disk asset tree — one PNG, one WAV and
-    * one MP4 file per `doc_id % 5 == 0` document (`img_<id>.png` /
+    * one MP4 file per member document (`img_<id>.png` /
     * `aud_<id>.wav` / `vid_<id>.mp4`), with every `id % 20 == 10`
     * document's files TRUNCATED to 40 bytes (the per-file corrupt
     * case a real lake always has). Files are written DISTRIBUTEDLY
-    * (one task per id-bucket through the session Hadoop FS), the same
-    * sink discipline as the SSTable fixtures. Caller owns deletion. */
+    * (id-bucket tasks through the session Hadoop FS, checksum
+    * sidecars off — these are fixture payloads, not durable data),
+    * the same sink discipline as the SSTable fixtures. Caller owns
+    * deletion. */
   def writeAssetDir(spark: SparkSession,
       sfDir: String): java.nio.file.Path = {
     import spark.implicits._
@@ -715,11 +725,12 @@ object MultimodalOps {
         spark.sessionState.newHadoopConf()))
     Tables.load(spark, sfDir, "documents")
       .select(col("doc_id").cast("long")).as[Long]
-      .filter((id: Long) => id % 5 == 0)
-      .groupByKey(id => (id % 8).toInt)
+      .filter((id: Long) => id % 5 == 0 && id < AssetIdCap)
+      .groupByKey(id => (id % 32).toInt)
       .mapGroups { (_, ids) =>
         val fs = org.apache.hadoop.fs.FileSystem.get(
           java.net.URI.create(outStr), hconf.value.value)
+        fs.setWriteChecksum(false)
         var n = 0
         ids.foreach { id =>
           def emit(name: String, bytes: Array[Byte]): Unit = {

@@ -119,7 +119,9 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("mp4Probe: real ISO BMFF box walk — brand, mvhd, traks, largesize, junk boxes") {
-    for (id <- Seq(0L, 3L, 19L, 42L)) {
+    // ids cover all fixture framings: %4==1 → version-1 mvhd,
+    // %4==2 → 64-bit largesize mdat, else the v0/size32 base form
+    for (id <- Seq(0L, 1L, 3L, 19L, 42L)) {
       val m = MultimodalOps.mp4Probe(id, MultimodalOps.syntheticMp4(id))
       assert(m.decode_ok, s"doc $id")
       assert(m.major_brand === "isom")
@@ -162,6 +164,57 @@ class MultimodalSpec extends SparkSpec {
     val lying = MultimodalOps.syntheticMp4(1L)
     java.nio.ByteBuffer.wrap(lying).putInt(0, Int.MaxValue)
     assert(!MultimodalOps.mp4Probe(1L, lying).decode_ok)
+  }
+
+  test("aviDecode: MJPEG frames inside the RIFF/AVI container decode " +
+    "through the real JPEG codec into the designed phash classes") {
+    for (id <- Seq(0L, 1L, 5L, 23L)) {
+      val m = MultimodalOps.aviDecode(id, MultimodalOps.syntheticAvi(id))
+      assert(m.decode_ok, s"doc $id")
+      assert(m.us_per_frame === 40000 + (id % 5) * 10000)
+      assert(m.n_frames === 1 + (id % 4).toInt)
+      assert(m.width === 32 && m.height === 32)
+      // frame k's split row rides (id+k) parity: one frame → one
+      // class, more → exactly TWO — JPEG's loss must not smear them
+      assert(m.n_phash_classes === (if (id % 4 == 0) 1 else 2))
+    }
+    // corrupt shapes: bad magic, truncation, a lying chunk size, an
+    // undecodable frame — all flagged, never thrown, never hung
+    assert(!MultimodalOps.aviDecode(1L, Array[Byte](1, 2, 3)).decode_ok)
+    val valid = MultimodalOps.syntheticAvi(1L)
+    assert(!MultimodalOps.aviDecode(1L,
+      java.util.Arrays.copyOf(valid, 40)).decode_ok)
+    val lying = valid.clone()
+    // first LIST chunk's size dword → absurd
+    java.nio.ByteBuffer.wrap(lying)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(16, Int.MaxValue)
+    assert(!MultimodalOps.aviDecode(1L, lying).decode_ok)
+    // a WAV is valid RIFF but not AVI: flagged by the form type
+    assert(!MultimodalOps.aviDecode(1L,
+      MultimodalOps.syntheticWav(1L)).decode_ok)
+  }
+
+  test("fileIngest: binaryFile rows feed the same three codecs; " +
+    "truncated files flag per-file, never kill the batch") {
+    val df = MultimodalOps.fileIngest(spark, sfDir).collect()
+    val members = (0L until 500L).filter(id => id % 5 == 0)
+    assert(df.length === members.size * 3)
+    df.foreach { r =>
+      val id = r.getLong(0)
+      val corrupt = id % 20 == 10
+      assert(r.getBoolean(2) === !corrupt, s"doc $id decode_ok")
+      r.getString(1) match {
+        case "img" =>
+          if (!corrupt) assert(r.getInt(3) === 16 + (id % 8).toInt * 8)
+          else assert(r.isNullAt(3))
+        case "aud" =>
+          if (!corrupt) assert(r.getInt(4) === 8000 + (id % 4).toInt * 4000)
+          else assert(r.isNullAt(4))
+        case "vid" =>
+          if (!corrupt) assert(r.getLong(5) === (5 + id % 20) * 100)
+          else assert(r.isNullAt(5))
+      }
+    }
   }
 
   test("realMediaDecode: every synthetic PNG decodes through the real codec") {

@@ -313,6 +313,7 @@ class PropertySpec extends SparkSpec {
       MultimodalOps.wavDecode(1L, b)
       MultimodalOps.mp4Probe(1L, b)
       MultimodalOps.realDecode(1L, b)
+      MultimodalOps.aviDecode(1L, b)
     }
     // mutations of VALID containers: flip one byte at every generated
     // position; the decode either still succeeds or flags — no throw,
@@ -323,6 +324,7 @@ class PropertySpec extends SparkSpec {
     val wav = MultimodalOps.syntheticWav(9L)
     val mp4 = MultimodalOps.syntheticMp4(9L)
     val png = MultimodalOps.syntheticPng(9L)
+    val avi = MultimodalOps.syntheticAvi(9L)
     for (p <- positions) {
       def mutated(src: Array[Byte]): Array[Byte] = {
         val c = src.clone(); c(p % c.length) = (c(p % c.length) ^ 0x41).toByte; c
@@ -330,6 +332,7 @@ class PropertySpec extends SparkSpec {
       MultimodalOps.wavDecode(9L, mutated(wav))
       MultimodalOps.mp4Probe(9L, mutated(mp4))
       MultimodalOps.realDecode(9L, mutated(png))
+      MultimodalOps.aviDecode(9L, mutated(avi))
     }
   }
 }
