@@ -418,14 +418,27 @@ object RemoverCli {
       .orderBy("sstable").localCheckpoint()
     if (args.out.nonEmpty)
       df.coalesce(1).write.mode("overwrite").parquet(args.out)
-    val rows = df.collect()
-    println(formatInventory(
-      df.columns, rows.map(_.toSeq.map {
+    val n = df.count()
+    // terminal print is CAPPED: on a million-file lake the read-only
+    // tool must not format (or even collect) the whole catalog just
+    // to scroll it past a terminal — full fidelity lives in --out
+    val head = df.limit(InventoryPrintCap).collect()
+    val rendered = formatInventory(
+      df.columns, head.toSeq.map(_.toSeq.map {
         case null => "-"
         case v => v.toString
-      })))
-    rows.length.toLong
+      }))
+    println(
+      if (n > InventoryPrintCap)
+        rendered + s"\n… $n generations total; showing the first " +
+          s"$InventoryPrintCap (pass --out for the full inventory)"
+      else rendered)
+    n
   }
+
+  /** Most generations a terminal print renders; `--out` is the
+    * full-fidelity surface. */
+  val InventoryPrintCap = 50
 
   /** Pure aligned-table rendering for [[runInventory]] (testable
     * without capturing stdout). */

@@ -156,6 +156,8 @@ object SparkEntry {
       (sources.SSTableMetadata.metadataAudit _),
     "src_sstable_keycount" ->
       (sources.SSTableMetadata.keyCountAudit _),
+    "src_sstable_summary_budget" ->
+      (sources.SSTableMetadata.summaryBudgetAudit _),
     "src_sstable_dump_export" ->
       (sources.SSTableDumpBridge.exportAudit _),
     "src_sstable_slice" -> (sources.SSTableBinaryV2.sliceAudit _),
@@ -2914,6 +2916,29 @@ object SparkEntry {
       | 4 AS n_components,
       | CAST(count(*) AS BIGINT) AS est_keys_hll, 'ka' AS layout
       |FROM d GROUP BY f""".stripMargin,
+    // the IndexSummaryManager role: summaries resampled fine (the
+    // rebuild branch), then the budget-driven redistribution coarsens
+    // the coldest generations in place until HALF the marks fit. The
+    // greedy over designed read rates (1 + gen%3) lands factors
+    // (4,1,8,2) — closed-form stable across SF because equal-sized
+    // generations coarsen in rate-then-size-then-name order; the
+    // policy invariants are ALSO require-gated at any scale
+    "src_sstable_summary_budget" -> """
+      |WITH d AS (SELECT CAST(doc_id % 4 AS INTEGER) AS f,
+      |  count(*) AS n FROM documents GROUP BY 1),
+      |g AS (SELECT f + 1 AS gen,
+      |  CAST(ceil(n / 8.0) AS BIGINT) AS marks FROM d),
+      |x AS (SELECT 'documents/nb-' || CAST(gen AS VARCHAR)
+      |    || '-big-Data.db' AS sstable,
+      |  CAST(1 + gen % 3 AS INTEGER) AS rate,
+      |  marks AS marks_before,
+      |  CAST(CASE gen WHEN 1 THEN 4 WHEN 2 THEN 1 WHEN 3 THEN 8
+      |    ELSE 2 END AS INTEGER) AS factor
+      | FROM g)
+      |SELECT sstable, rate, marks_before, factor,
+      | CAST(ceil(marks_before / CAST(factor AS DOUBLE)) AS BIGINT)
+      |   AS marks_after
+      |FROM x""".stripMargin,
     // the key-count-estimation surface, sidecar-only: exact totals,
     // the merged HLL++ estimate (sketches stay sparse ⇒ exact on the
     // designed keys), the compaction-gain ratio over two identical

@@ -421,6 +421,64 @@ object SSTableComponents {
       firstKey = s.firstKey, lastKey = s.lastKey)
   }
 
+  /** `cloneWithNewSummarySamplingLevel`'s decision tree
+    * (`NoTTLReader.java:1062-1140`), interval-ladder form: a COARSER
+    * target derives from the existing summary in place (zero index
+    * IO — `IndexSummaryBuilder.downsample`'s branch); a FINER target,
+    * or one off the current ladder, needs entries the summary no
+    * longer holds and rebuilds from the streamed index
+    * (`buildSummaryAtLevel`'s branch); an equal target refuses, as
+    * the reference's AssertionError does. `index` is by-name: the
+    * downsample branch never opens it. */
+  def resampleSummary(current: Summary, targetInterval: Int,
+      index: => java.io.DataInputStream, oldEra: Boolean,
+      file: String): Summary = {
+    require(targetInterval != current.minIndexInterval,
+      s"$file: resample to the current interval $targetInterval is a bug")
+    if (targetInterval % current.minIndexInterval == 0)
+      downsampleSummary(current, targetInterval / current.minIndexInterval)
+    else
+      rebuildSummary(index, oldEra, file, targetInterval)
+  }
+
+  /** The `IndexSummaryManager` role over a generation set: fit the
+    * summaries into a memory budget by coarsening the COLDEST files
+    * first — in place, never re-streaming an index. Cost unit is
+    * summary MARKS (each mark is one key + offset entry; bytes are
+    * marks × entry size). Greedy and fully deterministic: while the
+    * pool overflows, double the factor of the lowest-read-rate file
+    * (ties: most marks after its current factor, then name) until the
+    * budget holds or everything sits at `maxFactor`. Returns the
+    * factor per file, ready for [[downsampleSummary]].
+    *
+    * At 100 TB this is the knob that keeps a million summaries
+    * resident: hot generations keep fine sampling (tight index
+    * reads), cold ones trade read width for memory — the same trade
+    * Cassandra's summary redistribution makes, expressed on the
+    * divisor ladder. */
+  def redistributeSummaries(
+      files: Seq[(String, Int, Double)], // (name, marks, readRate)
+      budgetMarks: Long,
+      maxFactor: Int = 8): Map[String, Int] = {
+    require(maxFactor >= 1 && Integer.bitCount(maxFactor) == 1,
+      s"maxFactor must be a power of two, got $maxFactor")
+    val factor = scala.collection.mutable.Map.empty[String, Int]
+    files.foreach { case (name, _, _) => factor(name) = 1 }
+    def marksAfter(f: (String, Int, Double)): Long =
+      (f._2 + factor(f._1) - 1L) / factor(f._1)
+    def total: Long = files.map(marksAfter).sum
+    var progress = true
+    while (total > budgetMarks && progress) {
+      val candidates = files.filter(f => factor(f._1) < maxFactor)
+      if (candidates.isEmpty) progress = false
+      else {
+        val pick = candidates.minBy(f => (f._3, -marksAfter(f), f._1))
+        factor(pick._1) *= 2
+      }
+    }
+    factor.toMap
+  }
+
   /** `NoTTLReader.getSampleIndexesForRanges`
     * (`NoTTLReader.java:1326-1366`): the summary-mark index spans
     * [left, right] covered by each (start-exclusive, end-inclusive]

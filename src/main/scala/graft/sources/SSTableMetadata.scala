@@ -356,6 +356,99 @@ object SSTableMetadata {
       .toDF()
   }
 
+  /** Registered `src_sstable_summary_budget` — the
+    * `IndexSummaryManager` role end-to-end: every generation's summary
+    * is first RESAMPLED to a fine off-ladder interval (8 — the
+    * rebuild branch of `cloneWithNewSummarySamplingLevel`'s decision
+    * tree, streamed from Index.db executor-side), then the
+    * budget-driven redistribution fits the pool into HALF its marks
+    * by coarsening the coldest generations first — in place, zero
+    * further index IO ([[SSTableComponents.redistributeSummaries]]).
+    * Read rates are designed per generation (1 + gen%3), so the
+    * greedy's outcome is pure arithmetic the oracle replays; in-query
+    * requires pin the policy's invariants at ANY scale: the budget
+    * holds (or everything sits at maxFactor), factors are ladder
+    * powers, a colder file never keeps finer sampling than an
+    * equally-sized hotter one, and each downsampled summary's mark
+    * count is exactly ⌈before/factor⌉. */
+  def summaryBudgetAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val in = SSTableBinaryV2.binaryFixtureShared(spark, sfDir)
+    val frame = SSTableBinaryV2.readBinary(spark, in)
+    val out = graft.Scratch.dir("graft-sumbudget-")
+    SSTableBinaryV2.writeSSTables(frame, out.toString,
+      "graft", "documents")
+    val root = s"$out/graft/documents"
+    val hconf = new SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val gens = listGenerations(root, hconf.value)
+    val bc = spark.sparkContext.broadcast(hconf)
+    // executor-side: resample each generation to interval 8 — finer
+    // than the written ladder, so the decision tree MUST take the
+    // streamed-rebuild branch (the downsample branch would refuse)
+    val fine: Seq[(String, Array[Byte])] = spark.createDataset(gens)
+      .repartition(math.min(gens.size.max(1),
+        spark.sparkContext.defaultParallelism))
+      .map { case (dataPath, comps) =>
+        val conf = bc.value.value
+        val fs = FileSystem.get(java.net.URI.create(dataPath), conf)
+        val base = dataPath.stripSuffix("-Data.db")
+        def readAll(p: String): Array[Byte] = {
+          val st = fs.getFileStatus(new HPath(p))
+          val buf = new Array[Byte](st.getLen.toInt)
+          val inS = fs.open(new HPath(p))
+          try inS.readFully(0, buf) finally inS.close()
+          buf
+        }
+        val current = SSTableComponents.readSummary(
+          readAll(base + "-Summary.db"))
+        val idx = fs.open(new HPath(base + "-Index.db"))
+        val s = try SSTableComponents.resampleSummary(current, 8,
+          new java.io.DataInputStream(
+            new java.io.BufferedInputStream(idx, 64 * 1024)),
+          oldEra = false, dataPath)
+        finally idx.close()
+        (dataPath.split('/').takeRight(2).mkString("/"),
+          SSTableComponents.writeSummary(s.sampled,
+            s.sizeAtFullSampling.toLong * s.minIndexInterval,
+            s.firstKey, s.lastKey, s.minIndexInterval))
+      }
+      .collect().toSeq.sortBy(_._1)
+    graft.Scratch.delete(out)
+    def genOf(name: String): Int =
+      "\\d+".r.findFirstIn(name.split('/').last).get.toInt
+    val withRate = fine.map { case (name, bytes) =>
+      val s = SSTableComponents.readSummary(bytes)
+      (name, s, 1.0 + genOf(name) % 3)
+    }
+    val budget = (withRate.map(_._2.sampled.size.toLong).sum + 1) / 2
+    val factors = SSTableComponents.redistributeSummaries(
+      withRate.map { case (n, s, r) => (n, s.sampled.size, r) },
+      budget)
+    val rows = withRate.map { case (name, s, rate) =>
+      val f = factors(name)
+      val down = SSTableComponents.downsampleSummary(s, f)
+      require(down.sampled.size ==
+        (s.sampled.size + f - 1) / f,
+        s"$name: downsample marks ${down.sampled.size} != " +
+          s"ceil(${s.sampled.size}/$f)")
+      (name, rate.toInt, s.sampled.size.toLong, f, down.sampled.size.toLong)
+    }
+    val after = rows.map(_._5).sum
+    require(after <= budget || rows.forall(_._4 == 8),
+      s"redistribution missed the budget: $after > $budget")
+    rows.foreach { case (_, _, _, f, _) =>
+      require(f >= 1 && f <= 8 && Integer.bitCount(f) == 1,
+        s"factor $f off the ladder") }
+    // a colder file never keeps finer sampling than an equally-sized
+    // hotter one — the policy's whole point
+    for ((_, ra, ma, fa, _) <- rows; (_, rb, mb, fb, _) <- rows
+         if ma == mb && ra < rb)
+      require(fa >= fb, s"colder factor $fa < hotter $fb at equal size")
+    spark.createDataset(rows)
+      .toDF("sstable", "rate", "marks_before", "factor", "marks_after")
+  }
+
   /** Registered `src_sstable_keycount` — the reference's whole
     * key-count-estimation surface exercised SIDECAR-ONLY over two
     * generation sets of the same content:

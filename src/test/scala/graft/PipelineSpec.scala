@@ -364,6 +364,32 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("CLI --inventory print caps at InventoryPrintCap rows on large " +
+    "catalogs; the count and --out keep full fidelity") {
+    val dir = Scratch.dir("graft-clibig-")
+    try {
+      val n = RemoverCli.InventoryPrintCap + 7
+      (1 to n).foreach { g =>
+        java.nio.file.Files.write(
+          dir.resolve(f"nb-$g%03d-big-Data.db"),
+          Array.fill[Byte](8)(0x22))
+      }
+      val args = RemoverCli.parse(Array("--inventory", "true",
+        "--in", dir.toString)).fold(e => fail(e), identity)
+      val buf = new java.io.ByteArrayOutputStream()
+      val count = Console.withOut(new java.io.PrintStream(buf, true)) {
+        RemoverCli.run(spark, args)
+      }
+      assert(count === n.toLong, "the returned count is the FULL catalog")
+      val printed = buf.toString("UTF-8")
+      val dataLines = printed.linesIterator
+        .count(_.contains("-big-Data.db"))
+      assert(dataLines === RemoverCli.InventoryPrintCap)
+      assert(printed.contains(s"$n generations total"))
+      assert(printed.contains("--out for the full inventory"))
+    } finally Scratch.delete(dir)
+  }
+
   test("RemoverCli.parse validates flags like the reference CLI") {
     // happy path with defaults
     val ok = RemoverCli.parse(Array(

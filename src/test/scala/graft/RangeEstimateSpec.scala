@@ -60,6 +60,48 @@ class RangeEstimateSpec extends AnyFunSuite {
     assert(covered.sorted === (0 until s.sampled.size).toVector)
   }
 
+  test("resampleSummary takes the reference's decision tree: coarser " +
+    "in place (index NEVER opened), finer via streamed rebuild, " +
+    "equal refused") {
+    val fine = rebuilt(8)
+    // coarser: the by-name index thunk must never be forced
+    val down = SSTableComponents.resampleSummary(fine, 32,
+      sys.error("the downsample branch must not open the index"),
+      oldEra = false, "spec")
+    assert(down.minIndexInterval === 32)
+    assert(down.sampled.size === rebuilt(32).sampled.size)
+    // finer (and off-ladder): rebuilds from the stream
+    val finer = SSTableComponents.resampleSummary(rebuilt(32), 8,
+      new java.io.DataInputStream(
+        new java.io.ByteArrayInputStream(indexBytes)),
+      oldEra = false, "spec")
+    assert(finer.sampled.size === fine.sampled.size)
+    // equal: the reference's AssertionError posture
+    intercept[IllegalArgumentException] {
+      SSTableComponents.resampleSummary(fine, 8,
+        sys.error("unused"), oldEra = false, "spec")
+    }
+  }
+
+  test("redistributeSummaries coarsens the coldest first, respects " +
+    "the ladder cap, and stops when the budget holds") {
+    import SSTableComponents.redistributeSummaries
+    val files = Seq(("a", 16, 2.0), ("b", 16, 3.0),
+      ("c", 16, 1.0), ("d", 16, 2.0))
+    // roomy budget: nobody coarsens
+    assert(redistributeSummaries(files, 64).values.forall(_ == 1))
+    // half budget: the traced greedy — c (coldest) to the cap, then
+    // the rate-2 pair by size-then-name, b (hottest) untouched
+    assert(redistributeSummaries(files, 32) ===
+      Map("a" -> 4, "b" -> 1, "c" -> 8, "d" -> 2))
+    // impossible budget: everything lands on the cap, loop terminates
+    assert(redistributeSummaries(files, 1).values.forall(_ == 8))
+    // a larger cold file coarsens before a smaller equally-cold one
+    val skewed = Seq(("big", 64, 1.0), ("small", 8, 1.0))
+    val f = redistributeSummaries(skewed, 40)
+    assert(f("big") === 2 && f("small") === 1)
+  }
+
   test("in-place downsampling equals a full rebuild at the coarser " +
     "interval — marks, positions, size and round-trip, no index IO") {
     val fine = rebuilt(8)
