@@ -3952,7 +3952,7 @@ object SparkEntry {
     // genuinely DECODED video: MJPEG frames inside a RIFF/AVI
     // container, each JPEG round-tripping the real codec into the
     // real 8×8 average hash. The two-band split row aligns with the
-    // hash blocks and keeps ≥ 20 gray levels of threshold margin, so
+    // hash blocks and keeps ≥ 10 gray levels of threshold margin (vs JPEG's ±1-2 on flat block-aligned bands), so
     // JPEG's loss cannot smear the designed two phash classes — the
     // census is again pure arithmetic. id%20==10 docs carry truncated
     // bytes: flagged rows (zeros, the decoder's failed sentinel)

@@ -600,11 +600,13 @@ object MultimodalOps {
   /** The frame-PNG design pushed through a REAL lossy codec: the same
     * 32×32 two-band split-at-block-row-2-or-4 image as
     * [[syntheticFramePng]], JPEG-encoded. The split row aligns with
-    * the 8×8 hash blocks and the bands sit ≥ 20 gray levels from the
-    * global mean, so JPEG's ±few-level error cannot flip a block's
-    * side of the threshold — the two designed phash classes
-    * (bits 16..63 / bits 32..63) survive the loss EXACTLY, which is
-    * the property a perceptual hash exists to have. */
+    * the 8×8 hash blocks and every band sits ≥ 10 gray levels from
+    * the global mean (splitRow 8: bands at mean−30/mean+10;
+    * splitRow 16: mean±20), so JPEG's ±1-2-level error on flat
+    * block-aligned bands cannot flip a block's side of the
+    * threshold — the two designed phash classes (bits 16..63 /
+    * bits 32..63) survive the loss EXACTLY, which is the property a
+    * perceptual hash exists to have. */
   def syntheticFrameJpeg(docId: Long, frame: Int): Array[Byte] = {
     val w = 32; val h = 32
     val a = 20 + ((docId * 7 + frame * 13) % 160).toInt
@@ -699,11 +701,12 @@ object MultimodalOps {
       duration_ms: Option[Long])
 
   /** The asset-tree membership rule, shared verbatim by the writer
-    * and the oracle: every fifth document, capped at id < 2000 so the
-    * FIXTURE's file count stays bounded as SF grows (fixture
+    * and the oracle: every fifth document with id below this cap, so
+    * the FIXTURE's file count stays bounded as SF grows (fixture
     * generation cost must not scale with the corpus — the OPERATOR
-    * under test is per-file and covered at any membership size;
-    * the cap is ≥ the whole id space at the verify SF). */
+    * under test is per-file and covered at any membership size; the
+    * cap is ≥ the whole id space at the verify SF). Mirrored in the
+    * `m_file_ingest` oracle SQL — change BOTH or neither. */
   val AssetIdCap = 1000L
 
   /** Write a deterministic on-disk asset tree — one PNG, one WAV and

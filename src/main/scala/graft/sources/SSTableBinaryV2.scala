@@ -3097,7 +3097,10 @@ object SSTableBinaryV2 {
       val ests = SSTableMetadata
         .describeRange(spark, dir, l, h, downsample)
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      val slack = 128L * downsample
+      // a wrap-around range unwraps into TWO mark windows whose
+      // ±interval overshoots ADD — the bound doubles with the window
+      // count, not with the range's width
+      val slack = 128L * downsample * (if (l <= h) 1 else 2)
       keysByGen.foreach { case (g, ks) =>
         val e = ks.count(k => {
           val t = tok(k)

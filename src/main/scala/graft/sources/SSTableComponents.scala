@@ -462,19 +462,40 @@ object SSTableComponents {
       maxFactor: Int = 8): Map[String, Int] = {
     require(maxFactor >= 1 && Integer.bitCount(maxFactor) == 1,
       s"maxFactor must be a power of two, got $maxFactor")
+    def after(marks: Int, f: Int): Long = (marks + f - 1L) / f
+    // heap-driven: the pool total updates incrementally and each file
+    // keeps exactly one live heap entry (re-queued at its new factor
+    // after a doubling, dropped once capped) — O((n + steps)·log n),
+    // the shape the million-summary claim requires, not an O(n²)
+    // rescan per doubling
+    final case class Cand(name: String, marks: Int, rate: Double,
+        factor: Int)
+    // PriorityQueue dequeues the MAX: invert (rate asc, marksAfter
+    // desc, name asc) into the heap's comparison
+    val ord = new Ordering[Cand] {
+      def compare(a: Cand, b: Cand): Int = {
+        val r = java.lang.Double.compare(b.rate, a.rate)
+        if (r != 0) r
+        else {
+          val m = java.lang.Long.compare(
+            after(a.marks, a.factor), after(b.marks, b.factor))
+          if (m != 0) m else b.name.compareTo(a.name)
+        }
+      }
+    }
     val factor = scala.collection.mutable.Map.empty[String, Int]
     files.foreach { case (name, _, _) => factor(name) = 1 }
-    def marksAfter(f: (String, Int, Double)): Long =
-      (f._2 + factor(f._1) - 1L) / factor(f._1)
-    def total: Long = files.map(marksAfter).sum
-    var progress = true
-    while (total > budgetMarks && progress) {
-      val candidates = files.filter(f => factor(f._1) < maxFactor)
-      if (candidates.isEmpty) progress = false
-      else {
-        val pick = candidates.minBy(f => (f._3, -marksAfter(f), f._1))
-        factor(pick._1) *= 2
-      }
+    var total = files.map { case (_, marks, _) => after(marks, 1) }.sum
+    val pq = scala.collection.mutable.PriorityQueue(
+      files.map { case (n, m, r) => Cand(n, m, r, 1) }: _*)(ord)
+    while (total > budgetMarks && pq.nonEmpty) {
+      val c = pq.dequeue()
+      if (c.factor < maxFactor) {
+        val nf = c.factor * 2
+        total += after(c.marks, nf) - after(c.marks, c.factor)
+        factor(c.name) = nf
+        pq.enqueue(c.copy(factor = nf))
+      } // capped entries drop; the loop ends when everything has
     }
     factor.toMap
   }

@@ -142,13 +142,10 @@ object SSTableMetadata {
     // the COMPACTION component's HLL++ sketch — both eras carry it in
     // the same TOC'd container; absence or corrupt bytes degrade to
     // NULL, the reference's own fallback posture (CASSANDRA-10676)
-    val sketch = statsBytes.flatMap { case (p, b) =>
-      (if (oldEra) OldFormat.readCompaction2x(b, p)
-       else BigFormat.readCompaction(
-         b, BigFormat.versionHasMetadataChecksum(version)))
-        .flatMap(KeyCardinality.readComponent(_, oldEra))
-    }
-    val estHll: Option[Long] = sketch.map(_.cardinality())
+    val estHll: Option[Long] = statsBytes
+      .flatMap { case (p, b) => compactionBytes(b, p, version, oldEra) }
+      .flatMap(KeyCardinality.readComponent(_, oldEra))
+      .map(_.cardinality())
     // first/last entry keys captured during the same count stream —
     // the audit mode's independent ground truth for the Summary facts
     var idxFirst: Option[Array[Byte]] = None
@@ -246,6 +243,15 @@ object SSTableMetadata {
     * match the independently streamed Index.db ground truth while the
     * row is produced — then dropped, since DuckDB cannot replay the
     * key rendering itself. */
+  /** The COMPACTION component's raw bytes out of a Statistics.db —
+    * the era-dispatched extraction [[describeOne]] and
+    * [[gatherSketches]] share. */
+  private def compactionBytes(stats: Array[Byte], file: String,
+      version: String, oldEra: Boolean): Option[Array[Byte]] =
+    if (oldEra) OldFormat.readCompaction2x(stats, file)
+    else BigFormat.readCompaction(
+      stats, BigFormat.versionHasMetadataChecksum(version))
+
   private final case class SketchRow(
       sstable: String,
       sketch: Option[Array[Byte]],
@@ -281,9 +287,7 @@ object SSTableMetadata {
             val buf = new Array[Byte](st.getLen.toInt)
             val in = fsx.open(new HPath(p))
             try in.readFully(0, buf) finally in.close()
-            if (oldEra) OldFormat.readCompaction2x(buf, p)
-            else BigFormat.readCompaction(
-              buf, BigFormat.versionHasMetadataChecksum(version))
+            compactionBytes(buf, p, version, oldEra)
           }
         SketchRow(m.sstable, sketchBytes, m.est_keys_max, m.n_partitions)
       }
@@ -421,6 +425,20 @@ object SSTableMetadata {
       val s = SSTableComponents.readSummary(bytes)
       (name, s, 1.0 + genOf(name) % 3)
     }
+    // the oracle replays the greedy CLOSED-FORM, which is valid only
+    // when the four generations' mark counts are equal and the count
+    // is in the regime where ⌈m/2⌉+⌈m/4⌉+⌈m/8⌉ ≤ m (every m ≥ 24 and
+    // every multiple of 4 — both verify corpora and anything larger;
+    // only tiny odd corpora fall outside). Gate the PRECONDITION
+    // loudly instead of letting a drifted fixture surface as a silent
+    // oracle hash mismatch.
+    val markCounts = withRate.map(_._2.sampled.size).distinct
+    require(markCounts.size == 1 &&
+      (markCounts.head % 4 == 0 || markCounts.head >= 24),
+      s"summary-budget fixture precondition broken: per-generation " +
+        s"marks ${withRate.map(_._2.sampled.size).mkString(",")} must " +
+        "be equal and (≥ 24 or a multiple of 4) for the closed-form " +
+        "oracle")
     val budget = (withRate.map(_._2.sampled.size.toLong).sum + 1) / 2
     val factors = SSTableComponents.redistributeSummaries(
       withRate.map { case (n, s, r) => (n, s.sampled.size, r) },

@@ -197,8 +197,13 @@ class MultimodalSpec extends SparkSpec {
   test("fileIngest: binaryFile rows feed the same three codecs; " +
     "truncated files flag per-file, never kill the batch") {
     val df = MultimodalOps.fileIngest(spark, sfDir).collect()
-    val members = (0L until 500L).filter(id => id % 5 == 0)
-    assert(df.length === members.size * 3)
+    // membership derived from the corpus itself, not a hardcoded count
+    val members = graft.Tables.load(spark, sfDir, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id").cast("long"))
+      .collect().map(_.getLong(0))
+      .filter(id => id % 5 == 0 && id < MultimodalOps.AssetIdCap)
+    assert(members.nonEmpty)
+    assert(df.length === members.length * 3)
     df.foreach { r =>
       val id = r.getLong(0)
       val corrupt = id % 20 == 10
