@@ -300,6 +300,7 @@ object SparkEntry {
     "m_mp4_probe" -> (MultimodalOps.mp4MediaProbe _),
     "m_real_frame_dedup" -> (MultimodalOps.realFrameDedup _),
     "m_avi_decode" -> (MultimodalOps.aviMediaDecode _),
+    "m_avi_frame_dedup" -> (MultimodalOps.aviFrameDedup _),
     "m_file_ingest" -> (MultimodalOps.fileIngest _),
     // --- structured streaming (SURVEY §7.2 step 7) ---
     "st_window_agg" -> (StreamingOps.windowAgg _),
@@ -1797,6 +1798,25 @@ object SparkEntry {
       | 'png' AS format,
       | CAST(-4294967296 AS BIGINT) AS phash
       |FROM documents""".stripMargin
+
+  /** Shared by `m_real_frame_dedup` (PNG bytes) and
+    * `m_avi_frame_dedup` (the same frames as JPEGs inside an AVI
+    * container): one binding — the cross-codec census equality is
+    * structural, not two strings kept in sync. The two-band split
+    * row rides (doc_id + frame) parity, so the collision census is
+    * pure arithmetic: bits 16..63 = -65536, bits 32..63 =
+    * -4294967296. */
+  private lazy val frameDedupSql: String =
+    """WITH f AS (
+      | SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |  CAST(unnest(range(1 + doc_id % 4)) AS BIGINT) AS k
+      | FROM documents)
+      |SELECT CASE WHEN (doc_id + k) % 2 = 0
+      |  THEN CAST(-65536 AS BIGINT)
+      |  ELSE CAST(-4294967296 AS BIGINT) END AS phash,
+      | count(*) AS n_frames,
+      | count(DISTINCT doc_id) AS n_docs
+      |FROM f GROUP BY 1""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "p1_ttl_strip" ->
@@ -3938,17 +3958,11 @@ object SparkEntry {
     // at block-row 2 or 4 by (doc_id+frame) parity, so the collision
     // census is pure arithmetic — bits 16..63 = -65536, bits 32..63
     // = -4294967296 — and any codec/hash misread regroups the frames
-    "m_real_frame_dedup" ->
-      """WITH f AS (
-        | SELECT CAST(doc_id AS BIGINT) AS doc_id,
-        |  CAST(unnest(range(1 + doc_id % 4)) AS BIGINT) AS k
-        | FROM documents)
-        |SELECT CASE WHEN (doc_id + k) % 2 = 0
-        |  THEN CAST(-65536 AS BIGINT)
-        |  ELSE CAST(-4294967296 AS BIGINT) END AS phash,
-        | count(*) AS n_frames,
-        | count(DISTINCT doc_id) AS n_docs
-        |FROM f GROUP BY 1""".stripMargin,
+    "m_real_frame_dedup" -> frameDedupSql,
+    // the VIDEO-PATH form: the same frames rode a JPEG inside an AVI
+    // container instead of PNG bytes — sharing the oracle VERBATIM is
+    // the cross-codec invariant (either codec drifting regroups it)
+    "m_avi_frame_dedup" -> frameDedupSql,
     // genuinely DECODED video: MJPEG frames inside a RIFF/AVI
     // container, each JPEG round-tripping the real codec into the
     // real 8×8 average hash. The two-band split row aligns with the

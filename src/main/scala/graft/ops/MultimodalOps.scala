@@ -553,48 +553,66 @@ object MultimodalOps {
   def aviDecode(docId: Long, payload: Array[Byte]): AviMeta = {
     val failed = AviMeta(docId, payload.length.toLong,
       decode_ok = false, 0L, 0, 0, 0, 0)
+    try {
+      val (usPerFrame, frames) = aviWalk(docId, payload)
+      if (usPerFrame == 0L || frames.isEmpty) return failed
+      AviMeta(docId, payload.length.toLong, decode_ok = true,
+        usPerFrame, frames.size, frames.head.width, frames.head.height,
+        frames.map(_.phash).distinct.size)
+    } catch { case scala.util.control.NonFatal(_) => failed }
+  }
+
+  /** The decoded frames themselves (container order) — corrupt bytes
+    * surface as an EMPTY frame list, the per-file flag of the frame
+    * consumers ([[aviFrameDedup]]'s census simply has nothing from a
+    * rotten file, the same row-not-batch blast radius). */
+  def aviFrames(docId: Long, payload: Array[Byte]): Seq[RealMediaMeta] =
+    try {
+      val (us, frames) = aviWalk(docId, payload)
+      if (us == 0L) Seq.empty else frames
+    } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+
+  /** The RIFF/AVI walk both consumers share: returns
+    * (avih dwMicroSecPerFrame, decoded frames in container order);
+    * THROWS on corrupt bytes — wrappers decide the flag shape. */
+  private def aviWalk(docId: Long,
+      payload: Array[Byte]): (Long, Vector[RealMediaMeta]) = {
     def u32(o: Int): Long =
       (payload(o) & 0xffL) | ((payload(o + 1) & 0xffL) << 8) |
         ((payload(o + 2) & 0xffL) << 16) | ((payload(o + 3) & 0xffL) << 24)
     def tag(o: Int) = new String(payload, o, 4, "US-ASCII")
-    try {
-      if (payload.length < 12 || tag(0) != "RIFF" || tag(8) != "AVI ")
-        return failed
-      var usPerFrame = 0L
-      var frames = List.empty[RealMediaMeta]
-      // one walker for the top level and LIST bodies alike; depth
-      // bounds recursion on adversarial nesting
-      def walk(start: Int, end: Int, depth: Int): Unit = {
-        if (depth > 4) throw new java.io.EOFException("over-nested RIFF")
-        var o = start
-        while (o + 8 <= end) {
-          val id = tag(o); val sz = u32(o + 4)
-          if (sz > end.toLong - o - 8)
-            throw new java.io.EOFException(s"chunk $id size $sz")
-          val body = o + 8
-          if (id == "LIST" && sz >= 4) {
-            // list type word, then sub-chunks
-            walk(body + 4, body + sz.toInt, depth + 1)
-          } else if (id == "avih" && sz >= 4) {
-            usPerFrame = u32(body)
-          } else if ((id == "00dc" || id == "00db") && sz > 0) {
-            val frame = java.util.Arrays.copyOfRange(
-              payload, body, body + sz.toInt)
-            val m = realDecode(docId, frame)
-            if (!m.decode_ok)
-              throw new java.io.EOFException("undecodable frame")
-            frames ::= m
-          }
-          o += 8 + sz.toInt + (sz.toInt & 1) // chunks pad to even
+    if (payload.length < 12 || tag(0) != "RIFF" || tag(8) != "AVI ")
+      throw new java.io.EOFException("not a RIFF/AVI container")
+    var usPerFrame = 0L
+    var frames = Vector.empty[RealMediaMeta]
+    // one walker for the top level and LIST bodies alike; depth
+    // bounds recursion on adversarial nesting
+    def walk(start: Int, end: Int, depth: Int): Unit = {
+      if (depth > 4) throw new java.io.EOFException("over-nested RIFF")
+      var o = start
+      while (o + 8 <= end) {
+        val id = tag(o); val sz = u32(o + 4)
+        if (sz > end.toLong - o - 8)
+          throw new java.io.EOFException(s"chunk $id size $sz")
+        val body = o + 8
+        if (id == "LIST" && sz >= 4) {
+          // list type word, then sub-chunks
+          walk(body + 4, body + sz.toInt, depth + 1)
+        } else if (id == "avih" && sz >= 4) {
+          usPerFrame = u32(body)
+        } else if ((id == "00dc" || id == "00db") && sz > 0) {
+          val frame = java.util.Arrays.copyOfRange(
+            payload, body, body + sz.toInt)
+          val m = realDecode(docId, frame)
+          if (!m.decode_ok)
+            throw new java.io.EOFException("undecodable frame")
+          frames :+= m
         }
+        o += 8 + sz.toInt + (sz.toInt & 1) // chunks pad to even
       }
-      walk(12, payload.length, 0)
-      if (usPerFrame == 0L || frames.isEmpty) return failed
-      val first = frames.last // frames was prepended
-      AviMeta(docId, payload.length.toLong, decode_ok = true,
-        usPerFrame, frames.size, first.width, first.height,
-        frames.map(_.phash).distinct.size)
-    } catch { case scala.util.control.NonFatal(_) => failed }
+    }
+    walk(12, payload.length, 0)
+    (usPerFrame, frames)
   }
 
   /** The frame-PNG design pushed through a REAL lossy codec: the same
@@ -689,6 +707,29 @@ object MultimodalOps {
       .select(col("doc_id"), col("decode_ok"), col("us_per_frame"),
         col("n_frames"), col("width"), col("height"),
         col("n_phash_classes"))
+  }
+
+  /** Registered `m_avi_frame_dedup`: [[realFrameDedup]]'s census with
+    * the VIDEO CONTAINER and the LOSSY codec in the loop — every
+    * document's MJPEG-AVI walked, every frame JPEG-decoded, frames
+    * grouped by their decoded phash. Shares `m_real_frame_dedup`'s
+    * oracle VERBATIM: the same (doc, frame) design must land in the
+    * same two hash classes whether it rode PNG bytes or a JPEG inside
+    * an AVI — a cross-CODEC invariant (a drift in either codec, the
+    * container walk, or the hash regroups the census and fails the
+    * shared arithmetic). */
+  def aviFrameDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ids = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id")).as[Long]
+    ids
+      .mapPartitions(_.grouped(16).flatMap(batch =>
+        batch.flatMap(id => aviFrames(id, syntheticAvi(id)))))
+      .toDF()
+      .groupBy(col("phash"))
+      .agg(count(lit(1)).as("n_frames"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .select(col("phash"), col("n_frames"), col("n_docs"))
   }
 
   /** One decoded-file row of the real-FILE ingestion path. */

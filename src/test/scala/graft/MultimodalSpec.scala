@@ -194,6 +194,21 @@ class MultimodalSpec extends SparkSpec {
       MultimodalOps.syntheticWav(1L)).decode_ok)
   }
 
+  test("cross-codec invariant: a frame's phash is identical whether " +
+    "it rode PNG bytes or a JPEG inside an AVI container") {
+    for (id <- Seq(0L, 3L, 14L)) {
+      val viaAvi = MultimodalOps.aviFrames(id, MultimodalOps.syntheticAvi(id))
+      assert(viaAvi.size === 1 + (id % 4).toInt)
+      viaAvi.zipWithIndex.foreach { case (m, k) =>
+        val viaPng = MultimodalOps.realDecode(
+          id, MultimodalOps.syntheticFramePng(id, k))
+        assert(m.phash === viaPng.phash, s"doc $id frame $k")
+      }
+    }
+    // corrupt container: EMPTY frames, the census simply misses it
+    assert(MultimodalOps.aviFrames(1L, Array[Byte](9, 9, 9)).isEmpty)
+  }
+
   test("fileIngest: binaryFile rows feed the same three codecs; " +
     "truncated files flag per-file, never kill the batch") {
     val df = MultimodalOps.fileIngest(spark, sfDir).collect()
