@@ -318,6 +318,7 @@ object SparkEntry {
     "st_corpus_gate" -> (StreamingOps.corpusGate _),
     "st_ann_ingest" -> (StreamingOps.annIngest _),
     "st_media_decode" -> (StreamingOps.mediaDecodeStream _),
+    "st_file_ingest" -> (StreamingOps.fileIngestStream _),
     "st_sstable_ingest" -> (StreamingOps.sstableIngest _),
     "st_sstable_sink" -> (StreamingOps.sstableSink _)
   )
@@ -1817,6 +1818,31 @@ object SparkEntry {
       | count(*) AS n_frames,
       | count(DISTINCT doc_id) AS n_docs
       |FROM f GROUP BY 1""".stripMargin
+
+  /** Shared by `m_file_ingest` (batch binaryFile) and
+    * `st_file_ingest` (the same asset tree as a rate-limited file
+    * stream): one binding over one `fileDecodeColumns` pipeline. The
+    * asset membership (`doc_id % 5 = 0 AND doc_id < 1000`) mirrors
+    * `MultimodalOps.AssetIdCap` — change BOTH or neither. */
+  private lazy val fileIngestSql: String =
+    """WITH x AS (SELECT CAST(doc_id AS BIGINT) AS id,
+      |  doc_id % 20 = 10 AS corrupt
+      | FROM documents WHERE doc_id % 5 = 0 AND doc_id < 1000)
+      |SELECT id AS doc_id, 'img' AS modality, NOT corrupt AS decode_ok,
+      | CASE WHEN NOT corrupt
+      |   THEN CAST(16 + (id % 8) * 8 AS INTEGER) END AS width,
+      | CAST(NULL AS INTEGER) AS sample_rate,
+      | CAST(NULL AS BIGINT) AS duration_ms FROM x
+      |UNION ALL
+      |SELECT id, 'aud', NOT corrupt, CAST(NULL AS INTEGER),
+      | CASE WHEN NOT corrupt
+      |   THEN CAST(8000 + (id % 4) * 4000 AS INTEGER) END,
+      | CAST(NULL AS BIGINT) FROM x
+      |UNION ALL
+      |SELECT id, 'vid', NOT corrupt, CAST(NULL AS INTEGER),
+      | CAST(NULL AS INTEGER),
+      | CASE WHEN NOT corrupt
+      |   THEN CAST((5 + id % 20) * 100 AS BIGINT) END FROM x""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "p1_ttl_strip" ->
@@ -3988,28 +4014,13 @@ object SparkEntry {
     // truncated to 40 bytes), decoded by the SAME three codecs the
     // in-memory queries use — every surviving field is doc_id
     // arithmetic, corrupt files are flagged rows with NULL metrics
-    "m_file_ingest" ->
-      """WITH x AS (SELECT CAST(doc_id AS BIGINT) AS id,
-        |  doc_id % 20 = 10 AS corrupt
-        | FROM documents WHERE doc_id % 5 = 0 AND doc_id < 1000)
-        |SELECT id AS doc_id, 'img' AS modality, NOT corrupt AS decode_ok,
-        | CASE WHEN NOT corrupt
-        |   THEN CAST(16 + (id % 8) * 8 AS INTEGER) END AS width,
-        | CAST(NULL AS INTEGER) AS sample_rate,
-        | CAST(NULL AS BIGINT) AS duration_ms FROM x
-        |UNION ALL
-        |SELECT id, 'aud', NOT corrupt, CAST(NULL AS INTEGER),
-        | CASE WHEN NOT corrupt
-        |   THEN CAST(8000 + (id % 4) * 4000 AS INTEGER) END,
-        | CAST(NULL AS BIGINT) FROM x
-        |UNION ALL
-        |SELECT id, 'vid', NOT corrupt, CAST(NULL AS INTEGER),
-        | CAST(NULL AS INTEGER),
-        | CASE WHEN NOT corrupt
-        |   THEN CAST((5 + id % 20) * 100 AS BIGINT) END FROM x""".stripMargin,
+    "m_file_ingest" -> fileIngestSql,
     // the streaming form: the SAME binding as m_real_decode —
     // streaming is pure transport around the same codec pipeline
     "st_media_decode" -> realDecodeSql,
+    // same argument for the file-ingestion boundary: the stream runs
+    // fileDecodeColumns verbatim under maxFilesPerTrigger admission
+    "st_file_ingest" -> fileIngestSql,
     "st_window_agg" ->
       """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
         | event_type, count(*) AS n_events,

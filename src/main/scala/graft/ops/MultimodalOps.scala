@@ -811,11 +811,23 @@ object MultimodalOps {
     * executor-side only, and a corrupt object costs one flagged row,
     * not a job. */
   def fileIngest(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
     val dir = writeAssetDir(spark, sfDir)
+    val decoded = fileDecodeColumns(
+      spark.read.format("binaryFile").load(dir.toString))
+      .localCheckpoint()
+    graft.Scratch.delete(dir)
+    decoded
+  }
+
+  /** The ONE file-decode pipeline both execution modes share
+    * ([[fileIngest]] batch, `st_file_ingest` streaming): binaryFile
+    * rows → modality dispatch by filename → the three codecs in
+    * 64-payload batches — so the shared oracle is structural, the
+    * same argument as `realDecodeColumns`. */
+  def fileDecodeColumns(bin: DataFrame): DataFrame = {
+    import bin.sparkSession.implicits._
     val name = "(img|aud|vid)_(\\d+)\\.".r
-    val decoded = spark.read.format("binaryFile")
-      .load(dir.toString)
+    bin
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .mapPartitions(_.grouped(64).flatMap(_.map { case (path, bytes) =>
@@ -839,9 +851,6 @@ object MultimodalOps {
         }
       }))
       .toDF()
-      .localCheckpoint()
-    graft.Scratch.delete(dir)
-    decoded
   }
 
   /** Binary ingest → partition-wise batched decode → typed metadata.

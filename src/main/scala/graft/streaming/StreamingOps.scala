@@ -604,6 +604,29 @@ object StreamingOps {
       },
       OutputMode.Append())
 
+  /** Streaming real-FILE media ingestion (`st_file_ingest`): the
+    * asset tree arrives as a rate-limited binary-file stream
+    * (`maxFilesPerTrigger` — S11's admission control on the media
+    * landing zone) and each micro-batch runs
+    * [[graft.ops.MultimodalOps.fileDecodeColumns]] — literally the
+    * batch query's pipeline, so `m_file_ingest`'s oracle is shared
+    * structurally. Decode is stateless: no watermark, no state store,
+    * per-micro-batch cost is exactly the admitted files. */
+  def fileIngestStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = graft.ops.MultimodalOps.writeAssetDir(spark, sfDir)
+    val out = runSourceToMemory(spark,
+      s => s.readStream.format("binaryFile")
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(
+          "path string, modificationTime timestamp, " +
+            "length bigint, content binary"))
+        .option("maxFilesPerTrigger", "64")
+        .load(dir.toString),
+      src => graft.ops.MultimodalOps.fileDecodeColumns(src),
+      OutputMode.Append())
+    graft.Scratch.delete(dir)
+    out
+  }
+
   // ---- streaming LWW merge ----
 
   final case class CellArr(partition_key: String, clustering: String,
