@@ -158,6 +158,8 @@ object SparkEntry {
       (sources.SSTableMetadata.keyCountAudit _),
     "src_sstable_summary_budget" ->
       (sources.SSTableMetadata.summaryBudgetAudit _),
+    "src_sstable_droppable" ->
+      (sources.SSTableMetadata.droppableAudit _),
     "src_sstable_dump_export" ->
       (sources.SSTableDumpBridge.exportAudit _),
     "src_sstable_slice" -> (sources.SSTableBinaryV2.sliceAudit _),
@@ -2962,6 +2964,28 @@ object SparkEntry {
       | 4 AS n_components,
       | CAST(count(*) AS BIGINT) AS est_keys_hll, 'ka' AS layout
       |FROM d GROUP BY f""".stripMargin,
+    // tombstone droppability off the 2.x StatsMetadata drop-time
+    // StreamingHistogram: 0 below every drop time, the EXACT
+    // tombstone count beyond all (centroid merging conserves counts,
+    // so this replays at any SF), and the ratio over the estimated
+    // column count (k∈{3,7} docs are the fixture's tombstones; cells
+    // per doc: 1 marker for k=5, marker+len+src otherwise)
+    "src_sstable_droppable" -> """
+      |WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |  doc_id % 4 AS f, doc_id % 10 AS k FROM documents),
+      |g AS (SELECT f,
+      |  CAST(sum(CASE WHEN k IN (3, 7) THEN 1 ELSE 0 END) AS DOUBLE)
+      |    AS tomb,
+      |  CAST(sum(CASE WHEN k IN (3, 7) THEN 0
+      |    WHEN k = 5 THEN 1 ELSE 3 END) AS BIGINT) AS cells
+      | FROM d GROUP BY f)
+      |SELECT 'documents/graft-documents-ka-' || CAST(f + 1 AS VARCHAR)
+      |   || '-Data.db' AS sstable,
+      | 0.0 AS droppable_before,
+      | tomb AS droppable_total,
+      | cells AS est_columns,
+      | tomb / cells AS ratio
+      |FROM g""".stripMargin,
     // the IndexSummaryManager role: summaries resampled fine (the
     // rebuild branch), then the budget-driven redistribution coarsens
     // the coldest generations in place until HALF the marks fit. The

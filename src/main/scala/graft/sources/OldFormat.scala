@@ -567,18 +567,98 @@ object OldFormat {
   // Statistics.db — pre-3.0 ("ka"/"la") StatsMetadata
   // =====================================================================
 
+  /** The bounded streaming histogram behind StatsMetadata's
+    * `estimatedTombstoneDropTime` — Ben-Haim & Tom-Tov, JMLR 11
+    * (2010), "A Streaming Parallel Decision Tree Algorithm": at most
+    * `maxBinSize` (point, count) bins; an overflowing insert merges
+    * the two CLOSEST points into their weighted centroid (update,
+    * the paper's Algorithm 1) — the published procedure Cassandra's
+    * `StreamingHistogram` implements and the reference reads back for
+    * its tombstone-droppability estimates
+    * (`NoTTLReader.getDroppableTombstonesBefore` /
+    * `getEstimatedDroppableTombstoneRatio`,
+    * `NoTTLReader.java:1922-1930`). Immutable builder — the write
+    * side folds one tombstone at a time (fixture-partition sized);
+    * the read side only sums. */
+  final case class TombstoneHistogram(maxBinSize: Int,
+      bins: Vector[(Double, Long)]) {
+    def update(p: Double, m: Long = 1L): TombstoneHistogram = {
+      val idx = bins.indexWhere(_._1 == p)
+      if (idx >= 0)
+        copy(bins = bins.updated(idx, (p, bins(idx)._2 + m)))
+      else {
+        val inserted = (bins :+ ((p, m))).sortBy(_._1)
+        if (inserted.size <= maxBinSize) copy(bins = inserted)
+        else {
+          val i = (0 until inserted.size - 1)
+            .minBy(j => inserted(j + 1)._1 - inserted(j)._1)
+          val (q1, k1) = inserted(i); val (q2, k2) = inserted(i + 1)
+          copy(bins = (inserted.take(i) :+
+            (((q1 * k1 + q2 * k2) / (k1 + k2), k1 + k2))) ++
+            inserted.drop(i + 2))
+        }
+      }
+    }
+    def total: Long = bins.map(_._2).sum
+    /** The paper's Algorithm 3 (`sum`): estimated count of points
+      * ≤ b — full bins below the straddled pair, half the left bin,
+      * and the trapezoid slice toward the interpolated height at b.
+      * Clamped EXACTLY at the ends: 0 below the first point, the
+      * whole total at/after the last — the two values the
+      * droppability projections use, and both are merge-invariant
+      * (centroid merging conserves counts). */
+    def sum(b: Double): Double =
+      if (bins.isEmpty || b < bins.head._1) 0.0
+      else if (b >= bins.last._1) total.toDouble
+      else {
+        val i = bins.lastIndexWhere(_._1 <= b)
+        val (pi, mi) = bins(i); val (pn, mn) = bins(i + 1)
+        val d = (b - pi) / (pn - pi)
+        val mb = mi + (mn - mi) * d
+        bins.take(i).map(_._2).sum + mi / 2.0 + (mi + mb) / 2.0 * d
+      }
+  }
+  object TombstoneHistogram {
+    /** Cassandra's table-level default bin budget. */
+    val MaxBins = 100
+    def empty: TombstoneHistogram = TombstoneHistogram(MaxBins, Vector.empty)
+    def of(points: IterableOnce[Double]): TombstoneHistogram =
+      points.iterator.foldLeft(empty)((h, p) => h.update(p))
+  }
+
   /** The pre-3.0 stats the inventory surfaces: min/max timestamp,
     * max local-deletion second, level and repairedAt — the fields the
     * reference reads off its 2.x readers (`NoTTLReader.java:1937-1945`
-    * `getMinTimestamp`/`getMaxTimestamp`, `:1965` `getSSTableLevel`).
-    * The 2.x era records NO TTL minima — EncodingStats (minTTL) is a
-    * 3.0 invention — so a ka/la inventory row honestly lacks one. */
+    * `getMinTimestamp`/`getMaxTimestamp`, `:1965` `getSSTableLevel`) —
+    * plus the two sketches its droppability estimates consume: the
+    * tombstone drop-time histogram and the estimated column count
+    * (mean × count, Cassandra's `EstimatedHistogram` accounting). */
   case class Stats2x(
       minTimestampUs: Long,
       maxTimestampUs: Long,
       maxLocalDeletionTimeS: Int,
       sstableLevel: Int,
-      repairedAt: Long)
+      repairedAt: Long,
+      tombstoneDropTime: TombstoneHistogram = TombstoneHistogram.empty,
+      estColumnsTotal: Long = 0L)
+
+  /** `NoTTLReader.getDroppableTombstonesBefore`
+    * (`NoTTLReader.java:1927-1930` → StatsMetadata): how many
+    * tombstones have a local-deletion time before `gcBeforeS` — the
+    * histogram sum at that point. */
+  def droppableTombstonesBefore(s: Stats2x, gcBeforeS: Double): Double =
+    s.tombstoneDropTime.sum(gcBeforeS)
+
+  /** `NoTTLReader.getEstimatedDroppableTombstoneRatio`
+    * (`NoTTLReader.java:1922-1925` → StatsMetadata): droppable
+    * tombstones over the estimated column count (mean × count of the
+    * column-count EstimatedHistogram), 0 when no columns are
+    * estimated — the "how much dead data is in this file" figure a
+    * TTL-removal run consults first. */
+  def estimatedDroppableTombstoneRatio(s: Stats2x,
+      gcBeforeS: Double): Double =
+    if (s.estColumnsTotal <= 0L) 0.0
+    else droppableTombstonesBefore(s, gcBeforeS) / s.estColumnsTotal
 
   /** MetadataType ordinals shared by every era's Statistics.db TOC
     * (`o.a.c.io.sstable.metadata.MetadataType`): VALIDATION=0,
@@ -619,6 +699,18 @@ object OldFormat {
       out.writeLong(1L)          // single bucket offset
       out.writeLong(nPartitions) // everything in one bucket
     }
+    // estimatedColumnCount: one bucket whose offset × count — the
+    // total Cassandra's mean()×count() accounting reconstructs —
+    // equals the declared column total exactly; the legacy
+    // one-per-partition shape when the caller declared none
+    def columnHistogram(out: DataOutputStream): Unit = {
+      out.writeInt(1)
+      if (s.estColumnsTotal <= 0) {
+        out.writeLong(1L); out.writeLong(nPartitions)
+      } else {
+        out.writeLong(s.estColumnsTotal); out.writeLong(1L)
+      }
+    }
     val validation = {
       val bos = new ByteArrayOutputStream()
       val out = new DataOutputStream(bos)
@@ -630,13 +722,18 @@ object OldFormat {
       val bos = new ByteArrayOutputStream()
       val out = new DataOutputStream(bos)
       histogram(out)               // estimatedRowSize
-      histogram(out)               // estimatedColumnCount
+      columnHistogram(out)         // estimatedColumnCount
       out.writeLong(0L); out.writeInt(0) // ReplayPosition
       out.writeLong(s.minTimestampUs)
       out.writeLong(s.maxTimestampUs)
       out.writeInt(s.maxLocalDeletionTimeS)
       out.writeDouble(-1.0)        // NO_COMPRESSION_RATIO sentinel
-      out.writeInt(100); out.writeInt(0) // empty StreamingHistogram
+      // the tombstone drop-time StreamingHistogram, real bins
+      out.writeInt(s.tombstoneDropTime.maxBinSize)
+      out.writeInt(s.tombstoneDropTime.bins.size)
+      s.tombstoneDropTime.bins.foreach { case (p, m) =>
+        out.writeDouble(p); out.writeLong(m)
+      }
       out.writeInt(s.sstableLevel)
       out.writeLong(s.repairedAt)
       out.writeInt(0)              // minColumnNames
@@ -719,19 +816,32 @@ object OldFormat {
       require(n >= 0, s"$file: negative 2.x histogram size $n")
       skipFully(16L * n, "an EstimatedHistogram")
     }
+    // EstimatedHistogram in Cassandra's mean()×count() accounting:
+    // Σ offset×bucket (single-bucket files reconstruct exactly)
+    def readHistogramTotal(): Long = {
+      val n = s.readInt()
+      require(n >= 0 && n <= (1 << 20),
+        s"$file: absurd 2.x histogram size $n")
+      var total = 0L
+      var i = 0
+      while (i < n) { total += s.readLong() * s.readLong(); i += 1 }
+      total
+    }
     skipHistogram()              // estimatedRowSize
-    skipHistogram()              // estimatedColumnCount
+    val estColumns = readHistogramTotal() // estimatedColumnCount
     s.readLong(); s.readInt()    // ReplayPosition
     val minTs = s.readLong()
     val maxTs = s.readLong()
     val maxLdt = s.readInt()
     s.readDouble()               // compressionRatio
-    s.readInt()                  // StreamingHistogram maxBinSize
+    val maxBinSize = s.readInt() // StreamingHistogram
     val nBins = s.readInt()
-    require(nBins >= 0, s"$file: negative 2.x histogram bin count")
-    skipFully(16L * nBins, "the StreamingHistogram")
+    require(nBins >= 0 && nBins <= (1 << 20),
+      s"$file: absurd 2.x streaming-histogram bin count $nBins")
+    val bins = Vector.fill(nBins)((s.readDouble(), s.readLong()))
     val level = s.readInt()
     val repairedAt = s.readLong()
-    Stats2x(minTs, maxTs, maxLdt, level, repairedAt)
+    Stats2x(minTs, maxTs, maxLdt, level, repairedAt,
+      TombstoneHistogram(math.max(maxBinSize, 1), bins), estColumns)
   }
 }

@@ -1844,9 +1844,24 @@ object SSTableBinaryV2 {
           case c: OldFormat.Cell2 => c.ldtS.getOrElse(Int.MaxValue)
           case t: OldFormat.Tombstone2 => (t.deletionUs / 1000000L).toInt
         }.foldLeft(Int.MinValue)(_ max _)
+        // the tombstone drop-time histogram + column-count total the
+        // droppability estimates read back, collected from the atoms
+        // actually written (MetadataCollector's role): partition and
+        // range tombstones contribute their deletion second
+        val dropTimes = parts.iterator.flatMap(p =>
+          p.deletionUs.iterator.map(_ / 1000000L) ++
+            p.atoms.iterator.collect {
+              case t: OldFormat.Tombstone2 => t.deletionUs / 1000000L
+            }).map(_.toDouble).toSeq
+        val nCells = parts.iterator.map(_.atoms.count {
+          case _: OldFormat.Cell2 => true
+          case _ => false
+        }.toLong).sum
         write("Statistics.db", OldFormat.writeStats2x(
           OldFormat.Stats2x(allTs.min, allTs.max, maxLdt,
-            sstableLevel = 0, repairedAt = 0L), index.size.toLong,
+            sstableLevel = 0, repairedAt = 0L,
+            tombstoneDropTime = OldFormat.TombstoneHistogram.of(dropTimes),
+            estColumnsTotal = nCells), index.size.toLong,
           compaction = Some(KeyCardinality.writeComponent2x(
             KeyCardinality.sketchOf(index.iterator.map(_._1))))))
         (fileId, parts.length)

@@ -533,6 +533,16 @@ object SSTableComponents {
     }
   }
 
+  /** `NoTTLReader.getKeySamples` (`NoTTLReader.java:1368-1415`): the
+    * sampled keys themselves inside the ranges — what repair uses to
+    * pick split points without streaming an index. Same mark spans as
+    * [[sampleIndexesForRanges]], materialized lazily. */
+  def keySamples(s: Summary,
+      ranges: Seq[(Long, Long)]): Iterator[Array[Byte]] =
+    sampleIndexesForRanges(s, ranges).iterator.flatMap { case (l, r) =>
+      (l to r).iterator.map(i => s.sampled(i)._1)
+    }
+
   /** `NoTTLReader.estimatedKeysForRanges` (`NoTTLReader.java:1289-1299`):
     * marks inside the ranges × the effective index interval — an O(1)
     * per-range key estimate off Summary.db alone, never Index.db. At

@@ -360,6 +360,60 @@ object SSTableMetadata {
       .toDF()
   }
 
+  /** Registered `src_sstable_droppable` — the reference's
+    * tombstone-droppability surface
+    * (`NoTTLReader.getDroppableTombstonesBefore` /
+    * `getEstimatedDroppableTombstoneRatio`,
+    * `NoTTLReader.java:1922-1930`) read SIDECAR-ONLY off the 2.x
+    * StatsMetadata's drop-time StreamingHistogram — the figure a
+    * TTL-removal run consults FIRST ("how much dead data does this
+    * file hold"), answered without opening Data.db. Oracle-visible
+    * probes are the merge-invariant ones (exact at ANY SF, even once
+    * the 100-bin budget forces centroid merging): 0 below every drop
+    * time, the exact tombstone total beyond all of them, and the
+    * ratio over the estimated column count. The interpolated interior
+    * is require-gated: monotone, bounded by the total. */
+  def droppableAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val outKa = SSTableBinaryV2.writeOldFixture(spark, sfDir)
+    val root = outKa.resolve("documents").toString
+    val hconf = new SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val gens = listGenerations(root, hconf.value)
+    val bc = spark.sparkContext.broadcast(hconf)
+    val rows = spark.createDataset(gens)
+      .repartition(math.min(gens.size.max(1),
+        spark.sparkContext.defaultParallelism))
+      .map { case (dataPath, comps) =>
+        val conf = bc.value.value
+        val fs = FileSystem.get(java.net.URI.create(dataPath), conf)
+        val base = dataPath.stripSuffix("-Data.db")
+        val p = base + "-Statistics.db"
+        val st = fs.getFileStatus(new HPath(p))
+        val buf = new Array[Byte](st.getLen.toInt)
+        val in = fs.open(new HPath(p))
+        try in.readFully(0, buf) finally in.close()
+        val s = OldFormat.readStats2x(buf, p)
+        val beforeAll = OldFormat.droppableTombstonesBefore(
+          s, s.minTimestampUs / 1000000.0 - 1.0)
+        val afterAll = OldFormat.droppableTombstonesBefore(
+          s, s.maxLocalDeletionTimeS + 1.0)
+        val mid = OldFormat.droppableTombstonesBefore(s,
+          (s.minTimestampUs / 1000000.0 + s.maxLocalDeletionTimeS) / 2.0)
+        require(mid >= beforeAll && mid <= afterAll,
+          s"$dataPath: histogram sum not monotone " +
+            s"($beforeAll, $mid, $afterAll)")
+        (dataPath.split('/').takeRight(2).mkString("/"),
+          beforeAll, afterAll, s.estColumnsTotal,
+          OldFormat.estimatedDroppableTombstoneRatio(
+            s, s.maxLocalDeletionTimeS + 1.0))
+      }
+      .collect().toSeq.sortBy(_._1)
+    graft.Scratch.delete(outKa)
+    spark.createDataset(rows).toDF("sstable", "droppable_before",
+      "droppable_total", "est_columns", "ratio")
+  }
+
   /** Registered `src_sstable_summary_budget` — the
     * `IndexSummaryManager` role end-to-end: every generation's summary
     * is first RESAMPLED to a fine off-ladder interval (8 — the

@@ -2476,7 +2476,10 @@ class SSTableBinarySpec extends SparkSpec {
       maxLocalDeletionTimeS = Int.MaxValue, sstableLevel = 3,
       repairedAt = 1609459200123L)
     val bytes = OldFormat.writeStats2x(s, nPartitions = 42L)
-    assert(OldFormat.readStats2x(bytes, "t") === s)
+    // a caller declaring no column total writes the legacy
+    // one-per-partition bucket; the reader reconstructs 42 from it
+    assert(OldFormat.readStats2x(bytes, "t") ===
+      s.copy(estColumnsTotal = 42L))
     // the reader walks the TOC — it must not assume STATS is first:
     // the writer puts VALIDATION ahead of it, so a reader that just
     // parses from the top would misread the partitioner UTF as a
@@ -2498,6 +2501,38 @@ class SSTableBinarySpec extends SparkSpec {
       OldFormat.readStats2x(truncated, "t")
     }
     assert(e.getMessage.contains("truncated"))
+  }
+
+  test("tombstone drop-time histogram: paper update/sum semantics, " +
+    "merge conserves counts, stats round-trip, droppability math") {
+    import graft.sources.OldFormat
+    import OldFormat.TombstoneHistogram
+    // distinct points below budget: exact bins, exact endpoint sums
+    val h = TombstoneHistogram.of(Seq(10.0, 20.0, 20.0, 30.0))
+    assert(h.bins === Vector((10.0, 1L), (20.0, 2L), (30.0, 1L)))
+    assert(h.sum(9.9) === 0.0)
+    assert(h.sum(30.0) === 4.0)
+    assert(h.sum(1e9) === 4.0)
+    // interior: Ben-Haim/Tom-Tov Algorithm 3 at the midpoint of
+    // (10,1)-(20,2): m_b = 1.5, s = 1/2 + (1+1.5)/2 · 0.5 = 1.125
+    assert(h.sum(15.0) === 1.125)
+    // over-budget insert merges the two CLOSEST points into their
+    // weighted centroid; the total is conserved
+    val tiny = TombstoneHistogram(3, Vector.empty)
+    val merged = Seq(1.0, 100.0, 101.0, 50.0).foldLeft(tiny)(_.update(_))
+    assert(merged.bins.size === 3)
+    assert(merged.total === 4L)
+    assert(merged.bins.contains((100.5, 2L))) // centroid of 100,101
+    // round-trip through the 2.x stats container + droppability
+    val s2 = OldFormat.Stats2x(1L, 2L, 3, 0, 0L,
+      tombstoneDropTime = h, estColumnsTotal = 16L)
+    val rt = OldFormat.readStats2x(
+      OldFormat.writeStats2x(s2, nPartitions = 8L), "t")
+    assert(rt === s2)
+    assert(OldFormat.droppableTombstonesBefore(rt, 1e9) === 4.0)
+    assert(OldFormat.estimatedDroppableTombstoneRatio(rt, 1e9) === 0.25)
+    assert(OldFormat.estimatedDroppableTombstoneRatio(
+      rt.copy(estColumnsTotal = 0L), 1e9) === 0.0)
   }
 
   test("scrub salvages a COMPRESSED generation past a corrupt chunk") {

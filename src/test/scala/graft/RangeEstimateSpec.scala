@@ -58,6 +58,17 @@ class RangeEstimateSpec extends AnyFunSuite {
       s, Seq((tok(700), tok(300))))
     val covered = (a ++ b).flatMap { case (l, r) => l to r }
     assert(covered.sorted === (0 until s.sampled.size).toVector)
+    // getKeySamples: the mark keys themselves, exactly those whose
+    // ring position lies inside the (start-exclusive) range
+    val samples = SSTableComponents.keySamples(
+      s, Seq((tok(300), tok(700)))).toSeq
+    val expected = s.sampled.map(_._1).filter { k =>
+      val t = BigFormat.murmur3Token(k)
+      t > tok(300) && t <= tok(700)
+    }
+    assert(samples.size === expected.size)
+    samples.zip(expected).foreach { case (g, e) =>
+      assert(java.util.Arrays.equals(g, e)) }
   }
 
   test("resampleSummary takes the reference's decision tree: coarser " +
