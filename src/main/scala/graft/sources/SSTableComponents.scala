@@ -543,6 +543,34 @@ object SSTableComponents {
       (l to r).iterator.map(i => s.sampled(i)._1)
     }
 
+  /** `NoTTLReader.firstKeyBeyond` — the first partition key whose
+    * ring position lies STRICTLY beyond `token` (cleanup's "where
+    * does my ownership end" probe): binary-search the summary for
+    * the mark at or before the bound, stream Index.db from that
+    * mark's offset, return the first key that crosses — at most one
+    * summary interval of index reads, never a scan. None when the
+    * generation ends first. `openAt` seeks the index (by-need — an
+    * all-marks-beyond bound starts at offset 0). */
+  def firstKeyBeyond(s: Summary, token: Long, oldEra: Boolean,
+      file: String,
+      openAt: Long => DataInputStream): Option[Array[Byte]] = {
+    if (s.sampled.isEmpty) return None
+    val toks = s.sampled.map(e => BigFormat.murmur3Token(e._1))
+    var lo = 0; var hi = toks.size
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (toks(mid) <= token) lo = mid + 1 else hi = mid
+    }
+    val startIdx = math.max(lo - 1, 0)
+    val in = openAt(s.sampled(startIdx)._2)
+    try {
+      val entries =
+        if (oldEra) indexEntries2x(in, file).map(e => e._1)
+        else indexEntries(in, file).map(e => e._1)
+      entries.find(k => BigFormat.murmur3Token(k) > token)
+    } finally in.close()
+  }
+
   /** `NoTTLReader.estimatedKeysForRanges` (`NoTTLReader.java:1289-1299`):
     * marks inside the ranges × the effective index interval — an O(1)
     * per-range key estimate off Summary.db alone, never Index.db. At

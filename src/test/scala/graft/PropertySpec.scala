@@ -296,6 +296,53 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: the heap-driven summary redistribution equals the " +
+    "naive greedy on random pools, and its invariants always hold") {
+    import graft.sources.SSTableComponents.redistributeSummaries
+    // the O(n²) reference greedy the production heap must match:
+    // while over budget, double the (lowest rate, most marks-after,
+    // first name) file below the cap
+    def naive(files: Seq[(String, Int, Double)], budget: Long,
+        maxFactor: Int): Map[String, Int] = {
+      val factor = scala.collection.mutable.Map(
+        files.map(f => f._1 -> 1): _*)
+      def after(f: (String, Int, Double)): Long =
+        (f._2 + factor(f._1) - 1L) / factor(f._1)
+      var go = true
+      while (files.map(after).sum > budget && go) {
+        val cand = files.filter(f => factor(f._1) < maxFactor)
+        if (cand.isEmpty) go = false
+        else factor(cand.minBy(f => (f._3, -after(f), f._1))._1) *= 2
+      }
+      factor.toMap
+    }
+    val genPool = for {
+      n <- Gen.chooseNum(1, 12)
+      files <- Gen.listOfN(n, for {
+        marks <- Gen.chooseNum(1, 500)
+        rate <- Gen.chooseNum(0, 5).map(_.toDouble)
+      } yield (marks, rate))
+      budget <- Gen.chooseNum(1L, 1200L)
+    } yield (files.zipWithIndex.map { case ((m, r), i) =>
+      (f"f$i%02d", m, r) }, budget)
+    val cases = Gen.listOfN(150, genPool)
+      .apply(Gen.Parameters.default, Seed(23L))
+      .getOrElse(sys.error("gen failed"))
+    cases.foreach { case (files, budget) =>
+      val got = redistributeSummaries(files, budget)
+      assert(got === naive(files, budget, 8),
+        s"files=$files budget=$budget")
+      // invariants regardless of equivalence: ladder factors, and
+      // the budget holds unless everything is capped
+      assert(got.values.forall(f =>
+        f >= 1 && f <= 8 && Integer.bitCount(f) == 1))
+      val total = files.map { case (n, m, _) =>
+        (m + got(n) - 1L) / got(n) }.sum
+      assert(total <= budget || got.values.forall(_ == 8),
+        s"missed budget without capping: $files budget=$budget")
+    }
+  }
+
   test("media decoders TERMINATE and flag (never throw) on arbitrary and mutated bytes") {
     import graft.ops.MultimodalOps
     // one corrupt asset in a 100 TB media corpus must cost one

@@ -113,6 +113,24 @@ class RangeEstimateSpec extends AnyFunSuite {
     assert(f("big") === 2 && f("small") === 1)
   }
 
+  test("firstKeyBeyond: summary-guided bounded index probe, " +
+    "strictly-beyond semantics, None past the last key") {
+    val s = rebuilt(8)
+    def openAt(off: Long) = new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(indexBytes, off.toInt,
+        indexBytes.length - off.toInt))
+    def probe(t: Long): Option[Seq[Byte]] =
+      SSTableComponents.firstKeyBeyond(s, t, oldEra = false,
+        "spec", openAt).map(_.toSeq)
+    for (k <- Seq(0, 7, 8, 500, 998))
+      assert(probe(tok(k)) === Some(ring(k + 1).toSeq), s"rank $k")
+    // a bound BETWEEN two ring positions: strictly-beyond returns
+    // the upper neighbor
+    assert(probe(tok(42) - 1) === Some(ring(42).toSeq))
+    assert(probe(tok(999)) === None)
+    assert(probe(Long.MinValue) === Some(ring(0).toSeq))
+  }
+
   test("in-place downsampling equals a full rebuild at the coarser " +
     "interval — marks, positions, size and round-trip, no index IO") {
     val fine = rebuilt(8)
