@@ -2966,16 +2966,20 @@ object SparkEntry {
       |FROM d GROUP BY f""".stripMargin,
     // tombstone droppability off the 2.x StatsMetadata drop-time
     // StreamingHistogram: 0 below every drop time, the EXACT
-    // tombstone count beyond all (centroid merging conserves counts,
-    // so this replays at any SF), and the ratio over the estimated
-    // column count (k∈{3,7} docs are the fixture's tombstones; cells
-    // per doc: 1 marker for k=5, marker+len+src otherwise)
+    // droppable-atom count beyond all (centroid merging conserves
+    // counts, so this replays at any SF), and the ratio over the
+    // estimated column count. Droppable atoms per doc, exactly
+    // MetadataCollector's accounting: one deletion for k∈{3,7}, and
+    // the THREE finite-ldt (TTL'd) cells of an even non-%100 live
+    // doc — expiring data counts as droppable, the ratio's point.
+    // Cells per doc: 1 marker for k=5, marker+len+src otherwise.
     "src_sstable_droppable" -> """
       |WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
       |  doc_id % 4 AS f, doc_id % 10 AS k FROM documents),
       |g AS (SELECT f,
-      |  CAST(sum(CASE WHEN k IN (3, 7) THEN 1 ELSE 0 END) AS DOUBLE)
-      |    AS tomb,
+      |  CAST(sum(CASE WHEN k IN (3, 7) THEN 1
+      |    WHEN k <> 5 AND doc_id % 2 = 0 AND doc_id % 100 <> 0 THEN 3
+      |    ELSE 0 END) AS DOUBLE) AS tomb,
       |  CAST(sum(CASE WHEN k IN (3, 7) THEN 0
       |    WHEN k = 5 THEN 1 ELSE 3 END) AS BIGINT) AS cells
       | FROM d GROUP BY f)
@@ -2984,7 +2988,7 @@ object SparkEntry {
       | 0.0 AS droppable_before,
       | tomb AS droppable_total,
       | cells AS est_columns,
-      | tomb / cells AS ratio
+      | CASE WHEN cells = 0 THEN 0.0 ELSE tomb / cells END AS ratio
       |FROM g""".stripMargin,
     // the IndexSummaryManager role: summaries resampled fine (the
     // rebuild branch), then the budget-driven redistribution coarsens

@@ -640,7 +640,11 @@ object OldFormat {
       sstableLevel: Int,
       repairedAt: Long,
       tombstoneDropTime: TombstoneHistogram = TombstoneHistogram.empty,
-      estColumnsTotal: Long = 0L)
+      /** mean() × count() of the column-count EstimatedHistogram —
+        * Cassandra's droppability denominator. Negative = the caller
+        * declared none (the legacy one-per-partition fixture shape);
+        * 0 is a REAL value (a tombstone-only file has no columns). */
+      estColumnsTotal: Long = -1L)
 
   /** `NoTTLReader.getDroppableTombstonesBefore`
     * (`NoTTLReader.java:1927-1930` → StatsMetadata): how many
@@ -701,12 +705,15 @@ object OldFormat {
     }
     // estimatedColumnCount: one bucket whose offset × count — the
     // total Cassandra's mean()×count() accounting reconstructs —
-    // equals the declared column total exactly; the legacy
+    // equals the declared column total exactly (a zero-count bucket
+    // for the genuinely column-free tombstone-only file); the legacy
     // one-per-partition shape when the caller declared none
     def columnHistogram(out: DataOutputStream): Unit = {
       out.writeInt(1)
-      if (s.estColumnsTotal <= 0) {
+      if (s.estColumnsTotal < 0) {
         out.writeLong(1L); out.writeLong(nPartitions)
+      } else if (s.estColumnsTotal == 0) {
+        out.writeLong(1L); out.writeLong(0L)
       } else {
         out.writeLong(s.estColumnsTotal); out.writeLong(1L)
       }
@@ -816,16 +823,29 @@ object OldFormat {
       require(n >= 0, s"$file: negative 2.x histogram size $n")
       skipFully(16L * n, "an EstimatedHistogram")
     }
-    // EstimatedHistogram in Cassandra's mean()×count() accounting:
-    // Σ offset×bucket (single-bucket files reconstruct exactly)
+    // EstimatedHistogram in Cassandra's LITERAL mean()×count()
+    // accounting — mean() is ⌈Σ offset×bucket / Σ bucket⌉, so a real
+    // multi-bucket file's reconstruction carries the same ceiling the
+    // reference's ratio denominator does (single-bucket fixture files
+    // reconstruct exactly); an empty/zero-count histogram totals 0
     def readHistogramTotal(): Long = {
       val n = s.readInt()
       require(n >= 0 && n <= (1 << 20),
         s"$file: absurd 2.x histogram size $n")
       var total = 0L
+      var count = 0L
       var i = 0
-      while (i < n) { total += s.readLong() * s.readLong(); i += 1 }
-      total
+      while (i < n) {
+        val offset = s.readLong(); val bucket = s.readLong()
+        total += offset * bucket
+        count += bucket
+        i += 1
+      }
+      if (count == 0L) 0L
+      else {
+        val mean = (total + count - 1) / count // ceil, positive domain
+        mean * count
+      }
     }
     skipHistogram()              // estimatedRowSize
     val estColumns = readHistogramTotal() // estimatedColumnCount

@@ -1846,12 +1846,19 @@ object SSTableBinaryV2 {
         }.foldLeft(Int.MinValue)(_ max _)
         // the tombstone drop-time histogram + column-count total the
         // droppability estimates read back, collected from the atoms
-        // actually written (MetadataCollector's role): partition and
-        // range tombstones contribute their deletion second
+        // actually written (MetadataCollector's role): EVERY atom
+        // with a finite local-deletion time contributes — partition
+        // deletions, range tombstones AND expiring/deleted cells
+        // (Cassandra 2.x's updateLocalDeletionTime skips only the
+        // live sentinel; TTL'd data counting as droppable is the
+        // whole point of the ratio)
         val dropTimes = parts.iterator.flatMap(p =>
           p.deletionUs.iterator.map(_ / 1000000L) ++
-            p.atoms.iterator.collect {
-              case t: OldFormat.Tombstone2 => t.deletionUs / 1000000L
+            p.atoms.iterator.flatMap {
+              case t: OldFormat.Tombstone2 =>
+                Iterator.single(t.deletionUs / 1000000L)
+              case c: OldFormat.Cell2 =>
+                c.ldtS.iterator.map(_.toLong)
             }).map(_.toDouble).toSeq
         val nCells = parts.iterator.map(_.atoms.count {
           case _: OldFormat.Cell2 => true

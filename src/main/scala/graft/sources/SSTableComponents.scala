@@ -347,7 +347,10 @@ object SSTableComponents {
     var n = 0L
     var first: Array[Byte] = null
     var last: Array[Byte] = null
-    val sampled = Seq.newBuilder[(Array[Byte], Long)]
+    // Vector: the rebuilt summary serves positional probes
+    // (keySamples / firstKeyBeyond) — a List here would turn every
+    // index into a walk
+    val sampled = Vector.newBuilder[(Array[Byte], Long)]
     def skipFully(want: Long): Unit = {
       var s = 0L
       while (s < want) {
@@ -538,10 +541,12 @@ object SSTableComponents {
     * pick split points without streaming an index. Same mark spans as
     * [[sampleIndexesForRanges]], materialized lazily. */
   def keySamples(s: Summary,
-      ranges: Seq[(Long, Long)]): Iterator[Array[Byte]] =
+      ranges: Seq[(Long, Long)]): Iterator[Array[Byte]] = {
+    val marks = s.sampled.toIndexedSeq // O(1) probes whatever the Seq
     sampleIndexesForRanges(s, ranges).iterator.flatMap { case (l, r) =>
-      (l to r).iterator.map(i => s.sampled(i)._1)
+      (l to r).iterator.map(i => marks(i)._1)
     }
+  }
 
   /** `NoTTLReader.firstKeyBeyond` — the first partition key whose
     * ring position lies STRICTLY beyond `token` (cleanup's "where
@@ -555,14 +560,17 @@ object SSTableComponents {
       file: String,
       openAt: Long => DataInputStream): Option[Array[Byte]] = {
     if (s.sampled.isEmpty) return None
-    val toks = s.sampled.map(e => BigFormat.murmur3Token(e._1))
-    var lo = 0; var hi = toks.size
+    // hash-on-demand binary search: O(log marks) token computations,
+    // never a decoration pass over the whole summary
+    val marks = s.sampled.toIndexedSeq
+    var lo = 0; var hi = marks.size
     while (lo < hi) {
       val mid = (lo + hi) >>> 1
-      if (toks(mid) <= token) lo = mid + 1 else hi = mid
+      if (BigFormat.murmur3Token(marks(mid)._1) <= token) lo = mid + 1
+      else hi = mid
     }
     val startIdx = math.max(lo - 1, 0)
-    val in = openAt(s.sampled(startIdx)._2)
+    val in = openAt(marks(startIdx)._2)
     try {
       val entries =
         if (oldEra) indexEntries2x(in, file).map(e => e._1)

@@ -62,14 +62,6 @@ object SSTableMetadata {
         * (CASSANDRA-10676 lakes) or unparseable. */
       est_keys_hll: Option[Long] = None)
 
-  /** With `audit` (the registered query's mode), every generation's
-    * token-order facts are cross-checked executor-side against an
-    * INDEPENDENT component while the row is produced: the Summary's
-    * first/last keys must byte-equal the streamed Index.db's first and
-    * last entry keys, and the Summary-derived `est_keys_max` must be a
-    * TIGHT upper bound on the exact count (`n <= est < n + interval`).
-    * A wrong value throws, failing the ORACLE run — DuckDB can't
-    * replay token order, but these invariants don't need it. */
   /** One recursive driver-side listing grouped into generations —
     * catalog-sized, the same contract as the connector's planner. */
   private def listGenerations(root: String,
@@ -93,6 +85,14 @@ object SSTableMetadata {
     }.toSeq.sortBy(_._1)
   }
 
+  /** With `audit` (the registered query's mode), every generation's
+    * token-order facts are cross-checked executor-side against an
+    * INDEPENDENT component while the row is produced: the Summary's
+    * first/last keys must byte-equal the streamed Index.db's first and
+    * last entry keys, and the Summary-derived `est_keys_max` must be a
+    * TIGHT upper bound on the exact count (`n <= est < n + interval`).
+    * A wrong value throws, failing the ORACLE run — DuckDB can't
+    * replay token order, but these invariants don't need it. */
   def describe(spark: SparkSession, root: String,
       audit: Boolean = false): DataFrame = {
     import spark.implicits._
@@ -119,15 +119,8 @@ object SSTableMetadata {
     val base = dataPath.stripSuffix("-Data.db")
     def comp(suffix: String): Option[String] =
       comps.find(_ == base + suffix)
-    def readAll(p: String): Array[Byte] = {
-      val st = fs.getFileStatus(new HPath(p))
-      val buf = new Array[Byte](st.getLen.toInt)
-      val in = fs.open(new HPath(p))
-      try in.readFully(0, buf) finally in.close()
-      buf
-    }
     val statsBytes: Option[(String, Array[Byte])] =
-      comp("-Statistics.db").map(p => (p, readAll(p)))
+      comp("-Statistics.db").map(p => (p, readAll(fs, p)))
     val header: Option[BigFormat.Header] =
       if (oldEra) None
       else statsBytes.map { case (_, b) => BigFormat.readStats(
@@ -169,7 +162,7 @@ object SSTableMetadata {
       } finally in.close()
     }
     val compressor: Option[String] = comp("-CompressionInfo.db").map {
-      p => CompressedData.readMeta(readAll(p),
+      p => CompressedData.readMeta(readAll(fs, p),
         CompressedData.versionHasMaxCompressedSize(version), p,
         CompressedData.versionUsesAdler32(version)).compressor
     }
@@ -181,7 +174,7 @@ object SSTableMetadata {
     val summary =
       if (oldEra) None
       else comp("-Summary.db").map(p =>
-        SSTableComponents.readSummary(readAll(p)))
+        SSTableComponents.readSummary(readAll(fs, p)))
     if (audit) summary.foreach { s =>
       def eq(a: Option[Array[Byte]], b: Array[Byte]) =
         a.exists(java.util.Arrays.equals(_, b))
@@ -243,6 +236,20 @@ object SSTableMetadata {
     * match the independently streamed Index.db ground truth while the
     * row is produced — then dropped, since DuckDB cannot replay the
     * key rendering itself. */
+  /** Whole sidecar into memory — the ONE read path every inventory
+    * surface shares (sidecars are KB-to-MB by construction; a length
+    * past Int.MaxValue is a corrupt listing and refuses loudly rather
+    * than silently truncating the allocation). */
+  private def readAll(fs: FileSystem, p: String): Array[Byte] = {
+    val st = fs.getFileStatus(new HPath(p))
+    require(st.getLen <= Int.MaxValue,
+      s"$p: sidecar too large to materialize (${st.getLen} bytes)")
+    val buf = new Array[Byte](st.getLen.toInt)
+    val in = fs.open(new HPath(p))
+    try in.readFully(0, buf) finally in.close()
+    buf
+  }
+
   /** The COMPACTION component's raw bytes out of a Statistics.db —
     * the era-dispatched extraction [[describeOne]] and
     * [[gatherSketches]] share. */
@@ -282,13 +289,8 @@ object SSTableMetadata {
         val oldEra = version.nonEmpty && version.charAt(0) < 'm'
         val base = dataPath.stripSuffix("-Data.db")
         val sketchBytes = comps.find(_ == base + "-Statistics.db")
-          .flatMap { p =>
-            val st = fsx.getFileStatus(new HPath(p))
-            val buf = new Array[Byte](st.getLen.toInt)
-            val in = fsx.open(new HPath(p))
-            try in.readFully(0, buf) finally in.close()
-            compactionBytes(buf, p, version, oldEra)
-          }
+          .flatMap(p =>
+            compactionBytes(readAll(fsx, p), p, version, oldEra))
         SketchRow(m.sstable, sketchBytes, m.est_keys_max, m.n_partitions)
       }
       .collect()
@@ -345,12 +347,8 @@ object SSTableMetadata {
         val base = dataPath.stripSuffix("-Data.db")
         comps.find(_ == base + "-Summary.db").filter(_ => !oldEra)
           .map { p =>
-            val st = fs.getFileStatus(new HPath(p))
-            val buf = new Array[Byte](st.getLen.toInt)
-            val in = fs.open(new HPath(p))
-            try in.readFully(0, buf) finally in.close()
             val s = SSTableComponents.downsampleSummary(
-              SSTableComponents.readSummary(buf), downsample)
+              SSTableComponents.readSummary(readAll(fs, p)), downsample)
             RangeEstimate(
               dataPath.split('/').takeRight(2).mkString("/"),
               SSTableComponents.estimatedKeysForRanges(s, ranges),
@@ -389,11 +387,7 @@ object SSTableMetadata {
         val fs = FileSystem.get(java.net.URI.create(dataPath), conf)
         val base = dataPath.stripSuffix("-Data.db")
         val p = base + "-Statistics.db"
-        val st = fs.getFileStatus(new HPath(p))
-        val buf = new Array[Byte](st.getLen.toInt)
-        val in = fs.open(new HPath(p))
-        try in.readFully(0, buf) finally in.close()
-        val s = OldFormat.readStats2x(buf, p)
+        val s = OldFormat.readStats2x(readAll(fs, p), p)
         val beforeAll = OldFormat.droppableTombstonesBefore(
           s, s.minTimestampUs / 1000000.0 - 1.0)
         val afterAll = OldFormat.droppableTombstonesBefore(
@@ -451,15 +445,8 @@ object SSTableMetadata {
         val conf = bc.value.value
         val fs = FileSystem.get(java.net.URI.create(dataPath), conf)
         val base = dataPath.stripSuffix("-Data.db")
-        def readAll(p: String): Array[Byte] = {
-          val st = fs.getFileStatus(new HPath(p))
-          val buf = new Array[Byte](st.getLen.toInt)
-          val inS = fs.open(new HPath(p))
-          try inS.readFully(0, buf) finally inS.close()
-          buf
-        }
         val current = SSTableComponents.readSummary(
-          readAll(base + "-Summary.db"))
+          readAll(fs, base + "-Summary.db"))
         val idx = fs.open(new HPath(base + "-Index.db"))
         val s = try SSTableComponents.resampleSummary(current, 8,
           new java.io.DataInputStream(

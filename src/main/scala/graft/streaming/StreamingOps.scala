@@ -619,7 +619,7 @@ object StreamingOps {
         .schema(org.apache.spark.sql.types.StructType.fromDDL(
           "path string, modificationTime timestamp, " +
             "length bigint, content binary"))
-        .option("maxFilesPerTrigger", "64")
+        .option("maxFilesPerTrigger", "200")
         .load(dir.toString),
       src => graft.ops.MultimodalOps.fileDecodeColumns(src),
       OutputMode.Append())

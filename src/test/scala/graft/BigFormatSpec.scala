@@ -2531,8 +2531,34 @@ class SSTableBinarySpec extends SparkSpec {
     assert(rt === s2)
     assert(OldFormat.droppableTombstonesBefore(rt, 1e9) === 4.0)
     assert(OldFormat.estimatedDroppableTombstoneRatio(rt, 1e9) === 0.25)
-    assert(OldFormat.estimatedDroppableTombstoneRatio(
-      rt.copy(estColumnsTotal = 0L), 1e9) === 0.0)
+    // a genuinely column-free (tombstone-only) file: ZERO is a real
+    // value the container must round-trip, distinct from "declared
+    // none" (negative → the legacy one-per-partition shape)
+    val zeroRt = OldFormat.readStats2x(OldFormat.writeStats2x(
+      s2.copy(estColumnsTotal = 0L), nPartitions = 8L), "t")
+    assert(zeroRt.estColumnsTotal === 0L)
+    assert(OldFormat.estimatedDroppableTombstoneRatio(zeroRt, 1e9) === 0.0)
+    // Cassandra's ceilinged mean()×count() on a REAL multi-bucket
+    // column histogram: total 7 over count 4 → mean ⌈7/4⌉ = 2 →
+    // reconstructs 8, not the raw Σ offset×bucket = 7 — built as a
+    // hand-written 2.x stats container and read through readStats2x
+    val multiBucket = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new java.io.DataOutputStream(bos)
+      out.writeInt(1); out.writeInt(2); out.writeInt(12) // TOC: STATS
+      out.writeInt(0)                        // rowSize: empty
+      out.writeInt(2)                        // columnCount: 2 buckets
+      out.writeLong(1L); out.writeLong(3L)   // 3 cols of size 1
+      out.writeLong(4L); out.writeLong(1L)   // 1 col of size 4
+      out.writeLong(0L); out.writeInt(0)     // ReplayPosition
+      out.writeLong(1L); out.writeLong(2L)   // min/max timestamp
+      out.writeInt(3)                        // maxLocalDeletionTime
+      out.writeDouble(-1.0)
+      out.writeInt(100); out.writeInt(0)     // empty drop-time bins
+      out.writeInt(0); out.writeLong(0L)     // level, repairedAt
+      out.flush(); bos.toByteArray
+    }
+    assert(OldFormat.readStats2x(multiBucket, "t").estColumnsTotal === 8L)
   }
 
   test("scrub salvages a COMPRESSED generation past a corrupt chunk") {
