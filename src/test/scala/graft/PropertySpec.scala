@@ -296,6 +296,72 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: the tombstone drop-time histogram conserves counts, " +
+    "respects its bin budget, and sums monotonically") {
+    import graft.sources.OldFormat.TombstoneHistogram
+    val genCase = for {
+      maxBins <- Gen.chooseNum(2, 20)
+      n <- Gen.chooseNum(0, 300)
+      points <- Gen.listOfN(n, Gen.chooseNum(0, 5000).map(_.toDouble))
+    } yield (maxBins, points)
+    val cases = Gen.listOfN(60, genCase)
+      .apply(Gen.Parameters.default, Seed(31L))
+      .getOrElse(sys.error("gen failed"))
+    cases.foreach { case (maxBins, points) =>
+      val h = points.foldLeft(
+        TombstoneHistogram(maxBins, Vector.empty))(_.update(_))
+      assert(h.bins.size <= maxBins, "bin budget")
+      assert(h.total === points.size.toLong,
+        "centroid merging conserves counts")
+      assert(h.bins.map(_._1) === h.bins.map(_._1).sorted,
+        "bins stay point-ordered")
+      // sum is monotone in b and clamped to [0, total] with exact ends
+      val probes = (h.bins.map(_._1) ++
+        Seq(-1.0, 2500.0, 1e9)).sorted
+      val sums = probes.map(h.sum)
+      sums.sliding(2).foreach {
+        case Seq(a, b) => assert(a <= b + 1e-9, s"monotone: $a > $b")
+        case _ => ()
+      }
+      assert(h.sum(-1e9) === 0.0)
+      assert(h.sum(1e18) === points.size.toDouble)
+      sums.foreach(v => assert(v >= -1e-9 && v <= points.size + 1e-9))
+    }
+  }
+
+  test("property: per-range sampled estimates stay within one " +
+    "interval per unwrapped window of the exact in-range count") {
+    import graft.sources.{BigFormat, SSTableComponents}
+    val genCase = for {
+      n <- Gen.chooseNum(1, 400)
+      interval <- Gen.oneOf(2, 4, 8, 16)
+      seed <- Gen.chooseNum(0, 1 << 20)
+    } yield (n, interval, seed)
+    val cases = Gen.listOfN(40, genCase)
+      .apply(Gen.Parameters.default, Seed(37L))
+      .getOrElse(sys.error("gen failed"))
+    cases.foreach { case (n, interval, seed) =>
+      val ring = (0 until n).map(i => s"p$seed-$i".getBytes("UTF-8"))
+        .sortBy(k => BigFormat.murmur3Token(k)).toVector
+      val toks = ring.map(BigFormat.murmur3Token)
+      val sampled = ring.zipWithIndex
+        .collect { case (k, i) if i % interval == 0 => (k, i.toLong) }
+      val s = SSTableComponents.Summary(interval, sampled,
+        (n + interval - 1) / interval, ring.head, ring.last)
+      val rnd = new scala.util.Random(seed)
+      (0 until 6).foreach { _ =>
+        val a = rnd.nextLong(); val b = rnd.nextLong()
+        val windows = if (a < b) 1 else 2 // wrap unwraps into two
+        val exact = toks.count(t =>
+          if (a < b) t > a && t <= b else t > a || t <= b)
+        val est = SSTableComponents.estimatedKeysForRanges(s, Seq((a, b)))
+        assert(est >= 1, "the reference's floor")
+        assert(math.abs(est - exact) <= windows.toLong * interval,
+          s"n=$n interval=$interval range=($a,$b): est=$est exact=$exact")
+      }
+    }
+  }
+
   test("property: the heap-driven summary redistribution equals the " +
     "naive greedy on random pools, and its invariants always hold") {
     import graft.sources.SSTableComponents.redistributeSummaries
