@@ -509,9 +509,11 @@ object SSTableMetadata {
   }
 
   /** Registered `src_sstable_keycount` — the reference's whole
-    * key-count-estimation surface exercised SIDECAR-ONLY over two
+    * key-count-estimation surface exercised SIDECAR-ONLY over three
     * generation sets of the same content:
     *   - set A: intact (Index.db streamed → exact counts);
+    *   - set C: every Statistics.db rewritten WITHOUT its COMPACTION
+    *     component (feeds `fallback_sum` below);
     *   - set B: every Index.db DELETED — the lake where exact counting
     *     is impossible and the sketch is the only count left standing.
     * One row per figure, each replayed by the oracle from fixture
@@ -526,9 +528,12 @@ object SSTableMetadata {
     *   - `sum_hll`       Σ per-file cardinalities (2 × exact_total)
     *   - `gain_x1000`    `estimateCompactionGain(A ∪ B)` × 1000 —
     *     compacting two identical sets keeps half: 500
-    *   - `fallback_sum`  `getApproximateKeyCount` when ANY file lacks
-    *     a sketch (B's suppressed — the CASSANDRA-10676 demotion):
-    *     the summary-estimate sum SEEDED FROM -1, the reference's own
+    *   - `fallback_sum`  `getApproximateKeyCount` over A ∪ C, where
+    *     set C's Statistics.db files GENUINELY lack the COMPACTION
+    *     component (each rewritten through `writeStats` sans sketch —
+    *     the real CASSANDRA-10676 lake, not an API-level suppression):
+    *     one sketchless file demotes the WHOLE answer to the
+    *     summary-estimate sum SEEDED FROM -1, the reference's own
     *     off-by-one (`NoTTLReader.java:154,211-214` — `count = -1`
     *     then `count += estimatedKeys()`), mirrored quirk and all. */
   def keyCountAudit(spark: SparkSession, sfDir: String): DataFrame = {
@@ -537,31 +542,56 @@ object SSTableMetadata {
     val frame = SSTableBinaryV2.readBinary(spark, in)
     val outA = graft.Scratch.dir("graft-keycount-a-")
     val outB = graft.Scratch.dir("graft-keycount-b-")
+    val outC = graft.Scratch.dir("graft-keycount-c-")
     SSTableBinaryV2.writeSSTables(frame, outA.toString,
       "graft", "documents")
     SSTableBinaryV2.writeSSTables(frame, outB.toString,
       "graft", "documents")
+    SSTableBinaryV2.writeSSTables(frame, outC.toString,
+      "graft", "documents")
     val dirB = outB.resolve("graft").resolve("documents")
-    val ls = java.nio.file.Files.list(dirB)
-    try {
-      import scala.jdk.CollectionConverters._
-      ls.iterator().asScala
+    val dirC = outC.resolve("graft").resolve("documents")
+    import scala.jdk.CollectionConverters._
+    locally {
+      val ls = java.nio.file.Files.list(dirB)
+      try ls.iterator().asScala
         .filter(_.getFileName.toString.endsWith("-Index.db"))
         .toSeq.foreach { f =>
           java.nio.file.Files.delete(f)
           java.nio.file.Files.deleteIfExists(
             f.getParent.resolve("." + f.getFileName + ".crc"))
         }
-    } finally ls.close()
-    val rows =
-      gatherSketches(spark, s"$outA/graft/documents") ++
-        gatherSketches(spark, s"$dirB")
+      finally ls.close()
+    }
+    // set C: strip the COMPACTION component from every Statistics.db
+    // by re-serializing just the header — the file a pre-sketch
+    // Cassandra (or a CASSANDRA-10676 casualty) actually has
+    locally {
+      val ls = java.nio.file.Files.list(dirC)
+      try ls.iterator().asScala
+        .filter(_.getFileName.toString.endsWith("-Statistics.db"))
+        .toSeq.foreach { f =>
+          val header = BigFormat.readStats(
+            java.nio.file.Files.readAllBytes(f))
+          java.nio.file.Files.write(f, BigFormat.writeStats(header))
+          java.nio.file.Files.deleteIfExists(
+            f.getParent.resolve("." + f.getFileName + ".crc"))
+        }
+      finally ls.close()
+    }
+    val rowsA = gatherSketches(spark, s"$outA/graft/documents")
+    val rowsB = gatherSketches(spark, s"$dirB")
+    val rowsC = gatherSketches(spark, s"$dirC")
     graft.Scratch.delete(outA)
     graft.Scratch.delete(outB)
+    graft.Scratch.delete(outC)
+    val rows = rowsA ++ rowsB
     val sketches = rows.map(_._1.flatMap(
       KeyCardinality.readComponent(_, oldEra = false)))
     require(sketches.forall(_.isDefined),
       "key-count fixture: a generation lost its COMPACTION sketch")
+    require(rowsC.forall(_._1.isEmpty),
+      "key-count fixture: set C must be genuinely sketchless")
     val exactTotal = rows.flatMap(_._3).sum
     val nLost = rows.count(_._3.isEmpty)
     val merged = KeyCardinality.approximateKeyCount(
@@ -569,12 +599,12 @@ object SSTableMetadata {
         (s, est.getOrElse(0L)) })
     val sumHll = sketches.flatten.map(_.cardinality()).sum
     val gain = KeyCardinality.compactionGain(sketches.flatten)
-    // the demotion path: B's sketches suppressed — every file must
-    // carry one for the merged answer, so the whole estimate falls
-    // back to summary sums (seeded from -1, the reference's quirk)
+    // the demotion path over A ∪ C: C's files carry NO sketch on
+    // disk, so the whole estimate falls back to summary sums
     val fallback = KeyCardinality.approximateKeyCount(
-      sketches.zip(rows).zipWithIndex.map { case ((s, (_, est, _)), i) =>
-        (if (i < rows.size / 2) s else None, est.getOrElse(0L)) })
+      (rowsA ++ rowsC).map { case (bytes, est, _) =>
+        (bytes.flatMap(KeyCardinality.readComponent(_, oldEra = false)),
+          est.getOrElse(0L)) })
     spark.createDataset(Seq(
       ("exact_total", exactTotal),
       ("fallback_sum", fallback),
