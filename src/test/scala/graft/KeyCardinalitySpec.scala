@@ -180,6 +180,31 @@ class KeyCardinalityLakeSpec extends SparkSpec {
         assert(est === exactByFile(r.getString(r.fieldIndex("sstable"))),
           "the sketch serves what the index would have counted")
       }
+      // the next rung down the degradation ladder: strip the
+      // COMPACTION component too (the CASSANDRA-10676 file shape) —
+      // est_keys_hll goes honestly NULL while the summary bound keeps
+      // serving; nothing throws
+      val ls2 = java.nio.file.Files.list(dir)
+      try {
+        import scala.jdk.CollectionConverters._
+        ls2.iterator().asScala
+          .filter(_.getFileName.toString.endsWith("-Statistics.db"))
+          .toSeq.foreach { f =>
+            val header = graft.sources.BigFormat.readStats(
+              java.nio.file.Files.readAllBytes(f))
+            java.nio.file.Files.write(f,
+              graft.sources.BigFormat.writeStats(header))
+            java.nio.file.Files.deleteIfExists(
+              f.getParent.resolve("." + f.getFileName + ".crc"))
+          }
+      } finally ls2.close()
+      val bare = SSTableMetadata.describe(spark, dir.toString).collect()
+      bare.foreach { r =>
+        assert(r.isNullAt(r.fieldIndex("est_keys_hll")),
+          "no COMPACTION component, no sketch estimate")
+        assert(!r.isNullAt(r.fieldIndex("est_keys_max")),
+          "the summary bound is the count of last resort")
+      }
     } finally graft.Scratch.delete(out)
   }
 }
