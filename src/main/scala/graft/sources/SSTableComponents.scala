@@ -536,6 +536,46 @@ object SSTableComponents {
     }
   }
 
+  /** `NoTTLReader.getPositionsForRanges` (`NoTTLReader.java:1420-1448`):
+    * the Data.db byte spans the token ranges cover — what streaming
+    * and repair hand to the disk layer. One forward pass over the
+    * ring-ordered index entries; each (start-exclusive, end-inclusive]
+    * range's span runs from its first member's data position to the
+    * first position PAST its last member (`dataLength` when the file
+    * ends inside the range — the reference's `uncompressedLength()`
+    * arm); memberless ranges contribute nothing (the reference's
+    * `left == right` skip). Wrap-around ranges unwrap first; the
+    * unwrapped ranges must be disjoint and lo-sorted (`Range
+    * .normalize`'s output shape — enforced loudly, not assumed). */
+  def positionsForRanges(index: Iterator[(Array[Byte], Long)],
+      ranges: Seq[(Long, Long)], dataLength: Long): Seq[(Long, Long)] = {
+    val unwrapped = ranges.flatMap { case (l, r) =>
+      if (l < r) Seq((l, r))
+      else Seq((l, Long.MaxValue), (Long.MinValue, r))
+    }.sortBy(_._1)
+    unwrapped.sliding(2).foreach {
+      case Seq((_, r1), (l2, _)) => require(r1 <= l2,
+        s"ranges overlap after unwrap: ($r1) > ($l2) — normalize first")
+      case _ => ()
+    }
+    val spans = Seq.newBuilder[(Long, Long)]
+    var i = 0                  // current range
+    var open = -1L             // open span's start, -1 when closed
+    index.foreach { case (key, pos) =>
+      val t = BigFormat.murmur3Token(key)
+      // close/advance past every range this entry has moved beyond
+      while (i < unwrapped.size && t > unwrapped(i)._2) {
+        if (open >= 0) { spans += ((open, pos)); open = -1L }
+        i += 1
+      }
+      if (i < unwrapped.size && open < 0 &&
+          t > unwrapped(i)._1 && t <= unwrapped(i)._2)
+        open = pos
+    }
+    if (open >= 0) spans += ((open, dataLength))
+    spans.result()
+  }
+
   /** `NoTTLReader.getKeySamples` (`NoTTLReader.java:1368-1415`): the
     * sampled keys themselves inside the ranges — what repair uses to
     * pick split points without streaming an index. Same mark spans as

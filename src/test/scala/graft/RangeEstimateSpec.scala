@@ -113,6 +113,52 @@ class RangeEstimateSpec extends AnyFunSuite {
     assert(f("big") === 2 && f("small") === 1)
   }
 
+  test("positionsForRanges: byte spans decode to exactly the member " +
+    "partitions — mid ranges, a to-EOF tail, empty and wrap forms") {
+    val header = BigFormat.Header(1L, 1, 0, BigFormat.Utf8Type,
+      Seq(BigFormat.Utf8Type), Nil, Seq("v" -> BigFormat.Utf8Type))
+    val parts = (0 until 200).map(i => BigFormat.PartitionData(
+      s"k$i", None, Seq(BigFormat.RowAtom(Seq(Some("c")),
+        Some(1000000L), None, None, None,
+        Seq(BigFormat.CellAtom("v", 1000000L, None, None,
+          Some(s"val$i"), deleted = false))))))
+    val (bytes, index) = BigFormat.writeDataFileIndexed(parts, header)
+    val keys = index.map(_._1) // ring order, encoded
+    def tokAt(i: Int) = BigFormat.murmur3Token(keys(i))
+    def spansOf(rs: Seq[(Long, Long)]) =
+      SSTableComponents.positionsForRanges(
+        index.iterator.map(e => (e._1, e._2)), rs, bytes.length.toLong)
+    def decode(span: (Long, Long)): Seq[String] =
+      BigFormat.partitions(header, new java.io.ByteArrayInputStream(
+        bytes, span._1.toInt, (span._2 - span._1).toInt), "spec")
+        .map(_.key).toSeq
+    // one interior range and one running to EOF (the
+    // uncompressedLength arm) — each span decodes to EXACTLY the
+    // member partitions, start-exclusive at the left edge
+    val spans = spansOf(Seq((tokAt(20), tokAt(60)),
+      (tokAt(150), Long.MaxValue)))
+    assert(spans.size === 2)
+    assert(spans(1)._2 === bytes.length.toLong)
+    assert(decode(spans(0)) ===
+      (21 to 60).map(i => new String(keys(i), "UTF-8")))
+    assert(decode(spans(1)) ===
+      (151 until 200).map(i => new String(keys(i), "UTF-8")))
+    // a memberless range contributes nothing (the left==right skip)
+    assert(spansOf(Seq((tokAt(10), tokAt(11) - 1))).isEmpty)
+    // wrap-around unwraps into head + tail spans that together hold
+    // every partition outside the interior complement
+    val wrap = spansOf(Seq((tokAt(150), tokAt(20))))
+    assert(wrap.size === 2)
+    // spans come back in BYTE order: the ring's head tail first
+    assert(wrap.flatMap(decode) ===
+      ((0 to 20) ++ (151 until 200)).map(i =>
+        new String(keys(i), "UTF-8")))
+    // overlapping un-normalized input refuses loudly
+    intercept[IllegalArgumentException] {
+      spansOf(Seq((tokAt(10), tokAt(50)), (tokAt(40), tokAt(60))))
+    }
+  }
+
   test("firstKeyBeyond: summary-guided bounded index probe, " +
     "strictly-beyond semantics, None past the last key") {
     val s = rebuilt(8)
