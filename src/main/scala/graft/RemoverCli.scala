@@ -55,9 +55,12 @@ import org.apache.spark.sql.SparkSession
   *
   * Inventory mode (`sstablemetadata`'s UX, read-only):
   *   graft.RemoverCli --inventory true --in <lake dir>
-  *     [--out <dir>] [--cpus <n>]
+  *     [--stats true] [--out <dir>] [--cpus <n>]
   * prints one row per generation from sidecars only (Data.db never
-  * opened) and persists the table as parquet when `--out` is given.
+  * opened) and persists the table as parquet when `--out` is given;
+  * `--stats true` joins the modern StatsMetadata panel (timestamps,
+  * TTL/deletion bounds, level, repairedAt, row/cell totals,
+  * droppability) onto the rows.
   */
 object RemoverCli {
 
@@ -80,12 +83,19 @@ object RemoverCli {
         * opened) and print the table; `--out` optionally persists it
         * as parquet. A read-only mode: every transform flag
         * contradicts it. */
-      inventory: Boolean = false)
+      inventory: Boolean = false,
+      /** `--stats true` (inventory-only): join the modern
+        * StatsMetadata panel ([[graft.sources.SSTableMetadata
+        * .describeStats]] — min/max timestamps, TTL and
+        * deletion-time bounds, level, repairedAt, row/cell totals,
+        * droppability) onto the inventory rows; generations without
+        * a STATS component keep NULLs. */
+      stats: Boolean = false)
 
   private val Flags = Set("in", "out", "table", "keyspace", "cpus",
     "pk", "ck", "cells", "writetime", "ttl-key", "format", "merge",
     "reader", "sink", "cql", "compress", "verify", "scrub",
-    "out-generations", "inventory")
+    "out-generations", "inventory", "stats")
 
   private def csv(v: String): Seq[String] =
     v.split(',').map(_.trim).filter(_.nonEmpty).toSeq
@@ -106,13 +116,16 @@ object RemoverCli {
       // boolean flags validate BEFORE use: `--verify yes` must produce
       // the usage error every other malformed flag does, not an
       // uncaught toBoolean stack trace
-      val badBool = Seq("verify", "scrub", "inventory").collectFirst {
+      val badBool = Seq("verify", "scrub", "inventory", "stats")
+        .collectFirst {
         case k if m.get(k).exists(v => !v.equalsIgnoreCase("true") &&
           !v.equalsIgnoreCase("false")) =>
           s"--$k must be true or false, got '${m(k)}'"
       }
       if (badBool.nonEmpty) Left(badBool.get)
       else if (m.get("inventory").exists(_.toBoolean)) parseInventory(m)
+      else if (m.contains("stats"))
+        Left("--stats applies to --inventory only")
       else (m.get("in"), m.get("out"), m.get("table")) match {
         case (None, _, _) => Left("--in <dir> is required")
         case (_, None, _) => Left("--out <dir> is required")
@@ -166,7 +179,7 @@ object RemoverCli {
     * user should hear about, not a silently ignored intent. */
   private def parseInventory(m: Map[String, String])
       : Either[String, CliArgs] = {
-    val allowed = Set("inventory", "in", "out", "cpus")
+    val allowed = Set("inventory", "in", "out", "cpus", "stats")
     val stray = (m.keySet -- allowed).toSeq.sorted
     if (stray.nonEmpty)
       Left(s"--inventory lists generations from sidecars (read-only); " +
@@ -185,7 +198,8 @@ object RemoverCli {
               java.nio.file.Paths.get(i).toAbsolutePath)
               Left("--out must differ from --in (originals are kept)")
             else Right(CliArgs(i, out, table = "", cpus = c,
-              inventory = true))
+              inventory = true,
+              stats = m.get("stats").exists(_.toBoolean)))
         }
     }
   }
@@ -414,8 +428,27 @@ object RemoverCli {
   private def runInventory(spark: SparkSession, args: CliArgs): Long = {
     // checkpoint before the two consumers (write + print): the
     // listing + sidecar task wave must run once, not per action
-    val df = graft.sources.SSTableMetadata.describe(spark, args.in)
-      .orderBy("sstable").localCheckpoint()
+    val base = graft.sources.SSTableMetadata.describe(spark, args.in)
+    // `--stats true`: the modern StatsMetadata panel joins on the
+    // generation identity; rows whose Statistics.db predates the
+    // STATS component (or is 2.x) keep NULL panel columns. A LEFT
+    // join on the catalog-sized key — no shuffle concern at any lake
+    // size that fits a terminal or a parquet listing
+    val joined =
+      if (!args.stats) base
+      else {
+        val panel =
+          graft.sources.SSTableMetadata.describeStats(spark, args.in)
+        // the panel repeats two header-derived columns
+        // (min_writetime_us, min_ttl_s) under the same names; the
+        // base inventory's stay authoritative in the joined view —
+        // the full panel remains available via describeStats itself
+        val dups = panel.columns.toSet
+          .intersect(base.columns.toSet) - "sstable"
+        base.join(dups.foldLeft(panel)((df, c) => df.drop(c)),
+          Seq("sstable"), "left")
+      }
+    val df = joined.orderBy("sstable").localCheckpoint()
     if (args.out.nonEmpty)
       df.coalesce(1).write.mode("overwrite").parquet(args.out)
     val n = df.count()
@@ -609,7 +642,8 @@ object RemoverCli {
       System.err.println(
         "usage: graft.RemoverCli --in <dir> --out <dir> --table <name>" +
           " [--keyspace <ks>] [--cpus <n>]" +
-          " | --inventory true --in <dir> [--out <dir>] [--cpus <n>]" +
+          " | --inventory true --in <dir> [--stats true] [--out <dir>]" +
+          " [--cpus <n>]" +
           " [--format parquet|sstabledump|sstable]" +
           " [--merge lww] [--reader json|v2] [--sink parquet|sstable]" +
           " [--compress lz4|snappy|deflate|zstd]" +

@@ -160,6 +160,8 @@ object SparkEntry {
       (sources.SSTableMetadata.summaryBudgetAudit _),
     "src_sstable_droppable" ->
       (sources.SSTableMetadata.droppableAudit _),
+    "src_sstable_stats" ->
+      (sources.SSTableMetadata.statsAudit _),
     "src_sstable_dump_export" ->
       (sources.SSTableDumpBridge.exportAudit _),
     "src_sstable_slice" -> (sources.SSTableBinaryV2.sliceAudit _),
@@ -2948,11 +2950,13 @@ object SparkEntry {
       |SELECT sstable, n_partitions, min_writetime_us, min_ttl_s,
       | CAST(NULL AS VARCHAR) AS compressor,
       | 7 AS n_components, n_partitions AS est_keys_hll,
+      | CAST(NULL AS VARCHAR) AS ancestors,
       | 'plain' AS layout FROM g
       |UNION ALL
       |SELECT sstable, n_partitions, min_writetime_us, min_ttl_s,
       | 'LZ4Compressor' AS compressor,
       | 8 AS n_components, n_partitions AS est_keys_hll,
+      | CAST(NULL AS VARCHAR) AS ancestors,
       | 'lz4' AS layout FROM g
       |UNION ALL
       |SELECT 'documents/graft-documents-ka-' || CAST(f + 1 AS VARCHAR)
@@ -2962,7 +2966,10 @@ object SparkEntry {
       | CAST(NULL AS INTEGER) AS min_ttl_s,
       | CAST(NULL AS VARCHAR) AS compressor,
       | 4 AS n_components,
-      | CAST(count(*) AS BIGINT) AS est_keys_hll, 'ka' AS layout
+      | CAST(count(*) AS BIGINT) AS est_keys_hll,
+      | CAST(2 * (f + 1) AS VARCHAR) || ','
+      |   || CAST(2 * (f + 1) + 1 AS VARCHAR) AS ancestors,
+      | 'ka' AS layout
       |FROM d GROUP BY f""".stripMargin,
     // tombstone droppability off the 2.x StatsMetadata drop-time
     // StreamingHistogram: 0 below every drop time, the EXACT
@@ -2990,6 +2997,68 @@ object SparkEntry {
       | cells AS est_columns,
       | CASE WHEN cells = 0 THEN 0.0 ELSE tomb / cells END AS ratio
       |FROM g""".stripMargin,
+    // the modern sstablemetadata panel off the STATS component the
+    // REAL sink's MetadataCollector pass writes: every figure is
+    // fixture doc_id arithmetic. Collector semantics drive the two
+    // sentinel columns — min_ttl is 0 exactly when a non-expiring
+    // cell/liveness exists (collector updates TTL with 0), and
+    // max_deletion is NO_DELETION_TIME (2147483647) exactly when a
+    // LIVE atom exists — both generation-dependent here: gen 3
+    // (f=2) is ALL-expiring (doc≡2 mod 4 is never ≡0 mod 100), so
+    // it alone reports finite max_deletion and nonzero min_ttl.
+    // Droppable mass per expiring doc is 2 (the len and src cell
+    // expirations): the bridge surfaces PK_LIVENESS only on
+    // cell-less rows, so a rewritten cell-bearing row carries no
+    // separate liveness expiration.
+    // Both layouts (plain, lz4) serve identical stats — the
+    // compression ratio is gated in-query, not served (it is size
+    // arithmetic, not doc arithmetic)
+    "src_sstable_stats" -> """
+      |WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc,
+      |  CAST(doc_id % 4 AS INTEGER) AS f,
+      |  doc_id % 10 AS k, doc_id % 100 AS h, doc_id % 2 AS e
+      | FROM documents),
+      |g AS (SELECT f,
+      |  min(doc) AS min_doc,
+      |  max(doc + CASE WHEN k NOT IN (3, 5, 7) THEN 10 ELSE 0 END)
+      |    AS max_off,
+      |  bool_or(k NOT IN (3, 7) AND (e = 1 OR h = 0)) AS has_live,
+      |  min(CASE WHEN e = 0 AND h <> 0 THEN h END) AS min_exp_ttl,
+      |  max(CASE WHEN e = 0 AND h <> 0 THEN h END) AS max_exp_ttl,
+      |  min(CASE WHEN k IN (3, 7) THEN doc
+      |    WHEN e = 0 AND h <> 0 THEN doc + h END) AS min_del_off,
+      |  max(CASE WHEN k IN (3, 7) THEN doc
+      |    WHEN e = 0 AND h <> 0 THEN doc + 10 + h END) AS max_del_off,
+      |  sum(CASE WHEN k <> 3 THEN 1 ELSE 0 END) AS n_rows,
+      |  2 * sum(CASE WHEN k NOT IN (3, 5, 7) THEN 1 ELSE 0 END)
+      |    AS n_cells,
+      |  sum(CASE WHEN k IN (3, 7) THEN 1
+      |    WHEN e = 0 AND h <> 0 THEN 2 ELSE 0 END) AS tomb
+      | FROM d GROUP BY f),
+      |x AS (SELECT
+      |  'documents/nb-' || CAST(f + 1 AS VARCHAR) || '-big-Data.db'
+      |    AS sstable,
+      |  (1609459200 + min_doc) * 1000000 AS min_writetime_us,
+      |  (1609459200 + max_off) * 1000000 AS max_writetime_us,
+      |  CAST(CASE WHEN has_live THEN 0
+      |    ELSE COALESCE(min_exp_ttl, 0) END AS INTEGER) AS min_ttl_s,
+      |  CAST(COALESCE(max_exp_ttl, 0) AS INTEGER) AS max_ttl_s,
+      |  CAST(COALESCE(1609459200 + min_del_off, 2147483647)
+      |    AS INTEGER) AS min_deletion_s,
+      |  CAST(CASE WHEN has_live THEN 2147483647
+      |    ELSE COALESCE(1609459200 + max_del_off, 2147483647) END
+      |    AS INTEGER) AS max_deletion_s,
+      |  CAST(0 AS INTEGER) AS sstable_level,
+      |  CAST(0 AS BIGINT) AS repaired_at,
+      |  CAST(n_rows AS BIGINT) AS total_rows,
+      |  CAST(n_cells AS BIGINT) AS total_cells,
+      |  CAST(tomb AS BIGINT) AS droppable_total,
+      |  CASE WHEN n_cells = 0 THEN 0.0
+      |    ELSE CAST(tomb AS DOUBLE) / n_cells END AS droppable_ratio
+      | FROM g)
+      |SELECT x.*, l.layout
+      |FROM x CROSS JOIN (VALUES ('plain'), ('lz4')) AS l(layout)"""
+      .stripMargin,
     // the IndexSummaryManager role: summaries resampled fine (the
     // rebuild branch), then the budget-driven redistribution coarsens
     // the coldest generations in place until HALF the marks fit. The

@@ -1029,11 +1029,14 @@ object BigFormat {
     * VALIDATION/STATS as well parse identically (their components are
     * never visited). */
   def writeStats(header: Header, checksummed: Boolean = true,
-      compaction: Option[Array[Byte]] = None): Array[Byte] = {
+      compaction: Option[Array[Byte]] = None,
+      stats: Option[StatsModern] = None): Array[Byte] = {
     val body = new ByteArrayOutputStream()
     writeHeaderComponent(header, new DataOutputStream(body))
     val components: Seq[(Int, Array[Byte])] =
-      compaction.map(CompactionComponentOrdinal -> _).toSeq :+
+      compaction.map(CompactionComponentOrdinal -> _).toSeq ++
+        stats.map(s => StatsComponentOrdinal ->
+          writeStatsModern(s, nSeries = checksummed)).toSeq :+
         (HeaderComponentOrdinal -> body.toByteArray)
 
     val out = new ByteArrayOutputStream()
@@ -1098,6 +1101,235 @@ object BigFormat {
         }
         Some(java.util.Arrays.copyOfRange(bytes, compOffset, end))
       }
+    }
+  }
+
+  /** MetadataType.STATS ordinal — the per-file StatsMetadata
+    * component's slot in the Statistics.db TOC. */
+  val StatsComponentOrdinal = 2
+
+  /** The modern-era (3.x "m" / 4.x "n" series) StatsMetadata subset
+    * this engine writes and serves — the figures the reference reads
+    * off every opened file (`NoTTLReader.getSSTableMetadata`,
+    * `NoTTLReader.java:1982`; the per-field getters at
+    * `:1912-1945,1963,1851,1932`) and `sstablemetadata` prints.
+    * Semantics follow Cassandra's `MetadataCollector` literally:
+    *   - every cell updates the TTL bound with its ttl, 0 when
+    *     non-expiring, so `minTtlS` is 0 whenever any plain cell
+    *     exists;
+    *   - every cell updates the local-deletion bound with its
+    *     localDeletionTime, `Int.MaxValue` (NO_DELETION_TIME) when
+    *     live, so `maxLdtS` is 2147483647 whenever any live cell
+    *     exists;
+    *   - only FINITE deletion times (tombstones, expirations) feed
+    *     the drop-time histogram — the droppability estimate's input.
+    * `partitionSizeTotal` / `columnCountTotal` are the two
+    * EstimatedHistograms' exact mean()×count() reconstructions (the
+    * serialized bucket encoding is total-exact, see
+    * [[writeStatsModern]]). */
+  /** The row-level facts a write path collects while serializing
+    * partitions (Cassandra's `MetadataCollector` role); the sink's
+    * component builder completes them into a [[StatsModern]] with
+    * the sizes only it knows (partition count, uncompressed data
+    * length, on-disk/uncompressed compression ratio). */
+  case class StatsCollected(
+      minTimestampUs: Long,
+      maxTimestampUs: Long,
+      minLdtS: Int,
+      maxLdtS: Int,
+      minTtlS: Int,
+      maxTtlS: Int,
+      tombstoneDropTime: OldFormat.TombstoneHistogram,
+      totalColumnsSet: Long,
+      totalRows: Long,
+      sstableLevel: Int = 0,
+      repairedAt: Long = 0L)
+
+  case class StatsModern(
+      nPartitions: Long,
+      partitionSizeTotal: Long,
+      columnCountTotal: Long,
+      minTimestampUs: Long,
+      maxTimestampUs: Long,
+      minLdtS: Int,
+      maxLdtS: Int,
+      minTtlS: Int,
+      maxTtlS: Int,
+      compressionRatio: Double,
+      tombstoneDropTime: OldFormat.TombstoneHistogram,
+      sstableLevel: Int,
+      repairedAt: Long,
+      totalColumnsSet: Long,
+      totalRows: Long)
+
+  /** An EstimatedHistogram whose mean()×count() reconstructs `total`
+    * EXACTLY and whose count() is exactly `count`: with q = ⌊total /
+    * count⌋ and r the remainder, `count − r` points sit in a bucket
+    * at offset q and `r` in one at q+1 — Σ(offset×bucket) = total.
+    * The single zero-count bucket keeps the "at least one bucket"
+    * shape a real reader allocates offsets from. */
+  private def exactHistogram(total: Long, count: Long)
+      : Seq[(Long, Long)] = {
+    require(total >= 0 && count >= 0, s"histogram($total, $count)")
+    if (count == 0) Seq((1L, 0L))
+    else {
+      val q = total / count
+      val r = total - q * count
+      if (r == 0) Seq((q, count)) else Seq((q, count - r), (q + 1, r))
+    }
+  }
+
+  private def writeHistogram(bins: Seq[(Long, Long)],
+      out: DataOutputStream): Unit = {
+    out.writeInt(bins.size)
+    bins.foreach { case (off, cnt) =>
+      out.writeLong(off); out.writeLong(cnt)
+    }
+  }
+
+  /** Returns (Σ offset×bucket, Σ bucket) — the mean()×count() and
+    * count() accounting Cassandra reconstructs from a serialized
+    * EstimatedHistogram. */
+  private def readHistogramTotals(in: DataInputStream): (Long, Long) = {
+    val n = in.readInt()
+    require(n >= 0 && n <= (1 << 20), s"EstimatedHistogram size $n")
+    var total = 0L; var count = 0L
+    (0 until n).foreach { _ =>
+      val off = in.readLong(); val cnt = in.readLong()
+      total += off * cnt; count += cnt
+    }
+    (total, count)
+  }
+
+  /** Serialize the modern STATS component body. Layout from the
+    * PUBLIC Apache Cassandra 3.11 source
+    * (`o.a.c.io.sstable.metadata.StatsMetadata.serializer`):
+    * two EstimatedHistograms (partition size, cells per partition),
+    * the commit-log upper bound (long segmentId + int position,
+    * NONE = (-1, 0)), long min/max timestamp, int min/max
+    * localDeletionTime, int min/max TTL, double compressionRatio
+    * (-1 = NO_COMPRESSION_RATIO), the tombstone drop-time
+    * StreamingHistogram (int maxBinSize, int bin count, (double,
+    * long) per bin), int sstableLevel, long repairedAt, min/max
+    * clustering-value lists (int size + short-length-prefixed
+    * buffers), boolean hasLegacyCounterShards, long totalColumnsSet,
+    * long totalRows, then the version-gated tail: the commit-log
+    * lower bound (3.0.1 "mb"+) and interval set (3.0.8 "mc"+ — int
+    * count then position pairs) both eras this engine writes carry;
+    * the n-series (4.0 "na"+) adds the pending-repair marker byte
+    * and the isTransient boolean. */
+  def writeStatsModern(s: StatsModern, nSeries: Boolean): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    writeHistogram(exactHistogram(s.partitionSizeTotal, s.nPartitions), out)
+    writeHistogram(exactHistogram(s.columnCountTotal, s.nPartitions), out)
+    out.writeLong(-1L); out.writeInt(0)   // commitLogUpperBound = NONE
+    out.writeLong(s.minTimestampUs)
+    out.writeLong(s.maxTimestampUs)
+    out.writeInt(s.minLdtS)
+    out.writeInt(s.maxLdtS)
+    out.writeInt(s.minTtlS)
+    out.writeInt(s.maxTtlS)
+    out.writeDouble(s.compressionRatio)
+    out.writeInt(s.tombstoneDropTime.maxBinSize)
+    out.writeInt(s.tombstoneDropTime.bins.size)
+    s.tombstoneDropTime.bins.foreach { case (p, m) =>
+      out.writeDouble(p); out.writeLong(m)
+    }
+    out.writeInt(s.sstableLevel)
+    out.writeLong(s.repairedAt)
+    out.writeInt(0)                       // minClusteringValues
+    out.writeInt(0)                       // maxClusteringValues
+    out.writeBoolean(false)               // hasLegacyCounterShards
+    out.writeLong(s.totalColumnsSet)
+    out.writeLong(s.totalRows)
+    out.writeLong(-1L); out.writeInt(0)   // commitLogLowerBound = NONE
+    out.writeInt(0)                       // commitLogIntervals: empty
+    if (nSeries) {
+      out.writeByte(0)                    // no pendingRepair session
+      out.writeBoolean(false)             // isTransient
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  /** The STATS component out of a modern Statistics.db, or None when
+    * the TOC has no such entry — this engine's own pre-round-13
+    * generations (and header-only fixtures) lack it, and the
+    * inventory must degrade to NULLs, not throw. Corrupt bodies
+    * (truncated, checksum-mismatched in the n-series) throw — a
+    * PRESENT component must parse. */
+  def readStatsModern(bytes: Array[Byte], checksummed: Boolean = true)
+      : Option[StatsModern] = {
+    val in = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val count = in.readInt()
+    if (checksummed) in.readInt() // count CRC (verified by readStats)
+    var statsOffset = -1
+    (0 until count).foreach { _ =>
+      val ordinal = in.readInt()
+      val offset = in.readInt()
+      if (ordinal == StatsComponentOrdinal) statsOffset = offset
+    }
+    if (statsOffset < 0) None
+    else {
+      val body = new DataInputStream(new java.io.ByteArrayInputStream(
+        bytes, statsOffset, bytes.length - statsOffset))
+      val avail0 = body.available()
+      val (psTotal, psCount) = readHistogramTotals(body)
+      val (ccTotal, ccCount) = readHistogramTotals(body)
+      require(ccCount == psCount,
+        s"StatsMetadata: histogram counts disagree ($psCount, $ccCount)")
+      body.readLong(); body.readInt()     // commitLogUpperBound
+      val minTs = body.readLong(); val maxTs = body.readLong()
+      val minLdt = body.readInt(); val maxLdt = body.readInt()
+      val minTtl = body.readInt(); val maxTtl = body.readInt()
+      val ratio = body.readDouble()
+      val maxBins = body.readInt()
+      val nBins = body.readInt()
+      require(maxBins > 0 && nBins >= 0 && nBins <= maxBins,
+        s"StatsMetadata: drop-time histogram shape ($maxBins, $nBins)")
+      val bins = Vector.tabulate(nBins) { _ =>
+        val p = body.readDouble(); val m = body.readLong(); (p, m)
+      }
+      val level = body.readInt()
+      val repairedAt = body.readLong()
+      (0 until 2).foreach { _ =>
+        val n = body.readInt()
+        require(n >= 0 && n <= (1 << 16),
+          s"StatsMetadata: clustering-value list size $n")
+        (0 until n).foreach { _ =>
+          val len = body.readUnsignedShort()
+          body.skipBytes(len)
+        }
+      }
+      body.readBoolean()                  // hasLegacyCounterShards
+      val totalColumnsSet = body.readLong()
+      val totalRows = body.readLong()
+      body.readLong(); body.readInt()     // commitLogLowerBound
+      val nIntervals = body.readInt()
+      require(nIntervals >= 0 && nIntervals <= (1 << 16),
+        s"StatsMetadata: commit-log interval count $nIntervals")
+      (0 until nIntervals).foreach { _ =>
+        body.readLong(); body.readInt()   // lower
+        body.readLong(); body.readInt()   // upper
+      }
+      if (checksummed) {
+        body.readByte()                   // pendingRepair marker
+        body.readBoolean()                // isTransient
+        val consumed = avail0 - body.available()
+        val ccrc = new CRC32()
+        ccrc.update(bytes, statsOffset, consumed)
+        require(statsOffset + consumed + 4 <= bytes.length,
+          "Statistics.db: STATS component missing its checksum")
+        val stored = java.nio.ByteBuffer
+          .wrap(bytes, statsOffset + consumed, 4).getInt
+        require(stored == ccrc.getValue.toInt,
+          "Statistics.db: STATS component checksum mismatch")
+      }
+      Some(StatsModern(psCount, psTotal, ccTotal, minTs, maxTs,
+        minLdt, maxLdt, minTtl, maxTtl, ratio,
+        OldFormat.TombstoneHistogram(maxBins, bins), level, repairedAt,
+        totalColumnsSet, totalRows))
     }
   }
 

@@ -161,6 +161,20 @@ object KeyCardinality {
     bos.toByteArray
   }
 
+  /** The 2.x component's ancestor list alone (`getAncestors`,
+    * `NoTTLReader.java:1947-1958` — the generations this file was
+    * compacted from, the lineage `sstablemetadata` prints; 3.0
+    * dropped the field). None on corrupt framing — same degrade
+    * posture as the sketch parse. */
+  def readAncestors(body: Array[Byte]): Option[Seq[Int]] =
+    try {
+      val in = new java.io.DataInputStream(
+        new java.io.ByteArrayInputStream(body))
+      val n = in.readInt()
+      if (n < 0 || n > body.length / 4) None
+      else Some(Seq.fill(n)(in.readInt()))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Parse a component body back to the sketch. `oldEra` skips the
     * ancestor list. Corrupt bytes flag as None — the caller falls
     * back to summary estimates, the reference's own CASSANDRA-10676

@@ -110,7 +110,8 @@ object SSTableBinaryV2 {
               "implicit end for a manual option — pass Long.MinValue/" +
               "MaxValue to leave a side open)")
         },
-        Option(options.get("scrub")).exists(_.toBoolean))
+        Option(options.get("scrub")).exists(_.toBoolean),
+        Option(options.get("maxBytesPerSec")).map(_.toDouble))
   }
 
   private class BinScanBuilder(path: String, maxFiles: Option[Int],
@@ -118,7 +119,8 @@ object SSTableBinaryV2 {
       slice: (Option[String], Option[String]) = (None, None),
       verify: Boolean = false,
       tokenRange: Option[(Long, Long)] = None,
-      scrub: Boolean = false)
+      scrub: Boolean = false,
+      maxBytesPerSec: Option[Double] = None)
       extends ScanBuilder with SupportsPushDownRequiredColumns
       with SupportsPushDownFilters {
     private var required: StructType = SSTableBinaryV2.schema
@@ -165,7 +167,8 @@ object SSTableBinaryV2 {
         requiredSchema.fieldNames.map(SSTableBinaryV2.schema(_)))
     override def build(): Scan =
       new BinScan(path, required, maxFiles, cql, pointKeys, splitBytes,
-        slice, verify, tokenRange = tokenRange, scrub = scrub)
+        slice, verify, tokenRange = tokenRange, scrub = scrub,
+        maxBytesPerSec = maxBytesPerSec)
   }
 
   private class BinScan(path: String, required: StructType,
@@ -179,7 +182,8 @@ object SSTableBinaryV2 {
       sliceSpace: Option[String] = None,
       tokenRange: Option[(Long, Long)] = None,
       tokenSpace: Option[String] = None,
-      scrub: Boolean = false)
+      scrub: Boolean = false,
+      maxBytesPerSec: Option[Double] = None)
       extends Scan with Batch {
 
     /** A copy of this scan with planner-derived slice bounds — the
@@ -192,7 +196,7 @@ object SSTableBinaryV2 {
         space: String): BinScan =
       new BinScan(path, required, maxFiles, cql, pointKeys,
         splitBytesOpt, (lo, hi), verify, Some(space), tokenRange,
-        tokenSpace, scrub)
+        tokenSpace, scrub, maxBytesPerSec)
 
     /** `space` names the token space PLANNER-derived bounds were
       * computed in: [[RenderedTokenSpace]] for a
@@ -208,7 +212,7 @@ object SSTableBinaryV2 {
         space: Option[String]): BinScan =
       new BinScan(path, required, maxFiles, cql, pointKeys,
         splitBytesOpt, slice, verify, sliceSpace, Some((lo, hi)),
-        space, scrub)
+        space, scrub, maxBytesPerSec)
 
     private[graft] def currentTokenRange: Option[(Long, Long)] =
       tokenRange
@@ -230,7 +234,8 @@ object SSTableBinaryV2 {
             tokenSpace.map(s => s" (derived, space=$s)").getOrElse("") },
         splitBytesOpt.map(b => s"splitBytes=$b"),
         if (verify) Some("verify=true") else None,
-        if (scrub) Some("scrub=true") else None
+        if (scrub) Some("scrub=true") else None,
+        maxBytesPerSec.map(r => s"maxBytesPerSec=$r")
       ).flatten
       s"sstable-big(${parts.mkString(", ")})"
     }
@@ -251,7 +256,8 @@ object SSTableBinaryV2 {
         : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
       Array(new PartitionsServedMetric, new FilesSkippedBloomMetric,
         new FilesSkippedTokenSpanMetric, new PartitionsScrubSkippedMetric,
-        new ComponentCacheHitsMetric, new ComponentCacheMissesMetric)
+        new ComponentCacheHitsMetric, new ComponentCacheMissesMetric,
+        new ThrottledBytesMetric, new ThrottleWaitNanosMetric)
 
     /** One recursive listing yields the data files AND their sibling
       * component sets WITH lengths (no per-file exists()/status RPCs
@@ -321,7 +327,8 @@ object SSTableBinaryV2 {
 
     override def createReaderFactory(): PartitionReaderFactory =
       new BinReaderFactory(required.fieldNames, hconf, cql, pointKeys,
-        slice, verify, sliceSpace, tokenRange, tokenSpace, scrub)
+        slice, verify, sliceSpace, tokenRange, tokenSpace, scrub,
+        maxBytesPerSec)
 
     /** Streaming form — `spark.readStream.format("sstable-big")`: the
       * source's offset is a position in the SORTED file listing (new
@@ -435,14 +442,15 @@ object SSTableBinaryV2 {
       sliceSpace: Option[String] = None,
       tokenRange: Option[(Long, Long)] = None,
       tokenSpace: Option[String] = None,
-      scrub: Boolean = false)
+      scrub: Boolean = false,
+      maxBytesPerSec: Option[Double] = None)
       extends PartitionReaderFactory {
     override def createReader(
         partition: InputPartition): PartitionReader[InternalRow] = {
       val p = partition.asInstanceOf[BinFilePartition]
       new BinPartitionReader(p.file, cols, hconf.value, cql, pointKeys,
         p.start, p.end, p.info, slice, verify, sliceSpace, tokenRange,
-        tokenSpace, scrub)
+        tokenSpace, scrub, maxBytesPerSec)
     }
   }
 
@@ -461,7 +469,8 @@ object SSTableBinaryV2 {
       sliceSpace: Option[String] = None,
       tokenRangeOpt: Option[(Long, Long)] = None,
       tokenSpace: Option[String] = None,
-      scrub: Boolean = false)
+      scrub: Boolean = false,
+      maxBytesPerSec: Option[Double] = None)
       extends PartitionReader[InternalRow] {
     /** A split task owns the partitions whose Data.db start offset
       * falls in its BLIND [rangeStart, rangeEnd) — blind ranges tile
@@ -470,6 +479,23 @@ object SSTableBinaryV2 {
     private val ranged = rangeStart != 0L || rangeEnd != Long.MaxValue
     private val sstable = file.split('/').takeRight(2).mkString("/")
     private val fs = FileSystem.get(java.net.URI.create(file), conf)
+    /** S11 literal — the scanner's RateLimiter
+      * (`NoTTLReader.getScanner(RateLimiter)` /
+      * `openDataReader(limiter)`, `NoTTLReader.java:1791-1794,
+      * 1987-1991`): when `maxBytesPerSec` is set, every Data.db byte
+      * this task consumes passes the executor-shared token bucket;
+      * sidecar (Index/Filter/Summary/Statistics) reads stay
+      * unthrottled, as the reference's do. Waits and bytes are
+      * tallied per reader into the DSv2 task metrics so engagement
+      * is UI-readable. */
+    private val throttleAccount = new ReadThrottle.Account
+    private def openData(p: HPath): org.apache.hadoop.fs.FSDataInputStream = {
+      val raw = fs.open(p)
+      maxBytesPerSec match {
+        case Some(r) => ReadThrottle.wrap(raw, r, throttleAccount)
+        case None => raw
+      }
+    }
     // format version from the filename prefix (nb-1-big-Data.db →
     // "nb"): the n-series (4.x) metadata carries checksums and the
     // maxCompressedSize word, the m-series (3.x) does not — the row
@@ -628,7 +654,7 @@ object SSTableBinaryV2 {
     }
 
     private def openFullStream(): java.io.InputStream = {
-      val raw = fs.open(new HPath(file))
+      val raw = openData(new HPath(file))
       compressionMeta match {
         case Some(meta) =>
           CompressedData.decompressingStream(raw, onDiskLen, meta, file)
@@ -993,7 +1019,7 @@ object SSTableBinaryV2 {
       * (plain seek or chunk-map seek — CompressionMetadata.chunkFor's
       * role). */
     private def openDataAt(p: Long): java.io.InputStream = {
-      if (seekStream == null) seekStream = fs.open(new HPath(file))
+      if (seekStream == null) seekStream = openData(new HPath(file))
       compressionMeta match {
         case Some(m) =>
           CompressedData.seekableStream(seekStream, onDiskLen, m,
@@ -1429,7 +1455,9 @@ object SSTableBinaryV2 {
         TaskMetric(MetricFilesSkippedTokenSpan, filesSkippedTokenSpan),
         TaskMetric(MetricPartitionsScrubSkipped, scrubSkipped.toLong),
         TaskMetric(MetricComponentCacheHits, cacheHits),
-        TaskMetric(MetricComponentCacheMisses, cacheMisses))
+        TaskMetric(MetricComponentCacheMisses, cacheMisses),
+        TaskMetric(MetricThrottledBytes, throttleAccount.bytes),
+        TaskMetric(MetricThrottleWaitNanos, throttleAccount.waitNanos))
 
     override def close(): Unit = {
       if (fullStream != null) fullStream.close()
@@ -1692,6 +1720,8 @@ object SSTableBinaryV2 {
   private[graft] val MetricPartitionsScrubSkipped = "partitionsScrubSkipped"
   private[graft] val MetricComponentCacheHits = "componentCacheHits"
   private[graft] val MetricComponentCacheMisses = "componentCacheMisses"
+  private[graft] val MetricThrottledBytes = "throttledBytes"
+  private[graft] val MetricThrottleWaitNanos = "throttleWaitNanos"
 
   /** Planner hook: copy `scan` with a Murmur3 token range when it is
     * this connector's scan without one already (fixed point).
@@ -1870,7 +1900,10 @@ object SSTableBinaryV2 {
             tombstoneDropTime = OldFormat.TombstoneHistogram.of(dropTimes),
             estColumnsTotal = nCells), index.size.toLong,
           compaction = Some(KeyCardinality.writeComponent2x(
-            KeyCardinality.sketchOf(index.iterator.map(_._1))))))
+            KeyCardinality.sketchOf(index.iterator.map(_._1)),
+            // a designed compacted-from lineage (2.x CompactionMetadata
+            // ancestors — gen arithmetic the oracle replays)
+            ancestors = Seq(gen * 2, gen * 2 + 1)))))
         (fileId, parts.length)
       }
       .collect()
@@ -2973,6 +3006,66 @@ object SSTableBinaryV2 {
           clusteringTypes = clTypes,
           staticColumns = statics,
           regularColumns = regulars)
+        // MetadataCollector role (single pass, O(1) state beyond the
+        // drop-time histogram's bounded bins): every cell/liveness
+        // updates the TTL bound with its ttl — 0 when non-expiring —
+        // and the deletion-time bound with its localDeletionTime —
+        // Int.MaxValue (NO_DELETION_TIME) when live; deletions of
+        // every granularity update timestamp + deletion-time bounds;
+        // only FINITE deletion times feed the droppability histogram
+        var cMinTs = Long.MaxValue; var cMaxTs = Long.MinValue
+        var cMinLdt = Int.MaxValue; var cMaxLdt = Int.MinValue
+        var cMinTtl = Int.MaxValue; var cMaxTtl = Int.MinValue
+        var nRows = 0L; var nCells = 0L
+        var drop = OldFormat.TombstoneHistogram.empty
+        def upTs(v: Long): Unit = {
+          if (v < cMinTs) cMinTs = v; if (v > cMaxTs) cMaxTs = v
+        }
+        def upLdt(v: Int): Unit = {
+          if (v < cMinLdt) cMinLdt = v; if (v > cMaxLdt) cMaxLdt = v
+          if (v != Int.MaxValue) drop = drop.update(v.toDouble)
+        }
+        def upTtl(v: Int): Unit = {
+          if (v < cMinTtl) cMinTtl = v; if (v > cMaxTtl) cMaxTtl = v
+        }
+        def upDeletion(markedUs: Long): Unit = {
+          upTs(markedUs); upLdt((markedUs / 1000000L).toInt)
+        }
+        parts.foreach { p =>
+          p.deletionUs.foreach(upDeletion)
+          p.atoms.foreach {
+            case r: BigFormat.RowAtom =>
+              nRows += 1
+              r.livenessTsUs.foreach { t =>
+                upTs(t)
+                upTtl(r.livenessTtlS.getOrElse(0))
+                upLdt(r.livenessLdtS.getOrElse(Int.MaxValue))
+              }
+              r.deletionUs.foreach(upDeletion)
+              r.complexDeletions.foreach { case (_, d) => upDeletion(d) }
+              r.cells.foreach { c =>
+                nCells += 1
+                upTs(c.tsUs)
+                upTtl(c.ttlS.getOrElse(0))
+                upLdt(c.ldtS.getOrElse(Int.MaxValue))
+              }
+            case m: BigFormat.MarkerAtom => m.deletions.foreach(upDeletion)
+          }
+        }
+        val collected = BigFormat.StatsCollected(
+          minTimestampUs =
+            if (cMinTs == Long.MaxValue) BigFormat.TimestampEpochUs
+            else cMinTs,
+          maxTimestampUs =
+            if (cMaxTs == Long.MinValue) BigFormat.TimestampEpochUs
+            else cMaxTs,
+          minLdtS = cMinLdt,
+          maxLdtS = if (cMaxLdt == Int.MinValue) Int.MaxValue else cMaxLdt,
+          minTtlS = if (cMinTtl == Int.MaxValue) 0 else cMinTtl,
+          maxTtlS = if (cMaxTtl == Int.MinValue) 0 else cMaxTtl,
+          tombstoneDropTime = drop,
+          totalColumnsSet = nCells,
+          totalRows = nRows)
         val fs = FileSystem.get(
           java.net.URI.create(outDir), hconf.value.value)
         val dir = new HPath(s"$outDir/$keyspace/$table")
@@ -2987,7 +3080,7 @@ object SSTableBinaryV2 {
         val (dataBytes, index) =
           BigFormat.writeDataFileIndexed(parts, header, columnIndexSize)
         SSTableComponents.buildAll(dataBytes, index, header,
-          compression = compression)
+          compression = compression, stats = Some(collected))
           .foreach { case (comp, bytes) =>
             write(s"nb-$gen-big-$comp", bytes)
           }
@@ -3608,4 +3701,16 @@ private[sources] class ComponentCacheMissesMetric
     SSTableBinaryV2.MetricComponentCacheMisses
   override def description(): String =
     "sidecar component reads that went to storage"
+}
+private[sources] class ThrottledBytesMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = SSTableBinaryV2.MetricThrottledBytes
+  override def description(): String =
+    "Data.db bytes metered through the read rate limiter"
+}
+private[sources] class ThrottleWaitNanosMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = SSTableBinaryV2.MetricThrottleWaitNanos
+  override def description(): String =
+    "nanos tasks waited on the read rate limiter"
 }

@@ -668,9 +668,13 @@ object SSTableComponents {
   def buildAll(dataBytes: Array[Byte], index: Seq[BigFormat.IndexEntry],
       header: BigFormat.Header,
       checksummedStats: Boolean = true,
-      compression: Option[String] = None): Seq[(String, Array[Byte])] = {
+      compression: Option[String] = None,
+      stats: Option[BigFormat.StatsCollected] = None)
+      : Seq[(String, Array[Byte])] = {
     compression match {
-      case None => buildAll0(dataBytes, index, header, checksummedStats)
+      case None =>
+        buildAll0(dataBytes, index, header, checksummedStats,
+          stats = stats)
       case Some(comp) =>
         val (cbytes, meta) =
           CompressedData.compress(dataBytes, ChunkLength, comp)
@@ -678,7 +682,8 @@ object SSTableComponents {
           dataOnDisk = cbytes,
           extra = Seq("CompressionInfo.db" ->
             CompressedData.writeMeta(meta,
-              hasMaxCompressedSize = true)))
+              hasMaxCompressedSize = true)),
+          stats = stats)
     }
   }
 
@@ -686,7 +691,8 @@ object SSTableComponents {
       index: Seq[BigFormat.IndexEntry], header: BigFormat.Header,
       checksummedStats: Boolean,
       dataOnDisk: Array[Byte] = null,
-      extra: Seq[(String, Array[Byte])] = Nil)
+      extra: Seq[(String, Array[Byte])] = Nil,
+      stats: Option[BigFormat.StatsCollected] = None)
       : Seq[(String, Array[Byte])] = {
     val indexBytes = writeIndex(index)
     // Index.db positions of each entry (for summary sampling)
@@ -717,10 +723,30 @@ object SSTableComponents {
     // the SAME encoded key bytes the index carries
     val sketch = KeyCardinality.sketchOf(
       index.iterator.map { case (key, _, _) => key })
+    // StatsMetadata completed with the sizes only this builder knows:
+    // partition count, uncompressed length, and the on-disk ratio
+    // (-1 = Cassandra's NO_COMPRESSION_RATIO on uncompressed files)
+    val statsModern = stats.map(c => BigFormat.StatsModern(
+      nPartitions = index.size.toLong,
+      partitionSizeTotal = dataBytes.length.toLong,
+      columnCountTotal = c.totalColumnsSet,
+      minTimestampUs = c.minTimestampUs,
+      maxTimestampUs = c.maxTimestampUs,
+      minLdtS = c.minLdtS, maxLdtS = c.maxLdtS,
+      minTtlS = c.minTtlS, maxTtlS = c.maxTtlS,
+      compressionRatio =
+        if (dataOnDisk == null || dataBytes.isEmpty) -1.0
+        else dataOnDisk.length.toDouble / dataBytes.length,
+      tombstoneDropTime = c.tombstoneDropTime,
+      sstableLevel = c.sstableLevel,
+      repairedAt = c.repairedAt,
+      totalColumnsSet = c.totalColumnsSet,
+      totalRows = c.totalRows))
     Seq(
       "Data.db" -> onDisk,
       "Statistics.db" -> BigFormat.writeStats(header, checksummedStats,
-        compaction = Some(KeyCardinality.writeComponent(sketch))),
+        compaction = Some(KeyCardinality.writeComponent(sketch)),
+        stats = statsModern),
       "Index.db" -> indexBytes,
       "Filter.db" -> writeFilter(bloom),
       "Summary.db" -> summary,

@@ -60,7 +60,14 @@ object SSTableMetadata {
         * `NoTTLReader.java:152-216`) and the ONLY count left standing
         * when Index.db is lost. NULL when the component is absent
         * (CASSANDRA-10676 lakes) or unparseable. */
-      est_keys_hll: Option[Long] = None)
+      est_keys_hll: Option[Long] = None,
+      /** The 2.x CompactionMetadata ancestor list (`getAncestors`,
+        * `NoTTLReader.java:1947-1958`) as a comma-joined string —
+        * the compacted-from lineage `sstablemetadata` prints on
+        * pre-3.0 files. NULL on the modern era (3.0 dropped the
+        * field) and on sketchless/corrupt components; an empty
+        * string is a REAL value (a never-compacted file). */
+      ancestors: Option[String] = None)
 
   /** One recursive driver-side listing grouped into generations —
     * catalog-sized, the same contract as the connector's planner. */
@@ -135,10 +142,17 @@ object SSTableMetadata {
     // the COMPACTION component's HLL++ sketch — both eras carry it in
     // the same TOC'd container; absence or corrupt bytes degrade to
     // NULL, the reference's own fallback posture (CASSANDRA-10676)
-    val estHll: Option[Long] = statsBytes
+    val compactionComp: Option[Array[Byte]] = statsBytes
       .flatMap { case (p, b) => compactionBytes(b, p, version, oldEra) }
+    val estHll: Option[Long] = compactionComp
       .flatMap(KeyCardinality.readComponent(_, oldEra))
       .map(_.cardinality())
+    // the 2.x lineage rides the same component; the modern layout
+    // has no ancestor field to read
+    val ancestors: Option[String] =
+      if (!oldEra) None
+      else compactionComp.flatMap(KeyCardinality.readAncestors)
+        .map(_.mkString(","))
     // first/last entry keys captured during the same count stream —
     // the audit mode's independent ground truth for the Summary facts
     var idxFirst: Option[Array[Byte]] = None
@@ -218,7 +232,8 @@ object SSTableMetadata {
       last_key = summary.flatMap(s => renderKey(s.lastKey)),
       est_keys_max = summary.map(s =>
         s.sizeAtFullSampling.toLong * s.minIndexInterval),
-      est_keys_hll = estHll)
+      est_keys_hll = estHll,
+      ancestors = ancestors)
   }
 
   /** Registered `src_sstable_metadata`: the sidecar-only inventory
@@ -613,6 +628,169 @@ object SSTableMetadata {
       ("n_lost_index", nLost.toLong),
       ("sum_hll", sumHll)))
       .toDF("figure", "value")
+  }
+
+  final case class StatsRow(
+      sstable: String,
+      min_writetime_us: Long,
+      max_writetime_us: Long,
+      min_ttl_s: Int,
+      max_ttl_s: Int,
+      min_deletion_s: Int,
+      max_deletion_s: Int,
+      sstable_level: Int,
+      repaired_at: Long,
+      total_rows: Long,
+      total_cells: Long,
+      droppable_total: Long,
+      droppable_ratio: Double)
+
+  /** The modern-era `sstablemetadata` panel, SIDECAR-ONLY: one row
+    * per generation from the Statistics.db STATS component
+    * ([[BigFormat.readStatsModern]]) — the figures the reference
+    * serves off every opened file (`NoTTLReader.getSSTableMetadata`,
+    * `NoTTLReader.java:1982`; `getMinTimestamp`/`getMaxTimestamp`
+    * `:1937-1945`, `getSSTableLevel` `:1963`, `isRepaired` `:1851`,
+    * droppability `:1922-1930`). Generations without a STATS
+    * component (pre-round-13 output, header-only fixtures) and 2.x
+    * files (whose panel is [[OldFormat.readStats2x]]'s, already in
+    * the droppability query) are skipped. `droppable_total` is the
+    * drop-time histogram's conserved mass (the `gcBefore → ∞`
+    * probe — merge-invariant under the 100-bin budget);
+    * `droppable_ratio` divides it by `totalColumnsSet`, the modern
+    * component's exact cell count.
+    *
+    * With `sizes` (the audit's driver-captured `Data.db` byte
+    * lengths, catalog-sized), each parse is require-gated against
+    * independent truth: the partition-size histogram's exact total
+    * must equal the uncompressed Data.db length, the compression
+    * ratio must be the NO_COMPRESSION sentinel on plain files and
+    * exactly on-disk/uncompressed on compressed ones, and the
+    * drop-time histogram must be monotone with mass equal to
+    * `droppable_total`. */
+  def describeStats(spark: SparkSession, root: String,
+      sizes: Map[String, Long] = Map.empty): DataFrame = {
+    import spark.implicits._
+    val hconf = new SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val gens = listGenerations(root, hconf.value)
+    val bc = spark.sparkContext.broadcast(hconf)
+    val bcSizes = spark.sparkContext.broadcast(sizes)
+    spark.createDataset(gens)
+      .repartition(math.min(gens.size.max(1),
+        spark.sparkContext.defaultParallelism))
+      .flatMap { case (dataPath, comps) =>
+        val conf = bc.value.value
+        val fs = FileSystem.get(java.net.URI.create(dataPath), conf)
+        val name = dataPath.split('/').last
+        val version = SSTableBinaryV2.versionOf(name)
+        val oldEra = version.nonEmpty && version.charAt(0) < 'm'
+        val base = dataPath.stripSuffix("-Data.db")
+        val statsPath = base + "-Statistics.db"
+        if (oldEra || !comps.contains(statsPath)) None
+        else BigFormat.readStatsModern(readAll(fs, statsPath),
+          BigFormat.versionHasMetadataChecksum(version)).map { s =>
+          val key = dataPath.split('/').takeRight(2).mkString("/")
+          bcSizes.value.get(key).foreach { dataLen =>
+            val compressed = comps.contains(base + "-CompressionInfo.db")
+            if (compressed) {
+              require(s.compressionRatio ==
+                dataLen.toDouble / s.partitionSizeTotal,
+                s"$dataPath: compression ratio ${s.compressionRatio} " +
+                  s"!= $dataLen/${s.partitionSizeTotal}")
+              require(s.compressionRatio > 0 && s.compressionRatio < 1,
+                s"$dataPath: implausible ratio ${s.compressionRatio}")
+            } else {
+              require(s.compressionRatio == -1.0,
+                s"$dataPath: plain file with ratio ${s.compressionRatio}")
+              require(s.partitionSizeTotal == dataLen,
+                s"$dataPath: partition-size total " +
+                  s"${s.partitionSizeTotal} != Data.db length $dataLen")
+            }
+          }
+          val h = s.tombstoneDropTime
+          val total = h.total
+          if (h.bins.nonEmpty) {
+            val lo = h.sum(h.bins.head._1 - 1.0)
+            val mid = h.sum((h.bins.head._1 + h.bins.last._1) / 2.0)
+            val hi = h.sum(h.bins.last._1 + 1.0)
+            require(lo == 0.0 && lo <= mid && mid <= hi &&
+              hi == total.toDouble,
+              s"$dataPath: drop-time histogram not monotone " +
+                s"($lo, $mid, $hi, $total)")
+          }
+          require(s.minTimestampUs <= s.maxTimestampUs &&
+            s.minLdtS <= s.maxLdtS && s.minTtlS <= s.maxTtlS &&
+            s.totalRows >= 0 && s.totalColumnsSet >= 0,
+            s"$dataPath: inverted StatsMetadata bounds")
+          StatsRow(key,
+            s.minTimestampUs, s.maxTimestampUs,
+            s.minTtlS, s.maxTtlS, s.minLdtS, s.maxLdtS,
+            s.sstableLevel, s.repairedAt,
+            s.totalRows, s.totalColumnsSet, total,
+            if (s.totalColumnsSet == 0) 0.0
+            else total.toDouble / s.totalColumnsSet)
+        }
+      }
+      .toDF()
+  }
+
+  /** Registered `src_sstable_stats` — the modern StatsMetadata
+    * lifecycle end-to-end: the shared fixture rides [[SSTableBinaryV2
+    * .writeSSTables]] (whose MetadataCollector pass is what's under
+    * test) into fresh plain AND lz4 generations, every Data.db is
+    * then OVERWRITTEN with junk (the sidecar-only proof — the panel
+    * must come from Statistics.db alone), and [[describeStats]]
+    * serves both layouts with its size/ratio gates armed from the
+    * pre-junk lengths. Every served column is doc_id arithmetic the
+    * DuckDB oracle replays: collector semantics put `min_ttl_s` at 0
+    * exactly when a non-expiring cell exists and `max_deletion_s` at
+    * 2147483647 exactly when a LIVE cell exists — both
+    * generation-dependent in the fixture's design. */
+  def statsAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val in = SSTableBinaryV2.binaryFixtureShared(spark, sfDir)
+    val frame = SSTableBinaryV2.readBinary(spark, in)
+    val out = graft.Scratch.dir("graft-statsaudit-")
+    val outLz4 = graft.Scratch.dir("graft-statsauditlz4-")
+    SSTableBinaryV2.writeSSTables(frame, out.toString,
+      "graft", "documents")
+    SSTableBinaryV2.writeSSTables(frame, outLz4.toString,
+      "graft", "documents", compression = Some(CompressedData.Lz4))
+    // capture real Data.db lengths for the audit gates (per layout —
+    // plain and lz4 share generation NAMES but not lengths), THEN
+    // junk the data files so a peeking implementation fails loudly
+    def captureAndJunk(dir: java.nio.file.Path): Map[String, Long] = {
+      val sizes = scala.collection.mutable.Map.empty[String, Long]
+      val ls = java.nio.file.Files.list(dir)
+      try {
+        import scala.jdk.CollectionConverters._
+        ls.iterator().asScala
+          .filter(_.getFileName.toString.endsWith("-Data.db"))
+          .foreach { f =>
+            sizes += s"documents/${f.getFileName}" ->
+              java.nio.file.Files.size(f)
+            java.nio.file.Files.write(f, Array.fill[Byte](16)(0x22))
+            java.nio.file.Files.deleteIfExists(
+              f.getParent.resolve("." + f.getFileName + ".crc"))
+          }
+      } finally ls.close()
+      sizes.toMap
+    }
+    val sizesPlain = captureAndJunk(
+      out.resolve("graft").resolve("documents"))
+    val sizesLz4 = captureAndJunk(
+      outLz4.resolve("graft").resolve("documents"))
+    val described = describeStats(spark, s"$out/graft/documents",
+        sizesPlain)
+      .withColumn("layout", lit("plain"))
+      .unionByName(describeStats(spark, s"$outLz4/graft/documents",
+          sizesLz4)
+        .withColumn("layout", lit("lz4")))
+      .localCheckpoint()
+    graft.Scratch.delete(out)
+    graft.Scratch.delete(outLz4)
+    described
   }
 
   def metadataAudit(spark: SparkSession, sfDir: String): DataFrame = {

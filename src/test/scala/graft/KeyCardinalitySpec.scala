@@ -65,6 +65,20 @@ class KeyCardinalitySpec extends AnyFunSuite {
     }
   }
 
+  test("the 2.x ancestor lineage reads back beside the sketch — " +
+    "empty is a real value, corrupt framing degrades to None") {
+    val s = KeyCardinality.sketchOf(keys(20))
+    assert(KeyCardinality.readAncestors(
+      KeyCardinality.writeComponent2x(s, ancestors = Seq(4, 5, 9)))
+      === Some(Seq(4, 5, 9)))
+    assert(KeyCardinality.readAncestors(
+      KeyCardinality.writeComponent2x(s)) === Some(Nil))
+    assert(KeyCardinality.readAncestors(Array[Byte](0, 0)).isEmpty)
+    // a declared count far past the body flags, never allocates
+    assert(KeyCardinality.readAncestors(
+      Array[Byte](0x7f, -1, -1, -1, 0, 0, 0, 0)).isEmpty)
+  }
+
   test("estimates stay inside the HLL++ error bound far past the " +
     "sparse regime") {
     val n = 200000

@@ -353,6 +353,26 @@ class PipelineSpec extends SparkSpec {
       val persisted = spark.read.parquet(outP.toString)
       assert(persisted.count() === 4L)
       assert(persisted.columns.contains("n_partitions"))
+      // --stats joins the modern StatsMetadata panel (still
+      // sidecar-only: the Data.db files above are garbage)
+      assert(RemoverCli.parse(Array("--in", "/a", "--out", "/b",
+        "--table", "t", "--stats", "true")).isLeft,
+        "--stats outside --inventory must refuse")
+      assert(RemoverCli.parse(Array("--inventory", "true", "--in", "/a",
+        "--stats", "maybe")).isLeft)
+      val statsOut = Scratch.dir("graft-cliinvstats-").resolve("inv")
+      try {
+        val argsS = RemoverCli.parse(Array("--inventory", "true",
+          "--in", dir.toString, "--stats", "true",
+          "--out", statsOut.toString)).fold(e => fail(e), identity)
+        assert(RemoverCli.run(spark, argsS) === 4L)
+        val withStats = spark.read.parquet(statsOut.toString)
+        assert(withStats.columns.contains("total_rows"))
+        assert(withStats.columns.contains("droppable_ratio"))
+        assert(withStats.filter(
+          org.apache.spark.sql.functions.col("total_rows").isNotNull)
+          .count() === 4L)
+      } finally Scratch.delete(statsOut.getParent)
       // the aligned renderer: header widths hold, NULLs surface as '-'
       val txt = RemoverCli.formatInventory(
         Seq("sstable", "n"), Seq(Seq("a/b-Data.db", "12"), Seq("c", "-")))

@@ -1,0 +1,234 @@
+package graft
+
+import graft.sources.{BigFormat, CompressedData, OldFormat,
+  SSTableBinaryV2, SSTableMetadata}
+import org.apache.spark.sql.functions._
+
+/** The modern-era (3.x/4.x) Statistics.db STATS component — the
+  * figures the reference serves off every opened file
+  * (`NoTTLReader.getSSTableMetadata`, `NoTTLReader.java:1982`;
+  * per-field getters at `:1912-1945,1963,1851,1932`): framing
+  * roundtrip on both eras, the total-exact EstimatedHistogram
+  * encoding, checksum enforcement, MetadataCollector semantics out
+  * of the REAL sink, and sidecar-only serving. */
+class StatsMetadataSpec extends SparkSpec {
+
+  private def sampleStats(ratio: Double = -1.0) = BigFormat.StatsModern(
+    nPartitions = 10L,
+    partitionSizeTotal = 1003L, // deliberately not divisible by 10
+    columnCountTotal = 7L,      // fewer cells than partitions
+    minTimestampUs = 1609459200000000L,
+    maxTimestampUs = 1609459260000000L,
+    minLdtS = 1609459300,
+    maxLdtS = Int.MaxValue,
+    minTtlS = 0,
+    maxTtlS = 98,
+    compressionRatio = ratio,
+    tombstoneDropTime = OldFormat.TombstoneHistogram.of(
+      Seq(1609459300.0, 1609459300.0, 1609459350.0)),
+    sstableLevel = 2,
+    repairedAt = 1700000000000L,
+    totalColumnsSet = 7L,
+    totalRows = 9L)
+
+  private val header = BigFormat.Header(
+    1609459200000000L, 1609459300, 0, BigFormat.Utf8Type,
+    Nil, Nil, Seq("v" -> BigFormat.Utf8Type))
+
+  test("STATS component roundtrips on both era framings, exact " +
+    "histogram totals included") {
+    for (checksummed <- Seq(true, false)) {
+      val s = sampleStats()
+      val bytes = BigFormat.writeStats(header, checksummed,
+        stats = Some(s))
+      val back = BigFormat.readStatsModern(bytes, checksummed)
+        .getOrElse(fail(s"STATS absent (checksummed=$checksummed)"))
+      assert(back === s, s"checksummed=$checksummed")
+      // the container's other components still parse around it
+      assert(BigFormat.readStats(bytes, checksummed) === header)
+    }
+  }
+
+  test("histogram encoding reconstructs total AND count exactly for " +
+    "every remainder shape") {
+    for ((total, count) <- Seq((0L, 0L), (0L, 5L), (5L, 5L),
+      (1003L, 10L), (3L, 7L), (1L, 1L), (999999999L, 1234L))) {
+      val s = sampleStats().copy(
+        nPartitions = count, partitionSizeTotal = total,
+        columnCountTotal = total)
+      val back = BigFormat.readStatsModern(
+        BigFormat.writeStats(header, checksummed = true,
+          stats = Some(s)), checksummed = true).get
+      assert(back.nPartitions === count, s"($total, $count)")
+      assert(back.partitionSizeTotal === total, s"($total, $count)")
+      assert(back.columnCountTotal === total, s"($total, $count)")
+    }
+  }
+
+  test("a Statistics.db without a STATS component reads as None — " +
+    "and one WITH it still serves the HLL sketch beside it") {
+    val plain = BigFormat.writeStats(header, checksummed = true)
+    assert(BigFormat.readStatsModern(plain, checksummed = true).isEmpty)
+    val sketch = graft.sources.KeyCardinality.sketchOf(
+      (0 until 50).map(i => s"k$i".getBytes("UTF-8")))
+    val full = BigFormat.writeStats(header, checksummed = true,
+      compaction =
+        Some(graft.sources.KeyCardinality.writeComponent(sketch)),
+      stats = Some(sampleStats()))
+    assert(BigFormat.readStatsModern(full, checksummed = true).isDefined)
+    val comp = BigFormat.readCompaction(full, checksummed = true)
+      .getOrElse(fail("COMPACTION component lost beside STATS"))
+    assert(graft.sources.KeyCardinality
+      .readComponent(comp, oldEra = false).get.cardinality() === 50L)
+    assert(BigFormat.readStats(full, checksummed = true) === header)
+  }
+
+  test("n-series checksum catches a corrupted STATS body") {
+    val bytes = BigFormat.writeStats(header, checksummed = true,
+      stats = Some(sampleStats()))
+    // locate the STATS component via the TOC (count, countCRC, then
+    // (ordinal, offset) int pairs)
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt(0)
+    val statsOffset = (0 until n).map(i =>
+      (bb.getInt(8 + 8 * i), bb.getInt(12 + 8 * i)))
+      .collectFirst { case (ord, off)
+        if ord == BigFormat.StatsComponentOrdinal => off }
+      .getOrElse(fail("no STATS entry in TOC"))
+    val corrupted = bytes.clone()
+    corrupted(statsOffset + 40) = (corrupted(statsOffset + 40) ^ 0x5a).toByte
+    assertThrows[Exception](
+      BigFormat.readStatsModern(corrupted, checksummed = true))
+  }
+
+  test("the real sink's MetadataCollector pass: live cells pin " +
+    "max_deletion at NO_DELETION_TIME, non-expiring cells pin " +
+    "min_ttl at 0, and deletions of every granularity count as " +
+    "droppable") {
+    import spark.implicits._
+    val wt = 1609459200L * 1000000L
+    // 6 partitions: 2 live rows (one cell each), 1 expiring row
+    // (ttl 60, ldt wt/1e6+60), 1 row deletion, 1 partition deletion,
+    // 1 pk-liveness-only row
+    val rows = Seq(
+      ("p0", Seq("c"), "ROW", Some("v"),
+        Some(("a", wt, None: Option[Int], None: Option[Long])), None),
+      ("p1", Seq("c"), "ROW", Some("v"),
+        Some(("b", wt + 1000000L, None: Option[Int],
+          None: Option[Long])), None),
+      ("p2", Seq("c"), "ROW", Some("v"),
+        Some(("c", wt + 2000000L, Some(60),
+          Some(wt + 2000000L + 60000000L))), None),
+      ("p3", Seq("c"), "ROW_DELETION", None, None, Some(wt + 3000000L)),
+      ("p4", Seq.empty[String], "PARTITION_DELETION", None, None,
+        Some(wt + 4000000L)),
+      ("p5", Seq("c"), "PK_LIVENESS", None,
+        Some((null: String, wt + 5000000L, None: Option[Int],
+          None: Option[Long])), None))
+      .toDF("partition_key", "clustering_s", "row_kind", "name",
+        "cell_t", "deletion_us")
+      .withColumn("clustering",
+        when(col("row_kind") === "PARTITION_DELETION",
+          lit(null).cast("array<string>")).otherwise(col("clustering_s")))
+      .withColumn("cell", when(col("cell_t").isNotNull, struct(
+        col("cell_t._1").as("value"),
+        col("cell_t._2").as("writetime_us"),
+        col("cell_t._3").as("ttl_s"),
+        col("cell_t._4").as("expire_us"))))
+      .withColumn("sstable", lit("t/nb-1-big-Data.db"))
+      .drop("cell_t", "clustering_s")
+    val outPlain = Scratch.dir("graft-statspec-")
+    val outLz4 = Scratch.dir("graft-statspeclz4-")
+    try {
+      SSTableBinaryV2.writeSSTables(rows, outPlain.toString, "graft", "t")
+      SSTableBinaryV2.writeSSTables(rows, outLz4.toString, "graft", "t",
+        compression = Some(CompressedData.Lz4))
+      def statsOf(root: java.nio.file.Path): BigFormat.StatsModern = {
+        val p = root.resolve("graft").resolve("t")
+          .resolve("nb-1-big-Statistics.db")
+        BigFormat.readStatsModern(
+          java.nio.file.Files.readAllBytes(p), checksummed = true)
+          .getOrElse(fail(s"no STATS in $p"))
+      }
+      val s = statsOf(outPlain)
+      assert(s.nPartitions === 6L)
+      assert(s.totalRows === 5L)       // the partition deletion has none
+      assert(s.totalColumnsSet === 3L) // three cells
+      assert(s.minTimestampUs === wt)
+      assert(s.maxTimestampUs === wt + 5000000L)
+      assert(s.minTtlS === 0)          // live cells exist
+      assert(s.maxTtlS === 60)
+      assert(s.maxLdtS === Int.MaxValue) // live cells exist
+      // finite deletion times: row del (wt+3s), partition del
+      // (wt+4s), expiring cell (wt+2s+60)
+      assert(s.minLdtS === (wt / 1000000L + 3).toInt)
+      assert(s.tombstoneDropTime.total === 3L)
+      assert(s.compressionRatio === -1.0)
+      assert(s.sstableLevel === 0 && s.repairedAt === 0L)
+      // uncompressed Data.db length IS the partition-size total
+      val dataLen = java.nio.file.Files.size(
+        outPlain.resolve("graft").resolve("t")
+          .resolve("nb-1-big-Data.db"))
+      assert(s.partitionSizeTotal === dataLen)
+      // the lz4 twin: identical row facts, real compression ratio
+      val z = statsOf(outLz4)
+      assert(z.copy(compressionRatio = -1.0) === s)
+      val zLen = java.nio.file.Files.size(
+        outLz4.resolve("graft").resolve("t")
+          .resolve("nb-1-big-Data.db"))
+      assert(z.compressionRatio === zLen.toDouble / s.partitionSizeTotal)
+    } finally {
+      Scratch.delete(outPlain); Scratch.delete(outLz4)
+    }
+  }
+
+  test("describeStats serves sidecar-only — Data.db junked — and " +
+    "skips generations whose Statistics.db predates the component") {
+    import spark.implicits._
+    val wt = 1609459200L * 1000000L
+    val rows = Seq(
+      ("p0", Seq("c"), "ROW", Some("v"),
+        Some(("a", wt, None: Option[Int], None: Option[Long])),
+        None: Option[Long], "t/nb-1-big-Data.db"),
+      ("p1", Seq("c"), "ROW", Some("v"),
+        Some(("b", wt, Some(30), Some(wt + 30000000L))),
+        None: Option[Long], "t/nb-2-big-Data.db"))
+      .toDF("partition_key", "clustering", "row_kind", "name",
+        "cell_t", "deletion_us", "sstable")
+      .withColumn("cell", struct(
+        col("cell_t._1").as("value"),
+        col("cell_t._2").as("writetime_us"),
+        col("cell_t._3").as("ttl_s"),
+        col("cell_t._4").as("expire_us")))
+      .drop("cell_t")
+    val out = Scratch.dir("graft-statsside-")
+    try {
+      SSTableBinaryV2.writeSSTables(rows, out.toString, "graft", "t")
+      val dir = out.resolve("graft").resolve("t")
+      // gen 1: strip the STATS component by rewriting Statistics.db
+      // header-only (the pre-round-13 layout); gen 2: junk Data.db
+      val oldStats = BigFormat.writeStats(
+        BigFormat.readStats(java.nio.file.Files.readAllBytes(
+          dir.resolve("nb-1-big-Statistics.db"))),
+        checksummed = true)
+      java.nio.file.Files.write(
+        dir.resolve("nb-1-big-Statistics.db"), oldStats)
+      java.nio.file.Files.write(dir.resolve("nb-2-big-Data.db"),
+        Array.fill[Byte](8)(0x33))
+      // the sink wrote through Hadoop's checksummed local FS — drop
+      // the .crc siblings of the files rewritten behind its back
+      Seq("nb-1-big-Statistics.db", "nb-2-big-Data.db").foreach(f =>
+        java.nio.file.Files.deleteIfExists(dir.resolve(s".$f.crc")))
+      val served = SSTableMetadata
+        .describeStats(spark, dir.toString).collect()
+      assert(served.length === 1) // gen 1 skipped, not thrown
+      val r = served.head
+      assert(r.getAs[String]("sstable") === "t/nb-2-big-Data.db")
+      assert(r.getAs[Int]("min_ttl_s") === 30)
+      assert(r.getAs[Int]("max_ttl_s") === 30)
+      assert(r.getAs[Long]("total_rows") === 1L)
+      assert(r.getAs[Long]("droppable_total") === 1L)
+      assert(r.getAs[Int]("max_deletion_s") === (wt / 1000000L + 30).toInt)
+    } finally Scratch.delete(out)
+  }
+}
