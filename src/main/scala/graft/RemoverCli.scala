@@ -61,6 +61,13 @@ import org.apache.spark.sql.SparkSession
   * `--stats true` joins the modern StatsMetadata panel (timestamps,
   * TTL/deletion bounds, level, repairedAt, row/cell totals,
   * droppability) onto the rows.
+  *
+  * Metadata surgery (`sstablelevelreset` / `sstablerepairedset`
+  * roles, non-destructive):
+  *   graft.RemoverCli --set-level <n> [--set-repaired-at <ms>]
+  *     --in <table dir> --out <dir> [--cpus <n>]
+  * copies every generation with ONLY the Statistics.db STATS fields
+  * replaced; originals are kept.
   */
 object RemoverCli {
 
@@ -90,12 +97,21 @@ object RemoverCli {
         * deletion-time bounds, level, repairedAt, row/cell totals,
         * droppability) onto the inventory rows; generations without
         * a STATS component keep NULLs. */
-      stats: Boolean = false)
+      stats: Boolean = false,
+      /** `--set-level N` / `--set-repaired-at <ms>`: offline metadata
+        * surgery (sstablelevelreset / sstablerepairedset roles) —
+        * copy every generation under `--in` to `--out` with only the
+        * Statistics.db STATS fields replaced
+        * ([[graft.sources.SSTableMetadata.rewriteMetadata]]);
+        * non-destructive, modern-era only. */
+      setLevel: Option[Int] = None,
+      setRepairedAt: Option[Long] = None)
 
   private val Flags = Set("in", "out", "table", "keyspace", "cpus",
     "pk", "ck", "cells", "writetime", "ttl-key", "format", "merge",
     "reader", "sink", "cql", "compress", "verify", "scrub",
-    "out-generations", "inventory", "stats")
+    "out-generations", "inventory", "stats", "set-level",
+    "set-repaired-at")
 
   private def csv(v: String): Seq[String] =
     v.split(',').map(_.trim).filter(_.nonEmpty).toSeq
@@ -126,6 +142,8 @@ object RemoverCli {
       else if (m.get("inventory").exists(_.toBoolean)) parseInventory(m)
       else if (m.contains("stats"))
         Left("--stats applies to --inventory only")
+      else if (m.contains("set-level") || m.contains("set-repaired-at"))
+        parseSurgery(m)
       else (m.get("in"), m.get("out"), m.get("table")) match {
         case (None, _, _) => Left("--in <dir> is required")
         case (_, None, _) => Left("--out <dir> is required")
@@ -200,6 +218,54 @@ object RemoverCli {
             else Right(CliArgs(i, out, table = "", cpus = c,
               inventory = true,
               stats = m.get("stats").exists(_.toBoolean)))
+        }
+    }
+  }
+
+  /** `--set-level` / `--set-repaired-at` validation: metadata
+    * surgery takes `--in` and `--out` (both required — the rewrite is
+    * non-destructive, originals are kept) plus `--cpus`; any
+    * transform flag beside them is a contradiction. */
+  private def parseSurgery(m: Map[String, String])
+      : Either[String, CliArgs] = {
+    val allowed = Set("set-level", "set-repaired-at", "in", "out", "cpus")
+    val stray = (m.keySet -- allowed).toSeq.sorted
+    if (stray.nonEmpty)
+      return Left("--set-level/--set-repaired-at rewrite Statistics.db " +
+        s"only; ${stray.map("--" + _).mkString("/")} do" +
+        (if (stray.size == 1) "es" else "") + " not apply")
+    val level = m.get("set-level").map(v => v.toIntOption match {
+      case Some(l) if l >= 0 => Right(l)
+      case _ => Left(s"--set-level must be a non-negative int, got '$v'")
+    })
+    val repaired = m.get("set-repaired-at").map(v => v.toLongOption match {
+      case Some(r) if r >= 0 => Right(r)
+      case _ =>
+        Left(s"--set-repaired-at must be epoch millis >= 0, got '$v'")
+    })
+    (level, repaired) match {
+      case (Some(Left(e)), _) => Left(e)
+      case (_, Some(Left(e))) => Left(e)
+      case _ =>
+        (m.get("in"), m.get("out")) match {
+          case (None, _) => Left("--in <dir> is required")
+          case (_, None) =>
+            Left("--out <dir> is required (surgery keeps originals)")
+          case (Some(i), Some(o)) =>
+            if (java.nio.file.Paths.get(o).toAbsolutePath ==
+              java.nio.file.Paths.get(i).toAbsolutePath)
+              Left("--out must differ from --in (originals are kept)")
+            else {
+              val cpus = m.getOrElse("cpus", "8")
+              cpus.toIntOption.filter(_ > 0) match {
+                case None =>
+                  Left(s"--cpus must be a positive int, got '$cpus'")
+                case Some(c) => Right(CliArgs(i, o, table = "",
+                  cpus = c,
+                  setLevel = level.map(_.toOption.get),
+                  setRepairedAt = repaired.map(_.toOption.get)))
+              }
+            }
         }
     }
   }
@@ -396,6 +462,9 @@ object RemoverCli {
   def run(spark: SparkSession, args: CliArgs): Long =
     if (args.inventory)
       runInventory(spark, args)
+    else if (args.setLevel.isDefined || args.setRepairedAt.isDefined)
+      graft.sources.SSTableMetadata.rewriteMetadata(spark, args.in,
+        args.out, args.setLevel, args.setRepairedAt)
     else if (args.sink == "sstable")
       runSstableSink(spark, args)
     else if (args.sink == "sstabledump")
@@ -644,6 +713,8 @@ object RemoverCli {
           " [--keyspace <ks>] [--cpus <n>]" +
           " | --inventory true --in <dir> [--stats true] [--out <dir>]" +
           " [--cpus <n>]" +
+          " | --set-level <n> [--set-repaired-at <ms>] --in <dir>" +
+          " --out <dir>" +
           " [--format parquet|sstabledump|sstable]" +
           " [--merge lww] [--reader json|v2] [--sink parquet|sstable]" +
           " [--compress lz4|snappy|deflate|zstd]" +
@@ -665,6 +736,12 @@ object RemoverCli {
           println(s"inventoried $rows generations under ${args.in}" +
             (if (args.out.nonEmpty) s" (persisted to ${args.out})"
              else ""))
+        else if (args.setLevel.isDefined || args.setRepairedAt.isDefined)
+          println(s"rewrote Statistics.db on $rows generations into " +
+            s"${args.out} (" +
+            (args.setLevel.map(l => s"level=$l").toSeq ++
+              args.setRepairedAt.map(r => s"repairedAt=$r").toSeq)
+              .mkString(", ") + "; originals kept)")
         else {
           val layout =
             if (args.sink == "sstable")

@@ -162,6 +162,10 @@ object SparkEntry {
       (sources.SSTableMetadata.droppableAudit _),
     "src_sstable_stats" ->
       (sources.SSTableMetadata.statsAudit _),
+    "src_sstable_relevel" ->
+      (sources.SSTableMetadata.relevelAudit _),
+    "src_sstable_expired_blockers" ->
+      (sources.SSTableMetadata.expiredBlockersAudit _),
     "src_sstable_dump_export" ->
       (sources.SSTableDumpBridge.exportAudit _),
     "src_sstable_slice" -> (sources.SSTableBinaryV2.sliceAudit _),
@@ -2951,12 +2955,16 @@ object SparkEntry {
       | CAST(NULL AS VARCHAR) AS compressor,
       | 7 AS n_components, n_partitions AS est_keys_hll,
       | CAST(NULL AS VARCHAR) AS ancestors,
+      | 'org.apache.cassandra.dht.Murmur3Partitioner' AS partitioner,
+      | CAST(0.01 AS DOUBLE) AS bloom_fp_chance,
       | 'plain' AS layout FROM g
       |UNION ALL
       |SELECT sstable, n_partitions, min_writetime_us, min_ttl_s,
       | 'LZ4Compressor' AS compressor,
       | 8 AS n_components, n_partitions AS est_keys_hll,
       | CAST(NULL AS VARCHAR) AS ancestors,
+      | 'org.apache.cassandra.dht.Murmur3Partitioner' AS partitioner,
+      | CAST(0.01 AS DOUBLE) AS bloom_fp_chance,
       | 'lz4' AS layout FROM g
       |UNION ALL
       |SELECT 'documents/graft-documents-ka-' || CAST(f + 1 AS VARCHAR)
@@ -2965,10 +2973,12 @@ object SparkEntry {
       | CAST(min(wt) AS BIGINT) AS min_writetime_us,
       | CAST(NULL AS INTEGER) AS min_ttl_s,
       | CAST(NULL AS VARCHAR) AS compressor,
-      | 4 AS n_components,
+      | 5 AS n_components,
       | CAST(count(*) AS BIGINT) AS est_keys_hll,
       | CAST(2 * (f + 1) AS VARCHAR) || ','
       |   || CAST(2 * (f + 1) + 1 AS VARCHAR) AS ancestors,
+      | 'org.apache.cassandra.dht.Murmur3Partitioner' AS partitioner,
+      | CAST(0.01 AS DOUBLE) AS bloom_fp_chance,
       | 'ka' AS layout
       |FROM d GROUP BY f""".stripMargin,
     // tombstone droppability off the 2.x StatsMetadata drop-time
@@ -3059,6 +3069,84 @@ object SparkEntry {
       |SELECT x.*, l.layout
       |FROM x CROSS JOIN (VALUES ('plain'), ('lz4')) AS l(layout)"""
       .stripMargin,
+    // offline metadata surgery (sstablelevelreset / sstablerepairedset
+    // roles): every generation releveled to 2 and marked repaired at a
+    // designed epoch — the oracle replays the WHOLE stats panel, so a
+    // rewrite disturbing any other field (timestamps, totals,
+    // droppability) fails the hash; non-destructiveness and sketch
+    // survival are require-gated in-query
+    "src_sstable_relevel" -> """
+      |WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc,
+      |  CAST(doc_id % 4 AS INTEGER) AS f,
+      |  doc_id % 10 AS k, doc_id % 100 AS h, doc_id % 2 AS e
+      | FROM documents),
+      |g AS (SELECT f,
+      |  min(doc) AS min_doc,
+      |  max(doc + CASE WHEN k NOT IN (3, 5, 7) THEN 10 ELSE 0 END)
+      |    AS max_off,
+      |  bool_or(k NOT IN (3, 7) AND (e = 1 OR h = 0)) AS has_live,
+      |  min(CASE WHEN e = 0 AND h <> 0 THEN h END) AS min_exp_ttl,
+      |  max(CASE WHEN e = 0 AND h <> 0 THEN h END) AS max_exp_ttl,
+      |  min(CASE WHEN k IN (3, 7) THEN doc
+      |    WHEN e = 0 AND h <> 0 THEN doc + h END) AS min_del_off,
+      |  max(CASE WHEN k IN (3, 7) THEN doc
+      |    WHEN e = 0 AND h <> 0 THEN doc + 10 + h END) AS max_del_off,
+      |  sum(CASE WHEN k <> 3 THEN 1 ELSE 0 END) AS n_rows,
+      |  2 * sum(CASE WHEN k NOT IN (3, 5, 7) THEN 1 ELSE 0 END)
+      |    AS n_cells,
+      |  sum(CASE WHEN k IN (3, 7) THEN 1
+      |    WHEN e = 0 AND h <> 0 THEN 2 ELSE 0 END) AS tomb
+      | FROM d GROUP BY f)
+      |SELECT
+      | 'documents/nb-' || CAST(f + 1 AS VARCHAR) || '-big-Data.db'
+      |   AS sstable,
+      | (1609459200 + min_doc) * 1000000 AS min_writetime_us,
+      | (1609459200 + max_off) * 1000000 AS max_writetime_us,
+      | CAST(CASE WHEN has_live THEN 0
+      |   ELSE COALESCE(min_exp_ttl, 0) END AS INTEGER) AS min_ttl_s,
+      | CAST(COALESCE(max_exp_ttl, 0) AS INTEGER) AS max_ttl_s,
+      | CAST(COALESCE(1609459200 + min_del_off, 2147483647)
+      |   AS INTEGER) AS min_deletion_s,
+      | CAST(CASE WHEN has_live THEN 2147483647
+      |   ELSE COALESCE(1609459200 + max_del_off, 2147483647) END
+      |   AS INTEGER) AS max_deletion_s,
+      | CAST(2 AS INTEGER) AS sstable_level,
+      | CAST(1700000000000 AS BIGINT) AS repaired_at,
+      | CAST(n_rows AS BIGINT) AS total_rows,
+      | CAST(n_cells AS BIGINT) AS total_cells,
+      | CAST(tomb AS BIGINT) AS droppable_total,
+      | CASE WHEN n_cells = 0 THEN 0.0
+      |   ELSE CAST(tomb AS DOUBLE) / n_cells END AS droppable_ratio
+      |FROM g""".stripMargin,
+    // the sstableexpiredblockers role, sidecar-only: gen 3 (f=2) is
+    // the designed all-expiring generation (finite deletion bound —
+    // every other gen holds a live NO_DELETION_TIME sentinel), and
+    // every other generation's oldest write precedes its newest, so
+    // exactly three blocker rows with their literal panel figures
+    "src_sstable_expired_blockers" -> """
+      |WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc,
+      |  CAST(doc_id % 4 AS INTEGER) AS f,
+      |  doc_id % 10 AS k, doc_id % 100 AS h
+      | FROM documents),
+      |g AS (SELECT f, min(doc) AS min_doc,
+      |  max(doc + CASE WHEN k NOT IN (3, 5, 7) THEN 10 ELSE 0 END)
+      |    AS max_off,
+      |  max(CASE WHEN doc % 2 = 0 AND h <> 0
+      |    THEN doc + 10 + h END) AS max_del_off
+      | FROM d GROUP BY f)
+      |SELECT
+      | 'documents/nb-3-big-Data.db' AS expired,
+      | 'documents/nb-' || CAST(b.f + 1 AS VARCHAR) || '-big-Data.db'
+      |   AS blocker,
+      | (1609459200 + b.min_doc) * 1000000
+      |   AS blocker_min_writetime_us,
+      | CAST(1609459200 + x.max_del_off AS INTEGER)
+      |   AS expired_max_deletion_s
+      |FROM g b CROSS JOIN (SELECT max_del_off FROM g WHERE f = 2) x
+      |WHERE b.f <> 2
+      |  AND (1609459200 + b.min_doc) * 1000000
+      |    < (1609459200 + (SELECT max_off FROM g WHERE f = 2))
+      |      * 1000000""".stripMargin,
     // the IndexSummaryManager role: summaries resampled fine (the
     // rebuild branch), then the budget-driven redistribution coarsens
     // the coldest generations in place until HALF the marks fit. The

@@ -1015,6 +1015,68 @@ object BigFormat {
     * sketch's slot in the Statistics.db TOC. */
   val CompactionComponentOrdinal = 1
 
+  /** MetadataType.VALIDATION ordinal — the partitioner/bloom-chance
+    * declaration's slot in the Statistics.db TOC. */
+  val ValidationComponentOrdinal = 0
+
+  /** The one ring this engine serves — the reference hard-codes the
+    * same (`Cassandra3TTLRemover.java:69`). */
+  val Murmur3PartitionerClass =
+    "org.apache.cassandra.dht.Murmur3Partitioner"
+
+  /** ValidationMetadata's body (`o.a.c.io.sstable.metadata
+    * .ValidationMetadata.serializer`, identical 2.1→4.x): the
+    * partitioner FQCN as modified-UTF plus the bloom-filter FP
+    * chance — what `SSTableReader.open`'s validation compares before
+    * serving a file (a mismatched partitioner would mis-route every
+    * token predicate). */
+  private def writeValidationBody(partitioner: String,
+      bloomFpChance: Double): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeUTF(partitioner)
+    out.writeDouble(bloomFpChance)
+    out.flush()
+    bos.toByteArray
+  }
+
+  /** The VALIDATION component out of a Statistics.db container of
+    * either era (the 2.x container is the modern one without
+    * checksums), or None when the TOC has no such entry. In
+    * checksummed (n-series) files the component CRC is verified. */
+  def readValidation(bytes: Array[Byte], checksummed: Boolean)
+      : Option[(String, Double)] = {
+    val in = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val count = in.readInt()
+    if (checksummed) in.readInt() // count CRC (verified by readStats)
+    var off = -1
+    (0 until count).foreach { _ =>
+      val ordinal = in.readInt()
+      val offset = in.readInt()
+      if (ordinal == ValidationComponentOrdinal) off = offset
+    }
+    if (off < 0) None
+    else {
+      val body = new DataInputStream(new java.io.ByteArrayInputStream(
+        bytes, off, bytes.length - off))
+      val avail0 = body.available()
+      val partitioner = body.readUTF()
+      val fp = body.readDouble()
+      if (checksummed) {
+        val consumed = avail0 - body.available()
+        require(off + consumed + 4 <= bytes.length,
+          "Statistics.db: VALIDATION component missing its checksum")
+        val ccrc = new CRC32()
+        ccrc.update(bytes, off, consumed)
+        val stored = java.nio.ByteBuffer
+          .wrap(bytes, off + consumed, 4).getInt
+        require(stored == ccrc.getValue.toInt,
+          "Statistics.db: VALIDATION component checksum mismatch")
+      }
+      Some((partitioner, fp))
+    }
+  }
+
   /** Statistics.db in MetadataSerializer's layout: component count,
     * TOC of (type ordinal, offset) pairs, then each component's
     * bytes. With `checksummed` (the n-series / 4.x layout) a CRC32
@@ -1030,11 +1092,15 @@ object BigFormat {
     * never visited). */
   def writeStats(header: Header, checksummed: Boolean = true,
       compaction: Option[Array[Byte]] = None,
-      stats: Option[StatsModern] = None): Array[Byte] = {
+      stats: Option[StatsModern] = None,
+      validation: Option[(String, Double)] = None): Array[Byte] = {
     val body = new ByteArrayOutputStream()
     writeHeaderComponent(header, new DataOutputStream(body))
     val components: Seq[(Int, Array[Byte])] =
-      compaction.map(CompactionComponentOrdinal -> _).toSeq ++
+      validation.map { case (part, fp) =>
+        ValidationComponentOrdinal -> writeValidationBody(part, fp)
+      }.toSeq ++
+        compaction.map(CompactionComponentOrdinal -> _).toSeq ++
         stats.map(s => StatsComponentOrdinal ->
           writeStatsModern(s, nSeries = checksummed)).toSeq :+
         (HeaderComponentOrdinal -> body.toByteArray)

@@ -536,12 +536,25 @@ object SSTableBinaryV2 {
       * the getFileStatus RPC + parse are paid once per reader. */
     private lazy val summaryMemo: Option[SSTableComponents.Summary] =
       summaryOrRebuilt0()
+    /** The LITERAL pre-3.0 Summary.db read (`NoTTLReader.loadSummary`,
+      * `NoTTLReader.java:766-814`) — the one component this engine
+      * previously always regenerated. A malformed/foreign summary
+      * degrades to None and the Index.db rebuild takes over, the
+      * reference's own corrupted-summary posture (`:798-806` deletes
+      * and resamples). */
+    private lazy val parsed2xSummary: Option[SSTableComponents.Summary] =
+      try Some(SSTableComponents.readSummary2x(
+        readSibling(sibling("-Summary.db"))))
+      catch { case scala.util.control.NonFatal(_) => None }
     private def summaryOrRebuilt(): Option[SSTableComponents.Summary] =
       summaryMemo
     private def summaryOrRebuilt0(): Option[SSTableComponents.Summary] =
       if (!oldEra && hasSibling("-Summary.db"))
         Some(SSTableComponents.readSummary(
           readSibling(sibling("-Summary.db"))))
+      else if (oldEra && hasSibling("-Summary.db") &&
+        parsed2xSummary.isDefined)
+        parsed2xSummary
       else if (!hasSibling("-Index.db")) None
       else {
         val indexP = sibling("-Index.db")
@@ -589,8 +602,27 @@ object SSTableBinaryV2 {
     private val oldEra = version.nonEmpty && version.charAt(0) < 'm'
     private val header: BigFormat.Header =
       if (oldEra) null
-      else BigFormat.readStats(readSibling(sibling("-Statistics.db")),
-        BigFormat.versionHasMetadataChecksum(version))
+      else {
+        val statsBytes = readSibling(sibling("-Statistics.db"))
+        val checksummed = BigFormat.versionHasMetadataChecksum(version)
+        // open-time ring validation (`SSTableReader.open` refuses a
+        // file whose Statistics.db declares a foreign partitioner —
+        // the C2 fork keeps the check, `NoTTLReader.java:357-408`):
+        // serving rows under the wrong ring would silently mis-route
+        // every token predicate, so a declared mismatch refuses
+        // loudly here, scrub or not (it is mis-configuration, not
+        // corruption). Files without a VALIDATION component (this
+        // engine's own pre-round-13 output) pass — nothing declared,
+        // nothing to contradict.
+        BigFormat.readValidation(statsBytes, checksummed).foreach {
+          case (fqcn, _) =>
+            if (fqcn != BigFormat.Murmur3PartitionerClass)
+              throw new IllegalStateException(
+                s"$file: Statistics.db declares partitioner $fqcn; " +
+                  "this engine serves Murmur3Partitioner rings only")
+        }
+        BigFormat.readStats(statsBytes, checksummed)
+      }
     private val oldSchema: OldFormat.Schema =
       if (!oldEra) null
       else OldFormat.schemaOfCql(
@@ -1858,6 +1890,22 @@ object SSTableBinaryV2 {
         // (oldBfHashOrder — a fixture written with the modern order
         // would mask reader-side order bugs)
         write("Index.db", SSTableComponents.writeIndex2x(index))
+        // the era's Summary.db in its literal layout (sampled marks
+        // carry Index.db offsets — fixed-width 2.x entry framing:
+        // short keyLen + key + long position + int promoted size)
+        val idxPositions2x = {
+          var pos = 0L
+          index.map { case (k, _) =>
+            val here = pos; pos += 2L + k.length + 8 + 4; here
+          }
+        }
+        val sampled2x = index.zip(idxPositions2x).zipWithIndex.collect {
+          case (((k, _), ip), i)
+            if i % SSTableComponents.MinIndexInterval == 0 => (k, ip)
+        }
+        if (index.nonEmpty)
+          write("Summary.db", SSTableComponents.writeSummary2x(
+            sampled2x, index.size.toLong, index.head._1, index.last._1))
         val bloom = SSTableComponents
           .newBloom(index.size.toLong, oldHashOrder = true)
         index.foreach { case (k, _) => bloom.add(k) }

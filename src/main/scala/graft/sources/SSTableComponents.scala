@@ -295,6 +295,111 @@ object SSTableComponents {
       sampled: Seq[(Array[Byte], Long)], sizeAtFullSampling: Int,
       firstKey: Array[Byte], lastKey: Array[Byte])
 
+  /** Serialize a PRE-3.0 ("ka"/"la") Summary.db — the layout the
+    * reference's own fork loads (`NoTTLReader.loadSummary` /
+    * `saveSummary`, `NoTTLReader.java:766-814,886-911`; body from the
+    * PUBLIC Cassandra 2.1 `IndexSummary.IndexSummarySerializer` with
+    * `hasSamplingLevel`): int minIndexInterval, int entry count, long
+    * off-heap size, int samplingLevel, int sizeAtFullSampling, then
+    * the memory dump (offsets based from the STRUCTURE start, then
+    * key+position entries — native little-endian words, the x86 dump
+    * real clusters produce), then the `saveSummary` tail: first/last
+    * partition keys with int lengths, the two SegmentedFile.Builder
+    * bounds (the disk-access-mode UTF each — "standard" here; an
+    * mmap-mode builder appends its boundary array), and the
+    * accurate-boundaries magic. Positions are INDEX-file offsets, as
+    * the era's summary records. */
+  def writeSummary2x(sampled: Seq[(Array[Byte], Long)], totalKeys: Long,
+      firstKey: Array[Byte], lastKey: Array[Byte],
+      interval: Int = MinIndexInterval,
+      samplingLevel: Int = 128): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(interval)
+    out.writeInt(sampled.size)
+    val entriesLen = sampled.map(_._1.length + 8L).sum
+    out.writeLong(4L * sampled.size + entriesLen)
+    out.writeInt(samplingLevel)
+    out.writeInt(((totalKeys + interval - 1) / interval).toInt)
+    var pos = 4 * sampled.size
+    sampled.foreach { case (key, _) =>
+      out.writeInt(Integer.reverseBytes(pos))
+      pos += key.length + 8
+    }
+    sampled.foreach { case (key, idxPos) =>
+      out.write(key)
+      out.writeLong(java.lang.Long.reverseBytes(idxPos))
+    }
+    out.writeInt(firstKey.length); out.write(firstKey)
+    out.writeInt(lastKey.length); out.write(lastKey)
+    out.writeUTF("standard") // ibuilder bounds (disk access mode)
+    out.writeUTF("standard") // dbuilder bounds
+    out.writeInt(248923458)  // ACCURATE_BOUNDARIES_MAGIC_NUMBER
+    out.flush()
+    bos.toByteArray
+  }
+
+  /** Parse a pre-3.0 Summary.db back into [[Summary]] — the LITERAL
+    * read the reference performs at open, closing the one component
+    * this engine previously always regenerated from Index.db. A
+    * downsampled summary (samplingLevel < 128) parses fine: the
+    * marks stand on their own for elision and bounded index reads,
+    * and `sizeAtFullSampling × minIndexInterval` is the key-count
+    * bound regardless of level. mmap-mode builder bounds (boundary
+    * arrays after the mode name) are consumed; a malformed stream
+    * throws and the caller falls back to the rebuild — the
+    * reference's own corrupted-summary posture (`loadSummary`
+    * deletes and resamples, `NoTTLReader.java:798-806`). The
+    * trailing magic is optional (pre-CASSANDRA-10357 files lack
+    * it). */
+  def readSummary2x(bytes: Array[Byte]): Summary = {
+    val in = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val interval = in.readInt()
+    val n = in.readInt()
+    require(n >= 0 && n <= bytes.length / 4,
+      s"2.x Summary.db: implausible entry count $n")
+    val offheap = in.readLong()
+    in.readInt() // samplingLevel — any level's marks serve
+    val fullSampling = in.readInt()
+    val offsets = Array.fill(n)(Integer.reverseBytes(in.readInt()))
+    val entriesLen = (offheap - 4L * n).toInt
+    require(entriesLen >= 0 && entriesLen <= bytes.length,
+      s"2.x Summary.db: implausible entries length $entriesLen")
+    val entries = new Array[Byte](entriesLen)
+    in.readFully(entries)
+    val sampled = (0 until n).map { i =>
+      val start = offsets(i) - 4 * n
+      val end = (if (i + 1 < n) offsets(i + 1) - 4 * n else entriesLen) - 8
+      require(start >= 0 && end >= start && end + 8 <= entriesLen,
+        s"2.x Summary.db: entry $i offsets out of range ($start, $end)")
+      val key = java.util.Arrays.copyOfRange(entries, start, end)
+      val idxPos = java.lang.Long.reverseBytes(
+        java.nio.ByteBuffer.wrap(entries, end, 8).getLong)
+      (key, idxPos)
+    }
+    def keyWithLength(): Array[Byte] = {
+      val len = in.readInt()
+      require(len >= 0 && len <= bytes.length,
+        s"2.x Summary.db: implausible key length $len")
+      val k = new Array[Byte](len); in.readFully(k); k
+    }
+    val first = keyWithLength()
+    val last = keyWithLength()
+    // the two SegmentedFile.Builder bounds; an mmap builder appends
+    // its boundary positions after the mode name
+    (0 until 2).foreach { _ =>
+      val mode = in.readUTF()
+      if (mode.startsWith("mmap")) {
+        val b = in.readInt()
+        require(b >= 0 && b <= bytes.length / 8,
+          s"2.x Summary.db: implausible boundary count $b")
+        (0 until b).foreach(_ => in.readLong())
+      } else require(mode == "standard" || mode == "auto",
+        s"2.x Summary.db: unknown disk access mode '$mode'")
+    }
+    Summary(interval, sampled, fullSampling, first, last)
+  }
+
   def readSummary(bytes: Array[Byte]): Summary = {
     val in = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
     val interval = in.readInt()
@@ -746,7 +851,11 @@ object SSTableComponents {
       "Data.db" -> onDisk,
       "Statistics.db" -> BigFormat.writeStats(header, checksummedStats,
         compaction = Some(KeyCardinality.writeComponent(sketch)),
-        stats = statsModern),
+        stats = statsModern,
+        // the VALIDATION declaration every real generation carries:
+        // the ring this file was written under + the bloom FP chance
+        // (table default) — what open-time validation compares
+        validation = Some((BigFormat.Murmur3PartitionerClass, 0.01))),
       "Index.db" -> indexBytes,
       "Filter.db" -> writeFilter(bloom),
       "Summary.db" -> summary,

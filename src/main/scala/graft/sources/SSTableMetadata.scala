@@ -67,7 +67,14 @@ object SSTableMetadata {
         * pre-3.0 files. NULL on the modern era (3.0 dropped the
         * field) and on sketchless/corrupt components; an empty
         * string is a REAL value (a never-compacted file). */
-      ancestors: Option[String] = None)
+      ancestors: Option[String] = None,
+      /** The VALIDATION component's declared ring (partitioner FQCN)
+        * and bloom-filter FP chance — what open-time validation
+        * compares (`SSTableReader.open` refuses a mismatch; the C2
+        * fork keeps the check, `NoTTLReader.java:357-408`). NULL
+        * when the component is absent. */
+      partitioner: Option[String] = None,
+      bloom_fp_chance: Option[Double] = None)
 
   /** One recursive driver-side listing grouped into generations —
     * catalog-sized, the same contract as the connector's planner. */
@@ -153,6 +160,13 @@ object SSTableMetadata {
       if (!oldEra) None
       else compactionComp.flatMap(KeyCardinality.readAncestors)
         .map(_.mkString(","))
+    // the declared ring + bloom FP chance — both eras share the
+    // VALIDATION body (the 2.x container just lacks checksums)
+    val validation: Option[(String, Double)] =
+      statsBytes.flatMap { case (_, b) =>
+        BigFormat.readValidation(b,
+          !oldEra && BigFormat.versionHasMetadataChecksum(version))
+      }
     // first/last entry keys captured during the same count stream —
     // the audit mode's independent ground truth for the Summary facts
     var idxFirst: Option[Array[Byte]] = None
@@ -180,13 +194,16 @@ object SSTableMetadata {
         CompressedData.versionHasMaxCompressedSize(version), p,
         CompressedData.versionUsesAdler32(version)).compressor
     }
-    // the 2.x IndexSummary layout predates the 3.0 serializer — a
-    // real ka/la Summary.db would be MISREAD by this parser (garbage
-    // span endpoints, or a throw killing the whole inventory), so
-    // pre-3.0 generations report no summary facts, the same gate the
-    // connector's summaryOrRebuilt applies
+    // era dispatch on the summary layout: modern files use the 3.0
+    // serializer, pre-3.0 files the 2.1 `IndexSummary` layout
+    // ([[SSTableComponents.readSummary2x]] — `loadSummary`'s literal
+    // read); a malformed 2.x summary degrades to no summary facts,
+    // the reference's own corrupted-summary posture
     val summary =
-      if (oldEra) None
+      if (oldEra)
+        comp("-Summary.db").flatMap(p =>
+          scala.util.Try(
+            SSTableComponents.readSummary2x(readAll(fs, p))).toOption)
       else comp("-Summary.db").map(p =>
         SSTableComponents.readSummary(readAll(fs, p)))
     if (audit) summary.foreach { s =>
@@ -233,7 +250,9 @@ object SSTableMetadata {
       est_keys_max = summary.map(s =>
         s.sizeAtFullSampling.toLong * s.minIndexInterval),
       est_keys_hll = estHll,
-      ancestors = ancestors)
+      ancestors = ancestors,
+      partitioner = validation.map(_._1),
+      bloom_fp_chance = validation.map(_._2))
   }
 
   /** Registered `src_sstable_metadata`: the sidecar-only inventory
@@ -360,10 +379,19 @@ object SSTableMetadata {
         val version = SSTableBinaryV2.versionOf(name)
         val oldEra = version.nonEmpty && version.charAt(0) < 'm'
         val base = dataPath.stripSuffix("-Data.db")
-        comps.find(_ == base + "-Summary.db").filter(_ => !oldEra)
-          .map { p =>
-            val s = SSTableComponents.downsampleSummary(
-              SSTableComponents.readSummary(readAll(fs, p)), downsample)
+        // era-dispatched summary read: the 2.x layout parses via
+        // [[SSTableComponents.readSummary2x]] (malformed degrades to
+        // a skipped row, never a killed inventory)
+        comps.find(_ == base + "-Summary.db")
+          .flatMap { p =>
+            val bytes = readAll(fs, p)
+            if (oldEra)
+              scala.util.Try(
+                SSTableComponents.readSummary2x(bytes)).toOption
+            else Some(SSTableComponents.readSummary(bytes))
+          }
+          .map { s0 =>
+            val s = SSTableComponents.downsampleSummary(s0, downsample)
             RangeEstimate(
               dataPath.split('/').takeRight(2).mkString("/"),
               SSTableComponents.estimatedKeysForRanges(s, ranges),
@@ -733,6 +761,179 @@ object SSTableMetadata {
         }
       }
       .toDF()
+  }
+
+  final case class ExpiredBlocker(
+      expired: String,
+      blocker: String,
+      blocker_min_writetime_us: Long,
+      expired_max_deletion_s: Int)
+
+  /** The `sstableexpiredblockers` tool's role, sidecar-only: a
+    * generation is FULLY EXPIRED before `gcBeforeS` when its
+    * StatsMetadata max local-deletion time sits below it — live
+    * atoms carry the NO_DELETION_TIME sentinel (`Int.MaxValue`), so
+    * any live cell disqualifies automatically — and another
+    * generation BLOCKS dropping it when it holds data OLDER than the
+    * expired file's newest write (`blocker.minTimestamp <
+    * expired.maxTimestamp`): dropping the expired file first would
+    * un-shadow that older data. One panel read per generation, one
+    * catalog-sized self-join — the "why is compaction not dropping
+    * this" triage at 100 TB for sidecar cost. */
+  def expiredBlockers(spark: SparkSession, root: String,
+      gcBeforeS: Int): DataFrame = {
+    import spark.implicits._
+    val panel = describeStats(spark, root)
+      .select("sstable", "min_writetime_us", "max_writetime_us",
+        "max_deletion_s").localCheckpoint()
+    val expired = panel
+      .filter(org.apache.spark.sql.functions.col("max_deletion_s")
+        < gcBeforeS)
+      .select(
+        org.apache.spark.sql.functions.col("sstable").as("expired"),
+        org.apache.spark.sql.functions.col("max_writetime_us")
+          .as("x_max_wt"),
+        org.apache.spark.sql.functions.col("max_deletion_s")
+          .as("expired_max_deletion_s"))
+    val candidates = panel.select(
+      org.apache.spark.sql.functions.col("sstable").as("blocker"),
+      org.apache.spark.sql.functions.col("min_writetime_us")
+        .as("blocker_min_writetime_us"))
+    expired.join(
+      org.apache.spark.sql.functions.broadcast(candidates),
+      candidates("blocker") =!= expired("expired") &&
+        candidates("blocker_min_writetime_us") < expired("x_max_wt"))
+      .select("expired", "blocker", "blocker_min_writetime_us",
+        "expired_max_deletion_s")
+  }
+
+  /** Registered `src_sstable_expired_blockers`: the fixture's gen 3
+    * (f=2) is the designed all-expiring generation — the only one
+    * whose deletion bound is finite — and every other generation
+    * holds older writes, so the tool must report exactly the three
+    * blockers with their literal panel figures, all doc arithmetic
+    * the oracle replays. */
+  def expiredBlockersAudit(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    val in = SSTableBinaryV2.binaryFixtureShared(spark, sfDir)
+    val frame = SSTableBinaryV2.readBinary(spark, in)
+    val out = graft.Scratch.dir("graft-expblock-")
+    SSTableBinaryV2.writeSSTables(frame, out.toString,
+      "graft", "documents")
+    val res = expiredBlockers(spark, s"$out/graft/documents",
+      gcBeforeS = Int.MaxValue - 1).localCheckpoint()
+    graft.Scratch.delete(out)
+    res
+  }
+
+  /** The offline metadata-surgery tools (`sstablelevelreset` /
+    * `sstableofflinerelevel` / `sstablerepairedset` — the leveled
+    * state the reference reads at `NoTTLReader.getSSTableLevel`,
+    * `NoTTLReader.java:1963`, and the repaired state at `isRepaired`,
+    * `:1851`), NON-destructively: every generation under `root` is
+    * copied to `outDir` (same relative names, every component
+    * byte-verbatim) with ONLY its Statistics.db re-emitted — the
+    * STATS component's `sstableLevel` / `repairedAt` replaced, the
+    * HEADER, COMPACTION sketch and VALIDATION declaration preserved.
+    * One task per generation; the rewrite reads sidecars only, so a
+    * lake relevels at catalog cost with Data.db copied as opaque
+    * bytes. Modern-era generations only (Cassandra's own tools
+    * operate on live-version files); a 2.x generation or one without
+    * a STATS component refuses loudly — silently writing an
+    * unchanged copy would let an operator believe the level was set.
+    * Returns generations rewritten. */
+  def rewriteMetadata(spark: SparkSession, root: String, outDir: String,
+      level: Option[Int], repairedAt: Option[Long]): Long = {
+    import spark.implicits._
+    require(level.isDefined || repairedAt.isDefined,
+      "rewriteMetadata: nothing to set")
+    val hconf = new SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val gens = listGenerations(root, hconf.value)
+    val bc = spark.sparkContext.broadcast(hconf)
+    spark.createDataset(gens)
+      .repartition(math.min(gens.size.max(1),
+        spark.sparkContext.defaultParallelism))
+      .map { case (dataPath, comps) =>
+        val conf = bc.value.value
+        val fs = FileSystem.get(java.net.URI.create(dataPath), conf)
+        val name = dataPath.split('/').last
+        val version = SSTableBinaryV2.versionOf(name)
+        require(version.nonEmpty && version.charAt(0) >= 'm',
+          s"$dataPath: metadata surgery serves modern-era " +
+            "generations only (2.x StatsMetadata has its own layout)")
+        val checksummed = BigFormat.versionHasMetadataChecksum(version)
+        val base = dataPath.stripSuffix("-Data.db")
+        val statsPath = base + "-Statistics.db"
+        require(comps.contains(statsPath),
+          s"$dataPath: no Statistics.db to rewrite")
+        val bytes = readAll(fs, statsPath)
+        val stats = BigFormat.readStatsModern(bytes, checksummed)
+          .getOrElse(throw new IllegalStateException(
+            s"$dataPath: Statistics.db carries no STATS component — " +
+              "nothing to set a level/repairedAt on"))
+        val rewritten = BigFormat.writeStats(
+          BigFormat.readStats(bytes, checksummed), checksummed,
+          compaction = BigFormat.readCompaction(bytes, checksummed),
+          stats = Some(stats.copy(
+            sstableLevel = level.getOrElse(stats.sstableLevel),
+            repairedAt = repairedAt.getOrElse(stats.repairedAt))),
+          validation = BigFormat.readValidation(bytes, checksummed))
+        comps.foreach { src =>
+          // flat copy by component name: a surgery run targets ONE
+          // table directory (the tools' own unit of operation)
+          val dst = new HPath(
+            s"${outDir.stripSuffix("/")}/${src.split('/').last}")
+          val os = fs.create(dst, true)
+          try {
+            if (src == statsPath) os.write(rewritten)
+            else os.write(readAll(fs, src))
+          } finally os.close()
+        }
+        1L
+      }
+      .toDF("one").agg(org.apache.spark.sql.functions.sum("one"))
+      .collect().headOption.flatMap(r =>
+        Option(r.get(0)).map(_.asInstanceOf[Long])).getOrElse(0L)
+  }
+
+  /** Registered `src_sstable_relevel` — the surgery end-to-end: the
+    * shared fixture rides the real sink into fresh generations, every
+    * generation is releveled to 2 and marked repaired at a designed
+    * epoch, and [[describeStats]] over the REWRITTEN copies must show
+    * exactly the original panel with only those two fields changed —
+    * the oracle replays the whole panel, so a surgery that disturbs
+    * any other field (timestamps, totals, droppability, the
+    * histograms) fails the hash. In-query gates pin the
+    * non-destructive contract: the source generations still read
+    * level 0 / unrepaired, and the sketch survives verbatim. */
+  def relevelAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val in = SSTableBinaryV2.binaryFixtureShared(spark, sfDir)
+    val frame = SSTableBinaryV2.readBinary(spark, in)
+    val out = graft.Scratch.dir("graft-relevel-src-")
+    val surged = graft.Scratch.dir("graft-relevel-out-")
+    SSTableBinaryV2.writeSSTables(frame, out.toString,
+      "graft", "documents")
+    val srcRoot = s"$out/graft/documents"
+    val n = rewriteMetadata(spark, srcRoot, s"$surged/documents",
+      level = Some(2), repairedAt = Some(1700000000000L))
+    require(n == 4L, s"expected 4 generations releveled, got $n")
+    // non-destructive: the SOURCE panel still reads level 0,
+    // unrepaired, and the key-count sketch survived the copy
+    val before = describeStats(spark, srcRoot).collect()
+    require(before.forall(r => r.getAs[Int]("sstable_level") == 0 &&
+      r.getAs[Long]("repaired_at") == 0L),
+      "surgery mutated its input generations")
+    val after = describeStats(spark, s"$surged/documents")
+      .localCheckpoint()
+    val hllSurvived = describe(spark, s"$surged/documents")
+      .select(col("est_keys_hll")).collect()
+    require(hllSurvived.forall(!_.isNullAt(0)),
+      "the COMPACTION sketch did not survive the rewrite")
+    graft.Scratch.delete(out)
+    graft.Scratch.delete(surged)
+    after
   }
 
   /** Registered `src_sstable_stats` — the modern StatsMetadata

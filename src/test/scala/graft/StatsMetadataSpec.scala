@@ -83,6 +83,56 @@ class StatsMetadataSpec extends SparkSpec {
     assert(BigFormat.readStats(full, checksummed = true) === header)
   }
 
+  test("VALIDATION roundtrips beside the other components and the " +
+    "reader refuses a declared foreign partitioner at open") {
+    import spark.implicits._
+    for (checksummed <- Seq(true, false)) {
+      val bytes = BigFormat.writeStats(header, checksummed,
+        stats = Some(sampleStats()),
+        validation = Some((BigFormat.Murmur3PartitionerClass, 0.01)))
+      assert(BigFormat.readValidation(bytes, checksummed) ===
+        Some((BigFormat.Murmur3PartitionerClass, 0.01)))
+      assert(BigFormat.readStats(bytes, checksummed) === header)
+      assert(BigFormat.readStatsModern(bytes, checksummed).isDefined)
+      // absent component → None, not a throw
+      assert(BigFormat.readValidation(
+        BigFormat.writeStats(header, checksummed), checksummed).isEmpty)
+    }
+    val wt = 1609459200000000L
+    val rows = Seq(("p0", Seq("c"), "ROW", Some("v"),
+      Some(("a", wt, None: Option[Int], None: Option[Long])),
+      None: Option[Long], "t/nb-1-big-Data.db"))
+      .toDF("partition_key", "clustering", "row_kind", "name",
+        "cell_t", "deletion_us", "sstable")
+      .withColumn("cell", struct(
+        col("cell_t._1").as("value"), col("cell_t._2").as("writetime_us"),
+        col("cell_t._3").as("ttl_s"), col("cell_t._4").as("expire_us")))
+      .drop("cell_t")
+    val out = Scratch.dir("graft-valspec-")
+    try {
+      SSTableBinaryV2.writeSSTables(rows, out.toString, "graft", "t")
+      val dir = out.resolve("graft").resolve("t")
+      val statsP = dir.resolve("nb-1-big-Statistics.db")
+      // a generation written under Murmur3 serves fine
+      assert(SSTableBinaryV2.readBinary(spark, dir.toString)
+        .count() === 1L)
+      // redeclare a foreign ring: the open must refuse, loudly
+      val h = BigFormat.readStats(
+        java.nio.file.Files.readAllBytes(statsP))
+      java.nio.file.Files.write(statsP, BigFormat.writeStats(h,
+        checksummed = true, validation =
+          Some(("org.apache.cassandra.dht.RandomPartitioner", 0.01))))
+      java.nio.file.Files.deleteIfExists(
+        dir.resolve(".nb-1-big-Statistics.db.crc"))
+      val e = intercept[Exception](
+        SSTableBinaryV2.readBinary(spark, dir.toString).collect())
+      def chain(t: Throwable): Seq[String] =
+        if (t == null) Nil else t.getMessage +: chain(t.getCause)
+      assert(chain(e).exists(m =>
+        m != null && m.contains("RandomPartitioner")), chain(e).toString)
+    } finally Scratch.delete(out)
+  }
+
   test("n-series checksum catches a corrupted STATS body") {
     val bytes = BigFormat.writeStats(header, checksummed = true,
       stats = Some(sampleStats()))
@@ -180,6 +230,71 @@ class StatsMetadataSpec extends SparkSpec {
     } finally {
       Scratch.delete(outPlain); Scratch.delete(outLz4)
     }
+  }
+
+  test("metadata surgery: level/repairedAt replaced, everything else " +
+    "preserved byte-meaningfully, originals untouched; CLI parse " +
+    "rules hold") {
+    import spark.implicits._
+    // parse rules: both dirs required, transform flags contradict,
+    // malformed values refuse with usage errors
+    def p(a: String*) = RemoverCli.parse(a.toArray)
+    assert(p("--set-level", "2", "--in", "/a").isLeft)
+    assert(p("--set-level", "2", "--in", "/a", "--out", "/a").isLeft)
+    assert(p("--set-level", "x", "--in", "/a", "--out", "/b").isLeft)
+    assert(p("--set-level", "-1", "--in", "/a", "--out", "/b").isLeft)
+    assert(p("--set-repaired-at", "soon", "--in", "/a", "--out", "/b")
+      .isLeft)
+    assert(p("--set-level", "2", "--in", "/a", "--out", "/b",
+      "--merge", "lww").isLeft)
+    val ok = p("--set-level", "3", "--set-repaired-at", "17",
+      "--in", "/a", "--out", "/b")
+    assert(ok.exists(a => a.setLevel.contains(3) &&
+      a.setRepairedAt.contains(17L)))
+    // end-to-end on one generation
+    val wt = 1609459200000000L
+    val rows = Seq(("p0", Seq("c"), "ROW", Some("v"),
+      Some(("a", wt, Some(60), Some(wt + 60000000L))),
+      None: Option[Long], "t/nb-1-big-Data.db"))
+      .toDF("partition_key", "clustering", "row_kind", "name",
+        "cell_t", "deletion_us", "sstable")
+      .withColumn("cell", struct(
+        col("cell_t._1").as("value"), col("cell_t._2").as("writetime_us"),
+        col("cell_t._3").as("ttl_s"), col("cell_t._4").as("expire_us")))
+      .drop("cell_t")
+    val src = Scratch.dir("graft-surgery-src-")
+    val dst = Scratch.dir("graft-surgery-dst-")
+    try {
+      SSTableBinaryV2.writeSSTables(rows, src.toString, "graft", "t")
+      val srcDir = src.resolve("graft").resolve("t")
+      val before = java.nio.file.Files.readAllBytes(
+        srcDir.resolve("nb-1-big-Statistics.db"))
+      val n = SSTableMetadata.rewriteMetadata(spark, srcDir.toString,
+        dst.toString, level = Some(4), repairedAt = Some(42L))
+      assert(n === 1L)
+      // original bytes untouched
+      assert(java.util.Arrays.equals(before,
+        java.nio.file.Files.readAllBytes(
+          srcDir.resolve("nb-1-big-Statistics.db"))))
+      val a = BigFormat.readStatsModern(before).get
+      val b = BigFormat.readStatsModern(java.nio.file.Files.readAllBytes(
+        dst.resolve("nb-1-big-Statistics.db"))).get
+      assert(b.sstableLevel === 4 && b.repairedAt === 42L)
+      assert(b.copy(sstableLevel = 0, repairedAt = 0L) === a)
+      // header, sketch and validation survive; rows still decode
+      assert(SSTableBinaryV2.readBinary(spark, dst.toString)
+        .count() === 1L)
+      // a generation without a STATS component refuses loudly —
+      // silently copying unchanged would lie about the level
+      val h = BigFormat.readStats(before)
+      java.nio.file.Files.write(
+        srcDir.resolve("nb-1-big-Statistics.db"),
+        BigFormat.writeStats(h, checksummed = true))
+      java.nio.file.Files.deleteIfExists(
+        srcDir.resolve(".nb-1-big-Statistics.db.crc"))
+      assertThrows[Exception](SSTableMetadata.rewriteMetadata(spark,
+        srcDir.toString, dst.toString, Some(1), None))
+    } finally { Scratch.delete(src); Scratch.delete(dst) }
   }
 
   test("describeStats serves sidecar-only — Data.db junked — and " +
