@@ -1040,21 +1040,54 @@ object BigFormat {
     bos.toByteArray
   }
 
+  /** One TOC walk for every component reader: the byte offset of
+    * `ordinal`'s component in a Statistics.db container of either
+    * era (the 2.x container is the modern one without checksums),
+    * or -1 when absent. Malformed TOCs (counts/offsets outside the
+    * container) return -1 — the shared degrade every caller then
+    * applies to ABSENCE, keeping one corruption posture across the
+    * VALIDATION/COMPACTION/STATS readers. */
+  private def componentOffset(bytes: Array[Byte], checksummed: Boolean,
+      ordinal: Int): Int =
+    try {
+      val in = new DataInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val count = in.readInt()
+      if (count < 0 || count > 16) return -1
+      if (checksummed) in.readInt() // count CRC (verified by readStats)
+      var off = -1
+      (0 until count).foreach { _ =>
+        val ord = in.readInt()
+        val o = in.readInt()
+        if (ord == ordinal) off = o
+      }
+      if (off >= 0 && off < bytes.length) off else -1
+    } catch { case scala.util.control.NonFatal(_) => -1 }
+
+  /** The end of the component starting at `offset`: the smallest TOC
+    * offset past it (each component's CRC word sits between it and
+    * the next in the n-series), else the container end. */
+  private def componentEnd(bytes: Array[Byte], checksummed: Boolean,
+      offset: Int): Int = {
+    val in = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val count = in.readInt()
+    if (checksummed) in.readInt()
+    var end = bytes.length
+    (0 until count).foreach { _ =>
+      in.readInt()
+      val o = in.readInt()
+      if (o > offset && o < end) end = o
+    }
+    if (checksummed) end - 4 else end
+  }
+
   /** The VALIDATION component out of a Statistics.db container of
-    * either era (the 2.x container is the modern one without
-    * checksums), or None when the TOC has no such entry. In
+    * either era, or None when the TOC has no such entry. In
     * checksummed (n-series) files the component CRC is verified. */
   def readValidation(bytes: Array[Byte], checksummed: Boolean)
       : Option[(String, Double)] = {
-    val in = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
-    val count = in.readInt()
-    if (checksummed) in.readInt() // count CRC (verified by readStats)
-    var off = -1
-    (0 until count).foreach { _ =>
-      val ordinal = in.readInt()
-      val offset = in.readInt()
-      if (ordinal == ValidationComponentOrdinal) off = offset
-    }
+    val off = componentOffset(bytes, checksummed,
+      ValidationComponentOrdinal)
     if (off < 0) None
     else {
       val body = new DataInputStream(new java.io.ByteArrayInputStream(
@@ -1141,15 +1174,8 @@ object BigFormat {
     * In checksummed (n-series) files the component CRC is verified. */
   def readCompaction(bytes: Array[Byte],
       checksummed: Boolean = true): Option[Array[Byte]] = {
-    val in = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
-    val count = in.readInt()
-    if (checksummed) in.readInt() // count CRC (verified by readStats)
-    var compOffset = -1
-    (0 until count).foreach { _ =>
-      val ordinal = in.readInt()
-      val offset = in.readInt()
-      if (ordinal == CompactionComponentOrdinal) compOffset = offset
-    }
+    val compOffset = componentOffset(bytes, checksummed,
+      CompactionComponentOrdinal)
     if (compOffset < 0 || compOffset + 4 > bytes.length) None
     else {
       val len = java.nio.ByteBuffer.wrap(bytes, compOffset, 4).getInt
@@ -1327,15 +1353,8 @@ object BigFormat {
     * PRESENT component must parse. */
   def readStatsModern(bytes: Array[Byte], checksummed: Boolean = true)
       : Option[StatsModern] = {
-    val in = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
-    val count = in.readInt()
-    if (checksummed) in.readInt() // count CRC (verified by readStats)
-    var statsOffset = -1
-    (0 until count).foreach { _ =>
-      val ordinal = in.readInt()
-      val offset = in.readInt()
-      if (ordinal == StatsComponentOrdinal) statsOffset = offset
-    }
+    val statsOffset = componentOffset(bytes, checksummed,
+      StatsComponentOrdinal)
     if (statsOffset < 0) None
     else {
       val body = new DataInputStream(new java.io.ByteArrayInputStream(
@@ -1397,6 +1416,58 @@ object BigFormat {
         OldFormat.TombstoneHistogram(maxBins, bins), level, repairedAt,
         totalColumnsSet, totalRows))
     }
+  }
+
+  /** BYTE-SURGICAL `sstableLevel` / `repairedAt` replacement inside
+    * an existing Statistics.db: the container is returned bit-exact
+    * except for the two patched fields (and the n-series STATS
+    * component CRC). Everything this engine's parser does NOT model
+    * — clustering-value lists, commit-log intervals, pending-repair
+    * sessions, any newer tail a real cluster's file carries —
+    * survives untouched, which is what makes the offline surgery
+    * honest on foreign files. The level field's offset is found by
+    * walking the parseable PREFIX of the component (two
+    * EstimatedHistograms, the commit-log upper bound, the fixed
+    * min/max fields, the drop-time histogram); field sizes don't
+    * change, so the TOC and every other component stay valid. */
+  def patchStatsFields(bytes: Array[Byte], checksummed: Boolean,
+      level: Option[Int], repairedAt: Option[Long]): Array[Byte] = {
+    val statsOffset = componentOffset(bytes, checksummed,
+      StatsComponentOrdinal)
+    require(statsOffset >= 0,
+      "Statistics.db carries no STATS component to patch")
+    val body = new DataInputStream(new java.io.ByteArrayInputStream(
+      bytes, statsOffset, bytes.length - statsOffset))
+    val avail0 = body.available()
+    def skipHistogram(): Unit = {
+      val n = body.readInt()
+      require(n >= 0 && n <= (1 << 20), s"EstimatedHistogram size $n")
+      body.skipBytes(16 * n)
+    }
+    skipHistogram(); skipHistogram()      // partition size, cell count
+    body.skipBytes(8 + 4)                 // commitLogUpperBound
+    body.skipBytes(8 + 8 + 4 + 4 + 4 + 4 + 8) // ts/ldt/ttl bounds, ratio
+    val maxBins = body.readInt()
+    val nBins = body.readInt()
+    require(maxBins > 0 && nBins >= 0 && nBins <= maxBins,
+      s"StatsMetadata: drop-time histogram shape ($maxBins, $nBins)")
+    body.skipBytes(16 * nBins)
+    val levelOffset = statsOffset + (avail0 - body.available())
+    require(levelOffset + 12 <= bytes.length,
+      "StatsMetadata: truncated before the level/repairedAt fields")
+    val out = bytes.clone()
+    val bb = java.nio.ByteBuffer.wrap(out)
+    level.foreach(bb.putInt(levelOffset, _))
+    repairedAt.foreach(bb.putLong(levelOffset + 4, _))
+    if (checksummed) {
+      val end = componentEnd(out, checksummed, statsOffset)
+      require(end > statsOffset && end + 4 <= out.length,
+        "StatsMetadata: cannot locate the component CRC to fix")
+      val crc = new CRC32()
+      crc.update(out, statsOffset, end - statsOffset)
+      bb.putInt(end, crc.getValue.toInt)
+    }
+    out
   }
 
   /** Parse Statistics.db far enough to return the serialization

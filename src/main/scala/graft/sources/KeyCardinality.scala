@@ -147,7 +147,8 @@ object KeyCardinality {
   /** The pre-3.0 COMPACTION component body: a 32-bit ancestor count
     * and one 32-bit generation per ancestor precede the sketch (the
     * 2.x `CompactionMetadata` carried the compaction lineage; 3.0
-    * dropped it). Fixture sinks write no ancestors. */
+    * dropped it). The ka fixture writes a designed lineage the
+    * inventory oracle replays. */
   def writeComponent2x(sketch: HyperLogLogPlus,
       ancestors: Seq[Int] = Nil): Array[Byte] = {
     val bytes = sketch.getBytes

@@ -697,7 +697,9 @@ object OldFormat {
     * ancestor list + HLL++ sketch, [[KeyCardinality.writeComponent2x]])
     * a COMPACTION component joins them in ordinal order. */
   def writeStats2x(s: Stats2x, nPartitions: Long,
-      compaction: Option[Array[Byte]] = None): Array[Byte] = {
+      compaction: Option[Array[Byte]] = None,
+      partitioner: String =
+        "org.apache.cassandra.dht.Murmur3Partitioner"): Array[Byte] = {
     def histogram(out: DataOutputStream): Unit = {
       out.writeInt(1)
       out.writeLong(1L)          // single bucket offset
@@ -721,7 +723,7 @@ object OldFormat {
     val validation = {
       val bos = new ByteArrayOutputStream()
       val out = new DataOutputStream(bos)
-      out.writeUTF("org.apache.cassandra.dht.Murmur3Partitioner")
+      out.writeUTF(partitioner)
       out.writeDouble(0.01)
       out.flush(); bos.toByteArray
     }

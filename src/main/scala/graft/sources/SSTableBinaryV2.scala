@@ -287,7 +287,8 @@ object SSTableBinaryV2 {
             hasSummary = seen.contains(base + "-Summary.db"),
             hasCompression = seen.contains(base + "-CompressionInfo.db"),
             indexLen = seen.getOrElse(base + "-Index.db", -1L),
-            hasDigest = seen.contains(base + "-Digest.crc32")))
+            hasDigest = seen.contains(base + "-Digest.crc32"),
+            hasStats = seen.contains(base + "-Statistics.db")))
       }
     }
 
@@ -423,7 +424,8 @@ object SSTableBinaryV2 {
     * already saw. `indexLen` is -1 when no Index.db exists. */
   private[sources] case class SiblingInfo(dataLen: Long, hasIndex: Boolean,
       hasFilter: Boolean, hasSummary: Boolean, hasCompression: Boolean,
-      indexLen: Long, hasDigest: Boolean = false)
+      indexLen: Long, hasDigest: Boolean = false,
+      hasStats: Boolean = true)
 
   /** [start, end) is a BLIND byte range of the Data.db; the reader
     * aligns it to partition boundaries via Index.db. (0, MaxValue) =
@@ -515,6 +517,7 @@ object SSTableBinaryV2 {
         case "-Summary.db" => i.hasSummary
         case "-CompressionInfo.db" => i.hasCompression
         case "-Digest.crc32" => i.hasDigest
+        case "-Statistics.db" => i.hasStats
         case _ => fs.exists(sibling(suffix))
       }
       case None => fs.exists(sibling(suffix))
@@ -600,27 +603,41 @@ object SSTableBinaryV2 {
       * header; the reference's cassandra-2 module loads live system
       * tables instead, `Cassandra2TTLRemover.java:48`). */
     private val oldEra = version.nonEmpty && version.charAt(0) < 'm'
+    /** Open-time ring validation (`SSTableReader.open` refuses a
+      * file whose Statistics.db declares a foreign partitioner — the
+      * C2 fork keeps the check, `NoTTLReader.java:357-408`): serving
+      * rows under the wrong ring would silently mis-route every
+      * token predicate, so a declared mismatch refuses loudly, scrub
+      * or not (it is mis-configuration, not corruption). An ABSENT
+      * or unparseable VALIDATION component passes — nothing declared
+      * or readable, nothing to contradict (the sketch reader's own
+      * degrade posture; a truncated component must not kill a scan
+      * the way a genuine mismatch must). */
+    private def validateDeclaredRing(statsBytes: Array[Byte],
+        checksummed: Boolean): Unit =
+      (try BigFormat.readValidation(statsBytes, checksummed)
+      catch { case scala.util.control.NonFatal(_) => None })
+        .foreach { case (fqcn, _) =>
+          if (fqcn != BigFormat.Murmur3PartitionerClass)
+            throw new IllegalStateException(
+              s"$file: Statistics.db declares partitioner $fqcn; " +
+                "this engine serves Murmur3Partitioner rings only")
+        }
+
     private val header: BigFormat.Header =
-      if (oldEra) null
-      else {
+      if (oldEra) {
+        // the 2.x path reads no header, but a ka/la generation's
+        // Statistics.db carries the SAME VALIDATION declaration (no
+        // checksums) — a foreign-ring 2.x file must refuse exactly
+        // like a modern one
+        if (hasSibling("-Statistics.db"))
+          validateDeclaredRing(
+            readSibling(sibling("-Statistics.db")), checksummed = false)
+        null
+      } else {
         val statsBytes = readSibling(sibling("-Statistics.db"))
         val checksummed = BigFormat.versionHasMetadataChecksum(version)
-        // open-time ring validation (`SSTableReader.open` refuses a
-        // file whose Statistics.db declares a foreign partitioner —
-        // the C2 fork keeps the check, `NoTTLReader.java:357-408`):
-        // serving rows under the wrong ring would silently mis-route
-        // every token predicate, so a declared mismatch refuses
-        // loudly here, scrub or not (it is mis-configuration, not
-        // corruption). Files without a VALIDATION component (this
-        // engine's own pre-round-13 output) pass — nothing declared,
-        // nothing to contradict.
-        BigFormat.readValidation(statsBytes, checksummed).foreach {
-          case (fqcn, _) =>
-            if (fqcn != BigFormat.Murmur3PartitionerClass)
-              throw new IllegalStateException(
-                s"$file: Statistics.db declares partitioner $fqcn; " +
-                  "this engine serves Murmur3Partitioner rings only")
-        }
+        validateDeclaredRing(statsBytes, checksummed)
         BigFormat.readStats(statsBytes, checksummed)
       }
     private val oldSchema: OldFormat.Schema =
@@ -1027,7 +1044,10 @@ object SSTableBinaryV2 {
       val expected = new String(readSibling(sibling("-Digest.crc32")),
         java.nio.charset.StandardCharsets.US_ASCII).trim
       val crc = new java.util.zip.CRC32()
-      val din = fs.open(new HPath(file))
+      // through the throttle like every other Data.db byte — a
+      // verify pass at full disk bandwidth would defeat the rate cap
+      // exactly when a co-resident workload is the reason it is set
+      val din = openData(new HPath(file))
       try {
         val buf = new Array[Byte](64 * 1024)
         var n = din.read(buf)

@@ -161,11 +161,15 @@ object SSTableMetadata {
       else compactionComp.flatMap(KeyCardinality.readAncestors)
         .map(_.mkString(","))
     // the declared ring + bloom FP chance — both eras share the
-    // VALIDATION body (the 2.x container just lacks checksums)
+    // VALIDATION body (the 2.x container just lacks checksums);
+    // corrupt/truncated components degrade to NULL columns, the
+    // same posture as the sketch above (one damaged generation must
+    // not kill the whole inventory)
     val validation: Option[(String, Double)] =
       statsBytes.flatMap { case (_, b) =>
-        BigFormat.readValidation(b,
-          !oldEra && BigFormat.versionHasMetadataChecksum(version))
+        scala.util.Try(BigFormat.readValidation(b,
+          !oldEra && BigFormat.versionHasMetadataChecksum(version)))
+          .toOption.flatten
       }
     // first/last entry keys captured during the same count stream —
     // the audit mode's independent ground truth for the Summary facts
@@ -850,6 +854,18 @@ object SSTableMetadata {
     val hconf = new SerializableConfiguration(
       spark.sessionState.newHadoopConf())
     val gens = listGenerations(root, hconf.value)
+    // the output is FLAT by component name (one table directory is
+    // the tools' unit of operation) — a recursive listing spanning
+    // several directories (a keyspace root, or a table with
+    // snapshots/backups subdirs) could hold same-named generations
+    // whose flat copies would clobber each other, so that shape
+    // refuses up front instead of interleaving silently
+    val parents = gens.map(_._1.split('/').dropRight(1).mkString("/"))
+      .distinct
+    require(parents.size <= 1,
+      s"metadata surgery targets ONE table directory; $root spans " +
+        s"${parents.size} (run per directory): " +
+        parents.sorted.take(3).mkString(", "))
     val bc = spark.sparkContext.broadcast(hconf)
     spark.createDataset(gens)
       .repartition(math.min(gens.size.max(1),
@@ -872,23 +888,40 @@ object SSTableMetadata {
           .getOrElse(throw new IllegalStateException(
             s"$dataPath: Statistics.db carries no STATS component — " +
               "nothing to set a level/repairedAt on"))
-        val rewritten = BigFormat.writeStats(
-          BigFormat.readStats(bytes, checksummed), checksummed,
-          compaction = BigFormat.readCompaction(bytes, checksummed),
-          stats = Some(stats.copy(
-            sstableLevel = level.getOrElse(stats.sstableLevel),
-            repairedAt = repairedAt.getOrElse(stats.repairedAt))),
-          validation = BigFormat.readValidation(bytes, checksummed))
+        // BYTE-SURGICAL: only the two fields' bytes change (and the
+        // n-series component CRC) — clustering-value lists,
+        // commit-log intervals, pending-repair sessions and any
+        // other fields a real cluster's file carries survive
+        // bit-exact, which is the whole "only level/repairedAt
+        // replaced" contract
+        val rewritten = BigFormat.patchStatsFields(bytes, checksummed,
+          level, repairedAt)
+        val outFs = FileSystem.get(
+          java.net.URI.create(outDir.stripSuffix("/")), conf)
         comps.foreach { src =>
           // flat copy by component name: a surgery run targets ONE
-          // table directory (the tools' own unit of operation)
+          // table directory (guarded above)
           val dst = new HPath(
             s"${outDir.stripSuffix("/")}/${src.split('/').last}")
-          val os = fs.create(dst, true)
-          try {
-            if (src == statsPath) os.write(rewritten)
-            else os.write(readAll(fs, src))
-          } finally os.close()
+          if (src == statsPath) {
+            val os = outFs.create(dst, true)
+            try os.write(rewritten) finally os.close()
+          } else {
+            // Data.db streams — a multi-GB data file must neither
+            // materialize on-heap nor trip readAll's sidecar bound
+            val in = fs.open(new HPath(src))
+            try {
+              val os = outFs.create(dst, true)
+              try {
+                val buf = new Array[Byte](1024 * 1024)
+                var n = in.read(buf)
+                while (n >= 0) {
+                  if (n > 0) os.write(buf, 0, n)
+                  n = in.read(buf)
+                }
+              } finally os.close()
+            } finally in.close()
+          }
         }
         1L
       }

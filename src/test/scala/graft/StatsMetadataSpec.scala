@@ -133,6 +133,107 @@ class StatsMetadataSpec extends SparkSpec {
     } finally Scratch.delete(out)
   }
 
+  test("the byte-surgical patch changes ONLY the two fields and the " +
+    "component CRC; a truncated VALIDATION degrades instead of " +
+    "killing the read; a foreign-ring 2.x file refuses like a " +
+    "modern one") {
+    import spark.implicits._
+    // bit-exactness: every differing byte of the patched container
+    // must lie in the level int, the repairedAt long, or the STATS
+    // CRC word — anything else would mean the surgery rewrites
+    // fields it does not understand
+    val orig = BigFormat.writeStats(header, checksummed = true,
+      compaction = Some(graft.sources.KeyCardinality.writeComponent(
+        graft.sources.KeyCardinality.sketchOf(
+          (0 until 30).map(i => s"k$i".getBytes("UTF-8"))))),
+      stats = Some(sampleStats()),
+      validation = Some((BigFormat.Murmur3PartitionerClass, 0.01)))
+    val patched = BigFormat.patchStatsFields(orig, checksummed = true,
+      Some(7), Some(999L))
+    val p = BigFormat.readStatsModern(patched, checksummed = true).get
+    assert(p.sstableLevel === 7 && p.repairedAt === 999L)
+    assert(p.copy(sstableLevel = 2, repairedAt = 1700000000000L) ===
+      sampleStats())
+    val diffs = orig.indices.filter(i => orig(i) != patched(i))
+    assert(diffs.size <= 4 + 8 + 4, s"stray patched bytes: $diffs")
+    // diff bytes form at most three contiguous runs (level,
+    // repairedAt, CRC)
+    val runs = diffs.foldLeft(List.empty[(Int, Int)]) {
+      case ((s0, e0) :: t, i) if i == e0 + 1 => (s0, i) :: t
+      case (acc, i) => (i, i) :: acc
+    }
+    assert(runs.size <= 3, s"diff runs: $runs")
+    // a truncated VALIDATION component degrades to None/NULL —
+    // never a killed inventory or scan
+    val valOff = {
+      val bb = java.nio.ByteBuffer.wrap(orig)
+      (0 until bb.getInt(0)).map(i =>
+        (bb.getInt(8 + 8 * i), bb.getInt(12 + 8 * i)))
+        .collectFirst { case (0, off) => off }.get
+    }
+    val truncated = java.util.Arrays.copyOfRange(orig, 0, valOff + 3)
+    assert(scala.util.Try(BigFormat.readValidation(truncated,
+      checksummed = true)).toOption.flatten.isEmpty)
+    // 2.x open refuses a declared foreign ring exactly like modern
+    val ka = Scratch.dir("graft-ka-ring-")
+    try {
+      val dir = ka.resolve("documents")
+      java.nio.file.Files.createDirectories(dir)
+      val parts = Seq(graft.sources.OldFormat.Partition2("p0", None,
+        Seq(graft.sources.OldFormat.Cell2(Seq("c"), "len",
+          1609459200000000L, None, None, Some("x"), deleted = false,
+          counter = false))))
+      val schema = graft.sources.OldFormat.schemaOfCql(
+        graft.model.CqlSchema.parse(SSTableBinaryV2.Cql2x)
+          .fold(e => fail(e), identity))
+      val (data, index) =
+        graft.sources.OldFormat.writeDataFileIndexed(parts, schema)
+      def put(n: String, b: Array[Byte]): Unit =
+        java.nio.file.Files.write(
+          dir.resolve(s"graft-documents-ka-1-$n"), b)
+      put("Data.db", data)
+      put("Index.db", graft.sources.SSTableComponents.writeIndex2x(index))
+      put("Statistics.db", graft.sources.OldFormat.writeStats2x(
+        graft.sources.OldFormat.Stats2x(1609459200000000L,
+          1609459200000000L, Int.MaxValue, 0, 0L), 1L,
+        partitioner = "org.apache.cassandra.dht.RandomPartitioner"))
+      val e = intercept[Exception](SSTableBinaryV2.readBinary(spark,
+        dir.toString, Some(SSTableBinaryV2.Cql2x)).collect())
+      def chain(t: Throwable): Seq[String] =
+        if (t == null) Nil else t.getMessage +: chain(t.getCause)
+      assert(chain(e).exists(m =>
+        m != null && m.contains("RandomPartitioner")), chain(e).toString)
+    } finally Scratch.delete(ka)
+  }
+
+  test("metadata surgery refuses a root spanning several table " +
+    "directories — flat copies of same-named generations must never " +
+    "clobber") {
+    import spark.implicits._
+    val wt = 1609459200000000L
+    def frame(tbl: String) = Seq((s"p-$tbl", Seq("c"), "ROW", Some("v"),
+      Some(("a", wt, None: Option[Int], None: Option[Long])),
+      None: Option[Long], s"$tbl/nb-1-big-Data.db"))
+      .toDF("partition_key", "clustering", "row_kind", "name",
+        "cell_t", "deletion_us", "sstable")
+      .withColumn("cell", struct(
+        col("cell_t._1").as("value"), col("cell_t._2").as("writetime_us"),
+        col("cell_t._3").as("ttl_s"), col("cell_t._4").as("expire_us")))
+      .drop("cell_t")
+    val src = Scratch.dir("graft-surgery-multi-")
+    val dst = Scratch.dir("graft-surgery-multi-out-")
+    try {
+      SSTableBinaryV2.writeSSTables(frame("t1"), src.toString,
+        "graft", "t1")
+      SSTableBinaryV2.writeSSTables(frame("t2"), src.toString,
+        "graft", "t2")
+      val e = intercept[IllegalArgumentException](
+        SSTableMetadata.rewriteMetadata(spark,
+          src.resolve("graft").toString, dst.toString, Some(1), None))
+      assert(e.getMessage.contains("ONE table directory"), e.getMessage)
+    } finally { Scratch.delete(src); Scratch.delete(dst) }
+  }
+
   test("n-series checksum catches a corrupted STATS body") {
     val bytes = BigFormat.writeStats(header, checksummed = true,
       stats = Some(sampleStats()))
