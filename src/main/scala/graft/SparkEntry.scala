@@ -164,6 +164,8 @@ object SparkEntry {
       (sources.SSTableMetadata.statsAudit _),
     "src_sstable_relevel" ->
       (sources.SSTableMetadata.relevelAudit _),
+    "src_sstable_read_meter" ->
+      (sources.SSTableMetadata.readMeterAudit _),
     "src_sstable_expired_blockers" ->
       (sources.SSTableMetadata.expiredBlockersAudit _),
     "src_sstable_dump_export" ->
@@ -3066,7 +3068,18 @@ object SparkEntry {
       |  CASE WHEN n_cells = 0 THEN 0.0
       |    ELSE CAST(tomb AS DOUBLE) / n_cells END AS droppable_ratio
       | FROM g)
-      |SELECT x.*, l.layout
+      |SELECT x.*,
+      | CASE WHEN l.layout = 'plain' THEN '00000000-0000-000' ||
+      |   substr(x.sstable, 14, 1) || '-0000-000000000011'
+      | END AS pending_repair,
+      | (l.layout = 'plain' AND
+      |   CAST(substr(x.sstable, 14, 1) AS INTEGER) % 2 = 1)
+      |   AS is_transient,
+      | CASE WHEN l.layout = 'plain' THEN '00000000-0000-000' ||
+      |   CAST(CAST(substr(x.sstable, 14, 1) AS INTEGER) + 1
+      |     AS VARCHAR) || '-0000-000000000021'
+      | END AS originating_host_id,
+      | l.layout
       |FROM x CROSS JOIN (VALUES ('plain'), ('lz4')) AS l(layout)"""
       .stripMargin,
     // offline metadata surgery (sstablelevelreset / sstablerepairedset
@@ -3116,7 +3129,10 @@ object SparkEntry {
       | CAST(n_cells AS BIGINT) AS total_cells,
       | CAST(tomb AS BIGINT) AS droppable_total,
       | CASE WHEN n_cells = 0 THEN 0.0
-      |   ELSE CAST(tomb AS DOUBLE) / n_cells END AS droppable_ratio
+      |   ELSE CAST(tomb AS DOUBLE) / n_cells END AS droppable_ratio,
+      | CAST(NULL AS VARCHAR) AS pending_repair,
+      | FALSE AS is_transient,
+      | CAST(NULL AS VARCHAR) AS originating_host_id
       |FROM g""".stripMargin,
     // the sstableexpiredblockers role, sidecar-only: gen 3 (f=2) is
     // the designed all-expiring generation (finite deletion bound —
@@ -3168,6 +3184,37 @@ object SparkEntry {
       | FROM g)
       |SELECT sstable, rate, marks_before, factor,
       | CAST(ceil(marks_before / CAST(factor AS DOUBLE)) AS BIGINT)
+      |   AS marks_after
+      |FROM x""".stripMargin,
+    // RestorableMeter lifecycle: gen g bursts g+2 reads/tick for 12
+    // ticks then decays (4-g)*4 silent ticks — rates are (g+2)/5 ·
+    // exp(-5/900)^k closed-form; restore decays 2 more ticks; the
+    // restored hotness ranks the generations strictly, so the
+    // summary-budget greedy lands on the rank factors [8,8,2,1]
+    // (coldest first) over equal interval-8 marks
+    "src_sstable_read_meter" -> """
+      |WITH d AS (SELECT CAST(doc_id % 4 AS INTEGER) AS f,
+      |  count(*) AS n FROM documents GROUP BY 1),
+      |g AS (SELECT f + 1 AS gen,
+      |  CAST(ceil(n / 8.0) AS BIGINT) AS marks FROM d),
+      |x AS (SELECT gen, marks,
+      |  (gen + 2) / 5.0 * power(exp(-5.0/900.0), (4 - gen) * 4) AS r15,
+      |  (gen + 2) / 5.0 * power(exp(-5.0/7200.0), (4 - gen) * 4)
+      |    AS r120,
+      |  CAST(CASE gen WHEN 1 THEN 8 WHEN 2 THEN 8 WHEN 3 THEN 2
+      |    ELSE 1 END AS INTEGER) AS factor
+      | FROM g)
+      |SELECT
+      | 'documents/nb-' || CAST(gen AS VARCHAR) || '-big-Data.db'
+      |   AS sstable,
+      | CAST(12 * (gen + 2) AS BIGINT) AS reads,
+      | CAST(round(r15 * 1000000) AS BIGINT) AS rate15_x1e6,
+      | CAST(round(r120 * 1000000) AS BIGINT) AS rate120_x1e6,
+      | CAST(round(r15 * power(exp(-5.0/900.0), 2) * 1000000)
+      |   AS BIGINT) AS restored15_x1e6,
+      | marks AS marks_before,
+      | factor,
+      | CAST(ceil(marks / CAST(factor AS DOUBLE)) AS BIGINT)
       |   AS marks_after
       |FROM x""".stripMargin,
     // the key-count-estimation surface, sidecar-only: exact totals,

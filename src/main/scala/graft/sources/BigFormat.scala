@@ -1011,6 +1011,25 @@ object BigFormat {
   def versionHasMetadataChecksum(version: String): Boolean =
     version.nonEmpty && version.charAt(0) >= 'n'
 
+  /** Version-gated StatsMetadata TAIL fields, following the PUBLIC
+    * Apache Cassandra `BigFormat.BigVersion` feature flags: the
+    * commit-log lower bound since 3.0.1 ("mb"), the commit-log
+    * interval set since 3.0.8 ("mc"), pendingRepair + isTransient
+    * since 4.0 ("na"), and originatingHostId since 3.0.26/3.11.12
+    * ("me") on the m-series and 4.0.2 ("nb") on the n-series —
+    * CASSANDRA-16619's dual backport, Cassandra's own
+    * `matches("(m[e-9])|(n[b-9])")` gate. A plain "ma" (3.0.0) file
+    * ENDS at totalRows; parsing any tail there would consume the
+    * next component's bytes. */
+  def versionHasCommitLogLowerBound(version: String): Boolean =
+    version >= "mb"
+  def versionHasCommitLogIntervals(version: String): Boolean =
+    version >= "mc"
+  def versionHasPendingRepair(version: String): Boolean =
+    version >= "na"
+  def versionHasOriginatingHostId(version: String): Boolean =
+    (version.startsWith("m") && version >= "me") || version >= "nb"
+
   /** MetadataType.COMPACTION ordinal — the per-file HLL++ key-count
     * sketch's slot in the Statistics.db TOC. */
   val CompactionComponentOrdinal = 1
@@ -1123,10 +1142,11 @@ object BigFormat {
     * The reader walks the TOC, so real files carrying
     * VALIDATION/STATS as well parse identically (their components are
     * never visited). */
-  def writeStats(header: Header, checksummed: Boolean = true,
+  def writeStats(header: Header, version: String = "nb",
       compaction: Option[Array[Byte]] = None,
       stats: Option[StatsModern] = None,
       validation: Option[(String, Double)] = None): Array[Byte] = {
+    val checksummed = versionHasMetadataChecksum(version)
     val body = new ByteArrayOutputStream()
     writeHeaderComponent(header, new DataOutputStream(body))
     val components: Seq[(Int, Array[Byte])] =
@@ -1135,7 +1155,7 @@ object BigFormat {
       }.toSeq ++
         compaction.map(CompactionComponentOrdinal -> _).toSeq ++
         stats.map(s => StatsComponentOrdinal ->
-          writeStatsModern(s, nSeries = checksummed)).toSeq :+
+          writeStatsModern(s, version)).toSeq :+
         (HeaderComponentOrdinal -> body.toByteArray)
 
     val out = new ByteArrayOutputStream()
@@ -1252,7 +1272,16 @@ object BigFormat {
       sstableLevel: Int,
       repairedAt: Long,
       totalColumnsSet: Long,
-      totalRows: Long)
+      totalRows: Long,
+      /** 4.0+ ("na") incremental-repair session this file belongs to
+        * — a 16-byte UUID behind a presence byte on disk. */
+      pendingRepair: Option[java.util.UUID] = None,
+      /** 4.0+ ("na") transient-replica flag. */
+      isTransient: Boolean = false,
+      /** The host that wrote the file ("me"/"nb"+, CASSANDRA-16619)
+        * — non-null on every cluster-written file; null from offline
+        * writers (CQLSSTableWriter and this sink). */
+      originatingHostId: Option[java.util.UUID] = None)
 
   /** An EstimatedHistogram whose mean()×count() reconstructs `total`
     * EXACTLY and whose count() is exactly `count`: with q = ⌊total /
@@ -1307,10 +1336,20 @@ object BigFormat {
     * buffers), boolean hasLegacyCounterShards, long totalColumnsSet,
     * long totalRows, then the version-gated tail: the commit-log
     * lower bound (3.0.1 "mb"+) and interval set (3.0.8 "mc"+ — int
-    * count then position pairs) both eras this engine writes carry;
-    * the n-series (4.0 "na"+) adds the pending-repair marker byte
-    * and the isTransient boolean. */
-  def writeStatsModern(s: StatsModern, nSeries: Boolean): Array[Byte] = {
+    * count then position pairs); the n-series (4.0 "na"+) adds the
+    * pending-repair marker byte (1 ⇒ a 16-byte session UUID follows)
+    * and the isTransient boolean; "me"/"nb"+ append originatingHostId
+    * (presence byte + 16-byte UUID) — see the
+    * [[versionHasOriginatingHostId]] family for the exact gates. */
+  def writeStatsModern(s: StatsModern, version: String): Array[Byte] = {
+    def writeUuid(out: DataOutputStream,
+        u: Option[java.util.UUID]): Unit = u match {
+      case Some(id) =>
+        out.writeByte(1)
+        out.writeLong(id.getMostSignificantBits)
+        out.writeLong(id.getLeastSignificantBits)
+      case None => out.writeByte(0)
+    }
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     writeHistogram(exactHistogram(s.partitionSizeTotal, s.nPartitions), out)
@@ -1335,12 +1374,17 @@ object BigFormat {
     out.writeBoolean(false)               // hasLegacyCounterShards
     out.writeLong(s.totalColumnsSet)
     out.writeLong(s.totalRows)
-    out.writeLong(-1L); out.writeInt(0)   // commitLogLowerBound = NONE
-    out.writeInt(0)                       // commitLogIntervals: empty
-    if (nSeries) {
-      out.writeByte(0)                    // no pendingRepair session
-      out.writeBoolean(false)             // isTransient
+    if (versionHasCommitLogLowerBound(version)) {
+      out.writeLong(-1L); out.writeInt(0) // commitLogLowerBound = NONE
     }
+    if (versionHasCommitLogIntervals(version))
+      out.writeInt(0)                     // commitLogIntervals: empty
+    if (versionHasPendingRepair(version)) {
+      writeUuid(out, s.pendingRepair)
+      out.writeBoolean(s.isTransient)
+    }
+    if (versionHasOriginatingHostId(version))
+      writeUuid(out, s.originatingHostId)
     out.flush()
     bos.toByteArray
   }
@@ -1351,8 +1395,9 @@ object BigFormat {
     * inventory must degrade to NULLs, not throw. Corrupt bodies
     * (truncated, checksum-mismatched in the n-series) throw — a
     * PRESENT component must parse. */
-  def readStatsModern(bytes: Array[Byte], checksummed: Boolean = true)
+  def readStatsModern(bytes: Array[Byte], version: String)
       : Option[StatsModern] = {
+    val checksummed = versionHasMetadataChecksum(version)
     val statsOffset = componentOffset(bytes, checksummed,
       StatsComponentOrdinal)
     if (statsOffset < 0) None
@@ -1390,17 +1435,28 @@ object BigFormat {
       body.readBoolean()                  // hasLegacyCounterShards
       val totalColumnsSet = body.readLong()
       val totalRows = body.readLong()
-      body.readLong(); body.readInt()     // commitLogLowerBound
-      val nIntervals = body.readInt()
-      require(nIntervals >= 0 && nIntervals <= (1 << 16),
-        s"StatsMetadata: commit-log interval count $nIntervals")
-      (0 until nIntervals).foreach { _ =>
-        body.readLong(); body.readInt()   // lower
-        body.readLong(); body.readInt()   // upper
+      def readUuid(): Option[java.util.UUID] =
+        if (body.readByte() == 0) None
+        else Some(new java.util.UUID(body.readLong(), body.readLong()))
+      if (versionHasCommitLogLowerBound(version)) {
+        body.readLong(); body.readInt()   // commitLogLowerBound
       }
+      if (versionHasCommitLogIntervals(version)) {
+        val nIntervals = body.readInt()
+        require(nIntervals >= 0 && nIntervals <= (1 << 16),
+          s"StatsMetadata: commit-log interval count $nIntervals")
+        (0 until nIntervals).foreach { _ =>
+          body.readLong(); body.readInt() // lower
+          body.readLong(); body.readInt() // upper
+        }
+      }
+      val pendingRepair =
+        if (versionHasPendingRepair(version)) readUuid() else None
+      val isTransient =
+        versionHasPendingRepair(version) && body.readBoolean()
+      val originatingHostId =
+        if (versionHasOriginatingHostId(version)) readUuid() else None
       if (checksummed) {
-        body.readByte()                   // pendingRepair marker
-        body.readBoolean()                // isTransient
         val consumed = avail0 - body.available()
         val ccrc = new CRC32()
         ccrc.update(bytes, statsOffset, consumed)
@@ -1414,7 +1470,8 @@ object BigFormat {
       Some(StatsModern(psCount, psTotal, ccTotal, minTs, maxTs,
         minLdt, maxLdt, minTtl, maxTtl, ratio,
         OldFormat.TombstoneHistogram(maxBins, bins), level, repairedAt,
-        totalColumnsSet, totalRows))
+        totalColumnsSet, totalRows,
+        pendingRepair, isTransient, originatingHostId))
     }
   }
 

@@ -1645,8 +1645,7 @@ object SSTableBinaryV2 {
             write(s"$version-$gen-big-Data.db", dataBytes)
         }
         write(s"$version-$gen-big-Statistics.db",
-          BigFormat.writeStats(header,
-            BigFormat.versionHasMetadataChecksum(version),
+          BigFormat.writeStats(header, version,
             compaction = Some(KeyCardinality.writeComponent(
               KeyCardinality.sketchOf(parts.iterator.map(p =>
                 BigFormat.encodeValue(header.keyType, p.key)))))))

@@ -772,18 +772,18 @@ object SSTableComponents {
     * (compressed) bytes. */
   def buildAll(dataBytes: Array[Byte], index: Seq[BigFormat.IndexEntry],
       header: BigFormat.Header,
-      checksummedStats: Boolean = true,
+      version: String = "nb",
       compression: Option[String] = None,
       stats: Option[BigFormat.StatsCollected] = None)
       : Seq[(String, Array[Byte])] = {
     compression match {
       case None =>
-        buildAll0(dataBytes, index, header, checksummedStats,
+        buildAll0(dataBytes, index, header, version,
           stats = stats)
       case Some(comp) =>
         val (cbytes, meta) =
           CompressedData.compress(dataBytes, ChunkLength, comp)
-        buildAll0(dataBytes, index, header, checksummedStats,
+        buildAll0(dataBytes, index, header, version,
           dataOnDisk = cbytes,
           extra = Seq("CompressionInfo.db" ->
             CompressedData.writeMeta(meta,
@@ -794,7 +794,7 @@ object SSTableComponents {
 
   private def buildAll0(dataBytes: Array[Byte],
       index: Seq[BigFormat.IndexEntry], header: BigFormat.Header,
-      checksummedStats: Boolean,
+      version: String,
       dataOnDisk: Array[Byte] = null,
       extra: Seq[(String, Array[Byte])] = Nil,
       stats: Option[BigFormat.StatsCollected] = None)
@@ -849,7 +849,7 @@ object SSTableComponents {
       totalRows = c.totalRows))
     Seq(
       "Data.db" -> onDisk,
-      "Statistics.db" -> BigFormat.writeStats(header, checksummedStats,
+      "Statistics.db" -> BigFormat.writeStats(header, version,
         compaction = Some(KeyCardinality.writeComponent(sketch)),
         stats = statsModern,
         // the VALIDATION declaration every real generation carries:

@@ -555,6 +555,141 @@ object SSTableMetadata {
       .toDF("sstable", "rate", "marks_before", "factor", "marks_after")
   }
 
+  /** Registered `src_sstable_read_meter` — Cassandra's
+    * `RestorableMeter` lifecycle end-to-end, the hotness input the
+    * reference's summary redistribution weighs every file by
+    * (`IndexSummaryManager` reads each sstable's
+    * `getReadMeter().fifteenMinuteRate()`; the meter itself is the
+    * PUBLIC `o.a.c.metrics.RestorableMeter`: 15m/120m EWMAs on a
+    * 5-second tick, persisted in `system.sstable_activity`, restored
+    * at startup):
+    *   1. every generation runs a DESIGNED deterministic trace on a
+    *      fresh meter — gen g marks g+2 reads per tick for 12 ticks,
+    *      then sits silent for (4−g)·4 ticks — so the 15m/120m rates
+    *      are closed-form arithmetic ((g+2)/5 · decay^k) the oracle
+    *      replays, and the four generations end STRICTLY ordered by
+    *      hotness (coldest = gen 1, most-decayed);
+    *   2. the rates persist to an activity TABLE (parquet — the
+    *      `sstable_activity` role) and are RESTORED on a fresh meter,
+    *      which then decays two more silent ticks: the restored-rate
+    *      semantics (decay FROM the restored value, never reset) land
+    *      on decay^(k+2), also served and oracle-replayed;
+    *   3. the restored 15-minute rates feed
+    *      [[SSTableComponents.redistributeSummaries]] over the REAL
+    *      resampled summaries (interval 8, streamed — the
+    *      summary-budget fixture regime) at a half-marks budget: with
+    *      equal marks and strictly ordered rates the greedy's outcome
+    *      is rank arithmetic ([8, 8, 2, 1] coldest-first), gated by
+    *      the same precondition require as `src_sstable_summary_budget`.
+    * In-query gates pin the meter to the closed form at 1e-9 before
+    * anything is served, so a drifted EWMA fails the oracle run
+    * loudly rather than hash-mismatching. */
+  def readMeterAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val in = SSTableBinaryV2.binaryFixtureShared(spark, sfDir)
+    val frame = SSTableBinaryV2.readBinary(spark, in)
+    val out = graft.Scratch.dir("graft-readmeter-")
+    SSTableBinaryV2.writeSSTables(frame, out.toString,
+      "graft", "documents")
+    val root = s"$out/graft/documents"
+    val hconf = new SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val gens = listGenerations(root, hconf.value)
+    val bc = spark.sparkContext.broadcast(hconf)
+    // the budget regime needs marks the written ladder is too coarse
+    // for at small SFs: resample to interval 8 executor-side, the
+    // same streamed-rebuild branch the summary-budget audit drives
+    val fine: Seq[(String, Int)] = spark.createDataset(gens)
+      .repartition(math.min(gens.size.max(1),
+        spark.sparkContext.defaultParallelism))
+      .map { case (dataPath, comps) =>
+        val conf = bc.value.value
+        val fs = FileSystem.get(java.net.URI.create(dataPath), conf)
+        val base = dataPath.stripSuffix("-Data.db")
+        val current = SSTableComponents.readSummary(
+          readAll(fs, base + "-Summary.db"))
+        val idx = fs.open(new HPath(base + "-Index.db"))
+        val s = try SSTableComponents.resampleSummary(current, 8,
+          new java.io.DataInputStream(
+            new java.io.BufferedInputStream(idx, 64 * 1024)),
+          oldEra = false, dataPath)
+        finally idx.close()
+        (dataPath.split('/').takeRight(2).mkString("/"),
+          s.sampled.size)
+      }
+      .collect().toSeq.sortBy(_._1)
+    graft.Scratch.delete(out)
+    def genOf(name: String): Int =
+      "\\d+".r.findFirstIn(name.split('/').last).get.toInt
+    val tick = RestorableMeter.TickIntervalNanos
+    val d15 = math.exp(-5.0 / 900.0)
+    val d120 = math.exp(-5.0 / 7200.0)
+    val metered = fine.map { case (name, marks) =>
+      val g = genOf(name)
+      val c = g + 2L
+      val k = (4 - g) * 4
+      val m = RestorableMeter.fresh(0L)
+      // marks land 1ns into each 5s interval; the trailing tickTo
+      // flushes the final burst interval and then k silent ticks
+      (0 until 12).foreach(i => m.mark(c, i * tick + 1))
+      m.tickTo((12L + k) * tick + 1)
+      val want15 = c / 5.0 * math.pow(d15, k)
+      val want120 = c / 5.0 * math.pow(d120, k)
+      require(math.abs(m.fifteenMinuteRate - want15) < 1e-9 &&
+        math.abs(m.twoHourRate - want120) < 1e-9,
+        s"$name: meter drifted off the EWMA closed form " +
+          s"(${m.fifteenMinuteRate} vs $want15)")
+      require(m.count == 12 * c,
+        s"$name: meter count ${m.count} != ${12 * c}")
+      (name, marks, m.count, m.fifteenMinuteRate, m.twoHourRate)
+    }
+    // the activity table: persist → restart → restore → keep decaying
+    val actDir = graft.Scratch.dir("graft-activity-")
+    metered.map { case (n, _, cnt, r15, r120) => (n, cnt, r15, r120) }
+      .toDF("sstable", "reads", "rate_15m", "rate_120m")
+      .write.mode("overwrite").parquet(actDir.toString)
+    val restored: Map[String, Double] =
+      spark.read.parquet(actDir.toString).collect().map { r =>
+        val m = RestorableMeter.restore(
+          r.getAs[Double]("rate_15m"), r.getAs[Double]("rate_120m"), 0L)
+        m.tickTo(2 * tick)
+        r.getAs[String]("sstable") -> m.fifteenMinuteRate
+      }.toMap
+    graft.Scratch.delete(actDir)
+    metered.foreach { case (name, _, _, r15, _) =>
+      val g = genOf(name)
+      val want = (g + 2L) / 5.0 * math.pow(d15, (4 - g) * 4 + 2)
+      require(math.abs(restored(name) - want) < 1e-9,
+        s"$name: restored meter ${restored(name)} off $want — " +
+          "restore must decay FROM the persisted rate, not reset")
+      require(restored(name) < r15,
+        s"$name: two silent ticks must decay the restored rate")
+    }
+    // hotness → summary budget: restored rates, real resampled marks
+    val markCounts = metered.map(_._2).distinct
+    require(markCounts.size == 1 && markCounts.head >= 9,
+      s"read-meter fixture precondition broken: per-generation marks " +
+        s"${metered.map(_._2).mkString(",")} must be equal and ≥ 9 " +
+        "for the rank closed form")
+    val budget = (metered.map(_._2.toLong).sum + 1) / 2
+    val factors = SSTableComponents.redistributeSummaries(
+      metered.map { case (n, marks, _, _, _) =>
+        (n, marks, restored(n)) }, budget)
+    val rows = metered.map { case (name, marks, cnt, r15, r120) =>
+      val f = factors(name)
+      (name, cnt,
+        math.round(r15 * 1e6), math.round(r120 * 1e6),
+        math.round(restored(name) * 1e6),
+        marks.toLong, f, (marks + f - 1L) / f)
+    }
+    val after = rows.map(_._8).sum
+    require(after <= budget,
+      s"meter-driven redistribution missed the budget: $after > $budget")
+    spark.createDataset(rows).toDF("sstable", "reads",
+      "rate15_x1e6", "rate120_x1e6", "restored15_x1e6",
+      "marks_before", "factor", "marks_after")
+  }
+
   /** Registered `src_sstable_keycount` — the reference's whole
     * key-count-estimation surface exercised SIDECAR-ONLY over three
     * generation sets of the same content:
@@ -675,7 +810,16 @@ object SSTableMetadata {
       total_rows: Long,
       total_cells: Long,
       droppable_total: Long,
-      droppable_ratio: Double)
+      droppable_ratio: Double,
+      /** The 4.0+ incremental-repair session UUID (`sstablemetadata`'s
+        * "Pending repair" line), NULL when the file is not pending —
+        * offline-written files always are not. */
+      pending_repair: Option[String] = None,
+      /** The 4.0+ transient-replica flag. */
+      is_transient: Boolean = false,
+      /** The writing host's UUID ("me"/"nb"+, CASSANDRA-16619) —
+        * NULL from offline writers. */
+      originating_host_id: Option[String] = None)
 
   /** The modern-era `sstablemetadata` panel, SIDECAR-ONLY: one row
     * per generation from the Statistics.db STATS component
@@ -720,8 +864,8 @@ object SSTableMetadata {
         val base = dataPath.stripSuffix("-Data.db")
         val statsPath = base + "-Statistics.db"
         if (oldEra || !comps.contains(statsPath)) None
-        else BigFormat.readStatsModern(readAll(fs, statsPath),
-          BigFormat.versionHasMetadataChecksum(version)).map { s =>
+        else BigFormat.readStatsModern(readAll(fs, statsPath), version)
+          .map { s =>
           val key = dataPath.split('/').takeRight(2).mkString("/")
           bcSizes.value.get(key).foreach { dataLen =>
             val compressed = comps.contains(base + "-CompressionInfo.db")
@@ -730,7 +874,11 @@ object SSTableMetadata {
                 dataLen.toDouble / s.partitionSizeTotal,
                 s"$dataPath: compression ratio ${s.compressionRatio} " +
                   s"!= $dataLen/${s.partitionSizeTotal}")
-              require(s.compressionRatio > 0 && s.compressionRatio < 1,
+              // no upper bound: incompressible data legitimately
+              // records a ratio >= 1 (chunk framing overhead) — the
+              // exact dataLen/partitionSizeTotal equality above is
+              // the real gate
+              require(s.compressionRatio > 0,
                 s"$dataPath: implausible ratio ${s.compressionRatio}")
             } else {
               require(s.compressionRatio == -1.0,
@@ -761,7 +909,10 @@ object SSTableMetadata {
             s.sstableLevel, s.repairedAt,
             s.totalRows, s.totalColumnsSet, total,
             if (s.totalColumnsSet == 0) 0.0
-            else total.toDouble / s.totalColumnsSet)
+            else total.toDouble / s.totalColumnsSet,
+            pending_repair = s.pendingRepair.map(_.toString),
+            is_transient = s.isTransient,
+            originating_host_id = s.originatingHostId.map(_.toString))
         }
       }
       .toDF()
@@ -773,40 +924,90 @@ object SSTableMetadata {
       blocker_min_writetime_us: Long,
       expired_max_deletion_s: Int)
 
+  /** Sidecar-only token spans: each generation's Summary.db
+    * first/last keys hashed to murmur3 tokens — the `Bounds<Token>`
+    * endpoints the reference's tool family intersects. A file is
+    * token-sorted, so `first <= last` and spans never wrap. A NULL
+    * span (no/corrupt summary) means "cannot prove disjoint" and is
+    * treated as overlapping by callers. */
+  private def tokenSpans(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val hconf = new SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val gens = listGenerations(root, hconf.value)
+    val bc = spark.sparkContext.broadcast(hconf)
+    spark.createDataset(gens)
+      .repartition(math.min(gens.size.max(1),
+        spark.sparkContext.defaultParallelism))
+      .map { case (dataPath, comps) =>
+        val conf = bc.value.value
+        val fs = FileSystem.get(java.net.URI.create(dataPath), conf)
+        val name = dataPath.split('/').last
+        val version = SSTableBinaryV2.versionOf(name)
+        val oldEra = version.nonEmpty && version.charAt(0) < 'm'
+        val base = dataPath.stripSuffix("-Data.db")
+        val sum = comps.find(_ == base + "-Summary.db").flatMap { p =>
+          scala.util.Try {
+            if (oldEra) SSTableComponents.readSummary2x(readAll(fs, p))
+            else SSTableComponents.readSummary(readAll(fs, p))
+          }.toOption
+        }
+        (dataPath.split('/').takeRight(2).mkString("/"),
+          sum.map(s => BigFormat.murmur3Token(s.firstKey)),
+          sum.map(s => BigFormat.murmur3Token(s.lastKey)))
+      }
+      .toDF("sstable", "first_token", "last_token")
+  }
+
   /** The `sstableexpiredblockers` tool's role, sidecar-only: a
     * generation is FULLY EXPIRED before `gcBeforeS` when its
     * StatsMetadata max local-deletion time sits below it — live
     * atoms carry the NO_DELETION_TIME sentinel (`Int.MaxValue`), so
     * any live cell disqualifies automatically — and another
-    * generation BLOCKS dropping it when it holds data OLDER than the
-    * expired file's newest write (`blocker.minTimestamp <
-    * expired.maxTimestamp`): dropping the expired file first would
-    * un-shadow that older data. One panel read per generation, one
-    * catalog-sized self-join — the "why is compaction not dropping
-    * this" triage at 100 TB for sidecar cost. */
+    * generation BLOCKS dropping it when all three of Cassandra's
+    * conditions hold (`CompactionController.getFullyExpiredSSTables`
+    * / `SSTableExpiredBlockers`): its token span INTERSECTS the
+    * expired file's (a disjoint file cannot shadow or be shadowed),
+    * it is not itself fully expired (an expired overlap never feeds
+    * the min-timestamp bound), and it holds data at least as old as
+    * the expired file's newest write (`blocker.minTimestamp <=
+    * expired.maxTimestamp` — Cassandra's bound is inclusive):
+    * dropping the expired file first would un-shadow that older
+    * data. Spans come off Summary.db ([[tokenSpans]]); a missing
+    * span degrades to "overlapping", never to a silent non-blocker.
+    * One panel read per generation, one catalog-sized self-join —
+    * the "why is compaction not dropping this" triage at 100 TB for
+    * sidecar cost. */
   def expiredBlockers(spark: SparkSession, root: String,
       gcBeforeS: Int): DataFrame = {
-    import spark.implicits._
+    import org.apache.spark.sql.functions.{broadcast, col}
     val panel = describeStats(spark, root)
       .select("sstable", "min_writetime_us", "max_writetime_us",
-        "max_deletion_s").localCheckpoint()
+        "max_deletion_s")
+      .join(tokenSpans(spark, root), Seq("sstable"), "left")
+      .localCheckpoint()
     val expired = panel
-      .filter(org.apache.spark.sql.functions.col("max_deletion_s")
-        < gcBeforeS)
+      .filter(col("max_deletion_s") < gcBeforeS)
       .select(
-        org.apache.spark.sql.functions.col("sstable").as("expired"),
-        org.apache.spark.sql.functions.col("max_writetime_us")
-          .as("x_max_wt"),
-        org.apache.spark.sql.functions.col("max_deletion_s")
-          .as("expired_max_deletion_s"))
+        col("sstable").as("expired"),
+        col("max_writetime_us").as("x_max_wt"),
+        col("max_deletion_s").as("expired_max_deletion_s"),
+        col("first_token").as("x_first"),
+        col("last_token").as("x_last"))
     val candidates = panel.select(
-      org.apache.spark.sql.functions.col("sstable").as("blocker"),
-      org.apache.spark.sql.functions.col("min_writetime_us")
-        .as("blocker_min_writetime_us"))
+      col("sstable").as("blocker"),
+      col("min_writetime_us").as("blocker_min_writetime_us"),
+      col("max_deletion_s").as("b_max_deletion_s"),
+      col("first_token").as("b_first"),
+      col("last_token").as("b_last"))
     expired.join(
-      org.apache.spark.sql.functions.broadcast(candidates),
+      broadcast(candidates),
       candidates("blocker") =!= expired("expired") &&
-        candidates("blocker_min_writetime_us") < expired("x_max_wt"))
+        col("b_max_deletion_s") >= gcBeforeS &&
+        col("blocker_min_writetime_us") <= col("x_max_wt") &&
+        (col("x_first").isNull || col("b_first").isNull ||
+          !(col("b_last") < col("x_first") ||
+            col("b_first") > col("x_last"))))
       .select("expired", "blocker", "blocker_min_writetime_us",
         "expired_max_deletion_s")
   }
@@ -884,7 +1085,7 @@ object SSTableMetadata {
         require(comps.contains(statsPath),
           s"$dataPath: no Statistics.db to rewrite")
         val bytes = readAll(fs, statsPath)
-        val stats = BigFormat.readStatsModern(bytes, checksummed)
+        val stats = BigFormat.readStatsModern(bytes, version)
           .getOrElse(throw new IllegalStateException(
             s"$dataPath: Statistics.db carries no STATS component — " +
               "nothing to set a level/repairedAt on"))
@@ -991,6 +1192,44 @@ object SSTableMetadata {
       "graft", "documents")
     SSTableBinaryV2.writeSSTables(frame, outLz4.toString,
       "graft", "documents", compression = Some(CompressedData.Lz4))
+    // the plain leg re-emits each generation's Statistics.db with a
+    // DESIGNED 4.0 repair tail — pendingRepair session, isTransient,
+    // originatingHostId, all f-arithmetic UUIDs the oracle replays —
+    // while the lz4 leg keeps the sink's own tail (no session, not
+    // transient, no host: the offline-writer truth), so one query
+    // serves both the present and the absent paths of the tail parse
+    locally {
+      val dir = out.resolve("graft").resolve("documents")
+      val ls = java.nio.file.Files.list(dir)
+      try {
+        import scala.jdk.CollectionConverters._
+        ls.iterator().asScala
+          .filter(_.getFileName.toString.endsWith("-Statistics.db"))
+          .foreach { p =>
+            val name = p.getFileName.toString
+            val f = name.split('-')(1).toInt - 1 // nb-<gen>-big-…
+            val bytes = java.nio.file.Files.readAllBytes(p)
+            val header = BigFormat.readStats(bytes)
+            val sketch = BigFormat.readCompaction(bytes)
+            val validation =
+              BigFormat.readValidation(bytes, checksummed = true)
+            val s = BigFormat.readStatsModern(bytes, "nb")
+              .getOrElse(throw new IllegalStateException(
+                s"$p: sink wrote no STATS component"))
+            java.nio.file.Files.write(p, BigFormat.writeStats(
+              header, "nb",
+              compaction = sketch,
+              stats = Some(s.copy(
+                pendingRepair = Some(new java.util.UUID(f + 1L, 17L)),
+                isTransient = f % 2 == 0,
+                originatingHostId =
+                  Some(new java.util.UUID(f + 2L, 33L)))),
+              validation = validation))
+            java.nio.file.Files.deleteIfExists(
+              p.getParent.resolve(s".$name.crc"))
+          }
+      } finally ls.close()
+    }
     // capture real Data.db lengths for the audit gates (per layout —
     // plain and lz4 share generation NAMES but not lengths), THEN
     // junk the data files so a peeking implementation fails loudly

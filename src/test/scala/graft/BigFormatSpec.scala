@@ -153,8 +153,8 @@ class BigFormatSpec extends AnyFunSuite {
   }
 
   test("m-series (3.x) metadata is checksumless and round-trips; eras decode identically") {
-    val plain = BigFormat.writeStats(header, checksummed = false)
-    val summed = BigFormat.writeStats(header, checksummed = true)
+    val plain = BigFormat.writeStats(header, "me")
+    val summed = BigFormat.writeStats(header, "nb")
     // the m-series layout is the n-series stream minus 3 CRC words
     assert(summed.length === plain.length + 12)
     assert(BigFormat.readStats(plain, checksummed = false) === header)

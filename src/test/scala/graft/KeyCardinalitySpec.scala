@@ -131,8 +131,9 @@ class KeyCardinalitySpec extends AnyFunSuite {
     val comp3 = KeyCardinality.writeComponent(sketch)
     val header = BigFormat.Header(1L, 2, 3, BigFormat.Utf8Type,
       Seq(BigFormat.Utf8Type), Nil, Seq("v" -> BigFormat.Utf8Type))
-    for (checksummed <- Seq(true, false)) {
-      val bytes = BigFormat.writeStats(header, checksummed,
+    for (version <- Seq("nb", "me")) {
+      val checksummed = BigFormat.versionHasMetadataChecksum(version)
+      val bytes = BigFormat.writeStats(header, version,
         compaction = Some(comp3))
       // the header component is untouched by the added sibling
       assert(BigFormat.readStats(bytes, checksummed).minTimestampUs === 1L)
@@ -141,7 +142,7 @@ class KeyCardinalitySpec extends AnyFunSuite {
       assert(got.map(_.cardinality()) === Some(77L))
       // a sketchless file reads None, not a throw
       assert(BigFormat.readCompaction(
-        BigFormat.writeStats(header, checksummed), checksummed).isEmpty)
+        BigFormat.writeStats(header, version), checksummed).isEmpty)
     }
     val s2x = OldFormat.Stats2x(1L, 2L, 3, 0, 0L)
     val bytes2x = OldFormat.writeStats2x(s2x, 10L,

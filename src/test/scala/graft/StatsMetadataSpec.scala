@@ -37,15 +37,16 @@ class StatsMetadataSpec extends SparkSpec {
 
   test("STATS component roundtrips on both era framings, exact " +
     "histogram totals included") {
-    for (checksummed <- Seq(true, false)) {
+    for (version <- Seq("nb", "me")) {
       val s = sampleStats()
-      val bytes = BigFormat.writeStats(header, checksummed,
+      val bytes = BigFormat.writeStats(header, version,
         stats = Some(s))
-      val back = BigFormat.readStatsModern(bytes, checksummed)
-        .getOrElse(fail(s"STATS absent (checksummed=$checksummed)"))
-      assert(back === s, s"checksummed=$checksummed")
+      val back = BigFormat.readStatsModern(bytes, version)
+        .getOrElse(fail(s"STATS absent (version=$version)"))
+      assert(back === s, s"version=$version")
       // the container's other components still parse around it
-      assert(BigFormat.readStats(bytes, checksummed) === header)
+      assert(BigFormat.readStats(bytes,
+        BigFormat.versionHasMetadataChecksum(version)) === header)
     }
   }
 
@@ -57,8 +58,7 @@ class StatsMetadataSpec extends SparkSpec {
         nPartitions = count, partitionSizeTotal = total,
         columnCountTotal = total)
       val back = BigFormat.readStatsModern(
-        BigFormat.writeStats(header, checksummed = true,
-          stats = Some(s)), checksummed = true).get
+        BigFormat.writeStats(header, stats = Some(s)), "nb").get
       assert(back.nPartitions === count, s"($total, $count)")
       assert(back.partitionSizeTotal === total, s"($total, $count)")
       assert(back.columnCountTotal === total, s"($total, $count)")
@@ -67,15 +67,15 @@ class StatsMetadataSpec extends SparkSpec {
 
   test("a Statistics.db without a STATS component reads as None — " +
     "and one WITH it still serves the HLL sketch beside it") {
-    val plain = BigFormat.writeStats(header, checksummed = true)
-    assert(BigFormat.readStatsModern(plain, checksummed = true).isEmpty)
+    val plain = BigFormat.writeStats(header)
+    assert(BigFormat.readStatsModern(plain, "nb").isEmpty)
     val sketch = graft.sources.KeyCardinality.sketchOf(
       (0 until 50).map(i => s"k$i".getBytes("UTF-8")))
-    val full = BigFormat.writeStats(header, checksummed = true,
+    val full = BigFormat.writeStats(header,
       compaction =
         Some(graft.sources.KeyCardinality.writeComponent(sketch)),
       stats = Some(sampleStats()))
-    assert(BigFormat.readStatsModern(full, checksummed = true).isDefined)
+    assert(BigFormat.readStatsModern(full, "nb").isDefined)
     val comp = BigFormat.readCompaction(full, checksummed = true)
       .getOrElse(fail("COMPACTION component lost beside STATS"))
     assert(graft.sources.KeyCardinality
@@ -86,17 +86,18 @@ class StatsMetadataSpec extends SparkSpec {
   test("VALIDATION roundtrips beside the other components and the " +
     "reader refuses a declared foreign partitioner at open") {
     import spark.implicits._
-    for (checksummed <- Seq(true, false)) {
-      val bytes = BigFormat.writeStats(header, checksummed,
+    for (version <- Seq("nb", "me")) {
+      val checksummed = BigFormat.versionHasMetadataChecksum(version)
+      val bytes = BigFormat.writeStats(header, version,
         stats = Some(sampleStats()),
         validation = Some((BigFormat.Murmur3PartitionerClass, 0.01)))
       assert(BigFormat.readValidation(bytes, checksummed) ===
         Some((BigFormat.Murmur3PartitionerClass, 0.01)))
       assert(BigFormat.readStats(bytes, checksummed) === header)
-      assert(BigFormat.readStatsModern(bytes, checksummed).isDefined)
+      assert(BigFormat.readStatsModern(bytes, version).isDefined)
       // absent component → None, not a throw
       assert(BigFormat.readValidation(
-        BigFormat.writeStats(header, checksummed), checksummed).isEmpty)
+        BigFormat.writeStats(header, version), checksummed).isEmpty)
     }
     val wt = 1609459200000000L
     val rows = Seq(("p0", Seq("c"), "ROW", Some("v"),
@@ -120,7 +121,7 @@ class StatsMetadataSpec extends SparkSpec {
       val h = BigFormat.readStats(
         java.nio.file.Files.readAllBytes(statsP))
       java.nio.file.Files.write(statsP, BigFormat.writeStats(h,
-        checksummed = true, validation =
+        validation =
           Some(("org.apache.cassandra.dht.RandomPartitioner", 0.01))))
       java.nio.file.Files.deleteIfExists(
         dir.resolve(".nb-1-big-Statistics.db.crc"))
@@ -142,7 +143,7 @@ class StatsMetadataSpec extends SparkSpec {
     // must lie in the level int, the repairedAt long, or the STATS
     // CRC word — anything else would mean the surgery rewrites
     // fields it does not understand
-    val orig = BigFormat.writeStats(header, checksummed = true,
+    val orig = BigFormat.writeStats(header,
       compaction = Some(graft.sources.KeyCardinality.writeComponent(
         graft.sources.KeyCardinality.sketchOf(
           (0 until 30).map(i => s"k$i".getBytes("UTF-8"))))),
@@ -150,7 +151,7 @@ class StatsMetadataSpec extends SparkSpec {
       validation = Some((BigFormat.Murmur3PartitionerClass, 0.01)))
     val patched = BigFormat.patchStatsFields(orig, checksummed = true,
       Some(7), Some(999L))
-    val p = BigFormat.readStatsModern(patched, checksummed = true).get
+    val p = BigFormat.readStatsModern(patched, "nb").get
     assert(p.sstableLevel === 7 && p.repairedAt === 999L)
     assert(p.copy(sstableLevel = 2, repairedAt = 1700000000000L) ===
       sampleStats())
@@ -235,7 +236,7 @@ class StatsMetadataSpec extends SparkSpec {
   }
 
   test("n-series checksum catches a corrupted STATS body") {
-    val bytes = BigFormat.writeStats(header, checksummed = true,
+    val bytes = BigFormat.writeStats(header,
       stats = Some(sampleStats()))
     // locate the STATS component via the TOC (count, countCRC, then
     // (ordinal, offset) int pairs)
@@ -249,7 +250,71 @@ class StatsMetadataSpec extends SparkSpec {
     val corrupted = bytes.clone()
     corrupted(statsOffset + 40) = (corrupted(statsOffset + 40) ^ 0x5a).toByte
     assertThrows[Exception](
-      BigFormat.readStatsModern(corrupted, checksummed = true))
+      BigFormat.readStatsModern(corrupted, "nb"))
+  }
+
+  test("the STATS tail is version-gated: ma ends at totalRows, mb/mc " +
+    "add the commit-log bounds, me/nb carry originatingHostId, na+ " +
+    "the pendingRepair session — and a marker of 1 skips the 16-byte " +
+    "UUID (CASSANDRA-16619 / the BigVersion feature flags)") {
+    val repairSession = new java.util.UUID(0x1122334455667788L, 0x99aabbccddeeff00L)
+    val hostId = new java.util.UUID(0xdeadbeefcafef00dL, 0x0123456789abcdefL)
+    // each version roundtrips ITS OWN tail subset
+    for (version <- Seq("ma", "mb", "mc", "md", "me", "na", "nb")) {
+      val s = sampleStats().copy(
+        pendingRepair =
+          if (BigFormat.versionHasPendingRepair(version))
+            Some(repairSession) else None,
+        isTransient = BigFormat.versionHasPendingRepair(version),
+        originatingHostId =
+          if (BigFormat.versionHasOriginatingHostId(version))
+            Some(hostId) else None)
+      val bytes = BigFormat.writeStats(header, version, stats = Some(s))
+      val back = BigFormat.readStatsModern(bytes, version)
+        .getOrElse(fail(s"STATS absent (version=$version)"))
+      assert(back === s, s"version=$version")
+    }
+    // the gates themselves, pinned to Cassandra's matrix
+    assert(!BigFormat.versionHasCommitLogLowerBound("ma"))
+    assert(BigFormat.versionHasCommitLogLowerBound("mb"))
+    assert(!BigFormat.versionHasCommitLogIntervals("mb"))
+    assert(BigFormat.versionHasCommitLogIntervals("mc"))
+    assert(!BigFormat.versionHasPendingRepair("me"))
+    assert(BigFormat.versionHasPendingRepair("na"))
+    assert(!BigFormat.versionHasOriginatingHostId("md"))
+    assert(BigFormat.versionHasOriginatingHostId("me"))
+    assert(!BigFormat.versionHasOriginatingHostId("na"))
+    assert(BigFormat.versionHasOriginatingHostId("nb"))
+    // byte-level: an ma body is strictly shorter than an mc body is
+    // strictly shorter than an nb body for the same stats
+    def bodyLen(v: String) =
+      BigFormat.writeStatsModern(sampleStats(), v).length
+    assert(bodyLen("ma") < bodyLen("mb"))
+    assert(bodyLen("mb") < bodyLen("mc"))
+    assert(bodyLen("mc") < bodyLen("me"))
+    assert(bodyLen("me") < bodyLen("nb"))
+    // nb with a live pendingRepair session: exactly 16 bytes longer
+    assert(BigFormat.writeStatsModern(sampleStats().copy(
+      pendingRepair = Some(repairSession)), "nb").length ===
+      bodyLen("nb") + 16)
+    // the n-series component CRC covers the new tail: flip the
+    // originatingHostId presence byte and the checksum must catch it
+    val full = BigFormat.writeStats(header, "nb", stats =
+      Some(sampleStats().copy(originatingHostId = Some(hostId))))
+    assert(BigFormat.readStatsModern(full, "nb").get
+      .originatingHostId === Some(hostId))
+    val bb = java.nio.ByteBuffer.wrap(full)
+    val statsOff = (0 until bb.getInt(0)).map(i =>
+      (bb.getInt(8 + 8 * i), bb.getInt(12 + 8 * i)))
+      .collectFirst { case (ord, off)
+        if ord == BigFormat.StatsComponentOrdinal => off }
+      .getOrElse(fail("no STATS entry in TOC"))
+    val tailEnd = statsOff + BigFormat.writeStatsModern(
+      sampleStats().copy(originatingHostId = Some(hostId)), "nb").length
+    val corrupted = full.clone()
+    // last byte of the originatingHostId UUID — inside the new tail
+    corrupted(tailEnd - 1) = (corrupted(tailEnd - 1) ^ 0x1).toByte
+    assertThrows[Exception](BigFormat.readStatsModern(corrupted, "nb"))
   }
 
   test("the real sink's MetadataCollector pass: live cells pin " +
@@ -298,7 +363,7 @@ class StatsMetadataSpec extends SparkSpec {
         val p = root.resolve("graft").resolve("t")
           .resolve("nb-1-big-Statistics.db")
         BigFormat.readStatsModern(
-          java.nio.file.Files.readAllBytes(p), checksummed = true)
+          java.nio.file.Files.readAllBytes(p), "nb")
           .getOrElse(fail(s"no STATS in $p"))
       }
       val s = statsOf(outPlain)
@@ -377,9 +442,9 @@ class StatsMetadataSpec extends SparkSpec {
       assert(java.util.Arrays.equals(before,
         java.nio.file.Files.readAllBytes(
           srcDir.resolve("nb-1-big-Statistics.db"))))
-      val a = BigFormat.readStatsModern(before).get
+      val a = BigFormat.readStatsModern(before, "nb").get
       val b = BigFormat.readStatsModern(java.nio.file.Files.readAllBytes(
-        dst.resolve("nb-1-big-Statistics.db"))).get
+        dst.resolve("nb-1-big-Statistics.db")), "nb").get
       assert(b.sstableLevel === 4 && b.repairedAt === 42L)
       assert(b.copy(sstableLevel = 0, repairedAt = 0L) === a)
       // header, sketch and validation survive; rows still decode
@@ -390,7 +455,7 @@ class StatsMetadataSpec extends SparkSpec {
       val h = BigFormat.readStats(before)
       java.nio.file.Files.write(
         srcDir.resolve("nb-1-big-Statistics.db"),
-        BigFormat.writeStats(h, checksummed = true))
+        BigFormat.writeStats(h))
       java.nio.file.Files.deleteIfExists(
         srcDir.resolve(".nb-1-big-Statistics.db.crc"))
       assertThrows[Exception](SSTableMetadata.rewriteMetadata(spark,
@@ -426,7 +491,7 @@ class StatsMetadataSpec extends SparkSpec {
       val oldStats = BigFormat.writeStats(
         BigFormat.readStats(java.nio.file.Files.readAllBytes(
           dir.resolve("nb-1-big-Statistics.db"))),
-        checksummed = true)
+        "nb")
       java.nio.file.Files.write(
         dir.resolve("nb-1-big-Statistics.db"), oldStats)
       java.nio.file.Files.write(dir.resolve("nb-2-big-Data.db"),
