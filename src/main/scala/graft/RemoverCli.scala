@@ -68,6 +68,13 @@ import org.apache.spark.sql.SparkSession
   *     --in <table dir> --out <dir> [--cpus <n>]
   * copies every generation with ONLY the Statistics.db STATS fields
   * replaced; originals are kept.
+  *
+  *   graft.RemoverCli --summary-budget <marks> --in <table dir>
+  *     --out <dir> [--activity <parquet>] [--cpus <n>]
+  * offline summary redistribution (the IndexSummaryManager role):
+  * copies every generation with Summary.db coarsened coldest-first
+  * until the pool fits the mark budget; --activity supplies
+  * persisted RestorableMeter rates.
   */
 object RemoverCli {
 
@@ -105,13 +112,22 @@ object RemoverCli {
         * ([[graft.sources.SSTableMetadata.rewriteMetadata]]);
         * non-destructive, modern-era only. */
       setLevel: Option[Int] = None,
-      setRepairedAt: Option[Long] = None)
+      setRepairedAt: Option[Long] = None,
+      /** `--summary-budget <marks>`: offline summary redistribution
+        * (the `IndexSummaryManager` role) — copy every generation
+        * under `--in` to `--out` with Summary.db files coarsened
+        * coldest-first until the pool fits the budget
+        * ([[graft.sources.SSTableMetadata.redistributeLake]]);
+        * `--activity <parquet>` supplies per-sstable RestorableMeter
+        * rates (meterless files rank coldest). */
+      summaryBudget: Option[Long] = None,
+      activity: Option[String] = None)
 
   private val Flags = Set("in", "out", "table", "keyspace", "cpus",
     "pk", "ck", "cells", "writetime", "ttl-key", "format", "merge",
     "reader", "sink", "cql", "compress", "verify", "scrub",
     "out-generations", "inventory", "stats", "set-level",
-    "set-repaired-at")
+    "set-repaired-at", "summary-budget", "activity")
 
   private def csv(v: String): Seq[String] =
     v.split(',').map(_.trim).filter(_.nonEmpty).toSeq
@@ -144,6 +160,9 @@ object RemoverCli {
         Left("--stats applies to --inventory only")
       else if (m.contains("set-level") || m.contains("set-repaired-at"))
         parseSurgery(m)
+      else if (m.contains("summary-budget")) parseSummaryBudget(m)
+      else if (m.contains("activity"))
+        Left("--activity applies to --summary-budget only")
       else (m.get("in"), m.get("out"), m.get("table")) match {
         case (None, _, _) => Left("--in <dir> is required")
         case (_, None, _) => Left("--out <dir> is required")
@@ -264,6 +283,46 @@ object RemoverCli {
                   cpus = c,
                   setLevel = level.map(_.toOption.get),
                   setRepairedAt = repaired.map(_.toOption.get)))
+              }
+            }
+        }
+    }
+  }
+
+  /** `--summary-budget <marks>` validation: redistribution takes
+    * `--in` and `--out` (non-destructive, originals kept), optional
+    * `--activity <parquet>` and `--cpus`; any transform flag beside
+    * them is a contradiction. */
+  private def parseSummaryBudget(m: Map[String, String])
+      : Either[String, CliArgs] = {
+    val allowed = Set("summary-budget", "activity", "in", "out", "cpus")
+    val stray = (m.keySet -- allowed).toSeq.sorted
+    if (stray.nonEmpty)
+      return Left("--summary-budget rewrites Summary.db files only; " +
+        s"${stray.map("--" + _).mkString("/")} do" +
+        (if (stray.size == 1) "es" else "") + " not apply")
+    m("summary-budget").toLongOption.filter(_ > 0) match {
+      case None =>
+        Left("--summary-budget must be a positive mark count, got " +
+          s"'${m("summary-budget")}'")
+      case Some(budget) =>
+        (m.get("in"), m.get("out")) match {
+          case (None, _) => Left("--in <dir> is required")
+          case (_, None) =>
+            Left("--out <dir> is required (redistribution keeps " +
+              "originals)")
+          case (Some(i), Some(o)) =>
+            if (java.nio.file.Paths.get(o).toAbsolutePath ==
+              java.nio.file.Paths.get(i).toAbsolutePath)
+              Left("--out must differ from --in (originals are kept)")
+            else {
+              val cpus = m.getOrElse("cpus", "8")
+              cpus.toIntOption.filter(_ > 0) match {
+                case None =>
+                  Left(s"--cpus must be a positive int, got '$cpus'")
+                case Some(c) => Right(CliArgs(i, o, table = "",
+                  cpus = c, summaryBudget = Some(budget),
+                  activity = m.get("activity")))
               }
             }
         }
@@ -465,6 +524,27 @@ object RemoverCli {
     else if (args.setLevel.isDefined || args.setRepairedAt.isDefined)
       graft.sources.SSTableMetadata.rewriteMetadata(spark, args.in,
         args.out, args.setLevel, args.setRepairedAt)
+    else if (args.summaryBudget.isDefined) {
+      val plan = graft.sources.SSTableMetadata.redistributeLake(spark,
+        args.in, args.out, args.summaryBudget.get, args.activity)
+        .orderBy("sstable").localCheckpoint()
+      val n = plan.count()
+      // same capped-print contract as the inventory: the plan is one
+      // row per generation, and a million-file lake must not format
+      // the whole catalog to scroll it past a terminal
+      val head = plan.limit(InventoryPrintCap).collect()
+      val rendered = formatInventory(plan.columns,
+        head.toSeq.map(_.toSeq.map {
+          case null => "-"
+          case v => v.toString
+        }))
+      println(
+        if (n > InventoryPrintCap)
+          rendered + s"\n… $n generations total; showing the first " +
+            s"$InventoryPrintCap"
+        else rendered)
+      n
+    }
     else if (args.sink == "sstable")
       runSstableSink(spark, args)
     else if (args.sink == "sstabledump")
@@ -715,6 +795,8 @@ object RemoverCli {
           " [--cpus <n>]" +
           " | --set-level <n> [--set-repaired-at <ms>] --in <dir>" +
           " --out <dir>" +
+          " | --summary-budget <marks> --in <dir> --out <dir>" +
+          " [--activity <parquet>]" +
           " [--format parquet|sstabledump|sstable]" +
           " [--merge lww] [--reader json|v2] [--sink parquet|sstable]" +
           " [--compress lz4|snappy|deflate|zstd]" +

@@ -758,7 +758,11 @@ object MultimodalOps {
     * (id-bucket tasks through the session Hadoop FS, checksum
     * sidecars off — these are fixture payloads, not durable data),
     * the same sink discipline as the SSTable fixtures. Caller owns
-    * deletion. */
+    * deletion — registered queries should use [[assetDirShared]]
+    * instead, which writes the tree ONCE per (JVM, sfDir) the way
+    * `binaryFixtureShared` memoizes the SSTable fixture: the batch
+    * and streaming ingest queries exercise the READ path, and paying
+    * the 600-file write twice per bench run was pure fixture cost. */
   def writeAssetDir(spark: SparkSession,
       sfDir: String): java.nio.file.Path = {
     import spark.implicits._
@@ -810,14 +814,19 @@ object MultimodalOps {
     * parallelizes over Spark's file index, payload bytes stream
     * executor-side only, and a corrupt object costs one flagged row,
     * not a job. */
-  def fileIngest(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = writeAssetDir(spark, sfDir)
-    val decoded = fileDecodeColumns(
-      spark.read.format("binaryFile").load(dir.toString))
-      .localCheckpoint()
-    graft.Scratch.delete(dir)
-    decoded
-  }
+  private val assetDirCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** The asset tree memoized per (JVM, sfDir) — owned by the cache
+    * for the JVM's lifetime (Scratch cleans at exit), shared by the
+    * batch and streaming ingest queries. */
+  def assetDirShared(spark: SparkSession, sfDir: String): String =
+    assetDirCache.getOrElseUpdate(sfDir,
+      writeAssetDir(spark, sfDir).toString)
+
+  def fileIngest(spark: SparkSession, sfDir: String): DataFrame =
+    fileDecodeColumns(
+      spark.read.format("binaryFile").load(assetDirShared(spark, sfDir)))
 
   /** The ONE file-decode pipeline both execution modes share
     * ([[fileIngest]] batch, `st_file_ingest` streaming): binaryFile

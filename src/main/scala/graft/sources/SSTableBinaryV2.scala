@@ -3208,14 +3208,22 @@ object SSTableBinaryV2 {
 
   private def splitAuditV(spark: SparkSession, sfDir: String,
       compression: Option[String]): DataFrame = {
-    val in = binaryFixtureShared(spark, sfDir)
-    val out = graft.Scratch.dir("graft-splitaudit-")
-    writeSSTables(readBinary(spark, in), out.toString,
-      "graft", "documents", compression = compression)
+    // the plain leg reads the shared read-only set; the lz4 leg needs
+    // its own chunk-compressed write
+    val dir = compression match {
+      case None => plainGenSetShared(spark, sfDir)
+      case Some(_) =>
+        val in = binaryFixtureShared(spark, sfDir)
+        val out = graft.Scratch.dir("graft-splitaudit-")
+        writeSSTables(readBinary(spark, in), out.toString,
+          "graft", "documents", compression = compression)
+        out.toString
+    }
     val split = spark.read.format("sstable-big")
-      .option("splitBytes", "512").load(out.toString)
+      .option("splitBytes", "512").load(dir)
     val audit = SSTableDumpBridge.auditFrame(split).localCheckpoint()
-    graft.Scratch.delete(out)
+    if (compression.isDefined) graft.Scratch.delete(
+      java.nio.file.Paths.get(dir))
     audit
   }
 
@@ -3233,11 +3241,9 @@ object SSTableBinaryV2 {
     * semantics are exercised at every SF). The audit residually
     * restricts to the four probe keys, keeping the point oracle. */
   def tokenRangeAudit(spark: SparkSession, sfDir: String): DataFrame = {
-    val in = binaryFixtureShared(spark, sfDir)
-    val out = graft.Scratch.dir("graft-tokenrange-")
-    writeSSTables(readBinary(spark, in), out.toString,
-      "graft", "documents")
-    val dir = s"$out/graft/documents"
+    // read-only consumer of the shared plain set (ranged reads,
+    // summary estimates, the planner-rule probe — nothing mutates)
+    val dir = plainGenSetShared(spark, sfDir)
     val keys = Seq("8", "13", "15", "17")
     def tok(k: String): Long = BigFormat.murmur3Token(
       BigFormat.encodeValue(BigFormat.Utf8Type, k))
@@ -3314,11 +3320,9 @@ object SSTableBinaryV2 {
     require(auto.count() == nIn,
       s"$dir: rule-ranged read served ${auto.count()} rows, " +
         s"options-ranged served $nIn")
-    val audit = SSTableDumpBridge.auditFrame(
+    SSTableDumpBridge.auditFrame(
       inRange.filter(col("partition_key").isin(keys: _*)))
       .localCheckpoint()
-    graft.Scratch.delete(out)
-    audit
   }
 
   /** Registered `src_sstable_token_typed`: ring-range reads over a
@@ -3532,6 +3536,26 @@ object SSTableBinaryV2 {
       sfDir: String): String =
     binFixtureCache.getOrElseUpdate(sfDir,
       writeBinaryFixture(spark, sfDir).toString)
+
+  private val plainGenSetCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** The shared fixture re-written as plain nb generations
+    * (`graft/documents`), memoized per (JVM, sfDir) — the sink pass
+    * half a dozen read-side audits used to each pay for themselves.
+    * STRICTLY READ-ONLY for consumers: anything that junks Data.db,
+    * rewrites Statistics.db or deletes components (the stats/keycount
+    * audits) must keep writing its own private set — a mutation here
+    * would poison every later query in the JVM. The cache owns the
+    * directory (Scratch cleans at exit); consumers must not delete. */
+  private[graft] def plainGenSetShared(spark: SparkSession,
+      sfDir: String): String =
+    plainGenSetCache.getOrElseUpdate(sfDir, {
+      val out = graft.Scratch.dir("graft-plainset-")
+      writeSSTables(readBinary(spark, binaryFixtureShared(spark, sfDir)),
+        out.toString, "graft", "documents")
+      s"$out/graft/documents"
+    })
 
   private val WideBlockBytes = 1024
   private val wideGenCache =

@@ -472,12 +472,9 @@ object SSTableMetadata {
     * count is exactly ⌈before/factor⌉. */
   def summaryBudgetAudit(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val in = SSTableBinaryV2.binaryFixtureShared(spark, sfDir)
-    val frame = SSTableBinaryV2.readBinary(spark, in)
-    val out = graft.Scratch.dir("graft-sumbudget-")
-    SSTableBinaryV2.writeSSTables(frame, out.toString,
-      "graft", "documents")
-    val root = s"$out/graft/documents"
+    // read-only consumer of the shared plain set (summaries are
+    // resampled IN MEMORY; nothing on disk changes)
+    val root = SSTableBinaryV2.plainGenSetShared(spark, sfDir)
     val hconf = new SerializableConfiguration(
       spark.sessionState.newHadoopConf())
     val gens = listGenerations(root, hconf.value)
@@ -506,7 +503,6 @@ object SSTableMetadata {
             s.firstKey, s.lastKey, s.minIndexInterval))
       }
       .collect().toSeq.sortBy(_._1)
-    graft.Scratch.delete(out)
     def genOf(name: String): Int =
       "\\d+".r.findFirstIn(name.split('/').last).get.toInt
     val withRate = fine.map { case (name, bytes) =>
@@ -586,12 +582,9 @@ object SSTableMetadata {
     * loudly rather than hash-mismatching. */
   def readMeterAudit(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val in = SSTableBinaryV2.binaryFixtureShared(spark, sfDir)
-    val frame = SSTableBinaryV2.readBinary(spark, in)
-    val out = graft.Scratch.dir("graft-readmeter-")
-    SSTableBinaryV2.writeSSTables(frame, out.toString,
-      "graft", "documents")
-    val root = s"$out/graft/documents"
+    // read-only consumer of the shared plain set (in-memory
+    // resample, meters, the activity-table roundtrip)
+    val root = SSTableBinaryV2.plainGenSetShared(spark, sfDir)
     val hconf = new SerializableConfiguration(
       spark.sessionState.newHadoopConf())
     val gens = listGenerations(root, hconf.value)
@@ -618,7 +611,6 @@ object SSTableMetadata {
           s.sampled.size)
       }
       .collect().toSeq.sortBy(_._1)
-    graft.Scratch.delete(out)
     def genOf(name: String): Int =
       "\\d+".r.findFirstIn(name.split('/').last).get.toInt
     val tick = RestorableMeter.TickIntervalNanos
@@ -1020,15 +1012,134 @@ object SSTableMetadata {
     * the oracle replays. */
   def expiredBlockersAudit(spark: SparkSession, sfDir: String)
       : DataFrame = {
-    val in = SSTableBinaryV2.binaryFixtureShared(spark, sfDir)
-    val frame = SSTableBinaryV2.readBinary(spark, in)
-    val out = graft.Scratch.dir("graft-expblock-")
-    SSTableBinaryV2.writeSSTables(frame, out.toString,
-      "graft", "documents")
-    val res = expiredBlockers(spark, s"$out/graft/documents",
+    // read-only consumer of the shared plain set (panel + span reads)
+    expiredBlockers(spark,
+      SSTableBinaryV2.plainGenSetShared(spark, sfDir),
       gcBeforeS = Int.MaxValue - 1).localCheckpoint()
-    graft.Scratch.delete(out)
-    res
+  }
+
+  /** The `IndexSummaryManager` role as an OFFLINE lake operation
+    * (`nodetool`'s summary redistribution, non-destructively): fit
+    * the summaries of every generation under `root` into
+    * `budgetMarks` by coarsening the COLDEST files first
+    * ([[SSTableComponents.redistributeSummaries]] — the same greedy
+    * the registered audits pin), then copy each generation to
+    * `outDir` with ONLY its Summary.db re-emitted at the new
+    * sampling; factor-1 files copy verbatim. Hotness comes from an
+    * optional ACTIVITY table (parquet with `sstable` + `rate_15m` —
+    * the persisted [[RestorableMeter]] rates, `system
+    * .sstable_activity`'s role); files without a rate default to
+    * 0.0 — an sstable nothing reads is the coldest thing on the
+    * ring, exactly Cassandra's posture for a meterless file.
+    * Modern-era generations only: the engine's downsample is the
+    * interval-ladder form, and a silently re-laddered 2.x summary
+    * (whose layout encodes SAMPLING LEVELS) would lie to a real 2.x
+    * reader. A summaryless generation refuses loudly — redistribute
+    * is a memory-budget tool; rebuilding belongs to the read path
+    * that already does it. Returns the plan, one row per
+    * generation. */
+  def redistributeLake(spark: SparkSession, root: String,
+      outDir: String, budgetMarks: Long,
+      activity: Option[String]): DataFrame = {
+    import spark.implicits._
+    require(budgetMarks > 0,
+      s"summary budget must be positive, got $budgetMarks")
+    val hconf = new SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val gens = listGenerations(root, hconf.value)
+    require(gens.nonEmpty, s"$root holds no generations")
+    val parents = gens.map(_._1.split('/').dropRight(1).mkString("/"))
+      .distinct
+    require(parents.size <= 1,
+      s"summary redistribution targets ONE table directory; $root " +
+        s"spans ${parents.size} (run per directory): " +
+        parents.sorted.take(3).mkString(", "))
+    val rates: Map[String, Double] = activity match {
+      case None => Map.empty
+      case Some(p) => spark.read.parquet(p)
+        .select(org.apache.spark.sql.functions.col("sstable"),
+          org.apache.spark.sql.functions.col("rate_15m").cast("double"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    }
+    val bc = spark.sparkContext.broadcast(hconf)
+    // pass 1: marks per generation — one Summary.db header each
+    val marks: Seq[(String, Int)] = spark.createDataset(gens)
+      .repartition(math.min(gens.size.max(1),
+        spark.sparkContext.defaultParallelism))
+      .map { case (dataPath, comps) =>
+        val conf = bc.value.value
+        val fs = FileSystem.get(java.net.URI.create(dataPath), conf)
+        val name = dataPath.split('/').last
+        val version = SSTableBinaryV2.versionOf(name)
+        require(version.nonEmpty && version.charAt(0) >= 'm',
+          s"$dataPath: summary redistribution serves modern-era " +
+            "generations only (2.x summaries encode sampling levels, " +
+            "not the interval ladder)")
+        val base = dataPath.stripSuffix("-Data.db")
+        val sumPath = comps.find(_ == base + "-Summary.db")
+          .getOrElse(throw new IllegalStateException(
+            s"$dataPath: no Summary.db to redistribute"))
+        (dataPath,
+          SSTableComponents.readSummary(readAll(fs, sumPath))
+            .sampled.size)
+      }
+      .collect().toSeq.sortBy(_._1)
+    def keyOf(p: String): String = p.split('/').takeRight(2).mkString("/")
+    val factors = SSTableComponents.redistributeSummaries(
+      marks.map { case (p, m) =>
+        (p, m, rates.getOrElse(keyOf(p), 0.0)) },
+      budgetMarks)
+    val bcFactors = spark.sparkContext.broadcast(factors)
+    // pass 2: copy every generation, re-emitting only Summary.db
+    val plan = spark.createDataset(gens)
+      .repartition(math.min(gens.size.max(1),
+        spark.sparkContext.defaultParallelism))
+      .map { case (dataPath, comps) =>
+        val conf = bc.value.value
+        val fs = FileSystem.get(java.net.URI.create(dataPath), conf)
+        val f = bcFactors.value(dataPath)
+        val base = dataPath.stripSuffix("-Data.db")
+        val sumPath = base + "-Summary.db"
+        val outFs = FileSystem.get(
+          java.net.URI.create(outDir.stripSuffix("/")), conf)
+        var after = 0
+        comps.foreach { src =>
+          val dst = new HPath(
+            s"${outDir.stripSuffix("/")}/${src.split('/').last}")
+          if (src == sumPath && f > 1) {
+            val s = SSTableComponents.downsampleSummary(
+              SSTableComponents.readSummary(readAll(fs, src)), f)
+            after = s.sampled.size
+            val os = outFs.create(dst, true)
+            try os.write(SSTableComponents.writeSummary(s.sampled,
+              s.sizeAtFullSampling.toLong * s.minIndexInterval,
+              s.firstKey, s.lastKey, s.minIndexInterval))
+            finally os.close()
+          } else {
+            if (src == sumPath)
+              after = SSTableComponents.readSummary(readAll(fs, src))
+                .sampled.size
+            val in = fs.open(new HPath(src))
+            try {
+              val os = outFs.create(dst, true)
+              try {
+                val buf = new Array[Byte](1024 * 1024)
+                var n = in.read(buf)
+                while (n >= 0) {
+                  if (n > 0) os.write(buf, 0, n)
+                  n = in.read(buf)
+                }
+              } finally os.close()
+            } finally in.close()
+          }
+        }
+        (keyOf(dataPath), f, after)
+      }
+      .collect().toSeq.sortBy(_._1)
+    val byPath = marks.map { case (p, m) => keyOf(p) -> m }.toMap
+    spark.createDataset(plan.map { case (k, f, after) =>
+      (k, rates.getOrElse(k, 0.0), byPath(k).toLong, f, after.toLong) })
+      .toDF("sstable", "rate", "marks_before", "factor", "marks_after")
   }
 
   /** The offline metadata-surgery tools (`sstablelevelreset` /
@@ -1143,13 +1254,11 @@ object SSTableMetadata {
     * level 0 / unrepaired, and the sketch survives verbatim. */
   def relevelAudit(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val in = SSTableBinaryV2.binaryFixtureShared(spark, sfDir)
-    val frame = SSTableBinaryV2.readBinary(spark, in)
-    val out = graft.Scratch.dir("graft-relevel-src-")
+    // the SOURCE is the shared read-only set (surgery copies; it
+    // never mutates its input — the 'before' requires pin exactly
+    // that); only the surged output is private
     val surged = graft.Scratch.dir("graft-relevel-out-")
-    SSTableBinaryV2.writeSSTables(frame, out.toString,
-      "graft", "documents")
-    val srcRoot = s"$out/graft/documents"
+    val srcRoot = SSTableBinaryV2.plainGenSetShared(spark, sfDir)
     val n = rewriteMetadata(spark, srcRoot, s"$surged/documents",
       level = Some(2), repairedAt = Some(1700000000000L))
     require(n == 4L, s"expected 4 generations releveled, got $n")
@@ -1165,7 +1274,6 @@ object SSTableMetadata {
       .select(col("est_keys_hll")).collect()
     require(hllSurvived.forall(!_.isNullAt(0)),
       "the COMPACTION sketch did not survive the rewrite")
-    graft.Scratch.delete(out)
     graft.Scratch.delete(surged)
     after
   }

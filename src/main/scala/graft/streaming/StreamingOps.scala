@@ -613,18 +613,20 @@ object StreamingOps {
     * structurally. Decode is stateless: no watermark, no state store,
     * per-micro-batch cost is exactly the admitted files. */
   def fileIngestStream(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = graft.ops.MultimodalOps.writeAssetDir(spark, sfDir)
-    val out = runSourceToMemory(spark,
+    // shared with m_file_ingest — the tree is cache-owned, never
+    // deleted here; 300 files/trigger admits the 600-file zone in two
+    // micro-batches (multi-trigger admission still witnessed, one
+    // checkpoint round-trip less than the old 3-batch split)
+    val dir = graft.ops.MultimodalOps.assetDirShared(spark, sfDir)
+    runSourceToMemory(spark,
       s => s.readStream.format("binaryFile")
         .schema(org.apache.spark.sql.types.StructType.fromDDL(
           "path string, modificationTime timestamp, " +
             "length bigint, content binary"))
-        .option("maxFilesPerTrigger", "200")
-        .load(dir.toString),
+        .option("maxFilesPerTrigger", "300")
+        .load(dir),
       src => graft.ops.MultimodalOps.fileDecodeColumns(src),
       OutputMode.Append())
-    graft.Scratch.delete(dir)
-    out
   }
 
   // ---- streaming LWW merge ----

@@ -182,4 +182,53 @@ class Summary2xSpec extends SparkSpec {
       assert(inv2.filter(col("est_keys_max").isNotNull).count() === 3)
     } finally Scratch.delete(ka)
   }
+
+  test("describeRange serves per-range SAMPLED key estimates off the " +
+    "literal 2.x summary — Index.db deleted, bounds gated against " +
+    "exact ranged counts, wrap-around included (era parity with the " +
+    "modern-path gates in src_sstable_token_range)") {
+    val ka = SSTableBinaryV2.writeOldFixture(spark, sfDir)
+    try {
+      import scala.jdk.CollectionConverters._
+      val dir = ka.resolve("documents")
+      // ground truth BEFORE deleting the index: every partition key
+      // per generation, token-hashed driver-side
+      val byGen = SSTableBinaryV2.readBinary(spark, dir.toString,
+        Some(SSTableBinaryV2.Cql2x))
+        .select(col("sstable"), col("partition_key")).distinct()
+        .collect().map(r => (r.getString(0), r.getString(1)))
+        .groupBy(_._1).map { case (g, ks) => g -> ks.map(_._2).toSeq }
+      assert(byGen.size === 4)
+      def tok(k: String): Long = graft.sources.BigFormat.murmur3Token(
+        graft.sources.BigFormat.encodeValue(
+          graft.sources.BigFormat.Utf8Type, k))
+      val toks = byGen.values.flatten.map(tok).toSeq.sorted
+      val (lo, hi) = (toks(toks.size / 4), toks(3 * toks.size / 4))
+      // the 2.x summaries must carry the estimate ALONE
+      java.nio.file.Files.list(dir).iterator().asScala.toSeq
+        .filter(_.getFileName.toString.contains("-Index.db"))
+        .foreach(java.nio.file.Files.delete)
+      def gate(l: Long, h: Long): Unit = {
+        val ests = SSTableMetadata
+          .describeRange(spark, dir.toString, l, h)
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        // a wrap-around range unwraps into TWO mark windows; each
+        // window overshoots by at most one interval
+        val slack = 128L * (if (l <= h) 1 else 2)
+        byGen.foreach { case (g, ks) =>
+          val e = ks.count { k =>
+            val t = tok(k)
+            if (l <= h) t >= l && t <= h else t >= l || t <= h
+          }
+          val est = ests.getOrElse(g,
+            fail(s"$g missing from describeRange: ${ests.keys}"))
+          assert(est <= e + slack && est + slack > e && est >= 1,
+            s"$g: 2.x per-range estimate $est outside ±$slack of " +
+              s"exact $e")
+        }
+      }
+      gate(lo, hi)
+      gate(hi + 1, lo - 1) // wrap-around unwrap
+    } finally Scratch.delete(ka)
+  }
 }

@@ -1,0 +1,137 @@
+package graft
+
+import graft.sources.{SSTableBinaryV2, SSTableComponents, SSTableMetadata}
+import org.apache.spark.sql.functions._
+
+/** The offline lake form of `IndexSummaryManager`'s redistribution
+  * (`redistributeLake` + CLI `--summary-budget`): coldest summaries
+  * coarsen until the pool fits the mark budget, everything else
+  * copies verbatim, originals are kept, and activity-table rates
+  * (the persisted RestorableMeter output) drive the hotness order. */
+class SummaryRedistributionSpec extends SparkSpec {
+
+  private def frame(nPerGen: Int) = {
+    import spark.implicits._
+    (1 to 2).flatMap { gen =>
+      (0 until nPerGen).map { i =>
+        (f"g$gen%d-p$i%04d", Seq("c"), "ROW", Some("v"),
+          Some(("x", 1609459200000000L + i, None: Option[Int],
+            None: Option[Long])),
+          None: Option[Long], s"t/nb-$gen-big-Data.db")
+      }
+    }.toDF("partition_key", "clustering", "row_kind", "name",
+      "cell_t", "deletion_us", "sstable")
+      .withColumn("cell", struct(
+        col("cell_t._1").as("value"), col("cell_t._2").as("writetime_us"),
+        col("cell_t._3").as("ttl_s"), col("cell_t._4").as("expire_us")))
+      .drop("cell_t")
+  }
+
+  test("CLI parse rules: budget must be positive, in/out required " +
+    "and distinct, transform flags contradict, --activity is " +
+    "budget-only") {
+    def p(a: String*) = RemoverCli.parse(a.toArray)
+    assert(p("--summary-budget", "100").isLeft)
+    assert(p("--summary-budget", "0", "--in", "/a", "--out", "/b").isLeft)
+    assert(p("--summary-budget", "x", "--in", "/a", "--out", "/b").isLeft)
+    assert(p("--summary-budget", "9", "--in", "/a", "--out", "/a").isLeft)
+    assert(p("--summary-budget", "9", "--in", "/a", "--out", "/b",
+      "--merge", "lww").isLeft)
+    assert(p("--activity", "/act", "--in", "/a", "--out", "/b").isLeft)
+    val ok = p("--summary-budget", "64", "--in", "/a", "--out", "/b",
+      "--activity", "/act", "--cpus", "4")
+    assert(ok.exists(a => a.summaryBudget.contains(64L) &&
+      a.activity.contains("/act") && a.cpus == 4))
+  }
+
+  test("redistributeLake coarsens the COLDEST generation to the cap, " +
+    "copies the hot one verbatim, meets the budget, and the output " +
+    "still decodes; originals untouched; refusals are loud") {
+    val src = Scratch.dir("graft-redis-src-")
+    val out = Scratch.dir("graft-redis-out-")
+    val act = Scratch.dir("graft-redis-act-")
+    try {
+      SSTableBinaryV2.writeSSTables(frame(600), src.toString,
+        "graft", "t")
+      val srcDir = src.resolve("graft").resolve("t")
+      // 600 partitions / interval 128 → 5 marks per generation
+      def marksOf(p: java.nio.file.Path): Int =
+        SSTableComponents.readSummary(
+          java.nio.file.Files.readAllBytes(p)).sampled.size
+      assert(marksOf(srcDir.resolve("nb-1-big-Summary.db")) === 5)
+      // activity: gen 1 cold (no row at all — meterless files rank
+      // coldest), gen 2 hot
+      import spark.implicits._
+      Seq(("t/nb-2-big-Data.db", 5.0))
+        .toDF("sstable", "rate_15m")
+        .write.mode("overwrite").parquet(act.toString)
+      val before = java.nio.file.Files.readAllBytes(
+        srcDir.resolve("nb-1-big-Summary.db"))
+      // budget 6 of 10 marks: greedy must take gen 1 to the cap
+      // (5→3→2→1) and leave gen 2 alone (5 + 1 = 6 ≤ 6)
+      val plan = SSTableMetadata.redistributeLake(spark,
+        srcDir.toString, out.toString, budgetMarks = 6,
+        activity = Some(act.toString)).collect()
+        .map(r => r.getAs[String]("sstable") ->
+          (r.getAs[Int]("factor"), r.getAs[Long]("marks_after"))).toMap
+      assert(plan("t/nb-1-big-Data.db") === ((8, 1L)))
+      assert(plan("t/nb-2-big-Data.db") === ((1, 5L)))
+      // the coarsened summary really changed sampling; the hot one is
+      // byte-verbatim
+      val cold = SSTableComponents.readSummary(
+        java.nio.file.Files.readAllBytes(
+          out.resolve("nb-1-big-Summary.db")))
+      assert(cold.minIndexInterval === 128 * 8)
+      assert(cold.sampled.size === 1)
+      assert(java.util.Arrays.equals(
+        java.nio.file.Files.readAllBytes(
+          out.resolve("nb-2-big-Summary.db")),
+        java.nio.file.Files.readAllBytes(
+          srcDir.resolve("nb-2-big-Summary.db"))))
+      // originals untouched
+      assert(java.util.Arrays.equals(before,
+        java.nio.file.Files.readAllBytes(
+          srcDir.resolve("nb-1-big-Summary.db"))))
+      // the redistributed lake still serves: full decode AND a point
+      // read through the coarsened summary
+      val back = SSTableBinaryV2.readBinary(spark, out.toString)
+      assert(back.count() === 1200L)
+      assert(back.filter(col("partition_key") === "g1-p0123").count()
+        === 1L)
+      // CLI drives the same path (fresh --out)
+      val out2 = Scratch.dir("graft-redis-out2-")
+      try {
+        val n = RemoverCli.run(spark, RemoverCli.parse(Array(
+          "--summary-budget", "6", "--in", srcDir.toString,
+          "--out", out2.toString, "--activity", act.toString))
+          .fold(e => fail(e), identity))
+        assert(n === 2L)
+        assert(SSTableComponents.readSummary(
+          java.nio.file.Files.readAllBytes(
+            out2.resolve("nb-1-big-Summary.db"))).sampled.size === 1)
+      } finally Scratch.delete(out2)
+      // a summaryless generation refuses loudly
+      java.nio.file.Files.delete(srcDir.resolve("nb-1-big-Summary.db"))
+      java.nio.file.Files.deleteIfExists(
+        srcDir.resolve(".nb-1-big-Summary.db.crc"))
+      assertThrows[Exception](SSTableMetadata.redistributeLake(spark,
+        srcDir.toString, out.toString, 6, None))
+    } finally {
+      Scratch.delete(src); Scratch.delete(out); Scratch.delete(act)
+    }
+  }
+
+  test("a 2.x generation refuses — its summary encodes sampling " +
+    "levels, not the interval ladder") {
+    val ka = SSTableBinaryV2.writeOldFixture(spark, sfDir)
+    val out = Scratch.dir("graft-redis-2x-")
+    try {
+      val e = intercept[Exception](SSTableMetadata.redistributeLake(
+        spark, ka.resolve("documents").toString, out.toString, 4, None))
+      def chain(t: Throwable): Seq[String] =
+        if (t == null) Nil else t.getMessage +: chain(t.getCause)
+      assert(chain(e).exists(m => m != null &&
+        m.contains("modern-era")), chain(e).toString)
+    } finally { Scratch.delete(ka); Scratch.delete(out) }
+  }
+}
