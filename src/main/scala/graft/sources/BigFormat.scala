@@ -1281,7 +1281,15 @@ object BigFormat {
       /** The host that wrote the file ("me"/"nb"+, CASSANDRA-16619)
         * — non-null on every cluster-written file; null from offline
         * writers (CQLSSTableWriter and this sink). */
-      originatingHostId: Option[java.util.UUID] = None)
+      originatingHostId: Option[java.util.UUID] = None,
+      /** Commit-log positions as (segmentId, position): the upper
+        * bound (all modern eras), the lower bound ("mb"+), and the
+        * interval set ("mc"+ — CASSANDRA-8844's ranges). NONE /
+        * empty from this sink (an offline writer has no commit log);
+        * a real cluster file's values round-trip bit-exact. */
+      commitLogUpper: (Long, Int) = (-1L, 0),
+      commitLogLower: (Long, Int) = (-1L, 0),
+      commitLogIntervals: Seq[((Long, Int), (Long, Int))] = Nil)
 
   /** An EstimatedHistogram whose mean()×count() reconstructs `total`
     * EXACTLY and whose count() is exactly `count`: with q = ⌊total /
@@ -1354,7 +1362,8 @@ object BigFormat {
     val out = new DataOutputStream(bos)
     writeHistogram(exactHistogram(s.partitionSizeTotal, s.nPartitions), out)
     writeHistogram(exactHistogram(s.columnCountTotal, s.nPartitions), out)
-    out.writeLong(-1L); out.writeInt(0)   // commitLogUpperBound = NONE
+    out.writeLong(s.commitLogUpper._1)    // commitLogUpperBound
+    out.writeInt(s.commitLogUpper._2)
     out.writeLong(s.minTimestampUs)
     out.writeLong(s.maxTimestampUs)
     out.writeInt(s.minLdtS)
@@ -1375,10 +1384,16 @@ object BigFormat {
     out.writeLong(s.totalColumnsSet)
     out.writeLong(s.totalRows)
     if (versionHasCommitLogLowerBound(version)) {
-      out.writeLong(-1L); out.writeInt(0) // commitLogLowerBound = NONE
+      out.writeLong(s.commitLogLower._1)  // commitLogLowerBound
+      out.writeInt(s.commitLogLower._2)
     }
-    if (versionHasCommitLogIntervals(version))
-      out.writeInt(0)                     // commitLogIntervals: empty
+    if (versionHasCommitLogIntervals(version)) {
+      out.writeInt(s.commitLogIntervals.size)
+      s.commitLogIntervals.foreach { case ((ls, lp), (us, up)) =>
+        out.writeLong(ls); out.writeInt(lp)
+        out.writeLong(us); out.writeInt(up)
+      }
+    }
     if (versionHasPendingRepair(version)) {
       writeUuid(out, s.pendingRepair)
       out.writeBoolean(s.isTransient)
@@ -1409,7 +1424,7 @@ object BigFormat {
       val (ccTotal, ccCount) = readHistogramTotals(body)
       require(ccCount == psCount,
         s"StatsMetadata: histogram counts disagree ($psCount, $ccCount)")
-      body.readLong(); body.readInt()     // commitLogUpperBound
+      val clUpper = (body.readLong(), body.readInt())
       val minTs = body.readLong(); val maxTs = body.readLong()
       val minLdt = body.readInt(); val maxLdt = body.readInt()
       val minTtl = body.readInt(); val maxTtl = body.readInt()
@@ -1438,18 +1453,21 @@ object BigFormat {
       def readUuid(): Option[java.util.UUID] =
         if (body.readByte() == 0) None
         else Some(new java.util.UUID(body.readLong(), body.readLong()))
-      if (versionHasCommitLogLowerBound(version)) {
-        body.readLong(); body.readInt()   // commitLogLowerBound
-      }
-      if (versionHasCommitLogIntervals(version)) {
-        val nIntervals = body.readInt()
-        require(nIntervals >= 0 && nIntervals <= (1 << 16),
-          s"StatsMetadata: commit-log interval count $nIntervals")
-        (0 until nIntervals).foreach { _ =>
-          body.readLong(); body.readInt() // lower
-          body.readLong(); body.readInt() // upper
-        }
-      }
+      val clLower =
+        if (versionHasCommitLogLowerBound(version))
+          (body.readLong(), body.readInt())
+        else (-1L, 0)
+      val clIntervals =
+        if (versionHasCommitLogIntervals(version)) {
+          val nIntervals = body.readInt()
+          require(nIntervals >= 0 && nIntervals <= (1 << 16),
+            s"StatsMetadata: commit-log interval count $nIntervals")
+          Vector.tabulate(nIntervals) { _ =>
+            ((body.readLong(), body.readInt()),
+              (body.readLong(), body.readInt()))
+          }
+        } else Vector.empty
+
       val pendingRepair =
         if (versionHasPendingRepair(version)) readUuid() else None
       val isTransient =
@@ -1471,7 +1489,8 @@ object BigFormat {
         minLdt, maxLdt, minTtl, maxTtl, ratio,
         OldFormat.TombstoneHistogram(maxBins, bins), level, repairedAt,
         totalColumnsSet, totalRows,
-        pendingRepair, isTransient, originatingHostId))
+        pendingRepair, isTransient, originatingHostId,
+        clUpper, clLower, clIntervals))
     }
   }
 

@@ -297,6 +297,38 @@ class StatsMetadataSpec extends SparkSpec {
     assert(BigFormat.writeStatsModern(sampleStats().copy(
       pendingRepair = Some(repairSession)), "nb").length ===
       bodyLen("nb") + 16)
+    // a REAL cluster file's commit-log state round-trips: nonzero
+    // upper/lower bounds and a non-empty interval set (the fields an
+    // offline writer leaves NONE/empty) — version-gated like the rest
+    // of the tail, and preserved bit-exact by the byte-surgical patch
+    val clStats = sampleStats().copy(
+      commitLogUpper = (77L, 4096),
+      commitLogLower = (3L, 128),
+      commitLogIntervals = Seq(((3L, 128), (5L, 900)),
+        ((9L, 0), (77L, 4096))))
+    for (version <- Seq("mc", "me", "nb")) {
+      val back = BigFormat.readStatsModern(
+        BigFormat.writeStats(header, version, stats = Some(clStats)),
+        version).get
+      assert(back === clStats, s"version=$version")
+    }
+    // "mb" carries the bounds but not the intervals; "ma" neither
+    val mb = BigFormat.readStatsModern(
+      BigFormat.writeStats(header, "mb", stats = Some(clStats)), "mb").get
+    assert(mb.commitLogLower === ((3L, 128)))
+    assert(mb.commitLogIntervals.isEmpty)
+    val ma = BigFormat.readStatsModern(
+      BigFormat.writeStats(header, "ma", stats = Some(clStats)), "ma").get
+    assert(ma.commitLogUpper === ((77L, 4096)))
+    assert(ma.commitLogLower === ((-1L, 0)))
+    val clBytes = BigFormat.writeStats(header, "nb",
+      stats = Some(clStats))
+    val clPatched = BigFormat.patchStatsFields(clBytes,
+      checksummed = true, Some(5), None)
+    val pBack = BigFormat.readStatsModern(clPatched, "nb").get
+    assert(pBack.sstableLevel === 5)
+    assert(pBack.copy(sstableLevel = clStats.sstableLevel) === clStats,
+      "surgery must preserve commit-log intervals bit-exact")
     // the n-series component CRC covers the new tail: flip the
     // originatingHostId presence byte and the checksum must catch it
     val full = BigFormat.writeStats(header, "nb", stats =
