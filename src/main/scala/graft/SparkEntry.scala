@@ -3079,6 +3079,9 @@ object SparkEntry {
       |   CAST(CAST(substr(x.sstable, 14, 1) AS INTEGER) + 1
       |     AS VARCHAR) || '-0000-000000000021'
       | END AS originating_host_id,
+      | CAST(CASE WHEN l.layout = 'plain'
+      |   THEN CAST(substr(x.sstable, 14, 1) AS INTEGER)
+      |   ELSE 0 END AS INTEGER) AS commitlog_intervals,
       | l.layout
       |FROM x CROSS JOIN (VALUES ('plain'), ('lz4')) AS l(layout)"""
       .stripMargin,
@@ -3132,7 +3135,8 @@ object SparkEntry {
       |   ELSE CAST(tomb AS DOUBLE) / n_cells END AS droppable_ratio,
       | CAST(NULL AS VARCHAR) AS pending_repair,
       | FALSE AS is_transient,
-      | CAST(NULL AS VARCHAR) AS originating_host_id
+      | CAST(NULL AS VARCHAR) AS originating_host_id,
+      | CAST(0 AS INTEGER) AS commitlog_intervals
       |FROM g""".stripMargin,
     // the sstableexpiredblockers role, sidecar-only: gen 3 (f=2) is
     // the designed all-expiring generation (finite deletion bound —

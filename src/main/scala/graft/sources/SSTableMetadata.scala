@@ -811,7 +811,10 @@ object SSTableMetadata {
       is_transient: Boolean = false,
       /** The writing host's UUID ("me"/"nb"+, CASSANDRA-16619) —
         * NULL from offline writers. */
-      originating_host_id: Option[String] = None)
+      originating_host_id: Option[String] = None,
+      /** Commit-log interval count ("mc"+ tail): 0 from offline
+        * writers, the flushed-ranges census on cluster files. */
+      commitlog_intervals: Int = 0)
 
   /** The modern-era `sstablemetadata` panel, SIDECAR-ONLY: one row
     * per generation from the Statistics.db STATS component
@@ -904,7 +907,8 @@ object SSTableMetadata {
             else total.toDouble / s.totalColumnsSet,
             pending_repair = s.pendingRepair.map(_.toString),
             is_transient = s.isTransient,
-            originating_host_id = s.originatingHostId.map(_.toString))
+            originating_host_id = s.originatingHostId.map(_.toString),
+            commitlog_intervals = s.commitLogIntervals.size)
         }
       }
       .toDF()
@@ -1331,7 +1335,10 @@ object SSTableMetadata {
                 pendingRepair = Some(new java.util.UUID(f + 1L, 17L)),
                 isTransient = f % 2 == 0,
                 originatingHostId =
-                  Some(new java.util.UUID(f + 2L, 33L)))),
+                  Some(new java.util.UUID(f + 2L, 33L)),
+                // gen designed interval sets: count = gen, replayable
+                commitLogIntervals = Seq.tabulate(f + 1)(i =>
+                  ((i.toLong, i * 10), (i + 1L, i * 10 + 5))))),
               validation = validation))
             java.nio.file.Files.deleteIfExists(
               p.getParent.resolve(s".$name.crc"))
