@@ -16,7 +16,7 @@ import org.apache.spark.sql.SparkSession
   *   - phase 1 runs every query exactly ONCE (full coverage, the part
   *     that must never be sacrificed);
   *   - phase 2 spends whatever remains of the wall-clock deadline
-  *     (SPARK_GRAFT_BENCH_DEADLINE_SEC from JVM start, default 450 s)
+  *     (SPARK_GRAFT_BENCH_DEADLINE_SEC from JVM start, default 640 s)
   *     re-running queries MOST-EXPENSIVE-FIRST, taking the per-query
   *     min — the floor shedding first-run JIT/codegen noise exactly
   *     where it costs the most absolute seconds — skipping any query
@@ -65,6 +65,11 @@ object Bench {
       names.map(_ -> (None: Option[Double])): _*)
     val attempted = scala.collection.mutable.Set.empty[String]
 
+    // wall cost of the last FAILED run per query: a failure can burn
+    // unbounded time (timeout/OOM shapes), so its retry must budget
+    // by the observed cost, not a flat margin
+    val failCost = scala.collection.mutable.Map.empty[String, Double]
+
     def runOnce(name: String): Option[Double] = {
       attempted += name
       val fn = SparkEntry.queries(name)
@@ -73,6 +78,7 @@ object Bench {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         Some((System.nanoTime() - t0) / 1e9)
       } catch { case e: Throwable =>
+        failCost(name) = (System.nanoTime() - t0) / 1e9
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         None
       }
@@ -150,9 +156,11 @@ object Bench {
         }
       // failures get one retry per round too (a transient first-run
       // failure must not record null when a later pass would succeed),
-      // cheap-fail guarded by the same deadline margin
+      // budgeted by the failure's OBSERVED wall cost — a slow failure
+      // (timeout shape) must not blow the deadline on its retry
       best.toSeq.collect { case (n, None) => n }.foreach { name =>
-        if (elapsedSec + 10.0 < deadlineSec) {
+        val margin = failCost.getOrElse(name, 5.0) * 1.3 + 5.0
+        if (elapsedSec + margin < deadlineSec) {
           runOnce(name).foreach { dt =>
             best(name) = Some(dt)
             System.err.println(

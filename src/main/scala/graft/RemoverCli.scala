@@ -543,6 +543,14 @@ object RemoverCli {
           rendered + s"\n… $n generations total; showing the first " +
             s"$InventoryPrintCap"
         else rendered)
+      // an unmeetable budget (everything at the max factor, pool
+      // still over) must be SAID, not discovered by summing a column
+      val after = plan.agg(org.apache.spark.sql.functions
+        .sum("marks_after")).collect()(0).getLong(0)
+      if (after > args.summaryBudget.get)
+        println(s"WARNING: pool still holds $after marks after " +
+          s"coarsening everything to the max factor — the budget of " +
+          s"${args.summaryBudget.get} is not reachable on this lake")
       n
     }
     else if (args.sink == "sstable")

@@ -54,21 +54,25 @@ final class RestorableMeter private (
     if (age >= TickIntervalNanos) {
       val ticks = age / TickIntervalNanos
       lastTick += ticks * TickIntervalNanos
-      var i = 0L
-      while (i < ticks) {
-        // only the FIRST tick sees the uncounted marks; the rest of a
-        // long silence ticks zeros through the decay
-        val instant = uncounted.toDouble / TickIntervalNanos
-        uncounted = 0L
-        if (initialized) {
-          r15 += Alpha15 * (instant - r15)
-          r120 += Alpha120 * (instant - r120)
-        } else {
-          r15 = instant
-          r120 = instant
-          initialized = true
-        }
-        i += 1
+      // only the FIRST tick sees the uncounted marks; the remaining
+      // k-1 ticks of a long silence are pure geometric decay,
+      // computed CLOSED-FORM — a restored meter ticked against a
+      // real epoch/uptime clock jumps by ~1e8 intervals, and looping
+      // the EWMA once per interval would spin for seconds per meter
+      val instant = uncounted.toDouble / TickIntervalNanos
+      uncounted = 0L
+      if (initialized) {
+        r15 += Alpha15 * (instant - r15)
+        r120 += Alpha120 * (instant - r120)
+      } else {
+        r15 = instant
+        r120 = instant
+        initialized = true
+      }
+      val silent = ticks - 1
+      if (silent > 0) {
+        r15 *= math.pow(1.0 - Alpha15, silent.toDouble)
+        r120 *= math.pow(1.0 - Alpha120, silent.toDouble)
       }
     }
   }

@@ -1022,6 +1022,24 @@ object SSTableMetadata {
       gcBeforeS = Int.MaxValue - 1).localCheckpoint()
   }
 
+  /** 1 MiB buffered stream copy through Hadoop filesystems — the
+    * multi-GB-Data.db-safe copy both offline surgeries share. */
+  private def streamCopy(fs: FileSystem, src: String,
+      outFs: FileSystem, dst: HPath): Unit = {
+    val in = fs.open(new HPath(src))
+    try {
+      val os = outFs.create(dst, true)
+      try {
+        val buf = new Array[Byte](1024 * 1024)
+        var n = in.read(buf)
+        while (n >= 0) {
+          if (n > 0) os.write(buf, 0, n)
+          n = in.read(buf)
+        }
+      } finally os.close()
+    } finally in.close()
+  }
+
   /** The `IndexSummaryManager` role as an OFFLINE lake operation
     * (`nodetool`'s summary redistribution, non-destructively): fit
     * the summaries of every generation under `root` into
@@ -1065,6 +1083,16 @@ object SSTableMetadata {
           org.apache.spark.sql.functions.col("rate_15m").cast("double"))
         .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     }
+    // a non-empty activity table that matches ZERO generations is a
+    // key-shape mistake (bare filenames, full paths), not a cold
+    // lake: silently ranking everything coldest would degrade HOT
+    // summaries by name tie-break
+    require(rates.isEmpty || gens.exists(g =>
+      rates.contains(g._1.split('/').takeRight(2).mkString("/"))),
+      s"--activity table matches no generation under $root; keys " +
+        "must be '<table>/<name>-Data.db' (e.g. " +
+        s"'${gens.head._1.split('/').takeRight(2).mkString("/")}'), " +
+        s"got: ${rates.keys.take(3).mkString(", ")}")
     val bc = spark.sparkContext.broadcast(hconf)
     // pass 1: marks per generation — one Summary.db header each
     val marks: Seq[(String, Int)] = spark.createDataset(gens)
@@ -1094,6 +1122,7 @@ object SSTableMetadata {
         (p, m, rates.getOrElse(keyOf(p), 0.0)) },
       budgetMarks)
     val bcFactors = spark.sparkContext.broadcast(factors)
+    val bcMarks = spark.sparkContext.broadcast(marks.toMap)
     // pass 2: copy every generation, re-emitting only Summary.db
     val plan = spark.createDataset(gens)
       .repartition(math.min(gens.size.max(1),
@@ -1120,21 +1149,10 @@ object SSTableMetadata {
               s.firstKey, s.lastKey, s.minIndexInterval))
             finally os.close()
           } else {
-            if (src == sumPath)
-              after = SSTableComponents.readSummary(readAll(fs, src))
-                .sampled.size
-            val in = fs.open(new HPath(src))
-            try {
-              val os = outFs.create(dst, true)
-              try {
-                val buf = new Array[Byte](1024 * 1024)
-                var n = in.read(buf)
-                while (n >= 0) {
-                  if (n > 0) os.write(buf, 0, n)
-                  n = in.read(buf)
-                }
-              } finally os.close()
-            } finally in.close()
+            // a factor-1 summary's mark count is pass 1's — no second
+            // sidecar parse for the (typical) untouched majority
+            if (src == sumPath) after = bcMarks.value(dataPath)
+            streamCopy(fs, src, outFs, dst)
           }
         }
         (keyOf(dataPath), f, after)
@@ -1225,18 +1243,7 @@ object SSTableMetadata {
           } else {
             // Data.db streams — a multi-GB data file must neither
             // materialize on-heap nor trip readAll's sidecar bound
-            val in = fs.open(new HPath(src))
-            try {
-              val os = outFs.create(dst, true)
-              try {
-                val buf = new Array[Byte](1024 * 1024)
-                var n = in.read(buf)
-                while (n >= 0) {
-                  if (n > 0) os.write(buf, 0, n)
-                  n = in.read(buf)
-                }
-              } finally os.close()
-            } finally in.close()
+            streamCopy(fs, src, outFs, dst)
           }
         }
         1L

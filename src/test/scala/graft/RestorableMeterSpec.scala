@@ -45,8 +45,11 @@ class RestorableMeterSpec extends AnyFunSuite {
     b.mark(5, 1)
     b.tickTo(T)             // tick the mark through
     (2 to 10).foreach(i => b.tickTo(i * T)) // then 9 singles
-    assert(a.fifteenMinuteRate === b.fifteenMinuteRate)
-    assert(a.twoHourRate === b.twoHourRate)
+    // the jump path computes the 9 silent ticks closed-form
+    // (pow(1-alpha, 9)), the single-tick path multiplies nine times —
+    // same EWMA value within float association noise, not bit-equal
+    assert(math.abs(a.fifteenMinuteRate - b.fifteenMinuteRate) < 1e-12)
+    assert(math.abs(a.twoHourRate - b.twoHourRate) < 1e-12)
     assert(math.abs(a.fifteenMinuteRate - math.pow(d15, 9)) < 1e-12)
   }
 
