@@ -166,6 +166,8 @@ object SparkEntry {
       (sources.SSTableMetadata.relevelAudit _),
     "src_sstable_read_meter" ->
       (sources.SSTableMetadata.readMeterAudit _),
+    "src_sstable_redistribute" ->
+      (sources.SSTableMetadata.redistributeAudit _),
     "src_sstable_expired_blockers" ->
       (sources.SSTableMetadata.expiredBlockersAudit _),
     "src_sstable_dump_export" ->
@@ -3221,6 +3223,18 @@ object SparkEntry {
       | CAST(ceil(marks / CAST(factor AS DOUBLE)) AS BIGINT)
       |   AS marks_after
       |FROM x""".stripMargin,
+    // the offline lake redistribution: a designed two-generation set
+    // (480 id-capped docs ×4 partitions = 960/gen = 8 marks each)
+    // into a half-pool budget — the meterless cold file caps at
+    // factor 8 (8 -> 1 marks), the hot one takes a single doubling
+    // (8 -> 4); every column is a design constant
+    "src_sstable_redistribute" -> """
+      |SELECT * FROM (VALUES
+      | ('documents/nb-1-big-Data.db', 0.0, CAST(8 AS BIGINT),
+      |   CAST(8 AS INTEGER), CAST(1 AS BIGINT)),
+      | ('documents/nb-2-big-Data.db', 4.0, CAST(8 AS BIGINT),
+      |   CAST(2 AS INTEGER), CAST(4 AS BIGINT)))
+      | AS t(sstable, rate, marks_before, factor, marks_after)""".stripMargin,
     // the key-count-estimation surface, sidecar-only: exact totals,
     // the merged HLL++ estimate (sketches stay sparse ⇒ exact on the
     // designed keys), the compaction-gain ratio over two identical

@@ -1164,6 +1164,79 @@ object SSTableMetadata {
       .toDF("sstable", "rate", "marks_before", "factor", "marks_after")
   }
 
+  /** Registered `src_sstable_redistribute` — [[redistributeLake]]
+    * end-to-end under the oracle: a DESIGNED two-generation set (the
+    * first 480 documents, exploded ×4 → 960 partitions per
+    * generation → exactly 8 summary marks each at the written
+    * interval, SF-independent by id-cap) is redistributed into a
+    * half-pool budget with an activity table that rates generation 2
+    * hot and leaves generation 1 METERLESS (the coldest-possible
+    * rank — the posture a file nothing reads gets). The greedy's
+    * closed form is constant: the cold file coarsens to the factor-8
+    * cap (8 → 1 marks), the hot file takes one doubling (8 → 4),
+    * pool 16 → 5 ≤ 8 = the budget. In-query gates:
+    * the rewritten lake still fully decodes AND point-reads through
+    * the coarsened summary, and the cold output summary really
+    * carries the ×8 interval. Every served column is a design
+    * constant the oracle replays as VALUES. */
+  def redistributeAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id").cast("long")).filter(col("doc_id") < 480)
+    require(docs.count() == 480L,
+      "redistribute fixture needs the first 480 documents")
+    // 4 partitions per member doc → 960 per generation → exactly 8
+    // summary marks each at the written interval (128), at any SF
+    val frame = docs
+      .withColumn("k", explode(array(lit(0L), lit(1L), lit(2L), lit(3L))))
+      .withColumn("pid", col("doc_id") * 4 + col("k"))
+      .withColumn("partition_key", concat(lit("r-"), col("pid")))
+      .withColumn("clustering", array(lit("c")))
+      .withColumn("row_kind", lit("ROW"))
+      .withColumn("name", lit("v"))
+      .withColumn("cell", struct(
+        lit("x").as("value"),
+        (lit(1609459200000000L) + col("pid")).as("writetime_us"),
+        lit(null).cast("int").as("ttl_s"),
+        lit(null).cast("bigint").as("expire_us")))
+      .withColumn("deletion_us", lit(null).cast("bigint"))
+      .withColumn("sstable", concat(lit("documents/nb-"),
+        (col("doc_id") % 2 + 1).cast("string"), lit("-big-Data.db")))
+      .drop("doc_id", "k", "pid")
+    val src = graft.Scratch.dir("graft-redisaudit-src-")
+    val out = graft.Scratch.dir("graft-redisaudit-out-")
+    val act = graft.Scratch.dir("graft-redisaudit-act-")
+    SSTableBinaryV2.writeSSTables(frame, src.toString,
+      "graft", "documents")
+    Seq(("documents/nb-2-big-Data.db", 4.0))
+      .toDF("sstable", "rate_15m")
+      .write.mode("overwrite").parquet(act.toString)
+    val plan = redistributeLake(spark, s"$src/graft/documents",
+      out.toString, budgetMarks = 8, activity = Some(act.toString))
+      .localCheckpoint()
+    // the rewritten lake still serves — full decode and a point read
+    // through the coarsened summary — and the cold summary really
+    // got the ×8 interval
+    val back = SSTableBinaryV2.readBinary(spark, out.toString)
+    require(back.count() == 1920L,
+      "redistributed lake lost rows")
+    // doc 76 is even → generation 1, the ×8-coarsened file
+    require(back.filter(col("partition_key") === "r-304").count() == 1L,
+      "point read through the ×8-coarsened summary failed")
+    val coldSum = SSTableComponents.readSummary(
+      java.nio.file.Files.readAllBytes(
+        out.resolve("nb-1-big-Summary.db")))
+    require(coldSum.minIndexInterval == 128 * 8 &&
+      coldSum.sampled.size == 1,
+      s"cold summary not coarsened: interval " +
+        s"${coldSum.minIndexInterval}, marks ${coldSum.sampled.size}")
+    graft.Scratch.delete(src)
+    graft.Scratch.delete(out)
+    graft.Scratch.delete(act)
+    plan
+  }
+
   /** The offline metadata-surgery tools (`sstablelevelreset` /
     * `sstableofflinerelevel` / `sstablerepairedset` — the leveled
     * state the reference reads at `NoTTLReader.getSSTableLevel`,
