@@ -1388,6 +1388,11 @@ object BigFormat {
       out.writeInt(s.commitLogLower._2)
     }
     if (versionHasCommitLogIntervals(version)) {
+      // the read path bounds the count at 2^16 — never emit a
+      // component this engine's own reader would refuse
+      require(s.commitLogIntervals.size <= (1 << 16),
+        s"commit-log interval count ${s.commitLogIntervals.size} " +
+          "exceeds the serializable bound (65536)")
       out.writeInt(s.commitLogIntervals.size)
       s.commitLogIntervals.foreach { case ((ls, lp), (us, up)) =>
         out.writeLong(ls); out.writeInt(lp)

@@ -1076,23 +1076,33 @@ object SSTableMetadata {
       s"summary redistribution targets ONE table directory; $root " +
         s"spans ${parents.size} (run per directory): " +
         parents.sorted.take(3).mkString(", "))
+    def keyOf(p: String): String = p.split('/').takeRight(2).mkString("/")
+    // duplicate sstable rows (an activity table appended over time)
+    // collapse by MAX — deterministic, and "was recently hot" is the
+    // conservative rank for a summary-degrading decision
     val rates: Map[String, Double] = activity match {
       case None => Map.empty
       case Some(p) => spark.read.parquet(p)
-        .select(org.apache.spark.sql.functions.col("sstable"),
-          org.apache.spark.sql.functions.col("rate_15m").cast("double"))
+        .groupBy(org.apache.spark.sql.functions.col("sstable"))
+        .agg(org.apache.spark.sql.functions
+          .max(org.apache.spark.sql.functions.col("rate_15m")
+            .cast("double")).as("rate_15m"))
         .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     }
-    // a non-empty activity table that matches ZERO generations is a
-    // key-shape mistake (bare filenames, full paths), not a cold
-    // lake: silently ranking everything coldest would degrade HOT
-    // summaries by name tie-break
-    require(rates.isEmpty || gens.exists(g =>
-      rates.contains(g._1.split('/').takeRight(2).mkString("/"))),
-      s"--activity table matches no generation under $root; keys " +
-        "must be '<table>/<name>-Data.db' (e.g. " +
-        s"'${gens.head._1.split('/').takeRight(2).mkString("/")}'), " +
-        s"got: ${rates.keys.take(3).mkString(", ")}")
+    // a non-empty activity table that matches ZERO generations is
+    // EITHER a key-shape mistake (bare filenames, full paths) OR a
+    // genuinely never-read directory inside a multi-table lake
+    // export — the run cannot tell them apart, so it proceeds with
+    // the documented meterless-coldest ranking but says so LOUDLY
+    // instead of refusing (a cluster-wide sstable_activity export
+    // legitimately has no row for a cold table)
+    if (rates.nonEmpty && !gens.exists(g => rates.contains(keyOf(g._1))))
+      System.err.println(
+        s"WARNING: --activity table matches no generation under " +
+          s"$root — every file ranks coldest. If this directory is " +
+          "not actually cold, check the key shape: expected " +
+          s"'${keyOf(gens.head._1)}', table has: " +
+          s"${rates.keys.take(3).mkString(", ")}")
     val bc = spark.sparkContext.broadcast(hconf)
     // pass 1: marks per generation — one Summary.db header each
     val marks: Seq[(String, Int)] = spark.createDataset(gens)
@@ -1116,7 +1126,6 @@ object SSTableMetadata {
             .sampled.size)
       }
       .collect().toSeq.sortBy(_._1)
-    def keyOf(p: String): String = p.split('/').takeRight(2).mkString("/")
     val factors = SSTableComponents.redistributeSummaries(
       marks.map { case (p, m) =>
         (p, m, rates.getOrElse(keyOf(p), 0.0)) },
