@@ -3084,6 +3084,18 @@ object SparkEntry {
       | CAST(CASE WHEN l.layout = 'plain'
       |   THEN CAST(substr(x.sstable, 14, 1) AS INTEGER)
       |   ELSE 0 END AS INTEGER) AS commitlog_intervals,
+      | CAST(CASE WHEN l.layout = 'plain'
+      |   THEN 99 + CAST(substr(x.sstable, 14, 1) AS INTEGER)
+      |   ELSE -1 END AS BIGINT) AS commitlog_upper_segment,
+      | CAST(CASE WHEN l.layout = 'plain'
+      |   THEN 4095 + CAST(substr(x.sstable, 14, 1) AS INTEGER)
+      |   ELSE 0 END AS INTEGER) AS commitlog_upper_position,
+      | CAST(CASE WHEN l.layout = 'plain'
+      |   THEN CAST(substr(x.sstable, 14, 1) AS INTEGER) - 1
+      |   ELSE -1 END AS BIGINT) AS commitlog_lower_segment,
+      | CAST(CASE WHEN l.layout = 'plain'
+      |   THEN 10 * (CAST(substr(x.sstable, 14, 1) AS INTEGER) - 1)
+      |   ELSE 0 END AS INTEGER) AS commitlog_lower_position,
       | l.layout
       |FROM x CROSS JOIN (VALUES ('plain'), ('lz4')) AS l(layout)"""
       .stripMargin,
@@ -3138,7 +3150,11 @@ object SparkEntry {
       | CAST(NULL AS VARCHAR) AS pending_repair,
       | FALSE AS is_transient,
       | CAST(NULL AS VARCHAR) AS originating_host_id,
-      | CAST(0 AS INTEGER) AS commitlog_intervals
+      | CAST(0 AS INTEGER) AS commitlog_intervals,
+      | CAST(-1 AS BIGINT) AS commitlog_upper_segment,
+      | CAST(0 AS INTEGER) AS commitlog_upper_position,
+      | CAST(-1 AS BIGINT) AS commitlog_lower_segment,
+      | CAST(0 AS INTEGER) AS commitlog_lower_position
       |FROM g""".stripMargin,
     // the sstableexpiredblockers role, sidecar-only: gen 3 (f=2) is
     // the designed all-expiring generation (finite deletion bound —

@@ -814,7 +814,15 @@ object SSTableMetadata {
       originating_host_id: Option[String] = None,
       /** Commit-log interval count ("mc"+ tail): 0 from offline
         * writers, the flushed-ranges census on cluster files. */
-      commitlog_intervals: Int = 0)
+      commitlog_intervals: Int = 0,
+      /** Commit-log replay bounds as (segmentId, position) —
+        * `sstablemetadata`'s "Commit log upper/lower bound" lines.
+        * (-1, 0) is Cassandra's own NONE sentinel, served verbatim
+        * (offline writers always carry it). */
+      commitlog_upper_segment: Long = -1L,
+      commitlog_upper_position: Int = 0,
+      commitlog_lower_segment: Long = -1L,
+      commitlog_lower_position: Int = 0)
 
   /** The modern-era `sstablemetadata` panel, SIDECAR-ONLY: one row
     * per generation from the Statistics.db STATS component
@@ -908,7 +916,11 @@ object SSTableMetadata {
             pending_repair = s.pendingRepair.map(_.toString),
             is_transient = s.isTransient,
             originating_host_id = s.originatingHostId.map(_.toString),
-            commitlog_intervals = s.commitLogIntervals.size)
+            commitlog_intervals = s.commitLogIntervals.size,
+            commitlog_upper_segment = s.commitLogUpper._1,
+            commitlog_upper_position = s.commitLogUpper._2,
+            commitlog_lower_segment = s.commitLogLower._1,
+            commitlog_lower_position = s.commitLogLower._2)
         }
       }
       .toDF()
@@ -1427,7 +1439,10 @@ object SSTableMetadata {
                   Some(new java.util.UUID(f + 2L, 33L)),
                 // gen designed interval sets: count = gen, replayable
                 commitLogIntervals = Seq.tabulate(f + 1)(i =>
-                  ((i.toLong, i * 10), (i + 1L, i * 10 + 5))))),
+                  ((i.toLong, i * 10), (i + 1L, i * 10 + 5))),
+                // designed replay bounds, all f-arithmetic
+                commitLogUpper = (100L + f, 4096 + f),
+                commitLogLower = (f.toLong, 10 * f))),
               validation = validation))
             java.nio.file.Files.deleteIfExists(
               p.getParent.resolve(s".$name.crc"))
