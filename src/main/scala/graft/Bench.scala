@@ -91,7 +91,7 @@ object Bench {
     // for a perf read (failures sort last for the same reason). JSON
     // object order is semantically irrelevant, so full parses are
     // unaffected.
-    def artifactLine: String = {
+    def artifactLine(partial: Boolean = false): String = {
       val done = best.toSeq.filter { case (k, v) =>
         v.isDefined || attempted(k) }
       val qs = done
@@ -101,7 +101,12 @@ object Bench {
         .mkString("{", ",", "}")
       val failedNames = done.collect { case (k, None) => "\"" + k + "\"" }
       val total = done.flatMap(_._2).sum
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":${
+      // "partial":true tags any line printed BEFORE the run's final
+      // refined artifact, so a parser grabbing the FIRST JSON line
+      // (instead of the documented last-line-wins tail) can reject it
+      // deterministically rather than record pre-top-up floors
+      val tag = if (partial) "\"partial\":true," else ""
+      s"""{${tag}"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":${
         failedNames.mkString("[", ",", "]")},"sf":"$sfDir"}"""
     }
     // Defensive artifact copy after every query: the harness captures
@@ -109,11 +114,11 @@ object Bench {
     // truncated tail in the recorded artifact — and an external timeout
     // kill (round 13) captures nothing at all. A file rewritten per
     // query makes the record recoverable regardless of how the run ends.
-    def persist(): Unit =
+    def persist(partial: Boolean = true): Unit =
       try {
         val p = java.nio.file.Paths.get("target", "bench_last.json")
         java.nio.file.Files.createDirectories(p.getParent)
-        java.nio.file.Files.writeString(p, artifactLine + "\n")
+        java.nio.file.Files.writeString(p, artifactLine(partial) + "\n")
       } catch { case _: java.io.IOException => () }
 
     // ---- phase 1: full coverage, one pass each ----
@@ -130,7 +135,8 @@ object Bench {
     // kill. If phase 2 completes, the refined line printed at the end
     // is the LAST JSON line on stdout (last-line-wins for any sane
     // capture); if the process is killed mid-top-up, this one is.
-    println(artifactLine)
+    // Tagged "partial":true so a first-line parser skips it.
+    println(artifactLine(partial = true))
     System.out.flush()
 
     // ---- phase 2: deadline-bounded top-ups, most expensive first ----
@@ -171,9 +177,9 @@ object Bench {
       }
     }
 
-    val line = artifactLine
+    val line = artifactLine()
     println(line)
-    persist()
+    persist(partial = false)
     spark.stop()
   }
 }

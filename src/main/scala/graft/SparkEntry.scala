@@ -168,6 +168,8 @@ object SparkEntry {
       (sources.SSTableMetadata.readMeterAudit _),
     "src_sstable_redistribute" ->
       (sources.SSTableMetadata.redistributeAudit _),
+    "src_sstable_track_activity" ->
+      (sources.SSTableMetadata.trackActivityAudit _),
     "src_sstable_expired_blockers" ->
       (sources.SSTableMetadata.expiredBlockersAudit _),
     "src_sstable_dump_export" ->
@@ -3047,7 +3049,11 @@ object SparkEntry {
       |  2 * sum(CASE WHEN k NOT IN (3, 5, 7) THEN 1 ELSE 0 END)
       |    AS n_cells,
       |  sum(CASE WHEN k IN (3, 7) THEN 1
-      |    WHEN e = 0 AND h <> 0 THEN 2 ELSE 0 END) AS tomb
+      |    WHEN e = 0 AND h <> 0 THEN 2 ELSE 0 END) AS tomb,
+      |  min(CASE WHEN k <> 3 THEN 'c' || CAST(doc AS VARCHAR) END)
+      |    AS min_cl,
+      |  max(CASE WHEN k <> 3 THEN 'c' || CAST(doc AS VARCHAR) END)
+      |    AS max_cl
       | FROM d GROUP BY f),
       |x AS (SELECT
       |  'documents/nb-' || CAST(f + 1 AS VARCHAR) || '-big-Data.db'
@@ -3068,7 +3074,9 @@ object SparkEntry {
       |  CAST(n_cells AS BIGINT) AS total_cells,
       |  CAST(tomb AS BIGINT) AS droppable_total,
       |  CASE WHEN n_cells = 0 THEN 0.0
-      |    ELSE CAST(tomb AS DOUBLE) / n_cells END AS droppable_ratio
+      |    ELSE CAST(tomb AS DOUBLE) / n_cells END AS droppable_ratio,
+      |  min_cl AS min_clustering,
+      |  max_cl AS max_clustering
       | FROM g)
       |SELECT x.*,
       | CASE WHEN l.layout = 'plain' THEN '00000000-0000-000' ||
@@ -3125,7 +3133,11 @@ object SparkEntry {
       |  2 * sum(CASE WHEN k NOT IN (3, 5, 7) THEN 1 ELSE 0 END)
       |    AS n_cells,
       |  sum(CASE WHEN k IN (3, 7) THEN 1
-      |    WHEN e = 0 AND h <> 0 THEN 2 ELSE 0 END) AS tomb
+      |    WHEN e = 0 AND h <> 0 THEN 2 ELSE 0 END) AS tomb,
+      |  min(CASE WHEN k <> 3 THEN 'c' || CAST(doc AS VARCHAR) END)
+      |    AS min_cl,
+      |  max(CASE WHEN k <> 3 THEN 'c' || CAST(doc AS VARCHAR) END)
+      |    AS max_cl
       | FROM d GROUP BY f)
       |SELECT
       | 'documents/nb-' || CAST(f + 1 AS VARCHAR) || '-big-Data.db'
@@ -3154,7 +3166,9 @@ object SparkEntry {
       | CAST(-1 AS BIGINT) AS commitlog_upper_segment,
       | CAST(0 AS INTEGER) AS commitlog_upper_position,
       | CAST(-1 AS BIGINT) AS commitlog_lower_segment,
-      | CAST(0 AS INTEGER) AS commitlog_lower_position
+      | CAST(0 AS INTEGER) AS commitlog_lower_position,
+      | min_cl AS min_clustering,
+      | max_cl AS max_clustering
       |FROM g""".stripMargin,
     // the sstableexpiredblockers role, sidecar-only: gen 3 (f=2) is
     // the designed all-expiring generation (finite deletion bound —
@@ -3183,7 +3197,7 @@ object SparkEntry {
       |FROM g b CROSS JOIN (SELECT max_del_off FROM g WHERE f = 2) x
       |WHERE b.f <> 2
       |  AND (1609459200 + b.min_doc) * 1000000
-      |    < (1609459200 + (SELECT max_off FROM g WHERE f = 2))
+      |    <= (1609459200 + (SELECT max_off FROM g WHERE f = 2))
       |      * 1000000""".stripMargin,
     // the IndexSummaryManager role: summaries resampled fine (the
     // rebuild branch), then the budget-driven redistribution coarsens
@@ -3251,6 +3265,27 @@ object SparkEntry {
       | ('documents/nb-2-big-Data.db', 4.0, CAST(8 AS BIGINT),
       |   CAST(2 AS INTEGER), CAST(4 AS BIGINT)))
       | AS t(sstable, rate, marks_before, factor, marks_after)""".stripMargin,
+    // the read-activity loop CLOSED: gen g is point-read g times at
+    // clock 1ns through the tracked read path, the harvested meters
+    // persist at 2 ticks + 1ns (one burst interval + one silent
+    // decay ⇒ rate = g/5 · exp(-interval/window)), and the rates
+    // drive the half-pool greedy over equal 10-mark summaries to
+    // the rank factors [8,8,2,1] coldest-first — design arithmetic
+    "src_sstable_track_activity" -> """
+      |WITH g AS (SELECT * FROM (VALUES
+      |  (1, 8), (2, 8), (3, 2), (4, 1)) AS t(gen, factor))
+      |SELECT
+      | 'documents/nb-' || CAST(gen AS VARCHAR) || '-big-Data.db'
+      |   AS sstable,
+      | CAST(gen AS BIGINT) AS reads,
+      | CAST(round(gen / 5.0 * exp(-5.0/900.0) * 1000000)
+      |   AS BIGINT) AS rate15_x1e6,
+      | CAST(round(gen / 5.0 * exp(-5.0/7200.0) * 1000000)
+      |   AS BIGINT) AS rate120_x1e6,
+      | CAST(10 AS BIGINT) AS marks_before,
+      | CAST(factor AS INTEGER) AS factor,
+      | CAST(ceil(10.0 / factor) AS BIGINT) AS marks_after
+      |FROM g""".stripMargin,
     // the key-count-estimation surface, sidecar-only: exact totals,
     // the merged HLL++ estimate (sketches stay sparse ⇒ exact on the
     // designed keys), the compaction-gain ratio over two identical

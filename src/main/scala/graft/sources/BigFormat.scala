@@ -1255,7 +1255,16 @@ object BigFormat {
       totalColumnsSet: Long,
       totalRows: Long,
       sstableLevel: Int = 0,
-      repairedAt: Long = 0L)
+      repairedAt: Long = 0L,
+      /** Per-clustering-column minima/maxima of the ENCODED values,
+        * compared under each column's own type comparator —
+        * `MetadataCollector.updateClusteringValues`' accounting
+        * (`ColumnNameHelper.minComponents`/`maxComponents` in 3.x),
+        * the bounds a real reader elides clustering slices with.
+        * Seq[Byte] (not Array) so the case class keeps structural
+        * equality — the round-trip specs compare whole instances. */
+      minClusteringValues: Seq[Seq[Byte]] = Nil,
+      maxClusteringValues: Seq[Seq[Byte]] = Nil)
 
   case class StatsModern(
       nPartitions: Long,
@@ -1289,7 +1298,13 @@ object BigFormat {
         * a real cluster file's values round-trip bit-exact. */
       commitLogUpper: (Long, Int) = (-1L, 0),
       commitLogLower: (Long, Int) = (-1L, 0),
-      commitLogIntervals: Seq[((Long, Int), (Long, Int))] = Nil)
+      commitLogIntervals: Seq[((Long, Int), (Long, Int))] = Nil,
+      /** Per-clustering-column min/max ENCODED values (short-length-
+        * prefixed buffers on disk) — empty from pre-round-15 sink
+        * files; real on every cluster-written generation and on this
+        * sink's clustered writes. Seq[Byte] for structural equality. */
+      minClusteringValues: Seq[Seq[Byte]] = Nil,
+      maxClusteringValues: Seq[Seq[Byte]] = Nil)
 
   /** An EstimatedHistogram whose mean()×count() reconstructs `total`
     * EXACTLY and whose count() is exactly `count`: with q = ⌊total /
@@ -1378,8 +1393,21 @@ object BigFormat {
     }
     out.writeInt(s.sstableLevel)
     out.writeLong(s.repairedAt)
-    out.writeInt(0)                       // minClusteringValues
-    out.writeInt(0)                       // maxClusteringValues
+    // min/max clustering-value lists: int size, then each value
+    // short-length-prefixed (ByteBufferUtil.writeWithShortLength —
+    // the StatsMetadata.serializer wire shape the parser reads back)
+    def writeValueList(vs: Seq[Seq[Byte]]): Unit = {
+      out.writeInt(vs.size)
+      vs.foreach { v =>
+        require(v.length <= 0xFFFF,
+          s"clustering bound value of ${v.length} bytes exceeds the " +
+            "short-length-prefixed wire form")
+        out.writeShort(v.length)
+        out.write(v.toArray)
+      }
+    }
+    writeValueList(s.minClusteringValues)
+    writeValueList(s.maxClusteringValues)
     out.writeBoolean(false)               // hasLegacyCounterShards
     out.writeLong(s.totalColumnsSet)
     out.writeLong(s.totalRows)
@@ -1443,13 +1471,15 @@ object BigFormat {
       }
       val level = body.readInt()
       val repairedAt = body.readLong()
-      (0 until 2).foreach { _ =>
+      val Seq(minClustering, maxClustering) = Seq.fill(2) {
         val n = body.readInt()
         require(n >= 0 && n <= (1 << 16),
           s"StatsMetadata: clustering-value list size $n")
-        (0 until n).foreach { _ =>
+        Vector.fill(n) {
           val len = body.readUnsignedShort()
-          body.skipBytes(len)
+          val v = new Array[Byte](len)
+          body.readFully(v)
+          v.toIndexedSeq: Seq[Byte]
         }
       }
       body.readBoolean()                  // hasLegacyCounterShards
@@ -1495,7 +1525,9 @@ object BigFormat {
         OldFormat.TombstoneHistogram(maxBins, bins), level, repairedAt,
         totalColumnsSet, totalRows,
         pendingRepair, isTransient, originatingHostId,
-        clUpper, clLower, clIntervals))
+        clUpper, clLower, clIntervals,
+        minClusteringValues = minClustering,
+        maxClusteringValues = maxClustering))
     }
   }
 

@@ -51,7 +51,11 @@ final class RestorableMeter private (
 
   private def tickIfNecessary(nowNanos: Long): Unit = {
     val age = nowNanos - lastTick
-    if (age >= TickIntervalNanos) {
+    // STRICT bound, as metrics-core's `tickIfNecessary` (which
+    // Cassandra's meter defers to): an age of EXACTLY one interval
+    // does not tick — the boundary instant still belongs to the
+    // open interval, and marks landing there accumulate into it.
+    if (age > TickIntervalNanos) {
       val ticks = age / TickIntervalNanos
       lastTick += ticks * TickIntervalNanos
       // only the FIRST tick sees the uncounted marks; the remaining

@@ -111,7 +111,9 @@ object SSTableBinaryV2 {
               "MaxValue to leave a side open)")
         },
         Option(options.get("scrub")).exists(_.toBoolean),
-        Option(options.get("maxBytesPerSec")).map(_.toDouble))
+        Option(options.get("maxBytesPerSec")).map(_.toDouble),
+        Option(options.get("activityEpoch")).map(e =>
+          (e, Option(options.get("activityClockNanos")).map(_.toLong))))
   }
 
   private class BinScanBuilder(path: String, maxFiles: Option[Int],
@@ -120,7 +122,8 @@ object SSTableBinaryV2 {
       verify: Boolean = false,
       tokenRange: Option[(Long, Long)] = None,
       scrub: Boolean = false,
-      maxBytesPerSec: Option[Double] = None)
+      maxBytesPerSec: Option[Double] = None,
+      activity: Option[(String, Option[Long])] = None)
       extends ScanBuilder with SupportsPushDownRequiredColumns
       with SupportsPushDownFilters {
     private var required: StructType = SSTableBinaryV2.schema
@@ -168,7 +171,7 @@ object SSTableBinaryV2 {
     override def build(): Scan =
       new BinScan(path, required, maxFiles, cql, pointKeys, splitBytes,
         slice, verify, tokenRange = tokenRange, scrub = scrub,
-        maxBytesPerSec = maxBytesPerSec)
+        maxBytesPerSec = maxBytesPerSec, activity = activity)
   }
 
   private class BinScan(path: String, required: StructType,
@@ -183,7 +186,8 @@ object SSTableBinaryV2 {
       tokenRange: Option[(Long, Long)] = None,
       tokenSpace: Option[String] = None,
       scrub: Boolean = false,
-      maxBytesPerSec: Option[Double] = None)
+      maxBytesPerSec: Option[Double] = None,
+      activity: Option[(String, Option[Long])] = None)
       extends Scan with Batch {
 
     /** A copy of this scan with planner-derived slice bounds — the
@@ -196,7 +200,7 @@ object SSTableBinaryV2 {
         space: String): BinScan =
       new BinScan(path, required, maxFiles, cql, pointKeys,
         splitBytesOpt, (lo, hi), verify, Some(space), tokenRange,
-        tokenSpace, scrub, maxBytesPerSec)
+        tokenSpace, scrub, maxBytesPerSec, activity)
 
     /** `space` names the token space PLANNER-derived bounds were
       * computed in: [[RenderedTokenSpace]] for a
@@ -212,7 +216,7 @@ object SSTableBinaryV2 {
         space: Option[String]): BinScan =
       new BinScan(path, required, maxFiles, cql, pointKeys,
         splitBytesOpt, slice, verify, sliceSpace, Some((lo, hi)),
-        space, scrub, maxBytesPerSec)
+        space, scrub, maxBytesPerSec, activity)
 
     private[graft] def currentTokenRange: Option[(Long, Long)] =
       tokenRange
@@ -235,7 +239,8 @@ object SSTableBinaryV2 {
         splitBytesOpt.map(b => s"splitBytes=$b"),
         if (verify) Some("verify=true") else None,
         if (scrub) Some("scrub=true") else None,
-        maxBytesPerSec.map(r => s"maxBytesPerSec=$r")
+        maxBytesPerSec.map(r => s"maxBytesPerSec=$r"),
+        activity.map { case (e, _) => s"activityEpoch=$e" }
       ).flatten
       s"sstable-big(${parts.mkString(", ")})"
     }
@@ -257,7 +262,8 @@ object SSTableBinaryV2 {
       Array(new PartitionsServedMetric, new FilesSkippedBloomMetric,
         new FilesSkippedTokenSpanMetric, new PartitionsScrubSkippedMetric,
         new ComponentCacheHitsMetric, new ComponentCacheMissesMetric,
-        new ThrottledBytesMetric, new ThrottleWaitNanosMetric)
+        new ThrottledBytesMetric, new ThrottleWaitNanosMetric,
+        new ActivityMarksMetric)
 
     /** One recursive listing yields the data files AND their sibling
       * component sets WITH lengths (no per-file exists()/status RPCs
@@ -329,7 +335,7 @@ object SSTableBinaryV2 {
     override def createReaderFactory(): PartitionReaderFactory =
       new BinReaderFactory(required.fieldNames, hconf, cql, pointKeys,
         slice, verify, sliceSpace, tokenRange, tokenSpace, scrub,
-        maxBytesPerSec)
+        maxBytesPerSec, activity)
 
     /** Streaming form — `spark.readStream.format("sstable-big")`: the
       * source's offset is a position in the SORTED file listing (new
@@ -445,14 +451,15 @@ object SSTableBinaryV2 {
       tokenRange: Option[(Long, Long)] = None,
       tokenSpace: Option[String] = None,
       scrub: Boolean = false,
-      maxBytesPerSec: Option[Double] = None)
+      maxBytesPerSec: Option[Double] = None,
+      activity: Option[(String, Option[Long])] = None)
       extends PartitionReaderFactory {
     override def createReader(
         partition: InputPartition): PartitionReader[InternalRow] = {
       val p = partition.asInstanceOf[BinFilePartition]
       new BinPartitionReader(p.file, cols, hconf.value, cql, pointKeys,
         p.start, p.end, p.info, slice, verify, sliceSpace, tokenRange,
-        tokenSpace, scrub, maxBytesPerSec)
+        tokenSpace, scrub, maxBytesPerSec, activity)
     }
   }
 
@@ -472,7 +479,8 @@ object SSTableBinaryV2 {
       tokenRangeOpt: Option[(Long, Long)] = None,
       tokenSpace: Option[String] = None,
       scrub: Boolean = false,
-      maxBytesPerSec: Option[Double] = None)
+      maxBytesPerSec: Option[Double] = None,
+      activity: Option[(String, Option[Long])] = None)
       extends PartitionReader[InternalRow] {
     /** A split task owns the partitions whose Data.db start offset
       * falls in its BLIND [rangeStart, rangeEnd) — blind ranges tile
@@ -491,7 +499,26 @@ object SSTableBinaryV2 {
       * tallied per reader into the DSv2 task metrics so engagement
       * is UI-readable. */
     private val throttleAccount = new ReadThrottle.Account
+    /** Read-activity mark, once per reader, at the Data.db-open choke
+      * point — the reference reader's `readMeter.mark()` on actual
+      * access (`NoTTLReader.java:126`). Bloom-rejected, token-
+      * disjoint and index-missed files never open Data.db, so a
+      * tracked point read meters EXACTLY the files it touched —
+      * Cassandra's `sstable_activity` semantics, not "files listed".
+      * The clock is the supplied option when tracking a designed
+      * schedule (deterministic, oracle-replayable) or the JVM
+      * monotonic clock on a real scan. */
+    private var activityMarked = 0L
+    private def markActivity(): Unit = activity.foreach {
+      case (epoch, clk) =>
+        if (activityMarked == 0L) {
+          activityMarked = 1L
+          ActivityRegistry.mark(epoch, sstable, 1L,
+            clk.getOrElse(System.nanoTime()))
+        }
+    }
     private def openData(p: HPath): org.apache.hadoop.fs.FSDataInputStream = {
+      markActivity()
       val raw = fs.open(p)
       maxBytesPerSec match {
         case Some(r) => ReadThrottle.wrap(raw, r, throttleAccount)
@@ -1509,7 +1536,8 @@ object SSTableBinaryV2 {
         TaskMetric(MetricComponentCacheHits, cacheHits),
         TaskMetric(MetricComponentCacheMisses, cacheMisses),
         TaskMetric(MetricThrottledBytes, throttleAccount.bytes),
-        TaskMetric(MetricThrottleWaitNanos, throttleAccount.waitNanos))
+        TaskMetric(MetricThrottleWaitNanos, throttleAccount.waitNanos),
+        TaskMetric(MetricActivityMarks, activityMarked))
 
     override def close(): Unit = {
       if (fullStream != null) fullStream.close()
@@ -1773,6 +1801,7 @@ object SSTableBinaryV2 {
   private[graft] val MetricComponentCacheMisses = "componentCacheMisses"
   private[graft] val MetricThrottledBytes = "throttledBytes"
   private[graft] val MetricThrottleWaitNanos = "throttleWaitNanos"
+  private[graft] val MetricActivityMarks = "activityReadsMarked"
 
   /** Planner hook: copy `scan` with a Murmur3 token range when it is
     * this connector's scan without one already (fixed point).
@@ -3085,6 +3114,32 @@ object SSTableBinaryV2 {
         var cMinTtl = Int.MaxValue; var cMaxTtl = Int.MinValue
         var nRows = 0L; var nCells = 0L
         var drop = OldFormat.TombstoneHistogram.empty
+        // MetadataCollector.updateClusteringValues' accounting: per
+        // clustering column, the min/max ENCODED value under that
+        // column's own comparator, fed by every clustered row AND
+        // range-tombstone marker (static rows excluded — Cassandra
+        // never feeds STATIC_CLUSTERING to the collector). The
+        // serialized form keeps the contiguous defined prefix.
+        val clMin = Array.fill[Option[Array[Byte]]](clTypes.size)(None)
+        val clMax = Array.fill[Option[Array[Byte]]](clTypes.size)(None)
+        def upClustering(cl: Seq[Option[String]]): Unit = {
+          var i = 0
+          val n = math.min(cl.size, clTypes.size)
+          while (i < n) {
+            cl(i) match {
+              case Some(v) =>
+                val enc = BigFormat.encodeValue(clTypes(i), v)
+                if (clMin(i).forall(cur =>
+                  BigFormat.compareEncoded(clTypes(i), enc, cur) < 0))
+                  clMin(i) = Some(enc)
+                if (clMax(i).forall(cur =>
+                  BigFormat.compareEncoded(clTypes(i), enc, cur) > 0))
+                  clMax(i) = Some(enc)
+              case None =>
+            }
+            i += 1
+          }
+        }
         def upTs(v: Long): Unit = {
           if (v < cMinTs) cMinTs = v; if (v > cMaxTs) cMaxTs = v
         }
@@ -3103,6 +3158,7 @@ object SSTableBinaryV2 {
           p.atoms.foreach {
             case r: BigFormat.RowAtom =>
               nRows += 1
+              if (!r.static) upClustering(r.clustering)
               r.livenessTsUs.foreach { t =>
                 upTs(t)
                 upTtl(r.livenessTtlS.getOrElse(0))
@@ -3116,7 +3172,9 @@ object SSTableBinaryV2 {
                 upTtl(c.ttlS.getOrElse(0))
                 upLdt(c.ldtS.getOrElse(Int.MaxValue))
               }
-            case m: BigFormat.MarkerAtom => m.deletions.foreach(upDeletion)
+            case m: BigFormat.MarkerAtom =>
+              upClustering(m.clustering)
+              m.deletions.foreach(upDeletion)
           }
         }
         val collected = BigFormat.StatsCollected(
@@ -3132,7 +3190,14 @@ object SSTableBinaryV2 {
           maxTtlS = if (cMaxTtl == Int.MinValue) 0 else cMaxTtl,
           tombstoneDropTime = drop,
           totalColumnsSet = nCells,
-          totalRows = nRows)
+          totalRows = nRows,
+          // the contiguous defined prefix: clustering prefixes are
+          // dense, so a gap can only come from mid-prefix nulls —
+          // truncate there rather than serialize a hole
+          minClusteringValues = clMin.takeWhile(_.isDefined)
+            .flatten.map(_.toIndexedSeq: Seq[Byte]).toSeq,
+          maxClusteringValues = clMax.takeWhile(_.isDefined)
+            .flatten.map(_.toIndexedSeq: Seq[Byte]).toSeq)
         val fs = FileSystem.get(
           java.net.URI.create(outDir), hconf.value.value)
         val dir = new HPath(s"$outDir/$keyspace/$table")
@@ -3804,4 +3869,10 @@ private[sources] class ThrottleWaitNanosMetric
   override def name(): String = SSTableBinaryV2.MetricThrottleWaitNanos
   override def description(): String =
     "nanos tasks waited on the read rate limiter"
+}
+private[sources] class ActivityMarksMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = SSTableBinaryV2.MetricActivityMarks
+  override def description(): String =
+    "reads marked into the sstable activity meters"
 }

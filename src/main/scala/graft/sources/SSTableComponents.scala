@@ -846,7 +846,9 @@ object SSTableComponents {
       sstableLevel = c.sstableLevel,
       repairedAt = c.repairedAt,
       totalColumnsSet = c.totalColumnsSet,
-      totalRows = c.totalRows))
+      totalRows = c.totalRows,
+      minClusteringValues = c.minClusteringValues,
+      maxClusteringValues = c.maxClusteringValues))
     Seq(
       "Data.db" -> onDisk,
       "Statistics.db" -> BigFormat.writeStats(header, version,

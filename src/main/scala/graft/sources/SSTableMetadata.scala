@@ -822,7 +822,14 @@ object SSTableMetadata {
       commitlog_upper_segment: Long = -1L,
       commitlog_upper_position: Int = 0,
       commitlog_lower_segment: Long = -1L,
-      commitlog_lower_position: Int = 0)
+      commitlog_lower_position: Int = 0,
+      /** Min/max clustering-value bounds (`sstablemetadata`'s
+        * "minClusteringValues"/"maxClusteringValues" lines), each
+        * column rendered under the serialization header's type and
+        * ':'-joined — NULL when the file declares none (pre-round-15
+        * sink output, clustering-less tables). */
+      min_clustering: Option[String] = None,
+      max_clustering: Option[String] = None)
 
   /** The modern-era `sstablemetadata` panel, SIDECAR-ONLY: one row
     * per generation from the Statistics.db STATS component
@@ -867,7 +874,23 @@ object SSTableMetadata {
         val base = dataPath.stripSuffix("-Data.db")
         val statsPath = base + "-Statistics.db"
         if (oldEra || !comps.contains(statsPath)) None
-        else BigFormat.readStatsModern(readAll(fs, statsPath), version)
+        else {
+        val statsBytes = readAll(fs, statsPath)
+        // the serialization header's clustering types render the
+        // bound values; a foreign file whose value bytes don't parse
+        // under the declared type serves hex rather than refusing
+        // the whole panel (the value is still the file's truth)
+        val clTypes = scala.util.Try(
+          BigFormat.readStats(statsBytes).clusteringTypes)
+          .getOrElse(Nil)
+        def renderBounds(vs: Seq[Seq[Byte]]): Option[String] =
+          if (vs.isEmpty) None
+          else Some(vs.zipWithIndex.map { case (v, i) =>
+            scala.util.Try(BigFormat.renderValue(
+              clTypes.lift(i).getOrElse(BigFormat.Utf8Type), v.toArray))
+              .getOrElse(v.map("%02x".format(_)).mkString)
+          }.mkString(":"))
+        BigFormat.readStatsModern(statsBytes, version)
           .map { s =>
           val key = dataPath.split('/').takeRight(2).mkString("/")
           bcSizes.value.get(key).foreach { dataLen =>
@@ -920,7 +943,10 @@ object SSTableMetadata {
             commitlog_upper_segment = s.commitLogUpper._1,
             commitlog_upper_position = s.commitLogUpper._2,
             commitlog_lower_segment = s.commitLogLower._1,
-            commitlog_lower_position = s.commitLogLower._2)
+            commitlog_lower_position = s.commitLogLower._2,
+            min_clustering = renderBounds(s.minClusteringValues),
+            max_clustering = renderBounds(s.maxClusteringValues))
+        }
         }
       }
       .toDF()
@@ -1095,6 +1121,12 @@ object SSTableMetadata {
     val rates: Map[String, Double] = activity match {
       case None => Map.empty
       case Some(p) => spark.read.parquet(p)
+        // NULL rates drop BEFORE the aggregate: a file whose every
+        // activity row is NULL must land in the documented
+        // meterless-coldest posture (no map entry → 0.0), not
+        // surface as a null max() and an opaque NPE here
+        .filter(org.apache.spark.sql.functions
+          .col("rate_15m").isNotNull)
         .groupBy(org.apache.spark.sql.functions.col("sstable"))
         .agg(org.apache.spark.sql.functions
           .max(org.apache.spark.sql.functions.col("rate_15m")
@@ -1256,6 +1288,166 @@ object SSTableMetadata {
     graft.Scratch.delete(out)
     graft.Scratch.delete(act)
     plan
+  }
+
+  /** The reference reader's scheduled activity persist
+    * (`NoTTLReader.java:2288-2332` — `readMeterSyncFuture` writes
+    * each open sstable's meter to `system.sstable_activity` every
+    * five minutes), as a lake operation: harvest every executor's
+    * [[ActivityRegistry]] meters for `epoch`, ticked to
+    * `clockNanos`, SUM the per-executor rates per sstable (each
+    * executor metered the reads IT served — EWMA rates of disjoint
+    * mark streams add), and persist the
+    * `sstable`/`reads`/`rate_15m`/`rate_120m` table
+    * [[redistributeLake]] consumes. Harvest is a probe job with
+    * several tasks per core so every live executor contributes;
+    * like the reference's five-minute sync, the table is a snapshot
+    * of the meters that were reachable at persist time. Returns the
+    * written frame (catalog-sized: one row per read sstable). */
+  def writeActivity(spark: SparkSession, epoch: String,
+      clockNanos: Long, outPath: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val n = math.max(spark.sparkContext.defaultParallelism * 2, 4)
+    val harvested = spark.sparkContext.parallelize(0 until n, n)
+      .mapPartitions { _ =>
+        val exec = org.apache.spark.SparkEnv.get.executorId
+        ActivityRegistry.snapshot(epoch, clockNanos).iterator.map {
+          case (sst, reads, r15, r120) => (exec, sst, reads, r15, r120)
+        }
+      }
+      .collect()
+      // every probe task on one executor snapshots the same meters at
+      // the same (idempotent) tick — identical rows, dedup exactly
+      .distinct.toSeq
+    val df = harvested
+      .toDF("executor", "sstable", "reads", "rate_15m", "rate_120m")
+      .groupBy(col("sstable"))
+      .agg(sum(col("reads")).as("reads"),
+        sum(col("rate_15m")).as("rate_15m"),
+        sum(col("rate_120m")).as("rate_120m"))
+    df.write.mode("overwrite").parquet(outPath)
+    df
+  }
+
+  /** Registered `src_sstable_track_activity` — the read-activity loop
+    * CLOSED end-to-end, no hand-supplied table anywhere: the
+    * reference's reader marks its meter on every actual read and a
+    * scheduled sync persists it; summary redistribution then weighs
+    * files by those rates (`NoTTLReader.java:126` meter field,
+    * `:2288-2332` sync, `IndexSummaryManager` consumer). Here:
+    *   1. a DESIGNED private generation set (first 480 documents ×10
+    *      → 1200 partitions per generation → 10 summary marks each at
+    *      the written interval, SF-independent by id-cap);
+    *   2. a designed SCAN SCHEDULE: generation g is point-read g
+    *      times under `activityEpoch`/`activityClockNanos=1` — every
+    *      mark lands through the REAL bloom-gated Data.db-open choke
+    *      point, never through a hand-built meter;
+    *   3. [[writeActivity]] persists the harvested meters at
+    *      2 ticks + 1ns — one burst interval plus one silent decay,
+    *      so rate15 = g/5·exp(-5/900) closed-form (gated at 1e-9
+    *      before anything is served);
+    *   4. [[redistributeLake]] consumes that parquet: strictly
+    *      ordered rates over equal 10-mark summaries at a half-pool
+    *      budget land the greedy on factors [8,8,2,1] coldest-first —
+    *      all columns design arithmetic the oracle replays. */
+  def trackActivityAudit(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id").cast("long")).filter(col("doc_id") < 480)
+    require(docs.count() == 480L,
+      "track-activity fixture needs the first 480 documents")
+    // 10 partitions per member doc → 1200 per generation → 10 summary
+    // marks each at the written interval (128), at any SF; ≥9 equal
+    // marks is the rank-closed-form regime the read-meter audit pins
+    val frame = docs
+      .withColumn("k", explode(array((0 until 10).map(i =>
+        lit(i.toLong)): _*)))
+      .withColumn("pid", col("doc_id") * 10 + col("k"))
+      .withColumn("partition_key", concat(lit("r-"), col("pid")))
+      .withColumn("clustering", array(lit("c")))
+      .withColumn("row_kind", lit("ROW"))
+      .withColumn("name", lit("v"))
+      .withColumn("cell", struct(
+        lit("x").as("value"),
+        (lit(1609459200000000L) + col("pid")).as("writetime_us"),
+        lit(null).cast("int").as("ttl_s"),
+        lit(null).cast("bigint").as("expire_us")))
+      .withColumn("deletion_us", lit(null).cast("bigint"))
+      .withColumn("sstable", concat(lit("documents/nb-"),
+        (col("doc_id") % 4 + 1).cast("string"), lit("-big-Data.db")))
+      .drop("doc_id", "k", "pid")
+    val src = graft.Scratch.dir("graft-trackact-src-")
+    val act = graft.Scratch.dir("graft-trackact-act-")
+    val out = graft.Scratch.dir("graft-trackact-out-")
+    SSTableBinaryV2.writeSSTables(frame, src.toString,
+      "graft", "documents")
+    val root = s"$src/graft/documents"
+    val epoch = java.util.UUID.randomUUID().toString
+    val tick = RestorableMeter.TickIntervalNanos
+    // designed schedule: gen g point-read g times, all marks at 1ns —
+    // docs 0..3 land in gens 1..4, their first pid is doc*10
+    (1 to 4).foreach { g =>
+      val key = s"r-${(g - 1) * 10}"
+      (1 to g).foreach { _ =>
+        val served = spark.read.format("sstable-big")
+          .option("activityEpoch", epoch)
+          .option("activityClockNanos", "1")
+          .load(root)
+          .filter(col("partition_key") === key)
+          .count()
+        require(served > 0L,
+          s"track-activity point read of $key served nothing")
+      }
+    }
+    val actDf = writeActivity(spark, epoch, 2 * tick + 1, act.toString)
+      .collect().map(r => r.getAs[String]("sstable") ->
+        (r.getAs[Long]("reads"), r.getAs[Double]("rate_15m"),
+          r.getAs[Double]("rate_120m"))).toMap
+    ActivityRegistry.drop(epoch)
+    // the closed form, gated before anything serves: one burst tick
+    // (g reads / 5s) then one silent decay
+    val d15 = math.exp(-5.0 / 900.0)
+    val d120 = math.exp(-5.0 / 7200.0)
+    (1 to 4).foreach { g =>
+      val name = s"documents/nb-$g-big-Data.db"
+      val (reads, r15, r120) = actDf.getOrElse(name,
+        throw new IllegalStateException(
+          s"$name: no activity row — the tracked scans never marked"))
+      require(reads == g.toLong,
+        s"$name: $reads reads metered, designed $g")
+      val want15 = g / 5.0 * d15
+      val want120 = g / 5.0 * d120
+      require(math.abs(r15 - want15) < 1e-9 &&
+        math.abs(r120 - want120) < 1e-9,
+        s"$name: tracked meter drifted off the closed form " +
+          s"($r15 vs $want15)")
+    }
+    // rates strictly ordered, marks equal → the greedy's rank closed
+    // form at the half-pool budget: 4×10 marks → budget 20
+    val plan = redistributeLake(spark, root, out.toString,
+      budgetMarks = 20, activity = Some(act.toString))
+      .collect().map(r => r.getAs[String]("sstable") ->
+        (r.getAs[Long]("marks_before"), r.getAs[Int]("factor"),
+          r.getAs[Long]("marks_after"))).toMap
+    val rows = (1 to 4).map { g =>
+      val name = s"documents/nb-$g-big-Data.db"
+      val (reads, r15, r120) = actDf(name)
+      val (mb, f, ma) = plan.getOrElse(name,
+        throw new IllegalStateException(s"$name: missing from plan"))
+      require(mb == 10L,
+        s"$name: $mb summary marks, designed 10 — fixture drifted")
+      (name, reads, math.round(r15 * 1e6), math.round(r120 * 1e6),
+        mb, f, ma)
+    }
+    graft.Scratch.delete(src)
+    graft.Scratch.delete(act)
+    graft.Scratch.delete(out)
+    spark.createDataset(rows).toDF("sstable", "reads",
+      "rate15_x1e6", "rate120_x1e6", "marks_before", "factor",
+      "marks_after")
   }
 
   /** The offline metadata-surgery tools (`sstablelevelreset` /

@@ -43,8 +43,10 @@ class RestorableMeterSpec extends AnyFunSuite {
     a.tickTo(10 * T)        // one 10-interval jump
     val b = RestorableMeter.fresh(0L)
     b.mark(5, 1)
-    b.tickTo(T)             // tick the mark through
-    (2 to 10).foreach(i => b.tickTo(i * T)) // then 9 singles
+    // exact multiples: the strict boundary rule groups these into
+    // two-interval batches, but the total tick count (1 with marks +
+    // 9 silent) is the same — decay is multiplicative
+    (1 to 10).foreach(i => b.tickTo(i * T))
     // the jump path computes the 9 silent ticks closed-form
     // (pow(1-alpha, 9)), the single-tick path multiplies nine times —
     // same EWMA value within float association noise, not bit-equal
@@ -59,7 +61,13 @@ class RestorableMeterSpec extends AnyFunSuite {
     m.mark(3, 100)
     m.mark(4, T - 1)
     assert(m.fifteenMinuteRate === 0.0) // uninitialized, no tick yet
+    // metrics-core's STRICT bound: an age of exactly one interval is
+    // still inside the open interval — no tick (Cassandra's meter
+    // defers to the same rule)
     m.tickTo(T)
+    assert(m.fifteenMinuteRate === 0.0)
+    m.mark(0, T) // marks on the boundary instant join the interval
+    m.tickTo(T + 1)
     assert(math.abs(m.fifteenMinuteRate - 7.0 / 5.0) < 1e-12)
   }
 
@@ -76,7 +84,7 @@ class RestorableMeterSpec extends AnyFunSuite {
     assert(math.abs(m.twoHourRate - 1.2 * math.pow(d120, 3)) < 1e-12)
     // a restored meter keeps absorbing new traffic
     m.mark(50, 3 * T + 1)
-    m.tickTo(4 * T)
+    m.tickTo(4 * T + 1)
     val before = 2.4 * math.pow(d15, 3)
     val alpha = RestorableMeter.Alpha15
     assert(math.abs(m.fifteenMinuteRate -

@@ -544,4 +544,76 @@ class StatsMetadataSpec extends SparkSpec {
       assert(r.getAs[Int]("max_deletion_s") === (wt / 1000000L + 30).toInt)
     } finally Scratch.delete(out)
   }
+
+  test("min/max clustering-value bounds: non-empty lists round-trip " +
+    "the wire on every era, survive the byte-surgical patch, and the " +
+    "sink collects them under the TYPED comparator (signed numeric, " +
+    "not byte-lexicographic), markers included") {
+    import spark.implicits._
+    // wire round-trip with designed non-empty lists
+    val bounds = sampleStats().copy(
+      minClusteringValues = Seq(Seq[Byte](0, 1), Seq[Byte](9)),
+      maxClusteringValues = Seq(Seq[Byte](0, 2)))
+    for (version <- Seq("ma", "mc", "nb")) {
+      val back = BigFormat.readStatsModern(
+        BigFormat.writeStats(header, version, stats = Some(bounds)),
+        version).getOrElse(fail(s"STATS absent (version=$version)"))
+      assert(back === bounds, s"version=$version")
+    }
+    // the byte-surgical level patch preserves them bit-exact
+    val patched = BigFormat.patchStatsFields(
+      BigFormat.writeStats(header, "nb", stats = Some(bounds)),
+      checksummed = true, Some(7), None)
+    val pb = BigFormat.readStatsModern(patched, "nb").get
+    assert(pb.sstableLevel === 7)
+    assert(pb.copy(sstableLevel = bounds.sstableLevel) === bounds)
+    // the sink fold under a declared `ck bigint`: values {3, -5} on
+    // rows and a marker pair at {-9, 2} — the signed comparator puts
+    // min at -9 and max at 3, while a byte-lexicographic fold would
+    // rank -5/-9 (0xFF-leading) ABOVE the positives
+    val wt = 1609459200000000L
+    val rows = Seq(
+      ("p0", Seq("3"), "ROW", Some("v"),
+        Some(("a", wt, None: Option[Int], None: Option[Long])),
+        None: Option[Long]),
+      ("p0", Seq("-5"), "ROW", Some("v"),
+        Some(("b", wt + 1L, None: Option[Int], None: Option[Long])),
+        None: Option[Long]),
+      ("p0", Seq("-9"), "RANGE_TOMBSTONE_BOUND",
+        Some("start:inclusive"), None, Some(wt + 2L)),
+      ("p0", Seq("2"), "RANGE_TOMBSTONE_BOUND",
+        Some("end:inclusive"), None, Some(wt + 2L)))
+      .toDF("partition_key", "clustering", "row_kind", "name",
+        "cell_t", "deletion_us")
+      .withColumn("cell", when(col("cell_t").isNotNull, struct(
+        col("cell_t._1").as("value"),
+        col("cell_t._2").as("writetime_us"),
+        col("cell_t._3").as("ttl_s"),
+        col("cell_t._4").as("expire_us"))))
+      .withColumn("sstable", lit("t/nb-1-big-Data.db"))
+      .drop("cell_t")
+    val schema = graft.model.CqlSchema.parse(
+      "CREATE TABLE graft.t (pk text, ck bigint, v text, " +
+        "PRIMARY KEY (pk, ck))").toOption
+    val out = Scratch.dir("graft-clbounds-")
+    try {
+      SSTableBinaryV2.writeSSTables(rows, out.toString, "graft", "t",
+        schema)
+      val dir = out.resolve("graft").resolve("t")
+      val s = BigFormat.readStatsModern(java.nio.file.Files
+        .readAllBytes(dir.resolve("nb-1-big-Statistics.db")), "nb").get
+      def long8(v: Long): Seq[Byte] = {
+        val bb = java.nio.ByteBuffer.allocate(8).putLong(v)
+        bb.array().toIndexedSeq
+      }
+      assert(s.minClusteringValues === Seq(long8(-9L)))
+      assert(s.maxClusteringValues === Seq(long8(3L)))
+      // the panel renders them under the header's declared type
+      val panel = SSTableMetadata.describeStats(spark, dir.toString)
+        .collect()
+      assert(panel.length === 1)
+      assert(panel.head.getAs[String]("min_clustering") === "-9")
+      assert(panel.head.getAs[String]("max_clustering") === "3")
+    } finally Scratch.delete(out)
+  }
 }
