@@ -82,4 +82,52 @@ class ScaleSpec extends SparkSpec {
         s"$dir: corpus-sized join for the threshold table:\n$p")
     }
   }
+
+  test("an oversized Data.db splits under the DEFAULT " +
+    "spark.sql.files.maxPartitionBytes dial — no splitBytes option " +
+    "anywhere (the straggler killer at a cluster's real config)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val out = graft.Scratch.dir("graft-scale-split-")
+    try {
+      val n = 600
+      val frame = (0 until n).map { i =>
+        (f"p$i%04d", Seq("c"), "ROW", Some("v"),
+          Some(("x" * 256, 1609459200000000L + i, None: Option[Int],
+            None: Option[Long])),
+          None: Option[Long], "t/nb-1-big-Data.db")
+      }
+        .toDF("partition_key", "clustering", "row_kind", "name",
+          "cell_t", "deletion_us", "sstable")
+        .withColumn("cell", struct(
+          col("cell_t._1").as("value"),
+          col("cell_t._2").as("writetime_us"),
+          col("cell_t._3").as("ttl_s"),
+          col("cell_t._4").as("expire_us")))
+        .drop("cell_t")
+      graft.sources.SSTableBinaryV2.writeSSTables(frame, out.toString,
+        "graft", "t")
+      val dir = s"$out/graft/t"
+      val dataLen = java.nio.file.Files.size(java.nio.file.Paths
+        .get(dir, "nb-1-big-Data.db"))
+      assert(dataLen > 64 * 1024,
+        s"fixture too small to witness splitting ($dataLen bytes)")
+      // at the session default (128 MiB) this small file is ONE task
+      val whole = spark.read.format("sstable-big").load(dir)
+      assert(whole.rdd.getNumPartitions === 1)
+      // shrink the SESSION dial — the same knob that sizes parquet
+      // splits — and the scan must divide with no connector option
+      val before = spark.conf.get("spark.sql.files.maxPartitionBytes")
+      try {
+        spark.conf.set("spark.sql.files.maxPartitionBytes",
+          (32 * 1024).toString)
+        val split = spark.read.format("sstable-big").load(dir)
+        assert(split.rdd.getNumPartitions > 1,
+          s"$dataLen-byte Data.db stayed one task at a 32 KiB dial")
+        assert(split.count() === n.toLong,
+          "default-dial splitting lost or duplicated partitions")
+      } finally spark.conf.set("spark.sql.files.maxPartitionBytes",
+        before)
+    } finally graft.Scratch.delete(out)
+  }
 }
