@@ -49,9 +49,12 @@ object Bench {
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
-    // Max runs per query (SPARK_GRAFT_BENCH_RUNS, default 2): phase 2
-    // tops a query up to this many passes when the deadline allows.
-    val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
+    // Max runs per query (SPARK_GRAFT_BENCH_RUNS, default 3): phase 2
+    // tops a query up to this many passes when the deadline allows —
+    // most-expensive-first, so the extra pass lands exactly where
+    // first-run JIT/codegen noise costs the most absolute seconds;
+    // the deadline (not this count) bounds total wall time.
+    val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
     // Optional name filter (regex, full-match) for iterating on a subset;
     // the driver never sets it, so the recorded artifact is always the
     // full surface.

@@ -75,6 +75,13 @@ import org.apache.spark.sql.SparkSession
   * copies every generation with Summary.db coarsened coldest-first
   * until the pool fits the mark budget; --activity supplies
   * persisted RestorableMeter rates.
+  *
+  *   graft.RemoverCli --track-activity <parquet> --in <lake dir>
+  *     [--cql "CREATE TABLE ..."] [--cpus <n>]
+  * one tracked scan (read-only) whose per-file read meters persist
+  * as exactly the activity table `--summary-budget --activity`
+  * consumes — the reference reader's meter + scheduled sync as a
+  * lake operation.
   */
 object RemoverCli {
 
@@ -121,13 +128,24 @@ object RemoverCli {
         * `--activity <parquet>` supplies per-sstable RestorableMeter
         * rates (meterless files rank coldest). */
       summaryBudget: Option[Long] = None,
-      activity: Option[String] = None)
+      activity: Option[String] = None,
+      /** `--track-activity <parquet>`: one tracked scan of `--in`
+        * with per-file read meters ([[graft.sources
+        * .ActivityRegistry]]), persisted as the
+        * `sstable`/`reads`/`rate_15m`/`rate_120m` table
+        * `--summary-budget --activity` consumes — the reference
+        * reader's meter + scheduled sync (`NoTTLReader.java:126,
+        * 2288-2332`) as a one-shot lake operation. The persist clock
+        * sits one tick past the scan, so this scan's burst lands in
+        * the rates (a one-window estimate; a scheduled deployment
+        * restores and keeps decaying across runs). */
+      trackActivityOut: Option[String] = None)
 
   private val Flags = Set("in", "out", "table", "keyspace", "cpus",
     "pk", "ck", "cells", "writetime", "ttl-key", "format", "merge",
     "reader", "sink", "cql", "compress", "verify", "scrub",
     "out-generations", "inventory", "stats", "set-level",
-    "set-repaired-at", "summary-budget", "activity")
+    "set-repaired-at", "summary-budget", "activity", "track-activity")
 
   private def csv(v: String): Seq[String] =
     v.split(',').map(_.trim).filter(_.nonEmpty).toSeq
@@ -161,6 +179,7 @@ object RemoverCli {
       else if (m.contains("set-level") || m.contains("set-repaired-at"))
         parseSurgery(m)
       else if (m.contains("summary-budget")) parseSummaryBudget(m)
+      else if (m.contains("track-activity")) parseTrackActivity(m)
       else if (m.contains("activity"))
         Left("--activity applies to --summary-budget only")
       else (m.get("in"), m.get("out"), m.get("table")) match {
@@ -325,6 +344,32 @@ object RemoverCli {
                   activity = m.get("activity")))
               }
             }
+        }
+    }
+  }
+
+  /** `--track-activity <parquet>` validation: a read-only tracked
+    * scan takes `--in` (and `--cql` for a pre-3.0 lake, whose files
+    * carry no serialization header); the flag's value is the
+    * activity table's destination. Any transform flag is a
+    * contradiction. */
+  private def parseTrackActivity(m: Map[String, String])
+      : Either[String, CliArgs] = {
+    val allowed = Set("track-activity", "in", "cpus", "cql")
+    val stray = (m.keySet -- allowed).toSeq.sorted
+    if (stray.nonEmpty)
+      return Left("--track-activity is a read-only metered scan; " +
+        s"${stray.map("--" + _).mkString("/")} do" +
+        (if (stray.size == 1) "es" else "") + " not apply")
+    m.get("in") match {
+      case None => Left("--in <dir> is required")
+      case Some(i) =>
+        val cpus = m.getOrElse("cpus", "8")
+        cpus.toIntOption.filter(_ > 0) match {
+          case None => Left(s"--cpus must be a positive int, got '$cpus'")
+          case Some(c) => Right(CliArgs(i, out = "", table = "",
+            cpus = c, cqlText = m.get("cql"),
+            trackActivityOut = Some(m("track-activity"))))
         }
     }
   }
@@ -551,6 +596,34 @@ object RemoverCli {
         println(s"WARNING: pool still holds $after marks after " +
           s"coarsening everything to the max factor — the budget of " +
           s"${args.summaryBudget.get} is not reachable on this lake")
+      n
+    }
+    else if (args.trackActivityOut.isDefined) {
+      val epoch = java.util.UUID.randomUUID().toString
+      val reader = spark.read.format("sstable-big")
+        .option("activityEpoch", epoch)
+      args.cqlText.foreach(c => reader.option("cql", c))
+      val scanned = reader.load(args.in).count()
+      // one tick past the scan: this scan's burst lands in the rates
+      // (the one-window estimate the mode documents)
+      val clock = System.nanoTime() +
+        graft.sources.RestorableMeter.TickIntervalNanos + 1
+      val table = graft.sources.SSTableMetadata.writeActivity(spark,
+        epoch, clock, args.trackActivityOut.get)
+        .orderBy("sstable").localCheckpoint()
+      graft.sources.ActivityRegistry.drop(epoch)
+      val n = table.count()
+      val head = table.limit(InventoryPrintCap).collect()
+      println(formatInventory(table.columns,
+        head.toSeq.map(_.toSeq.map {
+          case null => "-"
+          case v => v.toString
+        })))
+      if (n > InventoryPrintCap)
+        println(s"… $n generations total; showing the first " +
+          s"$InventoryPrintCap")
+      println(s"scanned $scanned rows; $n generations metered → " +
+        args.trackActivityOut.get)
       n
     }
     else if (args.sink == "sstable")
@@ -805,6 +878,8 @@ object RemoverCli {
           " --out <dir>" +
           " | --summary-budget <marks> --in <dir> --out <dir>" +
           " [--activity <parquet>]" +
+          " | --track-activity <parquet> --in <dir>" +
+          " [--cql \"CREATE TABLE ...\"]" +
           " [--format parquet|sstabledump|sstable]" +
           " [--merge lww] [--reader json|v2] [--sink parquet|sstable]" +
           " [--compress lz4|snappy|deflate|zstd]" +

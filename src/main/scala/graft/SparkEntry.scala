@@ -170,8 +170,12 @@ object SparkEntry {
       (sources.SSTableMetadata.redistributeAudit _),
     "src_sstable_track_activity" ->
       (sources.SSTableMetadata.trackActivityAudit _),
+    "src_sstable_redistribute_2x" ->
+      (sources.SSTableMetadata.redistribute2xAudit _),
     "src_sstable_expired_blockers" ->
       (sources.SSTableMetadata.expiredBlockersAudit _),
+    "src_sstable_expired_blockers_edge" ->
+      (sources.SSTableMetadata.expiredBlockersEdgeAudit _),
     "src_sstable_dump_export" ->
       (sources.SSTableDumpBridge.exportAudit _),
     "src_sstable_slice" -> (sources.SSTableBinaryV2.sliceAudit _),
@@ -3265,6 +3269,29 @@ object SparkEntry {
       | ('documents/nb-2-big-Data.db', 4.0, CAST(8 AS BIGINT),
       |   CAST(2 AS INTEGER), CAST(4 AS BIGINT)))
       | AS t(sstable, rate, marks_before, factor, marks_after)""".stripMargin,
+    // the blocker conditions at their boundaries: one inclusive-bound
+    // blocker survives a designed five-generation set (equality on
+    // the min-writetime bound; newer-than, token-disjoint, and
+    // itself-expired candidates all excluded) — design constants
+    "src_sstable_expired_blockers_edge" -> """
+      |SELECT * FROM (VALUES
+      | ('documents/nb-1-big-Data.db', 'documents/nb-2-big-Data.db',
+      |   CAST(1609460200000000 AS BIGINT),
+      |   CAST(1609460250 AS INTEGER)))
+      | AS t(expired, blocker, blocker_min_writetime_us,
+      |   expired_max_deletion_s)""".stripMargin,
+    // the 2.x redistribution leg: a designed ka pair (8 marks each,
+    // level 128), budget 13 → the meterless generation halves to
+    // level 64 (8 → 4 marks, the odd-indexed pattern survivors),
+    // the hot one copies verbatim — every column a design constant
+    "src_sstable_redistribute_2x" -> """
+      |SELECT * FROM (VALUES
+      | ('documents/graft-documents-ka-1-Data.db', 0.0,
+      |   CAST(8 AS BIGINT), CAST(2 AS INTEGER), CAST(4 AS BIGINT)),
+      | ('documents/graft-documents-ka-2-Data.db', 4.0,
+      |   CAST(8 AS BIGINT), CAST(1 AS INTEGER), CAST(8 AS BIGINT)))
+      | AS t(sstable, rate, marks_before, factor, marks_after)"""
+      .stripMargin,
     // the read-activity loop CLOSED: gen g is point-read g times at
     // clock 1ns through the tracked read path, the harvested meters
     // persist at 2 ticks + 1ns (one burst interval + one silent

@@ -529,6 +529,77 @@ object SSTableComponents {
       firstKey = s.firstKey, lastKey = s.lastKey)
   }
 
+  /** Cassandra 2.1's `Downsampling.getSamplingPattern` (the PUBLIC
+    * `o.a.c.io.sstable.Downsampling`): the canonical order in which
+    * "mod `size`" slots DROP as the sampling level falls — slot 0
+    * first, then each round the midpoints of the surviving spread
+    * ([0, 64, 32, 96, 16, 48, 80, 112, 8, …] at the base level 128).
+    * Levels nest: the entries alive at level L are exactly the slots
+    * not named by the first `size − L` pattern values. */
+  private[graft] def samplingPattern2x(size: Int): IndexedSeq[Int] = {
+    if (size <= 1) IndexedSeq(0)
+    else {
+      val buf = IndexedSeq.newBuilder[Int]
+      buf += 0
+      var spread = size
+      while (spread >= 2) {
+        var i = spread / 2
+        while (i < size) { buf += i; i += spread }
+        spread /= 2
+      }
+      buf.result()
+    }
+  }
+
+  /** `Downsampling.getStartPoints(currentLevel, newLevel)`: the
+    * removal start slots for one downsample call, each adjusted for
+    * the slots already gone in earlier (prior-call) rounds. */
+  private[sources] def startPoints2x(currentLevel: Int,
+      newLevel: Int): Seq[Int] = {
+    val all = samplingPattern2x(BaseSamplingLevel)
+    val initialRound = BaseSamplingLevel - currentLevel
+    (0 until (currentLevel - newLevel)).map { i =>
+      val start = all(initialRound + i)
+      start - (0 until initialRound).count(j => all(j) < start)
+    }
+  }
+
+  /** `IndexSummaryBuilder.downsample` in the 2.1 samplingLevel layout
+    * — the reference's own 2.x redistribution branch
+    * (`cassandra-2/NoTTLReader.cloneWithNewSummarySamplingLevel`,
+    * the `samplingLevel < current` arm): entries at the pattern's
+    * removal slots (stepped by `currentLevel` across blocks) drop IN
+    * PLACE off the existing summary — zero index IO — and
+    * `minIndexInterval`/`sizeAtFullSampling` stay untouched (unlike
+    * the modern interval ladder, where the interval itself widens).
+    * Returns the thinned summary and the applied new level. A target
+    * below level 1 clamps (Cassandra's `IndexSummaryManager` never
+    * goes below its min level either). */
+  def downsampleSummary2x(s: Summary, currentLevel: Int,
+      factor: Int): (Summary, Int) = {
+    require(factor >= 1 && currentLevel >= 1 &&
+      currentLevel <= BaseSamplingLevel,
+      s"downsample2x(level=$currentLevel, factor=$factor)")
+    val newLevel = math.max(1, currentLevel / factor)
+    if (newLevel == currentLevel) (s, currentLevel)
+    else {
+      val sps = startPoints2x(currentLevel, newLevel)
+      val kept = s.sampled.zipWithIndex.filterNot { case (_, i) =>
+        sps.exists(st => i >= st && (i - st) % currentLevel == 0)
+      }.map(_._1)
+      (s.copy(sampled = kept), newLevel)
+    }
+  }
+
+  /** The samplingLevel word of a 2.x Summary.db (fixed offset: after
+    * int interval, int count, long off-heap size). */
+  def readSummaryLevel2x(bytes: Array[Byte]): Int = {
+    require(bytes.length >= 20, "2.x Summary.db too short for a level")
+    java.nio.ByteBuffer.wrap(bytes, 16, 4).getInt
+  }
+
+  private[sources] val BaseSamplingLevel = 128
+
   /** `cloneWithNewSummarySamplingLevel`'s decision tree
     * (`NoTTLReader.java:1062-1140`), interval-ladder form: a COARSER
     * target derives from the existing summary in place (zero index

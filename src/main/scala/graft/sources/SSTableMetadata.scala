@@ -1060,6 +1060,93 @@ object SSTableMetadata {
       gcBeforeS = Int.MaxValue - 1).localCheckpoint()
   }
 
+  /** Registered `src_sstable_expired_blockers_edge` — each of
+    * Cassandra's three blocker conditions exercised at its BOUNDARY
+    * on a designed five-generation set (the main audit's fixture
+    * never reaches them: every generation there overlaps, only one
+    * expires, and no min-timestamp ever EQUALS the expired file's
+    * max):
+    *   - gen 1 (expired, low-token half, newest write T);
+    *   - gen 2: live, min writetime EXACTLY T — a blocker only
+    *     under Cassandra's inclusive `<=` (the strict `<` this
+    *     engine once mirrored would drop it);
+    *   - gen 3: live, min writetime T+1s — never a blocker;
+    *   - gen 4: live, OLD writes but token-DISJOINT (high half of
+    *     the designed key ring) — never a blocker;
+    *   - gen 5: itself fully expired, old overlapping writes — an
+    *     expired file never blocks another.
+    * Exactly ONE row survives, every column a design constant. Key
+    * geometry is constructed (40 candidate keys token-sorted; the
+    * low 16 interleave across gens 1/2/3/5, the high 8 form gen 4)
+    * and require-gated, so the disjointness premise can never rot
+    * silently. */
+  def expiredBlockersEdgeAudit(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, struct}
+    val keys = (0 until 40).map(i => s"e$i")
+      .sortBy(k => BigFormat.murmur3Token(
+        BigFormat.encodeValue(BigFormat.Utf8Type, k)))
+    val low = keys.take(16)
+    val high = keys.takeRight(8)
+    require(BigFormat.murmur3Token(BigFormat.encodeValue(
+      BigFormat.Utf8Type, low.last)) < BigFormat.murmur3Token(
+      BigFormat.encodeValue(BigFormat.Utf8Type, high.head)),
+      "edge fixture premise broken: token halves not disjoint")
+    val B = 1609459200L
+    // (key, gen, writetime seconds, expiring?)
+    val lowGens = Seq(1, 2, 3, 5)
+    val rows =
+      low.zipWithIndex.map { case (k, i) =>
+        val g = lowGens(i % 4)
+        val j = i / 4 // 0..3 within the generation
+        val wtS = g match {
+          case 1 => B + 997 + j  // newest write exactly B+1000
+          case 2 => B + 1000 + j // min EXACTLY the expired max (<=)
+          case 3 => B + 1001 + j // min strictly newer — no block
+          case _ => B + 1 + j    // gen 5: old, but itself expired
+        }
+        (k, g, wtS, g == 1 || g == 5)
+      } ++ high.zipWithIndex.map { case (k, j) =>
+        (k, 4, B + j, false)     // old writes, disjoint tokens
+      }
+    val frame = rows
+      .map { case (k, g, wtS, expiring) =>
+        (k, Seq("c"), "ROW", Some("v"),
+          (("x", wtS * 1000000L,
+            if (expiring) Some(50) else (None: Option[Int]),
+            if (expiring) Some((wtS + 50) * 1000000L)
+            else (None: Option[Long]))),
+          None: Option[Long], s"documents/nb-$g-big-Data.db")
+      }
+      .toDF("partition_key", "clustering", "row_kind", "name",
+        "cell_t", "deletion_us", "sstable")
+      .withColumn("cell", struct(
+        col("cell_t._1").as("value"),
+        col("cell_t._2").as("writetime_us"),
+        col("cell_t._3").as("ttl_s"),
+        col("cell_t._4").as("expire_us")))
+      .drop("cell_t")
+    val src = graft.Scratch.dir("graft-expedge-")
+    SSTableBinaryV2.writeSSTables(frame, src.toString,
+      "graft", "documents")
+    val gcBeforeS = Int.MaxValue - 1
+    val root = s"$src/graft/documents"
+    // the premise, gated off the real panel: exactly gens 1 and 5
+    // are fully expired
+    val expiredSet = describeStats(spark, root).collect()
+      .filter(_.getAs[Int]("max_deletion_s") < gcBeforeS)
+      .map(_.getAs[String]("sstable")).toSet
+    require(expiredSet == Set("documents/nb-1-big-Data.db",
+      "documents/nb-5-big-Data.db"),
+      s"edge fixture premise broken: expired set $expiredSet")
+    val out = expiredBlockers(spark, root, gcBeforeS).localCheckpoint()
+    require(out.count() == 1L,
+      "edge fixture must yield exactly the one inclusive-bound blocker")
+    graft.Scratch.delete(src)
+    out
+  }
+
   /** 1 MiB buffered stream copy through Hadoop filesystems — the
     * multi-GB-Data.db-safe copy both offline surgeries share. */
   private def streamCopy(fs: FileSystem, src: String,
@@ -1091,10 +1178,13 @@ object SSTableMetadata {
     * .sstable_activity`'s role); files without a rate default to
     * 0.0 — an sstable nothing reads is the coldest thing on the
     * ring, exactly Cassandra's posture for a meterless file.
-    * Modern-era generations only: the engine's downsample is the
-    * interval-ladder form, and a silently re-laddered 2.x summary
-    * (whose layout encodes SAMPLING LEVELS) would lie to a real 2.x
-    * reader. A summaryless generation refuses loudly — redistribute
+    * Era-dispatched downsample: modern summaries coarsen on the
+    * interval ladder; 2.x summaries coarsen by SAMPLING LEVEL in the
+    * literal `Downsampling`-pattern order the era's readers expect
+    * ([[SSTableComponents.downsampleSummary2x]] — the reference's
+    * cassandra-2 `cloneWithNewSummarySamplingLevel` downsample
+    * branch), with interval and sizeAtFullSampling untouched.
+    * A summaryless generation refuses loudly — redistribute
     * is a memory-budget tool; rebuilding belongs to the read path
     * that already does it. Returns the plan, one row per
     * generation. */
@@ -1148,8 +1238,10 @@ object SSTableMetadata {
           s"'${keyOf(gens.head._1)}', table has: " +
           s"${rates.keys.take(3).mkString(", ")}")
     val bc = spark.sparkContext.broadcast(hconf)
-    // pass 1: marks per generation — one Summary.db header each
-    val marks: Seq[(String, Int)] = spark.createDataset(gens)
+    // pass 1: marks per generation — one Summary.db header each.
+    // The third column is the 2.x samplingLevel (-1 on modern files,
+    // whose summaries ladder by INTERVAL instead)
+    val marks: Seq[(String, Int, Int)] = spark.createDataset(gens)
       .repartition(math.min(gens.size.max(1),
         spark.sparkContext.defaultParallelism))
       .map { case (dataPath, comps) =>
@@ -1157,25 +1249,27 @@ object SSTableMetadata {
         val fs = FileSystem.get(java.net.URI.create(dataPath), conf)
         val name = dataPath.split('/').last
         val version = SSTableBinaryV2.versionOf(name)
-        require(version.nonEmpty && version.charAt(0) >= 'm',
-          s"$dataPath: summary redistribution serves modern-era " +
-            "generations only (2.x summaries encode sampling levels, " +
-            "not the interval ladder)")
+        val oldEra = version.nonEmpty && version.charAt(0) < 'm'
         val base = dataPath.stripSuffix("-Data.db")
         val sumPath = comps.find(_ == base + "-Summary.db")
           .getOrElse(throw new IllegalStateException(
             s"$dataPath: no Summary.db to redistribute"))
-        (dataPath,
-          SSTableComponents.readSummary(readAll(fs, sumPath))
-            .sampled.size)
+        val bytes = readAll(fs, sumPath)
+        if (oldEra)
+          (dataPath, SSTableComponents.readSummary2x(bytes).sampled.size,
+            SSTableComponents.readSummaryLevel2x(bytes))
+        else
+          (dataPath, SSTableComponents.readSummary(bytes).sampled.size,
+            -1)
       }
       .collect().toSeq.sortBy(_._1)
     val factors = SSTableComponents.redistributeSummaries(
-      marks.map { case (p, m) =>
+      marks.map { case (p, m, _) =>
         (p, m, rates.getOrElse(keyOf(p), 0.0)) },
       budgetMarks)
     val bcFactors = spark.sparkContext.broadcast(factors)
-    val bcMarks = spark.sparkContext.broadcast(marks.toMap)
+    val bcMarks = spark.sparkContext.broadcast(
+      marks.map { case (p, m, lvl) => p -> ((m, lvl)) }.toMap)
     // pass 2: copy every generation, re-emitting only Summary.db
     val plan = spark.createDataset(gens)
       .repartition(math.min(gens.size.max(1),
@@ -1188,30 +1282,52 @@ object SSTableMetadata {
         val sumPath = base + "-Summary.db"
         val outFs = FileSystem.get(
           java.net.URI.create(outDir.stripSuffix("/")), conf)
+        val (passMarks, level2x) = bcMarks.value(dataPath)
         var after = 0
         comps.foreach { src =>
           val dst = new HPath(
             s"${outDir.stripSuffix("/")}/${src.split('/').last}")
           if (src == sumPath && f > 1) {
-            val s = SSTableComponents.downsampleSummary(
-              SSTableComponents.readSummary(readAll(fs, src)), f)
-            after = s.sampled.size
+            val bytes = readAll(fs, src)
             val os = outFs.create(dst, true)
-            try os.write(SSTableComponents.writeSummary(s.sampled,
-              s.sizeAtFullSampling.toLong * s.minIndexInterval,
-              s.firstKey, s.lastKey, s.minIndexInterval))
-            finally os.close()
+            try {
+              if (level2x >= 0) {
+                // the 2.x era coarsens by SAMPLING LEVEL in the
+                // literal Downsampling-pattern order — the
+                // reference's own 2.x redistribution branch
+                // (cassandra-2 cloneWithNewSummarySamplingLevel →
+                // IndexSummaryBuilder.downsample); interval and
+                // sizeAtFullSampling stay untouched
+                val cur = SSTableComponents.readSummary2x(bytes)
+                val (thinned, newLevel) = SSTableComponents
+                  .downsampleSummary2x(cur, level2x, f)
+                after = thinned.sampled.size
+                os.write(SSTableComponents.writeSummary2x(
+                  thinned.sampled,
+                  thinned.sizeAtFullSampling.toLong *
+                    thinned.minIndexInterval,
+                  thinned.firstKey, thinned.lastKey,
+                  thinned.minIndexInterval, newLevel))
+              } else {
+                val s = SSTableComponents.downsampleSummary(
+                  SSTableComponents.readSummary(bytes), f)
+                after = s.sampled.size
+                os.write(SSTableComponents.writeSummary(s.sampled,
+                  s.sizeAtFullSampling.toLong * s.minIndexInterval,
+                  s.firstKey, s.lastKey, s.minIndexInterval))
+              }
+            } finally os.close()
           } else {
             // a factor-1 summary's mark count is pass 1's — no second
             // sidecar parse for the (typical) untouched majority
-            if (src == sumPath) after = bcMarks.value(dataPath)
+            if (src == sumPath) after = passMarks
             streamCopy(fs, src, outFs, dst)
           }
         }
         (keyOf(dataPath), f, after)
       }
       .collect().toSeq.sortBy(_._1)
-    val byPath = marks.map { case (p, m) => keyOf(p) -> m }.toMap
+    val byPath = marks.map { case (p, m, _) => keyOf(p) -> m }.toMap
     spark.createDataset(plan.map { case (k, f, after) =>
       (k, rates.getOrElse(k, 0.0), byPath(k).toLong, f, after.toLong) })
       .toDF("sstable", "rate", "marks_before", "factor", "marks_after")
@@ -1284,6 +1400,130 @@ object SSTableMetadata {
       coldSum.sampled.size == 1,
       s"cold summary not coarsened: interval " +
         s"${coldSum.minIndexInterval}, marks ${coldSum.sampled.size}")
+    graft.Scratch.delete(src)
+    graft.Scratch.delete(out)
+    graft.Scratch.delete(act)
+    plan
+  }
+
+  /** Registered `src_sstable_redistribute_2x` — the 2.x leg of the
+    * offline redistribution, the literal capability of the
+    * reference's cassandra-2 fork
+    * (`cloneWithNewSummarySamplingLevel` → the
+    * `IndexSummaryBuilder.downsample` branch): a designed ka
+    * generation pair (the first 480 documents ×4 → 960 partitions
+    * per generation → 8 summary marks at interval 128, written at
+    * sampling level 128) is redistributed into a budget that forces
+    * ONE level halving on the meterless generation. Index.db is
+    * never written — the downsample derives from the existing
+    * summary alone, zero index IO, exactly the reference's in-place
+    * branch. In-query gates: the coarsened summary's level word
+    * reads 64, its marks are the ODD-indexed originals (the
+    * Downsampling-pattern order — the modern interval ladder would
+    * keep the evens), interval and sizeAtFullSampling are untouched,
+    * the hot generation copies byte-verbatim, and the rewritten lake
+    * still fully decodes with no index anywhere. Every served column
+    * is a design constant the oracle replays as VALUES. */
+  def redistribute2xAudit(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id").cast("long")).filter(col("doc_id") < 480)
+    require(docs.count() == 480L,
+      "redistribute-2x fixture needs the first 480 documents")
+    val src = graft.Scratch.dir("graft-redis2x-src-")
+    val out = graft.Scratch.dir("graft-redis2x-out-")
+    val act = graft.Scratch.dir("graft-redis2x-act-")
+    val srcStr = src.toString
+    val hconf = new SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val bc = spark.sparkContext.broadcast(hconf)
+    val schema = OldFormat.schemaOfCql(
+      graft.model.CqlSchema.parse(SSTableBinaryV2.Cql2x)
+        .fold(e => throw new IllegalArgumentException(e), identity))
+    // two designed ka generations, written executor-side with NO
+    // Index.db — 4 partitions per member doc, one cell each
+    docs.as[Long]
+      .groupByKey(d => (d % 2).toInt)
+      .mapGroups { (genId, ds) =>
+        val parts = ds.flatMap { d =>
+          (0 until 4).map { k =>
+            val pid = d * 4 + k
+            OldFormat.Partition2(s"r-$pid", None, Seq(
+              OldFormat.Cell2(Seq("c"), "len",
+                1609459200000000L + pid, None, None, Some("1"),
+                deleted = false, counter = false)))
+          }
+        }.toSeq
+        val gen = genId + 1
+        val (dataBytes, index) =
+          OldFormat.writeDataFileIndexed(parts, schema)
+        val idxPositions = {
+          var pos = 0L
+          index.map { case (k, _) =>
+            val here = pos; pos += 2L + k.length + 8 + 4; here
+          }
+        }
+        val sampled = index.zip(idxPositions).zipWithIndex.collect {
+          case (((k, _), ip), i)
+            if i % SSTableComponents.MinIndexInterval == 0 => (k, ip)
+        }
+        val fs = FileSystem.get(
+          java.net.URI.create(srcStr), bc.value.value)
+        def write(name: String, bytes: Array[Byte]): Unit = {
+          val os = fs.create(new HPath(
+            s"$srcStr/documents/graft-documents-ka-$gen-$name"), true)
+          try os.write(bytes) finally os.close()
+        }
+        write("Data.db", dataBytes)
+        write("Summary.db", SSTableComponents.writeSummary2x(
+          sampled, index.size.toLong, index.head._1, index.last._1))
+        (gen, index.size, sampled.size)
+      }
+      .collect().foreach { case (gen, nParts, marks) =>
+        require(nParts == 960 && marks == 8,
+          s"gen $gen: designed 960 partitions / 8 marks, " +
+            s"got $nParts / $marks")
+      }
+    Seq(("documents/graft-documents-ka-2-Data.db", 4.0))
+      .toDF("sstable", "rate_15m")
+      .write.mode("overwrite").parquet(act.toString)
+    // budget 13: the greedy halves the meterless generation once
+    // (8 → 4 marks, pool 16 → 12 ≤ 13) and stops
+    val plan = redistributeLake(spark, s"$src/documents",
+      out.toString, budgetMarks = 13, activity = Some(act.toString))
+      .localCheckpoint()
+    // literal-pattern gates on the coarsened summary
+    val srcSum = SSTableComponents.readSummary2x(
+      java.nio.file.Files.readAllBytes(src.resolve("documents")
+        .resolve("graft-documents-ka-1-Summary.db")))
+    val coldBytes = java.nio.file.Files.readAllBytes(
+      out.resolve("graft-documents-ka-1-Summary.db"))
+    val coldSum = SSTableComponents.readSummary2x(coldBytes)
+    require(SSTableComponents.readSummaryLevel2x(coldBytes) == 64,
+      "cold 2.x summary level not halved to 64")
+    require(coldSum.minIndexInterval == srcSum.minIndexInterval &&
+      coldSum.sizeAtFullSampling == srcSum.sizeAtFullSampling,
+      "2.x downsample must not touch interval/sizeAtFullSampling")
+    val wantKept = srcSum.sampled.zipWithIndex
+      .collect { case ((k, p), i) if i % 2 == 1 => (k.toSeq, p) }
+    require(coldSum.sampled.map { case (k, p) => (k.toSeq, p) }
+      == wantKept,
+      "level-64 summary must keep exactly the ODD-indexed marks " +
+        "(the Downsampling pattern) — an interval-ladder downsample " +
+        "would keep the evens")
+    // the hot generation copies byte-verbatim
+    require(java.util.Arrays.equals(
+      java.nio.file.Files.readAllBytes(src.resolve("documents")
+        .resolve("graft-documents-ka-2-Summary.db")),
+      java.nio.file.Files.readAllBytes(
+        out.resolve("graft-documents-ka-2-Summary.db"))),
+      "factor-1 2.x summary must copy verbatim")
+    // the rewritten lake still decodes in full — no Index.db anywhere
+    val back = SSTableBinaryV2.readBinary(spark, out.toString,
+      Some(SSTableBinaryV2.Cql2x))
+    require(back.count() == 1920L, "redistributed 2.x lake lost rows")
     graft.Scratch.delete(src)
     graft.Scratch.delete(out)
     graft.Scratch.delete(act)

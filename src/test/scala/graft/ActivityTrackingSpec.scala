@@ -103,6 +103,32 @@ class ActivityTrackingSpec extends SparkSpec {
     graft.Scratch.delete(act)
   }
 
+  test("CLI --track-activity: parse rules, then the one-shot metered " +
+    "scan persists the table --summary-budget consumes") {
+    def p(a: String*) = RemoverCli.parse(a.toArray)
+    assert(p("--track-activity", "/t.parquet").isLeft) // --in required
+    assert(p("--track-activity", "/t.parquet", "--in", "/a",
+      "--out", "/b").isLeft) // read-only: no --out
+    assert(p("--track-activity", "/t.parquet", "--in", "/a",
+      "--merge", "lww").isLeft)
+    assert(p("--track-activity", "/t.parquet", "--in", "/a",
+      "--cpus", "x").isLeft)
+    val dest = graft.Scratch.dir("graft-actspec-cli-")
+      .resolve("activity.parquet").toString
+    val ok = p("--track-activity", dest, "--in", genSet)
+    assert(ok.exists(_.trackActivityOut.contains(dest)))
+    val n = RemoverCli.run(spark, ok.toOption.get)
+    assert(n === 2L)
+    val back = spark.read.parquet(dest).collect()
+    assert(back.map(_.getAs[String]("sstable")).sorted ===
+      Array("docs/nb-1-big-Data.db", "docs/nb-2-big-Data.db"))
+    // one scan = one read per generation; the future-dated persist
+    // clock puts the burst in the rates (a sub-5s scan lands exactly
+    // one tick, but a paused host may decay it — sign-only assert)
+    assert(back.forall(_.getAs[Long]("reads") === 1L))
+    assert(back.forall(_.getAs[Double]("rate_15m") > 0.0))
+  }
+
   test("redistributeLake survives an activity table whose rates are " +
     "all NULL for a file — meterless-coldest, not an NPE") {
     import spark.implicits._

@@ -121,17 +121,40 @@ class SummaryRedistributionSpec extends SparkSpec {
     }
   }
 
-  test("a 2.x generation refuses — its summary encodes sampling " +
-    "levels, not the interval ladder") {
-    val ka = SSTableBinaryV2.writeOldFixture(spark, sfDir)
-    val out = Scratch.dir("graft-redis-2x-")
-    try {
-      val e = intercept[Exception](SSTableMetadata.redistributeLake(
-        spark, ka.resolve("documents").toString, out.toString, 4, None))
-      def chain(t: Throwable): Seq[String] =
-        if (t == null) Nil else t.getMessage +: chain(t.getCause)
-      assert(chain(e).exists(m => m != null &&
-        m.contains("modern-era")), chain(e).toString)
-    } finally { Scratch.delete(ka); Scratch.delete(out) }
+  test("a 2.x summary coarsens by SAMPLING LEVEL in the literal " +
+    "Downsampling-pattern order — interval untouched, levels nest, " +
+    "the level word round-trips the wire") {
+    import graft.sources.SSTableComponents
+    // the canonical base-128 pattern's head, pinned
+    assert(SSTableComponents.samplingPattern2x(128).take(9) ===
+      Seq(0, 64, 32, 96, 16, 48, 80, 112, 8))
+    val sampled = (0 until 256).map(i =>
+      (Array[Byte](i.toByte, (i >> 8).toByte), i.toLong))
+    val s = SSTableComponents.Summary(128, sampled, 256,
+      sampled.head._1, sampled.last._1)
+    // factor 2: level 128 → 64 keeps the ODD slots — the era's
+    // literal difference from the modern interval ladder (evens)
+    val (d2, l2) = SSTableComponents.downsampleSummary2x(s, 128, 2)
+    assert(l2 === 64 && d2.sampled.size === 128)
+    assert(d2.sampled.map(_._2) ===
+      (0 until 256).filter(_ % 2 == 1).map(_.toLong))
+    assert(d2.minIndexInterval === 128 && d2.sizeAtFullSampling === 256)
+    // factor 4: full-block arithmetic (256 marks → 64 at level 32)
+    val (d4, l4) = SSTableComponents.downsampleSummary2x(s, 128, 4)
+    assert(l4 === 32 && d4.sampled.size === 64)
+    // levels NEST: 128→64→32 lands on exactly 128→32
+    val (d2then2, l22) = SSTableComponents.downsampleSummary2x(d2, 64, 2)
+    assert(l22 === 32)
+    assert(d2then2.sampled.map(_._2) === d4.sampled.map(_._2))
+    // the level word survives the 2.x wire form
+    val bytes = SSTableComponents.writeSummary2x(d4.sampled,
+      256L * 128, s.firstKey, s.lastKey, 128, l4)
+    assert(SSTableComponents.readSummaryLevel2x(bytes) === 32)
+    val back = SSTableComponents.readSummary2x(bytes)
+    assert(back.sampled.size === 64 &&
+      back.sizeAtFullSampling === 256)
+    // a level already at the floor can't coarsen — verbatim, level 1
+    val (floor, lf) = SSTableComponents.downsampleSummary2x(s, 1, 8)
+    assert(lf === 1 && floor.sampled.size === 256)
   }
 }
