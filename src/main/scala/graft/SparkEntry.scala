@@ -179,6 +179,8 @@ object SparkEntry {
     "src_sstable_dump_export" ->
       (sources.SSTableDumpBridge.exportAudit _),
     "src_sstable_slice" -> (sources.SSTableBinaryV2.sliceAudit _),
+    "src_sstable_slice_elide" ->
+      (sources.SSTableBinaryV2.sliceElideAudit _),
     "src_sstable_roundtrip" -> (sources.SSTableBinaryV2.binaryRoundtrip _),
     "src_sstable_complex" -> (sources.SSTableBinaryV2.complexLifecycle _),
     "src_sstable_static" -> (sources.SSTableBinaryV2.staticLifecycle _),
@@ -2950,6 +2952,7 @@ object SparkEntry {
       |WITH d AS (
       | SELECT CAST(doc_id AS BIGINT) AS doc_id,
       |  CAST(doc_id % 4 AS BIGINT) AS f,
+      |  doc_id % 10 AS k,
       |  (1609459200 + doc_id) * 1000000 AS wt,
       |  CASE WHEN doc_id % 2 = 0 AND doc_id % 100 <> 0
       |    THEN doc_id % 100 END AS ttl
@@ -2959,7 +2962,11 @@ object SparkEntry {
       |    || '-big-Data.db' AS sstable,
       |  CAST(count(*) AS BIGINT) AS n_partitions,
       |  CAST(min(wt) AS BIGINT) AS min_writetime_us,
-      |  CAST(min(ttl) AS INTEGER) AS min_ttl_s
+      |  CAST(min(ttl) AS INTEGER) AS min_ttl_s,
+      |  min(CASE WHEN k <> 3 THEN 'c' || CAST(doc_id AS VARCHAR) END)
+      |    AS min_clustering,
+      |  max(CASE WHEN k <> 3 THEN 'c' || CAST(doc_id AS VARCHAR) END)
+      |    AS max_clustering
       | FROM d GROUP BY f)
       |SELECT sstable, n_partitions, min_writetime_us, min_ttl_s,
       | CAST(NULL AS VARCHAR) AS compressor,
@@ -2967,6 +2974,7 @@ object SparkEntry {
       | CAST(NULL AS VARCHAR) AS ancestors,
       | 'org.apache.cassandra.dht.Murmur3Partitioner' AS partitioner,
       | CAST(0.01 AS DOUBLE) AS bloom_fp_chance,
+      | min_clustering, max_clustering,
       | 'plain' AS layout FROM g
       |UNION ALL
       |SELECT sstable, n_partitions, min_writetime_us, min_ttl_s,
@@ -2975,6 +2983,7 @@ object SparkEntry {
       | CAST(NULL AS VARCHAR) AS ancestors,
       | 'org.apache.cassandra.dht.Murmur3Partitioner' AS partitioner,
       | CAST(0.01 AS DOUBLE) AS bloom_fp_chance,
+      | min_clustering, max_clustering,
       | 'lz4' AS layout FROM g
       |UNION ALL
       |SELECT 'documents/graft-documents-ka-' || CAST(f + 1 AS VARCHAR)
@@ -2989,6 +2998,10 @@ object SparkEntry {
       |   || CAST(2 * (f + 1) + 1 AS VARCHAR) AS ancestors,
       | 'org.apache.cassandra.dht.Murmur3Partitioner' AS partitioner,
       | CAST(0.01 AS DOUBLE) AS bloom_fp_chance,
+      | min(CASE WHEN k <> 3 THEN 'c' || CAST(doc_id AS VARCHAR) END)
+      |   AS min_clustering,
+      | max(CASE WHEN k <> 3 THEN 'c' || CAST(doc_id AS VARCHAR) END)
+      |   AS max_clustering,
       | 'ka' AS layout
       |FROM d GROUP BY f""".stripMargin,
     // tombstone droppability off the 2.x StatsMetadata drop-time
@@ -3269,6 +3282,15 @@ object SparkEntry {
       | ('documents/nb-2-big-Data.db', 4.0, CAST(8 AS BIGINT),
       |   CAST(2 AS INTEGER), CAST(4 AS BIGINT)))
       | AS t(sstable, rate, marks_before, factor, marks_after)""".stripMargin,
+    // file-level clustering-slice elision: three ck-disjoint typed
+    // generations, window [1005, 1015] → only gen 2's rows serve
+    // (the skip count is require-gated in-query off the scan's own
+    // DSv2 metrics); rows are design arithmetic
+    "src_sstable_slice_elide" -> """
+      |SELECT 'p2-' || CAST(ck - 1000 AS VARCHAR) AS partition_key,
+      | CAST(ck AS BIGINT) AS ck,
+      | CAST(ck AS VARCHAR) AS v
+      |FROM (SELECT range AS ck FROM range(1005, 1016))""".stripMargin,
     // the blocker conditions at their boundaries: one inclusive-bound
     // blocker survives a designed five-generation set (equality on
     // the min-writetime bound; newer-than, token-disjoint, and

@@ -644,7 +644,14 @@ object OldFormat {
         * Cassandra's droppability denominator. Negative = the caller
         * declared none (the legacy one-per-partition fixture shape);
         * 0 is a REAL value (a tombstone-only file has no columns). */
-      estColumnsTotal: Long = -1L)
+      estColumnsTotal: Long = -1L,
+      /** 2.1's min/maxColumnNames — per-clustering-component bounds
+        * over the composite cell names (`ColumnNameHelper
+        * .minComponents`/`maxComponents`, the era's slice-elision
+        * input), short-length-prefixed on disk. Seq[Byte] for
+        * structural equality, as the modern twin. */
+      minColumnNames: Seq[Seq[Byte]] = Nil,
+      maxColumnNames: Seq[Seq[Byte]] = Nil)
 
   /** `NoTTLReader.getDroppableTombstonesBefore`
     * (`NoTTLReader.java:1927-1930` → StatsMetadata): how many
@@ -745,8 +752,20 @@ object OldFormat {
       }
       out.writeInt(s.sstableLevel)
       out.writeLong(s.repairedAt)
-      out.writeInt(0)              // minColumnNames
-      out.writeInt(0)              // maxColumnNames
+      // min/max column-name lists: int size, then each component
+      // short-length-prefixed (the 2.1 serializer's wire shape)
+      def writeNameList(vs: Seq[Seq[Byte]]): Unit = {
+        out.writeInt(vs.size)
+        vs.foreach { v =>
+          require(v.length <= 0xFFFF,
+            s"2.x column-name bound of ${v.length} bytes exceeds " +
+              "the short-length-prefixed wire form")
+          out.writeShort(v.length)
+          out.write(v.toArray)
+        }
+      }
+      writeNameList(s.minColumnNames)
+      writeNameList(s.maxColumnNames)
       out.writeBoolean(false)      // hasLegacyCounterShards
       out.flush(); bos.toByteArray
     }
@@ -863,7 +882,19 @@ object OldFormat {
     val bins = Vector.fill(nBins)((s.readDouble(), s.readLong()))
     val level = s.readInt()
     val repairedAt = s.readLong()
+    val Seq(minNames, maxNames) = Seq.fill(2) {
+      val n = s.readInt()
+      require(n >= 0 && n <= (1 << 16),
+        s"$file: absurd 2.x column-name list size $n")
+      Vector.fill(n) {
+        val len = s.readUnsignedShort()
+        val v = new Array[Byte](len)
+        s.readFully(v)
+        v.toIndexedSeq: Seq[Byte]
+      }
+    }
     Stats2x(minTs, maxTs, maxLdt, level, repairedAt,
-      TombstoneHistogram(math.max(maxBinSize, 1), bins), estColumns)
+      TombstoneHistogram(math.max(maxBinSize, 1), bins), estColumns,
+      minColumnNames = minNames, maxColumnNames = maxNames)
   }
 }

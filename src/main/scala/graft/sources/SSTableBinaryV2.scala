@@ -263,7 +263,7 @@ object SSTableBinaryV2 {
         new FilesSkippedTokenSpanMetric, new PartitionsScrubSkippedMetric,
         new ComponentCacheHitsMetric, new ComponentCacheMissesMetric,
         new ThrottledBytesMetric, new ThrottleWaitNanosMetric,
-        new ActivityMarksMetric)
+        new ActivityMarksMetric, new FilesSkippedClusteringMetric)
 
     /** One recursive listing yields the data files AND their sibling
       * component sets WITH lengths (no per-file exists()/status RPCs
@@ -1195,6 +1195,46 @@ object SSTableBinaryV2 {
         sliceBounds._2.nonEmpty)) || tokenRange.isDefined || scrub) &&
         hasSibling("-Index.db")
 
+    /** FILE-level clustering-slice skip — Cassandra's
+      * `ClusteringIndexSliceFilter.shouldInclude(sstable)`: the
+      * STATS component's min/maxClusteringValues bound every
+      * clustering prefix in the file, so a pushed slice whose window
+      * sits entirely above the file's maximum LEADING value (or
+      * below its minimum) skips the whole file without touching
+      * Index.db or Data.db — the elision those bounds exist FOR, and
+      * at 100 TB the difference between "scan every generation" and
+      * "touch the two that can match" on time-ordered clusterings.
+      * Engages only through [[sliceBounds]] (already typed-encoded
+      * and space-gated) and only on STRICT leading-component
+      * inequality — an equal bound can still match, and later slice
+      * components can never un-skip soundly. Absent bounds
+      * (pre-round-15 sink output, clusterless tables) never skip. */
+    private lazy val fileClusteringDisjoint: Boolean = {
+      if (oldEra || header == null || header.clusteringTypes.isEmpty ||
+        (sliceBounds._1.isEmpty && sliceBounds._2.isEmpty) ||
+        !hasSibling("-Statistics.db")) false
+      else {
+        val bounds =
+          try BigFormat.readStatsModern(
+            readSibling(sibling("-Statistics.db")), version)
+          catch { case scala.util.control.NonFatal(_) => None }
+        bounds match {
+          case None => false
+          case Some(s) if s.minClusteringValues.isEmpty ||
+            s.maxClusteringValues.isEmpty => false
+          case Some(s) =>
+            val t = header.clusteringTypes.head
+            val fMin = s.minClusteringValues.head.toArray
+            val fMax = s.maxClusteringValues.head.toArray
+            val loKills = sliceBounds._1.headOption.exists(lo =>
+              BigFormat.compareEncoded(t, lo, fMax) > 0)
+            val hiKills = sliceBounds._2.headOption.exists(hi =>
+              BigFormat.compareEncoded(t, hi, fMin) < 0)
+            loKills || hiKills
+        }
+      }
+    }
+
     /** Wrap-around-aware Murmur3 token-range membership — the
       * reference's S4 range semantics (`lo > hi` wraps through the
       * ring's ends, exactly how Cassandra token ranges do). */
@@ -1295,6 +1335,7 @@ object SSTableBinaryV2 {
     private var partitionsServed = 0L
     private var filesSkippedBloom = 0L
     private var filesSkippedTokenSpan = 0L
+    private var filesSkippedClustering = 0L
     // file-level skip metrics count once per FILE: a split file makes
     // one reader per range, and every range evaluates the same gate —
     // only the zero-offset owner reports, or the UI would show N
@@ -1304,6 +1345,10 @@ object SSTableBinaryV2 {
       val base: Iterator[Iterator[InternalRow]] =
       if (fileTokenDisjoint) {
         if (ownsFileMetrics) filesSkippedTokenSpan += 1
+        Iterator.empty
+      }
+      else if (fileClusteringDisjoint) {
+        if (ownsFileMetrics) filesSkippedClustering += 1
         Iterator.empty
       }
       else lookup match {
@@ -1537,7 +1582,8 @@ object SSTableBinaryV2 {
         TaskMetric(MetricComponentCacheMisses, cacheMisses),
         TaskMetric(MetricThrottledBytes, throttleAccount.bytes),
         TaskMetric(MetricThrottleWaitNanos, throttleAccount.waitNanos),
-        TaskMetric(MetricActivityMarks, activityMarked))
+        TaskMetric(MetricActivityMarks, activityMarked),
+        TaskMetric(MetricFilesSkippedClustering, filesSkippedClustering))
 
     override def close(): Unit = {
       if (fullStream != null) fullStream.close()
@@ -1802,6 +1848,8 @@ object SSTableBinaryV2 {
   private[graft] val MetricThrottledBytes = "throttledBytes"
   private[graft] val MetricThrottleWaitNanos = "throttleWaitNanos"
   private[graft] val MetricActivityMarks = "activityReadsMarked"
+  private[graft] val MetricFilesSkippedClustering =
+    "filesSkippedClusteringSpan"
 
   /** Planner hook: copy `scan` with a Murmur3 token range when it is
     * this connector's scan without one already (fixed point).
@@ -1990,11 +2038,31 @@ object SSTableBinaryV2 {
           case _: OldFormat.Cell2 => true
           case _ => false
         }.toLong).sum
+        // 2.1's min/maxColumnNames: per-clustering-component bounds
+        // over every cell's composite name AND both range-tombstone
+        // bounds (ColumnFamily.getColumnStats feeds the collector
+        // from cells and deletionInfo alike); the fixture's declared
+        // clustering is text, so the comparator is byte-lexicographic
+        val clNames = parts.iterator.flatMap(_.atoms.iterator.flatMap {
+          case c: OldFormat.Cell2 => Iterator.single(c.clustering)
+          case t: OldFormat.Tombstone2 => Iterator(t.start, t.end)
+        }).toSeq
+        def nameBound(worse: (String, String) => Boolean)
+            : Seq[Seq[Byte]] =
+          if (clNames.isEmpty) Nil
+          else (0 until clNames.map(_.size).min).map { i =>
+            clNames.map(_(i)).reduce((a, b) =>
+              if (worse(a, b)) b else a)
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              .toIndexedSeq: Seq[Byte]
+          }
         write("Statistics.db", OldFormat.writeStats2x(
           OldFormat.Stats2x(allTs.min, allTs.max, maxLdt,
             sstableLevel = 0, repairedAt = 0L,
             tombstoneDropTime = OldFormat.TombstoneHistogram.of(dropTimes),
-            estColumnsTotal = nCells), index.size.toLong,
+            estColumnsTotal = nCells,
+            minColumnNames = nameBound(_ > _),
+            maxColumnNames = nameBound(_ < _)), index.size.toLong,
           compaction = Some(KeyCardinality.writeComponent2x(
             KeyCardinality.sketchOf(index.iterator.map(_._1)),
             // a designed compacted-from lineage (2.x CompactionMetadata
@@ -3804,6 +3872,75 @@ object SSTableBinaryV2 {
     }
   }
 
+  /** Registered `src_sstable_slice_elide` — FILE-level slice elision
+    * off the STATS clustering bounds, Cassandra's
+    * `ClusteringIndexSliceFilter.shouldInclude(sstable)`: three
+    * ck-disjoint typed generations (gen g holds ck (g−1)·1000 …
+    * (g−1)·1000+31), a pushed [1005, 1015] window, and the scan's own
+    * DSv2 metrics REQUIRED to show exactly two generations skipped
+    * whole — the IO that separates "scan every time-ordered
+    * generation" from "touch the one that can match" at 100 TB. The
+    * served rows are design arithmetic the oracle replays, and an
+    * in-query gate holds the elided read equal to the checkpointed
+    * full scan under the same residual predicate (an over-eager skip
+    * fails BOTH ways). */
+  def sliceElideAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val wt = 1609459200000000L
+    val frame = (for {
+      g <- 1 to 3
+      i <- 0 until 32
+    } yield {
+      val ck = (g - 1) * 1000L + i
+      (s"p$g-$i", Seq(ck.toString), "ROW", Some("v"),
+        Some((ck.toString, wt + ck, None: Option[Int],
+          None: Option[Long])),
+        None: Option[Long], s"documents/nb-$g-big-Data.db")
+    })
+      .toDF("partition_key", "clustering", "row_kind", "name",
+        "cell_t", "deletion_us", "sstable")
+      .withColumn("cell", org.apache.spark.sql.functions.struct(
+        col("cell_t._1").as("value"),
+        col("cell_t._2").as("writetime_us"),
+        col("cell_t._3").as("ttl_s"),
+        col("cell_t._4").as("expire_us")))
+      .drop("cell_t")
+    val out = graft.Scratch.dir("graft-sliceelide-")
+    val schema = graft.model.CqlSchema.parse(
+      "CREATE TABLE graft.documents (pk text, ck bigint, v text, " +
+        "PRIMARY KEY (pk, ck))").toOption
+    writeSSTables(frame, out.toString, "graft", "documents", schema)
+    val dir = s"$out/graft/documents"
+    def restricted(df: DataFrame): DataFrame = df
+      .filter(col("clustering")(0).cast("long").between(1005L, 1015L))
+    val sliced = restricted(spark.read.format("sstable-big")
+      .option("sliceLo", "1005").option("sliceHi", "1015").load(dir))
+      .select(col("partition_key"),
+        col("clustering")(0).cast("long").as("ck"),
+        col("cell.value").as("v"))
+    val got = sliced.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    // the elision must have actually fired: two of three generations
+    // skipped whole, readable off the executed scan's own metrics
+    val metrics = sliced.queryExecution.executedPlan.collectLeaves()
+      .collect {
+        case s: org.apache.spark.sql.execution.datasources.v2
+          .BatchScanExec =>
+          s.metrics.view.mapValues(_.value.toString.toLong).toMap
+      }.head
+    require(metrics.getOrElse(MetricFilesSkippedClustering, -1L) == 2L,
+      s"clustering-span elision did not fire: $metrics")
+    // elided ≡ full-scan-then-filter (a frame the option cannot touch)
+    val baseline = restricted(readBinary(spark, dir).localCheckpoint())
+      .count()
+    require(got.length == 11 && baseline == 11L,
+      s"slice-elide divergence: served ${got.length}, baseline " +
+        s"$baseline, designed 11")
+    graft.Scratch.delete(out)
+    spark.createDataset(got.toSeq.sortBy(_._2))
+      .toDF("partition_key", "ck", "v")
+  }
+
   private def binaryAuditV(spark: SparkSession, sfDir: String,
       version: String, compression: Option[String] = None): DataFrame = {
     val out = writeBinaryFixture(spark, sfDir, version, compression)
@@ -3875,4 +4012,11 @@ private[sources] class ActivityMarksMetric
   override def name(): String = SSTableBinaryV2.MetricActivityMarks
   override def description(): String =
     "reads marked into the sstable activity meters"
+}
+private[sources] class FilesSkippedClusteringMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String =
+    SSTableBinaryV2.MetricFilesSkippedClustering
+  override def description(): String =
+    "files skipped whole by STATS clustering-bound disjointness"
 }

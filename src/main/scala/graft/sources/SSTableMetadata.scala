@@ -74,7 +74,14 @@ object SSTableMetadata {
         * fork keeps the check, `NoTTLReader.java:357-408`). NULL
         * when the component is absent. */
       partitioner: Option[String] = None,
-      bloom_fp_chance: Option[Double] = None)
+      bloom_fp_chance: Option[Double] = None,
+      /** Clustering-value bounds, both eras: the modern STATS
+        * min/maxClusteringValues rendered under the header's
+        * declared types, or 2.1's min/maxColumnNames (no header to
+        * render by — UTF-8 carry). NULL when the file declares
+        * none. */
+      min_clustering: Option[String] = None,
+      max_clustering: Option[String] = None)
 
   /** One recursive driver-side listing grouped into generations —
     * catalog-sized, the same contract as the connector's planner. */
@@ -238,6 +245,30 @@ object SSTableMetadata {
     def renderKey(k: Array[Byte]): Option[String] =
       header.flatMap(h =>
         scala.util.Try(BigFormat.renderValue(h.keyType, k)).toOption)
+    // clustering bounds, era-dispatched: modern STATS values render
+    // under the header's declared types (hex on a foreign mismatch);
+    // 2.x min/maxColumnNames carry as UTF-8 (the era has no header)
+    val statsModern: Option[BigFormat.StatsModern] =
+      if (oldEra) None
+      else statsBytes.flatMap { case (_, b) =>
+        scala.util.Try(
+          BigFormat.readStatsModern(b, version)).toOption.flatten
+      }
+    val clTypes: Seq[String] =
+      header.map(_.clusteringTypes).getOrElse(Nil)
+    def renderBoundList(vs: Seq[Seq[Byte]]): Option[String] =
+      if (vs.isEmpty) None
+      else Some(vs.zipWithIndex.map { case (v, i) =>
+        scala.util.Try(BigFormat.renderValue(
+          clTypes.lift(i).getOrElse(BigFormat.Utf8Type), v.toArray))
+          .getOrElse(v.map("%02x".format(_)).mkString)
+      }.mkString(":"))
+    val minClustering = renderBoundList(
+      statsModern.map(_.minClusteringValues)
+        .orElse(stats2x.map(_.minColumnNames)).getOrElse(Nil))
+    val maxClustering = renderBoundList(
+      statsModern.map(_.maxClusteringValues)
+        .orElse(stats2x.map(_.maxColumnNames)).getOrElse(Nil))
     GenerationMeta(
       sstable = dataPath.split('/').takeRight(2).mkString("/"),
       n_partitions = nPartitions,
@@ -256,7 +287,9 @@ object SSTableMetadata {
       est_keys_hll = estHll,
       ancestors = ancestors,
       partitioner = validation.map(_._1),
-      bloom_fp_chance = validation.map(_._2))
+      bloom_fp_chance = validation.map(_._2),
+      min_clustering = minClustering,
+      max_clustering = maxClustering)
   }
 
   /** Registered `src_sstable_metadata`: the sidecar-only inventory

@@ -2041,6 +2041,66 @@ class SSTableBinarySpec extends SparkSpec {
     } finally Scratch.delete(out)
   }
 
+  test("file-level clustering-slice elision: a slice window disjoint " +
+    "from a file's STATS clustering bounds skips it whole; an " +
+    "overlapping (or equal-bound) window never does") {
+    import spark.implicits._
+    val out = Scratch.dir("graft-clelide-")
+    try {
+      val wt = 1609459200000000L
+      // two generations: ck 'a'..'d' in gen 1, 'm'..'p' in gen 2
+      val frame = Seq(("k1", "a", 1), ("k2", "d", 1),
+        ("k3", "m", 2), ("k4", "p", 2)).map { case (k, c, g) =>
+        (k, Seq(c), "ROW", Some("v"),
+          Some(("x", wt, None: Option[Int], None: Option[Long])),
+          None: Option[Long], s"t/nb-$g-big-Data.db")
+      }.toDF("partition_key", "clustering", "row_kind", "name",
+        "cell_t", "deletion_us", "sstable")
+        .withColumn("cell", struct(
+          col("cell_t._1").as("value"),
+          col("cell_t._2").as("writetime_us"),
+          col("cell_t._3").as("ttl_s"), col("cell_t._4").as("expire_us")))
+        .drop("cell_t")
+      SSTableBinaryV2.writeSSTables(frame, out.toString, "graft",
+        "documents")
+      val dir = s"$out/graft/documents"
+      def metricsOf(df: org.apache.spark.sql.DataFrame)
+          : (Long, Map[String, Long]) = {
+        // collect(), not count(): count() plans a SEPARATE query
+        // execution, leaving this df's own executedPlan (where the
+        // metrics live) never run
+        val n = df.collect().length.toLong
+        (n, df.queryExecution.executedPlan.collectLeaves().collect {
+          case s: org.apache.spark.sql.execution.datasources.v2
+            .BatchScanExec =>
+            s.metrics.view.mapValues(_.value.toString.toLong).toMap
+        }.head)
+      }
+      def sliced(lo: String, hi: String) =
+        metricsOf(spark.read.format("sstable-big")
+          .option("sliceLo", lo).option("sliceHi", hi).load(dir))
+      // window entirely inside gen 2's band: gen 1 skips whole
+      val (n1, m1) = sliced("g", "z")
+      assert(m1("filesSkippedClusteringSpan") === 1, m1.toString)
+      assert(n1 === 2L)
+      // window below everything: both skip, nothing decoded
+      val (n0, m0) = sliced("A", "B")
+      assert(m0("filesSkippedClusteringSpan") === 2, m0.toString)
+      assert(n0 === 0L && m0("partitionsServed") === 0L)
+      // EQUAL bound: lo == gen 1's max ('d') may still match — the
+      // strict-inequality rule must keep the file (and a kept file
+      // serves ALL its rows: a manual slice is an IO hint, the
+      // residual predicate in a real plan does the row filtering)
+      val (nEq, mEq) = sliced("d", "z")
+      assert(mEq("filesSkippedClusteringSpan") === 0, mEq.toString)
+      assert(nEq === 4L)
+      // spanning window: nothing skips
+      val (nAll, mAll) = sliced("a", "p")
+      assert(mAll("filesSkippedClusteringSpan") === 0, mAll.toString)
+      assert(nAll === 4L)
+    } finally Scratch.delete(out)
+  }
+
   test("CLI --sink sstabledump: binary in, dump JSON out, both merged and per-generation") {
     val in = SSTableBinaryV2.writeBinaryFixture(spark, sfDir)
     val out1 = Scratch.dir("graft-cliexp-").toString + "/o"
@@ -2469,6 +2529,26 @@ class SSTableBinarySpec extends SparkSpec {
     } finally Scratch.delete(ka)
   }
 
+  test("2.x min/maxColumnNames: non-empty per-component bounds " +
+    "round-trip the wire (2.1's slice-elision input, the era's twin " +
+    "of the modern clustering-value lists)") {
+    import graft.sources.OldFormat
+    val s = OldFormat.Stats2x(
+      minTimestampUs = 1L, maxTimestampUs = 2L,
+      maxLocalDeletionTimeS = 3, sstableLevel = 0, repairedAt = 0L,
+      minColumnNames = Seq(Seq[Byte](99, 48), Seq[Byte](1)),
+      maxColumnNames = Seq(Seq[Byte](99, 57)))
+    val back = OldFormat.readStats2x(
+      OldFormat.writeStats2x(s, nPartitions = 5L), "t")
+    assert(back.minColumnNames === s.minColumnNames)
+    assert(back.maxColumnNames === s.maxColumnNames)
+    // absent lists still read as empty (every pre-round-15 graft ka
+    // file wrote zero-length lists)
+    val bare = OldFormat.readStats2x(OldFormat.writeStats2x(
+      s.copy(minColumnNames = Nil, maxColumnNames = Nil), 5L), "t")
+    assert(bare.minColumnNames.isEmpty && bare.maxColumnNames.isEmpty)
+  }
+
   test("2.x Statistics.db codec: StatsMetadata round-trips; STATS sought through the TOC") {
     import graft.sources.OldFormat
     val s = OldFormat.Stats2x(
@@ -2556,6 +2636,7 @@ class SSTableBinarySpec extends SparkSpec {
       out.writeDouble(-1.0)
       out.writeInt(100); out.writeInt(0)     // empty drop-time bins
       out.writeInt(0); out.writeLong(0L)     // level, repairedAt
+      out.writeInt(0); out.writeInt(0)       // min/maxColumnNames
       out.flush(); bos.toByteArray
     }
     assert(OldFormat.readStats2x(multiBucket, "t").estColumnsTotal === 8L)
