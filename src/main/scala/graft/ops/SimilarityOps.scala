@@ -34,9 +34,38 @@ object SimilarityOps {
       col("embedding").cast("array<double>").as("e"))
       .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
 
+  /** The normalized corpus, materialized ONCE per corpus directory and
+    * shared by every similarity query in the session (same lifecycle as
+    * the trained indexes in [[trainedCache]]): ~30 registered queries
+    * each need (vec_id, e, nrm) and Catalyst shares no subtrees across
+    * separate actions, so without the memo each query re-scans the
+    * parquet and re-computes the norms. The frame is deterministic
+    * (a pure projection of the table), so the memo changes nothing but
+    * the repeated scan cost. */
+  private[graft] def vnOf(spark: SparkSession, sfDir: String): DataFrame =
+    trainedCache.getOrElseUpdate(("vn", sfDir, 0, 0),
+      withNorm(Tables.load(spark, sfDir, "embeddings")).localCheckpoint())
+      .asInstanceOf[DataFrame]
+
+  /** Brute-force truth side of every recall measurement — top-3 per
+    * audit query (vec_id < 8), memoized per corpus like the corpus
+    * itself: the recall family, the tuning curves and the tier matrix
+    * all compare against the SAME deterministic truth table, so it
+    * materializes once and every evaluator joins against the
+    * checkpoint. (On a real deployment the recall audit runs over a
+    * sample, so this frame is |Q|·3 rows — audit-constant, never
+    * corpus-sized.) */
+  private[graft] def bruteTruthOf(spark: SparkSession,
+      sfDir: String): DataFrame =
+    trainedCache.getOrElseUpdate(("brute-truth", sfDir, 0, 0),
+      cosineTopKOf(vnOf(spark, sfDir)).filter(col("rk") <= 3)
+        .select(col("q_vec_id"), col("neighbor_vec_id"))
+        .localCheckpoint())
+      .asInstanceOf[DataFrame]
+
   /** Brute-force cosine top-5 neighbors for query vectors vec_id<8. */
   def cosineTopK(spark: SparkSession, sfDir: String): DataFrame =
-    cosineTopKOf(withNorm(Tables.load(spark, sfDir, "embeddings")))
+    cosineTopKOf(vnOf(spark, sfDir))
 
   /** [[cosineTopK]] over a prepared normalized frame (vec_id, e, nrm) —
     * lets the recall harness feed every role from ONE corpus scan. */
@@ -112,7 +141,7 @@ object SimilarityOps {
       maxBucket: Int = NearDupMaxBucket): DataFrame = {
     val planes =
       hyperplanes(64, NearDupBands * NearDupRowsPerBand, NearDupSeed)
-    val v = withNorm(Tables.load(spark, sfDir, "embeddings"))
+    val v = vnOf(spark, sfDir)
       .filter(col("vec_id") % 10 === 0)
     val bandCols = (0 until NearDupBands).map { bnd =>
       val bandPlanes = planes.slice(
@@ -221,7 +250,7 @@ object SimilarityOps {
   val KmeansIters = 2
 
   private def trainSample(spark: SparkSession, sfDir: String): DataFrame =
-    withNorm(Tables.load(spark, sfDir, "embeddings"))
+    vnOf(spark, sfDir)
       .filter(col("vec_id") >= KmeansTrainBase &&
         col("vec_id") < KmeansTrainBase + KmeansTrainCap)
       .select(col("vec_id"), col("e"))
@@ -302,7 +331,7 @@ object SimilarityOps {
     * occupancy-balance diagnostic for quantizer training. */
   def cellOccupancy(spark: SparkSession, sfDir: String,
       cs: Array[Array[Double]], l2: Boolean): DataFrame =
-    withNorm(Tables.load(spark, sfDir, "embeddings"))
+    vnOf(spark, sfDir)
       .withColumn("cell", ivfCell(col("e"), cs, l2))
       .groupBy("cell").count()
 
@@ -314,7 +343,7 @@ object SimilarityOps {
     * brute-force is asserted in the spec.
     */
   def annIvf(spark: SparkSession, sfDir: String): DataFrame =
-    annIvfOf(withNorm(Tables.load(spark, sfDir, "embeddings")))
+    annIvfOf(vnOf(spark, sfDir))
 
   /** Multi-probe IVF (nprobe=2): same index, each query probes its
     * TWO nearest cells. nprobe is the IVF recall/cost dial — a true
@@ -324,7 +353,7 @@ object SimilarityOps {
     * nprobe× the candidate volume (still cell-pruned, never the
     * corpus). The broadcast query set grows nprobe×: still tiny. */
   def annIvfMp(spark: SparkSession, sfDir: String): DataFrame =
-    annIvfOf(withNorm(Tables.load(spark, sfDir, "embeddings")), nprobe = 2)
+    annIvfOf(vnOf(spark, sfDir), nprobe = 2)
 
   private def annIvfOf(vn: DataFrame, nprobe: Int = 1,
       cs: Array[Array[Double]] = centroids(64, 16),
@@ -466,7 +495,7 @@ object SimilarityOps {
     * brute-force neighbors is the quality metric (EstimatorSpec).
     */
   def annIvfPq(spark: SparkSession, sfDir: String): DataFrame =
-    annIvfPqOf(withNorm(Tables.load(spark, sfDir, "embeddings")),
+    annIvfPqOf(vnOf(spark, sfDir),
       pqCodebooks(spark, sfDir), cacheKey = Some(s"$sfDir|init"))
 
   /** Encoded-corpus memo: the codes table IS the index (cell + M
@@ -572,7 +601,7 @@ object SimilarityOps {
     * only true-top-3 vectors outrank a true-top-3 vector in exact
     * cosine); EstimatorSpec asserts it per query. */
   def annPqRerank(spark: SparkSession, sfDir: String): DataFrame =
-    annPqRerankOf(withNorm(Tables.load(spark, sfDir, "embeddings")),
+    annPqRerankOf(vnOf(spark, sfDir),
       pqCodebooks(spark, sfDir), cacheKey = Some(s"$sfDir|init"))
 
   private def annPqRerankOf(vn: DataFrame,
@@ -650,7 +679,7 @@ object SimilarityOps {
     * right baseline when recall must be ~exact; compose with IVF
     * cells when the corpus outgrows a full scan budget. */
   def annSq8(spark: SparkSession, sfDir: String): DataFrame = {
-    val vn = withNorm(Tables.load(spark, sfDir, "embeddings"))
+    val vn = vnOf(spark, sfDir)
     annSq8Of(vn, sq8BoundsOf(vn, sfDir))
   }
 
@@ -708,7 +737,7 @@ object SimilarityOps {
     * middle ground between SQ8-flat's full scan and PQ's coarser
     * compression. */
   def annIvfSq8(spark: SparkSession, sfDir: String): DataFrame = {
-    val vn = withNorm(Tables.load(spark, sfDir, "embeddings"))
+    val vn = vnOf(spark, sfDir)
     annIvfSq8Of(vn, sq8BoundsOf(vn, sfDir))
   }
 
@@ -811,7 +840,7 @@ object SimilarityOps {
     * constants and the score form differ. */
   def annIvfTrained(spark: SparkSession, sfDir: String): DataFrame = {
     val cs = trainedCentroids(spark, sfDir)
-    annIvfOf(withNorm(Tables.load(spark, sfDir, "embeddings")),
+    annIvfOf(vnOf(spark, sfDir),
       cs = cs, l2 = true)
   }
 
@@ -838,7 +867,7 @@ object SimilarityOps {
   def annIvfPqTrained(spark: SparkSession, sfDir: String): DataFrame = {
     val cs = trainedCentroids(spark, sfDir)
     val books = trainedPqCodebooks(spark, sfDir)
-    annIvfPqOf(withNorm(Tables.load(spark, sfDir, "embeddings")), books,
+    annIvfPqOf(vnOf(spark, sfDir), books,
       cs = cs, l2 = true, cacheKey = Some(s"$sfDir|trained"))
   }
 
@@ -881,7 +910,7 @@ object SimilarityOps {
   /** IVF serving from the RELOADED trained index — must equal
     * [[annIvfTrained]] exactly (shared oracle). */
   def annIvfPersist(spark: SparkSession, sfDir: String): DataFrame =
-    annIvfOf(withNorm(Tables.load(spark, sfDir, "embeddings")),
+    annIvfOf(vnOf(spark, sfDir),
       cs = reloadedCentroids(spark, sfDir), l2 = true)
 
   /** The COMPLETE index artifact set — write_index for the whole
@@ -908,7 +937,7 @@ object SimilarityOps {
     import spark.implicits._
     val cs = trainedCentroids(spark, sfDir)
     val books = trainedPqCodebooks(spark, sfDir)
-    val all = withNorm(Tables.load(spark, sfDir, "embeddings"))
+    val all = vnOf(spark, sfDir)
     val vn = corpus.getOrElse(all)
     val (mins, rng) = sq8BoundsOf(all, sfDir)
     cs.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
@@ -956,7 +985,7 @@ object SimilarityOps {
     writeFullIndex(spark, sfDir, dir.toString)
     val (cs, books, _, codes) = readFullIndex(spark, dir.toString)
     val out = annIvfPqOf(
-      withNorm(Tables.load(spark, sfDir, "embeddings")), books,
+      vnOf(spark, sfDir), books,
       cs = cs, l2 = true, codedOverride = Some(codes))
       .localCheckpoint()
     graft.Scratch.delete(dir)
@@ -985,7 +1014,7 @@ object SimilarityOps {
     val (cs, books, _, codes) = readFullIndex(spark, dir.toString)
     val shrunk = codes.filter(col("vec_id") % RemoveMod =!= RemoveRes)
     val out = annIvfPqOf(
-      withNorm(Tables.load(spark, sfDir, "embeddings")), books,
+      vnOf(spark, sfDir), books,
       cs = cs, l2 = true, codedOverride = Some(shrunk))
       .localCheckpoint()
     graft.Scratch.delete(dir)
@@ -1006,8 +1035,7 @@ object SimilarityOps {
     * growing the index must answer exactly like rebuilding it. */
   def annIvfPqAdd(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = graft.Scratch.dir("graft-ivfpq-add-")
-    val vn = withNorm(Tables.load(spark, sfDir, "embeddings"))
-      .localCheckpoint()
+    val vn = vnOf(spark, sfDir)
     // base build job: persist the index over vec_id % 4 != 3
     writeFullIndex(spark, sfDir, dir.toString,
       corpus = Some(vn.filter(col("vec_id") % 4 =!= 3)))
@@ -1256,52 +1284,79 @@ object SimilarityOps {
     * hops touch ≤ |Q|·beam·[[HnswFanCap]] tree edges; flat hops
     * ≤ |Q|·beam·degree — all query-set-sized frames, never
     * corpus-sized; both adjacency sides are memoized checkpoints. */
+  /** The audit query set projected off the checkpointed corpus —
+    * 8 rows, broadcast into every scoring join. */
+  private def hnswQueries(vnC: DataFrame): DataFrame =
+    vnC.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_vec_id"), col("e").as("qe"),
+        col("nrm").as("qnrm"))
+
+  /** One beam-search hop: expand the current frontier along `adj`,
+    * rescore against the broadcast query set, keep each query's best
+    * `keep` nodes. Frames are |Q|·keep·degree — query-set-sized. */
+  private def hnswHop(vnC: DataFrame, q: DataFrame, cur: DataFrame,
+      adj: DataFrame, keep: Int): DataFrame = {
+    val expanded = cur.union(
+      cur.join(adj, cur("node") === adj("src"))
+        .select(cur("q_vec_id"), adj("dst").as("node")))
+      .distinct()
+    val scored = expanded
+      .join(vnC.select(col("vec_id").as("node"), col("e"), col("nrm")),
+        "node")
+      .join(broadcast(q), "q_vec_id")
+      .withColumn("cos",
+        dot(col("qe"), col("e")) / (col("qnrm") * col("nrm")))
+    val w = Window.partitionBy("q_vec_id")
+      .orderBy(col("cos").desc, col("node"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= keep)
+      .select("q_vec_id", "node")
+      .localCheckpoint()
+  }
+
+  /** The descent LANDING SET — where the spine walk deposits each
+    * audit query's flat-phase seeds. Memoized per corpus like the
+    * spine and the graph: the descent touches only the spine (corpus-
+    * derived, no trained state), the fixed audit query set and the
+    * corpus vectors, and uses the fixed [[HnswDescentKeep]] width —
+    * beam width and graph overrides affect ONLY the flat phase — so
+    * every serving query, every beam-curve point and the tier matrix
+    * descend to the identical deterministic frame, and it materializes
+    * once per corpus instead of once per serving run. */
+  private def hnswLanding(vnC: DataFrame, cacheKey: String): DataFrame =
+    trainedCache.getOrElseUpdate(("hnsw-landing", cacheKey, 0, 0), {
+      // spine edges are corpus-derived (no trained state), so the
+      // persisted-graph path descends the identical tree
+      val spineRev = hnswSpineOf(vnC, cacheKey)
+        .select(col("dst").as("src"), col("src").as("dst"))
+        .localCheckpoint()
+      val q = hnswQueries(vnC)
+      val entry = vnC.agg(min(col("vec_id")).as("node"))
+      var beamDf = q.select(col("q_vec_id")).crossJoin(broadcast(entry))
+      var topLayer: DataFrame = null
+      for (h <- 1 to HnswDescentHops) {
+        beamDf = hnswHop(vnC, q, beamDf, spineRev, HnswDescentKeep)
+        // the frontier after hop 1 IS the spine's top layer (entry ∪
+        // the bucket apexes, ≤16 nodes)
+        if (h == 1) topLayer = beamDf
+      }
+      // flat seeds = the descent's query-biased landing set ∪ the top
+      // layer: the apexes keep one probe alive per coarse region, so a
+      // mis-triaged subtree can't strand a query in one basin —
+      // constant-sized either way
+      beamDf.union(topLayer).distinct().localCheckpoint()
+    }).asInstanceOf[DataFrame]
+
+  /** `vn` must already be materialized (callers pass the [[vnOf]]
+    * memo) — the walk joins it into every hop's rescoring. */
   private def annHnswOf(vn: DataFrame, cacheKey: String,
       graphOverride: Option[DataFrame] = None,
       beam: Int = HnswBeam): DataFrame = {
-    val vnC = vn.localCheckpoint()
+    val vnC = vn
     val adjS = graphOverride.getOrElse(hnswGraph(vnC, cacheKey))
-    // spine edges are corpus-derived (no trained state), so the
-    // persisted-graph path descends the identical tree
-    val spineRev = hnswSpineOf(vnC, cacheKey)
-      .select(col("dst").as("src"), col("src").as("dst"))
-      .localCheckpoint()
-    val q = vnC.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("q_vec_id"), col("e").as("qe"),
-        col("nrm").as("qnrm"))
-    def hop(cur: DataFrame, adj: DataFrame, keep: Int): DataFrame = {
-      val expanded = cur.union(
-        cur.join(adj, cur("node") === adj("src"))
-          .select(cur("q_vec_id"), adj("dst").as("node")))
-        .distinct()
-      val scored = expanded
-        .join(vnC.select(col("vec_id").as("node"), col("e"), col("nrm")),
-          "node")
-        .join(broadcast(q), "q_vec_id")
-        .withColumn("cos",
-          dot(col("qe"), col("e")) / (col("qnrm") * col("nrm")))
-      val w = Window.partitionBy("q_vec_id")
-        .orderBy(col("cos").desc, col("node"))
-      scored.withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= keep)
-        .select("q_vec_id", "node")
-        .localCheckpoint()
-    }
-    val entry = vnC.agg(min(col("vec_id")).as("node"))
-    var beamDf = q.select(col("q_vec_id")).crossJoin(broadcast(entry))
-    var topLayer: DataFrame = null
-    for (h <- 1 to HnswDescentHops) {
-      beamDf = hop(beamDf, spineRev, HnswDescentKeep)
-      // the frontier after hop 1 IS the spine's top layer (entry ∪
-      // the bucket apexes, ≤16 nodes)
-      if (h == 1) topLayer = beamDf
-    }
-    // flat seeds = the descent's query-biased landing set ∪ the top
-    // layer: the apexes keep one probe alive per coarse region, so a
-    // mis-triaged subtree can't strand a query in one basin —
-    // constant-sized either way
-    beamDf = beamDf.union(topLayer).distinct().localCheckpoint()
-    for (_ <- 1 to HnswHops) beamDf = hop(beamDf, adjS, beam)
+    val q = hnswQueries(vnC)
+    var beamDf = hnswLanding(vnC, cacheKey)
+    for (_ <- 1 to HnswHops) beamDf = hnswHop(vnC, q, beamDf, adjS, beam)
     val fin = beamDf.filter(col("node") =!= col("q_vec_id"))
       .join(vnC.select(col("vec_id").as("node"), col("e"), col("nrm")),
         "node")
@@ -1317,7 +1372,7 @@ object SimilarityOps {
 
   /** Registered graph-ANN serving query. */
   def annHnsw(spark: SparkSession, sfDir: String): DataFrame =
-    annHnswOf(withNorm(Tables.load(spark, sfDir, "embeddings")), sfDir)
+    annHnswOf(vnOf(spark, sfDir), sfDir)
 
   /** Graph-index persistence — write_index/read_index for the NSW
     * tier: the built adjacency (the graph IS the index — edges only,
@@ -1329,8 +1384,7 @@ object SimilarityOps {
     * oracle VERBATIM, completing the persistence story across every
     * index family (IVF, IVF-PQ(+SQ8 bounds), and now the graph). */
   def annHnswPersist(spark: SparkSession, sfDir: String): DataFrame = {
-    val vn = withNorm(Tables.load(spark, sfDir, "embeddings"))
-      .localCheckpoint()
+    val vn = vnOf(spark, sfDir)
     val dir = graft.Scratch.dir("graft-hnsw-index-")
     hnswGraph(vn, sfDir).write.mode("overwrite").parquet(dir.toString)
     val reloaded = spark.read.parquet(dir.toString).localCheckpoint()
@@ -1350,16 +1404,15 @@ object SimilarityOps {
     * [[BeamCurve]] in one result — wider beams explore more of the
     * graph per hop for linearly more rescoring work, the efSearch
     * trade every graph-ANN deployment sweeps before fixing its
-    * serving configuration. The corpus, the brute-force truth side
-    * AND the built graph are shared by every curve point (the graph
-    * from its build-once memo, the other two checkpointed here). */
+    * serving configuration. The corpus ([[vnOf]]), the brute-force
+    * truth side ([[bruteTruthOf]]), the built graph AND the descent
+    * landing set ([[hnswLanding]] — beam width affects only the flat
+    * phase) all come from their per-corpus memos, so each curve point
+    * pays only its own flat hops. */
   def annBeamCurve(spark: SparkSession, sfDir: String,
       beams: Seq[Int] = BeamCurve): DataFrame = {
-    val v = withNorm(Tables.load(spark, sfDir, "embeddings"))
-      .localCheckpoint()
-    val brute = cosineTopKOf(v).filter(col("rk") <= 3)
-      .select(col("q_vec_id"), col("neighbor_vec_id"))
-      .localCheckpoint()
+    val v = vnOf(spark, sfDir)
+    val brute = bruteTruthOf(spark, sfDir)
     beams.map { b =>
       val ann = annHnswOf(v, sfDir, beam = b)
         .select(col("q_vec_id"), col("neighbor_vec_id"))
@@ -1399,11 +1452,8 @@ object SimilarityOps {
     * from its build-once memo). Recall denominators are the audit
     * constant 8 queries × top-3 = 24 true neighbors. */
   def annTierMatrix(spark: SparkSession, sfDir: String): DataFrame = {
-    val v = withNorm(Tables.load(spark, sfDir, "embeddings"))
-      .localCheckpoint()
-    val brute = cosineTopKOf(v).filter(col("rk") <= 3)
-      .select(col("q_vec_id"), col("neighbor_vec_id"))
-      .localCheckpoint()
+    val v = vnOf(spark, sfDir)
+    val brute = bruteTruthOf(spark, sfDir)
     val books = pqCodebooks(spark, sfDir)
     val csT = trainedCentroids(spark, sfDir)
     val bounds = sq8BoundsOf(v, sfDir)
@@ -1439,20 +1489,18 @@ object SimilarityOps {
     * [[ProbeCurve]] in one result — the measured cost/recall dial an
     * IVF deployment sweeps before fixing its serving configuration
     * (candidate volume grows ~linearly in nprobe; recall approaches
-    * brute force). The brute-force truth side and the normalized
-    * corpus are each materialized ONCE and shared by every curve
-    * point (Catalyst shares no subtrees across the union's branches —
-    * without the checkpoints each point would re-run the brute top-k,
-    * the dominant cost). Recall here is the aggregate over the audit
+    * brute force). The brute-force truth side ([[bruteTruthOf]]) and
+    * the normalized corpus ([[vnOf]]) come from their per-corpus
+    * memos, shared by every curve point (Catalyst shares no subtrees
+    * across the union's branches — without the materialized frames
+    * each point would re-run the brute top-k, the dominant cost).
+    * Recall here is the aggregate over the audit
     * query set; per-query detail stays with the `sim_ann_recall_*`
     * family. */
   def annProbeCurve(spark: SparkSession, sfDir: String,
       probes: Seq[Int] = ProbeCurve): DataFrame = {
-    val v = withNorm(Tables.load(spark, sfDir, "embeddings"))
-      .localCheckpoint()
-    val brute = cosineTopKOf(v).filter(col("rk") <= 3)
-      .select(col("q_vec_id"), col("neighbor_vec_id"))
-      .localCheckpoint()
+    val v = vnOf(spark, sfDir)
+    val brute = bruteTruthOf(spark, sfDir)
     probes.map { p =>
       val ann = annIvfOf(v, nprobe = p)
         .select(col("q_vec_id"), col("neighbor_vec_id"))
@@ -1494,7 +1542,7 @@ object SimilarityOps {
       array(c.toIndexedSeq.map(lit(_)): _*)): _*)
     val cnormArr = array(cs.toIndexedSeq.map(c =>
       lit(math.sqrt(c.map(x => x * x).sum))): _*)
-    val v = withNorm(Tables.load(spark, sfDir, "embeddings"))
+    val v = vnOf(spark, sfDir)
       .withColumn("cell", ivfCell(col("e"), cs, l2 = true))
       .select(col("vec_id"), col("cell"),
         round(dot(col("e"), element_at(centArr, col("cell") + 1)) /
@@ -1555,7 +1603,7 @@ object SimilarityOps {
       array(c.toIndexedSeq.map(lit(_)): _*)): _*)
     val cnormArr = array(cs.toIndexedSeq.map(c =>
       lit(math.sqrt(c.map(x => x * x).sum))): _*)
-    val v = withNorm(Tables.load(spark, sfDir, "embeddings"))
+    val v = vnOf(spark, sfDir)
       .withColumn("cell", ivfCell(col("e"), cs, l2 = true))
       .select(col("vec_id"), col("cell"),
         round(dot(col("e"), element_at(centArr, col("cell") + 1)) /
@@ -1610,10 +1658,8 @@ object SimilarityOps {
     // computation instead of four of each (and on a real deployment
     // the recall audit runs over a sample, so the materialized frame
     // is sample-sized, not corpus-sized)
-    val v = withNorm(Tables.load(spark, sfDir, "embeddings"))
-      .localCheckpoint()
-    val brute = cosineTopKOf(v).filter(col("rk") <= 3)
-      .select(col("q_vec_id"), col("neighbor_vec_id"))
+    val v = vnOf(spark, sfDir)
+    val brute = bruteTruthOf(spark, sfDir)
     val ann = annIndex(v)
       .select(col("q_vec_id"), col("neighbor_vec_id"))
       .withColumn("hit", lit(1L))
@@ -1635,7 +1681,7 @@ object SimilarityOps {
     * brute-force baseline is asserted in the spec, not here.
     */
   def annLsh(spark: SparkSession, sfDir: String): DataFrame =
-    annLshOf(withNorm(Tables.load(spark, sfDir, "embeddings")))
+    annLshOf(vnOf(spark, sfDir))
 
   private def annLshOf(vn: DataFrame): DataFrame = {
     val planes = hyperplanes(64, 8)
@@ -1703,7 +1749,7 @@ object SimilarityOps {
   private def semDedupWith(spark: SparkSession, sfDir: String,
       cs: Array[Array[Double]], l2: Boolean,
       maxCell: Int): DataFrame = {
-    val v = withNorm(Tables.load(spark, sfDir, "embeddings"))
+    val v = vnOf(spark, sfDir)
       .withColumn("cell", ivfCell(col("e"), cs, l2))
     val cells = v
       .groupBy(col("cell"))
