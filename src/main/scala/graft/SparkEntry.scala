@@ -140,6 +140,7 @@ object SparkEntry {
     "src_sstable_2x_split" -> (sources.SSTableBinaryV2.split2x _),
     "src_sstable_compact" -> (sources.SSTableBinaryV2.auditCompact2x _),
     "src_sstable_2x_upgrade" -> (sources.SSTableBinaryV2.upgrade2x _),
+    "src_sstable_2x_slice" -> (sources.SSTableBinaryV2.slice2x _),
     "src_sstable_2x_coll" -> (sources.SSTableBinaryV2.coll2xUpgrade _),
     "src_sstable_point" -> (sources.SSTableBinaryV2.pointLookup _),
     "src_sstable_point_lz4" -> (sources.SSTableBinaryV2.pointLookupLz4 _),
@@ -2883,6 +2884,35 @@ object SparkEntry {
     // Index.db seek — the 2.x contract restricted to the four probed
     // keys (live, partition tombstone, marker-only, row DELETE)
     "src_sstable_2x_point" -> point2xOracleSql,
+    // the 2.x promoted-index slice: four wide ka partitions, the
+    // middle-third clustering band decoded via 2.1 IndexInfo blocks;
+    // the audit is the residual-filtered band — all live rows (marker
+    // + len/src cells), one generation, no TTLs or deletions
+    "src_sstable_2x_slice" -> """
+      |WITH b AS (
+      | SELECT min(CAST(doc_id AS BIGINT)) AS dmin,
+      |  max(CAST(doc_id AS BIGINT)) AS dmax FROM documents),
+      |s AS (
+      | SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.source, d.n_chars
+      | FROM documents d, b
+      | WHERE CAST(d.doc_id AS BIGINT)
+      |  BETWEEN b.dmin + (b.dmax - b.dmin + 1)//3
+      |  AND b.dmin + (2*(b.dmax - b.dmin + 1))//3),
+      |r AS (
+      | SELECT 'PK_LIVENESS' AS row_kind, doc_id*1000000 AS wt2,
+      |   NULL AS vc FROM s
+      | UNION ALL
+      | SELECT 'ROW', doc_id*1000000,
+      |   length(CAST(CAST(n_chars AS BIGINT) AS VARCHAR)) FROM s
+      | UNION ALL
+      | SELECT 'ROW', doc_id*1000000 + 10000000, length(source) FROM s)
+      |SELECT row_kind, count(*) AS n_rows,
+      | CAST(1 AS BIGINT) AS n_sstables,
+      | CAST(sum(wt2) AS BIGINT) AS sum_wt_off_us,
+      | CAST(NULL AS BIGINT) AS sum_ttl_s,
+      | CAST(NULL AS BIGINT) AS sum_del_off_us,
+      | CAST(sum(vc) AS BIGINT) AS sum_value_chars
+      |FROM r GROUP BY 1""".stripMargin,
     // partition-aligned split scans of 2.x files via their own
     // Index.db: split transport, identical logical content
     "src_sstable_2x_split" -> sstable2xSql,

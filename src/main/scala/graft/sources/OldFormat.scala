@@ -432,28 +432,279 @@ object OldFormat {
   def writeDataFile(partitions: Seq[Partition2], s: Schema): Array[Byte] =
     writeDataFileIndexed(partitions, s)._1
 
-  /** [[writeDataFile]] plus the primary-index entries — (encoded key,
-    * Data.db start offset) per partition in token order, the exact
-    * pairs a 2.x `Index.db` carries (`o.a.c.db.RowIndexEntry
-    * .Serializer`, 2.1 layout) — so a ka/la fixture can ship the
-    * sidecars the reference's own `getPosition` path consults. */
-  def writeDataFileIndexed(partitions: Seq[Partition2],
-      s: Schema): (Array[Byte], Seq[(Array[Byte], Long)]) = {
+  // ---- 2.1 promoted ("column") index --------------------------------
+  // o.a.c.io.sstable.IndexHelper.IndexInfo + o.a.c.db.RowIndexEntry
+  // .IndexedEntry — the pre-3.0 within-partition index the reference's
+  // NoTTLSSTableNamesIterator.readIndexedColumns (cassandra-2
+  // NoTTLSSTableNamesIterator.java:156-225) seeks by: raw composite
+  // cell-name bounds (NOT 3.0's typed clustering prefixes), fixed-width
+  // longs (NOT vints), and offsets measured from the ROW START (the
+  // 2+keyLen+4+8 row header is inside the first block's offset, so the
+  // reader seeks basePosition + offset directly).
+
+  /** One 2.1 `IndexHelper.IndexInfo`: the block's first/last cell-name
+    * bytes verbatim, offset from the row start, byte width. */
+  case class IndexInfo2x(firstName: Array[Byte], lastName: Array[Byte],
+      offset: Long, width: Long)
+
+  /** A decoded 2.1 promoted payload: the row-level DeletionTime the
+    * entry repeats (so a reader can shadow without touching Data.db)
+    * and the blocks. */
+  case class Promoted2x(deletionUs: Option[Long],
+      blocks: Seq[IndexInfo2x])
+
+  /** `RowIndexEntry.IndexedEntry.serialize` minus the (key, position,
+    * promoted-size) framing `SSTableComponents.writeIndex2x` owns:
+    * DeletionTime (int localDeletionTime + long markedForDeleteAt),
+    * int block count, then each block via `IndexInfo.Serializer`
+    * (short-length firstName, short-length lastName, long offset,
+    * long width — all fixed-width, the 2.1 layout). */
+  def writePromoted2x(p: Promoted2x): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
-    val index = Seq.newBuilder[(Array[Byte], Long)]
+    p.deletionUs match {
+      case Some(del) =>
+        out.writeInt(BigFormat.NoDeletionTime - 1); out.writeLong(del)
+      case None =>
+        out.writeInt(BigFormat.NoDeletionTime)
+        out.writeLong(BigFormat.NoTimestamp)
+    }
+    out.writeInt(p.blocks.size)
+    p.blocks.foreach { b =>
+      out.writeShort(b.firstName.length)
+      out.write(b.firstName)
+      out.writeShort(b.lastName.length)
+      out.write(b.lastName)
+      out.writeLong(b.offset)
+      out.writeLong(b.width)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  def readPromoted2x(bytes: Array[Byte], file: String): Promoted2x = {
+    val in = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val ldt = in.readInt()
+    val mfda = in.readLong()
+    val del =
+      if (ldt == BigFormat.NoDeletionTime && mfda == BigFormat.NoTimestamp)
+        None
+      else Some(mfda)
+    val n = in.readInt()
+    require(n >= 0 && n <= bytes.length,
+      s"$file: absurd 2.x promoted block count $n")
+    val blocks = (0 until n).map { _ =>
+      val first = readShortBytes(in, "2.x IndexInfo firstName")
+      val last = readShortBytes(in, "2.x IndexInfo lastName")
+      val offset = in.readLong()
+      val width = in.readLong()
+      require(offset >= 0 && width > 0,
+        s"$file: 2.x IndexInfo with offset $offset width $width")
+      IndexInfo2x(first, last, offset, width)
+    }
+    require(in.available() == 0,
+      s"$file: 2.x promoted entry carries ${in.available()} trailing bytes")
+    require(blocks.isEmpty ||
+      blocks.zip(blocks.tail).forall { case (a, b) => a.offset < b.offset },
+      s"$file: 2.x promoted block offsets not ascending")
+    Promoted2x(del, blocks)
+  }
+
+  /** [[writeDataFile]] plus the primary-index entries — (encoded key,
+    * Data.db start offset, promoted payload) per partition in token
+    * order, the exact triple a 2.x `Index.db` carries
+    * (`o.a.c.db.RowIndexEntry.Serializer`, 2.1 layout) — so a ka/la
+    * fixture can ship the sidecars the reference's own `getPosition`
+    * path consults. With `columnIndexSize` > 0, partitions whose atoms
+    * span ≥ 2 blocks of that size get a REAL promoted payload
+    * (`o.a.c.db.ColumnIndex`'s rule: blocks accumulate atoms until one
+    * crosses the threshold; a single-block partition gains nothing
+    * over its Index.db position and stays unpromoted — 2.1's
+    * `RowIndexEntry.create`). Offsets are from the row start; the
+    * first block's offset IS the row-header size. Range tombstones in
+    * a partition that promotes are refused loudly: 2.1's
+    * `RangeTombstone.Tracker` re-emits open markers at each block
+    * start so a mid-partition entry sees them, and this writer does
+    * not implement marker repetition — a promoted partition silently
+    * carrying an unrepeated spanning tombstone would lie to a
+    * block-subset reader. */
+  def writeDataFileIndexed(partitions: Seq[Partition2], s: Schema,
+      columnIndexSize: Int = 0)
+      : (Array[Byte], Seq[(Array[Byte], Long, Array[Byte])]) = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    val index = Seq.newBuilder[(Array[Byte], Long, Array[Byte])]
     partitions
       .sortBy(p =>
         (BigFormat.murmur3Token(BigFormat.encodeValue(s.keyType, p.key)),
           p.key))
       .foreach { p =>
         out.flush()
-        index += ((BigFormat.encodeValue(s.keyType, p.key),
-          bos.size.toLong))
+        val rowStart = bos.size.toLong
+        val keyBytes = BigFormat.encodeValue(s.keyType, p.key)
+        val promoted =
+          if (columnIndexSize <= 0) Array.emptyByteArray
+          else {
+            // serialize each atom alone to learn its width and its
+            // name bytes (an atom's serialization leads with
+            // [short nameLen][name] — the composite the IndexInfo
+            // bounds carry verbatim)
+            val atomBytes = p.atoms.map { a =>
+              val abos = new ByteArrayOutputStream()
+              val aout = new DataOutputStream(abos)
+              writeAtom(a, s, aout, "fixture")
+              aout.flush()
+              abos.toByteArray
+            }
+            def nameOf(bytes: Array[Byte]): Array[Byte] = {
+              val len = ((bytes(0) & 0xff) << 8) | (bytes(1) & 0xff)
+              java.util.Arrays.copyOfRange(bytes, 2, 2 + len)
+            }
+            val headerSize = 2L + keyBytes.length + 4 + 8
+            val blocks = Seq.newBuilder[IndexInfo2x]
+            var blockStart = -1L
+            var off = headerSize
+            var first: Array[Byte] = null
+            var last: Array[Byte] = null
+            atomBytes.foreach { ab =>
+              if (blockStart < 0) { blockStart = off; first = nameOf(ab) }
+              last = nameOf(ab)
+              off += ab.length
+              if (off - blockStart >= columnIndexSize) {
+                blocks += IndexInfo2x(first, last, blockStart,
+                  off - blockStart)
+                blockStart = -1L
+              }
+            }
+            if (blockStart >= 0)
+              blocks += IndexInfo2x(first, last, blockStart,
+                off - blockStart)
+            val bs = blocks.result()
+            if (bs.size < 2) Array.emptyByteArray
+            else {
+              require(!p.atoms.exists(_.isInstanceOf[Tombstone2]),
+                s"partition '${p.key}' promotes across ${bs.size} " +
+                  "blocks but carries range tombstones — 2.1 repeats " +
+                  "open markers at block starts (RangeTombstone" +
+                  ".Tracker) and this writer does not; keep " +
+                  "tombstones in unpromoted partitions")
+              writePromoted2x(Promoted2x(p.deletionUs, bs))
+            }
+          }
+        index += ((keyBytes, rowStart, promoted))
         writePartition(p, s, out)
       }
     out.flush()
     (bos.toByteArray, index.result())
+  }
+
+  /** Bounded view of an InputStream — the sliced reader's guard that a
+    * block-subset decode can never run past its selected span. */
+  private final class Bounded2x(in: java.io.InputStream, limit: Long)
+      extends java.io.InputStream {
+    private var left = limit
+    override def read(): Int =
+      if (left <= 0) -1
+      else { val b = in.read(); if (b >= 0) left -= 1; b }
+    override def read(b: Array[Byte], off: Int, len: Int): Int = {
+      if (left <= 0) return -1
+      val n = in.read(b, off, math.min(len.toLong, left).toInt)
+      if (n > 0) left -= n
+      n
+    }
+  }
+
+  /** The 2.x sliced partition read — the reference's
+    * `readIndexedColumns` (cassandra-2
+    * `NoTTLSSTableNamesIterator.java:156-225`) applied to a clustering
+    * slice: select the promoted blocks whose [firstName, lastName]
+    * cell-name range can overlap [lo, hi] (prefix comparison under the
+    * declared clustering comparators — a strict prefix compares EQUAL,
+    * keeping boundary-block selection conservative), seek
+    * `rowStart + offset`, decode exactly the selected span. The slice
+    * predicate stays residual in the caller's plan, so block-boundary
+    * over-selection is trimmed there — this read only guarantees a
+    * SUPERSET of the slice at O(overlapping blocks) IO. COMPACT
+    * STORAGE names are raw comparator bytes with no composite framing;
+    * they refuse here (read the partition whole) rather than guess a
+    * frame. */
+  def readPartitionSliced2x(s: Schema,
+      openAt: Long => java.io.InputStream, pos: Long, pr: Promoted2x,
+      lo: Seq[Array[Byte]], hi: Seq[Array[Byte]],
+      file: String): Partition2 = {
+    require(!s.compactStorage,
+      s"$file: 2.x promoted-index slice serving covers the CQL3 " +
+        "composite cell-name layout; COMPACT STORAGE names carry no " +
+        "composite framing — serve the partition whole")
+    require(s.clusteringTypes.nonEmpty,
+      s"$file: a clusteringless table has nothing to slice")
+    // compare a stored composite cell name's clustering prefix against
+    // a bound prefix; eoc on the last parsed component maps to the
+    // prefix kinds ClusteringComparator uses (-1 sorts before anything
+    // it prefixes, +1 after, 0 = a full/cell name compares equal on a
+    // shared prefix — conservative for block selection)
+    def cmp(name: Array[Byte], bound: Seq[Array[Byte]]): Int = {
+      val in = new DataInputStream(new java.io.ByteArrayInputStream(name))
+      val comps = Seq.newBuilder[Array[Byte]]
+      var eoc = 0
+      var i = 0
+      while (in.available() > 0 && i < s.clusteringTypes.size) {
+        comps += readShortBytes(in, "2.x IndexInfo name component")
+        val e = in.read()
+        if (e < 0) throw new EOFException(
+          s"$file: 2.x IndexInfo name truncated before its eoc byte")
+        eoc = if (e > 127) e - 256 else e
+        i += 1
+      }
+      val kind =
+        if (eoc < 0) BigFormat.Kind.InclStartBound
+        else if (eoc > 0) BigFormat.Kind.InclEndBound
+        else BigFormat.Kind.Clustering
+      BigFormat.compareClusterable(s.clusteringTypes,
+        comps.result().map(b => Some(b)), kind,
+        bound.map(b => Some(b)), BigFormat.Kind.Clustering)
+    }
+    val blocks = pr.blocks
+    val i0 =
+      if (lo.isEmpty) 0
+      else blocks.indexWhere(b => cmp(b.lastName, lo) >= 0)
+    val i1 =
+      if (hi.isEmpty) blocks.size - 1
+      else blocks.lastIndexWhere(b => cmp(b.firstName, hi) <= 0)
+    val head = new DataInputStream(openAt(pos))
+    val keyBytes = readShortBytes(head, "2.x partition key")
+    val key = BigFormat.renderValue(s.keyType, keyBytes)
+    val ldt = head.readInt()
+    val mfda = head.readLong()
+    val deletion =
+      if (ldt == LiveLdt && mfda == LiveMfda) None else Some(mfda)
+    val atoms = Seq.newBuilder[Atom2]
+    if (i0 >= 0 && i1 >= 0 && i0 <= i1) {
+      val span = blocks(i1).offset + blocks(i1).width - blocks(i0).offset
+      val push = new java.io.PushbackInputStream(
+        new java.io.BufferedInputStream(
+          new Bounded2x(openAt(pos + blocks(i0).offset), span)), 1)
+      val in = new DataInputStream(push)
+      var done = false
+      while (!done) {
+        // probe one byte: a clean bounded EOF here = the selected
+        // blocks are drained (block widths end exactly on atom
+        // boundaries); an EOF anywhere INSIDE readAtom stays loud —
+        // that's a truncated or mis-indexed file, not a clean end.
+        // An explicit end-of-row (empty name → None) can only be the
+        // final block's own terminator.
+        val probe = push.read()
+        if (probe < 0) done = true
+        else {
+          push.unread(probe)
+          readAtom(s, in, file) match {
+            case Some(atom) => atoms += atom
+            case None => done = true
+          }
+        }
+      }
+    }
+    Partition2(key, deletion, atoms.result())
   }
 
   // ---- decode ----

@@ -803,10 +803,22 @@ object SSTableBinaryV2 {
       * numeric predicate over a text clustering (or any type whose
       * comparator isn't the literal's order) must never prune.
       * Manual options (no space) keep the caller's assertion. */
+    /** The clustering comparators slice bounds encode under —
+      * era-dispatched: the 3.0+ serialization header's, or the 2.x
+      * declared schema's (a COMPACT STORAGE 2.x table's names carry no
+      * composite framing, so its bounds never engage — partitions
+      * serve whole and the residual filter does the work). */
+    private def sliceClusteringTypes: Seq[String] =
+      if (oldEra) {
+        if (oldSchema == null || oldSchema.compactStorage) Nil
+        else oldSchema.clusteringTypes
+      } else if (header == null) Nil
+      else header.clusteringTypes
+
     private def sliceSpaceCompatible: Boolean = sliceSpace match {
       case None => true
       case Some(space) =>
-        val leading = header.clusteringTypes.head
+        val leading = sliceClusteringTypes.head
         space match {
           case "long" => Set(BigFormat.Int32Type, BigFormat.LongType,
             BigFormat.ShortType, BigFormat.ByteType).contains(leading)
@@ -817,10 +829,10 @@ object SSTableBinaryV2 {
     }
 
     private val sliceBounds: (Seq[Array[Byte]], Seq[Array[Byte]]) =
-      if (oldEra || header == null || header.clusteringTypes.isEmpty ||
-        !sliceSpaceCompatible)
+      if (sliceClusteringTypes.isEmpty || !sliceSpaceCompatible)
         (Nil, Nil)
       else {
+        val types = sliceClusteringTypes
         def enc(v: Option[String]): Seq[Array[Byte]] = v match {
           case None => Nil
           case Some(s) =>
@@ -831,12 +843,12 @@ object SSTableBinaryV2 {
             val parts =
               if (sliceSpace.isDefined) Seq(s)
               else s.split(":", -1).toSeq
-            require(parts.size <= header.clusteringTypes.size,
+            require(parts.size <= types.size,
               s"$file: slice bound '$s' carries ${parts.size} " +
-                s"components against ${header.clusteringTypes.size} " +
+                s"components against ${types.size} " +
                 "declared clustering columns (a ':' inside a text " +
                 "component is outside the string-carry subset)")
-            val enc = parts.zip(header.clusteringTypes).map {
+            val enc = parts.zip(types).map {
               case (p, t) =>
                 scala.util.Try(BigFormat.encodeValue(t, p)).toOption
             }
@@ -1112,13 +1124,19 @@ object SSTableBinaryV2 {
       * otherwise — shared by the point-lookup and slice-scan modes. */
     private def servePosition(pos: Long,
         promoted: Array[Byte]): Iterator[InternalRow] = {
-      val slicing = !oldEra && (sliceBounds._1.nonEmpty ||
+      val slicing = (sliceBounds._1.nonEmpty ||
         sliceBounds._2.nonEmpty) && promoted.nonEmpty
-      if (slicing) {
+      if (slicing && !oldEra) {
         val pr = BigFormat.readPromoted(promoted,
           header.clusteringTypes, file)
         expand(BigFormat.readPartitionSliced(header, openDataAt, pos,
           pr, sliceBounds._1, sliceBounds._2, file))
+      } else if (slicing && oldEra) {
+        // the 2.x promoted entry (2.1 IndexedEntry) consumed — the
+        // reference's readIndexedColumns shape applied to a slice
+        val pr = OldFormat.readPromoted2x(promoted, file)
+        expand2(OldFormat.readPartitionSliced2x(oldSchema, openDataAt,
+          pos, pr, sliceBounds._1, sliceBounds._2, file))
       } else if (oldEra)
         expand2(OldFormat.partitions(oldSchema, openDataAt(pos), file)
           .next())
@@ -1191,8 +1209,8 @@ object SSTableBinaryV2 {
     }
 
     private def sliceScanEligible: Boolean =
-      ((!oldEra && (sliceBounds._1.nonEmpty ||
-        sliceBounds._2.nonEmpty)) || tokenRange.isDefined || scrub) &&
+      (sliceBounds._1.nonEmpty || sliceBounds._2.nonEmpty ||
+        tokenRange.isDefined || scrub) &&
         hasSibling("-Index.db")
 
     /** FILE-level clustering-slice skip — Cassandra's
@@ -1991,12 +2009,14 @@ object SSTableBinaryV2 {
         // short keyLen + key + long position + int promoted size)
         val idxPositions2x = {
           var pos = 0L
-          index.map { case (k, _) =>
-            val here = pos; pos += 2L + k.length + 8 + 4; here
+          index.map { case (k, _, prom) =>
+            val here = pos
+            pos += 2L + k.length + 8 + 4 + prom.length
+            here
           }
         }
         val sampled2x = index.zip(idxPositions2x).zipWithIndex.collect {
-          case (((k, _), ip), i)
+          case (((k, _, _), ip), i)
             if i % SSTableComponents.MinIndexInterval == 0 => (k, ip)
         }
         if (index.nonEmpty)
@@ -2004,7 +2024,7 @@ object SSTableBinaryV2 {
             sampled2x, index.size.toLong, index.head._1, index.last._1))
         val bloom = SSTableComponents
           .newBloom(index.size.toLong, oldHashOrder = true)
-        index.foreach { case (k, _) => bloom.add(k) }
+        index.foreach { case (k, _, _) => bloom.add(k) }
         write("Filter.db", SSTableComponents.writeFilter(bloom))
         // the pre-3.0 StatsMetadata sidecar (min/max timestamp over
         // every atom, max local-deletion second) — what the sidecar
@@ -2137,6 +2157,152 @@ object SSTableBinaryV2 {
       .option("cql", Cql2x).option("splitBytes", "4096")
       .load(dir.toString)
     val audit = SSTableDumpBridge.auditFrame(split).localCheckpoint()
+    graft.Scratch.delete(dir)
+    audit
+  }
+
+  /** WIDE 2.x fixture: the whole corpus as FOUR wide partitions
+    * (doc_id % 4), one ka generation, `columnIndexSize` 512 — so every
+    * partition's atoms span dozens of blocks and its Index.db entry
+    * PROMOTES (2.1 `RowIndexEntry.IndexedEntry` with a real IndexInfo
+    * list, the structure [[writeOldFixture]]'s slim partitions never
+    * produce). Clustering values zero-pad (`c%09d`) so the UTF8
+    * comparator orders them numerically; rows carry the CQL3 marker +
+    * len/src cells, all live (the sliced-read contract is IO pruning,
+    * not liveness math). */
+  def writeWideOldFixture(spark: SparkSession,
+      sfDir: String): java.nio.file.Path = {
+    import spark.implicits._
+    val out = graft.Scratch.dir("graft-ka-wide-")
+    val outStr = out.toString
+    val hconf = spark.sparkContext.broadcast(
+      new SerializableConfiguration(spark.sessionState.newHadoopConf()))
+    val base = SSTableDumpBridge.TreeBase
+    val schema = OldFormat.schemaOfCql(
+      graft.model.CqlSchema.parse(Cql2x)
+        .fold(e => throw new IllegalArgumentException(e), identity))
+    val promotedCount = graft.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id").cast("long"), col("source"),
+        col("n_chars").cast("long"))
+      .as[(Long, String, Long)]
+      .groupByKey(_ => 0)
+      .mapGroups { (_, docs) =>
+        val rows = docs.toArray.sortBy(_._1)
+        val parts = rows.groupBy(_._1 % 4).toSeq.map { case (pk, ds) =>
+          val atoms = ds.sortBy(_._1).toSeq.flatMap {
+            case (docId, source, nChars) =>
+              val wtUs = (base + docId) * 1000000L
+              val cl = Seq(f"c$docId%09d")
+              Seq(
+                OldFormat.Cell2(cl, "", wtUs, None, None, Some(""),
+                  deleted = false, counter = false),
+                OldFormat.Cell2(cl, "len", wtUs, None, None,
+                  Some(nChars.toString), deleted = false,
+                  counter = false),
+                OldFormat.Cell2(cl, "src", wtUs + 10000000L, None, None,
+                  Some(source), deleted = false, counter = false))
+          }
+          OldFormat.Partition2(pk.toString, None, atoms)
+        }
+        val (dataBytes, index) =
+          OldFormat.writeDataFileIndexed(parts, schema,
+            columnIndexSize = 512)
+        val fs = FileSystem.get(
+          java.net.URI.create(outStr), hconf.value.value)
+        def write(name: String, bytes: Array[Byte]): Unit = {
+          val os = fs.create(
+            new HPath(s"$outStr/documents/graft-documents-ka-1-$name"),
+            true)
+          try os.write(bytes) finally os.close()
+        }
+        write("Data.db", dataBytes)
+        write("Index.db", SSTableComponents.writeIndex2x(index))
+        index.count(_._3.nonEmpty)
+      }.collect().head
+    require(promotedCount == 4,
+      s"wide 2.x fixture: designed 4 promoted partitions, got " +
+        s"$promotedCount")
+    out
+  }
+
+  /** Registered `src_sstable_2x_slice`: the 2.x PROMOTED INDEX
+    * consumed by a clustering slice — era parity for the P3
+    * within-partition seek (`src_sstable_slice` proves it on 3.0+
+    * promoted entries; this is the same read over 2.1's
+    * `RowIndexEntry.IndexedEntry`/`IndexHelper.IndexInfo` layout, the
+    * structure the reference's `NoTTLSSTableNamesIterator
+    * .readIndexedColumns` (cassandra-2, lines 156-225) binary-searches
+    * and seeks by). A middle-third `[lo, hi]` band over the zero-padded
+    * text clustering is pushed as slice options; the reader walks
+    * Index.db, and each WIDE partition decodes ONLY its overlapping
+    * blocks. In-query checks: (1) the sliced read under the residual
+    * filter equals the full scan under the same filter — pruning is
+    * pure IO; (2) every partition's selected block range is a STRICT
+    * subset with skippable blocks on BOTH flanks (the middle-third
+    * bounds guarantee flanks at any SF) — a slicing break or a
+    * silently-disengaged prune both fail loudly. At 100 TB this is
+    * the 2.x era's point-read-vs-partition-scan difference, same as
+    * the modern slice path. */
+  def slice2x(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = writeWideOldFixture(spark, sfDir)
+    val (dmin, dmax) = graft.Tables.load(spark, sfDir, "documents")
+      .agg(org.apache.spark.sql.functions.min(col("doc_id").cast("long")),
+        org.apache.spark.sql.functions.max(col("doc_id").cast("long")))
+      .as[(Long, Long)].head()
+    val span = dmax - dmin + 1
+    val lo = dmin + span / 3
+    val hi = dmin + (2L * span) / 3
+    val loS = f"c$lo%09d"
+    val hiS = f"c$hi%09d"
+    // block-subset witness, straight off the sidecar: every promoted
+    // entry must select a strict subset of its blocks with flanks on
+    // both sides under these bounds — otherwise the prune proved
+    // nothing about IO
+    locally {
+      val idxFile = Option(dir.resolve("documents").toFile.listFiles())
+        .map(_.toSeq).getOrElse(Nil)
+        .find(_.getName.endsWith("-Index.db"))
+        .getOrElse(throw new IllegalStateException(
+          "wide 2.x fixture wrote no Index.db"))
+      val entries = SSTableComponents.readIndex2x(
+        java.nio.file.Files.readAllBytes(idxFile.toPath), "wide-2x")
+      require(entries.size == 4 && entries.forall(_._3.nonEmpty),
+        s"wide 2.x fixture: 4 promoted entries expected, got " +
+          s"${entries.size} (${entries.count(_._3.nonEmpty)} promoted)")
+      entries.foreach { case (_, _, prom) =>
+        val pr = OldFormat.readPromoted2x(prom, "wide-2x")
+        def ck(name: Array[Byte]): String = {
+          val in = new java.io.DataInputStream(
+            new java.io.ByteArrayInputStream(name))
+          val len = in.readUnsignedShort()
+          val b = new Array[Byte](len)
+          in.readFully(b)
+          new String(b, java.nio.charset.StandardCharsets.UTF_8)
+        }
+        val i0 = pr.blocks.indexWhere(b => ck(b.lastName) >= loS)
+        val i1 = pr.blocks.lastIndexWhere(b => ck(b.firstName) <= hiS)
+        require(i0 > 0 && i1 < pr.blocks.size - 1 && i0 <= i1,
+          s"wide 2.x slice selected blocks [$i0, $i1] of " +
+            s"${pr.blocks.size} — not a strict subset with flanks")
+      }
+    }
+    def resid(df: DataFrame): DataFrame =
+      df.filter(col("clustering")(0).between(loS, hiS))
+    val sliced = spark.read.format("sstable-big")
+      .option("cql", Cql2x)
+      .option("sliceLo", loS).option("sliceHi", hiS)
+      .load(dir.toString)
+    val audit = SSTableDumpBridge.auditFrame(resid(sliced))
+      .localCheckpoint()
+    // pruning is pure IO: sliced + residual == full scan + residual
+    val whole = SSTableDumpBridge
+      .auditFrame(resid(readBinary(spark, dir.toString, Some(Cql2x))))
+      .collect().map(_.toString).sorted.toSeq
+    val got = audit.collect().map(_.toString).sorted.toSeq
+    require(got == whole,
+      s"2.x sliced read diverged from the residual-filtered full " +
+        s"scan: $got vs $whole")
     graft.Scratch.delete(dir)
     audit
   }

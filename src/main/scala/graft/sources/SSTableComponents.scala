@@ -124,17 +124,21 @@ object SSTableComponents {
     * .Serializer`, 2.1: `ByteBufferUtil.writeWithShortLength(key)`,
     * fixed 8-byte Data.db position, fixed 4-byte promoted-index size,
     * then the promoted payload verbatim) — fixed-width where 3.0 went
-    * vint. The promoted payload (2.x IndexInfo list) is carried
-    * opaquely: point lookups and split alignment only need (key,
-    * position), the same subset the 3.x paths consume. */
-  def writeIndex2x(entries: Seq[(Array[Byte], Long)]): Array[Byte] = {
+    * vint. The promoted payload is the 2.1 `IndexedEntry` body
+    * (`OldFormat.writePromoted2x` — DeletionTime + IndexInfo list);
+    * empty for unpromoted (single-block) partitions. Point lookups and
+    * split alignment consume only (key, position); the 2.x sliced read
+    * (`OldFormat.readPartitionSliced2x`) consumes the payload. */
+  def writeIndex2x(
+      entries: Seq[(Array[Byte], Long, Array[Byte])]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
-    entries.foreach { case (key, position) =>
+    entries.foreach { case (key, position, promoted) =>
       out.writeShort(key.length)
       out.write(key)
       out.writeLong(position)
-      out.writeInt(0) // promoted-index size: fixture partitions are slim
+      out.writeInt(promoted.length)
+      out.write(promoted)
     }
     out.flush()
     bos.toByteArray

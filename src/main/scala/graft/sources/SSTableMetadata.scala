@@ -1494,12 +1494,14 @@ object SSTableMetadata {
           OldFormat.writeDataFileIndexed(parts, schema)
         val idxPositions = {
           var pos = 0L
-          index.map { case (k, _) =>
-            val here = pos; pos += 2L + k.length + 8 + 4; here
+          index.map { case (k, _, prom) =>
+            val here = pos
+            pos += 2L + k.length + 8 + 4 + prom.length
+            here
           }
         }
         val sampled = index.zip(idxPositions).zipWithIndex.collect {
-          case (((k, _), ip), i)
+          case (((k, _, _), ip), i)
             if i % SSTableComponents.MinIndexInterval == 0 => (k, ip)
         }
         val fs = FileSystem.get(

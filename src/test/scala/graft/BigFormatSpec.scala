@@ -986,7 +986,7 @@ class OldFormatSpec extends AnyFunSuite {
     assert(index.map(_._2) === index.map(_._2).sorted, "offsets ascend")
     // every offset decodes EXACTLY the partition its key names — the
     // getPosition contract (seek + single-partition read)
-    index.foreach { case (keyBytes, off) =>
+    index.foreach { case (keyBytes, off, _) =>
       val in = new ByteArrayInputStream(
         bytes, off.toInt, bytes.length - off.toInt)
       val p = OldFormat.partitions(schema, in, "t2").next()
@@ -2253,7 +2253,8 @@ class SSTableBinarySpec extends SparkSpec {
     }
     val two = SSTableComponents.rebuildSummary(
       SSTableComponents.writeIndex2x(
-        keys.map(k => (k, 7L)).take(5)), oldEra = true, "t", interval = 2)
+        keys.map(k => (k, 7L, Array.emptyByteArray)).take(5)),
+      oldEra = true, "t", interval = 2)
     assert(two.sampled.size === 3 && two.sizeAtFullSampling === 3)
     // round-trip through the serializer (what the cache stores)
     val rt = SSTableComponents.readSummary(SSTableComponents.writeSummary(
