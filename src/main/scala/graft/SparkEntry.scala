@@ -3334,7 +3334,8 @@ object SparkEntry {
       |   expired_max_deletion_s)""".stripMargin,
     // the 2.x redistribution leg: a designed ka pair (8 marks each,
     // level 128), budget 13 → the meterless generation halves to
-    // level 64 (8 → 4 marks, the odd-indexed pattern survivors),
+    // level 64 (8 → 4 marks, the even-indexed pattern survivors —
+    // the literal Downsampling order removes the odd slots first),
     // the hot one copies verbatim — every column a design constant
     "src_sstable_redistribute_2x" -> """
       |SELECT * FROM (VALUES

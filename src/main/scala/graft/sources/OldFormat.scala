@@ -542,44 +542,46 @@ object OldFormat {
         out.flush()
         val rowStart = bos.size.toLong
         val keyBytes = BigFormat.encodeValue(s.keyType, p.key)
-        val promoted =
-          if (columnIndexSize <= 0) Array.emptyByteArray
-          else {
-            // serialize each atom alone to learn its width and its
-            // name bytes (an atom's serialization leads with
-            // [short nameLen][name] — the composite the IndexInfo
-            // bounds carry verbatim)
-            val atomBytes = p.atoms.map { a =>
-              val abos = new ByteArrayOutputStream()
-              val aout = new DataOutputStream(abos)
-              writeAtom(a, s, aout, "fixture")
-              aout.flush()
-              abos.toByteArray
-            }
-            def nameOf(bytes: Array[Byte]): Array[Byte] = {
-              val len = ((bytes(0) & 0xff) << 8) | (bytes(1) & 0xff)
-              java.util.Arrays.copyOfRange(bytes, 2, 2 + len)
-            }
-            val headerSize = 2L + keyBytes.length + 4 + 8
-            val blocks = Seq.newBuilder[IndexInfo2x]
-            var blockStart = -1L
-            var off = headerSize
-            var first: Array[Byte] = null
-            var last: Array[Byte] = null
-            atomBytes.foreach { ab =>
-              if (blockStart < 0) { blockStart = off; first = nameOf(ab) }
-              last = nameOf(ab)
-              off += ab.length
-              if (off - blockStart >= columnIndexSize) {
-                blocks += IndexInfo2x(first, last, blockStart,
-                  off - blockStart)
-                blockStart = -1L
-              }
-            }
-            if (blockStart >= 0)
+        if (columnIndexSize <= 0) {
+          index += ((keyBytes, rowStart, Array.emptyByteArray))
+          writePartition(p, s, out)
+        } else {
+          // serialize each atom ONCE into its own buffer — the buffer
+          // both measures the block widths and becomes the row body
+          // (an atom's serialization leads with [short nameLen][name],
+          // the composite the IndexInfo bounds carry verbatim)
+          val atomBytes = p.atoms.map { a =>
+            val abos = new ByteArrayOutputStream()
+            val aout = new DataOutputStream(abos)
+            writeAtom(a, s, aout, "fixture")
+            aout.flush()
+            abos.toByteArray
+          }
+          def nameOf(bytes: Array[Byte]): Array[Byte] = {
+            val len = ((bytes(0) & 0xff) << 8) | (bytes(1) & 0xff)
+            java.util.Arrays.copyOfRange(bytes, 2, 2 + len)
+          }
+          val headerSize = 2L + keyBytes.length + 4 + 8
+          val blocks = Seq.newBuilder[IndexInfo2x]
+          var blockStart = -1L
+          var off = headerSize
+          var first: Array[Byte] = null
+          var last: Array[Byte] = null
+          atomBytes.foreach { ab =>
+            if (blockStart < 0) { blockStart = off; first = nameOf(ab) }
+            last = nameOf(ab)
+            off += ab.length
+            if (off - blockStart >= columnIndexSize) {
               blocks += IndexInfo2x(first, last, blockStart,
                 off - blockStart)
-            val bs = blocks.result()
+              blockStart = -1L
+            }
+          }
+          if (blockStart >= 0)
+            blocks += IndexInfo2x(first, last, blockStart,
+              off - blockStart)
+          val bs = blocks.result()
+          val promoted =
             if (bs.size < 2) Array.emptyByteArray
             else {
               require(!p.atoms.exists(_.isInstanceOf[Tombstone2]),
@@ -590,9 +592,18 @@ object OldFormat {
                   "tombstones in unpromoted partitions")
               writePromoted2x(Promoted2x(p.deletionUs, bs))
             }
+          index += ((keyBytes, rowStart, promoted))
+          // the row header + the measured atom buffers + the
+          // end-of-row terminator — byte-identical to writePartition
+          out.writeShort(keyBytes.length)
+          out.write(keyBytes)
+          p.deletionUs match {
+            case Some(del) => out.writeInt(LiveLdt - 1); out.writeLong(del)
+            case None => out.writeInt(LiveLdt); out.writeLong(LiveMfda)
           }
-        index += ((keyBytes, rowStart, promoted))
-        writePartition(p, s, out)
+          atomBytes.foreach(out.write)
+          out.writeShort(0)
+        }
       }
     out.flush()
     (bos.toByteArray, index.result())

@@ -543,15 +543,18 @@ object SSTableComponents {
   private[graft] def samplingPattern2x(size: Int): IndexedSeq[Int] = {
     if (size <= 1) IndexedSeq(0)
     else {
-      val buf = IndexedSeq.newBuilder[Int]
-      buf += 0
-      var spread = size
-      while (spread >= 2) {
-        var i = spread / 2
-        while (i < size) { buf += i; i += spread }
-        spread /= 2
-      }
-      buf.result()
+      // Downsampling.getSamplingPattern's literal recursion: the odd
+      // slots (permuted by the half-size pattern) are removed FIRST,
+      // then the evens — "especially for latter rounds, it's important
+      // that we spread out the removals, so commingle evens and odds".
+      // pattern(2) = [1, 0], pattern(4) = [3, 1, 2, 0]: slot 0 is
+      // removed LAST (a minimal summary always keeps its first mark),
+      // and one halving (128 → 64) removes exactly the odd slots, so a
+      // level-64 summary retains the EVEN-indexed marks of each block.
+      val sub = samplingPattern2x(size / 2)
+      val odds = (1 until size by 2).toIndexedSeq
+      val evens = (0 until size by 2).toIndexedSeq
+      sub.map(odds) ++ sub.map(evens)
     }
   }
 

@@ -1451,9 +1451,11 @@ object SSTableMetadata {
     * never written — the downsample derives from the existing
     * summary alone, zero index IO, exactly the reference's in-place
     * branch. In-query gates: the coarsened summary's level word
-    * reads 64, its marks are the ODD-indexed originals (the
-    * Downsampling-pattern order — the modern interval ladder would
-    * keep the evens), interval and sizeAtFullSampling are untouched,
+    * reads 64, its marks are the EVEN-indexed originals (the literal
+    * Downsampling pattern removes the odds first — at exactly one
+    * halving this coincides with an interval ladder; intermediate
+    * levels diverge, which the pattern spec pins), interval and
+    * sizeAtFullSampling are untouched,
     * the hot generation copies byte-verbatim, and the rewritten lake
     * still fully decodes with no index anywhere. Every served column
     * is a design constant the oracle replays as VALUES. */
@@ -1542,12 +1544,12 @@ object SSTableMetadata {
       coldSum.sizeAtFullSampling == srcSum.sizeAtFullSampling,
       "2.x downsample must not touch interval/sizeAtFullSampling")
     val wantKept = srcSum.sampled.zipWithIndex
-      .collect { case ((k, p), i) if i % 2 == 1 => (k.toSeq, p) }
+      .collect { case ((k, p), i) if i % 2 == 0 => (k.toSeq, p) }
     require(coldSum.sampled.map { case (k, p) => (k.toSeq, p) }
       == wantKept,
-      "level-64 summary must keep exactly the ODD-indexed marks " +
-        "(the Downsampling pattern) — an interval-ladder downsample " +
-        "would keep the evens")
+      "level-64 summary must keep exactly the EVEN-indexed marks " +
+        "(the literal Downsampling pattern removes the odd slots " +
+        "first; slot 0 is removed last)")
     // the hot generation copies byte-verbatim
     require(java.util.Arrays.equals(
       java.nio.file.Files.readAllBytes(src.resolve("documents")

@@ -30,10 +30,26 @@ class SharedFixtureContractSpec extends SparkSpec {
     "src_sstable_dump_export", "m_file_ingest", "st_file_ingest",
     "st_sstable_ingest", "st_sstable_sink")
 
+  /** The fixture's own scratch dir: accessors may return a SUBPATH of
+    * it (`<scratch>/graft/documents` from the plain-set accessor), so
+    * walk up to the outermost `graft-*` Scratch ancestor — the dir is
+    * exclusive to the fixture, and snapshotting from there makes a
+    * mutation of a SIBLING path (a stray keyspace dir, a sidecar
+    * dropped next to the tree) a contract violation too, not just
+    * mutations inside the returned subtree. */
+  private def scratchRootOf(root: String): java.nio.file.Path = {
+    var p = java.nio.file.Paths.get(root)
+    var r = p
+    while (p != null) {
+      if (p.getFileName != null &&
+        p.getFileName.toString.startsWith("graft-")) r = p
+      p = p.getParent
+    }
+    r
+  }
+
   private def snapshot(root: String): Map[String, (Long, Long, Long)] = {
-    val p = java.nio.file.Paths.get(root)
-    // the plain-set accessor returns <scratch>/graft/documents —
-    // snapshot from the scratch root so sibling dirs count too
+    val p = scratchRootOf(root)
     val walk = java.nio.file.Files.walk(p)
     try {
       import scala.jdk.CollectionConverters._

@@ -125,19 +125,27 @@ class SummaryRedistributionSpec extends SparkSpec {
     "Downsampling-pattern order — interval untouched, levels nest, " +
     "the level word round-trips the wire") {
     import graft.sources.SSTableComponents
-    // the canonical base-128 pattern's head, pinned
+    // the canonical base-128 pattern's head, pinned: the literal
+    // odds-first recursion (pattern(2) = [1,0], pattern(4) =
+    // [3,1,2,0]) — slot 127 is removed first, slot 0 last
+    assert(SSTableComponents.samplingPattern2x(4) === Seq(3, 1, 2, 0))
     assert(SSTableComponents.samplingPattern2x(128).take(9) ===
-      Seq(0, 64, 32, 96, 16, 48, 80, 112, 8))
+      Seq(127, 63, 95, 31, 111, 47, 79, 15, 119))
+    // every slot appears exactly once (a permutation of 0..127)
+    assert(SSTableComponents.samplingPattern2x(128).sorted ===
+      (0 until 128))
     val sampled = (0 until 256).map(i =>
       (Array[Byte](i.toByte, (i >> 8).toByte), i.toLong))
     val s = SSTableComponents.Summary(128, sampled, 256,
       sampled.head._1, sampled.last._1)
-    // factor 2: level 128 → 64 keeps the ODD slots — the era's
-    // literal difference from the modern interval ladder (evens)
+    // factor 2: level 128 → 64 removes the ODD slots (the pattern's
+    // first half), so the survivors are the EVEN-indexed marks — the
+    // one halving where the literal pattern and an interval ladder
+    // agree; intermediate levels diverge (spread-out removals)
     val (d2, l2) = SSTableComponents.downsampleSummary2x(s, 128, 2)
     assert(l2 === 64 && d2.sampled.size === 128)
     assert(d2.sampled.map(_._2) ===
-      (0 until 256).filter(_ % 2 == 1).map(_.toLong))
+      (0 until 256).filter(_ % 2 == 0).map(_.toLong))
     assert(d2.minIndexInterval === 128 && d2.sizeAtFullSampling === 256)
     // factor 4: full-block arithmetic (256 marks → 64 at level 32)
     val (d4, l4) = SSTableComponents.downsampleSummary2x(s, 128, 4)
