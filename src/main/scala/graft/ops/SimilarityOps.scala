@@ -940,17 +940,23 @@ object SimilarityOps {
     val all = vnOf(spark, sfDir)
     val vn = corpus.getOrElse(all)
     val (mins, rng) = sq8BoundsOf(all, sfDir)
-    cs.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
-      .toDF("cell", "c").repartition(1)
-      .write.mode("overwrite").parquet(s"$dir/centroids")
-    books.zipWithIndex.flatMap { case (book, s) =>
-      book.zipWithIndex.map { case (c, j) => (s, j, c.toSeq) }
-    }.toSeq.toDF("s", "code", "c").repartition(1)
-      .write.mode("overwrite").parquet(s"$dir/codebooks")
-    mins.indices.map(i => (i, mins(i), rng(i))).toDF("dim", "mn", "rng")
-      .repartition(1).write.mode("overwrite").parquet(s"$dir/sq8")
-    pqEncode(vn, books, cs, l2 = true)
-      .write.mode("overwrite").parquet(s"$dir/codes")
+    // four independent component writes to four directories — overlap
+    // them from a driver pool (guide §2.6) so the three k-row constant
+    // writes' commit/scheduling tails hide under the corpus-sized
+    // codes write instead of preceding it sequentially
+    graft.Par.all(Seq(
+      () => cs.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("cell", "c").repartition(1)
+        .write.mode("overwrite").parquet(s"$dir/centroids"),
+      () => books.zipWithIndex.flatMap { case (book, s) =>
+        book.zipWithIndex.map { case (c, j) => (s, j, c.toSeq) }
+      }.toSeq.toDF("s", "code", "c").repartition(1)
+        .write.mode("overwrite").parquet(s"$dir/codebooks"),
+      () => mins.indices.map(i => (i, mins(i), rng(i)))
+        .toDF("dim", "mn", "rng")
+        .repartition(1).write.mode("overwrite").parquet(s"$dir/sq8"),
+      () => pqEncode(vn, books, cs, l2 = true)
+        .write.mode("overwrite").parquet(s"$dir/codes")))
   }
 
   /** read_index: reload every component of [[writeFullIndex]]'s
@@ -960,16 +966,21 @@ object SimilarityOps {
   def readFullIndex(spark: SparkSession, dir: String)
       : (Array[Array[Double]], Array[Array[Array[Double]]],
         (Array[Double], Array[Double]), DataFrame) = {
-    val cs = spark.read.parquet(s"$dir/centroids")
-      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+    // three independent k-row reloads — overlap their read+collect
+    // actions (guide §2.6); each is constant-sized by construction
+    val Seq(csRaw, bookRaw, sqRaw) = graft.Par.all(Seq(
+      () => spark.read.parquet(s"$dir/centroids").collect(),
+      () => spark.read.parquet(s"$dir/codebooks").collect(),
+      () => spark.read.parquet(s"$dir/sq8").collect()))
+    val cs = csRaw
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
       .sortBy(_._1).map(_._2)
-    val bookRows = spark.read.parquet(s"$dir/codebooks")
-      .collect().map(r => (r.getInt(0), r.getInt(1),
-        r.getSeq[Double](2).toArray))
+    val bookRows = bookRaw
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
     val books = bookRows.groupBy(_._1).toSeq.sortBy(_._1)
       .map(_._2.sortBy(_._2).map(_._3)).toArray
-    val sqRows = spark.read.parquet(s"$dir/sq8")
-      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+    val sqRows = sqRaw
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
       .sortBy(_._1)
     val bounds = (sqRows.map(_._2), sqRows.map(_._3))
     (cs, books, bounds, spark.read.parquet(s"$dir/codes"))
@@ -1043,8 +1054,12 @@ object SimilarityOps {
     val (cs, books, _, _) = readFullIndex(spark, dir.toString)
     pqEncode(vn.filter(col("vec_id") % 4 === 3), books, cs, l2 = true)
       .write.mode("append").parquet(s"$dir/codes")
-    // serving job: the grown index off disk
-    val (_, _, _, grown) = readFullIndex(spark, dir.toString)
+    // serving job: the grown index off disk. Only the codes frame
+    // changed since the reload above — re-reading the three constant
+    // artifacts (3 parquet read+collect actions) would hand back the
+    // same arrays, so the serve re-reads just `codes` (exactly what
+    // readFullIndex's fourth element is).
+    val grown = spark.read.parquet(s"$dir/codes")
     val out = annIvfPqOf(vn, books, cs = cs, l2 = true,
       codedOverride = Some(grown)).localCheckpoint()
     graft.Scratch.delete(dir)

@@ -3552,22 +3552,32 @@ object SSTableBinaryV2 {
       spark.read.format("sstable-big")
         .option("tokenLo", l.toString).option("tokenHi", h.toString)
         .load(dir)
-    val full = readBinary(spark, dir).localCheckpoint()
-    val allKeys = full.select("partition_key").distinct()
-      .collect().map(_.getString(0))
+    // the full scan and the ranged scan are independent reads; their
+    // checkpoints and key collects overlap (guide §2.6)
+    val Seq(full, inRange) = graft.Par.all(Seq(
+      () => readBinary(spark, dir).localCheckpoint(),
+      () => ranged(lo, hi).localCheckpoint()))
+    val Seq(allKeys, gotKeys) = graft.Par.all(Seq(
+      () => full.select("partition_key").distinct()
+        .collect().map(_.getString(0)),
+      () => inRange.select("partition_key").distinct()
+        .collect().map(_.getString(0))))
     val expected = allKeys.filter(k =>
       { val t = tok(k); t >= lo && t <= hi }).toSet
-    val inRange = ranged(lo, hi).localCheckpoint()
-    val got = inRange.select("partition_key").distinct()
-      .collect().map(_.getString(0)).toSet
+    val got = gotKeys.toSet
     require(got == expected,
       s"$dir: token range served ${got.size} keys, driver-side " +
         s"membership says ${expected.size}")
-    val nIn = inRange.count()
-    val nWrap = ranged(hi + 1, lo - 1).count()
-    require(nIn + nWrap == full.count(),
+    // the three tiling counts are independent actions over frames
+    // that are either checkpointed or disjoint reads — overlap them
+    // (guide §2.6)
+    val Seq(nIn, nWrap, nFull) = graft.Par.all(Seq(
+      () => inRange.count(),
+      () => ranged(hi + 1, lo - 1).count(),
+      () => full.count()))
+    require(nIn + nWrap == nFull,
       s"$dir: range + wrap-complement do not tile the ring " +
-        s"($nIn + $nWrap vs ${full.count()})")
+        s"($nIn + $nWrap vs $nFull)")
     // the reference's per-range SAMPLED key estimate
     // (`estimatedKeysForRanges`, `NoTTLReader.java:1289-1299`) off
     // Summary.db alone, gated per generation against the EXACT
@@ -3600,9 +3610,12 @@ object SSTableBinaryV2 {
             s"±$slack of the exact in-range count $e")
       }
     }
-    gateRange(lo, hi, downsample = 1)
-    gateRange(hi + 1, lo - 1, downsample = 1) // wrap-around form
-    gateRange(lo, hi, downsample = 4)
+    // three independent estimate gates (each a describeRange collect
+    // over sidecars only) — overlap them (guide §2.6)
+    graft.Par.all(Seq(
+      () => gateRange(lo, hi, downsample = 1),
+      () => gateRange(hi + 1, lo - 1, downsample = 1), // wrap-around
+      () => gateRange(lo, hi, downsample = 4)))
     // the AUTOMATIC form: a murmur3_token() predicate alone derives
     // the same range via the planner rule — pinned so a rule break
     // fails the oracle run

@@ -1665,20 +1665,23 @@ object SSTableMetadata {
     val epoch = java.util.UUID.randomUUID().toString
     val tick = RestorableMeter.TickIntervalNanos
     // designed schedule: gen g point-read g times, all marks at 1ns —
-    // docs 0..3 land in gens 1..4, their first pid is doc*10
-    (1 to 4).foreach { g =>
+    // docs 0..3 land in gens 1..4, their first pid is doc*10. The ten
+    // reads are INDEPENDENT jobs (marks are additive and the shared
+    // 1ns clock makes meter ticks idempotent, so arrival order cannot
+    // matter), so they overlap from a driver pool (guide §2.6) instead
+    // of serializing ten point-scan scheduling tails.
+    val reads = for { g <- 1 to 4; _ <- 1 to g } yield { () =>
       val key = s"r-${(g - 1) * 10}"
-      (1 to g).foreach { _ =>
-        val served = spark.read.format("sstable-big")
-          .option("activityEpoch", epoch)
-          .option("activityClockNanos", "1")
-          .load(root)
-          .filter(col("partition_key") === key)
-          .count()
-        require(served > 0L,
-          s"track-activity point read of $key served nothing")
-      }
+      val served = spark.read.format("sstable-big")
+        .option("activityEpoch", epoch)
+        .option("activityClockNanos", "1")
+        .load(root)
+        .filter(col("partition_key") === key)
+        .count()
+      require(served > 0L,
+        s"track-activity point read of $key served nothing")
     }
+    graft.Par.all(reads)
     val actDf = writeActivity(spark, epoch, 2 * tick + 1, act.toString)
       .collect().map(r => r.getAs[String]("sstable") ->
         (r.getAs[Long]("reads"), r.getAs[Double]("rate_15m"),
