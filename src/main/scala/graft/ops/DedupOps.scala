@@ -644,22 +644,34 @@ object DedupOps {
     // between moving the corpus each round and moving the (much
     // smaller) near-dup subgraph. Edge-less documents join back as
     // self-labeled singletons once, at the end.
-    var labels = sym.select(col("src").as("doc_id")).distinct()
-      .select(col("doc_id"), col("doc_id").as("component"))
-      .localCheckpoint()
+    // maxIters=0 is the declared deep-graph path (star contraction
+    // from the start) — don't materialize a label table propagation
+    // will never read
+    var labels = if (maxIters == 0) null
+      else sym.select(col("src").as("doc_id")).distinct()
+        .select(col("doc_id"), col("doc_id").as("component"))
+        .localCheckpoint()
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIters) {
       val prop = sym.join(labels, sym("src") === labels("doc_id"))
         .groupBy(col("dst")).agg(min(col("component")).as("prop"))
+      // the convergence count rides the checkpoint's materialization
+      // job as an observe() metric — one action per round, not two
+      val obs = org.apache.spark.sql.Observation()
       val next = labels.join(prop, labels("doc_id") === prop("dst"), "left")
         .select(labels("doc_id"),
           // least() skips nulls, so unmatched docs keep their label
           least(labels("component"), col("prop")).as("component"),
           (col("prop").isNotNull &&
             col("prop") < labels("component")).as("ch"))
+        .observe(obs, sum(when(col("ch"), 1L).otherwise(0L)).as("n_ch"))
         .localCheckpoint() // eager: materializes the round, plan resets
-      changed = next.filter(col("ch")).count()
+      changed = obs.get("n_ch") match {
+        case null => 0L
+        case l: Long => l
+        case x => x.toString.toLong
+      }
       labels = next
       iter += 1
     }
@@ -772,10 +784,23 @@ object DedupOps {
         bit_xor(xxhash64(col("u"), col("v")))).collect()(0)
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
+    def fpOf(o: org.apache.spark.sql.Observation): (Long, Long) = {
+      val m = o.get
+      val c = m("fp_count") match { case l: Long => l; case x => x.toString.toLong }
+      val x = m("fp_xor") match {
+        case null => 0L; case l: Long => l; case v => v.toString.toLong }
+      (c, x)
+    }
     var cur = fingerprint(e)
     while (!converged && round < maxRounds) {
-      val next = smallStar(largeStar(e)).localCheckpoint()
-      val nxt = fingerprint(next)
+      // the fingerprint rides the checkpoint's own materialization
+      // job as an observe() metric — one action per round, not two
+      val obs = org.apache.spark.sql.Observation()
+      val next = smallStar(largeStar(e))
+        .observe(obs, count(lit(1)).as("fp_count"),
+          bit_xor(xxhash64(col("u"), col("v"))).as("fp_xor"))
+        .localCheckpoint()
+      val nxt = fpOf(obs)
       converged = nxt == cur
       e = next
       cur = nxt

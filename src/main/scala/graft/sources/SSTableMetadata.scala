@@ -750,12 +750,11 @@ object SSTableMetadata {
     val outA = graft.Scratch.dir("graft-keycount-a-")
     val outB = graft.Scratch.dir("graft-keycount-b-")
     val outC = graft.Scratch.dir("graft-keycount-c-")
-    SSTableBinaryV2.writeSSTables(frame, outA.toString,
-      "graft", "documents")
-    SSTableBinaryV2.writeSSTables(frame, outB.toString,
-      "graft", "documents")
-    SSTableBinaryV2.writeSSTables(frame, outC.toString,
-      "graft", "documents")
+    // three independent sink jobs of the same frame to disjoint dirs
+    // — overlap them (guide §2.6)
+    graft.Par.all(Seq(outA, outB, outC).map(o => () =>
+      SSTableBinaryV2.writeSSTables(frame, o.toString,
+        "graft", "documents")))
     val dirB = outB.resolve("graft").resolve("documents")
     val dirC = outC.resolve("graft").resolve("documents")
     import scala.jdk.CollectionConverters._
@@ -786,9 +785,11 @@ object SSTableMetadata {
         }
       finally ls.close()
     }
-    val rowsA = gatherSketches(spark, s"$outA/graft/documents")
-    val rowsB = gatherSketches(spark, s"$dirB")
-    val rowsC = gatherSketches(spark, s"$dirC")
+    // three independent sidecar-census jobs — overlap them too
+    val Seq(rowsA, rowsB, rowsC) = graft.Par.all(Seq(
+      () => gatherSketches(spark, s"$outA/graft/documents"),
+      () => gatherSketches(spark, s"$dirB"),
+      () => gatherSketches(spark, s"$dirC")))
     graft.Scratch.delete(outA)
     graft.Scratch.delete(outB)
     graft.Scratch.delete(outC)

@@ -407,7 +407,11 @@ object StreamingOps {
       s => SSTableDumpBridge.bridgeTreeFrame(
         s.readStream.schema(SSTableDumpBridge.dumpSchema)
           .option("multiLine", "true")
-          .option("maxFilesPerTrigger", "1")
+          // 2 of the 4 dump files per trigger: multi-trigger pacing
+          // still witnessed (two micro-batches), two Complete-mode
+          // state commits fewer than 1-per-trigger — the same
+          // batch-count trim st_file_ingest documents
+          .option("maxFilesPerTrigger", "2")
           .json(s"$dir/*/*")),
       src => src.groupBy(col("row_kind"), col("sstable"))
         .agg(count(lit(1)).as("nr"),
