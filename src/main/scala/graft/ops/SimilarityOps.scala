@@ -1323,10 +1323,20 @@ object SimilarityOps {
         dot(col("qe"), col("e")) / (col("qnrm") * col("nrm")))
     val w = Window.partitionBy("q_vec_id")
       .orderBy(col("cos").desc, col("node"))
-    scored.withColumn("rn", row_number().over(w))
+    val kept = scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= keep)
       .select("q_vec_id", "node")
-      .localCheckpoint()
+    // The beam is CONSTANT-sized (≤ |Q|·keep rows — 8·48 at the audit
+    // width), so it comes back to the driver as a LocalRelation
+    // instead of a localCheckpoint: the next hop's expansion join then
+    // has exact (tiny) statistics and BROADCASTS the beam against the
+    // corpus-sized adjacency, where the checkpointed form's unknown
+    // stats made every hop sort-merge-shuffle the full edge list
+    // (guide §3.1); the checkpoint job disappears with it. Row set is
+    // identical — only the physical carrier changes.
+    val rows = kept.collect()
+    kept.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), kept.schema)
   }
 
   /** The descent LANDING SET — where the spine walk deposits each
@@ -1358,8 +1368,13 @@ object SimilarityOps {
       // flat seeds = the descent's query-biased landing set ∪ the top
       // layer: the apexes keep one probe alive per coarse region, so a
       // mis-triaged subtree can't strand a query in one basin —
-      // constant-sized either way
-      beamDf.union(topLayer).distinct().localCheckpoint()
+      // constant-sized either way, so the memoized landing set is a
+      // LocalRelation like every hop beam (exact tiny stats → the
+      // first flat hop broadcasts it instead of shuffling the edges)
+      val landing = beamDf.union(topLayer).distinct()
+      val rows = landing.collect()
+      landing.sparkSession.createDataFrame(
+        java.util.Arrays.asList(rows: _*), landing.schema)
     }).asInstanceOf[DataFrame]
 
   /** `vn` must already be materialized (callers pass the [[vnOf]]
@@ -1428,7 +1443,10 @@ object SimilarityOps {
       beams: Seq[Int] = BeamCurve): DataFrame = {
     val v = vnOf(spark, sfDir)
     val brute = bruteTruthOf(spark, sfDir)
-    beams.map { b =>
+    // each curve point is an independent walk + one aggregate row —
+    // evaluate the points concurrently (guide §2.6) instead of
+    // serializing three graph walks' hop/scheduling tails
+    concatPoints(spark, beams.map { b => () =>
       val ann = annHnswOf(v, sfDir, beam = b)
         .select(col("q_vec_id"), col("neighbor_vec_id"))
         .withColumn("hit", lit(1L))
@@ -1439,7 +1457,25 @@ object SimilarityOps {
           col("n_true").cast("long").as("n_true"),
           col("hits").cast("long").as("n_hits"),
           round(col("hits") / col("n_true"), 6).as("recall"))
-    }.reduce(_ unionByName _)
+    })
+  }
+
+  /** Evaluate independent single-aggregate-row branches (curve points,
+    * index tiers) CONCURRENTLY and concatenate their rows in input
+    * order — the union-of-branches shape evaluated these sequentially
+    * inside one action even though the branches share nothing but
+    * already-materialized memos. Each branch is audit-constant-sized
+    * (one aggregate row), so the collect is catalog-sized by
+    * construction; the result is the same rows the lazy union carried,
+    * now as a LocalRelation. */
+  private def concatPoints(spark: SparkSession,
+      points: Seq[() => DataFrame]): DataFrame = {
+    val evaluated = graft.Par.all(points.map { p => () =>
+      val df = p(); (df.schema, df.collect())
+    })
+    val rows: Seq[org.apache.spark.sql.Row] = evaluated.flatMap(_._2)
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, evaluated.head._1)
   }
 
   /** Serving-representation bytes per vector for [[annTierMatrix]] —
@@ -1472,21 +1508,25 @@ object SimilarityOps {
     val books = pqCodebooks(spark, sfDir)
     val csT = trainedCentroids(spark, sfDir)
     val bounds = sq8BoundsOf(v, sfDir)
-    val tiers: Seq[(String, DataFrame)] = Seq(
-      "lsh" -> annLshOf(v),
-      "ivf" -> annIvfOf(v),
-      "ivf_mp" -> annIvfOf(v, nprobe = 2),
-      "ivf_t" -> annIvfOf(v, cs = csT, l2 = true),
-      "sq8_flat" -> annSq8Of(v, bounds),
-      "ivf_sq8" -> annIvfSq8Of(v, bounds),
-      "ivf_pq" -> annIvfPqOf(v, books, cacheKey = Some(s"$sfDir|init")),
-      "pq_rerank" -> annPqRerankOf(v, books,
-        cacheKey = Some(s"$sfDir|init")),
-      "hnsw" -> annHnswOf(v, sfDir))
+    val tiers: Seq[(String, () => DataFrame)] = Seq(
+      "lsh" -> (() => annLshOf(v)),
+      "ivf" -> (() => annIvfOf(v)),
+      "ivf_mp" -> (() => annIvfOf(v, nprobe = 2)),
+      "ivf_t" -> (() => annIvfOf(v, cs = csT, l2 = true)),
+      "sq8_flat" -> (() => annSq8Of(v, bounds)),
+      "ivf_sq8" -> (() => annIvfSq8Of(v, bounds)),
+      "ivf_pq" -> (() => annIvfPqOf(v, books,
+        cacheKey = Some(s"$sfDir|init"))),
+      "pq_rerank" -> (() => annPqRerankOf(v, books,
+        cacheKey = Some(s"$sfDir|init"))),
+      "hnsw" -> (() => annHnswOf(v, sfDir)))
     val bytes = TierBytes.toMap
-    tiers.map { case (name, ann) =>
+    // nine independent tiers, each ending in one aggregate row —
+    // evaluate them concurrently (guide §2.6) instead of serializing
+    // nine index searches' scheduling tails inside one union action
+    concatPoints(spark, tiers.map { case (name, mkAnn) => () =>
       brute.join(
-        ann.select(col("q_vec_id"), col("neighbor_vec_id"))
+        mkAnn().select(col("q_vec_id"), col("neighbor_vec_id"))
           .withColumn("hit", lit(1L)),
         Seq("q_vec_id", "neighbor_vec_id"), "left")
         .agg(sum(coalesce(col("hit"), lit(0L))).as("h"))
@@ -1494,7 +1534,7 @@ object SimilarityOps {
           lit(bytes(name)).as("bytes_per_vec"),
           col("h").cast("long").as("n_hits"),
           round(col("h").cast("double") / 24.0, 6).as("recall"))
-    }.reduce(_ unionByName _)
+    })
   }
 
   /** nprobe settings the tuning curve measures. */
@@ -1516,7 +1556,9 @@ object SimilarityOps {
       probes: Seq[Int] = ProbeCurve): DataFrame = {
     val v = vnOf(spark, sfDir)
     val brute = bruteTruthOf(spark, sfDir)
-    probes.map { p =>
+    // independent curve points — evaluated concurrently like the beam
+    // curve and the tier matrix (guide §2.6)
+    concatPoints(spark, probes.map { p => () =>
       val ann = annIvfOf(v, nprobe = p)
         .select(col("q_vec_id"), col("neighbor_vec_id"))
         .withColumn("hit", lit(1L))
@@ -1527,7 +1569,7 @@ object SimilarityOps {
           col("n_true").cast("long").as("n_true"),
           col("hits").cast("long").as("n_hits"),
           round(col("hits") / col("n_true"), 6).as("recall"))
-    }.reduce(_ unionByName _)
+    })
   }
 
   /** Per-cluster curation profile over the Lloyd-trained coarse
