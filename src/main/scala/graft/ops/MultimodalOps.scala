@@ -180,7 +180,10 @@ object MultimodalOps {
     */
   def realMediaDecode(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    realDecodeColumns(Tables.load(spark, sfDir, "documents")
+    // loadBalanced: the decode is CPU-heavy per row and the local
+    // corpus is one parquet file -> one task (Tables.loadBalanced's
+    // exact use case); at scale the repartition collapses to a no-op
+    realDecodeColumns(Tables.loadBalanced(spark, sfDir, "documents")
       .select(col("doc_id")).as[Long])
   }
 
@@ -347,7 +350,8 @@ object MultimodalOps {
     * codec or hash misread changes the grouping and fails the run. */
   def realFrameDedup(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val ids = Tables.load(spark, sfDir, "documents")
+    // loadBalanced: per-frame JPEG/PNG codec work, one-file local scan
+    val ids = Tables.loadBalanced(spark, sfDir, "documents")
       .select(col("doc_id")).as[Long]
     ids
       .flatMap(id => (0 until (1 + id % 4).toInt).map(k => (id, k)))
@@ -693,7 +697,8 @@ object MultimodalOps {
     * count drives it (≥ 2 frames ⇒ both parities ⇒ 2). */
   def aviMediaDecode(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val ids = Tables.load(spark, sfDir, "documents")
+    // loadBalanced: container walk + per-frame JPEG decode per row
+    val ids = Tables.loadBalanced(spark, sfDir, "documents")
       .select(col("doc_id")).as[Long]
     ids
       .mapPartitions(_.grouped(64).flatMap(batch =>
@@ -720,7 +725,8 @@ object MultimodalOps {
     * shared arithmetic). */
   def aviFrameDedup(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val ids = Tables.load(spark, sfDir, "documents")
+    // loadBalanced: JPEG encode+decode per frame, one-file local scan
+    val ids = Tables.loadBalanced(spark, sfDir, "documents")
       .select(col("doc_id")).as[Long]
     ids
       .mapPartitions(_.grouped(16).flatMap(batch =>

@@ -582,7 +582,14 @@ object StreamingOps {
           .parquet(s"$sfDir/embeddings.parquet*")
       },
       src => SimilarityOps.pqEncode(
-        SimilarityOps.withNorm(src), books, cs, l2 = true),
+        // one landing file per micro-batch → one scan task; the encode
+        // is embarrassingly parallel per vector, so round-robin it
+        // across the cores first (Tables.loadBalanced's justification,
+        // applied to the stream side — at production scale a batch has
+        // plenty of files and this collapses to a cheap rebalance)
+        SimilarityOps.withNorm(src)
+          .repartition(src.sparkSession.sparkContext.defaultParallelism),
+        books, cs, l2 = true),
       OutputMode.Append())
     SimilarityOps.annIvfPqOf(
       SimilarityOps.withNorm(graft.Tables.load(spark, sfDir, "embeddings")),
