@@ -1964,11 +1964,16 @@ object SSTableMetadata {
     val out = graft.Scratch.dir("graft-metaaudit-")
     val outLz4 = graft.Scratch.dir("graft-metaauditlz4-")
     val frame = SSTableBinaryV2.readBinary(spark, in)
-    SSTableBinaryV2.writeSSTables(frame, out.toString,
-      "graft", "documents")
-    SSTableBinaryV2.writeSSTables(frame, outLz4.toString,
-      "graft", "documents", compression = Some(CompressedData.Lz4))
-    val outKa = SSTableBinaryV2.writeOldFixture(spark, sfDir)
+    // three independent fixture writes to disjoint dirs — overlap
+    // them (guide §2.6)
+    val outKa = graft.Par.all(Seq(
+      () => { SSTableBinaryV2.writeSSTables(frame, out.toString,
+        "graft", "documents"); None },
+      () => { SSTableBinaryV2.writeSSTables(frame, outLz4.toString,
+        "graft", "documents",
+        compression = Some(CompressedData.Lz4)); None },
+      () => Some(SSTableBinaryV2.writeOldFixture(spark, sfDir))))
+      .flatten.head
     val genDirs = Seq(
       out.resolve("graft").resolve("documents"),
       outLz4.resolve("graft").resolve("documents"),
