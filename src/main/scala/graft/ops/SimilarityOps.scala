@@ -207,28 +207,49 @@ object SimilarityOps {
     * cosine up to that scale); with `l2 = true` it is dot − ‖c‖²/2,
     * whose argmax is the argmin-L2 centroid — the assignment k-means
     * training minimizes for, used consistently by the trained family. */
-  private def cellScores(e: Column, cs: Array[Array[Double]],
-      l2: Boolean): Seq[Column] =
-    cs.zipWithIndex.map { case (c, i) =>
-      val d = dot(e, array(c.toIndexedSeq.map(lit(_)): _*))
-      val score = if (l2) d - lit(c.map(x => x * x).sum / 2) else d
-      struct(score.as("score"), lit(i).as("cell"))
-    }.toIndexedSeq
+  /** Per-cell (score, cell) structs for the coarse quantizer, as ONE
+    * array column computed by a codegen LOOP: the old form unrolled k
+    * dot-products and a k-arg `greatest` inline, which (stacked with
+    * the PQ encoder's k·m unrolled scorer) pushed generated methods
+    * past Janino's 64 KB limit and silently disabled whole-stage
+    * codegen for the hottest PQ projections (guide §4 — keep the hot
+    * path codegen-friendly). The (centroid, ‖c‖²/2, id) triples pack
+    * into one FOLDABLE literal array (constant-folded to a single
+    * Literal), and `transform` scores them in a loop. Element order,
+    * the dot's left-fold IEEE order, and the (score, cell) struct
+    * ordering are unchanged, so every assignment is bit-identical.
+    * With `l2 = false` the score is the plain dot (the fixed-random-
+    * centroid index); with `l2 = true` it is dot − ‖c‖²/2, whose
+    * argmax is the argmin-L2 centroid. */
+  private def cellScoresArr(e: Column, cs: Array[Array[Double]],
+      l2: Boolean): Column = {
+    val packed = array(cs.zipWithIndex.map { case (c, i) =>
+      struct(
+        array(c.toIndexedSeq.map(lit(_)): _*).as("c"),
+        lit(c.map(x => x * x).sum / 2).as("h"),
+        lit(i).as("cell"))
+    }.toIndexedSeq: _*)
+    transform(packed, p => struct(
+      (if (l2) dot(e, p.getField("c")) - p.getField("h")
+       else dot(e, p.getField("c"))).as("score"),
+      p.getField("cell").as("cell")))
+  }
 
-  /** Nearest-centroid id (ties to the highest cell, the
-    * greatest-of-structs order — mirrored by the oracle's
+  /** Nearest-centroid id (ties to the highest cell — `array_max`
+    * maximizes the same lexicographic (score, cell) struct order the
+    * old `greatest` did, mirrored by the oracle's
     * `ORDER BY score DESC, cell DESC`). */
   private def ivfCell(e: Column, cs: Array[Array[Double]],
       l2: Boolean = false): Column =
-    greatest(cellScores(e, cs, l2): _*).getField("cell")
+    array_max(cellScoresArr(e, cs, l2)).getField("cell")
 
   /** Top-`p` nearest coarse cells, descending (score, cell) — element
     * one is exactly [[ivfCell]]'s choice (array_sort on the score/cell
-    * structs is the same lexicographic order `greatest` maximizes), so
+    * structs is the same lexicographic order `array_max` maximizes), so
     * nprobe=1 reproduces the single-probe index bit-for-bit. */
   private def ivfCells(e: Column, cs: Array[Array[Double]], p: Int,
       l2: Boolean = false): Column = {
-    val scored = array(cellScores(e, cs, l2): _*)
+    val scored = cellScoresArr(e, cs, l2)
     transform(slice(reverse(array_sort(scored)), 1, p), _.getField("cell"))
   }
 
@@ -322,8 +343,9 @@ object SimilarityOps {
   def kmeansObjective(spark: SparkSession, sfDir: String,
       cs: Array[Array[Double]]): Double =
     trainSample(spark, sfDir)
-      .withColumn("best", greatest(cellScores(col("e"), cs, l2 = true): _*)
-        .getField("score"))
+      .withColumn("best",
+        array_max(cellScoresArr(col("e"), cs, l2 = true))
+          .getField("score"))
       .agg(avg(dot(col("e"), col("e")) - lit(2.0) * col("best")))
       .head().getDouble(0)
 
@@ -423,13 +445,19 @@ object SimilarityOps {
     * highest code (greatest-of-structs), mirrored exactly in the
     * oracle SQL. */
   private def svCode(sv: Column, book: Array[Array[Double]]): Column = {
-    val scored = book.zipWithIndex.map { case (c, j) =>
-      val cArr = array(c.toIndexedSeq.map(lit(_)): _*)
-      val halfNorm = c.map(x => x * x).sum / 2
-      struct((dot(sv, cArr) - lit(halfNorm)).as("score"),
+    // loop form over a foldable packed literal, like [[cellScoresArr]]
+    // — the k·m unrolled scorer was the main 64 KB-codegen-limit
+    // offender (guide §4); same element order, same IEEE op order,
+    // same (score, code) tie-break
+    val packed = array(book.zipWithIndex.map { case (c, j) =>
+      struct(
+        array(c.toIndexedSeq.map(lit(_)): _*).as("c"),
+        lit(c.map(x => x * x).sum / 2).as("h"),
         lit(j).as("code"))
-    }
-    greatest(scored.toIndexedSeq: _*).getField("code")
+    }.toIndexedSeq: _*)
+    array_max(transform(packed, p => struct(
+      (dot(sv, p.getField("c")) - p.getField("h")).as("score"),
+      p.getField("code").as("code")))).getField("code")
   }
 
   private def pqCodeCol(e: Column, book: Array[Array[Double]],
@@ -555,9 +583,12 @@ object SimilarityOps {
       col("vec_id").as("q_vec_id") +:
         explode(ivfCells(col("e"), cs, nprobe, l2)).as("cell") +:
         books.indices.map { s =>
-          array(books(s).toIndexedSeq.map(c =>
-            dot(subVec(col("e"), s, len),
-              array(c.toIndexedSeq.map(lit(_)): _*))): _*).as(s"adc$s")
+          // loop form over the foldable book literal (guide §4): same
+          // element order, same dot, bit-identical ADC tables
+          val bookLit = array(books(s).toIndexedSeq.map(c =>
+            array(c.toIndexedSeq.map(lit(_)): _*)): _*)
+          transform(bookLit,
+            c => dot(subVec(col("e"), s, len), c)).as(s"adc$s")
         }: _*)
     val pairs = coded.join(broadcast(q), Seq("cell"))
       .filter(col("vec_id") =!= col("q_vec_id"))

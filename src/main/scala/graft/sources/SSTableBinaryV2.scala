@@ -3518,8 +3518,17 @@ object SSTableBinaryV2 {
           "graft", "documents", compression = compression)
         out.toString
     }
+    // 2048, not the old 512: at bench SF a 512-byte target makes each
+    // ~150 KB Data.db explode into ~300 half-KB tasks per file whose
+    // launch overhead dwarfs their decode work (guide §2.2/§6 — too
+    // many tiny map tasks); 2048 keeps every generation multi-split at
+    // every tested SF (the boundary-alignment contract this audit
+    // exists to witness; BigFormatSpec additionally pins alignment at
+    // 64/512/4096 on designed fixtures) at a quarter of the task
+    // count. Splitting is pure parallelism — the shared-verbatim tree
+    // oracle is split-count-independent by this audit's own thesis.
     val split = spark.read.format("sstable-big")
-      .option("splitBytes", "512").load(dir)
+      .option("splitBytes", "2048").load(dir)
     val audit = SSTableDumpBridge.auditFrame(split).localCheckpoint()
     if (compression.isDefined) graft.Scratch.delete(
       java.nio.file.Paths.get(dir))
