@@ -1874,10 +1874,13 @@ object SSTableMetadata {
     val frame = SSTableBinaryV2.readBinary(spark, in)
     val out = graft.Scratch.dir("graft-statsaudit-")
     val outLz4 = graft.Scratch.dir("graft-statsauditlz4-")
-    SSTableBinaryV2.writeSSTables(frame, out.toString,
-      "graft", "documents")
-    SSTableBinaryV2.writeSSTables(frame, outLz4.toString,
-      "graft", "documents", compression = Some(CompressedData.Lz4))
+    // two independent sink jobs to disjoint dirs — overlap (guide §2.6)
+    graft.Par.all(Seq(
+      () => SSTableBinaryV2.writeSSTables(frame, out.toString,
+        "graft", "documents"),
+      () => SSTableBinaryV2.writeSSTables(frame, outLz4.toString,
+        "graft", "documents",
+        compression = Some(CompressedData.Lz4))))
     // the plain leg re-emits each generation's Statistics.db with a
     // DESIGNED 4.0 repair tail — pendingRepair session, isTransient,
     // originatingHostId, all f-arithmetic UUIDs the oracle replays —
