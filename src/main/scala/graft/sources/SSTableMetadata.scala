@@ -1410,11 +1410,14 @@ object SSTableMetadata {
     val src = graft.Scratch.dir("graft-redisaudit-src-")
     val out = graft.Scratch.dir("graft-redisaudit-out-")
     val act = graft.Scratch.dir("graft-redisaudit-act-")
-    SSTableBinaryV2.writeSSTables(frame, src.toString,
-      "graft", "documents")
-    Seq(("documents/nb-2-big-Data.db", 4.0))
-      .toDF("sstable", "rate_15m")
-      .write.mode("overwrite").parquet(act.toString)
+    // the generation-set write and the designed activity-table write
+    // are independent sink jobs — overlap them (guide §2.6)
+    graft.Par.all(Seq(
+      () => { SSTableBinaryV2.writeSSTables(frame, src.toString,
+        "graft", "documents"); () },
+      () => Seq(("documents/nb-2-big-Data.db", 4.0))
+        .toDF("sstable", "rate_15m")
+        .write.mode("overwrite").parquet(act.toString)))
     val plan = redistributeLake(spark, s"$src/graft/documents",
       out.toString, budgetMarks = 8, activity = Some(act.toString))
       .localCheckpoint()
@@ -1422,10 +1425,14 @@ object SSTableMetadata {
     // through the coarsened summary — and the cold summary really
     // got the ×8 interval
     val back = SSTableBinaryV2.readBinary(spark, out.toString)
-    require(back.count() == 1920L,
-      "redistributed lake lost rows")
-    // doc 76 is even → generation 1, the ×8-coarsened file
-    require(back.filter(col("partition_key") === "r-304").count() == 1L,
+    // the full-decode count and the point read are independent scans
+    // of the rewritten lake — overlap them (guide §2.6)
+    val Seq(nBack, nPoint) = graft.Par.all(Seq(
+      () => back.count(),
+      // doc 76 is even → generation 1, the ×8-coarsened file
+      () => back.filter(col("partition_key") === "r-304").count()))
+    require(nBack == 1920L, "redistributed lake lost rows")
+    require(nPoint == 1L,
       "point read through the ×8-coarsened summary failed")
     val coldSum = SSTableComponents.readSummary(
       java.nio.file.Files.readAllBytes(
