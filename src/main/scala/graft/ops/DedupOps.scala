@@ -545,13 +545,25 @@ object DedupOps {
   def minhashBandCurve(spark: SparkSession, sfDir: String,
       hash: TokenHash = Md5,
       maxBucket: Int = MaxBucketSize): DataFrame = {
+    // all NumPerms minima in ONE traversal of the shingle hashes via
+    // aggregate (the inline form ran 16 transform+array_min passes,
+    // allocating 16 shingle-sized intermediates per row); the perm
+    // constants ride foldable literal arrays. Pure integer arithmetic
+    // in the identical per-element order ⇒ bit-identical minima (the
+    // prime init never wins: residues are < MinhashPrime, and `sh` is
+    // filtered nonempty).
+    val permAArr = array(PermA.toIndexedSeq.map(lit(_)): _*)
+    val permBArr = array(PermB.toIndexedSeq.map(lit(_)): _*)
     val sig = Tables.loadBalanced(spark, sfDir, "documents")
       .select(col("doc_id"), shingles(col("text")).as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("hs", transform(col("sh"), s => hash(s)))
       .select(col("doc_id"),
-        array((0 until NumPerms).map(i =>
-          array_min(transform(col("hs"), h => perm(i, h)))): _*)
+        aggregate(col("hs"),
+          array_repeat(lit(MinhashPrime), NumPerms),
+          (acc, h) => transform(acc, (m, i) =>
+            least(m, ((h % lit(MinhashPrime)) * element_at(permAArr, i + 1)
+              + element_at(permBArr, i + 1)) % lit(MinhashPrime))))
           .as("sig"))
       .localCheckpoint()
     val bandStructs = BandCurve.zipWithIndex.flatMap {
