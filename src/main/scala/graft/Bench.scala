@@ -97,10 +97,17 @@ object Bench {
     def artifactLine(partial: Boolean = false): String = {
       val done = best.toSeq.filter { case (k, v) =>
         v.isDefined || attempted(k) }
+      // 3-decimal seconds (ms resolution): full-precision fractions were
+      // ~60% of the line's bytes and the one-line artifact has repeatedly
+      // outlived the harness's stdout capture — ms resolution is already
+      // below the run-to-run noise floor, so nothing informative is lost
+      // and the whole line is far likelier to survive. Timing itself is
+      // untouched; only the printed representation is rounded.
+      def fmt(t: Double): String = f"$t%.3f"
       val qs = done
         .sortBy { case (_, v) => v.getOrElse(Double.MaxValue) }
         .map { case (k, v) =>
-          "\"" + k + "\":" + v.map(_.toString).getOrElse("null") }
+          "\"" + k + "\":" + v.map(fmt).getOrElse("null") }
         .mkString("{", ",", "}")
       val failedNames = done.collect { case (k, None) => "\"" + k + "\"" }
       val total = done.flatMap(_._2).sum
@@ -109,7 +116,7 @@ object Bench {
       // (instead of the documented last-line-wins tail) can reject it
       // deterministically rather than record pre-top-up floors
       val tag = if (partial) "\"partial\":true," else ""
-      s"""{${tag}"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":${
+      s"""{${tag}"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":${
         failedNames.mkString("[", ",", "]")},"sf":"$sfDir"}"""
     }
     // Defensive artifact copy after every query: the harness captures

@@ -2416,7 +2416,8 @@ object SSTableBinaryV2 {
     val in = binaryFixtureShared(spark, sfDir)
     val out = graft.Scratch.dir("graft-pointidx-")
     writeSSTables(readBinary(spark, in), out.toString,
-      "graft", "documents", compression = compression)
+      "graft", "documents", compression = compression,
+      sources = Some(dataSourceIdentities(spark, in)))
     val audit = SSTableDumpBridge.auditFrame(
       readBinary(spark, out.toString)
         .filter(col("partition_key").isin("8", "13", "15", "17")))
@@ -2442,7 +2443,8 @@ object SSTableBinaryV2 {
       .withColumn("cell",
         graft.model.CellModel.stripCellKeepDeletion(col("cell")))
     writeSSTables(stripped, out.toString, "graft", "documents",
-      graft.model.CqlSchema.parse(Cql2x).toOption)
+      graft.model.CqlSchema.parse(Cql2x).toOption,
+      sources = Some(dataSourceIdentities(spark, in.toString)))
     graft.Scratch.delete(in)
     val audit = SSTableDumpBridge
       .auditFrame(readBinary(spark, out.toString))
@@ -2538,7 +2540,8 @@ object SSTableBinaryV2 {
       .withColumn("cell",
         graft.model.CellModel.stripCellKeepDeletion(col("cell")))
     writeSSTables(stripped, out.toString, "graft", "documents",
-      graft.model.CqlSchema.parse(Cql2xColl).toOption)
+      graft.model.CqlSchema.parse(Cql2xColl).toOption,
+      sources = Some(dataSourceIdentities(spark, in.toString)))
     graft.Scratch.delete(in)
     val audit = SSTableDumpBridge
       .auditFrame(readBinary(spark, out.toString))
@@ -2770,7 +2773,8 @@ object SSTableBinaryV2 {
     val stripped = readBinary(spark, in.toString)
       .withColumn("cell",
         graft.model.CellModel.stripCellKeepDeletion(col("cell")))
-    writeSSTables(stripped, out.toString, "graft", "documents")
+    writeSSTables(stripped, out.toString, "graft", "documents",
+      sources = Some(dataSourceIdentities(spark, in.toString)))
     graft.Scratch.delete(in)
     val baseUs = lit(SSTableDumpBridge.TreeBase * 1000000L)
     val audit = readBinary(spark, out.toString)
@@ -2817,7 +2821,8 @@ object SSTableBinaryV2 {
     val stripped = readBinary(spark, in.toString)
       .withColumn("cell",
         graft.model.CellModel.stripCellKeepDeletion(col("cell")))
-    writeSSTables(stripped, out.toString, "graft", "documents")
+    writeSSTables(stripped, out.toString, "graft", "documents",
+      sources = Some(dataSourceIdentities(spark, in.toString)))
     graft.Scratch.delete(in)
     val audit = complexAuditFrame(readBinary(spark, out.toString))
       .localCheckpoint()
@@ -2935,7 +2940,8 @@ object SSTableBinaryV2 {
       .withColumn("cell",
         graft.model.CellModel.stripCellKeepDeletion(col("cell")))
     writeSSTables(stripped, out.toString, "graft", "documents",
-      schema = Some(cql))
+      schema = Some(cql),
+      sources = Some(dataSourceIdentities(spark, in.toString)))
     graft.Scratch.delete(in)
     val baseUs = lit(SSTableDumpBridge.TreeBase * 1000000L)
     val audit = readBinary(spark, out.toString)
@@ -3051,11 +3057,35 @@ object SSTableBinaryV2 {
         .collect { case (n, t) if isStaticDecl(t) => n }.toSet)
   }
 
+  /** The sstable identities (the reader's rendering: the last two
+    * path components) of every `*-Data.db` under `root` — a
+    * DRIVER-side listing, no Spark job. For a [[writeSSTables]] call
+    * whose input frame is an unfiltered [[readBinary]] of `root`,
+    * this equals the frame's distinct `sstable` set (every fixture
+    * file carries rows), so passing it as `sources` spares the sink
+    * its generation-assignment pass over the data (guide §1.2:
+    * don't recompute what the caller already knows — that pass was a
+    * SECOND full decode of the input per sink call). */
+  private[graft] def dataSourceIdentities(spark: SparkSession,
+      root: String): Seq[String] = {
+    val fs = FileSystem.get(java.net.URI.create(root),
+      spark.sessionState.newHadoopConf())
+    val out = Seq.newBuilder[String]
+    val it = fs.listFiles(new HPath(root), true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.isFile && f.getPath.getName.endsWith("-Data.db"))
+        out += f.getPath.toString.split('/').takeRight(2).mkString("/")
+    }
+    out.result()
+  }
+
   def writeSSTables(cells: DataFrame, outDir: String, keyspace: String,
       table: String,
       schema: Option[graft.model.CqlSchema.Parsed] = None,
       compression: Option[String] = None,
-      columnIndexSize: Int = BigFormat.ColumnIndexSize)
+      columnIndexSize: Int = BigFormat.ColumnIndexSize,
+      sources: Option[Seq[String]] = None)
       : Seq[(String, Long)] = {
     val spark = cells.sparkSession
     import spark.implicits._
@@ -3083,9 +3113,20 @@ object SSTableBinaryV2 {
     // generation = input generation, `Cassandra3TTLRemover.java:57-61`);
     // a collision — or a nameless source — deterministically takes the
     // smallest unused generation above the maximum parsed one.
+    // `sources`, when given, replaces the distinct job: callers whose
+    // frame is an unfiltered connector read (or built with a known
+    // identity set) already hold the distinct set, and the job was a
+    // full second decode of the input. The contract is exact equality
+    // with the frame's distinct set: a source present in the data but
+    // missing from the list fails loudly below (generation lookup),
+    // and duplicates are collapsed here so a careless caller cannot
+    // double-assign.
     val genOf: Map[String, Int] = {
-      val srcs = selected.select(col("sstable")).distinct()
-        .as[String].collect().sorted
+      val srcs = sources match {
+        case Some(s) => s.distinct.sorted.toArray
+        case None => selected.select(col("sstable")).distinct()
+          .as[String].collect().sorted
+      }
       val parsed = srcs.map(s =>
         s -> "\\d+".r.findFirstIn(s.split('/').last).map(_.toInt))
       var next = parsed.flatMap(_._2).foldLeft(0)(math.max) + 1
@@ -3103,7 +3144,10 @@ object SSTableBinaryV2 {
       .groupByKey(_.sstable)
       .mapGroups { (src, it) =>
         val rows = it.toArray
-        val gen = genOf(src)
+        val gen = genOf.getOrElse(src, throw new IllegalArgumentException(
+          s"writeSSTables: source '$src' appears in the data but not " +
+            "in the caller-provided source set — the explicit `sources` " +
+            "list must equal the frame's distinct sstable identities"))
         val unknown = rows.iterator.map(_.row_kind).find(k =>
           !Set("ROW", "PK_LIVENESS", "ROW_DELETION", "CELL_DELETION",
             "COMPLEX_DELETION", "PARTITION_DELETION",
@@ -3470,7 +3514,8 @@ object SSTableBinaryV2 {
     val stripped = readBinary(spark, in.toString)
       .withColumn("cell",
         graft.model.CellModel.stripCellKeepDeletion(col("cell")))
-    writeSSTables(stripped, out.toString, "graft", "documents")
+    writeSSTables(stripped, out.toString, "graft", "documents",
+      sources = Some(dataSourceIdentities(spark, in.toString)))
     val audit = SSTableDumpBridge
       .auditFrame(readBinary(spark, out.toString))
       .localCheckpoint()
@@ -3515,7 +3560,8 @@ object SSTableBinaryV2 {
         val in = binaryFixtureShared(spark, sfDir)
         val out = graft.Scratch.dir("graft-splitaudit-")
         writeSSTables(readBinary(spark, in), out.toString,
-          "graft", "documents", compression = compression)
+          "graft", "documents", compression = compression,
+          sources = Some(dataSourceIdentities(spark, in)))
         out.toString
     }
     // 2048, not the old 512: at bench SF a 512-byte target makes each
@@ -3665,7 +3711,8 @@ object SSTableBinaryV2 {
         "src text, PRIMARY KEY (pk, ck))")
       .fold(e => throw new IllegalArgumentException(e), identity)
     writeSSTables(readBinary(spark, in), out.toString,
-      "graft", "documents", Some(cql))
+      "graft", "documents", Some(cql),
+      sources = Some(dataSourceIdentities(spark, in)))
     val dir = s"$out/graft/documents"
     val keys = Seq("8", "13", "15", "17")
     def tok(k: String): Long = BigFormat.murmur3Token(
@@ -3718,7 +3765,13 @@ object SSTableBinaryV2 {
     writeSSTables(
       readBinary(spark, in)
         .filter(col("partition_key").cast("long") < 1000),
-      out.toString, "graft", "documents")
+      out.toString, "graft", "documents",
+      // the frame is FILTERED, so the listing may be a superset of
+      // its distinct sstable set — harmless here: generations parse
+      // uniquely from the fixture's nb-<g> basenames (no collision
+      // resolution to shift), and groups that lost every row are
+      // simply never written
+      sources = Some(dataSourceIdentities(spark, in)))
     val dir = s"$out/graft/documents"
     // doc 378: ROW-shaped (378%10=8), fileId 378%4=2 → generation 3
     val dataP = java.nio.file.Paths.get(dir, "nb-3-big-Data.db")
@@ -3767,7 +3820,8 @@ object SSTableBinaryV2 {
     val in = binaryFixtureShared(spark, sfDir)
     val out = graft.Scratch.dir("graft-digestaudit-")
     writeSSTables(readBinary(spark, in), out.toString,
-      "graft", "documents")
+      "graft", "documents",
+      sources = Some(dataSourceIdentities(spark, in)))
     val audit = SSTableDumpBridge.auditFrame(
       readBinary(spark, out.toString, None, verify = true))
       .localCheckpoint()
@@ -3873,8 +3927,10 @@ object SSTableBinaryV2 {
       sfDir: String): String =
     plainGenSetCache.getOrElseUpdate(sfDir, {
       val out = graft.Scratch.dir("graft-plainset-")
-      writeSSTables(readBinary(spark, binaryFixtureShared(spark, sfDir)),
-        out.toString, "graft", "documents")
+      val in = binaryFixtureShared(spark, sfDir)
+      writeSSTables(readBinary(spark, in),
+        out.toString, "graft", "documents",
+        sources = Some(dataSourceIdentities(spark, in)))
       s"$out/graft/documents"
     })
 
@@ -3888,7 +3944,11 @@ object SSTableBinaryV2 {
         "CREATE TABLE graft.documents (pk text, ck bigint, v text, " +
           "PRIMARY KEY (pk, ck))").toOption
       writeSSTables(wideFrame(spark, sfDir), out.toString, "graft",
-        "documents", schema, columnIndexSize = WideBlockBytes)
+        "documents", schema, columnIndexSize = WideBlockBytes,
+        // wideFrame synthesizes identities t/nb-<docId%4+1> and every
+        // residue class is populated at every SF (doc ids are dense
+        // from 0), so the set is known without a pass over the data
+        sources = Some((1 to 4).map(g => s"t/nb-$g-big-Data.db")))
       s"$out/graft/documents"
     })
 
@@ -4097,7 +4157,9 @@ object SSTableBinaryV2 {
     val schema = graft.model.CqlSchema.parse(
       "CREATE TABLE graft.documents (pk text, ck bigint, v text, " +
         "PRIMARY KEY (pk, ck))").toOption
-    writeSSTables(frame, out.toString, "graft", "documents", schema)
+    writeSSTables(frame, out.toString, "graft", "documents", schema,
+      // designed frame: exactly generations 1..3 by construction
+      sources = Some((1 to 3).map(g => s"documents/nb-$g-big-Data.db")))
     val dir = s"$out/graft/documents"
     def restricted(df: DataFrame): DataFrame = df
       .filter(col("clustering")(0).cast("long").between(1005L, 1015L))

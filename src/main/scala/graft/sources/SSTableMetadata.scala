@@ -330,7 +330,14 @@ object SSTableMetadata {
     else BigFormat.readCompaction(
       stats, BigFormat.versionHasMetadataChecksum(version))
 
-  private final case class SketchRow(
+  // private[sources], not private: a plain-private nested case class
+  // compiles to a non-public classfile, and Janino (whole-stage
+  // codegen's compiler) cannot invoke accessors on it — every
+  // SerializeFromObject over this row silently fell back to
+  // interpreted execution (6 failed-compile WARNs per bench pass).
+  // Qualified private keeps the API surface identical and emits a
+  // public classfile codegen can call.
+  private[sources] final case class SketchRow(
       sstable: String,
       sketch: Option[Array[Byte]],
       est_keys_max: Option[Long],
@@ -751,10 +758,13 @@ object SSTableMetadata {
     val outB = graft.Scratch.dir("graft-keycount-b-")
     val outC = graft.Scratch.dir("graft-keycount-c-")
     // three independent sink jobs of the same frame to disjoint dirs
-    // — overlap them (guide §2.6)
+    // — overlap them (guide §2.6); one driver-side listing feeds all
+    // three generation assignments (the frame is an unfiltered read
+    // of `in`, so the listing IS its distinct sstable set)
+    val srcIds = SSTableBinaryV2.dataSourceIdentities(spark, in)
     graft.Par.all(Seq(outA, outB, outC).map(o => () =>
       SSTableBinaryV2.writeSSTables(frame, o.toString,
-        "graft", "documents")))
+        "graft", "documents", sources = Some(srcIds))))
     val dirB = outB.resolve("graft").resolve("documents")
     val dirC = outC.resolve("graft").resolve("documents")
     import scala.jdk.CollectionConverters._
@@ -1163,7 +1173,10 @@ object SSTableMetadata {
       .drop("cell_t")
     val src = graft.Scratch.dir("graft-expedge-")
     SSTableBinaryV2.writeSSTables(frame, src.toString,
-      "graft", "documents")
+      "graft", "documents",
+      // designed frame: the identity set is `rows`' gen column
+      sources = Some(rows.map(r => s"documents/nb-${r._2}-big-Data.db")
+        .distinct))
     val gcBeforeS = Int.MaxValue - 1
     val root = s"$src/graft/documents"
     // the premise, gated off the real panel: exactly gens 1 and 5
@@ -1414,7 +1427,10 @@ object SSTableMetadata {
     // are independent sink jobs — overlap them (guide §2.6)
     graft.Par.all(Seq(
       () => { SSTableBinaryV2.writeSSTables(frame, src.toString,
-        "graft", "documents"); () },
+        "graft", "documents",
+        // designed frame: identities are doc_id%2+1 ⇒ exactly nb-1/nb-2
+        sources = Some(Seq("documents/nb-1-big-Data.db",
+          "documents/nb-2-big-Data.db"))); () },
       () => Seq(("documents/nb-2-big-Data.db", 4.0))
         .toDF("sstable", "rate_15m")
         .write.mode("overwrite").parquet(act.toString)))
@@ -1668,7 +1684,9 @@ object SSTableMetadata {
     val act = graft.Scratch.dir("graft-trackact-act-")
     val out = graft.Scratch.dir("graft-trackact-out-")
     SSTableBinaryV2.writeSSTables(frame, src.toString,
-      "graft", "documents")
+      "graft", "documents",
+      // designed frame: doc_id%4+1 over docs 0..479 ⇒ exactly nb-1..4
+      sources = Some((1 to 4).map(g => s"documents/nb-$g-big-Data.db")))
     val root = s"$src/graft/documents"
     val epoch = java.util.UUID.randomUUID().toString
     val tick = RestorableMeter.TickIntervalNanos
@@ -1881,13 +1899,16 @@ object SSTableMetadata {
     val frame = SSTableBinaryV2.readBinary(spark, in)
     val out = graft.Scratch.dir("graft-statsaudit-")
     val outLz4 = graft.Scratch.dir("graft-statsauditlz4-")
-    // two independent sink jobs to disjoint dirs — overlap (guide §2.6)
+    // two independent sink jobs to disjoint dirs — overlap (guide
+    // §2.6); one driver-side listing replaces both generation passes
+    val srcIds = SSTableBinaryV2.dataSourceIdentities(spark, in)
     graft.Par.all(Seq(
       () => SSTableBinaryV2.writeSSTables(frame, out.toString,
-        "graft", "documents"),
+        "graft", "documents", sources = Some(srcIds)),
       () => SSTableBinaryV2.writeSSTables(frame, outLz4.toString,
         "graft", "documents",
-        compression = Some(CompressedData.Lz4))))
+        compression = Some(CompressedData.Lz4),
+        sources = Some(srcIds))))
     // the plain leg re-emits each generation's Statistics.db with a
     // DESIGNED 4.0 repair tail — pendingRepair session, isTransient,
     // originatingHostId, all f-arithmetic UUIDs the oracle replays —
@@ -1975,13 +1996,16 @@ object SSTableMetadata {
     val outLz4 = graft.Scratch.dir("graft-metaauditlz4-")
     val frame = SSTableBinaryV2.readBinary(spark, in)
     // three independent fixture writes to disjoint dirs — overlap
-    // them (guide §2.6)
+    // them (guide §2.6); one driver-side listing replaces both sink
+    // generation passes
+    val srcIds = SSTableBinaryV2.dataSourceIdentities(spark, in)
     val outKa = graft.Par.all(Seq(
       () => { SSTableBinaryV2.writeSSTables(frame, out.toString,
-        "graft", "documents"); None },
+        "graft", "documents", sources = Some(srcIds)); None },
       () => { SSTableBinaryV2.writeSSTables(frame, outLz4.toString,
         "graft", "documents",
-        compression = Some(CompressedData.Lz4)); None },
+        compression = Some(CompressedData.Lz4),
+        sources = Some(srcIds)); None },
       () => Some(SSTableBinaryV2.writeOldFixture(spark, sfDir))))
       .flatten.head
     val genDirs = Seq(

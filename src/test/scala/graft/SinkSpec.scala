@@ -153,4 +153,46 @@ class SinkSpec extends SparkSpec {
       .option("header", "true").csv(csvOut)
     assert(df.select(cols: _*).exceptAll(fromCsv.select(cols: _*)).isEmpty)
   }
+
+  test("binary sink: caller-provided sources match the default generation pass") {
+    import graft.sources.{SSTableBinaryV2, SSTableDumpBridge}
+    val in = SSTableBinaryV2.writeBinaryFixture(spark, sfDir)
+    val outA = graft.Scratch.dir("graft-srcsink-a-")
+    val outB = graft.Scratch.dir("graft-srcsink-b-")
+    try {
+      val frame = SSTableBinaryV2.readBinary(spark, in.toString)
+        .localCheckpoint()
+      // the driver-side listing equals the frame's distinct sstable set
+      val listed = SSTableBinaryV2
+        .dataSourceIdentities(spark, in.toString).sorted
+      val distinct = frame.select("sstable").distinct()
+        .collect().map(_.getString(0)).sorted.toSeq
+      assert(listed === distinct)
+      // explicit sources produce the SAME manifest and byte-identical
+      // frames as the default distinct-job path
+      val mA = SSTableBinaryV2.writeSSTables(frame, outA.toString,
+        "graft", "documents")
+      val mB = SSTableBinaryV2.writeSSTables(frame, outB.toString,
+        "graft", "documents", sources = Some(listed))
+      assert(mA === mB)
+      val backA = SSTableBinaryV2.readBinary(spark, outA.toString)
+      val backB = SSTableBinaryV2.readBinary(spark, outB.toString)
+      assert(backA.exceptAll(backB).count() === 0)
+      assert(backB.exceptAll(backA).count() === 0)
+      // a source present in the data but missing from the list fails
+      // loudly (never a silent mis-assignment)
+      val err = intercept[org.apache.spark.SparkException] {
+        SSTableBinaryV2.writeSSTables(frame,
+          graft.Scratch.dir("graft-srcsink-c-").toString,
+          "graft", "documents", sources = Some(listed.tail))
+      }
+      assert(err.getMessage.contains("caller-provided source set") ||
+        Option(err.getCause).exists(
+          _.getMessage.contains("caller-provided source set")))
+    } finally {
+      graft.Scratch.delete(in)
+      graft.Scratch.delete(outA)
+      graft.Scratch.delete(outB)
+    }
+  }
 }
