@@ -10,9 +10,13 @@ package graft
   * [[all]] runs the thunks on a bounded pool and returns their results
   * in input order, so callers' logic (and everything computed) is
   * unchanged — only the wall-clock overlap differs. Any failure
-  * propagates after every thunk has settled (a gate's exception must
-  * surface exactly as it would have sequentially, not kill the pool
-  * mid-flight).
+  * propagates after every thunk has settled; note that UNLIKE a
+  * sequential run, thunks after a failing one still execute (they are
+  * already in flight or queued), so side-effecting thunks must be
+  * independent — which is the precondition for using [[all]] anyway.
+  * The first-by-index failure is thrown with any other failures
+  * attached as suppressed exceptions, so a multi-failure run stays
+  * diagnosable.
   */
 object Par {
   def all[T](thunks: Seq[() => T], parallelism: Int = 8): Seq[T] = {
@@ -20,7 +24,6 @@ object Par {
     val n = math.min(parallelism, thunks.size)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
     try {
-      import scala.jdk.CollectionConverters._
       val futures = thunks.map { t =>
         pool.submit(new java.util.concurrent.Callable[T] {
           override def call(): T = t()
@@ -32,7 +35,11 @@ object Par {
           case e: java.util.concurrent.ExecutionException =>
             Left(e.getCause)
         })
-      results.collectFirst { case Left(e) => e }.foreach(throw _)
+      val failures = results.collect { case Left(e) => e }
+      failures.headOption.foreach { first =>
+        failures.drop(1).filter(_ ne first).foreach(first.addSuppressed)
+        throw first
+      }
       results.collect { case Right(v) => v }
     } finally pool.shutdown()
   }

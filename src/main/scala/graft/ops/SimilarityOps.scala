@@ -43,7 +43,7 @@ object SimilarityOps {
     * (a pure projection of the table), so the memo changes nothing but
     * the repeated scan cost. */
   private[graft] def vnOf(spark: SparkSession, sfDir: String): DataFrame =
-    trainedCache.getOrElseUpdate(("vn", sfDir, 0, 0),
+    memo(("vn", sfDir, 0, 0))(
       withNorm(Tables.load(spark, sfDir, "embeddings")).localCheckpoint())
       .asInstanceOf[DataFrame]
 
@@ -57,7 +57,7 @@ object SimilarityOps {
     * corpus-sized.) */
   private[graft] def bruteTruthOf(spark: SparkSession,
       sfDir: String): DataFrame =
-    trainedCache.getOrElseUpdate(("brute-truth", sfDir, 0, 0),
+    memo(("brute-truth", sfDir, 0, 0))(
       cosineTopKOf(vnOf(spark, sfDir)).filter(col("rk") <= 3)
         .select(col("q_vec_id"), col("neighbor_vec_id"))
         .localCheckpoint())
@@ -235,23 +235,28 @@ object SimilarityOps {
       p.getField("cell").as("cell")))
   }
 
-  /** Nearest-centroid id (ties to the highest cell — `array_max`
-    * maximizes the same lexicographic (score, cell) struct order the
-    * old `greatest` did, mirrored by the oracle's
-    * `ORDER BY score DESC, cell DESC`). */
+  /** Nearest-centroid id (ties to the highest cell — the native
+    * [[graft.functions.NearestCells]] loop maximizes the same
+    * lexicographic (score, cell) order `array_max` over the old
+    * struct array did, mirrored by the oracle's
+    * `ORDER BY score DESC, cell DESC`). Native expression, not the
+    * HOF form: whole-stage codegen participates (HOF lambdas never
+    * do) and the per-row struct-array allocation disappears — this is
+    * the cell-assignment inner loop of every IVF/PQ build and serve
+    * (guide §4). */
   private def ivfCell(e: Column, cs: Array[Array[Double]],
       l2: Boolean = false): Column =
-    array_max(cellScoresArr(e, cs, l2)).getField("cell")
+    element_at(ivfCells(e, cs, 1, l2), 1)
 
   /** Top-`p` nearest coarse cells, descending (score, cell) — element
-    * one is exactly [[ivfCell]]'s choice (array_sort on the score/cell
-    * structs is the same lexicographic order `array_max` maximizes), so
-    * nprobe=1 reproduces the single-probe index bit-for-bit. */
+    * one is exactly [[ivfCell]]'s choice, so nprobe=1 reproduces the
+    * single-probe index bit-for-bit. */
   private def ivfCells(e: Column, cs: Array[Array[Double]], p: Int,
-      l2: Boolean = false): Column = {
-    val scored = cellScoresArr(e, cs, l2)
-    transform(slice(reverse(array_sort(scored)), 1, p), _.getField("cell"))
-  }
+      l2: Boolean = false): Column =
+    org.apache.spark.sql.graftbridge.GraftColumns.column(
+      graft.functions.NearestCells(
+        org.apache.spark.sql.graftbridge.GraftColumns.expression(e),
+        cs.map(_.toIndexedSeq).toIndexedSeq, l2, p))
 
   /** K-means training sample: vectors with vec_id in
     * [[KmeansTrainBase]] until base+[[KmeansTrainCap]] — disjoint from
@@ -319,7 +324,7 @@ object SimilarityOps {
     * k-means objective). */
   def trainedCentroids(spark: SparkSession, sfDir: String, k: Int = 16,
       iters: Int = KmeansIters): Array[Array[Double]] =
-    trainedCache.getOrElseUpdate(("ivf", sfDir, k, iters), {
+    memo(("ivf", sfDir, k, iters))({
       val samp = trainSample(spark, sfDir).localCheckpoint()
       var cs = centroids(64, k)
       for (_ <- 0 until iters) cs = lloydStep(samp, cs)
@@ -333,8 +338,29 @@ object SimilarityOps {
     * vec_id-ordered fold means), so the memoized artifact is
     * bit-identical to a fresh run — correctness is unchanged, only the
     * once-per-corpus build cost stops recurring per query. */
-  private val trainedCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String, Int, Int), AnyRef]
+  /** Single-flight memo cell: the builder runs AT MOST ONCE even when
+    * several threads first-touch the key concurrently (Scala lazy val
+    * blocks the losers on the winner's evaluation). The old
+    * TrieMap.getOrElseUpdate ran the builder in EVERY racing thread —
+    * wasted duplicate index builds at best, and at worst the tier
+    * matrix / curve queries (which fan their branches out on a driver
+    * pool) interleaved two builds of the same memo and produced frames
+    * mixing attributes from both, failing at execution with
+    * INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND when the query ran with cold
+    * caches (observed on an isolated sim_ann_tier_matrix run). The
+    * cell is allocated inside computeIfAbsent (trivial, no nested map
+    * access) and evaluated OUTSIDE it, so nested memo builds —
+    * hnswGraph → hnswSpineOf — cannot deadlock the map. */
+  private final class Memo(build: () => AnyRef) {
+    lazy val value: AnyRef = build()
+  }
+
+  private val trainedCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, Int, Int), Memo]()
+
+  private def memo(key: (String, String, Int, Int))(
+      build: => AnyRef): AnyRef =
+    trainedCache.computeIfAbsent(key, _ => new Memo(() => build)).value
 
   /** Mean squared L2 distance of the training sample to its assigned
     * (argmin-L2) centroid — the k-means objective, via
@@ -419,7 +445,7 @@ object SimilarityOps {
     */
   def pqCodebooks(spark: SparkSession, sfDir: String, m: Int = 4,
       k: Int = 64): Array[Array[Array[Double]]] =
-    trainedCache.getOrElseUpdate(("pq-init", sfDir, m * 1000 + k, 0),
+    memo(("pq-init", sfDir, m * 1000 + k, 0))(
       samplePqCodebooks(spark, sfDir, m, k))
       .asInstanceOf[Array[Array[Array[Double]]]]
 
@@ -476,7 +502,7 @@ object SimilarityOps {
     * their previous centroid. */
   def trainedPqCodebooks(spark: SparkSession, sfDir: String, m: Int = 4,
       k: Int = 64, iters: Int = KmeansIters): Array[Array[Array[Double]]] =
-    trainedCache.getOrElseUpdate(("pq", sfDir, m * 1000 + k, iters),
+    memo(("pq", sfDir, m * 1000 + k, iters))(
       trainPqCodebooks(spark, sfDir, m, k, iters))
       .asInstanceOf[Array[Array[Array[Double]]]]
 
@@ -533,8 +559,13 @@ object SimilarityOps {
     * cached/stored index relation, not a per-query re-encode of the
     * raw corpus). Encoding is deterministic, so the cached table is
     * bit-identical to a fresh encode. */
-  private val codedCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  // same single-flight discipline as [[trainedCache]]: a racing
+  // first touch must not double-encode (and .persist()) the index
+  private val codedCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Memo]()
+  private def codedMemo(key: String)(build: => DataFrame): DataFrame =
+    codedCache.computeIfAbsent(key, _ => new Memo(() => build))
+      .value.asInstanceOf[DataFrame]
 
   /** The compressed corpus index frame: cell + M codes per vector,
     * plus the reconstruction norm — derivable from the codes alone
@@ -573,7 +604,7 @@ object SimilarityOps {
     // build already wrote), else the build-once memoized encode
     val coded = codedOverride.getOrElse(cacheKey match {
       case Some(k) =>
-        codedCache.getOrElseUpdate(k, pqEncode(vn, books, cs, l2).persist())
+        codedMemo(k)(pqEncode(vn, books, cs, l2).persist())
       case None => pqEncode(vn, books, cs, l2)
     })
     // queries: nprobe nearest cells + per-subspace ADC lookup tables
@@ -682,7 +713,7 @@ object SimilarityOps {
     * engines). One tiny agg job; 128 doubles to the driver. */
   private def sq8BoundsOf(vn: DataFrame,
       key: String): (Array[Double], Array[Double]) =
-    trainedCache.getOrElseUpdate(("sq8", key, 0, 0), {
+    memo(("sq8", key, 0, 0))({
       val samp = vn.filter(col("vec_id") >= KmeansTrainBase &&
         col("vec_id") < KmeansTrainBase + KmeansTrainCap)
       val aggs = (1 to 64).map(i => min(element_at(col("e"), i))) ++
@@ -1270,7 +1301,7 @@ object SimilarityOps {
     * trained state), so a persisted-graph reload recomputes it
     * bit-identically. */
   private[graft] def hnswSpineOf(vn: DataFrame, cacheKey: String): DataFrame =
-    trainedCache.getOrElseUpdate(("hnsw-spine", cacheKey, 0, 0), {
+    memo(("hnsw-spine", cacheKey, 0, 0))({
       val planes = hyperplanes(64, HnswBits)
       val b = vn.withColumn("bucket", lshBucket(col("e"), planes))
         .select(col("vec_id"), col("bucket"))
@@ -1278,7 +1309,7 @@ object SimilarityOps {
     }).asInstanceOf[DataFrame]
 
   private def hnswGraph(vn: DataFrame, cacheKey: String): DataFrame =
-    trainedCache.getOrElseUpdate(("hnsw", cacheKey, 0, 0), {
+    memo(("hnsw", cacheKey, 0, 0))({
       val planes = hyperplanes(64, HnswBits)
       val b = vn.withColumn("bucket", lshBucket(col("e"), planes))
         .select(col("vec_id"), col("bucket"))
@@ -1345,6 +1376,15 @@ object SimilarityOps {
     val expanded = cur.union(
       cur.join(adj, cur("node") === adj("src"))
         .select(cur("q_vec_id"), adj("dst").as("node")))
+      // one exchange per hop, not two: partitioning by q_vec_id alone
+      // satisfies BOTH the dedup's ClusteredDistribution(q, node) and
+      // the ranking window's ClusteredDistribution(q) downstream (a
+      // hash on a key subset co-locates every (q, node) group), so the
+      // distinct and the window ride the same shuffle — guide §2.4,
+      // two operations keyed compatibly share one exchange. Row set
+      // unchanged: distinct and window semantics are partition-layout
+      // independent.
+      .repartition(col("q_vec_id"))
       .distinct()
     val scored = expanded
       .join(vnC.select(col("vec_id").as("node"), col("e"), col("nrm")),
@@ -1366,6 +1406,12 @@ object SimilarityOps {
     // (guide §3.1); the checkpoint job disappears with it. Row set is
     // identical — only the physical carrier changes.
     val rows = kept.collect()
+    // correctness of the LocalRelation carrier leans on the beam being
+    // audit-constant; a widened query set must fail HERE, loudly, not
+    // silently pull a corpus-sized frame onto the driver
+    require(rows.length <= 8 * keep,
+      s"hnsw hop beam ${rows.length} rows exceeds |Q|*keep = ${8 * keep}" +
+        " — the LocalRelation beam carrier assumes the audit query set")
     kept.sparkSession.createDataFrame(
       java.util.Arrays.asList(rows: _*), kept.schema)
   }
@@ -1380,7 +1426,7 @@ object SimilarityOps {
     * descend to the identical deterministic frame, and it materializes
     * once per corpus instead of once per serving run. */
   private def hnswLanding(vnC: DataFrame, cacheKey: String): DataFrame =
-    trainedCache.getOrElseUpdate(("hnsw-landing", cacheKey, 0, 0), {
+    memo(("hnsw-landing", cacheKey, 0, 0))({
       // spine edges are corpus-derived (no trained state), so the
       // persisted-graph path descends the identical tree
       val spineRev = hnswSpineOf(vnC, cacheKey)

@@ -71,8 +71,11 @@ object StreamingOps {
     // At fixture scale 4 halves the fixed per-query cost vs 8 with
     // identical results (results are partitioning-independent by the
     // determinism sweep); a production deployment sizes this to state
-    // volume, not to the CPU count.
-    s.conf.set("spark.sql.shuffle.partitions", "4")
+    // volume, not to the CPU count. Parameterized (same dial, now
+    // turnable without a rebuild): `spark.graft.stream.statePartitions`
+    // on the parent session overrides the default.
+    s.conf.set("spark.sql.shuffle.partitions",
+      parent.conf.get("spark.graft.stream.statePartitions", "4"))
     s
   }
 
@@ -469,7 +472,13 @@ object StreamingOps {
         val q = TextOps.qualityScoreCol(enriched)
         val toks = size(split(trim(enriched), "\\s+"))
         val scrubbed = TextOps.scrubPii(enriched)
-        src.groupBy(col("source")).agg(
+        // the landing fixture is ONE jsonl file → one scan task would
+        // run every regex pass (enrich/quality/scrub) serially; the
+        // per-doc work is embarrassingly parallel, so round-robin the
+        // micro-batch across the cores before the aggregation — the
+        // stream-side rebalance st_ann_ingest/st_media_decode document
+        src.repartition(src.sparkSession.sparkContext.defaultParallelism)
+          .groupBy(col("source")).agg(
           count(lit(1)).as("n_in"),
           sum(when(q >= 0.5, 1).otherwise(0)).as("n_kept"),
           sum(when(q >= 0.5, toks).otherwise(0)).cast("long")
@@ -534,14 +543,22 @@ object StreamingOps {
     val child = streamingSession(spark)
     val ckptPath = graft.Scratch.dir("graft-ckpt-")
     val outStr = out.toString
+    // the fixture's identity set, listed once on the driver: every
+    // batch's distinct sstables are a subset, generations parse
+    // uniquely from the nb-<g> basenames (no collision resolution to
+    // shift), and groups absent from a batch are simply not written —
+    // so passing the superset is output-identical while sparing each
+    // micro-batch BOTH the isEmpty probe and the sink's generation
+    // pass (each was a full re-decode of the batch: 3 decodes per
+    // trigger down to 1)
+    val srcIds = SSTableBinaryV2.dataSourceIdentities(spark, in)
     val q = child.readStream.format("sstable-big")
       .option("maxFilesPerTrigger", "1").load(in)
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[
         org.apache.spark.sql.Row], _: Long) =>
-        if (!batch.isEmpty)
-          SSTableBinaryV2.writeSSTables(batch.toDF(), outStr,
-            "graft", "documents")
+        SSTableBinaryV2.writeSSTables(batch.toDF(), outStr,
+          "graft", "documents", sources = Some(srcIds))
         ()
       }
       .option("checkpointLocation", ckptPath.toString)
@@ -611,7 +628,14 @@ object StreamingOps {
       src => {
         import src.sparkSession.implicits._
         graft.ops.MultimodalOps.realDecodeColumns(
-          src.select(col("doc_id").cast("long")).as[Long])
+          // one landing file per micro-batch → one scan task; the
+          // decode is embarrassingly parallel per doc, so round-robin
+          // the batch across the cores first — the same stream-side
+          // rebalance st_ann_ingest documents (at production scale a
+          // batch has plenty of files and this is a cheap rebalance)
+          src.select(col("doc_id").cast("long"))
+            .repartition(src.sparkSession.sparkContext.defaultParallelism)
+            .as[Long])
       },
       OutputMode.Append())
 
