@@ -27,10 +27,17 @@ object Profile {
     spark.sparkContext.setLogLevel("WARN")
 
     val jobStarts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    // (jobId, nanos, call site) — the call site is the last stage's
+    // name ("collect at Foo.scala:123"), which pins each job to the
+    // code line that launched it
+    val jobSites = new java.util.concurrent.ConcurrentHashMap[Int, String]()
     val jobs = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long)]()
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onJobStart(s: SparkListenerJobStart): Unit =
+      override def onJobStart(s: SparkListenerJobStart): Unit = {
         jobStarts.put(s.jobId, System.nanoTime())
+        s.stageInfos.lastOption.foreach(si =>
+          jobSites.put(s.jobId, si.name))
+      }
       override def onJobEnd(e: SparkListenerJobEnd): Unit = {
         val t0 = jobStarts.remove(e.jobId)
         if (t0 != 0L) jobs.add((e.jobId, System.nanoTime() - t0))
@@ -58,7 +65,10 @@ object Profile {
           val js = jobs.toArray(Array.empty[(Int, Long)])
           val jsum = js.map(_._2).sum / 1e9
           val top = js.sortBy(-_._2).take(8)
-            .map { case (id, ns) => f"j$id=${ns / 1e9}%.2f" }.mkString(" ")
+            .map { case (id, ns) =>
+              val site = Option(jobSites.get(id))
+                .map("@" + _.takeWhile(_ != '+').trim).getOrElse("")
+              f"j$id=${ns / 1e9}%.2f$site" }.mkString(" ")
           println(f"$name%-30s run$r wall=$wall%6.2fs jobs=${js.length}%3d " +
             f"jobTime=$jsum%6.2fs top:[$top]")
         } catch { case e: Throwable =>

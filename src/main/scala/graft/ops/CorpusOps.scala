@@ -529,6 +529,14 @@ object CorpusOps {
       .repartition(nShards, col("shard"))
       .write
       .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
+      // commit algorithm v2: tasks rename their files straight to the
+      // final location instead of leaving the whole rename fan-out to
+      // a SERIAL driver-side job commit — with the record cap rolling
+      // hundreds of small files, the v1 job commit was the write's
+      // driver tail (guide §6 output-commit cost; v2's task-commit
+      // visibility caveat is irrelevant to a scratch dir consumed only
+      // after awaited completion)
+      .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
       .partitionBy("shard")
       .mode("overwrite")
       .parquet(out.toString)

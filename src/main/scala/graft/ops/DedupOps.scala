@@ -566,13 +566,17 @@ object DedupOps {
               + element_at(permBArr, i + 1)) % lit(MinhashPrime))))
           .as("sig"))
       .localCheckpoint()
+    // bucket identity = the band's RAW signature slice, not an md5 of
+    // its rendering: grouping on the r minima themselves is the same
+    // bucket partition (md5 was only a proxy for slice equality —
+    // exact equality is strictly cleaner), drops an md5-over-string
+    // per band per doc from the explode, and shuffles r longs instead
+    // of a 32-char digest per banded row (guide §2.3, narrower keys)
     val bandStructs = BandCurve.zipWithIndex.flatMap {
       case ((b, r), ci) =>
         (0 until b).map { bi =>
           struct(lit(ci).as("cfg"), lit(bi).as("band_id"),
-            md5(concat_ws("_", (0 until r).map(j =>
-              element_at(col("sig"), bi * r + j + 1)): _*))
-              .as("band_hash"))
+            slice(col("sig"), bi * r + 1, r).as("band_hash"))
         }
     }
     val banded = sig
@@ -991,7 +995,12 @@ object DedupOps {
     // each shared shingle contributes one pair row, and the pair count
     // is exactly |A∩B|.
     val postings = inv
-      .groupBy(col("source"), col("shingle"))
+      // group on xxhash64(shingle), not the raw 3-word string: the
+      // posting identity is internal (no output carries it), so the
+      // exchange key shrinks from ~20 text chars to one long
+      // (guide §2.3, narrower keys), computed map-side before the
+      // partial aggregation
+      .groupBy(col("source"), xxhash64(col("shingle")).as("shingle"))
       .agg(array_sort(collect_list(struct(col("doc_id"), col("n_sh"))))
         .as("ds"))
       // Stop-shingle cap: a corpus-common shingle ("in the of") has
@@ -1037,11 +1046,19 @@ object DedupOps {
     * times here, and a non-cheap alias would re-run the split per
     * reference (the CollapseProject pitfall documented at
     * [[TextOps.boilerplateBigrams]]). */
+  // xxhash64, not md5: the window hash is INTERNAL membership identity
+  // only (dup-set build, probe joins — no output column ever carries
+  // it; excised spans hash separately), so the cheapest collision-free
+  // 64-bit hash wins: xxhash64 is a codegen-native primitive where md5
+  // heap-allocates hex strings per window, and the (doc_id, hash)
+  // shuffle rows shrink from 32-char digests to one long (guide §2.3,
+  // narrower keys). Same window rendering feeds it, so equality of
+  // windows is unchanged.
   private def windowHashes(t: Column, w: Int): Column =
     when(size(t) >= w,
       transform(sequence(lit(0), size(t) - w),
-        i => md5(concat_ws(" ", slice(t, i + 1, lit(w))))))
-      .otherwise(array().cast("array<string>"))
+        i => xxhash64(concat_ws(" ", slice(t, i + 1, lit(w))))))
+      .otherwise(array().cast("array<bigint>"))
 
   /** (doc_id, whs) window-hash frame over a (doc_id, text) corpus,
     * with the token split materialized as a bound column first. */
@@ -1061,7 +1078,7 @@ object DedupOps {
     *
     * Scale shape: one corpus scan builds the window-hash arrays as a
     * per-row expression; the explode feeds a hash-keyed aggregation
-    * whose shuffle carries (doc_id, 32-char hash) rows only — text
+    * whose shuffle carries (doc_id, 64-bit hash) rows only — text
     * never shuffles. The duplicated-hash set joins back against the
     * same window stream as a hash-keyed shuffle join (both sides
     * linear in window count ≈ token count), then one doc-keyed
@@ -1136,7 +1153,7 @@ object DedupOps {
     import org.apache.spark.sql.expressions.Window
     val docs = windowFrame(corpus, w)
       // two consumers (eval hash set + corpus probe); materialize so
-      // the split/md5 window pipeline runs ONCE per row, not once per
+      // the split/hash window pipeline runs ONCE per row, not once per
       // branch (same discipline as substringDedupOf)
       .localCheckpoint()
     val evalSet = docs
@@ -1213,7 +1230,7 @@ object DedupOps {
       .select(col("doc_id"), toks(col("text")).as("t"))
       .select(col("doc_id"), col("t"), windowHashes(col("t"), w).as("whs"))
       // three consumers (dup-set build, window probe, excision slice);
-      // materialize so the split/md5 pipeline runs once per row
+      // materialize so the split/hash pipeline runs once per row
       .localCheckpoint()
     val wins = docs.select(col("doc_id"),
       posexplode(col("whs")).as(Seq("pos", "wh")))
