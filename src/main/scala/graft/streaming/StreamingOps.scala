@@ -123,6 +123,15 @@ object StreamingOps {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    // measurement hook (env-gated, off in every contract path): dump
+    // each batch's durationMs breakdown — the only way to split a
+    // stream's fixed floor into planning / offset-log / state-commit /
+    // addBatch without attaching a listener to this private child
+    // session
+    if (sys.env.contains("SPARK_GRAFT_STREAM_PROGRESS"))
+      q.recentProgress.foreach(p =>
+        System.err.println(s"[progress] $name batch=${p.batchId} " +
+          s"rows=${p.numInputRows} durationMs=${p.durationMs}"))
     // hand the result back as a PARENT-session DataFrame: callers
     // compose it with frames of the session they passed in, and mixing
     // sessions in one plan is undefined. The memory sink is
